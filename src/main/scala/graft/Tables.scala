@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated parquet tables (`TESTDATA.md`).
+  * All reads go through here so filter pushdown / column pruning apply
+  * uniformly and the `events` nanos quirk is handled in one place.
+  */
+object Tables {
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events` with its TIMESTAMP(NANOS) column exposed as:
+    *  - `ts_ns`  — raw epoch-nanos Long (full precision),
+    *  - `ts`     — microsecond TimestampType (Spark-native),
+    *  - `ts_sec` — second-truncated TimestampType (what oracle-compared
+    *    queries use: DuckDB keeps nanos, Spark keeps micros, so any
+    *    sub-second output would hash-mismatch by construction).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .withColumn("ts_sec", timestamp_seconds(expr("ts_ns div 1000000000")))
+}

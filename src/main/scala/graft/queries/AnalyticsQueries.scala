@@ -1,0 +1,307 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Core relational-engine operators: aggregation, joins (broadcast
+  * star, semi/anti, range, as-of), windows, sessionization, top-k,
+  * rollup, pivot, set ops. The reference has none of these (SURVEY.md
+  * §2.4-§2.8 ABSENT) — this is the engine surface a user actually
+  * queries through, designed Spark-first:
+  *
+  *  - dimension joins take `broadcast()` hints (no shuffle of the fact
+  *    table on a cluster);
+  *  - money aggregates run in DECIMAL (exact, order-independent —
+  *    float sums would hash-mismatch any oracle and drift at 100 TB);
+  *  - windows partition by a real key (never a global window on the
+  *    scale path; global `row_number` appears only in bounded queries).
+  */
+object AnalyticsQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // TPC-H Q1 shape: scan-heavy aggregation with decimal math.
+    "q_agg_pricing" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("decimal(18,2)")
+            .as("sum_base_price"),
+          sum((dec(col("l_extendedprice")) *
+            (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
+            .cast("decimal(18,4)")).cast("decimal(18,4)")
+            .as("sum_disc_price"),
+          count(lit(1)).as("n"))
+        .withColumn("avg_qty", col("sum_qty").cast("double") / col("n"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // Star join: fact ⋈ broadcast dims, revenue per region/nation.
+    "q_join_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          sum((dec(col("l_extendedprice")) *
+            (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
+            .cast("decimal(18,4)")).cast("decimal(18,4)").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")),
+
+    // Semi/anti join: customers with vs without orders.
+    "q_semi_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n")).select(lit("with_orders").as("rel"), col("n"))
+      val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n")).select(lit("no_orders").as("rel"), col("n"))
+      semi.unionAll(anti).orderBy("rel")
+    }),
+
+    // Running total per customer (keyed window — scales by partition).
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      t(s, dir, "orders")
+        .filter(col("o_custkey") <= 200)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("running_spend",
+          sum(dec(col("o_totalprice")))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("decimal(18,2)"))
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"),
+          col("running_spend"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // Gap-based sessionization (30 min) over the event stream.
+    "q_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+      Tables.events(s, dir)
+        .withColumn("prev", lag("ts_sec", 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev").isNull ||
+            unix_timestamp(col("ts_sec")) - unix_timestamp(col("prev")) > 1800,
+            1).otherwise(0))
+        .groupBy("user_id")
+        .agg(sum("new_sess").cast("long").as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // Top-k: TakeOrderedAndProject (no full sort on a cluster).
+    "q_topk" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))),
+
+    // Hierarchical aggregate: rollup with explicit null ordering.
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus"))),
+
+    // As-of join: each purchase matched to the user's latest prior (or
+    // simultaneous) signup. Spark-first: one keyed window pass over a
+    // tagged union instead of a per-row lookup — signups sort before
+    // purchases at equal timestamps to match ASOF `<=` semantics.
+    "q_asof_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .filter(col("event_type").isin("purchase", "signup"))
+        .withColumn("type_rank",
+          when(col("event_type") === "signup", 0).otherwise(1))
+      val w = Window.partitionBy("user_id")
+        .orderBy("ts_sec", "type_rank", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("signup_ts",
+          when(col("event_type") === "signup", col("ts_sec")))
+        .withColumn("last_signup_ts", last("signup_ts", ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase" &&
+          col("last_signup_ts").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          col("ts_sec").as("purchase_ts"), col("last_signup_ts"))
+        .orderBy("event_id")
+    }),
+
+    // Distinct aggregation per segment.
+    "q_distinct_agg" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(countDistinct("c_nationkey").as("n_nations"),
+          count(lit(1)).as("n_cust"),
+          sum(dec(col("c_acctbal"))).cast("decimal(18,2)").as("sum_bal"))
+        .orderBy("c_mktsegment")),
+
+    // Range join: value-interval bucketing via broadcast nested loop.
+    "q_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val buckets = Seq(
+        (0L, 0.0, 50.0), (1L, 50.0, 100.0),
+        (2L, 100.0, 150.0), (3L, 150.0, 250.0))
+        .toDF("bucket_id", "lo", "hi")
+      Tables.events(s, dir)
+        .join(broadcast(buckets),
+          col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy("bucket_id")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("decimal(18,2)").as("sum_value"))
+        .orderBy("bucket_id")
+    }),
+
+    // Pivot: event counts per user × type (explicit value list — no
+    // driver-side distinct scan to discover columns).
+    "q_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = Tables.events(s, dir)
+        .filter(col("user_id") < 50)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      p.select(col("user_id") +:
+          types.map(tp => coalesce(col(tp), lit(0L)).as(tp)): _*)
+        .orderBy("user_id")
+    }),
+
+    // Set operations: nation keys of customers vs suppliers.
+    "q_setops" -> ((s, dir) => {
+      val cn = t(s, dir, "customer")
+        .select(col("c_nationkey").as("k")).distinct()
+      val sn = t(s, dir, "supplier")
+        .select(col("s_nationkey").as("k")).distinct()
+      cn.intersect(sn).select(lit("both").as("rel"), col("k"))
+        .unionAll(cn.except(sn).select(lit("cust_only").as("rel"), col("k")))
+        .unionAll(sn.except(cn).select(lit("supp_only").as("rel"), col("k")))
+        .orderBy("rel", "k")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+             (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+             AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
+           count(*) AS n,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE)
+             / count(*) AS avg_qty
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_join_revenue" ->
+      """SELECT r_name, n_name,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+             (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+             AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
+           count(*) AS n_items
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name
+         ORDER BY r_name, n_name""",
+    "q_semi_anti" ->
+      """SELECT 'with_orders' AS rel, count(*) AS n FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         UNION ALL
+         SELECT 'no_orders' AS rel, count(*) AS n FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY rel""",
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+           row_number() OVER w AS rn,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DECIMAL(18,2)) AS running_spend
+         FROM orders WHERE o_custkey <= 200
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id,
+             CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_sec FROM events),
+         l AS (SELECT user_id, ts_sec,
+             lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS prev
+             FROM e)
+         SELECT user_id,
+           CAST(sum(CASE WHEN prev IS NULL
+             OR CAST(epoch(ts_sec) AS BIGINT) - CAST(epoch(prev) AS BIGINT) > 1800
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+         FROM l GROUP BY user_id ORDER BY user_id""",
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty
+         FROM lineitem
+         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+             CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_sec FROM events),
+         p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+         s AS (SELECT user_id, ts_sec FROM e WHERE event_type = 'signup')
+         SELECT p.event_id, p.user_id, p.ts_sec AS purchase_ts,
+                s.ts_sec AS last_signup_ts
+         FROM p ASOF JOIN s
+           ON p.user_id = s.user_id AND s.ts_sec <= p.ts_sec
+         ORDER BY p.event_id""",
+    "q_distinct_agg" ->
+      """SELECT c_mktsegment,
+           count(DISTINCT c_nationkey) AS n_nations,
+           count(*) AS n_cust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_bal
+         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_range_join" ->
+      """SELECT CAST(b.bucket_id AS BIGINT) AS bucket_id, count(*) AS n,
+           CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_value
+         FROM events e
+         JOIN (VALUES (0, 0.0, 50.0), (1, 50.0, 100.0),
+                      (2, 100.0, 150.0), (3, 150.0, 250.0)) AS b(bucket_id, lo, hi)
+           ON e.value >= b.lo AND e.value < b.hi
+         GROUP BY b.bucket_id ORDER BY bucket_id""",
+    "q_pivot" ->
+      """SELECT user_id,
+           count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+           count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+           count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+         FROM events WHERE user_id < 50
+         GROUP BY user_id ORDER BY user_id""",
+    "q_setops" ->
+      """SELECT 'both' AS rel, k FROM
+           (SELECT DISTINCT c_nationkey AS k FROM customer
+            INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+         UNION ALL
+         SELECT 'cust_only' AS rel, k FROM
+           (SELECT DISTINCT c_nationkey AS k FROM customer
+            EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+         UNION ALL
+         SELECT 'supp_only' AS rel, k FROM
+           (SELECT DISTINCT s_nationkey AS k FROM supplier
+            EXCEPT SELECT DISTINCT c_nationkey FROM customer)
+         ORDER BY rel, k""")
+}

@@ -1,0 +1,311 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis + deduplication operators over the `documents` table —
+  * the training-data-pipeline family: token stats, quality scoring,
+  * language-ID heuristic, document fingerprinting, exact dedup,
+  * n-gram-Jaccard near-dup, MinHash+LSH near-dup, SimHash.
+  *
+  * Portability notes (everything must hash-match DuckDB):
+  *  - tokenization = split on single space after trim, identical on
+  *    both sides;
+  *  - all hashing goes through `md5` (lowercase hex in both engines) —
+  *    engine-native `hash()` functions differ and can never agree;
+  *  - ratios are exact-integer divisions in IEEE double (correctly
+  *    rounded, so bit-identical across engines).
+  *
+  * Scale stance: every op is a scan + groupBy/join on a key — no
+  * driver-side loops. The pairwise (O(n²)) queries are explicitly
+  * bounded (`doc_id < cap`); the unbounded scale path is MinHash
+  * banding (q_dedup_minhash) whose cost is O(n · shingles).
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+
+  private val stopWords = Seq("the", "a", "data", "row", "key")
+
+  private def toks(c: Column): Column = split(trim(c), " ")
+
+  private def normText(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** Word n-gram shingles (array form, no self-join): positions i ..
+    * i+n-1 concatenated with spaces. Callers must filter size >= n
+    * (Spark's `sequence(1, 0)` would go descending, not empty).
+    */
+  private def shingles(tokens: Column, n: Int): Column = {
+    // transform(sequence(1, size-n+1), i -> tok[i] ' ' tok[i+1] ...)
+    val parts = (0 until n)
+      .map(j => s"element_at(__t, i + $j)").mkString(", ' ', ")
+    expr(s"transform(sequence(1, size(__t) - ${n - 1}), i -> concat($parts))")
+  }
+
+  private def withShingleCol(df: DataFrame, n: Int): DataFrame =
+    df.select(col("doc_id"), toks(col("text")).as("__t"))
+      .filter(size(col("__t")) >= n)
+      .select(col("doc_id"), explode(shingles(col("__t"), n)).as("shingle"))
+      .distinct()
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Token counting: whitespace tokens + regex word tokens.
+    "q_token_stats" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        size(toks(col("text"))).as("n_ws_tokens"),
+        regexp_count(col("text"), lit("[A-Za-z0-9]+")).as("n_words"),
+        length(col("text")).as("len_text"))
+        .orderBy("doc_id")),
+
+    // Quality scoring: length / token-count / stopword-ratio gates.
+    "q_quality" -> ((s, dir) => {
+      val tk = toks(col("text"))
+      docs(s, dir).select(
+        col("doc_id"),
+        size(tk).as("n_tokens"),
+        size(filter(tk, x => x.isInCollection(stopWords))).as("n_stop"),
+        length(col("text")).as("len_text"))
+        .withColumn("stop_ratio",
+          col("n_stop").cast("double") / col("n_tokens").cast("double"))
+        .withColumn("quality_ok",
+          col("len_text").between(20, 2000) && col("n_tokens") >= 5 &&
+            col("stop_ratio") <= 0.5)
+        .orderBy("doc_id")
+    }),
+
+    // Language-ID heuristic: English-marker token ratio.
+    "q_lang_id" -> ((s, dir) => {
+      val tk = toks(col("text"))
+      docs(s, dir).select(
+        col("doc_id"),
+        (size(filter(tk, x => x.isInCollection(Seq("the", "a"))))
+          .cast("double") / size(tk).cast("double")).as("en_ratio"))
+        .withColumn("pred_lang",
+          when(col("en_ratio") >= 0.08, "en").otherwise("unk"))
+        .orderBy("doc_id")
+    }),
+
+    // Document fingerprinting: md5 of normalized text + 60-bit prefix.
+    "q_fingerprint" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), md5(normText(col("text"))).as("fp"))
+        .withColumn("fp64",
+          conv(substring(col("fp"), 1, 15), 16, 10).cast("long"))
+        .orderBy("doc_id")),
+
+    // Exact dedup: hash-groupBy on the normalized fingerprint.
+    "q_dedup_exact" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), md5(normText(col("text"))).as("fp"))
+        .groupBy("fp")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+        .orderBy("fp")),
+
+    // n-gram (bigram) Jaccard near-dup — exhaustive pairwise over a
+    // bounded slice (the honest brute-force baseline).
+    "q_dedup_ngram" -> ((s, dir) => {
+      val sh = withShingleCol(docs(s, dir).filter(col("doc_id") < 1000), 2)
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.as("x")
+        .join(sh.as("y"),
+          col("x.shingle") === col("y.shingle") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id"), col("y.doc_id"))
+        .agg(count(lit(1)).as("inter"))
+        .toDF("a", "b", "inter")
+      inter
+        .join(sz.as("sa"), col("a") === col("sa.doc_id"))
+        .join(sz.as("sb"), col("b") === col("sb.doc_id"))
+        .select(col("a"), col("b"), col("inter"),
+          col("sa.n").as("na"), col("sb.n").as("nb"))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("a", "b")
+    }),
+
+    // MinHash + LSH banding (trigram shingles, 6 hashes, 3 bands of 2)
+    // → candidate pairs → verified with true Jaccard >= 0.8. This is
+    // the dedup scale path: cost O(n · shingles), pairs only within
+    // colliding buckets.
+    "q_dedup_minhash" -> ((s, dir) => {
+      val sh = withShingleCol(docs(s, dir).filter(col("doc_id") < 2000), 3)
+      val sig = sh.groupBy("doc_id").agg(
+        min(md5(concat(lit("0:"), col("shingle")))).as("mh0"),
+        min(md5(concat(lit("1:"), col("shingle")))).as("mh1"),
+        min(md5(concat(lit("2:"), col("shingle")))).as("mh2"),
+        min(md5(concat(lit("3:"), col("shingle")))).as("mh3"),
+        min(md5(concat(lit("4:"), col("shingle")))).as("mh4"),
+        min(md5(concat(lit("5:"), col("shingle")))).as("mh5"))
+      val bands = sig.select(col("doc_id"), explode(array(
+        struct(lit(0).as("band_idx"),
+          concat(col("mh0"), col("mh1")).as("band_val")),
+        struct(lit(1).as("band_idx"),
+          concat(col("mh2"), col("mh3")).as("band_val")),
+        struct(lit(2).as("band_idx"),
+          concat(col("mh4"), col("mh5")).as("band_val")))).as("bd"))
+        .select(col("doc_id"), col("bd.band_idx"), col("bd.band_val"))
+      val cand = bands.as("x")
+        .join(bands.as("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+            col("x.band_val") === col("y.band_val") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+      val inter = cand
+        .join(sh.as("sa"), col("a") === col("sa.doc_id"))
+        .join(sh.as("sb"),
+          col("b") === col("sb.doc_id") &&
+            col("sa.shingle") === col("sb.shingle"))
+        .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      inter
+        .join(sz.as("za"), col("a") === col("za.doc_id"))
+        .join(sz.as("zb"), col("b") === col("zb.doc_id"))
+        .select(col("a"), col("b"), col("inter"),
+          col("za.n").as("na"), col("zb.n").as("nb"))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"))
+        .filter(col("jaccard") >= 0.8)
+        .orderBy("a", "b")
+    }),
+
+    // SimHash: 32-bit fingerprint from md5-derived token hashes —
+    // one pass, 32 conditional aggregates, no explode of bit positions.
+    "q_simhash" -> ((s, dir) => {
+      val tok = docs(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(toks(col("text")))).as("tok"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("h"))
+      val aggs = (0 until 32).map(b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+          .otherwise(-1)).as(s"b$b"))
+      val bits = tok.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      val fp = (0 until 32)
+        .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      bits.select(col("doc_id"), fp.as("simhash")).orderBy("doc_id")
+    }))
+
+  private val simhashBitSums = (0 until 32)
+    .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+    .mkString(",\n             ")
+
+  private val simhashFp = (0 until 32)
+    .map(b =>
+      s"CASE WHEN b$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+    .mkString(" + ")
+
+  val oracles: Map[String, String] = Map(
+    "q_token_stats" ->
+      """SELECT doc_id,
+           CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INTEGER) AS n_words,
+           CAST(length(text) AS INTEGER) AS len_text
+         FROM documents ORDER BY doc_id""",
+    "q_quality" ->
+      """WITH q AS (SELECT doc_id,
+           CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS n_tokens,
+           CAST(len(list_filter(string_split(trim(text), ' '),
+             x -> list_contains(['the','a','data','row','key'], x))) AS INTEGER) AS n_stop,
+           CAST(length(text) AS INTEGER) AS len_text
+         FROM documents)
+         SELECT doc_id, n_tokens, n_stop, len_text,
+           CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+           (len_text BETWEEN 20 AND 2000) AND n_tokens >= 5
+             AND (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) <= 0.5 AS quality_ok
+         FROM q ORDER BY doc_id""",
+    "q_lang_id" ->
+      """WITH q AS (SELECT doc_id,
+           CAST(len(list_filter(string_split(trim(text), ' '),
+             x -> list_contains(['the','a'], x))) AS DOUBLE)
+             / CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS en_ratio
+         FROM documents)
+         SELECT doc_id, en_ratio,
+           CASE WHEN en_ratio >= 0.08 THEN 'en' ELSE 'unk' END AS pred_lang
+         FROM q ORDER BY doc_id""",
+    "q_fingerprint" ->
+      """WITH f AS (SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+         FROM documents)
+         SELECT doc_id, fp,
+           CAST(CAST(('0x' || substr(fp, 1, 15)) AS UBIGINT) AS BIGINT) AS fp64
+         FROM f ORDER BY doc_id""",
+    "q_dedup_exact" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+           min(doc_id) AS keep_id, count(*) AS n_dups
+         FROM documents GROUP BY 1 ORDER BY fp""",
+    "q_dedup_ngram" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+             FROM documents WHERE doc_id < 1000),
+         d2 AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 2),
+         tok AS (SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS pos FROM d2),
+         sh AS (SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok AS shingle
+             FROM tok t1 JOIN tok t2
+               ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+             FROM sh x JOIN sh y
+               ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+             GROUP BY 1, 2)
+         SELECT i.a, i.b, i.inter, sa.n AS na, sb.n AS nb,
+             CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE) AS jaccard
+         FROM inter i
+         JOIN sz sa ON sa.doc_id = i.a
+         JOIN sz sb ON sb.doc_id = i.b
+         WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE) >= 0.5
+         ORDER BY a, b""",
+    "q_dedup_minhash" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+             FROM documents WHERE doc_id < 2000),
+         d2 AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 3),
+         tok AS (SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS pos FROM d2),
+         sh AS (SELECT DISTINCT t1.doc_id,
+               t1.tok || ' ' || t2.tok || ' ' || t3.tok AS shingle
+             FROM tok t1
+             JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+             JOIN tok t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2),
+         sig AS (SELECT doc_id,
+               min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
+               min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3,
+               min(md5('4:' || shingle)) AS mh4, min(md5('5:' || shingle)) AS mh5
+             FROM sh GROUP BY doc_id),
+         band AS (SELECT doc_id, 0 AS band_idx, mh0 || mh1 AS band_val FROM sig
+             UNION ALL SELECT doc_id, 1, mh2 || mh3 FROM sig
+             UNION ALL SELECT doc_id, 2, mh4 || mh5 FROM sig),
+         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             FROM band x JOIN band y
+               ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+                  AND x.doc_id < y.doc_id),
+         inter AS (SELECT c.a, c.b, count(*) AS inter FROM cand c
+             JOIN sh sa ON sa.doc_id = c.a
+             JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+             GROUP BY c.a, c.b),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+         SELECT i.a, i.b, i.inter, sa.n AS na, sb.n AS nb,
+             CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE) AS jaccard
+         FROM inter i
+         JOIN sz sa ON sa.doc_id = i.a
+         JOIN sz sb ON sb.doc_id = i.b
+         WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE) >= 0.8
+         ORDER BY a, b""",
+    "q_simhash" ->
+      s"""WITH tok AS (SELECT DISTINCT doc_id,
+             unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+         h AS (SELECT doc_id,
+             CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT) AS BIGINT) AS h
+             FROM tok),
+         bits AS (SELECT doc_id,
+             $simhashBitSums
+             FROM h GROUP BY doc_id)
+         SELECT doc_id, $simhashFp AS simhash FROM bits ORDER BY doc_id""")
+}

@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Embedding similarity / approximate-nearest-neighbor operators over
+  * the `embeddings` table (`Array[Float]`, 64-dim).
+  *
+  *  - Brute-force cosine top-k is the correctness baseline: broadcast
+  *    the (small) query set against all candidates — on a cluster the
+  *    candidate scan stays fully partition-parallel, no shuffle.
+  *  - The scale path is sign-bucket LSH (axis hyperplanes on the first
+  *    8 dims → 256 buckets): candidates are joined *within bucket
+  *    only*, turning O(n·m) into a bucket-local equi-join that AQE can
+  *    plan as a shuffled hash join at 100 TB. (Production would draw
+  *    random hyperplanes; axis planes keep the oracle SQL exact.)
+  *
+  * Float discipline: elements are cast to double *before* any product
+  * (float×float truncation differs from double math), dots/norms fold
+  * sequentially, and similarities are rounded to 6 decimals in the
+  * output so cross-engine accumulation-order noise (≤1 ulp) can't flip
+  * a hash compare.
+  */
+object VectorQueries {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "embeddings")
+
+  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(v: Column): Column =
+    sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  private def signBucket(v: Column, bits: Int): Column =
+    (0 until bits)
+      .map(i => when(element_at(v, i + 1) >= 0d, lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Norms + dims: the sanity surface for the vector column.
+    "q_vec_norm" -> ((s, dir) =>
+      emb(s, dir).select(
+        col("vec_id"),
+        col("label"),
+        size(col("embedding")).as("dim"),
+        round(norm(asDouble(col("embedding"))), 6).as("norm_r"))
+        .orderBy("vec_id")),
+
+    // Embedding-cosine near-dup: all pairs above threshold (bounded
+    // brute force — the exhaustive baseline).
+    "q_cosine_pairs" -> ((s, dir) => {
+      val e = emb(s, dir).filter(col("vec_id") < 300)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("nrm", norm(col("v")))
+      val a = e.select(col("vec_id").as("a"), col("v").as("va"),
+        col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("b"), col("v").as("vb"),
+        col("nrm").as("nb"))
+      a.join(b, col("a") < col("b"))
+        .withColumn("cos_r",
+          round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+        .filter(col("cos_r") >= 0.2)
+        .select(col("a"), col("b"), col("cos_r"))
+        .orderBy("a", "b")
+    }),
+
+    // Brute-force cosine top-k: 3 nearest candidates per query vector.
+    "q_ann_topk" -> ((s, dir) => {
+      val e = emb(s, dir).filter(col("vec_id") < 2000)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("nrm", norm(col("v")))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val c = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("cand_id"), col("v").as("cv"),
+          col("nrm").as("cn"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("cos_r").desc, col("cand_id"))
+      c.join(broadcast(q))
+        .withColumn("cos_r",
+          round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("cand_id"), col("rank"), col("cos_r"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // LSH-bucketed similarity search: nearest same-bucket neighbor.
+    "q_ann_bucketed" -> ((s, dir) => {
+      val e = emb(s, dir).filter(col("vec_id") < 2000)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("nrm", norm(col("v")))
+        .withColumn("bucket", signBucket(col("v"), 8))
+      val q = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("bucket"))
+      val c = e.select(col("vec_id").as("cand_id"), col("v").as("cv"),
+        col("nrm").as("cn"), col("bucket").as("cbucket"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("cos_r").desc, col("cand_id"))
+      q.join(c, col("bucket") === col("cbucket") &&
+          col("q_id") =!= col("cand_id"))
+        .withColumn("cos_r",
+          round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("q_id"), col("cand_id"), col("bucket"), col("cos_r"))
+        .orderBy("q_id")
+    }))
+
+  private val bucketSql = (0 until 8)
+    .map(i => s"(CASE WHEN v[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
+    .mkString(" + ")
+
+  val oracles: Map[String, String] = Map(
+    "q_vec_norm" ->
+      """SELECT vec_id, label,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           round(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm_r
+         FROM embeddings ORDER BY vec_id""",
+    "q_cosine_pairs" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id < 300),
+         n AS (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
+         SELECT a.vec_id AS a, b.vec_id AS b,
+             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_r
+         FROM n a JOIN n b ON a.vec_id < b.vec_id
+         WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.2
+         ORDER BY a, b""",
+    "q_ann_topk" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id < 2000),
+         n AS (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+         p AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos_r
+           FROM n q JOIN n c ON c.vec_id >= 10
+           WHERE q.vec_id < 10),
+         r AS (SELECT *, CAST(row_number() OVER
+             (PARTITION BY q_id ORDER BY cos_r DESC, cand_id) AS BIGINT) AS rank
+           FROM p)
+         SELECT q_id, cand_id, rank, cos_r FROM r WHERE rank <= 3
+         ORDER BY q_id, rank""",
+    "q_ann_bucketed" ->
+      s"""WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id < 2000),
+         n AS (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+             $bucketSql AS bucket FROM e),
+         p AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id, q.bucket,
+             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos_r
+           FROM n q JOIN n c
+             ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+           WHERE q.vec_id < 50),
+         r AS (SELECT *, row_number() OVER
+             (PARTITION BY q_id ORDER BY cos_r DESC, cand_id) AS rk FROM p)
+         SELECT q_id, cand_id, bucket, cos_r FROM r WHERE rk = 1
+         ORDER BY q_id""")
+}

@@ -1,0 +1,34 @@
+package graft.sync
+
+import graft.model.Identifiers
+
+/** The reference engine's one non-trivial "query": the full-refresh
+  * snapshot sync decision (`app/data.py:120-131` Redshift,
+  * `:231-241` Snowflake; Azure always drops, `:179-186`).
+  *
+  * If the existing table's column *set* — case-folded, order-ignored —
+  * equals the incoming (sanitized) header's, TRUNCATE + load (keeps
+  * grants/views, cheaper); else DROP + CREATE + load.
+  */
+sealed trait SyncAction { def pastTense: String }
+case object Truncate extends SyncAction { val pastTense = "Truncated" }
+case object DropCreate extends SyncAction { val pastTense = "Dropped" }
+
+object SyncAction {
+
+  /** `Truncate` iff sorted(lower(existing)) == sorted(lower(to_alnum(incoming))).
+    * `forceDropCreate` models the Azure DW path, which never truncates.
+    */
+  def decide(
+      existingCols: Seq[String],
+      incomingHeader: Seq[String],
+      forceDropCreate: Boolean = false): SyncAction = {
+    if (forceDropCreate) DropCreate
+    else {
+      val existing = existingCols.map(_.toLowerCase).sorted
+      val incoming =
+        incomingHeader.map(Identifiers.toAlnum).map(_.toLowerCase).sorted
+      if (existing == incoming) Truncate else DropCreate
+    }
+  }
+}

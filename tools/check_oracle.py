@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Local pre-check mirroring the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir>
+
+Loads each <query>.parquet dumped by graft.Verify, runs the matching
+oracle SQL from oracle_sql.json in DuckDB over the sf parquet tables,
+and compares row count, column names (sorted), and a value hash over
+column-name-sorted, row-sorted stringified values.
+"""
+import sys, json, glob, os, hashlib
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                vals.append(repr(v))
+            else:
+                vals.append(str(v))
+        out.append("\x1f".join(vals))
+    out.sort()
+    return hashlib.md5("\x1e".join(out).encode()).hexdigest()
+
+
+def main(outdir, sfdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+    results = {}
+    for qdir in sorted(glob.glob(os.path.join(outdir, "q_*"))):
+        name = os.path.basename(qdir)
+        files = glob.glob(os.path.join(qdir, "*.parquet"))
+        if not files:
+            results[name] = "NO_SPARK_OUTPUT"
+            continue
+        srel = con.sql(f"SELECT * FROM read_parquet({files!r})")
+        scols, srows = srel.columns, srel.fetchall()
+        if name not in oracle:
+            results[name] = f"NO_ORACLE rows={len(srows)}"
+            continue
+        try:
+            orel = con.sql(oracle[name])
+            ocols, orows = orel.columns, orel.fetchall()
+        except Exception as e:
+            results[name] = f"ORACLE_SQL_ERROR: {e}"
+            continue
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rows {len(srows)} vs {len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"cols {sorted(scols)} vs {sorted(ocols)}")
+        elif canon(srows, scols) != canon(orows, ocols):
+            problems.append("value hash mismatch")
+            # show first differing row for debugging
+            so = sorted(range(len(scols)), key=lambda i: scols[i])
+            oo = sorted(range(len(ocols)), key=lambda i: ocols[i])
+            sr = sorted(tuple(str(r[i]) for i in so) for r in srows)
+            orr = sorted(tuple(str(r[i]) for i in oo) for r in orows)
+            for a, b in zip(sr, orr):
+                if a != b:
+                    problems.append(f"first diff:\n  spark  ={a}\n  oracle ={b}")
+                    break
+        results[name] = "OK rows=%d" % len(srows) if not problems else "FAIL: " + "; ".join(problems)
+    width = max(len(k) for k in results)
+    nfail = 0
+    for k in sorted(results):
+        print(f"{k:<{width}}  {results[k]}")
+        if not results[k].startswith("OK") and not results[k].startswith("NO_ORACLE"):
+            nfail += 1
+    print(f"\n{len(results)} queries, {nfail} failing")
+    sys.exit(1 if nfail else 0)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
