@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ingest.Sniffer
+
+class SnifferSpec extends AnyFunSuite with PropHelpers {
+
+  // The reference's own self-tests (app/csv_sniff.py:25-31).
+  test("reference assert 1: pipe wins over decoy ; and ,") {
+    assert(Sniffer.sniffDelimiter("c1|c2|c3\na ;b ;c;|d|e\n") == '|')
+  }
+
+  test("reference assert 2: inconsistent widths fall back to default ,") {
+    assert(Sniffer.sniffDelimiter("c1c2|c3\na b c|d|e\n") == ',')
+  }
+
+  test("tab and semicolon sniff") {
+    assert(Sniffer.sniffDelimiter("a\tb\tc\n1\t2\t3\n") == '\t')
+    assert(Sniffer.sniffDelimiter("x;y\n1;2\n") == ';')
+  }
+
+  test("quoted fields hide embedded delimiters") {
+    // the comma inside quotes must not count as a separator
+    assert(Sniffer.sniffDelimiter("a;\"x,y\"\n1;\"2,3\"\n") == ';')
+  }
+
+  test("winner is the valid candidate with most columns") {
+    // both ; and | are uniform; | yields 3 cols, ; yields 2
+    assert(Sniffer.sniffDelimiter("a;b|c|d\n1;2|3|4\n") == '|')
+  }
+
+  test("parse handles CRLF and trailing newline") {
+    assert(Sniffer.parse("a,b\r\nc,d\r\n", ',') ==
+      Vector(Vector("a", "b"), Vector("c", "d")))
+    assert(Sniffer.parse("a,b", ',') == Vector(Vector("a", "b")))
+  }
+
+  test("parse handles escaped quotes and newlines in quotes") {
+    assert(Sniffer.parse("\"a\"\"b\",c\n", ',') == Vector(Vector("a\"b", "c")))
+    assert(Sniffer.parse("\"l1\nl2\",x\n", ',') == Vector(Vector("l1\nl2", "x")))
+  }
+
+  test("property: uniform unquoted grid sniffs its delimiter") {
+    val gen = for {
+      rows <- org.scalacheck.Gen.choose(2, 8)
+      cols <- org.scalacheck.Gen.choose(2, 6)
+      d <- org.scalacheck.Gen.oneOf(',', ';', '|', '\t')
+    } yield (rows, cols, d)
+    forAll(gen) { case (rows, cols, d) =>
+      // cells strictly alphanumeric → no other candidate can parse wider
+      val text = (0 until rows)
+        .map(r => (0 until cols).map(c => s"v$r$c").mkString(d.toString))
+        .mkString("", "\n", "\n")
+      assert(Sniffer.sniffDelimiter(text) == d)
+    }
+  }
+}
