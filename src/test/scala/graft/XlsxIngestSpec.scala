@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ingest.XlsxIngest
+
+class XlsxIngestSpec extends AnyFunSuite {
+
+  lazy val matrices: Map[String, Vector[Vector[String]]] =
+    XlsxIngest.parseMatrices(XlsxFixture.create().toString).toMap
+
+  test("sheet catalog: both worksheets found, styles rel ignored, order kept") {
+    val names = XlsxIngest
+      .parseMatrices(XlsxFixture.create().toString).map(_._1)
+    assert(names == Seq("Data", "Second Sheet"))
+  }
+
+  test("shared strings resolve, including rich-text runs") {
+    val m = matrices("Data")
+    assert(m(0) == Vector("Name", "Qty", "When"))
+    assert(m(1)(0) == "Widget") // <r><t>Wid</t></r><r><t>get</t></r>
+  }
+
+  test("builtin date style (numFmtId 14) converts serial to ISO with leap bug") {
+    // serial 45292: real Excel date 2024-01-01; reference arithmetic
+    // (1899-12-31 + serial) gives 2024-01-02
+    assert(matrices("Data")(1)(2) == "2024-01-02")
+  }
+
+  test("custom numFmt with unescaped mdy is a date; serial 60 → 1900-03-01") {
+    assert(matrices("Data")(2)(2) == "1900-03-01")
+  }
+
+  test("numeric formats (0.00) and escaped \\m are NOT dates") {
+    val m = matrices("Data")
+    assert(m(3)(1) == "1.23") // style 3 → numFmtId 165 "0.00"
+    assert(m(3)(2) == "7")    // style 4 → numFmtId 166 "0\\m"
+  }
+
+  test("missing cells are dense-filled with empty strings") {
+    assert(matrices("Data")(2)(1) == "") // B3 absent
+  }
+
+  test("trailing empty rows trimmed, ragged width sliced to max used col") {
+    val m = matrices("Data")
+    assert(m.length == 4)          // rows 5,6 empty → dropped
+    assert(m.forall(_.length == 3)) // dimension says D but D never used
+  }
+
+  test("leapBugCompat=false yields Excel's displayed calendar") {
+    val m = XlsxIngest.parseMatrices(XlsxFixture.create().toString,
+      XlsxIngest.Options(leapBugCompat = false)).toMap
+    assert(m("Data")(1)(2) == "2024-01-01")
+    assert(m("Data")(2)(2) == "1900-02-28") // serial 60, fictitious Feb 29
+  }
+
+  test("readWorkbook produces all-string DataFrames with header row 0") {
+    val spark = TestSpark.spark
+    val dfs = XlsxIngest.readWorkbook(spark, XlsxFixture.create().toString)
+    val df = dfs("Data")
+    assert(df.columns.toSeq == Seq("Name", "Qty", "When"))
+    assert(df.schema.fields.forall(_.dataType.typeName == "string"))
+    assert(df.count() == 3)
+    val first = df.orderBy("Name").collect().head
+    assert(first.getString(0) == "2.5") // numeric row, sorted first
+  }
+}
