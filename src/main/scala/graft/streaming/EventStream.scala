@@ -1,0 +1,101 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface over the `events` stream shape
+  * (`event_id, ts, user_id, event_type, value`). The reference has no
+  * streaming at all (SURVEY.md §2.10) — every load is a full snapshot —
+  * so this is pure engine capability: the same aggregations the batch
+  * side declares, expressed incrementally with watermarked state.
+  *
+  * Scale stance: state is keyed (by window×type or by user), so it
+  * shards across executors; watermarks bound state size; no
+  * foreachBatch driver funnels.
+  */
+object EventStream {
+
+  final case class Event(
+      event_id: Long,
+      ts: Timestamp,
+      user_id: Long,
+      event_type: String,
+      value: Double)
+
+  final case class Session(
+      user_id: Long,
+      session_start: Timestamp,
+      session_end: Timestamp,
+      n_events: Long)
+
+  // public: the state encoder's generated code instantiates it
+  final case class OpenSession(start: Long, end: Long, n: Long)
+
+  /** Tumbling-window counts/sums per event type with late-data bound. */
+  def windowedCounts(
+      events: DataFrame,
+      watermarkDelay: String = "10 minutes",
+      windowLen: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Gap-based sessionization with custom state
+    * (`flatMapGroupsWithState`, event-time timeout): a session closes
+    * when `gapSeconds` passes without an event, or when the watermark
+    * moves past its end.
+    */
+  def sessionize(
+      events: Dataset[Event],
+      gapSeconds: Long = 1800,
+      watermarkDelay: String = "30 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event],
+         state: GroupState[OpenSession]) =>
+          def toSession(s: OpenSession): Session =
+            Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n)
+
+          if (batch.isEmpty && state.hasTimedOut) {
+            // watermark passed: close and emit whatever is open
+            val out = state.getOption.map(toSession).toList
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val gapMs = gapSeconds * 1000L
+            var open = state.getOption
+            val closed = List.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              open match {
+                case Some(s) if t - s.end <= gapMs =>
+                  open = Some(s.copy(end = math.max(s.end, t), n = s.n + 1))
+                case Some(s) =>
+                  closed += toSession(s)
+                  open = Some(OpenSession(t, t, 1))
+                case None =>
+                  open = Some(OpenSession(t, t, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // time out once the watermark passes session end + gap
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

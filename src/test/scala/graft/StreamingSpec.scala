@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("windowed counts aggregate incrementally with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.windowedCounts(input.toDF(), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("wc")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts(1), 1, "click", 1.0),
+        Event(2, ts(2), 2, "click", 2.0),
+        Event(3, ts(7), 1, "view", 3.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close the earlier windows
+      input.addData(Event(4, ts(40), 1, "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("wc")
+        .orderBy("window_start", "event_type").collect()
+      assert(rows.length == 2) // 10:00-05 click n=2, 10:05-10 view n=1
+      assert(rows(0).getAs[Long]("n") == 2)
+      assert(rows(0).getAs[Double]("sum_value") == 3.0)
+      assert(rows(1).getAs[String]("event_type") == "view")
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes sessions on gap and watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionize(input.toDS(), gapSeconds = 600,
+      watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 3 min apart (one session), then 20 min gap
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(3), 1, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(3, ts(23), 1, "click", 1.0)) // gap > 10 min
+      q.processAllAvailable()
+      // push watermark forward so the open session times out
+      input.addData(Event(4, ts(59), 2, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(5, Timestamp.valueOf("2024-01-01 12:00:00"), 2, "x", 1.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sess")
+        .orderBy("session_start").as[EventStream.Session].collect()
+      assert(sessions.length >= 2)
+      assert(sessions(0).user_id == 1)
+      assert(sessions(0).n_events == 2) // 10:00 + 10:03
+      assert(sessions(0).session_start == ts(0))
+      assert(sessions(0).session_end == ts(3))
+      assert(sessions(1).n_events == 1) // the 10:23 singleton
+    } finally q.stop()
+  }
+}
