@@ -135,7 +135,10 @@ object TextQueries {
     // the dedup scale path: cost O(n · shingles), pairs only within
     // colliding buckets.
     "q_dedup_minhash" -> ((s, dir) => {
+      // the shingle set feeds four branches (signatures, intersection
+      // twice, sizes); Spark has no cross-branch CSE, so persist it
       val sh = withShingleCol(docs(s, dir).filter(col("doc_id") < 2000), 3)
+        .persist()
       val sig = sh.groupBy("doc_id").agg(
         min(md5(concat(lit("0:"), col("shingle")))).as("mh0"),
         min(md5(concat(lit("1:"), col("shingle")))).as("mh1"),
