@@ -179,6 +179,22 @@ object TextQueries {
         .orderBy("a", "b")
     }),
 
+    // SimHash near-dup pairs: fingerprints joined on hamming distance
+    // <= 1 (bit_count of XOR — all codegen'd integer ops). Bounded
+    // brute-force pairing; the scale path buckets on fingerprint bytes.
+    "q_dedup_simhash" -> ((s, dir) => {
+      val sim = queries("q_simhash")(s, dir)
+        .filter(col("doc_id") < 1000)
+      val a = sim.toDF("a", "sh_a")
+      val b = sim.toDF("b", "sh_b")
+      a.join(b, col("a") < col("b"))
+        .withColumn("ham",
+          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+        .filter(col("ham") <= 1)
+        .select(col("a"), col("b"), col("ham"))
+        .orderBy("a", "b")
+    }),
+
     // SimHash: 32-bit fingerprint from md5-derived token hashes —
     // one pass, 32 conditional aggregates, no explode of bit positions.
     "q_simhash" -> ((s, dir) => {
@@ -300,6 +316,22 @@ object TextQueries {
          JOIN sz sa ON sa.doc_id = i.a
          JOIN sz sb ON sb.doc_id = i.b
          WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE) >= 0.8
+         ORDER BY a, b""",
+    "q_dedup_simhash" ->
+      s"""WITH tok AS (SELECT DISTINCT doc_id,
+             unnest(string_split(trim(text), ' ')) AS tok FROM documents
+             WHERE doc_id < 1000),
+         h AS (SELECT doc_id,
+             CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT) AS BIGINT) AS h
+             FROM tok),
+         bits AS (SELECT doc_id,
+             $simhashBitSums
+             FROM h GROUP BY doc_id),
+         sim AS (SELECT doc_id, $simhashFp AS simhash FROM bits)
+         SELECT a.doc_id AS a, b.doc_id AS b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS ham
+         FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
          ORDER BY a, b""",
     "q_simhash" ->
       s"""WITH tok AS (SELECT DISTINCT doc_id,

@@ -28,13 +28,19 @@ object VectorQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "embeddings")
 
-  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+  // Native codegen'd kernels (graft.expr.DotProduct): same
+  // left-to-right summation as the zip_with/aggregate folds they
+  // replace, so every oracle-checked value is bit-identical — but the
+  // loop runs inside whole-stage codegen instead of interpreted
+  // higher-order lambdas.
+  private def asDouble(c: Column): Column =
+    graft.expr.VectorFunctions.toDoubleArray(c)
 
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.expr.VectorFunctions.dotProduct(a, b)
 
   private def norm(v: Column): Column =
-    sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
+    graft.expr.VectorFunctions.l2Norm(v)
 
   private def signBucket(v: Column, bits: Int): Column =
     (0 until bits)

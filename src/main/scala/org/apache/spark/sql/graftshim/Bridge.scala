@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge. Spark 4 made the conversion helpers
+  * `private[sql]`; the conventional pattern for extension libraries
+  * that ship custom Catalyst expressions is a one-file shim inside an
+  * `org.apache.spark.sql` subpackage (cf. spark-connectors in the
+  * wild). Nothing else in this repo lives outside `graft`.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
