@@ -154,6 +154,7 @@ object TextQueries {
         struct(lit(2).as("band_idx"),
           concat(col("mh4"), col("mh5")).as("band_val")))).as("bd"))
         .select(col("doc_id"), col("bd.band_idx"), col("bd.band_val"))
+        .persist() // both sides of the candidate self-join
       val cand = bands.as("x")
         .join(bands.as("y"),
           col("x.band_idx") === col("y.band_idx") &&
@@ -183,8 +184,11 @@ object TextQueries {
     // <= 1 (bit_count of XOR — all codegen'd integer ops). Bounded
     // brute-force pairing; the scale path buckets on fingerprint bytes.
     "q_dedup_simhash" -> ((s, dir) => {
+      // both join sides read the fingerprints; persist to avoid
+      // recomputing the 32-agg pipeline twice
       val sim = queries("q_simhash")(s, dir)
         .filter(col("doc_id") < 1000)
+        .persist()
       val a = sim.toDF("a", "sh_a")
       val b = sim.toDF("b", "sh_b")
       a.join(b, col("a") < col("b"))
