@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the properties that decide whether these
+  * operators survive a 100× scale-up, pinned as tests so a regression
+  * (lost pushdown, broadcast falling back to shuffle, global sort
+  * sneaking in) fails CI rather than a cluster bill.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q_serial_date: key predicate is pushed to the parquet scan") {
+    val p = plan("q_serial_date")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderkey), LessThanOrEqual(o_orderkey,2000)]"),
+      s"missing pushdown in:\n$p")
+  }
+
+  test("q_visible: scan reads only the projected columns") {
+    val p = plan("q_visible")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("props"), s"props not pruned: $read")
+    assert(!read.contains("value>") || read.contains("value"), read)
+  }
+
+  test("q_join_revenue: all three dimension joins broadcast") {
+    val p = plan("q_join_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3,
+      s"expected 3 broadcast joins in:\n$p")
+    assert(!p.contains("SortMergeJoin"), "dimension join fell back to SMJ")
+  }
+
+  test("q_agg_pricing: map-side partial aggregation present") {
+    val p = plan("q_agg_pricing")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final HashAggregate in:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate,"),
+      s"shipdate filter not pushed:\n$p")
+  }
+
+  test("q_topk: TakeOrderedAndProject, not a global sort of the table") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k plan:\n$p")
+  }
+
+  test("q_sessionize: single shuffle on user_id feeds window and agg") {
+    val p = plan("q_sessionize")
+    // window partitioned by user_id; the groupBy(user_id) must reuse
+    // that partitioning rather than adding a second exchange
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges in:\n$p")
+  }
+
+  test("q_ann_topk: query side broadcast, candidate scan stays parallel") {
+    val p = plan("q_ann_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query set not broadcast:\n$p")
+  }
+
+  test("flagship entry: broadcast star join with decimal aggregation") {
+    val p = SparkEntry.entry(spark).queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2)
+    assert(p.contains("HashAggregate"))
+  }
+}

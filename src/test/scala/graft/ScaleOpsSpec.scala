@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.ScaleOps
+
+class ScaleOpsSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("salted join returns exactly the plain join's rows") {
+    val li = Tables.table(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val o = Tables.table(spark, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    val plain = li.join(o, Seq("l_orderkey"))
+    val salted = ScaleOps.saltedJoin(li, o, "l_orderkey",
+      saltSource = col("l_partkey"), nSalts = 8)
+    assert(salted.count() == plain.count())
+    // spot-check content equality via anti-join both ways
+    assert(salted.exceptAll(plain.select(salted.columns.map(col): _*)).isEmpty)
+  }
+
+  test("salted join spreads a hot key across salt partitions") {
+    import spark.implicits._
+    val hot = (1 to 10000).map(i => (1L, i.toLong)).toDF("k", "payload")
+    val dim = Seq((1L, "x")).toDF("k", "v")
+    val salted = ScaleOps.saltedJoin(hot, dim, "k",
+      saltSource = col("payload"), nSalts = 8)
+    assert(salted.count() == 10000)
+    // the internal salt must take multiple values for one hot key
+    val salts = hot.withColumn("__salt",
+      pmod(xxhash64(col("payload")), lit(8L)).cast("int"))
+      .select("__salt").distinct().count()
+    assert(salts == 8)
+  }
+
+  test("bucketed tables join without any exchange") {
+    // default warehouse dir (./spark-warehouse, gitignored) — the
+    // warehouse.dir config is static and can't be set per-test
+    val li = Tables.table(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val o = Tables.table(spark, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+    ScaleOps.writeBucketed(li, "li_b", "l_orderkey", 8)
+    ScaleOps.writeBucketed(o, "o_b", "o_orderkey", 8)
+    try {
+      // disable auto-broadcast so the join would otherwise shuffle
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("li_b")
+        .join(spark.table("o_b"), col("l_orderkey") === col("o_orderkey"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n$p")
+      assert(j.count() > 0)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS o_b")
+    }
+  }
+}
