@@ -181,6 +181,38 @@ object AnalyticsQueries {
         .orderBy("user_id")
     }),
 
+    // Percentiles: exact linear-interpolated quantiles per group.
+    "q_quantiles" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(percentile(col("l_quantity"), lit(0.5)), 6).as("p50_qty"),
+          round(percentile(col("l_quantity"), lit(0.9)), 6).as("p90_qty"),
+          round(percentile(col("l_extendedprice"), lit(0.99)), 6)
+            .as("p99_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
+    // JSON path extraction over the events props payload (§2.9: the
+    // reference only en/decodes JSON at the API edge; here it's a
+    // first-class columnar op).
+    "q_json_extract" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .withColumn("k_bucket", col("k") % 10)
+        .orderBy("event_id")),
+
+    // HLL sketch distinct counts — engine-specific sketch, declared
+    // rows-only (no oracle): DuckDB's approx differs by construction.
+    "q_approx_distinct" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
     // Set operations: nation keys of customers vs suppliers.
     "q_setops" -> ((s, dir) => {
       val cn = t(s, dir, "customer")
@@ -291,6 +323,20 @@ object AnalyticsQueries {
            count(CASE WHEN event_type = 'view' THEN 1 END) AS view
          FROM events WHERE user_id < 50
          GROUP BY user_id ORDER BY user_id""",
+    "q_quantiles" ->
+      """SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+           round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+           round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price,
+           count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_json_extract" ->
+      """SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket
+         FROM events ORDER BY event_id""",
+    // q_approx_distinct: intentionally no oracle (sketch is
+    // engine-specific; rows-only check).
     "q_setops" ->
       """SELECT 'both' AS rel, k FROM
            (SELECT DISTINCT c_nationkey AS k FROM customer

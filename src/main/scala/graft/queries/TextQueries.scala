@@ -180,6 +180,28 @@ object TextQueries {
         .orderBy("a", "b")
     }),
 
+    // TF-IDF keyword extraction: top-3 terms per document. Term and
+    // document frequencies are exact integer aggregates; the idf log
+    // runs in double on both engines and the score is rounded.
+    "q_tfidf" -> ((s, dir) => {
+      val tok = docs(s, dir)
+        .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score_r").desc, col("tok"))
+      tf.join(broadcast(dfreq), "tok")
+        .crossJoin(broadcast(n))
+        .withColumn("score_r", round(col("tf") *
+          log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 6))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("tok"), col("tf"), col("rank"),
+          col("score_r"))
+        .orderBy("doc_id", "rank")
+    }),
+
     // SimHash near-dup pairs: fingerprints joined on hamming distance
     // <= 1 (bit_count of XOR — all codegen'd integer ops). Bounded
     // brute-force pairing; the scale path buckets on fingerprint bytes.
@@ -227,6 +249,20 @@ object TextQueries {
     .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q_tfidf" ->
+      """WITH tok AS (SELECT doc_id,
+             unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+         dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         sc AS (SELECT t.doc_id, t.tok, t.tf,
+             round(t.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / (d.df + 1)), 6) AS score_r
+             FROM tf t JOIN dfq d ON t.tok = d.tok CROSS JOIN n),
+         r AS (SELECT *, CAST(row_number() OVER
+             (PARTITION BY doc_id ORDER BY score_r DESC, tok) AS BIGINT) AS rank
+             FROM sc)
+         SELECT doc_id, tok, tf, rank, score_r FROM r WHERE rank <= 3
+         ORDER BY doc_id, rank""",
     "q_token_stats" ->
       """SELECT doc_id,
            CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS n_ws_tokens,

@@ -98,6 +98,47 @@ object VectorQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // IVF-style ANN: a coarse quantizer (here: the first 16 vectors as
+    // fixed centroids — production would k-means them) assigns every
+    // vector to its nearest cell; queries search only their own cell.
+    // Turns O(n·m) scoring into per-cell equi-join work, like a real
+    // inverted-file index.
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = emb(s, dir).filter(col("vec_id") < 2000)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("nrm", norm(col("v")))
+      val cent = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"),
+          col("nrm").as("cn"))
+      val aw = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id"))
+      val assigned = e.filter(col("vec_id") >= 16)
+        .join(broadcast(cent))
+        .withColumn("c_cos",
+          round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6))
+        .withColumn("rk", row_number().over(aw))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"),
+          col("c_id").as("cell"))
+        .persist() // feeds both the query and candidate sides below
+      val q = assigned.filter(col("vec_id") < 66)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("cell"))
+      val c = assigned
+        .select(col("vec_id").as("cand_id"), col("v").as("cv2"),
+          col("nrm").as("cn2"), col("cell").as("ccell"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("cos_r").desc, col("cand_id"))
+      q.join(c, col("cell") === col("ccell") &&
+          col("q_id") =!= col("cand_id"))
+        .withColumn("cos_r",
+          round(dot(col("qv"), col("cv2")) / (col("qn") * col("cn2")), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("q_id"), col("cand_id"), col("cell"), col("cos_r"))
+        .orderBy("q_id")
+    }),
+
     // LSH-bucketed similarity search: nearest same-bucket neighbor.
     "q_ann_bucketed" -> ((s, dir) => {
       val e = emb(s, dir).filter(col("vec_id") < 2000)
@@ -158,6 +199,30 @@ object VectorQueries {
            FROM p)
          SELECT q_id, cand_id, rank, cos_r FROM r WHERE rank <= 3
          ORDER BY q_id, rank""",
+    "q_ann_ivf" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id < 2000),
+         n AS (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+         cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n
+             WHERE vec_id < 16),
+         scored AS (SELECT x.vec_id, x.v, x.nrm, c.c_id,
+             round(list_dot_product(x.v, c.cv) / (x.nrm * c.cn), 6) AS c_cos
+             FROM n x CROSS JOIN cent c WHERE x.vec_id >= 16),
+         assigned AS (SELECT vec_id, v, nrm, c_id AS cell FROM (
+             SELECT *, row_number() OVER
+               (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS rk
+             FROM scored) WHERE rk = 1),
+         p AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id, q.cell,
+             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos_r
+             FROM assigned q JOIN assigned c
+               ON q.cell = c.cell AND q.vec_id <> c.vec_id
+             WHERE q.vec_id < 66),
+         r AS (SELECT *, row_number() OVER
+             (PARTITION BY q_id ORDER BY cos_r DESC, cand_id) AS rk FROM p)
+         SELECT q_id, cand_id, cell, cos_r FROM r WHERE rk = 1
+         ORDER BY q_id""",
     "q_ann_bucketed" ->
       s"""WITH e AS (SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
