@@ -34,6 +34,22 @@ object EventStream {
   // public: the state encoder's generated code instantiates it
   final case class OpenSession(start: Long, end: Long, n: Long)
 
+  /** File-source stream over an events parquet directory (the batch
+    * table's schema, ns-timestamps included): each new file dropped in
+    * `dir` becomes a micro-batch. The ns Long is converted to a proper
+    * event-time column so watermarks work.
+    */
+  def fromEventsDir(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  }
+
   /** Tumbling-window counts/sums per event type with late-data bound. */
   def windowedCounts(
       events: DataFrame,

@@ -63,8 +63,10 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("flagship entry: broadcast star join with decimal aggregation") {
-    val p = SparkEntry.entry(spark).queryExecution.executedPlan.toString
+    val e = SparkEntry.entry(spark)
+    val p = e.queryExecution.executedPlan.toString
     assert("BroadcastHashJoin".r.findAllIn(p).size == 2)
     assert(p.contains("HashAggregate"))
+    assert(e.count() > 0) // the driver's smoke check
   }
 }

@@ -40,6 +40,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-source stream over the real events parquet aggregates correctly") {
+    val src = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      src.resolve("events.parquet"))
+    val q = EventStream.windowedCounts(
+      EventStream.fromEventsDir(spark, src.toString), "10 minutes", "1 hour")
+      .writeStream.format("memory").queryName("fc")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val total = spark.table("fc")
+        .agg(org.apache.spark.sql.functions.sum("n")).collect().head.getLong(0)
+      val batchTotal = Tables.events(spark, "/root/testdata/sf0.001").count()
+      assert(total == batchTotal) // stream totals == batch totals
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions on gap and watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
