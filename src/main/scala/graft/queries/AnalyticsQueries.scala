@@ -181,6 +181,42 @@ object AnalyticsQueries {
         .orderBy("user_id")
     }),
 
+    // Cube: all grouping-set combinations with explicit null ordering.
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus"))),
+
+    // Correlated-subquery shape: customers above their nation's mean
+    // balance. Spark-side it's the scalable form (pre-aggregated dim,
+    // broadcast back); the oracle is the literal correlated subquery —
+    // same semantics, engine-appropriate plans. The threshold is
+    // derived from an exact DECIMAL sum so both engines compute the
+    // identical double.
+    "q_above_avg" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val thr = c.groupBy("c_nationkey")
+        .agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1)))
+          .as("nation_avg"))
+      c.join(broadcast(thr), Seq("c_nationkey"))
+        .filter(col("c_acctbal") > col("nation_avg"))
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+          round(col("nation_avg"), 6).as("nation_avg_r"))
+        .orderBy("c_custkey")
+    }),
+
+    // Null semantics: nullif / coalesce / null-safe equality.
+    "q_null_handling" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          nullif(col("event_type"), lit("error")).as("et_null"))
+        .withColumn("et_coal", coalesce(col("et_null"), lit("none")))
+        .withColumn("is_click_nullsafe", col("et_null") <=> "click")
+        .orderBy("event_id")),
+
     // Percentiles: exact linear-interpolated quantiles per group.
     "q_quantiles" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -323,6 +359,31 @@ object AnalyticsQueries {
            count(CASE WHEN event_type = 'view' THEN 1 END) AS view
          FROM events WHERE user_id < 50
          GROUP BY user_id ORDER BY user_id""",
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty
+         FROM lineitem
+         GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q_above_avg" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+           round((SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                         / count(*)
+                  FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey), 6)
+             AS nation_avg_r
+         FROM customer c
+         WHERE c_acctbal > (SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(12,2)))
+                                   AS DOUBLE) / count(*)
+                            FROM customer c2
+                            WHERE c2.c_nationkey = c.c_nationkey)
+         ORDER BY c_custkey""",
+    "q_null_handling" ->
+      """SELECT event_id,
+           nullif(event_type, 'error') AS et_null,
+           coalesce(nullif(event_type, 'error'), 'none') AS et_coal,
+           nullif(event_type, 'error') IS NOT DISTINCT FROM 'click'
+             AS is_click_nullsafe
+         FROM events ORDER BY event_id""",
     "q_quantiles" ->
       """SELECT l_returnflag,
            round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
