@@ -54,6 +54,22 @@ object Multimodal {
       Array.tabulate(16)(i => ((d(i % d.length) & 0xff) / 256.0f))
     }
 
+    /** Fake resize: deterministic byte-space downsample to the target
+      * pixel budget (a real implementation would decode, interpolate,
+      * re-encode). Output length scales with targetW×targetH so the
+      * Spark-side size accounting behaves like a real resize.
+      */
+    def resize(payload: Array[Byte], srcW: Int, srcH: Int,
+        targetW: Int, targetH: Int): Array[Byte] = {
+      if (payload.isEmpty || srcW <= 0 || srcH <= 0) return Array.empty
+      val targetLen = math.max(1,
+        (payload.length.toLong * (targetW.toLong * targetH) /
+          math.max(1L, srcW.toLong * srcH)).toInt)
+      Array.tabulate(targetLen) { i =>
+        payload(((i.toLong * payload.length) / targetLen).toInt)
+      }
+    }
+
     /** Fake frame sampling: split payload into `n` contiguous chunks
       * (a real implementation would seek keyframes).
       */
@@ -80,6 +96,21 @@ object Multimodal {
           n_bytes = m.payload.length.toLong,
           digest = StubCodec.digest(m.payload).map("%02x".format(_)).mkString,
           feature = StubCodec.extractFeatures(m.payload))
+      }
+    }
+  }
+
+  /** Batched resize of image/video payloads to a target box; metadata
+    * columns updated alongside the payload (audio rows pass through).
+    */
+  def resize(media: Dataset[MediaRecord], targetW: Int, targetH: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.map { m =>
+        if (m.kind == "audio" || m.width <= 0 || m.height <= 0) m
+        else m.copy(
+          payload = StubCodec.resize(m.payload, m.width, m.height, targetW, targetH),
+          width = targetW, height = targetH)
       }
     }
   }

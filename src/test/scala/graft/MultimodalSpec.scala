@@ -41,6 +41,19 @@ class MultimodalSpec extends AnyFunSuite {
       Array.tabulate(1024)(i => (i % 11).toByte).take(16).toSeq)
   }
 
+  test("resize rescales payload and metadata, passes audio through") {
+    val resized = Multimodal.resize(media, 4, 4).collect().sortBy(_.media_id)
+    val img = resized.find(_.media_id == 1).get
+    assert(img.width == 4 && img.height == 4)
+    assert(img.payload.length == 64 * (4 * 4) / (8 * 8)) // 16
+    val audio = resized.find(_.media_id == 3).get
+    assert(audio.payload.length == 256 && audio.sample_rate == 16000)
+    // deterministic: same input → same bytes
+    val again = Multimodal.resize(media, 4, 4).collect()
+      .find(_.media_id == 1).get
+    assert(again.payload.toSeq == img.payload.toSeq)
+  }
+
   test("metadata stats never touch the payload codec") {
     val stats = Multimodal.metadataStats(media.toDF()).collect()
     assert(stats.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
