@@ -54,17 +54,23 @@ object Multimodal {
       Array.tabulate(16)(i => ((d(i % d.length) & 0xff) / 256.0f))
     }
 
-    /** Fake resize: deterministic byte-space downsample to the target
-      * pixel budget (a real implementation would decode, interpolate,
-      * re-encode). Output length scales with targetW×targetH so the
-      * Spark-side size accounting behaves like a real resize.
+    /** Fake resize: deterministic byte-space resample to *exactly*
+      * targetW×targetH pixels (no aspect-ratio fitting — callers that
+      * want fit-within compute the box themselves). Output length
+      * scales with the pixel ratio so Spark-side size accounting
+      * behaves like a real resize. All length math is in Long and
+      * checked: a result that cannot fit an array is an error, not a
+      * silent wrap.
       */
     def resize(payload: Array[Byte], srcW: Int, srcH: Int,
         targetW: Int, targetH: Int): Array[Byte] = {
+      require(targetW > 0 && targetH > 0,
+        s"target dimensions must be positive: ${targetW}x$targetH")
       if (payload.isEmpty || srcW <= 0 || srcH <= 0) return Array.empty
-      val targetLen = math.max(1,
-        (payload.length.toLong * (targetW.toLong * targetH) /
-          math.max(1L, srcW.toLong * srcH)).toInt)
+      val targetLenL = math.max(1L,
+        payload.length.toLong * (targetW.toLong * targetH) /
+          math.max(1L, srcW.toLong * srcH))
+      val targetLen = Math.toIntExact(targetLenL) // throws on overflow
       Array.tabulate(targetLen) { i =>
         payload(((i.toLong * payload.length) / targetLen).toInt)
       }
@@ -100,10 +106,13 @@ object Multimodal {
     }
   }
 
-  /** Batched resize of image/video payloads to a target box; metadata
-    * columns updated alongside the payload (audio rows pass through).
+  /** Batched resize of image/video payloads to exact target
+    * dimensions; metadata columns updated alongside the payload (audio
+    * rows pass through).
     */
   def resize(media: Dataset[MediaRecord], targetW: Int, targetH: Int): Dataset[MediaRecord] = {
+    require(targetW > 0 && targetH > 0,
+      s"target dimensions must be positive: ${targetW}x$targetH")
     import media.sparkSession.implicits._
     media.mapPartitions { batch =>
       batch.map { m =>

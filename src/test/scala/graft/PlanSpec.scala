@@ -62,6 +62,22 @@ class PlanSpec extends AnyFunSuite {
       s"query set not broadcast:\n$p")
   }
 
+  test("no headline query plans a cartesian product") {
+    // the intentional cross-products (pair scoring) are all bounded AND
+    // broadcast; an unbounded CartesianProduct is always a bug
+    graft.tools.ExplainDump.headline.foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n$p")
+    }
+  }
+
+  test("q_tfidf: document-frequency and corpus-count dims broadcast") {
+    val p = plan("q_tfidf")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("flagship entry: broadcast star join with decimal aggregation") {
     val e = SparkEntry.entry(spark)
     val p = e.queryExecution.executedPlan.toString
