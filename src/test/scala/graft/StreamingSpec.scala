@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.streaming.EventStream
@@ -55,6 +56,44 @@ class StreamingSpec extends AnyFunSuite {
         .agg(org.apache.spark.sql.functions.sum("n")).collect().head.getLong(0)
       val batchTotal = Tables.events(spark, "/root/testdata/sf0.001").count()
       assert(total == batchTotal) // stream totals == batch totals
+    } finally q.stop()
+  }
+
+  test("streaming sessionization agrees with the batch q_sessionize query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // batch truth: per-user session counts (30-min gap on ts_sec)
+    val batch = SparkEntry.queries("q_sessionize")(spark, dir)
+      .select("user_id", "n_sessions").as[(Long, Long)].collect().toMap
+
+    // stream the same events; a far-future sentinel pushes the
+    // watermark so every real session closes and emits
+    val events = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts_sec").as("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[EventStream.Event].collect().toSeq
+    val sentinel = EventStream.Event(Long.MaxValue,
+      Timestamp.valueOf("2030-01-01 00:00:00"), -1L, "sentinel", 0.0)
+    val input = MemoryStream[EventStream.Event]
+    val q = EventStream.sessionize(input.toDS(), gapSeconds = 1800,
+      watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("parity")
+      .outputMode("append").start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      input.addData(sentinel)
+      q.processAllAvailable()
+      input.addData(EventStream.Event(Long.MaxValue - 1,
+        Timestamp.valueOf("2031-01-01 00:00:00"), -1L, "sentinel2", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("parity")
+        .filter(col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+        .as[(Long, Long)].collect().toMap
+      assert(streamed == batch)
     } finally q.stop()
   }
 

@@ -54,6 +54,34 @@ class XlsxIngestSpec extends AnyFunSuite {
     assert(m("Data")(2)(2) == "1900-02-28") // serial 60, fictitious Feb 29
   }
 
+  test("sheet without a <dimension> element falls back to observed extent") {
+    // some producers omit dimension; the reference skips such sheets
+    // (xlsparser.js:127-129) — we parse them from the observed cells,
+    // a documented, tested improvement
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val path = java.nio.file.Files.createTempFile("graft-nodim", ".xlsx")
+    val zip = new ZipOutputStream(new java.io.FileOutputStream(path.toFile))
+    def put(n: String, c: String): Unit = {
+      zip.putNextEntry(new ZipEntry(n))
+      zip.write(c.getBytes("UTF-8")); zip.closeEntry()
+    }
+    put("xl/workbook.xml", XlsxFixture.WorkbookXml
+      .replace("<sheet name=\"Second Sheet\" sheetId=\"2\" r:id=\"rId2\"/>", ""))
+    put("xl/_rels/workbook.xml.rels", XlsxFixture.RelsXml)
+    put("xl/sharedStrings.xml", XlsxFixture.SharedStringsXml)
+    put("xl/styles.xml", XlsxFixture.StylesXml)
+    put("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>
+        |<row r="2"><c r="A2"><v>5</v></c><c r="B2"><v>6</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zip.close()
+    val m = graft.ingest.XlsxIngest.parseMatrices(path.toString).toMap
+    assert(m("Data") == Vector(Vector("Name", "Qty"), Vector("5", "6")))
+  }
+
   test("readWorkbook produces all-string DataFrames with header row 0") {
     val spark = TestSpark.spark
     val dfs = XlsxIngest.readWorkbook(spark, XlsxFixture.create().toString)
