@@ -180,6 +180,70 @@ object TextQueries {
         .orderBy("a", "b")
     }),
 
+    // Language-ID via character-n-gram profiles: score each language
+    // by occurrences of its characteristic bigrams, argmax with
+    // deterministic tie-break. (Real systems learn the profiles; the
+    // fixed lists keep both engines bit-identical.)
+    "q_lang_ngram" -> ((s, dir) => {
+      val profiles = Seq(
+        "en" -> Seq("th", "he", "in", "er"),
+        "de" -> Seq("ch", "ei", "de", "er"),
+        "es" -> Seq("de", "la", "os", "ar"),
+        "fr" -> Seq("le", "es", "on", "en"))
+      val scored = profiles.foldLeft(docs(s, dir).select(col("doc_id"), col("text"))) {
+        case (df, (lang, grams)) =>
+          df.withColumn(s"score_$lang",
+            grams.map(g => regexp_count(col("text"), lit(g))).reduce(_ + _))
+      }
+      // argmax: en > de > es > fr precedence on ties, built explicitly
+      val best = when(
+        col("score_en") >= col("score_de") &&
+          col("score_en") >= col("score_es") &&
+          col("score_en") >= col("score_fr"), "en")
+        .when(col("score_de") >= col("score_es") &&
+          col("score_de") >= col("score_fr"), "de")
+        .when(col("score_es") >= col("score_fr"), "es")
+        .otherwise("fr")
+      scored.select(col("doc_id"), col("score_en"), col("score_de"),
+        col("score_es"), col("score_fr"), best.as("pred_lang"))
+        .orderBy("doc_id")
+    }),
+
+    // BPE-ish tokenization: GPT-2-style pre-tokenizer regex (word /
+    // number / punctuation-run / whitespace-prefix classes).
+    "q_token_bpe" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        regexp_count(col("text"),
+          lit("'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"))
+          .as("n_bpe_tokens"),
+        size(toks(col("text"))).as("n_ws_tokens"))
+        .orderBy("doc_id")),
+
+    // Winnowing document fingerprints: rolling hash over char 5-grams,
+    // per-position window minimum (w=4), distinct selected prints.
+    // This is the standard local fingerprinting scheme (MOSS-style):
+    // output count + min/max print per doc keeps rows compact.
+    "q_winnow_fp" -> ((s, dir) => {
+      val grams = docs(s, dir)
+        .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+        .filter(length(col("t")) >= 5)
+        .select(col("doc_id"),
+          explode(expr(
+            "transform(sequence(1, length(t) - 4), i -> struct(i AS pos, substring(t, i, 5) AS gram))"))
+            .as("g"))
+        .select(col("doc_id"), col("g.pos"),
+          conv(substring(md5(col("g.gram")), 1, 8), 16, 10)
+            .cast("long").as("h"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+      grams.withColumn("wmin", min("h").over(w))
+        .groupBy("doc_id")
+        .agg(countDistinct("wmin").as("n_prints"),
+          min("wmin").as("min_print"), max("wmin").as("max_print"))
+        .orderBy("doc_id")
+    }),
+
     // TF-IDF keyword extraction: top-3 terms per document. Term and
     // document frequencies are exact integer aggregates; the idf log
     // runs in double on both engines and the score is rounded.
@@ -249,6 +313,49 @@ object TextQueries {
     .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q_lang_ngram" ->
+      """WITH s AS (SELECT doc_id,
+           CAST(len(regexp_extract_all(text, 'th')) + len(regexp_extract_all(text, 'he'))
+             + len(regexp_extract_all(text, 'in')) + len(regexp_extract_all(text, 'er'))
+             AS INTEGER) AS score_en,
+           CAST(len(regexp_extract_all(text, 'ch')) + len(regexp_extract_all(text, 'ei'))
+             + len(regexp_extract_all(text, 'de')) + len(regexp_extract_all(text, 'er'))
+             AS INTEGER) AS score_de,
+           CAST(len(regexp_extract_all(text, 'de')) + len(regexp_extract_all(text, 'la'))
+             + len(regexp_extract_all(text, 'os')) + len(regexp_extract_all(text, 'ar'))
+             AS INTEGER) AS score_es,
+           CAST(len(regexp_extract_all(text, 'le')) + len(regexp_extract_all(text, 'es'))
+             + len(regexp_extract_all(text, 'on')) + len(regexp_extract_all(text, 'en'))
+             AS INTEGER) AS score_fr
+         FROM documents)
+         SELECT doc_id, score_en, score_de, score_es, score_fr,
+           CASE WHEN score_en >= score_de AND score_en >= score_es
+                     AND score_en >= score_fr THEN 'en'
+                WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
+                WHEN score_es >= score_fr THEN 'es'
+                ELSE 'fr' END AS pred_lang
+         FROM s ORDER BY doc_id""",
+    "q_token_bpe" ->
+      """SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))
+             AS INTEGER) AS n_bpe_tokens,
+           CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS n_ws_tokens
+         FROM documents ORDER BY doc_id""",
+    "q_winnow_fp" ->
+      """WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents
+             WHERE length(lower(trim(text))) >= 5),
+         g0 AS (SELECT doc_id, t,
+             unnest(range(1, length(t) - 3)) AS pos FROM d),
+         g AS (SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+             CAST(CAST(('0x' || substr(md5(substr(t, CAST(pos AS INTEGER), 5)), 1, 8))
+               AS UBIGINT) AS BIGINT) AS h
+             FROM g0),
+         wm AS (SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin FROM g)
+         SELECT doc_id, count(DISTINCT wmin) AS n_prints,
+             min(wmin) AS min_print, max(wmin) AS max_print
+         FROM wm GROUP BY doc_id ORDER BY doc_id""",
     "q_tfidf" ->
       """WITH tok AS (SELECT doc_id,
              unnest(string_split(trim(text), ' ')) AS tok FROM documents),
