@@ -63,6 +63,26 @@ object EventStream {
         col("window.end").as("window_end"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Built-in session windows (preferred when per-session output is
+    * just aggregates): `session_window` merges gap-contiguous events
+    * natively, works identically in batch and streaming, and needs no
+    * custom state. [[sessionize]] below remains for custom per-session
+    * semantics the built-in can't express.
+    */
+  def sessionWindows(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermarkDelay: Option[String] = Some("30 minutes")): DataFrame = {
+    val base = watermarkDelay.fold(events)(events.withWatermark("ts", _))
+    base
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+  }
+
   /** Gap-based sessionization with custom state
     * (`flatMapGroupsWithState`, event-time timeout): a session closes
     * when `gapSeconds` passes without an event, or when the watermark

@@ -97,6 +97,21 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("built-in session_window agrees with batch query and custom state op") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val batch = SparkEntry.queries("q_sessionize")(spark, dir)
+      .select("user_id", "n_sessions").as[(Long, Long)].collect().toMap
+    // batch-mode session_window over the same events (no watermark)
+    val sw = EventStream.sessionWindows(
+      Tables.events(spark, dir).select(col("ts_sec").as("ts"), col("user_id")),
+      gap = "30 minutes", watermarkDelay = None)
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(sw == batch)
+  }
+
   test("stateful sessionization closes sessions on gap and watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
