@@ -142,6 +142,25 @@ object AnalyticsQueries {
         .orderBy("event_id")
     }),
 
+    // Same as-of semantics through the custom AsOfJoinExec operator
+    // (graft.plans.AsOfJoin): co-partitioned O(n+m) merge instead of a
+    // tagged-union window — the (c)-tier custom-operator build,
+    // verified against the same DuckDB ASOF JOIN oracle.
+    "q_asof_native" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_sec"))
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("user_id").as("s_user"), col("ts_sec").as("signup_ts"))
+      graft.plans.AsOfJoin.join(purchases, signups,
+        purchases("user_id"), signups("s_user"),
+        purchases("ts_sec"), signups("signup_ts"))
+        .select(col("event_id"), col("user_id"),
+          col("ts_sec").as("purchase_ts"),
+          col("signup_ts").as("last_signup_ts"))
+        .orderBy("event_id")
+    }),
+
     // Distinct aggregation per segment.
     "q_distinct_agg" -> ((s, dir) =>
       t(s, dir, "customer")
@@ -327,6 +346,16 @@ object AnalyticsQueries {
          GROUP BY ROLLUP (l_returnflag, l_linestatus)
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "q_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+             CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_sec FROM events),
+         p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+         s AS (SELECT user_id, ts_sec FROM e WHERE event_type = 'signup')
+         SELECT p.event_id, p.user_id, p.ts_sec AS purchase_ts,
+                s.ts_sec AS last_signup_ts
+         FROM p ASOF JOIN s
+           ON p.user_id = s.user_id AND s.ts_sec <= p.ts_sec
+         ORDER BY p.event_id""",
+    "q_asof_native" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
              CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_sec FROM events),
          p AS (SELECT * FROM e WHERE event_type = 'purchase'),
