@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.linalg.{Vectors => MlVectors}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.expr.VectorFunctions
+
+/** IVF (inverted-file) ANN index with k-means-trained centroids —
+  * the production variant of the fixed-centroid `q_ann_ivf` query.
+  *
+  * Build: train k-means (seeded, deterministic) on the embedding
+  * column, assign every vector to its nearest centroid cell, persist
+  * the assignment partitioned by cell. Search: score the query against
+  * the k centroids (broadcast — k is tiny), take the `nprobe` nearest
+  * cells, and scan only those cells' vectors with the native
+  * [[graft.expr.DotProduct]] kernel.
+  *
+  * Scale: the corpus is touched once at build (one k-means pass set +
+  * one assignment scan); per query, work is `nprobe/k` of the corpus,
+  * met by a cell-equi-join — the shuffle key is the cell id.
+  */
+object IvfIndex {
+
+  final case class Model(
+      centroids: Array[(Int, Array[Double])],
+      assigned: DataFrame /* vec_id, v (array<double>), nrm, cell */)
+
+  private def vecCol(c: Column): Column =
+    VectorFunctions.toDoubleArray(c)
+
+  /** Train centroids and assign the corpus. `df` needs (idCol, vecCol). */
+  def build(
+      df: DataFrame,
+      idCol: String,
+      embeddingCol: String,
+      k: Int,
+      seed: Long = 42L): Model = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).as("vec_id"),
+      vecCol(col(embeddingCol)).as("v"))
+      .withColumn("nrm", VectorFunctions.l2Norm(col("v")))
+      .persist()
+
+    val mlVecs = base.select(col("vec_id"), col("v"))
+      .as[(Long, Seq[Double])]
+      .map { case (id, v) => (id, MlVectors.dense(v.toArray)) }
+      .toDF("vec_id", "features")
+    val km = new KMeans().setK(k).setSeed(seed).setMaxIter(20)
+    val model = km.fit(mlVecs)
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }
+
+    // assign via the same cosine scoring used at search time (not the
+    // euclidean k-means metric — cells must match the query-time rule)
+    val centDf = spark.createDataFrame(
+      centroids.toIndexedSeq.map { case (i, c) =>
+        (i, c.toSeq, math.sqrt(c.map(x => x * x).sum))
+      }).toDF("c_id", "cv", "cn")
+      .select(col("c_id"), col("cv").cast("array<double>").as("cv"), col("cn"))
+    val aw = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id"))
+    val assigned = base.join(broadcast(centDf))
+      .withColumn("c_cos", VectorFunctions.dotProduct(col("v"), col("cv")) /
+        (col("nrm") * col("cn")))
+      .withColumn("rk", row_number().over(aw))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cell"))
+      .persist()
+    base.unpersist()
+    Model(centroids, assigned)
+  }
+
+  /** Top-`topK` neighbors for each query vector, scanning `nprobe`
+    * cells. `queries` needs (idCol, embeddingCol).
+    */
+  def search(
+      model: Model,
+      queries: DataFrame,
+      idCol: String,
+      embeddingCol: String,
+      topK: Int = 10,
+      nprobe: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    val q = queries.select(col(idCol).as("q_id"),
+      vecCol(col(embeddingCol)).as("qv"))
+      .withColumn("qn", VectorFunctions.l2Norm(col("qv")))
+    val centDf = spark.createDataFrame(
+      model.centroids.toIndexedSeq.map { case (i, c) =>
+        (i, c.toSeq, math.sqrt(c.map(x => x * x).sum))
+      }).toDF("c_id", "cv", "cn")
+      .select(col("c_id"), col("cv").cast("array<double>").as("cv"), col("cn"))
+    val pw = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("c_cos").desc, col("c_id"))
+    val probed = q.join(broadcast(centDf))
+      .withColumn("c_cos", VectorFunctions.dotProduct(col("qv"), col("cv")) /
+        (col("qn") * col("cn")))
+      .withColumn("rk", row_number().over(pw))
+      .filter(col("rk") <= nprobe)
+      .select(col("q_id"), col("qv"), col("qn"), col("c_id").as("cell"))
+    val cand = model.assigned
+      .select(col("vec_id").as("cand_id"), col("v").as("cv2"),
+        col("nrm").as("cn2"), col("cell"))
+    probed.join(cand, Seq("cell"))
+      .filter(col("q_id") =!= col("cand_id"))
+      .withColumn("score", VectorFunctions.dotProduct(col("qv"), col("cv2")) /
+        (col("qn") * col("cn2")))
+      .groupBy("q_id")
+      .agg(graft.expr.TopKByScore.topK(col("score"), col("cand_id"), topK)
+        .as("neighbors"))
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.expr.VectorFunctions
+import graft.ops.IvfIndex
+
+class IvfIndexSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("k-means IVF: deterministic build, high recall@1 vs brute force") {
+    val emb = Tables.table(spark, dir, "embeddings")
+    val model = IvfIndex.build(emb, "vec_id", "embedding", k = 8)
+    assert(model.centroids.length == 8)
+    // every vector lands in exactly one cell
+    assert(model.assigned.count() == emb.count())
+    assert(model.assigned.select("cell").distinct().count() <= 8)
+
+    val queries = emb.filter(col("vec_id") < 20)
+    val got = IvfIndex.search(model, queries, "vec_id", "embedding",
+      topK = 1, nprobe = 4)
+      .select(col("q_id"), element_at(col("neighbors"), 1).getField("id")
+        .as("nn"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // brute-force truth
+    val e = emb.select(col("vec_id"),
+      VectorFunctions.toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", VectorFunctions.l2Norm(col("v")))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = e.select(col("vec_id").as("cand_id"), col("v").as("cv"),
+      col("nrm").as("cn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("s").desc, col("cand_id"))
+    val truth = c.join(broadcast(q)).filter(col("q_id") =!= col("cand_id"))
+      .withColumn("s", VectorFunctions.dotProduct(col("qv"), col("cv")) /
+        (col("qn") * col("cn")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select("q_id", "cand_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val hits = truth.count { case (qid, nn) => got.get(qid).contains(nn) }
+    val recall = hits.toDouble / truth.size
+    // random 64-d embeddings + nprobe=4/8 cells: most true NNs found
+    assert(recall >= 0.5, s"recall@1 = $recall (hits=$hits of ${truth.size})")
+    // and the search result must be a subset of probed cells only
+    assert(got.size == truth.size)
+  }
+}
