@@ -73,6 +73,18 @@ object AnalyticsQueries {
       semi.unionAll(anti).orderBy("rel")
     }),
 
+    // Outer join with count-of-non-null semantics: every customer,
+    // order count (0 when none — left outer preserves the row).
+    "q_outer_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(c("c_custkey"))
+        .agg(count(o("o_orderkey")).as("n_orders"),
+          sum(dec(o("o_totalprice"))).cast("decimal(18,2)").as("total_spend"))
+        .orderBy(c("c_custkey"))
+    }),
+
     // Running total per customer (keyed window — scales by partition).
     "q_window_running" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -314,6 +326,12 @@ object AnalyticsQueries {
          SELECT 'no_orders' AS rel, count(*) AS n FROM customer
          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
          ORDER BY rel""",
+    "q_outer_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+             AS total_spend
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey,
            row_number() OVER w AS rn,
