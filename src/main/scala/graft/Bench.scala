@@ -29,7 +29,11 @@ object Bench {
       case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // drop persisted subplans so caches neither accumulate nor
+        // carry one query's work into another's timing
+        spark.catalog.clearCache()
+        name -> dt
     }
     val p1 = pass()
     val p2 = pass()

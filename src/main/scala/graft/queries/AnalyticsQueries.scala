@@ -26,6 +26,12 @@ object AnalyticsQueries {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
 
+  /** Exact discounted revenue: price x (1 - discount) in DECIMAL. */
+  private def discPrice: org.apache.spark.sql.Column =
+    (dec(col("l_extendedprice")) *
+      (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
+      .cast("decimal(18,4)")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // TPC-H Q1 shape: scan-heavy aggregation with decimal math.
@@ -37,10 +43,7 @@ object AnalyticsQueries {
           sum(dec(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"),
           sum(dec(col("l_extendedprice"))).cast("decimal(18,2)")
             .as("sum_base_price"),
-          sum((dec(col("l_extendedprice")) *
-            (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
-            .cast("decimal(18,4)")).cast("decimal(18,4)")
-            .as("sum_disc_price"),
+          sum(discPrice).cast("decimal(18,4)").as("sum_disc_price"),
           count(lit(1)).as("n"))
         .withColumn("avg_qty", col("sum_qty").cast("double") / col("n"))
         .orderBy("l_returnflag", "l_linestatus")),
@@ -56,9 +59,7 @@ object AnalyticsQueries {
           col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(
-          sum((dec(col("l_extendedprice")) *
-            (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
-            .cast("decimal(18,4)")).cast("decimal(18,4)").as("revenue"),
+          sum(discPrice).cast("decimal(18,4)").as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("r_name", "n_name")),
 
@@ -266,7 +267,7 @@ object AnalyticsQueries {
     "q_json_extract" -> ((s, dir) =>
       Tables.events(s, dir)
         .select(col("event_id"),
-          get_json_object(col("props"), "$.k").cast("int").as("k"))
+          expr("try_cast(get_json_object(props, '$.k') AS INT)").as("k"))
         .withColumn("k_bucket", col("k") % 10)
         .orderBy("event_id")),
 
@@ -440,8 +441,8 @@ object AnalyticsQueries {
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_json_extract" ->
       """SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
-           CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket
+           TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket
          FROM events ORDER BY event_id""",
     // q_approx_distinct: intentionally no oracle (sketch is
     // engine-specific; rows-only check).

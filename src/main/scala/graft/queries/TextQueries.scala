@@ -110,7 +110,9 @@ object TextQueries {
     // n-gram (bigram) Jaccard near-dup — exhaustive pairwise over a
     // bounded slice (the honest brute-force baseline).
     "q_dedup_ngram" -> ((s, dir) => {
+      // three branches read the shingle set (x/y join sides + sizes)
       val sh = withShingleCol(docs(s, dir).filter(col("doc_id") < 1000), 2)
+        .persist()
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = sh.as("x")
         .join(sh.as("y"),

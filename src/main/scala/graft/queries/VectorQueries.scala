@@ -42,6 +42,17 @@ object VectorQueries {
   private def norm(v: Column): Column =
     graft.expr.VectorFunctions.l2Norm(v)
 
+  /** Rounded cosine; all call sites share this one definition. */
+  private def cosR(a: Column, b: Column, na: Column, nb: Column): Column =
+    round(dot(a, b) / (na * nb), 6)
+
+  /** Vectors with their norm, zero-norm rows dropped: cosine is
+    * undefined there, and the engines disagree on double x/0 (Spark
+    * NaN vs DuckDB NULL) — excluding them keeps oracle parity.
+    */
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", norm(col("v"))).filter(col("nrm") > 0)
+
   private def signBucket(v: Column, bits: Int): Column =
     (0 until bits)
       .map(i => when(element_at(v, i + 1) >= 0d, lit(1 << i)).otherwise(lit(0)))
@@ -61,16 +72,14 @@ object VectorQueries {
     // Embedding-cosine near-dup: all pairs above threshold (bounded
     // brute force — the exhaustive baseline).
     "q_cosine_pairs" -> ((s, dir) => {
-      val e = emb(s, dir).filter(col("vec_id") < 300)
-        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-        .withColumn("nrm", norm(col("v")))
+      val e = withNorm(emb(s, dir).filter(col("vec_id") < 300)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v")))
       val a = e.select(col("vec_id").as("a"), col("v").as("va"),
         col("nrm").as("na"))
       val b = e.select(col("vec_id").as("b"), col("v").as("vb"),
         col("nrm").as("nb"))
       a.join(b, col("a") < col("b"))
-        .withColumn("cos_r",
-          round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+        .withColumn("cos_r", cosR(col("va"), col("vb"), col("na"), col("nb")))
         .filter(col("cos_r") >= 0.2)
         .select(col("a"), col("b"), col("cos_r"))
         .orderBy("a", "b")
@@ -78,9 +87,8 @@ object VectorQueries {
 
     // Brute-force cosine top-k: 3 nearest candidates per query vector.
     "q_ann_topk" -> ((s, dir) => {
-      val e = emb(s, dir).filter(col("vec_id") < 2000)
-        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-        .withColumn("nrm", norm(col("v")))
+      val e = withNorm(emb(s, dir).filter(col("vec_id") < 2000)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v")))
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("v").as("qv"),
           col("nrm").as("qn"))
@@ -90,8 +98,7 @@ object VectorQueries {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("q_id").orderBy(col("cos_r").desc, col("cand_id"))
       c.join(broadcast(q))
-        .withColumn("cos_r",
-          round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+        .withColumn("cos_r", cosR(col("qv"), col("cv"), col("qn"), col("cn")))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 3)
         .select(col("q_id"), col("cand_id"), col("rank"), col("cos_r"))
@@ -104,9 +111,8 @@ object VectorQueries {
     // Turns O(n·m) scoring into per-cell equi-join work, like a real
     // inverted-file index.
     "q_ann_ivf" -> ((s, dir) => {
-      val e = emb(s, dir).filter(col("vec_id") < 2000)
-        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-        .withColumn("nrm", norm(col("v")))
+      val e = withNorm(emb(s, dir).filter(col("vec_id") < 2000)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v")))
       val cent = e.filter(col("vec_id") < 16)
         .select(col("vec_id").as("c_id"), col("v").as("cv"),
           col("nrm").as("cn"))
@@ -114,8 +120,7 @@ object VectorQueries {
         .partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id"))
       val assigned = e.filter(col("vec_id") >= 16)
         .join(broadcast(cent))
-        .withColumn("c_cos",
-          round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6))
+        .withColumn("c_cos", cosR(col("v"), col("cv"), col("nrm"), col("cn")))
         .withColumn("rk", row_number().over(aw))
         .filter(col("rk") === 1)
         .select(col("vec_id"), col("v"), col("nrm"),
@@ -131,8 +136,7 @@ object VectorQueries {
         .partitionBy("q_id").orderBy(col("cos_r").desc, col("cand_id"))
       q.join(c, col("cell") === col("ccell") &&
           col("q_id") =!= col("cand_id"))
-        .withColumn("cos_r",
-          round(dot(col("qv"), col("cv2")) / (col("qn") * col("cn2")), 6))
+        .withColumn("cos_r", cosR(col("qv"), col("cv2"), col("qn"), col("cn2")))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
         .select(col("q_id"), col("cand_id"), col("cell"), col("cos_r"))
@@ -141,9 +145,8 @@ object VectorQueries {
 
     // LSH-bucketed similarity search: nearest same-bucket neighbor.
     "q_ann_bucketed" -> ((s, dir) => {
-      val e = emb(s, dir).filter(col("vec_id") < 2000)
-        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-        .withColumn("nrm", norm(col("v")))
+      val e = withNorm(emb(s, dir).filter(col("vec_id") < 2000)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v")))
         .withColumn("bucket", signBucket(col("v"), 8))
       val q = e.filter(col("vec_id") < 50)
         .select(col("vec_id").as("q_id"), col("v").as("qv"),
@@ -154,8 +157,7 @@ object VectorQueries {
         .partitionBy("q_id").orderBy(col("cos_r").desc, col("cand_id"))
       q.join(c, col("bucket") === col("cbucket") &&
           col("q_id") =!= col("cand_id"))
-        .withColumn("cos_r",
-          round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+        .withColumn("cos_r", cosR(col("qv"), col("cv"), col("qn"), col("cn")))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
         .select(col("q_id"), col("cand_id"), col("bucket"), col("cos_r"))
@@ -177,8 +179,9 @@ object VectorQueries {
       """WITH e AS (SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings WHERE vec_id < 300),
-         n AS (SELECT vec_id, v,
+         n AS (SELECT * FROM (SELECT vec_id, v,
              sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
+             WHERE nrm > 0)
          SELECT a.vec_id AS a, b.vec_id AS b,
              round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_r
          FROM n a JOIN n b ON a.vec_id < b.vec_id
@@ -188,8 +191,9 @@ object VectorQueries {
       """WITH e AS (SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings WHERE vec_id < 2000),
-         n AS (SELECT vec_id, v,
-             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+         n AS (SELECT * FROM (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
+             WHERE nrm > 0),
          p AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
              round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos_r
            FROM n q JOIN n c ON c.vec_id >= 10
@@ -203,8 +207,9 @@ object VectorQueries {
       """WITH e AS (SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings WHERE vec_id < 2000),
-         n AS (SELECT vec_id, v,
-             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+         n AS (SELECT * FROM (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
+             WHERE nrm > 0),
          cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n
              WHERE vec_id < 16),
          scored AS (SELECT x.vec_id, x.v, x.nrm, c.c_id,
@@ -227,9 +232,9 @@ object VectorQueries {
       s"""WITH e AS (SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings WHERE vec_id < 2000),
-         n AS (SELECT vec_id, v,
+         n AS (SELECT * FROM (SELECT vec_id, v,
              sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
-             $bucketSql AS bucket FROM e),
+             $bucketSql AS bucket FROM e) WHERE nrm > 0),
          p AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id, q.bucket,
              round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos_r
            FROM n q JOIN n c
