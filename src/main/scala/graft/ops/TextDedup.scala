@@ -1,0 +1,152 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reusable document-deduplication building blocks. The declared
+  * queries in [[graft.queries.TextQueries]] are thin wrappers over
+  * these, so library users and the oracle gate exercise the same code.
+  *
+  * All hashing is md5-based (stable across engines and versions); all
+  * shapes are scan + keyed join/groupBy — no driver-side loops.
+  */
+object TextDedup {
+
+  def tokens(c: Column): Column = split(trim(c), " ")
+
+  def normText(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** Distinct word n-gram shingles per document: (idCol, "shingle").
+    * Documents with fewer than n tokens are dropped (no shingles).
+    */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val parts = (0 until n)
+      .map(j => s"element_at(__t, i + $j)").mkString(", ' ', ")
+    df.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= n)
+      .select(col(idCol),
+        explode(expr(
+          s"transform(sequence(1, size(__t) - ${n - 1}), i -> concat($parts))"))
+          .as("shingle"))
+      .distinct()
+  }
+
+  /** Exact dedup groups: (fp, keep_id, n_dups) on normalized-text md5. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), md5(normText(col(textCol))).as("fp"))
+      .groupBy("fp")
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** MinHash signatures: one min-md5 per seed, columns mh0..mh{k-1}. */
+  def minhashSignatures(sh: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes).map(k =>
+      min(md5(concat(lit(s"$k:"), col("shingle")))).as(s"mh$k"))
+    sh.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: rows-per-band = numHashes/bands consecutive
+    * signature columns concatenated; output (idCol, band_idx, band_val).
+    */
+  def lshBands(sig: DataFrame, idCol: String, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (0 until rows).map(r => col(s"mh${b * rows + r}"))
+      struct(lit(b).as("band_idx"), concat(cols: _*).as("band_val"))
+    }
+    sig.select(col(idCol), explode(array(bandStructs: _*)).as("bd"))
+      .select(col(idCol), col("bd.band_idx"), col("bd.band_val"))
+  }
+
+  /** Candidate pairs (a < b) sharing at least one band. */
+  def lshCandidates(bands: DataFrame, idCol: String): DataFrame =
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
+      .distinct()
+
+  /** True-Jaccard verification of candidate pairs against the shingle
+    * sets: (a, b, inter, na, nb, jaccard), filtered to >= threshold.
+    * Pass `cand = null` to verify ALL pairs (bounded brute force).
+    */
+  def verifiedJaccard(
+      sh: DataFrame,
+      idCol: String,
+      cand: DataFrame,
+      threshold: Double): DataFrame = {
+    val inter =
+      if (cand == null)
+        sh.as("x")
+          .join(sh.as("y"),
+            col("x.shingle") === col("y.shingle") &&
+              col(s"x.$idCol") < col(s"y.$idCol"))
+          .groupBy(col(s"x.$idCol"), col(s"y.$idCol"))
+          .agg(count(lit(1)).as("inter"))
+          .toDF("a", "b", "inter")
+      else
+        cand
+          .join(sh.as("sa"), col("a") === col(s"sa.$idCol"))
+          .join(sh.as("sb"),
+            col("b") === col(s"sb.$idCol") &&
+              col("sa.shingle") === col("sb.shingle"))
+          .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    val sz = sh.groupBy(idCol).agg(count(lit(1)).as("n"))
+    inter
+      .join(sz.as("za"), col("a") === col(s"za.$idCol"))
+      .join(sz.as("zb"), col("b") === col(s"zb.$idCol"))
+      .select(col("a"), col("b"), col("inter"),
+        col("za.n").as("na"), col("zb.n").as("nb"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: shingle → sign → band →
+    * candidates → verify. The shingle set is persisted internally (it
+    * feeds four branches and Spark has no cross-branch CSE).
+    */
+  def minhashDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 6,
+      bands: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val sh = shingles(df, idCol, textCol, shingleN).persist()
+    val bandsDf = lshBands(
+      minhashSignatures(sh, idCol, numHashes), idCol, numHashes, bands)
+      .persist()
+    verifiedJaccard(sh, idCol, lshCandidates(bandsDf, idCol), threshold)
+  }
+
+  /** 32-bit SimHash fingerprints: (idCol, simhash). */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df
+      .select(col(idCol), explode(array_distinct(tokens(col(textCol)))).as("tok"))
+      .select(col(idCol),
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("h"))
+    val aggs = (0 until 32).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$b"))
+    val bits = tok.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+    val fp = (0 until 32)
+      .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    bits.select(col(idCol), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within a hamming-distance bound. */
+  def simhashPairs(sim: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+    val a = sim.toDF("a", "sh_a")
+    val b = sim.toDF("b", "sh_b")
+    a.join(b, col("a") < col("b"))
+      .withColumn("ham", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("ham") <= maxHamming)
+      .select(col("a"), col("b"), col("ham"))
+  }
+}

@@ -35,22 +35,10 @@ object TextQueries {
   private def normText(c: Column): Column =
     lower(trim(regexp_replace(c, "\\s+", " ")))
 
-  /** Word n-gram shingles (array form, no self-join): positions i ..
-    * i+n-1 concatenated with spaces. Callers must filter size >= n
-    * (Spark's `sequence(1, 0)` would go descending, not empty).
-    */
-  private def shingles(tokens: Column, n: Int): Column = {
-    // transform(sequence(1, size-n+1), i -> tok[i] ' ' tok[i+1] ...)
-    val parts = (0 until n)
-      .map(j => s"element_at(__t, i + $j)").mkString(", ' ', ")
-    expr(s"transform(sequence(1, size(__t) - ${n - 1}), i -> concat($parts))")
-  }
-
-  private def withShingleCol(df: DataFrame, n: Int): DataFrame =
-    df.select(col("doc_id"), toks(col("text")).as("__t"))
-      .filter(size(col("__t")) >= n)
-      .select(col("doc_id"), explode(shingles(col("__t"), n)).as("shingle"))
-      .distinct()
+  // dedup internals live in graft.ops.TextDedup — the declared
+  // queries below are thin wrappers so library users and the oracle
+  // gate run the same code
+  import graft.ops.TextDedup
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -101,34 +89,15 @@ object TextQueries {
 
     // Exact dedup: hash-groupBy on the normalized fingerprint.
     "q_dedup_exact" -> ((s, dir) =>
-      docs(s, dir)
-        .select(col("doc_id"), md5(normText(col("text"))).as("fp"))
-        .groupBy("fp")
-        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
-        .orderBy("fp")),
+      TextDedup.exact(docs(s, dir), "doc_id", "text").orderBy("fp")),
 
     // n-gram (bigram) Jaccard near-dup — exhaustive pairwise over a
     // bounded slice (the honest brute-force baseline).
     "q_dedup_ngram" -> ((s, dir) => {
-      // three branches read the shingle set (x/y join sides + sizes)
-      val sh = withShingleCol(docs(s, dir).filter(col("doc_id") < 1000), 2)
-        .persist()
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = sh.as("x")
-        .join(sh.as("y"),
-          col("x.shingle") === col("y.shingle") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id"), col("y.doc_id"))
-        .agg(count(lit(1)).as("inter"))
-        .toDF("a", "b", "inter")
-      inter
-        .join(sz.as("sa"), col("a") === col("sa.doc_id"))
-        .join(sz.as("sb"), col("b") === col("sb.doc_id"))
-        .select(col("a"), col("b"), col("inter"),
-          col("sa.n").as("na"), col("sb.n").as("nb"))
-        .withColumn("jaccard", col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")).cast("double"))
-        .filter(col("jaccard") >= 0.5)
+      val sh = TextDedup.shingles(
+        docs(s, dir).filter(col("doc_id") < 1000), "doc_id", "text", 2)
+        .persist() // three branches: x/y join sides + sizes
+      TextDedup.verifiedJaccard(sh, "doc_id", cand = null, threshold = 0.5)
         .orderBy("a", "b")
     }),
 
@@ -136,51 +105,11 @@ object TextQueries {
     // → candidate pairs → verified with true Jaccard >= 0.8. This is
     // the dedup scale path: cost O(n · shingles), pairs only within
     // colliding buckets.
-    "q_dedup_minhash" -> ((s, dir) => {
-      // the shingle set feeds four branches (signatures, intersection
-      // twice, sizes); Spark has no cross-branch CSE, so persist it
-      val sh = withShingleCol(docs(s, dir).filter(col("doc_id") < 2000), 3)
-        .persist()
-      val sig = sh.groupBy("doc_id").agg(
-        min(md5(concat(lit("0:"), col("shingle")))).as("mh0"),
-        min(md5(concat(lit("1:"), col("shingle")))).as("mh1"),
-        min(md5(concat(lit("2:"), col("shingle")))).as("mh2"),
-        min(md5(concat(lit("3:"), col("shingle")))).as("mh3"),
-        min(md5(concat(lit("4:"), col("shingle")))).as("mh4"),
-        min(md5(concat(lit("5:"), col("shingle")))).as("mh5"))
-      val bands = sig.select(col("doc_id"), explode(array(
-        struct(lit(0).as("band_idx"),
-          concat(col("mh0"), col("mh1")).as("band_val")),
-        struct(lit(1).as("band_idx"),
-          concat(col("mh2"), col("mh3")).as("band_val")),
-        struct(lit(2).as("band_idx"),
-          concat(col("mh4"), col("mh5")).as("band_val")))).as("bd"))
-        .select(col("doc_id"), col("bd.band_idx"), col("bd.band_val"))
-        .persist() // both sides of the candidate self-join
-      val cand = bands.as("x")
-        .join(bands.as("y"),
-          col("x.band_idx") === col("y.band_idx") &&
-            col("x.band_val") === col("y.band_val") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .distinct()
-      val inter = cand
-        .join(sh.as("sa"), col("a") === col("sa.doc_id"))
-        .join(sh.as("sb"),
-          col("b") === col("sb.doc_id") &&
-            col("sa.shingle") === col("sb.shingle"))
-        .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      inter
-        .join(sz.as("za"), col("a") === col("za.doc_id"))
-        .join(sz.as("zb"), col("b") === col("zb.doc_id"))
-        .select(col("a"), col("b"), col("inter"),
-          col("za.n").as("na"), col("zb.n").as("nb"))
-        .withColumn("jaccard", col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")).cast("double"))
-        .filter(col("jaccard") >= 0.8)
-        .orderBy("a", "b")
-    }),
+    "q_dedup_minhash" -> ((s, dir) =>
+      TextDedup.minhashDedup(
+        docs(s, dir).filter(col("doc_id") < 2000), "doc_id", "text",
+        shingleN = 3, numHashes = 6, bands = 3, threshold = 0.8)
+        .orderBy("a", "b")),
 
     // Language-ID via character-n-gram profiles: score each language
     // by occurrences of its characteristic bigrams, argmax with
@@ -274,36 +203,17 @@ object TextQueries {
     "q_dedup_simhash" -> ((s, dir) => {
       // both join sides read the fingerprints; persist to avoid
       // recomputing the 32-agg pipeline twice
-      val sim = queries("q_simhash")(s, dir)
-        .filter(col("doc_id") < 1000)
+      val sim = TextDedup.simhash(
+        docs(s, dir).filter(col("doc_id") < 1000), "doc_id", "text")
         .persist()
-      val a = sim.toDF("a", "sh_a")
-      val b = sim.toDF("b", "sh_b")
-      a.join(b, col("a") < col("b"))
-        .withColumn("ham",
-          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
-        .filter(col("ham") <= 1)
-        .select(col("a"), col("b"), col("ham"))
+      TextDedup.simhashPairs(sim, "doc_id", maxHamming = 1)
         .orderBy("a", "b")
     }),
 
     // SimHash: 32-bit fingerprint from md5-derived token hashes —
     // one pass, 32 conditional aggregates, no explode of bit positions.
-    "q_simhash" -> ((s, dir) => {
-      val tok = docs(s, dir)
-        .select(col("doc_id"),
-          explode(array_distinct(toks(col("text")))).as("tok"))
-        .select(col("doc_id"),
-          conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("h"))
-      val aggs = (0 until 32).map(b =>
-        sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
-          .otherwise(-1)).as(s"b$b"))
-      val bits = tok.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      val fp = (0 until 32)
-        .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-        .reduce(_ + _)
-      bits.select(col("doc_id"), fp.as("simhash")).orderBy("doc_id")
-    }))
+    "q_simhash" -> ((s, dir) =>
+      TextDedup.simhash(docs(s, dir), "doc_id", "text").orderBy("doc_id")))
 
   private val simhashBitSums = (0 until 32)
     .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
