@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TextDedup
+
+/** Planted-duplicate tests: the oracle queries run over random word
+  * salad, which proves engine parity but not detection behavior. Here
+  * the corpus contains known exact dupes, near dupes, and distinct
+  * documents, and each dedup family must find exactly what it should.
+  */
+class TextDedupSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  private def corpus = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    Seq(
+      (0L, base),
+      (1L, base), // exact dupe of 0
+      (2L, base + " extra"), // near dupe of 0/1 (one appended token)
+      (3L, "completely different words about spark query engines and data"),
+      (4L, "the  quick   brown fox jumps over the lazy dog near the river bank today"), // ws-normalized dupe of 0
+      (5L, "another unrelated document mentioning clusters and shuffles only"))
+      .toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups byte-identical and whitespace-normalized texts") {
+    val groups = TextDedup.exact(corpus, "doc_id", "text")
+      .filter(col("n_dups") > 1).collect()
+    assert(groups.length == 1)
+    assert(groups.head.getAs[Long]("keep_id") == 0L)
+    assert(groups.head.getAs[Long]("n_dups") == 3L) // 0, 1, 4
+  }
+
+  test("minhash LSH finds near-dupes above threshold, not distinct docs") {
+    val pairs = TextDedup.minhashDedup(corpus, "doc_id", "text",
+      shingleN = 3, numHashes = 6, bands = 3, threshold = 0.5)
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the exact/near-dup cluster {0,1,2,4} should pair up
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)))
+    // distinct documents never pair
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+    assert(!pairs.exists { case (a, b) => a == 5L || b == 5L })
+  }
+
+  test("simhash: identical texts share fingerprints; distinct texts are far") {
+    val sim = TextDedup.simhash(corpus, "doc_id", "text")
+    val fp = sim.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(0L) == fp(1L))
+    // doc 4's double spaces add an empty token: a couple of bits flip
+    // but the fingerprint stays within near-dup hamming range — the
+    // noise-resilience simhash exists for
+    assert(java.lang.Long.bitCount(fp(0L) ^ fp(4L)) <= 3)
+    val pairs = TextDedup.simhashPairs(sim, "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 4L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("verifiedJaccard brute force ranks the near-dup closest") {
+    val sh = TextDedup.shingles(corpus, "doc_id", "text", 2)
+    val all = TextDedup.verifiedJaccard(sh, "doc_id", cand = null, 0.0)
+      .filter(col("a") === 0L).orderBy(col("jaccard").desc).collect()
+    assert(all.head.getAs[Long]("b") == 1L || all.head.getAs[Long]("b") == 4L)
+    assert(all.head.getAs[Double]("jaccard") == 1.0)
+  }
+}
