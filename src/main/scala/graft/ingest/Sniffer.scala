@@ -48,9 +48,12 @@ object Sniffer {
     val row = new ArrayBuffer[String]
     val field = new StringBuilder
     var inQuotes = false
+    var atFieldStart = true // quotes are only special here (csv.reader)
     var sawAny = false // any char since last row flush
     var i = 0
-    def endField(): Unit = { row += field.result(); field.clear() }
+    def endField(): Unit = {
+      row += field.result(); field.clear(); atFieldStart = true
+    }
     def endRow(): Unit = {
       endField()
       rows += row.toVector
@@ -66,13 +69,16 @@ object Sniffer {
           } else inQuotes = false
         } else field.append(ch)
       } else ch match {
-        case '"' => inQuotes = true; sawAny = true
+        case '"' if atFieldStart =>
+          // a quote mid-field is literal in Python's csv.reader; only a
+          // quote at field start opens a quoted section
+          inQuotes = true; atFieldStart = false; sawAny = true
         case `delimiter` => endField(); sawAny = true
         case '\r' => // swallow; the matching \n ends the row
           sawAny = true
           if (i + 1 >= text.length || text.charAt(i + 1) != '\n') endRow()
         case '\n' => endRow()
-        case c => field.append(c); sawAny = true
+        case c => field.append(c); atFieldStart = false; sawAny = true
       }
       i += 1
     }

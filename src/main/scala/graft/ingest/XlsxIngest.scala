@@ -47,13 +47,18 @@ object XlsxIngest {
 
   final case class Options(leapBugCompat: Boolean = true)
 
-  /** Parse every worksheet: insertion-ordered map sheetName → DataFrame. */
+  /** Parse every worksheet: insertion-ordered map sheetName → DataFrame.
+    * Sheets that parse to nothing (blank worksheets — Excel routinely
+    * writes an untouched Sheet2 with no cells) are skipped, matching
+    * the reference's `continue` on unusable sheets (xlsparser.js:127-129).
+    */
   def readWorkbook(
       spark: SparkSession,
       path: String,
       opts: Options = Options()): ListMap[String, DataFrame] =
-    ListMap(parseMatrices(path, opts).map { case (name, m) =>
-      name -> SheetMatrix.toDataFrame(spark, m)
+    ListMap(parseMatrices(path, opts).collect {
+      case (name, m) if m.nonEmpty =>
+        name -> SheetMatrix.toDataFrame(spark, m)
     }: _*)
 
   /** Parse to raw matrices (header row still in row 0) — the exact IR
@@ -277,10 +282,12 @@ object XlsxIngest {
     }
     r.close()
 
-    // the reference *requires* a two-part dimension (skips sheet
-    // otherwise, xlsparser.js:127-129); we fall back to observed extent
-    val rows = if (dimRows > 0) dimRows else maxRowSeen
-    val cols = if (dimCols > 0) dimCols else maxColSeen
+    // the reference requires a two-part dimension (skips the sheet
+    // otherwise); we take the max of the declared box and the observed
+    // extent — several producers emit stale dimensions that understate
+    // the sheet, and dropping those cells would silently lose data
+    val rows = math.max(dimRows, maxRowSeen)
+    val cols = math.max(dimCols, maxColSeen)
     if (rows == 0 || cols == 0) return Vector.empty
 
     val data = Array.fill(rows, cols)("")

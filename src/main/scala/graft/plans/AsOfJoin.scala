@@ -87,7 +87,10 @@ object AsOfJoin {
       val outer = isLeftOuter
 
       left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-        val proj = UnsafeProjection.create(outputAttrs, leftOutput ++ rightOutput)
+        // bind against the OUTPUT attrs (right side nullable): binding
+        // the original non-nullable right attrs would make codegen skip
+        // null checks and turn outer-join nulls into 0/false/NPE
+        val proj = UnsafeProjection.create(outputAttrs, outputAttrs)
         val joined = new JoinedRow
         val nullRight = new GenericInternalRow(rightLen)
 
@@ -178,12 +181,29 @@ object AsOfJoin {
       joinType: String = "inner"): DataFrame = {
     require(joinType == "inner" || joinType == "left_outer",
       s"unsupported asof join type: $joinType")
+    val lkE = Bridge.expression(leftKey)
+    val rkE = Bridge.expression(rightKey)
+    val ltE = Bridge.expression(leftTime)
+    val rtE = Bridge.expression(rightTime)
+    require(lkE.dataType == rkE.dataType,
+      s"asof key types differ: ${lkE.dataType} vs ${rkE.dataType}")
+    require(ltE.dataType == rtE.dataType,
+      s"asof time types differ: ${ltE.dataType} vs ${rtE.dataType}")
+    locally {
+      import org.apache.spark.sql.types._
+      val ordered: Set[DataType] = Set(ByteType, ShortType, IntegerType,
+        LongType, FloatType, DoubleType, StringType, TimestampType,
+        TimestampNTZType, DateType, BooleanType)
+      Seq(lkE, ltE).foreach { e =>
+        require(ordered.contains(e.dataType),
+          s"asof join needs an atomic ordered type, got ${e.dataType}")
+      }
+    }
     val spark = left.sparkSession
     register(spark)
     val node = AsOfJoinNode(
       Bridge.logicalPlan(left), Bridge.logicalPlan(right),
-      Bridge.expression(leftKey), Bridge.expression(rightKey),
-      Bridge.expression(leftTime), Bridge.expression(rightTime),
+      lkE, rkE, ltE, rtE,
       isLeftOuter = joinType == "left_outer")
     Bridge.ofRows(spark, node)
   }

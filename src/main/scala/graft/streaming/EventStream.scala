@@ -87,6 +87,11 @@ object EventStream {
     * (`flatMapGroupsWithState`, event-time timeout): a session closes
     * when `gapSeconds` passes without an event, or when the watermark
     * moves past its end.
+    *
+    * Streaming-only semantics: a key's final open session is emitted
+    * only when the watermark advances past it, which needs a later
+    * event. On bounded/batch input use [[sessionWindows]] or the
+    * declared `q_sessionize` query — those flush everything.
     */
   def sessionize(
       events: Dataset[Event],

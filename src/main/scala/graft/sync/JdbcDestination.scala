@@ -38,14 +38,20 @@ object JdbcDestination {
   val Snowflake: Dialect = Dialect("snowflake", "TEXT")
 
   def targetSchema(path: String): String =
-    if (path.nonEmpty) s"x_excel_${path}" else "x_excel"
+    // sqlify the routing path too: it reaches DDL identifiers, so raw
+    // values would re-open the injection surface (bug B6) and benign
+    // dashes would be SQL syntax errors
+    if (path.nonEmpty) s"x_excel_${Identifiers.sqlify(path)}" else "x_excel"
 
   /** `"col1" TYPE, "col2" TYPE, …` column-type clause for the JDBC
     * writer, header sanitized like `generate_table_stmt`.
     */
   def createTableColumnTypes(header: Seq[String], dialect: Dialect): String =
-    header.map(c => s"${Identifiers.toAlnum(c)} ${dialect.textType}")
-      .mkString(", ")
+    // headerNames (not bare toAlnum): duplicate or empty header cells
+    // must yield the same uniquified names the DataFrame carries, or
+    // the clause mismatches the schema and the JDBC write fails
+    graft.model.SheetMatrix.headerNames(header)
+      .map(c => s"$c ${dialect.textType}").mkString(", ")
 
   final case class Plan(
       table: String,
@@ -74,15 +80,19 @@ object JdbcDestination {
   /** Execute a plan through Spark's JDBC writer. */
   def write(df: DataFrame, url: String, p: Plan,
       props: Map[String, String] = Map.empty): LoadReport = {
-    val w = df.write.format("jdbc")
-      .mode(SaveMode.Overwrite)
-      .option("url", url)
-      .option("dbtable", p.table)
-      .option("truncate", p.truncate.toString)
-      .option("createTableColumnTypes", p.columnTypes)
-      .option("batchsize", p.batchSize.toString)
-    props.foreach { case (k, v) => w.option(k, v) }
-    w.save()
-    LoadReport(Some(p.action), p.table, df.count())
+    val cached = df.persist() // count + save: one source scan, not two
+    try {
+      val n = cached.count()
+      val w = cached.write.format("jdbc")
+        .mode(SaveMode.Overwrite)
+        .option("url", url)
+        .option("dbtable", p.table)
+        .option("truncate", p.truncate.toString)
+        .option("createTableColumnTypes", p.columnTypes)
+        .option("batchsize", p.batchSize.toString)
+      props.foreach { case (k, v) => w.option(k, v) }
+      w.save()
+      LoadReport(Some(p.action), p.table, n)
+    } finally cached.unpersist()
   }
 }

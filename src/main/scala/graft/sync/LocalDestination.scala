@@ -31,26 +31,38 @@ object LocalDestination {
     Files.createDirectories(dir)
     val target = dir.resolve(s"$tableName.csv")
     val tmp = Files.createTempDirectory(dir, s".$tableName-load")
-    val n = df.count()
-    df.coalesce(1).write.mode("overwrite")
-      .option("header", "true")
-      // Python csv.writer emits empty cells bare, not quoted ""
-      .option("emptyValue", "").csv(tmp.toString)
-    val part = Files.list(tmp).iterator().asScala
-      .find(_.getFileName.toString.startsWith("part-"))
-      .getOrElse(throw new IllegalStateException("no part file written"))
-    Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
-    Files.list(tmp).iterator().asScala.foreach(Files.deleteIfExists(_))
-    Files.deleteIfExists(tmp)
-    LoadReport(None, target.toString, n)
+    // persist: the count and the write must not scan the source twice
+    val cached = df.persist()
+    try {
+      val n = cached.count()
+      cached.coalesce(1).write.mode("overwrite")
+        .option("header", "true")
+        // Python csv.writer emits empty cells bare, not quoted ""
+        .option("emptyValue", "").csv(tmp.toString)
+      val part = withList(tmp)(_.find(_.getFileName.toString.startsWith("part-")))
+        .getOrElse(throw new IllegalStateException("no part file written"))
+      Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
+      withList(tmp)(_.foreach(Files.deleteIfExists(_)))
+      Files.deleteIfExists(tmp)
+      LoadReport(None, target.toString, n)
+    } finally cached.unpersist()
   }
 
   /** Scale variant: parallel multi-part CSV directory per table. */
   def writeDir(df: DataFrame, tableName: String, path: String,
       baseDir: String, compress: Boolean = false): LoadReport = {
     val dir = resolve(baseDir, path).resolve(tableName)
-    val w = df.write.mode("overwrite").option("header", "true")
-    (if (compress) w.option("compression", "gzip") else w).csv(dir.toString)
-    LoadReport(None, dir.toString, df.count())
+    val cached = df.persist()
+    try {
+      val w = cached.write.mode("overwrite").option("header", "true")
+      (if (compress) w.option("compression", "gzip") else w).csv(dir.toString)
+      LoadReport(None, dir.toString, cached.count())
+    } finally cached.unpersist()
+  }
+
+  /** `Files.list` holds an open DirectoryStream — always close it. */
+  private def withList[A](p: Path)(f: Iterator[Path] => A): A = {
+    val s = Files.list(p)
+    try f(s.iterator().asScala) finally s.close()
   }
 }

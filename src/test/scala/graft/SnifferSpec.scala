@@ -20,9 +20,19 @@ class SnifferSpec extends AnyFunSuite with PropHelpers {
     assert(Sniffer.sniffDelimiter("x;y\n1;2\n") == ';')
   }
 
-  test("quoted fields hide embedded delimiters") {
-    // the comma inside quotes must not count as a separator
-    assert(Sniffer.sniffDelimiter("a;\"x,y\"\n1;\"2,3\"\n") == ';')
+  test("quoted fields hide embedded delimiters (field-start quotes)") {
+    // quote-naive splitting would give rows of width 3 and 2 → ','
+    // invalid; quote-aware gives uniform width 2 (verified identical
+    // to the reference's csv.reader-based sniffer)
+    assert(Sniffer.sniffDelimiter("a,\"x,y\"\n1,\"2\"\n") == ',')
+    assert(Sniffer.parse("a,\"x,y\"\n", ',') ==
+      Vector(Vector("a", "x,y")))
+  }
+
+  test("mid-field quotes don't open quoting (matches reference output ',')") {
+    // python csv.reader treats a quote after field content literally;
+    // the reference sniffer therefore returns ',' here, not ';'
+    assert(Sniffer.sniffDelimiter("a;\"x,y\"\n1;\"2,3\"\n") == ',')
   }
 
   test("winner is the valid candidate with most columns") {
@@ -34,6 +44,11 @@ class SnifferSpec extends AnyFunSuite with PropHelpers {
     assert(Sniffer.parse("a,b\r\nc,d\r\n", ',') ==
       Vector(Vector("a", "b"), Vector("c", "d")))
     assert(Sniffer.parse("a,b", ',') == Vector(Vector("a", "b")))
+  }
+
+  test("mid-field quotes are literal, like Python csv.reader") {
+    assert(Sniffer.parse("height,weight\n5'10\",180\n", ',') ==
+      Vector(Vector("height", "weight"), Vector("5'10\"", "180")))
   }
 
   test("parse handles escaped quotes and newlines in quotes") {
