@@ -140,6 +140,49 @@ object TextDedup {
     bits.select(col(idCol), fp.as("simhash"))
   }
 
+  /** Connected components over near-dup pairs → dedup clusters:
+    * (id, cluster_id = smallest id reachable). This is the step that
+    * turns pairwise candidates into keep/drop decisions at scale —
+    * iterative smallest-label propagation over the edge list, each
+    * round a join + min-aggregate (both keyed shuffles), converging in
+    * O(log(diameter)) rounds; near-dup clusters are shallow so
+    * `maxIter` is a safety bound, and non-convergence raises rather
+    * than returning partial clusters.
+    */
+  def clusters(
+      ids: DataFrame, // single column: the id universe
+      pairs: DataFrame, // columns a, b (undirected edges)
+      maxIter: Int = 10): DataFrame = {
+    val idCol = ids.columns.head
+    val edges = pairs.select(col("a"), col("b"))
+      .unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
+      .persist()
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("cluster_id"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // candidate label per node: min over its own and neighbors' labels
+      val viaNeighbors = edges
+        .join(labels, edges("b") === labels("id"))
+        .select(edges("a").as("id"), col("cluster_id"))
+      val next = labels.select(col("id"), col("cluster_id"))
+        .unionAll(viaNeighbors)
+        .groupBy("id").agg(min("cluster_id").as("cluster_id"))
+        .persist()
+      changed = next.as("n")
+        .join(labels.as("l"), col("n.id") === col("l.id"))
+        .filter(col("n.cluster_id") =!= col("l.cluster_id"))
+        .count()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"dedup clustering did not converge in $maxIter rounds")
+    labels
+  }
+
   /** SimHash near-dup pairs within a hamming-distance bound. */
   def simhashPairs(sim: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
     val a = sim.toDF("a", "sh_a")

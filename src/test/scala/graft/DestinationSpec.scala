@@ -46,6 +46,18 @@ class DestinationSpec extends AnyFunSuite {
     assert(p2.columnTypes == "A TEXT, C TEXT")
   }
 
+  test("duplicate/empty headers get uniquified names matching the frame") {
+    val types = JdbcDestination.createTableColumnTypes(
+      Seq("Amount", "amount", ""), JdbcDestination.Redshift)
+    assert(types == "Amount VARCHAR, amount_1 VARCHAR, _c2 VARCHAR")
+  }
+
+  test("routing path is sanitized before reaching schema identifiers") {
+    val p = JdbcDestination.plan("t", Seq("a"), Nil,
+      JdbcDestination.Redshift, path = "EU-West; DROP TABLE x")
+    assert(p.table == "x_excel_eu_west_drop_table_x.t")
+  }
+
   test("azure dialect always drops and uses NVARCHAR(2000)") {
     val p = JdbcDestination.plan("t", Seq("a"), Seq("a"),
       JdbcDestination.AzureDw)

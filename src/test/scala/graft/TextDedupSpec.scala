@@ -63,6 +63,31 @@ class TextDedupSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("clusters: connected components collapse chains to the smallest id") {
+    import spark.implicits._
+    val ids = (0L to 7L).toDF("id")
+    // chain 0-1-2-3 (transitive near-dups), pair 5-6, singletons 4,7
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val got = TextDedup.clusters(ids, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("clusters over planted minhash pairs keep one doc per dup group") {
+    val pairs = TextDedup.minhashDedup(corpus, "doc_id", "text",
+      threshold = 0.5).select("a", "b")
+    val ids = corpus.select("doc_id")
+    val cl = TextDedup.clusters(ids, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the near-dup family {0,1,2} collapses to keeper 0; doc 4's
+    // double spaces perturb its raw-token shingles (empty tokens), so
+    // minhash banding may miss it — that duplicate is exact-dedup's
+    // job via whitespace normalization (covered above)
+    assert(cl(0L) == 0L && cl(1L) == 0L && cl(2L) == 0L)
+    assert(cl(3L) == 3L && cl(5L) == 5L)
+  }
+
   test("verifiedJaccard brute force ranks the near-dup closest") {
     val sh = TextDedup.shingles(corpus, "doc_id", "text", 2)
     val all = TextDedup.verifiedJaccard(sh, "doc_id", cand = null, 0.0)
