@@ -111,6 +111,19 @@ object TextQueries {
         shingleN = 3, numHashes = 6, bands = 3, threshold = 0.8)
         .orderBy("a", "b")),
 
+    // Full dedup decision: minhash near-dup pairs → connected
+    // components → (doc_id, cluster_id). Oracle side is a recursive
+    // CTE reachability closure over the same pair set.
+    "q_dedup_cluster" -> ((s, dir) => {
+      val scoped = docs(s, dir).filter(col("doc_id") < 2000)
+      val pairs = TextDedup.minhashDedup(scoped, "doc_id", "text",
+        shingleN = 3, numHashes = 6, bands = 3, threshold = 0.8)
+        .select("a", "b").persist()
+      TextDedup.clusters(scoped.select("doc_id"), pairs)
+        .toDF("doc_id", "cluster_id")
+        .orderBy("doc_id")
+    }),
+
     // Language-ID via character-n-gram profiles: score each language
     // by occurrences of its characteristic bigrams, argmax with
     // deterministic tie-break. (Real systems learn the profiles; the
@@ -214,6 +227,45 @@ object TextQueries {
     // one pass, 32 conditional aggregates, no explode of bit positions.
     "q_simhash" -> ((s, dir) =>
       TextDedup.simhash(docs(s, dir), "doc_id", "text").orderBy("doc_id")))
+
+  /** Shared CTE chain for the minhash near-dup pipeline: documents →
+    * trigram shingles → 6 minhashes → 3 bands → candidates → verified
+    * pairs (`pairs(a, b, inter, na, nb, jaccard)` at threshold 0.8).
+    */
+  private val minhashCtes: String =
+    """d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+             FROM documents WHERE doc_id < 2000),
+         d2 AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 3),
+         tok AS (SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS pos FROM d2),
+         sh AS (SELECT DISTINCT t1.doc_id,
+               t1.tok || ' ' || t2.tok || ' ' || t3.tok AS shingle
+             FROM tok t1
+             JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+             JOIN tok t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2),
+         sig AS (SELECT doc_id,
+               min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
+               min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3,
+               min(md5('4:' || shingle)) AS mh4, min(md5('5:' || shingle)) AS mh5
+             FROM sh GROUP BY doc_id),
+         band AS (SELECT doc_id, 0 AS band_idx, mh0 || mh1 AS band_val FROM sig
+             UNION ALL SELECT doc_id, 1, mh2 || mh3 FROM sig
+             UNION ALL SELECT doc_id, 2, mh4 || mh5 FROM sig),
+         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             FROM band x JOIN band y
+               ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+                  AND x.doc_id < y.doc_id),
+         inter AS (SELECT c.a, c.b, count(*) AS inter FROM cand c
+             JOIN sh sa ON sa.doc_id = c.a
+             JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+             GROUP BY c.a, c.b),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         pairs AS (SELECT i.a, i.b, i.inter, sa.n AS na, sb.n AS nb,
+             CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE) AS jaccard
+             FROM inter i
+             JOIN sz sa ON sa.doc_id = i.a
+             JOIN sz sb ON sb.doc_id = i.b
+             WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE) >= 0.8)"""
 
   private val simhashBitSums = (0 until 32)
     .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
@@ -342,40 +394,20 @@ object TextQueries {
          WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE) >= 0.5
          ORDER BY a, b""",
     "q_dedup_minhash" ->
-      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
-             FROM documents WHERE doc_id < 2000),
-         d2 AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 3),
-         tok AS (SELECT doc_id, unnest(toks) AS tok,
-             generate_subscripts(toks, 1) AS pos FROM d2),
-         sh AS (SELECT DISTINCT t1.doc_id,
-               t1.tok || ' ' || t2.tok || ' ' || t3.tok AS shingle
-             FROM tok t1
-             JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
-             JOIN tok t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2),
-         sig AS (SELECT doc_id,
-               min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
-               min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3,
-               min(md5('4:' || shingle)) AS mh4, min(md5('5:' || shingle)) AS mh5
-             FROM sh GROUP BY doc_id),
-         band AS (SELECT doc_id, 0 AS band_idx, mh0 || mh1 AS band_val FROM sig
-             UNION ALL SELECT doc_id, 1, mh2 || mh3 FROM sig
-             UNION ALL SELECT doc_id, 2, mh4 || mh5 FROM sig),
-         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-             FROM band x JOIN band y
-               ON x.band_idx = y.band_idx AND x.band_val = y.band_val
-                  AND x.doc_id < y.doc_id),
-         inter AS (SELECT c.a, c.b, count(*) AS inter FROM cand c
-             JOIN sh sa ON sa.doc_id = c.a
-             JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
-             GROUP BY c.a, c.b),
-         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
-         SELECT i.a, i.b, i.inter, sa.n AS na, sb.n AS nb,
-             CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE) AS jaccard
-         FROM inter i
-         JOIN sz sa ON sa.doc_id = i.a
-         JOIN sz sb ON sb.doc_id = i.b
-         WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE) >= 0.8
+      s"""WITH $minhashCtes
+         SELECT a, b, inter, na, nb, jaccard FROM pairs
          ORDER BY a, b""",
+    "q_dedup_cluster" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         ids AS (SELECT doc_id FROM documents WHERE doc_id < 2000),
+         edges AS (SELECT a, b FROM pairs
+             UNION ALL SELECT b, a FROM pairs),
+         reach(id, lbl) AS (
+             SELECT doc_id, doc_id FROM ids
+             UNION
+             SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.id)
+         SELECT id AS doc_id, min(lbl) AS cluster_id
+         FROM reach GROUP BY id ORDER BY doc_id""",
     "q_dedup_simhash" ->
       s"""WITH tok AS (SELECT DISTINCT doc_id,
              unnest(string_split(trim(text), ' ')) AS tok FROM documents
