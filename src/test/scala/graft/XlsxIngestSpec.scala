@@ -82,6 +82,57 @@ class XlsxIngestSpec extends AnyFunSuite {
     assert(m("Data") == Vector(Vector("Name", "Qty"), Vector("5", "6")))
   }
 
+  test("stale dimension understating the sheet is widened to observed cells") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val path = java.nio.file.Files.createTempFile("graft-stale", ".xlsx")
+    val zip = new ZipOutputStream(new java.io.FileOutputStream(path.toFile))
+    def put(n: String, c: String): Unit = {
+      zip.putNextEntry(new ZipEntry(n))
+      zip.write(c.getBytes("UTF-8")); zip.closeEntry()
+    }
+    put("xl/workbook.xml", XlsxFixture.WorkbookXml
+      .replace("<sheet name=\"Second Sheet\" sheetId=\"2\" r:id=\"rId2\"/>", ""))
+    put("xl/_rels/workbook.xml.rels", XlsxFixture.RelsXml)
+    put("xl/sharedStrings.xml", XlsxFixture.SharedStringsXml)
+    put("xl/styles.xml", XlsxFixture.StylesXml)
+    // dimension claims A1:B1 but data reaches C2
+    put("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<dimension ref="A1:B1"/>
+        |<sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="s"><v>2</v></c></row>
+        |<row r="2"><c r="A2"><v>1</v></c><c r="C2"><v>9</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zip.close()
+    val m = graft.ingest.XlsxIngest.parseMatrices(path.toString).toMap
+    assert(m("Data") ==
+      Vector(Vector("Name", "Qty", "When"), Vector("1", "", "9")))
+  }
+
+  test("blank worksheet is skipped by readWorkbook, not fatal") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val path = java.nio.file.Files.createTempFile("graft-blank", ".xlsx")
+    val zip = new ZipOutputStream(new java.io.FileOutputStream(path.toFile))
+    def put(n: String, c: String): Unit = {
+      zip.putNextEntry(new ZipEntry(n))
+      zip.write(c.getBytes("UTF-8")); zip.closeEntry()
+    }
+    put("xl/workbook.xml", XlsxFixture.WorkbookXml)
+    put("xl/_rels/workbook.xml.rels", XlsxFixture.RelsXml)
+    put("xl/sharedStrings.xml", XlsxFixture.SharedStringsXml)
+    put("xl/styles.xml", XlsxFixture.StylesXml)
+    put("xl/worksheets/sheet1.xml", XlsxFixture.SheetXml)
+    put("xl/worksheets/sheet2.xml", // untouched empty sheet
+      """<?xml version="1.0"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<dimension ref="A1"/><sheetData/></worksheet>""".stripMargin)
+    zip.close()
+    val dfs = graft.ingest.XlsxIngest.readWorkbook(TestSpark.spark, path.toString)
+    assert(dfs.keySet == Set("Data")) // blank sheet skipped
+    assert(dfs("Data").count() == 3)
+  }
+
   test("readWorkbook produces all-string DataFrames with header row 0") {
     val spark = TestSpark.spark
     val dfs = XlsxIngest.readWorkbook(spark, XlsxFixture.create().toString)
