@@ -35,17 +35,25 @@ object AnalyticsQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // TPC-H Q1 shape: scan-heavy aggregation with decimal math.
+    // Sums run in exact DECIMAL internally; the final projection emits
+    // BIGINT fixed-point (x100 / x10000) so the cross-engine hash never
+    // depends on a decimal formatter's trailing-zero choices.
     "q_agg_pricing" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(dec(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"),
+          sum(dec(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty_d"),
           sum(dec(col("l_extendedprice"))).cast("decimal(18,2)")
-            .as("sum_base_price"),
-          sum(discPrice).cast("decimal(18,4)").as("sum_disc_price"),
+            .as("sum_base_price_d"),
+          sum(discPrice).cast("decimal(18,4)").as("sum_disc_price_d"),
           count(lit(1)).as("n"))
-        .withColumn("avg_qty", col("sum_qty").cast("double") / col("n"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          (col("sum_qty_d") * 100).cast("bigint").as("sum_qty_c"),
+          (col("sum_base_price_d") * 100).cast("bigint").as("sum_base_price_c"),
+          (col("sum_disc_price_d") * 10000).cast("bigint").as("sum_disc_price_c"),
+          col("n"),
+          round(col("sum_qty_d").cast("double") / col("n"), 6).as("avg_qty"))
         .orderBy("l_returnflag", "l_linestatus")),
 
     // Star join: fact ⋈ broadcast dims, revenue per region/nation.
@@ -59,8 +67,11 @@ object AnalyticsQueries {
           col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(
-          sum(discPrice).cast("decimal(18,4)").as("revenue"),
+          sum(discPrice).cast("decimal(18,4)").as("revenue_d"),
           count(lit(1)).as("n_items"))
+        .select(col("r_name"), col("n_name"),
+          (col("revenue_d") * 10000).cast("bigint").as("revenue_c"),
+          col("n_items"))
         .orderBy("r_name", "n_name")),
 
     // Semi/anti join: customers with vs without orders.
@@ -82,7 +93,8 @@ object AnalyticsQueries {
       c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
         .groupBy(c("c_custkey"))
         .agg(count(o("o_orderkey")).as("n_orders"),
-          sum(dec(o("o_totalprice"))).cast("decimal(18,2)").as("total_spend"))
+          (sum(dec(o("o_totalprice"))).cast("decimal(18,2)") * 100)
+            .cast("bigint").as("total_spend_c"))
         .orderBy(c("c_custkey"))
     }),
 
@@ -92,12 +104,12 @@ object AnalyticsQueries {
       t(s, dir, "orders")
         .filter(col("o_custkey") <= 200)
         .withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("running_spend",
-          sum(dec(col("o_totalprice")))
+        .withColumn("running_spend_c",
+          (sum(dec(col("o_totalprice")))
             .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            .cast("decimal(18,2)"))
+            .cast("decimal(18,2)") * 100).cast("bigint"))
         .select(col("o_custkey"), col("o_orderkey"), col("rn"),
-          col("running_spend"))
+          col("running_spend_c"))
         .orderBy("o_custkey", "o_orderkey")
     }),
 
@@ -129,7 +141,8 @@ object AnalyticsQueries {
       t(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"),
-          sum(dec(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"))
+          (sum(dec(col("l_quantity"))).cast("decimal(18,2)") * 100)
+            .cast("bigint").as("sum_qty_c"))
         .orderBy(asc_nulls_first("l_returnflag"),
           asc_nulls_first("l_linestatus"))),
 
@@ -180,7 +193,8 @@ object AnalyticsQueries {
         .groupBy("c_mktsegment")
         .agg(countDistinct("c_nationkey").as("n_nations"),
           count(lit(1)).as("n_cust"),
-          sum(dec(col("c_acctbal"))).cast("decimal(18,2)").as("sum_bal"))
+          (sum(dec(col("c_acctbal"))).cast("decimal(18,2)") * 100)
+            .cast("bigint").as("sum_bal_c"))
         .orderBy("c_mktsegment")),
 
     // Range join: value-interval bucketing via broadcast nested loop.
@@ -195,7 +209,8 @@ object AnalyticsQueries {
           col("value") >= col("lo") && col("value") < col("hi"))
         .groupBy("bucket_id")
         .agg(count(lit(1)).as("n"),
-          sum(dec(col("value"))).cast("decimal(18,2)").as("sum_value"))
+          (sum(dec(col("value"))).cast("decimal(18,2)") * 100)
+            .cast("bigint").as("sum_value_c"))
         .orderBy("bucket_id")
     }),
 
@@ -218,7 +233,8 @@ object AnalyticsQueries {
       t(s, dir, "lineitem")
         .cube("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"),
-          sum(dec(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"))
+          (sum(dec(col("l_quantity"))).cast("decimal(18,2)") * 100)
+            .cast("bigint").as("sum_qty_c"))
         .orderBy(asc_nulls_first("l_returnflag"),
           asc_nulls_first("l_linestatus"))),
 
@@ -296,23 +312,25 @@ object AnalyticsQueries {
   val oracles: Map[String, String] = Map(
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
-           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) * 100
+             AS BIGINT) AS sum_qty_c,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) * 100
+             AS BIGINT) AS sum_base_price_c,
+           CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
              (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
-             AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
+             AS DECIMAL(18,4))) AS DECIMAL(18,4)) * 10000 AS BIGINT) AS sum_disc_price_c,
            count(*) AS n,
-           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE)
-             / count(*) AS avg_qty
+           round(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
+             AS DOUBLE) / count(*), 6) AS avg_qty
          FROM lineitem
          WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
     "q_join_revenue" ->
       """SELECT r_name, n_name,
-           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+           CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
              (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
-             AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
+             AS DECIMAL(18,4))) AS DECIMAL(18,4)) * 10000 AS BIGINT) AS revenue_c,
            count(*) AS n_items
          FROM lineitem
          JOIN supplier ON l_suppkey = s_suppkey
@@ -329,17 +347,17 @@ object AnalyticsQueries {
          ORDER BY rel""",
     "q_outer_join" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
-             AS total_spend
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) * 100
+             AS BIGINT) AS total_spend_c
          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
          GROUP BY c_custkey ORDER BY c_custkey""",
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey,
            row_number() OVER w AS rn,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER
              (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS DECIMAL(18,2)) AS running_spend
+             AS DECIMAL(18,2)) * 100 AS BIGINT) AS running_spend_c
          FROM orders WHERE o_custkey <= 200
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
          ORDER BY o_custkey, o_orderkey""",
@@ -360,7 +378,8 @@ object AnalyticsQueries {
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) * 100
+             AS BIGINT) AS sum_qty_c
          FROM lineitem
          GROUP BY ROLLUP (l_returnflag, l_linestatus)
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
@@ -388,11 +407,13 @@ object AnalyticsQueries {
       """SELECT c_mktsegment,
            count(DISTINCT c_nationkey) AS n_nations,
            count(*) AS n_cust,
-           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_bal
+           CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2)) * 100
+             AS BIGINT) AS sum_bal_c
          FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q_range_join" ->
       """SELECT CAST(b.bucket_id AS BIGINT) AS bucket_id, count(*) AS n,
-           CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_value
+           CAST(CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DECIMAL(18,2)) * 100
+             AS BIGINT) AS sum_value_c
          FROM events e
          JOIN (VALUES (0, 0.0, 50.0), (1, 50.0, 100.0),
                       (2, 100.0, 150.0), (3, 150.0, 250.0)) AS b(bucket_id, lo, hi)
@@ -409,7 +430,8 @@ object AnalyticsQueries {
          GROUP BY user_id ORDER BY user_id""",
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) * 100
+             AS BIGINT) AS sum_qty_c
          FROM lineitem
          GROUP BY CUBE (l_returnflag, l_linestatus)
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
