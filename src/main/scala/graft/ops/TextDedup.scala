@@ -148,6 +148,16 @@ object TextDedup {
     * O(log(diameter)) rounds; near-dup clusters are shallow so
     * `maxIter` is a safety bound, and non-convergence raises rather
     * than returning partial clusters.
+    *
+    * Iteration hygiene (what makes this survive 100× scale): each
+    * round's result carries the node's previous label (`own`, non-null
+    * exactly on the self row) through the SAME aggregation that
+    * computes the new label, so convergence is a filter+count over the
+    * already-cached round output — one action per round, no extra
+    * join. The superseded generation is unpersisted every round, and
+    * every 5th round materializes via `localCheckpoint` so lineage
+    * stays bounded (an evicted partition recomputes one generation,
+    * never the whole chain).
     */
   def clusters(
       ids: DataFrame, // single column: the id universe
@@ -158,22 +168,31 @@ object TextDedup {
       .unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
       .persist()
     var labels = ids.select(col(idCol).as("id"), col(idCol).as("cluster_id"))
+    val labelType = labels.schema("cluster_id").dataType
+    var prevGen: DataFrame = null
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
-      // candidate label per node: min over its own and neighbors' labels
+      // candidate label per node: min over its own and neighbors'
+      // labels; the self row also carries the old label as `own`
       val viaNeighbors = edges
         .join(labels, edges("b") === labels("id"))
-        .select(edges("a").as("id"), col("cluster_id"))
-      val next = labels.select(col("id"), col("cluster_id"))
+        .select(edges("a").as("id"), col("cluster_id"),
+          lit(null).cast(labelType).as("own"))
+      val nextPlan = labels
+        .select(col("id"), col("cluster_id"), col("cluster_id").as("own"))
         .unionAll(viaNeighbors)
-        .groupBy("id").agg(min("cluster_id").as("cluster_id"))
-        .persist()
-      changed = next.as("n")
-        .join(labels.as("l"), col("n.id") === col("l.id"))
-        .filter(col("n.cluster_id") =!= col("l.cluster_id"))
-        .count()
-      labels = next
+        .groupBy("id")
+        .agg(min("cluster_id").as("cluster_id"), min("own").as("own"))
+      val next =
+        if ((iter + 1) % 5 == 0) nextPlan.localCheckpoint()
+        else nextPlan.persist()
+      // new label is min over a set containing the old one, so
+      // changed ⟺ new != old — counted off the cached round output
+      changed = next.filter(col("cluster_id") =!= col("own")).count()
+      if (prevGen != null) prevGen.unpersist()
+      prevGen = next
+      labels = next.select("id", "cluster_id")
       iter += 1
     }
     edges.unpersist()
@@ -183,13 +202,38 @@ object TextDedup {
     labels
   }
 
-  /** SimHash near-dup pairs within a hamming-distance bound. */
+  /** SimHash near-dup pairs within a Hamming-distance bound.
+    *
+    * Hamming-LSH banding (pigeonhole): the 32-bit fingerprint splits
+    * into `maxHamming + 1` disjoint bit bands; two fingerprints within
+    * Hamming distance k differ in at most k bits, so at least one band
+    * is bit-identical. Candidates therefore come from an equi-join on
+    * (band_idx, band_val) — the band value is the shuffle key, work is
+    * bucket-local — and the exact `bit_count(xor) <= k` check keeps
+    * true pairs only (distinct: a pair may collide on several bands).
+    * No all-pairs comparison anywhere in the plan.
+    */
   def simhashPairs(sim: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
-    val a = sim.toDF("a", "sh_a")
-    val b = sim.toDF("b", "sh_b")
-    a.join(b, col("a") < col("b"))
-      .withColumn("ham", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+    val nBands = maxHamming + 1
+    val bands = (0 until nBands).map { b =>
+      val lo = b * 32 / nBands
+      val hi = (b + 1) * 32 / nBands
+      struct(lit(b).as("band_idx"),
+        shiftright(col("fp"), lo).bitwiseAND(lit((1L << (hi - lo)) - 1))
+          .as("band_val"))
+    }
+    val banded = sim.toDF("id", "fp")
+      .select(col("id"), col("fp"), explode(array(bands: _*)).as("bd"))
+      .select(col("id"), col("fp"),
+        col("bd.band_idx").as("band_idx"), col("bd.band_val").as("band_val"))
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).as("ham"))
       .filter(col("ham") <= maxHamming)
-      .select(col("a"), col("b"), col("ham"))
+      .distinct()
   }
 }

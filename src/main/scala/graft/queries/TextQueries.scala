@@ -210,9 +210,10 @@ object TextQueries {
         .orderBy("doc_id", "rank")
     }),
 
-    // SimHash near-dup pairs: fingerprints joined on hamming distance
-    // <= 1 (bit_count of XOR — all codegen'd integer ops). Bounded
-    // brute-force pairing; the scale path buckets on fingerprint bytes.
+    // SimHash near-dup pairs via Hamming-LSH banding: fingerprints
+    // split into maxHamming+1 bands, candidates from a band equi-join
+    // (pigeonhole guarantees no miss), verified with bit_count(xor)
+    // <= 1 — all codegen'd integer ops, no all-pairs comparison.
     "q_dedup_simhash" -> ((s, dir) => {
       // both join sides read the fingerprints; persist to avoid
       // recomputing the 32-agg pipeline twice

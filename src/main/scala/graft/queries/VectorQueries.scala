@@ -143,6 +143,75 @@ object VectorQueries {
         .orderBy("q_id")
     }),
 
+    // Top-k per query via the bounded map-side heap aggregate
+    // (graft.expr.TopKByScore) instead of shuffle+sort window rank:
+    // same scored set and the same total order as q_ann_topk, but at
+    // 10⁹ candidates only k-element buffers cross the wire. Verified
+    // against the window-rank idiom's oracle.
+    "q_topk_agg" -> ((s, dir) => {
+      val e = withNorm(emb(s, dir).filter(col("vec_id") < 2000)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v")))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val c = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("cand_id"), col("v").as("cv"),
+          col("nrm").as("cn"))
+      c.join(broadcast(q))
+        .withColumn("cos_r", cosR(col("qv"), col("cv"), col("qn"), col("cn")))
+        .groupBy("q_id")
+        .agg(graft.expr.TopKByScore.topK(col("cos_r"), col("cand_id"), 3)
+          .as("nb"))
+        .select(col("q_id"), posexplode(col("nb")))
+        .select(col("q_id"), col("col.id").as("cand_id"),
+          (col("pos") + 1).cast("long").as("rank"),
+          col("col.score").as("cos_r"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // Random-hyperplane cosine LSH (graft.ops.CosineLsh): deterministic
+    // seeded ±1 planes — reproducible across sessions/retries with no
+    // stored model — 8 sign bits → 256 buckets, nearest same-bucket
+    // neighbor. Oracle-exact: the plane matrix is literal on both sides.
+    "q_ann_lsh" -> ((s, dir) => {
+      val pm = graft.ops.CosineLsh.planes(k = 8, dim = 64)
+      val e = withNorm(emb(s, dir).filter(col("vec_id") < 2000)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v")))
+        .withColumn("bucket", graft.ops.CosineLsh.bucketCol(col("v"), pm))
+      val q = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("bucket"))
+      val c = e.select(col("vec_id").as("cand_id"), col("v").as("cv"),
+        col("nrm").as("cn"), col("bucket").as("cbucket"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("cos_r").desc, col("cand_id"))
+      q.join(c, col("bucket") === col("cbucket") &&
+          col("q_id") =!= col("cand_id"))
+        .withColumn("cos_r", cosR(col("qv"), col("cv"), col("qn"), col("cn")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("q_id"), col("cand_id"), col("bucket"), col("cos_r"))
+        .orderBy("q_id")
+    }),
+
+    // IVF with k-means-trained centroids + nprobe (graft.ops.IvfIndex)
+    // — the production variant of the fixed-centroid q_ann_ivf.
+    // Declared rows-only (q_sniff precedent): k-means runs on Spark ML
+    // and has no DuckDB twin; the fixed-centroid query is the
+    // oracle-checked form of the same search shape.
+    "q_ann_ivf_kmeans" -> ((s, dir) => {
+      val e = emb(s, dir).filter(col("vec_id") < 2000)
+      val model = graft.ops.IvfIndex.build(e, "vec_id", "embedding", k = 8)
+      val q = e.filter(col("vec_id") < 10)
+      graft.ops.IvfIndex.search(model, q, "vec_id", "embedding",
+        topK = 3, nprobe = 2)
+        .select(col("q_id"), posexplode(col("neighbors")))
+        .select(col("q_id"), col("col.id").as("cand_id"),
+          (col("pos") + 1).cast("long").as("rank"),
+          round(col("col.score"), 6).as("score_r"))
+        .orderBy("q_id", "rank")
+    }),
+
     // LSH-bucketed similarity search: nearest same-bucket neighbor.
     "q_ann_bucketed" -> ((s, dir) => {
       val e = withNorm(emb(s, dir).filter(col("vec_id") < 2000)
@@ -167,6 +236,16 @@ object VectorQueries {
   private val bucketSql = (0 until 8)
     .map(i => s"(CASE WHEN v[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
     .mkString(" + ")
+
+  // The ±1 plane matrix is deterministic in (seed, k, dim), so the
+  // oracle embeds it as literals — both engines hash the identical
+  // doubles (same left-to-right dot-product fold).
+  private val lshBucketSql = graft.ops.CosineLsh.planes(8, 64).zipWithIndex
+    .map { case (plane, p) =>
+      val arr = plane.map(x => if (x > 0) "1.0" else "-1.0")
+        .mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(v, $arr) >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
     "q_vec_norm" ->
@@ -228,6 +307,41 @@ object VectorQueries {
              (PARTITION BY q_id ORDER BY cos_r DESC, cand_id) AS rk FROM p)
          SELECT q_id, cand_id, cell, cos_r FROM r WHERE rk = 1
          ORDER BY q_id""",
+    "q_topk_agg" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id < 2000),
+         n AS (SELECT * FROM (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
+             WHERE nrm > 0),
+         p AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos_r
+           FROM n q JOIN n c ON c.vec_id >= 10
+           WHERE q.vec_id < 10),
+         r AS (SELECT *, CAST(row_number() OVER
+             (PARTITION BY q_id ORDER BY cos_r DESC, cand_id) AS BIGINT) AS rank
+           FROM p)
+         SELECT q_id, cand_id, rank, cos_r FROM r WHERE rank <= 3
+         ORDER BY q_id, rank""",
+    "q_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id < 2000),
+         n AS (SELECT * FROM (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+             $lshBucketSql AS bucket FROM e) WHERE nrm > 0),
+         p AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id, q.bucket,
+             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos_r
+           FROM n q JOIN n c
+             ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+           WHERE q.vec_id < 50),
+         r AS (SELECT *, row_number() OVER
+             (PARTITION BY q_id ORDER BY cos_r DESC, cand_id) AS rk FROM p)
+         SELECT q_id, cand_id, bucket, cos_r FROM r WHERE rk = 1
+         ORDER BY q_id""",
+    // q_ann_ivf_kmeans: intentionally no oracle (Spark-ML k-means has
+    // no DuckDB twin; rows-only — the fixed-centroid q_ann_ivf is the
+    // oracle-checked form of the same search shape).
     "q_ann_bucketed" ->
       s"""WITH e AS (SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -72,6 +72,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dedup_simhash: banded pairing, no nested-loop all-pairs join") {
+    val p = plan("q_dedup_simhash")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"simhash pairing fell back to an all-pairs nested loop:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"simhash pairing plans a cartesian:\n$p")
+  }
+
+  test("q_topk_agg: map-side partial heap aggregation (no per-query sort)") {
+    val p = plan("q_topk_agg")
+    // TypedImperativeAggregate plans as ObjectHashAggregate; partial +
+    // final means only k-element buffers cross the shuffle
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final ObjectHashAggregate in:\n$p")
+    assert(!p.contains("SortExec") || !p.contains("WindowExec"),
+      s"top-k fell back to a window sort:\n$p")
+  }
+
   test("q_tfidf: document-frequency and corpus-count dims broadcast") {
     val p = plan("q_tfidf")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, p)
