@@ -56,4 +56,46 @@ object ScaleOps {
     */
   def shapeByKey(df: DataFrame, partitions: Int, key: String*): DataFrame =
     df.repartition(partitions, key.map(col): _*)
+
+  /** Global row number WITHOUT a single-partition window — the
+    * zipWithIndex shape in DataFrame terms.
+    *
+    * Range-partition + sort-within-partitions by the order columns
+    * gives a total order across partition ids; one tiny counting job
+    * (exactly what `RDD.zipWithIndex` runs internally) yields each
+    * partition's row count, whose prefix sums become per-partition
+    * offsets; `rn` is then offset + intra-partition `row_number` — a
+    * window keyed by partition id, parallel across the cluster. The
+    * driver materializes only `partitions` (count, offset) pairs, never
+    * rows. Adds column `rn` (1-based, long) to `df`'s columns.
+    *
+    * Order columns must be a total order (unique key) for `rn` to be
+    * deterministic — same contract as a global `row_number`.
+    */
+  def globalRowNumber(
+      df: DataFrame,
+      partitions: Int,
+      orderCols: Column*): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val shaped = df
+      .repartitionByRange(partitions, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist() // two consumers: the offset job + the main pass
+    val counts = shaped.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+      .orderBy("__pid")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    var acc = 0L
+    val offsets = counts.map { case (pid, cnt) =>
+      val off = acc; acc += cnt; (pid, off)
+    }
+    val offDf = offsets.toSeq.toDF("__pid", "__off")
+    val w = Window.partitionBy("__pid").orderBy(orderCols: _*)
+    shaped.join(broadcast(offDf), Seq("__pid"))
+      .withColumn("rn", (row_number().over(w) + col("__off")).cast("long"))
+      .drop("__pid", "__off")
+  }
 }

@@ -86,6 +86,21 @@ object RefQueries {
         .orderBy("batch_id")
     }),
 
+    // Same batching semantics as q_batch, but through the scale-safe
+    // per-partition-offset global index (ScaleOps.globalRowNumber —
+    // the zipWithIndex shape): no single-partition window anywhere in
+    // the plan (PlanSpec-pinned); same oracle as q_batch.
+    "q_batch_scaled" -> ((s, dir) =>
+      graft.ops.ScaleOps.globalRowNumber(
+        t(s, dir, "orders").select("o_orderkey"),
+        partitions = 32, col("o_orderkey"))
+        .withColumn("batch_id", floor((col("rn") - 1) / 1000))
+        .groupBy("batch_id")
+        .agg(count(lit(1)).as("n"),
+          min("o_orderkey").as("min_key"),
+          max("o_orderkey").as("max_key"))
+        .orderBy("batch_id")),
+
     // P6 list_to_matrix (data.py:18-21): reshape a flat ordered list
     // into rows of 7 columns (conditional-agg pivot).
     "q_reshape" -> ((s, dir) => {
@@ -202,6 +217,12 @@ object RefQueries {
          UNION ALL SELECT 'embeddings', count(*) FROM embeddings
          ORDER BY tbl""",
     "q_batch" ->
+      """WITH r AS (SELECT o_orderkey,
+                    row_number() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+         SELECT CAST(floor((rn - 1) / 1000) AS BIGINT) AS batch_id,
+                count(*) AS n, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         FROM r GROUP BY 1 ORDER BY batch_id""",
+    "q_batch_scaled" ->
       """WITH r AS (SELECT o_orderkey,
                     row_number() OVER (ORDER BY o_orderkey) AS rn FROM orders)
          SELECT CAST(floor((rn - 1) / 1000) AS BIGINT) AS batch_id,

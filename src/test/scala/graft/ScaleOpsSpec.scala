@@ -37,6 +37,25 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(salts == 8)
   }
 
+  test("globalRowNumber matches the single-partition window row_number") {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.table(spark, dir, "orders").select("o_orderkey")
+    val expected = o
+      .withColumn("rn", row_number().over(Window.orderBy("o_orderkey"))
+        .cast("long"))
+    val got = ScaleOps.globalRowNumber(o, partitions = 7, col("o_orderkey"))
+    assert(got.exceptAll(expected.select(got.columns.map(col): _*)).isEmpty)
+    assert(expected.exceptAll(got.select(expected.columns.map(col): _*)).isEmpty)
+  }
+
+  test("globalRowNumber plans no single-partition exchange or window") {
+    val o = Tables.table(spark, dir, "orders").select("o_orderkey")
+    val p = ScaleOps.globalRowNumber(o, partitions = 7, col("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global index funnels through one partition:\n$p")
+  }
+
   test("bucketed tables join without any exchange") {
     // default warehouse dir (./spark-warehouse, gitignored) — the
     // warehouse.dir config is static and can't be set per-test
