@@ -53,7 +53,10 @@ object AnalyticsQueries {
           (col("sum_base_price_d") * 100).cast("bigint").as("sum_base_price_c"),
           (col("sum_disc_price_d") * 10000).cast("bigint").as("sum_disc_price_c"),
           col("n"),
-          round(col("sum_qty_d").cast("double") / col("n"), 6).as("avg_qty"))
+          // fixed-point micro-units: round(x,6) would depend on each
+          // engine's shortest-repr formatting; an integer never does
+          round(col("sum_qty_d").cast("double") / col("n") * lit(1e6))
+            .cast("bigint").as("avg_qty_c"))
         .orderBy("l_returnflag", "l_linestatus")),
 
     // Star join: fact ⋈ broadcast dims, revenue per region/nation.
@@ -277,6 +280,27 @@ object AnalyticsQueries {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
 
+    // Approximate percentiles — the scale path for q_quantiles. The
+    // exact form's sort-based aggregation buffers every group value
+    // (3 groups ⇒ parallelism 3 and an unbounded buffer: an
+    // executor-OOM at 100×, kept only as the oracle-checked demo);
+    // approx_percentile keeps a bounded sketch per group, map-side
+    // combinable, so work stays partition-parallel at any scale.
+    // Rows-only: the sketch is engine-specific; QuantilesSpec
+    // tolerance-checks it against the exact form.
+    "q_quantiles_approx" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_percentile(col("l_quantity").cast("double"), lit(0.5),
+            lit(1000)).as("p50_qty"),
+          approx_percentile(col("l_quantity").cast("double"), lit(0.9),
+            lit(1000)).as("p90_qty"),
+          approx_percentile(col("l_extendedprice").cast("double"), lit(0.99),
+            lit(1000)).as("p99_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
     // JSON path extraction over the events props payload (§2.9: the
     // reference only en/decodes JSON at the API edge; here it's a
     // first-class columnar op).
@@ -320,8 +344,8 @@ object AnalyticsQueries {
              (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
              AS DECIMAL(18,4))) AS DECIMAL(18,4)) * 10000 AS BIGINT) AS sum_disc_price_c,
            count(*) AS n,
-           round(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
-             AS DOUBLE) / count(*), 6) AS avg_qty
+           CAST(round(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
+             AS DOUBLE) / count(*) * 1e6) AS BIGINT) AS avg_qty_c
          FROM lineitem
          WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          GROUP BY l_returnflag, l_linestatus
@@ -466,8 +490,9 @@ object AnalyticsQueries {
            TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
            TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket
          FROM events ORDER BY event_id""",
-    // q_approx_distinct: intentionally no oracle (sketch is
-    // engine-specific; rows-only check).
+    // q_approx_distinct / q_quantiles_approx: intentionally no oracle
+    // (sketches are engine-specific; rows-only checks — the exact
+    // forms q_distinct_agg / q_quantiles are the oracle-checked twins).
     "q_setops" ->
       """SELECT 'both' AS rel, k FROM
            (SELECT DISTINCT c_nationkey AS k FROM customer
