@@ -1,0 +1,109 @@
+package graft.sync
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+
+/** Staged-copy bulk load — the reference's core warehouse tactic: the
+  * table body goes to a stage as gzip CSV, then one set-based `COPY`
+  * moves it into the warehouse (`app/data.py:63-79` s3_copy +
+  * `:106-113` Redshift COPY; `:243-254` Snowflake PUT + COPY INTO).
+  * The JDBC batch writer ([[JdbcDestination]]) is the offline
+  * fallback; this is the behavior-faithful path.
+  *
+  * Spark-first difference from the reference: the stage write is a
+  * parallel multi-part gzip CSV (every executor writes its partition),
+  * and the generated COPY loads the whole prefix — both warehouses
+  * ingest a file set in one statement, so staging stays distributed at
+  * any scale instead of funneling through one gzip stream. Files are
+  * headerless like the reference's (`writer.writerows(iterator)` after
+  * `next(iterator)` skips the header): COPY maps columns by position.
+  *
+  * No warehouse is reachable in this environment, so specs pin the
+  * statement text and the staged files; the statements are exactly
+  * what a connected runner would execute.
+  */
+object StagedCopy {
+
+  final case class Staged(
+      stageDir: String,
+      files: Seq[String], // staged part files (relative to stageDir)
+      statements: Seq[String], // execute in order on the warehouse
+      nRecords: Long)
+
+  /** Parallel headerless gzip-CSV stage write; returns part files. */
+  private def writeStage(df: DataFrame, dir: Path): (Seq[String], Long) = {
+    val cached = df.persist()
+    try {
+      cached.write.mode("overwrite")
+        .option("header", "false")
+        .option("emptyValue", "") // python csv.writer: bare empty cells
+        .option("compression", "gzip")
+        .csv(dir.toString)
+      val parts = {
+        val s = Files.list(dir)
+        try s.iterator().asScala
+          .map(_.getFileName.toString)
+          .filter(n => n.startsWith("part-") && n.endsWith(".csv.gz"))
+          .toSeq.sorted
+        finally s.close()
+      }
+      (parts, cached.count())
+    } finally cached.unpersist()
+  }
+
+  /** Redshift: stage under `s3://bucket/prefix/` and COPY the prefix.
+    * Statement shape mirrors `app/data.py:106-113` (GZIP csv,
+    * COMPUPDATE OFF, explicit region), widened from one key to the
+    * part-file prefix.
+    */
+  def redshift(
+      df: DataFrame,
+      tableName: String,
+      path: String,
+      localStageDir: String,
+      bucket: String,
+      iamRole: String,
+      region: String = "eu-central-1"): Staged = {
+    val schema = JdbcDestination.targetSchema(path)
+    val dir = Paths.get(localStageDir, tableName)
+    val (files, n) = writeStage(df, dir)
+    val prefix = s"excel-to-database/$tableName/"
+    val copy =
+      s"""COPY $schema.$tableName
+         |FROM 's3://$bucket/$prefix'
+         |iam_role '$iamRole'
+         |GZIP
+         |csv
+         |COMPUPDATE OFF
+         |region '$region';""".stripMargin
+    Staged(dir.toString, files, Seq(copy), n)
+  }
+
+  /** Snowflake: table-stage PUT per part file + one COPY INTO.
+    * Statement sequence mirrors `app/data.py:243-254`: recreate the
+    * temporary stage, REMOVE leftovers (PUT skips same-named files),
+    * PUT with OVERWRITE, COPY with optionally-quoted CSV fields.
+    */
+  def snowflake(
+      df: DataFrame,
+      tableName: String,
+      path: String,
+      localStageDir: String): Staged = {
+    val schema = JdbcDestination.targetSchema(path)
+    val dir = Paths.get(localStageDir, tableName)
+    val (files, n) = writeStage(df, dir)
+    val statements = Seq(
+      s"USE SCHEMA $schema",
+      s"CREATE OR REPLACE TEMPORARY STAGE $tableName;",
+      s"REMOVE @%$tableName;") ++
+      files.map(f => s"PUT file://$dir/$f @%$tableName OVERWRITE=TRUE") :+
+      s"""COPY INTO $tableName file_format = (
+         |    TYPE = CSV
+         |    FIELD_OPTIONALLY_ENCLOSED_BY = '"'
+         |)""".stripMargin
+    Staged(dir.toString, files, statements, n)
+  }
+}
