@@ -33,7 +33,11 @@ object Bench {
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        } catch { case _: Throwable => () }
+        } catch { case e: Throwable =>
+          // visibility only (timing semantics frozen): a broken query
+          // must not silently read as a fast one
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         // drop persisted subplans so caches neither accumulate nor
         // carry one query's work into another's timing
