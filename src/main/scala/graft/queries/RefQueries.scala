@@ -117,6 +117,21 @@ object RefQueries {
         .orderBy("row_id")
     }),
 
+    // Same reshape semantics as q_reshape through the scale-safe
+    // global index — lineitem never funnels through one task.
+    "q_reshape_scaled" -> ((s, dir) => {
+      val flat = t(s, dir, "lineitem")
+        .select((col("l_orderkey") * 10 + col("l_linenumber")).as("v"))
+      val indexed = graft.ops.ScaleOps.globalRowNumber(flat, 32, col("v"))
+        .withColumn("row_id", floor((col("rn") - 1) / 7))
+        .withColumn("colpos", (col("rn") - 1) % 7)
+      val cells = (0 until 7).map(i =>
+        max(when(col("colpos") === i, col("v"))).as(s"c$i"))
+      indexed.groupBy("row_id")
+        .agg(cells.head, cells.tail: _*)
+        .orderBy("row_id")
+    }),
+
     // §2.8 schema-diff set equality (data.py:120-131): case-folded,
     // sorted column-set compare → Truncate vs DropCreate, done
     // data-driven over a distinct value set.
@@ -229,6 +244,19 @@ object RefQueries {
                 count(*) AS n, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
          FROM r GROUP BY 1 ORDER BY batch_id""",
     "q_reshape" ->
+      """WITH flat AS (
+           SELECT l_orderkey * 10 + l_linenumber AS v FROM lineitem),
+         r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM flat)
+         SELECT CAST(floor((rn - 1) / 7) AS BIGINT) AS row_id,
+                max(CASE WHEN (rn - 1) % 7 = 0 THEN v END) AS c0,
+                max(CASE WHEN (rn - 1) % 7 = 1 THEN v END) AS c1,
+                max(CASE WHEN (rn - 1) % 7 = 2 THEN v END) AS c2,
+                max(CASE WHEN (rn - 1) % 7 = 3 THEN v END) AS c3,
+                max(CASE WHEN (rn - 1) % 7 = 4 THEN v END) AS c4,
+                max(CASE WHEN (rn - 1) % 7 = 5 THEN v END) AS c5,
+                max(CASE WHEN (rn - 1) % 7 = 6 THEN v END) AS c6
+         FROM r GROUP BY 1 ORDER BY row_id""",
+    "q_reshape_scaled" ->
       """WITH flat AS (
            SELECT l_orderkey * 10 + l_linenumber AS v FROM lineitem),
          r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM flat)

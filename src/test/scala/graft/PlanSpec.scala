@@ -80,10 +80,12 @@ class PlanSpec extends AnyFunSuite {
       s"simhash pairing plans a cartesian:\n$p")
   }
 
-  test("q_batch_scaled: batching without a single-partition window") {
-    val p = plan("q_batch_scaled")
-    assert(!p.contains("Exchange SinglePartition"),
-      s"scaled batching still funnels through one partition:\n$p")
+  test("scaled batching/reshape twins have no single-partition exchange") {
+    Seq("q_batch_scaled", "q_reshape_scaled").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$name still funnels through one partition:\n$p")
+    }
   }
 
   test("q_topk_agg: map-side partial heap aggregation (no per-query sort)") {
