@@ -143,6 +143,27 @@ object VectorQueries {
         .orderBy("q_id")
     }),
 
+    // Embedding-cosine near-dup at scale: same pair semantics as
+    // q_cosine_pairs but candidates come only from shared LSH buckets
+    // (seeded Rademacher planes) — the bucket id is the shuffle key,
+    // so pair mining is bucket-local instead of all-pairs. Mirrors the
+    // minhash/simhash banding pattern for the embedding modality.
+    "q_cosine_pairs_lsh" -> ((s, dir) => {
+      val pm = graft.ops.CosineLsh.planes(k = 8, dim = 64)
+      val e = withNorm(emb(s, dir).filter(col("vec_id") < 300)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v")))
+        .withColumn("bucket", graft.ops.CosineLsh.bucketCol(col("v"), pm))
+      val a = e.select(col("vec_id").as("a"), col("v").as("va"),
+        col("nrm").as("na"), col("bucket"))
+      val b = e.select(col("vec_id").as("b"), col("v").as("vb"),
+        col("nrm").as("nb"), col("bucket").as("bbucket"))
+      a.join(b, col("bucket") === col("bbucket") && col("a") < col("b"))
+        .withColumn("cos_r", cosR(col("va"), col("vb"), col("na"), col("nb")))
+        .filter(col("cos_r") >= 0.2)
+        .select(col("a"), col("b"), col("bucket"), col("cos_r"))
+        .orderBy("a", "b")
+    }),
+
     // Top-k per query via the bounded map-side heap aggregate
     // (graft.expr.TopKByScore) instead of shuffle+sort window rank:
     // same scored set and the same total order as q_ann_topk, but at
@@ -307,6 +328,19 @@ object VectorQueries {
              (PARTITION BY q_id ORDER BY cos_r DESC, cand_id) AS rk FROM p)
          SELECT q_id, cand_id, cell, cos_r FROM r WHERE rk = 1
          ORDER BY q_id""",
+    "q_cosine_pairs_lsh" ->
+      s"""WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id < 300),
+         n AS (SELECT * FROM (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+             $lshBucketSql AS bucket FROM e) WHERE nrm > 0)
+         SELECT a.vec_id AS a, b.vec_id AS b, a.bucket,
+             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_r
+         FROM n a JOIN n b
+           ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.2
+         ORDER BY a, b""",
     "q_topk_agg" ->
       """WITH e AS (SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
