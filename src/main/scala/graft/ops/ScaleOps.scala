@@ -60,17 +60,26 @@ object ScaleOps {
   /** Global row number WITHOUT a single-partition window — the
     * zipWithIndex shape in DataFrame terms.
     *
-    * Range-partition + sort-within-partitions by the order columns
-    * gives a total order across partition ids; one tiny counting job
-    * (exactly what `RDD.zipWithIndex` runs internally) yields each
-    * partition's row count, whose prefix sums become per-partition
-    * offsets; `rn` is then offset + intra-partition `row_number` — a
-    * window keyed by partition id, parallel across the cluster. The
-    * driver materializes only `partitions` (count, offset) pairs, never
+    * Range-partition by the order columns — partition id order IS
+    * value order; one tiny counting job (exactly what
+    * `RDD.zipWithIndex` runs internally) yields each partition's row
+    * count, whose prefix sums become per-partition offsets; `rn` is
+    * then offset + intra-partition `row_number` — a window keyed by
+    * partition id, parallel across the cluster. The driver
+    * materializes only `partitions` (count, offset) pairs, never
     * rows. Adds column `rn` (1-based, long) to `df`'s columns.
     *
-    * Order columns must be a total order (unique key) for `rn` to be
-    * deterministic — same contract as a global `row_number`.
+    * The persist below is CORRECTNESS, not caching: `repartitionByRange`
+    * samples its range boundaries per physical plan, so the counting
+    * job and the main pass would each draw their own boundaries over
+    * an unpersisted input and the offsets would describe the wrong
+    * partitions (observed as off-by-a-few row numbers). Persisting the
+    * shaped input pins one materialization that both passes read —
+    * the price is that the cache lives until the caller's next
+    * `clearCache` (Verify/Bench clear between queries; library callers
+    * running many indexes should do the same). Order columns must be a
+    * total order (unique key) for `rn` to be deterministic — same
+    * contract as a global `row_number`.
     */
   def globalRowNumber(
       df: DataFrame,
@@ -81,9 +90,8 @@ object ScaleOps {
     import spark.implicits._
     val shaped = df
       .repartitionByRange(partitions, orderCols: _*)
-      .sortWithinPartitions(orderCols: _*)
       .withColumn("__pid", spark_partition_id())
-      .persist() // two consumers: the offset job + the main pass
+      .persist()
     val counts = shaped.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
       .orderBy("__pid")
       .collect()

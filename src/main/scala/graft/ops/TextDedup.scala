@@ -156,8 +156,10 @@ object TextDedup {
     * already-cached round output — one action per round, no extra
     * join. The superseded generation is unpersisted every round, and
     * every 5th round materializes via `localCheckpoint` so lineage
-    * stays bounded (an evicted partition recomputes one generation,
-    * never the whole chain).
+    * stays bounded: between checkpoints an evicted partition recomputes
+    * at most the generations since the last cut (checkpointed blocks
+    * themselves are stored, not recomputable — the standard
+    * localCheckpoint trade for unbounded-lineage iteration).
     */
   def clusters(
       ids: DataFrame, // single column: the id universe
@@ -190,6 +192,10 @@ object TextDedup {
       // new label is min over a set containing the old one, so
       // changed ⟺ new != old — counted off the cached round output
       changed = next.filter(col("cluster_id") =!= col("own")).count()
+      // drops persisted generations eagerly; for the checkpointed ones
+      // this is a no-op (localCheckpoint caches at the RDD level, which
+      // the CacheManager doesn't track) — their blocks are reclaimed by
+      // the ContextCleaner once the generation is unreferenced
       if (prevGen != null) prevGen.unpersist()
       prevGen = next
       labels = next.select("id", "cluster_id")
@@ -214,6 +220,10 @@ object TextDedup {
     * No all-pairs comparison anywhere in the plan.
     */
   def simhashPairs(sim: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+    // >= 32 would create zero-width bands whose band_val is 0 for every
+    // row — one hot bucket, i.e. the all-pairs join this exists to avoid
+    require(maxHamming >= 0 && maxHamming < 32,
+      s"maxHamming must be in [0, 32), got $maxHamming")
     val nBands = maxHamming + 1
     val bands = (0 until nBands).map { b =>
       val lo = b * 32 / nBands

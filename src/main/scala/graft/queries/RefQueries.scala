@@ -201,6 +201,29 @@ object RefQueries {
         .orderBy("sample_id")
     }))
 
+  // Shared by the reference-faithful form and its scale twin: both
+  // must produce exactly these results, so each pair has one oracle.
+  private val batchOracle =
+    """WITH r AS (SELECT o_orderkey,
+                    row_number() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+         SELECT CAST(floor((rn - 1) / 1000) AS BIGINT) AS batch_id,
+                count(*) AS n, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         FROM r GROUP BY 1 ORDER BY batch_id"""
+
+  private val reshapeOracle =
+    """WITH flat AS (
+           SELECT l_orderkey * 10 + l_linenumber AS v FROM lineitem),
+         r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM flat)
+         SELECT CAST(floor((rn - 1) / 7) AS BIGINT) AS row_id,
+                max(CASE WHEN (rn - 1) % 7 = 0 THEN v END) AS c0,
+                max(CASE WHEN (rn - 1) % 7 = 1 THEN v END) AS c1,
+                max(CASE WHEN (rn - 1) % 7 = 2 THEN v END) AS c2,
+                max(CASE WHEN (rn - 1) % 7 = 3 THEN v END) AS c3,
+                max(CASE WHEN (rn - 1) % 7 = 4 THEN v END) AS c4,
+                max(CASE WHEN (rn - 1) % 7 = 5 THEN v END) AS c5,
+                max(CASE WHEN (rn - 1) % 7 = 6 THEN v END) AS c6
+         FROM r GROUP BY 1 ORDER BY row_id"""
+
   val oracles: Map[String, String] = Map(
     "q_sqlify" ->
       """SELECT regexp_replace(lower(p_name), '[^a-zA-Z0-9]+', '_', 'g') AS sqlified,
@@ -231,44 +254,10 @@ object RefQueries {
          UNION ALL SELECT 'documents', count(*) FROM documents
          UNION ALL SELECT 'embeddings', count(*) FROM embeddings
          ORDER BY tbl""",
-    "q_batch" ->
-      """WITH r AS (SELECT o_orderkey,
-                    row_number() OVER (ORDER BY o_orderkey) AS rn FROM orders)
-         SELECT CAST(floor((rn - 1) / 1000) AS BIGINT) AS batch_id,
-                count(*) AS n, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
-         FROM r GROUP BY 1 ORDER BY batch_id""",
-    "q_batch_scaled" ->
-      """WITH r AS (SELECT o_orderkey,
-                    row_number() OVER (ORDER BY o_orderkey) AS rn FROM orders)
-         SELECT CAST(floor((rn - 1) / 1000) AS BIGINT) AS batch_id,
-                count(*) AS n, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
-         FROM r GROUP BY 1 ORDER BY batch_id""",
-    "q_reshape" ->
-      """WITH flat AS (
-           SELECT l_orderkey * 10 + l_linenumber AS v FROM lineitem),
-         r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM flat)
-         SELECT CAST(floor((rn - 1) / 7) AS BIGINT) AS row_id,
-                max(CASE WHEN (rn - 1) % 7 = 0 THEN v END) AS c0,
-                max(CASE WHEN (rn - 1) % 7 = 1 THEN v END) AS c1,
-                max(CASE WHEN (rn - 1) % 7 = 2 THEN v END) AS c2,
-                max(CASE WHEN (rn - 1) % 7 = 3 THEN v END) AS c3,
-                max(CASE WHEN (rn - 1) % 7 = 4 THEN v END) AS c4,
-                max(CASE WHEN (rn - 1) % 7 = 5 THEN v END) AS c5,
-                max(CASE WHEN (rn - 1) % 7 = 6 THEN v END) AS c6
-         FROM r GROUP BY 1 ORDER BY row_id""",
-    "q_reshape_scaled" ->
-      """WITH flat AS (
-           SELECT l_orderkey * 10 + l_linenumber AS v FROM lineitem),
-         r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM flat)
-         SELECT CAST(floor((rn - 1) / 7) AS BIGINT) AS row_id,
-                max(CASE WHEN (rn - 1) % 7 = 0 THEN v END) AS c0,
-                max(CASE WHEN (rn - 1) % 7 = 1 THEN v END) AS c1,
-                max(CASE WHEN (rn - 1) % 7 = 2 THEN v END) AS c2,
-                max(CASE WHEN (rn - 1) % 7 = 3 THEN v END) AS c3,
-                max(CASE WHEN (rn - 1) % 7 = 4 THEN v END) AS c4,
-                max(CASE WHEN (rn - 1) % 7 = 5 THEN v END) AS c5,
-                max(CASE WHEN (rn - 1) % 7 = 6 THEN v END) AS c6
-         FROM r GROUP BY 1 ORDER BY row_id""",
+    "q_batch" -> batchOracle,
+    "q_batch_scaled" -> batchOracle,
+    "q_reshape" -> reshapeOracle,
+    "q_reshape_scaled" -> reshapeOracle,
     "q_schemadiff" ->
       """SELECT colset,
                 CASE WHEN colset = 'click,error,purchase,signup,view'

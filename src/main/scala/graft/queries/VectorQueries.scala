@@ -58,6 +58,30 @@ object VectorQueries {
       .map(i => when(element_at(v, i + 1) >= 0d, lit(1 << i)).otherwise(lit(0)))
       .reduce(_ + _)
 
+  /** Nearest same-bucket neighbor per query vector — shared by the
+    * axis-plane (q_ann_bucketed) and random-hyperplane (q_ann_lsh)
+    * variants, which differ only in how `bucket` was derived. `e` must
+    * carry (vec_id, v, nrm, bucket); persisted here — both join sides
+    * read it (CLAUDE.md self-join rule).
+    */
+  private def nearestInBucket(e: DataFrame, queryCap: Int): DataFrame = {
+    val ep = e.persist()
+    val q = ep.filter(col("vec_id") < queryCap)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket"))
+    val c = ep.select(col("vec_id").as("cand_id"), col("v").as("cv"),
+      col("nrm").as("cn"), col("bucket").as("cbucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_r").desc, col("cand_id"))
+    q.join(c, col("bucket") === col("cbucket") &&
+        col("q_id") =!= col("cand_id"))
+      .withColumn("cos_r", cosR(col("qv"), col("cv"), col("qn"), col("cn")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("q_id"), col("cand_id"), col("bucket"), col("cos_r"))
+      .orderBy("q_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Norms + dims: the sanity surface for the vector column.
@@ -74,6 +98,7 @@ object VectorQueries {
     "q_cosine_pairs" -> ((s, dir) => {
       val e = withNorm(emb(s, dir).filter(col("vec_id") < 300)
         .select(col("vec_id"), asDouble(col("embedding")).as("v")))
+        .persist() // both self-join sides read it
       val a = e.select(col("vec_id").as("a"), col("v").as("va"),
         col("nrm").as("na"))
       val b = e.select(col("vec_id").as("b"), col("v").as("vb"),
@@ -89,6 +114,7 @@ object VectorQueries {
     "q_ann_topk" -> ((s, dir) => {
       val e = withNorm(emb(s, dir).filter(col("vec_id") < 2000)
         .select(col("vec_id"), asDouble(col("embedding")).as("v")))
+        .persist() // query and candidate sides share it
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("v").as("qv"),
           col("nrm").as("qn"))
@@ -153,6 +179,7 @@ object VectorQueries {
       val e = withNorm(emb(s, dir).filter(col("vec_id") < 300)
         .select(col("vec_id"), asDouble(col("embedding")).as("v")))
         .withColumn("bucket", graft.ops.CosineLsh.bucketCol(col("v"), pm))
+        .persist() // both self-join sides read it
       val a = e.select(col("vec_id").as("a"), col("v").as("va"),
         col("nrm").as("na"), col("bucket"))
       val b = e.select(col("vec_id").as("b"), col("v").as("vb"),
@@ -172,6 +199,7 @@ object VectorQueries {
     "q_topk_agg" -> ((s, dir) => {
       val e = withNorm(emb(s, dir).filter(col("vec_id") < 2000)
         .select(col("vec_id"), asDouble(col("embedding")).as("v")))
+        .persist() // query and candidate sides share it
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("v").as("qv"),
           col("nrm").as("qn"))
@@ -196,23 +224,11 @@ object VectorQueries {
     // neighbor. Oracle-exact: the plane matrix is literal on both sides.
     "q_ann_lsh" -> ((s, dir) => {
       val pm = graft.ops.CosineLsh.planes(k = 8, dim = 64)
-      val e = withNorm(emb(s, dir).filter(col("vec_id") < 2000)
-        .select(col("vec_id"), asDouble(col("embedding")).as("v")))
-        .withColumn("bucket", graft.ops.CosineLsh.bucketCol(col("v"), pm))
-      val q = e.filter(col("vec_id") < 50)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"),
-          col("nrm").as("qn"), col("bucket"))
-      val c = e.select(col("vec_id").as("cand_id"), col("v").as("cv"),
-        col("nrm").as("cn"), col("bucket").as("cbucket"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("q_id").orderBy(col("cos_r").desc, col("cand_id"))
-      q.join(c, col("bucket") === col("cbucket") &&
-          col("q_id") =!= col("cand_id"))
-        .withColumn("cos_r", cosR(col("qv"), col("cv"), col("qn"), col("cn")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("q_id"), col("cand_id"), col("bucket"), col("cos_r"))
-        .orderBy("q_id")
+      nearestInBucket(
+        withNorm(emb(s, dir).filter(col("vec_id") < 2000)
+          .select(col("vec_id"), asDouble(col("embedding")).as("v")))
+          .withColumn("bucket", graft.ops.CosineLsh.bucketCol(col("v"), pm)),
+        queryCap = 50)
     }),
 
     // IVF with k-means-trained centroids + nprobe (graft.ops.IvfIndex)
@@ -233,26 +249,14 @@ object VectorQueries {
         .orderBy("q_id", "rank")
     }),
 
-    // LSH-bucketed similarity search: nearest same-bucket neighbor.
-    "q_ann_bucketed" -> ((s, dir) => {
-      val e = withNorm(emb(s, dir).filter(col("vec_id") < 2000)
-        .select(col("vec_id"), asDouble(col("embedding")).as("v")))
-        .withColumn("bucket", signBucket(col("v"), 8))
-      val q = e.filter(col("vec_id") < 50)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"),
-          col("nrm").as("qn"), col("bucket"))
-      val c = e.select(col("vec_id").as("cand_id"), col("v").as("cv"),
-        col("nrm").as("cn"), col("bucket").as("cbucket"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("q_id").orderBy(col("cos_r").desc, col("cand_id"))
-      q.join(c, col("bucket") === col("cbucket") &&
-          col("q_id") =!= col("cand_id"))
-        .withColumn("cos_r", cosR(col("qv"), col("cv"), col("qn"), col("cn")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("q_id"), col("cand_id"), col("bucket"), col("cos_r"))
-        .orderBy("q_id")
-    }))
+    // LSH-bucketed similarity search: nearest same-bucket neighbor
+    // (axis hyperplanes keep this variant's oracle trivially exact).
+    "q_ann_bucketed" -> ((s, dir) =>
+      nearestInBucket(
+        withNorm(emb(s, dir).filter(col("vec_id") < 2000)
+          .select(col("vec_id"), asDouble(col("embedding")).as("v")))
+          .withColumn("bucket", signBucket(col("v"), 8)),
+        queryCap = 50)))
 
   private val bucketSql = (0 until 8)
     .map(i => s"(CASE WHEN v[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
@@ -267,6 +271,26 @@ object VectorQueries {
         .mkString("[", ", ", "]")
       s"(CASE WHEN list_dot_product(v, $arr) >= 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString(" + ")
+
+  // One definition for the top-3-per-query result: q_ann_topk derives
+  // it via the window-rank idiom, q_topk_agg via the heap aggregate —
+  // both must produce exactly this, so they share the oracle text.
+  private val topk3Oracle =
+    """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id < 2000),
+         n AS (SELECT * FROM (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
+             WHERE nrm > 0),
+         p AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos_r
+           FROM n q JOIN n c ON c.vec_id >= 10
+           WHERE q.vec_id < 10),
+         r AS (SELECT *, CAST(row_number() OVER
+             (PARTITION BY q_id ORDER BY cos_r DESC, cand_id) AS BIGINT) AS rank
+           FROM p)
+         SELECT q_id, cand_id, rank, cos_r FROM r WHERE rank <= 3
+         ORDER BY q_id, rank"""
 
   val oracles: Map[String, String] = Map(
     "q_vec_norm" ->
@@ -287,22 +311,7 @@ object VectorQueries {
          FROM n a JOIN n b ON a.vec_id < b.vec_id
          WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.2
          ORDER BY a, b""",
-    "q_ann_topk" ->
-      """WITH e AS (SELECT vec_id,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           FROM embeddings WHERE vec_id < 2000),
-         n AS (SELECT * FROM (SELECT vec_id, v,
-             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
-             WHERE nrm > 0),
-         p AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
-             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos_r
-           FROM n q JOIN n c ON c.vec_id >= 10
-           WHERE q.vec_id < 10),
-         r AS (SELECT *, CAST(row_number() OVER
-             (PARTITION BY q_id ORDER BY cos_r DESC, cand_id) AS BIGINT) AS rank
-           FROM p)
-         SELECT q_id, cand_id, rank, cos_r FROM r WHERE rank <= 3
-         ORDER BY q_id, rank""",
+    "q_ann_topk" -> topk3Oracle,
     "q_ann_ivf" ->
       """WITH e AS (SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -341,22 +350,7 @@ object VectorQueries {
            ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.2
          ORDER BY a, b""",
-    "q_topk_agg" ->
-      """WITH e AS (SELECT vec_id,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           FROM embeddings WHERE vec_id < 2000),
-         n AS (SELECT * FROM (SELECT vec_id, v,
-             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
-             WHERE nrm > 0),
-         p AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
-             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos_r
-           FROM n q JOIN n c ON c.vec_id >= 10
-           WHERE q.vec_id < 10),
-         r AS (SELECT *, CAST(row_number() OVER
-             (PARTITION BY q_id ORDER BY cos_r DESC, cand_id) AS BIGINT) AS rank
-           FROM p)
-         SELECT q_id, cand_id, rank, cos_r FROM r WHERE rank <= 3
-         ORDER BY q_id, rank""",
+    "q_topk_agg" -> topk3Oracle,
     "q_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -57,7 +57,14 @@ object StagedCopy {
   /** Redshift: stage under `s3://bucket/prefix/` and COPY the prefix.
     * Statement shape mirrors `app/data.py:106-113` (GZIP csv,
     * COMPUPDATE OFF, explicit region), widened from one key to the
-    * part-file prefix.
+    * part-file prefix. The prefix is scoped by the target schema, so
+    * two tenants loading the same table name never share staged files.
+    *
+    * Prefix-wide COPY contract: the uploader must MIRROR the returned
+    * stage dir to the prefix (delete-then-upload, not additive) — a
+    * leftover part file from a previous run would be ingested as
+    * duplicate rows, the same way the reference's single-key put
+    * overwrote its object.
     */
   def redshift(
       df: DataFrame,
@@ -68,9 +75,9 @@ object StagedCopy {
       iamRole: String,
       region: String = "eu-central-1"): Staged = {
     val schema = JdbcDestination.targetSchema(path)
-    val dir = Paths.get(localStageDir, tableName)
+    val dir = Paths.get(localStageDir, schema, tableName)
     val (files, n) = writeStage(df, dir)
-    val prefix = s"excel-to-database/$tableName/"
+    val prefix = s"excel-to-database/$schema/$tableName/"
     val copy =
       s"""COPY $schema.$tableName
          |FROM 's3://$bucket/$prefix'
@@ -93,7 +100,9 @@ object StagedCopy {
       path: String,
       localStageDir: String): Staged = {
     val schema = JdbcDestination.targetSchema(path)
-    val dir = Paths.get(localStageDir, tableName)
+    // schema-scoped like the Redshift prefix: two tenants loading the
+    // same table name never collide in one local stage dir
+    val dir = Paths.get(localStageDir, schema, tableName)
     val (files, n) = writeStage(df, dir)
     val statements = Seq(
       s"USE SCHEMA $schema",

@@ -94,7 +94,9 @@ class PlanSpec extends AnyFunSuite {
     // final means only k-element buffers cross the shuffle
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
       s"expected partial+final ObjectHashAggregate in:\n$p")
-    assert(!p.contains("SortExec") || !p.contains("WindowExec"),
+    // plan nodes print without the Exec suffix ("Window [...]"): the
+    // heap aggregate must leave no window operator in the plan at all
+    assert(!"\\bWindow\\b".r.findFirstIn(p).isDefined,
       s"top-k fell back to a window sort:\n$p")
   }
 

@@ -39,7 +39,9 @@ class StagedCopySpec extends AnyFunSuite {
     assert(lines.sorted == Seq("a,1", "b,", "c,3")) // no header, bare empty
     val copy = st.statements.head
     assert(copy.contains("COPY x_excel_tenant_1.mytable"))
-    assert(copy.contains("FROM 's3://my-bucket/excel-to-database/mytable/'"))
+    // prefix scoped by schema: tenants never share staged files
+    assert(copy.contains(
+      "FROM 's3://my-bucket/excel-to-database/x_excel_tenant_1/mytable/'"))
     assert(copy.contains("iam_role 'arn:aws:iam::1:role/load'"))
     assert(copy.contains("GZIP"))
     assert(copy.contains("COMPUPDATE OFF"))
