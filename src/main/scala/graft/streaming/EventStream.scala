@@ -83,6 +83,26 @@ object EventStream {
         col("n_events"))
   }
 
+  /** Streaming exact dedup — the batch `TextDedup.exact` semantics
+    * expressed incrementally: rows keyed by the normalized-text md5
+    * fingerprint, first arrival kept, later duplicates dropped.
+    * `dropDuplicatesWithinWatermark` holds per-key state only until
+    * the watermark passes the key's event time, so state is bounded by
+    * the lateness horizon — a plain `dropDuplicates` on a stream grows
+    * state forever, which is the classic 100 TB/forever-running
+    * pipeline leak. Input needs (`textCol`, `tsCol` event-time).
+    */
+  def dedupExact(
+      docs: DataFrame,
+      textCol: String = "text",
+      tsCol: String = "ts",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("fp",
+        md5(lower(trim(regexp_replace(col(textCol), "\\s+", " ")))))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Gap-based sessionization with custom state
     * (`flatMapGroupsWithState`, event-time timeout): a session closes
     * when `gapSeconds` passes without an event, or when the watermark

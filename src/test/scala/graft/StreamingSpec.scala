@@ -112,6 +112,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(sw == batch)
   }
 
+  test("streaming exact dedup keeps first arrival, drops watermark-horizon dupes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = EventStream.dedupExact(
+      input.toDF().toDF("doc_id", "ts", "text"),
+      watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts(0), "the quick brown fox"),
+        (2L, ts(1), "the  quick   brown fox"), // ws-normalized dupe of 1
+        (3L, ts(2), "a different document"))
+      q.processAllAvailable()
+      // same fingerprint again within the horizon: still a dupe
+      input.addData((4L, ts(5), "the quick brown fox"))
+      q.processAllAvailable()
+      val kept = spark.table("dedup").select("doc_id")
+        .as[Long].collect().sorted.toSeq
+      assert(kept == Seq(1L, 3L), s"kept=$kept")
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions on gap and watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
