@@ -321,6 +321,26 @@ object AnalyticsQueries {
           count(lit(1)).as("n"))
         .orderBy("event_type")),
 
+    // Skew-safe salted join (ScaleOps.saltedJoin): the event fact
+    // joined to a tiny weight dim on the skew-prone event_type key —
+    // the salt spreads each hot key over 8 reducers deterministically,
+    // and the aggregate proves result equality with the plain join
+    // (the oracle is the unsalted SQL).
+    "q_salted_join" -> ((s, dir) => {
+      import s.implicits._
+      val dim = Seq(("click", "0.50"), ("view", "0.10"),
+        ("purchase", "10.00"), ("signup", "2.00"), ("error", "0.00"))
+        .toDF("event_type", "weight")
+      graft.ops.ScaleOps.saltedJoin(
+        Tables.events(s, dir), dim, "event_type",
+        saltSource = col("event_id"), nSalts = 8)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          (sum(dec(col("value")) * dec(col("weight")))
+            .cast("decimal(18,4)") * 10000).cast("bigint").as("wsum_c"))
+        .orderBy("event_type")
+    }),
+
     // Set operations: nation keys of customers vs suppliers.
     "q_setops" -> ((s, dir) => {
       val cn = t(s, dir, "customer")
@@ -493,6 +513,17 @@ object AnalyticsQueries {
     // q_approx_distinct / q_quantiles_approx: intentionally no oracle
     // (sketches are engine-specific; rows-only checks — the exact
     // forms q_distinct_agg / q_quantiles are the oracle-checked twins).
+    "q_salted_join" ->
+      """SELECT e.event_type, count(*) AS n,
+           CAST(CAST(sum(CAST(e.value AS DECIMAL(12,2)) *
+             CAST(w.weight AS DECIMAL(12,2))) AS DECIMAL(18,4)) * 10000
+             AS BIGINT) AS wsum_c
+         FROM events e
+         JOIN (VALUES ('click', '0.50'), ('view', '0.10'),
+                      ('purchase', '10.00'), ('signup', '2.00'),
+                      ('error', '0.00')) AS w(event_type, weight)
+           ON e.event_type = w.event_type
+         GROUP BY e.event_type ORDER BY e.event_type""",
     "q_setops" ->
       """SELECT 'both' AS rel, k FROM
            (SELECT DISTINCT c_nationkey AS k FROM customer
