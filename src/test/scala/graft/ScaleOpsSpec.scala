@@ -48,6 +48,12 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(expected.exceptAll(got.select(expected.columns.map(col): _*)).isEmpty)
   }
 
+  test("globalRowNumber on empty input returns empty, not an error") {
+    import spark.implicits._
+    val empty = Seq.empty[Long].toDF("k")
+    assert(ScaleOps.globalRowNumber(empty, 4, col("k")).count() == 0)
+  }
+
   test("globalRowNumber plans no single-partition exchange or window") {
     val o = Tables.table(spark, dir, "orders").select("o_orderkey")
     val p = ScaleOps.globalRowNumber(o, partitions = 7, col("o_orderkey"))

@@ -63,6 +63,19 @@ class TextDedupSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("simhashPairs at maxHamming=0 degenerates to exact fingerprint equality") {
+    val sim = TextDedup.simhash(corpus, "doc_id", "text")
+    val pairs = TextDedup.simhashPairs(sim, "doc_id", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // docs 0 and 1 are byte-identical → identical fingerprints
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.forall { case (a, b) => a < b })
+    // out-of-range bounds are rejected, not silently degenerate
+    intercept[IllegalArgumentException] {
+      TextDedup.simhashPairs(sim, "doc_id", maxHamming = 32)
+    }
+  }
+
   test("clusters: connected components collapse chains to the smallest id") {
     import spark.implicits._
     val ids = (0L to 7L).toDF("id")
