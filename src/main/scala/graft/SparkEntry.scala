@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
   *  - [[graft.queries.AnalyticsQueries]] — core relational engine ops
   *    (agg/join/window/top-k/rollup/as-of) the library supports;
   *  - [[graft.queries.TextQueries]]  — text analysis + dedup family;
-  *  - [[graft.queries.VectorQueries]] — embedding similarity / ANN.
+  *  - [[graft.queries.VectorQueries]] — embedding similarity / ANN;
+  *  - [[graft.queries.CorpusQueries]] — corpus curation: sampling,
+  *    incremental dedup, quality→dedup keep set, shard packing.
   */
 object SparkEntry {
 
@@ -40,7 +42,8 @@ object SparkEntry {
     graft.queries.RefQueries.queries ++
       graft.queries.AnalyticsQueries.queries ++
       graft.queries.TextQueries.queries ++
-      graft.queries.VectorQueries.queries
+      graft.queries.VectorQueries.queries ++
+      graft.queries.CorpusQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -48,5 +51,6 @@ object SparkEntry {
     graft.queries.RefQueries.oracles ++
       graft.queries.AnalyticsQueries.oracles ++
       graft.queries.TextQueries.oracles ++
-      graft.queries.VectorQueries.oracles
+      graft.queries.VectorQueries.oracles ++
+      graft.queries.CorpusQueries.oracles
 }

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation building blocks for a training-data pipeline:
+  * deterministic sampling, incremental (batch-vs-corpus) dedup, and the
+  * composed quality→dedup keep/drop decision. Like [[TextDedup]], the
+  * declared queries in [[graft.queries.CorpusQueries]] are thin
+  * wrappers, so library users and the oracle gate run the same code.
+  *
+  * Scale stance:
+  *  - sampling is a pure per-row filter — no shuffle, no state, and
+  *    (being md5-derived, not `rand()`) reproducible under task retry
+  *    and across backfills, which `df.sample` is not;
+  *  - incremental dedup is one keyed anti-join on the fingerprint —
+  *    the nightly "drop what the corpus already has" shape; AQE picks
+  *    broadcast vs shuffled-hash by the corpus side's actual size;
+  *  - curation is scan + one hash exchange (the fingerprint window) —
+  *    quality gates are evaluated before the shuffle so only surviving
+  *    rows are exchanged.
+  */
+object Corpus {
+
+  /** Deterministic sampling bucket in [0, 100): md5 of `salt:id`.
+    * Same formula as the DuckDB oracle side; stable across engines,
+    * retries, and runs — the property that makes hash sampling the
+    * standard over `rand()` in data pipelines.
+    */
+  def hashBucket(idCol: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(s"$salt:"), idCol.cast("string"))), 1, 8),
+      16, 10).cast("long") % 100
+
+  /** Stratified deterministic sample: keep a row when its hash bucket
+    * falls under its stratum's percentage rate. `rates` maps stratum
+    * value → percent in [0, 100]; unlisted strata get `defaultRate`.
+    */
+  def hashSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      rates: Map[String, Int],
+      defaultRate: Int,
+      salt: String = "smpl"): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.withColumn("bucket", hashBucket(col(idCol), salt))
+      .filter(col("bucket") < rate)
+  }
+
+  /** Incremental dedup: fingerprint groups of `batch` that do NOT
+    * already exist in `corpus` — (fp, keep_id, n_batch). Keeps the
+    * smallest id per new group (in-batch dedup) and anti-joins the
+    * corpus fingerprint set (cross-batch dedup). This is the nightly
+    * ingest shape: the corpus side never rewrites, only its
+    * fingerprint set is read.
+    */
+  def incrementalDedup(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val fp = (c: Column) => md5(TextDedup.normText(c))
+    val corpusFp = corpus.select(fp(col(textCol)).as("fp")).distinct()
+    batch.select(col(idCol), fp(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_batch"))
+      .join(corpusFp, Seq("fp"), "left_anti")
+  }
+
+  /** Composed curation decision: quality gates (length / token count /
+    * stopword ratio) then exact dedup keeping the smallest surviving
+    * id per fingerprint. Output: one row per kept document with its
+    * stats. Gates run before the fingerprint exchange so dropped rows
+    * never shuffle.
+    */
+  def curate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      stopWords: Seq[String],
+      minLen: Int = 20,
+      maxLen: Int = 2000,
+      minTokens: Int = 5,
+      maxStopRatio: Double = 0.5): DataFrame = {
+    val tk = split(trim(col(textCol)), " ")
+    val w = Window.partitionBy("fp").orderBy(idCol)
+    df.select(df.columns.filterNot(_ == textCol).map(col) :+
+        size(tk).as("n_tokens") :+
+        size(filter(tk, x => x.isInCollection(stopWords))).as("n_stop") :+
+        length(col(textCol)).as("len_text") :+
+        md5(TextDedup.normText(col(textCol))).as("fp"): _*)
+      .filter(col("len_text").between(minLen, maxLen) &&
+        col("n_tokens") >= minTokens &&
+        (col("n_stop").cast("double") / col("n_tokens").cast("double"))
+          <= maxStopRatio)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "n_stop")
+  }
+}

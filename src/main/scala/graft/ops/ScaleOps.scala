@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Shuffle-shaping utilities for the 100 TB regime. AQE's skew-join
@@ -84,26 +85,76 @@ object ScaleOps {
   def globalRowNumber(
       df: DataFrame,
       partitions: Int,
-      orderCols: Column*): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      orderCols: Column*): DataFrame =
+    withPrefixOffsets(df, partitions, count(lit(1)), orderCols) {
+      (shaped, w) =>
+        shaped
+          .withColumn("rn", (row_number().over(w) + col("__off")).cast("long"))
+    }
+
+  /** Global running (prefix) sum of `valueCol` in `orderCols` order,
+    * WITHOUT a single-partition window — same two-phase shape as
+    * [[globalRowNumber]]: per-partition totals become broadcast prefix
+    * offsets, the intra-partition running sum is a window keyed by
+    * partition id. Adds `outCol` (inclusive running total, long). The
+    * driver sees only `partitions` totals, never rows. This is the
+    * scalable form of "cumulative token budget" style packing.
+    */
+  def globalRunningSum(
+      df: DataFrame,
+      partitions: Int,
+      valueCol: String,
+      outCol: String,
+      orderCols: Column*): DataFrame =
+    withPrefixOffsets(df, partitions,
+      sum(col(valueCol)).cast("long"), orderCols) { (shaped, w) =>
+      shaped.withColumn(outCol,
+        (sum(col(valueCol)).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long") + col("__off")))
+    }
+
+  /** Shared two-phase prefix machinery: range-partition by the order
+    * columns (partition-id order IS value order), run one tiny job
+    * aggregating `perPartition` per partition, turn the per-partition
+    * totals into broadcast prefix offsets (`__off`), and hand the
+    * caller the shaped frame plus the intra-partition window to
+    * finish with.
+    *
+    * The persist is CORRECTNESS, not caching: `repartitionByRange`
+    * samples its range boundaries per physical plan, so the offsets
+    * job and the main pass would each draw their own boundaries over
+    * an unpersisted input and the offsets would describe the wrong
+    * partitions (observed as off-by-a-few results). Persisting pins
+    * one materialization both passes read; callers running many of
+    * these should `clearCache` between them (Verify/Bench do). Order
+    * columns must be a total order (unique key) for determinism —
+    * same contract as a global window.
+    */
+  private def withPrefixOffsets(
+      df: DataFrame,
+      partitions: Int,
+      perPartition: Column,
+      orderCols: Seq[Column])(
+      finish: (DataFrame, org.apache.spark.sql.expressions.WindowSpec)
+        => DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val shaped = df
       .repartitionByRange(partitions, orderCols: _*)
       .withColumn("__pid", spark_partition_id())
       .persist()
-    val counts = shaped.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+    val totals = shaped.groupBy("__pid").agg(perPartition.as("__tot"))
       .orderBy("__pid")
       .collect()
       .map(r => (r.getInt(0), r.getLong(1)))
     var acc = 0L
-    val offsets = counts.map { case (pid, cnt) =>
-      val off = acc; acc += cnt; (pid, off)
+    val offsets = totals.map { case (pid, tot) =>
+      val off = acc; acc += tot; (pid, off)
     }
     val offDf = offsets.toSeq.toDF("__pid", "__off")
     val w = Window.partitionBy("__pid").orderBy(orderCols: _*)
-    shaped.join(broadcast(offDf), Seq("__pid"))
-      .withColumn("rn", (row_number().over(w) + col("__off")).cast("long"))
+    finish(shaped.join(broadcast(offDf), Seq("__pid")), w)
       .drop("__pid", "__off")
   }
 }

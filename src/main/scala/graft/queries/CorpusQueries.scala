@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Corpus, ScaleOps}
+
+/** Corpus-curation operators over the `documents` table — the
+  * pipeline-management family a training-data engine needs around the
+  * per-document analyses in [[TextQueries]]: deterministic sampling,
+  * incremental (batch-vs-corpus) dedup, the composed quality→dedup
+  * keep set, and token-budget shard packing.
+  *
+  * Portability notes (everything must hash-match DuckDB): sampling
+  * buckets and fingerprints are md5-derived (engine-native hashes can
+  * never agree); counts that DuckDB widens (`len`, `length`, `sum`)
+  * are cast back to the Spark type on the oracle side.
+  *
+  * Scale stance: sampling is a shuffle-free per-row filter;
+  * incremental dedup is one keyed anti-join; curation exchanges only
+  * quality-surviving rows; shard packing uses the two-phase prefix-sum
+  * (no single-partition window — PlanSpec-pinned).
+  */
+object CorpusQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+
+  // same gate constants as q_quality (TextQueries) — the curation
+  // query is the composed decision over the same definitions
+  private val stopWords = Seq("the", "a", "data", "row", "key")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Deterministic stratified sampling: md5-bucket in [0,100), keep
+    // 'en' docs at 50%, everything else at 20%. Reproducible under
+    // retry/backfill (no rand()); pure filter, no shuffle.
+    "q_sample_hash" -> ((s, dir) =>
+      Corpus.hashSample(docs(s, dir), "doc_id", "lang",
+        rates = Map("en" -> 50), defaultRate = 20)
+        .select(col("doc_id"), col("lang"), col("bucket"))
+        .orderBy("doc_id")),
+
+    // Incremental dedup: treat doc_id < 250 as the standing corpus and
+    // the rest as tonight's batch; emit the batch's new fingerprint
+    // groups only (in-batch keep-min + anti-join on the corpus set).
+    "q_dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Corpus.incrementalDedup(
+        corpus = d.filter(col("doc_id") < 250),
+        batch = d.filter(col("doc_id") >= 250),
+        idCol = "doc_id", textCol = "text")
+        .orderBy("fp")
+    }),
+
+    // Composed curation: quality gates (q_quality's definitions) then
+    // exact dedup keeping the smallest surviving id per fingerprint —
+    // the keep set a training pipeline actually materializes.
+    "q_curate" -> ((s, dir) =>
+      Corpus.curate(
+        docs(s, dir).select("doc_id", "lang", "source", "text"),
+        "doc_id", "text", stopWords)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_tokens"), col("len_text"), col("fp"))
+        .orderBy("doc_id")),
+
+    // Token-budget shard packing: inclusive running token total in
+    // doc_id order → shard id by 500-token budget. Runs through the
+    // two-phase prefix sum — per-partition totals become broadcast
+    // offsets; no single-partition window anywhere in the plan.
+    "q_pack_shards" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"),
+        size(split(trim(col("text")), " ")).cast("long").as("n_tokens"))
+      ScaleOps.globalRunningSum(base, partitions = 8,
+        valueCol = "n_tokens", outCol = "cum_tokens", col("doc_id"))
+        .withColumn("shard_id", expr("(cum_tokens - n_tokens) div 500"))
+        .select("doc_id", "n_tokens", "cum_tokens", "shard_id")
+        .orderBy("doc_id")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_sample_hash" ->
+      """WITH s AS (SELECT doc_id, lang,
+           CAST(CAST(('0x' || substr(md5('smpl:' || CAST(doc_id AS VARCHAR)), 1, 8))
+             AS UBIGINT) AS BIGINT) % 100 AS bucket
+         FROM documents)
+         SELECT doc_id, lang, bucket FROM s
+         WHERE bucket < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
+         ORDER BY doc_id""",
+    "q_dedup_incremental" ->
+      """WITH f AS (SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+           FROM documents),
+         corpus AS (SELECT DISTINCT fp FROM f WHERE doc_id < 250),
+         batch AS (SELECT fp, min(doc_id) AS keep_id, count(*) AS n_batch
+             FROM f WHERE doc_id >= 250 GROUP BY 1)
+         SELECT b.fp, b.keep_id, b.n_batch FROM batch b
+         WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)
+         ORDER BY fp""",
+    "q_curate" ->
+      """WITH q AS (SELECT doc_id, lang, source,
+           CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS n_tokens,
+           CAST(len(list_filter(string_split(trim(text), ' '),
+             x -> list_contains(['the','a','data','row','key'], x))) AS INTEGER) AS n_stop,
+           CAST(length(text) AS INTEGER) AS len_text,
+           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+         FROM documents),
+         g AS (SELECT * FROM q
+           WHERE len_text BETWEEN 20 AND 2000 AND n_tokens >= 5
+             AND CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.5),
+         r AS (SELECT *, row_number() OVER
+             (PARTITION BY fp ORDER BY doc_id) AS rn FROM g)
+         SELECT doc_id, lang, source, n_tokens, len_text, fp
+         FROM r WHERE rn = 1 ORDER BY doc_id""",
+    "q_pack_shards" ->
+      """WITH t AS (SELECT doc_id,
+           CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+         FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+           CAST(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_tokens
+         FROM t)
+         SELECT doc_id, n_tokens, cum_tokens,
+           (cum_tokens - n_tokens) // 500 AS shard_id
+         FROM c ORDER BY doc_id""")
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Corpus
+
+class CorpusSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val stop = Seq("the", "a", "data", "row", "key")
+
+  test("hashBucket is deterministic and lands in [0, 100)") {
+    val df = (0L until 1000L).toDF("id")
+      .withColumn("b", Corpus.hashBucket(col("id"), "smpl"))
+    val again = (0L until 1000L).toDF("id")
+      .withColumn("b", Corpus.hashBucket(col("id"), "smpl"))
+    assert(df.exceptAll(again).isEmpty)
+    assert(df.filter(col("b") < 0 || col("b") >= 100).count() == 0)
+    // buckets actually spread (not a constant)
+    assert(df.select("b").distinct().count() > 50)
+  }
+
+  test("hashSample keeps each stratum near its rate, deterministically") {
+    val df = (0L until 2000L).map(i =>
+      (i, if (i % 2 == 0) "en" else "de")).toDF("id", "lang")
+    val kept = Corpus.hashSample(df, "id", "lang",
+      rates = Map("en" -> 50), defaultRate = 20)
+    val byLang = kept.groupBy("lang").count().as[(String, Long)]
+      .collect().toMap
+    // 1000 candidates per stratum; md5 buckets are near-uniform
+    assert(byLang("en") > 400 && byLang("en") < 600)
+    assert(byLang("de") > 120 && byLang("de") < 280)
+    // bucket always under the stratum rate
+    assert(kept.filter(col("lang") === "en" && col("bucket") >= 50)
+      .count() == 0)
+    assert(kept.filter(col("lang") === "de" && col("bucket") >= 20)
+      .count() == 0)
+  }
+
+  test("incrementalDedup drops batch docs the corpus already has") {
+    val corpus = Seq((1L, "alpha beta"), (2L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha  beta"), // dup of corpus 1 after normalization
+      (11L, "fresh text here"),
+      (12L, "fresh text here"), // in-batch dup of 11
+      (13L, "another new one"))
+      .toDF("doc_id", "text")
+    val out = Corpus.incrementalDedup(corpus, batch, "doc_id", "text")
+      .select("keep_id", "n_batch").as[(Long, Long)].collect().toSet
+    assert(out == Set((11L, 2L), (13L, 1L)))
+  }
+
+  test("curate applies quality gates then keeps min id per fingerprint") {
+    val docs = Seq(
+      (1L, "en", "web", "the data row key value here and more tokens"),
+      (2L, "en", "web", "the  data row key value here and more tokens"), // dup of 1
+      (3L, "en", "web", "short"), // fails minTokens/length
+      (4L, "en", "web", "the the the the a a a a data data row row"), // stop_ratio 1.0
+      (5L, "de", "web", "ein zwei drei vier funf sechs sieben acht"))
+      .toDF("doc_id", "lang", "source", "text")
+    val kept = Corpus.curate(docs, "doc_id", "text", stop)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 5L))
+  }
+
+  test("curate keeps stats columns and drops the text payload") {
+    val docs = Seq((1L, "en", "web", "one two three four five six seven"))
+      .toDF("doc_id", "lang", "source", "text")
+    val out = Corpus.curate(docs, "doc_id", "text", stop)
+    assert(out.columns.toSet ==
+      Set("doc_id", "lang", "source", "n_tokens", "len_text", "fp"))
+    val r = out.select("n_tokens", "len_text").as[(Int, Int)].head()
+    assert(r == ((7, 33)))
+  }
+}

@@ -62,6 +62,30 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"global index funnels through one partition:\n$p")
   }
 
+  test("globalRunningSum matches the single-partition running window") {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey").cast("long").as("v"))
+    val expected = o.withColumn("cum",
+      sum("v").over(Window.orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"))
+    val got = ScaleOps.globalRunningSum(o, partitions = 7,
+      valueCol = "v", outCol = "cum", col("o_orderkey"))
+    assert(got.exceptAll(expected.select(got.columns.map(col): _*)).isEmpty)
+    assert(expected.exceptAll(got.select(expected.columns.map(col): _*)).isEmpty)
+  }
+
+  test("globalRunningSum plans no single-partition exchange") {
+    val o = Tables.table(spark, dir, "orders")
+      .select(col("o_orderkey"), lit(1L).as("v"))
+    val p = ScaleOps.globalRunningSum(o, partitions = 7,
+      valueCol = "v", outCol = "cum", col("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global running sum funnels through one partition:\n$p")
+  }
+
   test("bucketed tables join without any exchange") {
     // default warehouse dir (./spark-warehouse, gitignored) — the
     // warehouse.dir config is static and can't be set per-test
