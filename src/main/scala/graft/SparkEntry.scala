@@ -13,7 +13,9 @@ import org.apache.spark.sql.functions._
   *  - [[graft.queries.TextQueries]]  — text analysis + dedup family;
   *  - [[graft.queries.VectorQueries]] — embedding similarity / ANN;
   *  - [[graft.queries.CorpusQueries]] — corpus curation: sampling,
-  *    incremental dedup, quality→dedup keep set, shard packing.
+  *    incremental dedup, quality→dedup keep set, shard packing;
+  *  - [[graft.queries.MediaQueries]] — multimodal columns: batched
+  *    codec feature extraction + metadata fast path.
   */
 object SparkEntry {
 
@@ -43,7 +45,8 @@ object SparkEntry {
       graft.queries.AnalyticsQueries.queries ++
       graft.queries.TextQueries.queries ++
       graft.queries.VectorQueries.queries ++
-      graft.queries.CorpusQueries.queries
+      graft.queries.CorpusQueries.queries ++
+      graft.queries.MediaQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -52,5 +55,6 @@ object SparkEntry {
       graft.queries.AnalyticsQueries.oracles ++
       graft.queries.TextQueries.oracles ++
       graft.queries.VectorQueries.oracles ++
-      graft.queries.CorpusQueries.oracles
+      graft.queries.CorpusQueries.oracles ++
+      graft.queries.MediaQueries.oracles
 }

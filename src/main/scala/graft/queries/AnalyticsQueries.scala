@@ -260,6 +260,22 @@ object AnalyticsQueries {
     }),
 
     // Null semantics: nullif / coalesce / null-safe equality.
+    // Event-sequence windows: per-user lag gap + lead lookahead — the
+    // time-series building block (keyed window, one hash exchange).
+    "q_lag_lead" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_sec"),
+          col("event_type"))
+        .withColumn("ts_s", unix_timestamp(col("ts_sec")))
+        .withColumn("gap_s",
+          (col("ts_s") - unix_timestamp(lag("ts_sec", 1).over(w)))
+            .cast("long"))
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .select("user_id", "event_id", "ts_s", "gap_s", "next_type")
+        .orderBy("user_id", "ts_s", "event_id")
+    }),
+
     "q_null_handling" -> ((s, dir) =>
       Tables.events(s, dir)
         .select(col("event_id"),
@@ -405,6 +421,17 @@ object AnalyticsQueries {
          FROM orders WHERE o_custkey <= 200
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
          ORDER BY o_custkey, o_orderkey""",
+    "q_lag_lead" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+             CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_sec FROM events),
+         l AS (SELECT user_id, event_id,
+             CAST(epoch(ts_sec) AS BIGINT) AS ts_s,
+             CAST(epoch(ts_sec) AS BIGINT)
+               - CAST(epoch(lag(ts_sec) OVER w) AS BIGINT) AS gap_s,
+             lead(event_type) OVER w AS next_type
+             FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id))
+         SELECT user_id, event_id, ts_s, gap_s, next_type
+         FROM l ORDER BY user_id, ts_s, event_id""",
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id,
              CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_sec FROM events),

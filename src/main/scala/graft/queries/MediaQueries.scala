@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Multimodal
+
+/** Declared queries for the multimodal-column plumbing — these drive
+  * the REAL pipeline (typed `Dataset[MediaRecord]`, batched
+  * `mapPartitions` feature extraction, metadata fast path) through the
+  * driver's oracle gate.
+  *
+  * The media table is derived deterministically from `documents`: the
+  * payload is the text's UTF-8 bytes and the modality cycles by
+  * doc_id. That keeps the oracle exact: the stub codec's features are
+  * md5-derived bytes over 256, so the feature sum ×256 is an INTEGER
+  * both engines compute identically — the oracle checks the full
+  * decode→feature path without ever hashing a float.
+  *
+  * Scale stance: feature extraction is executor-parallel batches
+  * (partition count preserved, no per-row ser/de); the metadata query
+  * never cracks a payload (pure codegen'd columnar aggregation).
+  */
+object MediaQueries {
+
+  /** documents → deterministic MediaRecord columns (modality cycles
+    * image/audio/video by doc_id; dimensions fixed per modality).
+    */
+  private def media(s: SparkSession, dir: String): DataFrame = {
+    val kind = when(pmod(col("doc_id"), lit(3)) === 0, "image")
+      .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
+      .otherwise("video")
+    Tables.table(s, dir, "documents").select(
+      col("doc_id").as("media_id"),
+      kind.as("kind"),
+      encode(col("text"), "UTF-8").as("payload"),
+      when(kind =!= "audio", lit(32)).otherwise(lit(0)).as("width"),
+      when(kind =!= "audio", lit(24)).otherwise(lit(0)).as("height"),
+      when(kind === "audio", lit(16000)).otherwise(lit(0))
+        .as("sample_rate"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Batched feature extraction through the MediaCodec seam: payload
+    // → digest + 16-dim feature vector inside mapPartitions. The
+    // declared columns stay integer-exact: feat_sum_x256 is the
+    // feature-vector sum scaled back to the md5-byte domain.
+    "q_media_features" -> ((s, dir) => {
+      import s.implicits._
+      val feats = Multimodal.extractFeatures(
+        media(s, dir).as[Multimodal.MediaRecord])
+      feats.toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"), col("digest"),
+          (aggregate(col("feature"), lit(0.0d), (acc, x) => acc + x)
+            * 256).cast("long").as("feat_sum_x256"))
+        .orderBy("media_id")
+    }),
+
+    // Metadata fast path: per-modality stats with no payload decode —
+    // the query shape that must win at 100 TB.
+    "q_media_meta" -> ((s, dir) =>
+      Multimodal.metadataStats(media(s, dir))
+        .withColumn("total_bytes", col("total_bytes").cast("long"))))
+
+  val oracles: Map[String, String] = Map(
+    "q_media_features" ->
+      """WITH f AS (SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+             ELSE 'video' END AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS digest
+         FROM documents),
+         series AS (SELECT CAST(unnest(range(0, 16)) AS INTEGER) AS i)
+         SELECT f.media_id, f.kind, f.n_bytes, f.digest,
+           CAST(sum(CAST(('0x' || substr(f.digest, 2*s.i + 1, 2)) AS INTEGER))
+             AS BIGINT) AS feat_sum_x256
+         FROM f CROSS JOIN series s
+         GROUP BY 1, 2, 3, 4 ORDER BY media_id""",
+    "q_media_meta" ->
+      """WITH m AS (SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+             ELSE 'video' END AS kind,
+           octet_length(encode(text)) AS n_bytes,
+           CASE WHEN doc_id % 3 <> 1 THEN 32 ELSE 0 END AS width,
+           CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END AS sample_rate
+         FROM documents)
+         SELECT kind, count(*) AS n,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           max(width) AS max_width,
+           max(sample_rate) AS max_sample_rate
+         FROM m GROUP BY kind ORDER BY kind""")
+}

@@ -191,6 +191,30 @@ object VectorQueries {
         .orderBy("a", "b")
     }),
 
+    // Embedding dedup clusters: LSH-bucket-local near-dup pairs →
+    // connected components — the same keep/drop clustering the text
+    // dedup family uses, composed over the embedding modality (one
+    // clustering op serves every fingerprint type).
+    "q_embed_cluster" -> ((s, dir) => {
+      val pm = graft.ops.CosineLsh.planes(k = 8, dim = 64)
+      val e = withNorm(emb(s, dir).filter(col("vec_id") < 300)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v")))
+        .withColumn("bucket", graft.ops.CosineLsh.bucketCol(col("v"), pm))
+        .persist() // both pair sides + the id universe read it
+      val a = e.select(col("vec_id").as("a"), col("v").as("va"),
+        col("nrm").as("na"), col("bucket"))
+      val b = e.select(col("vec_id").as("b"), col("v").as("vb"),
+        col("nrm").as("nb"), col("bucket").as("bbucket"))
+      val pairs = a
+        .join(b, col("bucket") === col("bbucket") && col("a") < col("b"))
+        .withColumn("cos_r", cosR(col("va"), col("vb"), col("na"), col("nb")))
+        .filter(col("cos_r") >= 0.2)
+        .select("a", "b").persist() // clusters() iterates over the edges
+      graft.ops.TextDedup.clusters(e.select(col("vec_id")), pairs)
+        .toDF("vec_id", "cluster_id")
+        .orderBy("vec_id")
+    }),
+
     // Top-k per query via the bounded map-side heap aggregate
     // (graft.expr.TopKByScore) instead of shuffle+sort window rank:
     // same scored set and the same total order as q_ann_topk, but at
@@ -351,6 +375,25 @@ object VectorQueries {
          WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.2
          ORDER BY a, b""",
     "q_topk_agg" -> topk3Oracle,
+    "q_embed_cluster" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id < 300),
+         n AS (SELECT * FROM (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+             $lshBucketSql AS bucket FROM e) WHERE nrm > 0),
+         pairs AS (SELECT a.vec_id AS a, b.vec_id AS b
+           FROM n a JOIN n b
+             ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+           WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.2),
+         edges AS (SELECT a, b FROM pairs
+             UNION ALL SELECT b, a FROM pairs),
+         reach(id, lbl) AS (
+             SELECT vec_id, vec_id FROM n
+             UNION
+             SELECT e2.a, r.lbl FROM edges e2 JOIN reach r ON e2.b = r.id)
+         SELECT id AS vec_id, min(lbl) AS cluster_id
+         FROM reach GROUP BY id ORDER BY vec_id""",
     "q_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
