@@ -58,6 +58,21 @@ object MediaQueries {
         .orderBy("media_id")
     }),
 
+    // Frame sampling: one media row → up to 4 frame rows, flatMapped
+    // inside the partition batch. Frames are compared byte-exactly via
+    // hex (DuckDB 1.0 has no BLOB substring; hex strings slice the
+    // same bytes on both engines, multibyte text included).
+    "q_media_frames" -> ((s, dir) => {
+      import s.implicits._
+      val frames = Multimodal.sampleFrames(
+        media(s, dir).as[Multimodal.MediaRecord], framesPer = 4)
+      frames.toDF()
+        .select(col("media_id"), col("frame_idx"),
+          length(col("frame_bytes")).as("n_frame_bytes"),
+          md5(hex(col("frame_bytes"))).as("frame_md5"))
+        .orderBy("media_id", "frame_idx")
+    }),
+
     // Metadata fast path: per-modality stats with no payload decode —
     // the query shape that must win at 100 TB.
     "q_media_meta" -> ((s, dir) =>
@@ -78,6 +93,21 @@ object MediaQueries {
              AS BIGINT) AS feat_sum_x256
          FROM f CROSS JOIN series s
          GROUP BY 1, 2, 3, 4 ORDER BY media_id""",
+    "q_media_frames" ->
+      """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS ph,
+           octet_length(encode(text)) AS len FROM documents),
+         p AS (SELECT media_id, ph, len,
+           greatest(1, len // 4) AS step FROM m),
+         series AS (SELECT CAST(unnest(range(0, 4)) AS INTEGER) AS i)
+         SELECT p.media_id, s.i AS frame_idx,
+           CAST(least((s.i + 1) * p.step, p.len) - s.i * p.step AS INTEGER)
+             AS n_frame_bytes,
+           md5(substring(p.ph, 2 * s.i * p.step + 1,
+             2 * (least((s.i + 1) * p.step, p.len) - s.i * p.step)))
+             AS frame_md5
+         FROM p CROSS JOIN series s
+         WHERE s.i < least(4, p.len)
+         ORDER BY media_id, frame_idx""",
     "q_media_meta" ->
       """WITH m AS (SELECT doc_id,
            CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
