@@ -260,6 +260,18 @@ object AnalyticsQueries {
     }),
 
     // Null semantics: nullif / coalesce / null-safe equality.
+    // Histogram: fixed-width bucketing + per-bucket stats — one
+    // hash-agg pass, the profiling query every pipeline starts with.
+    "q_histogram" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(floor(col("l_quantity") / 10).cast("long").as("bucket"),
+          col("l_quantity"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min("l_quantity").as("min_qty"),
+          max("l_quantity").as("max_qty"))
+        .orderBy("bucket")),
+
     // Event-sequence windows: per-user lag gap + lead lookahead — the
     // time-series building block (keyed window, one hash exchange).
     "q_lag_lead" -> ((s, dir) => {
@@ -421,6 +433,12 @@ object AnalyticsQueries {
          FROM orders WHERE o_custkey <= 200
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
          ORDER BY o_custkey, o_orderkey""",
+    "q_histogram" ->
+      """SELECT CAST(floor(l_quantity / 10) AS BIGINT) AS bucket,
+           count(*) AS n,
+           min(l_quantity) AS min_qty,
+           max(l_quantity) AS max_qty
+         FROM lineitem GROUP BY 1 ORDER BY bucket""",
     "q_lag_lead" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
              CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_sec FROM events),

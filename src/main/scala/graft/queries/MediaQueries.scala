@@ -73,6 +73,20 @@ object MediaQueries {
         .orderBy("media_id", "frame_idx")
     }),
 
+    // Batched resize: image/video payloads resampled to 16×12 (the
+    // stub's deterministic byte-space resample; audio passes through),
+    // compared byte-exactly via hex like q_media_frames.
+    "q_media_resize" -> ((s, dir) => {
+      import s.implicits._
+      val resized = Multimodal.resize(
+        media(s, dir).as[Multimodal.MediaRecord], targetW = 16, targetH = 12)
+      resized.toDF()
+        .select(col("media_id"), col("kind"),
+          length(col("payload")).as("n_bytes"),
+          md5(hex(col("payload"))).as("payload_md5"))
+        .orderBy("media_id")
+    }),
+
     // Metadata fast path: per-modality stats with no payload decode —
     // the query shape that must win at 100 TB.
     "q_media_meta" -> ((s, dir) =>
@@ -108,6 +122,33 @@ object MediaQueries {
          FROM p CROSS JOIN series s
          WHERE s.i < least(4, p.len)
          ORDER BY media_id, frame_idx""",
+    // the resample index math ((i*len)//tlen over a constant series)
+    // mirrors StubCodec.resize exactly; the series bound is
+    // oracle-side only (documents cap well under it at gate scale)
+    "q_media_resize" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+             ELSE 'video' END AS kind,
+           hex(encode(text)) AS ph,
+           CAST(octet_length(encode(text)) AS BIGINT) AS len
+         FROM documents),
+         p AS (SELECT media_id, kind, ph, len,
+           CASE WHEN kind = 'audio' THEN len
+                ELSE greatest(1, (len * 192) // 768) END AS tlen
+         FROM m),
+         series AS (SELECT CAST(unnest(range(0, 4096)) AS BIGINT) AS i),
+         rs AS (SELECT p.media_id,
+             string_agg(substr(p.ph, 2 * ((s.i * p.len) // p.tlen) + 1, 2),
+               '' ORDER BY s.i) AS rph
+           FROM p JOIN series s ON s.i < p.tlen
+           WHERE p.kind <> 'audio'
+           GROUP BY p.media_id)
+         SELECT p.media_id, p.kind,
+           CAST(p.tlen AS INTEGER) AS n_bytes,
+           CASE WHEN p.kind = 'audio' THEN md5(p.ph)
+                ELSE md5(rs.rph) END AS payload_md5
+         FROM p LEFT JOIN rs ON p.media_id = rs.media_id
+         ORDER BY p.media_id""",
     "q_media_meta" ->
       """WITH m AS (SELECT doc_id,
            CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
