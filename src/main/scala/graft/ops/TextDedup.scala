@@ -169,7 +169,18 @@ object TextDedup {
     val edges = pairs.select(col("a"), col("b"))
       .unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
       .persist()
-    var labels = ids.select(col(idCol).as("id"), col(idCol).as("cluster_id"))
+    // near-dup graphs are sparse: most of the corpus touches no edge
+    // and is its own singleton cluster by definition. Only nodes that
+    // appear in an edge enter the iteration, so every per-round join/
+    // agg runs over |V(edges)| ≪ |V| — at 100 TB this is the
+    // difference between iterating over the duplicate tail and
+    // iterating over the whole corpus.
+    val connected = ids
+      .join(edges, ids(idCol) === edges("a"), "left_semi")
+    val isolated = ids
+      .join(edges, ids(idCol) === edges("a"), "left_anti")
+      .select(col(idCol).as("id"), col(idCol).as("cluster_id"))
+    var labels = connected.select(col(idCol).as("id"), col(idCol).as("cluster_id"))
     val labelType = labels.schema("cluster_id").dataType
     var prevGen: DataFrame = null
     var changed = 1L
@@ -205,7 +216,7 @@ object TextDedup {
     if (changed > 0)
       throw new IllegalStateException(
         s"dedup clustering did not converge in $maxIter rounds")
-    labels
+    labels.unionAll(isolated)
   }
 
   /** SimHash near-dup pairs within a Hamming-distance bound.
