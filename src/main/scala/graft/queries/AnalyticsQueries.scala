@@ -260,6 +260,26 @@ object AnalyticsQueries {
     }),
 
     // Null semantics: nullif / coalesce / null-safe equality.
+    // Funnel: view → click → purchase per user, each stage strictly
+    // after the previous stage's first event (second granularity —
+    // the deterministic cross-engine ordering). Three keyed
+    // aggregations + two keyed joins; no window over the full stream.
+    "q_funnel" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("user_id"),
+        col("event_type"), unix_timestamp(col("ts_sec")).as("ts_s"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_s").as("tv"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts_s") > col("tv"))
+        .groupBy("user_id").agg(min("ts_s").as("tc"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts_s") > col("tc"))
+        .groupBy("user_id").agg(min("ts_s").as("tp"))
+      v.agg(count(lit(1)).as("n_view_users"))
+        .crossJoin(c.agg(count(lit(1)).as("n_click_users")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase_users")))
+    }),
+
     // Histogram: fixed-width bucketing + per-bucket stats — one
     // hash-agg pass, the profiling query every pipeline starts with.
     "q_histogram" -> ((s, dir) =>
@@ -433,6 +453,23 @@ object AnalyticsQueries {
          FROM orders WHERE o_custkey <= 200
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
          ORDER BY o_custkey, o_orderkey""",
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+             CAST(epoch(CAST(date_trunc('second', ts) AS TIMESTAMP)) AS BIGINT) AS ts_s
+           FROM events),
+         v AS (SELECT user_id, min(ts_s) AS tv FROM e
+           WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, min(e.ts_s) AS tc FROM e
+           JOIN v ON e.user_id = v.user_id
+           WHERE e.event_type = 'click' AND e.ts_s > v.tv
+           GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(e.ts_s) AS tp FROM e
+           JOIN c ON e.user_id = c.user_id
+           WHERE e.event_type = 'purchase' AND e.ts_s > c.tc
+           GROUP BY e.user_id)
+         SELECT (SELECT count(*) FROM v) AS n_view_users,
+                (SELECT count(*) FROM c) AS n_click_users,
+                (SELECT count(*) FROM p) AS n_purchase_users""",
     "q_histogram" ->
       """SELECT CAST(floor(l_quantity / 10) AS BIGINT) AS bucket,
            count(*) AS n,
