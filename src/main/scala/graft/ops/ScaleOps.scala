@@ -51,6 +51,21 @@ object ScaleOps {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Write a table with a directory layout partitioned by `partCols` —
+    * the partition-pruning half of the layout story ([[writeBucketed]]
+    * is the join half). A reader filtering on a partition column scans
+    * only the matching directories; at 100 TB this is the difference
+    * between listing a tenant/day's files and scanning the lake
+    * (`PartitionFilters` in the scan node, spec-pinned).
+    */
+  def writePartitioned(
+      df: DataFrame,
+      path: String,
+      partCols: String*): Unit =
+    df.write.mode("overwrite")
+      .partitionBy(partCols: _*)
+      .parquet(path)
+
   /** Repartition-by-key helper: pre-shape a dataset so several
     * downstream keyed operations (join + groupBy on the same key)
     * reuse one exchange.

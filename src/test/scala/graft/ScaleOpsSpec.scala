@@ -86,6 +86,39 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"global running sum funnels through one partition:\n$p")
   }
 
+  test("partitioned layout prunes non-matching directories at scan") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_part").toString
+    try {
+      val ev = Tables.events(spark, dir)
+        .select("event_id", "user_id", "event_type")
+      ScaleOps.writePartitioned(ev, out, "event_type")
+      val re = spark.read.parquet(out)
+        .filter(col("event_type") === "click")
+      val plan = re.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters"),
+        s"no partition filters in scan:\n$plan")
+      // the pruned read returns exactly the filtered rows (collect()
+      // executes THIS plan, so its scan metrics are populated below)
+      assert(re.collect().length ==
+        ev.filter(col("event_type") === "click").count())
+      // and the executed scan read only the matching directory's files
+      val scan = re.queryExecution.executedPlan.collectLeaves()
+        .collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.get
+      val scannedFiles = scan.metrics("numFiles").value
+      val allFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+        .filter(p => p.toString.endsWith(".parquet"))
+        .count()
+      assert(scannedFiles > 0 && scannedFiles < allFiles,
+        s"pruning read $scannedFiles of $allFiles files")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(out)).deleteRecursively()
+    }
+  }
+
   test("bucketed tables join without any exchange") {
     // default warehouse dir (./spark-warehouse, gitignored) — the
     // warehouse.dir config is static and can't be set per-test
