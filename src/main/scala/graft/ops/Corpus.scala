@@ -43,6 +43,8 @@ object Corpus {
       rates: Map[String, Int],
       defaultRate: Int,
       salt: String = "smpl"): DataFrame = {
+    require(!df.columns.contains("bucket"),
+      "input already has a 'bucket' column (it would be overwritten)")
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
       when(col(strataCol) === k, lit(v)).otherwise(acc)
     }

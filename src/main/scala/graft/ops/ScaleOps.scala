@@ -66,6 +66,36 @@ object ScaleOps {
       .partitionBy(partCols: _*)
       .parquet(path)
 
+  /** Compact a directory of (many small) parquet files into
+    * ~`targetFileBytes` outputs — the periodic maintenance op that
+    * keeps a streaming/incremental sink scannable (a 100 TB table of
+    * 1 MB files dies in file listing and scheduler overhead long
+    * before I/O). Writes to `outPath` (never in place — swapping the
+    * directory atomically is the caller's step). Returns the output
+    * file count. Sizing uses the source files' actual on-disk bytes.
+    */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      inPath: String,
+      outPath: String,
+      targetFileBytes: Long): Int = {
+    require(targetFileBytes > 0)
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var totalBytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) totalBytes += f.getLen
+    }
+    val nFiles = math.max(1L,
+      (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(inPath)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(outPath)
+    nFiles
+  }
+
   /** Repartition-by-key helper: pre-shape a dataset so several
     * downstream keyed operations (join + groupBy on the same key)
     * reuse one exchange.
@@ -114,6 +144,8 @@ object ScaleOps {
     * partition id. Adds `outCol` (inclusive running total, long). The
     * driver sees only `partitions` totals, never rows. This is the
     * scalable form of "cumulative token budget" style packing.
+    * Null values count as zero (both the per-partition totals and the
+    * running window coalesce them), so the output column is never null.
     */
   def globalRunningSum(
       df: DataFrame,
@@ -122,11 +154,12 @@ object ScaleOps {
       outCol: String,
       orderCols: Column*): DataFrame =
     withPrefixOffsets(df, partitions,
-      sum(col(valueCol)).cast("long"), orderCols) { (shaped, w) =>
-      shaped.withColumn(outCol,
-        (sum(col(valueCol)).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast("long") + col("__off")))
+      coalesce(sum(col(valueCol)), lit(0L)).cast("long"), orderCols) {
+      (shaped, w) =>
+        shaped.withColumn(outCol,
+          (coalesce(sum(coalesce(col(valueCol), lit(0L))).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+            lit(0L)).cast("long") + col("__off")))
     }
 
   /** Shared two-phase prefix machinery: range-partition by the order

@@ -119,6 +119,29 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("compact rewrites many small files into few, preserving rows") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_compact").toString
+    val in = s"$base/in"
+    val out = s"$base/out"
+    try {
+      val ev = Tables.events(spark, dir).select("event_id", "user_id")
+      ev.repartition(16).write.parquet(in)
+      def parquetFiles(p: String): Long =
+        java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+          .filter(q => q.toString.endsWith(".parquet")).count()
+      assert(parquetFiles(in) == 16)
+      // target = everything in one file
+      val n = ScaleOps.compact(spark, in, out, targetFileBytes = 1L << 30)
+      assert(n == 1)
+      assert(parquetFiles(out) == 1)
+      assert(spark.read.parquet(out).count() == ev.count())
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(base)).deleteRecursively()
+    }
+  }
+
   test("bucketed tables join without any exchange") {
     // default warehouse dir (./spark-warehouse, gitignored) — the
     // warehouse.dir config is static and can't be set per-test
