@@ -46,7 +46,8 @@ object SparkEntry {
       graft.queries.TextQueries.queries ++
       graft.queries.VectorQueries.queries ++
       graft.queries.CorpusQueries.queries ++
-      graft.queries.MediaQueries.queries
+      graft.queries.MediaQueries.queries ++
+      graft.queries.StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -56,5 +57,6 @@ object SparkEntry {
       graft.queries.TextQueries.oracles ++
       graft.queries.VectorQueries.oracles ++
       graft.queries.CorpusQueries.oracles ++
-      graft.queries.MediaQueries.oracles
+      graft.queries.MediaQueries.oracles ++
+      graft.queries.StreamQueries.oracles
 }
