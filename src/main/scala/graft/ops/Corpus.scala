@@ -23,6 +23,13 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
+  /** Canonical stopword list for the quality gates — the single
+    * definition behind both the per-document q_quality scoring and the
+    * composed q_curate decision (and their DuckDB oracles), so the two
+    * queries cannot silently disagree on what passes.
+    */
+  val defaultStopWords: Seq[String] = Seq("the", "a", "data", "row", "key")
+
   /** Deterministic sampling bucket in [0, 100): md5 of `salt:id`.
     * Same formula as the DuckDB oracle side; stable across engines,
     * retries, and runs — the property that makes hash sampling the
@@ -87,7 +94,7 @@ object Corpus {
       maxLen: Int = 2000,
       minTokens: Int = 5,
       maxStopRatio: Double = 0.5): DataFrame = {
-    val tk = split(trim(col(textCol)), " ")
+    val tk = TextDedup.tokens(col(textCol))
     val w = Window.partitionBy("fp").orderBy(idCol)
     df.select(df.columns.filterNot(_ == textCol).map(col) :+
         size(tk).as("n_tokens") :+

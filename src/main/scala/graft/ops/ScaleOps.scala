@@ -156,10 +156,12 @@ object ScaleOps {
     withPrefixOffsets(df, partitions,
       coalesce(sum(col(valueCol)), lit(0L)).cast("long"), orderCols) {
       (shaped, w) =>
+        // the frame always contains the current row and the summed
+        // expression is null-coalesced, so this sum is never null
         shaped.withColumn(outCol,
-          (coalesce(sum(coalesce(col(valueCol), lit(0L))).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-            lit(0L)).cast("long") + col("__off")))
+          (sum(coalesce(col(valueCol), lit(0L))).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long") + col("__off")))
     }
 
   /** Shared two-phase prefix machinery: range-partition by the order

@@ -139,7 +139,6 @@ object AnalyticsQueries {
         .limit(100)
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))),
 
-    // Hierarchical aggregate: rollup with explicit null ordering.
     // Explicit grouping sets (mixed granularities that neither cube
     // nor rollup express): per (flag,status), per status alone, and
     // the grand total, with grouping indicators.
@@ -157,6 +156,7 @@ object AnalyticsQueries {
         .orderBy(asc_nulls_first("l_returnflag"),
           asc_nulls_first("l_linestatus"))),
 
+    // Hierarchical aggregate: rollup with explicit null ordering.
     "q_rollup" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
@@ -276,19 +276,22 @@ object AnalyticsQueries {
         .orderBy("c_custkey")
     }),
 
-    // Null semantics: nullif / coalesce / null-safe equality.
     // Funnel: view → click → purchase per user, each stage strictly
     // after the previous stage's first event (second granularity —
     // the deterministic cross-engine ordering). Three keyed
     // aggregations + two keyed joins; no window over the full stream.
+    // The events scan and both intermediate stage frames feed two
+    // branches each — persisted per the multi-branch rule (Verify/
+    // Bench clear the cache between queries).
     "q_funnel" -> ((s, dir) => {
       val e = Tables.events(s, dir).select(col("user_id"),
         col("event_type"), unix_timestamp(col("ts_sec")).as("ts_s"))
+        .persist()
       val v = e.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min("ts_s").as("tv"))
+        .groupBy("user_id").agg(min("ts_s").as("tv")).persist()
       val c = e.filter(col("event_type") === "click")
         .join(v, "user_id").filter(col("ts_s") > col("tv"))
-        .groupBy("user_id").agg(min("ts_s").as("tc"))
+        .groupBy("user_id").agg(min("ts_s").as("tc")).persist()
       val p = e.filter(col("event_type") === "purchase")
         .join(c, "user_id").filter(col("ts_s") > col("tc"))
         .groupBy("user_id").agg(min("ts_s").as("tp"))
@@ -325,6 +328,7 @@ object AnalyticsQueries {
         .orderBy("user_id", "ts_s", "event_id")
     }),
 
+    // Null semantics: nullif / coalesce / null-safe equality.
     "q_null_handling" -> ((s, dir) =>
       Tables.events(s, dir)
         .select(col("event_id"),

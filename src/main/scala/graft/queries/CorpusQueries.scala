@@ -27,9 +27,8 @@ object CorpusQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "documents")
 
-  // same gate constants as q_quality (TextQueries) — the curation
-  // query is the composed decision over the same definitions
-  private val stopWords = Seq("the", "a", "data", "row", "key")
+  // same gate constants as q_quality — one definition in graft.ops
+  private val stopWords = Corpus.defaultStopWords
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

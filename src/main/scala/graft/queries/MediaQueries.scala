@@ -133,7 +133,8 @@ object MediaQueries {
            CAST(octet_length(encode(text)) AS BIGINT) AS len
          FROM documents),
          p AS (SELECT media_id, kind, ph, len,
-           CASE WHEN kind = 'audio' THEN len
+           CASE WHEN len = 0 THEN 0
+                WHEN kind = 'audio' THEN len
                 ELSE greatest(1, (len * 192) // 768) END AS tlen
          FROM m),
          series AS (SELECT CAST(unnest(range(0, 4096)) AS BIGINT) AS i),
@@ -145,7 +146,8 @@ object MediaQueries {
            GROUP BY p.media_id)
          SELECT p.media_id, p.kind,
            CAST(p.tlen AS INTEGER) AS n_bytes,
-           CASE WHEN p.kind = 'audio' THEN md5(p.ph)
+           CASE WHEN p.len = 0 THEN md5('')
+                WHEN p.kind = 'audio' THEN md5(p.ph)
                 ELSE md5(rs.rph) END AS payload_md5
          FROM p LEFT JOIN rs ON p.media_id = rs.media_id
          ORDER BY p.media_id""",

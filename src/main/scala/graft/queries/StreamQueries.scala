@@ -34,32 +34,40 @@ object StreamQueries {
         .select(col("event_id"), col("ts_sec").as("ts"), col("user_id"),
           col("event_type"), col("value"))
         .as[EventStream.Event].collect()
-      val maxMs = evts.iterator.map(_.ts.getTime).max
-      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-      val input = MemoryStream[EventStream.Event]
-      val sessions = EventStream.sessionWindows(
-        input.toDF(), gap = "30 minutes",
-        watermarkDelay = Some("30 minutes"))
-      val sink = "q_stream_sessions_sink"
-      val q = sessions.writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try {
-        input.addData(evts.toIndexedSeq)
-        q.processAllAvailable()
-        input.addData(EventStream.Event(-1L,
-          new Timestamp(maxMs + 7200000L), -1L, "sentinel", 0.0))
-        q.processAllAvailable()
-        input.addData(EventStream.Event(-2L,
-          new Timestamp(maxMs + 10800000L), -1L, "sentinel", 0.0))
-        q.processAllAvailable()
-      } finally q.stop()
-      s.table(sink)
-        .filter(col("user_id") >= 0)
-        .select(col("user_id"),
-          unix_timestamp(col("session_start")).as("start_s"),
-          unix_timestamp(col("session_end")).as("end_s"),
-          col("n_events"))
-        .orderBy("user_id", "start_s")
+      // empty input: zero sessions, well-defined (the oracle returns
+      // zero rows too); without the guard the sentinel math below
+      // would throw on max of an empty iterator
+      if (evts.isEmpty) {
+        Seq.empty[(Long, Long, Long, Long)]
+          .toDF("user_id", "start_s", "end_s", "n_events")
+      } else {
+        val maxMs = evts.iterator.map(_.ts.getTime).max
+        implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+        val input = MemoryStream[EventStream.Event]
+        val sessions = EventStream.sessionWindows(
+          input.toDF(), gap = "30 minutes",
+          watermarkDelay = Some("30 minutes"))
+        val sink = "q_stream_sessions_sink"
+        val q = sessions.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          input.addData(evts.toIndexedSeq)
+          q.processAllAvailable()
+          input.addData(EventStream.Event(-1L,
+            new Timestamp(maxMs + 7200000L), -1L, "sentinel", 0.0))
+          q.processAllAvailable()
+          input.addData(EventStream.Event(-2L,
+            new Timestamp(maxMs + 10800000L), -1L, "sentinel", 0.0))
+          q.processAllAvailable()
+        } finally q.stop()
+        s.table(sink)
+          .filter(col("user_id") >= 0)
+          .select(col("user_id"),
+            unix_timestamp(col("session_start")).as("start_s"),
+            unix_timestamp(col("session_end")).as("end_s"),
+            col("n_events"))
+          .orderBy("user_id", "start_s")
+      }
     }))
 
   val oracles: Map[String, String] = Map(

@@ -28,12 +28,15 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "documents")
 
-  private val stopWords = Seq("the", "a", "data", "row", "key")
+  // canonical definitions live in graft.ops — referenced here so the
+  // per-document queries and the composed q_curate pipeline (and every
+  // library caller) share one tokenizer / stopword list / normalizer
+  private val stopWords = graft.ops.Corpus.defaultStopWords
 
-  private def toks(c: Column): Column = split(trim(c), " ")
+  private def toks(c: Column): Column = graft.ops.TextDedup.tokens(c)
 
   private def normText(c: Column): Column =
-    lower(trim(regexp_replace(c, "\\s+", " ")))
+    graft.ops.TextDedup.normText(c)
 
   // dedup internals live in graft.ops.TextDedup — the declared
   // queries below are thin wrappers so library users and the oracle

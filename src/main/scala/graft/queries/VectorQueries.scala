@@ -82,6 +82,29 @@ object VectorQueries {
       .orderBy("q_id")
   }
 
+  /** Bucket-local embedding near-dup pairs over seeded-plane LSH
+    * buckets — ONE definition shared by q_cosine_pairs_lsh (pair list)
+    * and q_embed_cluster (edge set), so their pair semantics cannot
+    * drift. Returns the persisted vector frame (vec_id, v, nrm,
+    * bucket) and the verified pairs (a, b, bucket, cos_r).
+    */
+  private def lshPairs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val pm = graft.ops.CosineLsh.planes(k = 8, dim = 64)
+    val e = withNorm(emb(s, dir).filter(col("vec_id") < 300)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v")))
+      .withColumn("bucket", graft.ops.CosineLsh.bucketCol(col("v"), pm))
+      .persist() // both self-join sides (and cluster id universe) read it
+    val a = e.select(col("vec_id").as("a"), col("v").as("va"),
+      col("nrm").as("na"), col("bucket"))
+    val b = e.select(col("vec_id").as("b"), col("v").as("vb"),
+      col("nrm").as("nb"), col("bucket").as("bbucket"))
+    val pairs = a
+      .join(b, col("bucket") === col("bbucket") && col("a") < col("b"))
+      .withColumn("cos_r", cosR(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("cos_r") >= 0.2)
+    (e, pairs)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Norms + dims: the sanity surface for the vector column.
@@ -175,19 +198,8 @@ object VectorQueries {
     // so pair mining is bucket-local instead of all-pairs. Mirrors the
     // minhash/simhash banding pattern for the embedding modality.
     "q_cosine_pairs_lsh" -> ((s, dir) => {
-      val pm = graft.ops.CosineLsh.planes(k = 8, dim = 64)
-      val e = withNorm(emb(s, dir).filter(col("vec_id") < 300)
-        .select(col("vec_id"), asDouble(col("embedding")).as("v")))
-        .withColumn("bucket", graft.ops.CosineLsh.bucketCol(col("v"), pm))
-        .persist() // both self-join sides read it
-      val a = e.select(col("vec_id").as("a"), col("v").as("va"),
-        col("nrm").as("na"), col("bucket"))
-      val b = e.select(col("vec_id").as("b"), col("v").as("vb"),
-        col("nrm").as("nb"), col("bucket").as("bbucket"))
-      a.join(b, col("bucket") === col("bbucket") && col("a") < col("b"))
-        .withColumn("cos_r", cosR(col("va"), col("vb"), col("na"), col("nb")))
-        .filter(col("cos_r") >= 0.2)
-        .select(col("a"), col("b"), col("bucket"), col("cos_r"))
+      val (_, pairs) = lshPairs(s, dir)
+      pairs.select(col("a"), col("b"), col("bucket"), col("cos_r"))
         .orderBy("a", "b")
     }),
 
@@ -196,19 +208,8 @@ object VectorQueries {
     // dedup family uses, composed over the embedding modality (one
     // clustering op serves every fingerprint type).
     "q_embed_cluster" -> ((s, dir) => {
-      val pm = graft.ops.CosineLsh.planes(k = 8, dim = 64)
-      val e = withNorm(emb(s, dir).filter(col("vec_id") < 300)
-        .select(col("vec_id"), asDouble(col("embedding")).as("v")))
-        .withColumn("bucket", graft.ops.CosineLsh.bucketCol(col("v"), pm))
-        .persist() // both pair sides + the id universe read it
-      val a = e.select(col("vec_id").as("a"), col("v").as("va"),
-        col("nrm").as("na"), col("bucket"))
-      val b = e.select(col("vec_id").as("b"), col("v").as("vb"),
-        col("nrm").as("nb"), col("bucket").as("bbucket"))
-      val pairs = a
-        .join(b, col("bucket") === col("bbucket") && col("a") < col("b"))
-        .withColumn("cos_r", cosR(col("va"), col("vb"), col("na"), col("nb")))
-        .filter(col("cos_r") >= 0.2)
+      val (e, pairs0) = lshPairs(s, dir)
+      val pairs = pairs0
         .select("a", "b").persist() // clusters() iterates over the edges
       graft.ops.TextDedup.clusters(e.select(col("vec_id")), pairs)
         .toDF("vec_id", "cluster_id")
