@@ -28,6 +28,36 @@ object StreamQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Streaming exact dedup: documents stream through
+    // dropDuplicatesWithinWatermark on the normalized fingerprint
+    // (watermark-bounded state). Projecting only `fp` makes the
+    // output deterministic regardless of arrival order — exactly the
+    // distinct fingerprint set — so the batch oracle is SELECT
+    // DISTINCT. Event time is synthesized from doc_id (the documents
+    // table has no timestamp column).
+    "q_stream_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          // offset past epoch 0: a row whose event time equals the
+          // stream's initial watermark would be dropped as late
+          timestamp_seconds(col("doc_id") + lit(1000000000L)).as("ts"))
+        .as[(Long, String, Timestamp)].collect()
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val input = MemoryStream[(Long, String, Timestamp)]
+      val deduped = EventStream.dedupExact(
+        input.toDF().toDF("doc_id", "text", "ts"),
+        textCol = "text", tsCol = "ts")
+      val sink = "q_stream_dedup_sink"
+      val q = deduped.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        input.addData(docs.toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink).select(col("fp")).orderBy("fp")
+    }),
+
     "q_stream_sessions" -> ((s, dir) => {
       import s.implicits._
       val evts = Tables.events(s, dir)
@@ -71,6 +101,9 @@ object StreamQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q_stream_dedup" ->
+      """SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+         FROM documents ORDER BY fp""",
     // gap-and-islands sessions over second-truncated event times:
     // same-session ⟺ gap to previous event ≤ 1800 s; session end =
     // last event + gap (session_window semantics)
