@@ -106,6 +106,35 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_sample_hash: pure scan+filter, no exchange before the oracle sort") {
+    val p = plan("q_sample_hash")
+    // the sample itself is shuffle-free; the only exchange allowed is
+    // the ORDER BY's range partitioning for oracle determinism
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"hash sampling plans a hash exchange:\n$p")
+  }
+
+  test("q_dedup_incremental: anti-join on the fingerprint, no cartesian") {
+    val p = plan("q_dedup_incremental")
+    assert(p.contains("LeftAnti"), s"no anti-join in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
+  test("q_curate: quality filter runs before the dedup window exchange") {
+    val p = plan("q_curate")
+    // exactly one hash exchange (the fp window); gates are scan-side
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges in:\n$p")
+  }
+
+  test("q_funnel: stage joins stay keyed (no nested loop, no cartesian)") {
+    val p = plan("q_funnel")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    // the three final single-row counts cross-join via broadcast —
+    // the per-user stage joins themselves must be hash joins
+    assert("HashJoin".r.findAllIn(p).nonEmpty, s"no hash join in:\n$p")
+  }
+
   test("flagship entry: broadcast star join with decimal aggregation") {
     val e = SparkEntry.entry(spark)
     val p = e.queryExecution.executedPlan.toString
