@@ -300,6 +300,20 @@ object AnalyticsQueries {
         .crossJoin(p.agg(count(lit(1)).as("n_purchase_users")))
     }),
 
+    // Unpivot (wide → long, the inverse reshape of q_pivot): four
+    // measure columns melt into (measure, value) rows — a pure
+    // per-row projection+generate, no shuffle before the oracle sort.
+    "q_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 200)
+        .unpivot(
+          ids = Array(col("l_orderkey"), col("l_linenumber")),
+          values = Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          variableColumnName = "measure",
+          valueColumnName = "value")
+        .orderBy("l_orderkey", "l_linenumber", "measure")),
+
     // Histogram: fixed-width bucketing + per-bucket stats — one
     // hash-agg pass, the profiling query every pipeline starts with.
     "q_histogram" -> ((s, dir) =>
@@ -491,6 +505,18 @@ object AnalyticsQueries {
          SELECT (SELECT count(*) FROM v) AS n_view_users,
                 (SELECT count(*) FROM c) AS n_click_users,
                 (SELECT count(*) FROM p) AS n_purchase_users""",
+    "q_unpivot" ->
+      """WITH src AS (SELECT * FROM lineitem WHERE l_orderkey <= 200)
+         SELECT l_orderkey, l_linenumber, measure, value FROM (
+           SELECT l_orderkey, l_linenumber,
+             'l_quantity' AS measure, l_quantity AS value FROM src
+           UNION ALL SELECT l_orderkey, l_linenumber,
+             'l_extendedprice', l_extendedprice FROM src
+           UNION ALL SELECT l_orderkey, l_linenumber,
+             'l_discount', l_discount FROM src
+           UNION ALL SELECT l_orderkey, l_linenumber,
+             'l_tax', l_tax FROM src)
+         ORDER BY l_orderkey, l_linenumber, measure""",
     "q_histogram" ->
       """SELECT CAST(floor(l_quantity / 10) AS BIGINT) AS bucket,
            count(*) AS n,
