@@ -23,6 +23,14 @@ class CorpusSpec extends AnyFunSuite {
     assert(df.select("b").distinct().count() > 50)
   }
 
+  test("hashBucket stays in range for extreme and negative ids") {
+    val ids = Seq(Long.MinValue, -1L, 0L, 1L, Long.MaxValue)
+    val out = ids.toDF("id")
+      .withColumn("b", Corpus.hashBucket(col("id"), "smpl"))
+      .select("b").as[Long].collect()
+    assert(out.forall(b => b >= 0 && b < 100))
+  }
+
   test("hashSample keeps each stratum near its rate, deterministically") {
     val df = (0L until 2000L).map(i =>
       (i, if (i % 2 == 0) "en" else "de")).toDF("id", "lang")
