@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.streaming.EventStream
+import graft.streaming.{EventStream, StreamDedup}
 
 /** Declared query for the Structured-Streaming surface: the events
   * table flows through the REAL streaming sessionizer (`session_window`
@@ -58,6 +58,40 @@ object StreamQueries {
       s.table(sink).select(col("fp")).orderBy("fp")
     }),
 
+    // Streaming MinHash near-dup: documents stream through the
+    // band-keyed stateful matcher (LSH bucket state, horizon-bounded).
+    // Fed as one batch with distinct synthetic event times, the
+    // per-bucket processing order is pinned (the operator sorts each
+    // bucket batch by ts, doc_id), so the distinct emitted pair set is
+    // deterministic and equals the batch LSH pair set — which the
+    // DuckDB oracle computes directly. doc_id < 500 keeps the time
+    // spread inside the matcher's 10-minute horizon at any sf.
+    "q_stream_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.table(s, dir, "documents")
+        .filter(col("doc_id") < 500)
+        .select(col("doc_id"),
+          timestamp_seconds(col("doc_id") + lit(1000000000L)).as("ts"),
+          col("text"))
+        .as[StreamDedup.Doc].collect()
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val input = MemoryStream[StreamDedup.Doc]
+      val pairs = StreamDedup.candidatePairs(input.toDS(),
+        shingleN = 3, numHashes = 6, bands = 3, threshold = 0.5)
+      val sink = "q_stream_neardup_sink"
+      val q = pairs.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        input.addData(docs.toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink)
+        .select(col("a"), col("b"),
+          round(col("est_jaccard"), 6).as("est_r"))
+        .distinct()
+        .orderBy("a", "b")
+    }),
+
     "q_stream_sessions" -> ((s, dir) => {
       import s.implicits._
       val evts = Tables.events(s, dir)
@@ -101,6 +135,43 @@ object StreamQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // same signature scheme as the batch minhash family: distinct
+    // trigram shingles, per-seed min of md5("seed:shingle"), 3 bands
+    // of 2 concatenated hashes; est = matching-signature fraction
+    "q_stream_neardup" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+             FROM documents WHERE doc_id < 500),
+         d2 AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 3),
+         tok AS (SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS pos FROM d2),
+         sh AS (SELECT DISTINCT t1.doc_id,
+               t1.tok || ' ' || t2.tok || ' ' || t3.tok AS shingle
+             FROM tok t1
+             JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+             JOIN tok t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2),
+         sig AS (SELECT doc_id,
+               min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
+               min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3,
+               min(md5('4:' || shingle)) AS mh4, min(md5('5:' || shingle)) AS mh5
+             FROM sh GROUP BY doc_id),
+         band AS (SELECT doc_id, 0 AS band_idx, mh0 || mh1 AS band_val FROM sig
+             UNION ALL SELECT doc_id, 1, mh2 || mh3 FROM sig
+             UNION ALL SELECT doc_id, 2, mh4 || mh5 FROM sig),
+         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             FROM band x JOIN band y
+               ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+                  AND x.doc_id < y.doc_id),
+         est AS (SELECT c.a, c.b, round((
+               CASE WHEN sa.mh0 = sb.mh0 THEN 1 ELSE 0 END +
+               CASE WHEN sa.mh1 = sb.mh1 THEN 1 ELSE 0 END +
+               CASE WHEN sa.mh2 = sb.mh2 THEN 1 ELSE 0 END +
+               CASE WHEN sa.mh3 = sb.mh3 THEN 1 ELSE 0 END +
+               CASE WHEN sa.mh4 = sb.mh4 THEN 1 ELSE 0 END +
+               CASE WHEN sa.mh5 = sb.mh5 THEN 1 ELSE 0 END) / 6.0, 6) AS est_r
+             FROM cand c
+             JOIN sig sa ON sa.doc_id = c.a
+             JOIN sig sb ON sb.doc_id = c.b)
+         SELECT a, b, est_r FROM est WHERE est_r >= 0.5 ORDER BY a, b""",
     "q_stream_dedup" ->
       """SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
          FROM documents ORDER BY fp""",
