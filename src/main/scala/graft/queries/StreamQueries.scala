@@ -26,6 +26,26 @@ import graft.streaming.{EventStream, StreamDedup}
   */
 object StreamQueries {
 
+  /** Shared harness: run `pipeline` over a MemoryStream fed `batches`
+    * in order (processAllAvailable between batches — later batches are
+    * the watermark-advancing sentinels), return the memory-sink table.
+    */
+  private def runStream[A: org.apache.spark.sql.Encoder](
+      s: SparkSession,
+      sink: String,
+      batches: Seq[Seq[A]])(
+      pipeline: org.apache.spark.sql.Dataset[A] => DataFrame): DataFrame = {
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[A]
+    val q = pipeline(input.toDS()).writeStream.format("memory")
+      .queryName(sink).outputMode("append").start()
+    try batches.foreach { b =>
+      input.addData(b)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(sink)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Streaming exact dedup: documents stream through
@@ -43,19 +63,12 @@ object StreamQueries {
           // stream's initial watermark would be dropped as late
           timestamp_seconds(col("doc_id") + lit(1000000000L)).as("ts"))
         .as[(Long, String, Timestamp)].collect()
-      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-      val input = MemoryStream[(Long, String, Timestamp)]
-      val deduped = EventStream.dedupExact(
-        input.toDF().toDF("doc_id", "text", "ts"),
-        textCol = "text", tsCol = "ts")
-      val sink = "q_stream_dedup_sink"
-      val q = deduped.writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try {
-        input.addData(docs.toIndexedSeq)
-        q.processAllAvailable()
-      } finally q.stop()
-      s.table(sink).select(col("fp")).orderBy("fp")
+      runStream(s, "q_stream_dedup_sink", Seq(docs.toIndexedSeq)) {
+        (ds: org.apache.spark.sql.Dataset[(Long, String, Timestamp)]) =>
+          EventStream.dedupExact(
+            ds.toDF("doc_id", "text", "ts"),
+            textCol = "text", tsCol = "ts")
+      }.select(col("fp")).orderBy("fp")
     }),
 
     // Streaming MinHash near-dup: documents stream through the
@@ -74,19 +87,11 @@ object StreamQueries {
           timestamp_seconds(col("doc_id") + lit(1000000000L)).as("ts"),
           col("text"))
         .as[StreamDedup.Doc].collect()
-      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-      val input = MemoryStream[StreamDedup.Doc]
-      val pairs = StreamDedup.candidatePairs(input.toDS(),
-        shingleN = 3, numHashes = 6, bands = 3, threshold = 0.5)
-      val sink = "q_stream_neardup_sink"
-      val q = pairs.writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try {
-        input.addData(docs.toIndexedSeq)
-        q.processAllAvailable()
-      } finally q.stop()
-      s.table(sink)
-        .select(col("a"), col("b"),
+      runStream(s, "q_stream_neardup_sink", Seq(docs.toIndexedSeq)) {
+        (ds: org.apache.spark.sql.Dataset[StreamDedup.Doc]) =>
+          StreamDedup.candidatePairs(ds,
+            shingleN = 3, numHashes = 6, bands = 3, threshold = 0.5).toDF()
+      }.select(col("a"), col("b"),
           round(col("est_jaccard"), 6).as("est_r"))
         .distinct()
         .orderBy("a", "b")
@@ -106,25 +111,16 @@ object StreamQueries {
           .toDF("user_id", "start_s", "end_s", "n_events")
       } else {
         val maxMs = evts.iterator.map(_.ts.getTime).max
-        implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-        val input = MemoryStream[EventStream.Event]
-        val sessions = EventStream.sessionWindows(
-          input.toDF(), gap = "30 minutes",
-          watermarkDelay = Some("30 minutes"))
-        val sink = "q_stream_sessions_sink"
-        val q = sessions.writeStream.format("memory").queryName(sink)
-          .outputMode("append").start()
-        try {
-          input.addData(evts.toIndexedSeq)
-          q.processAllAvailable()
-          input.addData(EventStream.Event(-1L,
-            new Timestamp(maxMs + 7200000L), -1L, "sentinel", 0.0))
-          q.processAllAvailable()
-          input.addData(EventStream.Event(-2L,
-            new Timestamp(maxMs + 10800000L), -1L, "sentinel", 0.0))
-          q.processAllAvailable()
-        } finally q.stop()
-        s.table(sink)
+        runStream(s, "q_stream_sessions_sink", Seq(
+          evts.toIndexedSeq,
+          Seq(EventStream.Event(-1L,
+            new Timestamp(maxMs + 7200000L), -1L, "sentinel", 0.0)),
+          Seq(EventStream.Event(-2L,
+            new Timestamp(maxMs + 10800000L), -1L, "sentinel", 0.0)))) {
+          (ds: org.apache.spark.sql.Dataset[EventStream.Event]) =>
+            EventStream.sessionWindows(ds.toDF(), gap = "30 minutes",
+              watermarkDelay = Some("30 minutes"))
+        }
           .filter(col("user_id") >= 0)
           .select(col("user_id"),
             unix_timestamp(col("session_start")).as("start_s"),
