@@ -300,6 +300,25 @@ object AnalyticsQueries {
         .crossJoin(p.agg(count(lit(1)).as("n_purchase_users")))
     }),
 
+    // Ranking-window family: row_number / dense_rank / percent_rank /
+    // ntile / cume_dist over one keyed window (one hash exchange; the
+    // rank formulas are exact integer ratios, bit-identical across
+    // engines).
+    "q_rank_suite" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("drank", dense_rank().over(w).cast("long"))
+        .withColumn("prank", round(percent_rank().over(w), 6))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("cdist", round(cume_dist().over(w), 6))
+        .orderBy("o_orderpriority", "rn")
+    }),
+
     // Unpivot (wide → long, the inverse reshape of q_pivot): four
     // measure columns melt into (measure, value) rows — a pure
     // per-row projection+generate, no shuffle before the oracle sort.
@@ -505,6 +524,17 @@ object AnalyticsQueries {
          SELECT (SELECT count(*) FROM v) AS n_view_users,
                 (SELECT count(*) FROM c) AS n_click_users,
                 (SELECT count(*) FROM p) AS n_purchase_users""",
+    "q_rank_suite" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(dense_rank() OVER w AS BIGINT) AS drank,
+           round(percent_rank() OVER w, 6) AS prank,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           round(cume_dist() OVER w, 6) AS cdist
+         FROM orders WHERE o_orderkey <= 2000
+         WINDOW w AS (PARTITION BY o_orderpriority
+           ORDER BY o_totalprice DESC, o_orderkey)
+         ORDER BY o_orderpriority, rn""",
     "q_unpivot" ->
       """WITH src AS (SELECT * FROM lineitem WHERE l_orderkey <= 200)
          SELECT l_orderkey, l_linenumber, measure, value FROM (
