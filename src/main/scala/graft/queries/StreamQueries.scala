@@ -97,6 +97,41 @@ object StreamQueries {
         .orderBy("a", "b")
     }),
 
+    // Streaming tumbling-window counts: the watermark-bounded windowed
+    // aggregation, flushed by sentinel batches; counts are exact
+    // integers so the compare has no float-order sensitivity. Oracle =
+    // epoch-aligned 5-minute buckets (Spark's tumbling windows align
+    // to the epoch).
+    "q_stream_counts" -> ((s, dir) => {
+      import s.implicits._
+      val evts = Tables.events(s, dir)
+        .select(col("event_id"), col("ts_sec").as("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[EventStream.Event].collect()
+      if (evts.isEmpty) {
+        Seq.empty[(Long, Long, String, Long)]
+          .toDF("window_start_s", "window_end_s", "event_type", "n")
+      } else {
+        val maxMs = evts.iterator.map(_.ts.getTime).max
+        runStream(s, "q_stream_counts_sink", Seq(
+          evts.toIndexedSeq,
+          Seq(EventStream.Event(-1L,
+            new Timestamp(maxMs + 3600000L), -1L, "sentinel", 0.0)),
+          Seq(EventStream.Event(-2L,
+            new Timestamp(maxMs + 7200000L), -1L, "sentinel", 0.0)))) {
+          (ds: org.apache.spark.sql.Dataset[EventStream.Event]) =>
+            EventStream.windowedCounts(ds.toDF(),
+              watermarkDelay = "10 minutes", windowLen = "5 minutes")
+        }
+          .filter(col("event_type") =!= "sentinel")
+          .select(
+            unix_timestamp(col("window_start")).as("window_start_s"),
+            unix_timestamp(col("window_end")).as("window_end_s"),
+            col("event_type"), col("n"))
+          .orderBy("window_start_s", "event_type")
+      }
+    }),
+
     "q_stream_sessions" -> ((s, dir) => {
       import s.implicits._
       val evts = Tables.events(s, dir)
@@ -171,6 +206,16 @@ object StreamQueries {
     "q_stream_dedup" ->
       """SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
          FROM documents ORDER BY fp""",
+    "q_stream_counts" ->
+      """WITH e AS (SELECT
+             CAST(epoch(CAST(date_trunc('second', ts) AS TIMESTAMP)) AS BIGINT) AS ts_s,
+             event_type
+           FROM events)
+         SELECT (ts_s // 300) * 300 AS window_start_s,
+           (ts_s // 300) * 300 + 300 AS window_end_s,
+           event_type, count(*) AS n
+         FROM e GROUP BY 1, 2, 3
+         ORDER BY window_start_s, event_type""",
     // gap-and-islands sessions over second-truncated event times:
     // same-session ⟺ gap to previous event ≤ 1800 s; session end =
     // last event + gap (session_window semantics)
