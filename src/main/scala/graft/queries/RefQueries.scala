@@ -179,6 +179,44 @@ object RefQueries {
           col("value"))
         .orderBy("event_id")),
 
+    // S1–S3/S5–S6/S8 end-to-end: the reference's core capability
+    // (.xlsx → table, xlsparser.js:45-219) under the DuckDB gate. A
+    // deterministic workbook is synthesized from the nation rows —
+    // shared strings, builtin + custom date styles with serials
+    // crossing the 1900-02-29 boundary (58 + 7k spans <60 and >=60), a
+    // custom NON-date numFmt that must pass through raw, a gap cell the
+    // dense fill must restore as '', and trailing empty rows the trim
+    // must drop — then read back through the DataSourceV2 reader and
+    // hash-matched against DuckDB over the same parquet rows with the
+    // serial→ISO expression inlined. nation is a bounded dim table
+    // (25 rows at every SF): the driver-side materialization here is
+    // the xlsx path's documented envelope, not a data-path collect.
+    "q_xlsx" -> ((s, dir) => {
+      import graft.ingest.XlsxWriter
+      import graft.ingest.XlsxWriter._
+      val nation = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect().sortBy(_.getInt(0))
+      val header: Seq[Cell] =
+        Seq(Str("nkey"), Str("name"), Str("region_key"),
+          Str("asof"), Str("asof_custom"))
+      val body = nation.toSeq.map { r =>
+        val k = r.getInt(0)
+        Seq[Cell](
+          Num(k.toString),
+          Str(r.getString(1)),
+          if (k == 13) Blank else StyledNum(r.getInt(2).toString),
+          DateSerial(58 + k * 7),
+          DateSerial(45000 + k, builtin = false))
+      }
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_q_xlsx.xlsx")
+      XlsxWriter.write(path, "Data", header +: body, trailingEmptyRows = 3)
+      s.read.format("graft.sources.XlsxDataSource")
+        .option("sheet", "Data").load(path.toString)
+        .orderBy(col("nkey").cast("int"))
+    }),
+
     // S10 delimiter sniffing (csv_sniff.py:5-22) — not SQL-expressible,
     // declared without an oracle (rows-only check). Distributed form:
     // sniff a corpus of small CSV payloads per-row.
@@ -284,7 +322,21 @@ object RefQueries {
          FROM part WHERE p_partkey <= 2000 ORDER BY p_partkey""",
     "q_visible" ->
       """SELECT event_id, user_id, event_type, value FROM events
-         WHERE event_type <> 'error' ORDER BY event_id"""
+         WHERE event_type <> 'error' ORDER BY event_id""",
+    // Mirrors the synthesized workbook cell-for-cell: all-string output
+    // (the reference's data model), gap cell at n_nationkey = 13, and
+    // the leap-bug-compatible serial conversion (1899-12-31 + serial)
+    // for both the builtin-style and custom-style date columns.
+    "q_xlsx" ->
+      """SELECT CAST(n_nationkey AS VARCHAR) AS nkey,
+                n_name AS name,
+                CASE WHEN n_nationkey = 13 THEN ''
+                     ELSE CAST(n_regionkey AS VARCHAR) END AS region_key,
+                CAST(DATE '1899-12-31'
+                     + CAST(58 + n_nationkey * 7 AS INTEGER) AS VARCHAR) AS asof,
+                CAST(DATE '1899-12-31'
+                     + CAST(45000 + n_nationkey AS INTEGER) AS VARCHAR) AS asof_custom
+         FROM nation ORDER BY n_nationkey"""
     // q_sniff: intentionally no oracle (non-SQL-expressible; rows-only).
   )
 }
