@@ -79,6 +79,43 @@ object Corpus {
       .join(corpusFp, Seq("fp"), "left_anti")
   }
 
+  /** Materialize the standing corpus's fingerprint set as a bucketed,
+    * fp-sorted table — the layout half of zero-exchange incremental
+    * dedup. Run once per corpus rebuild (or append tonight's new
+    * fingerprints); every nightly [[incrementalDedupBucketed]] then
+    * anti-joins against it with NO exchange on the corpus side. At
+    * 100 TB the corpus fingerprint set is the big side of that join —
+    * re-shuffling it every night is exactly the cost this layout
+    * removes ([[ScaleOps.writeBucketed]] is the generic form).
+    */
+  def writeCorpusFingerprints(
+      corpus: DataFrame,
+      textCol: String,
+      table: String,
+      buckets: Int): Unit =
+    ScaleOps.writeBucketed(
+      corpus.select(md5(TextDedup.normText(col(textCol))).as("fp")).distinct(),
+      table, "fp", buckets)
+
+  /** [[incrementalDedup]] against a bucketed fingerprint table written
+    * by [[writeCorpusFingerprints]]: same output, but the corpus side
+    * scans pre-partitioned on `fp` — only tonight's (small) batch
+    * aggregate shuffles, into the corpus's bucket layout. The nightly
+    * ingest shape at scale (spec-pinned: zero Exchange above the
+    * bucketed scan).
+    */
+  def incrementalDedupBucketed(
+      spark: org.apache.spark.sql.SparkSession,
+      fpTable: String,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame =
+    batch
+      .select(col(idCol), md5(TextDedup.normText(col(textCol))).as("fp"))
+      .groupBy("fp")
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_batch"))
+      .join(spark.table(fpTable), Seq("fp"), "left_anti")
+
   /** Composed curation decision: quality gates (length / token count /
     * stopword ratio) then exact dedup keeping the smallest surviving
     * id per fingerprint. Output: one row per kept document with its
@@ -94,6 +131,14 @@ object Corpus {
       maxLen: Int = 2000,
       minTokens: Int = 5,
       maxStopRatio: Double = 0.5): DataFrame = {
+    // mirror hashSample's 'bucket' guard: a pre-existing column with a
+    // generated name would duplicate the output column and make the
+    // fingerprint Window.partitionBy ambiguous
+    val generated = Seq("fp", "n_tokens", "n_stop", "len_text", "__rn")
+    val clash = df.columns.filterNot(_ == textCol).intersect(generated)
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with curate()'s " +
+        "generated columns (fp, n_tokens, n_stop, len_text, __rn)")
     val tk = TextDedup.tokens(col(textCol))
     val w = Window.partitionBy("fp").orderBy(idCol)
     df.select(df.columns.filterNot(_ == textCol).map(col) :+

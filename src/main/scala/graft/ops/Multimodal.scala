@@ -173,6 +173,127 @@ object Multimodal {
       StubCodec.sampleFrames(payload, n)
   }
 
+  /** Real audio decoder on top of `javax.sound.sampled` — pure JDK, no
+    * native libraries (the WAV/PCM counterpart of [[ImageIoCodec]]).
+    * Payloads that parse as WAV (or any format the JDK's registered
+    * readers handle) get real acoustic features and real frame-aligned
+    * clip sampling; anything unparseable (images, video, opaque blobs)
+    * falls back to the deterministic stub, so one codec serves a
+    * mixed-modality table. Compressed formats (mp3/ogg) would need an
+    * SPI on the classpath — the seam takes one without code changes.
+    */
+  object WavCodec extends MediaCodec {
+    import java.io.ByteArrayInputStream
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+
+    /** Payload → (mono samples in [-1, 1], sample rate), None if the
+      * JDK cannot parse it. 8/16-bit PCM both supported; channels are
+      * averaged to mono.
+      */
+    private[ops] def decodePcm(
+        payload: Array[Byte]): Option[(Array[Double], Float)] = {
+      if (payload.isEmpty) return None
+      try {
+        val in = AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(payload))
+        try {
+          val fmt = in.getFormat
+          val pcm =
+            if (fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED ||
+              fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED) in
+            else AudioSystem.getAudioInputStream(
+              AudioFormat.Encoding.PCM_SIGNED, in)
+          val f = pcm.getFormat
+          val bytes = pcm.readAllBytes()
+          val bytesPerSample = f.getSampleSizeInBits / 8
+          if (bytesPerSample < 1 || bytesPerSample > 2) return None
+          val channels = f.getChannels
+          val frameBytes = bytesPerSample * channels
+          val nFrames = bytes.length / frameBytes
+          val mono = new Array[Double](nFrames)
+          var i = 0
+          while (i < nFrames) {
+            var acc = 0.0
+            var c = 0
+            while (c < channels) {
+              val off = i * frameBytes + c * bytesPerSample
+              acc += (if (bytesPerSample == 2) {
+                val lo = bytes(off + (if (f.isBigEndian) 1 else 0)) & 0xff
+                val hi = bytes(off + (if (f.isBigEndian) 0 else 1)).toInt
+                ((hi << 8) | lo).toShort / 32768.0
+              } else if (f.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED)
+                ((bytes(off) & 0xff) - 128) / 128.0
+              else bytes(off) / 128.0)
+              c += 1
+            }
+            mono(i) = acc / channels
+            i += 1
+          }
+          Some((mono, f.getSampleRate))
+        } finally in.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
+    }
+
+    /** 16-dim feature: RMS energy of 16 equal time segments, each in
+      * [0, 1] — the audio analogue of ImageIoCodec's luminance grid.
+      */
+    def extractFeatures(payload: Array[Byte]): Array[Float] =
+      decodePcm(payload) match {
+        case None => StubCodec.extractFeatures(payload)
+        case Some((samples, _)) =>
+          if (samples.isEmpty) return new Array[Float](16)
+          val sums = new Array[Double](16)
+          val counts = new Array[Long](16)
+          var i = 0
+          while (i < samples.length) {
+            val seg = math.min(15, (i.toLong * 16 / samples.length).toInt)
+            sums(seg) += samples(i) * samples(i)
+            counts(seg) += 1
+            i += 1
+          }
+          Array.tabulate(16)(s =>
+            if (counts(s) == 0) 0f else math.sqrt(sums(s) / counts(s)).toFloat)
+      }
+
+    /** Raster resize is meaningless for audio; time-domain resampling
+      * is a sample-rate conversion, not a W×H operation — and audio
+      * rows never reach [[Multimodal.resize]]'s codec call anyway
+      * (kind == "audio" passes through). Stub for non-audio payloads.
+      */
+    def resize(payload: Array[Byte], srcW: Int, srcH: Int,
+        targetW: Int, targetH: Int): Array[Byte] =
+      StubCodec.resize(payload, srcW, srcH, targetW, targetH)
+
+    /** Real clip sampling: `n` contiguous equal spans of the decoded
+      * PCM data, re-emitted as raw 16-bit little-endian mono — frame
+      * boundaries respected by construction (2 bytes per sample).
+      */
+    def sampleFrames(payload: Array[Byte], n: Int): Seq[Array[Byte]] =
+      decodePcm(payload) match {
+        case None => StubCodec.sampleFrames(payload, n)
+        case Some((samples, _)) =>
+          if (samples.isEmpty || n <= 0) return Seq.empty
+          val per = math.max(1, samples.length / n)
+          (0 until math.min(n, samples.length)).map { i =>
+            val clip = samples.slice(i * per,
+              math.min((i + 1) * per, samples.length))
+            val out = new Array[Byte](clip.length * 2)
+            var j = 0
+            while (j < clip.length) {
+              val s = math.max(-32768, math.min(32767,
+                math.round(clip(j) * 32767).toInt))
+              out(2 * j) = (s & 0xff).toByte
+              out(2 * j + 1) = ((s >> 8) & 0xff).toByte
+              j += 1
+            }
+            out
+          }.filter(_.nonEmpty)
+      }
+  }
+
   /** Batched feature extraction over the binary column. Partition count
     * is preserved — upstream `repartition(k, col("media_id"))` controls
     * parallelism/batch size exactly like `mapInPandas` batches.

@@ -80,6 +80,12 @@ object ScaleOps {
       outPath: String,
       targetFileBytes: Long): Int = {
     require(targetFileBytes > 0)
+    // enforce the "never in place" contract: an overwrite-mode write to
+    // the source dir would delete the files the read plan still needs
+    require(
+      new org.apache.hadoop.fs.Path(inPath).toUri.normalize() !=
+        new org.apache.hadoop.fs.Path(outPath).toUri.normalize(),
+      s"compact() must not write in place: inPath == outPath ($inPath)")
     val p = new org.apache.hadoop.fs.Path(inPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val it = fs.listFiles(p, true)

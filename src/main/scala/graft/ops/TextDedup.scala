@@ -59,15 +59,77 @@ object TextDedup {
       .select(col(idCol), col("bd.band_idx"), col("bd.band_val"))
   }
 
-  /** Candidate pairs (a < b) sharing at least one band. */
-  def lshCandidates(bands: DataFrame, idCol: String): DataFrame =
-    bands.as("x")
-      .join(bands.as("y"),
+  /** Hot-bucket bound for LSH candidate generation. A bucket of m rows
+    * emits m² candidate pairs, and on a real 100 TB corpus degenerate
+    * buckets (boilerplate, near-empty documents) reach millions of
+    * members — AQE skew-splitting only splits partitions, it cannot
+    * reduce the pair count. Production MinHash pipelines therefore cap
+    * bucket membership and drop the overflow: members of a mega-bucket
+    * are near-duplicates of each other mostly via content that LSH has
+    * already declared worthless for discrimination.
+    *
+    * 1000 members = 10⁶ candidate pairs per bucket, a bounded unit of
+    * join work; callers that cannot tolerate dropped buckets should
+    * sub-shard upstream (more bands / longer shingles) rather than
+    * raise the cap.
+    */
+  val DefaultMaxBucket: Int = 1000
+
+  /** Keep only rows whose bucket (the `keyCols` group) has at most
+    * `maxBucket` members. The over-cap bucket list is an aggregate with
+    * map-side partial combine — its shuffle carries one count per
+    * DISTINCT bucket key, not the banded rows — and is removed with a
+    * broadcast anti-join, so the banded rows themselves are never
+    * re-shuffled by the cap: the candidate join downstream keeps
+    * whatever exchange plan it had without the cap. (The broadcast is
+    * safe by construction: at most rows/maxBucket buckets can exceed
+    * the cap, and only their key columns ship.)
+    *
+    * Dropping is never silent: pair it with [[overCapBuckets]] — same
+    * inputs, returns the dropped (key, n_members) set — to log/audit
+    * what the cap removed.
+    */
+  def capBuckets(
+      banded: DataFrame,
+      keyCols: Seq[String],
+      maxBucket: Int): DataFrame = {
+    require(maxBucket > 0, s"maxBucket must be positive, got $maxBucket")
+    val over = overCapBuckets(banded, keyCols, maxBucket)
+      .select(keyCols.map(col): _*)
+    banded.join(broadcast(over), keyCols, "left_anti")
+  }
+
+  /** Audit twin of [[capBuckets]]: the buckets the cap drops, with
+    * member counts — tiny by construction (at most rows/maxBucket
+    * groups), so callers can collect/log it cheaply.
+    */
+  def overCapBuckets(
+      banded: DataFrame,
+      keyCols: Seq[String],
+      maxBucket: Int): DataFrame =
+    banded.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > maxBucket)
+
+  /** Candidate pairs (a < b) sharing at least one band, from buckets
+    * within `maxBucket` members (pass `Int.MaxValue` to skip the cap —
+    * e.g. when the input was already capped and cached upstream).
+    */
+  def lshCandidates(
+      bands: DataFrame,
+      idCol: String,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val in =
+      if (maxBucket == Int.MaxValue) bands
+      else capBuckets(bands, Seq("band_idx", "band_val"), maxBucket)
+    in.as("x")
+      .join(in.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_val") === col("y.band_val") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
       .distinct()
+  }
 
   /** True-Jaccard verification of candidate pairs against the shingle
     * sets: (a, b, inter, na, nb, jaccard), filtered to >= threshold.
@@ -105,9 +167,12 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Full MinHash+LSH near-dup pipeline: shingle → sign → band →
+  /** Full MinHash+LSH near-dup pipeline: shingle → sign → band → cap →
     * candidates → verify. The shingle set is persisted internally (it
-    * feeds four branches and Spark has no cross-branch CSE).
+    * feeds four branches and Spark has no cross-branch CSE); the bands
+    * are persisted PRE-cap so every branch the cap fans into — the
+    * over-cap count aggregate plus both anti-joined candidate sides —
+    * reads the cache instead of re-running the signature pipeline.
     */
   def minhashDedup(
       df: DataFrame,
@@ -116,12 +181,15 @@ object TextDedup {
       shingleN: Int = 3,
       numHashes: Int = 6,
       bands: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
-    val sh = shingles(df, idCol, textCol, shingleN).persist()
-    val bandsDf = lshBands(
-      minhashSignatures(sh, idCol, numHashes), idCol, numHashes, bands)
-      .persist()
-    verifiedJaccard(sh, idCol, lshCandidates(bandsDf, idCol), threshold)
+      threshold: Double = 0.8,
+      maxBucket: Int = DefaultMaxBucket,
+      handle: CacheHandle = null): DataFrame = {
+    val sh = CacheHandle.persistWith(handle,
+      shingles(df, idCol, textCol, shingleN))
+    val bandsDf = CacheHandle.persistWith(handle, lshBands(
+      minhashSignatures(sh, idCol, numHashes), idCol, numHashes, bands))
+    verifiedJaccard(sh, idCol,
+      lshCandidates(bandsDf, idCol, maxBucket), threshold)
   }
 
   /** 32-bit SimHash fingerprints: (idCol, simhash). */
@@ -230,7 +298,11 @@ object TextDedup {
     * true pairs only (distinct: a pair may collide on several bands).
     * No all-pairs comparison anywhere in the plan.
     */
-  def simhashPairs(sim: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+  def simhashPairs(
+      sim: DataFrame,
+      idCol: String,
+      maxHamming: Int,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     // >= 32 would create zero-width bands whose band_val is 0 for every
     // row — one hot bucket, i.e. the all-pairs join this exists to avoid
     require(maxHamming >= 0 && maxHamming < 32,
@@ -243,10 +315,16 @@ object TextDedup {
         shiftright(col("fp"), lo).bitwiseAND(lit((1L << (hi - lo)) - 1))
           .as("band_val"))
     }
-    val banded = sim.toDF("id", "fp")
+    val banded0 = sim.toDF("id", "fp")
       .select(col("id"), col("fp"), explode(array(bands: _*)).as("bd"))
       .select(col("id"), col("fp"),
         col("bd.band_idx").as("band_idx"), col("bd.band_val").as("band_val"))
+    // hot-bucket bound (see capBuckets): a popular band value — short
+    // boilerplate text collapses to few distinct fingerprints — would
+    // otherwise emit m² pairs from one bucket
+    val banded =
+      if (maxBucket == Int.MaxValue) banded0
+      else capBuckets(banded0, Seq("band_idx", "band_val"), maxBucket)
     banded.as("x")
       .join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&

@@ -117,7 +117,10 @@ object CorpusQueries {
            CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
          FROM documents),
          c AS (SELECT doc_id, n_tokens,
-           CAST(sum(n_tokens) OVER (ORDER BY doc_id
+           -- COALESCE pins null-text semantics to the Spark side, whose
+           -- running sum counts nulls as zero (a leading all-NULL
+           -- prefix would otherwise yield NULL here but 0 there)
+           CAST(sum(COALESCE(n_tokens, 0)) OVER (ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
              AS cum_tokens
          FROM t)

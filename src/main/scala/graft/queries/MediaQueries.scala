@@ -123,8 +123,10 @@ object MediaQueries {
          WHERE s.i < least(4, p.len)
          ORDER BY media_id, frame_idx""",
     // the resample index math ((i*len)//tlen over a constant series)
-    // mirrors StubCodec.resize exactly; the series bound is
-    // oracle-side only (documents cap well under it at gate scale)
+    // mirrors StubCodec.resize exactly; the series bound is oracle-side
+    // only, and a payload long enough to exceed it fails LOUDLY (the
+    // guard CASE casts a string to BIGINT) instead of silently dropping
+    // resample positions and reporting a false mismatch
     "q_media_resize" ->
       """WITH m AS (SELECT doc_id AS media_id,
            CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
@@ -132,11 +134,18 @@ object MediaQueries {
            hex(encode(text)) AS ph,
            CAST(octet_length(encode(text)) AS BIGINT) AS len
          FROM documents),
-         p AS (SELECT media_id, kind, ph, len,
+         p0 AS (SELECT media_id, kind, ph, len,
            CASE WHEN len = 0 THEN 0
                 WHEN kind = 'audio' THEN len
                 ELSE greatest(1, (len * 192) // 768) END AS tlen
          FROM m),
+         p AS (SELECT media_id, kind, ph, len,
+           CASE WHEN kind <> 'audio' AND tlen >= 4096
+                THEN CAST('q_media_resize: payload exceeds the oracle
+                           resample series cap — raise range(0, 4096)'
+                          AS BIGINT)
+                ELSE tlen END AS tlen
+         FROM p0),
          series AS (SELECT CAST(unnest(range(0, 4096)) AS BIGINT) AS i),
          rs AS (SELECT p.media_id,
              string_agg(substr(p.ph, 2 * ((s.i * p.len) // p.tlen) + 1, 2),

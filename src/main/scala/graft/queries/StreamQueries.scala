@@ -132,6 +132,67 @@ object StreamQueries {
       }
     }),
 
+    // The PRODUCTION ingestion path under the gate: the same windowed
+    // counts as q_stream_counts, but ingested through
+    // EventStream.fromEventsDir — readStream.parquet over a directory
+    // the real events files are byte-copied into — with far-future
+    // sentinel FILES (not MemoryStream batches) advancing the
+    // watermark. Proves the file source end-to-end: schema declaration,
+    // ns→event-time conversion, file discovery per trigger, watermark
+    // init/flush. Shares q_stream_counts' oracle (micros-precision
+    // event times land in the same 300 s buckets as second-truncated
+    // ones, and counts are exact integers).
+    "q_stream_file" -> ((s, dir) => {
+      import s.implicits._
+      import scala.jdk.CollectionConverters._
+      val maxNsRow = Tables.table(s, dir, "events").agg(max("ts")).head()
+      if (maxNsRow.isNullAt(0)) {
+        Seq.empty[(Long, Long, String, Long)]
+          .toDF("window_start_s", "window_end_s", "event_type", "n")
+      } else {
+        val maxNs = maxNsRow.getLong(0)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_stream_file")
+        java.nio.file.Files
+          .list(java.nio.file.Paths.get(dir, "events.parquet"))
+          .iterator().asScala
+          .filterNot(f => f.getFileName.toString.startsWith("_") ||
+            f.getFileName.toString.startsWith("."))
+          .foreach(f => java.nio.file.Files.copy(f,
+            tmp.resolve(f.getFileName.toString)))
+        // a sentinel event as a parquet FILE dropped into the stream
+        // dir — the file-source analogue of the sentinel batches
+        def addSentinelFile(i: Int, tsNs: Long): Unit = {
+          val staging = java.nio.file.Files
+            .createTempDirectory(s"graft_stream_sentinel$i")
+          Seq((-i.toLong, tsNs, -1L, "sentinel", 0.0, "{}"))
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+            .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+          val part = java.nio.file.Files.list(staging).iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          java.nio.file.Files.move(part, tmp.resolve(s"sentinel_$i.parquet"))
+        }
+        val q = EventStream.windowedCounts(
+          EventStream.fromEventsDir(s, tmp.toString),
+          watermarkDelay = "10 minutes", windowLen = "5 minutes")
+          .writeStream.format("memory").queryName("q_stream_file_sink")
+          .outputMode("append").start()
+        try {
+          q.processAllAvailable()
+          addSentinelFile(1, maxNs + 3600L * 1000000000L)
+          q.processAllAvailable()
+          addSentinelFile(2, maxNs + 7200L * 1000000000L)
+          q.processAllAvailable()
+        } finally q.stop()
+        s.table("q_stream_file_sink")
+          .filter(col("event_type") =!= "sentinel")
+          .select(
+            unix_timestamp(col("window_start")).as("window_start_s"),
+            unix_timestamp(col("window_end")).as("window_end_s"),
+            col("event_type"), col("n"))
+          .orderBy("window_start_s", "event_type")
+      }
+    }),
+
     "q_stream_sessions" -> ((s, dir) => {
       import s.implicits._
       val evts = Tables.events(s, dir)
@@ -164,6 +225,20 @@ object StreamQueries {
           .orderBy("user_id", "start_s")
       }
     }))
+
+  // epoch-aligned 5-minute buckets (Spark's tumbling windows align to
+  // the epoch); counts are exact integers so the compare has no
+  // float-order sensitivity
+  private val streamCountsOracle =
+    """WITH e AS (SELECT
+             CAST(epoch(CAST(date_trunc('second', ts) AS TIMESTAMP)) AS BIGINT) AS ts_s,
+             event_type
+           FROM events)
+         SELECT (ts_s // 300) * 300 AS window_start_s,
+           (ts_s // 300) * 300 + 300 AS window_end_s,
+           event_type, count(*) AS n
+         FROM e GROUP BY 1, 2, 3
+         ORDER BY window_start_s, event_type"""
 
   val oracles: Map[String, String] = Map(
     // same signature scheme as the batch minhash family: distinct
@@ -206,16 +281,10 @@ object StreamQueries {
     "q_stream_dedup" ->
       """SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
          FROM documents ORDER BY fp""",
-    "q_stream_counts" ->
-      """WITH e AS (SELECT
-             CAST(epoch(CAST(date_trunc('second', ts) AS TIMESTAMP)) AS BIGINT) AS ts_s,
-             event_type
-           FROM events)
-         SELECT (ts_s // 300) * 300 AS window_start_s,
-           (ts_s // 300) * 300 + 300 AS window_end_s,
-           event_type, count(*) AS n
-         FROM e GROUP BY 1, 2, 3
-         ORDER BY window_start_s, event_type""",
+    "q_stream_counts" -> streamCountsOracle,
+    // identical aggregation, different ingestion path (file source vs
+    // MemoryStream) — one oracle pins both to the same answer
+    "q_stream_file" -> streamCountsOracle,
     // gap-and-islands sessions over second-truncated event times:
     // same-session ⟺ gap to previous event ≤ 1800 s; session end =
     // last event + gap (session_window semantics)

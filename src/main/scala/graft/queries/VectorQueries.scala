@@ -94,9 +94,16 @@ object VectorQueries {
       .select(col("vec_id"), asDouble(col("embedding")).as("v")))
       .withColumn("bucket", graft.ops.CosineLsh.bucketCol(col("v"), pm))
       .persist() // both self-join sides (and cluster id universe) read it
-    val a = e.select(col("vec_id").as("a"), col("v").as("va"),
+    // hot-bucket bound (TextDedup.capBuckets): embedding corpora skew
+    // into a few dense LSH cells (near-zero or boilerplate vectors); a
+    // cell of m members emits m² pairs, so bound it like the text path.
+    // Applied to the pair-mining side only — the cluster id universe
+    // below stays the full `e`. Cannot bind at the gate's ≤300 vectors.
+    val ec = graft.ops.TextDedup.capBuckets(
+      e, Seq("bucket"), graft.ops.TextDedup.DefaultMaxBucket)
+    val a = ec.select(col("vec_id").as("a"), col("v").as("va"),
       col("nrm").as("na"), col("bucket"))
-    val b = e.select(col("vec_id").as("b"), col("v").as("vb"),
+    val b = ec.select(col("vec_id").as("b"), col("v").as("vb"),
       col("nrm").as("nb"), col("bucket").as("bbucket"))
     val pairs = a
       .join(b, col("bucket") === col("bbucket") && col("a") < col("b"))

@@ -62,6 +62,52 @@ class CorpusSpec extends AnyFunSuite {
     assert(out == Set((11L, 2L), (13L, 1L)))
   }
 
+  test("bucketed incremental dedup matches the plain form with zero " +
+    "exchange above the corpus scan") {
+    val corpus = Seq((1L, "alpha beta"), (2L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha  beta"), // dup of corpus 1 after normalization
+      (11L, "fresh text here"),
+      (12L, "fresh text here"), // in-batch dup of 11
+      (13L, "another new one"))
+      .toDF("doc_id", "text")
+    Corpus.writeCorpusFingerprints(corpus, "text", "corpus_fp_b", buckets = 4)
+    try {
+      // disable auto-broadcast so the anti-join would otherwise shuffle
+      // both sides — the bucketed layout must carry the corpus side
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val out = Corpus.incrementalDedupBucketed(
+        spark, "corpus_fp_b", batch, "doc_id", "text")
+      val got = out.select("keep_id", "n_batch").as[(Long, Long)]
+        .collect().toSet
+      assert(got == Set((11L, 2L), (13L, 1L)))
+      // zero-exchange pin: no shuffle node anywhere above the bucketed
+      // fingerprint scan — only the batch aggregate side exchanges
+      val shufflesOverScan = out.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.toString.contains("corpus_fp_b") => e
+      }
+      assert(shufflesOverScan.isEmpty,
+        "bucketed corpus side still shuffles:\n" +
+          out.queryExecution.executedPlan.toString)
+      assert(out.queryExecution.executedPlan.toString.contains("corpus_fp_b"),
+        "plan does not read the bucketed table")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS corpus_fp_b")
+    }
+  }
+
+  test("curate rejects inputs whose columns collide with generated names") {
+    val docs = Seq((1L, "x", "one two three four five six seven"))
+      .toDF("doc_id", "fp", "text")
+    val e = intercept[IllegalArgumentException] {
+      Corpus.curate(docs, "doc_id", "text", stop)
+    }
+    assert(e.getMessage.contains("fp"))
+  }
+
   test("curate applies quality gates then keeps min id per fingerprint") {
     val docs = Seq(
       (1L, "en", "web", "the data row key value here and more tokens"),

@@ -111,6 +111,62 @@ class MultimodalSpec extends AnyFunSuite {
     assert(audio.payload.length == 256 && audio.sample_rate == 16000)
   }
 
+  /** 16-bit little-endian mono WAV: sine burst then silence. */
+  private def wav(sampleRate: Float, nSamples: Int)
+      (sample: Int => Double): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val pcm = new Array[Byte](nSamples * 2)
+    for (i <- 0 until nSamples) {
+      val s = math.max(-32768,
+        math.min(32767, math.round(sample(i) * 32767).toInt))
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+    val in = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("wav codec extracts real RMS features through the pipeline") {
+    import spark.implicits._
+    // 1600 samples: full-scale sine over the first half, silence after
+    val burst = wav(16000f, 1600)(i =>
+      if (i < 800) math.sin(2 * math.Pi * i / 32.0) else 0.0)
+    val noise = Array.tabulate(256)(i => (i % 7).toByte) // not a WAV
+    val ds = Seq(
+      MediaRecord(1, "audio", burst, 0, 0, 16000),
+      MediaRecord(2, "audio", noise, 0, 0, 16000))
+      .toDS().repartition(2, org.apache.spark.sql.functions.col("media_id"))
+    val f = Multimodal.extractFeatures(ds, Multimodal.WavCodec)
+      .collect().sortBy(_.media_id)
+    val feats = f.find(_.media_id == 1).get.feature
+    assert(feats.length == 16)
+    // sine half: RMS near 1/sqrt(2); silent half: exactly 0
+    assert(feats.take(8).forall(v => v > 0.6f && v < 0.8f),
+      s"sine segments: ${feats.toSeq}")
+    assert(feats.drop(8).forall(_ == 0f), s"silent segments: ${feats.toSeq}")
+    // non-WAV payload falls back to the deterministic stub
+    assert(f.find(_.media_id == 2).get.feature.toSeq ==
+      Multimodal.StubCodec.extractFeatures(noise).toSeq)
+  }
+
+  test("wav codec samples frame-aligned PCM clips") {
+    val burst = wav(8000f, 800)(i => math.sin(2 * math.Pi * i / 16.0))
+    val clips = Multimodal.WavCodec.sampleFrames(burst, 4)
+    assert(clips.length == 4)
+    // each clip is 200 samples of 16-bit mono = 400 bytes
+    assert(clips.forall(_.length == 400), clips.map(_.length).toSeq)
+    // clip energy is real signal, not header bytes: nonzero samples
+    assert(clips.head.exists(_ != 0))
+    // non-WAV falls back to the stub's contiguous chunks
+    val noise = Array.tabulate(64)(i => (i * 3).toByte)
+    assert(Multimodal.WavCodec.sampleFrames(noise, 4).map(_.toSeq) ==
+      Multimodal.StubCodec.sampleFrames(noise, 4).map(_.toSeq))
+  }
+
   test("metadata stats never touch the payload codec") {
     val stats = Multimodal.metadataStats(media.toDF()).collect()
     assert(stats.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))

@@ -119,6 +119,13 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("compact refuses to write in place") {
+    val e = intercept[IllegalArgumentException] {
+      ScaleOps.compact(spark, "/tmp/graft_same", "/tmp/graft_same/", 1L << 20)
+    }
+    assert(e.getMessage.contains("in place"))
+  }
+
   test("compact rewrites many small files into few, preserving rows") {
     val base = java.nio.file.Files
       .createTempDirectory("graft_compact").toString

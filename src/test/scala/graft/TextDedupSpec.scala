@@ -101,6 +101,85 @@ class TextDedupSpec extends AnyFunSuite {
     assert(cl(3L) == 3L && cl(5L) == 5L)
   }
 
+  // A planted mega-bucket: 1,000 byte-identical boilerplate docs whose
+  // band buckets (all three) blow past the cap, plus one genuine exact
+  // pair that must survive capping untouched.
+  private def megaBucketCorpus = {
+    import spark.implicits._
+    val boiler = (100L until 1100L).map(i =>
+      (i, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"))
+    val real = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river"))
+    (boiler ++ real).toDF("doc_id", "text")
+  }
+
+  test("hot-bucket cap drops the planted mega-bucket; genuine pairs survive") {
+    val df = megaBucketCorpus
+    val sh = TextDedup.shingles(df, "doc_id", "text", 3)
+    val bands = TextDedup.lshBands(
+      TextDedup.minhashSignatures(sh, "doc_id", 6), "doc_id", 6, 3).persist()
+    try {
+      // the audit twin surfaces exactly the three over-cap band buckets
+      val over = TextDedup
+        .overCapBuckets(bands, Seq("band_idx", "band_val"), 100)
+        .collect()
+      assert(over.length == 3)
+      assert(over.forall(_.getAs[Long]("n_members") == 1000L))
+      // capped: only the genuine pair — not 3 × C(1000,2) boilerplate
+      val capped = TextDedup.lshCandidates(bands, "doc_id", maxBucket = 100)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(capped == Set((0L, 1L)))
+      // explicitly uncapped keeps the mega-bucket (candidates include
+      // boilerplate pairs) — the cap, not the data, removed them
+      val uncapped = TextDedup
+        .lshCandidates(bands.filter(col("band_idx") === 0), "doc_id",
+          maxBucket = Int.MaxValue)
+      assert(uncapped.count() == 1000L * 999 / 2 + 1)
+    } finally bands.unpersist()
+  }
+
+  test("simhashPairs honors the hot-bucket cap") {
+    val sim = TextDedup.simhash(megaBucketCorpus, "doc_id", "text").persist()
+    try {
+      val capped = TextDedup
+        .simhashPairs(sim, "doc_id", maxHamming = 1, maxBucket = 100)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(capped == Set((0L, 1L)))
+    } finally sim.unpersist()
+  }
+
+  test("bucket cap never re-shuffles the banded rows") {
+    val df = megaBucketCorpus
+    val sh = TextDedup.shingles(df, "doc_id", "text", 3)
+    // persisted, as in minhashDedup: the cap's fan-out reads the cache
+    val bands = TextDedup.lshBands(
+      TextDedup.minhashSignatures(sh, "doc_id", 6), "doc_id", 6, 3).persist()
+    try {
+      bands.count()
+      // count executed shuffle nodes via tree traversal: the plan
+      // STRING re-prints each InMemoryRelation's internal exchanges at
+      // every cache reference, which would overcount cache reads
+      def shuffleExchanges(d: org.apache.spark.sql.DataFrame): Int =
+        d.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }.length
+      val plain = TextDedup.lshCandidates(bands, "doc_id",
+        maxBucket = Int.MaxValue)
+      val capped = TextDedup.lshCandidates(bands, "doc_id", maxBucket = 100)
+      // the cap's only new shuffles are the per-bucket count aggregates
+      // (one row per distinct bucket key, map-side combined; one per
+      // self-join side); the over-cap list is removed via broadcast
+      // anti-join, so the banded rows keep the exact exchange plan they
+      // had without a cap
+      assert(shuffleExchanges(capped) <= shuffleExchanges(plain) + 2,
+        "cap re-shuffled more than the per-bucket count aggregates")
+      val plan = capped.queryExecution.executedPlan.toString
+      assert(plan.contains("LeftAnti, BuildRight"),
+        "over-cap bucket removal is not a broadcast anti-join")
+    } finally bands.unpersist()
+  }
+
   test("verifiedJaccard brute force ranks the near-dup closest") {
     val sh = TextDedup.shingles(corpus, "doc_id", "text", 2)
     val all = TextDedup.verifiedJaccard(sh, "doc_id", cand = null, 0.0)
