@@ -50,7 +50,10 @@ object Bench {
     // 3-decimal seconds: full-precision doubles pushed the one-line
     // report past the driver's 2000-char capture window (r3 clipped the
     // first 9 queries). 79 queries at %.3f is ~1.7 KB — always fits.
-    def s3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: JVM-default-locale %.3f would print "0,169" under a
+    // comma-decimal locale and break the JSON report
+    def s3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")

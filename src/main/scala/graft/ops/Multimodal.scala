@@ -219,8 +219,13 @@ object Multimodal {
               val off = i * frameBytes + c * bytesPerSample
               acc += (if (bytesPerSample == 2) {
                 val lo = bytes(off + (if (f.isBigEndian) 1 else 0)) & 0xff
-                val hi = bytes(off + (if (f.isBigEndian) 0 else 1)).toInt
-                ((hi << 8) | lo).toShort / 32768.0
+                val hi = bytes(off + (if (f.isBigEndian) 0 else 1)) & 0xff
+                val u = (hi << 8) | lo
+                // unsigned 16-bit sits on a 32768 midpoint, not 0 — a
+                // signed reinterpretation would invert the waveform
+                if (f.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED)
+                  (u - 32768) / 32768.0
+                else u.toShort / 32768.0
               } else if (f.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED)
                 ((bytes(off) & 0xff) - 128) / 128.0
               else bytes(off) / 128.0)

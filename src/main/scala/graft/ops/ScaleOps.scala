@@ -80,14 +80,20 @@ object ScaleOps {
       outPath: String,
       targetFileBytes: Long): Int = {
     require(targetFileBytes > 0)
-    // enforce the "never in place" contract: an overwrite-mode write to
-    // the source dir would delete the files the read plan still needs
-    require(
-      new org.apache.hadoop.fs.Path(inPath).toUri.normalize() !=
-        new org.apache.hadoop.fs.Path(outPath).toUri.normalize(),
-      s"compact() must not write in place: inPath == outPath ($inPath)")
     val p = new org.apache.hadoop.fs.Path(inPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // enforce the "never in place" contract: an overwrite-mode write to
+    // the source dir (or a dir nested either way) would delete files
+    // the read plan still needs. Compare fs-qualified forms so
+    // `file:/tmp/x` vs `/tmp/x` and relative paths can't slip past.
+    val qin = fs.makeQualified(p).toUri.getPath.stripSuffix("/")
+    val qout = fs.makeQualified(new org.apache.hadoop.fs.Path(outPath))
+      .toUri.getPath.stripSuffix("/")
+    require(qin != qout,
+      s"compact() must not write in place: inPath == outPath ($qin)")
+    require(
+      !qout.startsWith(qin + "/") && !qin.startsWith(qout + "/"),
+      s"compact() paths must not nest: $qin vs $qout")
     val it = fs.listFiles(p, true)
     var totalBytes = 0L
     while (it.hasNext) {

@@ -151,25 +151,42 @@ object StreamQueries {
           .toDF("window_start_s", "window_end_s", "event_type", "n")
       } else {
         val maxNs = maxNsRow.getLong(0)
-        val tmp = java.nio.file.Files.createTempDirectory("graft_stream_file")
-        java.nio.file.Files
-          .list(java.nio.file.Paths.get(dir, "events.parquet"))
-          .iterator().asScala
-          .filterNot(f => f.getFileName.toString.startsWith("_") ||
-            f.getFileName.toString.startsWith("."))
-          .foreach(f => java.nio.file.Files.copy(f,
-            tmp.resolve(f.getFileName.toString)))
+        import java.nio.file.{Files => NF}
+        val tmp = NF.createTempDirectory("graft_stream_file")
+        // testdata ships events.parquet as a single file; a real
+        // ingest dir is a directory of part files — handle both
+        val src = java.nio.file.Paths.get(dir, "events.parquet")
+        if (NF.isRegularFile(src)) {
+          NF.copy(src, tmp.resolve("events_0.parquet"))
+        } else {
+          val st = NF.list(src)
+          try st.iterator().asScala
+            .filterNot(f => f.getFileName.toString.startsWith("_") ||
+              f.getFileName.toString.startsWith("."))
+            .foreach(f => NF.copy(f, tmp.resolve(f.getFileName.toString)))
+          finally st.close()
+        }
         // a sentinel event as a parquet FILE dropped into the stream
         // dir — the file-source analogue of the sentinel batches
+        val stagings = scala.collection.mutable.Buffer.empty[java.nio.file.Path]
         def addSentinelFile(i: Int, tsNs: Long): Unit = {
-          val staging = java.nio.file.Files
-            .createTempDirectory(s"graft_stream_sentinel$i")
+          val staging = NF.createTempDirectory(s"graft_stream_sentinel$i")
+          stagings += staging
           Seq((-i.toLong, tsNs, -1L, "sentinel", 0.0, "{}"))
             .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
             .coalesce(1).write.mode("overwrite").parquet(staging.toString)
-          val part = java.nio.file.Files.list(staging).iterator().asScala
-            .find(_.getFileName.toString.endsWith(".parquet")).get
-          java.nio.file.Files.move(part, tmp.resolve(s"sentinel_$i.parquet"))
+          val st = NF.list(staging)
+          val part =
+            try st.iterator().asScala
+              .find(_.getFileName.toString.endsWith(".parquet")).get
+            finally st.close()
+          NF.move(part, tmp.resolve(s"sentinel_$i.parquet"))
+        }
+        def deleteRecursively(p: java.nio.file.Path): Unit = {
+          val st = NF.walk(p)
+          try st.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(NF.deleteIfExists(_))
+          finally st.close()
         }
         val q = EventStream.windowedCounts(
           EventStream.fromEventsDir(s, tmp.toString),
@@ -182,7 +199,10 @@ object StreamQueries {
           q.processAllAvailable()
           addSentinelFile(2, maxNs + 7200L * 1000000000L)
           q.processAllAvailable()
-        } finally q.stop()
+        } finally {
+          q.stop()
+          (stagings :+ tmp).foreach(deleteRecursively)
+        }
         s.table("q_stream_file_sink")
           .filter(col("event_type") =!= "sentinel")
           .select(

@@ -108,10 +108,14 @@ object TextQueries {
     // → candidate pairs → verified with true Jaccard >= 0.8. This is
     // the dedup scale path: cost O(n · shingles), pairs only within
     // colliding buckets.
+    // maxBucket = MaxValue: the DuckDB oracle mines pairs uncapped, so
+    // the gate query must too (the library default cap stays for real
+    // pipelines; the cap itself is spec-pinned in TextDedupSpec).
     "q_dedup_minhash" -> ((s, dir) =>
       TextDedup.minhashDedup(
         docs(s, dir).filter(col("doc_id") < 2000), "doc_id", "text",
-        shingleN = 3, numHashes = 6, bands = 3, threshold = 0.8)
+        shingleN = 3, numHashes = 6, bands = 3, threshold = 0.8,
+        maxBucket = Int.MaxValue)
         .orderBy("a", "b")),
 
     // Full dedup decision: minhash near-dup pairs → connected
@@ -120,7 +124,8 @@ object TextQueries {
     "q_dedup_cluster" -> ((s, dir) => {
       val scoped = docs(s, dir).filter(col("doc_id") < 2000)
       val pairs = TextDedup.minhashDedup(scoped, "doc_id", "text",
-        shingleN = 3, numHashes = 6, bands = 3, threshold = 0.8)
+        shingleN = 3, numHashes = 6, bands = 3, threshold = 0.8,
+        maxBucket = Int.MaxValue) // uncapped: mirrors the oracle CTE
         .select("a", "b").persist()
       TextDedup.clusters(scoped.select("doc_id"), pairs)
         .toDF("doc_id", "cluster_id")
@@ -223,7 +228,8 @@ object TextQueries {
       val sim = TextDedup.simhash(
         docs(s, dir).filter(col("doc_id") < 1000), "doc_id", "text")
         .persist()
-      TextDedup.simhashPairs(sim, "doc_id", maxHamming = 1)
+      TextDedup.simhashPairs(sim, "doc_id", maxHamming = 1,
+        maxBucket = Int.MaxValue) // uncapped: mirrors the oracle CTE
         .orderBy("a", "b")
     }),
 

@@ -94,13 +94,12 @@ object VectorQueries {
       .select(col("vec_id"), asDouble(col("embedding")).as("v")))
       .withColumn("bucket", graft.ops.CosineLsh.bucketCol(col("v"), pm))
       .persist() // both self-join sides (and cluster id universe) read it
-    // hot-bucket bound (TextDedup.capBuckets): embedding corpora skew
-    // into a few dense LSH cells (near-zero or boilerplate vectors); a
-    // cell of m members emits m² pairs, so bound it like the text path.
-    // Applied to the pair-mining side only — the cluster id universe
-    // below stays the full `e`. Cannot bind at the gate's ≤300 vectors.
-    val ec = graft.ops.TextDedup.capBuckets(
-      e, Seq("bucket"), graft.ops.TextDedup.DefaultMaxBucket)
+    // Uncapped, mirroring the DuckDB oracle (which mines every bucket):
+    // gate queries must match the oracle exactly, so the hot-bucket
+    // bound (TextDedup.capBuckets, the 100 TB path for skewed LSH
+    // cells) is NOT applied here — it stays the library default and is
+    // spec-pinned in TextDedupSpec with a planted mega-bucket.
+    val ec = e
     val a = ec.select(col("vec_id").as("a"), col("v").as("va"),
       col("nrm").as("na"), col("bucket"))
     val b = ec.select(col("vec_id").as("b"), col("v").as("vb"),
