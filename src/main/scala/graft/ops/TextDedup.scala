@@ -222,21 +222,34 @@ object TextDedup {
     * exactly on the self row) through the SAME aggregation that
     * computes the new label, so convergence is a filter+count over the
     * already-cached round output — one action per round, no extra
-    * join. The superseded generation is unpersisted every round, and
-    * every 5th round materializes via `localCheckpoint` so lineage
-    * stays bounded: between checkpoints an evicted partition recomputes
-    * at most the generations since the last cut (checkpointed blocks
-    * themselves are stored, not recomputable — the standard
-    * localCheckpoint trade for unbounded-lineage iteration).
+    * join.
+    *
+    * Every iteration boundary is a LAZY `localCheckpoint` — never a
+    * bare `persist` — because persisting caches only DATA, not the
+    * PLAN. Each round's logical plan embeds the previous round's plan
+    * several times (the labels subtree appears on both union sides and
+    * under the join), so without a plan cut the tree grows ~5× per
+    * round and analysis/canonicalization alone reaches minutes within
+    * a few rounds when the caller's pairs plan is itself deep (a
+    * multi-level cached LSH pipeline over a many-way union measured
+    * 4.8M plan nodes by round 2). The checkpoint truncates the plan to
+    * a LogicalRDD; lazy (eager = false) keeps one action per round —
+    * the convergence count is what materializes it. Checkpointed
+    * blocks are stored, not recomputable (the standard localCheckpoint
+    * trade for iteration), and superseded generations are reclaimed by
+    * the ContextCleaner once unreferenced.
     */
   def clusters(
       ids: DataFrame, // single column: the id universe
       pairs: DataFrame, // columns a, b (undirected edges)
       maxIter: Int = 10): DataFrame = {
     val idCol = ids.columns.head
+    // the plan cut at loop entry matters as much as the per-round one:
+    // edges/labels otherwise re-embed the caller's whole pair-mining
+    // plan (with its cached subtrees) in every round's tree
     val edges = pairs.select(col("a"), col("b"))
       .unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
-      .persist()
+      .localCheckpoint(false)
     // near-dup graphs are sparse: most of the corpus touches no edge
     // and is its own singleton cluster by definition. Only nodes that
     // appear in an edge enter the iteration, so every per-round join/
@@ -248,9 +261,10 @@ object TextDedup {
     val isolated = ids
       .join(edges, ids(idCol) === edges("a"), "left_anti")
       .select(col(idCol).as("id"), col(idCol).as("cluster_id"))
-    var labels = connected.select(col(idCol).as("id"), col(idCol).as("cluster_id"))
+    var labels = connected
+      .select(col(idCol).as("id"), col(idCol).as("cluster_id"))
+      .localCheckpoint(false)
     val labelType = labels.schema("cluster_id").dataType
-    var prevGen: DataFrame = null
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -260,27 +274,19 @@ object TextDedup {
         .join(labels, edges("b") === labels("id"))
         .select(edges("a").as("id"), col("cluster_id"),
           lit(null).cast(labelType).as("own"))
-      val nextPlan = labels
+      val next = labels
         .select(col("id"), col("cluster_id"), col("cluster_id").as("own"))
         .unionAll(viaNeighbors)
         .groupBy("id")
         .agg(min("cluster_id").as("cluster_id"), min("own").as("own"))
-      val next =
-        if ((iter + 1) % 5 == 0) nextPlan.localCheckpoint()
-        else nextPlan.persist()
+        .localCheckpoint(false)
       // new label is min over a set containing the old one, so
-      // changed ⟺ new != old — counted off the cached round output
+      // changed ⟺ new != old — the count is the one action that
+      // materializes this round's checkpoint
       changed = next.filter(col("cluster_id") =!= col("own")).count()
-      // drops persisted generations eagerly; for the checkpointed ones
-      // this is a no-op (localCheckpoint caches at the RDD level, which
-      // the CacheManager doesn't track) — their blocks are reclaimed by
-      // the ContextCleaner once the generation is unreferenced
-      if (prevGen != null) prevGen.unpersist()
-      prevGen = next
       labels = next.select("id", "cluster_id")
       iter += 1
     }
-    edges.unpersist()
     if (changed > 0)
       throw new IllegalStateException(
         s"dedup clustering did not converge in $maxIter rounds")

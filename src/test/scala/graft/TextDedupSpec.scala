@@ -180,6 +180,39 @@ class TextDedupSpec extends AnyFunSuite {
     } finally bands.unpersist()
   }
 
+  // The closest local proxy for the 100× scale claim (no sf1 testdata
+  // exists): 16 shifted copies of the real 500-doc corpus — every doc
+  // becomes a 16-member exact-dup family — through the full
+  // minhash → verify → cluster pipeline. Pins that the plan keeps its
+  // bucketed shape under heavy duplication (no nested-loop/cartesian
+  // fallback) and that clustering converges with every family intact.
+  test("scale stress: 16x self-union corpus keeps the bucketed plan and clusters every family") {
+    val n = 16
+    val docs0 = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val big = (0 until n).map(i =>
+        docs0.select((col("doc_id") * n + i).as("doc_id"), col("text")))
+      .reduce(_ unionAll _)
+    val pairs = TextDedup.minhashDedup(big, "doc_id", "text",
+      shingleN = 3, numHashes = 6, bands = 3, threshold = 0.8)
+      .select("a", "b").persist()
+    try {
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"dup-heavy corpus degraded the LSH join:\n$plan")
+      // every family of 16 exact copies must land in one cluster
+      // (cross-family merges from genuinely similar texts are allowed)
+      val perFamily = TextDedup.clusters(big.select("doc_id"), pairs)
+        .toDF("doc_id", "cluster_id")
+        .groupBy((col("doc_id") / n).cast("long").as("family"))
+        .agg(countDistinct(col("cluster_id")).as("n_clusters"))
+        .filter(col("n_clusters") > 1)
+        .count()
+      assert(perFamily == 0L, s"$perFamily families split across clusters")
+    } finally pairs.unpersist()
+  }
+
   test("verifiedJaccard brute force ranks the near-dup closest") {
     val sh = TextDedup.shingles(corpus, "doc_id", "text", 2)
     val all = TextDedup.verifiedJaccard(sh, "doc_id", cand = null, 0.0)
