@@ -34,16 +34,32 @@ object StreamQueries {
       s: SparkSession,
       sink: String,
       batches: Seq[Seq[A]])(
-      pipeline: org.apache.spark.sql.Dataset[A] => DataFrame): DataFrame = {
-    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-    val input = MemoryStream[A]
-    val q = pipeline(input.toDS()).writeStream.format("memory")
-      .queryName(sink).outputMode("append").start()
-    try batches.foreach { b =>
-      input.addData(b)
-      q.processAllAvailable()
-    } finally q.stop()
-    s.table(sink)
+      pipeline: org.apache.spark.sql.Dataset[A] => DataFrame): DataFrame =
+    withStatePartitions(s) {
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val input = MemoryStream[A]
+      val q = pipeline(input.toDS()).writeStream.format("memory")
+        .queryName(sink).outputMode("append").start()
+      try batches.foreach { b =>
+        input.addData(b)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink)
+    }
+
+  /** Stateful-operator partition count is a real sizing knob, fixed at
+    * the stream's first checkpoint: each micro-batch opens/commits one
+    * state store PER partition PER stateful operator, so oversizing it
+    * multiplies fixed store overhead, not parallelism. The gate/bench
+    * streams carry tiny state, and 32 partitions measured 2-3x slower
+    * than 8 on pure store-commit overhead; a production deployment
+    * sizes this to state volume instead (conf at first run).
+    */
+  private def withStatePartitions[A](s: SparkSession, n: Int = 8)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try f finally s.conf.set(key, old)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -188,20 +204,22 @@ object StreamQueries {
             .iterator().asScala.foreach(NF.deleteIfExists(_))
           finally st.close()
         }
-        val q = EventStream.windowedCounts(
-          EventStream.fromEventsDir(s, tmp.toString),
-          watermarkDelay = "10 minutes", windowLen = "5 minutes")
-          .writeStream.format("memory").queryName("q_stream_file_sink")
-          .outputMode("append").start()
-        try {
-          q.processAllAvailable()
-          addSentinelFile(1, maxNs + 3600L * 1000000000L)
-          q.processAllAvailable()
-          addSentinelFile(2, maxNs + 7200L * 1000000000L)
-          q.processAllAvailable()
-        } finally {
-          q.stop()
-          (stagings :+ tmp).foreach(deleteRecursively)
+        withStatePartitions(s) {
+          val q = EventStream.windowedCounts(
+            EventStream.fromEventsDir(s, tmp.toString),
+            watermarkDelay = "10 minutes", windowLen = "5 minutes")
+            .writeStream.format("memory").queryName("q_stream_file_sink")
+            .outputMode("append").start()
+          try {
+            q.processAllAvailable()
+            addSentinelFile(1, maxNs + 3600L * 1000000000L)
+            q.processAllAvailable()
+            addSentinelFile(2, maxNs + 7200L * 1000000000L)
+            q.processAllAvailable()
+          } finally {
+            q.stop()
+            (stagings :+ tmp).foreach(deleteRecursively)
+          }
         }
         s.table("q_stream_file_sink")
           .filter(col("event_type") =!= "sentinel")
