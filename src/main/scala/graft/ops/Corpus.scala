@@ -79,6 +79,51 @@ object Corpus {
       .join(corpusFp, Seq("fp"), "left_anti")
   }
 
+  /** Benchmark decontamination: training documents sharing at least
+    * `minOverlap` distinct word n-grams with ANY benchmark document,
+    * with the shared-n-gram count — the eval-set leakage gate every
+    * training pipeline runs before a corpus ships. Production systems
+    * use long n-grams (8-13) so only verbatim leakage trips the gate;
+    * short n-grams over a small vocabulary flag everything.
+    *
+    * Scale stance: the benchmark side is an eval set — thousands of
+    * documents against a 100 TB corpus — so its distinct shingle set
+    * is broadcast and the corpus side is a scan + explode with no
+    * pre-join shuffle; only MATCHING (train-doc, shingle) rows reach
+    * the per-document count exchange, and matches are rare by
+    * construction at production n-gram lengths.
+    */
+  def decontaminate(
+      train: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      minOverlap: Int = 1): DataFrame = {
+    val benchShingles = TextDedup.shingles(benchmark, idCol, textCol, n)
+      .select(col("shingle")).distinct()
+    TextDedup.shingles(train, idCol, textCol, n)
+      .join(broadcast(benchShingles), Seq("shingle"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minOverlap)
+  }
+
+  /** The keep set after decontamination: `train` minus every flagged
+    * document (one broadcast semi-shape anti-join on the id).
+    */
+  def decontaminatedKeep(
+      train: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      minOverlap: Int = 1): DataFrame =
+    train.join(
+      decontaminate(train, benchmark, idCol, textCol, n, minOverlap)
+        .select(col(idCol)),
+      Seq(idCol), "left_anti")
+
   /** Materialize the standing corpus's fingerprint set as a bucketed,
     * fp-sorted table — the layout half of zero-exchange incremental
     * dedup. Run once per corpus rebuild (or append tonight's new

@@ -76,6 +76,21 @@ object CorpusQueries {
         .withColumn("shard_id", expr("(cum_tokens - n_tokens) div 500"))
         .select("doc_id", "n_tokens", "cum_tokens", "shard_id")
         .orderBy("doc_id")
+    }),
+
+    // Benchmark decontamination: docs whose id ends in 0 stand in for
+    // the eval set; flag every other (training) doc sharing a word
+    // 5-gram with it, with the shared-5-gram count. 5-grams keep the
+    // gate selective over this small-vocabulary synthetic corpus the
+    // way 8-13-grams do over real text — only the planted dup
+    // families trip it, not chance collisions.
+    "q_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Corpus.decontaminate(
+        train = d.filter(col("doc_id") % 10 =!= 0),
+        benchmark = d.filter(col("doc_id") % 10 === 0),
+        idCol = "doc_id", textCol = "text", n = 5)
+        .orderBy("doc_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -126,5 +141,33 @@ object CorpusQueries {
          FROM t)
          SELECT doc_id, n_tokens, cum_tokens,
            (cum_tokens - n_tokens) // 500 AS shard_id
-         FROM c ORDER BY doc_id""")
+         FROM c ORDER BY doc_id""",
+    "q_decontaminate" ->
+      """WITH tr AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+             FROM documents WHERE doc_id % 10 <> 0),
+         bm AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+             FROM documents WHERE doc_id % 10 = 0),
+         trt AS (SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS pos FROM tr WHERE len(toks) >= 5),
+         bmt AS (SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS pos FROM bm WHERE len(toks) >= 5),
+         trs AS (SELECT DISTINCT t1.doc_id,
+             t1.tok || ' ' || t2.tok || ' ' || t3.tok || ' ' || t4.tok
+               || ' ' || t5.tok AS shingle
+             FROM trt t1
+             JOIN trt t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+             JOIN trt t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2
+             JOIN trt t4 ON t1.doc_id = t4.doc_id AND t4.pos = t1.pos + 3
+             JOIN trt t5 ON t1.doc_id = t5.doc_id AND t5.pos = t1.pos + 4),
+         bms AS (SELECT DISTINCT
+             t1.tok || ' ' || t2.tok || ' ' || t3.tok || ' ' || t4.tok
+               || ' ' || t5.tok AS shingle
+             FROM bmt t1
+             JOIN bmt t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+             JOIN bmt t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2
+             JOIN bmt t4 ON t1.doc_id = t4.doc_id AND t4.pos = t1.pos + 3
+             JOIN bmt t5 ON t1.doc_id = t5.doc_id AND t5.pos = t1.pos + 4)
+         SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         FROM trs t JOIN bms b ON t.shingle = b.shingle
+         GROUP BY t.doc_id ORDER BY t.doc_id""")
 }

@@ -130,4 +130,31 @@ class CorpusSpec extends AnyFunSuite {
     val r = out.select("n_tokens", "len_text").as[(Int, Int)].head()
     assert(r == ((7, 33)))
   }
+
+  test("decontaminate flags only verbatim n-gram leakage, via a broadcast join") {
+    val benchmark = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta")) // 2 distinct 5-grams
+      .toDF("doc_id", "text")
+    val train = Seq(
+      // embeds the benchmark's first 5-gram verbatim → flagged, 1 hit
+      (1L, "intro words alpha beta gamma delta epsilon closing remark"),
+      // shares only a 4-token run (no 5-gram) → clean
+      (2L, "alpha beta gamma delta something else entirely here"),
+      // disjoint vocabulary → clean
+      (3L, "totally unrelated sentence about spark plans and shuffles"))
+      .toDF("doc_id", "text")
+    val flagged = Corpus.decontaminate(
+      train, benchmark, "doc_id", "text", n = 5)
+    assert(flagged.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((1L, 1L)))
+    // the benchmark shingle side must broadcast: the corpus side of
+    // this join is the 100 TB table and must not shuffle to meet it
+    val plan = flagged.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark shingles not broadcast:\n$plan")
+    val kept = Corpus.decontaminatedKeep(
+      train, benchmark, "doc_id", "text", n = 5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 3L))
+  }
 }
