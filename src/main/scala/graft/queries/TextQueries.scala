@@ -172,6 +172,28 @@ object TextQueries {
         size(toks(col("text"))).as("n_ws_tokens"))
         .orderBy("doc_id")),
 
+    // Repetition scoring (Gopher-style quality rule): the duplicated
+    // word-bigram fraction per document — machine-generated and
+    // boilerplate text repeats locally, and this gate catches it
+    // without any dedup pass. Pure scan + explode + per-doc aggregate:
+    // one keyed exchange, no joins.
+    "q_repetition" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .select(col("doc_id"), toks(col("text")).as("__t"))
+        .filter(size(col("__t")) >= 2) // >= 1 bigram, so no 0-divide
+      d.select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(__t) - 1), " +
+            "i -> concat(element_at(__t, i), ' ', element_at(__t, i + 1)))"))
+          .as("bg"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          countDistinct(col("bg")).as("n_distinct"))
+        .withColumn("rep_ratio",
+          round(lit(1.0) - col("n_distinct").cast("double") /
+            col("n_bigrams").cast("double"), 6))
+        .orderBy("doc_id")
+    }),
+
     // Winnowing document fingerprints: rolling hash over char 5-grams,
     // per-position window minimum (w=4), distinct selected prints.
     // This is the standard local fingerprinting scheme (MOSS-style):
@@ -316,6 +338,20 @@ object TextQueries {
              AS INTEGER) AS n_bpe_tokens,
            CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS n_ws_tokens
          FROM documents ORDER BY doc_id""",
+    "q_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+             FROM documents),
+         d2 AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 2),
+         tok AS (SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS pos FROM d2),
+         bg AS (SELECT t1.doc_id, t1.tok || ' ' || t2.tok AS bg
+             FROM tok t1 JOIN tok t2
+               ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(count(DISTINCT bg) AS BIGINT) AS n_distinct,
+             round(1.0 - CAST(count(DISTINCT bg) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE), 6) AS rep_ratio
+         FROM bg GROUP BY doc_id ORDER BY doc_id""",
     "q_winnow_fp" ->
       """WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents
              WHERE length(lower(trim(text))) >= 5),
