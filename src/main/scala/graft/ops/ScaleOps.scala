@@ -51,6 +51,72 @@ object ScaleOps {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Z-order (Morton) value over numeric columns: each column is
+    * bucketed into `2^bits` fixed-width ranks between its min and max
+    * (passed in as literals — one tiny agg job collects them), and the
+    * rank bits are interleaved into one long. Sorting by this value
+    * gives every contiguous slice of rows a tight hyper-rectangle in
+    * ALL dimensions at once, where a plain sort is tight only in the
+    * leading column. Nulls rank 0 (co-located, still skippable).
+    */
+  def zorderValue(
+      cols: Seq[Column],
+      mins: Seq[Double],
+      maxs: Seq[Double],
+      bits: Int): Column = {
+    val k = cols.length
+    require(k >= 1 && bits >= 1 && k * bits <= 62,
+      s"need 1 <= k ($k) and k*bits (${k * bits}) <= 62")
+    val top = (1L << bits) - 1
+    val ranks = cols.zipWithIndex.map { case (c, i) =>
+      val span = maxs(i) - mins(i)
+      val r =
+        if (span <= 0) lit(0L) // constant column: every row rank 0
+        else least(lit(top), greatest(lit(0L),
+          floor((coalesce(c.cast("double"), lit(mins(i))) - lit(mins(i)))
+            / lit(span) * lit(top.toDouble)).cast("long")))
+      r
+    }
+    (0 until bits).flatMap { b =>
+      ranks.zipWithIndex.map { case (r, i) =>
+        shiftleft(shiftright(r, b).bitwiseAND(lit(1L)), b * k + i)
+      }
+    }.reduce(_ + _)
+  }
+
+  /** Write `df` re-clustered on the Z-order of `zCols` into `nFiles`
+    * range-partitioned, internally sorted parquet files — the
+    * data-skipping layout for multi-column range predicates. Parquet
+    * row-group min/max stats then prune on ANY of the ordered columns
+    * (spec-pinned: the scan emits a fraction of the rows an unordered
+    * layout emits for the same predicate), where a single-column sort
+    * only skips on its leading column. The min/max prep is one
+    * scan-agg job; the write is one range exchange.
+    */
+  def writeZordered(
+      df: DataFrame,
+      path: String,
+      nFiles: Int,
+      bits: Int,
+      zCols: String*): Unit = {
+    require(nFiles >= 1)
+    val aggs = zCols.flatMap(c =>
+      Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val mins = zCols.indices.map(i =>
+      if (row.isNullAt(2 * i)) 0.0 else row.getDouble(2 * i))
+    val maxs = zCols.indices.map(i =>
+      if (row.isNullAt(2 * i + 1)) 0.0 else row.getDouble(2 * i + 1))
+    require(!df.columns.contains("__z"),
+      "input already has a '__z' column (it would be overwritten)")
+    df.withColumn("__z",
+        zorderValue(zCols.map(col), mins, maxs, bits))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Write a table with a directory layout partitioned by `partCols` —
     * the partition-pruning half of the layout story ([[writeBucketed]]
     * is the join half). A reader filtering on a partition column scans

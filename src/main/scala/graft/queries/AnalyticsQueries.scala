@@ -443,6 +443,24 @@ object AnalyticsQueries {
         .orderBy("event_type")
     }),
 
+    // Z-order clustering key (ScaleOps.zorderValue): the multi-column
+    // data-skipping sort key — fixed-width bucket ranks between each
+    // column's global min/max, bit-interleaved into one long. The
+    // layout WRITER (ScaleOps.writeZordered) is spec-pinned on actual
+    // row-group skipping; this query puts the key derivation itself
+    // (the part a mistake would silently corrupt) under the oracle.
+    "q_zorder" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val row = p.agg(
+        min(col("p_size").cast("double")), max(col("p_size").cast("double")),
+        min(col("p_retailprice")), max(col("p_retailprice"))).head()
+      val z = graft.ops.ScaleOps.zorderValue(
+        Seq(col("p_size"), col("p_retailprice")),
+        mins = Seq(row.getDouble(0), row.getDouble(2)),
+        maxs = Seq(row.getDouble(1), row.getDouble(3)), bits = 8)
+      p.select(col("p_partkey"), z.as("zval")).orderBy("p_partkey")
+    }),
+
     // Set operations: nation keys of customers vs suppliers.
     "q_setops" -> ((s, dir) => {
       val cn = t(s, dir, "customer")
@@ -692,6 +710,28 @@ object AnalyticsQueries {
                       ('error', '0.00')) AS w(event_type, weight)
            ON e.event_type = w.event_type
          GROUP BY e.event_type ORDER BY e.event_type""",
+    "q_zorder" -> {
+      // identical rank + interleave arithmetic as ScaleOps.zorderValue
+      // (same IEEE double ops, bit position = 2*b + column index)
+      val terms = (0 until 8).flatMap(b => Seq(
+        s"(((r1 >> $b) & 1) << ${2 * b})",
+        s"(((r2 >> $b) & 1) << ${2 * b + 1})")).mkString(" + ")
+      s"""WITH mm AS (SELECT
+             min(CAST(p_size AS DOUBLE)) AS mn1,
+             max(CAST(p_size AS DOUBLE)) AS mx1,
+             min(p_retailprice) AS mn2, max(p_retailprice) AS mx2
+           FROM part),
+         r AS (SELECT p_partkey,
+             least(255, greatest(0, CAST(floor(
+               (CAST(p_size AS DOUBLE) - mn1) / (mx1 - mn1) * 255.0)
+               AS BIGINT))) AS r1,
+             least(255, greatest(0, CAST(floor(
+               (p_retailprice - mn2) / (mx2 - mn2) * 255.0)
+               AS BIGINT))) AS r2
+           FROM part CROSS JOIN mm)
+         SELECT p_partkey, $terms AS zval
+         FROM r ORDER BY p_partkey"""
+    },
     "q_setops" ->
       """SELECT 'both' AS rel, k FROM
            (SELECT DISTINCT c_nationkey AS k FROM customer

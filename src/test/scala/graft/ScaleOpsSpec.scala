@@ -119,6 +119,41 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("z-ordered layout skips row groups on a non-leading dimension") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_zorder").toString
+    try {
+      val li = Tables.table(spark, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey")
+      ScaleOps.writeZordered(li, s"$base/z", nFiles = 16, bits = 8,
+        "l_partkey", "l_suppkey")
+      li.repartition(16).write.parquet(s"$base/r")
+      // narrow predicate on the SECOND z dimension: only the z layout
+      // gives row groups tight l_suppkey stats, so its scan emits a
+      // fraction of the rows the unordered layout's scan emits
+      def scannedRows(path: String): (Long, Long) = {
+        val re = spark.read.parquet(path).filter(col("l_suppkey") <= 2)
+        val matched = re.collect().length.toLong
+        val scan = re.queryExecution.executedPlan.collectLeaves()
+          .collectFirst {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+          }.get
+        (scan.metrics("numOutputRows").value, matched)
+      }
+      val (zScan, zRows) = scannedRows(s"$base/z")
+      val (rScan, rRows) = scannedRows(s"$base/r")
+      assert(zRows == rRows, "layouts disagree on the query result")
+      assert(zRows > 0, "predicate matched nothing — test is vacuous")
+      // unordered: every row group spans the full l_suppkey range, so
+      // stats prune nothing and the scan emits ~everything
+      assert(zScan * 2 < rScan,
+        s"z layout scanned $zScan rows vs $rScan unordered — no skipping")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(base)).deleteRecursively()
+    }
+  }
+
   test("compact refuses to write in place") {
     val e = intercept[IllegalArgumentException] {
       ScaleOps.compact(spark, "/tmp/graft_same", "/tmp/graft_same/", 1L << 20)
