@@ -70,12 +70,13 @@ object ScaleOps {
     val top = (1L << bits) - 1
     val ranks = cols.zipWithIndex.map { case (c, i) =>
       val span = maxs(i) - mins(i)
-      val r =
-        if (span <= 0) lit(0L) // constant column: every row rank 0
-        else least(lit(top), greatest(lit(0L),
-          floor((coalesce(c.cast("double"), lit(mins(i))) - lit(mins(i)))
-            / lit(span) * lit(top.toDouble)).cast("long")))
-      r
+      // nulls AND NaNs rank 0 (ANSI cast(NaN AS long) would throw
+      // mid-write otherwise); both co-locate and stay skippable
+      val v = coalesce(nanvl(c.cast("double"), lit(null)), lit(mins(i)))
+      if (span <= 0) lit(0L) // constant column: every row rank 0
+      else least(lit(top), greatest(lit(0L),
+        floor((v - lit(mins(i))) / lit(span) * lit(top.toDouble))
+          .cast("long")))
     }
     (0 until bits).flatMap { b =>
       ranks.zipWithIndex.map { case (r, i) =>

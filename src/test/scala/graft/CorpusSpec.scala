@@ -156,5 +156,9 @@ class CorpusSpec extends AnyFunSuite {
       train, benchmark, "doc_id", "text", n = 5)
       .select("doc_id").as[Long].collect().sorted
     assert(kept.toSeq == Seq(2L, 3L))
+    // empty benchmark: nothing flagged, everything kept
+    val keptAll = Corpus.decontaminatedKeep(
+      train, benchmark.filter(lit(false)), "doc_id", "text", n = 5)
+    assert(keptAll.count() == 3L)
   }
 }

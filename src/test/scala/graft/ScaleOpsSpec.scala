@@ -148,6 +148,14 @@ class ScaleOpsSpec extends AnyFunSuite {
       // stats prune nothing and the scan emits ~everything
       assert(zScan * 2 < rScan,
         s"z layout scanned $zScan rows vs $rScan unordered — no skipping")
+      // null/NaN inputs rank 0 instead of blowing up the ANSI cast
+      import spark.implicits._
+      val weird = Seq((1L, Some(Double.NaN)), (2L, Some(5.0)), (3L, None))
+        .toDF("id", "v")
+      val zs = weird.orderBy("id").select(ScaleOps.zorderValue(
+        Seq(col("v")), Seq(0.0), Seq(10.0), bits = 4).as("z"))
+        .collect().map(_.getLong(0))
+      assert(zs(0) == 0L && zs(2) == 0L && zs(1) > 0L)
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(base)).deleteRecursively()
