@@ -73,6 +73,40 @@ object IvfIndex {
     Model(centroids, assigned)
   }
 
+  /** Persist a built index: centroids as one tiny parquet, the
+    * assignment partitioned by cell — the index lifecycle at scale.
+    * A 100 TB corpus is indexed once (or incrementally); queries run
+    * against the SAVED index, and the cell-partitioned layout means a
+    * probe scans only the probed cells' directories (partition
+    * pruning / DPP on the cell equi-join), not the corpus.
+    */
+  def save(model: Model, path: String): Unit = {
+    val spark = model.assigned.sparkSession
+    spark.createDataFrame(
+        model.centroids.toIndexedSeq.map { case (i, c) => (i, c.toSeq) })
+      .toDF("c_id", "cv")
+      .select(col("c_id"), col("cv").cast("array<double>").as("cv"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    model.assigned
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/assigned")
+  }
+
+  /** Load a saved index. The assignment DataFrame is the partitioned
+    * scan — [[search]] over it prunes to the probed cells.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val assigned = spark.read.parquet(s"$path/assigned")
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("cell").cast("int").as("cell"))
+    Model(centroids, assigned)
+  }
+
   /** Top-`topK` neighbors for each query vector, scanning `nprobe`
     * cells. `queries` needs (idCol, embeddingCol).
     */

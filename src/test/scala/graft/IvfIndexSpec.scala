@@ -50,4 +50,44 @@ class IvfIndexSpec extends AnyFunSuite {
     // and the search result must be a subset of probed cells only
     assert(got.size == truth.size)
   }
+
+  test("saved index round-trips and search prunes to the probed cells") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ivf").toString
+    try {
+      val emb = Tables.table(spark, dir, "embeddings")
+      val model = IvfIndex.build(emb, "vec_id", "embedding", k = 8)
+      IvfIndex.save(model, base)
+      val loaded = IvfIndex.load(spark, base)
+      assert(loaded.centroids.map(_._1).toSeq ==
+        model.centroids.map(_._1).toSeq)
+      assert(loaded.assigned.count() == model.assigned.count())
+
+      val queries = emb.filter(col("vec_id") < 20)
+      def results(m: IvfIndex.Model) =
+        IvfIndex.search(m, queries, "vec_id", "embedding",
+          topK = 3, nprobe = 2)
+          .select(col("q_id"), expr("transform(neighbors, n -> n.id)")
+            .as("ids"))
+          .collect()
+          .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+      // cold (loaded) index returns exactly the in-memory results
+      assert(results(loaded) == results(model))
+
+      // the cell-partitioned layout must actually prune: the scan over
+      // the saved assignment carries partition filters on `cell`
+      // (dynamic pruning from the probed-cells join side)
+      val sr = IvfIndex.search(loaded, queries, "vec_id", "embedding",
+        topK = 3, nprobe = 2)
+      sr.collect()
+      val plan = sr.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning") ||
+        plan.contains("PartitionFilters: [isnotnull(cell"),
+        s"no partition pruning on the saved assignment scan:\n$plan")
+      model.assigned.unpersist()
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(base)).deleteRecursively()
+    }
+  }
 }
