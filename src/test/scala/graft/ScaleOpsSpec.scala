@@ -162,6 +162,33 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("zorderValue: bounded, grid-unique, monotone per dimension") {
+    import spark.implicits._
+    val bits = 5
+    val top = (1 << bits) - 1 // 31
+    // exhaustive rank grid: values 0..31 against min 0 / max 31 map
+    // rank == value exactly, so design properties are checkable
+    val grid = (for (i <- 0 to top; j <- 0 to top) yield (i.toDouble, j.toDouble))
+      .toDF("x", "y")
+    val z = grid.select(col("x"), col("y"), ScaleOps.zorderValue(
+        Seq(col("x"), col("y")), Seq(0.0, 0.0),
+        Seq(top.toDouble, top.toDouble), bits).as("z"))
+      .collect().map(r => ((r.getDouble(0).toInt, r.getDouble(1).toInt),
+        r.getLong(2))).toMap
+    // bounded by 2^(k*bits); distinct cells get distinct keys
+    assert(z.values.forall(v => v >= 0 && v < (1L << (2 * bits))))
+    assert(z.values.toSet.size == z.size, "interleave collided")
+    // monotone along each dimension (an oracle match can't catch a
+    // bit-order mistake — both engines would share it)
+    for (i <- 0 until top; j <- 0 until top) {
+      assert(z((i, j)) < z((i + 1, j)), s"not monotone in x at ($i,$j)")
+      assert(z((i, j)) < z((i, j + 1)), s"not monotone in y at ($i,$j)")
+    }
+    // interleave is balanced: the two diagonal neighbors of (0,0)
+    // land in the first 4 cells of the curve (locality, not a sort)
+    assert(z((1, 1)) == 3L && z((1, 0)) == 1L && z((0, 1)) == 2L)
+  }
+
   test("compact refuses to write in place") {
     val e = intercept[IllegalArgumentException] {
       ScaleOps.compact(spark, "/tmp/graft_same", "/tmp/graft_same/", 1L << 20)
