@@ -186,7 +186,7 @@ object Corpus {
         "generated columns (fp, n_tokens, n_stop, len_text, __rn)")
     val tk = TextDedup.tokens(col(textCol))
     val w = Window.partitionBy("fp").orderBy(idCol)
-    df.select(df.columns.filterNot(_ == textCol).map(col) :+
+    df.select(df.columns.filterNot(_ == textCol).toIndexedSeq.map(col) :+
         size(tk).as("n_tokens") :+
         size(filter(tk, x => x.isInCollection(stopWords))).as("n_stop") :+
         length(col(textCol)).as("len_text") :+

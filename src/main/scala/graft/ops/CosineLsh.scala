@@ -25,6 +25,11 @@ import graft.expr.VectorFunctions
 object CosineLsh {
 
   /** ±1 plane matrix, deterministic in (seed, k, dim). */
+  // productHash is pinned despite its deprecation: the q_ann_lsh /
+  // q_cosine_pairs_lsh oracles carry these planes as literals, and the
+  // suggested caseClassHash mixes differently — changing the hash
+  // silently changes every plane
+  @scala.annotation.nowarn("cat=deprecation")
   def planes(k: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] =
     Array.tabulate(k) { p =>
       Array.tabulate(dim) { d =>
