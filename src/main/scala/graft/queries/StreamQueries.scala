@@ -231,6 +231,36 @@ object StreamQueries {
       }
     }),
 
+    // Composed streaming curation: q_curate's quality gates evaluated
+    // statelessly on the stream, then streaming exact dedup
+    // (dropDuplicatesWithinWatermark on the normalized fingerprint).
+    // Projecting only `fp` makes the result the distinct fingerprint
+    // set of quality-surviving docs regardless of arrival order, so
+    // the batch oracle is the gate CTE reduced to DISTINCT fp. Proves
+    // the curation family composes incrementally: gates drop rows
+    // BEFORE any state, dedup state stays watermark-bounded.
+    "q_stream_curate" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          timestamp_seconds(col("doc_id") + lit(1000000000L)).as("ts"))
+        .as[(Long, String, Timestamp)].collect()
+      runStream(s, "q_stream_curate_sink", Seq(docs.toIndexedSeq)) {
+        (ds: org.apache.spark.sql.Dataset[(Long, String, Timestamp)]) =>
+          val tk = graft.ops.TextDedup.tokens(col("text"))
+          val gated = ds.toDF("doc_id", "text", "ts")
+            .withColumn("n_tokens", size(tk))
+            .withColumn("n_stop", size(filter(tk,
+              x => x.isInCollection(graft.ops.Corpus.defaultStopWords))))
+            .withColumn("len_text", length(col("text")))
+            .filter(col("len_text").between(20, 2000) &&
+              col("n_tokens") >= 5 &&
+              col("n_stop").cast("double") /
+                col("n_tokens").cast("double") <= 0.5)
+          EventStream.dedupExact(gated, textCol = "text", tsCol = "ts")
+      }.select(col("fp")).orderBy("fp")
+    }),
+
     "q_stream_sessions" -> ((s, dir) => {
       import s.implicits._
       val evts = Tables.events(s, dir)
@@ -279,6 +309,19 @@ object StreamQueries {
          ORDER BY window_start_s, event_type"""
 
   val oracles: Map[String, String] = Map(
+    // q_curate's gate CTE reduced to the distinct fingerprint set
+    "q_stream_curate" ->
+      """WITH q AS (SELECT doc_id,
+           CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS n_tokens,
+           CAST(len(list_filter(string_split(trim(text), ' '),
+             x -> list_contains(['the','a','data','row','key'], x))) AS INTEGER) AS n_stop,
+           CAST(length(text) AS INTEGER) AS len_text,
+           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+         FROM documents)
+         SELECT DISTINCT fp FROM q
+         WHERE len_text BETWEEN 20 AND 2000 AND n_tokens >= 5
+           AND CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.5
+         ORDER BY fp""",
     // same signature scheme as the batch minhash family: distinct
     // trigram shingles, per-seed min of md5("seed:shingle"), 3 bands
     // of 2 concatenated hashes; est = matching-signature fraction
