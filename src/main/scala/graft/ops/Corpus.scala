@@ -102,8 +102,13 @@ object Corpus {
       minOverlap: Int = 1): DataFrame = {
     val benchShingles = TextDedup.shingles(benchmark, idCol, textCol, n)
       .select(col("shingle")).distinct()
-    TextDedup.shingles(train, idCol, textCol, n)
+    // join raw (dedup = false) shingles FIRST, then distinct only the
+    // matches: dedup-before-join would exchange the whole exploded
+    // corpus; dedup-after-join exchanges only the rare surviving rows,
+    // so nothing shuffles before the broadcast filter (plan-pinned)
+    TextDedup.shingles(train, idCol, textCol, n, dedup = false)
       .join(broadcast(benchShingles), Seq("shingle"))
+      .select(col(idCol), col("shingle")).distinct()
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_hits"))
       .filter(col("n_hits") >= minOverlap)

@@ -19,17 +19,26 @@ object TextDedup {
 
   /** Distinct word n-gram shingles per document: (idCol, "shingle").
     * Documents with fewer than n tokens are dropped (no shingles).
+    * `dedup = false` skips the per-document distinct (and its shuffle)
+    * — for consumers that dedup AFTER a selective join, where
+    * deduplicating only the surviving rows is far cheaper than
+    * exchanging the whole exploded corpus up front.
     */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  def shingles(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      dedup: Boolean = true): DataFrame = {
     val parts = (0 until n)
       .map(j => s"element_at(__t, i + $j)").mkString(", ' ', ")
-    df.select(col(idCol), tokens(col(textCol)).as("__t"))
+    val raw = df.select(col(idCol), tokens(col(textCol)).as("__t"))
       .filter(size(col("__t")) >= n)
       .select(col(idCol),
         explode(expr(
           s"transform(sequence(1, size(__t) - ${n - 1}), i -> concat($parts))"))
           .as("shingle"))
-      .distinct()
+    if (dedup) raw.distinct() else raw
   }
 
   /** Exact dedup groups: (fp, keep_id, n_dups) on normalized-text md5. */

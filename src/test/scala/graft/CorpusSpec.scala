@@ -152,6 +152,24 @@ class CorpusSpec extends AnyFunSuite {
     val plan = flagged.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"benchmark shingles not broadcast:\n$plan")
+    // and nothing may exchange BELOW the broadcast join on the corpus
+    // side: the per-doc distinct runs on the matches, after the join
+    // static-shape pin with AQE off (AQE hides the join inside query
+    // stages): nothing may exchange BELOW the broadcast join on the
+    // corpus side — the per-doc distinct runs on matches, post-join
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val bhj = Corpus.decontaminate(train, benchmark, "doc_id", "text",
+          n = 5)
+        .queryExecution.executedPlan.collectFirst {
+          case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+        }.get
+      val streamSideExchanges = bhj.left.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(streamSideExchanges.isEmpty,
+        s"corpus side shuffles before the broadcast filter:\n$bhj")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     val kept = Corpus.decontaminatedKeep(
       train, benchmark, "doc_id", "text", n = 5)
       .select("doc_id").as[Long].collect().sorted
