@@ -79,6 +79,25 @@ object Corpus {
       .join(corpusFp, Seq("fp"), "left_anti")
   }
 
+  /** Repetition stats per document (the Gopher-style quality rule):
+    * word-bigram total/distinct counts and the duplicated fraction.
+    * Machine-generated and boilerplate text repeats locally, so this
+    * catches junk without any dedup pass. Documents with fewer than 2
+    * tokens are dropped (no bigram, and the ratio would divide by
+    * zero under ANSI). Pure scan + explode + one keyed aggregate.
+    */
+  def repetitionStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame =
+    TextDedup.shingles(df, idCol, textCol, n = 2, dedup = false)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        countDistinct(col("shingle")).as("n_distinct"))
+      .withColumn("rep_ratio",
+        round(lit(1.0) - col("n_distinct").cast("double") /
+          col("n_bigrams").cast("double"), 6))
+
   /** Benchmark decontamination: training documents sharing at least
     * `minOverlap` distinct word n-grams with ANY benchmark document,
     * with the shared-n-gram count — the eval-set leakage gate every

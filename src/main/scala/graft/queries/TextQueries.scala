@@ -177,22 +177,9 @@ object TextQueries {
     // boilerplate text repeats locally, and this gate catches it
     // without any dedup pass. Pure scan + explode + per-doc aggregate:
     // one keyed exchange, no joins.
-    "q_repetition" -> ((s, dir) => {
-      val d = docs(s, dir)
-        .select(col("doc_id"), toks(col("text")).as("__t"))
-        .filter(size(col("__t")) >= 2) // >= 1 bigram, so no 0-divide
-      d.select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(__t) - 1), " +
-            "i -> concat(element_at(__t, i), ' ', element_at(__t, i + 1)))"))
-          .as("bg"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          countDistinct(col("bg")).as("n_distinct"))
-        .withColumn("rep_ratio",
-          round(lit(1.0) - col("n_distinct").cast("double") /
-            col("n_bigrams").cast("double"), 6))
-        .orderBy("doc_id")
-    }),
+    "q_repetition" -> ((s, dir) =>
+      graft.ops.Corpus.repetitionStats(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
 
     // Winnowing document fingerprints: rolling hash over char 5-grams,
     // per-position window minimum (w=4), distinct selected prints.

@@ -131,6 +131,20 @@ class CorpusSpec extends AnyFunSuite {
     assert(r == ((7, 33)))
   }
 
+  test("repetitionStats: repeated text scores high, unique text zero") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam"), // 5 bigrams, 1 distinct
+      (2L, "every word here appears exactly once total"), // all distinct
+      (3L, "one")) // <2 tokens: dropped
+      .toDF("doc_id", "text")
+    val got = Corpus.repetitionStats(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((5L, 1L, 0.8)))
+    assert(got(2L)._3 == 0.0)
+    assert(!got.contains(3L))
+  }
+
   test("decontaminate flags only verbatim n-gram leakage, via a broadcast join") {
     val benchmark = Seq(
       (100L, "alpha beta gamma delta epsilon zeta")) // 2 distinct 5-grams
