@@ -79,6 +79,27 @@ object Corpus {
       .join(corpusFp, Seq("fp"), "left_anti")
   }
 
+  /** The quality-gate predicate — ONE definition shared by [[curate]]
+    * and the streaming curation query, so batch and stream gates
+    * cannot drift (the same reason [[defaultStopWords]] is a single
+    * constant). Null text fails the gate; token count is never zero
+    * for non-null text (`split` yields [""] at minimum), so the stop
+    * ratio cannot divide by zero under ANSI.
+    */
+  def qualityPass(
+      textCol: Column,
+      stopWords: Seq[String] = defaultStopWords,
+      minLen: Int = 20,
+      maxLen: Int = 2000,
+      minTokens: Int = 5,
+      maxStopRatio: Double = 0.5): Column = {
+    val tk = TextDedup.tokens(textCol)
+    val nStop = size(filter(tk, x => x.isInCollection(stopWords)))
+    length(textCol).between(minLen, maxLen) &&
+      size(tk) >= minTokens &&
+      (nStop.cast("double") / size(tk).cast("double")) <= maxStopRatio
+  }
+
   /** Repetition stats per document (the Gopher-style quality rule):
     * word-bigram total/distinct counts and the duplicated fraction.
     * Machine-generated and boilerplate text repeats locally, so this
@@ -210,15 +231,15 @@ object Corpus {
         "generated columns (fp, n_tokens, n_stop, len_text, __rn)")
     val tk = TextDedup.tokens(col(textCol))
     val w = Window.partitionBy("fp").orderBy(idCol)
-    df.select(df.columns.filterNot(_ == textCol).toIndexedSeq.map(col) :+
+    // gate FIRST (the shared predicate, ahead of even the projection),
+    // stats kept only for the survivors' output columns
+    df.filter(qualityPass(col(textCol), stopWords,
+        minLen, maxLen, minTokens, maxStopRatio))
+      .select(df.columns.filterNot(_ == textCol).toIndexedSeq.map(col) :+
         size(tk).as("n_tokens") :+
         size(filter(tk, x => x.isInCollection(stopWords))).as("n_stop") :+
         length(col(textCol)).as("len_text") :+
         md5(TextDedup.normText(col(textCol))).as("fp"): _*)
-      .filter(col("len_text").between(minLen, maxLen) &&
-        col("n_tokens") >= minTokens &&
-        (col("n_stop").cast("double") / col("n_tokens").cast("double"))
-          <= maxStopRatio)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn", "n_stop")

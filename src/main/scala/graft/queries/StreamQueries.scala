@@ -247,17 +247,10 @@ object StreamQueries {
         .as[(Long, String, Timestamp)].collect()
       runStream(s, "q_stream_curate_sink", Seq(docs.toIndexedSeq)) {
         (ds: org.apache.spark.sql.Dataset[(Long, String, Timestamp)]) =>
-          val tk = graft.ops.TextDedup.tokens(col("text"))
-          val gated = ds.toDF("doc_id", "text", "ts")
-            .withColumn("n_tokens", size(tk))
-            .withColumn("n_stop", size(filter(tk,
-              x => x.isInCollection(graft.ops.Corpus.defaultStopWords))))
-            .withColumn("len_text", length(col("text")))
-            .filter(col("len_text").between(20, 2000) &&
-              col("n_tokens") >= 5 &&
-              col("n_stop").cast("double") /
-                col("n_tokens").cast("double") <= 0.5)
-          EventStream.dedupExact(gated, textCol = "text", tsCol = "ts")
+          EventStream.dedupExact(
+            ds.toDF("doc_id", "text", "ts")
+              .filter(graft.ops.Corpus.qualityPass(col("text"))),
+            textCol = "text", tsCol = "ts")
       }.select(col("fp")).orderBy("fp")
     }),
 
