@@ -61,12 +61,14 @@ object TextQueries {
         col("doc_id"),
         size(tk).as("n_tokens"),
         size(filter(tk, x => x.isInCollection(stopWords))).as("n_stop"),
-        length(col("text")).as("len_text"))
+        length(col("text")).as("len_text"),
+        // the shared gate predicate — same definition as curate and
+        // the streaming curation, so the reported flag cannot drift
+        graft.ops.Corpus.qualityPass(col("text")).as("quality_ok"))
         .withColumn("stop_ratio",
           col("n_stop").cast("double") / col("n_tokens").cast("double"))
-        .withColumn("quality_ok",
-          col("len_text").between(20, 2000) && col("n_tokens") >= 5 &&
-            col("stop_ratio") <= 0.5)
+        .select("doc_id", "n_tokens", "n_stop", "len_text",
+          "stop_ratio", "quality_ok")
         .orderBy("doc_id")
     }),
 
