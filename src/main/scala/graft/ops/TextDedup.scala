@@ -108,6 +108,51 @@ object TextDedup {
     banded.join(broadcast(over), keyCols, "left_anti")
   }
 
+  /** The keep-some alternative to [[capBuckets]]: over-cap buckets are
+    * sharded into ceil(n/maxBucket) deterministic sub-buckets (id
+    * hash), so per-bucket pair mining stays O(maxBucket²) per shard
+    * while intra-shard pairs survive instead of the whole bucket being
+    * dropped. Recall trade: cross-shard pairs inside a mega-bucket are
+    * not generated — its members are near-dups of each other through
+    * content LSH already found non-discriminating, so production
+    * pipelines accept the loss. Under-cap buckets keep shard 0 and are
+    * untouched. Output = `banded` + `__shard` (join on keys + shard).
+    */
+  def subBandBuckets(
+      banded: DataFrame,
+      keyCols: Seq[String],
+      idCol: String,
+      maxBucket: Int): DataFrame = {
+    require(maxBucket > 0, s"maxBucket must be positive, got $maxBucket")
+    val over = overCapBuckets(banded, keyCols, maxBucket)
+    banded.join(broadcast(over), keyCols, "left_outer")
+      .withColumn("__shard",
+        when(col("n_members").isNull, lit(0L))
+          .otherwise(pmod(xxhash64(col(idCol)),
+            floor((col("n_members") + lit(maxBucket - 1)) / lit(maxBucket))
+              .cast("long"))))
+      .drop("n_members")
+  }
+
+  /** [[lshCandidates]] with sub-banding instead of dropping: candidate
+    * pairs come from (band, shard)-local self-joins, so a planted
+    * mega-bucket contributes bounded work but still yields pairs.
+    */
+  def lshCandidatesSubBanded(
+      bands: DataFrame,
+      idCol: String,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val in = subBandBuckets(bands, Seq("band_idx", "band_val"), idCol, maxBucket)
+    in.as("x")
+      .join(in.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.__shard") === col("y.__shard") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
+      .distinct()
+  }
+
   /** Audit twin of [[capBuckets]]: the buckets the cap drops, with
     * member counts — tiny by construction (at most rows/maxBucket
     * groups), so callers can collect/log it cheaply.

@@ -139,6 +139,32 @@ class TextDedupSpec extends AnyFunSuite {
     } finally bands.unpersist()
   }
 
+  test("sub-banding bounds the mega-bucket but still yields pairs inside it") {
+    val df = megaBucketCorpus
+    val sh = TextDedup.shingles(df, "doc_id", "text", 3)
+    val bands = TextDedup.lshBands(
+      TextDedup.minhashSignatures(sh, "doc_id", 6), "doc_id", 6, 3).persist()
+    try {
+      val maxBucket = 100
+      val sub = TextDedup.lshCandidatesSubBanded(bands, "doc_id", maxBucket)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // the genuine pair survives (its bucket is under-cap, shard 0)
+      assert(sub.contains((0L, 1L)))
+      // boilerplate pairs ARE mined — capBuckets would have dropped
+      // them all — but only within shards, so bounded:
+      // 3 bands x 10 shards x C(~100,2) << 3 x C(1000,2)
+      val boilerPairs = sub.count { case (a, b) => a >= 100L && b >= 100L }
+      assert(boilerPairs > 0, "sub-banding lost the whole mega-bucket")
+      val unboundedPerBand = 1000L * 999 / 2
+      assert(boilerPairs < unboundedPerBand / 5,
+        s"sub-banding did not bound the mega-bucket: $boilerPairs pairs")
+      // shard assignment is deterministic (hash of the id, no rand())
+      val again = TextDedup.lshCandidatesSubBanded(bands, "doc_id", maxBucket)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(again == sub)
+    } finally bands.unpersist()
+  }
+
   test("simhashPairs honors the hot-bucket cap") {
     val sim = TextDedup.simhash(megaBucketCorpus, "doc_id", "text").persist()
     try {
