@@ -244,4 +244,109 @@ object Corpus {
       .filter(col("__rn") === 1)
       .drop("__rn", "n_stop")
   }
+
+  /** Deterministic train/val/test assignment: the same md5 bucket as
+    * [[hashSample]] (salt-isolated so a document's split is
+    * independent of any sampling decision), cut at cumulative
+    * percents. `splits` lists (name, percent) in priority order and
+    * must sum to 100, so every row gets exactly one split. Pure
+    * per-row projection — no shuffle, reproducible across engines,
+    * retries, and backfills, and stable as the corpus grows (adding
+    * documents never moves an existing one between splits — the
+    * property `orderBy(rand).limit(n)` splits lack).
+    */
+  def assignSplit(
+      df: DataFrame,
+      idCol: String,
+      splits: Seq[(String, Int)],
+      salt: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum == 100,
+      s"split percents must sum to 100, got $splits")
+    require(!df.columns.contains("bucket") && !df.columns.contains("split"),
+      "input already has a 'bucket' or 'split' column")
+    val cuts = splits.scanLeft(0)(_ + _._2).tail // cumulative upper bounds
+    val b = hashBucket(col(idCol), salt)
+    val assign = splits.zip(cuts).foldRight(lit(null).cast("string")) {
+      case (((name, _), cut), acc) => when(b < cut, lit(name)).otherwise(acc)
+    }
+    df.withColumn("bucket", b).withColumn("split", assign)
+  }
+
+  /** PII scrubbing rules: (pattern, replacement token). The patterns
+    * use only regex constructs whose semantics agree between Java
+    * regex and RE2-family engines (character classes, bounded
+    * repetition, `\b`) so redaction counts can be oracle-checked
+    * cross-engine. Order matters: emails are redacted before bare
+    * hostname-ish tokens could match anything else.
+    */
+  val defaultPiiRules: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    ("\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"))
+
+  /** Apply `rules` left-to-right, each as a global regex replace.
+    * Scale stance: a codegen'd per-row projection — no shuffle, no
+    * state; the regexes compile once per task via Spark's
+    * `regexp_replace` pattern cache.
+    */
+  def redactPii(c: Column, rules: Seq[(String, String)] = defaultPiiRules)
+      : Column =
+    rules.foldLeft(c) { case (acc, (pat, repl)) =>
+      regexp_replace(acc, pat, repl)
+    }
+
+  /** Temperature-scaled domain-mixture weights (the multilingual /
+    * multi-source sampling rule p_i ∝ f_i^α with α = 0.5): per
+    * stratum, document and token totals and the normalized sqrt-scaled
+    * sampling weight. Down-weights dominant domains without starving
+    * rare ones. `sqrt` (not `pow(x, 0.5)`) on both engines — sqrt is
+    * IEEE-correctly-rounded, pow is not, and the oracle hash-compares
+    * the rounded weights.
+    *
+    * Scale stance: one keyed aggregate over the corpus; the
+    * normalization total is a 1-row broadcast cross join (the q_funnel
+    * idiom), never a single-partition window.
+    */
+  def domainMixture(
+      df: DataFrame,
+      strataCol: String,
+      tokenCountCol: Column): DataFrame = {
+    val per = df.groupBy(strataCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCountCol.cast("long")).as("n_tokens"))
+      .withColumn("w_raw", sqrt(col("n_tokens").cast("double")))
+    val total = per.agg(sum(col("w_raw")).as("w_total"))
+    per.crossJoin(broadcast(total))
+      .withColumn("weight", round(col("w_raw") / col("w_total"), 6))
+      .drop("w_raw", "w_total")
+  }
+
+  /** Unigram language-model score per document: the corpus-frequency
+    * negative mean log-likelihood `avg(-ln(count(tok)/total))` —
+    * the classic cheap perplexity proxy for quality filtering (docs
+    * of rare/garbage tokens score high, boilerplate scores low).
+    *
+    * Scale stance: one explode feeds both the vocabulary aggregate
+    * and the scoring join, so it is persisted (pass a [[CacheHandle]]
+    * to own the lifecycle); the vocabulary (distinct tokens + totals)
+    * is broadcast — the scoring side never shuffles before its final
+    * per-document aggregate.
+    */
+  def unigramLogProb(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      handle: CacheHandle = null): DataFrame = {
+    val toks = CacheHandle.persistWith(handle,
+      df.select(col(idCol), explode(TextDedup.tokens(col(textCol))).as("tok")))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum("cnt").as("total"))
+    toks
+      .join(broadcast(vocab.crossJoin(total)), Seq("tok"))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).cast("long").as("n_tokens"),
+        round(avg(-log(col("cnt").cast("double") /
+          col("total").cast("double"))), 6).as("nll"))
+  }
 }

@@ -91,7 +91,54 @@ object CorpusQueries {
         benchmark = d.filter(col("doc_id") % 10 === 0),
         idCol = "doc_id", textCol = "text", n = 5)
         .orderBy("doc_id")
-    }))
+    }),
+
+    // Deterministic train/val/test assignment: 80/10/10 on the md5
+    // bucket (salt-isolated from q_sample_hash). Pure projection —
+    // no shuffle; a document's split never changes as the corpus
+    // grows, unlike any rand()/orderBy-based splitter.
+    "q_split_assign" -> ((s, dir) =>
+      Corpus.assignSplit(docs(s, dir), "doc_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .select(col("doc_id"), col("lang"), col("bucket"), col("split"))
+        .orderBy("doc_id")),
+
+    // PII redaction: scrub emails / phone numbers / IPv4s and count
+    // what was removed. The synthetic corpus carries no PII, so a
+    // deterministic PII-bearing suffix is derived from doc_id (the
+    // q_xlsx fixture precedent: derived from the input table, not
+    // synthesized data) — every doc gets an email, every 3rd a phone,
+    // every 5th an IP, making the redaction counts non-trivial.
+    "q_pii_redact" -> ((s, dir) => {
+      val idStr = col("doc_id").cast("string")
+      val aug = concat(col("text"),
+        lit(" contact user"), idStr, lit("@example.com"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" tel +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" host 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".7")))
+          .otherwise(lit(""))).as("aug")
+      val rules = Corpus.defaultPiiRules
+      docs(s, dir).select(col("doc_id"), aug)
+        .select(
+          col("doc_id"),
+          Corpus.redactPii(col("aug"), rules).as("clean"),
+          regexp_count(col("aug"), lit(rules(0)._1)).as("n_email"),
+          regexp_count(col("aug"), lit(rules(1)._1)).as("n_phone"),
+          regexp_count(col("aug"), lit(rules(2)._1)).as("n_ip"))
+        .orderBy("doc_id")
+    }),
+
+    // Temperature-scaled domain mixture (p ∝ tokens^0.5 per source):
+    // the sampling-weight table a multi-source training run feeds its
+    // data loader. One keyed aggregate + a 1-row broadcast total.
+    "q_domain_mix" -> ((s, dir) =>
+      Corpus.domainMixture(docs(s, dir), "source",
+        size(graft.ops.TextDedup.tokens(col("text"))))
+        .orderBy("source")))
 
   val oracles: Map[String, String] = Map(
     "q_sample_hash" ->
@@ -169,5 +216,52 @@ object CorpusQueries {
              JOIN bmt t5 ON t1.doc_id = t5.doc_id AND t5.pos = t1.pos + 4)
          SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hits
          FROM trs t JOIN bms b ON t.shingle = b.shingle
-         GROUP BY t.doc_id ORDER BY t.doc_id""")
+         GROUP BY t.doc_id ORDER BY t.doc_id""",
+    "q_split_assign" ->
+      """WITH s AS (SELECT doc_id, lang,
+           CAST(CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))
+             AS UBIGINT) AS BIGINT) % 100 AS bucket
+         FROM documents)
+         SELECT doc_id, lang, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+         FROM s ORDER BY doc_id""",
+    "q_pii_redact" -> {
+      // ONE pattern source: the library rules are interpolated into
+      // the oracle text, so the two sides cannot drift (patterns use
+      // only Java-regex/RE2-agreeing constructs and contain no quotes)
+      val Seq((email, _), (phone, _), (ip, _)) = Corpus.defaultPiiRules
+      s"""WITH a AS (SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+             || CASE WHEN doc_id % 3 = 0
+                  THEN ' tel +1-555-' ||
+                    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                  THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                  ELSE '' END AS aug
+         FROM documents)
+         SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(aug,
+             '$email', '<EMAIL>', 'g'),
+             '$phone', '<PHONE>', 'g'),
+             '$ip', '<IP>', 'g') AS clean,
+           CAST(len(regexp_extract_all(aug, '$email')) AS INTEGER) AS n_email,
+           CAST(len(regexp_extract_all(aug, '$phone')) AS INTEGER) AS n_phone,
+           CAST(len(regexp_extract_all(aug, '$ip')) AS INTEGER) AS n_ip
+         FROM a ORDER BY doc_id"""
+    },
+    "q_domain_mix" ->
+      """WITH t AS (SELECT source,
+           CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok
+         FROM documents),
+         per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens
+           FROM t GROUP BY 1),
+         tot AS (SELECT sum(sqrt(CAST(n_tokens AS DOUBLE))) AS w_total
+           FROM per)
+         SELECT source, n_docs, n_tokens,
+           round(sqrt(CAST(n_tokens AS DOUBLE)) / w_total, 6) AS weight
+         FROM per CROSS JOIN tot ORDER BY source""")
 }

@@ -247,7 +247,29 @@ object TextQueries {
     // SimHash: 32-bit fingerprint from md5-derived token hashes —
     // one pass, 32 conditional aggregates, no explode of bit positions.
     "q_simhash" -> ((s, dir) =>
-      TextDedup.simhash(docs(s, dir), "doc_id", "text").orderBy("doc_id")))
+      TextDedup.simhash(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
+
+    // Corpus-wide top word-bigrams by document frequency — the
+    // boilerplate-discovery scan (frequent n-grams across many docs
+    // are candidate template/junk phrases for the quality gates).
+    // Explode + one keyed aggregate + a 20-row ordered take; ties
+    // broken by total count then shingle text, so the cut is total.
+    "q_top_ngrams" -> ((s, dir) =>
+      TextDedup.shingles(docs(s, dir), "doc_id", "text", n = 2,
+        dedup = false)
+        .groupBy("shingle")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_total"))
+        .orderBy(col("n_docs").desc, col("n_total").desc, col("shingle"))
+        .limit(20)),
+
+    // Unigram-LM quality score: corpus-frequency negative mean
+    // log-likelihood per document (the cheap perplexity proxy —
+    // garbage/rare-token docs score high, boilerplate low). Vocab is
+    // built once and broadcast; see Corpus.unigramLogProb.
+    "q_unigram_logprob" -> ((s, dir) =>
+      graft.ops.Corpus.unigramLogProb(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")))
 
   /** Shared CTE chain for the minhash near-dup pipeline: documents →
     * trigram shingles → 6 minhashes → 3 bands → candidates → verified
@@ -468,5 +490,31 @@ object TextQueries {
          bits AS (SELECT doc_id,
              $simhashBitSums
              FROM h GROUP BY doc_id)
-         SELECT doc_id, $simhashFp AS simhash FROM bits ORDER BY doc_id""")
+         SELECT doc_id, $simhashFp AS simhash FROM bits ORDER BY doc_id""",
+    "q_top_ngrams" ->
+      """WITH tk AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+           FROM documents),
+         t AS (SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS pos
+           FROM tk WHERE len(toks) >= 2),
+         bg AS (SELECT t1.doc_id, t1.tok || ' ' || t2.tok AS shingle
+           FROM t t1 JOIN t t2
+             ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1),
+         agg AS (SELECT shingle,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_total
+           FROM bg GROUP BY 1)
+         SELECT shingle, n_docs, n_total FROM agg
+         ORDER BY n_docs DESC, n_total DESC, shingle LIMIT 20""",
+    "q_unigram_logprob" ->
+      """WITH tk AS (SELECT doc_id,
+             unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+         vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+           FROM tk GROUP BY 1),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab)
+         SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(-ln(CAST(v.cnt AS DOUBLE) / CAST(total AS DOUBLE))), 6)
+             AS nll
+         FROM tk t JOIN vocab v ON t.tok = v.tok CROSS JOIN tot
+         GROUP BY t.doc_id ORDER BY t.doc_id""")
 }

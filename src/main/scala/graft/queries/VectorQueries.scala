@@ -287,7 +287,28 @@ object VectorQueries {
         withNorm(emb(s, dir).filter(col("vec_id") < 2000)
           .select(col("vec_id"), asDouble(col("embedding")).as("v")))
           .withColumn("bucket", signBucket(col("v"), 8)),
-        queryCap = 50)))
+        queryCap = 50)),
+
+    // Semantic dedup (the SemDeDup recipe): coarse cells via fixed
+    // centroids (the first 8 vectors — production would k-means them,
+    // as q_ann_ivf_kmeans does for search), then within-cell cosine
+    // near-dup pruning keeping the smallest id per group. Catches
+    // embed-alike documents the fingerprint dedup family cannot; pair
+    // mining is cell-local, never all-pairs.
+    "q_semantic_dedup" -> ((s, dir) => {
+      val n = withNorm(emb(s, dir)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v")))
+      val cent = n.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"),
+          col("nrm").as("cn"))
+      val assigned = graft.ops.SemanticDedup.assignCells(
+        n.filter(col("vec_id") >= 8)
+          .select(col("vec_id").as("id"), col("v"), col("nrm")),
+        cent)
+      graft.ops.SemanticDedup.keepSet(assigned, tau = 0.3)
+        .select(col("id").as("vec_id"), col("cell"))
+        .orderBy("vec_id")
+    }))
 
   private val bucketSql = (0 until 8)
     .map(i => s"(CASE WHEN v[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
@@ -435,5 +456,27 @@ object VectorQueries {
          r AS (SELECT *, row_number() OVER
              (PARTITION BY q_id ORDER BY cos_r DESC, cand_id) AS rk FROM p)
          SELECT q_id, cand_id, bucket, cos_r FROM r WHERE rk = 1
-         ORDER BY q_id""")
+         ORDER BY q_id""",
+    "q_semantic_dedup" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (SELECT * FROM (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
+             WHERE nrm > 0),
+         cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn
+           FROM n WHERE vec_id < 8),
+         asg AS (SELECT vec_id, v, nrm, c_id, row_number() OVER
+             (PARTITION BY vec_id ORDER BY
+               round(list_dot_product(v, cv) / (nrm * cn), 6) DESC, c_id)
+               AS rk
+           FROM n CROSS JOIN cent WHERE vec_id >= 8),
+         cell AS (SELECT vec_id, v, nrm, c_id AS cell FROM asg WHERE rk = 1),
+         dropped AS (SELECT DISTINCT b.vec_id AS id
+           FROM cell a JOIN cell b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+             >= 0.3)
+         SELECT c.vec_id, c.cell FROM cell c
+         WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.id = c.vec_id)
+         ORDER BY c.vec_id""")
 }

@@ -193,4 +193,84 @@ class CorpusSpec extends AnyFunSuite {
       train, benchmark.filter(lit(false)), "doc_id", "text", n = 5)
     assert(keptAll.count() == 3L)
   }
+
+  test("assignSplit covers every row, near the declared proportions, " +
+    "independently of the sampling salt") {
+    val df = (0L until 2000L).toDF("id")
+    val out = Corpus.assignSplit(df, "id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    assert(out.filter(col("split").isNull).count() == 0)
+    val bySplit = out.groupBy("split").count().as[(String, Long)]
+      .collect().toMap
+    assert(bySplit("train") > 1500 && bySplit("train") < 1700)
+    assert(bySplit("val") > 120 && bySplit("val") < 280)
+    assert(bySplit("test") > 120 && bySplit("test") < 280)
+    // deterministic: identical assignment on re-evaluation
+    val again = Corpus.assignSplit(df, "id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    assert(out.exceptAll(again).isEmpty)
+    // salt isolation: the split bucket is NOT the sampling bucket, so
+    // sampled-out documents are not systematically e.g. test-heavy
+    val sampleBuckets = df.withColumn("b", Corpus.hashBucket(col("id"), "smpl"))
+    assert(out.select("id", "bucket")
+      .join(sampleBuckets.withColumnRenamed("b", "sb"), "id")
+      .filter(col("bucket") =!= col("sb")).count() > 0)
+    // percents must sum to 100
+    intercept[IllegalArgumentException] {
+      Corpus.assignSplit(df, "id", Seq("train" -> 80, "val" -> 10))
+    }
+  }
+
+  test("redactPii scrubs every rule's matches and leaves clean text alone") {
+    val df = Seq(
+      (1L, "mail me at jane.doe+spam@corp.example.org today"),
+      (2L, "call +1-555-0123 or visit 192.168.0.1 now"),
+      (3L, "no pii here, just words and numbers 42"),
+      (4L, "two mails a@b.io c.d@e.co and ip 10.0.0.7"))
+      .toDF("id", "text")
+    val out = df.select(col("id"),
+      Corpus.redactPii(col("text")).as("clean"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "mail me at <EMAIL> today")
+    assert(out(2L) == "call <PHONE> or visit <IP> now")
+    assert(out(3L) == "no pii here, just words and numbers 42")
+    assert(out(4L) == "two mails <EMAIL> <EMAIL> and ip <IP>")
+    // nothing matching any default rule survives redaction
+    for ((pat, _) <- Corpus.defaultPiiRules)
+      assert(df.select(Corpus.redactPii(col("text")).as("c"))
+        .filter(regexp_count(col("c"), lit(pat)) > 0).count() == 0)
+  }
+
+  test("domainMixture weights normalize to 1 and order by sqrt(tokens)") {
+    val df = Seq.tabulate(400)(i => (s"d${i % 4}", "x " * (i % 4 + 1)))
+      .toDF("source", "text")
+    val out = Corpus.domainMixture(df, "source",
+      size(graft.ops.TextDedup.tokens(col("text"))))
+      .orderBy("source")
+      .as[(String, Long, Long, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq("d0", "d1", "d2", "d3"))
+    assert(math.abs(out.map(_._4).sum - 1.0) < 1e-5)
+    // monotone in token mass, but flatter than raw proportions
+    val weights = out.map(_._4)
+    assert(weights.sorted.toSeq == weights.toSeq)
+    val tokens = out.map(_._3.toDouble)
+    assert(weights.last / weights.head <
+      tokens.last / tokens.head) // sqrt damps the dominant domain
+  }
+
+  test("unigramLogProb scores rare-token docs above common-token docs") {
+    // 'common' appears 10x, 'rare' once: total 12 tokens
+    val df = (Seq.tabulate(10)(i => (i.toLong, "common")) :+
+      (10L, "rare common")).toDF("id", "text")
+    val h = new graft.ops.CacheHandle
+    val out = Corpus.unigramLogProb(df, "id", "text", h)
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> t._3).toMap
+    h.release()
+    val pCommon = 11.0 / 12.0
+    val pRare = 1.0 / 12.0
+    assert(math.abs(out(0L) - (-math.log(pCommon))) < 1e-5)
+    assert(math.abs(out(10L) -
+      (-(math.log(pRare) + math.log(pCommon)) / 2.0)) < 1e-5)
+    assert(out(10L) > out(0L))
+  }
 }
