@@ -339,7 +339,11 @@ object Corpus {
       handle: CacheHandle = null): DataFrame = {
     val toks = CacheHandle.persistWith(handle,
       df.select(col(idCol), explode(TextDedup.tokens(col(textCol))).as("tok")))
-    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    // vocab is read twice (the broadcast build and the 1-row total);
+    // persisting it keeps the second read from re-aggregating the
+    // full exploded token cache
+    val vocab = CacheHandle.persistWith(handle,
+      toks.groupBy("tok").agg(count(lit(1)).as("cnt")))
     val total = vocab.agg(sum("cnt").as("total"))
     toks
       .join(broadcast(vocab.crossJoin(total)), Seq("tok"))
