@@ -87,4 +87,19 @@ object VectorFunctions {
   def cosineSimilarity(a: Column, b: Column,
       normA: Column, normB: Column): Column =
     dotProduct(a, b) / (normA * normB)
+
+  /** Symmetric int8 scalar-quantization scale: max|x| / 127. Exact
+    * IEEE ops only (abs, max, one division) — engine-portable.
+    */
+  def int8Scale(v: Column): Column =
+    array_max(transform(v, x => abs(x))) / lit(127.0)
+
+  /** Quantize to int8 codes with round-half-up via `floor(x/s + 0.5)`
+    * — floor is exact on every engine, unlike round() whose half-away
+    * vs half-even mode differs. Codes stay in [-127, 127] by
+    * construction of [[int8Scale]] (|x|/s ≤ 127, and
+    * floor(-127 + 0.5) = -127).
+    */
+  def int8Quantize(v: Column, scale: Column): Column =
+    transform(v, x => floor(x / scale + lit(0.5)).cast("int"))
 }

@@ -353,4 +353,39 @@ object Corpus {
         round(avg(-log(col("cnt").cast("double") /
           col("total").cast("double"))), 6).as("nll"))
   }
+
+  /** Overlapping fixed-size token chunks per document (the
+    * RAG/context-window chunking shape): windows of `size` tokens
+    * every `size - overlap` positions. Chunk starts run while
+    * `start <= max(1, n_tokens - overlap)`, so a document shorter
+    * than `size` yields exactly one chunk and no trailing chunk is
+    * ever fully contained in its predecessor. Output: (idCol,
+    * chunk_idx from 0, chunk text, chunk token count).
+    *
+    * Scale stance: pure scan + explode — per-row arithmetic, no
+    * shuffle, no state; chunk count per doc is ~n/(size-overlap).
+    */
+  def chunkTokens(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      size: Int,
+      overlap: Int): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val step = size - overlap
+    df.select(col(idCol), TextDedup.tokens(col(textCol)).as("__t"))
+      .filter(org.apache.spark.sql.functions.size(col("__t")) >= 1)
+      .select(col(idCol),
+        explode(expr(
+          s"""transform(
+                sequence(1, greatest(1, size(__t) - $overlap), $step),
+                s -> struct(
+                  cast((s - 1) div $step as long) as chunk_idx,
+                  array_join(slice(__t, s, $size), ' ') as chunk,
+                  size(slice(__t, s, $size)) as n_chunk_tokens))"""))
+          .as("c"))
+      .select(col(idCol), col("c.chunk_idx"), col("c.chunk"),
+        col("c.n_chunk_tokens"))
+  }
 }

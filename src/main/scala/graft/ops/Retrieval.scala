@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-retrieval scoring over the corpus — the search half of a
+  * training-data platform (mining relevant documents for a topic,
+  * building retrieval eval sets, hybrid rerank pipelines).
+  *
+  * BM25 here is the standard Robertson/Sparck-Jones form with the
+  * +1 idf floor (Lucene-style, never negative):
+  * idf = ln(1 + (N - df + 0.5) / (df + 0.5)),
+  * score = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl)).
+  *
+  * Scale stance: the query term set is tiny, so the exploded corpus
+  * filters to it immediately (scan + filter, no shuffle of
+  * non-matching tokens); document length and the corpus constants
+  * (N, avgdl — exact integer sums, so engine-portable) are 1-row
+  * broadcasts; one keyed aggregate per (doc, term) and one per doc.
+  * All double math is per-row on exact integers, rounded at the end,
+  * so the oracle hash-matches.
+  */
+object Retrieval {
+
+  /** BM25 scores for every document matching at least one query term:
+    * (idCol, n_terms, score_r). `dl`/`avgdl` are whitespace token
+    * counts, matching the tokenizer used everywhere else.
+    */
+  def bm25(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val docs = df.select(col(idCol),
+      TextDedup.tokens(col(textCol)).as("__t"))
+    // corpus constants: exact integer sums → identical doubles on any
+    // engine (avgdl is one exact division)
+    val consts = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(col("__t")).cast("long")).as("tot_len"))
+    val tf = docs
+      .select(col(idCol), size(col("__t")).cast("long").as("dl"),
+        explode(col("__t")).as("tok"))
+      .filter(col("tok").isInCollection(terms)) // tiny set: filter at scan
+      .groupBy(col(idCol), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val avgdl = col("tot_len").cast("double") / col("n_docs")
+    val norm = col("tf") + lit(k1) *
+      (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / avgdl)
+    tf.join(broadcast(dfreq), "tok")
+      .crossJoin(broadcast(consts))
+      .withColumn("term_score",
+        idf * col("tf").cast("double") * lit(k1 + 1.0) / norm)
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("long").as("n_terms"),
+        round(sum(col("term_score")), 6).as("score_r"))
+  }
+}

@@ -471,6 +471,30 @@ object AnalyticsQueries {
         .unionAll(cn.except(sn).select(lit("cust_only").as("rel"), col("k")))
         .unionAll(sn.except(cn).select(lit("supp_only").as("rel"), col("k")))
         .orderBy("rel", "k")
+    }),
+
+    // Pearson correlation from EXACT decimal sums: builtin corr() is
+    // an order-dependent double aggregate (never cross-engine-stable);
+    // aggregating the five moments in DECIMAL and applying the
+    // formula once per group makes the result deterministic. One
+    // map-side-partial shuffle of 6 numbers per group.
+    "q_corr_exact" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem").select(col("l_returnflag"),
+        col("l_quantity").cast("decimal(18,2)").as("q"),
+        col("l_extendedprice").cast("decimal(18,2)").as("p"))
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      base.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("q")).as("sx"), sum(col("p")).as("sy"),
+          sum(col("q") * col("q")).as("sxx"),
+          sum(col("p") * col("p")).as("syy"),
+          sum(col("q") * col("p")).as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          round((col("n") * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+            (sqrt(col("n") * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+             sqrt(col("n") * d(col("syy")) - d(col("sy")) * d(col("sy")))), 6)
+            .as("corr_r"))
+        .orderBy("l_returnflag")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -744,5 +768,20 @@ object AnalyticsQueries {
          SELECT 'supp_only' AS rel, k FROM
            (SELECT DISTINCT s_nationkey AS k FROM supplier
             EXCEPT SELECT DISTINCT c_nationkey FROM customer)
-         ORDER BY rel, k""")
+         ORDER BY rel, k""",
+    "q_corr_exact" ->
+      """WITH t AS (SELECT l_returnflag,
+           CAST(l_quantity AS DECIMAL(18,2)) AS q,
+           CAST(l_extendedprice AS DECIMAL(18,2)) AS p
+         FROM lineitem),
+         a AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             sum(q) AS sx, sum(p) AS sy, sum(q*q) AS sxx,
+             sum(p*p) AS syy, sum(q*p) AS sxy
+           FROM t GROUP BY 1)
+         SELECT l_returnflag, n,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS corr_r
+         FROM a ORDER BY l_returnflag""")
 }

@@ -138,7 +138,14 @@ object CorpusQueries {
     "q_domain_mix" -> ((s, dir) =>
       Corpus.domainMixture(docs(s, dir), "source",
         size(graft.ops.TextDedup.tokens(col("text"))))
-        .orderBy("source")))
+        .orderBy("source")),
+
+    // RAG/context-window chunking: 64-token chunks overlapping by 16.
+    // Pure scan + explode — per-row arithmetic, no shuffle.
+    "q_chunk_tokens" -> ((s, dir) =>
+      Corpus.chunkTokens(docs(s, dir), "doc_id", "text",
+        size = 64, overlap = 16)
+        .orderBy("doc_id", "chunk_idx")))
 
   val oracles: Map[String, String] = Map(
     "q_sample_hash" ->
@@ -263,5 +270,17 @@ object CorpusQueries {
            FROM per)
          SELECT source, n_docs, n_tokens,
            round(sqrt(CAST(n_tokens AS DOUBLE)) / w_total, 6) AS weight
-         FROM per CROSS JOIN tot ORDER BY source""")
+         FROM per CROSS JOIN tot ORDER BY source""",
+    "q_chunk_tokens" ->
+      """WITH tk AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+           FROM documents
+           WHERE len(string_split(trim(text), ' ')) >= 1),
+         s AS (SELECT doc_id, toks,
+             unnest(range(1, greatest(1, len(toks) - 16) + 1, 48)) AS st
+           FROM tk)
+         SELECT doc_id, CAST((st - 1) // 48 AS BIGINT) AS chunk_idx,
+           array_to_string(list_slice(toks, st, st + 63), ' ') AS chunk,
+           CAST(len(list_slice(toks, st, st + 63)) AS INTEGER)
+             AS n_chunk_tokens
+         FROM s ORDER BY doc_id, chunk_idx""")
 }

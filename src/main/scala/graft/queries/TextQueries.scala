@@ -269,6 +269,15 @@ object TextQueries {
     // built once and broadcast; see Corpus.unigramLogProb.
     "q_unigram_logprob" -> ((s, dir) =>
       graft.ops.Corpus.unigramLogProb(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // BM25 retrieval scoring (Lucene-style +1 idf floor) for a fixed
+    // query term set — the search/mining half of a data platform.
+    // Exploded tokens filter to the tiny term set at the scan; corpus
+    // constants are exact integer sums (engine-portable doubles).
+    "q_bm25" -> ((s, dir) =>
+      graft.ops.Retrieval.bm25(docs(s, dir), "doc_id", "text",
+        terms = Seq("spark", "vector", "window"))
         .orderBy("doc_id")))
 
   /** Shared CTE chain for the minhash near-dup pipeline: documents →
@@ -516,5 +525,27 @@ object TextQueries {
            round(avg(-ln(CAST(v.cnt AS DOUBLE) / CAST(total AS DOUBLE))), 6)
              AS nll
          FROM tk t JOIN vocab v ON t.tok = v.tok CROSS JOIN tot
-         GROUP BY t.doc_id ORDER BY t.doc_id""")
+         GROUP BY t.doc_id ORDER BY t.doc_id""",
+    "q_bm25" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+           FROM documents),
+         c AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(toks)) AS BIGINT) AS tot_len FROM d),
+         t AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM d),
+         tf AS (SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
+           FROM t WHERE tok IN ('spark', 'vector', 'window')
+           GROUP BY 1, 2, 3),
+         dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+           FROM tf GROUP BY 1),
+         sc AS (SELECT tf.doc_id,
+             ln(1.0 + (c.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+               * CAST(tf.tf AS DOUBLE) * 2.2
+               / (tf.tf + 1.2 * (1.0 - 0.75 +
+                   0.75 * CAST(tf.dl AS DOUBLE)
+                     / (CAST(c.tot_len AS DOUBLE) / c.n_docs)))
+               AS term_score
+           FROM tf JOIN dfq USING (tok) CROSS JOIN c)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+           round(sum(term_score), 6) AS score_r
+         FROM sc GROUP BY 1 ORDER BY doc_id""")
 }

@@ -308,6 +308,62 @@ object VectorQueries {
       graft.ops.SemanticDedup.keepSet(assigned, tau = 0.3)
         .select(col("id").as("vec_id"), col("cell"))
         .orderBy("vec_id")
+    }),
+
+    // Int8 scalar quantization: the storage path for embeddings at
+    // 100 TB (4 bytes→1 per dim). Per-vector symmetric scale, codes
+    // via floor(x/s + 0.5) (exact on both engines, unlike round()'s
+    // mode-dependent halves); output = code stats + saturation count.
+    // Pure per-row projection, no shuffle.
+    "q_quantize_embed" -> ((s, dir) => {
+      val vf = graft.expr.VectorFunctions
+      emb(s, dir).select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("scale", vf.int8Scale(col("v")))
+        .filter(col("scale") > 0) // all-zero vectors have no code scale
+        .withColumn("q", vf.int8Quantize(col("v"), col("scale")))
+        .select(col("vec_id"),
+          size(col("q")).as("dim"),
+          round(col("scale"), 6).as("scale_r"),
+          array_min(col("q")).cast("long").as("qmin"),
+          array_max(col("q")).cast("long").as("qmax"),
+          aggregate(col("q"), lit(0L), (acc, x) => acc + x.cast("long"))
+            .as("qsum"),
+          size(filter(col("q"), x => abs(x) === 127)).as("n_sat"))
+        .orderBy("vec_id")
+    }),
+
+    // Two-stage retrieval: cheap prefix-dim filter (first 16 of 64
+    // dims) to top-10 candidates per query, exact full-dim rerank to
+    // top-3 — the staged shape real ANN serving uses (a coarse score
+    // over compressed vectors, exact math only over the shortlist).
+    // At scale stage 1 scans 4× less data per candidate and stage 2
+    // touches 10 rows per query.
+    "q_ann_rerank" -> ((s, dir) => {
+      val e = withNorm(emb(s, dir).filter(col("vec_id") < 2000)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v")))
+        .withColumn("p", slice(col("v"), 1, 16))
+        .withColumn("pn", norm(col("p")))
+        .filter(col("pn") > 0)
+        .persist() // query and candidate sides share it
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("p").as("qp"), col("pn").as("qpn"))
+      val c = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("cand_id"), col("v").as("cv"),
+          col("nrm").as("cn"), col("p").as("cp"), col("pn").as("cpn"))
+      val w1 = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("pcos").desc, col("cand_id"))
+      val w2 = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("cos_r").desc, col("cand_id"))
+      c.join(broadcast(q))
+        .withColumn("pcos", cosR(col("qp"), col("cp"), col("qpn"), col("cpn")))
+        .withColumn("rk1", row_number().over(w1))
+        .filter(col("rk1") <= 10)
+        .withColumn("cos_r", cosR(col("qv"), col("cv"), col("qn"), col("cn")))
+        .withColumn("rank", row_number().over(w2).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("cand_id"), col("rank"), col("cos_r"))
+        .orderBy("q_id", "rank")
     }))
 
   private val bucketSql = (0 until 8)
@@ -478,5 +534,48 @@ object VectorQueries {
              >= 0.3)
          SELECT c.vec_id, c.cell FROM cell c
          WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.id = c.vec_id)
-         ORDER BY c.vec_id""")
+         ORDER BY c.vec_id""",
+    "q_quantize_embed" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         s AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+           FROM e),
+         sv AS (SELECT * FROM s WHERE scale > 0),
+         q AS (SELECT vec_id, scale,
+             list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+               AS qs
+           FROM sv)
+         SELECT vec_id, CAST(len(qs) AS INTEGER) AS dim,
+           round(scale, 6) AS scale_r,
+           CAST(list_min(qs) AS BIGINT) AS qmin,
+           CAST(list_max(qs) AS BIGINT) AS qmax,
+           CAST(list_sum(qs) AS BIGINT) AS qsum,
+           CAST(len(list_filter(qs, c -> abs(c) = 127)) AS INTEGER) AS n_sat
+         FROM q ORDER BY vec_id""",
+    "q_ann_rerank" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id < 2000),
+         n AS (SELECT * FROM (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+             list_slice(v, 1, 16) AS p FROM e) WHERE nrm > 0),
+         n2 AS (SELECT * FROM (SELECT vec_id, v, nrm, p,
+             sqrt(list_sum(list_transform(p, x -> x * x))) AS pn FROM n)
+             WHERE pn > 0),
+         s1 AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+             q.v AS qv, c.v AS cv, q.nrm AS qn, c.nrm AS cn,
+             round(list_dot_product(q.p, c.p) / (q.pn * c.pn), 6) AS pcos
+           FROM n2 q JOIN n2 c ON c.vec_id >= 10 WHERE q.vec_id < 10),
+         r1 AS (SELECT *, row_number() OVER
+             (PARTITION BY q_id ORDER BY pcos DESC, cand_id) AS rk1 FROM s1),
+         s2 AS (SELECT q_id, cand_id,
+             round(list_dot_product(qv, cv) / (qn * cn), 6) AS cos_r
+           FROM r1 WHERE rk1 <= 10),
+         r2 AS (SELECT *, CAST(row_number() OVER
+             (PARTITION BY q_id ORDER BY cos_r DESC, cand_id) AS BIGINT)
+             AS rank FROM s2)
+         SELECT q_id, cand_id, rank, cos_r FROM r2 WHERE rank <= 3
+         ORDER BY q_id, rank""")
 }

@@ -273,4 +273,33 @@ class CorpusSpec extends AnyFunSuite {
       (-(math.log(pRare) + math.log(pCommon)) / 2.0)) < 1e-5)
     assert(out(10L) > out(0L))
   }
+
+  test("chunkTokens: overlap windows, short docs, no degenerate tail") {
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"),                                  // shorter than size
+      (3L, (1 to 8).map(i => s"u$i").mkString(" ")))  // exactly size
+      .toDF("id", "text")
+    val out = Corpus.chunkTokens(df, "id", "text", size = 8, overlap = 4)
+      .orderBy("id", "chunk_idx")
+      .as[(Long, Long, String, Int)].collect()
+    val byDoc = out.groupBy(_._1)
+    // 10 tokens, size 8, step 4: starts 1 and 5 → [1..8], [5..10]
+    assert(byDoc(1L).map(c => (c._2, c._4)).toSeq == Seq((0L, 8), (1L, 6)))
+    assert(byDoc(1L)(0)._3.startsWith("t1 ") &&
+      byDoc(1L)(1)._3 == "t5 t6 t7 t8 t9 t10")
+    // overlap: last 4 of chunk 0 == first 4 of chunk 1
+    assert(byDoc(1L)(0)._3.split(" ").takeRight(4).toSeq ==
+      byDoc(1L)(1)._3.split(" ").take(4).toSeq)
+    // short doc: exactly one (short) chunk, never zero
+    assert(byDoc(2L).map(c => (c._2, c._3)).toSeq == Seq((0L, "a b c")))
+    // exact-size doc: one chunk, no empty/contained tail
+    assert(byDoc(3L).map(_._4).toSeq == Seq(8))
+    // every token of every doc appears in at least one of its chunks
+    assert(byDoc(1L).flatMap(_._3.split(" ")).toSet ==
+      (1 to 10).map(i => s"t$i").toSet)
+    intercept[IllegalArgumentException] {
+      Corpus.chunkTokens(df, "id", "text", size = 4, overlap = 4)
+    }
+  }
 }

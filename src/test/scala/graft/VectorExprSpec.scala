@@ -68,4 +68,27 @@ class VectorExprSpec extends AnyFunSuite {
     val cos = row.getAs[Double]("cos")
     assert(math.abs(cos - 32.0 / (math.sqrt(14) * math.sqrt(77))) < 1e-12)
   }
+
+  test("int8 quantization: codes bounded, round-trip error within " +
+    "half a step, extremes saturate exactly") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(0.5, -0.25, 0.1, -0.5)), // symmetric extreme
+      (2L, Seq(1e-8, 2e-8, -1e-8, 3e-8))) // tiny magnitudes
+      .toDF("id", "v")
+    val out = df
+      .withColumn("scale", VectorFunctions.int8Scale(col("v")))
+      .withColumn("q", VectorFunctions.int8Quantize(col("v"), col("scale")))
+      .select("id", "v", "scale", "q")
+      .as[(Long, Seq[Double], Double, Seq[Int])].collect()
+    for ((_, v, scale, q) <- out) {
+      assert(q.forall(c => c >= -127 && c <= 127))
+      // reconstruction error of round-half-up codes is <= scale/2
+      v.zip(q).foreach { case (x, c) =>
+        assert(math.abs(c * scale - x) <= scale / 2 + 1e-12) }
+      // the max-|x| element saturates to exactly +-127
+      val iMax = v.indices.maxBy(i => math.abs(v(i)))
+      assert(math.abs(q(iMax)) == 127)
+    }
+  }
 }
