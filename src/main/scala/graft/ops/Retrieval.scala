@@ -32,7 +32,8 @@ object Retrieval {
       textCol: String,
       terms: Seq[String],
       k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75,
+      handle: CacheHandle = null): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
     val docs = df.select(col(idCol),
       TextDedup.tokens(col(textCol)).as("__t"))
@@ -41,12 +42,15 @@ object Retrieval {
     val consts = docs.agg(
       count(lit(1)).as("n_docs"),
       sum(size(col("__t")).cast("long")).as("tot_len"))
-    val tf = docs
+    // tf (matching docs only — small) feeds both the df aggregate and
+    // the scoring join; persisting it keeps the df branch from
+    // re-exploding the corpus (pass a CacheHandle to own the cache)
+    val tf = CacheHandle.persistWith(handle, docs
       .select(col(idCol), size(col("__t")).cast("long").as("dl"),
         explode(col("__t")).as("tok"))
       .filter(col("tok").isInCollection(terms)) // tiny set: filter at scan
       .groupBy(col(idCol), col("dl"), col("tok"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))

@@ -495,6 +495,27 @@ object AnalyticsQueries {
              sqrt(col("n") * d(col("syy")) - d(col("sy")) * d(col("sy")))), 6)
             .as("corr_r"))
         .orderBy("l_returnflag")
+    }),
+
+    // Robust outlier gate (Tukey 1.5·IQR fences on event values):
+    // exact interpolated quartiles → 1-row broadcast bounds → per-row
+    // flag. The exact percentile is the oracle-checked demo; at scale
+    // swap approx_percentile in (the q_quantiles/q_quantiles_approx
+    // pairing) — the fence math and broadcast shape stay identical.
+    "q_outlier_filter" -> ((s, dir) => {
+      val d = t(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("event_id"), col("value"))
+      val bounds = d.agg(
+        percentile(col("value"), lit(0.25)).as("q1"),
+        percentile(col("value"), lit(0.75)).as("q3"))
+        .select(
+          (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
+          (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
+      d.crossJoin(broadcast(bounds))
+        .filter(col("value") < col("lo") || col("value") > col("hi"))
+        .select(col("event_id"), col("value"),
+          round(col("lo"), 6).as("lo_r"), round(col("hi"), 6).as("hi_r"))
+        .orderBy("event_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -783,5 +804,16 @@ object AnalyticsQueries {
              / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                 * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
              AS corr_r
-         FROM a ORDER BY l_returnflag""")
+         FROM a ORDER BY l_returnflag""",
+    "q_outlier_filter" ->
+      """WITH d AS (SELECT event_id, value FROM events
+           WHERE value IS NOT NULL),
+         q AS (SELECT quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3 FROM d),
+         b AS (SELECT q1 - (q3 - q1) * 1.5 AS lo,
+             q3 + (q3 - q1) * 1.5 AS hi FROM q)
+         SELECT event_id, value,
+           round(lo, 6) AS lo_r, round(hi, 6) AS hi_r
+         FROM d CROSS JOIN b WHERE value < lo OR value > hi
+         ORDER BY event_id""")
 }

@@ -145,7 +145,27 @@ object CorpusQueries {
     "q_chunk_tokens" -> ((s, dir) =>
       Corpus.chunkTokens(docs(s, dir), "doc_id", "text",
         size = 64, overlap = 16)
-        .orderBy("doc_id", "chunk_idx")))
+        .orderBy("doc_id", "chunk_idx")),
+
+    // Mixture-driven sampling: the domain-mixture weights actually
+    // drive the deterministic sampler — per-source keep rate =
+    // floor(weight·400) percent (floor, not round: round's half mode
+    // differs across engines), md5 bucket salt-isolated from the
+    // other samplers. The composed shape a multi-source loader runs.
+    "q_mix_sample" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val mix = Corpus.domainMixture(d, "source",
+        size(graft.ops.TextDedup.tokens(col("text"))))
+        .select(col("source"),
+          floor(col("weight") * 400).cast("long").as("rate_pct"))
+      d.select(col("doc_id"), col("source"))
+        .withColumn("bucket", Corpus.hashBucket(col("doc_id"), "mix"))
+        .join(broadcast(mix), "source")
+        .filter(col("bucket") < col("rate_pct"))
+        .select(col("doc_id"), col("source"), col("bucket"),
+          col("rate_pct"))
+        .orderBy("doc_id")
+    }))
 
   val oracles: Map[String, String] = Map(
     "q_sample_hash" ->
@@ -282,5 +302,24 @@ object CorpusQueries {
            array_to_string(list_slice(toks, st, st + 63), ' ') AS chunk,
            CAST(len(list_slice(toks, st, st + 63)) AS INTEGER)
              AS n_chunk_tokens
-         FROM s ORDER BY doc_id, chunk_idx""")
+         FROM s ORDER BY doc_id, chunk_idx""",
+    "q_mix_sample" ->
+      """WITH t AS (SELECT source,
+           CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok
+         FROM documents),
+         per AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+           FROM t GROUP BY 1),
+         tot AS (SELECT sum(sqrt(CAST(n_tokens AS DOUBLE))) AS w_total
+           FROM per),
+         mix AS (SELECT source,
+             CAST(floor(round(sqrt(CAST(n_tokens AS DOUBLE)) / w_total, 6)
+               * 400) AS BIGINT) AS rate_pct
+           FROM per CROSS JOIN tot),
+         b AS (SELECT doc_id, source,
+             CAST(CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))
+               AS UBIGINT) AS BIGINT) % 100 AS bucket
+           FROM documents)
+         SELECT b.doc_id, b.source, b.bucket, m.rate_pct
+         FROM b JOIN mix m USING (source)
+         WHERE b.bucket < m.rate_pct ORDER BY doc_id""")
 }

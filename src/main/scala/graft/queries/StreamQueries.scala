@@ -254,6 +254,41 @@ object StreamQueries {
       }.select(col("fp")).orderBy("fp")
     }),
 
+    // Streaming trending terms: documents stream through the
+    // watermarked tumbling-window token counter (state = one row per
+    // (window, token), evicted past the watermark); far-future
+    // sentinels flush every real window. Top-3-per-window ranking runs
+    // BATCH over the emitted (immutable, append-mode) windows — the
+    // serving-layer split that keeps streaming state bounded. Oracle =
+    // epoch-aligned 300 s buckets of the same synthetic event times.
+    "q_stream_trending" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          timestamp_seconds(col("doc_id") + lit(1000000000L)).as("ts"))
+        .as[(Long, String, Timestamp)].collect()
+      val maxSec = 1000000000L + (if (docs.isEmpty) 0L
+        else docs.iterator.map(_._1).max)
+      val counts = runStream(s, "q_stream_trending_sink", Seq(
+        docs.toIndexedSeq,
+        Seq((-1L, "sentinel", new Timestamp((maxSec + 3600L) * 1000L))),
+        Seq((-2L, "sentinel", new Timestamp((maxSec + 7200L) * 1000L))))) {
+        (ds: org.apache.spark.sql.Dataset[(Long, String, Timestamp)]) =>
+          graft.streaming.TrendingTerms.windowedTermCounts(
+            ds.toDF("doc_id", "text", "ts"),
+            textCol = "text", tsCol = "ts",
+            watermarkDelay = "10 minutes", windowLen = "5 minutes")
+      }.filter(col("tok") =!= "sentinel")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("window_start").orderBy(col("n").desc, col("tok"))
+      counts
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(unix_timestamp(col("window_start")).as("window_start_s"),
+          col("tok"), col("n"), col("rank"))
+        .orderBy("window_start_s", "rank")
+    }),
+
     "q_stream_sessions" -> ((s, dir) => {
       import s.implicits._
       val evts = Tables.events(s, dir)
@@ -302,6 +337,19 @@ object StreamQueries {
          ORDER BY window_start_s, event_type"""
 
   val oracles: Map[String, String] = Map(
+    // same 300 s epoch buckets the tumbling window aligns to
+    "q_stream_trending" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+           FROM documents),
+         t AS (SELECT (doc_id + 1000000000) // 300 * 300 AS ws,
+             unnest(toks) AS tok FROM d),
+         c AS (SELECT ws, tok, CAST(count(*) AS BIGINT) AS n
+           FROM t GROUP BY 1, 2),
+         r AS (SELECT *, CAST(row_number() OVER
+             (PARTITION BY ws ORDER BY n DESC, tok) AS BIGINT) AS rank
+           FROM c)
+         SELECT CAST(ws AS BIGINT) AS window_start_s, tok, n, rank
+         FROM r WHERE rank <= 3 ORDER BY window_start_s, rank""",
     // q_curate's gate CTE reduced to the distinct fingerprint set
     "q_stream_curate" ->
       """WITH q AS (SELECT doc_id,
