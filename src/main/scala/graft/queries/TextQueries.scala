@@ -284,7 +284,8 @@ object TextQueries {
     * trigram shingles → 6 minhashes → 3 bands → candidates → verified
     * pairs (`pairs(a, b, inter, na, nb, jaccard)` at threshold 0.8).
     */
-  private val minhashCtes: String =
+  // shared with VectorQueries' hybrid-cluster oracle (same package)
+  private[queries] val minhashCtes: String =
     """d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
              FROM documents WHERE doc_id < 2000),
          d2 AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 3),

@@ -332,6 +332,30 @@ object VectorQueries {
         .orderBy("vec_id")
     }),
 
+    // Hybrid text+embedding dedup clustering: minhash near-dup pairs
+    // (textual) UNION embedding LSH near-dup pairs (semantic) feed the
+    // ONE connected-components op — documents merge into a cluster if
+    // they match in EITHER modality. The multimodal keep/drop decision
+    // a real pipeline makes; edge mining stays bucket-local in both
+    // modalities (ids are shared across documents/embeddings).
+    "q_hybrid_cluster" -> ((s, dir) => {
+      import graft.ops.TextDedup
+      val d = graft.Tables.table(s, dir, "documents")
+        .filter(col("doc_id") < 2000)
+      val textPairs = TextDedup.minhashDedup(d, "doc_id", "text",
+        shingleN = 3, numHashes = 6, bands = 3, threshold = 0.8,
+        maxBucket = Int.MaxValue) // uncapped: mirrors the oracle CTE
+        .select(col("a"), col("b"))
+      val (_, embPairs0) = lshPairs(s, dir)
+      val edges = textPairs
+        .unionByName(embPairs0.select(col("a"), col("b")))
+        .distinct()
+        .persist() // clusters() iterates over the edges
+      TextDedup.clusters(d.select(col("doc_id")), edges)
+        .toDF("doc_id", "cluster_id")
+        .orderBy("doc_id")
+    }),
+
     // Two-stage retrieval: cheap prefix-dim filter (first 16 of 64
     // dims) to top-10 candidates per query, exact full-dim rerank to
     // top-3 — the staged shape real ANN serving uses (a coarse score
@@ -535,6 +559,31 @@ object VectorQueries {
          SELECT c.vec_id, c.cell FROM cell c
          WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.id = c.vec_id)
          ORDER BY c.vec_id""",
+    // minhash text pairs (shared CTE chain) ∪ embedding LSH pairs →
+    // recursive reachability closure — same closure as q_dedup_cluster
+    // over the union edge set
+    "q_hybrid_cluster" ->
+      s"""WITH RECURSIVE ${TextQueries.minhashCtes},
+         ev AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id < 300),
+         en AS (SELECT * FROM (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+             $lshBucketSql AS bucket FROM ev) WHERE nrm > 0),
+         epairs AS (SELECT a.vec_id AS a, b.vec_id AS b
+           FROM en a JOIN en b
+             ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+           WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+             >= 0.2),
+         allp AS (SELECT a, b FROM pairs UNION SELECT a, b FROM epairs),
+         ids AS (SELECT doc_id FROM documents WHERE doc_id < 2000),
+         edges AS (SELECT a, b FROM allp UNION ALL SELECT b, a FROM allp),
+         reach(id, lbl) AS (
+             SELECT doc_id, doc_id FROM ids
+             UNION
+             SELECT e2.a, r.lbl FROM edges e2 JOIN reach r ON e2.b = r.id)
+         SELECT id AS doc_id, min(lbl) AS cluster_id
+         FROM reach GROUP BY id ORDER BY doc_id""",
     "q_quantize_embed" ->
       """WITH e AS (SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
