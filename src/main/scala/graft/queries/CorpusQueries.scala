@@ -147,6 +147,37 @@ object CorpusQueries {
         size = 64, overlap = 16)
         .orderBy("doc_id", "chunk_idx")),
 
+    // The composed END-TO-END curation pipeline — what a user actually
+    // ships: quality gates → exact dedup (keep-min id) → benchmark
+    // decontamination (docs ending in 0 stand in for the eval set) →
+    // deterministic 80/10/10 split → the train slice packed into
+    // 500-token shards. Every stage is one of the individually
+    // oracle-checked ops; this query pins that they compose.
+    "q_pipeline_e2e" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val kept = Corpus.curate(
+        d.select("doc_id", "lang", "source", "text"),
+        "doc_id", "text", stopWords)
+      // recover text for the n-gram decontamination stage (curate
+      // drops the payload), then drop eval-leaking docs
+      val keptText = kept.select("doc_id", "n_tokens")
+        .join(d.select(col("doc_id"), col("text")), Seq("doc_id"))
+      val clean = Corpus.decontaminatedKeep(
+        train = keptText.filter(col("doc_id") % 10 =!= 0),
+        benchmark = d.filter(col("doc_id") % 10 === 0),
+        idCol = "doc_id", textCol = "text", n = 5)
+      val train = Corpus.assignSplit(clean.drop("text"), "doc_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .filter(col("split") === "train")
+      ScaleOps.globalRunningSum(
+        train.select(col("doc_id"), col("n_tokens").cast("long")),
+        partitions = 8, valueCol = "n_tokens", outCol = "cum_tokens",
+        col("doc_id"))
+        .withColumn("shard_id", expr("(cum_tokens - n_tokens) div 500"))
+        .select("doc_id", "n_tokens", "cum_tokens", "shard_id")
+        .orderBy("doc_id")
+    }),
+
     // Mixture-driven sampling: the domain-mixture weights actually
     // drive the deterministic sampler — per-source keep rate =
     // floor(weight·400) percent (floor, not round: round's half mode
@@ -303,6 +334,62 @@ object CorpusQueries {
            CAST(len(list_slice(toks, st, st + 63)) AS INTEGER)
              AS n_chunk_tokens
          FROM s ORDER BY doc_id, chunk_idx""",
+    "q_pipeline_e2e" ->
+      """WITH q AS (SELECT doc_id, lang, source,
+           CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS n_tokens,
+           CAST(len(list_filter(string_split(trim(text), ' '),
+             x -> list_contains(['the','a','data','row','key'], x))) AS INTEGER) AS n_stop,
+           CAST(length(text) AS INTEGER) AS len_text,
+           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+         FROM documents),
+         g AS (SELECT * FROM q
+           WHERE len_text BETWEEN 20 AND 2000 AND n_tokens >= 5
+             AND CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.5),
+         r AS (SELECT *, row_number() OVER
+             (PARTITION BY fp ORDER BY doc_id) AS rn FROM g),
+         kept AS (SELECT doc_id, n_tokens FROM r WHERE rn = 1),
+         tr AS (SELECT d.doc_id, string_split(trim(d.text), ' ') AS toks
+           FROM documents d JOIN kept k ON d.doc_id = k.doc_id
+           WHERE d.doc_id % 10 <> 0),
+         bm AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+           FROM documents WHERE doc_id % 10 = 0),
+         trt AS (SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS pos FROM tr WHERE len(toks) >= 5),
+         bmt AS (SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS pos FROM bm WHERE len(toks) >= 5),
+         trs AS (SELECT DISTINCT t1.doc_id,
+             t1.tok || ' ' || t2.tok || ' ' || t3.tok || ' ' || t4.tok
+               || ' ' || t5.tok AS shingle
+             FROM trt t1
+             JOIN trt t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+             JOIN trt t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2
+             JOIN trt t4 ON t1.doc_id = t4.doc_id AND t4.pos = t1.pos + 3
+             JOIN trt t5 ON t1.doc_id = t5.doc_id AND t5.pos = t1.pos + 4),
+         bms AS (SELECT DISTINCT
+             t1.tok || ' ' || t2.tok || ' ' || t3.tok || ' ' || t4.tok
+               || ' ' || t5.tok AS shingle
+             FROM bmt t1
+             JOIN bmt t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+             JOIN bmt t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2
+             JOIN bmt t4 ON t1.doc_id = t4.doc_id AND t4.pos = t1.pos + 3
+             JOIN bmt t5 ON t1.doc_id = t5.doc_id AND t5.pos = t1.pos + 4),
+         flagged AS (SELECT DISTINCT t.doc_id
+           FROM trs t JOIN bms b ON t.shingle = b.shingle),
+         clean AS (SELECT t.doc_id FROM tr t
+           WHERE NOT EXISTS (SELECT 1 FROM flagged f
+             WHERE f.doc_id = t.doc_id)),
+         train AS (SELECT c.doc_id, k.n_tokens
+           FROM clean c JOIN kept k ON c.doc_id = k.doc_id
+           WHERE CAST(CAST(('0x' || substr(md5('split:' || CAST(c.doc_id AS VARCHAR)), 1, 8))
+             AS UBIGINT) AS BIGINT) % 100 < 80),
+         cum AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(sum(COALESCE(n_tokens, 0)) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_tokens
+         FROM train)
+         SELECT doc_id, n_tokens, cum_tokens,
+           (cum_tokens - n_tokens) // 500 AS shard_id
+         FROM cum ORDER BY doc_id""",
     "q_mix_sample" ->
       """WITH t AS (SELECT source,
            CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok
