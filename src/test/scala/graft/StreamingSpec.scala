@@ -167,4 +167,32 @@ class StreamingSpec extends AnyFunSuite {
       assert(sessions(1).n_events == 1) // the 10:23 singleton
     } finally q.stop()
   }
+
+  test("streaming trending-term counts equal the batch window counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = graft.streaming.TrendingTerms.windowedTermCounts(
+      input.toDS().toDF("id", "text", "ts"),
+      textCol = "text", tsCol = "ts",
+      watermarkDelay = "10 minutes", windowLen = "5 minutes")
+      .writeStream.format("memory").queryName("trend")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "spark spark table", ts(1)),
+        (2L, "table spark", ts(2)),
+        (3L, "join join join join", ts(7))) // second window
+      q.processAllAvailable()
+      input.addData((4L, "late late", ts(40))) // watermark flush
+      q.processAllAvailable()
+      // window 10:00-05: spark x3, table x2; window 10:05-10: join x4
+      val rows = spark.table("trend")
+        .filter(col("window_start") < lit(ts(10)))
+        .select("window_start", "tok", "n")
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(rows == Set(
+        (ts(0), "spark", 3L), (ts(0), "table", 2L), (ts(5), "join", 4L)))
+    } finally q.stop()
+  }
 }

@@ -246,4 +246,19 @@ class TextDedupSpec extends AnyFunSuite {
     assert(all.head.getAs[Long]("b") == 1L || all.head.getAs[Long]("b") == 4L)
     assert(all.head.getAs[Double]("jaccard") == 1.0)
   }
+
+  test("clusters over a UNION of modality edge sets bridge across " +
+    "modalities (the q_hybrid_cluster semantics)") {
+    import spark.implicits._
+    // text modality links 1-2; embedding modality links 2-3: the union
+    // must produce ONE cluster {1,2,3} even though neither modality
+    // alone connects 1 to 3; 4 stays isolated
+    val ids = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val textPairs = Seq((1L, 2L)).toDF("a", "b")
+    val embPairs = Seq((2L, 3L)).toDF("a", "b")
+    val edges = textPairs.unionByName(embPairs).distinct()
+    val out = TextDedup.clusters(ids, edges)
+      .toDF("id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
+  }
 }
