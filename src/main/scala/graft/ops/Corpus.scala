@@ -260,8 +260,9 @@ object Corpus {
       idCol: String,
       splits: Seq[(String, Int)],
       salt: String = "split"): DataFrame = {
-    require(splits.nonEmpty && splits.map(_._2).sum == 100,
-      s"split percents must sum to 100, got $splits")
+    require(splits.nonEmpty && splits.map(_._2).sum == 100 &&
+      splits.forall(_._2 > 0),
+      s"split percents must be positive and sum to 100, got $splits")
     require(!df.columns.contains("bucket") && !df.columns.contains("split"),
       "input already has a 'bucket' or 'split' column")
     val cuts = splits.scanLeft(0)(_ + _._2).tail // cumulative upper bounds

@@ -254,6 +254,29 @@ object StreamQueries {
       }.select(col("fp")).orderBy("fp")
     }),
 
+    // Streaming embedding near-dup: vectors stream through the
+    // bucket-keyed stateful matcher (StreamAnn — the vector twin of
+    // q_stream_neardup's minhash matcher). Same seeded planes, same
+    // rounded-cosine threshold as the batch LSH pair miner, so the
+    // streamed distinct pair set hash-matches the batch oracle.
+    "q_stream_ann" -> ((s, dir) => {
+      import s.implicits._
+      val vecs = Tables.table(s, dir, "embeddings")
+        .filter(col("vec_id") < 300) // inside the 10-min horizon
+        .select(col("vec_id"),
+          timestamp_seconds(col("vec_id") + lit(1000000000L)).as("ts"),
+          graft.expr.VectorFunctions.toDoubleArray(col("embedding"))
+            .as("embedding"))
+        .as[graft.streaming.StreamAnn.Vec].collect()
+      runStream(s, "q_stream_ann_sink", Seq(vecs.toIndexedSeq)) {
+        (ds: org.apache.spark.sql.Dataset[graft.streaming.StreamAnn.Vec]) =>
+          graft.streaming.StreamAnn.candidatePairs(ds,
+            k = 8, dim = 64, threshold = 0.2).toDF()
+      }.select(col("a"), col("b"), round(col("cos"), 6).as("cos_r"))
+        .distinct()
+        .orderBy("a", "b")
+    }),
+
     // Streaming trending terms: documents stream through the
     // watermarked tumbling-window token counter (state = one row per
     // (window, token), evicted past the watermark); far-future
@@ -337,6 +360,22 @@ object StreamQueries {
          ORDER BY window_start_s, event_type"""
 
   val oracles: Map[String, String] = Map(
+    // the batch LSH pair miner over the same literal planes — the
+    // stream must reproduce exactly this pair set
+    "q_stream_ann" ->
+      s"""WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id < 300),
+         n AS (SELECT * FROM (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+             ${VectorQueries.lshBucketSql} AS bucket FROM e)
+             WHERE nrm > 0)
+         SELECT a.vec_id AS a, b.vec_id AS b,
+           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_r
+         FROM n a JOIN n b
+           ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.2
+         ORDER BY a, b""",
     // same 300 s epoch buckets the tumbling window aligns to
     "q_stream_trending" ->
       """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks

@@ -397,7 +397,8 @@ object VectorQueries {
   // The ±1 plane matrix is deterministic in (seed, k, dim), so the
   // oracle embeds it as literals — both engines hash the identical
   // doubles (same left-to-right dot-product fold).
-  private val lshBucketSql = graft.ops.CosineLsh.planes(8, 64).zipWithIndex
+  // shared with StreamQueries' streaming-ANN oracle (same package)
+  private[queries] val lshBucketSql = graft.ops.CosineLsh.planes(8, 64).zipWithIndex
     .map { case (plane, p) =>
       val arr = plane.map(x => if (x > 0) "1.0" else "-1.0")
         .mkString("[", ", ", "]")
