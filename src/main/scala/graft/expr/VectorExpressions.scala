@@ -88,6 +88,15 @@ object VectorFunctions {
       normA: Column, normB: Column): Column =
     dotProduct(a, b) / (normA * normB)
 
+  /** THE 6-decimal rounded cosine every oracle-compared similarity
+    * uses — one definition, so the rounding convention (what the
+    * cross-engine hashes compare) cannot drift between the query and
+    * operator families.
+    */
+  def cosineSimilarityRounded(a: Column, b: Column,
+      normA: Column, normB: Column): Column =
+    round(cosineSimilarity(a, b, normA, normB), 6)
+
   /** Symmetric int8 scalar-quantization scale: max|x| / 127. Exact
     * IEEE ops only (abs, max, one division) — engine-portable.
     */

@@ -33,7 +33,7 @@ object SemanticDedup {
       b: org.apache.spark.sql.Column,
       na: org.apache.spark.sql.Column,
       nb: org.apache.spark.sql.Column) =
-    round(VectorFunctions.dotProduct(a, b) / (na * nb), 6)
+    VectorFunctions.cosineSimilarityRounded(a, b, na, nb)
 
   /** Nearest-centroid cell per vector (rounded cosine, ties broken by
     * the smaller centroid id — a total order, so assignment is

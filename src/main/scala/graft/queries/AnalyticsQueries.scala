@@ -489,10 +489,18 @@ object AnalyticsQueries {
           sum(col("q") * col("q")).as("sxx"),
           sum(col("p") * col("p")).as("syy"),
           sum(col("q") * col("p")).as("sxy"))
+        // zero/degenerate variance: corr is undefined, and the double
+        // form of n·sxx − sx² can cancel to a tiny NEGATIVE (sqrt → NaN
+        // on Spark, an error on other engines) — drop such groups, the
+        // same convention as withNorm dropping zero-norm vectors
+        .withColumn("varx",
+          col("n") * d(col("sxx")) - d(col("sx")) * d(col("sx")))
+        .withColumn("vary",
+          col("n") * d(col("syy")) - d(col("sy")) * d(col("sy")))
+        .filter(col("varx") > 0 && col("vary") > 0)
         .select(col("l_returnflag"), col("n"),
           round((col("n") * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
-            (sqrt(col("n") * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
-             sqrt(col("n") * d(col("syy")) - d(col("sy")) * d(col("sy")))), 6)
+            (sqrt(col("varx")) * sqrt(col("vary"))), 6)
             .as("corr_r"))
         .orderBy("l_returnflag")
     }),
@@ -505,16 +513,19 @@ object AnalyticsQueries {
     "q_outlier_filter" -> ((s, dir) => {
       val d = t(s, dir, "events").filter(col("value").isNotNull)
         .select(col("event_id"), col("value"))
+      // fences are ROUNDED before the compare (the repo's
+      // round-before-threshold rule): the two engines' quantile
+      // interpolation formulas can differ by 1 ulp, and a value landing
+      // between the two raw fence doubles would flip row membership
       val bounds = d.agg(
         percentile(col("value"), lit(0.25)).as("q1"),
         percentile(col("value"), lit(0.75)).as("q3"))
         .select(
-          (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
-          (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
+          round(col("q1") - (col("q3") - col("q1")) * 1.5, 6).as("lo_r"),
+          round(col("q3") + (col("q3") - col("q1")) * 1.5, 6).as("hi_r"))
       d.crossJoin(broadcast(bounds))
-        .filter(col("value") < col("lo") || col("value") > col("hi"))
-        .select(col("event_id"), col("value"),
-          round(col("lo"), 6).as("lo_r"), round(col("hi"), 6).as("hi_r"))
+        .filter(col("value") < col("lo_r") || col("value") > col("hi_r"))
+        .select(col("event_id"), col("value"), col("lo_r"), col("hi_r"))
         .orderBy("event_id")
     }))
 
@@ -798,22 +809,24 @@ object AnalyticsQueries {
          a AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
              sum(q) AS sx, sum(p) AS sy, sum(q*q) AS sxx,
              sum(p*p) AS syy, sum(q*p) AS sxy
-           FROM t GROUP BY 1)
+           FROM t GROUP BY 1),
+         v AS (SELECT l_returnflag, n, sxy, sx, sy,
+             n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx,
+             n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary
+           FROM a)
          SELECT l_returnflag, n,
            round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-             / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
-             AS corr_r
-         FROM a ORDER BY l_returnflag""",
+             / (sqrt(varx) * sqrt(vary)), 6) AS corr_r
+         FROM v WHERE varx > 0 AND vary > 0
+         ORDER BY l_returnflag""",
     "q_outlier_filter" ->
       """WITH d AS (SELECT event_id, value FROM events
            WHERE value IS NOT NULL),
          q AS (SELECT quantile_cont(value, 0.25) AS q1,
              quantile_cont(value, 0.75) AS q3 FROM d),
-         b AS (SELECT q1 - (q3 - q1) * 1.5 AS lo,
-             q3 + (q3 - q1) * 1.5 AS hi FROM q)
-         SELECT event_id, value,
-           round(lo, 6) AS lo_r, round(hi, 6) AS hi_r
-         FROM d CROSS JOIN b WHERE value < lo OR value > hi
+         b AS (SELECT round(q1 - (q3 - q1) * 1.5, 6) AS lo_r,
+             round(q3 + (q3 - q1) * 1.5, 6) AS hi_r FROM q)
+         SELECT event_id, value, lo_r, hi_r
+         FROM d CROSS JOIN b WHERE value < lo_r OR value > hi_r
          ORDER BY event_id""")
 }

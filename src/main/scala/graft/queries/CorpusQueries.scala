@@ -121,14 +121,21 @@ object CorpusQueries {
           concat(lit(" host 10.0."), (col("doc_id") % 256).cast("string"),
             lit(".7")))
           .otherwise(lit(""))).as("aug")
+      // counts are STAGED — each rule counts on the text the previous
+      // rules already redacted, so a span two patterns both match
+      // (e.g. an IP-shaped email local part) is counted once, by the
+      // rule that actually removed it; chaining single-rule redactPii
+      // calls is definitionally the composed fold
       val rules = Corpus.defaultPiiRules
       docs(s, dir).select(col("doc_id"), aug)
-        .select(
-          col("doc_id"),
-          Corpus.redactPii(col("aug"), rules).as("clean"),
-          regexp_count(col("aug"), lit(rules(0)._1)).as("n_email"),
-          regexp_count(col("aug"), lit(rules(1)._1)).as("n_phone"),
-          regexp_count(col("aug"), lit(rules(2)._1)).as("n_ip"))
+        .withColumn("n_email", regexp_count(col("aug"), lit(rules(0)._1)))
+        .withColumn("s1", Corpus.redactPii(col("aug"), rules.slice(0, 1)))
+        .withColumn("n_phone", regexp_count(col("s1"), lit(rules(1)._1)))
+        .withColumn("s2", Corpus.redactPii(col("s1"), rules.slice(1, 2)))
+        .withColumn("n_ip", regexp_count(col("s2"), lit(rules(2)._1)))
+        .select(col("doc_id"),
+          Corpus.redactPii(col("s2"), rules.slice(2, 3)).as("clean"),
+          col("n_email"), col("n_phone"), col("n_ip"))
         .orderBy("doc_id")
     }),
 
@@ -299,16 +306,17 @@ object CorpusQueries {
              || CASE WHEN doc_id % 5 = 0
                   THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
                   ELSE '' END AS aug
-         FROM documents)
+         FROM documents),
+         s1 AS (SELECT doc_id, aug,
+             regexp_replace(aug, '$email', '<EMAIL>', 'g') AS c1 FROM a),
+         s2 AS (SELECT doc_id, aug, c1,
+             regexp_replace(c1, '$phone', '<PHONE>', 'g') AS c2 FROM s1)
          SELECT doc_id,
-           regexp_replace(regexp_replace(regexp_replace(aug,
-             '$email', '<EMAIL>', 'g'),
-             '$phone', '<PHONE>', 'g'),
-             '$ip', '<IP>', 'g') AS clean,
+           regexp_replace(c2, '$ip', '<IP>', 'g') AS clean,
            CAST(len(regexp_extract_all(aug, '$email')) AS INTEGER) AS n_email,
-           CAST(len(regexp_extract_all(aug, '$phone')) AS INTEGER) AS n_phone,
-           CAST(len(regexp_extract_all(aug, '$ip')) AS INTEGER) AS n_ip
-         FROM a ORDER BY doc_id"""
+           CAST(len(regexp_extract_all(c1, '$phone')) AS INTEGER) AS n_phone,
+           CAST(len(regexp_extract_all(c2, '$ip')) AS INTEGER) AS n_ip
+         FROM s2 ORDER BY doc_id"""
     },
     "q_domain_mix" ->
       """WITH t AS (SELECT source,

@@ -42,9 +42,12 @@ object VectorQueries {
   private def norm(v: Column): Column =
     graft.expr.VectorFunctions.l2Norm(v)
 
-  /** Rounded cosine; all call sites share this one definition. */
+  /** Rounded cosine; all call sites share the ONE library definition
+    * (VectorFunctions.cosineSimilarityRounded — also used by
+    * SemanticDedup), so the oracle-compared rounding cannot drift.
+    */
   private def cosR(a: Column, b: Column, na: Column, nb: Column): Column =
-    round(dot(a, b) / (na * nb), 6)
+    graft.expr.VectorFunctions.cosineSimilarityRounded(a, b, na, nb)
 
   /** Vectors with their norm, zero-norm rows dropped: cosine is
     * undefined there, and the engines disagree on double x/0 (Spark

@@ -59,13 +59,29 @@ object StreamAnn {
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  // Array overload for the plane dots: planes stay primitive
+  // double[] — no per-row copies, no boxing in the signature loop
+  // (the state rows keep Seq[Double] for the encoder's sake)
+  private def dotSA(a: Seq[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
   /** Sign-bit bucket of the seeded plane matrix — the local twin of
     * [[CosineLsh.bucketCol]] (same planes, same `>= 0` convention).
     */
-  def bucketOf(v: Seq[Double], planes: Array[Array[Double]]): Int =
-    planes.zipWithIndex.foldLeft(0) { case (acc, (plane, p)) =>
-      if (dot(v, plane.toSeq) >= 0d) acc | (1 << p) else acc
+  def bucketOf(v: Seq[Double], planes: Array[Array[Double]]): Int = {
+    var acc = 0
+    var p = 0
+    while (p < planes.length) {
+      if (dotSA(v, planes(p)) >= 0d) acc |= 1 << p
+      p += 1
     }
+    acc
+  }
 
   /** Near-dup pairs over a stream of (vec_id, ts, embedding):
     * (a, b, ts, cos) for same-bucket pairs whose rounded cosine meets
