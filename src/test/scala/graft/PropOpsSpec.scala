@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.expr.VectorFunctions
+import graft.ops.{CosineLsh, Corpus}
+import graft.streaming.StreamAnn
+
+/** Randomized invariants for the curation/vector ops — each property
+  * materializes ONE DataFrame of generated rows and asserts per-row,
+  * so the whole property is a single Spark job (the PropHelpers
+  * pure-function style does not fit Column-level ops).
+  */
+class PropOpsSpec extends AnyFunSuite with PropHelpers {
+
+  lazy val spark = TestSpark.spark
+
+  test("chunkTokens invariants hold for random lengths and geometries") {
+    import spark.implicits._
+    val geoms = Seq((8, 4), (16, 0), (5, 4), (64, 16))
+    for ((size, overlap) <- geoms) {
+      val step = size - overlap
+      // random doc lengths 1..40, tokens are "i:<pos>" so coverage and
+      // order are checkable from the chunk text itself
+      val lens = {
+        var seed = org.scalacheck.rng.Seed(7L)
+        Seq.tabulate(60) { i =>
+          val (n, s2) = Gen.choose(1, 40).apply(
+            Gen.Parameters.default, seed).map(v => (v, seed.next))
+            .getOrElse((1, seed.next))
+          seed = s2
+          (i.toLong, n)
+        }
+      }
+      val df = lens.map { case (id, n) =>
+        (id, (1 to n).map(p => s"t$p").mkString(" "))
+      }.toDF("id", "text")
+      val out = Corpus.chunkTokens(df, "id", "text", size, overlap)
+        .as[(Long, Long, String, Int)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+      for ((id, n) <- lens) {
+        val chunks = out(id)
+        val expected = (Math.max(1, n - overlap) + step - 1) / step
+        assert(chunks.length == expected,
+          s"doc $id len $n size $size overlap $overlap: " +
+            s"${chunks.length} chunks, expected $expected")
+        // indices are 0..k-1; every token covered exactly once by the
+        // union of de-overlapped chunks; no chunk exceeds `size`
+        assert(chunks.map(_._2).toSeq == chunks.indices.map(_.toLong))
+        assert(chunks.forall(_._4 <= size))
+        val toks = chunks.flatMap(_._3.split(" ")).toSet
+        assert(toks == (1 to n).map(p => s"t$p").toSet)
+        // consecutive chunks start exactly `step` tokens apart
+        chunks.sliding(2).foreach {
+          case Array(c1, c2) =>
+            assert(c1._3.split(" ").head.drop(1).toInt + step ==
+              c2._3.split(" ").head.drop(1).toInt)
+          case _ =>
+        }
+      }
+    }
+  }
+
+  test("int8 quantization invariants hold for random vectors") {
+    import spark.implicits._
+    val vecs = {
+      var seed = org.scalacheck.rng.Seed(11L)
+      Seq.tabulate(80) { i =>
+        val g = Gen.listOfN(16, Gen.chooseNum(-1e3, 1e3))
+        val (v, s2) = g.apply(Gen.Parameters.default, seed)
+          .map(l => (l, seed.next)).getOrElse((List.fill(16)(0.0), seed.next))
+        seed = s2
+        (i.toLong, v)
+      }
+    }
+    val out = vecs.toDF("id", "v")
+      .withColumn("scale", VectorFunctions.int8Scale(col("v")))
+      .filter(col("scale") > 0)
+      .withColumn("q", VectorFunctions.int8Quantize(col("v"), col("scale")))
+      .as[(Long, Seq[Double], Double, Seq[Int])].collect()
+    assert(out.nonEmpty)
+    for ((_, v, scale, q) <- out) {
+      assert(q.forall(c => c >= -127 && c <= 127))
+      v.zip(q).foreach { case (x, c) =>
+        assert(math.abs(c * scale - x) <= scale / 2 + 1e-9) }
+      assert(q.exists(c => math.abs(c) == 127)) // the max element saturates
+    }
+  }
+
+  test("StreamAnn.bucketOf is deterministic, in range, and equals the " +
+    "batch bucket column for random vectors") {
+    import spark.implicits._
+    val k = 6; val dim = 12
+    val planes = CosineLsh.planes(k, dim)
+    val vecs = {
+      var seed = org.scalacheck.rng.Seed(13L)
+      Seq.tabulate(60) { i =>
+        val g = Gen.listOfN(dim, Gen.chooseNum(-10.0, 10.0))
+        val (v, s2) = g.apply(Gen.Parameters.default, seed)
+          .map(l => (l, seed.next)).getOrElse((List.fill(dim)(0.0), seed.next))
+        seed = s2
+        (i.toLong, v: Seq[Double])
+      }
+    }
+    val batch = vecs.toDF("id", "v")
+      .select(col("id"), CosineLsh.bucketCol(col("v"), planes).as("b"))
+      .as[(Long, Int)].collect().toMap
+    vecs.foreach { case (id, v) =>
+      val b = StreamAnn.bucketOf(v, planes)
+      assert(b >= 0 && b < (1 << k))
+      assert(b == StreamAnn.bucketOf(v, planes))
+      assert(b == batch(id), s"stream/batch bucket mismatch for $id")
+    }
+  }
+}
