@@ -359,6 +359,50 @@ object VectorQueries {
         .orderBy("doc_id")
     }),
 
+    // ANN quality measured IN-ENGINE: recall@3 of the LSH index vs
+    // brute force, per query, for TWO index configurations at once —
+    // the metric that picks k BEFORE shipping the index ("measure,
+    // don't guess" as a declared, oracle-checked operator). The seeded
+    // planes are tabulated by index, so the k=4 bucket is exactly the
+    // k=8 bucket's low nibble (bucket % 16) — one scored frame serves
+    // the exact ranking and both LSH rankings.
+    "q_ann_recall" -> ((s, dir) => {
+      val pm = graft.ops.CosineLsh.planes(k = 8, dim = 64)
+      val e = withNorm(emb(s, dir).filter(col("vec_id") < 2000)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v")))
+        .withColumn("bucket", graft.ops.CosineLsh.bucketCol(col("v"), pm))
+        .persist() // query and candidate sides share it
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("bucket").as("qb"))
+      val c = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("cand_id"), col("v").as("cv"),
+          col("nrm").as("cn"), col("bucket").as("cb"))
+      val scored = c.join(broadcast(q))
+        .withColumn("cos_r", cosR(col("qv"), col("cv"), col("qn"), col("cn")))
+        .persist() // exact and both LSH rankings read it
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("cos_r").desc, col("cand_id"))
+      def top3(df: DataFrame): DataFrame = df
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select(col("q_id"), col("cand_id"))
+      val exact = top3(scored)
+      val lsh8 = top3(scored.filter(col("qb") === col("cb")))
+      val lsh4 = top3(scored.filter(col("qb") % 16 === col("cb") % 16))
+      exact
+        .join(lsh8.withColumn("h8", lit(1)), Seq("q_id", "cand_id"), "left")
+        .join(lsh4.withColumn("h4", lit(1)), Seq("q_id", "cand_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("h8"), lit(0))).as("n_hit_k8"),
+          sum(coalesce(col("h4"), lit(0))).as("n_hit_k4"))
+        .withColumn("recall_k8_r",
+          round(col("n_hit_k8").cast("double") / col("n_exact"), 6))
+        .withColumn("recall_k4_r",
+          round(col("n_hit_k4").cast("double") / col("n_exact"), 6))
+        .orderBy("q_id")
+    }),
+
     // Two-stage retrieval: cheap prefix-dim filter (first 16 of 64
     // dims) to top-10 candidates per query, exact full-dim rerank to
     // top-3 — the staged shape real ANN serving uses (a coarse score
@@ -400,13 +444,16 @@ object VectorQueries {
   // The ±1 plane matrix is deterministic in (seed, k, dim), so the
   // oracle embeds it as literals — both engines hash the identical
   // doubles (same left-to-right dot-product fold).
+  private[queries] def lshBucketSqlFor(k: Int): String =
+    graft.ops.CosineLsh.planes(k, 64).zipWithIndex
+      .map { case (plane, p) =>
+        val arr = plane.map(x => if (x > 0) "1.0" else "-1.0")
+          .mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(v, $arr) >= 0 THEN ${1 << p} ELSE 0 END)"
+      }.mkString(" + ")
+
   // shared with StreamQueries' streaming-ANN oracle (same package)
-  private[queries] val lshBucketSql = graft.ops.CosineLsh.planes(8, 64).zipWithIndex
-    .map { case (plane, p) =>
-      val arr = plane.map(x => if (x > 0) "1.0" else "-1.0")
-        .mkString("[", ", ", "]")
-      s"(CASE WHEN list_dot_product(v, $arr) >= 0 THEN ${1 << p} ELSE 0 END)"
-    }.mkString(" + ")
+  private[queries] val lshBucketSql = lshBucketSqlFor(8)
 
   // One definition for the top-3-per-query result: q_ann_topk derives
   // it via the window-rank idiom, q_topk_agg via the heap aggregate —
@@ -563,6 +610,42 @@ object VectorQueries {
          SELECT c.vec_id, c.cell FROM cell c
          WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.id = c.vec_id)
          ORDER BY c.vec_id""",
+    "q_ann_recall" ->
+      s"""WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id < 2000),
+         n AS (SELECT * FROM (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+             $lshBucketSql AS bucket FROM e) WHERE nrm > 0),
+         s AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+             q.bucket AS qb, c.bucket AS cb,
+             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos_r
+           FROM n q JOIN n c ON c.vec_id >= 10 WHERE q.vec_id < 10),
+         ex AS (SELECT q_id, cand_id FROM (SELECT q_id, cand_id,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY cos_r DESC, cand_id) AS rk FROM s) WHERE rk <= 3),
+         l8 AS (SELECT q_id, cand_id FROM (SELECT q_id, cand_id,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY cos_r DESC, cand_id) AS rk FROM s WHERE qb = cb)
+             WHERE rk <= 3),
+         l4 AS (SELECT q_id, cand_id FROM (SELECT q_id, cand_id,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY cos_r DESC, cand_id) AS rk FROM s
+             WHERE qb % 16 = cb % 16)
+             WHERE rk <= 3)
+         SELECT x.q_id, CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hit_k8,
+           CAST(sum(CASE WHEN b.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hit_k4,
+           round(CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*), 6) AS recall_k8_r,
+           round(CAST(sum(CASE WHEN b.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*), 6) AS recall_k4_r
+         FROM ex x
+         LEFT JOIN l8 a ON x.q_id = a.q_id AND x.cand_id = a.cand_id
+         LEFT JOIN l4 b ON x.q_id = b.q_id AND x.cand_id = b.cand_id
+         GROUP BY x.q_id ORDER BY x.q_id""",
     // minhash text pairs (shared CTE chain) ∪ embedding LSH pairs →
     // recursive reachability closure — same closure as q_dedup_cluster
     // over the union edge set
