@@ -389,17 +389,26 @@ object VectorQueries {
       val exact = top3(scored)
       val lsh8 = top3(scored.filter(col("qb") === col("cb")))
       val lsh4 = top3(scored.filter(col("qb") % 16 === col("cb") % 16))
+      // multi-probe: also search every 1-bit-adjacent k=8 bucket —
+      // recall between k=8-exact-bucket and k=4, at ~9 buckets probed
+      // instead of 16 merged (the standard recall/cost middle ground)
+      val mp8 = top3(scored.filter(
+        bit_count(col("qb").bitwiseXOR(col("cb"))) <= 1))
       exact
         .join(lsh8.withColumn("h8", lit(1)), Seq("q_id", "cand_id"), "left")
         .join(lsh4.withColumn("h4", lit(1)), Seq("q_id", "cand_id"), "left")
+        .join(mp8.withColumn("hm", lit(1)), Seq("q_id", "cand_id"), "left")
         .groupBy("q_id")
         .agg(count(lit(1)).as("n_exact"),
           sum(coalesce(col("h8"), lit(0))).as("n_hit_k8"),
-          sum(coalesce(col("h4"), lit(0))).as("n_hit_k4"))
+          sum(coalesce(col("h4"), lit(0))).as("n_hit_k4"),
+          sum(coalesce(col("hm"), lit(0))).as("n_hit_mp8"))
         .withColumn("recall_k8_r",
           round(col("n_hit_k8").cast("double") / col("n_exact"), 6))
         .withColumn("recall_k4_r",
           round(col("n_hit_k4").cast("double") / col("n_exact"), 6))
+        .withColumn("recall_mp8_r",
+          round(col("n_hit_mp8").cast("double") / col("n_exact"), 6))
         .orderBy("q_id")
     }),
 
@@ -632,19 +641,29 @@ object VectorQueries {
              row_number() OVER (PARTITION BY q_id
                ORDER BY cos_r DESC, cand_id) AS rk FROM s
              WHERE qb % 16 = cb % 16)
+             WHERE rk <= 3),
+         lm AS (SELECT q_id, cand_id FROM (SELECT q_id, cand_id,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY cos_r DESC, cand_id) AS rk FROM s
+             WHERE bit_count(xor(qb, cb)) <= 1)
              WHERE rk <= 3)
          SELECT x.q_id, CAST(count(*) AS BIGINT) AS n_exact,
            CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
              AS BIGINT) AS n_hit_k8,
            CAST(sum(CASE WHEN b.cand_id IS NOT NULL THEN 1 ELSE 0 END)
              AS BIGINT) AS n_hit_k4,
+           CAST(sum(CASE WHEN m.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hit_mp8,
            round(CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
              AS DOUBLE) / count(*), 6) AS recall_k8_r,
            round(CAST(sum(CASE WHEN b.cand_id IS NOT NULL THEN 1 ELSE 0 END)
-             AS DOUBLE) / count(*), 6) AS recall_k4_r
+             AS DOUBLE) / count(*), 6) AS recall_k4_r,
+           round(CAST(sum(CASE WHEN m.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*), 6) AS recall_mp8_r
          FROM ex x
          LEFT JOIN l8 a ON x.q_id = a.q_id AND x.cand_id = a.cand_id
          LEFT JOIN l4 b ON x.q_id = b.q_id AND x.cand_id = b.cand_id
+         LEFT JOIN lm m ON x.q_id = m.q_id AND x.cand_id = m.cand_id
          GROUP BY x.q_id ORDER BY x.q_id""",
     // minhash text pairs (shared CTE chain) ∪ embedding LSH pairs →
     // recursive reachability closure — same closure as q_dedup_cluster
