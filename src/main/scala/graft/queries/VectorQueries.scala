@@ -360,12 +360,13 @@ object VectorQueries {
     }),
 
     // ANN quality measured IN-ENGINE: recall@3 of the LSH index vs
-    // brute force, per query, for TWO index configurations at once —
-    // the metric that picks k BEFORE shipping the index ("measure,
-    // don't guess" as a declared, oracle-checked operator). The seeded
-    // planes are tabulated by index, so the k=4 bucket is exactly the
-    // k=8 bucket's low nibble (bucket % 16) — one scored frame serves
-    // the exact ranking and both LSH rankings.
+    // brute force, per query, for THREE index configurations at once
+    // (k=8 exact bucket, 1-bit multi-probe over k=8, k=4) — the metric
+    // that picks the index BEFORE shipping it ("measure, don't guess"
+    // as a declared, oracle-checked operator). The seeded planes are
+    // tabulated by index, so the k=4 bucket is exactly the k=8
+    // bucket's low nibble (bucket % 16) — one scored frame serves the
+    // exact ranking and all three LSH rankings.
     "q_ann_recall" -> ((s, dir) => {
       val pm = graft.ops.CosineLsh.planes(k = 8, dim = 64)
       val e = withNorm(emb(s, dir).filter(col("vec_id") < 2000)
@@ -453,16 +454,18 @@ object VectorQueries {
   // The ±1 plane matrix is deterministic in (seed, k, dim), so the
   // oracle embeds it as literals — both engines hash the identical
   // doubles (same left-to-right dot-product fold).
-  private[queries] def lshBucketSqlFor(k: Int): String =
-    graft.ops.CosineLsh.planes(k, 64).zipWithIndex
-      .map { case (plane, p) =>
-        val arr = plane.map(x => if (x > 0) "1.0" else "-1.0")
-          .mkString("[", ", ", "]")
-        s"(CASE WHEN list_dot_product(v, $arr) >= 0 THEN ${1 << p} ELSE 0 END)"
-      }.mkString(" + ")
-
-  // shared with StreamQueries' streaming-ANN oracle (same package)
-  private[queries] val lshBucketSql = lshBucketSqlFor(8)
+  // shared with StreamQueries' streaming-ANN oracle (same package).
+  // Only the k=8 matrix is ever rendered to SQL: smaller-k buckets
+  // derive as low-bit prefixes (qb % 16 in q_ann_recall) because the
+  // planes are tabulated by index — a separate k=4 literal would be a
+  // second source of truth for the same buckets
+  private[queries] val lshBucketSql = graft.ops.CosineLsh.planes(8, 64)
+    .zipWithIndex
+    .map { case (plane, p) =>
+      val arr = plane.map(x => if (x > 0) "1.0" else "-1.0")
+        .mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(v, $arr) >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
 
   // One definition for the top-3-per-query result: q_ann_topk derives
   // it via the window-rank idiom, q_topk_agg via the heap aggregate —
