@@ -355,6 +355,44 @@ object Corpus {
           col("total").cast("double"))), 6).as("nll"))
   }
 
+  /** Bigram-LM quality score: per document, the corpus-conditional
+    * negative mean log-likelihood `avg(-ln(c(w1 w2) / c(w1 ·)))` over
+    * its word bigrams — the second-order companion to
+    * [[unigramLogProb]] (catches unusual word ORDER, not just unusual
+    * words; scrambled/templated text scores high even when its
+    * unigrams are common). Documents with fewer than 2 tokens drop
+    * (no bigram).
+    *
+    * Scale stance: one explode feeds the bigram counts and the scoring
+    * join (persisted — pass a [[CacheHandle]]); the bigram vocabulary
+    * aggregates map-side and broadcasts like the unigram vocab, and
+    * the prefix counts derive from the (already small) bigram counts,
+    * never from a second corpus pass. If the bigram vocab outgrows
+    * broadcast the joins degrade to shuffled-hash on the shingle.
+    */
+  def bigramLogProb(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      handle: CacheHandle = null): DataFrame = {
+    val bg = CacheHandle.persistWith(handle,
+      TextDedup.shingles(df, idCol, textCol, n = 2, dedup = false))
+    val bgCounts = CacheHandle.persistWith(handle,
+      bg.groupBy("shingle").agg(count(lit(1)).as("cnt")))
+    val prefixCounts = bgCounts
+      .withColumn("w1", substring_index(col("shingle"), " ", 1))
+      .groupBy("w1").agg(sum("cnt").as("pcnt"))
+    bg
+      .join(broadcast(bgCounts), Seq("shingle"))
+      .withColumn("w1", substring_index(col("shingle"), " ", 1))
+      .join(broadcast(prefixCounts), Seq("w1"))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).cast("long").as("n_bigrams"),
+        round(avg(-log(col("cnt").cast("double") /
+          col("pcnt").cast("double"))), 6).as("nll2"))
+  }
+
   /** Overlapping fixed-size token chunks per document (the
     * RAG/context-window chunking shape): windows of `size` tokens
     * every `size - overlap` positions. Chunk starts run while

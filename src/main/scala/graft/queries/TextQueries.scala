@@ -271,6 +271,13 @@ object TextQueries {
       graft.ops.Corpus.unigramLogProb(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Bigram-LM quality score: second-order companion to
+    // q_unigram_logprob — flags unusual word ORDER (scrambled or
+    // templated text), not just unusual words. See Corpus.bigramLogProb.
+    "q_bigram_logprob" -> ((s, dir) =>
+      graft.ops.Corpus.bigramLogProb(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // BM25 retrieval scoring (Lucene-style +1 idf floor) for a fixed
     // query term set — the search/mining half of a data platform.
     // Exploded tokens filter to the tiny term set at the scan; corpus
@@ -527,6 +534,27 @@ object TextQueries {
              AS nll
          FROM tk t JOIN vocab v ON t.tok = v.tok CROSS JOIN tot
          GROUP BY t.doc_id ORDER BY t.doc_id""",
+    "q_bigram_logprob" ->
+      """WITH tk AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+           FROM documents),
+         t AS (SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS pos
+           FROM tk WHERE len(toks) >= 2),
+         bg AS (SELECT t1.doc_id, t1.tok || ' ' || t2.tok AS shingle
+           FROM t t1 JOIN t t2
+             ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1),
+         bc AS (SELECT shingle, CAST(count(*) AS BIGINT) AS cnt
+           FROM bg GROUP BY 1),
+         pc AS (SELECT split_part(shingle, ' ', 1) AS w1,
+             CAST(sum(cnt) AS BIGINT) AS pcnt
+           FROM bc GROUP BY 1)
+         SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(-ln(CAST(c.cnt AS DOUBLE) / CAST(p.pcnt AS DOUBLE))), 6)
+             AS nll2
+         FROM bg b
+         JOIN bc c ON b.shingle = c.shingle
+         JOIN pc p ON split_part(b.shingle, ' ', 1) = p.w1
+         GROUP BY b.doc_id ORDER BY b.doc_id""",
     "q_bm25" ->
       """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
            FROM documents),

@@ -283,6 +283,39 @@ object VectorQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // Multi-probe LSH search: nearest neighbor over the query's bucket
+    // PLUS every 1-bit-adjacent bucket (the recall/cost middle ground
+    // q_ann_recall measures). The 9 probe buckets EXPLODE on the query
+    // side and the candidate join stays a bucket EQUI-join — the shape
+    // that scales to millions of queries, vs a Hamming-distance theta
+    // join that degenerates to all-pairs. Probe buckets of one query
+    // are distinct (bucket XOR distinct masks), so no pair duplicates.
+    "q_ann_multiprobe" -> ((s, dir) => {
+      val pm = graft.ops.CosineLsh.planes(k = 8, dim = 64)
+      val masks = lit(0) +: (0 until 8).map(p => lit(1 << p))
+      val e = withNorm(emb(s, dir).filter(col("vec_id") < 2000)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v")))
+        .withColumn("bucket", graft.ops.CosineLsh.bucketCol(col("v"), pm))
+        .persist() // query and candidate sides share it
+      val q = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("bucket"))
+        .withColumn("m", explode(array(masks: _*)))
+        .withColumn("pbucket", col("bucket").bitwiseXOR(col("m")))
+        .drop("m")
+      val c = e.select(col("vec_id").as("cand_id"), col("v").as("cv"),
+        col("nrm").as("cn"), col("bucket").as("cbucket"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("cos_r").desc, col("cand_id"))
+      c.join(broadcast(q), col("pbucket") === col("cbucket") &&
+          col("q_id") =!= col("cand_id"))
+        .withColumn("cos_r", cosR(col("qv"), col("cv"), col("qn"), col("cn")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("q_id"), col("cand_id"), col("bucket"), col("cos_r"))
+        .orderBy("q_id")
+    }),
+
     // LSH-bucketed similarity search: nearest same-bucket neighbor
     // (axis hyperplanes keep this variant's oracle trivially exact).
     "q_ann_bucketed" -> ((s, dir) =>
@@ -622,6 +655,25 @@ object VectorQueries {
          SELECT c.vec_id, c.cell FROM cell c
          WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.id = c.vec_id)
          ORDER BY c.vec_id""",
+    "q_ann_multiprobe" ->
+      s"""WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id < 2000),
+         n AS (SELECT * FROM (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+             $lshBucketSql AS bucket FROM e) WHERE nrm > 0),
+         m AS (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS mask),
+         qp AS (SELECT vec_id, v, nrm, bucket,
+             xor(bucket, mask) AS pbucket
+           FROM n CROSS JOIN m WHERE vec_id < 50),
+         p AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id, q.bucket,
+             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos_r
+           FROM qp q JOIN n c
+             ON q.pbucket = c.bucket AND q.vec_id <> c.vec_id),
+         r AS (SELECT *, row_number() OVER
+             (PARTITION BY q_id ORDER BY cos_r DESC, cand_id) AS rk FROM p)
+         SELECT q_id, cand_id, bucket, cos_r FROM r WHERE rk = 1
+         ORDER BY q_id""",
     "q_ann_recall" ->
       s"""WITH e AS (SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

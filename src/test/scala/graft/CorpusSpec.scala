@@ -274,6 +274,23 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(10L) > out(0L))
   }
 
+  test("bigramLogProb scores unusual word order above common order") {
+    // 'a b' appears 3x, 'a c' once: P(b|a)=3/4, P(c|a)=1/4
+    val df = Seq((0L, "a b"), (1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("id", "text")
+    val h = new graft.ops.CacheHandle
+    val out = Corpus.bigramLogProb(df, "id", "text", h)
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> t._3).toMap
+    h.release()
+    assert(math.abs(out(0L) - (-math.log(3.0 / 4.0))) < 1e-5)
+    assert(math.abs(out(3L) - (-math.log(1.0 / 4.0))) < 1e-5)
+    assert(out(3L) > out(0L)) // the rare continuation scores higher
+    // single-token docs produce no bigram and drop
+    assert(!Corpus.bigramLogProb(
+      Seq((9L, "solo")).toDF("id", "text"), "id", "text")
+      .collect().exists(_ => true))
+  }
+
   test("chunkTokens: overlap windows, short docs, no degenerate tail") {
     val df = Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
