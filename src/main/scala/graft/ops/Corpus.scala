@@ -355,6 +355,50 @@ object Corpus {
           col("total").cast("double"))), 6).as("nll"))
   }
 
+  /** Materialize the standing corpus's unigram vocabulary as a
+    * tok-bucketed table — the layout half of incremental LM scoring
+    * ([[unigramLogProbAgainst]]), exactly the
+    * [[writeCorpusFingerprints]] pattern: rebuild once per corpus
+    * refresh, then every nightly batch scores against it with no
+    * exchange on the vocabulary side.
+    */
+  def writeVocabulary(
+      corpus: DataFrame,
+      textCol: String,
+      table: String,
+      buckets: Int): Unit =
+    ScaleOps.writeBucketed(
+      corpus.select(explode(TextDedup.tokens(col(textCol))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt")),
+      table, "tok", buckets)
+
+  /** [[unigramLogProb]] of `batch` against an EXTERNAL vocabulary
+    * (tok, cnt) — the nightly shape: the standing corpus's LM scores
+    * tonight's arrivals without re-aggregating the corpus. Batch
+    * tokens the vocabulary has never seen count as `n_oov` and are
+    * excluded from the mean (no smoothing — the oracle must be exact);
+    * documents with zero known tokens drop.
+    */
+  def unigramLogProbAgainst(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocab: DataFrame): DataFrame = {
+    val total = vocab.agg(sum("cnt").as("total"))
+    batch
+      .select(col(idCol), explode(TextDedup.tokens(col(textCol))).as("tok"))
+      .join(vocab, Seq("tok"), "left")
+      .crossJoin(broadcast(total))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).cast("long").as("n_tokens"),
+        count(when(col("cnt").isNull, lit(1))).cast("long").as("n_oov"),
+        round(avg(when(col("cnt").isNotNull,
+          -log(col("cnt").cast("double") / col("total").cast("double")))), 6)
+          .as("nll"))
+      .filter(col("nll").isNotNull)
+  }
+
   /** Bigram-LM quality score: per document, the corpus-conditional
     * negative mean log-likelihood `avg(-ln(c(w1 w2) / c(w1 ·)))` over
     * its word bigrams — the second-order companion to

@@ -185,6 +185,24 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    // Incremental LM scoring — the nightly shape: the standing
+    // corpus's unigram vocabulary (docs < 250 stand in for the
+    // corpus) scores tonight's batch (the rest) without
+    // re-aggregating the corpus; never-seen tokens count as OOV and
+    // are excluded from the mean (no smoothing keeps the oracle
+    // exact). Production keeps the vocabulary tok-bucketed on disk
+    // (Corpus.writeVocabulary) so the scoring join never exchanges
+    // the vocabulary side.
+    "q_unigram_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val vocab = d.filter(col("doc_id") < 250)
+        .select(explode(graft.ops.TextDedup.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      Corpus.unigramLogProbAgainst(
+        d.filter(col("doc_id") >= 250), "doc_id", "text", vocab)
+        .orderBy("doc_id")
+    }),
+
     // Mixture-driven sampling: the domain-mixture weights actually
     // drive the deterministic sampler — per-source keep rate =
     // floor(weight·400) percent (floor, not round: round's half mode
@@ -398,6 +416,23 @@ object CorpusQueries {
          SELECT doc_id, n_tokens, cum_tokens,
            (cum_tokens - n_tokens) // 500 AS shard_id
          FROM cum ORDER BY doc_id""",
+    "q_unigram_incremental" ->
+      """WITH corpus AS (SELECT unnest(string_split(trim(text), ' ')) AS tok
+           FROM documents WHERE doc_id < 250),
+         vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+           FROM corpus GROUP BY 1),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+         bt AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+           FROM documents WHERE doc_id >= 250),
+         j AS (SELECT b.doc_id, v.cnt
+           FROM bt b LEFT JOIN vocab v ON b.tok = v.tok),
+         a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(count(*) FILTER (cnt IS NULL) AS BIGINT) AS n_oov,
+             round(avg(-ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))), 6)
+               AS nll
+           FROM j CROSS JOIN tot GROUP BY doc_id)
+         SELECT doc_id, n_tokens, n_oov, nll FROM a
+         WHERE nll IS NOT NULL ORDER BY doc_id""",
     "q_mix_sample" ->
       """WITH t AS (SELECT source,
            CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok

@@ -274,6 +274,38 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(10L) > out(0L))
   }
 
+  test("unigramLogProbAgainst scores a batch on an external vocabulary, " +
+    "counting OOV, identically from memory or the bucketed table") {
+    val corpus = Seq((1L, "common common common rare")).toDF("id", "text")
+    val batch = Seq(
+      (10L, "common rare"),          // both known
+      (11L, "common unseen"),        // one OOV
+      (12L, "unseen alien tokens"))  // all OOV → dropped
+      .toDF("id", "text")
+    val vocab = corpus
+      .select(explode(graft.ops.TextDedup.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val mem = Corpus.unigramLogProbAgainst(batch, "id", "text", vocab)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // total=4: P(common)=3/4, P(rare)=1/4
+    assert(mem.map(_._1) == Seq(10L, 11L))
+    val r10 = mem.head
+    assert(r10._2 == 2 && r10._3 == 0)
+    assert(math.abs(r10._4 -
+      -((math.log(0.75) + math.log(0.25)) / 2.0)) < 1e-5)
+    val r11 = mem(1)
+    assert(r11._2 == 2 && r11._3 == 1)
+    assert(math.abs(r11._4 - -math.log(0.75)) < 1e-5)
+    // the persisted-vocabulary path returns the identical scores
+    Corpus.writeVocabulary(corpus, "text", "vocab_b", buckets = 4)
+    try {
+      val disk = Corpus.unigramLogProbAgainst(
+        batch, "id", "text", spark.table("vocab_b"))
+        .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+      assert(disk == mem)
+    } finally spark.sql("DROP TABLE IF EXISTS vocab_b")
+  }
+
   test("bigramLogProb scores unusual word order above common order") {
     // 'a b' appears 3x, 'a c' once: P(b|a)=3/4, P(c|a)=1/4
     val df = Seq((0L, "a b"), (1L, "a b"), (2L, "a b"), (3L, "a c"))
