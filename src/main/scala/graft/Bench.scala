@@ -41,24 +41,48 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         // drop persisted subplans so caches neither accumulate nor
         // carry one query's work into another's timing
+        graft.ops.QueryCaches.releaseAll()
         spark.catalog.clearCache()
         name -> dt
     }
     val p1 = pass()
     val p2 = pass()
     val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
-    // 3-decimal seconds: full-precision doubles pushed the one-line
-    // report past the driver's 2000-char capture window (r3 clipped the
-    // first 9 queries). 79 queries at %.3f is ~1.7 KB — always fits.
     // Locale.ROOT: JVM-default-locale %.3f would print "0,169" under a
     // comma-decimal locale and break the JSON report
     def s3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.toSeq.sortBy(_._1)
+    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // the driver captures only the TAIL (~2 KiB) of stdout and parses
+    // the report line from it: 100+ queries no longer fit (r5's line
+    // outgrew the window and the head — metric/total — was cut off, so
+    // nothing structured survived). The stdout line therefore carries
+    // the totals plus only the SLOWEST queries up to a hard character
+    // budget (they're the ones worth reading in a bench report), and
+    // the complete per-query map goes to bench_full.json next to the
+    // build for humans and tooling.
+    val fullQs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fullPath = java.nio.file.Paths.get("bench_full.json").toAbsolutePath
+    java.nio.file.Files.writeString(fullPath,
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","sf":"$sfDir","n":${results.size},"queries":$fullQs}""")
+    val budget = 1500 // line cap well inside the ~2 KiB tail window
+    val head = s"""{"metric":"total","value":${s3(total)},"unit":"sec","sf":"$sfDir","n":${results.size},"full":"$fullPath","queries":{"""
+    val entries = results.toSeq.sortBy(-_._2)
+      .map { case (k, v) => "\"" + k + "\":" + s3(v) }
+    val sb = new StringBuilder(head)
+    var taken = 0
+    entries.foreach { e =>
+      val sep = if (taken == 0) 0 else 1
+      if (sb.length + sep + e.length + 30 <= budget) { // 30: room for the closer
+        if (taken > 0) sb.append(',')
+        sb.append(e)
+        taken += 1
+      }
+    }
+    sb.append(s"""},"omitted":${entries.size - taken}}""")
+    println(sb.result())
     spark.stop()
   }
 }

@@ -20,8 +20,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // multi-branch queries persist() shared subplans; drop them so
-      // caches don't accumulate across the 50+ query run
+      // multi-branch queries persist() shared subplans, registered in
+      // the QueryCaches ledger; release them now that the result is
+      // materialized (clearCache is the belt-and-braces backstop for
+      // anything persisted outside the ledger)
+      graft.ops.QueryCaches.releaseAll()
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

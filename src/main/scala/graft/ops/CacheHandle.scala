@@ -40,10 +40,52 @@ final class CacheHandle {
 }
 
 object CacheHandle {
-  /** Persist via `h`, or plainly when the caller passed no handle
-    * (`null`): the pipelines persist for correctness / shared-subplan
-    * reuse either way; the handle only changes who cleans up.
+  /** Persist via `h`, or — when the caller passed no handle (`null`)
+    * — via the session-wide [[QueryCaches]] ledger: the pipelines
+    * persist for correctness / shared-subplan reuse either way; the
+    * handle only changes who cleans up. Routing the no-handle case
+    * through the ledger means a harness (Verify/Bench) or a long-lived
+    * caller can reclaim every op-internal cache with one
+    * [[QueryCaches.releaseAll]] instead of leaking them for the
+    * session lifetime.
     */
   private[graft] def persistWith(h: CacheHandle, df: DataFrame): DataFrame =
-    if (h == null) df.persist() else h.persist(df)
+    if (h == null) QueryCaches.persist(df) else h.persist(df)
+}
+
+/** Session-wide cache ledger for the DECLARED queries and for ops
+  * invoked without an explicit [[CacheHandle]]. The declared queries
+  * in [[graft.SparkEntry]] are plain `(session, dir) => DataFrame`
+  * functions — they cannot release their own caches because release
+  * must happen after the caller's action — so their internal persists
+  * register here and the harness calls [[releaseAll]] once each
+  * result is materialized (Verify after the parquet write, Bench
+  * after the noop sink). Library callers composing ops directly
+  * should prefer a per-pipeline [[CacheHandle]]; this ledger is the
+  * backstop that makes "forgot the handle" a bounded cost instead of
+  * a session-lifetime leak.
+  */
+object QueryCaches {
+  private val handles =
+    scala.collection.mutable.ArrayBuffer.empty[CacheHandle]
+
+  private def fresh(): CacheHandle = synchronized {
+    val h = new CacheHandle
+    handles += h
+    h
+  }
+
+  /** A ledger-tracked handle to pass into handle-accepting ops. */
+  def handle(): CacheHandle = fresh()
+
+  /** Persist `df` under the ledger (chainable via `.transform`). */
+  def persist(df: DataFrame): DataFrame = fresh().persist(df)
+
+  /** Unpersist every ledger-tracked cache. Call after the current
+    * query's result has been materialized.
+    */
+  def releaseAll(): Unit = synchronized {
+    handles.foreach(_.release())
+    handles.clear()
+  }
 }

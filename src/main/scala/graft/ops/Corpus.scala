@@ -329,9 +329,12 @@ object Corpus {
     *
     * Scale stance: one explode feeds both the vocabulary aggregate
     * and the scoring join, so it is persisted (pass a [[CacheHandle]]
-    * to own the lifecycle); the vocabulary (distinct tokens + totals)
-    * is broadcast — the scoring side never shuffles before its final
-    * per-document aggregate.
+    * to own the lifecycle); the vocabulary join carries NO broadcast
+    * hint — AQE broadcasts it when its measured size fits and shuffles
+    * otherwise (a corpus-sized vocab must never be forced onto the
+    * driver). The standing-corpus path that avoids the vocabulary
+    * shuffle entirely is [[writeVocabulary]] +
+    * [[unigramLogProbAgainst]] (bucketed layout).
     */
   def unigramLogProb(
       df: DataFrame,
@@ -340,14 +343,22 @@ object Corpus {
       handle: CacheHandle = null): DataFrame = {
     val toks = CacheHandle.persistWith(handle,
       df.select(col(idCol), explode(TextDedup.tokens(col(textCol))).as("tok")))
-    // vocab is read twice (the broadcast build and the 1-row total);
-    // persisting it keeps the second read from re-aggregating the
-    // full exploded token cache
+    // vocab is read twice (the scoring join build and the 1-row
+    // total); persisting it keeps the second read from re-aggregating
+    // the full exploded token cache
     val vocab = CacheHandle.persistWith(handle,
       toks.groupBy("tok").agg(count(lit(1)).as("cnt")))
     val total = vocab.agg(sum("cnt").as("total"))
+    // the vocabulary grows with the corpus (10^8–10^9 distinct tokens
+    // at 100 TB), so it must NOT carry a broadcast() hint — an
+    // explicit hint is honored unconditionally and would OOM the
+    // driver at scale. Unhinted, AQE broadcasts it when its MEASURED
+    // size fits and falls back to a shuffled join when it doesn't;
+    // the zero-vocab-shuffle path for standing corpora is
+    // [[writeVocabulary]] + [[unigramLogProbAgainst]]. Only the 1-row
+    // total keeps its hint (genuinely bounded).
     toks
-      .join(broadcast(vocab.crossJoin(total)), Seq("tok"))
+      .join(vocab.crossJoin(broadcast(total)), Seq("tok"))
       .groupBy(idCol)
       .agg(
         count(lit(1)).cast("long").as("n_tokens"),
@@ -409,10 +420,13 @@ object Corpus {
     *
     * Scale stance: one explode feeds the bigram counts and the scoring
     * join (persisted — pass a [[CacheHandle]]); the bigram vocabulary
-    * aggregates map-side and broadcasts like the unigram vocab, and
-    * the prefix counts derive from the (already small) bigram counts,
-    * never from a second corpus pass. If the bigram vocab outgrows
-    * broadcast the joins degrade to shuffled-hash on the shingle.
+    * aggregates map-side, and the prefix counts derive from the bigram
+    * counts, never from a second corpus pass. Neither join carries a
+    * broadcast hint: a bigram vocab grows even faster than the unigram
+    * one, so strategy is left to AQE, which broadcasts by MEASURED
+    * size and shuffles on the shingle/prefix key when it doesn't fit
+    * (a forced hint would be honored unconditionally and OOM the
+    * driver at corpus scale).
     */
   def bigramLogProb(
       df: DataFrame,
@@ -427,9 +441,9 @@ object Corpus {
       .withColumn("w1", substring_index(col("shingle"), " ", 1))
       .groupBy("w1").agg(sum("cnt").as("pcnt"))
     bg
-      .join(broadcast(bgCounts), Seq("shingle"))
+      .join(bgCounts, Seq("shingle"))
       .withColumn("w1", substring_index(col("shingle"), " ", 1))
-      .join(broadcast(prefixCounts), Seq("w1"))
+      .join(prefixCounts, Seq("w1"))
       .groupBy(idCol)
       .agg(
         count(lit(1)).cast("long").as("n_bigrams"),

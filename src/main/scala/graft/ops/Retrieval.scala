@@ -57,6 +57,10 @@ object Retrieval {
     val avgdl = col("tot_len").cast("double") / col("n_docs")
     val norm = col("tf") + lit(k1) *
       (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / avgdl)
+    // these two broadcast hints are safe at ANY corpus size — unlike
+    // a corpus vocabulary, neither side grows with the data: dfreq is
+    // an aggregate of tf AFTER the isInCollection(terms) filter, so it
+    // has at most terms.size rows, and consts is exactly one row
     tf.join(broadcast(dfreq), "tok")
       .crossJoin(broadcast(consts))
       .withColumn("term_score",

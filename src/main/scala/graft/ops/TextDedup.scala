@@ -262,89 +262,122 @@ object TextDedup {
     bits.select(col(idCol), fp.as("simhash"))
   }
 
+  /** Large-star contraction step: every node attaches its
+    * strictly-larger neighbors to the minimum of its closed
+    * neighborhood. One symmetrize + one min-aggregate + one equi-join;
+    * output stays canonically oriented (a > b).
+    */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("a"), col("b"))
+      .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+    val mins = sym.groupBy("a").agg(min("b").as("__nbr_min"))
+      .select(col("a").as("__u"),
+        least(col("a"), col("__nbr_min")).as("__m"))
+    sym.join(mins, sym("a") === col("__u"))
+      .filter(col("b") > col("a")) // only larger neighbors re-attach
+      .select(col("b").as("a"), col("__m").as("b"))
+      .distinct()
+  }
+
+  /** Small-star contraction step: every node attaches its
+    * smaller-or-equal neighbors (and itself) to the minimum of its
+    * closed neighborhood. Operates on the canonical orientation, so
+    * the per-node neighbor list is exactly the rows keyed by `a`.
+    */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val canon = edges
+      .select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+    val mins = canon.groupBy("a").agg(min("b").as("__m"))
+      .select(col("a").as("__u"), col("__m"))
+    val viaNeighbors = canon.join(mins, canon("a") === col("__u"))
+      .filter(col("b") =!= col("__m")) // the min itself gains no edge
+      .select(col("b").as("a"), col("__m").as("b"))
+    val self = mins.select(col("__u").as("a"), col("__m").as("b"))
+    viaNeighbors.unionAll(self).distinct()
+  }
+
   /** Connected components over near-dup pairs → dedup clusters:
     * (id, cluster_id = smallest id reachable). This is the step that
-    * turns pairwise candidates into keep/drop decisions at scale —
-    * iterative smallest-label propagation over the edge list, each
-    * round a join + min-aggregate (both keyed shuffles), converging in
-    * O(log(diameter)) rounds; near-dup clusters are shallow so
-    * `maxIter` is a safety bound, and non-convergence raises rather
-    * than returning partial clusters.
+    * turns pairwise candidates into keep/drop decisions at scale.
     *
-    * Iteration hygiene (what makes this survive 100× scale): each
-    * round's result carries the node's previous label (`own`, non-null
-    * exactly on the self row) through the SAME aggregation that
-    * computes the new label, so convergence is a filter+count over the
-    * already-cached round output — one action per round, no extra
-    * join.
+    * Algorithm: alternating large-star / small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14). Each phase is one keyed min-aggregate plus one
+    * equi-join over the edge list, and the alternation contracts every
+    * component onto its minimum node in O(log² n) rounds worst-case —
+    * single digits in practice — INDEPENDENT of component diameter.
+    * That independence is the 100-TB property: near-dup *chains*
+    * (v1~v2~…~vk, each revision close only to its neighbors — exactly
+    * what crawl/revision drift produces) have diameter k, and plain
+    * min-label propagation pays one full edges⋈labels shuffle per hop,
+    * while star contraction halves the forest depth every round. At
+    * convergence the edge set IS the answer: a forest of depth-1 stars
+    * whose centers are the component minima.
     *
-    * Every iteration boundary is a LAZY `localCheckpoint` — never a
-    * bare `persist` — because persisting caches only DATA, not the
-    * PLAN. Each round's logical plan embeds the previous round's plan
-    * several times (the labels subtree appears on both union sides and
-    * under the join), so without a plan cut the tree grows ~5× per
-    * round and analysis/canonicalization alone reaches minutes within
-    * a few rounds when the caller's pairs plan is itself deep (a
-    * multi-level cached LSH pipeline over a many-way union measured
-    * 4.8M plan nodes by round 2). The checkpoint truncates the plan to
-    * a LogicalRDD; lazy (eager = false) keeps one action per round —
-    * the convergence count is what materializes it. Checkpointed
-    * blocks are stored, not recomputable (the standard localCheckpoint
-    * trade for iteration), and superseded generations are reclaimed by
-    * the ContextCleaner once unreferenced.
+    * Sparsity: most of the corpus touches no edge and is its own
+    * singleton cluster by definition; only edge-connected nodes enter
+    * the iteration, so every round runs over |V(edges)| ≪ |V|.
+    *
+    * Iteration hygiene: every round boundary is a LAZY
+    * `localCheckpoint` — never a bare `persist` — because persisting
+    * caches only DATA, not the PLAN; without a plan cut each round's
+    * logical tree re-embeds the previous round's several times and
+    * analysis/canonicalization goes exponential (a multi-level cached
+    * LSH pipeline measured 4.8M plan nodes by round 2). Lazy
+    * (eager = false) keeps actions to the per-round convergence
+    * checks, which read the same checkpointed RDD. Convergence is
+    * exact set equality (size match + empty `exceptAll`) — never a
+    * hash-sum shortcut, because a false "converged" would silently
+    * ship wrong clusters through the correctness gate.
+    *
+    * `maxIter` is a safety bound far above the O(log² n) worst case
+    * (25 rounds covers any component a real corpus can hold);
+    * non-convergence raises rather than returning partial clusters.
     */
   def clusters(
       ids: DataFrame, // single column: the id universe
       pairs: DataFrame, // columns a, b (undirected edges)
-      maxIter: Int = 10): DataFrame = {
+      maxIter: Int = 25): DataFrame = {
     val idCol = ids.columns.head
-    // the plan cut at loop entry matters as much as the per-round one:
-    // edges/labels otherwise re-embed the caller's whole pair-mining
-    // plan (with its cached subtrees) in every round's tree
-    val edges = pairs.select(col("a"), col("b"))
-      .unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
+    // canonical (big, small) edge set, self-loops dropped; the plan
+    // cut at loop entry keeps the caller's whole pair-mining plan
+    // (with its cached subtrees) out of every round's tree
+    var edges = pairs
+      .select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
       .localCheckpoint(false)
-    // near-dup graphs are sparse: most of the corpus touches no edge
-    // and is its own singleton cluster by definition. Only nodes that
-    // appear in an edge enter the iteration, so every per-round join/
-    // agg runs over |V(edges)| ≪ |V| — at 100 TB this is the
-    // difference between iterating over the duplicate tail and
-    // iterating over the whole corpus.
-    val connected = ids
-      .join(edges, ids(idCol) === edges("a"), "left_semi")
+    var nEdges = edges.count()
+    val touched = edges.select(col("a").as("__cc_n"))
+      .unionAll(edges.select(col("b").as("__cc_n")))
     val isolated = ids
-      .join(edges, ids(idCol) === edges("a"), "left_anti")
+      .join(touched, ids(idCol) === col("__cc_n"), "left_anti")
       .select(col(idCol).as("id"), col(idCol).as("cluster_id"))
-    var labels = connected
-      .select(col(idCol).as("id"), col(idCol).as("cluster_id"))
-      .localCheckpoint(false)
-    val labelType = labels.schema("cluster_id").dataType
-    var changed = 1L
+    var converged = nEdges == 0L
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      // candidate label per node: min over its own and neighbors'
-      // labels; the self row also carries the old label as `own`
-      val viaNeighbors = edges
-        .join(labels, edges("b") === labels("id"))
-        .select(edges("a").as("id"), col("cluster_id"),
-          lit(null).cast(labelType).as("own"))
-      val next = labels
-        .select(col("id"), col("cluster_id"), col("cluster_id").as("own"))
-        .unionAll(viaNeighbors)
-        .groupBy("id")
-        .agg(min("cluster_id").as("cluster_id"), min("own").as("own"))
-        .localCheckpoint(false)
-      // new label is min over a set containing the old one, so
-      // changed ⟺ new != old — the count is the one action that
-      // materializes this round's checkpoint
-      changed = next.filter(col("cluster_id") =!= col("own")).count()
-      labels = next.select("id", "cluster_id")
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
+      val nNext = next.count() // materializes this round's checkpoint
+      // fixpoint test: both sides are distinct sets, so equal size +
+      // empty difference ⟺ identical edge sets ⟺ star forest reached
+      converged = nNext == nEdges && next.exceptAll(edges).isEmpty
+      edges = next
+      nEdges = nNext
       iter += 1
     }
-    if (changed > 0)
+    if (!converged)
       throw new IllegalStateException(
-        s"dedup clustering did not converge in $maxIter rounds")
-    labels.unionAll(isolated)
+        s"dedup clustering did not converge in $maxIter star rounds " +
+          "(bound is far above the O(log^2 n) worst case; raise maxIter)")
+    // converged edges are (member, component-min) stars; centers
+    // appear only on the b side and label themselves
+    val members = edges.select(col("a").as("id"), col("b").as("cluster_id"))
+    val roots = edges.select(col("b").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster_id"))
+    members.unionAll(roots).unionAll(isolated)
   }
 
   /** SimHash near-dup pairs within a Hamming-distance bound.

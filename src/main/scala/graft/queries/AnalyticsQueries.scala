@@ -286,12 +286,12 @@ object AnalyticsQueries {
     "q_funnel" -> ((s, dir) => {
       val e = Tables.events(s, dir).select(col("user_id"),
         col("event_type"), unix_timestamp(col("ts_sec")).as("ts_s"))
-        .persist()
+        .transform(graft.ops.QueryCaches.persist)
       val v = e.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min("ts_s").as("tv")).persist()
+        .groupBy("user_id").agg(min("ts_s").as("tv")).transform(graft.ops.QueryCaches.persist)
       val c = e.filter(col("event_type") === "click")
         .join(v, "user_id").filter(col("ts_s") > col("tv"))
-        .groupBy("user_id").agg(min("ts_s").as("tc")).persist()
+        .groupBy("user_id").agg(min("ts_s").as("tc")).transform(graft.ops.QueryCaches.persist)
       val p = e.filter(col("event_type") === "purchase")
         .join(c, "user_id").filter(col("ts_s") > col("tc"))
         .groupBy("user_id").agg(min("ts_s").as("tp"))

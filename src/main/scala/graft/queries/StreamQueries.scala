@@ -301,7 +301,12 @@ object StreamQueries {
             ds.toDF("doc_id", "text", "ts"),
             textCol = "text", tsCol = "ts",
             watermarkDelay = "10 minutes", windowLen = "5 minutes")
-      }.filter(col("tok") =!= "sentinel")
+      // drop the sentinel rows STRUCTURALLY, by time horizon: real
+      // events all have ts <= maxSec, so any window starting past it
+      // can only hold sentinels. Filtering by token text would also
+      // drop legitimate occurrences of the literal word "sentinel"
+      // in real documents and silently diverge from the oracle.
+      }.filter(unix_timestamp(col("window_start")) <= lit(maxSec))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("window_start").orderBy(col("n").desc, col("tok"))
       counts

@@ -101,7 +101,7 @@ object TextQueries {
     "q_dedup_ngram" -> ((s, dir) => {
       val sh = TextDedup.shingles(
         docs(s, dir).filter(col("doc_id") < 1000), "doc_id", "text", 2)
-        .persist() // three branches: x/y join sides + sizes
+        .transform(graft.ops.QueryCaches.persist) // three branches: x/y join sides + sizes
       TextDedup.verifiedJaccard(sh, "doc_id", cand = null, threshold = 0.5)
         .orderBy("a", "b")
     }),
@@ -128,7 +128,7 @@ object TextQueries {
       val pairs = TextDedup.minhashDedup(scoped, "doc_id", "text",
         shingleN = 3, numHashes = 6, bands = 3, threshold = 0.8,
         maxBucket = Int.MaxValue) // uncapped: mirrors the oracle CTE
-        .select("a", "b").persist()
+        .select("a", "b").transform(graft.ops.QueryCaches.persist)
       TextDedup.clusters(scoped.select("doc_id"), pairs)
         .toDF("doc_id", "cluster_id")
         .orderBy("doc_id")
@@ -218,7 +218,11 @@ object TextQueries {
       val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy(col("score_r").desc, col("tok"))
-      tf.join(broadcast(dfreq), "tok")
+      // dfreq is the corpus vocabulary — unbounded at 100 TB, so no
+      // broadcast hint: AQE broadcasts it when its measured size fits
+      // (PlanSpec pins that it does at gate scale) and shuffles on tok
+      // when it doesn't. Only the 1-row corpus count stays hinted.
+      tf.join(dfreq, "tok")
         .crossJoin(broadcast(n))
         .withColumn("score_r", round(col("tf") *
           log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 6))
@@ -238,7 +242,7 @@ object TextQueries {
       // recomputing the 32-agg pipeline twice
       val sim = TextDedup.simhash(
         docs(s, dir).filter(col("doc_id") < 1000), "doc_id", "text")
-        .persist()
+        .transform(graft.ops.QueryCaches.persist)
       TextDedup.simhashPairs(sim, "doc_id", maxHamming = 1,
         maxBucket = Int.MaxValue) // uncapped: mirrors the oracle CTE
         .orderBy("a", "b")
@@ -266,7 +270,7 @@ object TextQueries {
     // Unigram-LM quality score: corpus-frequency negative mean
     // log-likelihood per document (the cheap perplexity proxy —
     // garbage/rare-token docs score high, boilerplate low). Vocab is
-    // built once and broadcast; see Corpus.unigramLogProb.
+    // built once, join strategy left to AQE; see Corpus.unigramLogProb.
     "q_unigram_logprob" -> ((s, dir) =>
       graft.ops.Corpus.unigramLogProb(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),

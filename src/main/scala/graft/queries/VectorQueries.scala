@@ -68,7 +68,7 @@ object VectorQueries {
     * read it (CLAUDE.md self-join rule).
     */
   private def nearestInBucket(e: DataFrame, queryCap: Int): DataFrame = {
-    val ep = e.persist()
+    val ep = e.transform(graft.ops.QueryCaches.persist)
     val q = ep.filter(col("vec_id") < queryCap)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("bucket"))
@@ -96,7 +96,7 @@ object VectorQueries {
     val e = withNorm(emb(s, dir).filter(col("vec_id") < 300)
       .select(col("vec_id"), asDouble(col("embedding")).as("v")))
       .withColumn("bucket", graft.ops.CosineLsh.bucketCol(col("v"), pm))
-      .persist() // both self-join sides (and cluster id universe) read it
+      .transform(graft.ops.QueryCaches.persist) // both self-join sides (and cluster id universe) read it
     // Uncapped, mirroring the DuckDB oracle (which mines every bucket):
     // gate queries must match the oracle exactly, so the hot-bucket
     // bound (TextDedup.capBuckets, the 100 TB path for skewed LSH
@@ -130,7 +130,7 @@ object VectorQueries {
     "q_cosine_pairs" -> ((s, dir) => {
       val e = withNorm(emb(s, dir).filter(col("vec_id") < 300)
         .select(col("vec_id"), asDouble(col("embedding")).as("v")))
-        .persist() // both self-join sides read it
+        .transform(graft.ops.QueryCaches.persist) // both self-join sides read it
       val a = e.select(col("vec_id").as("a"), col("v").as("va"),
         col("nrm").as("na"))
       val b = e.select(col("vec_id").as("b"), col("v").as("vb"),
@@ -146,7 +146,7 @@ object VectorQueries {
     "q_ann_topk" -> ((s, dir) => {
       val e = withNorm(emb(s, dir).filter(col("vec_id") < 2000)
         .select(col("vec_id"), asDouble(col("embedding")).as("v")))
-        .persist() // query and candidate sides share it
+        .transform(graft.ops.QueryCaches.persist) // query and candidate sides share it
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("v").as("qv"),
           col("nrm").as("qn"))
@@ -183,7 +183,7 @@ object VectorQueries {
         .filter(col("rk") === 1)
         .select(col("vec_id"), col("v"), col("nrm"),
           col("c_id").as("cell"))
-        .persist() // feeds both the query and candidate sides below
+        .transform(graft.ops.QueryCaches.persist) // feeds both the query and candidate sides below
       val q = assigned.filter(col("vec_id") < 66)
         .select(col("vec_id").as("q_id"), col("v").as("qv"),
           col("nrm").as("qn"), col("cell"))
@@ -219,7 +219,7 @@ object VectorQueries {
     "q_embed_cluster" -> ((s, dir) => {
       val (e, pairs0) = lshPairs(s, dir)
       val pairs = pairs0
-        .select("a", "b").persist() // clusters() iterates over the edges
+        .select("a", "b").transform(graft.ops.QueryCaches.persist) // clusters() iterates over the edges
       graft.ops.TextDedup.clusters(e.select(col("vec_id")), pairs)
         .toDF("vec_id", "cluster_id")
         .orderBy("vec_id")
@@ -233,7 +233,7 @@ object VectorQueries {
     "q_topk_agg" -> ((s, dir) => {
       val e = withNorm(emb(s, dir).filter(col("vec_id") < 2000)
         .select(col("vec_id"), asDouble(col("embedding")).as("v")))
-        .persist() // query and candidate sides share it
+        .transform(graft.ops.QueryCaches.persist) // query and candidate sides share it
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("v").as("qv"),
           col("nrm").as("qn"))
@@ -296,7 +296,7 @@ object VectorQueries {
       val e = withNorm(emb(s, dir).filter(col("vec_id") < 2000)
         .select(col("vec_id"), asDouble(col("embedding")).as("v")))
         .withColumn("bucket", graft.ops.CosineLsh.bucketCol(col("v"), pm))
-        .persist() // query and candidate sides share it
+        .transform(graft.ops.QueryCaches.persist) // query and candidate sides share it
       val q = e.filter(col("vec_id") < 50)
         .select(col("vec_id").as("q_id"), col("v").as("qv"),
           col("nrm").as("qn"), col("bucket"))
@@ -386,7 +386,7 @@ object VectorQueries {
       val edges = textPairs
         .unionByName(embPairs0.select(col("a"), col("b")))
         .distinct()
-        .persist() // clusters() iterates over the edges
+        .transform(graft.ops.QueryCaches.persist) // clusters() iterates over the edges
       TextDedup.clusters(d.select(col("doc_id")), edges)
         .toDF("doc_id", "cluster_id")
         .orderBy("doc_id")
@@ -405,7 +405,7 @@ object VectorQueries {
       val e = withNorm(emb(s, dir).filter(col("vec_id") < 2000)
         .select(col("vec_id"), asDouble(col("embedding")).as("v")))
         .withColumn("bucket", graft.ops.CosineLsh.bucketCol(col("v"), pm))
-        .persist() // query and candidate sides share it
+        .transform(graft.ops.QueryCaches.persist) // query and candidate sides share it
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("v").as("qv"),
           col("nrm").as("qn"), col("bucket").as("qb"))
@@ -414,7 +414,7 @@ object VectorQueries {
           col("nrm").as("cn"), col("bucket").as("cb"))
       val scored = c.join(broadcast(q))
         .withColumn("cos_r", cosR(col("qv"), col("cv"), col("qn"), col("cn")))
-        .persist() // exact and both LSH rankings read it
+        .transform(graft.ops.QueryCaches.persist) // exact and both LSH rankings read it
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("q_id").orderBy(col("cos_r").desc, col("cand_id"))
       def top3(df: DataFrame): DataFrame = df
@@ -458,7 +458,7 @@ object VectorQueries {
         .withColumn("p", slice(col("v"), 1, 16))
         .withColumn("pn", norm(col("p")))
         .filter(col("pn") > 0)
-        .persist() // query and candidate sides share it
+        .transform(graft.ops.QueryCaches.persist) // query and candidate sides share it
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("v").as("qv"),
           col("nrm").as("qn"), col("p").as("qp"), col("pn").as("qpn"))

@@ -124,16 +124,21 @@ object StreamAnn {
               maxTs = math.max(maxTs, t)
               seen = seen.filter { case (_, ts0, _, _) =>
                 maxTs - ts0 <= horizonMs }
-              seen.foreach { case (id0, _, v0, n0) =>
-                if (id0 != r.vec_id) {
+              // at-least-once sources re-deliver: a vec_id already in
+              // state has already emitted its pairs, so skip it — both
+              // the re-emission (keeps the pair stream exactly-once
+              // per pair without a downstream distinct) and the state
+              // append (keeps state size O(unique vectors in horizon))
+              if (!seen.exists(_._1 == r.vec_id)) {
+                seen.foreach { case (id0, _, v0, n0) =>
                   val cos = dot(v0, r.v) / (n0 * r.nrm)
                   if (round6(cos) >= threshold)
                     out += VecPair(
                       math.min(id0, r.vec_id), math.max(id0, r.vec_id),
                       r.ts, cos)
                 }
+                seen = (r.vec_id, t, r.v, r.nrm) :: seen
               }
-              seen = (r.vec_id, t, r.v, r.nrm) :: seen
             }
             state.update(BucketState(seen))
             state.setTimeoutTimestamp(maxTs + horizonMs)

@@ -117,8 +117,13 @@ object StreamDedup {
               maxTs = math.max(maxTs, t)
               // evict entries that fell out of the horizon
               seen = seen.filter { case (_, ts0, _) => maxTs - ts0 <= horizonMs }
-              seen.foreach { case (id0, _, sig0) =>
-                if (id0 != r.doc_id) {
+              // at-least-once sources re-deliver: a doc_id already in
+              // state has already emitted its pairs, so skip it — both
+              // the re-emission (pair stream stays exactly-once per
+              // pair per band) and the state append (state stays
+              // O(unique docs in horizon))
+              if (!seen.exists(_._1 == r.doc_id)) {
+                seen.foreach { case (id0, _, sig0) =>
                   val matches = sig0.iterator.zip(r.sig.iterator)
                     .count { case (x, y) => x == y }
                   val est = matches.toDouble / r.sig.length
@@ -127,8 +132,8 @@ object StreamDedup {
                       math.min(id0, r.doc_id), math.max(id0, r.doc_id),
                       r.ts, est)
                 }
+                seen = (r.doc_id, t, r.sig) :: seen
               }
-              seen = (r.doc_id, t, r.sig) :: seen
             }
             state.update(BucketState(seen))
             // idle buckets die once the watermark passes the horizon

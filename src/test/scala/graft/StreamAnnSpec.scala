@@ -47,6 +47,30 @@ class StreamAnnSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("re-delivered vectors neither re-emit pairs nor grow state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Vec]
+    val q = StreamAnn.candidatePairs(input.toDS(),
+      k = 4, dim = dim, threshold = 0.9)
+      .writeStream.format("memory").queryName("sann_d")
+      .outputMode("append").start()
+    try {
+      input.addData(Vec(0L, ts(0), unit(0)))
+      q.processAllAvailable()
+      input.addData(Vec(1L, ts(1), unit(0, eps = 0.001)))
+      q.processAllAvailable()
+      // at-least-once re-delivery of vector 0: without the state-side
+      // vec_id dedup this re-emits every qualifying pair of 0
+      input.addData(Vec(0L, ts(2), unit(0)))
+      q.processAllAvailable()
+      val rows = spark.table("sann_d").select("a", "b")
+        .as[(Long, Long)].collect().toSeq
+      assert(rows == Seq((0L, 1L)),
+        s"expected exactly one (0,1) pair, got $rows")
+    } finally q.stop()
+  }
+
   test("vectors past the horizon stop matching") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -87,6 +87,26 @@ class TextDedupSpec extends AnyFunSuite {
       4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("clusters: deep duplicate chains converge in O(log) star rounds") {
+    import spark.implicits._
+    // a 120-hop revision-drift chain — each doc near-dups only its
+    // neighbors — plus a reversed-id chain (worst case for min-label
+    // propagation, which needs one full shuffle round per hop and used
+    // to throw past diameter 10). Star contraction must collapse both
+    // within the default round budget.
+    val n = 120L
+    val chain = (0L until n - 1).map(i => (i, i + 1))
+    val reversed = (0L until n - 1).map(i => (1000L + n - i, 1000L + n - i - 1))
+    val dupEdges = Seq((5L, 4L), (4L, 5L)) // duplicates + both orientations
+    val pairs = (chain ++ reversed ++ dupEdges).toDF("a", "b")
+    val ids = ((0L until n) ++ (1001L to 1000L + n)).toDF("id")
+    val got = TextDedup.clusters(ids, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 2 * n)
+    (0L until n).foreach(i => assert(got(i) == 0L, s"node $i"))
+    (1001L to 1000L + n).foreach(i => assert(got(i) == 1001L, s"node $i"))
+  }
+
   test("clusters over planted minhash pairs keep one doc per dup group") {
     val pairs = TextDedup.minhashDedup(corpus, "doc_id", "text",
       threshold = 0.5).select("a", "b")
