@@ -273,10 +273,13 @@ object TextDedup {
     val mins = sym.groupBy("a").agg(min("b").as("__nbr_min"))
       .select(col("a").as("__u"),
         least(col("a"), col("__nbr_min")).as("__m"))
+    // no distinct here: different centers can emit the same (v, m)
+    // edge (at most deg(v) copies, so volume stays O(|E|)), but the
+    // following small-star pass min-aggregates and distincts anyway —
+    // dedup'ing now would only add a third shuffle per round
     sym.join(mins, sym("a") === col("__u"))
       .filter(col("b") > col("a")) // only larger neighbors re-attach
       .select(col("b").as("a"), col("__m").as("b"))
-      .distinct()
   }
 
   /** Small-star contraction step: every node attaches its
@@ -326,11 +329,9 @@ object TextDedup {
     * logical tree re-embeds the previous round's several times and
     * analysis/canonicalization goes exponential (a multi-level cached
     * LSH pipeline measured 4.8M plan nodes by round 2). Lazy
-    * (eager = false) keeps actions to the per-round convergence
-    * checks, which read the same checkpointed RDD. Convergence is
-    * exact set equality (size match + empty `exceptAll`) — never a
-    * hash-sum shortcut, because a false "converged" would silently
-    * ship wrong clusters through the correctness gate.
+    * (eager = false) keeps it to ONE action per round — the exact
+    * set-equality convergence check, whose map stage doubles as the
+    * checkpoint materialization.
     *
     * `maxIter` is a safety bound far above the O(log² n) worst case
     * (25 rounds covers any component a real corpus can hold);
@@ -350,22 +351,29 @@ object TextDedup {
       .filter(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint(false)
-    var nEdges = edges.count()
     val touched = edges.select(col("a").as("__cc_n"))
       .unionAll(edges.select(col("b").as("__cc_n")))
     val isolated = ids
       .join(touched, ids(idCol) === col("__cc_n"), "left_anti")
       .select(col(idCol).as("id"), col(idCol).as("cluster_id"))
-    var converged = nEdges == 0L
+    var converged = edges.count() == 0L // also materializes the entry cut
     var iter = 0
     while (!converged && iter < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint(false)
-      val nNext = next.count() // materializes this round's checkpoint
-      // fixpoint test: both sides are distinct sets, so equal size +
-      // empty difference ⟺ identical edge sets ⟺ star forest reached
-      converged = nNext == nEdges && next.exceptAll(edges).isEmpty
+      // fixpoint test in ONE action per round: the signed multiset
+      // difference (+1 per next edge, -1 per old edge, grouped) is
+      // empty ⟺ the two DISTINCT edge sets are identical ⟺ the star
+      // alternation reached its fixpoint. Exact — never a hash-sum
+      // shortcut, because a false "converged" would silently ship
+      // wrong clusters through the correctness gate. Its map stage
+      // reads every partition of `next`, so the one take(1) also
+      // materializes this round's checkpoint.
+      converged = next.select(col("a"), col("b"), lit(1L).as("__s"))
+        .unionAll(edges.select(col("a"), col("b"), lit(-1L).as("__s")))
+        .groupBy("a", "b").agg(sum("__s").as("__s"))
+        .filter(col("__s") =!= 0L)
+        .isEmpty
       edges = next
-      nEdges = nNext
       iter += 1
     }
     if (!converged)
