@@ -59,6 +59,35 @@ object Corpus {
       .filter(col("bucket") < rate)
   }
 
+  /** Exact-N deterministic sample per stratum: rank rows inside each
+    * stratum by a salted md5 of the id (ties broken by the id itself
+    * — a total order, so retry/backfill-stable like [[hashSample]])
+    * and keep `sample_rank` <= n. The eval-set construction shape:
+    * "exactly 10k docs per source", where a rate-based sample only
+    * lands NEAR the quota.
+    *
+    * Scale stance: exactness costs a per-stratum sort (one hash
+    * exchange on the stratum + a window). That is the honest price of
+    * an exact quota; when "about p percent" is acceptable,
+    * [[hashSample]] is the shuffle-free path. Strata counts are
+    * usually ≤ thousands, so the exchange is wide, not deep; a single
+    * mega-stratum is the skew risk — pre-split it into salted
+    * sub-strata and take n/k from each, which this op composes with
+    * (call it on the salted column).
+    */
+  def sampleExactPerStratum(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      n: Int,
+      salt: String = "exact"): DataFrame = {
+    val w = Window.partitionBy(col(strataCol)).orderBy(
+      md5(concat_ws(":", lit(salt), col(idCol).cast("string"))),
+      col(idCol))
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= n)
+  }
+
   /** Incremental dedup: fingerprint groups of `batch` that do NOT
     * already exist in `corpus` — (fp, keep_id, n_batch). Keeps the
     * smallest id per new group (in-batch dedup) and anti-joins the
@@ -152,6 +181,42 @@ object Corpus {
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_hits"))
       .filter(col("n_hits") >= minOverlap)
+  }
+
+  /** Contamination severity report: for every flagged training
+    * document, how MUCH of it leaks — (idCol, n_shingles, n_hits,
+    * contam_frac = n_hits / n_shingles over its distinct word
+    * n-grams). [[decontaminate]] answers "which docs"; this answers
+    * "drop or just redact" (a 0.9 fraction is a benchmark copy, a
+    * 0.02 fraction is one quoted sentence).
+    *
+    * Scale stance: the fraction needs each flagged doc's TOTAL
+    * distinct-shingle count, which over the whole train side would
+    * mean exchanging the exploded corpus — precisely what
+    * [[decontaminate]] avoids. So it runs two-phase: flag first
+    * (broadcast filter, matches only), then compute sizes for the
+    * FLAGGED docs alone — a rare-by-construction slice at production
+    * n-gram lengths.
+    */
+  def contaminationReport(
+      train: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      minOverlap: Int = 1): DataFrame = {
+    val hits = decontaminate(train, benchmark, idCol, textCol, n,
+      minOverlap)
+    val flagged = train.join(hits.select(col(idCol)), Seq(idCol),
+      "left_semi")
+    val sizes = TextDedup.shingles(flagged, idCol, textCol, n)
+      .groupBy(idCol).agg(count(lit(1)).as("n_shingles"))
+    hits.join(sizes, Seq(idCol))
+      .select(col(idCol),
+        col("n_shingles").cast("long").as("n_shingles"),
+        col("n_hits").cast("long").as("n_hits"),
+        round(col("n_hits").cast("double") /
+          col("n_shingles").cast("double"), 6).as("contam_frac"))
   }
 
   /** The keep set after decontamination: `train` minus every flagged

@@ -41,6 +41,62 @@ object TextDedup {
     if (dedup) raw.distinct() else raw
   }
 
+  /** Segment-level exact dedup with document reassembly — the
+    * C4/CCNet "line dedup" shape for text without natural line
+    * boundaries: split each document into fixed `segTokens`-token
+    * spans, keep each distinct span's FIRST corpus-wide occurrence
+    * (ordered by document id, then span position), drop every other
+    * copy, and rebuild the document from its surviving spans in
+    * order. Output: (idCol, n_segs, n_kept, clean_text); clean_text
+    * is null when every span was seen earlier (a fully-boilerplate
+    * document — the caller's drop signal).
+    *
+    * Scale shape: scan + explode (no shuffle), ONE exchange on the
+    * span fingerprint (the keep-first window — md5 keys the shuffle
+    * so payload, not raw text, is what buckets), one keyed aggregate
+    * back to documents. Same two-exchange budget as `Corpus.curate`.
+    * The reassembly HOFs (array_sort/transform) run interpreted
+    * (CodegenFallback) but only over each document's own spans —
+    * bounded per row, never corpus-wide.
+    */
+  def dedupSegments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      segTokens: Int = 8): DataFrame = {
+    val segs = df
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      // ceil(size/segTokens) spans; int cast truncates a positive
+      .withColumn("__n",
+        ((size(col("__toks")) + lit(segTokens - 1)) / lit(segTokens))
+          .cast("int"))
+      .withColumn("__i", explode(sequence(lit(0), col("__n") - 1)))
+      .select(col(idCol),
+        col("__i").cast("long").as("seg_idx"),
+        array_join(slice(col("__toks"),
+          col("__i") * lit(segTokens) + lit(1), lit(segTokens)), " ")
+          .as("seg"))
+    val keepFirst = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("seg")))
+      .orderBy(col(idCol), col("seg_idx"))
+    segs
+      .withColumn("__rn", row_number().over(keepFirst))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).cast("long").as("n_segs"),
+        count(when(col("__rn") === 1, lit(1))).cast("long").as("n_kept"),
+        // collect_list skips the nulls the `when` leaves on dropped
+        // spans; array_sort on the struct orders by seg_idx
+        when(count(when(col("__rn") === 1, lit(1))) > 0,
+          array_join(
+            transform(
+              array_sort(collect_list(
+                when(col("__rn") === 1,
+                  struct(col("seg_idx"), col("seg"))))),
+              x => x.getField("seg")), " "))
+          .as("clean_text"))
+  }
+
   /** Exact dedup groups: (fp, keep_id, n_dups) on normalized-text md5. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), md5(normText(col(textCol))).as("fp"))

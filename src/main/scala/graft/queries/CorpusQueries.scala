@@ -78,6 +78,16 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    // Exact-N stratified sample: exactly 10 docs per source, ranked
+    // by salted md5 of the id — the eval-set construction shape
+    // (q_sample_hash's rate-based cousin only lands NEAR a quota).
+    "q_sample_exact" -> ((s, dir) =>
+      Corpus.sampleExactPerStratum(
+        docs(s, dir).select("doc_id", "source"),
+        strataCol = "source", idCol = "doc_id", n = 10)
+        .select("doc_id", "source", "sample_rank")
+        .orderBy("source", "sample_rank")),
+
     // Benchmark decontamination: docs whose id ends in 0 stand in for
     // the eval set; flag every other (training) doc sharing a word
     // 5-gram with it, with the shared-5-gram count. 5-grams keep the
@@ -87,6 +97,19 @@ object CorpusQueries {
     "q_decontaminate" -> ((s, dir) => {
       val d = docs(s, dir)
       Corpus.decontaminate(
+        train = d.filter(col("doc_id") % 10 =!= 0),
+        benchmark = d.filter(col("doc_id") % 10 === 0),
+        idCol = "doc_id", textCol = "text", n = 5)
+        .orderBy("doc_id")
+    }),
+
+    // Contamination severity: per flagged doc, the fraction of its
+    // distinct 5-grams that leak from the benchmark — "drop or just
+    // redact". Sizes are computed for the flagged slice only (the
+    // full train side never exchanges its exploded shingles).
+    "q_decontam_overlap" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Corpus.contaminationReport(
         train = d.filter(col("doc_id") % 10 =!= 0),
         benchmark = d.filter(col("doc_id") % 10 === 0),
         idCol = "doc_id", textCol = "text", n = 5)
@@ -232,6 +255,14 @@ object CorpusQueries {
          SELECT doc_id, lang, bucket FROM s
          WHERE bucket < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
          ORDER BY doc_id""",
+    "q_sample_exact" ->
+      """WITH r AS (SELECT doc_id, source,
+           CAST(row_number() OVER (PARTITION BY source
+             ORDER BY md5('exact:' || CAST(doc_id AS VARCHAR)), doc_id)
+             AS BIGINT) AS sample_rank
+         FROM documents)
+         SELECT doc_id, source, sample_rank FROM r
+         WHERE sample_rank <= 10 ORDER BY source, sample_rank""",
     "q_dedup_incremental" ->
       """WITH f AS (SELECT doc_id,
              md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
@@ -300,6 +331,40 @@ object CorpusQueries {
          SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hits
          FROM trs t JOIN bms b ON t.shingle = b.shingle
          GROUP BY t.doc_id ORDER BY t.doc_id""",
+    "q_decontam_overlap" ->
+      """WITH tr AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+             FROM documents WHERE doc_id % 10 <> 0),
+         bm AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+             FROM documents WHERE doc_id % 10 = 0),
+         trt AS (SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS pos FROM tr WHERE len(toks) >= 5),
+         bmt AS (SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS pos FROM bm WHERE len(toks) >= 5),
+         trs AS (SELECT DISTINCT t1.doc_id,
+             t1.tok || ' ' || t2.tok || ' ' || t3.tok || ' ' || t4.tok
+               || ' ' || t5.tok AS shingle
+             FROM trt t1
+             JOIN trt t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+             JOIN trt t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2
+             JOIN trt t4 ON t1.doc_id = t4.doc_id AND t4.pos = t1.pos + 3
+             JOIN trt t5 ON t1.doc_id = t5.doc_id AND t5.pos = t1.pos + 4),
+         bms AS (SELECT DISTINCT
+             t1.tok || ' ' || t2.tok || ' ' || t3.tok || ' ' || t4.tok
+               || ' ' || t5.tok AS shingle
+             FROM bmt t1
+             JOIN bmt t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+             JOIN bmt t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2
+             JOIN bmt t4 ON t1.doc_id = t4.doc_id AND t4.pos = t1.pos + 3
+             JOIN bmt t5 ON t1.doc_id = t5.doc_id AND t5.pos = t1.pos + 4),
+         j AS (SELECT t.doc_id, count(*) AS n_shingles,
+             count(b.shingle) AS n_hits
+             FROM trs t LEFT JOIN bms b ON t.shingle = b.shingle
+             GROUP BY t.doc_id HAVING count(b.shingle) >= 1)
+         SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+             CAST(n_hits AS BIGINT) AS n_hits,
+             round(CAST(n_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6)
+               AS contam_frac
+         FROM j ORDER BY doc_id""",
     "q_split_assign" ->
       """WITH s AS (SELECT doc_id, lang,
            CAST(CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))

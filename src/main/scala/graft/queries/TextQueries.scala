@@ -134,6 +134,15 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Segment-level dedup with reassembly (C4-style line dedup over
+    // fixed 8-token spans): keep each distinct span's first
+    // occurrence corpus-wide, rebuild documents from survivors.
+    // One exchange on the span fingerprint + one keyed reassembly.
+    "q_dedup_lines" -> ((s, dir) =>
+      TextDedup.dedupSegments(docs(s, dir), "doc_id", "text",
+        segTokens = 8)
+        .orderBy("doc_id")),
+
     // Language-ID via character-n-gram profiles: score each language
     // by occurrences of its characteristic bigrams, argmax with
     // deterministic tie-break. (Real systems learn the profiles; the
@@ -450,6 +459,25 @@ object TextQueries {
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
            min(doc_id) AS keep_id, count(*) AS n_dups
          FROM documents GROUP BY 1 ORDER BY fp""",
+    "q_dedup_lines" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+             FROM documents),
+         s0 AS (SELECT doc_id, toks,
+             unnest(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT)))
+               AS i FROM d),
+         seg AS (SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+             array_to_string(
+               toks[CAST(i * 8 + 1 AS INTEGER):CAST(i * 8 + 8 AS INTEGER)],
+               ' ') AS seg
+             FROM s0),
+         r AS (SELECT doc_id, seg_idx, seg,
+             row_number() OVER (PARTITION BY seg
+               ORDER BY doc_id, seg_idx) AS rn FROM seg)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+             CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept,
+             string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+               ORDER BY seg_idx) AS clean_text
+         FROM r GROUP BY doc_id ORDER BY doc_id""",
     "q_dedup_ngram" ->
       """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
              FROM documents WHERE doc_id < 1000),

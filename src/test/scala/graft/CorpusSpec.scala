@@ -48,6 +48,39 @@ class CorpusSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("sampleExactPerStratum hits the quota exactly and is deterministic") {
+    val df = ((0L until 15L).map(i => (i, "big")) ++
+      (100L until 103L).map(i => (i, "small"))).toDF("doc_id", "source")
+    def run() = Corpus.sampleExactPerStratum(df, "source", "doc_id", n = 5)
+    val got = run().collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    // exact quota on the big stratum; the whole small stratum (< n)
+    val bySrc = got.groupBy(_._1)
+    assert(bySrc("big").length == 5)
+    assert(bySrc("small").length == 3)
+    // ranks are 1..k with no gaps, and the pick is retry-stable
+    assert(bySrc("big").map(_._3).sorted.toSeq == (1L to 5L))
+    assert(bySrc("small").map(_._3).sorted.toSeq == (1L to 3L))
+    assert(run().exceptAll(run()).isEmpty)
+  }
+
+  test("contaminationReport sizes leakage per flagged doc only") {
+    val benchmark = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      // 9 tokens → 5 distinct 5-grams; exactly one is the benchmark's
+      (1L, "intro words alpha beta gamma delta epsilon closing remark"),
+      // clean → must not appear at all
+      (2L, "totally unrelated sentence about spark plans and shuffles"))
+      .toDF("doc_id", "text")
+    val got = Corpus.contaminationReport(
+      train, benchmark, "doc_id", "text", n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 5L, 1L, 0.2)))
+  }
+
   test("incrementalDedup drops batch docs the corpus already has") {
     val corpus = Seq((1L, "alpha beta"), (2L, "gamma delta"))
       .toDF("doc_id", "text")

@@ -76,6 +76,31 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupSegments keeps first span occurrence and reassembles docs") {
+    import spark.implicits._
+    def run(n: Int) = Seq.tabulate(n)(i => s"t$i").mkString(" ")
+    val corpus = Seq(
+      // two unique spans — fully kept
+      (1L, (0 until 8).map(i => s"a$i").mkString(" ") + " " +
+        (0 until 8).map(i => s"b$i").mkString(" ")),
+      // exactly doc 1's second span — fully dropped (null clean_text)
+      (2L, (0 until 8).map(i => s"b$i").mkString(" ")),
+      // short partial span, unique — kept as-is
+      (3L, "c0 c1 c2"),
+      // internal repetition: second copy of its own span drops
+      (4L, ((0 until 8) ++ (0 until 8)).map(i => s"d$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextDedup.dedupSegments(corpus, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.getString(3))))).toMap
+    assert(got(1L) == ((2L, 2L, Some(
+      (0 until 8).map(i => s"a$i").mkString(" ") + " " +
+        (0 until 8).map(i => s"b$i").mkString(" ")))))
+    assert(got(2L) == ((1L, 0L, None)))
+    assert(got(3L) == ((1L, 1L, Some("c0 c1 c2"))))
+    assert(got(4L) == ((2L, 1L, Some((0 until 8).map(i => s"d$i").mkString(" ")))))
+  }
+
   test("clusters: connected components collapse chains to the smallest id") {
     import spark.implicits._
     val ids = (0L to 7L).toDF("id")
