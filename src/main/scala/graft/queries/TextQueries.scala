@@ -134,6 +134,31 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Dedup index quality measured IN-ENGINE: banding recall of the
+    // MinHash LSH pipeline vs exact-Jaccard ground truth on the
+    // bounded slice — the dedup twin of q_ann_recall. Verified LSH
+    // pairs are a subset of truth by construction (candidates are
+    // true-Jaccard-checked), so recall = found/true; below 1 means
+    // banding misses (pairs whose 6 minhashes never agree on a full
+    // band) — the number you tune bands/hashes against before a
+    // corpus-wide run.
+    "q_minhash_recall" -> ((s, dir) => {
+      val slice = docs(s, dir).filter(col("doc_id") < 2000)
+      val sh = TextDedup.shingles(slice, "doc_id", "text", n = 3)
+        .transform(graft.ops.QueryCaches.persist) // both truth join sides
+      val truth = TextDedup.verifiedJaccard(sh, "doc_id", cand = null,
+        threshold = 0.8)
+      val found = TextDedup.minhashDedup(slice, "doc_id", "text",
+        shingleN = 3, numHashes = 6, bands = 3, threshold = 0.8,
+        maxBucket = Int.MaxValue)
+      truth.agg(count(lit(1)).cast("long").as("n_true"))
+        .crossJoin(found.agg(count(lit(1)).cast("long").as("n_found")))
+        .select(col("n_true"), col("n_found"),
+          round(when(col("n_true") === 0L, lit(1.0))
+            .otherwise(col("n_found").cast("double") /
+              col("n_true").cast("double")), 6).as("recall_r"))
+    }),
+
     // Segment-level dedup with reassembly (C4-style line dedup over
     // fixed 8-token spans): keep each distinct span's first
     // occurrence corpus-wide, rebuild documents from survivors.
@@ -503,6 +528,24 @@ object TextQueries {
       s"""WITH $minhashCtes
          SELECT a, b, inter, na, nb, jaccard FROM pairs
          ORDER BY a, b""",
+    "q_minhash_recall" ->
+      s"""WITH $minhashCtes,
+         truth0 AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+             FROM sh x JOIN sh y
+               ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+             GROUP BY 1, 2),
+         tt AS (SELECT t.a, t.b FROM truth0 t
+             JOIN sz sa ON sa.doc_id = t.a
+             JOIN sz sb ON sb.doc_id = t.b
+             WHERE CAST(t.inter AS DOUBLE)
+               / CAST(sa.n + sb.n - t.inter AS DOUBLE) >= 0.8),
+         c AS (SELECT CAST((SELECT count(*) FROM tt) AS BIGINT) AS n_true,
+             CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_found)
+         SELECT n_true, n_found,
+           round(CASE WHEN n_true = 0 THEN 1.0
+             ELSE CAST(n_found AS DOUBLE) / CAST(n_true AS DOUBLE) END, 6)
+             AS recall_r
+         FROM c""",
     "q_dedup_cluster" ->
       s"""WITH RECURSIVE $minhashCtes,
          ids AS (SELECT doc_id FROM documents WHERE doc_id < 2000),
