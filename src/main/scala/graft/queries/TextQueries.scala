@@ -134,6 +134,25 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Duplicate-family size distribution — the first report run after
+    // a dedup pass ("how much of the corpus is families of size k"):
+    // minhash pairs → connected components → histogram of cluster
+    // sizes. Bounded slice keeps the gate cheap; the shape is two
+    // keyed aggregates over the cluster output.
+    "q_cluster_sizes" -> ((s, dir) => {
+      val scoped = docs(s, dir).filter(col("doc_id") < 1000)
+      val pairs = TextDedup.minhashDedup(scoped, "doc_id", "text",
+        shingleN = 3, numHashes = 6, bands = 3, threshold = 0.8,
+        maxBucket = Int.MaxValue)
+        .select("a", "b").transform(graft.ops.QueryCaches.persist)
+      TextDedup.clusters(scoped.select("doc_id"), pairs)
+        .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).cast("long").as("n_clusters"))
+        .select(col("sz").cast("long").as("cluster_size"),
+          col("n_clusters"))
+        .orderBy("cluster_size")
+    }),
+
     // Dedup index quality measured IN-ENGINE: banding recall of the
     // MinHash LSH pipeline vs exact-Jaccard ground truth on the
     // bounded slice — the dedup twin of q_ann_recall. Verified LSH
@@ -330,9 +349,9 @@ object TextQueries {
     * pairs (`pairs(a, b, inter, na, nb, jaccard)` at threshold 0.8).
     */
   // shared with VectorQueries' hybrid-cluster oracle (same package)
-  private[queries] val minhashCtes: String =
-    """d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
-             FROM documents WHERE doc_id < 2000),
+  private[queries] def minhashCtes(cap: Int = 2000): String =
+    s"""d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+             FROM documents WHERE doc_id < $cap),
          d2 AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 3),
          tok AS (SELECT doc_id, unnest(toks) AS tok,
              generate_subscripts(toks, 1) AS pos FROM d2),
@@ -525,11 +544,11 @@ object TextQueries {
          WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE) >= 0.5
          ORDER BY a, b""",
     "q_dedup_minhash" ->
-      s"""WITH $minhashCtes
+      s"""WITH ${minhashCtes()}
          SELECT a, b, inter, na, nb, jaccard FROM pairs
          ORDER BY a, b""",
     "q_minhash_recall" ->
-      s"""WITH $minhashCtes,
+      s"""WITH ${minhashCtes()},
          truth0 AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
              FROM sh x JOIN sh y
                ON x.shingle = y.shingle AND x.doc_id < y.doc_id
@@ -547,7 +566,7 @@ object TextQueries {
              AS recall_r
          FROM c""",
     "q_dedup_cluster" ->
-      s"""WITH RECURSIVE $minhashCtes,
+      s"""WITH RECURSIVE ${minhashCtes()},
          ids AS (SELECT doc_id FROM documents WHERE doc_id < 2000),
          edges AS (SELECT a, b FROM pairs
              UNION ALL SELECT b, a FROM pairs),
@@ -557,6 +576,21 @@ object TextQueries {
              SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.id)
          SELECT id AS doc_id, min(lbl) AS cluster_id
          FROM reach GROUP BY id ORDER BY doc_id""",
+    "q_cluster_sizes" ->
+      s"""WITH RECURSIVE ${minhashCtes(1000)},
+         ids AS (SELECT doc_id FROM documents WHERE doc_id < 1000),
+         edges AS (SELECT a, b FROM pairs
+             UNION ALL SELECT b, a FROM pairs),
+         reach(id, lbl) AS (
+             SELECT doc_id, doc_id FROM ids
+             UNION
+             SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.id),
+         lbl AS (SELECT id, min(lbl) AS cluster_id
+             FROM reach GROUP BY id),
+         szs AS (SELECT cluster_id, CAST(count(*) AS BIGINT)
+             AS cluster_size FROM lbl GROUP BY 1)
+         SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         FROM szs GROUP BY 1 ORDER BY cluster_size""",
     "q_dedup_simhash" ->
       s"""WITH tok AS (SELECT DISTINCT doc_id,
              unnest(string_split(trim(text), ' ')) AS tok FROM documents

@@ -163,6 +163,37 @@ object VectorQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // IVF index balance report — the operational health check run
+    // before trusting an inverted-file index: per-cell population and
+    // corpus share under the same fixed coarse quantizer as q_ann_ivf.
+    // A skewed cell means one probe does most of the scoring work (the
+    // IVF analogue of an LSH hot bucket); this is the number that
+    // tells you to re-train centroids or raise k. One broadcast
+    // assignment pass + one keyed aggregate.
+    "q_ivf_stats" -> ((s, dir) => {
+      val e = withNorm(emb(s, dir).filter(col("vec_id") < 2000)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v")))
+      val cent = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"),
+          col("nrm").as("cn"))
+      val aw = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id"))
+      val assigned = e.filter(col("vec_id") >= 16)
+        .join(broadcast(cent))
+        .withColumn("c_cos", cosR(col("v"), col("cv"), col("nrm"), col("cn")))
+        .withColumn("rk", row_number().over(aw))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("c_id").as("cell"))
+      val total = assigned.agg(count(lit(1)).as("n_total"))
+      assigned.groupBy("cell")
+        .agg(count(lit(1)).cast("long").as("n_vecs"))
+        .crossJoin(broadcast(total))
+        .select(col("cell"), col("n_vecs"),
+          round(col("n_vecs").cast("double") /
+            col("n_total").cast("double"), 6).as("cell_frac"))
+        .orderBy("cell")
+    }),
+
     // IVF-style ANN: a coarse quantizer (here: the first 16 vectors as
     // fixed centroids — production would k-means them) assigns every
     // vector to its nearest cell; queries search only their own cell.
@@ -540,6 +571,28 @@ object VectorQueries {
          WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.2
          ORDER BY a, b""",
     "q_ann_topk" -> topk3Oracle,
+    "q_ivf_stats" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id < 2000),
+         n AS (SELECT * FROM (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
+             WHERE nrm > 0),
+         cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n
+             WHERE vec_id < 16),
+         scored AS (SELECT x.vec_id, c.c_id,
+             round(list_dot_product(x.v, c.cv) / (x.nrm * c.cn), 6) AS c_cos
+             FROM n x CROSS JOIN cent c WHERE x.vec_id >= 16),
+         assigned AS (SELECT vec_id, c_id AS cell FROM (
+             SELECT *, row_number() OVER
+               (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS rk
+             FROM scored) WHERE rk = 1),
+         t AS (SELECT count(*) AS n_total FROM assigned)
+         SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+           round(CAST(count(*) AS DOUBLE) / CAST(t.n_total AS DOUBLE), 6)
+             AS cell_frac
+         FROM assigned CROSS JOIN t
+         GROUP BY cell, t.n_total ORDER BY cell""",
     "q_ann_ivf" ->
       """WITH e AS (SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -724,7 +777,7 @@ object VectorQueries {
     // recursive reachability closure — same closure as q_dedup_cluster
     // over the union edge set
     "q_hybrid_cluster" ->
-      s"""WITH RECURSIVE ${TextQueries.minhashCtes},
+      s"""WITH RECURSIVE ${TextQueries.minhashCtes()},
          ev AS (SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings WHERE vec_id < 300),
