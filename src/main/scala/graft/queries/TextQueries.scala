@@ -162,7 +162,7 @@ object TextQueries {
     // band) — the number you tune bands/hashes against before a
     // corpus-wide run.
     "q_minhash_recall" -> ((s, dir) => {
-      val slice = docs(s, dir).filter(col("doc_id") < 2000)
+      val slice = docs(s, dir).filter(col("doc_id") < 1000)
       val sh = TextDedup.shingles(slice, "doc_id", "text", n = 3)
         .transform(graft.ops.QueryCaches.persist) // both truth join sides
       val truth = TextDedup.verifiedJaccard(sh, "doc_id", cand = null,
@@ -548,7 +548,7 @@ object TextQueries {
          SELECT a, b, inter, na, nb, jaccard FROM pairs
          ORDER BY a, b""",
     "q_minhash_recall" ->
-      s"""WITH ${minhashCtes()},
+      s"""WITH ${minhashCtes(1000)},
          truth0 AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
              FROM sh x JOIN sh y
                ON x.shingle = y.shingle AND x.doc_id < y.doc_id
