@@ -113,6 +113,29 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, p)
   }
 
+  test("q_dedup_lines: span window + reassembly = two hash exchanges") {
+    val p = plan("q_dedup_lines")
+    // exchange 1: keep-first window on the span fingerprint;
+    // exchange 2: per-document reassembly aggregate. Anything more
+    // means the segment explode started shuffling raw text around.
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 2, s"expected 2 hash exchanges, got $exchanges in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
+  test("q_sample_exact: one stratum exchange feeds the quota window") {
+    val p = plan("q_sample_exact")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges in:\n$p")
+  }
+
+  test("q_ivf_stats: centroid assignment broadcasts, no cartesian") {
+    val p = plan("q_ivf_stats")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"centroid set not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
   test("q_sample_hash: pure scan+filter, no exchange before the oracle sort") {
     val p = plan("q_sample_hash")
     // the sample itself is shuffle-free; the only exchange allowed is
