@@ -416,18 +416,26 @@ object TextDedup {
     var iter = 0
     while (!converged && iter < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint(false)
-      // fixpoint test in ONE action per round: the signed multiset
-      // difference (+1 per next edge, -1 per old edge, grouped) is
-      // empty ⟺ the two DISTINCT edge sets are identical ⟺ the star
-      // alternation reached its fixpoint. Exact — never a hash-sum
-      // shortcut, because a false "converged" would silently ship
-      // wrong clusters through the correctness gate. Its map stage
-      // reads every partition of `next`, so the one take(1) also
-      // materializes this round's checkpoint.
-      converged = next.select(col("a"), col("b"), lit(1L).as("__s"))
-        .unionAll(edges.select(col("a"), col("b"), lit(-1L).as("__s")))
-        .groupBy("a", "b").agg(sum("__s").as("__s"))
-        .filter(col("__s") =!= 0L)
+      // convergence test in ONE action per round, and one ROUND
+      // earlier than comparing against the previous edge set: the
+      // algorithm is converged exactly when the edge set is a depth-1
+      // star forest — no node is both a child (a side) and a center
+      // (b side), and no child has two centers. (Both star phases
+      // emit (bigger, smaller) only and preserve the input's
+      // connectivity, so a star forest's stars ARE the original
+      // components, centered on their minima, and both phases map it
+      // to itself.) Exact — never a hash-sum shortcut, because a
+      // false "converged" would silently ship wrong clusters through
+      // the correctness gate. The map stage reads every partition of
+      // `next`, so the one take(1) also materializes this round's
+      // checkpoint.
+      converged = next.select(col("a").as("__n"), lit(1L).as("__c"))
+        .unionAll(next.select(col("b").as("__n"), lit(0L).as("__c")))
+        .groupBy("__n")
+        .agg(sum("__c").as("__nc"),
+          count(when(col("__c") === 0L, lit(1))).as("__nr"))
+        .filter(col("__nc") >= 2L ||
+          (col("__nc") >= 1L && col("__nr") >= 1L))
         .isEmpty
       edges = next
       iter += 1
