@@ -78,6 +78,27 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    // Training-shard manifest — the reproducibility audit shipped
+    // with every packed corpus: per shard, the doc count, token
+    // total, and an order-stable content fingerprint (md5 over the
+    // doc fingerprints in doc_id order). Two jobs can prove they
+    // trained on byte-identical shards by comparing manifests alone.
+    "q_shard_manifest" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"),
+        size(split(trim(col("text")), " ")).cast("long").as("n_tokens"),
+        md5(graft.ops.TextDedup.normText(col("text"))).as("fp"))
+      ScaleOps.globalRunningSum(base, partitions = 8,
+        valueCol = "n_tokens", outCol = "cum_tokens", col("doc_id"))
+        .withColumn("shard_id", expr("(cum_tokens - n_tokens) div 500"))
+        .groupBy("shard_id")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum("n_tokens").cast("long").as("shard_tokens"),
+          md5(array_join(transform(array_sort(collect_list(
+            struct(col("doc_id"), col("fp")))),
+            x => x.getField("fp")), "")).as("shard_fp"))
+        .orderBy("shard_id")
+    }),
+
     // Exact-N stratified sample: exactly 10 docs per source, ranked
     // by salted md5 of the id — the eval-set construction shape
     // (q_sample_hash's rate-based cousin only lands NEAR a quota).
@@ -303,6 +324,22 @@ object CorpusQueries {
          SELECT doc_id, n_tokens, cum_tokens,
            (cum_tokens - n_tokens) // 500 AS shard_id
          FROM c ORDER BY doc_id""",
+    "q_shard_manifest" ->
+      """WITH t AS (SELECT doc_id,
+           CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+         FROM documents),
+         c AS (SELECT doc_id, n_tokens, fp,
+           CAST(sum(COALESCE(n_tokens, 0)) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_tokens
+         FROM t)
+         SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+           md5(string_agg(fp, '' ORDER BY doc_id)) AS shard_fp
+         FROM (SELECT doc_id, n_tokens, fp,
+             (cum_tokens - n_tokens) // 500 AS shard_id FROM c)
+         GROUP BY shard_id ORDER BY shard_id""",
     "q_decontaminate" ->
       """WITH tr AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
              FROM documents WHERE doc_id % 10 <> 0),

@@ -17,6 +17,49 @@ class PropOpsSpec extends AnyFunSuite with PropHelpers {
 
   lazy val spark = TestSpark.spark
 
+  test("dedupSegments invariants hold for random corpora") {
+    import spark.implicits._
+    // random docs over a tiny token alphabet so spans genuinely
+    // repeat across documents; lengths 1..35 exercise partial spans
+    var seed = org.scalacheck.rng.Seed(11L)
+    def next(lo: Int, hi: Int): Int = {
+      val (v, s2) = Gen.choose(lo, hi).apply(
+        Gen.Parameters.default, seed).map(v => (v, seed.next))
+        .getOrElse((lo, seed.next))
+      seed = s2
+      v
+    }
+    val docsSeq = Seq.tabulate(80) { i =>
+      val n = next(1, 35)
+      (i.toLong, (1 to n).map(_ => s"w${next(0, 5)}").mkString(" "))
+    }
+    val df = docsSeq.toDF("doc_id", "text")
+    val segTokens = 8
+    val out = graft.ops.TextDedup
+      .dedupSegments(df, "doc_id", "text", segTokens)
+      .as[(Long, Long, Long, Option[String])].collect()
+      .map(r => r._1 -> r).toMap
+    // recompute ground truth in plain Scala: first occurrence by
+    // (doc_id, seg_idx) of every distinct span wins
+    val firstSeen = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    val segsOf = docsSeq.map { case (id, text) =>
+      id -> text.split(" ").grouped(segTokens).map(_.mkString(" ")).toSeq
+    }
+    for ((id, segs) <- segsOf; (s, i) <- segs.zipWithIndex)
+      if (!firstSeen.contains(s)) firstSeen(s) = (id, i.toLong)
+    for ((id, segs) <- segsOf) {
+      val (_, nSegs, nKept, clean) = out(id)
+      val keptSegs = segs.zipWithIndex.collect {
+        case (s, i) if firstSeen(s) == ((id, i.toLong)) => s
+      }
+      assert(nSegs == segs.length.toLong, s"doc $id n_segs")
+      assert(nKept == keptSegs.length.toLong, s"doc $id n_kept")
+      val expected = if (keptSegs.isEmpty) None
+        else Some(keptSegs.mkString(" "))
+      assert(clean == expected, s"doc $id clean_text")
+    }
+  }
+
   test("chunkTokens invariants hold for random lengths and geometries") {
     import spark.implicits._
     val geoms = Seq((8, 4), (16, 0), (5, 4), (64, 16))
