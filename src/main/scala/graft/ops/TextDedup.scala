@@ -293,9 +293,25 @@ object TextDedup {
       bands: Int = 3,
       threshold: Double = 0.8,
       maxBucket: Int = DefaultMaxBucket,
+      handle: CacheHandle = null): DataFrame =
+    minhashDedupFromShingles(
+      CacheHandle.persistWith(handle, shingles(df, idCol, textCol, shingleN)),
+      idCol, numHashes, bands, threshold, maxBucket, handle)
+
+  /** [[minhashDedup]] over an ALREADY-persisted distinct shingle set —
+    * for callers that need the shingles for other work in the same
+    * pipeline (e.g. the recall measurement scores ground truth and the
+    * LSH index off one explode). `sh` must be (idCol, "shingle")
+    * distinct per document, and the CALLER owns its persistence.
+    */
+  def minhashDedupFromShingles(
+      sh: DataFrame,
+      idCol: String,
+      numHashes: Int = 6,
+      bands: Int = 3,
+      threshold: Double = 0.8,
+      maxBucket: Int = DefaultMaxBucket,
       handle: CacheHandle = null): DataFrame = {
-    val sh = CacheHandle.persistWith(handle,
-      shingles(df, idCol, textCol, shingleN))
     val bandsDf = CacheHandle.persistWith(handle, lshBands(
       minhashSignatures(sh, idCol, numHashes), idCol, numHashes, bands))
     verifiedJaccard(sh, idCol,

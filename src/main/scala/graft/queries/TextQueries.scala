@@ -167,8 +167,10 @@ object TextQueries {
         .transform(graft.ops.QueryCaches.persist) // both truth join sides
       val truth = TextDedup.verifiedJaccard(sh, "doc_id", cand = null,
         threshold = 0.8)
-      val found = TextDedup.minhashDedup(slice, "doc_id", "text",
-        shingleN = 3, numHashes = 6, bands = 3, threshold = 0.8,
+      // the LSH side reuses the SAME persisted shingle set the ground
+      // truth scored — one corpus explode serves both measurements
+      val found = TextDedup.minhashDedupFromShingles(sh, "doc_id",
+        numHashes = 6, bands = 3, threshold = 0.8,
         maxBucket = Int.MaxValue)
       truth.agg(count(lit(1)).cast("long").as("n_true"))
         .crossJoin(found.agg(count(lit(1)).cast("long").as("n_found")))
