@@ -59,13 +59,16 @@ object TextDedup {
     * (CodegenFallback) but only over each document's own spans —
     * bounded per row, never corpus-wide.
     */
-  def dedupSegments(
+  /** Fixed `segTokens`-token spans per document: (idCol, seg_idx,
+    * seg) — the segmentation shared by [[dedupSegments]] and the
+    * incremental [[dedupSegmentsAgainst]]. Scan + explode, no shuffle.
+    */
+  def segments(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      segTokens: Int = 8): DataFrame = {
-    val segs = df
-      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      segTokens: Int): DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
       // ceil(size/segTokens) spans; int cast truncates a positive
       .withColumn("__n",
         ((size(col("__toks")) + lit(segTokens - 1)) / lit(segTokens))
@@ -76,25 +79,89 @@ object TextDedup {
         array_join(slice(col("__toks"),
           col("__i") * lit(segTokens) + lit(1), lit(segTokens)), " ")
           .as("seg"))
-    val keepFirst = org.apache.spark.sql.expressions.Window
-      .partitionBy(md5(col("seg")))
-      .orderBy(col(idCol), col("seg_idx"))
-    segs
-      .withColumn("__rn", row_number().over(keepFirst))
+
+  /** Shared reassembly tail of the batch and incremental forms: spans
+    * with a boolean `__keep` → (idCol, n_segs, n_kept, clean_text).
+    */
+  private def reassemble(decided: DataFrame, idCol: String): DataFrame =
+    decided
       .groupBy(idCol)
       .agg(
         count(lit(1)).cast("long").as("n_segs"),
-        count(when(col("__rn") === 1, lit(1))).cast("long").as("n_kept"),
+        count(when(col("__keep"), lit(1))).cast("long").as("n_kept"),
         // collect_list skips the nulls the `when` leaves on dropped
         // spans; array_sort on the struct orders by seg_idx
-        when(count(when(col("__rn") === 1, lit(1))) > 0,
+        when(count(when(col("__keep"), lit(1))) > 0,
           array_join(
             transform(
               array_sort(collect_list(
-                when(col("__rn") === 1,
+                when(col("__keep"),
                   struct(col("seg_idx"), col("seg"))))),
               x => x.getField("seg")), " "))
           .as("clean_text"))
+
+  def dedupSegments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      segTokens: Int = 8): DataFrame = {
+    val keepFirst = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("seg")))
+      .orderBy(col(idCol), col("seg_idx"))
+    reassemble(
+      segments(df, idCol, textCol, segTokens)
+        .withColumn("__keep", row_number().over(keepFirst) === 1),
+      idCol)
+  }
+
+  /** Materialize the standing corpus's distinct span fingerprints as
+    * a bucketed table — the layout half of incremental segment dedup,
+    * the [[graft.ops.Corpus.writeCorpusFingerprints]] pattern applied
+    * at span granularity: rebuild once per corpus refresh, then every
+    * nightly batch dedups against it with no exchange on the corpus
+    * side.
+    */
+  def writeSegmentFingerprints(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      table: String,
+      buckets: Int,
+      segTokens: Int = 8): Unit =
+    ScaleOps.writeBucketed(
+      segments(corpus, idCol, textCol, segTokens)
+        .select(md5(col("seg")).as("seg_fp")).distinct(),
+      table, "seg_fp", buckets)
+
+  /** [[dedupSegments]] of `batch` against an EXTERNAL span-fingerprint
+    * set (one column `seg_fp`) — the nightly C4-style shape: spans the
+    * standing corpus already holds drop everywhere, and among the
+    * genuinely new spans the first in-batch occurrence wins. Output
+    * matches [[dedupSegments]]: (idCol, n_segs, n_kept, clean_text),
+    * n_segs counting ALL of the document's spans.
+    *
+    * Scale shape: the corpus side is a one-column fingerprint scan —
+    * bucketed via [[writeSegmentFingerprints]] it never exchanges;
+    * only tonight's (small) exploded batch shuffles, into the
+    * fingerprint key for the anti-lookup and keep-first window.
+    */
+  def dedupSegmentsAgainst(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      corpusFps: DataFrame,
+      segTokens: Int = 8): DataFrame = {
+    val segs = segments(batch, idCol, textCol, segTokens)
+      .withColumn("seg_fp", md5(col("seg")))
+    val keepFirst = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("seg_fp"))
+      .orderBy(col(idCol), col("seg_idx"))
+    val decided = segs
+      .join(corpusFps.select(col("seg_fp"))
+        .withColumn("__in_corpus", lit(1)), Seq("seg_fp"), "left")
+      .withColumn("__keep",
+        col("__in_corpus").isNull && row_number().over(keepFirst) === 1)
+    reassemble(decided, idCol)
   }
 
   /** Exact dedup groups: (fp, keep_id, n_dups) on normalized-text md5. */

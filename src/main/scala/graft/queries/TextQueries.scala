@@ -189,6 +189,22 @@ object TextQueries {
         segTokens = 8)
         .orderBy("doc_id")),
 
+    // Incremental segment dedup — the nightly C4-style shape: spans
+    // the standing corpus (docs < 250) already holds drop everywhere
+    // in tonight's batch; among genuinely new spans the first in-batch
+    // occurrence wins. Production keeps the corpus span fingerprints
+    // bucketed on disk (TextDedup.writeSegmentFingerprints) so the
+    // corpus side never exchanges (spec-pinned in TextDedupSpec).
+    "q_dedup_lines_incr" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val corpusFps = TextDedup.segments(
+        d.filter(col("doc_id") < 250), "doc_id", "text", 8)
+        .select(md5(col("seg")).as("seg_fp")).distinct()
+      TextDedup.dedupSegmentsAgainst(
+        d.filter(col("doc_id") >= 250), "doc_id", "text", corpusFps, 8)
+        .orderBy("doc_id")
+    }),
+
     // Language-ID via character-n-gram profiles: score each language
     // by occurrences of its characteristic bigrams, argmax with
     // deterministic tie-break. (Real systems learn the profiles; the
@@ -523,6 +539,30 @@ object TextQueries {
              CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept,
              string_agg(CASE WHEN rn = 1 THEN seg END, ' '
                ORDER BY seg_idx) AS clean_text
+         FROM r GROUP BY doc_id ORDER BY doc_id""",
+    "q_dedup_lines_incr" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+             FROM documents),
+         s0 AS (SELECT doc_id, toks,
+             unnest(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT)))
+               AS i FROM d),
+         seg AS (SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+             array_to_string(
+               toks[CAST(i * 8 + 1 AS INTEGER):CAST(i * 8 + 8 AS INTEGER)],
+               ' ') AS seg
+             FROM s0),
+         corp AS (SELECT DISTINCT seg FROM seg WHERE doc_id < 250),
+         b AS (SELECT * FROM seg WHERE doc_id >= 250),
+         r AS (SELECT b.doc_id, b.seg_idx, b.seg,
+             row_number() OVER (PARTITION BY b.seg
+               ORDER BY b.doc_id, b.seg_idx) AS rn,
+             c.seg IS NOT NULL AS in_corpus
+             FROM b LEFT JOIN corp c ON b.seg = c.seg)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+             CAST(count(CASE WHEN rn = 1 AND NOT in_corpus THEN 1 END)
+               AS BIGINT) AS n_kept,
+             string_agg(CASE WHEN rn = 1 AND NOT in_corpus THEN seg END,
+               ' ' ORDER BY seg_idx) AS clean_text
          FROM r GROUP BY doc_id ORDER BY doc_id""",
     "q_dedup_ngram" ->
       """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks

@@ -101,6 +101,44 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got(4L) == ((2L, 1L, Some((0 until 8).map(i => s"d$i").mkString(" ")))))
   }
 
+  test("incremental segment dedup drops corpus spans with zero " +
+    "exchange above the bucketed fingerprint scan") {
+    import spark.implicits._
+    def span(p: String) = (0 until 8).map(i => s"$p$i").mkString(" ")
+    val corpusDocs = Seq((1L, span("a") + " " + span("b"))).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, span("a")),                  // corpus dup: fully dropped
+      (11L, span("c") + " " + span("b")), // second span in corpus
+      (12L, span("c")))                   // in-batch dup of 11's first
+      .toDF("doc_id", "text")
+    TextDedup.writeSegmentFingerprints(
+      corpusDocs, "doc_id", "text", "seg_fp_b", buckets = 4)
+    try {
+      // disable auto-broadcast so the lookup would otherwise shuffle
+      // both sides — the bucketed layout must carry the corpus side
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val out = TextDedup.dedupSegmentsAgainst(
+        batch, "doc_id", "text", spark.table("seg_fp_b"))
+      val got = out.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.getString(3))))).toMap
+      assert(got(10L) == ((1L, 0L, None)))
+      assert(got(11L) == ((2L, 1L, Some(span("c")))))
+      assert(got(12L) == ((1L, 0L, None)))
+      val shufflesOverScan = out.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.toString.contains("seg_fp_b") => e
+      }
+      assert(shufflesOverScan.isEmpty,
+        "bucketed corpus side still shuffles:\n" +
+          out.queryExecution.executedPlan.toString)
+      assert(out.queryExecution.executedPlan.toString.contains("seg_fp_b"),
+        "plan does not read the bucketed table")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS seg_fp_b")
+    }
+  }
+
   test("clusters: connected components collapse chains to the smallest id") {
     import spark.implicits._
     val ids = (0L to 7L).toDF("id")
