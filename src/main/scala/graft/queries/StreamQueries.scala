@@ -87,6 +87,24 @@ object StreamQueries {
       }.select(col("fp")).orderBy("fp")
     }),
 
+    // Streaming segment-level dedup: arriving documents explode into
+    // fixed 8-token spans and the stream keeps the first arrival of
+    // every distinct span within the watermark — the live boilerplate
+    // filter. Output = the distinct kept span-fingerprint set, which
+    // equals the batch distinct span set (the oracle) regardless of
+    // which arrival won.
+    "q_stream_lines" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          timestamp_seconds(col("doc_id") + lit(1000000000L)).as("ts"))
+        .as[(Long, String, Timestamp)].collect()
+      runStream(s, "q_stream_lines_sink", Seq(docs.toIndexedSeq)) {
+        (ds: org.apache.spark.sql.Dataset[(Long, String, Timestamp)]) =>
+          EventStream.dedupSegments(ds.toDF("doc_id", "text", "ts"))
+      }.select(col("seg_fp")).orderBy("seg_fp")
+    }),
+
     // Streaming MinHash near-dup: documents stream through the
     // band-keyed stateful matcher (LSH bucket state, horizon-bounded).
     // Fed as one batch with distinct synthetic event times, the
@@ -447,6 +465,16 @@ object StreamQueries {
     "q_stream_dedup" ->
       """SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
          FROM documents ORDER BY fp""",
+    "q_stream_lines" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+             FROM documents),
+         s0 AS (SELECT doc_id, toks,
+             unnest(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT)))
+               AS i FROM d),
+         seg AS (SELECT array_to_string(
+             toks[CAST(i * 8 + 1 AS INTEGER):CAST(i * 8 + 8 AS INTEGER)],
+             ' ') AS seg FROM s0)
+         SELECT DISTINCT md5(seg) AS seg_fp FROM seg ORDER BY seg_fp""",
     "q_stream_counts" -> streamCountsOracle,
     // identical aggregation, different ingestion path (file source vs
     // MemoryStream) — one oracle pins both to the same answer

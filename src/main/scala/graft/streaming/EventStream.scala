@@ -103,6 +103,39 @@ object EventStream {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming segment-level dedup — [[dedupExact]] at span
+    * granularity, the streaming half of
+    * [[graft.ops.TextDedup.dedupSegments]]: each arriving document
+    * explodes (statelessly) into fixed `segTokens`-token spans and the
+    * first arrival of every distinct span fingerprint within the
+    * watermark horizon survives. State is one entry per distinct
+    * in-horizon span fp (watermark-bounded, evicted as time advances)
+    * — the live boilerplate filter in an ingest stream. Emits
+    * (idCol, tsCol, seg_idx, seg, seg_fp) for kept spans.
+    */
+  def dedupSegments(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      tsCol: String = "ts",
+      segTokens: Int = 8,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    docs
+      .select(col(idCol), col(tsCol),
+        graft.ops.TextDedup.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n",
+        ((size(col("__toks")) + lit(segTokens - 1)) / lit(segTokens))
+          .cast("int"))
+      .withColumn("__i", explode(sequence(lit(0), col("__n") - 1)))
+      .select(col(idCol), col(tsCol),
+        col("__i").cast("long").as("seg_idx"),
+        array_join(slice(col("__toks"),
+          col("__i") * lit(segTokens) + lit(1), lit(segTokens)), " ")
+          .as("seg"))
+      .withColumn("seg_fp", md5(col("seg")))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("seg_fp")
+
   /** Gap-based sessionization with custom state
     * (`flatMapGroupsWithState`, event-time timeout): a session closes
     * when `gapSeconds` passes without an event, or when the watermark

@@ -136,6 +136,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming segment dedup keeps first span arrival across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def span(p: String) = (0 until 8).map(i => s"$p$i").mkString(" ")
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = EventStream.dedupSegments(
+      input.toDF().toDF("doc_id", "ts", "text"),
+      watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("segdedup")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts(0), span("a") + " " + span("b")))
+      q.processAllAvailable()
+      // batch 2: span "a" repeats (drops), span "c" is new (kept) —
+      // the cross-batch state the single-batch gate cannot exercise
+      input.addData((2L, ts(3), span("a") + " " + span("c")))
+      q.processAllAvailable()
+      val kept = spark.table("segdedup")
+        .select("doc_id", "seg_idx").as[(Long, Long)].collect().toSet
+      assert(kept == Set((1L, 0L), (1L, 1L), (2L, 1L)), s"kept=$kept")
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions on gap and watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
