@@ -348,7 +348,9 @@ object Corpus {
   val defaultPiiRules: Seq[(String, String)] = Seq(
     ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
     ("\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
-    ("\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"))
+    ("\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<SSN>"),
+    ("\\b[A-Z]{2}[0-9]{2}[A-Z0-9]{10,30}\\b", "<IBAN>"))
 
   /** Apply `rules` left-to-right, each as a global regex replace.
     * Scale stance: a codegen'd per-row projection — no shuffle, no

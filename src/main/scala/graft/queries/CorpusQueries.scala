@@ -164,6 +164,18 @@ object CorpusQueries {
         when(col("doc_id") % 5 === 0,
           concat(lit(" host 10.0."), (col("doc_id") % 256).cast("string"),
             lit(".7")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" ssn "),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+            lpad((col("doc_id") % 100).cast("string"), 2, "0"), lit("-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" iban GB"),
+            lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+            lit("GRAFT0"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
           .otherwise(lit(""))).as("aug")
       // counts are STAGED — each rule counts on the text the previous
       // rules already redacted, so a span two patterns both match
@@ -177,9 +189,14 @@ object CorpusQueries {
         .withColumn("n_phone", regexp_count(col("s1"), lit(rules(1)._1)))
         .withColumn("s2", Corpus.redactPii(col("s1"), rules.slice(1, 2)))
         .withColumn("n_ip", regexp_count(col("s2"), lit(rules(2)._1)))
+        .withColumn("s3", Corpus.redactPii(col("s2"), rules.slice(2, 3)))
+        .withColumn("n_ssn", regexp_count(col("s3"), lit(rules(3)._1)))
+        .withColumn("s4", Corpus.redactPii(col("s3"), rules.slice(3, 4)))
+        .withColumn("n_iban", regexp_count(col("s4"), lit(rules(4)._1)))
         .select(col("doc_id"),
-          Corpus.redactPii(col("s2"), rules.slice(2, 3)).as("clean"),
-          col("n_email"), col("n_phone"), col("n_ip"))
+          Corpus.redactPii(col("s4"), rules.slice(4, 5)).as("clean"),
+          col("n_email"), col("n_phone"), col("n_ip"),
+          col("n_ssn"), col("n_iban"))
         .orderBy("doc_id")
     }),
 
@@ -416,7 +433,8 @@ object CorpusQueries {
       // ONE pattern source: the library rules are interpolated into
       // the oracle text, so the two sides cannot drift (patterns use
       // only Java-regex/RE2-agreeing constructs and contain no quotes)
-      val Seq((email, _), (phone, _), (ip, _)) = Corpus.defaultPiiRules
+      val Seq((email, _), (phone, _), (ip, _), (ssn, _), (iban, _)) =
+        Corpus.defaultPiiRules
       s"""WITH a AS (SELECT doc_id,
            text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
              || CASE WHEN doc_id % 3 = 0
@@ -425,18 +443,33 @@ object CorpusQueries {
                   ELSE '' END
              || CASE WHEN doc_id % 5 = 0
                   THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                  ELSE '' END
+             || CASE WHEN doc_id % 4 = 0
+                  THEN ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                    || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                    || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                  THEN ' iban GB' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                    || 'GRAFT0' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
                   ELSE '' END AS aug
          FROM documents),
          s1 AS (SELECT doc_id, aug,
              regexp_replace(aug, '$email', '<EMAIL>', 'g') AS c1 FROM a),
          s2 AS (SELECT doc_id, aug, c1,
-             regexp_replace(c1, '$phone', '<PHONE>', 'g') AS c2 FROM s1)
+             regexp_replace(c1, '$phone', '<PHONE>', 'g') AS c2 FROM s1),
+         s3 AS (SELECT doc_id, aug, c1, c2,
+             regexp_replace(c2, '$ip', '<IP>', 'g') AS c3 FROM s2),
+         s4 AS (SELECT doc_id, aug, c1, c2, c3,
+             regexp_replace(c3, '$ssn', '<SSN>', 'g') AS c4 FROM s3)
          SELECT doc_id,
-           regexp_replace(c2, '$ip', '<IP>', 'g') AS clean,
+           regexp_replace(c4, '$iban', '<IBAN>', 'g') AS clean,
            CAST(len(regexp_extract_all(aug, '$email')) AS INTEGER) AS n_email,
            CAST(len(regexp_extract_all(c1, '$phone')) AS INTEGER) AS n_phone,
-           CAST(len(regexp_extract_all(c2, '$ip')) AS INTEGER) AS n_ip
-         FROM s2 ORDER BY doc_id"""
+           CAST(len(regexp_extract_all(c2, '$ip')) AS INTEGER) AS n_ip,
+           CAST(len(regexp_extract_all(c3, '$ssn')) AS INTEGER) AS n_ssn,
+           CAST(len(regexp_extract_all(c4, '$iban')) AS INTEGER) AS n_iban
+         FROM s4 ORDER BY doc_id"""
     },
     "q_domain_mix" ->
       """WITH t AS (SELECT source,

@@ -259,7 +259,9 @@ class CorpusSpec extends AnyFunSuite {
       (1L, "mail me at jane.doe+spam@corp.example.org today"),
       (2L, "call +1-555-0123 or visit 192.168.0.1 now"),
       (3L, "no pii here, just words and numbers 42"),
-      (4L, "two mails a@b.io c.d@e.co and ip 10.0.0.7"))
+      (4L, "two mails a@b.io c.d@e.co and ip 10.0.0.7"),
+      (5L, "ssn 123-45-6789 and account GB29NWBK60161331926819 ok"),
+      (6L, "date-ish 2024-01-0131 and plain code AB12 survive"))
       .toDF("id", "text")
     val out = df.select(col("id"),
       Corpus.redactPii(col("text")).as("clean"))
@@ -268,6 +270,10 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(2L) == "call <PHONE> or visit <IP> now")
     assert(out(3L) == "no pii here, just words and numbers 42")
     assert(out(4L) == "two mails <EMAIL> <EMAIL> and ip <IP>")
+    assert(out(5L) == "ssn <SSN> and account <IBAN> ok")
+    // 4-digit year-dash groups don't match the 3-2-4 SSN shape, and a
+    // bare [A-Z]{2}[0-9]{2} without 10 more alnums is not IBAN-like
+    assert(out(6L) == "date-ish 2024-01-0131 and plain code AB12 survive")
     // nothing matching any default rule survives redaction
     for ((pat, _) <- Corpus.defaultPiiRules)
       assert(df.select(Corpus.redactPii(col("text")).as("c"))
