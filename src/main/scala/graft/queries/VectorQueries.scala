@@ -114,6 +114,52 @@ object VectorQueries {
     (e, pairs)
   }
 
+  /** Fixed-centroid IVF assignment (first 16 vectors as the coarse
+    * quantizer): every vector with vec_id >= 16 labeled with its
+    * nearest centroid's cell. ONE definition shared by q_ann_ivf
+    * (in-memory) and q_ann_ivf_persisted (save → cold-load lifecycle)
+    * so the assignment rule — and therefore the shared oracle — cannot
+    * drift between the two.
+    */
+  private def ivfFixedAssigned(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(emb(s, dir).filter(col("vec_id") < 2000)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v")))
+    val cent = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    val aw = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id"))
+    e.filter(col("vec_id") >= 16)
+      .join(broadcast(cent))
+      .withColumn("c_cos", cosR(col("v"), col("cv"), col("nrm"), col("cn")))
+      .withColumn("rk", row_number().over(aw))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cell"))
+  }
+
+  /** Own-cell (nprobe=1) nearest neighbor over an IVF assignment
+    * (vec_id, v, nrm, cell): queries (vec_id < 66) join candidates
+    * within their cell only — the per-cell equi-join that makes IVF
+    * search `1/k` of the corpus per query instead of O(n·m).
+    */
+  private def ivfOwnCellSearch(assigned: DataFrame): DataFrame = {
+    val q = assigned.filter(col("vec_id") < 66)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cell"))
+    val c = assigned
+      .select(col("vec_id").as("cand_id"), col("v").as("cv2"),
+        col("nrm").as("cn2"), col("cell").as("ccell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_r").desc, col("cand_id"))
+    q.join(c, col("cell") === col("ccell") &&
+        col("q_id") =!= col("cand_id"))
+      .withColumn("cos_r", cosR(col("qv"), col("cv2"), col("qn"), col("cn2")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("q_id"), col("cand_id"), col("cell"), col("cos_r"))
+      .orderBy("q_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Norms + dims: the sanity surface for the vector column.
@@ -199,38 +245,10 @@ object VectorQueries {
     // vector to its nearest cell; queries search only their own cell.
     // Turns O(n·m) scoring into per-cell equi-join work, like a real
     // inverted-file index.
-    "q_ann_ivf" -> ((s, dir) => {
-      val e = withNorm(emb(s, dir).filter(col("vec_id") < 2000)
-        .select(col("vec_id"), asDouble(col("embedding")).as("v")))
-      val cent = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("c_id"), col("v").as("cv"),
-          col("nrm").as("cn"))
-      val aw = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id"))
-      val assigned = e.filter(col("vec_id") >= 16)
-        .join(broadcast(cent))
-        .withColumn("c_cos", cosR(col("v"), col("cv"), col("nrm"), col("cn")))
-        .withColumn("rk", row_number().over(aw))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("v"), col("nrm"),
-          col("c_id").as("cell"))
-        .transform(graft.ops.QueryCaches.persist) // feeds both the query and candidate sides below
-      val q = assigned.filter(col("vec_id") < 66)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"),
-          col("nrm").as("qn"), col("cell"))
-      val c = assigned
-        .select(col("vec_id").as("cand_id"), col("v").as("cv2"),
-          col("nrm").as("cn2"), col("cell").as("ccell"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("q_id").orderBy(col("cos_r").desc, col("cand_id"))
-      q.join(c, col("cell") === col("ccell") &&
-          col("q_id") =!= col("cand_id"))
-        .withColumn("cos_r", cosR(col("qv"), col("cv2"), col("qn"), col("cn2")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("q_id"), col("cand_id"), col("cell"), col("cos_r"))
-        .orderBy("q_id")
-    }),
+    "q_ann_ivf" -> ((s, dir) =>
+      ivfOwnCellSearch(ivfFixedAssigned(s, dir)
+        // feeds both the query and candidate sides of the search
+        .transform(graft.ops.QueryCaches.persist))),
 
     // Embedding-cosine near-dup at scale: same pair semantics as
     // q_cosine_pairs but candidates come only from shared LSH buckets
@@ -312,6 +330,30 @@ object VectorQueries {
           (col("pos") + 1).cast("long").as("rank"),
           round(col("col.score"), 6).as("score_r"))
         .orderBy("q_id", "rank")
+    }),
+
+    // IVF index LIFECYCLE gate: the same fixed-centroid index as
+    // q_ann_ivf, but round-tripped through IvfIndex.save (assignment
+    // partitioned by cell on disk, centroids alongside) and a COLD
+    // IvfIndex.load — the own-cell search then runs over the loaded
+    // scan, so the on-disk layout, schema and values are all checked
+    // against the SAME oracle as the in-memory variant. At 100 TB this
+    // is the deployment shape: index once, serve probes from the
+    // cell-partitioned files; a probe reads only its cells' directories
+    // (PlanSpec pins PartitionFilters on the cold scan).
+    "q_ann_ivf_persisted" -> ((s, dir) => {
+      val cents = withNorm(emb(s, dir).filter(col("vec_id") < 16)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v")))
+        .select(col("vec_id").cast("int").as("c_id"), col("v"))
+        .collect() // 16 rows — the coarse quantizer is driver-sized by design
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_ivf_persisted")
+        .getAbsolutePath
+      graft.ops.IvfIndex.save(
+        graft.ops.IvfIndex.Model(cents, ivfFixedAssigned(s, dir)), path)
+      ivfOwnCellSearch(graft.ops.IvfIndex.load(s, path).assigned)
     }),
 
     // Multi-probe LSH search: nearest neighbor over the query's bucket
@@ -551,6 +593,35 @@ object VectorQueries {
          SELECT q_id, cand_id, rank, cos_r FROM r WHERE rank <= 3
          ORDER BY q_id, rank"""
 
+  // One definition of the fixed-centroid IVF search result: q_ann_ivf
+  // computes it in memory, q_ann_ivf_persisted through the save →
+  // cold-load disk round trip — both must match exactly this.
+  private val ivfOracle =
+    """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id < 2000),
+         n AS (SELECT * FROM (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
+             WHERE nrm > 0),
+         cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n
+             WHERE vec_id < 16),
+         scored AS (SELECT x.vec_id, x.v, x.nrm, c.c_id,
+             round(list_dot_product(x.v, c.cv) / (x.nrm * c.cn), 6) AS c_cos
+             FROM n x CROSS JOIN cent c WHERE x.vec_id >= 16),
+         assigned AS (SELECT vec_id, v, nrm, c_id AS cell FROM (
+             SELECT *, row_number() OVER
+               (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS rk
+             FROM scored) WHERE rk = 1),
+         p AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id, q.cell,
+             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos_r
+             FROM assigned q JOIN assigned c
+               ON q.cell = c.cell AND q.vec_id <> c.vec_id
+             WHERE q.vec_id < 66),
+         r AS (SELECT *, row_number() OVER
+             (PARTITION BY q_id ORDER BY cos_r DESC, cand_id) AS rk FROM p)
+         SELECT q_id, cand_id, cell, cos_r FROM r WHERE rk = 1
+         ORDER BY q_id"""
+
   val oracles: Map[String, String] = Map(
     "q_vec_norm" ->
       """SELECT vec_id, label,
@@ -593,31 +664,10 @@ object VectorQueries {
              AS cell_frac
          FROM assigned CROSS JOIN t
          GROUP BY cell, t.n_total ORDER BY cell""",
-    "q_ann_ivf" ->
-      """WITH e AS (SELECT vec_id,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           FROM embeddings WHERE vec_id < 2000),
-         n AS (SELECT * FROM (SELECT vec_id, v,
-             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
-             WHERE nrm > 0),
-         cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n
-             WHERE vec_id < 16),
-         scored AS (SELECT x.vec_id, x.v, x.nrm, c.c_id,
-             round(list_dot_product(x.v, c.cv) / (x.nrm * c.cn), 6) AS c_cos
-             FROM n x CROSS JOIN cent c WHERE x.vec_id >= 16),
-         assigned AS (SELECT vec_id, v, nrm, c_id AS cell FROM (
-             SELECT *, row_number() OVER
-               (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS rk
-             FROM scored) WHERE rk = 1),
-         p AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id, q.cell,
-             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos_r
-             FROM assigned q JOIN assigned c
-               ON q.cell = c.cell AND q.vec_id <> c.vec_id
-             WHERE q.vec_id < 66),
-         r AS (SELECT *, row_number() OVER
-             (PARTITION BY q_id ORDER BY cos_r DESC, cand_id) AS rk FROM p)
-         SELECT q_id, cand_id, cell, cos_r FROM r WHERE rk = 1
-         ORDER BY q_id""",
+    "q_ann_ivf" -> ivfOracle,
+    // the persisted variant must reproduce the in-memory index exactly
+    // after its disk round trip — one oracle serves both
+    "q_ann_ivf_persisted" -> ivfOracle,
     "q_cosine_pairs_lsh" ->
       s"""WITH e AS (SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

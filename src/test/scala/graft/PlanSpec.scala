@@ -136,6 +136,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
   }
 
+  test("persisted IVF: a cell probe prunes to that cell's directory") {
+    // materialize the gate query once so the saved index exists
+    SparkEntry.queries("q_ann_ivf_persisted")(spark, dir).collect()
+    graft.ops.QueryCaches.releaseAll()
+    val path = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_ivf_persisted")
+      .getAbsolutePath
+    val m = graft.ops.IvfIndex.load(spark, path)
+    val probe = m.assigned
+      .filter(org.apache.spark.sql.functions.col("cell") === 3)
+    val p = probe.queryExecution.executedPlan.toString
+    // the cell predicate must land in PartitionFilters (directory
+    // pruning — only cell=3 files are read), not a post-scan Filter
+    val pf = p.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("cell"), s"cell probe not a partition filter:\n$p")
+    assert(probe.count() > 0, "probed cell unexpectedly empty")
+  }
+
   test("q_sample_hash: pure scan+filter, no exchange before the oracle sort") {
     val p = plan("q_sample_hash")
     // the sample itself is shuffle-free; the only exchange allowed is
