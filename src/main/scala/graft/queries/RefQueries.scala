@@ -217,6 +217,60 @@ object RefQueries {
         .orderBy(col("nkey").cast("int"))
     }),
 
+    // §3.1 upload lifecycle END-TO-END: deterministic one-sheet
+    // workbooks (XlsxWriter) → parse (XlsxIngest) → sqlify the sheet
+    // name (data.py:84-85) → sync decision against a simulated
+    // warehouse catalog (SyncAction.decide, data.py:120-131) → local
+    // sink (LocalDestination.write, data.py:137-153) → the reference's
+    // exact report strings. The oracle rebuilds the same strings in
+    // SQL with counts taken from the source tables, so table naming,
+    // the truncate/drop/create decision AND the header-exclusive
+    // record count (reference bug B4 fixed) are all hash-gated.
+    "q_upload_report" -> ((s, dir) => {
+      import graft.ingest.XlsxWriter
+      import graft.ingest.XlsxWriter._
+      import graft.sync.{LoadReport, LocalDestination, SyncAction}
+      val tmp = System.getProperty("java.io.tmpdir")
+      // FIXED base dir: the report string embeds the target path, and
+      // the oracle SQL interpolates the same constant
+      val baseDir = "/tmp/graft_upload_gate"
+      val nation = t(s, dir, "nation").select("n_nationkey", "n_name")
+        .collect().sortBy(_.getInt(0)) // 25 rows — workbook synthesis is driver-sized
+      val wb1 = java.nio.file.Paths.get(tmp, "graft_upload_nation.xlsx")
+      XlsxWriter.write(wb1, "Nation Data",
+        Seq[Seq[Cell]](Seq(Str("nkey"), Str("name"))) ++
+          nation.toSeq.map(r =>
+            Seq[Cell](Num(r.getInt(0).toString), Str(r.getString(1)))))
+      val region = t(s, dir, "region").select("r_regionkey", "r_name")
+        .collect().sortBy(_.getInt(0))
+      val wb2 = java.nio.file.Paths.get(tmp, "graft_upload_region.xlsx")
+      XlsxWriter.write(wb2, "Region-List!",
+        Seq[Seq[Cell]](Seq(Str("rkey"), Str("rname"))) ++
+          region.toSeq.map(r =>
+            Seq[Cell](Num(r.getInt(0).toString), Str(r.getString(1)))))
+      val wb3 = java.nio.file.Paths.get(tmp, "graft_upload_empty.xlsx")
+      XlsxWriter.write(wb3, "Empty Sheet",
+        Seq[Seq[Cell]](Seq(Str("a"), Str("b"))))
+      val catalog = Map(
+        // same column SET, case/order differ → TRUNCATE
+        "nation_data" -> Seq("NAME", "nkey"),
+        // an obsolete third column → DROP + CREATE
+        "region_list_" -> Seq("rkey", "rname", "obsolete_col"))
+      val rows = Seq(wb1, wb2, wb3).flatMap { p =>
+        graft.ingest.XlsxIngest.readWorkbook(s, p.toString).map {
+          case (sheetName, df) =>
+            val table = graft.model.Identifiers.sqlify(sheetName)
+            val action = catalog.get(table)
+              .map(SyncAction.decide(_, df.columns.toSeq))
+            val written = LocalDestination.write(df, table, "", baseDir)
+            (table,
+              LoadReport(action, written.target, written.nRecords).render)
+        }
+      }
+      import s.implicits._
+      rows.toDF("table_name", "report").orderBy("table_name")
+    }),
+
     // S10 delimiter sniffing (csv_sniff.py:5-22) — not SQL-expressible,
     // declared without an oracle (rows-only check). Distributed form:
     // sniff a corpus of small CSV payloads per-row.
@@ -336,7 +390,27 @@ object RefQueries {
                      + CAST(58 + n_nationkey * 7 AS INTEGER) AS VARCHAR) AS asof,
                 CAST(DATE '1899-12-31'
                      + CAST(45000 + n_nationkey AS INTEGER) AS VARCHAR) AS asof_custom
-         FROM nation ORDER BY n_nationkey"""
+         FROM nation ORDER BY n_nationkey""",
+    // The reference's report strings rebuilt literally: action past
+    // tense + target path + header-exclusive count per table.
+    "q_upload_report" -> {
+      val b = "/tmp/graft_upload_gate"
+      s"""SELECT * FROM (
+           SELECT 'nation_data' AS table_name,
+             'Truncated and loaded into $b/nation_data.csv.' || chr(10) ||
+               CAST((SELECT count(*) FROM nation) AS VARCHAR) ||
+               ' records loaded successfully.' || chr(10) AS report
+           UNION ALL
+           SELECT 'region_list_',
+             'Dropped and loaded into $b/region_list_.csv.' || chr(10) ||
+               CAST((SELECT count(*) FROM region) AS VARCHAR) ||
+               ' records loaded successfully.' || chr(10)
+           UNION ALL
+           SELECT 'empty_sheet',
+             'Created $b/empty_sheet.csv.' || chr(10) ||
+               '0 records loaded successfully.' || chr(10)) AS u
+         ORDER BY table_name"""
+    }
     // q_sniff: intentionally no oracle (non-SQL-expressible; rows-only).
   )
 }
