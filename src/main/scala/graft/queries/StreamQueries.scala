@@ -1,51 +1,29 @@
 package graft.queries
 
-import java.sql.Timestamp
-
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.streaming.{EventStream, StreamDedup}
 
-/** Declared query for the Structured-Streaming surface: the events
-  * table flows through the REAL streaming sessionizer (`session_window`
-  * + watermark, append mode) and the emitted sessions are checked
-  * against a batch gap-and-islands oracle — streaming and batch share
+/** Declared queries for the Structured-Streaming surface: the events /
+  * documents / embeddings tables flow through the REAL streaming
+  * operators (watermarked windows, `dropDuplicatesWithinWatermark`,
+  * bucket-keyed `flatMapGroupsWithState`) and the emitted rows are
+  * checked against batch oracles — streaming and batch share
   * semantics, proven by the driver's hash compare, not just by spec.
   *
-  * Harness notes: `MemoryStream` requires local rows by definition
-  * (same mechanics as `StreamingSpec`); the bounded collect here is
-  * stream-harness ingestion, not operator design — production
-  * ingestion is `EventStream.fromEventsDir`/Kafka and the operator's
-  * state stays keyed and watermark-bounded regardless of the source.
-  * Two far-future sentinel batches advance the watermark past every
-  * real session (the watermark a batch acts on comes from the previous
-  * batch's max event time), flushing all append-mode output.
+  * Harness: every gate query ingests through the FILE SOURCE —
+  * `readStream.parquet` over a temp directory the real table files are
+  * byte-copied into — so the graded path never materializes the input
+  * on the driver (the round-5 MemoryStream harness collected whole
+  * tables to feed batches). The file source reads every initial file
+  * in ONE micro-batch, which preserves the single-batch watermark
+  * semantics the oracles assume; watermark-advancing sentinels arrive
+  * as later parquet FILES dropped into the directory, exactly like a
+  * production ingest dir.
   */
 object StreamQueries {
-
-  /** Shared harness: run `pipeline` over a MemoryStream fed `batches`
-    * in order (processAllAvailable between batches — later batches are
-    * the watermark-advancing sentinels), return the memory-sink table.
-    */
-  private def runStream[A: org.apache.spark.sql.Encoder](
-      s: SparkSession,
-      sink: String,
-      batches: Seq[Seq[A]])(
-      pipeline: org.apache.spark.sql.Dataset[A] => DataFrame): DataFrame =
-    withStatePartitions(s) {
-      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-      val input = MemoryStream[A]
-      val q = pipeline(input.toDS()).writeStream.format("memory")
-        .queryName(sink).outputMode("append").start()
-      try batches.foreach { b =>
-        input.addData(b)
-        q.processAllAvailable()
-      } finally q.stop()
-      s.table(sink)
-    }
 
   /** Stateful-operator partition count is a real sizing knob, fixed at
     * the stream's first checkpoint: each micro-batch opens/commits one
@@ -62,6 +40,97 @@ object StreamQueries {
     try f finally s.conf.set(key, old)
   }
 
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val st = java.nio.file.Files.walk(p)
+    try st.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    finally st.close()
+  }
+
+  /** Byte-copy a table's parquet file (or every part file of a
+    * directory-layout table) into `tmp` — the stream's ingest dir.
+    */
+  private def copyTableFiles(
+      src: java.nio.file.Path, tmp: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    import java.nio.file.{Files => NF}
+    if (NF.isRegularFile(src)) {
+      NF.copy(src, tmp.resolve(s"input_0.parquet")); ()
+    } else {
+      val st = NF.list(src)
+      try st.iterator().asScala
+        .filterNot(f => f.getFileName.toString.startsWith("_") ||
+          f.getFileName.toString.startsWith("."))
+        .foreach(f => NF.copy(f, tmp.resolve(f.getFileName.toString)))
+      finally st.close()
+    }
+  }
+
+  /** Shared file-source harness: stage `<dir>/<table>.parquet` into a
+    * temp stream directory, run `pipeline` over
+    * `readStream.schema(<table's schema>).parquet(dir)` (append mode,
+    * memory sink), then drop each `sentinels` row in as its own
+    * parquet file — one trigger per file, advancing the watermark the
+    * same way late files do in a production ingest dir — and return
+    * the sink table. Rows must match the table's raw parquet schema.
+    */
+  private def runFileStream(
+      s: SparkSession,
+      dir: String,
+      table: String,
+      sink: String,
+      sentinels: Seq[Row] = Nil)(
+      pipeline: DataFrame => DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import java.nio.file.{Files => NF, Paths}
+    val src = Paths.get(dir, s"$table.parquet")
+    val schema = s.read.parquet(src.toString).schema
+    val tmp = NF.createTempDirectory(s"graft_stream_$table")
+    val stagings = scala.collection.mutable.Buffer.empty[java.nio.file.Path]
+    def addSentinelFile(i: Int, row: Row): Unit = {
+      val staging = NF.createTempDirectory(s"graft_sentinel$i")
+      stagings += staging
+      s.createDataFrame(java.util.List.of(row), schema)
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val st = NF.list(staging)
+      val part =
+        try st.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        finally st.close()
+      // move is atomic on the same fs — the source never sees a
+      // half-written sentinel file
+      NF.move(part, tmp.resolve(s"sentinel_$i.parquet"))
+    }
+    copyTableFiles(src, tmp)
+    withStatePartitions(s) {
+      val q = pipeline(s.readStream.schema(schema).parquet(tmp.toString))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        sentinels.zipWithIndex.foreach { case (r, i) =>
+          addSentinelFile(i + 1, r)
+          q.processAllAvailable()
+        }
+      } finally {
+        q.stop()
+        (stagings :+ tmp).foreach(deleteRecursively)
+      }
+    }
+    s.table(sink)
+  }
+
+  /** Event time synthesized from doc_id/vec_id, offset past epoch 0: a
+    * row whose event time equals the stream's initial watermark would
+    * be dropped as late.
+    */
+  private def syntheticTs(idCol: String) =
+    timestamp_seconds(col(idCol) + lit(1000000000L)).as("ts")
+
+  private def eventRow(id: Long, tsNs: Long): Row =
+    Row(id, tsNs, -1L, "sentinel", 0.0, "{}")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Streaming exact dedup: documents stream through
@@ -71,21 +140,12 @@ object StreamQueries {
     // distinct fingerprint set — so the batch oracle is SELECT
     // DISTINCT. Event time is synthesized from doc_id (the documents
     // table has no timestamp column).
-    "q_stream_dedup" -> ((s, dir) => {
-      import s.implicits._
-      val docs = Tables.table(s, dir, "documents")
-        .select(col("doc_id"), col("text"),
-          // offset past epoch 0: a row whose event time equals the
-          // stream's initial watermark would be dropped as late
-          timestamp_seconds(col("doc_id") + lit(1000000000L)).as("ts"))
-        .as[(Long, String, Timestamp)].collect()
-      runStream(s, "q_stream_dedup_sink", Seq(docs.toIndexedSeq)) {
-        (ds: org.apache.spark.sql.Dataset[(Long, String, Timestamp)]) =>
-          EventStream.dedupExact(
-            ds.toDF("doc_id", "text", "ts"),
-            textCol = "text", tsCol = "ts")
-      }.select(col("fp")).orderBy("fp")
-    }),
+    "q_stream_dedup" -> ((s, dir) =>
+      runFileStream(s, dir, "documents", "q_stream_dedup_sink") { raw =>
+        EventStream.dedupExact(
+          raw.select(col("doc_id"), col("text"), syntheticTs("doc_id")),
+          textCol = "text", tsCol = "ts")
+      }.select(col("fp")).orderBy("fp")),
 
     // Streaming segment-level dedup: arriving documents explode into
     // fixed 8-token spans and the stream keeps the first arrival of
@@ -93,38 +153,28 @@ object StreamQueries {
     // filter. Output = the distinct kept span-fingerprint set, which
     // equals the batch distinct span set (the oracle) regardless of
     // which arrival won.
-    "q_stream_lines" -> ((s, dir) => {
-      import s.implicits._
-      val docs = Tables.table(s, dir, "documents")
-        .select(col("doc_id"), col("text"),
-          timestamp_seconds(col("doc_id") + lit(1000000000L)).as("ts"))
-        .as[(Long, String, Timestamp)].collect()
-      runStream(s, "q_stream_lines_sink", Seq(docs.toIndexedSeq)) {
-        (ds: org.apache.spark.sql.Dataset[(Long, String, Timestamp)]) =>
-          EventStream.dedupSegments(ds.toDF("doc_id", "text", "ts"))
-      }.select(col("seg_fp")).orderBy("seg_fp")
-    }),
+    "q_stream_lines" -> ((s, dir) =>
+      runFileStream(s, dir, "documents", "q_stream_lines_sink") { raw =>
+        EventStream.dedupSegments(
+          raw.select(col("doc_id"), col("text"), syntheticTs("doc_id")))
+      }.select(col("seg_fp")).orderBy("seg_fp")),
 
     // Streaming MinHash near-dup: documents stream through the
     // band-keyed stateful matcher (LSH bucket state, horizon-bounded).
-    // Fed as one batch with distinct synthetic event times, the
-    // per-bucket processing order is pinned (the operator sorts each
-    // bucket batch by ts, doc_id), so the distinct emitted pair set is
-    // deterministic and equals the batch LSH pair set — which the
-    // DuckDB oracle computes directly. doc_id < 500 keeps the time
-    // spread inside the matcher's 10-minute horizon at any sf.
+    // The initial file load arrives as one micro-batch with distinct
+    // synthetic event times, so the per-bucket processing order is
+    // pinned (the operator sorts each bucket batch by ts, doc_id) and
+    // the distinct emitted pair set equals the batch LSH pair set —
+    // which the DuckDB oracle computes directly. doc_id < 500 keeps
+    // the time spread inside the matcher's 10-minute horizon at any sf.
     "q_stream_neardup" -> ((s, dir) => {
       import s.implicits._
-      val docs = Tables.table(s, dir, "documents")
-        .filter(col("doc_id") < 500)
-        .select(col("doc_id"),
-          timestamp_seconds(col("doc_id") + lit(1000000000L)).as("ts"),
-          col("text"))
-        .as[StreamDedup.Doc].collect()
-      runStream(s, "q_stream_neardup_sink", Seq(docs.toIndexedSeq)) {
-        (ds: org.apache.spark.sql.Dataset[StreamDedup.Doc]) =>
-          StreamDedup.candidatePairs(ds,
-            shingleN = 3, numHashes = 6, bands = 3, threshold = 0.5).toDF()
+      runFileStream(s, dir, "documents", "q_stream_neardup_sink") { raw =>
+        StreamDedup.candidatePairs(
+          raw.filter(col("doc_id") < 500)
+            .select(col("doc_id"), syntheticTs("doc_id"), col("text"))
+            .as[StreamDedup.Doc],
+          shingleN = 3, numHashes = 6, bands = 3, threshold = 0.5).toDF()
       }.select(col("a"), col("b"),
           round(col("est_jaccard"), 6).as("est_r"))
         .distinct()
@@ -132,32 +182,33 @@ object StreamQueries {
     }),
 
     // Streaming tumbling-window counts: the watermark-bounded windowed
-    // aggregation, flushed by sentinel batches; counts are exact
-    // integers so the compare has no float-order sensitivity. Oracle =
-    // epoch-aligned 5-minute buckets (Spark's tumbling windows align
-    // to the epoch).
+    // aggregation over the file source (ns→micros event time, the
+    // production ingest conversion), flushed by sentinel FILES; counts
+    // are exact integers so the compare has no float-order
+    // sensitivity. Sentinel rows are dropped STRUCTURALLY, by time
+    // horizon: real events all have ts <= maxNs, so any window
+    // starting past maxNs's second can only hold sentinels (an event
+    // literally TYPED 'sentinel' in the data would be kept, matching
+    // the oracle, which counts every event type).
     "q_stream_counts" -> ((s, dir) => {
       import s.implicits._
-      val evts = Tables.events(s, dir)
-        .select(col("event_id"), col("ts_sec").as("ts"), col("user_id"),
-          col("event_type"), col("value"))
-        .as[EventStream.Event].collect()
-      if (evts.isEmpty) {
+      val maxNsRow = Tables.table(s, dir, "events").agg(max("ts")).head()
+      if (maxNsRow.isNullAt(0)) {
         Seq.empty[(Long, Long, String, Long)]
           .toDF("window_start_s", "window_end_s", "event_type", "n")
       } else {
-        val maxMs = evts.iterator.map(_.ts.getTime).max
-        runStream(s, "q_stream_counts_sink", Seq(
-          evts.toIndexedSeq,
-          Seq(EventStream.Event(-1L,
-            new Timestamp(maxMs + 3600000L), -1L, "sentinel", 0.0)),
-          Seq(EventStream.Event(-2L,
-            new Timestamp(maxMs + 7200000L), -1L, "sentinel", 0.0)))) {
-          (ds: org.apache.spark.sql.Dataset[EventStream.Event]) =>
-            EventStream.windowedCounts(ds.toDF(),
-              watermarkDelay = "10 minutes", windowLen = "5 minutes")
+        val maxNs = maxNsRow.getLong(0)
+        runFileStream(s, dir, "events", "q_stream_counts_sink",
+          sentinels = Seq(
+            eventRow(-1L, maxNs + 3600L * 1000000000L),
+            eventRow(-2L, maxNs + 7200L * 1000000000L))) { raw =>
+          EventStream.windowedCounts(
+            raw.withColumnRenamed("ts", "ts_ns")
+              .withColumn("ts", timestamp_micros(expr("ts_ns div 1000"))),
+            watermarkDelay = "10 minutes", windowLen = "5 minutes")
         }
-          .filter(col("event_type") =!= "sentinel")
+          .filter(unix_timestamp(col("window_start")) <=
+            lit(maxNs / 1000000000L))
           .select(
             unix_timestamp(col("window_start")).as("window_start_s"),
             unix_timestamp(col("window_end")).as("window_end_s"),
@@ -166,16 +217,11 @@ object StreamQueries {
       }
     }),
 
-    // The PRODUCTION ingestion path under the gate: the same windowed
-    // counts as q_stream_counts, but ingested through
-    // EventStream.fromEventsDir — readStream.parquet over a directory
-    // the real events files are byte-copied into — with far-future
-    // sentinel FILES (not MemoryStream batches) advancing the
-    // watermark. Proves the file source end-to-end: schema declaration,
-    // ns→event-time conversion, file discovery per trigger, watermark
-    // init/flush. Shares q_stream_counts' oracle (micros-precision
-    // event times land in the same 300 s buckets as second-truncated
-    // ones, and counts are exact integers).
+    // The same windowed counts ingested through the PUBLISHED library
+    // entry point EventStream.fromEventsDir (schema declaration +
+    // ns→event-time conversion bundled for callers) — the harness
+    // builds the stream itself rather than going through runFileStream
+    // so the gate covers the exact DataFrame fromEventsDir returns.
     "q_stream_file" -> ((s, dir) => {
       import s.implicits._
       import scala.jdk.CollectionConverters._
@@ -187,19 +233,8 @@ object StreamQueries {
         val maxNs = maxNsRow.getLong(0)
         import java.nio.file.{Files => NF}
         val tmp = NF.createTempDirectory("graft_stream_file")
-        // testdata ships events.parquet as a single file; a real
-        // ingest dir is a directory of part files — handle both
         val src = java.nio.file.Paths.get(dir, "events.parquet")
-        if (NF.isRegularFile(src)) {
-          NF.copy(src, tmp.resolve("events_0.parquet"))
-        } else {
-          val st = NF.list(src)
-          try st.iterator().asScala
-            .filterNot(f => f.getFileName.toString.startsWith("_") ||
-              f.getFileName.toString.startsWith("."))
-            .foreach(f => NF.copy(f, tmp.resolve(f.getFileName.toString)))
-          finally st.close()
-        }
+        copyTableFiles(src, tmp)
         // a sentinel event as a parquet FILE dropped into the stream
         // dir — the file-source analogue of the sentinel batches
         val stagings = scala.collection.mutable.Buffer.empty[java.nio.file.Path]
@@ -215,12 +250,6 @@ object StreamQueries {
               .find(_.getFileName.toString.endsWith(".parquet")).get
             finally st.close()
           NF.move(part, tmp.resolve(s"sentinel_$i.parquet"))
-        }
-        def deleteRecursively(p: java.nio.file.Path): Unit = {
-          val st = NF.walk(p)
-          try st.sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala.foreach(NF.deleteIfExists(_))
-          finally st.close()
         }
         withStatePartitions(s) {
           val q = EventStream.windowedCounts(
@@ -240,7 +269,8 @@ object StreamQueries {
           }
         }
         s.table("q_stream_file_sink")
-          .filter(col("event_type") =!= "sentinel")
+          .filter(unix_timestamp(col("window_start")) <=
+            lit(maxNs / 1000000000L))
           .select(
             unix_timestamp(col("window_start")).as("window_start_s"),
             unix_timestamp(col("window_end")).as("window_end_s"),
@@ -257,20 +287,13 @@ object StreamQueries {
     // the batch oracle is the gate CTE reduced to DISTINCT fp. Proves
     // the curation family composes incrementally: gates drop rows
     // BEFORE any state, dedup state stays watermark-bounded.
-    "q_stream_curate" -> ((s, dir) => {
-      import s.implicits._
-      val docs = Tables.table(s, dir, "documents")
-        .select(col("doc_id"), col("text"),
-          timestamp_seconds(col("doc_id") + lit(1000000000L)).as("ts"))
-        .as[(Long, String, Timestamp)].collect()
-      runStream(s, "q_stream_curate_sink", Seq(docs.toIndexedSeq)) {
-        (ds: org.apache.spark.sql.Dataset[(Long, String, Timestamp)]) =>
-          EventStream.dedupExact(
-            ds.toDF("doc_id", "text", "ts")
-              .filter(graft.ops.Corpus.qualityPass(col("text"))),
-            textCol = "text", tsCol = "ts")
-      }.select(col("fp")).orderBy("fp")
-    }),
+    "q_stream_curate" -> ((s, dir) =>
+      runFileStream(s, dir, "documents", "q_stream_curate_sink") { raw =>
+        EventStream.dedupExact(
+          raw.select(col("doc_id"), col("text"), syntheticTs("doc_id"))
+            .filter(graft.ops.Corpus.qualityPass(col("text"))),
+          textCol = "text", tsCol = "ts")
+      }.select(col("fp")).orderBy("fp")),
 
     // Streaming embedding near-dup: vectors stream through the
     // bucket-keyed stateful matcher (StreamAnn — the vector twin of
@@ -279,17 +302,14 @@ object StreamQueries {
     // streamed distinct pair set hash-matches the batch oracle.
     "q_stream_ann" -> ((s, dir) => {
       import s.implicits._
-      val vecs = Tables.table(s, dir, "embeddings")
-        .filter(col("vec_id") < 300) // inside the 10-min horizon
-        .select(col("vec_id"),
-          timestamp_seconds(col("vec_id") + lit(1000000000L)).as("ts"),
-          graft.expr.VectorFunctions.toDoubleArray(col("embedding"))
-            .as("embedding"))
-        .as[graft.streaming.StreamAnn.Vec].collect()
-      runStream(s, "q_stream_ann_sink", Seq(vecs.toIndexedSeq)) {
-        (ds: org.apache.spark.sql.Dataset[graft.streaming.StreamAnn.Vec]) =>
-          graft.streaming.StreamAnn.candidatePairs(ds,
-            k = 8, dim = 64, threshold = 0.2).toDF()
+      runFileStream(s, dir, "embeddings", "q_stream_ann_sink") { raw =>
+        graft.streaming.StreamAnn.candidatePairs(
+          raw.filter(col("vec_id") < 300) // inside the 10-min horizon
+            .select(col("vec_id"), syntheticTs("vec_id"),
+              graft.expr.VectorFunctions.toDoubleArray(col("embedding"))
+                .as("embedding"))
+            .as[graft.streaming.StreamAnn.Vec],
+          k = 8, dim = 64, threshold = 0.2).toDF()
       }.select(col("a"), col("b"), round(col("cos"), 6).as("cos_r"))
         .distinct()
         .orderBy("a", "b")
@@ -298,66 +318,73 @@ object StreamQueries {
     // Streaming trending terms: documents stream through the
     // watermarked tumbling-window token counter (state = one row per
     // (window, token), evicted past the watermark); far-future
-    // sentinels flush every real window. Top-3-per-window ranking runs
-    // BATCH over the emitted (immutable, append-mode) windows — the
-    // serving-layer split that keeps streaming state bounded. Oracle =
-    // epoch-aligned 300 s buckets of the same synthetic event times.
+    // sentinel FILES flush every real window. Top-3-per-window ranking
+    // runs BATCH over the emitted (immutable, append-mode) windows —
+    // the serving-layer split that keeps streaming state bounded.
+    // Oracle = epoch-aligned 300 s buckets of the same synthetic event
+    // times.
     "q_stream_trending" -> ((s, dir) => {
       import s.implicits._
-      val docs = Tables.table(s, dir, "documents")
-        .select(col("doc_id"), col("text"),
-          timestamp_seconds(col("doc_id") + lit(1000000000L)).as("ts"))
-        .as[(Long, String, Timestamp)].collect()
-      val maxSec = 1000000000L + (if (docs.isEmpty) 0L
-        else docs.iterator.map(_._1).max)
-      val counts = runStream(s, "q_stream_trending_sink", Seq(
-        docs.toIndexedSeq,
-        Seq((-1L, "sentinel", new Timestamp((maxSec + 3600L) * 1000L))),
-        Seq((-2L, "sentinel", new Timestamp((maxSec + 7200L) * 1000L))))) {
-        (ds: org.apache.spark.sql.Dataset[(Long, String, Timestamp)]) =>
+      val maxIdRow = Tables.table(s, dir, "documents")
+        .agg(max("doc_id")).head()
+      if (maxIdRow.isNullAt(0)) {
+        Seq.empty[(Long, String, Long, Long)]
+          .toDF("window_start_s", "tok", "n", "rank")
+      } else {
+        val maxId = maxIdRow.getLong(0)
+        val maxSec = 1000000000L + maxId
+        // sentinel doc rows: event time derives from doc_id, so a
+        // far-future id IS a far-future event; single token "z" keeps
+        // the watermark node fed, and its windows start past maxSec
+        val counts = runFileStream(s, dir, "documents",
+          "q_stream_trending_sink",
+          sentinels = Seq(
+            Row(maxId + 3600L, "z", null, null, null),
+            Row(maxId + 7200L, "z", null, null, null))) { raw =>
           graft.streaming.TrendingTerms.windowedTermCounts(
-            ds.toDF("doc_id", "text", "ts"),
+            raw.select(col("doc_id"), col("text"), syntheticTs("doc_id")),
             textCol = "text", tsCol = "ts",
             watermarkDelay = "10 minutes", windowLen = "5 minutes")
-      // drop the sentinel rows STRUCTURALLY, by time horizon: real
-      // events all have ts <= maxSec, so any window starting past it
-      // can only hold sentinels. Filtering by token text would also
-      // drop legitimate occurrences of the literal word "sentinel"
-      // in real documents and silently diverge from the oracle.
-      }.filter(unix_timestamp(col("window_start")) <= lit(maxSec))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("window_start").orderBy(col("n").desc, col("tok"))
-      counts
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 3)
-        .select(unix_timestamp(col("window_start")).as("window_start_s"),
-          col("tok"), col("n"), col("rank"))
-        .orderBy("window_start_s", "rank")
+        // drop the sentinel rows STRUCTURALLY, by time horizon: real
+        // events all have ts <= maxSec, so any window starting past it
+        // can only hold sentinels. Filtering by token text would also
+        // drop legitimate occurrences of the sentinel token in real
+        // documents and silently diverge from the oracle.
+        }.filter(unix_timestamp(col("window_start")) <= lit(maxSec))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("window_start").orderBy(col("n").desc, col("tok"))
+        counts
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(unix_timestamp(col("window_start")).as("window_start_s"),
+            col("tok"), col("n"), col("rank"))
+          .orderBy("window_start_s", "rank")
+      }
     }),
 
+    // Streaming sessionization: session_window + watermark over the
+    // file source with second-truncated event times (the oracle's
+    // gap-and-islands arithmetic is in whole seconds — micros-precision
+    // gaps could flip a boundary decision the truncated oracle keeps).
     "q_stream_sessions" -> ((s, dir) => {
       import s.implicits._
-      val evts = Tables.events(s, dir)
-        .select(col("event_id"), col("ts_sec").as("ts"), col("user_id"),
-          col("event_type"), col("value"))
-        .as[EventStream.Event].collect()
+      val maxNsRow = Tables.table(s, dir, "events").agg(max("ts")).head()
       // empty input: zero sessions, well-defined (the oracle returns
-      // zero rows too); without the guard the sentinel math below
-      // would throw on max of an empty iterator
-      if (evts.isEmpty) {
+      // zero rows too)
+      if (maxNsRow.isNullAt(0)) {
         Seq.empty[(Long, Long, Long, Long)]
           .toDF("user_id", "start_s", "end_s", "n_events")
       } else {
-        val maxMs = evts.iterator.map(_.ts.getTime).max
-        runStream(s, "q_stream_sessions_sink", Seq(
-          evts.toIndexedSeq,
-          Seq(EventStream.Event(-1L,
-            new Timestamp(maxMs + 7200000L), -1L, "sentinel", 0.0)),
-          Seq(EventStream.Event(-2L,
-            new Timestamp(maxMs + 10800000L), -1L, "sentinel", 0.0)))) {
-          (ds: org.apache.spark.sql.Dataset[EventStream.Event]) =>
-            EventStream.sessionWindows(ds.toDF(), gap = "30 minutes",
-              watermarkDelay = Some("30 minutes"))
+        val maxNs = maxNsRow.getLong(0)
+        runFileStream(s, dir, "events", "q_stream_sessions_sink",
+          sentinels = Seq(
+            eventRow(-1L, maxNs + 7200L * 1000000000L),
+            eventRow(-2L, maxNs + 10800L * 1000000000L))) { raw =>
+          EventStream.sessionWindows(
+            raw.select(col("event_id"),
+              timestamp_seconds(expr("ts div 1000000000")).as("ts"),
+              col("user_id"), col("event_type"), col("value")),
+            gap = "30 minutes", watermarkDelay = Some("30 minutes"))
         }
           .filter(col("user_id") >= 0)
           .select(col("user_id"),
@@ -476,8 +503,9 @@ object StreamQueries {
              ' ') AS seg FROM s0)
          SELECT DISTINCT md5(seg) AS seg_fp FROM seg ORDER BY seg_fp""",
     "q_stream_counts" -> streamCountsOracle,
-    // identical aggregation, different ingestion path (file source vs
-    // MemoryStream) — one oracle pins both to the same answer
+    // identical aggregation, different ingestion entry point
+    // (EventStream.fromEventsDir vs the shared harness) — one oracle
+    // pins both to the same answer
     "q_stream_file" -> streamCountsOracle,
     // gap-and-islands sessions over second-truncated event times:
     // same-session ⟺ gap to previous event ≤ 1800 s; session end =
