@@ -30,6 +30,26 @@ object IvfIndex {
   private def vecCol(c: Column): Column =
     VectorFunctions.toDoubleArray(c)
 
+  /** Per-group element-wise mean of embedding vectors — the centroid
+    * primitive (domain/label centroids, IVF cell refresh = the k-means
+    * M-step): posexplode to (group, pos, x) and aggregate per
+    * (group, pos). Fully keyed — no per-group collect_list, no row
+    * ever holds more than one element, partial aggregation combines
+    * map-side — so a group of a billion vectors costs the same shuffle
+    * row count (|groups| × dim) as a group of fifty. Returns
+    * (groupCol, pos long, c double, n_vecs long).
+    */
+  def groupCentroids(
+      df: DataFrame,
+      groupCol: String,
+      embeddingCol: String): DataFrame =
+    df.select(col(groupCol),
+        posexplode(vecCol(col(embeddingCol))).as(Seq("pos", "x")))
+      .groupBy(col(groupCol), col("pos"))
+      .agg(avg(col("x")).as("c"), count(lit(1)).as("n_vecs"))
+      .select(col(groupCol), col("pos").cast("long").as("pos"),
+        col("c"), col("n_vecs"))
+
   /** Train centroids and assign the corpus. `df` needs (idCol, vecCol). */
   def build(
       df: DataFrame,
@@ -53,8 +73,21 @@ object IvfIndex {
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }
 
-    // assign via the same cosine scoring used at search time (not the
-    // euclidean k-means metric — cells must match the query-time rule)
+    val assigned = assignCells(centroids, base).persist()
+    base.unpersist()
+    Model(centroids, assigned)
+  }
+
+  /** Assign prepared vectors (vec_id, v, nrm) to `centroids` via the
+    * same cosine scoring used at search time (not the euclidean
+    * k-means metric — cells must match the query-time rule); ties
+    * break to the lowest cell id. Shared by [[build]] and [[append]]
+    * so batch and incremental assignment cannot diverge.
+    */
+  private def assignCells(
+      centroids: Array[(Int, Array[Double])],
+      base: DataFrame): DataFrame = {
+    val spark = base.sparkSession
     val centDf = spark.createDataFrame(
       centroids.toIndexedSeq.map { case (i, c) =>
         (i, c.toSeq, math.sqrt(c.map(x => x * x).sum))
@@ -62,16 +95,49 @@ object IvfIndex {
       .select(col("c_id"), col("cv").cast("array<double>").as("cv"), col("cn"))
     val aw = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id"))
-    val assigned = base.join(broadcast(centDf))
+    base.join(broadcast(centDf))
       .withColumn("c_cos", VectorFunctions.dotProduct(col("v"), col("cv")) /
         (col("nrm") * col("cn")))
       .withColumn("rk", row_number().over(aw))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cell"))
-      .persist()
-    base.unpersist()
-    Model(centroids, assigned)
   }
+
+  /** Assign new vectors with `model`'s centroids (no re-train). */
+  def assign(
+      model: Model,
+      df: DataFrame,
+      idCol: String,
+      embeddingCol: String): DataFrame =
+    assignCells(model.centroids,
+      df.select(col(idCol).as("vec_id"),
+        vecCol(col(embeddingCol)).as("v"))
+        .withColumn("nrm", VectorFunctions.l2Norm(col("v"))))
+
+  /** Append already-assigned rows (vec_id, v, nrm, cell) to a saved
+    * index's cell-partitioned layout. Append mode writes only the
+    * touched cells' directories — index maintenance is incremental,
+    * no rebuild, no rewrite of the existing corpus.
+    */
+  def appendAssigned(assigned: DataFrame, path: String): Unit =
+    assigned
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$path/assigned")
+
+  /** Incremental index maintenance: assign newly arrived vectors with
+    * the SAVED centroids and append them to the layout at `path`. The
+    * quantizer does not drift — re-train (and re-[[save]]) when the
+    * cell-balance report (q_ivf_stats) degrades.
+    */
+  def append(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      newVecs: DataFrame,
+      idCol: String,
+      embeddingCol: String): Unit =
+    appendAssigned(
+      assign(load(spark, path), newVecs, idCol, embeddingCol), path)
 
   /** Persist a built index: centroids as one tiny parquet, the
     * assignment partitioned by cell — the index lifecycle at scale.

@@ -137,6 +137,19 @@ object VectorQueries {
       .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cell"))
   }
 
+  /** The fixed coarse quantizer (first 16 vectors) as a driver-side
+    * centroid array — 16 rows by design; shared by the persisted and
+    * incremental IVF lifecycle gates.
+    */
+  private def fixedCentroids(
+      s: SparkSession, dir: String): Array[(Int, Array[Double])] =
+    withNorm(emb(s, dir).filter(col("vec_id") < 16)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v")))
+      .select(col("vec_id").cast("int").as("c_id"), col("v"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+
   /** Own-cell (nprobe=1) nearest neighbor over an IVF assignment
     * (vec_id, v, nrm, cell): queries (vec_id < 66) join candidates
     * within their cell only — the per-cell equi-join that makes IVF
@@ -170,6 +183,17 @@ object VectorQueries {
         size(col("embedding")).as("dim"),
         round(norm(asDouble(col("embedding"))), 6).as("norm_r"))
         .orderBy("vec_id")),
+
+    // Per-label embedding centroids (IvfIndex.groupCentroids — the
+    // keyed M-step primitive, also the IVF cell-refresh path): one
+    // exploded aggregate, map-side combined; the mean over ~dozens of
+    // doubles per (label, pos) sits far from the round(…,6) boundary
+    // (CLAUDE.md's bounded-sum rule).
+    "q_embed_centroid" -> ((s, dir) =>
+      graft.ops.IvfIndex.groupCentroids(emb(s, dir), "label", "embedding")
+        .select(col("label"), col("pos"),
+          round(col("c"), 6).as("c_r"), col("n_vecs"))
+        .orderBy("label", "pos")),
 
     // Embedding-cosine near-dup: all pairs above threshold (bounded
     // brute force — the exhaustive baseline).
@@ -342,17 +366,34 @@ object VectorQueries {
     // cell-partitioned files; a probe reads only its cells' directories
     // (PlanSpec pins PartitionFilters on the cold scan).
     "q_ann_ivf_persisted" -> ((s, dir) => {
-      val cents = withNorm(emb(s, dir).filter(col("vec_id") < 16)
-        .select(col("vec_id"), asDouble(col("embedding")).as("v")))
-        .select(col("vec_id").cast("int").as("c_id"), col("v"))
-        .collect() // 16 rows — the coarse quantizer is driver-sized by design
-        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-        .sortBy(_._1)
       val path = new java.io.File(
         System.getProperty("java.io.tmpdir"), "graft_ivf_persisted")
         .getAbsolutePath
       graft.ops.IvfIndex.save(
-        graft.ops.IvfIndex.Model(cents, ivfFixedAssigned(s, dir)), path)
+        graft.ops.IvfIndex.Model(
+          fixedCentroids(s, dir), ivfFixedAssigned(s, dir)), path)
+      ivfOwnCellSearch(graft.ops.IvfIndex.load(s, path).assigned)
+    }),
+
+    // IVF index MAINTENANCE gate: the corpus arrives in two waves —
+    // the first is indexed and saved; the second is appended into the
+    // saved cell-partitioned layout (IvfIndex.appendAssigned: append
+    // mode writes only the touched cells' directories, no rebuild, no
+    // rewrite of the existing corpus — the nightly-arrivals shape at
+    // 100 TB). A cold load then searches the updated index, and must
+    // match the SAME oracle as q_ann_ivf: under fixed centroids,
+    // assignment is independent of arrival wave.
+    "q_ann_ivf_incremental" -> ((s, dir) => {
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_ivf_incremental")
+        .getAbsolutePath
+      // save() overwrites the whole layout, clearing any previous
+      // run's appends before this run's append lands
+      graft.ops.IvfIndex.save(
+        graft.ops.IvfIndex.Model(fixedCentroids(s, dir),
+          ivfFixedAssigned(s, dir).filter(col("vec_id") < 1000)), path)
+      graft.ops.IvfIndex.appendAssigned(
+        ivfFixedAssigned(s, dir).filter(col("vec_id") >= 1000), path)
       ivfOwnCellSearch(graft.ops.IvfIndex.load(s, path).assigned)
     }),
 
@@ -629,6 +670,16 @@ object VectorQueries {
            round(sqrt(list_sum(list_transform(embedding,
              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm_r
          FROM embeddings ORDER BY vec_id""",
+    // parallel unnests zip in DuckDB: (pos, element) pairs without a
+    // lateral table function (CLAUDE.md's DuckDB-1.0 rule)
+    "q_embed_centroid" ->
+      """WITH e AS (SELECT label,
+             unnest(range(len(embedding))) AS pos,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+           FROM embeddings)
+         SELECT label, pos, round(avg(x), 6) AS c_r,
+           CAST(count(*) AS BIGINT) AS n_vecs
+         FROM e GROUP BY label, pos ORDER BY label, pos""",
     "q_cosine_pairs" ->
       """WITH e AS (SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -666,8 +717,10 @@ object VectorQueries {
          GROUP BY cell, t.n_total ORDER BY cell""",
     "q_ann_ivf" -> ivfOracle,
     // the persisted variant must reproduce the in-memory index exactly
-    // after its disk round trip — one oracle serves both
+    // after its disk round trip, and the incrementally-appended one
+    // must be arrival-wave-independent — one oracle serves all three
     "q_ann_ivf_persisted" -> ivfOracle,
+    "q_ann_ivf_incremental" -> ivfOracle,
     "q_cosine_pairs_lsh" ->
       s"""WITH e AS (SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

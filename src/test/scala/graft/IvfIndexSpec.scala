@@ -11,6 +11,22 @@ class IvfIndexSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("groupCentroids: keyed element-wise mean matches hand computation") {
+    import spark.implicits._
+    val df = Seq(
+      (0, Array(1.0f, 2.0f, 3.0f)),
+      (0, Array(3.0f, 4.0f, 5.0f)),
+      (1, Array(10.0f, 0.0f, -2.0f)))
+      .toDF("label", "embedding")
+    val out = IvfIndex.groupCentroids(df, "label", "embedding")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(out == Map(
+      (0, 0L) -> (2.0, 2L), (0, 1L) -> (3.0, 2L), (0, 2L) -> (4.0, 2L),
+      (1, 0L) -> (10.0, 1L), (1, 1L) -> (0.0, 1L), (1, 2L) -> (-2.0, 1L)))
+  }
+
   test("k-means IVF: deterministic build, high recall@1 vs brute force") {
     val emb = Tables.table(spark, dir, "embeddings")
     val model = IvfIndex.build(emb, "vec_id", "embedding", k = 8)
@@ -84,6 +100,49 @@ class IvfIndexSpec extends AnyFunSuite {
       assert(plan.contains("dynamicpruning") ||
         plan.contains("PartitionFilters: [isnotnull(cell"),
         s"no partition pruning on the saved assignment scan:\n$plan")
+      model.assigned.unpersist()
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(base)).deleteRecursively()
+    }
+  }
+
+  test("append maintains a saved index identically to batch assignment") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ivf_incr").toString
+    try {
+      val emb = Tables.table(spark, dir, "embeddings")
+      // wave 1 builds and saves; wave 2 arrives later and is appended
+      // with the SAVED centroids — no rebuild
+      val w1 = emb.filter(col("vec_id") < 250)
+      val w2 = emb.filter(col("vec_id") >= 250)
+      val model = IvfIndex.build(w1, "vec_id", "embedding", k = 4)
+      IvfIndex.save(model, base)
+      IvfIndex.append(spark, base, w2, "vec_id", "embedding")
+      val updated = IvfIndex.load(spark, base)
+
+      // cell assignment must equal batch assignment of the full corpus
+      // under the same centroids (arrival wave cannot matter)
+      val incr = updated.assigned.select("vec_id", "cell")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val batch = IvfIndex.assign(model, emb, "vec_id", "embedding")
+        .select("vec_id", "cell")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(incr == batch)
+
+      // and search over the appended index == search over the
+      // batch-assigned index (same centroids, same candidates)
+      val queries = emb.filter(col("vec_id") < 10)
+      def results(m: IvfIndex.Model) =
+        IvfIndex.search(m, queries, "vec_id", "embedding",
+          topK = 3, nprobe = 2)
+          .select(col("q_id"), expr("transform(neighbors, n -> n.id)")
+            .as("ids"))
+          .collect()
+          .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+      val batchModel = IvfIndex.Model(model.centroids,
+        IvfIndex.assign(model, emb, "vec_id", "embedding"))
+      assert(results(updated) == results(batchModel))
       model.assigned.unpersist()
     } finally {
       import scala.reflect.io.Directory
