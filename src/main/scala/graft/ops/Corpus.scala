@@ -552,4 +552,58 @@ object Corpus {
       .select(col(idCol), col("c.chunk_idx"), col("c.chunk"),
         col("c.n_chunk_tokens"))
   }
+
+  /** Token-distribution drift between a reference corpus slice and a
+    * new slice — the crawl-over-crawl / domain-shift monitor: for
+    * every token in the UNION vocabulary, the add-1-smoothed
+    * probabilities p_new and p_ref and the token's KL(new‖ref)
+    * contribution `p_new * ln(p_new / p_ref)`. Positive contributors
+    * are tokens over-represented in the new slice (what changed);
+    * summing the column gives the full smoothed KL divergence.
+    * Smoothing puts OOV mass on both sides, so the ratio is always
+    * finite (and ANSI-safe: denominators are structurally > 0).
+    *
+    * Output: (tok, c_ref, c_new, p_ref, p_new, kl_contrib) with the
+    * probabilities/contribution rounded to 6 dp for cross-engine
+    * comparison (ln over a product of two bounded-error doubles —
+    * same precision class as the LM scores, see CLAUDE.md's
+    * order-dependent-aggregate rule; counts and totals are exact
+    * longs).
+    *
+    * Scale stance: one keyed count aggregate per slice, one full
+    * outer equi-join on tok (vocabulary-sized, shuffled — NEVER
+    * broadcast, a corpus vocab is unbounded), and the three scalar
+    * totals arrive as a 1-row broadcast cross join (the q_funnel
+    * idiom). Nothing driver-sized anywhere.
+    */
+  def tokenDrift(
+      ref: DataFrame,
+      nw: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    def cnt(df: DataFrame, as: String): DataFrame =
+      df.select(explode(TextDedup.tokens(col(textCol))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as(as))
+    val r = cnt(ref, "c_ref")
+    val n = cnt(nw, "c_new")
+    val joined = r.join(n, Seq("tok"), "full_outer")
+      .select(col("tok"),
+        coalesce(col("c_ref"), lit(0L)).as("c_ref"),
+        coalesce(col("c_new"), lit(0L)).as("c_new"))
+    val totals = joined.agg(
+      sum(col("c_ref")).as("t_ref"),
+      sum(col("c_new")).as("t_new"),
+      count(lit(1)).as("v"))
+    joined.crossJoin(broadcast(totals))
+      .withColumn("p_ref",
+        (col("c_ref") + lit(1)).cast("double") /
+          (col("t_ref") + col("v")).cast("double"))
+      .withColumn("p_new",
+        (col("c_new") + lit(1)).cast("double") /
+          (col("t_new") + col("v")).cast("double"))
+      .select(col("tok"), col("c_ref"), col("c_new"),
+        round(col("p_ref"), 6).as("p_ref_r"),
+        round(col("p_new"), 6).as("p_new_r"),
+        round(col("p_new") * log(col("p_new") / col("p_ref")), 6)
+          .as("kl_contrib"))
+  }
 }

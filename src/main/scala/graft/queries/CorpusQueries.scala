@@ -282,6 +282,20 @@ object CorpusQueries {
         .select(col("doc_id"), col("source"), col("bucket"),
           col("rate_pct"))
         .orderBy("doc_id")
+    }),
+
+    // Corpus drift monitor: the 'en' slice as the reference
+    // distribution, everything else as the new arrivals; the 25
+    // largest positive KL(new‖ref) contributors are the tokens whose
+    // over-representation defines the shift. Ties at the rounded
+    // contribution break on token text — total order both engines.
+    "q_corpus_drift" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Corpus.tokenDrift(
+        ref = d.filter(col("lang") === "en"),
+        nw = d.filter(col("lang") =!= "en"))
+        .orderBy(col("kl_contrib").desc, col("tok"))
+        .limit(25)
     }))
 
   val oracles: Map[String, String] = Map(
@@ -586,5 +600,31 @@ object CorpusQueries {
            FROM documents)
          SELECT b.doc_id, b.source, b.bucket, m.rate_pct
          FROM b JOIN mix m USING (source)
-         WHERE b.bucket < m.rate_pct ORDER BY doc_id""")
+         WHERE b.bucket < m.rate_pct ORDER BY doc_id""",
+    // add-1-smoothed per-token KL(new‖ref) contributions between the
+    // 'en' slice and the rest; counts/totals exact BIGINT, only the
+    // final probabilities/contribution are rounded doubles
+    "q_corpus_drift" ->
+      """WITH rc AS (SELECT unnest(string_split(trim(text), ' ')) AS tok
+           FROM documents WHERE lang = 'en'),
+         nc AS (SELECT unnest(string_split(trim(text), ' ')) AS tok
+           FROM documents WHERE lang <> 'en'),
+         r AS (SELECT tok, CAST(count(*) AS BIGINT) AS c_ref
+           FROM rc GROUP BY 1),
+         n AS (SELECT tok, CAST(count(*) AS BIGINT) AS c_new
+           FROM nc GROUP BY 1),
+         j AS (SELECT coalesce(r.tok, n.tok) AS tok,
+             coalesce(c_ref, 0) AS c_ref, coalesce(c_new, 0) AS c_new
+           FROM r FULL OUTER JOIN n ON r.tok = n.tok),
+         t AS (SELECT CAST(sum(c_ref) AS BIGINT) AS t_ref,
+             CAST(sum(c_new) AS BIGINT) AS t_new,
+             CAST(count(*) AS BIGINT) AS v FROM j),
+         p AS (SELECT tok, c_ref, c_new,
+             CAST(c_ref + 1 AS DOUBLE) / CAST(t_ref + v AS DOUBLE) AS p_ref,
+             CAST(c_new + 1 AS DOUBLE) / CAST(t_new + v AS DOUBLE) AS p_new
+           FROM j CROSS JOIN t)
+         SELECT tok, c_ref, c_new,
+           round(p_ref, 6) AS p_ref_r, round(p_new, 6) AS p_new_r,
+           round(p_new * ln(p_new / p_ref), 6) AS kl_contrib
+         FROM p ORDER BY kl_contrib DESC, tok LIMIT 25""")
 }

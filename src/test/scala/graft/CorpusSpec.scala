@@ -390,4 +390,28 @@ class CorpusSpec extends AnyFunSuite {
       Corpus.chunkTokens(df, "id", "text", size = 4, overlap = 4)
     }
   }
+
+  test("tokenDrift: smoothing, OOV handling, zero drift on identical slices") {
+    import spark.implicits._
+    val ref = Seq("a a b", "b c").toDF("text")
+    val nw = Seq("a d d").toDF("text")
+    val out = Corpus.tokenDrift(ref, nw).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(5))).toMap
+    // union vocab {a,b,c,d}: V=4, t_ref=5, t_new=3
+    assert(out.keySet == Set("a", "b", "c", "d"))
+    assert(out("a")._1 == 2 && out("a")._2 == 1)
+    assert(out("d")._1 == 0 && out("d")._2 == 2) // OOV in ref: smoothed, finite
+    def contrib(cr: Long, cn: Long): Double = {
+      val p = (cn + 1.0) / (3 + 4); val q = (cr + 1.0) / (5 + 4)
+      BigDecimal(p * math.log(p / q))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out("d")._3 == contrib(0, 2)) // over-represented: positive
+    assert(out("d")._3 > 0 && out("c")._3 < 0)
+    assert(out("b")._3 == contrib(2, 0))
+    // identical slices: every contribution is exactly zero
+    val same = Corpus.tokenDrift(ref, ref).collect()
+    assert(same.forall(_.getDouble(5) == 0.0))
+  }
 }
