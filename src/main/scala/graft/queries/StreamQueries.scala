@@ -393,7 +393,63 @@ object StreamQueries {
             col("n_events"))
           .orderBy("user_id", "start_s")
       }
-    }))
+    }),
+
+    // Stream-static enrichment: events join the nation DIMENSION
+    // (genuinely bounded — 25 rows by modeling, so the broadcast hint
+    // is valid; see EventStream.enrichedWindowedCounts) and the
+    // windowed counts group by the dimension attribute instead of a
+    // stream column. Sentinel rows (user_id = -1) advance the
+    // watermark at the pre-join watermark node but can never match a
+    // nation key, so the inner join drops them structurally — no
+    // text/horizon filtering needed on the output at all.
+    "q_stream_enrich" -> ((s, dir) => {
+      import s.implicits._
+      val maxNsRow = Tables.table(s, dir, "events").agg(max("ts")).head()
+      if (maxNsRow.isNullAt(0)) {
+        Seq.empty[(Long, Long, String, Long)]
+          .toDF("window_start_s", "window_end_s", "n_name", "n")
+      } else {
+        val maxNs = maxNsRow.getLong(0)
+        val dim = Tables.table(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))
+        runFileStream(s, dir, "events", "q_stream_enrich_sink",
+          sentinels = Seq(
+            eventRow(-1L, maxNs + 3600L * 1000000000L),
+            eventRow(-2L, maxNs + 7200L * 1000000000L))) { raw =>
+          EventStream.enrichedWindowedCounts(
+            raw.withColumnRenamed("ts", "ts_ns")
+              .withColumn("ts", timestamp_micros(expr("ts_ns div 1000"))),
+            dim,
+            joinCond = col("user_id") % 25 === col("n_nationkey"),
+            dimVal = col("n_name"),
+            watermarkDelay = "10 minutes", windowLen = "5 minutes")
+        }
+          .select(
+            unix_timestamp(col("window_start")).as("window_start_s"),
+            unix_timestamp(col("window_end")).as("window_end_s"),
+            col("dim").as("n_name"), col("n"))
+          .orderBy("window_start_s", "n_name")
+      }
+    }),
+
+    // Watermarked stream-stream interval join: view→click attribution
+    // within a 6 h horizon, per user (EventStream.intervalJoin — both
+    // join buffers are horizon+lateness-bounded via the time-interval
+    // condition, the property that keeps a forever-running join's
+    // state finite). Inner matches emit as soon as both rows arrive,
+    // so no sentinels are needed; the whole initial load is one
+    // micro-batch and every in-horizon pair emits from it. delta_us
+    // is an exact integer microsecond difference — no float in the
+    // compare.
+    "q_stream_sjoin" -> ((s, dir) =>
+      runFileStream(s, dir, "events", "q_stream_sjoin_sink") { raw =>
+        EventStream.intervalJoin(
+          raw.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts", timestamp_micros(expr("ts_ns div 1000"))),
+          leftType = "view", rightType = "click",
+          horizonSec = 21600L, watermarkDelay = "10 minutes")
+      }.orderBy("l_id", "r_id")))
 
   // epoch-aligned 5-minute buckets (Spark's tumbling windows align to
   // the epoch); counts are exact integers so the compare has no
@@ -529,5 +585,32 @@ object StreamQueries {
            FROM g GROUP BY user_id, sid)
          SELECT user_id, CAST(start_s AS BIGINT) AS start_s,
            CAST(end_s AS BIGINT) AS end_s, n_events
-         FROM sess ORDER BY user_id, start_s""")
+         FROM sess ORDER BY user_id, start_s""",
+    // the stream-static enrichment over the same epoch-aligned 300 s
+    // buckets: events ⋈ nation on user_id % 25 (sentinels never join
+    // — the oracle has none to begin with)
+    "q_stream_enrich" ->
+      """WITH e AS (SELECT
+             CAST(epoch(CAST(date_trunc('second', ts) AS TIMESTAMP)) AS BIGINT) AS ts_s,
+             user_id
+           FROM events)
+         SELECT (ts_s // 300) * 300 AS window_start_s,
+           (ts_s // 300) * 300 + 300 AS window_end_s,
+           n.n_name, count(*) AS n
+         FROM e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+         GROUP BY 1, 2, 3
+         ORDER BY window_start_s, n_name""",
+    // view→click pairs per user inside [l_ts, l_ts + 6 h], compared
+    // on exact integer microseconds (the stream's ns→micros ingest
+    // conversion mirrored with date_trunc)
+    "q_stream_sjoin" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+             epoch_us(CAST(date_trunc('microseconds', ts) AS TIMESTAMP)) AS t_us
+           FROM events)
+         SELECT v.event_id AS l_id, c.event_id AS r_id, v.user_id,
+           c.t_us - v.t_us AS delta_us
+         FROM e v JOIN e c ON v.user_id = c.user_id
+           AND v.event_type = 'view' AND c.event_type = 'click'
+           AND c.t_us >= v.t_us AND c.t_us <= v.t_us + 21600000000
+         ORDER BY l_id, r_id""")
 }

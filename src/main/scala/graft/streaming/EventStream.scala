@@ -136,6 +136,72 @@ object EventStream {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("seg_fp")
 
+  /** Stream-static enrichment + windowed counts per dimension value:
+    * the canonical "join the stream to a dimension table" shape. The
+    * static side is stateless — Spark re-plans it into every
+    * micro-batch, so a slowly-refreshed dimension view is picked up
+    * without restarting the stream. The explicit `broadcast()` hint is
+    * valid HERE because a modeled dimension is bounded by design
+    * (nation = 25 rows forever); corpus-DERIVED aggregates must never
+    * carry the hint (see Corpus.unigramLogProb's rule — an explicit
+    * hint is honored unconditionally).
+    *
+    * The watermark is declared on the stream BEFORE the join so event
+    *-time tracking is independent of join selectivity; rows without a
+    * dimension match drop out of the inner join but still advanced the
+    * watermark — which is also how the gate's sentinel rows flush real
+    * windows without polluting the output.
+    */
+  def enrichedWindowedCounts(
+      events: DataFrame,
+      dim: DataFrame,
+      joinCond: org.apache.spark.sql.Column,
+      dimVal: org.apache.spark.sql.Column,
+      watermarkDelay: String = "10 minutes",
+      windowLen: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .join(broadcast(dim), joinCond)
+      .groupBy(window(col("ts"), windowLen), dimVal.as("dim"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("dim"), col("n"))
+
+  /** Watermarked stream-stream interval join — the attribution shape:
+    * each left-stream event (e.g. a view) matches right-stream events
+    * (e.g. clicks) of the SAME user inside `[l_ts, l_ts + horizonSec]`.
+    * Both sides carry a watermark and the join condition bounds the
+    * right side's event time relative to the left's, so Spark derives
+    * state-eviction bounds on BOTH join buffers: state is
+    * horizon+lateness-bounded, never the whole stream — the property
+    * that makes a forever-running 100 TB attribution join feasible.
+    * Inner-join matches emit as soon as both rows have arrived (no
+    * watermark wait), keyed-shuffled on user — no broadcast, both
+    * sides unbounded.
+    */
+  def intervalJoin(
+      events: DataFrame,
+      leftType: String,
+      rightType: String,
+      horizonSec: Long,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val l = events.filter(col("event_type") === leftType)
+      .select(col("event_id").as("l_id"), col("user_id").as("user_id"),
+        col("ts").as("l_ts"))
+      .withWatermark("l_ts", watermarkDelay)
+    val r = events.filter(col("event_type") === rightType)
+      .select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+        col("ts").as("r_ts"))
+      .withWatermark("r_ts", watermarkDelay)
+    l.join(r,
+        col("user_id") === col("r_user") &&
+          col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizonSec SECONDS"))
+      .select(col("l_id"), col("r_id"), col("user_id"),
+        (unix_micros(col("r_ts")) - unix_micros(col("l_ts"))).as("delta_us"))
+  }
+
   /** Gap-based sessionization with custom state
     * (`flatMapGroupsWithState`, event-time timeout): a session closes
     * when `gapSeconds` passes without an event, or when the watermark

@@ -123,6 +123,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
   }
 
+  test("q_embed_centroid: one keyed exchange, map-side partial means") {
+    val p = plan("q_embed_centroid")
+    // posexplode → partial avg/count → ONE (group, pos) exchange →
+    // final agg; more exchanges would mean the explode output (corpus
+    // × dim rows) is shuffled raw
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges in:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final HashAggregate in:\n$p")
+  }
+
+  test("q_corpus_drift: vocab join keyed full-outer, totals broadcast") {
+    val p = plan("q_corpus_drift")
+    // the union-vocab join must stay a keyed shuffle (FullOuter on
+    // tok) — never a forced broadcast (vocab is corpus-sized); the
+    // only nested-loop allowed is the 1-row totals cross join
+    assert(p.contains("FullOuter"), s"vocab join not full-outer:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"1-row totals not broadcast:\n$p")
+  }
+
   test("q_sample_exact: one stratum exchange feeds the quota window") {
     val p = plan("q_sample_exact")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size

@@ -218,4 +218,63 @@ class StreamingSpec extends AnyFunSuite {
         (ts(0), "spark", 3L), (ts(0), "table", 2L), (ts(5), "join", 4L)))
     } finally q.stop()
   }
+
+  test("stream-static enrichment joins the dim per batch and drops non-matches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((0L, "ZERO"), (1L, "ONE")).toDF("k", "name")
+    val input = MemoryStream[Event]
+    val q = EventStream.enrichedWindowedCounts(
+      input.toDF(), dim,
+      joinCond = col("user_id") % 2 === col("k"),
+      dimVal = col("name"),
+      watermarkDelay = "10 minutes", windowLen = "5 minutes")
+      .writeStream.format("memory").queryName("enr")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts(1), 2, "click", 1.0), // user 2 → k=0 ZERO
+        Event(2, ts(2), 4, "click", 1.0), // user 4 → k=0 ZERO
+        Event(3, ts(3), 5, "view", 1.0),  // user 5 → k=1 ONE
+        Event(4, ts(4), -1, "noise", 1.0)) // -1 % 2 = -1: no dim match
+      q.processAllAvailable()
+      input.addData(Event(5, ts(40), 2, "click", 1.0)) // flush watermark
+      q.processAllAvailable()
+      val rows = spark.table("enr").filter(col("window_start") < lit(ts(10)))
+        .select("dim", "n").as[(String, Long)].collect().toSet
+      // the unmatched user_id=-1 row advanced the watermark but never
+      // reached the aggregate — structural sentinel drop
+      assert(rows == Set(("ZERO", 2L), ("ONE", 1L)))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join emits exactly the in-horizon pairs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.intervalJoin(
+      input.toDF(), leftType = "view", rightType = "click",
+      horizonSec = 300L, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("sj")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts(1), 7, "view", 1.0),
+        Event(2, ts(3), 7, "click", 1.0), // +120 s: in horizon
+        Event(3, ts(9), 7, "click", 1.0), // +480 s: out of horizon
+        Event(4, ts(2), 8, "click", 1.0), // other user: no pair
+        Event(5, ts(2), 9, "view", 1.0))  // no click for user 9
+      q.processAllAvailable()
+      // the click arriving AFTER the view's micro-batch still matches
+      // (the view is buffered in join state until the horizon passes)
+      input.addData(Event(6, ts(4), 9, "click", 1.0)) // +120 s for view 5
+      q.processAllAvailable()
+      val rows = spark.table("sj")
+        .select("l_id", "r_id", "user_id", "delta_us")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(rows == Set(
+        (1L, 2L, 7L, 120000000L),
+        (5L, 6L, 9L, 120000000L)))
+    } finally q.stop()
+  }
 }
