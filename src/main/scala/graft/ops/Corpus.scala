@@ -606,4 +606,27 @@ object Corpus {
         round(col("p_new") * log(col("p_new") / col("p_ref")), 6)
           .as("kl_contrib"))
   }
+
+  /** Keep-latest snapshot merge — the CDC/upsert shape for a
+    * re-crawled corpus: among all revisions of each `idCol`, the row
+    * with the highest `versionCol` wins (callers whose versions can
+    * tie pass a composite, e.g. `struct(version, ingest_ts)`). One
+    * keyed window — a single shuffle on the id, no join: the updates
+    * batch is just unioned in and the window picks winners, so the
+    * nightly merge costs one exchange of corpus+batch keys regardless
+    * of how the revisions are spread across waves.
+    */
+  def upsertLatest(
+      revisions: DataFrame,
+      idCol: String,
+      versionCol: String): DataFrame = {
+    require(!revisions.columns.contains("__rev_rn"),
+      "input already has a '__rev_rn' column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col(versionCol).desc)
+    revisions
+      .withColumn("__rev_rn", row_number().over(w))
+      .filter(col("__rev_rn") === 1)
+      .drop("__rev_rn")
+  }
 }

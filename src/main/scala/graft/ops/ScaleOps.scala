@@ -36,6 +36,29 @@ object ScaleOps {
     bigS.join(smallS, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
+  /** Join-key skew report — the pre-flight check before a big keyed
+    * join, and the measured input to [[saltedJoin]]'s `nSalts`: per
+    * key, the row count, its share of the table, and a hot flag for
+    * keys whose share exceeds `hotShare`. The flag compares the
+    * ROUNDED share so the decision is reproducible cross-engine (an
+    * unrounded double at the threshold could flip on summation
+    * order). One keyed count (map-side combined) plus the 1-row
+    * broadcast total — the report costs one shuffle of |keys| rows
+    * however big the table is.
+    */
+  def keySkewReport(
+      df: DataFrame,
+      keyCol: String,
+      hotShare: Double = 0.01): DataFrame = {
+    val per = df.groupBy(keyCol).agg(count(lit(1)).as("n_rows"))
+    val tot = per.agg(sum("n_rows").as("n_total"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("share_r",
+        round(col("n_rows").cast("double") / col("n_total").cast("double"), 6))
+      .select(col(keyCol), col("n_rows"), col("share_r"),
+        (col("share_r") > lit(hotShare)).as("hot"))
+  }
+
   /** Write a table bucketed (and sorted) by its join key. Two tables
     * bucketed the same way join with zero exchange — the physical
     * answer to "this join shuffles 100 TB every night".

@@ -443,6 +443,15 @@ object AnalyticsQueries {
         .orderBy("event_type")
     }),
 
+    // Join-key skew report (ScaleOps.keySkewReport): the pre-flight
+    // measurement that decides whether q_salted_join's salting is
+    // needed and sizes nSalts — per user_id the row count, table
+    // share, and rounded-share hot flag. One |keys|-row shuffle.
+    "q_key_skew" -> ((s, dir) =>
+      graft.ops.ScaleOps.keySkewReport(
+        Tables.events(s, dir), "user_id", hotShare = 0.008)
+        .orderBy(col("n_rows").desc, col("user_id"))),
+
     // Z-order clustering key (ScaleOps.zorderValue): the multi-column
     // data-skipping sort key — fixed-width bucket ranks between each
     // column's global min/max, bit-interleaved into one long. The
@@ -766,6 +775,19 @@ object AnalyticsQueries {
                       ('error', '0.00')) AS w(event_type, weight)
            ON e.event_type = w.event_type
          GROUP BY e.event_type ORDER BY e.event_type""",
+    // hot flag compares the ROUNDED share on both engines, so the
+    // threshold decision cannot flip on double summation order
+    "q_key_skew" ->
+      """WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
+           FROM events GROUP BY user_id),
+         tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n_total FROM per)
+         SELECT user_id, n_rows,
+           round(CAST(n_rows AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+             AS share_r,
+           round(CAST(n_rows AS DOUBLE) / CAST(n_total AS DOUBLE), 6) > 0.008
+             AS hot
+         FROM per CROSS JOIN tot
+         ORDER BY n_rows DESC, user_id""",
     "q_zorder" -> {
       // identical rank + interleave arithmetic as ScaleOps.zorderValue
       // (same IEEE double ops, bit position = 2*b + column index)

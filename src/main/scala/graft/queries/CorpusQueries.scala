@@ -296,6 +296,23 @@ object CorpusQueries {
         nw = d.filter(col("lang") =!= "en"))
         .orderBy(col("kl_contrib").desc, col("tok"))
         .limit(25)
+    }),
+
+    // Snapshot upsert: the standing corpus is revision 1; a re-crawl
+    // delivers revision 2 for every third document; keep-latest wins
+    // per doc_id (Corpus.upsertLatest — one keyed window, no join).
+    // Output fingerprints prove the WINNING text survived, not just
+    // the winning version number.
+    "q_upsert" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val v1 = d.select(col("doc_id"), col("text"), lit(1L).as("version"))
+      val v2 = d.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" [rev2]")).as("text"),
+          lit(2L).as("version"))
+      Corpus.upsertLatest(v1.unionByName(v2), "doc_id", "version")
+        .select(col("doc_id"), col("version"), md5(col("text")).as("fp"))
+        .orderBy("doc_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -626,5 +643,15 @@ object CorpusQueries {
          SELECT tok, c_ref, c_new,
            round(p_ref, 6) AS p_ref_r, round(p_new, 6) AS p_new_r,
            round(p_new * ln(p_new / p_ref), 6) AS kl_contrib
-         FROM p ORDER BY kl_contrib DESC, tok LIMIT 25""")
+         FROM p ORDER BY kl_contrib DESC, tok LIMIT 25""",
+    "q_upsert" ->
+      """WITH all_rev AS (
+           SELECT doc_id, text, CAST(1 AS BIGINT) AS version FROM documents
+           UNION ALL
+           SELECT doc_id, text || ' [rev2]', CAST(2 AS BIGINT)
+           FROM documents WHERE doc_id % 3 = 0),
+         r AS (SELECT doc_id, version, md5(text) AS fp,
+             row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn
+           FROM all_rev)
+         SELECT doc_id, version, fp FROM r WHERE rn = 1 ORDER BY doc_id""")
 }

@@ -414,4 +414,21 @@ class CorpusSpec extends AnyFunSuite {
     val same = Corpus.tokenDrift(ref, ref).collect()
     assert(same.forall(_.getDouble(5) == 0.0))
   }
+
+  test("upsertLatest keeps exactly the highest revision per id") {
+    import spark.implicits._
+    val revs = Seq(
+      (1L, "one-v1", 1L), (1L, "one-v3", 3L), (1L, "one-v2", 2L),
+      (2L, "two-v1", 1L),
+      (3L, "three-v2", 2L), (3L, "three-v1", 1L))
+      .toDF("id", "text", "version")
+    val out = Corpus.upsertLatest(revs, "id", "version")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(out == Map(
+      1L -> ("one-v3", 3L), 2L -> ("two-v1", 1L), 3L -> ("three-v2", 2L)))
+    // helper column must not leak into the output
+    assert(!Corpus.upsertLatest(revs, "id", "version")
+      .columns.contains("__rev_rn"))
+  }
 }

@@ -242,4 +242,18 @@ class ScaleOpsSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS o_b")
     }
   }
+
+  test("keySkewReport: shares sum to ~1 and hot flags the heavy key") {
+    import spark.implicits._
+    // 90 rows of key "hot", 10 spread across others
+    val df = ((1 to 90).map(_ => "hot") ++ (1 to 10).map(i => s"k$i"))
+      .toDF("k")
+    val rep = ScaleOps.keySkewReport(df, "k", hotShare = 0.05)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(rep("hot") == ((90L, 0.9, true)))
+    assert(rep("k1") == ((1L, 0.01, false)))
+    assert(math.abs(rep.values.map(_._2).sum - 1.0) < 1e-9)
+    assert(rep.count(_._2._3) == 1)
+  }
 }
