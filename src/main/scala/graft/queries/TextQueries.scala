@@ -360,7 +360,38 @@ object TextQueries {
     "q_bm25" -> ((s, dir) =>
       graft.ops.Retrieval.bm25(docs(s, dir), "doc_id", "text",
         terms = Seq("spark", "vector", "window"))
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // Distributed BPE tokenizer training (BpeTrainer.trainMerges):
+    // the learned merge table. Rows-only BY DESIGN — the iterative,
+    // data-dependent merge sequence is not expressible in one SQL
+    // statement (no struct-state fold in DuckDB 1.0), so correctness
+    // is pinned by BpeTrainerSpec against an independent driver-side
+    // reference implementation over this same table (the q_sniff
+    // pattern).
+    "q_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.BpeTrainer.trainMerges(docs(s, dir), "text", nMerges = 12)
+        .merges.toDF()
+        .select(col("rank").cast("long").as("rank"), col("left"),
+          col("right"), col("count"))
+        .orderBy("rank")
+    }),
+
+    // BPE segmentation with a trained model: train on the standing
+    // slice, segment the serving slice — in-vocab words take the
+    // trained split via a keyed join (no broadcast hint, AQE decides),
+    // OOV words fall back to character splits. Rows-only for the same
+    // reason as q_bpe_merges; the spec pins lossless reassembly
+    // (concat of subwords == word for every row group).
+    "q_bpe_segment" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = graft.ops.BpeTrainer.trainMerges(
+        d.filter(col("doc_id") < 200), "text", nMerges = 8)
+      graft.ops.BpeTrainer.segment(
+        d.filter(col("doc_id") < 50), "doc_id", "text", model)
+        .orderBy("doc_id", "word_pos", "sub_pos")
+    }))
 
   /** Shared CTE chain for the minhash near-dup pipeline: documents →
     * trigram shingles → 6 minhashes → 3 bands → candidates → verified

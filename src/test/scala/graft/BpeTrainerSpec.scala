@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.BpeTrainer
+
+/** The BPE trainer's correctness gate: q_bpe_merges / q_bpe_segment
+  * are rows-only at the driver (no single-SQL oracle exists for an
+  * iterative data-dependent merge sequence), so this spec carries the
+  * cross-check — an independent driver-side reference implementation
+  * run over the SAME inputs, including the real documents table.
+  */
+class BpeTrainerSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  // --- reference implementation (plain Scala, no Spark) ---
+
+  private def refApply(
+      syms: Vector[String], l: String, r: String): Vector[String] = {
+    val b = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        b += (l + r); i += 2
+      } else { b += syms(i); i += 1 }
+    }
+    b.result()
+  }
+
+  private def refTrain(
+      wordCounts: Map[String, Long],
+      nMerges: Int,
+      minCount: Long): Seq[(String, String, Long)] = {
+    var vocab = wordCounts.toVector.map { case (w, c) =>
+      (w.split("").filter(_.nonEmpty).toVector, c)
+    }
+    val out = Seq.newBuilder[(String, String, Long)]
+    var r = 0
+    var done = false
+    while (r < nMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        syms.zip(syms.drop(1)).foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + c
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, rr), cnt) = counts.minBy { case ((l, rr), c) =>
+          (-c, l, rr) // count desc, then pair text asc — the argmax rule
+        }
+        if (cnt < minCount) done = true
+        else {
+          out += ((l, rr, cnt))
+          vocab = vocab.map { case (syms, c) => (refApply(syms, l, rr), c) }
+          r += 1
+        }
+      }
+    }
+    out.result()
+  }
+
+  test("trainMerges matches the reference on a hand corpus (incl. runs)") {
+    import spark.implicits._
+    // "aaaaa" exercises the left-to-right non-overlap rule on runs
+    val docs = Seq("low low lower lowest", "new newer newest new",
+      "aaaaa aaaaa", "low new").toDF("text")
+    val words = docs
+      .select(explode(split(trim(col("text")), " ")).as("w"))
+      .collect().map(_.getString(0)).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, g) => w -> g.length.toLong }
+    val expected = refTrain(words, nMerges = 10, minCount = 2)
+    val got = BpeTrainer.trainMerges(docs, "text", nMerges = 10)
+      .merges.map(m => (m.left, m.right, m.count))
+    assert(got == expected)
+    // choice counts never increase round over round (argmax property)
+    val cnts = got.map(_._3)
+    assert(cnts.zip(cnts.drop(1)).forall { case (a, b) => a >= b })
+  }
+
+  test("trainMerges matches the reference on the real documents table") {
+    val docs = Tables.table(spark, dir, "documents")
+    val words = docs
+      .select(explode(graft.ops.TextDedup.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = refTrain(words, nMerges = 12, minCount = 2)
+    val got = BpeTrainer.trainMerges(docs, "text", nMerges = 12)
+      .merges.map(m => (m.left, m.right, m.count))
+    assert(got == expected)
+  }
+
+  test("segment reassembles every word losslessly; OOV falls back to chars") {
+    import spark.implicits._
+    val train = Seq("low lower low", "new newest").toDF("text")
+    val model = BpeTrainer.trainMerges(train, "text", nMerges = 5)
+    val serve = Seq((1L, "low newest zebra")).toDF("doc_id", "text")
+    val seg = BpeTrainer.segment(serve, "doc_id", "text", model)
+      .orderBy("word_pos", "sub_pos").collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getString(4)))
+    // concat of subwords per word == the word (lossless)
+    seg.groupBy(t => (t._1, t._2)).foreach { case ((_, w), rows) =>
+      assert(rows.map(_._3).mkString("") == w)
+    }
+    // zebra shares no trained symbols → pure character fallback
+    assert(seg.filter(_._2 == "zebra").map(_._3).toSeq ==
+      Seq("z", "e", "b", "r", "a"))
+    // in-vocab word uses the trained (merged, shorter-than-chars) split
+    assert(seg.count(_._2 == "low") < 3)
+  }
+}
