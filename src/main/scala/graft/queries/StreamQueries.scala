@@ -449,7 +449,45 @@ object StreamQueries {
             .withColumn("ts", timestamp_micros(expr("ts_ns div 1000"))),
           leftType = "view", rightType = "click",
           horizonSec = 21600L, watermarkDelay = "10 minutes")
-      }.orderBy("l_id", "r_id")))
+      }.orderBy("l_id", "r_id")),
+
+    // LEFT-OUTER interval join: views with no click inside the
+    // horizon emit null-matched once the watermark passes their
+    // horizon — the funnel-loss report as a stream. The type filters
+    // sit BEFORE the watermark nodes, so the watermark-advancing
+    // sentinel FILES must carry the joined types ('view'/'click',
+    // users -1/-2 — they can never match each other or real rows, and
+    // their own null-emission horizon is never reached). Nulls are
+    // coalesced to -1 so the compare never depends on engine null
+    // ordering.
+    "q_stream_sjoin_outer" -> ((s, dir) => {
+      import s.implicits._
+      val maxNsRow = Tables.table(s, dir, "events").agg(max("ts")).head()
+      if (maxNsRow.isNullAt(0)) {
+        Seq.empty[(Long, Long, Long, Long)]
+          .toDF("l_id", "r_id", "user_id", "delta_us")
+      } else {
+        val maxNs = maxNsRow.getLong(0)
+        def sent(id: Long, user: Long, tpe: String, hours: Long): Row =
+          Row(id, maxNs + hours * 3600L * 1000000000L, user, tpe, 0.0, "{}")
+        runFileStream(s, dir, "events", "q_stream_sjoin_outer_sink",
+          sentinels = Seq(
+            sent(-1L, -1L, "view", 7L), sent(-2L, -2L, "click", 7L),
+            sent(-3L, -1L, "view", 9L), sent(-4L, -2L, "click", 9L))) { raw =>
+          EventStream.intervalJoin(
+            raw.withColumnRenamed("ts", "ts_ns")
+              .withColumn("ts", timestamp_micros(expr("ts_ns div 1000"))),
+            leftType = "view", rightType = "click",
+            horizonSec = 21600L, watermarkDelay = "10 minutes",
+            joinType = "left_outer")
+        }
+          .filter(col("user_id") >= 0)
+          .select(col("l_id"), coalesce(col("r_id"), lit(-1L)).as("r_id"),
+            col("user_id"),
+            coalesce(col("delta_us"), lit(-1L)).as("delta_us"))
+          .orderBy("l_id", "r_id")
+      }
+    }))
 
   // epoch-aligned 5-minute buckets (Spark's tumbling windows align to
   // the epoch); counts are exact integers so the compare has no
@@ -611,6 +649,19 @@ object StreamQueries {
            c.t_us - v.t_us AS delta_us
          FROM e v JOIN e c ON v.user_id = c.user_id
            AND v.event_type = 'view' AND c.event_type = 'click'
+           AND c.t_us >= v.t_us AND c.t_us <= v.t_us + 21600000000
+         ORDER BY l_id, r_id""",
+    // the same pairs plus null-matched views, nulls pinned to -1
+    "q_stream_sjoin_outer" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+             epoch_us(CAST(date_trunc('microseconds', ts) AS TIMESTAMP)) AS t_us
+           FROM events),
+         v AS (SELECT * FROM e WHERE event_type = 'view'),
+         c AS (SELECT * FROM e WHERE event_type = 'click')
+         SELECT v.event_id AS l_id,
+           coalesce(c.event_id, -1) AS r_id, v.user_id,
+           coalesce(c.t_us - v.t_us, -1) AS delta_us
+         FROM v LEFT JOIN c ON v.user_id = c.user_id
            AND c.t_us >= v.t_us AND c.t_us <= v.t_us + 21600000000
          ORDER BY l_id, r_id""")
 }

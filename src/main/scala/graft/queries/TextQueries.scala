@@ -362,6 +362,14 @@ object TextQueries {
         terms = Seq("spark", "vector", "window"))
         .orderBy("doc_id")),
 
+    // Feature-hashing vectorizer (Corpus.hashingTf): fixed-dim sparse
+    // TF vectors with NO vocabulary pass — one exploded keyed
+    // aggregate, md5-portable bucket assignment.
+    "q_hashing_tf" -> ((s, dir) =>
+      graft.ops.Corpus.hashingTf(docs(s, dir), "doc_id", "text",
+        numFeatures = 512)
+        .orderBy("doc_id", "bucket")),
+
     // Distributed BPE tokenizer training (BpeTrainer.trainMerges):
     // the learned merge table. Rows-only BY DESIGN — the iterative,
     // data-dependent merge sequence is not expressible in one SQL
@@ -758,5 +766,15 @@ object TextQueries {
            FROM tf JOIN dfq USING (tok) CROSS JOIN c)
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
            round(sum(term_score), 6) AS score_r
-         FROM sc GROUP BY 1 ORDER BY doc_id""")
+         FROM sc GROUP BY 1 ORDER BY doc_id""",
+    // same md5-hex bucket arithmetic as Corpus.hashBucket's oracles
+    "q_hashing_tf" ->
+      """WITH t AS (SELECT doc_id,
+             unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+         f AS (SELECT doc_id,
+             CAST(CAST(('0x' || substr(md5('htf:' || tok), 1, 8))
+               AS UBIGINT) AS BIGINT) % 512 AS bucket
+           FROM t WHERE tok <> '')
+         SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS n
+         FROM f GROUP BY 1, 2 ORDER BY doc_id, bucket""")
 }

@@ -195,6 +195,17 @@ object VectorQueries {
           round(col("c"), 6).as("c_r"), col("n_vecs"))
         .orderBy("label", "pos")),
 
+    // Corpus-wide per-dimension standardization (VectorStats): stats
+    // from the FULL table (one exploded keyed aggregate, |dim| output
+    // rows — broadcast back by design, bounded by the dimension, not
+    // the corpus), z-scores emitted for the gate slice only.
+    "q_embed_standardize" -> ((s, dir) =>
+      graft.ops.VectorStats.standardize(emb(s, dir), "vec_id", "embedding")
+        .filter(col("vec_id") < 50)
+        .select(col("vec_id"), col("pos"),
+          round(col("x"), 6).as("x_r"), round(col("z"), 6).as("z_r"))
+        .orderBy("vec_id", "pos")),
+
     // Embedding-cosine near-dup: all pairs above threshold (bounded
     // brute force — the exhaustive baseline).
     "q_cosine_pairs" -> ((s, dir) => {
@@ -680,6 +691,21 @@ object VectorQueries {
          SELECT label, pos, round(avg(x), 6) AS c_r,
            CAST(count(*) AS BIGINT) AS n_vecs
          FROM e GROUP BY label, pos ORDER BY label, pos""",
+    // identical moment expressions on both engines (avg(x²) − µ²,
+    // clamped before sqrt); zero-variance dims dropped on both sides
+    "q_embed_standardize" ->
+      """WITH e AS (SELECT vec_id,
+             unnest(range(len(embedding))) AS pos,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+           FROM embeddings),
+         st AS (SELECT pos, avg(x) AS mu,
+             sqrt(greatest(avg(x * x) - avg(x) * avg(x), 0)) AS sd
+           FROM e GROUP BY pos)
+         SELECT e.vec_id, e.pos AS pos, round(e.x, 6) AS x_r,
+           round((e.x - st.mu) / st.sd, 6) AS z_r
+         FROM e JOIN st ON e.pos = st.pos AND st.sd > 0
+         WHERE e.vec_id < 50
+         ORDER BY vec_id, e.pos""",
     "q_cosine_pairs" ->
       """WITH e AS (SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

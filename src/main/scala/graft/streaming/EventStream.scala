@@ -180,12 +180,20 @@ object EventStream {
     * watermark wait), keyed-shuffled on user — no broadcast, both
     * sides unbounded.
     */
+  /** With `joinType = "left_outer"`, a left event with no in-horizon
+    * match emits once the watermark passes its horizon (r_id/delta_us
+    * null) — the funnel-loss report as a stream. Outer emission needs
+    * event-time progress PAST the horizon on both inputs; note the
+    * type filters run before the watermark nodes, so
+    * watermark-advancing rows must carry the filtered types.
+    */
   def intervalJoin(
       events: DataFrame,
       leftType: String,
       rightType: String,
       horizonSec: Long,
-      watermarkDelay: String = "10 minutes"): DataFrame = {
+      watermarkDelay: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     val l = events.filter(col("event_type") === leftType)
       .select(col("event_id").as("l_id"), col("user_id").as("user_id"),
         col("ts").as("l_ts"))
@@ -197,7 +205,8 @@ object EventStream {
     l.join(r,
         col("user_id") === col("r_user") &&
           col("r_ts") >= col("l_ts") &&
-          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizonSec SECONDS"))
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizonSec SECONDS"),
+        joinType)
       .select(col("l_id"), col("r_id"), col("user_id"),
         (unix_micros(col("r_ts")) - unix_micros(col("l_ts"))).as("delta_us"))
   }

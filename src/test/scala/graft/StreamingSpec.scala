@@ -277,4 +277,37 @@ class StreamingSpec extends AnyFunSuite {
         (5L, 6L, 9L, 120000000L)))
     } finally q.stop()
   }
+
+  test("left-outer interval join emits unmatched lefts after the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.intervalJoin(
+      input.toDF(), leftType = "view", rightType = "click",
+      horizonSec = 300L, watermarkDelay = "1 minutes",
+      joinType = "left_outer")
+      .writeStream.format("memory").queryName("sjo")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts(1), 7, "view", 1.0),  // matched below
+        Event(2, ts(3), 7, "click", 1.0),
+        Event(3, ts(2), 8, "view", 1.0))  // never matched
+      q.processAllAvailable()
+      // advance BOTH sides' watermarks past view 3's horizon
+      input.addData(
+        Event(4, ts(30), 99, "view", 1.0),
+        Event(5, ts(30), 98, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sjo")
+        .filter(col("user_id") < 90)
+        .select("l_id", "user_id").as[(Long, Long)].collect().toSet
+      // the matched pair emitted eagerly; the unmatched view emitted
+      // null-matched only after the watermark passed its horizon
+      assert(rows == Set((1L, 7L), (3L, 8L)))
+      val unmatched = spark.table("sjo").filter(col("l_id") === 3)
+        .select("r_id").collect()
+      assert(unmatched.length == 1 && unmatched.head.isNullAt(0))
+    } finally q.stop()
+  }
 }
