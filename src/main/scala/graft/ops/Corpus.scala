@@ -607,6 +607,51 @@ object Corpus {
           .as("kl_contrib"))
   }
 
+  /** Feature-hashing vectorizer (the hashing trick): every token maps
+    * to `md5("htf:"||tok) % numFeatures` and the document's sparse TF
+    * vector is the per-(doc, bucket) count — fixed dimensionality
+    * with no vocabulary pass at all, the property that makes it the
+    * cheap featurizer at 100 TB (one exploded keyed aggregate; no
+    * vocab build, no vocab join, nothing corpus-sized on any single
+    * node). md5-derived buckets (not engine-native hash) keep the
+    * assignment portable across engines and retries. Output:
+    * (idCol, bucket long, n long), sparse — absent buckets are zero.
+    */
+  def hashingTf(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numFeatures: Int): DataFrame = {
+    require(numFeatures > 0, s"numFeatures must be positive: $numFeatures")
+    df.select(col(idCol), explode(TextDedup.tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("bucket",
+        conv(substring(md5(concat(lit("htf:"), col("tok"))), 1, 8),
+          16, 10).cast("long") % numFeatures)
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** k-anonymity audit over quasi-identifier columns — the privacy
+    * companion to [[redactPii]]: group sizes over the quasi-identifier
+    * tuple, flagging groups smaller than `k` (those rows are
+    * re-identifiable by the combination and need suppression or
+    * generalization before release). One keyed count, map-side
+    * combined — |distinct tuples| shuffle rows however big the
+    * corpus; the release decision is then a semi-join against the
+    * flagged tuple set (AQE-sized, typically tiny).
+    */
+  def kAnonymityReport(
+      df: DataFrame,
+      quasiIdCols: Seq[String],
+      k: Long): DataFrame = {
+    require(quasiIdCols.nonEmpty && k >= 1,
+      s"need quasi-id columns and k >= 1, got $quasiIdCols / $k")
+    df.groupBy(quasiIdCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("suppress", col("n_rows") < k)
+  }
+
   /** Keep-latest snapshot merge — the CDC/upsert shape for a
     * re-crawled corpus: among all revisions of each `idCol`, the row
     * with the highest `versionCol` wins (callers whose versions can

@@ -313,7 +313,15 @@ object CorpusQueries {
       Corpus.upsertLatest(v1.unionByName(v2), "doc_id", "version")
         .select(col("doc_id"), col("version"), md5(col("text")).as("fp"))
         .orderBy("doc_id")
-    }))
+    }),
+
+    // k-anonymity audit on the (lang, source) quasi-identifier pair:
+    // groups under k=15 are re-identifiable combinations flagged for
+    // suppression before release (Corpus.kAnonymityReport — one keyed
+    // count, the privacy companion to q_pii_redact).
+    "q_k_anon" -> ((s, dir) =>
+      Corpus.kAnonymityReport(docs(s, dir), Seq("lang", "source"), k = 15)
+        .orderBy("lang", "source")))
 
   val oracles: Map[String, String] = Map(
     "q_sample_hash" ->
@@ -644,6 +652,10 @@ object CorpusQueries {
            round(p_ref, 6) AS p_ref_r, round(p_new, 6) AS p_new_r,
            round(p_new * ln(p_new / p_ref), 6) AS kl_contrib
          FROM p ORDER BY kl_contrib DESC, tok LIMIT 25""",
+    "q_k_anon" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_rows,
+           count(*) < 15 AS suppress
+         FROM documents GROUP BY lang, source ORDER BY lang, source""",
     "q_upsert" ->
       """WITH all_rev AS (
            SELECT doc_id, text, CAST(1 AS BIGINT) AS version FROM documents

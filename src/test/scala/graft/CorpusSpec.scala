@@ -415,6 +415,37 @@ class CorpusSpec extends AnyFunSuite {
     assert(same.forall(_.getDouble(5) == 0.0))
   }
 
+  test("hashingTf: counts sum to token count, buckets bounded, collisions add") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a c"), (2L, "b b")).toDF("id", "text")
+    val tf = Corpus.hashingTf(df, "id", "text", numFeatures = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(tf.keys.forall { case (_, b) => b >= 0 && b < 16 })
+    assert(tf.filter(_._1._1 == 1L).values.sum == 4) // every token counted
+    assert(tf.filter(_._1._1 == 2L).values.sum == 2)
+    // forcing every token into ONE bucket: collisions accumulate
+    val one = Corpus.hashingTf(df, "id", "text", numFeatures = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(one == Map(1L -> 4L, 2L -> 2L))
+  }
+
+  test("kAnonymityReport flags exactly the under-k quasi-id groups") {
+    import spark.implicits._
+    val df = (Seq.fill(5)(("en", "web")) ++ Seq.fill(2)(("en", "pdf")) ++
+      Seq(("de", "web"))).toDF("lang", "source")
+    val rep = Corpus.kAnonymityReport(df, Seq("lang", "source"), k = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    assert(rep == Map(
+      ("en", "web") -> ((5L, false)),
+      ("en", "pdf") -> ((2L, true)),
+      ("de", "web") -> ((1L, true))))
+    intercept[IllegalArgumentException] {
+      Corpus.kAnonymityReport(df, Seq.empty, k = 3)
+    }
+  }
+
   test("upsertLatest keeps exactly the highest revision per id") {
     import spark.implicits._
     val revs = Seq(
