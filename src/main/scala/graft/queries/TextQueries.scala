@@ -362,6 +362,31 @@ object TextQueries {
         terms = Seq("spark", "vector", "window"))
         .orderBy("doc_id")),
 
+    // Count-min sketch (Sketches.countMin/cmEstimate): the d×w
+    // counter matrix is bounded BY CONSTRUCTION however big the
+    // corpus, and the md5 hash rows make the sketch bit-reproducible
+    // cross-engine — so unlike the engine-native sketches (rows-only
+    // q_approx_distinct/q_quantiles_approx), the ESTIMATES themselves
+    // hash-match the oracle. Gate: estimates for the exact top-20
+    // tokens beside their true counts (one-sided error: est ≥ true).
+    // w = 8 against the table's 31-token vocabulary so row collisions
+    // actually inflate some estimates — a wide sketch would be
+    // trivially exact here and demonstrate nothing.
+    "q_cms_counts" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(explode(graft.ops.TextDedup.tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .transform(graft.ops.QueryCaches.persist) // sketch + truth share it
+      val sketch = graft.ops.Sketches.countMin(toks, col("tok"), d = 3, w = 8)
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("n_true"))
+        .orderBy(col("n_true").desc, col("tok")).limit(20)
+        .transform(graft.ops.QueryCaches.persist) // estimate + output join
+      graft.ops.Sketches.cmEstimate(sketch, top, col("tok"), d = 3, w = 8)
+        .join(top, col("item") === col("tok"))
+        .select(col("item"), col("n_true"), col("n_est"))
+        .orderBy("item")
+    }),
+
     // Feature-hashing vectorizer (Corpus.hashingTf): fixed-dim sparse
     // TF vectors with NO vocabulary pass — one exploded keyed
     // aggregate, md5-portable bucket assignment.
@@ -767,6 +792,30 @@ object TextQueries {
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
            round(sum(term_score), 6) AS score_r
          FROM sc GROUP BY 1 ORDER BY doc_id""",
+    // the full counter matrix and the min-over-rows estimate rebuilt
+    // with the same md5 hash rows (zipped parallel unnests for the
+    // (row, bucket) explode)
+    "q_cms_counts" -> {
+      def buckets(col: String): String = (0 until 3).map(i =>
+        s"CAST(CAST(('0x' || substr(md5('cm$i:' || $col), 1, 8)) " +
+          s"AS UBIGINT) AS BIGINT) % 8").mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT unnest(string_split(trim(text), ' ')) AS tok
+             FROM documents),
+         tk AS (SELECT tok FROM t WHERE tok <> ''),
+         m AS (SELECT unnest(range(3)) AS row,
+             unnest(${buckets("tok")}) AS bucket FROM tk),
+         sk AS (SELECT row, bucket, CAST(count(*) AS BIGINT) AS cnt
+           FROM m GROUP BY 1, 2),
+         top AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_true
+           FROM tk GROUP BY 1 ORDER BY n_true DESC, tok LIMIT 20),
+         est AS (SELECT top.tok, top.n_true,
+             unnest(range(3)) AS row,
+             unnest(${buckets("top.tok")}) AS bucket FROM top)
+         SELECT e.tok AS item, e.n_true,
+           CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS n_est
+         FROM est e LEFT JOIN sk USING (row, bucket)
+         GROUP BY 1, 2 ORDER BY item"""
+    },
     // same md5-hex bucket arithmetic as Corpus.hashBucket's oracles
     "q_hashing_tf" ->
       """WITH t AS (SELECT doc_id,
