@@ -451,6 +451,76 @@ object StreamQueries {
           horizonSec = 21600L, watermarkDelay = "10 minutes")
       }.orderBy("l_id", "r_id")),
 
+    // End-to-end FILE-TO-FILE streaming: the same windowed counts, but
+    // landing in Structured Streaming's exactly-once PARQUET sink
+    // (commit-log-tracked files + checkpoint) instead of the memory
+    // sink — the deployment shape where a streaming job feeds the
+    // batch lakehouse. The gate reads the sink back THROUGH the commit
+    // log (a plain directory read would also see uncommitted files)
+    // and must reproduce the same oracle as q_stream_counts.
+    "q_stream_sink" -> ((s, dir) => {
+      import s.implicits._
+      val maxNsRow = Tables.table(s, dir, "events").agg(max("ts")).head()
+      if (maxNsRow.isNullAt(0)) {
+        Seq.empty[(Long, Long, String, Long)]
+          .toDF("window_start_s", "window_end_s", "event_type", "n")
+      } else {
+        val maxNs = maxNsRow.getLong(0)
+        import java.nio.file.{Files => NF, Paths}
+        // fixed tmp layout, cleared up front (the q_ann_ivf_persisted
+        // pattern): the checkpoint MUST be fresh per run or the
+        // resumed query would treat the input as already processed,
+        // and the returned DataFrame stays a LAZY read over the sink —
+        // no driver materialization of the output anywhere
+        val base = Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_stream_sink")
+        if (NF.exists(base)) deleteRecursively(base)
+        val inDir = NF.createDirectories(base.resolve("in"))
+        val outDir = base.resolve("out").toString
+        val cpDir = base.resolve("cp").toString
+        copyTableFiles(Paths.get(dir, "events.parquet"), inDir)
+        withStatePartitions(s) {
+          val q = EventStream.windowedCounts(
+            EventStream.fromEventsDir(s, inDir.toString),
+            watermarkDelay = "10 minutes", windowLen = "5 minutes")
+            .writeStream.format("parquet")
+            .option("path", outDir)
+            .option("checkpointLocation", cpDir)
+            .outputMode("append").start()
+          try {
+            q.processAllAvailable()
+            Seq(1, 2).foreach { i =>
+              val staging = NF.createTempDirectory(s"graft_sink_s$i")
+              Seq((-i.toLong, maxNs + i * 3600L * 1000000000L,
+                -1L, "sentinel", 0.0, "{}"))
+                .toDF("event_id", "ts", "user_id", "event_type",
+                  "value", "props")
+                .coalesce(1).write.mode("overwrite")
+                .parquet(staging.toString)
+              import scala.jdk.CollectionConverters._
+              val st = NF.list(staging)
+              val part =
+                try st.iterator().asScala
+                  .find(_.getFileName.toString.endsWith(".parquet")).get
+                finally st.close()
+              NF.move(part, inDir.resolve(s"sentinel_$i.parquet"))
+              q.processAllAvailable()
+            }
+          } finally q.stop()
+        }
+        // reading the sink directory goes through its _spark_metadata
+        // commit log — only files of committed batches are visible
+        s.read.parquet(outDir)
+          .filter(unix_timestamp(col("window_start")) <=
+            lit(maxNs / 1000000000L))
+          .select(
+            unix_timestamp(col("window_start")).as("window_start_s"),
+            unix_timestamp(col("window_end")).as("window_end_s"),
+            col("event_type"), col("n"))
+          .orderBy("window_start_s", "event_type")
+      }
+    }),
+
     // LEFT-OUTER interval join: views with no click inside the
     // horizon emit null-matched once the watermark passes their
     // horizon — the funnel-loss report as a stream. The type filters
@@ -470,10 +540,13 @@ object StreamQueries {
         val maxNs = maxNsRow.getLong(0)
         def sent(id: Long, user: Long, tpe: String, hours: Long): Row =
           Row(id, maxNs + hours * 3600L * 1000000000L, user, tpe, 0.0, "{}")
+        // ONE sentinel pair: the +7 h watermark (7 h − 10 min delay)
+        // already clears every real view's 6 h outer horizon; extra
+        // pairs would only add stream-stream micro-batches (~1 s each
+        // of join-state commits, measured)
         runFileStream(s, dir, "events", "q_stream_sjoin_outer_sink",
           sentinels = Seq(
-            sent(-1L, -1L, "view", 7L), sent(-2L, -2L, "click", 7L),
-            sent(-3L, -1L, "view", 9L), sent(-4L, -2L, "click", 9L))) { raw =>
+            sent(-1L, -1L, "view", 7L), sent(-2L, -2L, "click", 7L))) { raw =>
           EventStream.intervalJoin(
             raw.withColumnRenamed("ts", "ts_ns")
               .withColumn("ts", timestamp_micros(expr("ts_ns div 1000"))),
@@ -601,6 +674,9 @@ object StreamQueries {
     // (EventStream.fromEventsDir vs the shared harness) — one oracle
     // pins both to the same answer
     "q_stream_file" -> streamCountsOracle,
+    // and the same aggregation again through the exactly-once parquet
+    // SINK + commit-log read-back: file-to-file must not change a row
+    "q_stream_sink" -> streamCountsOracle,
     // gap-and-islands sessions over second-truncated event times:
     // same-session ⟺ gap to previous event ≤ 1800 s; session end =
     // last event + gap (session_window semantics)

@@ -53,4 +53,34 @@ class GraftExtensionsSpec extends AnyFunSuite {
       SparkSession.setActiveSession(base)
     }
   }
+
+  test("GraftExtensions registers graft_dot for pure-SQL callers") {
+    val base = TestSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(new GraftExtensions)
+        .config("spark.sql.shuffle.partitions", "4")
+        .getOrCreate()
+      val v = s2.sql(
+        "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+        .collect().head.getDouble(0)
+      assert(v == 11.0)
+      // same kernel as the DataFrame API: over a non-literal input the
+      // plan carries the native expression (literal args would be
+      // constant-folded at optimization time — itself proof the
+      // expression is a real foldable Catalyst node)
+      import s2.implicits._
+      val plan = Seq(Array(1.0, 2.0)).toDF("v").createOrReplaceTempView("vv")
+      val p = s2.sql("SELECT graft_dot(v, v) FROM vv").queryExecution
+        .executedPlan.toString
+      assert(p.toLowerCase.contains("dotproduct"), p)
+      val err = intercept[Exception] { s2.sql("SELECT graft_dot(array(1.0d))") }
+      assert(err.getMessage.contains("two arguments"))
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
 }
