@@ -101,6 +101,43 @@ object AnalyticsQueries {
         .orderBy(c("c_custkey"))
     }),
 
+    // Time-RANGE window frame: per user, the trailing-1-hour event
+    // count and spend — the rolling-metric shape rows-frames can't
+    // express (peers = same second are in/out by VALUE, so the frame
+    // is deterministic under any peer order, unlike ROWS). One keyed
+    // exchange on user_id; the frame is streamed within partition.
+    "q_rolling_range" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_s"))
+        .rangeBetween(-3600L, 0L)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          expr("ts_ns div 1000000000").as("ts_s"), col("value"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("spend_1h_c",
+          (sum(dec(col("value"))).over(w)
+            .cast("decimal(18,2)") * 100).cast("bigint"))
+        .select(col("event_id"), col("user_id"), col("ts_s"),
+          col("n_1h"), col("spend_1h_c"))
+        .orderBy("event_id")
+    }),
+
+    // Cohort retention: users cohorted by their first-activity week,
+    // distinct active users per (cohort_week, week_offset) — the
+    // classic growth triangle. Two keyed aggregates (first week per
+    // user, then distinct users per cell); all integers, no floats.
+    "q_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("ts_ns div 1000000000 div 86400 div 7").as("week"))
+      val cohort = ev.groupBy("user_id")
+        .agg(min(col("week")).as("cohort_week"))
+      ev.join(cohort, "user_id")
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     // Running total per customer (keyed window — scales by partition).
     "q_window_running" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -580,6 +617,28 @@ object AnalyticsQueries {
              AS BIGINT) AS total_spend_c
          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
          GROUP BY c_custkey ORDER BY c_custkey""",
+    "q_rolling_range" ->
+      """WITH e AS (SELECT event_id, user_id, value,
+             CAST(epoch(CAST(date_trunc('second', ts) AS TIMESTAMP)) AS BIGINT) AS ts_s
+           FROM events)
+         SELECT event_id, user_id, ts_s,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w
+             AS DECIMAL(18,2)) * 100 AS BIGINT) AS spend_1h_c
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+    "q_retention" ->
+      """WITH e AS (SELECT user_id,
+             CAST(epoch(CAST(date_trunc('second', ts) AS TIMESTAMP)) AS BIGINT)
+               // 86400 // 7 AS week
+           FROM events),
+         c AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1)
+         SELECT c.cohort_week, e.week - c.cohort_week AS week_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+         FROM e JOIN c USING (user_id)
+         GROUP BY 1, 2 ORDER BY cohort_week, week_offset""",
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey,
            row_number() OVER w AS rn,
