@@ -315,6 +315,30 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    // Dataset card: the per-source release summary a training run
+    // reads first — doc/token totals, quality-gate pass count, and
+    // docs sharing a fingerprint with ANY doc corpus-wide (the dup
+    // exposure). One scan builds the per-doc facts, the corpus-wide
+    // fingerprint counts come back through a fp-keyed join (NO
+    // broadcast hint — fingerprint cardinality is corpus-sized), then
+    // one aggregate per source. All-integer compare.
+    "q_dataset_card" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        md5(graft.ops.TextDedup.normText(col("text"))).as("fp"),
+        size(graft.ops.TextDedup.tokens(col("text"))).cast("long")
+          .as("n_toks"),
+        Corpus.qualityPass(col("text")).as("q"))
+        .transform(graft.ops.QueryCaches.persist) // facts + fp counts
+      val fpCounts = d.groupBy("fp").agg(count(lit(1)).as("n_fp"))
+      d.join(fpCounts, "fp")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          sum(when(col("q"), 1L).otherwise(0L)).as("n_quality"),
+          sum(when(col("n_fp") > 1, 1L).otherwise(0L)).as("n_dup"))
+        .orderBy("source")
+    }),
+
     // k-anonymity audit on the (lang, source) quasi-identifier pair:
     // groups under k=15 are re-identifiable combinations flagged for
     // suppression before release (Corpus.kAnonymityReport — one keyed
@@ -656,6 +680,26 @@ object CorpusQueries {
       """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_rows,
            count(*) < 15 AS suppress
          FROM documents GROUP BY lang, source ORDER BY lang, source""",
+    // q_curate's gate predicate + corpus-wide fingerprint counts,
+    // reduced to per-source totals
+    "q_dataset_card" ->
+      """WITH d AS (SELECT doc_id, source,
+           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+           CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_toks,
+           (length(text) BETWEEN 20 AND 2000
+             AND len(string_split(trim(text), ' ')) >= 5
+             AND CAST(len(list_filter(string_split(trim(text), ' '),
+                 x -> list_contains(['the','a','data','row','key'], x)))
+               AS DOUBLE) / CAST(len(string_split(trim(text), ' '))
+               AS DOUBLE) <= 0.5) AS q
+         FROM documents),
+         fc AS (SELECT fp, count(*) AS n_fp FROM d GROUP BY 1)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+           CAST(sum(CASE WHEN n_fp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+         FROM d JOIN fc USING (fp)
+         GROUP BY source ORDER BY source""",
     "q_upsert" ->
       """WITH all_rev AS (
            SELECT doc_id, text, CAST(1 AS BIGINT) AS version FROM documents
