@@ -77,8 +77,45 @@ object Bench {
       dt
     }
     val proxy = math.min(proxyPass(), proxyPass())
+    // vector-side twin of the 16x proxy: 16 shifted copies of the
+    // embeddings table through the LSH pair miner — every vector gains
+    // 15 exact duplicates, the worst case for sign-bucket collisions;
+    // tracks whether the bucket-local equi-join stays ~linear as the
+    // vector corpus multiplies.
+    def annProxyPass(): Double = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      try {
+        val e0 = Tables.table(spark, sfDir, "embeddings")
+          .filter(col("vec_id") < 2000)
+          .select(col("vec_id"), col("embedding"))
+        val big = (0 until 16).map(i =>
+            e0.select((col("vec_id") * 16 + i).as("vec_id"), col("embedding")))
+          .reduce(_ unionAll _)
+        val b = graft.ops.QueryCaches.persist(
+          graft.ops.CosineLsh.bucketize(big, "vec_id", "embedding", k = 8)
+            .filter(col("nrm") > 0))
+        val l = b.select(col("vec_id").as("a"), col("v").as("va"),
+          col("nrm").as("na"), col("bucket"))
+        val r = b.select(col("vec_id").as("b"), col("v").as("vb"),
+          col("nrm").as("nb"), col("bucket"))
+        l.join(r, Seq("bucket")).filter(col("a") < col("b"))
+          .withColumn("cos",
+            graft.expr.VectorFunctions.dotProduct(col("va"), col("vb")) /
+              (col("na") * col("nb")))
+          .filter(col("cos") >= 0.2)
+          .write.format("noop").mode("overwrite").save()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] q_ann_lsh_16x FAILED: ${e.getMessage}")
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      graft.ops.QueryCaches.releaseAll()
+      spark.catalog.clearCache()
+      dt
+    }
+    val annProxy = math.min(annProxyPass(), annProxyPass())
     val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) } +
-      ("q_dedup_minhash_16x" -> proxy)
+      ("q_dedup_minhash_16x" -> proxy) + ("q_ann_lsh_16x" -> annProxy)
     // Locale.ROOT: JVM-default-locale %.3f would print "0,169" under a
     // comma-decimal locale and break the JSON report
     def s3(v: Double): String =

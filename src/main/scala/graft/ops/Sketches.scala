@@ -38,6 +38,42 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Approximate distinct count per group by LINEAR COUNTING: hash
+    * every value into an `m`-bucket bitmap and estimate
+    * `-m · ln(unset/m)` from the unset fraction. Same determinism
+    * argument as [[countMin]]: the md5 bucket family makes the
+    * estimate itself oracle-checkable, where engine-native HLL
+    * (q_approx_distinct) can only be rows-checked. Cost: one
+    * (group, bucket)-distinct aggregate — ≤ m rows per group out of
+    * the shuffle regardless of group size; map-side partial
+    * aggregation collapses duplicates early.
+    *
+    * Output: (groupCols..., n_buckets long, est_distinct double).
+    * `est_distinct` is exact-formula IEEE math (ln of an integer
+    * ratio), rounded to 6 for the cross-engine compare; callers
+    * needing the saturated case (every bucket hit ⇒ ln 0) must raise
+    * `m` — this guards it to `m` (the estimator's ceiling) instead of
+    * infinity.
+    */
+  def linearCount(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: Column,
+      m: Int): DataFrame = {
+    require(m > 0, s"m must be positive: $m")
+    val gs = groupCols.map(col)
+    df.select(gs :+ cmBucket(valueCol, 0, m).as("bucket"): _*)
+      .distinct()
+      .groupBy(gs: _*)
+      .agg(count(lit(1)).as("n_buckets"))
+      .withColumn("est_distinct",
+        when(col("n_buckets") < m,
+          round(-lit(m.toDouble) *
+            log((lit(m.toLong) - col("n_buckets")).cast("double") /
+              lit(m.toDouble)), 6))
+          .otherwise(lit(m.toDouble)))
+  }
+
   /** Point-estimate frequencies for `items` (one per row of `itemCol`)
     * against a built sketch: min over the d rows of the item's
     * counters — the classic one-sided bound (never underestimates;

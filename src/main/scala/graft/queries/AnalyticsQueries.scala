@@ -254,6 +254,25 @@ object AnalyticsQueries {
             .cast("bigint").as("sum_bal_c"))
         .orderBy("c_mktsegment")),
 
+    // Approximate distinct with an ORACLE-CHECKABLE estimator
+    // (Sketches.linearCount): the md5 bucket bitmap is deterministic,
+    // so the estimate itself hash-matches — the checkable companion
+    // to the engine-native (rows-only) q_approx_distinct. ≤ m rows
+    // per group leave the shuffle however large the group.
+    "q_linear_count" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"))
+        .transform(graft.ops.QueryCaches.persist) // truth + sketch branches
+      val truth = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_true"))
+      graft.ops.Sketches.linearCount(
+        ev, Seq("event_type"), col("user_id"), m = 256)
+        .join(truth, "event_type")
+        .select(col("event_type"), col("n_true"), col("n_buckets"),
+          col("est_distinct"))
+        .orderBy("event_type")
+    }),
+
     // Range join: value-interval bucketing via broadcast nested loop.
     "q_range_join" -> ((s, dir) => {
       import s.implicits._
@@ -764,6 +783,24 @@ object AnalyticsQueries {
            CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2)) * 100
              AS BIGINT) AS sum_bal_c
          FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    // deterministic md5 bucket bitmap → the linear-counting estimate
+    // itself is comparable (ln of an exact integer ratio)
+    "q_linear_count" ->
+      """WITH e AS (SELECT event_type, user_id FROM events),
+         b AS (SELECT DISTINCT event_type,
+             CAST(CAST(('0x' || substr(md5('cm0:' || CAST(user_id AS VARCHAR)), 1, 8))
+               AS UBIGINT) AS BIGINT) % 256 AS bucket
+           FROM e),
+         c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets
+           FROM b GROUP BY 1),
+         t AS (SELECT event_type,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_true
+           FROM e GROUP BY 1)
+         SELECT t.event_type, t.n_true, c.n_buckets,
+           CASE WHEN c.n_buckets < 256
+             THEN round(-256.0 * ln(CAST(256 - c.n_buckets AS DOUBLE) / 256.0), 6)
+             ELSE 256.0 END AS est_distinct
+         FROM t JOIN c USING (event_type) ORDER BY event_type""",
     "q_range_join" ->
       """SELECT CAST(b.bucket_id AS BIGINT) AS bucket_id, count(*) AS n,
            CAST(CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DECIMAL(18,2)) * 100

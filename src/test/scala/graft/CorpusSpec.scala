@@ -415,6 +415,19 @@ class CorpusSpec extends AnyFunSuite {
     assert(same.forall(_.getDouble(5) == 0.0))
   }
 
+  test("tokenDrift on the real table: KL total non-negative (Gibbs)") {
+    val d = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val drift = Corpus.tokenDrift(
+      d.filter(org.apache.spark.sql.functions.col("lang") === "en"),
+      d.filter(org.apache.spark.sql.functions.col("lang") =!= "en"))
+      .collect()
+    assert(drift.nonEmpty)
+    // sum of per-token contributions = smoothed KL(new‖ref) ≥ 0; the
+    // outputs are rounded to 6 dp, so allow that much slack per token
+    val total = drift.map(_.getDouble(5)).sum
+    assert(total >= -drift.length * 5e-7, s"KL total negative: $total")
+  }
+
   test("hashingTf: counts sum to token count, buckets bounded, collisions add") {
     import spark.implicits._
     val df = Seq((1L, "a b a c"), (2L, "b b")).toDF("id", "text")

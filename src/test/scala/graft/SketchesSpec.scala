@@ -58,4 +58,24 @@ class SketchesSpec extends AnyFunSuite {
       Seq("nope").toDF("k"), col("k"), d, w).collect()
     assert(est.head.getLong(1) >= 0)
   }
+
+  test("linear counting: formula check, duplicates ignored, saturation guarded") {
+    import spark.implicits._
+    val df = Seq(("a", 1L), ("a", 1L), ("a", 2L), ("b", 3L))
+      .toDF("g", "v")
+    val m = 64
+    val out = Sketches.linearCount(df, Seq("g"), col("v"), m)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    def est(hit: Long): Double =
+      BigDecimal(-m.toDouble * math.log((m - hit).toDouble / m))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // duplicates of v=1 hit ONE bucket: group a has at most 2 buckets
+    assert(out("a")._1 <= 2 && out("a")._2 == est(out("a")._1))
+    assert(out("b")._1 == 1 && out("b")._2 == est(1))
+    // m = 1 saturates every group: the guard returns m, not ln(0)
+    val sat = Sketches.linearCount(df, Seq("g"), col("v"), m = 1)
+      .collect().map(r => r.getDouble(2))
+    assert(sat.forall(_ == 1.0))
+  }
 }
