@@ -632,6 +632,47 @@ object Corpus {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Compression-ratio quality signal (the Gopher/RefinedWeb
+    * heuristic): `deflate_len / utf8_len` per document — templated or
+    * repetitive text compresses far below ~0.5, high-entropy junk
+    * sits near 1. Runs as a deterministic JVM kernel (zlib level 6,
+    * default strategy — bit-stable across JVMs) over `mapPartitions`
+    * batches: one Deflater per PARTITION, reset per row, so the gate
+    * pays no per-row allocation. No SQL engine exposes deflate, so
+    * the declared query is rows-only; CorpusSpec pins hand-computed
+    * lengths and the repetitive≪random ordering.
+    *
+    * Scale stance: pure per-row projection, no shuffle, CPU-bounded —
+    * the classic cheap pre-filter before any LM scoring pass.
+    */
+  def compressionRatio(
+      df: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](64 * 1024)
+        it.map { case (id, text) =>
+          val bytes =
+            if (text == null) Array.emptyByteArray
+            else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(bytes)
+          deflater.finish()
+          var n = 0L
+          while (!deflater.finished()) n += deflater.deflate(buf)
+          val ratio =
+            if (bytes.isEmpty) 1.0 else n.toDouble / bytes.length
+          (id, bytes.length.toLong, n, math.rint(ratio * 1e6) / 1e6)
+        }
+      }
+      .toDF(idCol, "raw_len", "deflate_len", "ratio")
+  }
+
   /** k-anonymity audit over quasi-identifier columns — the privacy
     * companion to [[redactPii]]: group sizes over the quasi-identifier
     * tuple, flagging groups smaller than `k` (those rows are

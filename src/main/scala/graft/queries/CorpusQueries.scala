@@ -315,6 +315,15 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    // Compression-ratio quality signal (Corpus.compressionRatio):
+    // deflate_len / utf8_len per document. Rows-only BY DESIGN — no
+    // SQL engine exposes deflate — with CorpusSpec pinning exact
+    // lengths against java.util.zip run independently, plus the
+    // repetitive ≪ random ordering (the q_sniff pattern).
+    "q_compress_ratio" -> ((s, dir) =>
+      Corpus.compressionRatio(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // Dataset card: the per-source release summary a training run
     // reads first — doc/token totals, quality-gate pass count, and
     // docs sharing a fingerprint with ANY doc corpus-wide (the dup

@@ -442,6 +442,34 @@ class CorpusSpec extends AnyFunSuite {
     assert(one == Map(1L -> 4L, 2L -> 2L))
   }
 
+  test("compressionRatio: exact deflate lengths; repetitive << random") {
+    import spark.implicits._
+    val rep = "the row the row the row the row the row " * 20
+    val rnd = new scala.util.Random(42)
+    val noise = (1 to 800).map(_ => ('a' + rnd.nextInt(26)).toChar)
+      .mkString("")
+    val df = Seq((1L, rep), (2L, noise), (3L, "")).toDF("doc_id", "text")
+    val out = Corpus.compressionRatio(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // independent reference: the same zlib level via java.util.zip
+    def refDeflate(s: String): Long = {
+      val d = new java.util.zip.Deflater(6)
+      val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      d.setInput(bytes); d.finish()
+      val buf = new Array[Byte](64 * 1024)
+      var n = 0L
+      while (!d.finished()) n += d.deflate(buf)
+      n
+    }
+    assert(out(1L)._1 == rep.length && out(1L)._2 == refDeflate(rep))
+    assert(out(2L)._2 == refDeflate(noise))
+    // the heuristic's whole point: templated text compresses far
+    // below high-entropy text
+    assert(out(1L)._3 < 0.1 && out(2L)._3 > 0.5)
+    assert(out(3L)._3 == 1.0) // empty text: defined, not a div-by-zero
+  }
+
   test("kAnonymityReport flags exactly the under-k quasi-id groups") {
     import spark.implicits._
     val df = (Seq.fill(5)(("en", "web")) ++ Seq.fill(2)(("en", "pdf")) ++

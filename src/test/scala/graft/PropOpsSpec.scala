@@ -157,4 +157,33 @@ class PropOpsSpec extends AnyFunSuite with PropHelpers {
       assert(b == batch(id), s"stream/batch bucket mismatch for $id")
     }
   }
+
+  test("upsertLatest invariants: idempotent, winner-per-id, order-free") {
+    import spark.implicits._
+    var seed = org.scalacheck.rng.Seed(17L)
+    def next(lo: Int, hi: Int): Int = {
+      val (v, s2) = Gen.choose(lo, hi).apply(
+        Gen.Parameters.default, seed).map(v => (v, seed.next))
+        .getOrElse((lo, seed.next))
+      seed = s2
+      v
+    }
+    // random revisions over few ids; versions unique per id by
+    // construction (the operator's documented contract)
+    val revs = (0 until 15).flatMap { id =>
+      val nv = next(1, 5)
+      new scala.util.Random(id).shuffle((1 to nv).toList)
+        .map(v => (id.toLong, s"t$id-v$v", v.toLong))
+    }
+    val df = revs.toDF("id", "text", "version")
+    val once = Corpus.upsertLatest(df, "id", "version")
+    val got = once.as[(Long, String, Long)].collect().toSet
+    // exactly one winner per id, and it is the max version
+    val expect = revs.groupBy(_._1).map { case (_, g) => g.maxBy(_._3) }.toSet
+    assert(got == expect)
+    // idempotent: merging the merged snapshot changes nothing
+    val twice = Corpus.upsertLatest(once, "id", "version")
+      .as[(Long, String, Long)].collect().toSet
+    assert(twice == got)
+  }
 }
