@@ -138,9 +138,11 @@ object EventStream {
 
   /** Stream-static enrichment + windowed counts per dimension value:
     * the canonical "join the stream to a dimension table" shape. The
-    * static side is stateless — Spark re-plans it into every
-    * micro-batch, so a slowly-refreshed dimension view is picked up
-    * without restarting the stream. The explicit `broadcast()` hint is
+    * static side is stateless and RE-EXECUTED every micro-batch; note
+    * that a path-based parquet DataFrame pins its file listing at
+    * creation, so a slowly-refreshed dimension should come in as a
+    * catalog table (re-listed on REFRESH TABLE) for updates to be
+    * seen without restarting the stream. The explicit `broadcast()` hint is
     * valid HERE because a modeled dimension is bounded by design
     * (nation = 25 rows forever); corpus-DERIVED aggregates must never
     * carry the hint (see Corpus.unigramLogProb's rule — an explicit
