@@ -254,6 +254,24 @@ object AnalyticsQueries {
             .cast("bigint").as("sum_bal_c"))
         .orderBy("c_mktsegment")),
 
+    // Second columnar format, end-to-end: documents written as ORC
+    // (Spark's native second columnar source), read back cold, with a
+    // predicate that must reach the ORC scan as a pushed filter
+    // (PlanSpec pins it) — format portability is an engine property,
+    // not a parquet accident. Fixed tmp path, overwritten per run.
+    "q_orc_roundtrip" -> ((s, dir) => {
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_orc_docs").toString
+      Tables.table(s, dir, "documents")
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .filter(col("lang") === "en")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("source")
+    }),
+
     // Approximate distinct with an ORACLE-CHECKABLE estimator
     // (Sketches.linearCount): the md5 bucket bitmap is deterministic,
     // so the estimate itself hash-matches — the checkable companion
@@ -783,6 +801,13 @@ object AnalyticsQueries {
            CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2)) * 100
              AS BIGINT) AS sum_bal_c
          FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    // the oracle reads the ORIGINAL parquet table: the ORC round trip
+    // must be lossless for the compare to hash-match
+    "q_orc_roundtrip" ->
+      """SELECT source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents WHERE lang = 'en'
+         GROUP BY source ORDER BY source""",
     // deterministic md5 bucket bitmap → the linear-counting estimate
     // itself is comparable (ln of an exact integer ratio)
     "q_linear_count" ->

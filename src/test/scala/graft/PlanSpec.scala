@@ -146,6 +146,13 @@ class PlanSpec extends AnyFunSuite {
       s"1-row totals not broadcast:\n$p")
   }
 
+  test("q_orc_roundtrip: lang predicate is pushed to the ORC scan") {
+    val p = plan("q_orc_roundtrip")
+    assert(p.toLowerCase.contains("orc"), s"not an ORC scan:\n$p")
+    assert(p.contains("EqualTo(lang,en)") || p.contains("lang = en"),
+      s"lang filter not pushed to the ORC scan:\n$p")
+  }
+
   test("q_sample_exact: one stratum exchange feeds the quota window") {
     val p = plan("q_sample_exact")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
