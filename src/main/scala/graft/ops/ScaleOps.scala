@@ -156,6 +156,67 @@ object ScaleOps {
       .partitionBy(partCols: _*)
       .parquet(path)
 
+  /** Copy-on-write merge into a `partCol`-partitioned parquet layout:
+    * apply an `updates` batch of revisions and rewrite ONLY the
+    * partitions the batch touches — the nightly-corrections shape at
+    * 100 TB, where rewriting the corpus for a 0.1 % correction batch
+    * is the difference between minutes and a cluster-day. Untouched
+    * partition directories are left physically untouched (spec-pinned
+    * on file status).
+    *
+    * Mechanics: union the touched partitions with the batch, keep
+    * winners per id by `versionCol` ([[Corpus.upsertLatest]] — one
+    * keyed window over touched data only), write them to a staging
+    * dir, then swap each touched partition directory into place. The
+    * staging write makes the merge restartable (a crash before the
+    * swap loses nothing); the per-partition swap itself is
+    * best-effort-atomic (hdfs rename is atomic per directory; object
+    * stores approximate it) — the transactionality ceiling of a plain
+    * parquet layout, stated rather than papered over. The driver
+    * iterates only over TOUCHED partition values (the batch's
+    * distinct `partCol` set — operationally small; a batch touching
+    * every partition degenerates to a full rewrite, as it must).
+    * Returns the touched partition values.
+    */
+  def copyOnWriteMerge(
+      spark: org.apache.spark.sql.SparkSession,
+      basePath: String,
+      updates: DataFrame,
+      partCol: String,
+      idCol: String,
+      versionCol: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(basePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val touched = updates.select(col(partCol).cast("string"))
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+    if (touched.isEmpty) return touched
+    // partition dir names are built as "col=value": restrict to values
+    // that need no path escaping rather than silently mis-targeting a
+    // directory (hive-style escaping for exotic values is out of scope)
+    require(touched.forall(_.matches("[A-Za-z0-9_.-]+")),
+      s"partition values need escaping, unsupported: $touched")
+    val staging = new Path(basePath + "__cow_staging")
+    fs.delete(staging, true)
+    val base = spark.read.parquet(basePath)
+      .filter(col(partCol).isin(touched: _*))
+    Corpus.upsertLatest(
+        base.unionByName(updates.select(base.columns.map(col): _*)),
+        idCol, versionCol)
+      .write.mode("overwrite").partitionBy(partCol)
+      .parquet(staging.toString)
+    touched.foreach { v =>
+      val dirName = s"$partCol=$v"
+      val live = new Path(basePath, dirName)
+      val fresh = new Path(staging, dirName)
+      fs.delete(live, true)
+      if (!fs.rename(fresh, live))
+        throw new java.io.IOException(s"swap failed for $dirName")
+    }
+    fs.delete(staging, true)
+    touched
+  }
+
   /** Compact a directory of (many small) parquet files into
     * ~`targetFileBytes` outputs — the periodic maintenance op that
     * keeps a streaming/incremental sink scannable (a 100 TB table of

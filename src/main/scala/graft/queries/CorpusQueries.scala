@@ -348,6 +348,31 @@ object CorpusQueries {
         .orderBy("source")
     }),
 
+    // Copy-on-write partition merge (ScaleOps.copyOnWriteMerge): the
+    // corpus lands partitioned by lang; a corrections batch revises
+    // only the 'de' docs, so ONLY lang=de is rewritten (staging +
+    // directory swap — untouched partitions physically untouched,
+    // spec-pinned). The gate reads the merged layout back cold and
+    // must equal the full SQL merge.
+    "q_cow_merge" -> ((s, dir) => {
+      val base = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_cow_docs").toString
+      val d = docs(s, dir)
+        .select(col("doc_id"), col("lang"), col("text"),
+          lit(1L).as("version"))
+      ScaleOps.writePartitioned(d, base, "lang")
+      val updates = docs(s, dir).filter(col("lang") === "de")
+        .select(col("doc_id"), col("lang"),
+          concat(col("text"), lit(" [rev2]")).as("text"),
+          lit(2L).as("version"))
+      ScaleOps.copyOnWriteMerge(s, base, updates,
+        partCol = "lang", idCol = "doc_id", versionCol = "version")
+      s.read.parquet(base)
+        .select(col("doc_id"), col("lang"), col("version"),
+          md5(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
     // k-anonymity audit on the (lang, source) quasi-identifier pair:
     // groups under k=15 are re-identifiable combinations flagged for
     // suppression before release (Corpus.kAnonymityReport — one keyed
@@ -689,6 +714,20 @@ object CorpusQueries {
       """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_rows,
            count(*) < 15 AS suppress
          FROM documents GROUP BY lang, source ORDER BY lang, source""",
+    // the full merge computed directly — the partial (touched-only)
+    // rewrite must be indistinguishable from it
+    "q_cow_merge" ->
+      """WITH all_rev AS (
+           SELECT doc_id, lang, text, CAST(1 AS BIGINT) AS version
+           FROM documents
+           UNION ALL
+           SELECT doc_id, lang, text || ' [rev2]', CAST(2 AS BIGINT)
+           FROM documents WHERE lang = 'de'),
+         r AS (SELECT doc_id, lang, version, md5(text) AS fp,
+             row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn
+           FROM all_rev)
+         SELECT doc_id, lang, version, fp FROM r WHERE rn = 1
+         ORDER BY doc_id""",
     // q_curate's gate predicate + corpus-wide fingerprint counts,
     // reduced to per-source totals
     "q_dataset_card" ->

@@ -243,6 +243,53 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("copyOnWriteMerge rewrites only touched partitions") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_cow_spec").toString
+    try {
+      val v1 = Seq(
+        (1L, "en", "one", 1L), (2L, "en", "two", 1L),
+        (3L, "de", "drei", 1L), (4L, "fr", "quatre", 1L))
+        .toDF("id", "lang", "text", "version")
+      ScaleOps.writePartitioned(v1, base, "lang")
+      def files(lang: String) = {
+        val d = new java.io.File(base, s"lang=$lang")
+        d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> f.lastModified()).toMap
+      }
+      val enBefore = files("en")
+      val frBefore = files("fr")
+      val updates = Seq((3L, "de", "drei v2", 2L), (5L, "de", "fuenf", 2L))
+        .toDF("id", "lang", "text", "version")
+      val touched = ScaleOps.copyOnWriteMerge(
+        spark, base, updates, "lang", "id", "version")
+      assert(touched == Seq("de"))
+      // merged content: de partition upserted (3 replaced, 5 added),
+      // other partitions intact
+      val got = spark.read.parquet(base)
+        .select("id", "text", "version")
+        .as[(Long, String, Long)].collect().toSet
+      assert(got == Set(
+        (1L, "one", 1L), (2L, "two", 1L), (4L, "quatre", 1L),
+        (3L, "drei v2", 2L), (5L, "fuenf", 2L)))
+      // untouched partitions: same files, same mtimes — not rewritten
+      assert(files("en") == enBefore && files("fr") == frBefore)
+      // empty batch: no-op, nothing touched
+      assert(ScaleOps.copyOnWriteMerge(spark, base,
+        updates.filter(col("id") < 0), "lang", "id", "version").isEmpty)
+      // unsupported partition values refuse rather than mis-target
+      intercept[IllegalArgumentException] {
+        ScaleOps.copyOnWriteMerge(spark, base,
+          Seq((9L, "a b", "x", 2L)).toDF("id", "lang", "text", "version"),
+          "lang", "id", "version")
+      }
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(base)).deleteRecursively()
+    }
+  }
+
   test("keySkewReport: shares sum to ~1 and hot flags the heavy key") {
     import spark.implicits._
     // 90 rows of key "hot", 10 spread across others
