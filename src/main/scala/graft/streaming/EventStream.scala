@@ -138,11 +138,14 @@ object EventStream {
 
   /** Stream-static enrichment + windowed counts per dimension value:
     * the canonical "join the stream to a dimension table" shape. The
-    * static side is stateless and RE-EXECUTED every micro-batch; note
-    * that a path-based parquet DataFrame pins its file listing at
-    * creation, so a slowly-refreshed dimension should come in as a
-    * catalog table (re-listed on REFRESH TABLE) for updates to be
-    * seen without restarting the stream. The explicit `broadcast()` hint is
+    * static side is stateless and RE-EXECUTED every micro-batch, but
+    * its FILE SNAPSHOT is pinned when the stream starts: overwriting
+    * the dimension's files mid-stream fails the next batch with
+    * FILE_NOT_EXIST (measured on plain parquet, catalog table or
+    * path, refreshTable notwithstanding). Refreshing a dimension
+    * therefore means restarting the stream, or serving the dimension
+    * from a snapshot-isolating table format that retains old files.
+    * The explicit `broadcast()` hint is
     * valid HERE because a modeled dimension is bounded by design
     * (nation = 25 rows forever); corpus-DERIVED aggregates must never
     * carry the hint (see Corpus.unigramLogProb's rule — an explicit
