@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-analysis over distributed edge lists.
+  *
+  * The LLM-curation use case is link-based quality scoring: web-scale
+  * corpora (Common Crawl derivatives) weight documents by the link
+  * authority of their host, and the canonical authority measure is
+  * PageRank over the (host- or page-level) link graph. The operator is
+  * graph-generic — any `(src, dst)` edge list works.
+  */
+object GraphOps {
+
+  /** Fixed-iteration PageRank with proper dangling-mass redistribution.
+    *
+    * rank'(v) = (1−d)/N + d·( Σ_{u→v} rank(u)/outdeg(u) + D/N )
+    * where D is the total rank mass on dangling nodes (no out-edges).
+    * Total mass is exactly 1.0 every round — the invariant the spec
+    * pins — so ranks are comparable across corpus snapshots.
+    *
+    * Scale shape: each round is ONE shuffle of |E| (edges ⋈ ranks on
+    * src, combined map-side into per-dst partial sums) plus a scalar
+    * dangling aggregate of |V|; the edge list with pre-joined
+    * out-degrees is persisted once and reused every round. The round's
+    * result is cut with an EAGER `localCheckpoint` — unlike the lazy
+    * cut in [[TextDedup.clusters]] (whose convergence check doubles as
+    * the materializer), PageRank has no natural per-round action, and
+    * each new plan references the previous ranks TWICE (contribution
+    * join + dangling aggregate), so an un-cut plan doubles per round.
+    * The checkpoint job is |V| rows — far below the |E| shuffle it
+    * caps. Fixed `iters` (no convergence probe) keeps the round count
+    * — and hence the shuffle count — a static property of the job.
+    *
+    * Determinism note: the per-dst contribution sum is an
+    * order-dependent double aggregate; it is cross-engine-stable under
+    * the repo's `round(x, 6)` gate only while in-degrees are modest
+    * (the ~1e-13 relative accumulation error sits far from rounding
+    * boundaries — the CLAUDE.md bounded-terms rule). Hub nodes with
+    * 1e6+ in-edges would need the DECIMAL-moments treatment of
+    * q_corr_exact.
+    *
+    * @param edges  DataFrame with `src` and `dst` columns (any
+    *               equatable type); parallel edges are deduplicated.
+    * @return (node, rank) — one row per distinct node.
+    */
+  def pageRank(
+      edges: DataFrame,
+      iters: Int = 6,
+      damping: Double = 0.85,
+      handle: CacheHandle = null): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(damping > 0 && damping < 1, s"damping in (0,1), got $damping")
+
+    val e = CacheHandle.persistWith(handle,
+      edges.select(col("src"), col("dst")).distinct())
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val nodes = CacheHandle.persistWith(handle,
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct())
+    // out-degree rides along with each edge: joined ONCE here, not
+    // re-derived per round
+    val ew = CacheHandle.persistWith(handle,
+      e.join(deg, "src").select(col("src"), col("dst"), col("outdeg")))
+    // carry N as a column: one broadcast cross-join at init, then the
+    // constant is just data — no per-round re-aggregation
+    val n1 = nodes.agg(count(lit(1)).as("n"))
+    var ranks = nodes.crossJoin(broadcast(n1))
+      .select(col("node"), (lit(1.0) / col("n")).as("rank"), col("n"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = ew
+        .join(ranks.select(col("node").as("src"), col("rank")), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") / col("outdeg")).as("contrib"))
+      val dangling = ranks
+        .join(deg.select(col("src").as("node")), Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
+      ranks = ranks.select(col("node"), col("n"))
+        .join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"),
+          (lit(1.0 - damping) / col("n") + lit(damping) *
+            (coalesce(col("contrib"), lit(0.0)) + col("dm") / col("n")))
+            .as("rank"),
+          col("n"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("node"), col("rank"))
+  }
+}

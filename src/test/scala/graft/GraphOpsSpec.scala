@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.GraphOps
+
+class GraphOpsSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  private def ranksOf(edges: Seq[(String, String)], iters: Int = 6)
+      : Map[String, Double] = {
+    import spark.implicits._
+    GraphOps.pageRank(edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+  }
+
+  test("cycle graph is uniform at every damping") {
+    // a→b→c→a: perfectly symmetric, rank must stay exactly 1/3
+    val r = ranksOf(Seq("a" -> "b", "b" -> "c", "c" -> "a"))
+    assert(r.size == 3)
+    r.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-12))
+  }
+
+  test("total rank mass is exactly 1.0 (dangling mass redistributed)") {
+    // star into a sink: b is dangling — without the D/N term the
+    // graph would leak 0.85·rank(b) of mass every round
+    val r = ranksOf(Seq("a" -> "b", "c" -> "b", "d" -> "b", "d" -> "a"))
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    // the sink holds the most mass; its sole feeder-beneficiary next
+    assert(r("b") == r.values.max)
+    assert(r("b") > r("a") && r("a") > r("d"))
+  }
+
+  test("hand-computed two-node chain matches the closed form") {
+    // a→b, 1 iteration, d=0.85: both start at 1/2; b gets a's full
+    // contribution 1/2, dangling mass = rank(b) = 1/2.
+    //   rank'(a) = 0.15/2 + 0.85·(0 + (1/2)/2)
+    //   rank'(b) = 0.15/2 + 0.85·(1/2 + (1/2)/2)
+    import spark.implicits._
+    val r = GraphOps.pageRank(Seq("a" -> "b").toDF("src", "dst"), iters = 1)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    val d1 = 1.0 - 0.85
+    assert(math.abs(r("a") - (d1 / 2 + 0.85 * 0.25)) < 1e-12)
+    assert(math.abs(r("b") - (d1 / 2 + 0.85 * 0.75)) < 1e-12)
+  }
+
+  test("parallel edges deduplicate; ranks are deterministic across runs") {
+    import spark.implicits._
+    val dup = Seq("a" -> "b", "a" -> "b", "b" -> "a", "a" -> "c")
+    val once = ranksOf(dup)
+    val again = ranksOf(dup)
+    assert(once == again) // bit-identical, not just approximately
+    // dedup means a's outdeg is 2 (b, c), not 3
+    val r = once
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    // b and c both receive exactly rank(a)/2 — equal by symmetry —
+    // while a alone gets b's full rank: dedup keeps the symmetry
+    // (outdeg(a)=2; a triple-counted a→b would break it)
+    assert(r("b") == r("c"))
+    assert(r("a") > r("b"))
+  }
+}
