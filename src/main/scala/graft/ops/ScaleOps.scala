@@ -370,4 +370,84 @@ object ScaleOps {
     finish(shaped.join(broadcast(offDf), Seq("__pid")), w)
       .drop("__pid", "__off")
   }
+
+  /** Deterministic Bloom-filter build over a key column — the
+    * engine-portable runtime-filter half of [[bloomPrunedSemiJoin]].
+    *
+    * k md5-derived bit positions per key land in an mBits-bit array,
+    * returned as mBits/64 long words (8 KiB at the default 2^16).
+    * The only driver-side materialization is the distinct-position
+    * set — bounded by the CONSTANT mBits however large the input, the
+    * same bounded-collect class as IvfIndex's k centroids. md5 (not
+    * xxhash/rand) keeps positions reproducible across engines, runs
+    * and task retries, like every sampling op in [[graft.ops.Corpus]].
+    */
+  def bloomBuild(
+      keys: DataFrame,
+      keyCol: String,
+      mBits: Int = 1 << 16,
+      k: Int = 3): Array[Long] = {
+    require(mBits > 0 && mBits % 64 == 0,
+      s"mBits must be a positive multiple of 64, got $mBits")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pos = (0 until k).map(i => bloomPos(i, col(keyCol), mBits))
+    val words = keys
+      .select(explode(array(pos: _*)).as("pos")).distinct()
+      .select(expr("CAST(pos div 64 AS INT) AS word"),
+        expr("shiftleft(1L, CAST(pos % 64 AS INT)) AS mask"))
+      .groupBy("word").agg(expr("bit_or(mask) AS bits"))
+      .collect()
+    val arr = Array.ofDim[Long](mBits / 64)
+    words.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    arr
+  }
+
+  /** One key's i-th bit position: md5("bf<i>:<key>") mod mBits. */
+  private def bloomPos(i: Int, key: Column, mBits: Int): Column =
+    pmod(conv(substring(md5(concat(lit(s"bf$i:"), key.cast("string"))), 1, 8),
+      16, 10).cast("long"), lit(mBits.toLong))
+
+  /** Membership probe for a [[bloomBuild]] filter: AND over the k bit
+    * tests. No false negatives by construction; false positives are
+    * removed by the exact join in [[bloomPrunedSemiJoin]]. The word
+    * array rides into the plan as an 8 KiB literal — shipped once per
+    * task, never shuffled. The variable-distance shift goes through
+    * `call_function("shiftright", …)` (the typed `shiftright` helper
+    * only takes a literal distance).
+    */
+  def bloomMightContain(
+      words: Array[Long], mBits: Int, k: Int, key: Column): Column = {
+    val arr = typedlit(words.toSeq)
+    (0 until k).map { i =>
+      val p = bloomPos(i, key, mBits)
+      val w = element_at(arr, shiftright(p, 6).cast("int") + lit(1))
+      call_function("shiftright", w, pmod(p, lit(64L)).cast("int"))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+  }
+
+  /** Semi-join reduction via an explicit Bloom runtime filter — the
+    * 100-TB pattern for "fact table ⋈ selective dim subset": build an
+    * 8 KiB filter from the small side's keys, drop non-matching fact
+    * rows AT THE SCAN (before any exchange), then run the exact
+    * left-semi join on the survivors. The shuffle sees only rows that
+    * might match instead of the whole fact table; the final join makes
+    * the result EXACTLY the plain semi-join (Bloom false positives are
+    * eliminated), which is what the oracle checks. Spark's AQE injects
+    * similar filters implicitly for some plans; the explicit form is
+    * deterministic, engine-portable, and applies where AQE cannot see
+    * (streams, custom scans, pre-shuffle pruning of a bucketed write).
+    */
+  def bloomPrunedSemiJoin(
+      big: DataFrame,
+      bigKey: String,
+      small: DataFrame,
+      smallKey: String,
+      mBits: Int = 1 << 16,
+      k: Int = 3): DataFrame = {
+    val words = bloomBuild(small, smallKey, mBits, k)
+    big.filter(bloomMightContain(words, mBits, k, col(bigKey)))
+      .join(small.select(col(smallKey).as(bigKey)).distinct(),
+        Seq(bigKey), "left_semi")
+  }
 }

@@ -610,9 +610,279 @@ object AnalyticsQueries {
         .filter(col("value") < col("lo_r") || col("value") > col("hi_r"))
         .select(col("event_id"), col("value"), col("lo_r"), col("hi_r"))
         .orderBy("event_id")
+    }),
+
+    // Link-analysis quality signal: PageRank over the supplier→customer
+    // purchase graph (lineitem ⋈ orders edges). Directed — every
+    // customer node is dangling, exercising the dangling-mass term.
+    // 6 fixed rounds, each one |E| shuffle (see GraphOps.pageRank).
+    "q_pagerank" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("c"), col("o_custkey")).as("dst"))
+      graft.ops.GraphOps.pageRank(edges, iters = 6, damping = 0.85)
+        .select(col("node"), round(col("rank"), 6).as("rank_r"))
+        .orderBy("node")
+    }),
+
+    // Runtime-filter semi-join reduction: an 8 KiB deterministic Bloom
+    // filter built from the selective dim subset prunes lineitem AT THE
+    // SCAN; the exact semi-join removes the false positives, so the
+    // result equals the plain semi-join the oracle runs.
+    "q_bloom_prune" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+          .filter(col("n_name") === "NATION_9")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      graft.ops.ScaleOps.bloomPrunedSemiJoin(li, "l_suppkey", sup, "s_suppkey")
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n"),
+          (sum(dec(col("l_quantity"))).cast("decimal(18,2)") * 100)
+            .cast("bigint").as("sum_qty_c"))
+        .orderBy("l_suppkey")
+    }),
+
+    // SCD Type-2 dimension history: order-priority changes per customer
+    // become validity intervals. valid_to's null (current version) is
+    // coalesced to a sentinel timestamp — Spark and DuckDB order and
+    // hash nulls differently (the stream-join rule).
+    "q_scd2" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey"),
+        col("o_orderpriority"), col("o_orderdate"), col("o_orderkey"))
+      graft.ops.Corpus.scd2History(o, "o_custkey", "o_orderpriority",
+        Seq("o_orderdate", "o_orderkey"))
+        .select(col("o_custkey"), col("o_orderpriority"),
+          col("o_orderdate").as("valid_from"),
+          coalesce(col("valid_to"),
+            lit("9999-12-31 00:00:00").cast("timestamp")).as("valid_to"),
+          col("is_current"))
+        .orderBy("o_custkey", "valid_from")
+    }),
+
+    // Regular-grid resample + forward fill: hourly per-user activity
+    // with silent hours synthesized (n=0, is_gap) and the last seen
+    // max value carried forward. max() is order-independent — the
+    // filled doubles are bit-exact cross-engine, no rounding needed.
+    "q_gap_fill" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .filter(col("user_id") % 97 === 0)
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"),
+          col("value"))
+        .groupBy("user_id", "h")
+        .agg(count(lit(1)).as("n"), max(col("value")).as("mx"))
+      graft.ops.TimeSeries.gapFill(hourly, "user_id", "h", Seq("mx"),
+        expr("interval 1 hour"))
+        .select(col("user_id"), col("h"),
+          coalesce(col("n"), lit(0L)).as("n"), col("mx"), col("is_gap"))
+        .orderBy("user_id", "h")
+    }),
+
+    // Winsorization: per-group exact 5th/95th percentile fences
+    // (ROUNDED before the compare — the round-before-threshold rule),
+    // emitting only the clipped tails. The fence join is broadcast:
+    // event_type's domain is app-bounded (5 values), not corpus-sized.
+    "q_winsorize" -> ((s, dir) => {
+      val d = Tables.events(s, dir).filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val fences = d.groupBy("event_type").agg(
+        round(percentile(col("value"), lit(0.05)), 6).as("lo_r"),
+        round(percentile(col("value"), lit(0.95)), 6).as("hi_r"))
+      d.join(broadcast(fences), "event_type")
+        .filter(col("value") < col("lo_r") || col("value") > col("hi_r"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          greatest(least(col("value"), col("hi_r")), col("lo_r"))
+            .as("clipped"))
+        .orderBy("event_id")
+    }),
+
+    // Last-touch attribution: credit each converting user's final
+    // non-purchase event before their first purchase. Row numbers are
+    // a per-user total order on (ts_sec, event_id) — second precision
+    // by the cross-engine timestamp rule, event_id breaking ties.
+    "q_attribution" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_sec"), col("event_id"))
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts_sec"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+      val firstPurchase = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min(col("rn")).as("prn"))
+      // per-user aggregate join: unbounded cardinality — NO broadcast
+      // hint (the vocab rule); AQE picks the strategy from size
+      e.join(firstPurchase, "user_id")
+        .filter(col("rn") < col("prn") && col("event_type") =!= "purchase")
+        .groupBy("user_id")
+        .agg(max_by(col("event_type"), col("rn")).as("credited"))
+        .groupBy(col("credited").as("event_type"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("event_type")
+    }),
+
+    // Trailing-20-row z-score anomaly flags per user. The rolling
+    // moments accumulate in DECIMAL (sliding-frame double sums differ
+    // between Spark's incremental add and DuckDB's segment tree; exact
+    // decimals cannot) and convert to double once, in the identical
+    // expression both engines run; |z| compares ROUNDED.
+    "q_rolling_z" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_sec"), col("event_id")).rowsBetween(-19, 0)
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val e = Tables.events(s, dir).filter(col("value").isNotNull)
+        .select(col("user_id"), col("event_id"), col("ts_sec"),
+          round(col("value"), 6).cast("decimal(18,6)").as("vr"))
+      e.withColumn("n", count(lit(1)).over(w))
+        .withColumn("sx", sum(col("vr")).over(w))
+        .withColumn("sxx",
+          sum((col("vr") * col("vr")).cast("decimal(38,12)")).over(w))
+        .filter(col("n") >= 10)
+        .withColumn("varnum",
+          col("n") * d(col("sxx")) - d(col("sx")) * d(col("sx")))
+        .filter(col("varnum") > 0)
+        .select(col("user_id"), col("event_id"),
+          round((d(col("vr")) - d(col("sx")) / col("n")) /
+            sqrt(col("varnum") / (col("n") * (col("n") - lit(1)))), 6)
+            .as("z_r"))
+        .filter(abs(col("z_r")) > lit(2.5))
+        .orderBy("user_id", "event_id")
     }))
 
+  /** PageRank oracle: DuckDB 1.0 disallows aggregation inside a
+    * recursive CTE member, so the FIXED iteration count is unrolled
+    * into chained CTEs r0..r{iters} — each a plain join+aggregate,
+    * the exact update rule of [[graft.ops.GraphOps.pageRank]]. The
+    * (1−d) literal is emitted via Double.toString so the SQL double
+    * is BIT-identical to Spark's `lit(1.0 - damping)` (1.0−0.85 is
+    * 0.15000000000000002, not 0.15).
+    */
+  private def pagerankOracle(iters: Int, damping: Double): String = {
+    val d1 = s"CAST(${1.0 - damping} AS DOUBLE)"
+    val d = s"CAST($damping AS DOUBLE)"
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (SELECT p.node,
+           $d1 / p.n + $d *
+             (COALESCE(c.contrib, CAST(0 AS DOUBLE)) + dg.dm / p.n) AS pr,
+           p.n
+         FROM r${i - 1} p
+         LEFT JOIN (SELECT e.dst AS node, sum(r.pr / g.outdeg) AS contrib
+                    FROM e JOIN r${i - 1} r ON r.node = e.src
+                         JOIN deg g ON g.src = e.src
+                    GROUP BY e.dst) c ON c.node = p.node
+         CROSS JOIN (SELECT COALESCE(sum(r.pr), CAST(0 AS DOUBLE)) AS dm
+                     FROM r${i - 1} r LEFT JOIN deg g ON g.src = r.node
+                     WHERE g.src IS NULL) dg)"""
+    }.mkString(",\n         ")
+    s"""WITH e AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+             'c' || CAST(o_custkey AS VARCHAR) AS dst
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+         nn AS (SELECT count(*) AS n FROM nodes),
+         r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n AS pr, n
+                FROM nodes CROSS JOIN nn),
+         $rounds
+         SELECT node, round(pr, 6) AS rank_r FROM r$iters ORDER BY node"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_pagerank" -> pagerankOracle(6, 0.85),
+    "q_bloom_prune" ->
+      """SELECT l_suppkey, count(*) AS n,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
+             * 100 AS BIGINT) AS sum_qty_c
+         FROM lineitem
+         WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+           JOIN nation ON s_nationkey = n_nationkey
+           WHERE n_name = 'NATION_9')
+         GROUP BY l_suppkey ORDER BY l_suppkey""",
+    "q_scd2" ->
+      """WITH s AS (SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             lag(o_orderpriority) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS prev
+           FROM orders),
+         c AS (SELECT * FROM s
+           WHERE prev IS DISTINCT FROM o_orderpriority),
+         v AS (SELECT o_custkey, o_orderpriority,
+             o_orderdate AS valid_from,
+             lead(o_orderdate) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS valid_to
+           FROM c)
+         SELECT o_custkey, o_orderpriority, valid_from,
+           COALESCE(valid_to, TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+           (valid_to IS NULL) AS is_current
+         FROM v ORDER BY o_custkey, valid_from""",
+    "q_winsorize" ->
+      """WITH d AS (SELECT event_id, event_type, value FROM events
+           WHERE value IS NOT NULL),
+         f AS (SELECT event_type,
+             round(quantile_cont(value, 0.05), 6) AS lo_r,
+             round(quantile_cont(value, 0.95), 6) AS hi_r
+           FROM d GROUP BY 1)
+         SELECT d.event_id, d.event_type, d.value,
+           greatest(least(d.value, f.hi_r), f.lo_r) AS clipped
+         FROM d JOIN f USING (event_type)
+         WHERE d.value < f.lo_r OR d.value > f.hi_r
+         ORDER BY d.event_id""",
+    "q_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY date_trunc('second', ts), event_id) AS rn
+           FROM events),
+         fp AS (SELECT user_id, min(rn) AS prn FROM e
+           WHERE event_type = 'purchase' GROUP BY 1),
+         c AS (SELECT e.user_id,
+             arg_max(e.event_type, e.rn) AS credited
+           FROM e JOIN fp ON fp.user_id = e.user_id
+           WHERE e.rn < fp.prn AND e.event_type <> 'purchase'
+           GROUP BY 1)
+         SELECT credited AS event_type, count(*) AS n_users
+         FROM c GROUP BY 1 ORDER BY event_type""",
+    "q_rolling_z" ->
+      """WITH e AS (SELECT user_id, event_id,
+             CAST(round(value, 6) AS DECIMAL(18,6)) AS vr,
+             date_trunc('second', ts) AS tss
+           FROM events WHERE value IS NOT NULL),
+         s AS (SELECT user_id, event_id, vr,
+             count(*) OVER w AS n,
+             sum(vr) OVER w AS sx,
+             sum(CAST(vr * vr AS DECIMAL(38,12))) OVER w AS sxx
+           FROM e WINDOW w AS (PARTITION BY user_id
+             ORDER BY tss, event_id
+             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+         v AS (SELECT user_id, event_id, vr, n, sx,
+             n * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varnum
+           FROM s WHERE n >= 10),
+         z AS (SELECT user_id, event_id,
+             round((CAST(vr AS DOUBLE) - CAST(sx AS DOUBLE) / n) /
+               sqrt(varnum / (n * (n - 1))), 6) AS z_r
+           FROM v WHERE varnum > 0)
+         SELECT user_id, event_id, z_r FROM z WHERE abs(z_r) > 2.5
+         ORDER BY user_id, event_id""",
+    "q_gap_fill" ->
+      """WITH a AS (SELECT user_id, date_trunc('hour', ts) AS h,
+             count(*) AS n, max(value) AS mx
+           FROM events WHERE user_id % 97 = 0 GROUP BY 1, 2),
+         b AS (SELECT user_id, min(h) AS lo, max(h) AS hi
+           FROM a GROUP BY 1),
+         grid AS (SELECT user_id,
+             unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+           FROM b),
+         j AS (SELECT g.user_id, g.h, a.n, a.mx,
+             (a.user_id IS NULL) AS is_gap
+           FROM grid g LEFT JOIN a
+             ON a.user_id = g.user_id AND a.h = g.h)
+         SELECT user_id, h, COALESCE(n, CAST(0 AS BIGINT)) AS n,
+           last_value(mx IGNORE NULLS) OVER (PARTITION BY user_id
+             ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS mx,
+           is_gap
+         FROM j ORDER BY user_id, h""",
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
            CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) * 100

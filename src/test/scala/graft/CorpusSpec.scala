@@ -503,4 +503,72 @@ class CorpusSpec extends AnyFunSuite {
     assert(!Corpus.upsertLatest(revs, "id", "version")
       .columns.contains("__rev_rn"))
   }
+
+  test("scd2History collapses runs and closes intervals at the next change") {
+    import spark.implicits._
+    val revs = Seq(
+      (1L, "A", 1L), (1L, "A", 2L), (1L, "B", 3L), (1L, "B", 4L),
+      (1L, "A", 5L), (2L, "X", 1L)
+    ).toDF("id", "attr", "v")
+    val h = Corpus.scd2History(revs, "id", "attr", Seq("v"))
+      .orderBy("id", "v")
+      .select("id", "attr", "v", "valid_to", "is_current")
+      .collect()
+    assert(h.length == 4)
+    // id 1: A@[1,3), B@[3,5), A@[5,∞); id 2: X@[1,∞)
+    assert(h(0).getString(1) == "A" && h(0).getLong(2) == 1L &&
+      h(0).getLong(3) == 3L && !h(0).getBoolean(4))
+    assert(h(1).getString(1) == "B" && h(1).getLong(2) == 3L &&
+      h(1).getLong(3) == 5L && !h(1).getBoolean(4))
+    assert(h(2).getString(1) == "A" && h(2).getLong(2) == 5L &&
+      h(2).isNullAt(3) && h(2).getBoolean(4))
+    assert(h(3).getString(1) == "X" && h(3).getBoolean(4))
+  }
+
+  test("scd2History change detection is null-safe") {
+    import spark.implicits._
+    val revs = Seq[(Long, Option[String], Long)](
+      (1L, None, 1L), (1L, Some("A"), 2L), (1L, None, 3L), (1L, None, 4L)
+    ).toDF("id", "attr", "v")
+    val h = Corpus.scd2History(revs, "id", "attr", Seq("v"))
+      .orderBy("v").select("attr", "v").collect()
+    // a leading null equals the implicit pre-history null (no version);
+    // A opens at 2; A→null opens at 3; the null run collapses
+    assert(h.map(r => (Option(r.getString(0)), r.getLong(1))).toSeq ==
+      Seq((Some("A"), 2L), (None, 3L)))
+  }
+
+  test("lDiversityReport flags homogeneous groups however large") {
+    import spark.implicits._
+    val rows = Seq(
+      // group (a): 3 rows, all the same sensitive value -> flagged
+      ("a", 1L), ("a", 1L), ("a", 1L),
+      // group (b): 2 rows, 2 distinct values -> passes at l=2
+      ("b", 1L), ("b", 2L)
+    ).toDF("q", "sens")
+    val rep = Corpus.lDiversityReport(rows, Seq("q"), "sens", l = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(rep("a") == ((3L, 1L, true)))
+    assert(rep("b") == ((2L, 2L, false)))
+    intercept[IllegalArgumentException](
+      Corpus.lDiversityReport(rows, Nil, "sens", 2))
+  }
+
+  test("pmiPairs matches a hand computation") {
+    import spark.implicits._
+    // docs {a b}, {b a}, {a c}, {b}: n=4, c_a=3, c_b=3, c_c=1,
+    // c_ab=2, c_ac=1 → pmi(a,b)=ln(8/9), pmi(a,c)=ln(4/3)
+    val docs = Seq((1L, "a b"), (2L, "b a"), (3L, "a c"), (4L, "b"))
+      .toDF("doc_id", "text")
+    val got = Corpus.pmiPairs(docs, "doc_id", "text")
+      .orderBy("tok_a", "tok_b").collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set(("a", "b"), ("a", "c")))
+    assert(got(("a", "b"))._1 == 2L && got(("a", "c"))._1 == 1L)
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    assert(math.abs(got(("a", "b"))._2 - r6(math.log(8.0 / 9))) < 1e-9)
+    assert(math.abs(got(("a", "c"))._2 - r6(math.log(4.0 / 3))) < 1e-9)
+  }
 }

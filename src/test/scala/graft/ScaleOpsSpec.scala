@@ -303,4 +303,42 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(math.abs(rep.values.map(_._2).sum - 1.0) < 1e-9)
     assert(rep.count(_._2._3) == 1)
   }
+
+  test("bloom-pruned semi-join equals the plain semi-join exactly") {
+    val li = Tables.table(spark, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_quantity")
+    val sup = Tables.table(spark, dir, "supplier")
+      .filter(col("s_suppkey") % 7 === 0).select("s_suppkey")
+    val pruned = ScaleOps.bloomPrunedSemiJoin(li, "l_suppkey", sup, "s_suppkey")
+    val plain = li.join(sup.select(col("s_suppkey").as("l_suppkey")),
+      Seq("l_suppkey"), "left_semi")
+    assert(pruned.count() == plain.count())
+    assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
+  }
+
+  test("bloom filter passes every member and few non-members") {
+    import spark.implicits._
+    val members = (0L until 50L).map(_ * 17L)
+    val small = members.toDF("k")
+    val words = ScaleOps.bloomBuild(small, "k", mBits = 1 << 12, k = 3)
+    assert(words.length == (1 << 12) / 64)
+    val probeAll = (0L until 5000L).toDF("k")
+    val passed = probeAll
+      .filter(ScaleOps.bloomMightContain(words, 1 << 12, 3, col("k")))
+      .collect().map(_.getLong(0)).toSet
+    // no false negatives, ever
+    assert(members.forall(passed.contains))
+    // FP probability at n=50, m=4096, k=3 is ~(nk/m)^3 ≈ 5e-5 per
+    // probe: a handful of stragglers at most out of 5000
+    assert(passed.size <= members.size + 25)
+  }
+
+  test("bloomBuild validates its geometry") {
+    import spark.implicits._
+    val df = Seq(1L).toDF("k")
+    intercept[IllegalArgumentException](
+      ScaleOps.bloomBuild(df, "k", mBits = 100))
+    intercept[IllegalArgumentException](
+      ScaleOps.bloomBuild(df, "k", k = 0))
+  }
 }
