@@ -2,7 +2,7 @@ package graft.ops
 
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video payloads travel as
@@ -370,4 +370,70 @@ object Multimodal {
         max(col("width")).as("max_width"),
         max(col("sample_rate")).as("max_sample_rate"))
       .orderBy("kind")
+
+  /** Above-mean feature fingerprint — the "aHash" pattern lifted onto
+    * the codec seam: bit i is set iff feature_i · dims > Σ features.
+    * Works for ANY codec's fixed-dim features (real 4×4 luminance
+    * grids from [[ImageIoCodec]] give a classic perceptual hash; the
+    * stub's md5-byte features stay integer-exact for the oracle:
+    * (b/256)·16 > Σb/256 ⟺ 16·b > Σb — every float in the compare is
+    * an exact multiple of 2⁻⁸, so the float path and the oracle's
+    * integer path decide identically). The two HOFs run interpreted —
+    * over `dims` elements per row, not a scan-width hot path; the
+    * variable-distance shift goes through `call_function` (the typed
+    * `shiftleft` takes only a literal distance).
+    */
+  def featureFingerprint(featCol: Column, dims: Int): Column = {
+    val total = aggregate(featCol, lit(0.0d),
+      (acc, x) => acc + x.cast("double"))
+    aggregate(
+      transform(featCol, (x, i) =>
+        when(x.cast("double") * lit(dims.toDouble) > total,
+          call_function("shiftleft", lit(1L), i.cast("int")))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Banded Hamming near-dup join over feature fingerprints — the
+    * image-dedup shape: nBands bit-slices index the candidate join
+    * (pigeonhole: ham ≤ nBands−1 guarantees a shared band, hence the
+    * maxHamming < nBands requirement — no candidate is missed), then
+    * the exact `bit_count(xor)` verify keeps true near-dups. Same LSH
+    * geometry as [[TextDedup.simhashPairs]], applied to the multimodal
+    * seam; candidates are band-bucket-local, never all-pairs.
+    * Fingerprint width is the codec's feature dim count — real
+    * deployments widen dims (64-dim grid → 64-bit fp) to thin the
+    * buckets rather than raising the band count.
+    */
+  def nearDupPairs(
+      withFp: DataFrame,
+      idCol: String,
+      fpCol: String,
+      nBands: Int = 2,
+      bandBits: Int = 8,
+      maxHamming: Int = 1,
+      handle: CacheHandle = null): DataFrame = {
+    require(nBands >= 1 && bandBits >= 1, "need nBands, bandBits >= 1")
+    require(maxHamming < nBands,
+      s"pigeonhole needs maxHamming < nBands, got $maxHamming/$nBands")
+    val mask = (1L << bandBits) - 1
+    val banded = CacheHandle.persistWith(handle,
+      withFp.select(col(idCol), col(fpCol),
+        explode(array((0 until nBands).map(b =>
+          struct(lit(b).as("band_idx"),
+            shiftright(col(fpCol), b * bandBits).bitwiseAND(lit(mask))
+              .as("band_val"))): _*)).as("bd"))
+        .select(col(idCol), col(fpCol),
+          col("bd.band_idx"), col("bd.band_val")))
+    val x = banded.select(col(idCol).as("a"), col(fpCol).as("fpa"),
+      col("band_idx"), col("band_val"))
+    val y = banded.select(col(idCol).as("b"), col(fpCol).as("fpb"),
+      col("band_idx"), col("band_val"))
+    x.join(y, Seq("band_idx", "band_val"))
+      .filter(col("a") < col("b"))
+      .select("a", "b", "fpa", "fpb").distinct()
+      .select(col("a"), col("b"),
+        bit_count(col("fpa").bitwiseXOR(col("fpb"))).as("ham"))
+      .filter(col("ham") <= maxHamming)
+  }
 }

@@ -69,4 +69,39 @@ object Retrieval {
       .agg(count(lit(1)).cast("long").as("n_terms"),
         round(sum(col("term_score")), 6).as("score_r"))
   }
+
+  /** Posting-list inverted index: per token, document frequency,
+    * collection frequency, and the first `postingCap` doc ids in
+    * ascending order as a CSV string — the classic retrieval index
+    * shape (term dictionary + postings head).
+    *
+    * Scale shape: one (tok, doc) aggregate with map-side combine, then
+    * one tok-keyed window to cap postings. For stop-word-grade tokens
+    * the window sorts that token's full doc list on one reducer —
+    * acceptable while a token's postings fit a partition; a 100-TB
+    * stopword row would swap the row_number for the bounded heap of
+    * [[graft.expr.TopKByScore]] (same plan shape, O(cap) state). The
+    * HOF cast in the posting projection runs interpreted — on ≤cap
+    * elements per group, not the scan path.
+    */
+  def invertedIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      postingCap: Int = 20): DataFrame = {
+    require(postingCap >= 1, s"postingCap must be >= 1, got $postingCap")
+    val occ = docs
+      .select(col(idCol).as("doc"),
+        explode(TextDedup.tokens(col(textCol))).as("tok"))
+      .groupBy("tok", "doc").agg(count(lit(1)).as("occ"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tok")).orderBy(col("doc"))
+    occ.withColumn("__rn", row_number().over(w))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("df"),
+        sum(col("occ")).as("cf"),
+        array_join(transform(sort_array(collect_list(
+          when(col("__rn") <= postingCap, col("doc")))),
+          x => x.cast("string")), ",").as("posting"))
+  }
 }

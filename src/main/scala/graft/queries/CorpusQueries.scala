@@ -379,7 +379,17 @@ object CorpusQueries {
     // count, the privacy companion to q_pii_redact).
     "q_k_anon" -> ((s, dir) =>
       Corpus.kAnonymityReport(docs(s, dir), Seq("lang", "source"), k = 15)
-        .orderBy("lang", "source")))
+        .orderBy("lang", "source")),
+
+    // l-diversity audit on (event_type, day): a group is flagged when
+    // its DISTINCT sensitive values (user ids) fall under l — the
+    // k-anonymity follow-up that catches large-but-homogeneous groups.
+    "q_l_diversity" -> ((s, dir) =>
+      Corpus.lDiversityReport(
+        graft.Tables.events(s, dir).select(col("event_type"),
+          date_trunc("day", col("ts_sec")).as("day"), col("user_id")),
+        Seq("event_type", "day"), "user_id", l = 55)
+        .orderBy("event_type", "day")))
 
   val oracles: Map[String, String] = Map(
     "q_sample_hash" ->
@@ -714,6 +724,12 @@ object CorpusQueries {
       """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_rows,
            count(*) < 15 AS suppress
          FROM documents GROUP BY lang, source ORDER BY lang, source""",
+    "q_l_diversity" ->
+      """SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_sensitive,
+           count(DISTINCT user_id) < 55 AS suppress
+         FROM events GROUP BY 1, 2 ORDER BY event_type, day""",
     // the full merge computed directly — the partial (touched-only)
     // rewrite must be indistinguishable from it
     "q_cow_merge" ->

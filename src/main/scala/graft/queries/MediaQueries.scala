@@ -91,9 +91,54 @@ object MediaQueries {
     // the query shape that must win at 100 TB.
     "q_media_meta" -> ((s, dir) =>
       Multimodal.metadataStats(media(s, dir))
-        .withColumn("total_bytes", col("total_bytes").cast("long"))))
+        .withColumn("total_bytes", col("total_bytes").cast("long"))),
+
+    // Feature-fingerprint near-dup: above-mean aHash bits over the
+    // codec seam, banded Hamming candidate join, exact bit_count(xor)
+    // verify — image dedup's plan shape driven through the stub codec
+    // (integer-exact for the oracle; ImageIoCodec quality is
+    // spec-pinned). Bounded to 2000 media: a 16-bit fingerprint's
+    // 8-bit bands saturate beyond that (the in-code dims note).
+    "q_media_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val feats = Multimodal.extractFeatures(
+        media(s, dir).filter(col("media_id") < 2000)
+          .as[Multimodal.MediaRecord])
+      val withFp = feats.toDF().select(col("media_id"),
+        Multimodal.featureFingerprint(col("feature"), 16).as("fp"))
+      Multimodal.nearDupPairs(withFp, "media_id", "fp",
+        nBands = 2, bandBits = 8, maxHamming = 1)
+        .select(col("a"), col("b"), col("ham"))
+        .orderBy("a", "b")
+    }))
 
   val oracles: Map[String, String] = Map(
+    "q_media_neardup" ->
+      """WITH f AS (SELECT doc_id AS media_id, md5(text) AS digest
+           FROM documents WHERE doc_id < 2000),
+         series AS (SELECT CAST(unnest(range(0, 16)) AS INTEGER) AS i),
+         bytes AS (SELECT f.media_id, s.i,
+             CAST(('0x' || substr(f.digest, 2 * s.i + 1, 2)) AS INTEGER)
+               AS byte
+           FROM f CROSS JOIN series s),
+         tot AS (SELECT media_id, CAST(sum(byte) AS BIGINT) AS total
+           FROM bytes GROUP BY 1),
+         fp AS (SELECT b.media_id,
+             CAST(sum(CASE WHEN 16 * b.byte > t.total
+               THEN (CAST(1 AS BIGINT) << b.i) ELSE 0 END) AS BIGINT)
+               AS fp
+           FROM bytes b JOIN tot t ON t.media_id = b.media_id
+           GROUP BY 1),
+         band AS (SELECT media_id, fp, 0 AS band_idx,
+             fp % 256 AS band_val FROM fp
+           UNION ALL SELECT media_id, fp, 1, fp // 256 FROM fp),
+         cand AS (SELECT DISTINCT x.media_id AS a, y.media_id AS b,
+             x.fp AS fpa, y.fp AS fpb
+           FROM band x JOIN band y ON x.band_idx = y.band_idx
+             AND x.band_val = y.band_val AND x.media_id < y.media_id)
+         SELECT a, b, CAST(bit_count(xor(fpa, fpb)) AS INTEGER) AS ham
+         FROM cand WHERE bit_count(xor(fpa, fpb)) <= 1
+         ORDER BY a, b""",
     "q_media_features" ->
       """WITH f AS (SELECT doc_id AS media_id,
            CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

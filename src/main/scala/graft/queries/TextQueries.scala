@@ -424,7 +424,18 @@ object TextQueries {
       graft.ops.BpeTrainer.segment(
         d.filter(col("doc_id") < 50), "doc_id", "text", model)
         .orderBy("doc_id", "word_pos", "sub_pos")
-    }))
+    }),
+
+    // Posting-list inverted index over the corpus: df/cf per token and
+    // the first-20 doc-id postings head as CSV.
+    "q_inverted_index" -> ((s, dir) =>
+      graft.ops.Retrieval.invertedIndex(docs(s, dir), "doc_id", "text",
+        postingCap = 20).orderBy("tok")),
+
+    // Collocation PMI over per-doc distinct token sets.
+    "q_pmi" -> ((s, dir) =>
+      graft.ops.Corpus.pmiPairs(docs(s, dir), "doc_id", "text")
+        .orderBy("tok_a", "tok_b")))
 
   /** Shared CTE chain for the minhash near-dup pipeline: documents →
     * trigram shingles → 6 minhashes → 3 bands → candidates → verified
@@ -476,6 +487,32 @@ object TextQueries {
     .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q_inverted_index" ->
+      """WITH tk AS (SELECT doc_id,
+             unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+         occ AS (SELECT tok, doc_id, count(*) AS occ FROM tk GROUP BY 1, 2),
+         r AS (SELECT *, row_number() OVER
+             (PARTITION BY tok ORDER BY doc_id) AS rn FROM occ)
+         SELECT tok, count(*) AS df, CAST(sum(occ) AS BIGINT) AS cf,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+             FILTER (WHERE rn <= 20) AS posting
+         FROM r GROUP BY tok ORDER BY tok""",
+    "q_pmi" ->
+      """WITH dt AS (SELECT DISTINCT doc_id, tok FROM
+             (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+              FROM documents)),
+         ct AS (SELECT tok, count(*) AS c_t FROM dt GROUP BY 1),
+         nn AS (SELECT count(DISTINCT doc_id) AS n_docs FROM dt),
+         p AS (SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS c_ab
+           FROM dt a JOIN dt b
+             ON a.doc_id = b.doc_id AND a.tok < b.tok
+           GROUP BY 1, 2)
+         SELECT p.tok_a, p.tok_b, p.c_ab,
+           round(ln((CAST(p.c_ab AS DOUBLE) * CAST(nn.n_docs AS DOUBLE)) /
+             (CAST(ca.c_t AS DOUBLE) * CAST(cb.c_t AS DOUBLE))), 6) AS pmi_r
+         FROM p JOIN ct ca ON ca.tok = p.tok_a
+           JOIN ct cb ON cb.tok = p.tok_b CROSS JOIN nn
+         ORDER BY tok_a, tok_b""",
     "q_lang_ngram" ->
       """WITH s AS (SELECT doc_id,
            CAST(len(regexp_extract_all(text, 'th')) + len(regexp_extract_all(text, 'he'))

@@ -175,4 +175,66 @@ class MultimodalSpec extends AnyFunSuite {
     assert(img.getAs[Long]("total_bytes") == 192)
     assert(img.getAs[Int]("max_width") == 16)
   }
+
+  test("featureFingerprint equals the integer above-mean hash of the digest") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val payloads = Seq((1L, "hello world"), (2L, "abc"))
+    val media = payloads.map { case (id, s) =>
+      MediaRecord(id, "image", s.getBytes("UTF-8"), 8, 8, 0)
+    }.toDS()
+    val got = Multimodal.extractFeatures(media).toDF()
+      .select(col("media_id"),
+        Multimodal.featureFingerprint(col("feature"), 16).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    payloads.foreach { case (id, s) =>
+      val bytes = Multimodal.StubCodec.digest(s.getBytes("UTF-8"))
+        .map(_ & 0xff)
+      val total = bytes.sum
+      val expected = bytes.zipWithIndex
+        .collect { case (b, i) if 16 * b > total => 1L << i }.sum
+      assert(got(id) == expected, s"fingerprint of payload $id")
+    }
+  }
+
+  test("real-codec near-dup: perturbed image pairs, distinct image does not") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // A and A': half-dark/half-bright with a one-pixel tweak — the
+    // above-mean grid bits are identical or off by ≤1; B inverts the
+    // pattern — far in Hamming space
+    val base = (x: Int, _: Int) => if (x < 8) 0x202020 else 0xe0e0e0
+    val media = Seq(
+      MediaRecord(1, "image", png(16, 16)(base), 16, 16, 0),
+      MediaRecord(2, "image", png(16, 16)((x, y) =>
+        if (x == 0 && y == 0) 0x303030 else base(x, y)), 16, 16, 0),
+      MediaRecord(3, "image", png(16, 16)((x, _) =>
+        if (x < 8) 0xe0e0e0 else 0x202020), 16, 16, 0)
+    ).toDS()
+    val withFp = Multimodal.extractFeatures(media, Multimodal.ImageIoCodec)
+      .toDF().select(col("media_id"),
+        Multimodal.featureFingerprint(col("feature"), 16).as("fp"))
+    val pairs = Multimodal.nearDupPairs(withFp, "media_id", "fp",
+      nBands = 2, bandBits = 8, maxHamming = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"pairs: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"pairs: $pairs")
+  }
+
+  test("banded candidates lose no pair within the Hamming budget") {
+    import spark.implicits._
+    // exhaustive check: every fp pair with ham <= 1 must surface —
+    // the pigeonhole guarantee (2 bands, budget 1)
+    val fps = Seq(0x00ffL, 0x00feL, 0x80ffL, 0x1234L, 0x1235L, 0xffffL)
+      .zipWithIndex.map { case (fp, i) => (i.toLong, fp) }
+    val withFp = fps.toDF("media_id", "fp")
+    val got = Multimodal.nearDupPairs(withFp, "media_id", "fp",
+      nBands = 2, bandBits = 8, maxHamming = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = (for {
+      (a, fa) <- fps; (b, fb) <- fps if a < b
+      ham = java.lang.Long.bitCount(fa ^ fb) if ham <= 1
+    } yield (a, b, ham)).toSet
+    assert(got == want)
+  }
 }

@@ -52,4 +52,17 @@ class RetrievalSpec extends AnyFunSuite {
       (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
     assert(math.abs(score - expected) < 1e-6)
   }
+
+  test("invertedIndex df/cf/posting on a tiny corpus") {
+    import spark.implicits._
+    val docs = Seq((3L, "b a a"), (1L, "a b"), (2L, "a"))
+      .toDF("doc_id", "text")
+    val idx = Retrieval.invertedIndex(docs, "doc_id", "text", postingCap = 2)
+      .orderBy("tok").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // a: df=3 cf=4, posting capped at the 2 smallest doc ids;
+    // b: df=2 cf=2, both docs fit the cap
+    assert(idx.toSeq ==
+      Seq(("a", 3L, 4L, "1,2"), ("b", 2L, 2L, "1,3")))
+  }
 }
