@@ -787,6 +787,29 @@ object Corpus {
     * parenthesized identically to the oracle ((c_ab·n)/(c_a·c_b)) so
     * both engines run the same IEEE ops; round(,6) absorbs the ln ulp.
     */
+  /** Snapshot diff — the change-data-feed summary between two corpus
+    * versions: one full-outer hash join on the id comparing content
+    * fingerprints, classifying every id as added / removed / changed /
+    * unchanged. The row-level output feeds incremental downstream work
+    * (re-embed only `changed`, retire `removed`); one exchange of
+    * old+new ids however the revisions are distributed.
+    */
+  def snapshotDiff(
+      oldSnap: DataFrame,
+      newSnap: DataFrame,
+      idCol: String,
+      fpCol: String): DataFrame = {
+    oldSnap.select(col(idCol), col(fpCol).as("__fp_old"))
+      .join(newSnap.select(col(idCol), col(fpCol).as("__fp_new")),
+        Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("__fp_old").isNull, "added")
+          .when(col("__fp_new").isNull, "removed")
+          .when(col("__fp_old") === col("__fp_new"), "unchanged")
+          .otherwise("changed"))
+      .drop("__fp_old", "__fp_new")
+  }
+
   def pmiPairs(
       docs: DataFrame,
       idCol: String,

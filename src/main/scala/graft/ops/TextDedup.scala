@@ -583,4 +583,53 @@ object TextDedup {
       .filter(col("ham") <= maxHamming)
       .distinct()
   }
+
+  /** Asymmetric containment mining — near-SUPERSET detection: one doc
+    * embedding another (quote inclusion, boilerplate wrapping, partial
+    * scrapes) that symmetric dedup misses because Jaccard penalizes
+    * size asymmetry: a 10-shingle doc fully inside a 1000-shingle doc
+    * scores J ≈ 0.01 but containment 1.0. MinHash-LSH candidates are
+    * USELESS here for the same reason — band collision probability IS
+    * a Jaccard power, so exactly the pairs containment exists for
+    * never collide. The honest generator is the shingle-POSTING
+    * self-join (pairs sharing ≥1 shingle), whose cost is
+    * Σ_s C(posting_s, 2): stopword-grade shingles are the hazard and
+    * get the same hot-bucket cap as LSH buckets (`maxPosting`, exact
+    * results for all shingles under the cap — [[capBuckets]]).
+    * Verification scores containment(a→b) = |A∩B|/|A| BOTH directions
+    * against the uncapped set sizes, keeping pairs whose larger
+    * direction clears `minContainment` (ROUNDED before the threshold,
+    * the repo rule).
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      minContainment: Double = 0.9,
+      maxPosting: Int = DefaultMaxBucket,
+      handle: CacheHandle = null): DataFrame = {
+    val sh = CacheHandle.persistWith(handle,
+      shingles(df, idCol, textCol, shingleN))
+    val in =
+      if (maxPosting == Int.MaxValue) sh
+      else capBuckets(sh, Seq("shingle"), maxPosting)
+    val inter = in.as("x")
+      .join(in.as("y"),
+        col("x.shingle") === col("y.shingle") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    val sz = sh.groupBy(idCol).agg(count(lit(1)).as("n"))
+    inter
+      .join(sz.as("za"), col("a") === col(s"za.$idCol"))
+      .join(sz.as("zb"), col("b") === col(s"zb.$idCol"))
+      .select(col("a"), col("b"), col("inter"),
+        col("za.n").as("na"), col("zb.n").as("nb"))
+      .withColumn("cont_a_r",
+        round(col("inter").cast("double") / col("na").cast("double"), 6))
+      .withColumn("cont_b_r",
+        round(col("inter").cast("double") / col("nb").cast("double"), 6))
+      .filter(greatest(col("cont_a_r"), col("cont_b_r")) >= minContainment)
+  }
 }

@@ -750,6 +750,31 @@ object AnalyticsQueries {
             .as("z_r"))
         .filter(abs(col("z_r")) > lit(2.5))
         .orderBy("user_id", "event_id")
+    }),
+
+    // ANALYZE-style single-pass column statistics: ONE aggregate
+    // produces every column's null count, exact NDV and min/max (the
+    // multi-distinct aggregate runs as one scan via Spark's Expand —
+    // 3× the rows through the shuffle, one pass over the table, vs
+    // the oracle's per-column rescans), then stack() unpivots to a
+    // row per column — the CBO-stats collection shape.
+    "q_table_stats" -> ((s, dir) => {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey")
+      val li = t(s, dir, "lineitem")
+      val aggs = count(lit(1)).as("n") +:
+        cols.flatMap(c => Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"),
+          countDistinct(col(c)).as(s"ndv_$c"),
+          min(col(c)).as(s"min_$c"),
+          max(col(c)).as(s"max_$c")))
+      val stackExpr = s"stack(${cols.size}, " + cols.map(c =>
+        s"'$c', nulls_$c, ndv_$c, min_$c, max_$c").mkString(", ") +
+        ") AS (col_name, n_nulls, ndv, min_v, max_v)"
+      li.agg(aggs.head, aggs.tail: _*)
+        .selectExpr("n", stackExpr)
+        .select(col("col_name"), col("n"), col("n_nulls"), col("ndv"),
+          col("min_v"), col("max_v"))
+        .orderBy("col_name")
     }))
 
   /** PageRank oracle: DuckDB 1.0 disallows aggregation inside a
@@ -816,6 +841,28 @@ object AnalyticsQueries {
            COALESCE(valid_to, TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
            (valid_to IS NULL) AS is_current
          FROM v ORDER BY o_custkey, valid_from""",
+    "q_table_stats" ->
+      """SELECT 'l_orderkey' AS col_name, count(*) AS n,
+           CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS ndv,
+           min(l_orderkey) AS min_v, max(l_orderkey) AS max_v
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_partkey', count(*),
+           CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT),
+           CAST(count(DISTINCT l_partkey) AS BIGINT),
+           min(l_partkey), max(l_partkey)
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_suppkey', count(*),
+           CAST(sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT),
+           CAST(count(DISTINCT l_suppkey) AS BIGINT),
+           min(l_suppkey), max(l_suppkey)
+         FROM lineitem
+         ORDER BY col_name""",
     "q_winsorize" ->
       """WITH d AS (SELECT event_id, event_type, value FROM events
            WHERE value IS NOT NULL),

@@ -389,7 +389,34 @@ object CorpusQueries {
         graft.Tables.events(s, dir).select(col("event_type"),
           date_trunc("day", col("ts_sec")).as("day"), col("user_id")),
         Seq("event_type", "day"), "user_id", l = 55)
-        .orderBy("event_type", "day")))
+        .orderBy("event_type", "day")),
+
+    // Change-data-feed summary between two corpus snapshots: the new
+    // snapshot simulates a re-crawl (every 'de' doc revised, doc_id%10
+    // == 7 dropped, 50 fresh ids appended); one full-outer fingerprint
+    // join classifies ids, then per-source counts.
+    "q_snapshot_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val oldSnap = d.select(col("doc_id"), col("source"),
+        md5(col("text")).as("fp"))
+      val newSnap = d.filter(col("doc_id") % 10 =!= 7)
+        .select(col("doc_id"), col("source"),
+          when(col("lang") === "de",
+            md5(concat(col("text"), lit(" [rev2]"))))
+            .otherwise(md5(col("text"))).as("fp"))
+        .unionByName(d.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+            md5(concat(lit("new:"), col("text"))).as("fp")))
+      val status = Corpus.snapshotDiff(
+        oldSnap.select("doc_id", "fp"), newSnap.select("doc_id", "fp"),
+        "doc_id", "fp")
+      val srcMap = oldSnap.select(col("doc_id"), col("source"))
+        .unionByName(newSnap.select(col("doc_id"), col("source")))
+        .distinct()
+      status.join(srcMap, "doc_id")
+        .groupBy("source", "status").agg(count(lit(1)).as("n"))
+        .orderBy("source", "status")
+    }))
 
   val oracles: Map[String, String] = Map(
     "q_sample_hash" ->
@@ -724,6 +751,30 @@ object CorpusQueries {
       """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_rows,
            count(*) < 15 AS suppress
          FROM documents GROUP BY lang, source ORDER BY lang, source""",
+    "q_snapshot_diff" ->
+      """WITH oldsnap AS (SELECT doc_id, source, md5(text) AS fp
+           FROM documents),
+         newsnap AS (
+           SELECT doc_id, source,
+             CASE WHEN lang = 'de' THEN md5(text || ' [rev2]')
+               ELSE md5(text) END AS fp
+           FROM documents WHERE doc_id % 10 <> 7
+           UNION ALL
+           SELECT doc_id + 1000000, source, md5('new:' || text)
+           FROM documents WHERE doc_id < 50),
+         st AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN o.fp = n.fp THEN 'unchanged'
+                  ELSE 'changed' END AS status
+           FROM oldsnap o FULL OUTER JOIN newsnap n
+             ON o.doc_id = n.doc_id),
+         srcmap AS (SELECT DISTINCT doc_id, source FROM
+           (SELECT doc_id, source FROM oldsnap
+            UNION ALL SELECT doc_id, source FROM newsnap))
+         SELECT m.source, s.status, count(*) AS n
+         FROM st s JOIN srcmap m ON m.doc_id = s.doc_id
+         GROUP BY 1, 2 ORDER BY source, status""",
     "q_l_diversity" ->
       """SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
            CAST(count(*) AS BIGINT) AS n_rows,

@@ -435,7 +435,38 @@ object TextQueries {
     // Collocation PMI over per-doc distinct token sets.
     "q_pmi" -> ((s, dir) =>
       graft.ops.Corpus.pmiPairs(docs(s, dir), "doc_id", "text")
-        .orderBy("tok_a", "tok_b")))
+        .orderBy("tok_a", "tok_b")),
+
+    // Asymmetric containment pairs: near-superset detection via the
+    // shingle-posting self-join (LSH bands cannot surface low-Jaccard
+    // containment pairs — see TextDedup.containmentPairs), uncapped to
+    // mirror the oracle; |A∩B|/|A| scored in both directions.
+    "q_containment" -> ((s, dir) =>
+      TextDedup.containmentPairs(
+        docs(s, dir).filter(col("doc_id") < 2000), "doc_id", "text",
+        shingleN = 3, minContainment = 0.9, maxPosting = Int.MaxValue)
+        .orderBy("a", "b")),
+
+    // Per-source unigram entropy: the corpus-mix diversity signal.
+    // The p·ln p sum runs over the bounded per-source vocabulary (the
+    // CLAUDE.md bounded-terms double-sum rule).
+    "q_token_entropy" -> ((s, dir) => {
+      val tk = docs(s, dir).select(col("source"),
+        explode(TextDedup.tokens(col("text"))).as("tok"))
+      val ct = tk.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      val tot = ct.groupBy("source").agg(
+        sum(col("c")).as("tot"), count(lit(1)).as("n_distinct"))
+      // per-source totals: app-bounded source domain, still unhinted
+      ct.join(tot, "source")
+        .withColumn("plogp",
+          (col("c").cast("double") / col("tot").cast("double")) *
+            log(col("c").cast("double") / col("tot").cast("double")))
+        .groupBy("source")
+        .agg(max(col("tot")).as("n_tokens"),
+          max(col("n_distinct")).as("n_distinct"),
+          round(-sum(col("plogp")), 6).as("entropy_r"))
+        .orderBy("source")
+    }))
 
   /** Shared CTE chain for the minhash near-dup pipeline: documents →
     * trigram shingles → 6 minhashes → 3 bands → candidates → verified
@@ -690,6 +721,39 @@ object TextQueries {
       s"""WITH ${minhashCtes()}
          SELECT a, b, inter, na, nb, jaccard FROM pairs
          ORDER BY a, b""",
+    "q_containment" ->
+      s"""WITH ${minhashCtes()},
+         inter2 AS (SELECT x.doc_id AS a, y.doc_id AS b,
+             count(*) AS inter
+           FROM sh x JOIN sh y
+             ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+           GROUP BY 1, 2),
+         ct AS (SELECT i.a, i.b, i.inter, sa.n AS na, sb.n AS nb,
+             round(CAST(i.inter AS DOUBLE) / CAST(sa.n AS DOUBLE), 6)
+               AS cont_a_r,
+             round(CAST(i.inter AS DOUBLE) / CAST(sb.n AS DOUBLE), 6)
+               AS cont_b_r
+           FROM inter2 i
+           JOIN sz sa ON sa.doc_id = i.a
+           JOIN sz sb ON sb.doc_id = i.b)
+         SELECT a, b, inter, na, nb, cont_a_r, cont_b_r FROM ct
+         WHERE greatest(cont_a_r, cont_b_r) >= 0.9
+         ORDER BY a, b""",
+    "q_token_entropy" ->
+      """WITH tk AS (SELECT source,
+             unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+         ct AS (SELECT source, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+         tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot,
+             count(*) AS n_distinct FROM ct GROUP BY 1),
+         p AS (SELECT ct.source,
+             (CAST(ct.c AS DOUBLE) / CAST(t.tot AS DOUBLE)) *
+               ln(CAST(ct.c AS DOUBLE) / CAST(t.tot AS DOUBLE)) AS plogp,
+             t.tot, t.n_distinct
+           FROM ct JOIN tot t ON t.source = ct.source)
+         SELECT source, max(tot) AS n_tokens,
+           max(n_distinct) AS n_distinct,
+           round(-sum(plogp), 6) AS entropy_r
+         FROM p GROUP BY 1 ORDER BY source""",
     "q_minhash_recall" ->
       s"""WITH ${minhashCtes(1000)},
          truth0 AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter

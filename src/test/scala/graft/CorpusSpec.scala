@@ -538,6 +538,16 @@ class CorpusSpec extends AnyFunSuite {
       Seq((Some("A"), 2L), (None, 3L)))
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    import spark.implicits._
+    val oldSnap = Seq((1L, "fa"), (2L, "fb"), (3L, "fc")).toDF("id", "fp")
+    val newSnap = Seq((2L, "fb"), (3L, "fc2"), (4L, "fd")).toDF("id", "fp")
+    val st = Corpus.snapshotDiff(oldSnap, newSnap, "id", "fp")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(st == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
   test("lDiversityReport flags homogeneous groups however large") {
     import spark.implicits._
     val rows = Seq(

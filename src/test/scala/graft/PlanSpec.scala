@@ -221,4 +221,40 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"))
     assert(e.count() > 0) // the driver's smoke check
   }
+
+  test("q_bloom_prune: literal bloom probe filters the fact side of the semi join") {
+    val p = plan("q_bloom_prune")
+    assert(p.contains("LeftSemi"), p)
+    // the probe rides the plan as expressions over the 8 KiB word
+    // array literal — shiftright is its signature op
+    assert(p.contains("shiftright"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_pagerank: result reads from the checkpoint cut, no cartesian") {
+    // building the query runs the 6 eager per-round checkpoints; the
+    // returned plan must be a scan of the final checkpoint, not a
+    // 6-round join tree re-analyzed per action
+    val p = plan("q_pagerank")
+    assert(p.contains("ExistingRDD"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("banded/posting pair miners never plan an all-pairs join") {
+    Seq("q_media_neardup", "q_containment").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoop"), s"$q:\n$p")
+    }
+  }
+
+  test("q_pmi: vocab count joins unhinted; AQE broadcasts at gate scale") {
+    // same contract as q_tfidf: no forced hint on vocabulary-sized
+    // builds; pin that AQE converts on measured size in the FINAL plan
+    val d = SparkEntry.queries("q_pmi")(spark, dir)
+    d.collect()
+    val p = d.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, p)
+  }
 }

@@ -344,4 +344,38 @@ class TextDedupSpec extends AnyFunSuite {
       .toDF("id", "cluster_id").as[(Long, Long)].collect().toMap
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
   }
+
+  test("containmentPairs finds the near-superset that Jaccard-LSH misses") {
+    import spark.implicits._
+    val big = (1 to 30).map(i => s"w$i").mkString(" ")   // 28 shingles
+    val small = (1 to 6).map(i => s"w$i").mkString(" ")  // 4, all ⊂ big
+    val docs = Seq((1L, big), (2L, small), (3L, "x1 x2 x3 x4 x5 x6"))
+      .toDF("doc_id", "text")
+    val pairs = TextDedup.containmentPairs(docs, "doc_id", "text",
+      minContainment = 0.99, maxPosting = Int.MaxValue)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(6))))
+      .toMap
+    // the contained doc scores cont_b = 1.0; the unrelated doc pairs
+    // with nothing (no shared shingle, no candidate row at all)
+    assert(pairs.keySet == Set((1L, 2L)))
+    assert(pairs((1L, 2L)) == ((4L, 28L, 4L, 1.0)))
+    // the same pair is invisible to symmetric minhash dedup at 0.8:
+    // J = 4/28 — this is exactly why the operator exists
+    assert(TextDedup.minhashDedup(docs, "doc_id", "text",
+      maxBucket = Int.MaxValue).isEmpty)
+  }
+
+  test("containmentPairs caps hot shingle postings like LSH buckets") {
+    import spark.implicits._
+    // 20 docs all sharing one hot shingle; cap 5 drops that posting
+    // entirely -> no pairs survive (exact behavior of capBuckets)
+    val docs = (1 to 20).map(i => (i.toLong, "h1 h2 h3")).toDF("doc_id", "text")
+    val capped = TextDedup.containmentPairs(docs, "doc_id", "text",
+      minContainment = 0.5, maxPosting = 5)
+    assert(capped.isEmpty)
+    val uncapped = TextDedup.containmentPairs(docs, "doc_id", "text",
+      minContainment = 0.5, maxPosting = Int.MaxValue)
+    assert(uncapped.count() == 190L) // C(20,2) identical docs
+  }
 }
