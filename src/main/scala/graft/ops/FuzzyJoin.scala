@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Similarity self-joins on short strings — the entity-resolution
+  * primitive (customer/vendor name matching, near-duplicate titles).
+  */
+object FuzzyJoin {
+
+  /** Edit-distance self-join via the q-gram count filter: pairs
+    * sharing too few q-grams cannot be within `maxDist` edits (each
+    * edit destroys at most q grams — Gravano's bound, valid on
+    * DISTINCT gram sets), so candidates come from a gram-posting join
+    * plus the count filter, and the exact `levenshtein` predicate
+    * keeps only true matches. Same build-prune-verify shape as
+    * [[ScaleOps.bloomPrunedSemiJoin]]: the filters only PRUNE, the
+    * final exact check owns correctness.
+    *
+    * Scale shape: the posting join costs Σ_g C(posting_g, 2) — hot
+    * grams (shared prefixes like "Customer#") are the hazard, capped
+    * via `maxPosting` exactly like LSH buckets ([[TextDedup
+    * .capBuckets]]); under a cap, recall on pairs whose ONLY shared
+    * grams are hot is traded away (the gate runs uncapped to mirror
+    * the oracle). Strings shorter than q yield no grams and never
+    * pair — callers pad or length-bucket those separately.
+    */
+  def editDistancePairs(
+      df: DataFrame,
+      idCol: String,
+      strCol: String,
+      maxDist: Int = 1,
+      q: Int = 2,
+      maxPosting: Int = 500,
+      handle: CacheHandle = null): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(q >= 1, s"q must be >= 1, got $q")
+    val names = df.select(col(idCol).as("id"), col(strCol).as("name"))
+    val grams = CacheHandle.persistWith(handle, names
+      .filter(length(col("name")) >= q)
+      .withColumn("gram", explode(expr(
+        s"transform(sequence(1, length(name) - ${q - 1}), " +
+          s"i -> substring(name, i, $q))")))
+      .select("id", "gram").distinct())
+    val in =
+      if (maxPosting == Int.MaxValue) grams
+      else TextDedup.capBuckets(grams, Seq("gram"), maxPosting)
+    val gl = grams.groupBy("id").agg(count(lit(1)).as("ng"))
+    in.select(col("id").as("a"), col("gram"))
+      .join(in.select(col("id").as("b"), col("gram")), "gram")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+      .join(gl.select(col("id").as("a"), col("ng").as("ga")), "a")
+      .join(gl.select(col("id").as("b"), col("ng").as("gb")), "b")
+      .filter(col("shared") >=
+        greatest(col("ga"), col("gb")) - lit(maxDist * q))
+      .join(names.select(col("id").as("a"), col("name").as("name_a")), "a")
+      .join(names.select(col("id").as("b"), col("name").as("name_b")), "b")
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select("a", "b", "name_a", "name_b", "dist")
+  }
+}

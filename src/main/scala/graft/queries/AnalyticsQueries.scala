@@ -775,6 +775,45 @@ object AnalyticsQueries {
         .select(col("col_name"), col("n"), col("n_nulls"), col("ndv"),
           col("min_v"), col("max_v"))
         .orderBy("col_name")
+    }),
+
+    // Fuzzy entity-resolution join: edit-distance ≤ 1 customer-name
+    // pairs via the q-gram count filter + exact levenshtein verify
+    // (uncapped postings to mirror the oracle).
+    "q_fuzzy_join" -> ((s, dir) =>
+      graft.ops.FuzzyJoin.editDistancePairs(
+        t(s, dir, "customer").filter(col("c_custkey") < 400),
+        "c_custkey", "c_name", maxDist = 1, q = 2,
+        maxPosting = Int.MaxValue)
+        .select(col("a"), col("b"), col("dist"))
+        .orderBy("a", "b")),
+
+    // Per-group OLS trend lines from exact DECIMAL moments (the
+    // q_corr_exact pattern): x = integer hour buckets (ts_ns div —
+    // the CLAUDE.md integer-time rule), v = rounded-decimal values;
+    // slope/intercept computed once in doubles both engines share.
+    "q_trend_lines" -> ((s, dir) => {
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val e = Tables.events(s, dir).filter(col("value").isNotNull)
+        .select(col("event_type"),
+          expr("ts_ns div 3600000000000").cast("decimal(18,0)").as("x"),
+          round(col("value"), 6).cast("decimal(18,6)").as("v"))
+      e.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("v")).as("sv"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+          sum((col("x") * col("v")).cast("decimal(38,6)")).as("sxv"))
+        .withColumn("varnum",
+          col("n") * d(col("sxx")) - d(col("sx")) * d(col("sx")))
+        .filter(col("varnum") > 0)
+        .withColumn("slope",
+          (col("n") * d(col("sxv")) - d(col("sx")) * d(col("sv"))) /
+            col("varnum"))
+        .select(col("event_type"), col("n"),
+          round(col("slope"), 6).as("slope_r"),
+          round((d(col("sv")) - col("slope") * d(col("sx"))) / col("n"), 6)
+            .as("icept_r"))
+        .orderBy("event_type")
     }))
 
   /** PageRank oracle: DuckDB 1.0 disallows aggregation inside a
@@ -863,6 +902,45 @@ object AnalyticsQueries {
            min(l_suppkey), max(l_suppkey)
          FROM lineitem
          ORDER BY col_name""",
+    "q_fuzzy_join" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS name
+           FROM customer WHERE c_custkey < 400),
+         g AS (SELECT DISTINCT id, gram FROM
+           (SELECT id, substr(name,
+              CAST(unnest(range(1, length(name))) AS INTEGER), 2) AS gram
+            FROM c)),
+         gl AS (SELECT id, count(*) AS ng FROM g GROUP BY 1),
+         cand AS (SELECT x.id AS a, y.id AS b, count(*) AS shared
+           FROM g x JOIN g y ON x.gram = y.gram AND x.id < y.id
+           GROUP BY 1, 2),
+         f AS (SELECT c.a, c.b FROM cand c
+           JOIN gl la ON la.id = c.a JOIN gl lb ON lb.id = c.b
+           WHERE c.shared >= greatest(la.ng, lb.ng) - 2)
+         SELECT f.a, f.b,
+           CAST(levenshtein(ca.name, cb.name) AS INTEGER) AS dist
+         FROM f JOIN c ca ON ca.id = f.a JOIN c cb ON cb.id = f.b
+         WHERE levenshtein(ca.name, cb.name) <= 1
+         ORDER BY a, b""",
+    "q_trend_lines" ->
+      """WITH e AS (SELECT event_type,
+             CAST(epoch_ns(ts) // 3600000000000 AS DECIMAL(18,0)) AS x,
+             CAST(round(value, 6) AS DECIMAL(18,6)) AS v
+           FROM events WHERE value IS NOT NULL),
+         m AS (SELECT event_type, count(*) AS n,
+             sum(x) AS sx, sum(v) AS sv,
+             sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+             sum(CAST(x * v AS DECIMAL(38,6))) AS sxv
+           FROM e GROUP BY 1),
+         vv AS (SELECT *, n * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varnum
+           FROM m),
+         sl AS (SELECT *, (n * CAST(sxv AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sv AS DOUBLE)) / varnum AS slope
+           FROM vv WHERE varnum > 0)
+         SELECT event_type, n, round(slope, 6) AS slope_r,
+           round((CAST(sv AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / n, 6)
+             AS icept_r
+         FROM sl ORDER BY event_type""",
     "q_winsorize" ->
       """WITH d AS (SELECT event_id, event_type, value FROM events
            WHERE value IS NOT NULL),

@@ -416,6 +416,28 @@ object CorpusQueries {
       status.join(srcMap, "doc_id")
         .groupBy("source", "status").agg(count(lit(1)).as("n"))
         .orderBy("source", "status")
+    }),
+
+    // Chi-square independence cells for lang × source: observed vs
+    // expected counts and per-cell contribution — the corpus-balance
+    // diagnostic (is language mix independent of source?). All doubles
+    // derive from exact integer counts in expressions mirrored
+    // verbatim by the oracle.
+    "q_chi_square" -> ((s, dir) => {
+      val o = docs(s, dir).groupBy("lang", "source")
+        .agg(count(lit(1)).as("o"))
+      val rt = o.groupBy("lang").agg(sum(col("o")).as("rt"))
+      val ct = o.groupBy("source").agg(sum(col("o")).as("ct"))
+      val n = o.agg(sum(col("o")).as("n"))
+      o.join(rt, "lang").join(ct, "source").crossJoin(broadcast(n))
+        .withColumn("e", col("rt").cast("double") *
+          col("ct").cast("double") / col("n").cast("double"))
+        .select(col("lang"), col("source"), col("o"),
+          round(col("e"), 6).as("e_r"),
+          round((col("o").cast("double") - col("e")) *
+            (col("o").cast("double") - col("e")) / col("e"), 6)
+            .as("contrib_r"))
+        .orderBy("lang", "source")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -751,6 +773,23 @@ object CorpusQueries {
       """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_rows,
            count(*) < 15 AS suppress
          FROM documents GROUP BY lang, source ORDER BY lang, source""",
+    "q_chi_square" ->
+      """WITH o AS (SELECT lang, source, count(*) AS o
+           FROM documents GROUP BY 1, 2),
+         r AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rt
+           FROM o GROUP BY 1),
+         c AS (SELECT source, CAST(sum(o) AS BIGINT) AS ct
+           FROM o GROUP BY 1),
+         nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o),
+         j AS (SELECT o.lang, o.source, o.o,
+             CAST(r.rt AS DOUBLE) * CAST(c.ct AS DOUBLE)
+               / CAST(nn.n AS DOUBLE) AS e
+           FROM o JOIN r ON r.lang = o.lang
+             JOIN c ON c.source = o.source CROSS JOIN nn)
+         SELECT lang, source, o, round(e, 6) AS e_r,
+           round((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e, 6)
+             AS contrib_r
+         FROM j ORDER BY lang, source""",
     "q_snapshot_diff" ->
       """WITH oldsnap AS (SELECT doc_id, source, md5(text) AS fp
            FROM documents),

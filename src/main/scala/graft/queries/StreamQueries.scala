@@ -279,6 +279,24 @@ object StreamQueries {
       }
     }),
 
+    // Streaming silence detection: one (last-second, tiebreak) state
+    // record per user closes gaps the moment the ending event arrives
+    // (StreamGaps.detectGaps — NoTimeout by design: expiring state
+    // would swallow the longest gaps). The two far-future sentinel
+    // FILES land in their own micro-batches and carry user_id −1:
+    // their 8 h spacing forces a cross-batch gap emission through
+    // state, excluded from the gate structurally by sign.
+    "q_stream_gaps" -> ((s, dir) => {
+      val out = runFileStream(s, dir, "events", "q_stream_gaps_sink",
+        sentinels = Seq(
+          eventRow(-1L, 1893456000000000000L),
+          eventRow(-2L, 1893456000000000000L + 8L * 3600L * 1000000000L)))(
+        df => graft.streaming.StreamGaps.detectGaps(
+          df.withColumnRenamed("ts", "ts_ns"), gapSeconds = 21600).toDF())
+      out.filter(col("user_id") >= 0)
+        .orderBy("user_id", "gap_start_s")
+    }),
+
     // Composed streaming curation: q_curate's quality gates evaluated
     // statelessly on the stream, then streaming exact dedup
     // (dropDuplicatesWithinWatermark on the normalized fingerprint).
@@ -669,6 +687,15 @@ object StreamQueries {
              toks[CAST(i * 8 + 1 AS INTEGER):CAST(i * 8 + 8 AS INTEGER)],
              ' ') AS seg FROM s0)
          SELECT DISTINCT md5(seg) AS seg_fp FROM seg ORDER BY seg_fp""",
+    "q_stream_gaps" ->
+      """WITH e AS (SELECT user_id,
+             epoch_ns(ts) // 1000000000 AS s, event_id FROM events),
+         l AS (SELECT user_id, s, lag(s) OVER (PARTITION BY user_id
+             ORDER BY s, event_id) AS prev FROM e)
+         SELECT user_id, prev AS gap_start_s, s AS gap_end_s,
+           s - prev AS gap_sec
+         FROM l WHERE prev IS NOT NULL AND s - prev > 21600
+         ORDER BY user_id, gap_start_s""",
     "q_stream_counts" -> streamCountsOracle,
     // identical aggregation, different ingestion entry point
     // (EventStream.fromEventsDir vs the shared harness) — one oracle
