@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
 object Sketches {
 
   /** Bucket of `c` in hash row `i` of width `w` (md5-portable). */
-  private def cmBucket(c: Column, i: Int, w: Int): Column =
+  private[graft] def cmBucket(c: Column, i: Int, w: Int): Column =
     conv(substring(md5(concat(lit(s"cm$i:"), c.cast("string"))), 1, 8),
       16, 10).cast("long") % w
 

@@ -814,6 +814,45 @@ object AnalyticsQueries {
           round((d(col("sv")) - col("slope") * d(col("sx"))) / col("n"), 6)
             .as("icept_r"))
         .orderBy("event_type")
+    }),
+
+    // First-order Markov transitions between event types: per-user
+    // lag over the (ts_sec, event_id) total order, then transition
+    // counts and P(to|from) — the behavioral-sequence model. One
+    // keyed window exchange + two tiny aggregates.
+    "q_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_sec"), col("event_id"))
+      val tr = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts_sec"),
+          col("event_id"))
+        .withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .filter(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = tr.groupBy("from_type").agg(sum(col("n")).as("tot"))
+      tr.join(tot, "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("n").cast("double") / col("tot").cast("double"), 6)
+            .as("p_r"))
+        .orderBy("from_type", "to_type")
+    }),
+
+    // Market-basket pairs: parts co-purchased within an order, counted
+    // across orders (support >= 2 to drop the singleton tail). The
+    // per-order distinct part set is persisted once — self-joins
+    // re-execute their upstream otherwise.
+    "q_basket_pairs" -> ((s, dir) => {
+      val base = graft.ops.QueryCaches.persist(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+          .distinct())
+      base.select(col("l_orderkey"), col("l_partkey").as("pa"))
+        .join(base.select(col("l_orderkey"), col("l_partkey").as("pb")),
+          "l_orderkey")
+        .filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+        .orderBy("pa", "pb")
     }))
 
   /** PageRank oracle: DuckDB 1.0 disallows aggregation inside a
@@ -902,6 +941,27 @@ object AnalyticsQueries {
            min(l_suppkey), max(l_suppkey)
          FROM lineitem
          ORDER BY col_name""",
+    "q_transitions" ->
+      """WITH e AS (SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY date_trunc('second', ts), event_id) AS from_type
+           FROM events),
+         tr AS (SELECT from_type, event_type AS to_type, count(*) AS n
+           FROM e WHERE from_type IS NOT NULL GROUP BY 1, 2),
+         tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
+           FROM tr GROUP BY 1)
+         SELECT tr.from_type, tr.to_type, tr.n,
+           round(CAST(tr.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS p_r
+         FROM tr JOIN tot t ON t.from_type = tr.from_type
+         ORDER BY tr.from_type, tr.to_type""",
+    "q_basket_pairs" ->
+      """WITH base AS (SELECT DISTINCT l_orderkey, l_partkey
+           FROM lineitem)
+         SELECT x.l_partkey AS pa, y.l_partkey AS pb, count(*) AS n
+         FROM base x JOIN base y
+           ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+         GROUP BY 1, 2 HAVING count(*) >= 2
+         ORDER BY pa, pb""",
     "q_fuzzy_join" ->
       """WITH c AS (SELECT c_custkey AS id, c_name AS name
            FROM customer WHERE c_custkey < 400),

@@ -297,6 +297,40 @@ object StreamQueries {
         .orderBy("user_id", "gap_start_s")
     }),
 
+    // Windowed approximate distinct users: linear counting as
+    // streaming state (≤ m buckets per window however many users
+    // arrive — exact distinct would hold every id). The estimate is
+    // the same deterministic md5-bucket formula the batch
+    // q_linear_count gate hash-matches, so even the streamed ESTIMATE
+    // is oracle-exact. Sentinel files close the real windows.
+    "q_stream_distinct" -> ((s, dir) => {
+      import s.implicits._
+      val maxNsRow = Tables.table(s, dir, "events").agg(max("ts")).head()
+      if (maxNsRow.isNullAt(0)) {
+        Seq.empty[(Long, Long, Long, Double)]
+          .toDF("window_start_s", "window_end_s", "n_buckets",
+            "est_distinct")
+      } else {
+        val maxNs = maxNsRow.getLong(0)
+        val out = runFileStream(s, dir, "events", "q_stream_distinct_sink",
+          sentinels = Seq(
+            eventRow(-1L, maxNs + 3600L * 1000000000L),
+            eventRow(-2L, maxNs + 7200L * 1000000000L)))(
+          raw => EventStream.windowedDistinctEst(
+            raw.withColumnRenamed("ts", "ts_ns")
+              .withColumn("ts", timestamp_micros(expr("ts_ns div 1000"))),
+            keyCol = "user_id", m = 256,
+            watermarkDelay = "10 minutes", windowLen = "1 hour"))
+        out
+          .filter(unix_timestamp(col("window_start")) <=
+            lit(maxNs / 1000000000L))
+          .select(unix_timestamp(col("window_start")).as("window_start_s"),
+            unix_timestamp(col("window_end")).as("window_end_s"),
+            col("n_buckets"), col("est_distinct"))
+          .orderBy("window_start_s")
+      }
+    }),
+
     // Composed streaming curation: q_curate's quality gates evaluated
     // statelessly on the stream, then streaming exact dedup
     // (dropDuplicatesWithinWatermark on the normalized fingerprint).
@@ -696,6 +730,24 @@ object StreamQueries {
            s - prev AS gap_sec
          FROM l WHERE prev IS NOT NULL AND s - prev > 21600
          ORDER BY user_id, gap_start_s""",
+    "q_stream_distinct" ->
+      """WITH e AS (SELECT (epoch_ns(ts) // 1000000000) AS s, user_id
+           FROM events),
+         w AS (SELECT (s // 3600) * 3600 AS ws, user_id FROM e),
+         b AS (SELECT DISTINCT ws,
+             CAST(CAST(('0x' || substr(md5('cm0:' ||
+               CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+               % 256 AS bucket
+           FROM w),
+         c AS (SELECT ws, CAST(count(*) AS BIGINT) AS n_buckets
+           FROM b GROUP BY 1)
+         SELECT ws AS window_start_s, ws + 3600 AS window_end_s,
+           n_buckets,
+           CASE WHEN n_buckets < 256
+             THEN round(-256.0 * ln(CAST(256 - n_buckets AS DOUBLE)
+               / 256.0), 6)
+             ELSE 256.0 END AS est_distinct
+         FROM c ORDER BY window_start_s""",
     "q_stream_counts" -> streamCountsOracle,
     // identical aggregation, different ingestion entry point
     // (EventStream.fromEventsDir vs the shared harness) — one oracle

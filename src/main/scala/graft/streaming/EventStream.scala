@@ -63,6 +63,40 @@ object EventStream {
         col("window.end").as("window_end"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Windowed APPROXIMATE distinct users — linear counting as
+    * streaming state: per window the state is the distinct md5-bucket
+    * set (≤ m elements however many users arrive — the bounded-state
+    * property that makes distinct counting streamable at all; an
+    * exact distinct would hold every user id), and the estimate
+    * −m·ln((m−filled)/m) is the SAME deterministic formula the batch
+    * [[graft.ops.Sketches.linearCount]] gate hash-matches, so the
+    * streamed estimate is oracle-exact too. Windows emit on close
+    * (append mode + watermark), the lakehouse-ingest metric shape.
+    */
+  def windowedDistinctEst(
+      events: DataFrame,
+      keyCol: String,
+      m: Int = 256,
+      watermarkDelay: String = "10 minutes",
+      windowLen: String = "1 hour"): DataFrame = {
+    require(m > 0, s"m must be positive: $m")
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("ts"),
+        graft.ops.Sketches.cmBucket(col(keyCol), 0, m).as("bucket"))
+      .groupBy(window(col("ts"), windowLen))
+      .agg(collect_set(col("bucket")).as("bs"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        size(col("bs")).cast("long").as("n_buckets"))
+      .withColumn("est_distinct",
+        when(col("n_buckets") < m,
+          round(-lit(m.toDouble) *
+            log((lit(m.toLong) - col("n_buckets")).cast("double") /
+              lit(m.toDouble)), 6))
+          .otherwise(lit(m.toDouble)))
+  }
+
   /** Built-in session windows (preferred when per-session output is
     * just aggregates): `session_window` merges gap-contiguous events
     * natively, works identically in batch and streaming, and needs no

@@ -41,6 +41,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed distinct estimate is bounded by m and matches the formula") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val m = 16
+    val q = EventStream.windowedDistinctEst(input.toDF(), "user_id",
+      m = m, watermarkDelay = "10 minutes", windowLen = "5 minutes")
+      .writeStream.format("memory").queryName("wde")
+      .outputMode("append").start()
+    try {
+      // 40 distinct users into one window: the per-window state is
+      // the bucket SET — at most m elements however many users arrive
+      input.addData((1 to 40).map(i =>
+        Event(i.toLong, ts(1), i.toLong, "click", 1.0)): _*)
+      q.processAllAvailable()
+      input.addData(Event(99, ts(40), 1, "click", 1.0)) // close it
+      q.processAllAvailable()
+      val r = spark.table("wde").orderBy("window_start").collect()(0)
+      val nb = r.getAs[Long]("n_buckets")
+      assert(nb >= 1 && nb <= m)
+      val want =
+        if (nb < m) math.rint(-m.toDouble *
+          math.log((m - nb).toDouble / m) * 1e6) / 1e6
+        else m.toDouble
+      assert(r.getAs[Double]("est_distinct") == want)
+    } finally q.stop()
+  }
+
   test("file-source stream over the real events parquet aggregates correctly") {
     val src = java.nio.file.Files.createTempDirectory("graft-stream")
     java.nio.file.Files.copy(
