@@ -853,6 +853,34 @@ object AnalyticsQueries {
         .groupBy("pa", "pb").agg(count(lit(1)).as("n"))
         .filter(col("n") >= 2)
         .orderBy("pa", "pb")
+    }),
+
+    // Triangle enumeration on the supplier co-purchase graph (edge ⟺
+    // ≥ 190 shared customers — the uniform synthetic purchases make
+    // the fold dense, so the edge test is a high co-purchase bar): ordered-edge (a<b<c) three-way join —
+    // each triangle found exactly once, no orientation duplicates.
+    // The fold from the bipartite purchase graph is the expensive
+    // step and is persisted before the triple join reuses it 3×.
+    "q_triangles" -> ((s, dir) => {
+      val sc = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("s"), col("o_custkey").as("c"))
+        .distinct()
+      val edges = graft.ops.QueryCaches.persist(
+        sc.select(col("s").as("sa"), col("c"))
+          .join(sc.select(col("s").as("sb"), col("c")), "c")
+          .filter(col("sa") < col("sb"))
+          .groupBy("sa", "sb").agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= 190)
+          .select("sa", "sb"))
+      edges.select(col("sa").as("a"), col("sb").as("b"))
+        .join(edges.select(col("sa").as("b"), col("sb").as("c")), "b")
+        .join(edges.select(col("sa").as("a"), col("sb").as("c")),
+          Seq("a", "c"))
+        .select(col("a"), col("b"), col("c"))
+        .orderBy("a", "b", "c")
     }))
 
   /** PageRank oracle: DuckDB 1.0 disallows aggregation inside a
@@ -954,6 +982,17 @@ object AnalyticsQueries {
            round(CAST(tr.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS p_r
          FROM tr JOIN tot t ON t.from_type = tr.from_type
          ORDER BY tr.from_type, tr.to_type""",
+    "q_triangles" ->
+      """WITH sc AS (SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         e AS (SELECT x.s AS sa, y.s AS sb
+           FROM sc x JOIN sc y ON x.c = y.c AND x.s < y.s
+           GROUP BY 1, 2 HAVING count(*) >= 190)
+         SELECT e1.sa AS a, e1.sb AS b, e2.sb AS c
+         FROM e e1
+         JOIN e e2 ON e2.sa = e1.sb
+         JOIN e e3 ON e3.sa = e1.sa AND e3.sb = e2.sb
+         ORDER BY a, b, c""",
     "q_basket_pairs" ->
       """WITH base AS (SELECT DISTINCT l_orderkey, l_partkey
            FROM lineitem)

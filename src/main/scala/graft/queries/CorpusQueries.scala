@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -418,6 +419,29 @@ object CorpusQueries {
         .orderBy("source", "status")
     }),
 
+    // Deterministic weighted sampling without replacement (A-ES
+    // exponential keys): per language, the 5 docs with the smallest
+    // round(−ln(u)/w, 6) where u is an md5 uniform and w = n_chars —
+    // longer docs proportionally likelier, yet fully reproducible
+    // under retry (no rand()) and cross-engine (the rounded key is
+    // ranked with a doc_id tiebreak, so an ln ulp cannot flip
+    // membership). The curation shape for upweighting quality sources.
+    "q_weighted_sample" -> ((s, dir) => {
+      val u = (conv(substring(
+        md5(concat(lit("ws:"), col("doc_id").cast("string"))), 1, 8),
+        16, 10).cast("long") + lit(1L)).cast("double") /
+        lit(4294967296.0)
+      val keyed = docs(s, dir).filter(col("n_chars") > 0)
+        .select(col("lang"), col("doc_id"), col("n_chars"),
+          round((-log(u)) / col("n_chars").cast("double"), 6)
+            .as("k_r"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("k_r"), col("doc_id"))
+      keyed.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .orderBy("lang", "rank")
+    }),
+
     // Chi-square independence cells for lang × source: observed vs
     // expected counts and per-cell contribution — the corpus-balance
     // diagnostic (is language mix independent of source?). All doubles
@@ -773,6 +797,18 @@ object CorpusQueries {
       """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_rows,
            count(*) < 15 AS suppress
          FROM documents GROUP BY lang, source ORDER BY lang, source""",
+    "q_weighted_sample" ->
+      """WITH k AS (SELECT lang, doc_id, n_chars,
+             round(-ln((CAST(CAST(('0x' ||
+                 substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                 AS UBIGINT) AS BIGINT) + 1) / 4294967296.0)
+               / CAST(n_chars AS DOUBLE), 6) AS k_r
+           FROM documents WHERE n_chars > 0),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang
+             ORDER BY k_r, doc_id) AS BIGINT) AS rank
+           FROM k)
+         SELECT lang, doc_id, n_chars, k_r, rank FROM r
+         WHERE rank <= 5 ORDER BY lang, rank""",
     "q_chi_square" ->
       """WITH o AS (SELECT lang, source, count(*) AS o
            FROM documents GROUP BY 1, 2),
