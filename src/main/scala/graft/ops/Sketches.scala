@@ -92,4 +92,51 @@ object Sketches {
       .join(broadcast(sketch), Seq("row", "bucket"), "left")
       .groupBy(col("item"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("n_est"))
+
+  /** HyperLogLog distinct estimation with m = 64 registers — the
+    * industry-standard cardinality sketch next to [[linearCount]]'s
+    * simpler bitmap. Fully deterministic (md5-derived hash, integer
+    * register/rank math via an explicit bit-length CASE chain — no
+    * engine-specific clz), so like linearCount the ESTIMATE itself is
+    * oracle-matchable: every double in the pipeline is either an
+    * exact power of two (the 2^−M_j sum cannot round at any order),
+    * an exact integer cast, or the final mirrored formula under
+    * round(,6). Small-range correction (E ≤ 2.5m, V > 0 → linear
+    * counting on empty registers) branches on values both engines
+    * compute bit-identically. Shuffle cost: ≤ m rows per group leave
+    * the partial aggregation however large the group.
+    */
+  def hllDistinct(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: Column): DataFrame = {
+    val m = 64
+    val gs = groupCols.map(col)
+    val h = conv(substring(md5(concat(lit("hll:"), valueCol.cast("string"))),
+      1, 8), 16, 10).cast("long")
+    val base = df.select(gs :+ h.as("h"): _*)
+      .withColumn("reg", expr("h % 64"))
+      .withColumn("w", expr("h div 64"))
+    // bit length of the 26-bit remainder via an explicit integer CASE
+    // chain (highest bit first) — identical on any engine, unlike a
+    // floor(log2(w)) whose boundary ulps could differ
+    val bl = (0 to 25).foldLeft(when(lit(false), 0)) { (acc, i) =>
+      acc.when(col("w") >= lit(1L << (25 - i)), 26 - i)
+    }.otherwise(0)
+    val regs = base
+      .withColumn("rank", lit(27) - bl)
+      .groupBy(gs :+ col("reg"): _*)
+      .agg(max(col("rank")).as("mj"))
+    regs.groupBy(gs: _*)
+      .agg(count(lit(1)).as("present"),
+        sum(pow(lit(2.0), (-col("mj")).cast("double"))).as("zp"))
+      .withColumn("v", lit(m.toLong) - col("present"))
+      .withColumn("z", col("v").cast("double") + col("zp"))
+      .withColumn("e_raw", lit(0.709) * lit(4096.0) / col("z"))
+      .withColumn("est_r",
+        when(col("e_raw") <= lit(160.0) && col("v") > 0,
+          round(lit(64.0) * log(lit(64.0) / col("v").cast("double")), 6))
+          .otherwise(round(col("e_raw"), 6)))
+      .drop("present", "zp", "z", "e_raw")
+  }
 }

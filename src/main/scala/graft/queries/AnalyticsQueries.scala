@@ -881,6 +881,46 @@ object AnalyticsQueries {
           Seq("a", "c"))
         .select(col("a"), col("b"), col("c"))
         .orderBy("a", "b", "c")
+    }),
+
+    // HyperLogLog distinct users per event type — the standard
+    // cardinality sketch with a fully deterministic register pipeline,
+    // estimate hash-matched like q_linear_count's.
+    "q_hll_distinct" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val hll = graft.ops.Sketches.hllDistinct(
+        e, Seq("event_type"), col("user_id"))
+      val truth = e.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_true"))
+      truth.join(hll, "event_type")
+        .select(col("event_type"), col("n_true"), col("v"), col("est_r"))
+        .orderBy("event_type")
+    }),
+
+    // Point-in-time dimension lookup: the SCD2 history of q_scd2
+    // composed with the NATIVE as-of join — each order resolves the
+    // version in effect at its date (ver_started = when the current
+    // priority run began), the bitemporal-lookup shape.
+    "q_scd_asof" -> ((s, dir) => {
+      // order dates are DAY-granular, so same-day ties are real: the
+      // as-of time must be the same (date, orderkey) composite the
+      // SCD2 window ordered by, or a same-day later change wins
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderpriority"), col("o_orderdate"))
+        .withColumn("tkey", unix_timestamp(col("o_orderdate")) *
+          lit(1000000L) + col("o_orderkey"))
+      val hist = graft.ops.QueryCaches.persist(
+        graft.ops.Corpus.scd2History(o, "o_custkey", "o_orderpriority",
+          Seq("o_orderdate", "o_orderkey"))
+          .select(col("o_custkey").as("h_cust"),
+            col("o_orderdate").as("ver_started"),
+            col("tkey").as("ver_key")))
+      graft.plans.AsOfJoin.join(o, hist,
+        o("o_custkey"), hist("h_cust"),
+        o("tkey"), hist("ver_key"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderpriority"), col("ver_started"))
+        .orderBy("o_orderkey")
     }))
 
   /** PageRank oracle: DuckDB 1.0 disallows aggregation inside a
@@ -920,8 +960,63 @@ object AnalyticsQueries {
          SELECT node, round(pr, 6) AS rank_r FROM r$iters ORDER BY node"""
   }
 
+  /** HLL oracle: the identical register pipeline in SQL — bit length
+    * of the 26-bit remainder as the same highest-bit-first CASE chain
+    * the Scala side folds, so rank math is pure integers on both
+    * engines.
+    */
+  private def hllOracle: String = {
+    val blCases = (0 to 25)
+      .map(i => s"WHEN w >= ${1L << (25 - i)} THEN ${26 - i}")
+      .mkString("\n               ")
+    s"""WITH e AS (SELECT event_type, user_id,
+             CAST(CAST(('0x' || substr(md5('hll:' ||
+               CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+               AS h
+           FROM events),
+         b AS (SELECT event_type, h % 64 AS reg, h // 64 AS w FROM e),
+         r AS (SELECT event_type, reg,
+             27 - (CASE
+               $blCases
+               ELSE 0 END) AS rank
+           FROM b),
+         mj AS (SELECT event_type, reg, max(rank) AS mj
+           FROM r GROUP BY 1, 2),
+         agg AS (SELECT event_type,
+             CAST(count(*) AS BIGINT) AS present,
+             sum(power(2.0, CAST(-mj AS DOUBLE))) AS zp
+           FROM mj GROUP BY 1),
+         est AS (SELECT event_type, 64 - present AS v,
+             (0.709 * 4096.0) /
+               (CAST(64 - present AS DOUBLE) + zp) AS e_raw
+           FROM agg),
+         t AS (SELECT event_type,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_true
+           FROM e GROUP BY 1)
+         SELECT t.event_type, t.n_true, est.v,
+           CASE WHEN est.e_raw <= 160.0 AND est.v > 0
+             THEN round(64.0 * ln(64.0 / CAST(est.v AS DOUBLE)), 6)
+             ELSE round(est.e_raw, 6) END AS est_r
+         FROM t JOIN est USING (event_type) ORDER BY event_type"""
+  }
+
   val oracles: Map[String, String] = Map(
     "q_pagerank" -> pagerankOracle(6, 0.85),
+    "q_hll_distinct" -> hllOracle,
+    "q_scd_asof" ->
+      """WITH s AS (SELECT o_orderkey, o_custkey, o_orderpriority,
+             o_orderdate,
+             CASE WHEN lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey)
+               IS DISTINCT FROM o_orderpriority
+               THEN o_orderdate END AS chg
+           FROM orders)
+         SELECT o_orderkey, o_custkey, o_orderpriority,
+           last_value(chg IGNORE NULLS) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS ver_started
+         FROM s ORDER BY o_orderkey""",
     "q_bloom_prune" ->
       """SELECT l_suppkey, count(*) AS n,
            CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
