@@ -921,6 +921,40 @@ object AnalyticsQueries {
         .select(col("o_orderkey"), col("o_custkey"),
           col("o_orderpriority"), col("ver_started"))
         .orderBy("o_orderkey")
+    }),
+
+    // Population stability index: value-distribution drift between the
+    // first half-month (baseline) and the rest, over baseline-decile
+    // buckets. Bucket = Σ(value >= fence_i) over the 9 ROUNDED decile
+    // fences (round-before-threshold); shares are Laplace-smoothed
+    // ((c+1)/(n+10)) so empty buckets stay defined deterministically;
+    // the (q−p)·ln(q/p) contribution is mirrored verbatim.
+    "q_psi" -> ((s, dir) => {
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      val e = Tables.events(s, dir).filter(col("value").isNotNull)
+        .select(col("value"), (col("ts") < cut).as("is_base"))
+        .transform(graft.ops.QueryCaches.persist)
+      val fs = (1 to 9).map(i =>
+        round(percentile(col("value"), lit(i / 10.0)), 6).as(s"f$i"))
+      val fences = e.filter(col("is_base")).agg(fs.head, fs.tail: _*)
+      val bucket = (1 to 9).map(i =>
+        when(col("value") >= col(s"f$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      val counts = e.crossJoin(broadcast(fences))
+        .select(bucket.cast("long").as("bucket"), col("is_base"))
+        .groupBy("bucket")
+        .agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("c_base"),
+          sum(when(!col("is_base"), 1L).otherwise(0L)).as("c_cur"))
+      val tot = counts.agg(sum(col("c_base")).as("n_base"),
+        sum(col("c_cur")).as("n_cur"))
+      val p = (col("c_base") + lit(1)).cast("double") /
+        (col("n_base") + lit(10)).cast("double")
+      val q = (col("c_cur") + lit(1)).cast("double") /
+        (col("n_cur") + lit(10)).cast("double")
+      counts.crossJoin(broadcast(tot))
+        .select(col("bucket"), col("c_base"), col("c_cur"),
+          round((q - p) * log(q / p), 6).as("psi_contrib_r"))
+        .orderBy("bucket")
     }))
 
   /** PageRank oracle: DuckDB 1.0 disallows aggregation inside a
@@ -1064,6 +1098,49 @@ object AnalyticsQueries {
            min(l_suppkey), max(l_suppkey)
          FROM lineitem
          ORDER BY col_name""",
+    "q_psi" ->
+      """WITH e AS (SELECT value,
+             (ts < TIMESTAMP '2024-01-16 00:00:00') AS is_base
+           FROM events WHERE value IS NOT NULL),
+         f AS (SELECT
+             round(quantile_cont(value, 0.1), 6) AS f1,
+             round(quantile_cont(value, 0.2), 6) AS f2,
+             round(quantile_cont(value, 0.3), 6) AS f3,
+             round(quantile_cont(value, 0.4), 6) AS f4,
+             round(quantile_cont(value, 0.5), 6) AS f5,
+             round(quantile_cont(value, 0.6), 6) AS f6,
+             round(quantile_cont(value, 0.7), 6) AS f7,
+             round(quantile_cont(value, 0.8), 6) AS f8,
+             round(quantile_cont(value, 0.9), 6) AS f9
+           FROM e WHERE is_base),
+         b AS (SELECT
+             CAST((CASE WHEN value >= f1 THEN 1 ELSE 0 END) +
+               (CASE WHEN value >= f2 THEN 1 ELSE 0 END) +
+               (CASE WHEN value >= f3 THEN 1 ELSE 0 END) +
+               (CASE WHEN value >= f4 THEN 1 ELSE 0 END) +
+               (CASE WHEN value >= f5 THEN 1 ELSE 0 END) +
+               (CASE WHEN value >= f6 THEN 1 ELSE 0 END) +
+               (CASE WHEN value >= f7 THEN 1 ELSE 0 END) +
+               (CASE WHEN value >= f8 THEN 1 ELSE 0 END) +
+               (CASE WHEN value >= f9 THEN 1 ELSE 0 END) AS BIGINT)
+               AS bucket,
+             is_base
+           FROM e CROSS JOIN f),
+         c AS (SELECT bucket,
+             CAST(sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_base,
+             CAST(sum(CASE WHEN is_base THEN 0 ELSE 1 END) AS BIGINT)
+               AS c_cur
+           FROM b GROUP BY 1),
+         t AS (SELECT CAST(sum(c_base) AS BIGINT) AS n_base,
+             CAST(sum(c_cur) AS BIGINT) AS n_cur FROM c)
+         SELECT bucket, c_base, c_cur,
+           round((CAST(c_cur + 1 AS DOUBLE) / CAST(n_cur + 10 AS DOUBLE)
+             - CAST(c_base + 1 AS DOUBLE) / CAST(n_base + 10 AS DOUBLE))
+             * ln((CAST(c_cur + 1 AS DOUBLE) / CAST(n_cur + 10 AS DOUBLE))
+             / (CAST(c_base + 1 AS DOUBLE) / CAST(n_base + 10 AS DOUBLE))),
+             6) AS psi_contrib_r
+         FROM c CROSS JOIN t ORDER BY bucket""",
     "q_transitions" ->
       """WITH e AS (SELECT user_id, event_type,
              lag(event_type) OVER (PARTITION BY user_id

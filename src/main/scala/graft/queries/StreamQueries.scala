@@ -331,6 +331,45 @@ object StreamQueries {
       }
     }),
 
+    // Windowed streaming top-k through the CUSTOM heap aggregate
+    // (graft.expr.TopKByScore as streaming state): only k-element
+    // buffers ever sit in the state store per window, however many
+    // events arrive — the window-rank idiom would buffer the window's
+    // full event set. Same (score DESC, id ASC) total order as the
+    // batch q_topk_agg; windows emit on watermark close.
+    "q_stream_topk" -> ((s, dir) => {
+      import s.implicits._
+      val maxNsRow = Tables.table(s, dir, "events").agg(max("ts")).head()
+      if (maxNsRow.isNullAt(0)) {
+        Seq.empty[(Long, Long, Long, Long, Double)]
+          .toDF("window_start_s", "window_end_s", "rank", "event_id",
+            "value")
+      } else {
+        val maxNs = maxNsRow.getLong(0)
+        val out = runFileStream(s, dir, "events", "q_stream_topk_sink",
+          sentinels = Seq(
+            eventRow(-1L, maxNs + 3600L * 1000000000L),
+            eventRow(-2L, maxNs + 7200L * 1000000000L)))(
+          raw => raw.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+            .withWatermark("ts", "10 minutes")
+            .groupBy(window(col("ts"), "1 hour"))
+            .agg(graft.expr.TopKByScore
+              .topK(col("value"), col("event_id"), 3).as("nb"))
+            .select(col("window.start").as("window_start"),
+              col("window.end").as("window_end"), posexplode(col("nb"))))
+        out
+          .filter(unix_timestamp(col("window_start")) <=
+            lit(maxNs / 1000000000L))
+          .select(unix_timestamp(col("window_start")).as("window_start_s"),
+            unix_timestamp(col("window_end")).as("window_end_s"),
+            (col("pos") + 1).cast("long").as("rank"),
+            col("col.id").as("event_id"),
+            col("col.score").as("value"))
+          .orderBy("window_start_s", "rank")
+      }
+    }),
+
     // Composed streaming curation: q_curate's quality gates evaluated
     // statelessly on the stream, then streaming exact dedup
     // (dropDuplicatesWithinWatermark on the normalized fingerprint).
@@ -748,6 +787,18 @@ object StreamQueries {
                / 256.0), 6)
              ELSE 256.0 END AS est_distinct
          FROM c ORDER BY window_start_s""",
+    "q_stream_topk" ->
+      """WITH e AS (SELECT
+             ((epoch_ns(ts) // 1000000000) // 3600) * 3600 AS ws,
+             event_id, value
+           FROM events WHERE value IS NOT NULL),
+         r AS (SELECT ws, event_id, value, CAST(row_number() OVER
+             (PARTITION BY ws ORDER BY value DESC, event_id) AS BIGINT)
+             AS rank
+           FROM e)
+         SELECT ws AS window_start_s, ws + 3600 AS window_end_s,
+           rank, event_id, value
+         FROM r WHERE rank <= 3 ORDER BY window_start_s, rank""",
     "q_stream_counts" -> streamCountsOracle,
     // identical aggregation, different ingestion entry point
     // (EventStream.fromEventsDir vs the shared harness) — one oracle

@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, posexplode, window}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.streaming.EventStream
@@ -66,6 +66,37 @@ class StreamingSpec extends AnyFunSuite {
           math.log((m - nb).toDouble / m) * 1e6) / 1e6
         else m.toDouble
       assert(r.getAs[Double]("est_distinct") == want)
+    } finally q.stop()
+  }
+
+  test("custom heap aggregate runs as streaming state with k-bounded buffers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = input.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(graft.expr.TopKByScore.topK(col("value"), col("event_id"), 2)
+        .as("nb"))
+      .select(col("window.start").as("ws"), posexplode(col("nb")))
+      .select(col("ws"), (col("pos") + 1).as("rank"),
+        col("col.id").as("event_id"), col("col.score").as("value"))
+      .writeStream.format("memory").queryName("stopk")
+      .outputMode("append").start()
+    try {
+      // 5 events, one window: only the top-2 by (value desc, id asc)
+      // may surface; the merge path runs when partials combine
+      input.addData(
+        Event(1, ts(1), 1, "a", 5.0), Event(2, ts(1), 1, "a", 9.0),
+        Event(3, ts(2), 1, "a", 7.0), Event(4, ts(2), 1, "a", 9.0),
+        Event(5, ts(3), 1, "a", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(9, ts(40), 1, "a", 0.0)) // close the window
+      q.processAllAvailable()
+      val got = spark.table("stopk").orderBy("rank")
+        .select("rank", "event_id", "value")
+        .as[(Int, Long, Double)].collect().toSeq
+      assert(got == Seq((1, 2L, 9.0), (2, 4L, 9.0)))
     } finally q.stop()
   }
 
