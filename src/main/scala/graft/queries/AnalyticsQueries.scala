@@ -963,13 +963,18 @@ object AnalyticsQueries {
     * the exact update rule of [[graft.ops.GraphOps.pageRank]]. The
     * (1−d) literal is emitted via Double.toString so the SQL double
     * is BIT-identical to Spark's `lit(1.0 - damping)` (1.0−0.85 is
-    * 0.15000000000000002, not 0.15).
+    * 0.15000000000000002, not 0.15). Every round CTE is MATERIALIZED:
+    * each references its predecessor TWICE (contribution + dangling),
+    * and DuckDB's default inlining would re-expand the chain 2^iters
+    * times — the exact exponential-plan hazard the Spark side cuts
+    * with eager localCheckpoints, which at sf0.1 filled the disk with
+    * spill before this pin.
     */
   private def pagerankOracle(iters: Int, damping: Double): String = {
     val d1 = s"CAST(${1.0 - damping} AS DOUBLE)"
     val d = s"CAST($damping AS DOUBLE)"
     val rounds = (1 to iters).map { i =>
-      s"""r$i AS (SELECT p.node,
+      s"""r$i AS MATERIALIZED (SELECT p.node,
            $d1 / p.n + $d *
              (COALESCE(c.contrib, CAST(0 AS DOUBLE)) + dg.dm / p.n) AS pr,
            p.n
@@ -982,13 +987,15 @@ object AnalyticsQueries {
                      FROM r${i - 1} r LEFT JOIN deg g ON g.src = r.node
                      WHERE g.src IS NULL) dg)"""
     }.mkString(",\n         ")
-    s"""WITH e AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+    s"""WITH e AS MATERIALIZED (
+             SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
              'c' || CAST(o_custkey AS VARCHAR) AS dst
            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-         deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         deg AS MATERIALIZED (
+           SELECT src, count(*) AS outdeg FROM e GROUP BY src),
          nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
          nn AS (SELECT count(*) AS n FROM nodes),
-         r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n AS pr, n
+         r0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) / n AS pr, n
                 FROM nodes CROSS JOIN nn),
          $rounds
          SELECT node, round(pr, 6) AS rank_r FROM r$iters ORDER BY node"""
