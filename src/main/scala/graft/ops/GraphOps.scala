@@ -89,4 +89,37 @@ object GraphOps {
     }
     ranks.select(col("node"), col("rank"))
   }
+
+  /** Fixed-depth BFS levels: shortest hop distance from a source set,
+    * the reachability/centrality building block (crawl-frontier
+    * expansion, link-distance quality tiers). Each round is one |E|
+    * join against the frontier-so-far plus a keyed min — and, like
+    * [[pageRank]], the round result is referenced twice (carry-over
+    * union + expansion join), so every round is cut with an eager
+    * localCheckpoint to keep the analyzed plan linear in rounds.
+    * Nodes unreached within `maxHops` are absent from the output —
+    * at web scale the frontier is the working set, never the full
+    * node list. The matching oracle unrolls rounds into MATERIALIZED
+    * CTEs (DuckDB's inliner has the same doubling hazard).
+    */
+  def bfsLevels(
+      edges: DataFrame,
+      sources: DataFrame,
+      maxHops: Int,
+      handle: CacheHandle = null): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val e = CacheHandle.persistWith(handle,
+      edges.select(col("src"), col("dst")).distinct())
+    var dist = sources.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    for (_ <- 1 to maxHops) {
+      val expanded = e
+        .join(dist.select(col("node").as("src"), col("dist")), "src")
+        .select(col("dst").as("node"), (col("dist") + lit(1L)).as("dist"))
+      dist = dist.unionByName(expanded)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
 }

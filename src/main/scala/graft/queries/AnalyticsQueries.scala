@@ -628,6 +628,27 @@ object AnalyticsQueries {
         .orderBy("node")
     }),
 
+    // BFS hop levels over the symmetrized purchase graph from the
+    // NATION_9 supplier set — link-distance tiers (GraphOps.bfsLevels,
+    // eager checkpoint per round; unreached nodes absent).
+    "q_bfs_levels" -> ((s, dir) => {
+      val b = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("c"), col("o_custkey")).as("dst"))
+      val edges = b.unionByName(
+        b.select(col("dst").as("src"), col("src").as("dst")))
+      val sources = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+          .filter(col("n_name") === "NATION_9")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(concat(lit("s"), col("s_suppkey")).as("node"))
+      graft.ops.GraphOps.bfsLevels(edges, sources, maxHops = 3)
+        .orderBy("node")
+    }),
+
     // Runtime-filter semi-join reduction: an 8 KiB deterministic Bloom
     // filter built from the selective dim subset prunes lineitem AT THE
     // SCAN; the exact semi-join removes the false positives, so the
@@ -1041,8 +1062,36 @@ object AnalyticsQueries {
          FROM t JOIN est USING (event_type) ORDER BY event_type"""
   }
 
+  /** BFS oracle: rounds unrolled into MATERIALIZED CTEs (the same
+    * inliner-doubling pin as the PageRank oracle).
+    */
+  private def bfsOracle(maxHops: Int): String = {
+    val rounds = (1 to maxHops).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+             SELECT node, dist FROM d${i - 1}
+             UNION ALL
+             SELECT e.dst, p.dist + 1 FROM e
+               JOIN d${i - 1} p ON p.node = e.src)
+           GROUP BY node)"""
+    }.mkString(",\n         ")
+    s"""WITH b AS MATERIALIZED (
+           SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+             'c' || CAST(o_custkey AS VARCHAR) AS dst
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         e AS MATERIALIZED (
+           SELECT src, dst FROM b UNION SELECT dst, src FROM b),
+         d0 AS MATERIALIZED (
+           SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node,
+             CAST(0 AS BIGINT) AS dist
+           FROM supplier JOIN nation ON s_nationkey = n_nationkey
+           WHERE n_name = 'NATION_9'),
+         $rounds
+         SELECT node, dist FROM d$maxHops ORDER BY node"""
+  }
+
   val oracles: Map[String, String] = Map(
     "q_pagerank" -> pagerankOracle(6, 0.85),
+    "q_bfs_levels" -> bfsOracle(3),
     "q_hll_distinct" -> hllOracle,
     "q_scd_asof" ->
       """WITH s AS (SELECT o_orderkey, o_custkey, o_orderpriority,

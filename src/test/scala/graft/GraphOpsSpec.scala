@@ -46,6 +46,21 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(math.abs(r("b") - (d1 / 2 + 0.85 * 0.75)) < 1e-12)
   }
 
+  test("bfsLevels finds shortest hop counts and stops at maxHops") {
+    import spark.implicits._
+    // chain a→b→c→d plus a shortcut a→c: c is 1 hop, not 2
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "d", "a" -> "c")
+      .toDF("src", "dst")
+    val src = Seq("a").toDF("node")
+    val got = GraphOps.bfsLevels(edges, src, maxHops = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 0L, "b" -> 1L, "c" -> 1L, "d" -> 2L))
+    // hops = 1: d is not yet reached and must be ABSENT, not inf
+    val one = GraphOps.bfsLevels(edges, src, maxHops = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(one == Map("a" -> 0L, "b" -> 1L, "c" -> 1L))
+  }
+
   test("parallel edges deduplicate; ranks are deterministic across runs") {
     import spark.implicits._
     val dup = Seq("a" -> "b", "a" -> "b", "b" -> "a", "a" -> "c")

@@ -248,6 +248,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_scd_asof: the temporal lookup runs on the native as-of node") {
+    val p = plan("q_scd_asof")
+    assert(p.contains("AsOfJoin"), p) // AsOfJoinExec prints as AsOfJoin
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_hll_distinct: register pipeline partially aggregates, no cartesian") {
+    val p = plan("q_hll_distinct")
+    // both the per-register max and the final register fold must
+    // map-side combine; the 1-row broadcast crossJoins are the only
+    // nested-loop shapes allowed
+    assert("partial_max|partial".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_pmi: vocab count joins unhinted; AQE broadcasts at gate scale") {
     // same contract as q_tfidf: no forced hint on vocabulary-sized
     // builds; pin that AQE converts on measured size in the FINAL plan
