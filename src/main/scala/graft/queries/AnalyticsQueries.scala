@@ -272,6 +272,30 @@ object AnalyticsQueries {
         .orderBy("source")
     }),
 
+    // Schema evolution: two writer generations with DISJOINT column
+    // sets land in one dataset directory; the mergeSchema read unifies
+    // them (absent columns null-filled per file) — the lakehouse
+    // append-with-new-columns property, driven end-to-end through
+    // real parquet files and hash-checked against the reconstructed
+    // union. Null groups coalesce to a sentinel (the null-ordering
+    // rule).
+    "q_schema_merge" -> ((s, dir) => {
+      val base = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_schema_merge")
+      val d = Tables.table(s, dir, "documents")
+      d.filter(col("doc_id") < 300).select(col("doc_id"), col("lang"))
+        .write.mode("overwrite").parquet(base.resolve("p1").toString)
+      d.filter(col("doc_id") >= 300 && col("doc_id") < 600)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .write.mode("overwrite").parquet(base.resolve("p2").toString)
+      s.read.option("mergeSchema", "true")
+        .parquet(base.resolve("p1").toString, base.resolve("p2").toString)
+        .groupBy(coalesce(col("lang"), lit("-")).as("lang"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"))
+        .orderBy("lang")
+    }),
+
     // Approximate distinct with an ORACLE-CHECKABLE estimator
     // (Sketches.linearCount): the md5 bucket bitmap is deterministic,
     // so the estimate itself hash-matches — the checkable companion
@@ -1530,6 +1554,16 @@ object AnalyticsQueries {
            CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM documents WHERE lang = 'en'
          GROUP BY source ORDER BY source""",
+    "q_schema_merge" ->
+      """WITH m AS (
+           SELECT doc_id, lang, NULL AS n_chars
+           FROM documents WHERE doc_id < 300
+           UNION ALL
+           SELECT doc_id, NULL, n_chars
+           FROM documents WHERE doc_id >= 300 AND doc_id < 600)
+         SELECT COALESCE(lang, '-') AS lang, count(*) AS n,
+           CAST(COALESCE(sum(n_chars), 0) AS BIGINT) AS sum_chars
+         FROM m GROUP BY 1 ORDER BY lang""",
     // deterministic md5 bucket bitmap → the linear-counting estimate
     // itself is comparable (ln of an exact integer ratio)
     "q_linear_count" ->
