@@ -814,10 +814,29 @@ object Corpus {
       docs: DataFrame,
       idCol: String,
       textCol: String,
+      maxDocVocab: Int = Int.MaxValue,
       handle: CacheHandle = null): DataFrame = {
-    val dt = CacheHandle.persistWith(handle, docs
+    val raw = docs
       .select(col(idCol).as("doc"),
-        explode(array_distinct(TextDedup.tokens(col(textCol)))).as("tok")))
+        explode(array_distinct(TextDedup.tokens(col(textCol)))).as("tok"))
+    // The pair generator below is Σ_d C(v_d, 2) — quadratic in per-doc
+    // DISTINCT vocab: one 1e5-distinct-token document (a dictionary
+    // dump, a log file) emits 5e9 pairs on its own. maxDocVocab bounds
+    // it by keeping, per doc, the maxDocVocab tokens lowest in
+    // (md5(tok), tok) order — deterministic under retry and requiring
+    // no corpus-frequency side join, the capBuckets idiom. The capped
+    // token set also feeds c_t/n_docs so PMI stays self-consistent on
+    // the pruned universe. Int.MaxValue (the gate's setting) skips the
+    // window entirely and preserves exact uncapped semantics.
+    val capped =
+      if (maxDocVocab == Int.MaxValue) raw
+      else {
+        val w = Window.partitionBy("doc").orderBy(md5(col("tok")), col("tok"))
+        raw.withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") <= maxDocVocab)
+          .drop("__rk")
+      }
+    val dt = CacheHandle.persistWith(handle, capped)
     val ct = dt.groupBy("tok").agg(count(lit(1)).as("c_t"))
     val n = dt.agg(countDistinct(col("doc")).as("n_docs"))
     val pairs = dt.select(col("doc"), col("tok").as("tok_a"))

@@ -122,4 +122,44 @@ object GraphOps {
     }
     dist
   }
+
+  /** Item-item co-occurrence edges from a bipartite (item, key)
+    * relation — the fold behind co-purchase graphs, "users who bought
+    * X also bought Y", and document co-citation.
+    *
+    * The self-join on `keyCol` emits Σ_k deg(k)² candidate rows BEFORE
+    * the `minShared` filter can prune anything, so one hot key (a
+    * power-law buyer, a bot account) makes the fold quadratic.
+    * `maxKeyDegree` bounds it with [[TextDedup.capBuckets]]: keys
+    * whose item degree exceeds the cap are dropped via a broadcast
+    * anti-join (their degree list is an aggregate of one count per
+    * DISTINCT key, and at most rows/cap keys can exceed the cap), so
+    * per-key join work is O(cap²) and the candidate join keeps its
+    * exchange plan. Dropping a hot key loses only co-occurrence
+    * evidence that key contributes — a key touching everything is
+    * non-discriminating, the same argument as hot LSH buckets; audit
+    * the drops with [[TextDedup.overCapBuckets]] on the same inputs.
+    * `Int.MaxValue` (the oracle gate's setting) skips the cap and is
+    * exact.
+    *
+    * @return (ia, ib, shared) with ia < ib, shared >= minShared.
+    */
+  def coOccurrenceEdges(
+      rel: DataFrame,
+      itemCol: String,
+      keyCol: String,
+      minShared: Long,
+      maxKeyDegree: Int = Int.MaxValue): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val base = rel.select(col(itemCol).as("__i"), col(keyCol).as("__k"))
+      .distinct()
+    val capped =
+      if (maxKeyDegree == Int.MaxValue) base
+      else TextDedup.capBuckets(base, Seq("__k"), maxKeyDegree)
+    capped.select(col("__i").as("ia"), col("__k"))
+      .join(capped.select(col("__i").as("ib"), col("__k")), "__k")
+      .filter(col("ia") < col("ib"))
+      .groupBy("ia", "ib").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
 }

@@ -706,7 +706,11 @@ object AnalyticsQueries {
           coalesce(col("valid_to"),
             lit("9999-12-31 00:00:00").cast("timestamp")).as("valid_to"),
           col("is_current"))
-        .orderBy("o_custkey", "valid_from")
+        // valid_from is DAY-granular: a customer whose priority changes
+        // twice on one day yields tied (custkey, valid_from) keys (15 real
+        // groups at sf0.01). Consecutive change rows can't share a
+        // priority, so it completes the total order.
+        .orderBy("o_custkey", "valid_from", "o_orderpriority")
     }),
 
     // Regular-grid resample + forward fill: hourly per-user activity
@@ -886,7 +890,10 @@ object AnalyticsQueries {
     // Market-basket pairs: parts co-purchased within an order, counted
     // across orders (support >= 2 to drop the singleton tail). The
     // per-order distinct part set is persisted once — self-joins
-    // re-execute their upstream otherwise.
+    // re-execute their upstream otherwise. The uncapped self-join on
+    // l_orderkey is safe ONLY because TPC-H order size is bounded
+    // (≤ 7 lineitems — Σ deg² ≤ 49·|orders|); an unbounded basket key
+    // must go through GraphOps.coOccurrenceEdges' maxKeyDegree cap.
     "q_basket_pairs" -> ((s, dir) => {
       val base = graft.ops.QueryCaches.persist(
         t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
@@ -906,20 +913,20 @@ object AnalyticsQueries {
     // each triangle found exactly once, no orientation duplicates.
     // The fold from the bipartite purchase graph is the expensive
     // step and is persisted before the triple join reuses it 3×.
+    // GraphOps.coOccurrenceEdges carries the per-customer degree cap
+    // (a hot buyer makes the fold quadratic); the gate passes
+    // Int.MaxValue to mirror the uncapped oracle exactly — the
+    // capBuckets pattern. CoOccurrenceSpec exercises the capped path.
     "q_triangles" -> ((s, dir) => {
       val sc = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"))
         .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("l_suppkey").as("s"), col("o_custkey").as("c"))
-        .distinct()
       val edges = graft.ops.QueryCaches.persist(
-        sc.select(col("s").as("sa"), col("c"))
-          .join(sc.select(col("s").as("sb"), col("c")), "c")
-          .filter(col("sa") < col("sb"))
-          .groupBy("sa", "sb").agg(count(lit(1)).as("shared"))
-          .filter(col("shared") >= 190)
-          .select("sa", "sb"))
+        graft.ops.GraphOps.coOccurrenceEdges(sc, "s", "c",
+          minShared = 190L, maxKeyDegree = Int.MaxValue)
+          .select(col("ia").as("sa"), col("ib").as("sb")))
       edges.select(col("sa").as("a"), col("sb").as("b"))
         .join(edges.select(col("sa").as("b"), col("sb").as("c")), "b")
         .join(edges.select(col("sa").as("a"), col("sb").as("c")),
@@ -1155,7 +1162,7 @@ object AnalyticsQueries {
          SELECT o_custkey, o_orderpriority, valid_from,
            COALESCE(valid_to, TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
            (valid_to IS NULL) AS is_current
-         FROM v ORDER BY o_custkey, valid_from""",
+         FROM v ORDER BY o_custkey, valid_from, o_orderpriority""",
     "q_table_stats" ->
       """SELECT 'l_orderkey' AS col_name, count(*) AS n,
            CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)

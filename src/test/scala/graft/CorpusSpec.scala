@@ -581,4 +581,20 @@ class CorpusSpec extends AnyFunSuite {
     assert(math.abs(got(("a", "b"))._2 - r6(math.log(8.0 / 9))) < 1e-9)
     assert(math.abs(got(("a", "c"))._2 - r6(math.log(4.0 / 3))) < 1e-9)
   }
+
+  test("pmiPairs maxDocVocab bounds the per-doc pair explosion") {
+    import spark.implicits._
+    // one pathological doc with 60 distinct tokens (a dictionary dump)
+    // plus a normal 2-token doc: uncapped, the hot doc alone emits
+    // C(60,2) = 1770 pairs; capped at 5 it contributes at most C(5,2).
+    val dump = (1 to 60).map(i => f"tok$i%02d").mkString(" ")
+    val docs = Seq((1L, dump), (2L, "aaa bbb")).toDF("doc_id", "text")
+    val uncapped = Corpus.pmiPairs(docs, "doc_id", "text")
+    assert(uncapped.count() == 60L * 59 / 2 + 1)
+    val capped = Corpus.pmiPairs(docs, "doc_id", "text", maxDocVocab = 5)
+    assert(capped.count() <= 5L * 4 / 2 + 1)
+    // deterministic: the md5-order trim picks the same tokens every run
+    val again = Corpus.pmiPairs(docs, "doc_id", "text", maxDocVocab = 5)
+    assert(capped.exceptAll(again).isEmpty && again.exceptAll(capped).isEmpty)
+  }
 }

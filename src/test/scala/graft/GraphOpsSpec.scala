@@ -76,4 +76,38 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(r("b") == r("c"))
     assert(r("a") > r("b"))
   }
+
+  test("coOccurrenceEdges counts shared keys once and orders pairs") {
+    import spark.implicits._
+    // items x,y share keys k1,k2 (duplicate row must not double-count);
+    // z shares only k1 with each
+    val rel = Seq("x" -> "k1", "x" -> "k1", "x" -> "k2",
+      "y" -> "k1", "y" -> "k2", "z" -> "k1").toDF("item", "k")
+    val got = GraphOps.coOccurrenceEdges(rel, "item", "k", minShared = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map(("x", "y") -> 2L, ("x", "z") -> 1L, ("y", "z") -> 1L))
+    val strict = GraphOps.coOccurrenceEdges(rel, "item", "k", minShared = 2L)
+      .collect()
+    assert(strict.map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("x", "y")))
+  }
+
+  test("coOccurrenceEdges maxKeyDegree drops hot keys, bounding the fold") {
+    import spark.implicits._
+    // khot touches 40 items (Σ deg² blowup candidate: 780 pairs);
+    // kcold touches 2. Cap 10 drops khot entirely — only the cold
+    // pair survives, so candidate work is O(cap²) per key.
+    val hot = (1 to 40).map(i => (f"i$i%02d", "khot"))
+    val cold = Seq(("i01", "kcold"), ("i02", "kcold"))
+    val rel = (hot ++ cold).toDF("item", "k")
+    val capped = GraphOps.coOccurrenceEdges(rel, "item", "k",
+      minShared = 1L, maxKeyDegree = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(capped == Map(("i01", "i02") -> 1L))
+    // Int.MaxValue is the exact path: all 780 hot pairs + the shared one
+    val exact = GraphOps.coOccurrenceEdges(rel, "item", "k", minShared = 1L)
+    assert(exact.count() == 40L * 39 / 2)
+  }
 }
