@@ -28,4 +28,16 @@ object Tables {
       .withColumnRenamed("ts", "ts_ns")
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
       .withColumn("ts_sec", timestamp_seconds(expr("ts_ns div 1000000000")))
+
+  /** Per-run scratch path for queries that write real files (ORC
+    * round-trip, CoW merge, persisted IVF, stream sink …). Fixed
+    * names raced when two Verify/Bench runs shared a machine — two
+    * processes would overwrite each other's layouts and checkpoints
+    * mid-query — so the name carries the Spark application id:
+    * stable within a run (the same query function can re-enter its
+    * own directory), unique across concurrent runs.
+    */
+  def scratchDir(spark: SparkSession, name: String): java.nio.file.Path =
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"${name}_${spark.sparkContext.applicationId}")
 }

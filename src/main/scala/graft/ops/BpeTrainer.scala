@@ -24,12 +24,14 @@ import org.apache.spark.sql.functions._
   * localCheckpoint (the TextDedup.clusters rule: persist caches data,
   * not the plan).
   *
-  * Cross-engine gate: the iterative, data-dependent merge sequence is
-  * not expressible in one SQL statement (DuckDB's list_reduce cannot
-  * carry struct state), so the declared queries are rows-only by
-  * design — correctness is pinned by BpeTrainerSpec against an
-  * independent driver-side reference implementation on the real
-  * table, the same pattern as the sniffer (q_sniff).
+  * Cross-engine gate: the merge sequence is deterministic (argmax
+  * tie-broken by (count DESC, left, right)), so the oracle unrolls
+  * the rounds into MATERIALIZED CTEs — the PageRank/BFS pattern —
+  * with the greedy left-to-right fold expressed in closed form (runs
+  * of consecutive match positions keep even offsets). Both
+  * `q_bpe_merges` and `q_bpe_segment` are hash-gated; BpeTrainerSpec
+  * additionally pins the trainer against an independent driver-side
+  * reference implementation.
   */
 object BpeTrainer {
 

@@ -45,7 +45,15 @@ object FuzzyJoin {
     val in =
       if (maxPosting == Int.MaxValue) grams
       else TextDedup.capBuckets(grams, Seq("gram"), maxPosting)
-    val gl = grams.groupBy("id").agg(count(lit(1)).as("ng"))
+    // gram totals MUST come from the same capped set as the shared
+    // counts: with ga from uncapped grams but shared from capped
+    // postings, any pair touching a hot gram could fail the count
+    // filter and a TRUE match would be dropped. On the capped
+    // universe the Gravano bound stays valid — an edit still destroys
+    // at most q grams of the surviving subset — so under a cap the
+    // only recall loss is pairs whose EVERY shared gram is hot (they
+    // never meet in the posting join at all).
+    val gl = in.groupBy("id").agg(count(lit(1)).as("ng"))
     in.select(col("id").as("a"), col("gram"))
       .join(in.select(col("id").as("b"), col("gram")), "gram")
       .filter(col("a") < col("b"))

@@ -169,10 +169,13 @@ object ScaleOps {
     * keyed window over touched data only), write them to a staging
     * dir, then swap each touched partition directory into place. The
     * staging write makes the merge restartable (a crash before the
-    * swap loses nothing); the per-partition swap itself is
-    * best-effort-atomic (hdfs rename is atomic per directory; object
-    * stores approximate it) — the transactionality ceiling of a plain
-    * parquet layout, stated rather than papered over. The driver
+    * swap loses nothing), and the swap renames the live directory
+    * ASIDE (`…__cow_old`) before renaming the fresh one in — at every
+    * intermediate state the old data exists under a recoverable name,
+    * and a failed swap rolls the aside back. Per-directory rename is
+    * atomic on hdfs (object stores approximate it); cross-directory
+    * the swap remains per-partition — the transactionality ceiling of
+    * a plain parquet layout, stated rather than papered over. The driver
     * iterates only over TOUCHED partition values (the batch's
     * distinct `partCol` set — operationally small; a batch touching
     * every partition degenerates to a full rewrite, as it must).
@@ -198,20 +201,46 @@ object ScaleOps {
       s"partition values need escaping, unsupported: $touched")
     val staging = new Path(basePath + "__cow_staging")
     fs.delete(staging, true)
-    val base = spark.read.parquet(basePath)
-      .filter(col(partCol).isin(touched: _*))
-    Corpus.upsertLatest(
-        base.unionByName(updates.select(base.columns.map(col): _*)),
-        idCol, versionCol)
-      .write.mode("overwrite").partitionBy(partCol)
+    // first merge into a not-yet-written table: treat a missing base
+    // as empty (the updates batch IS the table) instead of throwing
+    // on the read
+    val baseExists = fs.exists(new Path(basePath))
+    val merged =
+      if (baseExists) {
+        val base = spark.read.parquet(basePath)
+        // compare against the partition column's OWN type (literal
+        // side cast, constant-folded — partition pruning survives);
+        // filtering with raw strings relies on implicit casts
+        val partType = base.schema(partCol).dataType
+        val hit = touched
+          .map(v => col(partCol) === lit(v).cast(partType))
+          .reduce(_ || _)
+        Corpus.upsertLatest(
+          base.filter(hit)
+            .unionByName(updates.select(base.columns.map(col): _*)),
+          idCol, versionCol)
+      } else Corpus.upsertLatest(updates, idCol, versionCol)
+    merged.write.mode("overwrite").partitionBy(partCol)
       .parquet(staging.toString)
     touched.foreach { v =>
       val dirName = s"$partCol=$v"
       val live = new Path(basePath, dirName)
       val fresh = new Path(staging, dirName)
-      fs.delete(live, true)
-      if (!fs.rename(fresh, live))
+      // rename ASIDE, not delete-first: a crash between a delete and
+      // the swap rename would lose the live directory (staging still
+      // has the data, but recovery is manual). With the aside rename
+      // the old data survives under a recoverable name at every
+      // intermediate state; only after the swap succeeds is it dropped.
+      val aside = new Path(basePath, dirName + "__cow_old")
+      fs.delete(aside, true) // leftover from a previously crashed swap
+      val hadLive = fs.exists(live)
+      if (hadLive && !fs.rename(live, aside))
+        throw new java.io.IOException(s"aside rename failed for $dirName")
+      if (!fs.rename(fresh, live)) {
+        if (hadLive) fs.rename(aside, live) // roll back
         throw new java.io.IOException(s"swap failed for $dirName")
+      }
+      fs.delete(aside, true)
     }
     fs.delete(staging, true)
     touched

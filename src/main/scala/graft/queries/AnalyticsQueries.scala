@@ -258,10 +258,11 @@ object AnalyticsQueries {
     // (Spark's native second columnar source), read back cold, with a
     // predicate that must reach the ORC scan as a pushed filter
     // (PlanSpec pins it) — format portability is an engine property,
-    // not a parquet accident. Fixed tmp path, overwritten per run.
+    // not a parquet accident. Per-run scratch path (Tables.scratchDir
+    // — concurrent runs must not share write dirs), overwritten on
+    // re-entry within the run.
     "q_orc_roundtrip" -> ((s, dir) => {
-      val path = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_orc_docs").toString
+      val path = Tables.scratchDir(s, "graft_orc_docs").toString
       Tables.table(s, dir, "documents")
         .write.mode("overwrite").orc(path)
       s.read.orc(path)
@@ -280,8 +281,7 @@ object AnalyticsQueries {
     // union. Null groups coalesce to a sentinel (the null-ordering
     // rule).
     "q_schema_merge" -> ((s, dir) => {
-      val base = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_schema_merge")
+      val base = Tables.scratchDir(s, "graft_schema_merge")
       val d = Tables.table(s, dir, "documents")
       d.filter(col("doc_id") < 300).select(col("doc_id"), col("lang"))
         .write.mode("overwrite").parquet(base.resolve("p1").toString)

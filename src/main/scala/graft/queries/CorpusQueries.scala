@@ -356,8 +356,7 @@ object CorpusQueries {
     // spec-pinned). The gate reads the merged layout back cold and
     // must equal the full SQL merge.
     "q_cow_merge" -> ((s, dir) => {
-      val base = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_cow_docs").toString
+      val base = Tables.scratchDir(s, "graft_cow_docs").toString
       val d = docs(s, dir)
         .select(col("doc_id"), col("lang"), col("text"),
           lit(1L).as("version"))

@@ -563,8 +563,7 @@ object StreamQueries {
         // resumed query would treat the input as already processed,
         // and the returned DataFrame stays a LAZY read over the sink —
         // no driver materialization of the output anywhere
-        val base = Paths.get(
-          System.getProperty("java.io.tmpdir"), "graft_stream_sink")
+        val base = Tables.scratchDir(s, "graft_stream_sink")
         if (NF.exists(base)) deleteRecursively(base)
         val inDir = NF.createDirectories(base.resolve("in"))
         val outDir = base.resolve("out").toString

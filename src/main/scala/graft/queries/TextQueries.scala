@@ -396,12 +396,11 @@ object TextQueries {
         .orderBy("doc_id", "bucket")),
 
     // Distributed BPE tokenizer training (BpeTrainer.trainMerges):
-    // the learned merge table. Rows-only BY DESIGN — the iterative,
-    // data-dependent merge sequence is not expressible in one SQL
-    // statement (no struct-state fold in DuckDB 1.0), so correctness
-    // is pinned by BpeTrainerSpec against an independent driver-side
-    // reference implementation over this same table (the q_sniff
-    // pattern).
+    // the learned merge table, hash-gated against bpeMergesOracle's
+    // 12 unrolled MATERIALIZED rounds (the PageRank pattern — the
+    // merge sequence is deterministic under the (cnt DESC, l, r)
+    // tie rule); BpeTrainerSpec additionally pins the trainer
+    // against an independent driver-side reference.
     "q_bpe_merges" -> ((s, dir) => {
       import s.implicits._
       graft.ops.BpeTrainer.trainMerges(docs(s, dir), "text", nMerges = 12)
@@ -414,9 +413,10 @@ object TextQueries {
     // BPE segmentation with a trained model: train on the standing
     // slice, segment the serving slice — in-vocab words take the
     // trained split via a keyed join (no broadcast hint, AQE decides),
-    // OOV words fall back to character splits. Rows-only for the same
-    // reason as q_bpe_merges; the spec pins lossless reassembly
-    // (concat of subwords == word for every row group).
+    // OOV words fall back to character splits. Hash-gated via
+    // bpeSegmentOracle (8 unrolled training rounds + the vocab join);
+    // the spec additionally pins lossless reassembly (concat of
+    // subwords == word for every row group).
     "q_bpe_segment" -> ((s, dir) => {
       val d = docs(s, dir)
       val model = graft.ops.BpeTrainer.trainMerges(
@@ -517,7 +517,100 @@ object TextQueries {
       s"CASE WHEN b$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
     .mkString(" + ")
 
+  /** One unrolled BPE training round: pm$i picks the argmax pair of
+    * w${i-1} under the trainer's exact tie rule (cnt DESC, l, r);
+    * sel$i reduces match positions to the greedy left-to-right
+    * non-overlapping set (runs of consecutive matches keep even
+    * offsets — the closed form of the trainer's fold); w$i rebuilds
+    * each word's symbol list, dropping the position after a merge
+    * start. pm/w are MATERIALIZED: w$i references w${i-1} three
+    * times, and DuckDB's inliner would otherwise go 3^rounds (the
+    * PageRank/BFS oracle pin). `LEFT JOIN pm ON TRUE` (not CROSS)
+    * carries words through unchanged if a round finds no pair ≥
+    * minCount — the trainer's early stop.
+    */
+  private def bpeRoundSql(i: Int): String = {
+    val p = i - 1
+    s"""pm$i AS MATERIALIZED (
+  SELECT l, r, cnt FROM (
+    SELECT syms[ii] AS l, syms[ii+1] AS r, CAST(sum(n) AS BIGINT) AS cnt
+    FROM (SELECT n, syms, unnest(range(1, len(syms))) AS ii FROM w$p)
+    GROUP BY 1, 2 HAVING sum(n) >= 2)
+  ORDER BY cnt DESC, l, r LIMIT 1),
+mt$i AS (
+  SELECT word, ii FROM
+    (SELECT word, syms, unnest(range(1, len(syms))) AS ii FROM w$p)
+    CROSS JOIN pm$i
+  WHERE syms[ii] = l AND syms[ii+1] = r),
+sel$i AS (
+  SELECT word, ii AS st FROM (
+    SELECT word, ii,
+      ii - row_number() OVER (PARTITION BY word ORDER BY ii) AS grp
+    FROM mt$i) g
+  QUALIFY (ii - min(ii) OVER (PARTITION BY word, grp)) % 2 = 0),
+pos$i AS (SELECT word, n, unnest(range(1, len(syms)+1)) AS j,
+    unnest(syms) AS sym FROM w$p),
+w$i AS MATERIALIZED (
+  SELECT word, first(n) AS n, list(sym2 ORDER BY j) AS syms FROM (
+    SELECT p.word, p.n, p.j,
+      CASE WHEN ss.st IS NOT NULL THEN pm.l || pm.r ELSE p.sym END AS sym2
+    FROM pos$i p LEFT JOIN pm$i pm ON TRUE
+    LEFT JOIN sel$i ss ON ss.word = p.word AND ss.st = p.j
+    LEFT JOIN sel$i sp ON sp.word = p.word AND sp.st = p.j - 1
+    WHERE sp.st IS NULL)
+  GROUP BY word)"""
+  }
+
+  /** w0 = per-word counts + char splits of the whitespace tokens of
+    * `FROM fromClause` (the trainer's corpus scan; the fixed 31-word
+    * synthetic vocab keeps every w$i tiny, so 12 unrolled rounds are
+    * cheap).
+    */
+  private def bpeW0(fromClause: String): String =
+    s"""w0 AS MATERIALIZED (
+  SELECT word, n, string_split(word, '') AS syms FROM (
+    SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+      SELECT unnest(string_split(trim(text), ' ')) AS word FROM $fromClause)
+    WHERE len(word) > 0 GROUP BY word))"""
+
+  private def bpeMergesOracle(nMerges: Int): String = {
+    val rounds = (1 to nMerges).map(bpeRoundSql).mkString(",\n")
+    val finals = (1 to nMerges).map(i =>
+      s"""SELECT CAST(${i - 1} AS BIGINT) AS rank, l AS "left",
+            r AS "right", cnt AS "count" FROM pm$i""")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${bpeW0("documents")},\n$rounds
+SELECT * FROM ($finals) ORDER BY rank"""
+  }
+
+  /** Segment oracle: train `nMerges` rounds on doc_id < 200, then
+    * split doc_id < 50 with the final vocab; word_pos indexes the RAW
+    * token array (empties dropped AFTER positioning — posexplode
+    * order), OOV words fall back to char splits.
+    */
+  private def bpeSegmentOracle(nMerges: Int): String = {
+    val rounds = (1 to nMerges).map(bpeRoundSql).mkString(",\n")
+    s"""WITH ${bpeW0("documents WHERE doc_id < 200")},
+$rounds,
+sv AS (SELECT doc_id, word_pos, word FROM (
+    SELECT doc_id, unnest(range(0, len(tk))) AS word_pos,
+      unnest(tk) AS word
+    FROM (SELECT doc_id, string_split(trim(text), ' ') AS tk
+          FROM documents WHERE doc_id < 50))
+  WHERE len(word) > 0),
+sj AS (SELECT s.doc_id, s.word_pos, s.word,
+    COALESCE(v.syms, string_split(s.word, '')) AS syms
+  FROM sv s LEFT JOIN w$nMerges v ON v.word = s.word)
+SELECT doc_id, CAST(word_pos AS BIGINT) AS word_pos, word,
+  CAST(sub_pos AS BIGINT) AS sub_pos, subword FROM (
+  SELECT doc_id, word_pos, word, unnest(range(0, len(syms))) AS sub_pos,
+    unnest(syms) AS subword FROM sj)
+ORDER BY doc_id, word_pos, sub_pos"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_bpe_merges" -> bpeMergesOracle(12),
+    "q_bpe_segment" -> bpeSegmentOracle(8),
     "q_inverted_index" ->
       """WITH tk AS (SELECT doc_id,
              unnest(string_split(trim(text), ' ')) AS tok FROM documents),

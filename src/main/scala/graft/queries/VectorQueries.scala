@@ -377,9 +377,7 @@ object VectorQueries {
     // cell-partitioned files; a probe reads only its cells' directories
     // (PlanSpec pins PartitionFilters on the cold scan).
     "q_ann_ivf_persisted" -> ((s, dir) => {
-      val path = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft_ivf_persisted")
-        .getAbsolutePath
+      val path = Tables.scratchDir(s, "graft_ivf_persisted").toString
       graft.ops.IvfIndex.save(
         graft.ops.IvfIndex.Model(
           fixedCentroids(s, dir), ivfFixedAssigned(s, dir)), path)
@@ -395,9 +393,7 @@ object VectorQueries {
     // match the SAME oracle as q_ann_ivf: under fixed centroids,
     // assignment is independent of arrival wave.
     "q_ann_ivf_incremental" -> ((s, dir) => {
-      val path = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft_ivf_incremental")
-        .getAbsolutePath
+      val path = Tables.scratchDir(s, "graft_ivf_incremental").toString
       // save() overwrites the whole layout, clearing any previous
       // run's appends before this run's append lands
       graft.ops.IvfIndex.save(

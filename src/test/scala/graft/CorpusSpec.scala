@@ -582,6 +582,28 @@ class CorpusSpec extends AnyFunSuite {
     assert(math.abs(got(("a", "c"))._2 - r6(math.log(4.0 / 3))) < 1e-9)
   }
 
+  test("compressionRatio golden values on the fixed sf0.01 corpus") {
+    // q_compress_ratio is rows-only at the gate (no SQL engine
+    // exposes deflate), so regression protection lives HERE: exact
+    // (raw_len, deflate_len, ratio) for five fixed documents,
+    // computed once with java.util.zip.Deflater(6) on this corpus.
+    // A drift in tokenizing, UTF-8 handling, level, or strategy
+    // breaks these constants.
+    val docs = Tables.table(spark, "/root/testdata/sf0.01", "documents")
+      .filter(col("doc_id") < 5)
+    val got = Corpus.compressionRatio(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val expected = Map(
+      0L -> ((157L, 99L, 0.630573)),
+      1L -> ((406L, 181L, 0.445813)),
+      2L -> ((246L, 133L, 0.54065)),
+      3L -> ((147L, 99L, 0.673469)),
+      4L -> ((250L, 139L, 0.556)))
+    assert(got == expected)
+  }
+
   test("pmiPairs maxDocVocab bounds the per-doc pair explosion") {
     import spark.implicits._
     // one pathological doc with 60 distinct tokens (a dictionary dump)
