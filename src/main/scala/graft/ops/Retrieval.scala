@@ -104,4 +104,63 @@ object Retrieval {
           when(col("__rn") <= postingCap, col("doc")))),
           x => x.cast("string")), ",").as("posting"))
   }
+
+  /** Sparse TF-IDF cosine pairs via the posting self-join — the
+    * lexical twin of the dense embedding path ([[CosineLsh]] /
+    * [[IvfIndex]]): document pairs scored by cosine over tf·idf
+    * weighted token vectors, candidates generated ONLY where a shared
+    * token exists (the inverted-index join — never an all-pairs
+    * product over the corpus).
+    *
+    * Weights use the q_tfidf formula (tf · ln((N+1)/(df+1))) so the
+    * two gates can't drift apart. Documents whose every token has
+    * zero idf (all-corpus-wide tokens) get norm 0 and are excluded
+    * before the join — ANSI division guard and semantically "no
+    * discriminating content".
+    *
+    * Scale shape: posting join cost is Σ_tok df(tok)² — stop-word
+    * grade tokens are the hazard, capped via `maxPosting`
+    * ([[TextDedup.capBuckets]]; recall loss = pairs whose ONLY shared
+    * tokens are hot, the LSH-bucket argument; the gate mirrors the
+    * oracle uncapped). The dot/norm sums are order-dependent double
+    * aggregates over per-pair SHARED tokens — bounded by per-doc
+    * vocabulary, the CLAUDE.md bounded-terms condition; `minSim`
+    * compares the ROUNDED similarity (round-before-threshold).
+    */
+  def sparseCosinePairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minSim: Double,
+      maxPosting: Int = Int.MaxValue,
+      handle: CacheHandle = null): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc"),
+        explode(TextDedup.tokens(col(textCol))).as("tok"))
+      .groupBy("doc", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    // vocabulary-sized join side: NO broadcast hint (AQE decides)
+    val wtd = CacheHandle.persistWith(handle, tf.join(dfreq, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("w", col("tf").cast("double") *
+        log((col("n_docs") + 1).cast("double") / (col("df") + 1)))
+      .select(col("doc"), col("tok"), col("w")))
+    val norms = wtd.groupBy("doc")
+      .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+      .filter(col("nrm") > 0)
+    val in =
+      if (maxPosting == Int.MaxValue) wtd
+      else TextDedup.capBuckets(wtd, Seq("tok"), maxPosting)
+    in.select(col("doc").as("a"), col("tok"), col("w").as("wa"))
+      .join(in.select(col("doc").as("b"), col("tok"), col("w").as("wb")),
+        "tok")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(sum(col("wa") * col("wb")).as("dot"))
+      .join(norms.select(col("doc").as("a"), col("nrm").as("na")), "a")
+      .join(norms.select(col("doc").as("b"), col("nrm").as("nb")), "b")
+      .withColumn("sim_r", round(col("dot") / (col("na") * col("nb")), 6))
+      .filter(col("sim_r") >= minSim)
+      .select("a", "b", "sim_r")
+  }
 }

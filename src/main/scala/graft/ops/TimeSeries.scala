@@ -50,4 +50,106 @@ object TimeSeries {
       d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
     filled.withColumn("is_gap", col("__present").isNull).drop("__present")
   }
+
+  /** Robust outlier detection via median absolute deviation — the
+    * monitoring-grade alternative to z-scores (one wild point moves a
+    * mean/stddev fence; the median fences don't budge until half the
+    * group is bad). Returns the rows whose absolute deviation from
+    * their group median exceeds `k` × MAD, with the rounded deviation
+    * and fence attached.
+    *
+    * Cross-engine contract: `percentile(…, 0.5)` is Spark's EXACT
+    * interpolating median — the same linear-interpolation definition
+    * as DuckDB's `quantile_cont` (the q_quantiles precedent) — and
+    * the flag compares ROUNDED deviation against ROUNDED fence (the
+    * round-before-threshold rule), so boundary rows can't flap
+    * between engines.
+    *
+    * Scale shape: two keyed exact-median aggregates (each one
+    * exchange of the group's values) + a fence join back. The fence
+    * side is |groups| rows — broadcast-safe only when the key domain
+    * is app-bounded; no hint here, AQE decides (the corpus-aggregate
+    * rule). Exact percentile holds a group's values on one reducer —
+    * at true 100-TB group sizes swap in approx_percentile and widen
+    * the fence, trading the oracle for scale.
+    */
+  def madOutliers(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valCol: String,
+      k: Double = 3.0): DataFrame = {
+    require(keyCols.nonEmpty, "madOutliers needs at least one key column")
+    val kc = keyCols.map(col)
+    val med = df.groupBy(kc: _*)
+      .agg(percentile(col(valCol), lit(0.5)).as("__med"))
+    val dev = df.join(med, keyCols)
+      .withColumn("__adev", abs(col(valCol) - col("__med")))
+    val mad = dev.groupBy(kc: _*)
+      .agg(percentile(col("__adev"), lit(0.5)).as("__mad"))
+    dev.join(mad, keyCols)
+      .withColumn("dev_r", round(col("__adev"), 6))
+      .withColumn("fence_r", round(lit(k) * col("__mad"), 6))
+      .filter(col("dev_r") > col("fence_r"))
+      .drop("__med", "__adev", "__mad")
+  }
+
+  /** Weights (1−α)^i for i < lags, built by repeated multiplication —
+    * NOT `math.pow`, whose rounding is platform-discretionary (the
+    * sqrt-not-pow rule); a product chain is plain IEEE multiplies the
+    * oracle reproduces exactly from the same literals.
+    */
+  def ewmaWeights(alpha: Double, lags: Int): Seq[Double] = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
+    require(lags >= 1, s"lags must be >= 1, got $lags")
+    Seq.iterate(1.0, lags)(_ * (1.0 - alpha))
+  }
+
+  /** Truncated exponentially-weighted moving average over the last
+    * `lags` OBSERVED points of each key's series — the smoothing /
+    * anomaly-baseline primitive of metric pipelines.
+    *
+    * ewma_t = Σ_{i<lags} w_i·x_{t−i} / Σ_{i<lags, present} w_i with
+    * w_i = (1−α)^i — the truncated form rather than the infinite
+    * recursion, for two reasons: the recursive form is inexpressible
+    * without per-row state (and its closed form needs pow(1−α, −s),
+    * which overflows), and truncation makes the sum a FIXED
+    * `lags`-term arithmetic expression. The expression tree is the
+    * same left-associated chain on both engines, every product and
+    * add identically ordered IEEE ops on identical literals — the
+    * result is bit-equal cross-engine with no rounding slack needed
+    * (still rounded to 6 for the gate hash, the float-output rule).
+    *
+    * Scale shape: one window exchange on the key, `lags` lag() reads
+    * per row inside it, no self-join, no state growth with series
+    * length.
+    */
+  def ewmaTruncated(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      valCol: String,
+      alpha: Double = 0.25,
+      lags: Int = 12): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
+    val ws = ewmaWeights(alpha, lags)
+    val v = col(valCol).cast("double")
+    // i = 0 is the current row itself — written as plain `v` on both
+    // engines rather than lag(v, 0), sidestepping offset-0 lag quirks
+    val num = ws.zipWithIndex
+      .map {
+        case (wt, 0) => lit(wt) * v
+        case (wt, i) => lit(wt) * coalesce(lag(v, i).over(w), lit(0.0))
+      }
+      .reduce(_ + _)
+    val den = ws.zipWithIndex
+      .map {
+        case (wt, 0) => lit(wt)
+        case (wt, i) =>
+          lit(wt) *
+            when(lag(v, i).over(w).isNotNull, lit(1.0)).otherwise(lit(0.0))
+      }
+      .reduce(_ + _)
+    // den ≥ w_0 = 1 always (the current row is present) — no zero guard
+    df.withColumn("ewma_r", round(num / den, 6))
+  }
 }

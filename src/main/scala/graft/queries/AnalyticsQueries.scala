@@ -837,6 +837,64 @@ object AnalyticsQueries {
         .select(col("a"), col("b"), col("dist"))
         .orderBy("a", "b")),
 
+    // Jaro-Winkler entity resolution under blocking: part-name pairs
+    // scored inside (brand, size) blocks by the native
+    // JaroWinkler expression (codegen'd kernel, DuckDB-bit-compatible
+    // — see JaroWinklerKernel). Blocking bounds the self-join the way
+    // record-linkage pipelines do at scale: candidates only within a
+    // block, never corpus × corpus; block keys are app-bounded here
+    // (brand × size), so block size grows linearly with data —
+    // skewed NATURAL block keys would take the capBuckets treatment
+    // (drop/shard hot blocks) before the join. Threshold compares the
+    // ROUNDED similarity (round-before-threshold rule).
+    "q_jaro_block" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"),
+          col("p_name"))
+      p.select(col("p_partkey").as("pa"), col("p_brand"),
+          col("p_size"), col("p_name").as("name_a"))
+        .join(p.select(col("p_partkey").as("pb"), col("p_brand"),
+          col("p_size"), col("p_name").as("name_b")),
+          Seq("p_brand", "p_size"))
+        .filter(col("pa") < col("pb"))
+        .withColumn("sim_r", round(graft.expr.JaroWinklerFunctions
+          .jaroWinkler(col("name_a"), col("name_b")), 6))
+        .filter(col("sim_r") >= lit(0.86))
+        .select("pa", "pb", "sim_r")
+        .orderBy("pa", "pb")
+    }),
+
+    // Robust outliers by median absolute deviation (TimeSeries
+    // .madOutliers): rows beyond 3×MAD of their event-type median.
+    // Exact interpolating medians (the q_quantiles parity), rounded
+    // deviation vs rounded fence.
+    "q_mad_outliers" -> ((s, dir) => {
+      val e = Tables.events(s, dir).filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"), col("value"))
+      graft.ops.TimeSeries.madOutliers(e, Seq("event_type"), "value",
+        k = 3.0)
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 6).as("val_r"), col("dev_r"),
+          col("fence_r"))
+        .orderBy("event_id")
+    }),
+
+    // Truncated EWMA baseline over per-user hourly activity
+    // (TimeSeries.ewmaTruncated): a fixed 12-term weighted lag chain,
+    // left-associated identically on both engines — bit-equal without
+    // rounding slack (still rounded for the gate hash). The oracle's
+    // weight literals are generated from the SAME ewmaWeights values.
+    "q_ewma" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .filter(col("user_id") % 97 === 0)
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .groupBy("user_id", "h").agg(count(lit(1)).as("n"))
+      graft.ops.TimeSeries.ewmaTruncated(hourly, Seq("user_id"), "h",
+        "n", alpha = 0.25, lags = 12)
+        .select(col("user_id"), col("h"), col("n"), col("ewma_r"))
+        .orderBy("user_id", "h")
+    }),
+
     // Per-group OLS trend lines from exact DECIMAL moments (the
     // q_corr_exact pattern): x = integer hour buckets (ts_ns div —
     // the CLAUDE.md integer-time rule), v = rounded-decimal values;
@@ -1008,6 +1066,34 @@ object AnalyticsQueries {
           round((q - p) * log(q / p), 6).as("psi_contrib_r"))
         .orderBy("bucket")
     }))
+
+  /** EWMA oracle: the same fixed left-associated weighted lag chain
+    * as [[graft.ops.TimeSeries.ewmaTruncated]], with weight literals
+    * printed from the SAME [[graft.ops.TimeSeries.ewmaWeights]]
+    * doubles (α = 0.25 → 0.75 is dyadic, so every power is an exact
+    * double whose toString round-trips) — identical IEEE operations
+    * in identical order, bit-equal before the gate round.
+    */
+  private def ewmaOracle(alpha: Double, lags: Int): String = {
+    val ws = graft.ops.TimeSeries.ewmaWeights(alpha, lags)
+    val num = ws.zipWithIndex.map {
+      case (wt, 0) => s"$wt * v"
+      case (wt, i) => s"$wt * coalesce(lag(v, $i) OVER w, 0.0)"
+    }.mkString(" + ")
+    val den = ws.zipWithIndex.map {
+      case (wt, 0) => s"$wt"
+      case (wt, i) =>
+        s"$wt * (CASE WHEN lag(v, $i) OVER w IS NOT NULL THEN 1.0 ELSE 0.0 END)"
+    }.mkString(" + ")
+    s"""WITH hourly AS (SELECT user_id, date_trunc('hour', ts) AS h,
+           CAST(count(*) AS BIGINT) AS n
+         FROM events WHERE user_id % 97 = 0 GROUP BY 1, 2),
+       hv AS (SELECT user_id, h, n, CAST(n AS DOUBLE) AS v FROM hourly)
+       SELECT user_id, h, n, round(($num) / ($den), 6) AS ewma_r
+       FROM hv
+       WINDOW w AS (PARTITION BY user_id ORDER BY h)
+       ORDER BY user_id, h"""
+  }
 
   /** PageRank oracle: DuckDB 1.0 disallows aggregation inside a
     * recursive CTE member, so the FIXED iteration count is unrolled
@@ -1279,6 +1365,31 @@ object AnalyticsQueries {
          FROM f JOIN c ca ON ca.id = f.a JOIN c cb ON cb.id = f.b
          WHERE levenshtein(ca.name, cb.name) <= 1
          ORDER BY a, b""",
+    "q_jaro_block" ->
+      """SELECT a.p_partkey AS pa, b.p_partkey AS pb,
+           round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS sim_r
+         FROM part a JOIN part b
+           ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+              AND a.p_partkey < b.p_partkey
+         WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6)
+           >= 0.86
+         ORDER BY pa, pb""",
+    "q_mad_outliers" ->
+      """WITH e AS (SELECT event_id, event_type, value FROM events
+           WHERE value IS NOT NULL),
+         med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+           FROM e GROUP BY 1),
+         d AS (SELECT e.event_id, e.event_type, e.value,
+             abs(e.value - m.med) AS adev
+           FROM e JOIN med m USING (event_type)),
+         mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+           FROM d GROUP BY 1)
+         SELECT d.event_id, d.event_type, round(d.value, 6) AS val_r,
+           round(d.adev, 6) AS dev_r, round(3.0 * m.mad, 6) AS fence_r
+         FROM d JOIN mad m USING (event_type)
+         WHERE round(d.adev, 6) > round(3.0 * m.mad, 6)
+         ORDER BY event_id""",
+    "q_ewma" -> ewmaOracle(0.25, 12),
     "q_trend_lines" ->
       """WITH e AS (SELECT event_type,
              CAST(epoch_ns(ts) // 3600000000000 AS DECIMAL(18,0)) AS x,

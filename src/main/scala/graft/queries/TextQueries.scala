@@ -437,6 +437,16 @@ object TextQueries {
       graft.ops.Corpus.pmiPairs(docs(s, dir), "doc_id", "text")
         .orderBy("tok_a", "tok_b")),
 
+    // Sparse TF-IDF cosine pairs (Retrieval.sparseCosinePairs): the
+    // lexical twin of the dense-embedding similarity path, candidates
+    // from the shared-token posting join only (uncapped here to
+    // mirror the oracle; the library knob is maxPosting).
+    "q_sparse_cosine" -> ((s, dir) =>
+      graft.ops.Retrieval.sparseCosinePairs(
+        docs(s, dir).filter(col("doc_id") < 400), "doc_id", "text",
+        minSim = 0.9, maxPosting = Int.MaxValue)
+        .orderBy("a", "b")),
+
     // Asymmetric containment pairs: near-superset detection via the
     // shingle-posting self-join (LSH bands cannot surface low-Jaccard
     // containment pairs — see TextDedup.containmentPairs), uncapped to
@@ -637,6 +647,27 @@ ORDER BY doc_id, word_pos, sub_pos"""
          FROM p JOIN ct ca ON ca.tok = p.tok_a
            JOIN ct cb ON cb.tok = p.tok_b CROSS JOIN nn
          ORDER BY tok_a, tok_b""",
+    "q_sparse_cosine" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+         tk AS (SELECT doc_id AS doc,
+             unnest(string_split(trim(text), ' ')) AS tok FROM d),
+         tf AS (SELECT doc, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+         dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM d),
+         wtd AS (SELECT tf.doc, tf.tok,
+             tf.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / (dfq.df + 1)) AS w
+           FROM tf JOIN dfq USING (tok) CROSS JOIN n),
+         nrm AS (SELECT doc, sqrt(sum(w * w)) AS nrm FROM wtd
+           GROUP BY 1 HAVING sqrt(sum(w * w)) > 0),
+         dt AS (SELECT x.doc AS a, y.doc AS b, sum(x.w * y.w) AS dot
+           FROM wtd x JOIN wtd y ON x.tok = y.tok AND x.doc < y.doc
+           GROUP BY 1, 2)
+         SELECT dt.a, dt.b,
+           round(dt.dot / (na.nrm * nb.nrm), 6) AS sim_r
+         FROM dt JOIN nrm na ON na.doc = dt.a
+           JOIN nrm nb ON nb.doc = dt.b
+         WHERE round(dt.dot / (na.nrm * nb.nrm), 6) >= 0.9
+         ORDER BY a, b""",
     "q_lang_ngram" ->
       """WITH s AS (SELECT doc_id,
            CAST(len(regexp_extract_all(text, 'th')) + len(regexp_extract_all(text, 'he'))

@@ -65,4 +65,22 @@ class RetrievalSpec extends AnyFunSuite {
     assert(idx.toSeq ==
       Seq(("a", 3L, 4L, "1,2"), ("b", 2L, 2L, "1,3")))
   }
+
+  test("sparseCosinePairs: identical docs score 1, disjoint score nothing") {
+    import spark.implicits._
+    // docs 1,2 identical; 3 shares one token with them; 4 disjoint;
+    // 5 has only a token present in every doc except 4 — idf > 0
+    val docs = Seq(
+      (1L, "x y z"), (2L, "x y z"), (3L, "x q q"), (4L, "p p"),
+      (5L, "x")).toDF("doc_id", "text")
+    val got = Retrieval.sparseCosinePairs(docs, "doc_id", "text",
+      minSim = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(got((1L, 2L)) == 1.0)
+    assert(!got.keySet.exists { case (a, b) => a == 4L || b == 4L })
+    // posting cap: with maxPosting 1 the shared-token join is empty
+    assert(Retrieval.sparseCosinePairs(docs, "doc_id", "text",
+      minSim = 0.0, maxPosting = 1).isEmpty)
+  }
 }

@@ -53,4 +53,32 @@ class TimeSeriesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       TimeSeries.gapFill(bad, "k", "h", Nil, expr("interval 1 hour")))
   }
+
+  test("madOutliers flags only beyond-k×MAD rows, robust to the outlier") {
+    import spark.implicits._
+    // group g: values 1..9 plus a wild 1000 → median 5.5, MAD ≈ 2.5;
+    // a mean/stddev fence would be dragged by the 1000, MAD is not
+    val df = ((1 to 9).map(v => ("g", v.toDouble)) :+ ("g", 1000.0))
+      .toDF("k", "v")
+    val got = TimeSeries.madOutliers(df, Seq("k"), "v", k = 3.0)
+      .select("v").collect().map(_.getDouble(0)).sorted
+    assert(got.toSeq == Seq(1000.0))
+    // k large enough → nothing flagged
+    assert(TimeSeries.madOutliers(df, Seq("k"), "v", k = 400.0).isEmpty)
+  }
+
+  test("ewmaTruncated: hand-computed chain, truncation, normalization") {
+    import spark.implicits._
+    val df = Seq(("u", 1L, 4.0), ("u", 2L, 8.0), ("u", 3L, 2.0))
+      .toDF("k", "t", "v")
+    val got = TimeSeries.ewmaTruncated(df, Seq("k"), "t", "v",
+      alpha = 0.25, lags = 2)
+      .orderBy("t").select("ewma_r").collect().map(_.getDouble(0))
+    // w = (1, 0.75); t1: 4/1; t2: (8 + .75*4)/1.75; t3: (2 + .75*8)/1.75
+    assert(got(0) == 4.0)
+    assert(got(1) == math.rint((8.0 + 0.75 * 4.0) / 1.75 * 1e6) / 1e6)
+    assert(got(2) == math.rint((2.0 + 0.75 * 8.0) / 1.75 * 1e6) / 1e6)
+    // weights are exact dyadic powers, built by multiplication
+    assert(TimeSeries.ewmaWeights(0.25, 4) == Seq(1.0, 0.75, 0.5625, 0.421875))
+  }
 }
