@@ -295,6 +295,39 @@ object ScaleOps {
   def shapeByKey(df: DataFrame, partitions: Int, key: String*): DataFrame =
     df.repartition(partitions, key.map(col): _*)
 
+  /** Rendezvous (highest-random-weight) shard assignment: each id
+    * goes to the shard whose md5("shard:id") score is highest. The
+    * property that matters operationally: adding a shard moves ONLY
+    * the ids whose new shard wins (≈ 1/(n+1) of them) and moves them
+    * ONLY to the new shard — no old-shard-to-old-shard churn, unlike
+    * modulo assignment where nearly every id moves (spec-pinned).
+    *
+    * Pure per-row projection: the per-shard scores are a
+    * `greatest(...)` over |shards| struct literals compared
+    * lexicographically ((score, shard) — shard name breaks the
+    * astronomically-unlikely 32-bit score tie deterministically), so
+    * assignment is codegen'd with NO exchange, NO explode, NO join —
+    * at 100 TB this runs at scan speed. md5-derived like
+    * [[Corpus.hashBucket]]: stable across engines, retries, runs.
+    */
+  def rendezvousAssign(
+      df: DataFrame,
+      idCol: String,
+      shards: Seq[String]): DataFrame = {
+    require(shards.nonEmpty, "rendezvousAssign needs at least one shard")
+    require(shards.distinct.size == shards.size,
+      s"duplicate shard names: $shards")
+    val scored = shards.map { s =>
+      struct(
+        conv(substring(md5(concat(lit(s), lit(":"),
+          col(idCol).cast("string"))), 1, 8), 16, 10).cast("long").as("h"),
+        lit(s).as("shard"))
+    }
+    val best =
+      if (scored.size == 1) scored.head else greatest(scored: _*)
+    df.withColumn("shard", best.getField("shard"))
+  }
+
   /** Global row number WITHOUT a single-partition window — the
     * zipWithIndex shape in DataFrame terms.
     *

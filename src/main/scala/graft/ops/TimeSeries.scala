@@ -152,4 +152,71 @@ object TimeSeries {
     // den ≥ w_0 = 1 always (the current row is present) — no zero guard
     df.withColumn("ewma_r", round(num / den, 6))
   }
+
+  /** Coalesce overlapping/touching intervals per key into maximal
+    * spans (gaps-and-islands): availability windows, session spans,
+    * maintenance blackouts. An interval starts a new island exactly
+    * when its start exceeds the running max end of everything before
+    * it in (start, end) order; islands then aggregate to
+    * (span_start, span_end, n_merged).
+    *
+    * Deterministic under ties: equal (start, end) rows produce the
+    * same island flags in any order (the second of a duplicate pair
+    * always sees prevMax ≥ its own end). One exchange on the key for
+    * the window, reused by the island aggregate — per-key series
+    * sort, the same scale contract as every keyed window here.
+    */
+  def mergeIntervals(
+      df: DataFrame,
+      keyCols: Seq[String],
+      startCol: String,
+      endCol: String): DataFrame = {
+    val kc = keyCols.map(col)
+    val w = Window.partitionBy(kc: _*).orderBy(col(startCol), col(endCol))
+    val prevMax = max(col(endCol))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    df.withColumn("__new",
+        when(prevMax.isNull || (col(startCol) > prevMax), lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("__island", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(kc :+ col("__island"): _*)
+      .agg(min(col(startCol)).as("span_start"),
+        max(col(endCol)).as("span_end"),
+        count(lit(1)).as("n_merged"))
+      .drop("__island")
+  }
+
+  /** Linear interpolation across the null gaps of a (typically
+    * [[gapFill]]-produced) regular or irregular series — the
+    * between-points fill LOCF can't give (sensor readings, hourly
+    * rates). For a null at t between the nearest non-null neighbors
+    * (t_p, v_p) and (t_n, v_n):
+    * v = v_p + (v_n − v_p) · (t − t_p)/(t_n − t_p), written in
+    * EXACTLY that association on both engines over exact integer
+    * epoch seconds — bit-equal cross-engine before the gate round.
+    * Leading/trailing nulls (no neighbor on one side) stay null.
+    * Two windows on the same key exchange, no joins.
+    */
+  def interpolateLinear(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valCol: String): DataFrame = {
+    val kc = keyCols.map(col)
+    val t = unix_timestamp(col(tsCol)).cast("double")
+    val v = col(valCol).cast("double")
+    val wp = Window.partitionBy(kc: _*).orderBy(col(tsCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy(kc: _*).orderBy(col(tsCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val pv = last(v, ignoreNulls = true).over(wp)
+    val pt = last(when(v.isNotNull, t), ignoreNulls = true).over(wp)
+    val nv = first(v, ignoreNulls = true).over(wn)
+    val nt = first(when(v.isNotNull, t), ignoreNulls = true).over(wn)
+    df.withColumn("interp_r",
+      round(
+        when(v.isNotNull, v)
+          .otherwise(pv + (nv - pv) * ((t - pt) / (nt - pt))), 6))
+  }
 }

@@ -895,6 +895,76 @@ object AnalyticsQueries {
         .orderBy("user_id", "h")
     }),
 
+    // Gaps-and-islands interval coalescing (TimeSeries
+    // .mergeIntervals): 5-minute activity windows per user merged
+    // into maximal busy spans. Spans are disjoint per user, so
+    // (user_id, span_start) is a total order.
+    "q_interval_merge" -> ((s, dir) => {
+      val iv = Tables.events(s, dir).filter(col("user_id") % 59 === 0)
+        .select(col("user_id"), col("ts_sec").as("ivl_start"),
+          (col("ts_sec") + expr("interval 5 minutes")).as("ivl_end"))
+      graft.ops.TimeSeries.mergeIntervals(iv, Seq("user_id"),
+        "ivl_start", "ivl_end")
+        .orderBy("user_id", "span_start")
+    }),
+
+    // Linear interpolation across gap-filled nulls (TimeSeries
+    // .interpolateLinear composed over gapFill): the between-points
+    // fill LOCF can't express. The lerp runs over exact integer epoch
+    // seconds in the same association on both engines — bit-equal
+    // before the gate round. Grid bounds are present rows, so no
+    // edge nulls exist.
+    "q_interp" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .filter(col("user_id") % 97 === 0 && col("value").isNotNull)
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"),
+          col("value"))
+        .groupBy("user_id", "h").agg(max(col("value")).as("mx"))
+      val grid = graft.ops.TimeSeries.gapFill(hourly, "user_id", "h",
+        Nil, expr("interval 1 hour"))
+      graft.ops.TimeSeries.interpolateLinear(grid, Seq("user_id"), "h",
+        "mx")
+        .select(col("user_id"), col("h"), col("is_gap"), col("interp_r"))
+        .orderBy("user_id", "h")
+    }),
+
+    // Mann-Whitney U (Stats.mannWhitneyU): click vs view value
+    // distributions. Ranks via the distributed globalRowNumber path
+    // (never a single-partition window); tie handling by average
+    // rank, exact in doubles (dyadic halves).
+    "q_mannwhitney" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .filter(col("value").isNotNull &&
+          col("event_type").isin("click", "view"))
+      graft.ops.Stats.mannWhitneyU(e, "event_type", "value", "event_id")
+        .orderBy("g")
+    }),
+
+    // Benford leading-digit screen (Stats.benfordDigits) over order
+    // totals: digit from the floored integer part's string form
+    // (floor-not-round — decimal casts differ in half mode at 10^k
+    // boundaries), expected share ln(1+1/d)/ln(10).
+    "q_benford" -> ((s, dir) =>
+      graft.ops.Stats.benfordDigits(
+        t(s, dir, "orders").select(col("o_totalprice")), "o_totalprice")
+        .orderBy("digit")),
+
+    // Rendezvous (HRW) shard assignment (ScaleOps.rendezvousAssign):
+    // customers onto 8 shards as a pure codegen'd projection — no
+    // exchange, no explode; the spec pins the minimal-movement
+    // property on reshard. Gate checks the full assignment via
+    // per-shard counts and key extremes.
+    "q_rendezvous" -> ((s, dir) => {
+      val shards = (0 until 8).map(i => s"shard_$i")
+      graft.ops.ScaleOps.rendezvousAssign(
+        t(s, dir, "customer").select(col("c_custkey")),
+        "c_custkey", shards)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n"), min(col("c_custkey")).as("min_key"),
+          max(col("c_custkey")).as("max_key"))
+        .orderBy("shard")
+    }),
+
     // Per-group OLS trend lines from exact DECIMAL moments (the
     // q_corr_exact pattern): x = integer hour buckets (ts_ns div —
     // the CLAUDE.md integer-time rule), v = rounded-decimal values;
@@ -1390,6 +1460,117 @@ object AnalyticsQueries {
          WHERE round(d.adev, 6) > round(3.0 * m.mad, 6)
          ORDER BY event_id""",
     "q_ewma" -> ewmaOracle(0.25, 12),
+    "q_interval_merge" ->
+      """WITH iv AS (SELECT user_id, date_trunc('second', ts) AS s,
+             date_trunc('second', ts) + INTERVAL 5 MINUTE AS e
+           FROM events WHERE user_id % 59 = 0),
+         m AS (SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+           FROM iv),
+         f AS (SELECT user_id, s, e,
+             CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS nw
+           FROM m),
+         i AS (SELECT user_id, s, e,
+             sum(nw) OVER (PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+           FROM f)
+         SELECT user_id, min(s) AS span_start, max(e) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_merged
+         FROM i GROUP BY user_id, isl
+         ORDER BY user_id, span_start""",
+    "q_interp" ->
+      """WITH a AS (SELECT user_id, date_trunc('hour', ts) AS h,
+             max(value) AS mx
+           FROM events WHERE user_id % 97 = 0 AND value IS NOT NULL
+           GROUP BY 1, 2),
+         b AS (SELECT user_id, min(h) AS lo, max(h) AS hi
+           FROM a GROUP BY 1),
+         grid AS (SELECT user_id,
+             unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+           FROM b),
+         j AS (SELECT g.user_id, g.h, a.mx,
+             (a.user_id IS NULL) AS is_gap
+           FROM grid g LEFT JOIN a
+             ON a.user_id = g.user_id AND a.h = g.h),
+         k AS (SELECT user_id, h, mx, is_gap,
+             CAST(epoch_ns(h) // 1000000000 AS DOUBLE) AS t,
+             last_value(mx IGNORE NULLS) OVER (PARTITION BY user_id
+               ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS pv,
+             last_value(CASE WHEN mx IS NOT NULL
+                 THEN CAST(epoch_ns(h) // 1000000000 AS DOUBLE) END
+               IGNORE NULLS) OVER (PARTITION BY user_id
+               ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS pt,
+             first_value(mx IGNORE NULLS) OVER (PARTITION BY user_id
+               ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS nv,
+             first_value(CASE WHEN mx IS NOT NULL
+                 THEN CAST(epoch_ns(h) // 1000000000 AS DOUBLE) END
+               IGNORE NULLS) OVER (PARTITION BY user_id
+               ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS nt
+           FROM j)
+         SELECT user_id, h, is_gap,
+           round(CASE WHEN mx IS NOT NULL THEN mx
+             ELSE pv + (nv - pv) * ((t - pt) / (nt - pt)) END, 6)
+             AS interp_r
+         FROM k ORDER BY user_id, h""",
+    "q_mannwhitney" ->
+      """WITH s AS (SELECT event_type AS g, value AS v FROM events
+           WHERE value IS NOT NULL AND event_type IN ('click', 'view')),
+         r AS (SELECT g, v,
+             rank() OVER (ORDER BY v) AS minrn,
+             count(*) OVER (PARTITION BY v) AS cnt
+           FROM s),
+         a AS (SELECT g,
+             CAST(minrn AS DOUBLE) + CAST(cnt - 1 AS DOUBLE) / 2.0
+               AS avg_rank
+           FROM r)
+         SELECT g, CAST(count(*) AS BIGINT) AS n,
+           round(sum(avg_rank), 6) AS rank_sum_r,
+           round(sum(avg_rank) - CAST(count(*) AS DOUBLE) *
+             CAST(count(*) + 1 AS DOUBLE) / 2.0, 6) AS u_r
+         FROM a GROUP BY g ORDER BY g""",
+    "q_benford" ->
+      """WITH src AS (SELECT o_totalprice AS v FROM orders
+           WHERE o_totalprice IS NOT NULL AND o_totalprice >= 1),
+         o AS (SELECT CAST(substr(CAST(CAST(floor(v) AS BIGINT)
+               AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+             count(*) AS n
+           FROM src GROUP BY 1),
+         spine AS (SELECT CAST(unnest(range(1, 10)) AS INTEGER) AS digit),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM o),
+         j AS (SELECT s.digit,
+             CAST(COALESCE(o.n, 0) AS BIGINT) AS n,
+             ln(1.0 + 1.0 / CAST(s.digit AS DOUBLE)) / ln(10.0) AS p_exp
+           FROM spine s LEFT JOIN o ON o.digit = s.digit)
+         SELECT j.digit, j.n,
+           round(CAST(j.n AS DOUBLE) / CAST(t.n_tot AS DOUBLE), 6)
+             AS p_obs_r,
+           round(j.p_exp, 6) AS p_exp_r,
+           round((CAST(j.n AS DOUBLE) - j.p_exp * CAST(t.n_tot AS DOUBLE)) *
+             (CAST(j.n AS DOUBLE) - j.p_exp * CAST(t.n_tot AS DOUBLE)) /
+             (j.p_exp * CAST(t.n_tot AS DOUBLE)), 6) AS chi_r
+         FROM j CROSS JOIN tot t ORDER BY digit""",
+    "q_rendezvous" ->
+      """WITH ids AS (SELECT c_custkey FROM customer),
+         sh AS (SELECT 'shard_' || CAST(unnest(range(0, 8)) AS VARCHAR)
+             AS shard),
+         scored AS (SELECT i.c_custkey, s.shard,
+             CAST(CAST(('0x' || substr(md5(s.shard || ':' ||
+               CAST(i.c_custkey AS VARCHAR)), 1, 8)) AS UBIGINT)
+               AS BIGINT) AS h
+           FROM ids i CROSS JOIN sh s),
+         best AS (SELECT c_custkey, shard,
+             row_number() OVER (PARTITION BY c_custkey
+               ORDER BY h DESC, shard DESC) AS rn
+           FROM scored)
+         SELECT shard, CAST(count(*) AS BIGINT) AS n,
+           min(c_custkey) AS min_key, max(c_custkey) AS max_key
+         FROM best WHERE rn = 1
+         GROUP BY shard ORDER BY shard""",
     "q_trend_lines" ->
       """WITH e AS (SELECT event_type,
              CAST(epoch_ns(ts) // 3600000000000 AS DECIMAL(18,0)) AS x,
