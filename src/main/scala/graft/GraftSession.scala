@@ -6,10 +6,17 @@ import org.apache.spark.sql.SparkSession
   * tests) shares, so oracle parity and scale knobs stay consistent:
   *
   *  - UTC session time zone (DuckDB-oracle parity for date math);
-  *  - `nanosAsLong`: the driver's `events` table carries
-  *    TIMESTAMP(NANOS) which Spark's parquet reader rejects by default;
-  *    with the flag it arrives as a Long of epoch-nanos and
-  *    [[Tables.events]] converts explicitly;
+  *  - `nanosAsLong`: an `events` table carrying TIMESTAMP(NANOS)
+  *    (early testdata generations) is rejected by Spark's parquet
+  *    reader by default; with the flag it arrives as a Long of
+  *    epoch-nanos and [[Tables.withEventTime]] converts explicitly;
+  *  - NTZ inference OFF: regenerated testdata stores `events.ts` as
+  *    timestamp[us] with isAdjustedToUTC=false, which Spark would
+  *    otherwise surface as TIMESTAMP_NTZ — breaking every
+  *    TimestampType consumer (encoders, watermarks) and diverging
+  *    from DuckDB's naive-read-as-UTC. With inference off it reads as
+  *    plain TimestampType; under the UTC session zone the stored
+  *    micros are taken as-is, matching the oracle's `epoch_ns(ts)`;
   *  - AQE on (runtime shuffle coalescing + skew-join splitting — the
   *    behavior we want on a real cluster, exercised locally too).
   */
@@ -18,6 +25,7 @@ object GraftSession {
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")

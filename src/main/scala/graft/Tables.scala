@@ -16,18 +16,51 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events` with its TIMESTAMP(NANOS) column exposed as:
-    *  - `ts_ns`  — raw epoch-nanos Long (full precision),
+  /** Normalize a raw `events`-shaped frame (batch or streaming) to the
+    * engine's canonical event-time columns, whatever the physical `ts`
+    * type of the data generation:
+    *  - epoch-nanos Long (TIMESTAMP(NANOS) parquet read under
+    *    `nanosAsLong`), or
+    *  - µs TimestampType (regenerated testdata stores timestamp[us]).
+    * Output carries `ts_ns` (epoch-nanos Long, exact — µs data is
+    * ns-lossless by construction) in the slot `ts` occupied, plus `ts`
+    * (µs TimestampType) appended, same order in both branches so
+    * downstream shapes don't depend on the source's physical schema.
+    */
+  def withEventTime(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val shaped = raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case TimestampType =>
+        raw.withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.ts must be epoch-nanos Long or TimestampType, got $other")
+    }
+    val cols = raw.columns.map { case "ts" => "ts_ns"; case c => c } :+ "ts"
+    shaped.select(cols.toIndexedSeq.map(col): _*)
+  }
+
+  /** `events` with the normalized time columns ([[withEventTime]]):
+    *  - `ts_ns`  — epoch-nanos Long (full precision),
     *  - `ts`     — microsecond TimestampType (Spark-native),
     *  - `ts_sec` — second-truncated TimestampType (what oracle-compared
-    *    queries use: DuckDB keeps nanos, Spark keeps micros, so any
-    *    sub-second output would hash-mismatch by construction).
+    *    queries use: DuckDB may keep ns precision, Spark keeps micros,
+    *    so any sub-second output would hash-mismatch by construction).
     */
   def events(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    withEventTime(table(spark, dir, "events"))
       .withColumn("ts_sec", timestamp_seconds(expr("ts_ns div 1000000000")))
+
+  /** Max event time as epoch nanos; None on an empty table. The stream
+    * gates use it to place watermark-advancing sentinels past the data.
+    */
+  def maxEventNs(spark: SparkSession, dir: String): Option[Long] = {
+    val r = events(spark, dir).agg(max("ts_ns")).head()
+    if (r.isNullAt(0)) None else Some(r.getLong(0))
+  }
 
   /** Per-run scratch path for queries that write real files (ORC
     * round-trip, CoW merge, persisted IVF, stream sink …). Fixed

@@ -4,6 +4,42 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Run one declared query and dump its result. A throwing query must
+    * stay VISIBLE in the driver's correctness report: it still gets an
+    * output directory, holding only an `_ERROR.txt` marker (no parquet),
+    * which the compare reports as a red NO_SPARK_OUTPUT row. Without
+    * this a failure left no directory at all and the query silently
+    * vanished from the round's correctness file (the round-7 blind spot:
+    * 41 crashed queries read as "fewer entries", not as failures).
+    */
+  def runOne(
+      spark: SparkSession,
+      sfDir: String,
+      outDir: String,
+      name: String,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
+    try {
+      fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      true
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      val qDir = Paths.get(outDir, name)
+      // a partial parquet write would shadow the marker — clear it
+      if (Files.exists(qDir)) {
+        import scala.jdk.CollectionConverters._
+        val st = Files.walk(qDir)
+        try st.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+        finally st.close()
+      }
+      Files.createDirectories(qDir)
+      Files.writeString(qDir.resolve("_ERROR.txt"),
+        s"${e.getClass.getName}: ${e.getMessage}\n")
+      false
+    }
+
   def main(args: Array[String]): Unit = {
     // optional 3rd arg: comma-separated query names for a targeted
     // re-check (the driver always runs the full surface with 2 args)
@@ -22,11 +58,7 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      runOne(spark, sfDir, outDir, name, fn)
       // multi-branch queries persist() shared subplans, registered in
       // the QueryCaches ledger; release them now that the result is
       // materialized (clearCache is the belt-and-braces backstop for

@@ -709,8 +709,9 @@ object AnalyticsQueries {
         // valid_from is DAY-granular: a customer whose priority changes
         // twice on one day yields tied (custkey, valid_from) keys (15 real
         // groups at sf0.01). Consecutive change rows can't share a
-        // priority, so it completes the total order.
-        .orderBy("o_custkey", "valid_from", "o_orderpriority")
+        // priority, so it completes the total order; valid_to is appended
+        // so the order stays total under ANY data shape.
+        .orderBy("o_custkey", "valid_from", "o_orderpriority", "valid_to")
     }),
 
     // Regular-grid resample + forward fill: hourly per-user activity
@@ -1318,7 +1319,9 @@ object AnalyticsQueries {
          SELECT o_custkey, o_orderpriority, valid_from,
            COALESCE(valid_to, TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
            (valid_to IS NULL) AS is_current
-         FROM v ORDER BY o_custkey, valid_from, o_orderpriority""",
+         FROM v
+         ORDER BY o_custkey, valid_from, o_orderpriority,
+           COALESCE(valid_to, TIMESTAMP '9999-12-31 00:00:00')""",
     "q_table_stats" ->
       """SELECT 'l_orderkey' AS col_name, count(*) AS n,
            CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)

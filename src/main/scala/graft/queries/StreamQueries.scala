@@ -91,7 +91,7 @@ object StreamQueries {
     def addSentinelFile(i: Int, row: Row): Unit = {
       val staging = NF.createTempDirectory(s"graft_sentinel$i")
       stagings += staging
-      s.createDataFrame(java.util.List.of(row), schema)
+      s.createDataFrame(java.util.List.of(conformRow(row, schema)), schema)
         .coalesce(1).write.mode("overwrite").parquet(staging.toString)
       val st = NF.list(staging)
       val part =
@@ -127,6 +127,22 @@ object StreamQueries {
     */
   private def syntheticTs(idCol: String) =
     timestamp_seconds(col(idCol) + lit(1000000000L)).as("ts")
+
+  /** Sentinel rows are authored with epoch-ns Long event times; the
+    * raw table's `ts` may physically be a µs timestamp (regenerated
+    * testdata — see [[graft.Tables.withEventTime]]). Conform a Long
+    * value to TimestampType wherever the target schema asks for it so
+    * the same sentinel definitions feed either generation.
+    */
+  private def conformRow(
+      row: Row, schema: org.apache.spark.sql.types.StructType): Row =
+    Row.fromSeq(row.toSeq.zip(schema.fields).map {
+      case (v: Long, f)
+          if f.dataType == org.apache.spark.sql.types.TimestampType =>
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(v, 1000000000L), Math.floorMod(v, 1000000000L)))
+      case (v, _) => v
+    })
 
   private def eventRow(id: Long, tsNs: Long): Row =
     Row(id, tsNs, -1L, "sentinel", 0.0, "{}")
@@ -192,19 +208,18 @@ object StreamQueries {
     // the oracle, which counts every event type).
     "q_stream_counts" -> ((s, dir) => {
       import s.implicits._
-      val maxNsRow = Tables.table(s, dir, "events").agg(max("ts")).head()
-      if (maxNsRow.isNullAt(0)) {
+      val maxNsOpt = Tables.maxEventNs(s, dir)
+      if (maxNsOpt.isEmpty) {
         Seq.empty[(Long, Long, String, Long)]
           .toDF("window_start_s", "window_end_s", "event_type", "n")
       } else {
-        val maxNs = maxNsRow.getLong(0)
+        val maxNs = maxNsOpt.get
         runFileStream(s, dir, "events", "q_stream_counts_sink",
           sentinels = Seq(
             eventRow(-1L, maxNs + 3600L * 1000000000L),
             eventRow(-2L, maxNs + 7200L * 1000000000L))) { raw =>
           EventStream.windowedCounts(
-            raw.withColumnRenamed("ts", "ts_ns")
-              .withColumn("ts", timestamp_micros(expr("ts_ns div 1000"))),
+            Tables.withEventTime(raw),
             watermarkDelay = "10 minutes", windowLen = "5 minutes")
         }
           .filter(unix_timestamp(col("window_start")) <=
@@ -225,12 +240,12 @@ object StreamQueries {
     "q_stream_file" -> ((s, dir) => {
       import s.implicits._
       import scala.jdk.CollectionConverters._
-      val maxNsRow = Tables.table(s, dir, "events").agg(max("ts")).head()
-      if (maxNsRow.isNullAt(0)) {
+      val maxNsOpt = Tables.maxEventNs(s, dir)
+      if (maxNsOpt.isEmpty) {
         Seq.empty[(Long, Long, String, Long)]
           .toDF("window_start_s", "window_end_s", "event_type", "n")
       } else {
-        val maxNs = maxNsRow.getLong(0)
+        val maxNs = maxNsOpt.get
         import java.nio.file.{Files => NF}
         val tmp = NF.createTempDirectory("graft_stream_file")
         val src = java.nio.file.Paths.get(dir, "events.parquet")
@@ -238,11 +253,13 @@ object StreamQueries {
         // a sentinel event as a parquet FILE dropped into the stream
         // dir — the file-source analogue of the sentinel batches
         val stagings = scala.collection.mutable.Buffer.empty[java.nio.file.Path]
+        val rawSchema = s.read.parquet(src.toString).schema
         def addSentinelFile(i: Int, tsNs: Long): Unit = {
           val staging = NF.createTempDirectory(s"graft_stream_sentinel$i")
           stagings += staging
-          Seq((-i.toLong, tsNs, -1L, "sentinel", 0.0, "{}"))
-            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          s.createDataFrame(
+            java.util.List.of(
+              conformRow(eventRow(-i.toLong, tsNs), rawSchema)), rawSchema)
             .coalesce(1).write.mode("overwrite").parquet(staging.toString)
           val st = NF.list(staging)
           val part =
@@ -292,7 +309,7 @@ object StreamQueries {
           eventRow(-1L, 1893456000000000000L),
           eventRow(-2L, 1893456000000000000L + 8L * 3600L * 1000000000L)))(
         df => graft.streaming.StreamGaps.detectGaps(
-          df.withColumnRenamed("ts", "ts_ns"), gapSeconds = 21600).toDF())
+          Tables.withEventTime(df), gapSeconds = 21600).toDF())
       out.filter(col("user_id") >= 0)
         .orderBy("user_id", "gap_start_s")
     }),
@@ -305,20 +322,19 @@ object StreamQueries {
     // is oracle-exact. Sentinel files close the real windows.
     "q_stream_distinct" -> ((s, dir) => {
       import s.implicits._
-      val maxNsRow = Tables.table(s, dir, "events").agg(max("ts")).head()
-      if (maxNsRow.isNullAt(0)) {
+      val maxNsOpt = Tables.maxEventNs(s, dir)
+      if (maxNsOpt.isEmpty) {
         Seq.empty[(Long, Long, Long, Double)]
           .toDF("window_start_s", "window_end_s", "n_buckets",
             "est_distinct")
       } else {
-        val maxNs = maxNsRow.getLong(0)
+        val maxNs = maxNsOpt.get
         val out = runFileStream(s, dir, "events", "q_stream_distinct_sink",
           sentinels = Seq(
             eventRow(-1L, maxNs + 3600L * 1000000000L),
             eventRow(-2L, maxNs + 7200L * 1000000000L)))(
           raw => EventStream.windowedDistinctEst(
-            raw.withColumnRenamed("ts", "ts_ns")
-              .withColumn("ts", timestamp_micros(expr("ts_ns div 1000"))),
+            Tables.withEventTime(raw),
             keyCol = "user_id", m = 256,
             watermarkDelay = "10 minutes", windowLen = "1 hour"))
         out
@@ -339,19 +355,18 @@ object StreamQueries {
     // batch q_topk_agg; windows emit on watermark close.
     "q_stream_topk" -> ((s, dir) => {
       import s.implicits._
-      val maxNsRow = Tables.table(s, dir, "events").agg(max("ts")).head()
-      if (maxNsRow.isNullAt(0)) {
+      val maxNsOpt = Tables.maxEventNs(s, dir)
+      if (maxNsOpt.isEmpty) {
         Seq.empty[(Long, Long, Long, Long, Double)]
           .toDF("window_start_s", "window_end_s", "rank", "event_id",
             "value")
       } else {
-        val maxNs = maxNsRow.getLong(0)
+        val maxNs = maxNsOpt.get
         val out = runFileStream(s, dir, "events", "q_stream_topk_sink",
           sentinels = Seq(
             eventRow(-1L, maxNs + 3600L * 1000000000L),
             eventRow(-2L, maxNs + 7200L * 1000000000L)))(
-          raw => raw.withColumnRenamed("ts", "ts_ns")
-            .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+          raw => Tables.withEventTime(raw)
             .withWatermark("ts", "10 minutes")
             .groupBy(window(col("ts"), "1 hour"))
             .agg(graft.expr.TopKByScore
@@ -459,21 +474,21 @@ object StreamQueries {
     // gaps could flip a boundary decision the truncated oracle keeps).
     "q_stream_sessions" -> ((s, dir) => {
       import s.implicits._
-      val maxNsRow = Tables.table(s, dir, "events").agg(max("ts")).head()
+      val maxNsOpt = Tables.maxEventNs(s, dir)
       // empty input: zero sessions, well-defined (the oracle returns
       // zero rows too)
-      if (maxNsRow.isNullAt(0)) {
+      if (maxNsOpt.isEmpty) {
         Seq.empty[(Long, Long, Long, Long)]
           .toDF("user_id", "start_s", "end_s", "n_events")
       } else {
-        val maxNs = maxNsRow.getLong(0)
+        val maxNs = maxNsOpt.get
         runFileStream(s, dir, "events", "q_stream_sessions_sink",
           sentinels = Seq(
             eventRow(-1L, maxNs + 7200L * 1000000000L),
             eventRow(-2L, maxNs + 10800L * 1000000000L))) { raw =>
           EventStream.sessionWindows(
-            raw.select(col("event_id"),
-              timestamp_seconds(expr("ts div 1000000000")).as("ts"),
+            Tables.withEventTime(raw).select(col("event_id"),
+              timestamp_seconds(expr("ts_ns div 1000000000")).as("ts"),
               col("user_id"), col("event_type"), col("value")),
             gap = "30 minutes", watermarkDelay = Some("30 minutes"))
         }
@@ -496,12 +511,12 @@ object StreamQueries {
     // text/horizon filtering needed on the output at all.
     "q_stream_enrich" -> ((s, dir) => {
       import s.implicits._
-      val maxNsRow = Tables.table(s, dir, "events").agg(max("ts")).head()
-      if (maxNsRow.isNullAt(0)) {
+      val maxNsOpt = Tables.maxEventNs(s, dir)
+      if (maxNsOpt.isEmpty) {
         Seq.empty[(Long, Long, String, Long)]
           .toDF("window_start_s", "window_end_s", "n_name", "n")
       } else {
-        val maxNs = maxNsRow.getLong(0)
+        val maxNs = maxNsOpt.get
         val dim = Tables.table(s, dir, "nation")
           .select(col("n_nationkey"), col("n_name"))
         runFileStream(s, dir, "events", "q_stream_enrich_sink",
@@ -509,8 +524,7 @@ object StreamQueries {
             eventRow(-1L, maxNs + 3600L * 1000000000L),
             eventRow(-2L, maxNs + 7200L * 1000000000L))) { raw =>
           EventStream.enrichedWindowedCounts(
-            raw.withColumnRenamed("ts", "ts_ns")
-              .withColumn("ts", timestamp_micros(expr("ts_ns div 1000"))),
+            Tables.withEventTime(raw),
             dim,
             joinCond = col("user_id") % 25 === col("n_nationkey"),
             dimVal = col("n_name"),
@@ -536,8 +550,7 @@ object StreamQueries {
     "q_stream_sjoin" -> ((s, dir) =>
       runFileStream(s, dir, "events", "q_stream_sjoin_sink") { raw =>
         EventStream.intervalJoin(
-          raw.withColumnRenamed("ts", "ts_ns")
-            .withColumn("ts", timestamp_micros(expr("ts_ns div 1000"))),
+          Tables.withEventTime(raw),
           leftType = "view", rightType = "click",
           horizonSec = 21600L, watermarkDelay = "10 minutes")
       }.orderBy("l_id", "r_id")),
@@ -551,12 +564,12 @@ object StreamQueries {
     // and must reproduce the same oracle as q_stream_counts.
     "q_stream_sink" -> ((s, dir) => {
       import s.implicits._
-      val maxNsRow = Tables.table(s, dir, "events").agg(max("ts")).head()
-      if (maxNsRow.isNullAt(0)) {
+      val maxNsOpt = Tables.maxEventNs(s, dir)
+      if (maxNsOpt.isEmpty) {
         Seq.empty[(Long, Long, String, Long)]
           .toDF("window_start_s", "window_end_s", "event_type", "n")
       } else {
-        val maxNs = maxNsRow.getLong(0)
+        val maxNs = maxNsOpt.get
         import java.nio.file.{Files => NF, Paths}
         // fixed tmp layout, cleared up front (the q_ann_ivf_persisted
         // pattern): the checkpoint MUST be fresh per run or the
@@ -579,12 +592,14 @@ object StreamQueries {
             .outputMode("append").start()
           try {
             q.processAllAvailable()
+            val rawSchema =
+              s.read.parquet(Paths.get(dir, "events.parquet").toString).schema
             Seq(1, 2).foreach { i =>
               val staging = NF.createTempDirectory(s"graft_sink_s$i")
-              Seq((-i.toLong, maxNs + i * 3600L * 1000000000L,
-                -1L, "sentinel", 0.0, "{}"))
-                .toDF("event_id", "ts", "user_id", "event_type",
-                  "value", "props")
+              s.createDataFrame(
+                java.util.List.of(conformRow(
+                  eventRow(-i.toLong, maxNs + i * 3600L * 1000000000L),
+                  rawSchema)), rawSchema)
                 .coalesce(1).write.mode("overwrite")
                 .parquet(staging.toString)
               import scala.jdk.CollectionConverters._
@@ -622,12 +637,12 @@ object StreamQueries {
     // ordering.
     "q_stream_sjoin_outer" -> ((s, dir) => {
       import s.implicits._
-      val maxNsRow = Tables.table(s, dir, "events").agg(max("ts")).head()
-      if (maxNsRow.isNullAt(0)) {
+      val maxNsOpt = Tables.maxEventNs(s, dir)
+      if (maxNsOpt.isEmpty) {
         Seq.empty[(Long, Long, Long, Long)]
           .toDF("l_id", "r_id", "user_id", "delta_us")
       } else {
-        val maxNs = maxNsRow.getLong(0)
+        val maxNs = maxNsOpt.get
         def sent(id: Long, user: Long, tpe: String, hours: Long): Row =
           Row(id, maxNs + hours * 3600L * 1000000000L, user, tpe, 0.0, "{}")
         // ONE sentinel pair: the +7 h watermark (7 h − 10 min delay)
@@ -638,8 +653,7 @@ object StreamQueries {
           sentinels = Seq(
             sent(-1L, -1L, "view", 7L), sent(-2L, -2L, "click", 7L))) { raw =>
           EventStream.intervalJoin(
-            raw.withColumnRenamed("ts", "ts_ns")
-              .withColumn("ts", timestamp_micros(expr("ts_ns div 1000"))),
+            Tables.withEventTime(raw),
             leftType = "view", rightType = "click",
             horizonSec = 21600L, watermarkDelay = "10 minutes",
             joinType = "left_outer")

@@ -34,21 +34,20 @@ object EventStream {
   // public: the state encoder's generated code instantiates it
   final case class OpenSession(start: Long, end: Long, n: Long)
 
-  /** File-source stream over an events parquet directory (the batch
-    * table's schema, ns-timestamps included): each new file dropped in
-    * `dir` becomes a micro-batch. The ns Long is converted to a proper
-    * event-time column so watermarks work.
+  /** File-source stream over an events parquet directory: each new
+    * file dropped in `dir` becomes a micro-batch. Streams need an
+    * explicit schema, but the events `ts` physical type varies by data
+    * generation (epoch-ns Long vs µs timestamp — see
+    * [[graft.Tables.withEventTime]]), so the schema is taken from a
+    * one-off batch footer read of the files already present, then the
+    * stream is normalized to (`ts_ns` Long, `ts` TimestampType) so
+    * watermarks work identically over either source shape.
     */
-  def fromEventsDir(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream.schema(schema).parquet(dir)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-  }
+  def fromEventsDir(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.Tables.withEventTime(
+      spark.readStream
+        .schema(spark.read.parquet(dir).schema)
+        .parquet(dir))
 
   /** Tumbling-window counts/sums per event type with late-data bound. */
   def windowedCounts(

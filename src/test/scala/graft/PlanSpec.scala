@@ -170,9 +170,7 @@ class PlanSpec extends AnyFunSuite {
     // materialize the gate query once so the saved index exists
     SparkEntry.queries("q_ann_ivf_persisted")(spark, dir).collect()
     graft.ops.QueryCaches.releaseAll()
-    val path = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_ivf_persisted")
-      .getAbsolutePath
+    val path = Tables.scratchDir(spark, "graft_ivf_persisted").toString
     val m = graft.ops.IvfIndex.load(spark, path)
     val probe = m.assigned
       .filter(org.apache.spark.sql.functions.col("cell") === 3)
