@@ -28,7 +28,15 @@ object Bench {
     // noop sink (not count): count() lets Catalyst prune final sorts
     // and unreferenced projections, timing projection-heavy queries as
     // near-no-ops — the noop writer evaluates every output row fully.
-    def pass(): Map[String, Double] = SparkEntry.queries.map {
+    // optional focus filter for local perf triage (the driver never
+    // sets it): comma-separated names; proxies run only when listed
+    // (or when unset)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(name: String): Boolean = only.forall(_.contains(name))
+    def pass(): Map[String, Double] = SparkEntry.queries
+      .filter { case (name, _) => selected(name) }
+      .map {
       case (name, fn) =>
         val t0 = System.nanoTime()
         try {
@@ -76,7 +84,9 @@ object Bench {
       spark.catalog.clearCache()
       dt
     }
-    val proxy = math.min(proxyPass(), proxyPass())
+    val proxy =
+      if (selected("q_dedup_minhash_16x")) math.min(proxyPass(), proxyPass())
+      else -1.0
     // vector-side twin of the 16x proxy: 16 shifted copies of the
     // embeddings table through the LSH pair miner — every vector gains
     // 15 exact duplicates, the worst case for sign-bucket collisions;
@@ -113,9 +123,12 @@ object Bench {
       spark.catalog.clearCache()
       dt
     }
-    val annProxy = math.min(annProxyPass(), annProxyPass())
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) } +
-      ("q_dedup_minhash_16x" -> proxy) + ("q_ann_lsh_16x" -> annProxy)
+    val annProxy =
+      if (selected("q_ann_lsh_16x")) math.min(annProxyPass(), annProxyPass())
+      else -1.0
+    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) } ++
+      (if (proxy >= 0) Seq("q_dedup_minhash_16x" -> proxy) else Nil) ++
+      (if (annProxy >= 0) Seq("q_ann_lsh_16x" -> annProxy) else Nil)
     // Locale.ROOT: JVM-default-locale %.3f would print "0,169" under a
     // comma-decimal locale and break the JSON report
     def s3(v: Double): String =

@@ -66,25 +66,34 @@ object GraphOps {
     // carry N as a column: one broadcast cross-join at init, then the
     // constant is just data — no per-round re-aggregation
     val n1 = nodes.agg(count(lit(1)).as("n"))
-    var ranks = nodes.crossJoin(broadcast(n1))
-      .select(col("node"), (lit(1.0) / col("n")).as("rank"), col("n"))
+    // dangling membership is STATIC (out-degrees never change), so it
+    // is resolved ONCE into a boolean that rides the rank rows; the
+    // per-round dangling mass becomes a filter+sum over the round's
+    // checkpointed |V| rows instead of an anti-join that re-derives
+    // the degree aggregate every round (measured: the per-round
+    // anti-join was one of the two heavy stages in each iteration)
+    var ranks = nodes
+      .join(deg.select(col("src").as("node"), lit(true).as("has_out")),
+        Seq("node"), "left")
+      .crossJoin(broadcast(n1))
+      .select(col("node"), (lit(1.0) / col("n")).as("rank"), col("n"),
+        coalesce(col("has_out"), lit(false)).as("has_out"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
       val contrib = ew
         .join(ranks.select(col("node").as("src"), col("rank")), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") / col("outdeg")).as("contrib"))
-      val dangling = ranks
-        .join(deg.select(col("src").as("node")), Seq("node"), "left_anti")
+      val dangling = ranks.filter(!col("has_out"))
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
-      ranks = ranks.select(col("node"), col("n"))
+      ranks = ranks.select(col("node"), col("n"), col("has_out"))
         .join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("node"),
           (lit(1.0 - damping) / col("n") + lit(damping) *
             (coalesce(col("contrib"), lit(0.0)) + col("dm") / col("n")))
             .as("rank"),
-          col("n"))
+          col("n"), col("has_out"))
         .localCheckpoint(true)
     }
     ranks.select(col("node"), col("rank"))

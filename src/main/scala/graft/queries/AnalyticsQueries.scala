@@ -641,14 +641,25 @@ object AnalyticsQueries {
     // customer node is dangling, exercising the dangling-mass term.
     // 6 fixed rounds, each one |E| shuffle (see GraphOps.pageRank).
     "q_pagerank" -> ((s, dir) => {
+      // the iteration runs on INT node ids (supplier k → 2k, customer
+      // k → 2k+1 — a bijection over the two key spaces): 6 rounds of
+      // join/shuffle/cache hash 8-byte longs instead of strings, and
+      // the oracle's string labels are reconstructed only on the final
+      // |V| rows. The distinct also runs on the int pair before any
+      // string exists.
       val edges = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"))
         .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("s"), col("l_suppkey")).as("src"),
-          concat(lit("c"), col("o_custkey")).as("dst"))
+        .select(col("l_suppkey"), col("o_custkey")).distinct()
+        .select((col("l_suppkey") * 2).as("src"),
+          (col("o_custkey") * 2 + 1).as("dst"))
       graft.ops.GraphOps.pageRank(edges, iters = 6, damping = 0.85)
-        .select(col("node"), round(col("rank"), 6).as("rank_r"))
+        .select(
+          when(col("node") % 2 === 0,
+            concat(lit("s"), expr("node div 2")))
+            .otherwise(concat(lit("c"), expr("node div 2"))).as("node"),
+          round(col("rank"), 6).as("rank_r"))
         .orderBy("node")
     }),
 
@@ -656,20 +667,28 @@ object AnalyticsQueries {
     // NATION_9 supplier set — link-distance tiers (GraphOps.bfsLevels,
     // eager checkpoint per round; unreached nodes absent).
     "q_bfs_levels" -> ((s, dir) => {
+      // same int-encoded iteration as q_pagerank (supplier k → 2k,
+      // customer k → 2k+1); string labels only on the final rows
       val b = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"))
         .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("s"), col("l_suppkey")).as("src"),
-          concat(lit("c"), col("o_custkey")).as("dst"))
+        .select(col("l_suppkey"), col("o_custkey")).distinct()
+        .select((col("l_suppkey") * 2).as("src"),
+          (col("o_custkey") * 2 + 1).as("dst"))
       val edges = b.unionByName(
         b.select(col("dst").as("src"), col("src").as("dst")))
       val sources = t(s, dir, "supplier")
         .join(broadcast(t(s, dir, "nation")
           .filter(col("n_name") === "NATION_9")),
           col("s_nationkey") === col("n_nationkey"))
-        .select(concat(lit("s"), col("s_suppkey")).as("node"))
+        .select((col("s_suppkey") * 2).as("node"))
       graft.ops.GraphOps.bfsLevels(edges, sources, maxHops = 3)
+        .select(
+          when(col("node") % 2 === 0,
+            concat(lit("s"), expr("node div 2")))
+            .otherwise(concat(lit("c"), expr("node div 2"))).as("node"),
+          col("dist"))
         .orderBy("node")
     }),
 
