@@ -553,6 +553,95 @@ object Corpus {
         col("c.n_chunk_tokens"))
   }
 
+  /** GPT-style sequence-packing manifest: documents are concatenated
+    * in `idCol` order and chopped into fixed `window`-token training
+    * sequences (the concat-and-chop packing every autoregressive
+    * pretraining run performs). Emits one row per (sequence, document)
+    * span: `seq_id`, the doc id, `doc_tok_start` (first token of the
+    * doc inside this sequence), `tok_len` (tokens the doc contributes
+    * here), and `seq_off` (where in the sequence the span begins) —
+    * enough for a loader to assemble every sequence without re-reading
+    * any text. A document longer than `window` spans several
+    * sequences; zero/null-token documents contribute nothing.
+    *
+    * Scale stance: one global prefix sum
+    * ([[ScaleOps.globalRunningSum]] — two-phase range partition +
+    * broadcast offsets, no single-partition window) and a stateless
+    * explode over each doc's spanned sequence range; all arithmetic is
+    * exact integers, so the manifest is bit-reproducible.
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      nTokensCol: String,
+      window: Int,
+      partitions: Int = 8): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val w = window.toLong
+    ScaleOps.globalRunningSum(
+      df.select(col(idCol), col(nTokensCol).cast("long").as("__n")),
+      partitions, valueCol = "__n", outCol = "__cum", col(idCol))
+      .filter(col("__n") > 0)
+      .withColumn("__start", col("__cum") - col("__n"))
+      .withColumn("seq_id", explode(sequence(
+        expr(s"__start div $w"), expr(s"(__cum - 1) div $w"))))
+      .select(col("seq_id"), col(idCol),
+        greatest(lit(0L), col("seq_id") * w - col("__start"))
+          .as("doc_tok_start"),
+        (least(col("__cum"), (col("seq_id") + 1) * w) -
+          greatest(col("__start"), col("seq_id") * w)).as("tok_len"),
+        greatest(lit(0L), col("__start") - col("seq_id") * w)
+          .as("seq_off"))
+  }
+
+  /** DSIR-style importance weights for data selection (importance
+    * resampling over hashed n-gram features, after Xie et al. 2023):
+    * fit two smoothed bag-of-hashed-token models — the `isTarget`
+    * slice (the distribution you want more of) vs the rest — and score
+    * every document by its log-likelihood ratio
+    * Σ_tokens [ln p_target(bucket) − ln p_raw(bucket)], add-1
+    * smoothed over `buckets` hash cells. Positive weight ⇒ the doc
+    * looks more target-like than raw-like; a sampler draws ∝ weight,
+    * the deterministic gate keeps weight > 0. Output: (idCol,
+    * n_tokens, weight_r rounded 6, keep).
+    *
+    * Scale stance: token explode → one keyed aggregate per bucket
+    * (`buckets` rows total — bounded by construction, so the score
+    * table broadcast is valid under the hint rule), then one keyed
+    * doc aggregate; no self-joins, no state. The per-doc double sum
+    * has ≤ doc-token terms (the bounded-terms rule for round(…,6)).
+    */
+  def dsirWeights(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column,
+      buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be > 0, got $buckets")
+    val tok = df
+      .select(col(idCol), isTarget.as("__t"),
+        TextDedup.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= 1)
+      .select(col(idCol), col("__t"), explode(col("__toks")).as("__tok"))
+      .withColumn("__b", Sketches.cmBucket(col("__tok"), 0, buckets))
+    val side = tok.groupBy("__b")
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("ct"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("cq"))
+    val tot = side.agg(sum("ct").as("tt"), sum("cq").as("tq"))
+    val scores = side.crossJoin(broadcast(tot))
+      .select(col("__b"),
+        (log((col("ct") + 1).cast("double") /
+          (col("tt") + lit(buckets.toLong)).cast("double")) -
+          log((col("cq") + 1).cast("double") /
+            (col("tq") + lit(buckets.toLong)).cast("double")))
+          .as("__score"))
+    tok.join(broadcast(scores), "__b")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        round(sum(col("__score")), 6).as("weight_r"))
+      .withColumn("keep", col("weight_r") > 0)
+  }
+
   /** Token-distribution drift between a reference corpus slice and a
     * new slice — the crawl-over-crawl / domain-shift monitor: for
     * every token in the UNION vocabulary, the add-1-smoothed

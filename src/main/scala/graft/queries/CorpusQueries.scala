@@ -79,6 +79,58 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    // DSIR importance weights: every doc scored by the smoothed
+    // log-likelihood ratio of its hashed tokens under the
+    // target-slice (lang='en') vs raw model — the importance-
+    // resampling data-selection shape. 16 hash buckets (the fixed
+    // 31-token vocab needs tiny widths to exercise collisions).
+    "q_dsir_weights" -> ((s, dir) =>
+      Corpus.dsirWeights(docs(s, dir), "doc_id", "text",
+        isTarget = col("lang") === "en", buckets = 16)
+        .orderBy("doc_id")),
+
+    // Distilled quality classifier: logistic regression trained by
+    // full-batch GD (5 rounds, lr 0.5, decimal-exact gradient sums —
+    // QualityModel) on rule-labeled quality features; output = the
+    // trained weights + training accuracy. The oracle unrolls the
+    // rounds as materialized CTEs running the identical arithmetic.
+    "q_logreg_train" -> ((s, dir) => {
+      val feats = graft.ops.QualityModel.featurize(
+        docs(s, dir), "doc_id", "text")
+      val w = graft.ops.QualityModel.trainLogReg(feats, iters = 5, lr = 0.5)
+      graft.ops.QualityModel.scoreLogReg(feats, w)
+        .agg(count(lit(1)).cast("long").as("n"),
+          round(avg(when(col("pred") === (col("y") > 0.5), 1.0)
+            .otherwise(0.0)), 6).as("acc_r"))
+        .select(col("n"),
+          round(lit(w(0)), 6).as("w0_r"), round(lit(w(1)), 6).as("w1_r"),
+          round(lit(w(2)), 6).as("w2_r"), round(lit(w(3)), 6).as("w3_r"),
+          col("acc_r"))
+    }),
+
+    // The same trained model applied per document: rounded sigmoid
+    // score + the stable prediction (thresholding the ROUNDED logit,
+    // so an exp() ulp can never flip a boundary row).
+    "q_logreg_score" -> ((s, dir) => {
+      val feats = graft.ops.QualityModel.featurize(
+        docs(s, dir), "doc_id", "text")
+      val w = graft.ops.QualityModel.trainLogReg(feats, iters = 5, lr = 0.5)
+      graft.ops.QualityModel.scoreLogReg(feats, w)
+        .orderBy("doc_id")
+    }),
+
+    // GPT-style sequence packing: the corpus concatenated in doc_id
+    // order and chopped into 128-token training sequences; one row
+    // per (sequence, document) span with exact-integer offsets, so
+    // the gate is bit-deterministic (Corpus.packSequences — global
+    // prefix sum + stateless explode, no single-partition window).
+    "q_pack_sequences" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"),
+        size(split(trim(col("text")), " ")).cast("long").as("n_tokens"))
+      Corpus.packSequences(base, "doc_id", "n_tokens", window = 128)
+        .orderBy("seq_id", "doc_id")
+    }),
+
     // Training-shard manifest — the reproducibility audit shipped
     // with every packed corpus: per shard, the doc count, token
     // total, and an order-stable content fingerprint (md5 over the
@@ -463,7 +515,79 @@ object CorpusQueries {
         .orderBy("lang", "source")
     }))
 
+  /** Unrolled-GD oracle chain for the q_logreg_* gates: the feature
+    * CTE plus one (sigmoid, gradient, weight-update) CTE triple per
+    * round, written with the EXACT arithmetic the Spark side runs —
+    * same association in z, same DECIMAL(28,14) gradient sums, same
+    * g/n-then-times-lr update — so the two engines' weight vectors
+    * agree to well under the round(…,6) gate.
+    */
+  private def logregChainSql(iters: Int, lr: String): String = {
+    val feat =
+      """WITH f AS MATERIALIZED (SELECT doc_id,
+           CASE WHEN length(text) BETWEEN 20 AND 2000
+               AND len(string_split(trim(text), ' ')) >= 5
+               AND CAST(len(list_filter(string_split(trim(text), ' '),
+                   x -> list_contains(['the','a','data','row','key'], x)))
+                 AS DOUBLE)
+                 / CAST(len(string_split(trim(text), ' ')) AS DOUBLE) <= 0.5
+             THEN 1.0 ELSE 0.0 END AS y,
+           1.0 AS x0,
+           CAST(len(string_split(trim(text), ' ')) AS DOUBLE) / 100.0 AS x1,
+           CAST(len(list_filter(string_split(trim(text), ' '),
+               x -> list_contains(['the','a','data','row','key'], x)))
+             AS DOUBLE)
+             / CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS x2,
+           CAST(length(text) AS DOUBLE) / 1000.0 AS x3
+         FROM documents WHERE text IS NOT NULL),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
+         w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"""
+    val rounds = (1 to iters).map { k =>
+      val p = s"w${k - 1}"
+      s"""s$k AS (SELECT f.*, 1.0 / (1.0 + exp(-(((w.w0 * x0 + w.w1 * x1)
+             + w.w2 * x2) + w.w3 * x3))) AS sig
+           FROM f CROSS JOIN $p w),
+         g$k AS MATERIALIZED (SELECT
+             CAST(sum(CAST((sig - y) * x0 AS DECIMAL(28,14))) AS DOUBLE) AS g0,
+             CAST(sum(CAST((sig - y) * x1 AS DECIMAL(28,14))) AS DOUBLE) AS g1,
+             CAST(sum(CAST((sig - y) * x2 AS DECIMAL(28,14))) AS DOUBLE) AS g2,
+             CAST(sum(CAST((sig - y) * x3 AS DECIMAL(28,14))) AS DOUBLE) AS g3
+           FROM s$k),
+         w$k AS MATERIALIZED (SELECT
+             w.w0 - $lr * (g.g0 / nn.n) AS w0,
+             w.w1 - $lr * (g.g1 / nn.n) AS w1,
+             w.w2 - $lr * (g.g2 / nn.n) AS w2,
+             w.w3 - $lr * (g.g3 / nn.n) AS w3
+           FROM $p w CROSS JOIN g$k g CROSS JOIN nn)"""
+    }.mkString(",\n         ")
+    s"$feat,\n         $rounds"
+  }
+
+  private def logregTrainOracle(iters: Int, lr: String): String =
+    s"""${logregChainSql(iters, lr)},
+         z AS (SELECT f.y, (((w.w0 * x0 + w.w1 * x1) + w.w2 * x2)
+             + w.w3 * x3) AS z
+           FROM f CROSS JOIN w$iters w),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             round(avg(CASE WHEN (round(z, 6) > 0) = (y > 0.5)
+               THEN 1.0 ELSE 0.0 END), 6) AS acc_r
+           FROM z)
+         SELECT a.n, round(w.w0, 6) AS w0_r, round(w.w1, 6) AS w1_r,
+           round(w.w2, 6) AS w2_r, round(w.w3, 6) AS w3_r, a.acc_r
+         FROM w$iters w CROSS JOIN a"""
+
+  private def logregScoreOracle(iters: Int, lr: String): String =
+    s"""${logregChainSql(iters, lr)},
+         z AS (SELECT f.doc_id, f.y, (((w.w0 * x0 + w.w1 * x1)
+             + w.w2 * x2) + w.w3 * x3) AS z
+           FROM f CROSS JOIN w$iters w)
+         SELECT doc_id, y, round(1.0 / (1.0 + exp(-z)), 6) AS score_r,
+           round(z, 6) > 0 AS pred
+         FROM z ORDER BY doc_id"""
+
   val oracles: Map[String, String] = Map(
+    "q_logreg_train" -> logregTrainOracle(5, "0.5"),
+    "q_logreg_score" -> logregScoreOracle(5, "0.5"),
     "q_sample_hash" ->
       """WITH s AS (SELECT doc_id, lang,
            CAST(CAST(('0x' || substr(md5('smpl:' || CAST(doc_id AS VARCHAR)), 1, 8))
@@ -520,6 +644,50 @@ object CorpusQueries {
          SELECT doc_id, n_tokens, cum_tokens,
            (cum_tokens - n_tokens) // 500 AS shard_id
          FROM c ORDER BY doc_id""",
+    "q_dsir_weights" ->
+      """WITH d AS (SELECT doc_id, (lang = 'en') AS t,
+           string_split(trim(text), ' ') AS toks
+         FROM documents),
+         d2 AS (SELECT doc_id, t, toks FROM d WHERE len(toks) >= 1),
+         tk AS (SELECT doc_id, t,
+             CAST(CAST(('0x' || substr(md5('cm0:' || unnest(toks)), 1, 8))
+               AS UBIGINT) AS BIGINT) % 16 AS b
+           FROM d2),
+         side AS (SELECT b,
+             CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+             CAST(sum(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS cq
+           FROM tk GROUP BY b),
+         tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,
+             CAST(sum(cq) AS BIGINT) AS tq FROM side),
+         sc AS (SELECT b,
+             ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + 16 AS DOUBLE)) -
+             ln(CAST(cq + 1 AS DOUBLE) / CAST(tq + 16 AS DOUBLE)) AS score
+           FROM side CROSS JOIN tot)
+         SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(sum(sc.score), 6) AS weight_r,
+           round(sum(sc.score), 6) > 0 AS keep
+         FROM tk JOIN sc ON tk.b = sc.b
+         GROUP BY tk.doc_id ORDER BY doc_id""",
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+           CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+         FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+           CAST(sum(COALESCE(n_tokens, 0)) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum
+         FROM t),
+         s AS (SELECT doc_id, n_tokens, cum, cum - n_tokens AS strt
+           FROM c WHERE n_tokens > 0),
+         e AS (SELECT doc_id, cum, strt,
+             unnest(range(strt // 128, (cum - 1) // 128 + 1)) AS seq_id
+           FROM s)
+         SELECT seq_id, doc_id,
+           greatest(0, seq_id * 128 - strt) AS doc_tok_start,
+           least(cum, (seq_id + 1) * 128) - greatest(strt, seq_id * 128)
+             AS tok_len,
+           greatest(0, strt - seq_id * 128) AS seq_off
+         FROM e ORDER BY seq_id, doc_id""",
     "q_shard_manifest" ->
       """WITH t AS (SELECT doc_id,
            CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,

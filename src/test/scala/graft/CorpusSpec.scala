@@ -391,6 +391,35 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("packSequences: concat-and-chop spans cover every token exactly once") {
+    val df = Seq(
+      (1L, 100L), // spans seq 0 and 1 (window 64)
+      (2L, 50L),  // spans seq 1 and 2
+      (3L, 0L),   // zero tokens: contributes nothing
+      (4L, 14L))  // tail of seq 2
+      .toDF("doc_id", "n_tokens")
+    val out = Corpus.packSequences(df, "doc_id", "n_tokens", window = 64)
+      .orderBy("seq_id", "doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // (seq_id, doc_id, doc_tok_start, tok_len, seq_off)
+    assert(out == Seq(
+      (0L, 1L, 0L, 64L, 0L),
+      (1L, 1L, 64L, 36L, 0L),
+      (1L, 2L, 0L, 28L, 36L),
+      (2L, 2L, 28L, 22L, 0L),
+      (2L, 4L, 0L, 14L, 22L)))
+    // every full sequence holds exactly `window` tokens; spans tile
+    // each doc's token range without gap or overlap
+    val bySeq = out.groupBy(_._1).view.mapValues(_.map(_._4).sum)
+    assert(bySeq(0L) == 64L && bySeq(1L) == 64L && bySeq(2L) == 36L)
+    val byDoc = out.groupBy(_._2)
+    assert(byDoc(1L).sortBy(_._3).map(s => (s._3, s._3 + s._4)).toSeq ==
+      Seq((0L, 64L), (64L, 100L)))
+    intercept[IllegalArgumentException] {
+      Corpus.packSequences(df, "doc_id", "n_tokens", window = 0)
+    }
+  }
+
   test("tokenDrift: smoothing, OOV handling, zero drift on identical slices") {
     import spark.implicits._
     val ref = Seq("a a b", "b c").toDF("text")
