@@ -338,6 +338,65 @@ object TextQueries {
         .orderBy(col("n_docs").desc, col("n_total").desc, col("shingle"))
         .limit(20)),
 
+    // Cross-document repeated spans — the memorization/boilerplate
+    // audit: every 8-token sliding window that appears in 2+ distinct
+    // documents, with doc and occurrence counts. One groupBy on the
+    // span (counts only, no posting self-join), so a hot span costs a
+    // bigger count, never quadratic work.
+    "q_repeated_spans" -> ((s, dir) =>
+      TextDedup.shingles(docs(s, dir), "doc_id", "text", n = 8,
+        dedup = false)
+        .groupBy("shingle")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_total"))
+        .filter(col("n_docs") >= 2)
+        .select(col("shingle").as("span"), col("n_docs"), col("n_total"))
+        .orderBy("span")),
+
+    // Per-document n-gram novelty (Carlini-style memorization risk
+    // proxy): the fraction of a doc's DISTINCT 8-token windows that
+    // no other document contains. Distinct windows → span stats →
+    // keyed join back (each span's fan-out equals its doc count — no
+    // quadratic posting join); docs under 8 tokens are absent.
+    "q_ngram_novelty" -> ((s, dir) => {
+      val sh = graft.ops.QueryCaches.persist(
+        TextDedup.shingles(docs(s, dir), "doc_id", "text", n = 8,
+          dedup = true))
+      val stats = sh.groupBy("shingle")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      sh.join(stats, "shingle")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_windows"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).cast("long")
+            .as("n_shared"))
+        .withColumn("novelty_r", round(lit(1.0) -
+          col("n_shared").cast("double") / col("n_windows").cast("double"),
+          6))
+        .orderBy("doc_id")
+    }),
+
+    // Vocabulary coverage curve — the "how big must the tokenizer
+    // vocab be" analysis: tokens ranked by corpus frequency with the
+    // cumulative covered fraction. Rank and running total both come
+    // from the two-phase prefix machinery (no single-partition
+    // window), so the curve scales to web-corpus vocabularies.
+    "q_vocab_coverage" -> ((s, dir) => {
+      val counts = docs(s, dir)
+        .select(explode(TextDedup.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum(col("n")).as("total"))
+      val ranked = graft.ops.ScaleOps.globalRowNumber(counts, 8,
+        col("n").desc, col("tok"))
+        .withColumnRenamed("rn", "rank")
+      graft.ops.ScaleOps.globalRunningSum(ranked, 8,
+        valueCol = "n", outCol = "cum", col("rank"))
+        .crossJoin(broadcast(tot))
+        .select(col("rank"), col("tok"), col("n"),
+          round(col("cum").cast("double") / col("total").cast("double"), 6)
+            .as("cov_r"))
+        .orderBy("rank")
+    }),
+
     // Unigram-LM quality score: corpus-frequency negative mean
     // log-likelihood per document (the cheap perplexity proxy —
     // garbage/rare-token docs score high, boilerplate low). Vocab is
@@ -963,6 +1022,49 @@ ORDER BY doc_id, word_pos, sub_pos"""
            FROM bg GROUP BY 1)
          SELECT shingle, n_docs, n_total FROM agg
          ORDER BY n_docs DESC, n_total DESC, shingle LIMIT 20""",
+    "q_repeated_spans" ->
+      """WITH tk AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+           FROM documents),
+         s0 AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+           FROM tk WHERE len(toks) >= 8),
+         sp AS (SELECT doc_id, array_to_string(
+             toks[CAST(i AS INTEGER):CAST(i + 7 AS INTEGER)], ' ') AS span
+           FROM s0)
+         SELECT span, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_total
+         FROM sp GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+         ORDER BY span""",
+    "q_ngram_novelty" ->
+      """WITH tk AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+           FROM documents),
+         s0 AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+           FROM tk WHERE len(toks) >= 8),
+         sp AS (SELECT DISTINCT doc_id, array_to_string(
+             toks[CAST(i AS INTEGER):CAST(i + 7 AS INTEGER)], ' ') AS span
+           FROM s0),
+         st AS (SELECT span, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+           FROM sp GROUP BY span)
+         SELECT sp.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(CASE WHEN st.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           round(1.0 - CAST(sum(CASE WHEN st.nd >= 2 THEN 1 ELSE 0 END)
+               AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS novelty_r
+         FROM sp JOIN st ON sp.span = st.span
+         GROUP BY sp.doc_id ORDER BY doc_id""",
+    "q_vocab_coverage" ->
+      """WITH t AS (SELECT unnest(string_split(trim(text), ' ')) AS tok
+           FROM documents),
+         c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM t
+           GROUP BY tok),
+         r AS (SELECT tok, n, CAST(row_number() OVER
+             (ORDER BY n DESC, tok) AS BIGINT) AS rank FROM c),
+         cu AS (SELECT tok, n, rank, CAST(sum(n) OVER (ORDER BY rank
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum FROM r),
+         tt AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+         SELECT rank, tok, n,
+           round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cov_r
+         FROM cu CROSS JOIN tt ORDER BY rank""",
     "q_unigram_logprob" ->
       """WITH tk AS (SELECT doc_id,
              unnest(string_split(trim(text), ' ')) AS tok FROM documents),

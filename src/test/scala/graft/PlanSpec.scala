@@ -15,6 +15,20 @@ class PlanSpec extends AnyFunSuite {
   private def plan(q: String): String =
     SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
 
+  test("q_repeated_spans: pure keyed aggregate — no join of any kind") {
+    // the memorization audit must stay counts-only: a hot span costs a
+    // bigger count, never a posting self-join's quadratic fan-out
+    val p = plan("q_repeated_spans")
+    assert(!p.contains("Join"), s"unexpected join in:\n$p")
+  }
+
+  test("q_ngram_novelty: span-stats join is keyed, no cartesian") {
+    val p = plan("q_ngram_novelty")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"non-keyed join in:\n$p")
+    graft.ops.QueryCaches.releaseAll()
+  }
+
   test("q_serial_date: key predicate is pushed to the parquet scan") {
     val p = plan("q_serial_date")
     assert(p.contains("PushedFilters: [IsNotNull(o_orderkey), LessThanOrEqual(o_orderkey,2000)]"),
