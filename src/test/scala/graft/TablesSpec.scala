@@ -75,6 +75,14 @@ class TablesSpec extends AnyFunSuite {
     assert(!files.exists(_.getFileName.toString.endsWith(".parquet")))
   }
 
+  test("every declared oracle refers to a declared query") {
+    // an orphan oracle would silently never be checked; a query
+    // without an oracle is legal (rows-only gate) but the reverse is
+    // always a wiring bug
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
   test("Verify.runOne writes parquet for a succeeding query") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft_verify_ok")
