@@ -472,6 +472,30 @@ object VectorQueries {
     // via floor(x/s + 0.5) (exact on both engines, unlike round()'s
     // mode-dependent halves); output = code stats + saturation count.
     // Pure per-row projection, no shuffle.
+    // Product quantization: every 64-dim vector compressed to 8
+    // per-subspace codes against a hash-seeded 16-centroid codebook
+    // (ProductQuantizer — broadcast-joined bounded codebook, map-side
+    // min-struct argmin, no window sort). dist_r doubles as the
+    // per-subspace reconstruction error.
+    "q_pq_codes" -> ((s, dir) =>
+      graft.ops.ProductQuantizer.pqCodes(
+        emb(s, dir).select(col("vec_id"),
+          asDouble(col("embedding")).as("v")),
+        "vec_id", "v", subspaces = 8, subDim = 8, k = 16)
+        .orderBy("vec_id", "sub")),
+
+    // ADC search over the PQ codes: query vec_id 0 stays a full
+    // vector, every other vector is its 8 codes, and the approximate
+    // distance comes from a broadcast 8×16 lookup table — the
+    // compressed-domain serving path of a PQ index. Rounded before
+    // ranking so the top-20 cut is ulp-stable.
+    "q_pq_adc" -> ((s, dir) =>
+      graft.ops.ProductQuantizer.adcTopK(
+        emb(s, dir).select(col("vec_id"),
+          asDouble(col("embedding")).as("v")),
+        "vec_id", "v", queryId = 0L,
+        subspaces = 8, subDim = 8, k = 16, topK = 20)),
+
     "q_quantize_embed" -> ((s, dir) => {
       val vf = graft.expr.VectorFunctions
       emb(s, dir).select(col("vec_id"), asDouble(col("embedding")).as("v"))
@@ -923,6 +947,70 @@ object VectorQueries {
              SELECT e2.a, r.lbl FROM edges e2 JOIN reach r ON e2.b = r.id)
          SELECT id AS doc_id, min(lbl) AS cluster_id
          FROM reach GROUP BY id ORDER BY doc_id""",
+    "q_pq_codes" ->
+      """WITH e AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+         seeds AS (SELECT vec_id AS cid, v AS cv FROM e
+           ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR)), vec_id
+           LIMIT 16),
+         sb AS (SELECT unnest(range(0, 8)) AS sub),
+         ve AS (SELECT vec_id, sub,
+             v[CAST(sub * 8 + 1 AS INTEGER):CAST(sub * 8 + 8 AS INTEGER)]
+               AS vs
+           FROM e CROSS JOIN sb),
+         ce AS (SELECT cid, sub,
+             cv[CAST(sub * 8 + 1 AS INTEGER):CAST(sub * 8 + 8 AS INTEGER)]
+               AS cs
+           FROM seeds CROSS JOIN sb),
+         d AS (SELECT ve.vec_id, ve.sub, ce.cid,
+             (list_dot_product(vs, vs) - 2.0 * list_dot_product(vs, cs))
+               + list_dot_product(cs, cs) AS dist
+           FROM ve JOIN ce ON ve.sub = ce.sub),
+         r AS (SELECT vec_id, sub, cid, dist, row_number() OVER
+             (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+           FROM d)
+         SELECT vec_id, sub, cid AS code, round(dist, 6) AS dist_r
+         FROM r WHERE rn = 1 ORDER BY vec_id, sub""",
+    "q_pq_adc" ->
+      """WITH e AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+         b AS (SELECT * FROM e WHERE vec_id <> 0),
+         q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         seeds AS (SELECT vec_id AS cid, v AS cv FROM b
+           ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR)), vec_id
+           LIMIT 16),
+         sb AS (SELECT unnest(range(0, 8)) AS sub),
+         ve AS (SELECT vec_id, sub,
+             v[CAST(sub * 8 + 1 AS INTEGER):CAST(sub * 8 + 8 AS INTEGER)]
+               AS vs
+           FROM b CROSS JOIN sb),
+         ce AS (SELECT cid, sub,
+             cv[CAST(sub * 8 + 1 AS INTEGER):CAST(sub * 8 + 8 AS INTEGER)]
+               AS cs
+           FROM seeds CROSS JOIN sb),
+         d AS (SELECT ve.vec_id, ve.sub, ce.cid,
+             (list_dot_product(vs, vs) - 2.0 * list_dot_product(vs, cs))
+               + list_dot_product(cs, cs) AS dist
+           FROM ve JOIN ce ON ve.sub = ce.sub),
+         codes AS (SELECT vec_id, sub, cid AS code FROM (
+             SELECT vec_id, sub, cid, row_number() OVER
+               (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+             FROM d) WHERE rn = 1),
+         lut AS (SELECT ce.sub, ce.cid,
+             (list_dot_product(
+                 qv[CAST(ce.sub * 8 + 1 AS INTEGER):CAST(ce.sub * 8 + 8 AS INTEGER)],
+                 qv[CAST(ce.sub * 8 + 1 AS INTEGER):CAST(ce.sub * 8 + 8 AS INTEGER)])
+               - 2.0 * list_dot_product(
+                 qv[CAST(ce.sub * 8 + 1 AS INTEGER):CAST(ce.sub * 8 + 8 AS INTEGER)],
+                 cs))
+               + list_dot_product(cs, cs) AS ad
+           FROM ce CROSS JOIN q)
+         SELECT c.vec_id, round(sum(l.ad), 6) AS adist_r
+         FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.cid
+         GROUP BY c.vec_id
+         ORDER BY adist_r, c.vec_id LIMIT 20""",
     "q_quantize_embed" ->
       """WITH e AS (SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

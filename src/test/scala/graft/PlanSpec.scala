@@ -29,6 +29,14 @@ class PlanSpec extends AnyFunSuite {
     graft.ops.QueryCaches.releaseAll()
   }
 
+  test("q_pq_adc: code lookup joins broadcast; no cartesian") {
+    // the ADC serving path must never touch raw database vectors:
+    // codes join a broadcast 8x16 lookup table
+    val p = plan("q_pq_adc")
+    assert(p.contains("BroadcastHashJoin"), s"lookup not broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
   test("q_serial_date: key predicate is pushed to the parquet scan") {
     val p = plan("q_serial_date")
     assert(p.contains("PushedFilters: [IsNotNull(o_orderkey), LessThanOrEqual(o_orderkey,2000)]"),
