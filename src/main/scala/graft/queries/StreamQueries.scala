@@ -468,6 +468,61 @@ object StreamQueries {
       }
     }),
 
+    // Streaming corpus-drift monitor: tumbling-window token counts
+    // (watermark-bounded state, the q_stream_trending ingest) emit to
+    // the sink, then the PSI of each window's smoothed token
+    // distribution against the full-corpus reference runs BATCH over
+    // the emitted windows — the serving-layer split again: streaming
+    // state stays (window × token)-bounded, the cross-window grid
+    // math never enters a state store. Sum per window is |vocab|
+    // bounded terms (the round(…,6) rule).
+    "q_stream_drift" -> ((s, dir) => {
+      import s.implicits._
+      val maxIdRow = Tables.table(s, dir, "documents")
+        .agg(max("doc_id")).head()
+      if (maxIdRow.isNullAt(0)) {
+        Seq.empty[(Long, Long, Double)]
+          .toDF("window_start_s", "n_tokens", "psi_r")
+      } else {
+        val maxId = maxIdRow.getLong(0)
+        val maxSec = 1000000000L + maxId
+        val counts = runFileStream(s, dir, "documents",
+          "q_stream_drift_sink",
+          sentinels = Seq(
+            Row(maxId + 3600L, "z", null, null, null),
+            Row(maxId + 7200L, "z", null, null, null))) { raw =>
+          graft.streaming.TrendingTerms.windowedTermCounts(
+            raw.select(col("doc_id"), col("text"), syntheticTs("doc_id")),
+            textCol = "text", tsCol = "ts",
+            watermarkDelay = "10 minutes", windowLen = "5 minutes")
+        }.filter(unix_timestamp(col("window_start")) <= lit(maxSec))
+          .select(unix_timestamp(col("window_start")).as("ws"),
+            col("tok"), col("n"))
+          .transform(graft.ops.QueryCaches.persist) // grid + join share it
+        val ref = Tables.table(s, dir, "documents")
+          .select(explode(graft.ops.TextDedup.tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("c_ref"))
+          .transform(graft.ops.QueryCaches.persist) // totals + grid share it
+        val refTot = ref.agg(sum(col("c_ref")).as("n_ref"),
+          count(lit(1)).as("v"))
+        val wsTot = counts.groupBy("ws").agg(sum(col("n")).as("n_w"))
+        wsTot.crossJoin(ref)
+          .join(counts, Seq("ws", "tok"), "left")
+          .withColumn("c_w", coalesce(col("n"), lit(0L)))
+          .crossJoin(broadcast(refTot))
+          .withColumn("p", (col("c_w") + 1).cast("double") /
+            (col("n_w") + col("v")).cast("double"))
+          .withColumn("r", (col("c_ref") + 1).cast("double") /
+            (col("n_ref") + col("v")).cast("double"))
+          .groupBy("ws", "n_w")
+          .agg(round(sum((col("p") - col("r")) * log(col("p") / col("r"))),
+            6).as("psi_r"))
+          .select(col("ws").as("window_start_s"),
+            col("n_w").as("n_tokens"), col("psi_r"))
+          .orderBy("window_start_s")
+      }
+    }),
+
     // Streaming sessionization: session_window + watermark over the
     // file source with second-truncated event times (the oracle's
     // gap-and-islands arithmetic is in whole seconds — micros-precision
@@ -812,6 +867,33 @@ object StreamQueries {
          SELECT ws AS window_start_s, ws + 3600 AS window_end_s,
            rank, event_id, value
          FROM r WHERE rank <= 3 ORDER BY window_start_s, rank""",
+    // window token distributions vs the corpus reference, smoothed
+    // PSI over the full vocab grid — same epoch buckets as trending
+    "q_stream_drift" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+           FROM documents),
+         t AS (SELECT (doc_id + 1000000000) // 300 * 300 AS ws,
+             unnest(toks) AS tok FROM d),
+         c AS (SELECT ws, tok, CAST(count(*) AS BIGINT) AS c_w
+           FROM t GROUP BY 1, 2),
+         ref AS (SELECT tok, CAST(count(*) AS BIGINT) AS c_ref
+           FROM (SELECT unnest(toks) AS tok FROM d) GROUP BY tok),
+         rt AS (SELECT CAST(sum(c_ref) AS BIGINT) AS n_ref,
+             CAST(count(*) AS BIGINT) AS v FROM ref),
+         wt AS (SELECT ws, CAST(sum(c_w) AS BIGINT) AS n_w
+           FROM c GROUP BY ws),
+         grid AS (SELECT wt.ws, wt.n_w, ref.tok, ref.c_ref
+           FROM wt CROSS JOIN ref),
+         j AS (SELECT g.ws, g.n_w, g.c_ref, COALESCE(c.c_w, 0) AS c_w
+           FROM grid g LEFT JOIN c ON g.ws = c.ws AND g.tok = c.tok),
+         p AS (SELECT ws, n_w,
+             CAST(c_w + 1 AS DOUBLE) / CAST(n_w + rt.v AS DOUBLE) AS p,
+             CAST(c_ref + 1 AS DOUBLE) / CAST(rt.n_ref + rt.v AS DOUBLE)
+               AS r
+           FROM j CROSS JOIN rt)
+         SELECT ws AS window_start_s, n_w AS n_tokens,
+           round(sum((p - r) * ln(p / r)), 6) AS psi_r
+         FROM p GROUP BY 1, 2 ORDER BY window_start_s""",
     "q_stream_counts" -> streamCountsOracle,
     // identical aggregation, different ingestion entry point
     // (EventStream.fromEventsDir vs the shared harness) — one oracle

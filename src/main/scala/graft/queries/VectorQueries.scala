@@ -496,6 +496,34 @@ object VectorQueries {
         "vec_id", "v", queryId = 0L,
         subspaces = 8, subDim = 8, k = 16, topK = 20)),
 
+    // PQ quality measurement: recall of the compressed-domain ADC
+    // top-20 against the exact L2 top-20 for the same query — the
+    // recall/compression trade a PQ deployment tracks (q_ann_recall's
+    // counterpart for the quantized path).
+    "q_pq_recall" -> ((s, dir) => {
+      val vf = graft.expr.VectorFunctions
+      val e = emb(s, dir)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .transform(graft.ops.QueryCaches.persist) // ADC + exact share it
+      val adc = graft.ops.ProductQuantizer.adcTopK(e, "vec_id", "v",
+        queryId = 0L, subspaces = 8, subDim = 8, k = 16, topK = 20)
+        .select(col("vec_id"))
+      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val exact = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .withColumn("d_r", round(
+          (vf.dotProduct(col("v"), col("v")) -
+            lit(2.0) * vf.dotProduct(col("v"), col("qv"))) +
+            vf.dotProduct(col("qv"), col("qv")), 6))
+        .orderBy(col("d_r"), col("vec_id")).limit(20)
+        .select(col("vec_id"))
+      exact.join(adc.withColumn("hit", lit(1)), Seq("vec_id"), "left")
+        .agg(count(lit(1)).cast("long").as("n_exact"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+        .withColumn("recall_r",
+          round(col("n_hit").cast("double") / col("n_exact").cast("double"),
+            6))
+    }),
+
     "q_quantize_embed" -> ((s, dir) => {
       val vf = graft.expr.VectorFunctions
       emb(s, dir).select(col("vec_id"), asDouble(col("embedding")).as("v"))
@@ -693,6 +721,47 @@ object VectorQueries {
              (PARTITION BY q_id ORDER BY cos_r DESC, cand_id) AS rk FROM p)
          SELECT q_id, cand_id, cell, cos_r FROM r WHERE rk = 1
          ORDER BY q_id"""
+
+  /** Shared CTE chain for the PQ oracles (q_pq_adc / q_pq_recall):
+    * base/query split at vec_id 0, hash-seeded codebook, per-subspace
+    * slices, code assignment, and the query's ADC lookup table — the
+    * exact arithmetic ProductQuantizer runs.
+    */
+  private val pqAdcChainSql: String =
+    """e AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+         b AS (SELECT * FROM e WHERE vec_id <> 0),
+         q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         seeds AS (SELECT vec_id AS cid, v AS cv FROM b
+           ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR)), vec_id
+           LIMIT 16),
+         sb AS (SELECT unnest(range(0, 8)) AS sub),
+         ve AS (SELECT vec_id, sub,
+             v[CAST(sub * 8 + 1 AS INTEGER):CAST(sub * 8 + 8 AS INTEGER)]
+               AS vs
+           FROM b CROSS JOIN sb),
+         ce AS (SELECT cid, sub,
+             cv[CAST(sub * 8 + 1 AS INTEGER):CAST(sub * 8 + 8 AS INTEGER)]
+               AS cs
+           FROM seeds CROSS JOIN sb),
+         d AS (SELECT ve.vec_id, ve.sub, ce.cid,
+             (list_dot_product(vs, vs) - 2.0 * list_dot_product(vs, cs))
+               + list_dot_product(cs, cs) AS dist
+           FROM ve JOIN ce ON ve.sub = ce.sub),
+         codes AS (SELECT vec_id, sub, cid AS code FROM (
+             SELECT vec_id, sub, cid, row_number() OVER
+               (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+             FROM d) WHERE rn = 1),
+         lut AS (SELECT ce.sub, ce.cid,
+             (list_dot_product(
+                 qv[CAST(ce.sub * 8 + 1 AS INTEGER):CAST(ce.sub * 8 + 8 AS INTEGER)],
+                 qv[CAST(ce.sub * 8 + 1 AS INTEGER):CAST(ce.sub * 8 + 8 AS INTEGER)])
+               - 2.0 * list_dot_product(
+                 qv[CAST(ce.sub * 8 + 1 AS INTEGER):CAST(ce.sub * 8 + 8 AS INTEGER)],
+                 cs))
+               + list_dot_product(cs, cs) AS ad
+           FROM ce CROSS JOIN q)"""
 
   val oracles: Map[String, String] = Map(
     "q_vec_norm" ->
@@ -973,44 +1042,28 @@ object VectorQueries {
          SELECT vec_id, sub, cid AS code, round(dist, 6) AS dist_r
          FROM r WHERE rn = 1 ORDER BY vec_id, sub""",
     "q_pq_adc" ->
-      """WITH e AS (SELECT vec_id,
-           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         FROM embeddings),
-         b AS (SELECT * FROM e WHERE vec_id <> 0),
-         q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-         seeds AS (SELECT vec_id AS cid, v AS cv FROM b
-           ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR)), vec_id
-           LIMIT 16),
-         sb AS (SELECT unnest(range(0, 8)) AS sub),
-         ve AS (SELECT vec_id, sub,
-             v[CAST(sub * 8 + 1 AS INTEGER):CAST(sub * 8 + 8 AS INTEGER)]
-               AS vs
-           FROM b CROSS JOIN sb),
-         ce AS (SELECT cid, sub,
-             cv[CAST(sub * 8 + 1 AS INTEGER):CAST(sub * 8 + 8 AS INTEGER)]
-               AS cs
-           FROM seeds CROSS JOIN sb),
-         d AS (SELECT ve.vec_id, ve.sub, ce.cid,
-             (list_dot_product(vs, vs) - 2.0 * list_dot_product(vs, cs))
-               + list_dot_product(cs, cs) AS dist
-           FROM ve JOIN ce ON ve.sub = ce.sub),
-         codes AS (SELECT vec_id, sub, cid AS code FROM (
-             SELECT vec_id, sub, cid, row_number() OVER
-               (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
-             FROM d) WHERE rn = 1),
-         lut AS (SELECT ce.sub, ce.cid,
-             (list_dot_product(
-                 qv[CAST(ce.sub * 8 + 1 AS INTEGER):CAST(ce.sub * 8 + 8 AS INTEGER)],
-                 qv[CAST(ce.sub * 8 + 1 AS INTEGER):CAST(ce.sub * 8 + 8 AS INTEGER)])
-               - 2.0 * list_dot_product(
-                 qv[CAST(ce.sub * 8 + 1 AS INTEGER):CAST(ce.sub * 8 + 8 AS INTEGER)],
-                 cs))
-               + list_dot_product(cs, cs) AS ad
-           FROM ce CROSS JOIN q)
+      s"""WITH $pqAdcChainSql
          SELECT c.vec_id, round(sum(l.ad), 6) AS adist_r
          FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.cid
          GROUP BY c.vec_id
          ORDER BY adist_r, c.vec_id LIMIT 20""",
+    "q_pq_recall" ->
+      s"""WITH $pqAdcChainSql,
+         adc AS (SELECT c.vec_id FROM codes c
+             JOIN lut l ON c.sub = l.sub AND c.code = l.cid
+           GROUP BY c.vec_id
+           ORDER BY round(sum(l.ad), 6), c.vec_id LIMIT 20),
+         ex AS (SELECT b.vec_id,
+             round((list_dot_product(v, v) - 2.0 * list_dot_product(v, qv))
+               + list_dot_product(qv, qv), 6) AS d_r
+           FROM b CROSS JOIN q),
+         ext AS (SELECT vec_id FROM ex ORDER BY d_r, vec_id LIMIT 20)
+         SELECT CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hit,
+           round(CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall_r
+         FROM ext LEFT JOIN adc a ON ext.vec_id = a.vec_id""",
     "q_quantize_embed" ->
       """WITH e AS (SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
