@@ -106,6 +106,51 @@ class PropOpsSpec extends AnyFunSuite with PropHelpers {
     }
   }
 
+  test("packSequences invariants hold for random doc lengths") {
+    import spark.implicits._
+    for (window <- Seq(1, 7, 64, 1000)) {
+      val lens = {
+        var seed = org.scalacheck.rng.Seed(13L)
+        Seq.tabulate(80) { i =>
+          val (n, s2) = Gen.choose(0, 150).apply(
+            Gen.Parameters.default, seed).map(v => (v, seed.next))
+            .getOrElse((0, seed.next))
+          seed = s2
+          (i.toLong, n.toLong)
+        }
+      }
+      val df = lens.toDF("doc_id", "n_tokens")
+      val out = Corpus.packSequences(df, "doc_id", "n_tokens", window)
+        .as[(Long, Long, Long, Long, Long)].collect()
+      val total = lens.map(_._2).sum
+      // global tiling: token mass is conserved, every sequence except
+      // the last holds exactly `window` tokens, and within each doc
+      // the spans tile [0, n) contiguously in seq order
+      assert(out.map(_._4).sum == total)
+      val bySeq = out.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+      val lastSeq = if (total == 0) -1L else (total - 1) / window
+      bySeq.foreach { case (seq, mass) =>
+        if (seq < lastSeq) assert(mass == window, s"seq $seq: $mass")
+        else assert(mass == total - lastSeq * window)
+      }
+      for ((id, n) <- lens if n > 0) {
+        val spans = out.filter(_._2 == id).sortBy(_._1)
+        assert(spans.head._3 == 0L)
+        assert(spans.last._3 + spans.last._4 == n)
+        spans.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(a._1 + 1 == b._1, s"doc $id skips a sequence")
+            assert(a._3 + a._4 == b._3, s"doc $id spans not contiguous")
+          case _ =>
+        }
+        // interior spans of a multi-sequence doc start at offset 0
+        spans.init.drop(1).foreach(sp => assert(sp._5 == 0L))
+      }
+      assert(out.filter(_._2 == lens.find(_._2 == 0).map(_._1)
+        .getOrElse(-99L)).isEmpty) // zero-token docs contribute nothing
+    }
+  }
+
   test("int8 quantization invariants hold for random vectors") {
     import spark.implicits._
     val vecs = {
