@@ -119,6 +119,36 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    // Labeler-agreement audit: Cohen's kappa between the heuristic
+    // rule label and the trained model's prediction — the
+    // chance-corrected agreement a pipeline reports before swapping a
+    // hand rule for a learned filter. All inputs are exact counts, so
+    // only the final divisions are float (identical association in
+    // the oracle).
+    "q_label_agreement" -> ((s, dir) => {
+      val feats = graft.ops.QualityModel.featurize(
+        docs(s, dir), "doc_id", "text")
+      val w = graft.ops.QualityModel.trainLogReg(feats, iters = 5, lr = 0.5)
+      val sc = graft.ops.QualityModel.scoreLogReg(feats, w)
+        .select((col("y") > 0.5).as("rule"), col("pred"))
+      val counts = sc.agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(when(col("rule") && col("pred"), 1L).otherwise(0L)).as("n11"),
+        sum(when(!col("rule") && !col("pred"), 1L).otherwise(0L)).as("n00"),
+        sum(when(col("rule") && !col("pred"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("rule") && col("pred"), 1L).otherwise(0L)).as("n01"))
+      val nD = col("n").cast("double")
+      val po = (col("n11") + col("n00")).cast("double") / nD
+      val pe = ((col("n11") + col("n10")).cast("double") / nD) *
+        ((col("n11") + col("n01")).cast("double") / nD) +
+        ((col("n00") + col("n01")).cast("double") / nD) *
+          ((col("n00") + col("n10")).cast("double") / nD)
+      counts.select(col("n"), col("n11"), col("n00"), col("n10"),
+        col("n01"), round(po, 6).as("po_r"),
+        round(when(lit(1.0) - pe === 0.0, 0.0)
+          .otherwise((po - pe) / (lit(1.0) - pe)), 6).as("kappa_r"))
+    }),
+
     // GPT-style sequence packing: the corpus concatenated in doc_id
     // order and chopped into 128-token training sequences; one row
     // per (sequence, document) span with exact-integer offsets, so
@@ -585,7 +615,45 @@ object CorpusQueries {
            round(z, 6) > 0 AS pred
          FROM z ORDER BY doc_id"""
 
+  private def labelAgreementOracle(iters: Int, lr: String): String =
+    s"""${logregChainSql(iters, lr)},
+         z AS (SELECT (f.y > 0.5) AS rule,
+             round((((w.w0 * x0 + w.w1 * x1) + w.w2 * x2) + w.w3 * x3), 6)
+               > 0 AS pred
+           FROM f CROSS JOIN w$iters w),
+         c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN rule AND pred THEN 1 ELSE 0 END)
+               AS BIGINT) AS n11,
+             CAST(sum(CASE WHEN NOT rule AND NOT pred THEN 1 ELSE 0 END)
+               AS BIGINT) AS n00,
+             CAST(sum(CASE WHEN rule AND NOT pred THEN 1 ELSE 0 END)
+               AS BIGINT) AS n10,
+             CAST(sum(CASE WHEN NOT rule AND pred THEN 1 ELSE 0 END)
+               AS BIGINT) AS n01
+           FROM z)
+         SELECT n, n11, n00, n10, n01,
+           round(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po_r,
+           round(CASE WHEN 1.0 -
+               ((CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE)) *
+                 (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE)) +
+                (CAST(n00 + n01 AS DOUBLE) / CAST(n AS DOUBLE)) *
+                 (CAST(n00 + n10 AS DOUBLE) / CAST(n AS DOUBLE))) = 0.0
+             THEN 0.0
+             ELSE (CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) -
+               ((CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE)) *
+                 (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE)) +
+                (CAST(n00 + n01 AS DOUBLE) / CAST(n AS DOUBLE)) *
+                 (CAST(n00 + n10 AS DOUBLE) / CAST(n AS DOUBLE)))) /
+               (1.0 -
+               ((CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE)) *
+                 (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE)) +
+                (CAST(n00 + n01 AS DOUBLE) / CAST(n AS DOUBLE)) *
+                 (CAST(n00 + n10 AS DOUBLE) / CAST(n AS DOUBLE))))
+             END, 6) AS kappa_r
+         FROM c"""
+
   val oracles: Map[String, String] = Map(
+    "q_label_agreement" -> labelAgreementOracle(5, "0.5"),
     "q_logreg_train" -> logregTrainOracle(5, "0.5"),
     "q_logreg_score" -> logregScoreOracle(5, "0.5"),
     "q_sample_hash" ->

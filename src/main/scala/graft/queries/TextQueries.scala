@@ -43,6 +43,33 @@ object TextQueries {
   // gate run the same code
   import graft.ops.TextDedup
 
+  /** Bigram-profile language scorer shared by q_lang_ngram and
+    * q_langid_confusion (one definition so the eval can never drift
+    * from the predictor it measures): per-language profile-gram count
+    * sums plus the explicit en > de > es > fr tie-precedence argmax.
+    */
+  private def langNgramScored(d: DataFrame): DataFrame = {
+    val profiles = Seq(
+      "en" -> Seq("th", "he", "in", "er"),
+      "de" -> Seq("ch", "ei", "de", "er"),
+      "es" -> Seq("de", "la", "os", "ar"),
+      "fr" -> Seq("le", "es", "on", "en"))
+    val scored = profiles.foldLeft(d) {
+      case (df, (lang, grams)) =>
+        df.withColumn(s"score_$lang",
+          grams.map(g => regexp_count(col("text"), lit(g))).reduce(_ + _))
+    }
+    val best = when(
+      col("score_en") >= col("score_de") &&
+        col("score_en") >= col("score_es") &&
+        col("score_en") >= col("score_fr"), "en")
+      .when(col("score_de") >= col("score_es") &&
+        col("score_de") >= col("score_fr"), "de")
+      .when(col("score_es") >= col("score_fr"), "es")
+      .otherwise("fr")
+    scored.withColumn("pred_lang", best)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Token counting: whitespace tokens + regex word tokens.
@@ -209,29 +236,28 @@ object TextQueries {
     // by occurrences of its characteristic bigrams, argmax with
     // deterministic tie-break. (Real systems learn the profiles; the
     // fixed lists keep both engines bit-identical.)
-    "q_lang_ngram" -> ((s, dir) => {
-      val profiles = Seq(
-        "en" -> Seq("th", "he", "in", "er"),
-        "de" -> Seq("ch", "ei", "de", "er"),
-        "es" -> Seq("de", "la", "os", "ar"),
-        "fr" -> Seq("le", "es", "on", "en"))
-      val scored = profiles.foldLeft(docs(s, dir).select(col("doc_id"), col("text"))) {
-        case (df, (lang, grams)) =>
-          df.withColumn(s"score_$lang",
-            grams.map(g => regexp_count(col("text"), lit(g))).reduce(_ + _))
-      }
-      // argmax: en > de > es > fr precedence on ties, built explicitly
-      val best = when(
-        col("score_en") >= col("score_de") &&
-          col("score_en") >= col("score_es") &&
-          col("score_en") >= col("score_fr"), "en")
-        .when(col("score_de") >= col("score_es") &&
-          col("score_de") >= col("score_fr"), "de")
-        .when(col("score_es") >= col("score_fr"), "es")
-        .otherwise("fr")
-      scored.select(col("doc_id"), col("score_en"), col("score_de"),
-        col("score_es"), col("score_fr"), best.as("pred_lang"))
-        .orderBy("doc_id")
+    "q_lang_ngram" -> ((s, dir) =>
+      langNgramScored(docs(s, dir).select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("score_en"), col("score_de"),
+          col("score_es"), col("score_fr"), col("pred_lang"))
+        .orderBy("doc_id")),
+
+    // Language-ID evaluation: the bigram-profile predictor's confusion
+    // matrix against the labeled `lang` column, with per-actual-lang
+    // fractions — the eval a production lang filter ships with
+    // (zh has no profile, so its row shows where unprofiled languages
+    // land). Exact counts + one keyed total join.
+    "q_langid_confusion" -> ((s, dir) => {
+      val p = langNgramScored(
+        docs(s, dir).select(col("doc_id"), col("lang"), col("text")))
+      val c = p.groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      val tot = c.groupBy("lang").agg(sum(col("n")).as("n_lang"))
+      c.join(tot, "lang")
+        .select(col("lang"), col("pred_lang"), col("n"),
+          round(col("n").cast("double") / col("n_lang").cast("double"), 6)
+            .as("frac_r"))
+        .orderBy("lang", "pred_lang")
     }),
 
     // BPE-ish tokenization: GPT-2-style pre-tokenizer regex (word /
@@ -677,6 +703,31 @@ SELECT doc_id, CAST(word_pos AS BIGINT) AS word_pos, word,
 ORDER BY doc_id, word_pos, sub_pos"""
   }
 
+  /** The bigram-profile score columns + tie-precedence argmax, shared
+    * by the q_lang_ngram and q_langid_confusion oracles — the SQL twin
+    * of [[langNgramScored]].
+    */
+  private val langScoreSql: String =
+    """CAST(len(regexp_extract_all(text, 'th')) + len(regexp_extract_all(text, 'he'))
+             + len(regexp_extract_all(text, 'in')) + len(regexp_extract_all(text, 'er'))
+             AS INTEGER) AS score_en,
+           CAST(len(regexp_extract_all(text, 'ch')) + len(regexp_extract_all(text, 'ei'))
+             + len(regexp_extract_all(text, 'de')) + len(regexp_extract_all(text, 'er'))
+             AS INTEGER) AS score_de,
+           CAST(len(regexp_extract_all(text, 'de')) + len(regexp_extract_all(text, 'la'))
+             + len(regexp_extract_all(text, 'os')) + len(regexp_extract_all(text, 'ar'))
+             AS INTEGER) AS score_es,
+           CAST(len(regexp_extract_all(text, 'le')) + len(regexp_extract_all(text, 'es'))
+             + len(regexp_extract_all(text, 'on')) + len(regexp_extract_all(text, 'en'))
+             AS INTEGER) AS score_fr"""
+
+  private val langArgmaxSql: String =
+    """CASE WHEN score_en >= score_de AND score_en >= score_es
+                     AND score_en >= score_fr THEN 'en'
+                WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
+                WHEN score_es >= score_fr THEN 'es'
+                ELSE 'fr' END"""
+
   val oracles: Map[String, String] = Map(
     "q_bpe_merges" -> bpeMergesOracle(12),
     "q_bpe_segment" -> bpeSegmentOracle(8),
@@ -728,27 +779,24 @@ ORDER BY doc_id, word_pos, sub_pos"""
          WHERE round(dt.dot / (na.nrm * nb.nrm), 6) >= 0.9
          ORDER BY a, b""",
     "q_lang_ngram" ->
-      """WITH s AS (SELECT doc_id,
-           CAST(len(regexp_extract_all(text, 'th')) + len(regexp_extract_all(text, 'he'))
-             + len(regexp_extract_all(text, 'in')) + len(regexp_extract_all(text, 'er'))
-             AS INTEGER) AS score_en,
-           CAST(len(regexp_extract_all(text, 'ch')) + len(regexp_extract_all(text, 'ei'))
-             + len(regexp_extract_all(text, 'de')) + len(regexp_extract_all(text, 'er'))
-             AS INTEGER) AS score_de,
-           CAST(len(regexp_extract_all(text, 'de')) + len(regexp_extract_all(text, 'la'))
-             + len(regexp_extract_all(text, 'os')) + len(regexp_extract_all(text, 'ar'))
-             AS INTEGER) AS score_es,
-           CAST(len(regexp_extract_all(text, 'le')) + len(regexp_extract_all(text, 'es'))
-             + len(regexp_extract_all(text, 'on')) + len(regexp_extract_all(text, 'en'))
-             AS INTEGER) AS score_fr
+      s"""WITH s AS (SELECT doc_id, $langScoreSql
          FROM documents)
          SELECT doc_id, score_en, score_de, score_es, score_fr,
-           CASE WHEN score_en >= score_de AND score_en >= score_es
-                     AND score_en >= score_fr THEN 'en'
-                WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
-                WHEN score_es >= score_fr THEN 'es'
-                ELSE 'fr' END AS pred_lang
+           $langArgmaxSql AS pred_lang
          FROM s ORDER BY doc_id""",
+    "q_langid_confusion" ->
+      s"""WITH s AS (SELECT doc_id, lang, $langScoreSql
+         FROM documents),
+         p AS (SELECT lang, $langArgmaxSql AS pred_lang FROM s),
+         c AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+           FROM p GROUP BY 1, 2),
+         t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang
+           FROM c GROUP BY lang)
+         SELECT c.lang, c.pred_lang, c.n,
+           round(CAST(c.n AS DOUBLE) / CAST(t.n_lang AS DOUBLE), 6)
+             AS frac_r
+         FROM c JOIN t ON c.lang = t.lang
+         ORDER BY c.lang, pred_lang""",
     "q_token_bpe" ->
       """SELECT doc_id,
            CAST(len(regexp_extract_all(text,
