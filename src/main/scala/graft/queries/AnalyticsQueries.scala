@@ -711,6 +711,32 @@ object AnalyticsQueries {
         .orderBy("l_suppkey")
     }),
 
+    // Data-quality expectations report — the constraint audit shipped
+    // with every table publish (Expectations): null/range/uniqueness/
+    // referential checks, each ONE aggregate emitting a count row —
+    // violating rows never reach the driver, so the report has the
+    // same shape at any scale.
+    "q_expectations" -> ((s, dir) => {
+      val ex = graft.ops.Expectations
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      ex.report(Seq(
+        ex.notNull(li, "lineitem_keys_not_null",
+          Seq("l_orderkey", "l_linenumber")),
+        ex.inRange(li, "l_quantity_in_1_50", "l_quantity",
+          lit(1.0), lit(50.0)),
+        ex.inRange(li, "l_discount_in_0_1", "l_discount",
+          lit(0.0), lit(1.0)),
+        ex.unique(o, "o_orderkey_unique", Seq("o_orderkey")),
+        ex.unique(li, "lineitem_pk_unique",
+          Seq("l_orderkey", "l_linenumber")),
+        ex.foreignKey(li, "l_orderkey_fk_orders", Seq("l_orderkey"),
+          o.select("o_orderkey"), Seq("o_orderkey")),
+        ex.foreignKey(o, "o_custkey_fk_customer", Seq("o_custkey"),
+          c.select("c_custkey"), Seq("c_custkey"))))
+    }),
+
     // SCD Type-2 dimension history: order-priority changes per customer
     // become validity intervals. valid_to's null (current version) is
     // coalesced to a sentinel timestamp — Spark and DuckDB order and
@@ -1323,6 +1349,45 @@ object AnalyticsQueries {
            JOIN nation ON s_nationkey = n_nationkey
            WHERE n_name = 'NATION_9')
          GROUP BY l_suppkey ORDER BY l_suppkey""",
+    "q_expectations" ->
+      """WITH checks AS (
+           SELECT 'lineitem_keys_not_null' AS "check",
+             CAST(sum(CASE WHEN l_orderkey IS NULL OR l_linenumber IS NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+           FROM lineitem
+         UNION ALL
+           SELECT 'l_quantity_in_1_50',
+             CAST(sum(CASE WHEN l_quantity IS NOT NULL
+               AND NOT (l_quantity BETWEEN 1.0 AND 50.0)
+               THEN 1 ELSE 0 END) AS BIGINT)
+           FROM lineitem
+         UNION ALL
+           SELECT 'l_discount_in_0_1',
+             CAST(sum(CASE WHEN l_discount IS NOT NULL
+               AND NOT (l_discount BETWEEN 0.0 AND 1.0)
+               THEN 1 ELSE 0 END) AS BIGINT)
+           FROM lineitem
+         UNION ALL
+           SELECT 'o_orderkey_unique',
+             CAST(COALESCE(sum(c - 1), 0) AS BIGINT)
+           FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+         UNION ALL
+           SELECT 'lineitem_pk_unique',
+             CAST(COALESCE(sum(c - 1), 0) AS BIGINT)
+           FROM (SELECT count(*) AS c FROM lineitem
+             GROUP BY l_orderkey, l_linenumber)
+         UNION ALL
+           SELECT 'l_orderkey_fk_orders', CAST(count(*) AS BIGINT)
+           FROM lineitem l
+           WHERE l_orderkey IS NOT NULL AND NOT EXISTS
+             (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+         UNION ALL
+           SELECT 'o_custkey_fk_customer', CAST(count(*) AS BIGINT)
+           FROM orders o
+           WHERE o_custkey IS NOT NULL AND NOT EXISTS
+             (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+         SELECT "check", n_violations, n_violations = 0 AS pass
+         FROM checks ORDER BY "check"""",
     "q_scd2" ->
       """WITH s AS (SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
              lag(o_orderpriority) OVER (PARTITION BY o_custkey
