@@ -573,6 +573,50 @@ object VectorQueries {
     // tabulated by index, so the k=4 bucket is exactly the k=8
     // bucket's low nibble (bucket % 16) — one scored frame serves the
     // exact ranking and all three LSH rankings.
+    // Ranking-quality companion to q_ann_recall: NDCG@5 of the k=4
+    // LSH ranking against the exact cosine order. Graded relevance =
+    // 6 − exact rank (5..1 for the exact top-5, 0 otherwise);
+    // discounts are 1/ln(pos+1) with ≤5 terms per query (the
+    // bounded-terms sum rule). Set membership is identical
+    // cross-engine because positions derive from the same rounded
+    // cosine total order.
+    "q_ann_ndcg" -> ((s, dir) => {
+      val pm = graft.ops.CosineLsh.planes(k = 8, dim = 64)
+      val e = withNorm(emb(s, dir).filter(col("vec_id") < 2000)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v")))
+        .withColumn("bucket", graft.ops.CosineLsh.bucketCol(col("v"), pm))
+        .transform(graft.ops.QueryCaches.persist)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("bucket").as("qb"))
+      val c = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("cand_id"), col("v").as("cv"),
+          col("nrm").as("cn"), col("bucket").as("cb"))
+      val scored = c.join(broadcast(q))
+        .withColumn("cos_r", cosR(col("qv"), col("cv"), col("qn"), col("cn")))
+        .transform(graft.ops.QueryCaches.persist) // exact + LSH read it
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("cos_r").desc, col("cand_id"))
+      val exact5 = scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("cand_id"), (lit(6) - col("rk")).as("rel"))
+      val lsh5 = scored.filter(col("qb") % 16 === col("cb") % 16)
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .select(col("q_id"), col("cand_id"), col("rk").as("pos"))
+      val dcg = lsh5.join(exact5, Seq("q_id", "cand_id"), "left")
+        .groupBy("q_id")
+        .agg(sum(coalesce(col("rel"), lit(0)).cast("double") /
+          log(col("pos").cast("double") + lit(1.0))).as("dcg"))
+      val idcg = exact5.groupBy("q_id")
+        .agg(sum(col("rel").cast("double") /
+          log(lit(7.0) - col("rel").cast("double"))).as("idcg"))
+      idcg.join(dcg, Seq("q_id"), "left")
+        .select(col("q_id"),
+          round(coalesce(col("dcg"), lit(0.0)) / col("idcg"), 6)
+            .as("ndcg_r"))
+        .orderBy("q_id")
+    }),
+
     "q_ann_recall" -> ((s, dir) => {
       val pm = graft.ops.CosineLsh.planes(k = 8, dim = 64)
       val e = withNorm(emb(s, dir).filter(col("vec_id") < 2000)
@@ -945,6 +989,35 @@ object VectorQueries {
              (PARTITION BY q_id ORDER BY cos_r DESC, cand_id) AS rk FROM p)
          SELECT q_id, cand_id, bucket, cos_r FROM r WHERE rk = 1
          ORDER BY q_id""",
+    "q_ann_ndcg" ->
+      s"""WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id < 2000),
+         n AS (SELECT * FROM (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+             $lshBucketSql AS bucket FROM e) WHERE nrm > 0),
+         s AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+             q.bucket AS qb, c.bucket AS cb,
+             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos_r
+           FROM n q JOIN n c ON c.vec_id >= 10 WHERE q.vec_id < 10),
+         ex AS (SELECT q_id, cand_id, 6 - rk AS rel FROM
+             (SELECT q_id, cand_id, row_number() OVER (PARTITION BY q_id
+               ORDER BY cos_r DESC, cand_id) AS rk FROM s) WHERE rk <= 5),
+         l4 AS (SELECT q_id, cand_id, rk AS pos FROM
+             (SELECT q_id, cand_id, row_number() OVER (PARTITION BY q_id
+               ORDER BY cos_r DESC, cand_id) AS rk FROM s
+             WHERE qb % 16 = cb % 16) WHERE rk <= 5),
+         d AS (SELECT l.q_id,
+             sum(CAST(COALESCE(x.rel, 0) AS DOUBLE) /
+               ln(CAST(l.pos AS DOUBLE) + 1.0)) AS dcg
+           FROM l4 l LEFT JOIN ex x
+             ON l.q_id = x.q_id AND l.cand_id = x.cand_id
+           GROUP BY l.q_id),
+         i AS (SELECT q_id, sum(CAST(rel AS DOUBLE) /
+             ln(7.0 - CAST(rel AS DOUBLE))) AS idcg
+           FROM ex GROUP BY q_id)
+         SELECT i.q_id, round(COALESCE(d.dcg, 0.0) / i.idcg, 6) AS ndcg_r
+         FROM i LEFT JOIN d ON i.q_id = d.q_id ORDER BY i.q_id""",
     "q_ann_recall" ->
       s"""WITH e AS (SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
