@@ -161,6 +161,34 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Near-dup-aware representative selection — the curation step
+    // AFTER clustering: keep the best member of every duplicate
+    // family (longest doc, ties to the smallest id) instead of the
+    // arbitrary first. One aggregate-argmin (min-struct, the CLAUDE
+    // idiom) over the cluster join — no window sort on the scale
+    // path.
+    "q_cluster_best" -> ((s, dir) => {
+      val scoped = docs(s, dir).filter(col("doc_id") < 2000)
+        .transform(graft.ops.QueryCaches.persist) // pairs + quality read it
+      val pairs = TextDedup.minhashDedup(scoped, "doc_id", "text",
+        shingleN = 3, numHashes = 6, bands = 3, threshold = 0.8,
+        maxBucket = Int.MaxValue)
+        .select("a", "b").transform(graft.ops.QueryCaches.persist)
+      val cl = TextDedup.clusters(scoped.select("doc_id"), pairs)
+        .toDF("doc_id", "cluster_id")
+      val qual = scoped.select(col("doc_id"),
+        coalesce(size(split(trim(col("text")), " ")).cast("long"), lit(0L))
+          .as("n_tokens"))
+      cl.join(qual, "doc_id")
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).cast("long").as("n_members"),
+          min(struct((-col("n_tokens")).as("negn"), col("doc_id").as("id")))
+            .as("m"))
+        .select(col("cluster_id"), col("m.id").as("kept_doc_id"),
+          (-col("m.negn")).as("kept_n_tokens"), col("n_members"))
+        .orderBy("cluster_id")
+    }),
+
     // Duplicate-family size distribution — the first report run after
     // a dedup pass ("how much of the corpus is families of size k"):
     // minhash pairs → connected components → histogram of cluster
@@ -1014,6 +1042,32 @@ ORDER BY doc_id, word_pos, sub_pos"""
              SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.id)
          SELECT id AS doc_id, min(lbl) AS cluster_id
          FROM reach GROUP BY id ORDER BY doc_id""",
+    "q_cluster_best" ->
+      s"""WITH RECURSIVE ${minhashCtes()},
+         ids AS (SELECT doc_id FROM documents WHERE doc_id < 2000),
+         edges AS (SELECT a, b FROM pairs
+             UNION ALL SELECT b, a FROM pairs),
+         reach(id, lbl) AS (
+             SELECT doc_id, doc_id FROM ids
+             UNION
+             SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.id),
+         lbl AS (SELECT id, min(lbl) AS cluster_id
+             FROM reach GROUP BY id),
+         q AS (SELECT doc_id,
+             COALESCE(CAST(len(string_split(trim(text), ' ')) AS BIGINT),
+               0) AS n_tokens
+           FROM documents WHERE doc_id < 2000),
+         j AS (SELECT l.cluster_id, q.doc_id, q.n_tokens
+           FROM lbl l JOIN q ON l.id = q.doc_id),
+         r AS (SELECT cluster_id, doc_id, n_tokens,
+             row_number() OVER (PARTITION BY cluster_id
+               ORDER BY n_tokens DESC, doc_id) AS rn,
+             CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+               AS n_members
+           FROM j)
+         SELECT cluster_id, doc_id AS kept_doc_id,
+           n_tokens AS kept_n_tokens, n_members
+         FROM r WHERE rn = 1 ORDER BY cluster_id""",
     "q_cluster_sizes" ->
       s"""WITH RECURSIVE ${minhashCtes(1000)},
          ids AS (SELECT doc_id FROM documents WHERE doc_id < 1000),
