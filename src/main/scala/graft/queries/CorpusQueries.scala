@@ -119,6 +119,31 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    // Source-adaptive filtering: each source keeps only docs at or
+    // above its OWN median length — the group-relative threshold that
+    // keeps a verbose source from drowning out a terse one under a
+    // single global cutoff. Exact interpolated medians (q_quantiles
+    // parity), rounded before the keep compare (the fence rule);
+    // report = per-source survivor counts.
+    "q_source_adaptive" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("source"),
+        coalesce(size(split(trim(col("text")), " ")).cast("long"), lit(0L))
+          .as("n_tokens"))
+        .transform(graft.ops.QueryCaches.persist) // thresholds + keep share it
+      val th = d.groupBy("source").agg(
+        round(percentile(col("n_tokens"), lit(0.5)), 6).as("p50_r"),
+        count(lit(1)).cast("long").as("n_docs"))
+      d.join(th, "source")
+        .groupBy("source", "n_docs", "p50_r")
+        .agg(sum(when(col("n_tokens").cast("double") >= col("p50_r"), 1L)
+          .otherwise(0L)).cast("long").as("n_kept"))
+        .withColumn("kept_frac_r",
+          round(col("n_kept").cast("double") / col("n_docs").cast("double"),
+            6))
+        .select("source", "n_docs", "p50_r", "n_kept", "kept_frac_r")
+        .orderBy("source")
+    }),
+
     // Labeler-agreement audit: Cohen's kappa between the heuristic
     // rule label and the trained model's prediction — the
     // chance-corrected agreement a pipeline reports before swapping a
@@ -653,6 +678,23 @@ object CorpusQueries {
          FROM c"""
 
   val oracles: Map[String, String] = Map(
+    "q_source_adaptive" ->
+      """WITH d AS (SELECT source,
+           COALESCE(CAST(len(string_split(trim(text), ' ')) AS BIGINT), 0)
+             AS n_tokens
+         FROM documents),
+         th AS (SELECT source,
+             round(quantile_cont(n_tokens, 0.5), 6) AS p50_r,
+             CAST(count(*) AS BIGINT) AS n_docs
+           FROM d GROUP BY source),
+         k AS (SELECT d.source,
+             CAST(sum(CASE WHEN CAST(d.n_tokens AS DOUBLE) >= th.p50_r
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+           FROM d JOIN th ON d.source = th.source GROUP BY d.source)
+         SELECT th.source, th.n_docs, th.p50_r, k.n_kept,
+           round(CAST(k.n_kept AS DOUBLE) / CAST(th.n_docs AS DOUBLE), 6)
+             AS kept_frac_r
+         FROM th JOIN k ON th.source = k.source ORDER BY th.source""",
     "q_label_agreement" -> labelAgreementOracle(5, "0.5"),
     "q_logreg_train" -> logregTrainOracle(5, "0.5"),
     "q_logreg_score" -> logregScoreOracle(5, "0.5"),
