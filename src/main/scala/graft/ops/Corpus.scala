@@ -553,6 +553,37 @@ object Corpus {
         col("c.n_chunk_tokens"))
   }
 
+  /** Epoch-weighted repetition plan — the "data recipe" a training run
+    * materializes when sources get different epoch counts (wiki seen
+    * 2.5×, web 0.5×, …): one output row per (document, copy).
+    * Weights are hundredths of an epoch per stratum (250 = 2.5
+    * epochs); the integer part repeats every doc, the fractional part
+    * is resolved per doc by the deterministic md5 bucket — so the
+    * plan is integer arithmetic end to end and retry/backfill-stable
+    * like [[hashSample]], and the realized per-stratum epoch count
+    * converges to weight/100 by construction.
+    */
+  def repeatPlan(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      weightsX100: Map[String, Int],
+      defaultX100: Int,
+      salt: String = "rep"): DataFrame = {
+    require((weightsX100.values ++ Seq(defaultX100)).forall(_ >= 0),
+      "weights must be >= 0")
+    val w = weightsX100.foldLeft(lit(defaultX100)) {
+      case (acc, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.withColumn("__w", w)
+      .withColumn("__n", expr("__w div 100").cast("long") +
+        when(hashBucket(col(idCol), salt) < col("__w") % 100, 1L)
+          .otherwise(0L))
+      .filter(col("__n") >= 1)
+      .withColumn("copy_idx", explode(sequence(lit(1L), col("__n"))))
+      .select(col(idCol), col(strataCol), col("copy_idx"))
+  }
+
   /** GPT-style sequence-packing manifest: documents are concatenated
     * in `idCol` order and chopped into fixed `window`-token training
     * sequences (the concat-and-chop packing every autoregressive

@@ -119,6 +119,17 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    // Epoch-weighted repetition plan: en seen 2.5x, zh 1x, the rest
+    // 0.5x — one row per (doc, copy), integer arithmetic end to end
+    // with the fractional epoch resolved by the deterministic md5
+    // bucket (Corpus.repeatPlan), so the recipe is retry-stable and
+    // bit-reproducible.
+    "q_repeat_plan" -> ((s, dir) =>
+      Corpus.repeatPlan(docs(s, dir).select(col("doc_id"), col("lang")),
+        "doc_id", "lang",
+        weightsX100 = Map("en" -> 250, "zh" -> 100), defaultX100 = 50)
+        .orderBy("doc_id", "copy_idx")),
+
     // Source-adaptive filtering: each source keeps only docs at or
     // above its OWN median length — the group-relative threshold that
     // keeps a verbose source from drowning out a terse one under a
@@ -678,6 +689,21 @@ object CorpusQueries {
          FROM c"""
 
   val oracles: Map[String, String] = Map(
+    "q_repeat_plan" ->
+      """WITH d AS (SELECT doc_id, lang,
+           CASE WHEN lang = 'en' THEN 250 WHEN lang = 'zh' THEN 100
+             ELSE 50 END AS w,
+           CAST(CAST(('0x' || substr(md5('rep:' ||
+             CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+             % 100 AS b
+         FROM documents),
+         n AS (SELECT doc_id, lang,
+             CAST((w // 100) + CASE WHEN b < (w % 100) THEN 1 ELSE 0 END
+               AS BIGINT) AS n_copies
+           FROM d)
+         SELECT doc_id, lang,
+           CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy_idx
+         FROM n WHERE n_copies >= 1 ORDER BY doc_id, copy_idx""",
     "q_source_adaptive" ->
       """WITH d AS (SELECT source,
            COALESCE(CAST(len(string_split(trim(text), ' ')) AS BIGINT), 0)

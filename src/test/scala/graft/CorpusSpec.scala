@@ -391,6 +391,33 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("repeatPlan: integer weights exact, fractional deterministic") {
+    val df = (1L to 100L).map(i =>
+      (i, if (i <= 40) "x3" else if (i <= 80) "x1.5" else "x0"))
+      .toDF("id", "src")
+    val plan = Corpus.repeatPlan(df, "id", "src",
+      weightsX100 = Map("x3" -> 300, "x1.5" -> 150, "x0" -> 0),
+      defaultX100 = 100)
+    val byId = plan.collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    // whole-number weights repeat every doc exactly weight/100 times
+    (1L to 40L).foreach(i => assert(byId(i) == 3))
+    // fractional weights give floor or floor+1 copies per doc
+    (41L to 80L).foreach(i => assert(byId(i) == 1 || byId(i) == 2))
+    // zero weight drops the doc entirely
+    (81L to 100L).foreach(i => assert(!byId.contains(i)))
+    // copy indices are 1..n dense per doc
+    val copies = plan.collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).sorted.toSeq)
+    copies.foreach { case (_, cs) => assert(cs == (1L to cs.length)) }
+    // deterministic: a second run builds the identical plan
+    val again = Corpus.repeatPlan(df, "id", "src",
+      weightsX100 = Map("x3" -> 300, "x1.5" -> 150, "x0" -> 0),
+      defaultX100 = 100)
+    assert(plan.orderBy("id", "copy_idx").collect().toSeq ==
+      again.orderBy("id", "copy_idx").collect().toSeq)
+  }
+
   test("packSequences: concat-and-chop spans cover every token exactly once") {
     val df = Seq(
       (1L, 100L), // spans seq 0 and 1 (window 64)
