@@ -468,6 +468,21 @@ object StreamQueries {
       }
     }),
 
+    // Streaming per-user rate limit: at most 5 events per user per
+    // DAY admitted (the daily period actually binds on this data —
+    // hourly maxima are under the cap), the rest dropped at the edge
+    // (StreamQuota — one rolling (period, count) record per user,
+    // NoTimeout). The whole table arrives as one micro-batch, so the
+    // in-batch (ts_ns, event_id) sort makes the admitted set the
+    // batch oracle's row_number ≤ 5 exactly.
+    "q_stream_quota" -> ((s, dir) =>
+      runFileStream(s, dir, "events", "q_stream_quota_sink") { raw =>
+        graft.streaming.StreamQuota.perUserHourly(
+          Tables.withEventTime(raw), k = 5,
+          bucketNs = graft.streaming.StreamQuota.DayNs).toDF()
+      }.select(col("user_id"), col("ts_ns"), col("event_id"))
+        .orderBy("user_id", "ts_ns", "event_id")),
+
     // Streaming corpus-drift monitor: tumbling-window token counts
     // (watermark-bounded state, the q_stream_trending ingest) emit to
     // the sink, then the PSI of each window's smoothed token
@@ -867,6 +882,17 @@ object StreamQueries {
          SELECT ws AS window_start_s, ws + 3600 AS window_end_s,
            rank, event_id, value
          FROM r WHERE rank <= 3 ORDER BY window_start_s, rank""",
+    // (user, day) rank ≤ 5 in the same (ts_ns, event_id) total order
+    // the stream sorts by
+    "q_stream_quota" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns, event_id
+           FROM events),
+         r AS (SELECT user_id, ts_ns, event_id, row_number() OVER
+             (PARTITION BY user_id, ts_ns // 86400000000000
+               ORDER BY ts_ns, event_id) AS rn
+           FROM e)
+         SELECT user_id, ts_ns, event_id FROM r WHERE rn <= 5
+         ORDER BY user_id, ts_ns, event_id""",
     // window token distributions vs the corpus reference, smoothed
     // PSI over the full vocab grid — same epoch buckets as trending
     "q_stream_drift" ->

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamQuota
+
+/** Per-user quota: in-batch cap, cross-batch state carry, and the
+  * period roll that resets the count.
+  */
+class StreamQuotaSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  private def ns(sec: Long): Long = sec * 1000000000L
+
+  test("admits at most k per period; state carries; period rolls") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long)]
+    val q = StreamQuota.perUserHourly(
+      input.toDF().toDF("user_id", "ts_ns", "event_id"),
+      k = 2, bucketNs = ns(10))
+      .writeStream.format("memory").queryName("squota")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 sends 3 events in period 0 (OUT OF ORDER —
+      // the in-batch sort decides admission), user 2 sends 1
+      input.addData((1L, ns(3), 30L), (1L, ns(1), 10L), (1L, ns(2), 20L),
+        (2L, ns(1), 40L))
+      q.processAllAvailable()
+      // batch 2: user 1's period-0 budget is SPENT (state), so ts 5
+      // drops; ts 12 opens period 1 and is admitted
+      input.addData((1L, ns(5), 50L), (1L, ns(12), 60L))
+      q.processAllAvailable()
+      val got = spark.table("squota")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == Set(
+        (1L, ns(1), 10L), (1L, ns(2), 20L), // first two of period 0
+        (2L, ns(1), 40L),
+        (1L, ns(12), 60L))) // period rolled, count reset
+    } finally q.stop()
+    intercept[IllegalArgumentException] {
+      StreamQuota.perUserHourly(
+        Seq((1L, 0L, 0L)).toDF("user_id", "ts_ns", "event_id"), k = 0)
+    }
+  }
+}
