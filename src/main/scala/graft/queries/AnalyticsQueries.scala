@@ -711,6 +711,29 @@ object AnalyticsQueries {
         .orderBy("l_suppkey")
     }),
 
+    // Join-size / skew profiler — the pre-flight analysis that decides
+    // whether a join needs salting BEFORE paying for it: exact join
+    // output cardinality Σ_k c1(k)·c2(k) from the two sides' per-key
+    // counts (their join carries one row per DISTINCT key, never the
+    // data), the heaviest key's contribution, and its share. The
+    // aggregate-argmax picks the hot key without a window sort.
+    "q_join_size" -> ((s, dir) => {
+      val lc = t(s, dir, "lineitem").groupBy(col("l_orderkey").as("k"))
+        .agg(count(lit(1)).as("c1"))
+      val oc = t(s, dir, "orders").groupBy(col("o_orderkey").as("k"))
+        .agg(count(lit(1)).as("c2"))
+      lc.join(oc, "k")
+        .select(col("k"), (col("c1") * col("c2")).as("contrib"))
+        .agg(count(lit(1)).cast("long").as("n_keys"),
+          sum(col("contrib")).cast("long").as("join_rows"),
+          min(struct((-col("contrib")).as("negc"), col("k").as("key")))
+            .as("m"))
+        .select(col("n_keys"), col("join_rows"),
+          (-col("m.negc")).as("max_contrib"), col("m.key").as("top_key"),
+          round((-col("m.negc")).cast("double") /
+            col("join_rows").cast("double"), 6).as("skew_frac_r"))
+    }),
+
     // Data-quality expectations report — the constraint audit shipped
     // with every table publish (Expectations): null/range/uniqueness/
     // referential checks, each ONE aggregate emitting a count row —
@@ -1349,6 +1372,23 @@ object AnalyticsQueries {
            JOIN nation ON s_nationkey = n_nationkey
            WHERE n_name = 'NATION_9')
          GROUP BY l_suppkey ORDER BY l_suppkey""",
+    "q_join_size" ->
+      """WITH lc AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS c1
+           FROM lineitem GROUP BY 1),
+         oc AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS c2
+           FROM orders GROUP BY 1),
+         j AS (SELECT lc.k, lc.c1 * oc.c2 AS contrib
+           FROM lc JOIN oc ON lc.k = oc.k),
+         mx AS (SELECT k AS top_key, contrib AS max_contrib FROM
+             (SELECT k, contrib, row_number() OVER
+               (ORDER BY contrib DESC, k) AS rn FROM j) WHERE rn = 1)
+         SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(j.contrib) AS BIGINT) AS join_rows,
+           CAST(max(mx.max_contrib) AS BIGINT) AS max_contrib,
+           CAST(max(mx.top_key) AS BIGINT) AS top_key,
+           round(CAST(max(mx.max_contrib) AS DOUBLE) /
+             CAST(sum(j.contrib) AS DOUBLE), 6) AS skew_frac_r
+         FROM j CROSS JOIN mx""",
     "q_expectations" ->
       """WITH checks AS (
            SELECT 'lineitem_keys_not_null' AS "check",
