@@ -1204,6 +1204,102 @@ object AnalyticsQueries {
         .select(col("bucket"), col("c_base"), col("c_cur"),
           round((q - p) * log(q / p), 6).as("psi_contrib_r"))
         .orderBy("bucket")
+    }),
+
+    // Two-sample Kolmogorov–Smirnov: D = max |F_A(x) − F_B(x)| over
+    // the pooled sample values — the classic distribution-shift test
+    // beside q_psi (binned) and q_mannwhitney (rank). ECDFs come from
+    // exact integer running counts over the per-value aggregate via
+    // the two-phase ScaleOps.globalRunningSum (no single-partition
+    // window); the ECDF ratios are exact-integer divisions, so the
+    // doubles — and their max — are engine-identical before rounding.
+    "q_ks_test" -> ((s, dir) => {
+      val pv = t(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("A", "N"))
+        .select(col("l_extendedprice").as("val"), col("l_returnflag").as("grp"))
+        .groupBy("val")
+        .agg(sum(when(col("grp") === "A", 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("grp") === "N", 1L).otherwise(0L)).as("n_b"))
+        .transform(graft.ops.QueryCaches.persist) // totals + running sums share it
+      val cum = graft.ops.ScaleOps.globalRunningSum(
+        graft.ops.ScaleOps.globalRunningSum(pv, 8, "n_a", "cum_a", col("val")),
+        8, "n_b", "cum_b", col("val"))
+      val tot = pv.agg(sum(col("n_a")).as("na"), sum(col("n_b")).as("nb"))
+      cum.crossJoin(broadcast(tot))
+        .select(col("na"), col("nb"),
+          abs(col("cum_a").cast("double") / col("na") -
+            col("cum_b").cast("double") / col("nb")).as("d"))
+        .groupBy("na", "nb").agg(max(col("d")).as("dmax"))
+        .select(col("na").as("n_a"), col("nb").as("n_b"),
+          round(col("dmax"), 6).as("d_stat"),
+          round(col("dmax") * sqrt(col("na").cast("double") * col("nb") /
+            (col("na") + col("nb"))), 6).as("ks_scaled"))
+    }),
+
+    // Classical seasonal decomposition of the hourly event-arrival
+    // series: trend = centered 5-hour rolling mean, seasonal =
+    // hour-of-day mean of the detrended series, residual = remainder.
+    // Scale shape: the corpus collapses FIRST to one row per hour
+    // (keyed aggregate, map-side combine); every window after that
+    // runs over the calendar-bounded hourly frame (≤ 8.8k rows/year
+    // however big the corpus), so the unpartitioned window is bounded
+    // by construction. The 5-row trend mean is a sum of ≤5 integer
+    // counts (exact in any order); the seasonal mean sums identical
+    // doubles over the bounded per-hod day count (round-6 safe).
+    "q_seasonal_decomp" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .select(expr("ts_ns div 3600000000000").as("hr"))
+        .groupBy("hr").agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("hr")).rowsBetween(-2, 2)
+      val det = hourly
+        .withColumn("trend", avg(col("cnt").cast("double")).over(w))
+        .withColumn("hod", (col("hr") % 24).cast("int"))
+        .withColumn("det", col("cnt").cast("double") - col("trend"))
+        .transform(graft.ops.QueryCaches.persist) // seasonal mean + output share it
+      // 24 rows by construction — broadcast is safe at any corpus size
+      val seas = det.groupBy("hod")
+        .agg((sum(col("det")) / count(lit(1))).as("seas"))
+      det.join(broadcast(seas), Seq("hod"))
+        .select(col("hr"), col("hod"), col("cnt"),
+          round(col("trend"), 6).as("trend_r"),
+          round(col("seas"), 6).as("seas_r"),
+          round(col("det") - col("seas"), 6).as("resid_r"))
+        .orderBy("hr")
+    }),
+
+    // Deterministic Poisson(1) bootstrap: each row enters replica b
+    // with weight w drawn by inverting the Poisson CDF at the md5 hash
+    // fraction of (row key, b) — the hash-sampling idiom (retry-stable,
+    // engine-portable) applied to resampling. Replica means are exact
+    // DECIMAL sums over integer weights (order-independent), and the
+    // CI is the exact interpolated percentile over the 32 ROUNDED
+    // replica means (bounded by the replica-count literal — identical
+    // inputs, identical interpolation on both engines). Scale shape:
+    // the explode is map-side (32× rows, no extra shuffle) into one
+    // keyed aggregate; replica count never grows with the corpus.
+    "q_bootstrap_ci" -> ((s, dir) => {
+      val u = conv(substring(md5(concat(lit("bs:"),
+        col("l_orderkey").cast("string"), lit(":"),
+        col("l_linenumber").cast("string"), lit(":"),
+        col("b").cast("string"))), 1, 8), 16, 10)
+        .cast("long").cast("double") / lit(4294967296.0)
+      val w = when(u < 0.3678794412, 0L).when(u < 0.7357588823, 1L)
+        .when(u < 0.9196986029, 2L).when(u < 0.9810118431, 3L)
+        .otherwise(4L)
+      val reps = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          dec(col("l_extendedprice")).as("x"))
+        .withColumn("b", explode(sequence(lit(0), lit(31))))
+        .withColumn("w", w)
+        .groupBy("b")
+        .agg(sum(col("w")).as("n_eff"),
+          sum((col("w") * col("x")).cast("decimal(28,2)")).as("xsum"))
+        .select(col("b"),
+          round(col("xsum").cast("double") / col("n_eff"), 6).as("mean_r"))
+      reps.agg(count(lit(1)).as("n_reps"),
+        round(expr("percentile(mean_r, 0.05)"), 6).as("mean_lo_r"),
+        round(expr("percentile(mean_r, 0.5)"), 6).as("mean_mid_r"),
+        round(expr("percentile(mean_r, 0.95)"), 6).as("mean_hi_r"))
     }))
 
   /** EWMA oracle: the same fixed left-associated weighted lag chain
@@ -2153,5 +2249,78 @@ object AnalyticsQueries {
              round(q3 + (q3 - q1) * 1.5, 6) AS hi_r FROM q)
          SELECT event_id, value, lo_r, hi_r
          FROM d CROSS JOIN b WHERE value < lo_r OR value > hi_r
-         ORDER BY event_id""")
+         ORDER BY event_id""",
+    // ECDF ratios are exact-integer divisions (identical doubles both
+    // engines), so max and the scaled stat compare exactly at round-6
+    "q_ks_test" ->
+      """WITH s AS (SELECT l_extendedprice AS val, l_returnflag AS grp
+           FROM lineitem WHERE l_returnflag IN ('A', 'N')),
+         pv AS (SELECT val,
+             CAST(sum(CASE WHEN grp = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(sum(CASE WHEN grp = 'N' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b
+           FROM s GROUP BY 1),
+         cum AS (SELECT val,
+             CAST(sum(n_a) OVER (ORDER BY val) AS BIGINT) AS cum_a,
+             CAST(sum(n_b) OVER (ORDER BY val) AS BIGINT) AS cum_b
+           FROM pv),
+         tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS na,
+             CAST(sum(n_b) AS BIGINT) AS nb FROM pv),
+         d AS (SELECT t.na, t.nb,
+             max(abs(CAST(cum_a AS DOUBLE) / t.na
+               - CAST(cum_b AS DOUBLE) / t.nb)) AS dmax
+           FROM cum CROSS JOIN tot t GROUP BY t.na, t.nb)
+         SELECT na AS n_a, nb AS n_b, round(dmax, 6) AS d_stat,
+           round(dmax * sqrt(CAST(na AS DOUBLE) * nb / (na + nb)), 6)
+             AS ks_scaled
+         FROM d""",
+    // the 5-row trend mean sums ≤5 integer counts (exact in any
+    // order); hod means sum identical doubles over a bounded day count
+    "q_seasonal_decomp" ->
+      """WITH h AS (SELECT epoch_ns(ts) // 3600000000000 AS hr
+           FROM events),
+         hc AS (SELECT hr, CAST(count(*) AS BIGINT) AS cnt
+           FROM h GROUP BY 1),
+         tr AS (SELECT hr, cnt, avg(CAST(cnt AS DOUBLE)) OVER
+             (ORDER BY hr ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+             AS trend
+           FROM hc),
+         dt AS (SELECT hr, CAST(hr % 24 AS INTEGER) AS hod, cnt, trend,
+             CAST(cnt AS DOUBLE) - trend AS det FROM tr),
+         se AS (SELECT hod, sum(det) / count(*) AS seas
+           FROM dt GROUP BY 1)
+         SELECT dt.hr, dt.hod, dt.cnt, round(dt.trend, 6) AS trend_r,
+           round(se.seas, 6) AS seas_r,
+           round(dt.det - se.seas, 6) AS resid_r
+         FROM dt JOIN se USING (hod) ORDER BY dt.hr""",
+    // Poisson(1) CDF inverted at the md5 hash fraction — the CASE
+    // thresholds are shared digit-for-digit with the Spark side, and
+    // replica means are DECIMAL-exact before the one double division
+    "q_bootstrap_ci" ->
+      """WITH r AS (SELECT l_orderkey, l_linenumber, l_extendedprice AS x,
+             unnest(range(32)) AS b FROM lineitem),
+         w AS (SELECT b, x,
+             CASE
+               WHEN u < 0.3678794412 THEN 0
+               WHEN u < 0.7357588823 THEN 1
+               WHEN u < 0.9196986029 THEN 2
+               WHEN u < 0.9810118431 THEN 3
+               ELSE 4 END AS w
+           FROM (SELECT *,
+               CAST(CAST(('0x' || substr(md5('bs:'
+                 || CAST(l_orderkey AS VARCHAR) || ':'
+                 || CAST(l_linenumber AS VARCHAR) || ':'
+                 || CAST(b AS VARCHAR)), 1, 8)) AS UBIGINT) AS DOUBLE)
+                 / 4294967296.0 AS u
+             FROM r)),
+         reps AS (SELECT b,
+             round(CAST(sum(CAST(w * x AS DECIMAL(28,2))) AS DOUBLE)
+               / sum(w), 6) AS mean_r
+           FROM w GROUP BY b)
+         SELECT CAST(count(*) AS BIGINT) AS n_reps,
+           round(quantile_cont(mean_r, 0.05), 6) AS mean_lo_r,
+           round(quantile_cont(mean_r, 0.5), 6) AS mean_mid_r,
+           round(quantile_cont(mean_r, 0.95), 6) AS mean_hi_r
+         FROM reps""")
 }

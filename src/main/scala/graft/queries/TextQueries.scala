@@ -589,6 +589,38 @@ object TextQueries {
           max(col("n_distinct")).as("n_distinct"),
           round(-sum(col("plogp")), 6).as("entropy_r"))
         .orderBy("source")
+    }),
+
+    // Zipf rank-frequency fit: log-log OLS of token frequency against
+    // rank — the one-number check that a corpus' token distribution
+    // looks like natural language (slope ≈ −1) rather than templated
+    // or synthetic junk. Rank comes from the two-phase
+    // ScaleOps.globalRowNumber (no single-partition window); the OLS
+    // moment sums run over n_types points — vocabulary-bounded, far
+    // below the corpus size, so the double sums fall under the
+    // bounded-terms round-6 rule.
+    "q_zipf_fit" -> ((s, dir) => {
+      val counts = docs(s, dir)
+        .select(explode(graft.ops.TextDedup.tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+      val pts = graft.ops.ScaleOps.globalRowNumber(counts, 8,
+        col("n").desc, col("tok"))
+        .select(log(col("rn").cast("double")).as("lx"),
+          log(col("n").cast("double")).as("ly"))
+      val num = col("k") * col("sxy") - col("sx") * col("sy")
+      val den = col("k") * col("sxx") - col("sx") * col("sx")
+      val deny = col("k") * col("syy") - col("sy") * col("sy")
+      pts.agg(count(lit(1)).as("k"),
+        sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
+        sum(col("lx") * col("lx")).as("sxx"),
+        sum(col("lx") * col("ly")).as("sxy"),
+        sum(col("ly") * col("ly")).as("syy"))
+        .select(col("k").as("n_types"),
+          round(num / den, 6).as("slope_r"),
+          round((col("sy") - (num / den) * col("sx")) / col("k"), 6)
+            .as("icept_r"),
+          round(num * num / (den * deny), 6).as("r2_r"))
     }))
 
   /** Shared CTE chain for the minhash near-dup pipeline: documents →
@@ -1254,5 +1286,27 @@ ORDER BY doc_id, word_pos, sub_pos"""
                AS UBIGINT) AS BIGINT) % 512 AS bucket
            FROM t WHERE tok <> '')
          SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS n
-         FROM f GROUP BY 1, 2 ORDER BY doc_id, bucket""")
+         FROM f GROUP BY 1, 2 ORDER BY doc_id, bucket""",
+    // rank on (n DESC, tok) mirrors globalRowNumber's total order; the
+    // moment sums are vocabulary-bounded doubles (round-6 safe)
+    "q_zipf_fit" ->
+      """WITH t AS (SELECT unnest(string_split(trim(text), ' ')) AS tok
+           FROM documents),
+         tk AS (SELECT tok FROM t WHERE tok <> ''),
+         c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n
+           FROM tk GROUP BY 1),
+         r AS (SELECT n, CAST(row_number() OVER
+             (ORDER BY n DESC, tok) AS BIGINT) AS rn FROM c),
+         p AS (SELECT ln(CAST(rn AS DOUBLE)) AS lx,
+             ln(CAST(n AS DOUBLE)) AS ly FROM r),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS k,
+             sum(lx) AS sx, sum(ly) AS sy, sum(lx * lx) AS sxx,
+             sum(lx * ly) AS sxy, sum(ly * ly) AS syy FROM p)
+         SELECT k AS n_types,
+           round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS slope_r,
+           round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx)
+             / k, 6) AS icept_r,
+           round((k * sxy - sx * sy) * (k * sxy - sx * sy)
+             / ((k * sxx - sx * sx) * (k * syy - sy * sy)), 6) AS r2_r
+         FROM m""")
 }

@@ -695,6 +695,52 @@ object VectorQueries {
         .filter(col("rank") <= 3)
         .select(col("q_id"), col("cand_id"), col("rank"), col("cos_r"))
         .orderBy("q_id", "rank")
+    }),
+
+    // Hybrid retrieval: reciprocal-rank fusion of the lexical (BM25)
+    // and semantic (embedding-cosine) arms — rank-based fusion needs
+    // no score calibration between arms (score = Σ 1/(K + rank),
+    // K = 60, the standard constant). Each arm ranks on its ROUNDED
+    // score with the id tiebreak, so the ranks — and therefore the
+    // fused scores — are engine-portable; an id missing from one arm
+    // contributes 0 and surfaces its rank as -1 (the outer-join null
+    // sentinel rule). Scale shape: each arm's top-20 is a distributed
+    // sort-limit (TakeOrdered — no global sort materializes), the
+    // window rank then runs over a 20-row frame bounded by the LIMIT
+    // literal, and the fusion join is ≤ 2·20 rows by construction.
+    "q_rrf_fusion" -> ((s, dir) => {
+      val lexTop = graft.ops.Retrieval.bm25(
+        Tables.table(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("spark", "vector", "window"))
+        .orderBy(col("score_r").desc, col("doc_id")).limit(20)
+      val wl = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score_r").desc, col("doc_id"))
+      val lex = lexTop.select(col("doc_id"),
+        row_number().over(wl).cast("long").as("lex_rank"))
+      val e = withNorm(emb(s, dir).filter(col("vec_id") < 2000)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v")))
+        .transform(graft.ops.QueryCaches.persist) // query + candidate arms share it
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nrm").as("qn"))
+      val semTop = e.filter(col("vec_id") >= 10)
+        .join(broadcast(q))
+        .withColumn("cos_r", cosR(col("qv"), col("v"), col("qn"), col("nrm")))
+        .orderBy(col("cos_r").desc, col("vec_id")).limit(20)
+      val ws = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cos_r").desc, col("vec_id"))
+      val sem = semTop.select(col("vec_id").as("doc_id"),
+        row_number().over(ws).cast("long").as("sem_rank"))
+      lex.join(sem, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("lex_rank"), lit(-1L)).as("lex_rank"),
+          coalesce(col("sem_rank"), lit(-1L)).as("sem_rank"),
+          round(
+            when(col("lex_rank").isNotNull,
+              lit(1.0) / (lit(60.0) + col("lex_rank"))).otherwise(lit(0.0)) +
+              when(col("sem_rank").isNotNull,
+                lit(1.0) / (lit(60.0) + col("sem_rank"))).otherwise(lit(0.0)),
+            6).as("rrf_r"))
+        .orderBy(col("rrf_r").desc, col("doc_id"))
     }))
 
   private val bucketSql = (0 until 8)
@@ -1179,5 +1225,55 @@ object VectorQueries {
              (PARTITION BY q_id ORDER BY cos_r DESC, cand_id) AS BIGINT)
              AS rank FROM s2)
          SELECT q_id, cand_id, rank, cos_r FROM r2 WHERE rank <= 3
-         ORDER BY q_id, rank""")
+         ORDER BY q_id, rank""",
+    // both arms rank on the ROUNDED score (+ id tiebreak) before the
+    // LIMIT, so the top-20 sets and rank values are engine-identical;
+    // the BM25 CTE chain mirrors TextQueries' q_bm25 oracle verbatim
+    "q_rrf_fusion" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+           FROM documents),
+         c AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(toks)) AS BIGINT) AS tot_len FROM d),
+         t AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM d),
+         tf AS (SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
+           FROM t WHERE tok IN ('spark', 'vector', 'window')
+           GROUP BY 1, 2, 3),
+         dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+           FROM tf GROUP BY 1),
+         sc AS (SELECT tf.doc_id,
+             ln(1.0 + (c.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+               * CAST(tf.tf AS DOUBLE) * 2.2
+               / (tf.tf + 1.2 * (1.0 - 0.75 +
+                   0.75 * CAST(tf.dl AS DOUBLE)
+                     / (CAST(c.tot_len AS DOUBLE) / c.n_docs)))
+               AS term_score
+           FROM tf JOIN dfq USING (tok) CROSS JOIN c),
+         bm AS (SELECT doc_id, round(sum(term_score), 6) AS score_r
+           FROM sc GROUP BY 1),
+         lex AS (SELECT doc_id, CAST(row_number() OVER
+             (ORDER BY score_r DESC, doc_id) AS BIGINT) AS lex_rank
+           FROM (SELECT * FROM bm ORDER BY score_r DESC, doc_id LIMIT 20)),
+         e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id < 2000),
+         n AS (SELECT * FROM (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
+             WHERE nrm > 0),
+         qv AS (SELECT v AS qvec, nrm AS qn FROM n WHERE vec_id = 0),
+         scd AS (SELECT n.vec_id,
+             round(list_dot_product(qv.qvec, n.v) / (qv.qn * n.nrm), 6)
+               AS cos_r
+           FROM n CROSS JOIN qv WHERE n.vec_id >= 10),
+         sem AS (SELECT vec_id AS doc_id, CAST(row_number() OVER
+             (ORDER BY cos_r DESC, vec_id) AS BIGINT) AS sem_rank
+           FROM (SELECT * FROM scd ORDER BY cos_r DESC, vec_id LIMIT 20))
+         SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+           coalesce(l.lex_rank, -1) AS lex_rank,
+           coalesce(s.sem_rank, -1) AS sem_rank,
+           round((CASE WHEN l.lex_rank IS NOT NULL
+               THEN 1.0 / (60.0 + l.lex_rank) ELSE 0.0 END)
+             + (CASE WHEN s.sem_rank IS NOT NULL
+               THEN 1.0 / (60.0 + s.sem_rank) ELSE 0.0 END), 6) AS rrf_r
+         FROM lex l FULL JOIN sem s ON l.doc_id = s.doc_id
+         ORDER BY rrf_r DESC, doc_id""")
 }
