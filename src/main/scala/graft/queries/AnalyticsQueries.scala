@@ -1300,6 +1300,36 @@ object AnalyticsQueries {
         round(expr("percentile(mean_r, 0.05)"), 6).as("mean_lo_r"),
         round(expr("percentile(mean_r, 0.5)"), 6).as("mean_mid_r"),
         round(expr("percentile(mean_r, 0.95)"), 6).as("mean_hi_r"))
+    }),
+
+    // Theil–Sen robust trend: median of all pairwise slopes of the
+    // hourly event-count series (breakdown point 29% — one bad day
+    // cannot drag the estimate the way it drags the OLS q_trend_lines
+    // slope). The corpus collapses FIRST to the calendar-bounded
+    // hourly frame, so the O(H²) pair join is bounded by construction
+    // (≤ 8.8k rows/year however big the corpus); slopes are
+    // exact-integer ratios → identical doubles, and the medians are
+    // exact interpolated percentiles over identical inputs.
+    "q_theilsen" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .select(expr("ts_ns div 3600000000000").as("hr"))
+        .groupBy("hr").agg(count(lit(1)).as("cnt"))
+        .transform(graft.ops.QueryCaches.persist) // both pair sides + intercept pass
+      val a = hourly.select(col("hr").as("x1"), col("cnt").as("y1"))
+      val b = hourly.select(col("hr").as("x2"), col("cnt").as("y2"))
+      val m = a.join(b, col("x1") < col("x2"))
+        .select(((col("y2") - col("y1")).cast("double") /
+          (col("x2") - col("x1")).cast("double")).as("slope"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("percentile(slope, 0.5)").as("ms"))
+        .transform(graft.ops.QueryCaches.persist) // intercept pass + output
+      val ic = hourly.crossJoin(broadcast(m.select(col("ms"))))
+        .select((col("cnt").cast("double") -
+          col("ms") * col("hr").cast("double")).as("icv"))
+        .agg(expr("percentile(icv, 0.5)").as("mi"))
+      m.crossJoin(ic)
+        .select(col("n_pairs"), round(col("ms"), 6).as("slope_r"),
+          round(col("mi"), 6).as("icept_r"))
     }))
 
   /** EWMA oracle: the same fixed left-associated weighted lag chain
@@ -2322,5 +2352,22 @@ object AnalyticsQueries {
            round(quantile_cont(mean_r, 0.05), 6) AS mean_lo_r,
            round(quantile_cont(mean_r, 0.5), 6) AS mean_mid_r,
            round(quantile_cont(mean_r, 0.95), 6) AS mean_hi_r
-         FROM reps""")
+         FROM reps""",
+    // pairwise slopes are exact-integer ratios; both medians are
+    // exact interpolated percentiles over identical doubles
+    "q_theilsen" ->
+      """WITH h AS (SELECT epoch_ns(ts) // 3600000000000 AS hr
+           FROM events),
+         hc AS (SELECT hr, CAST(count(*) AS BIGINT) AS cnt
+           FROM h GROUP BY 1),
+         p AS (SELECT CAST(b.cnt - a.cnt AS DOUBLE) / (b.hr - a.hr)
+             AS slope
+           FROM hc a JOIN hc b ON a.hr < b.hr),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             quantile_cont(slope, 0.5) AS ms FROM p),
+         ic AS (SELECT quantile_cont(CAST(cnt AS DOUBLE) - m.ms * hr, 0.5)
+             AS mi FROM hc CROSS JOIN m)
+         SELECT m.n_pairs, round(m.ms, 6) AS slope_r,
+           round(ic.mi, 6) AS icept_r
+         FROM m CROSS JOIN ic""")
 }

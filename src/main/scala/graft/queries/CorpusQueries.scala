@@ -579,6 +579,30 @@ object CorpusQueries {
             (col("o").cast("double") - col("e")) / col("e"), 6)
             .as("contrib_r"))
         .orderBy("lang", "source")
+    }),
+
+    // Length-based curriculum schedule: the classic easy-to-hard
+    // training order — documents ranked by token count into ten equal
+    // phases (exact integer arithmetic: phase = (rank−1)·10 div N, no
+    // ntile and no single-partition window — rank comes from the
+    // two-phase ScaleOps.globalRowNumber), then shuffled WITHIN each
+    // phase by the deterministic md5 order (retry-stable, seedless).
+    // The within-phase window partitions by phase — keyed, scalable.
+    "q_curriculum" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        size(graft.ops.TextDedup.tokens(col("text"))).as("n_tokens"))
+      val ranked = graft.ops.ScaleOps.globalRowNumber(d, 8,
+        col("n_tokens"), col("doc_id"))
+      val tot = ranked.agg(count(lit(1)).as("n_total"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("phase")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      ranked.crossJoin(broadcast(tot))
+        .withColumn("phase",
+          expr("((rn - 1) * 10) div n_total").cast("int"))
+        .withColumn("ord", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("n_tokens"), col("phase"), col("ord"))
+        .orderBy("phase", "ord")
     }))
 
   /** Unrolled-GD oracle chain for the q_logreg_* gates: the feature
@@ -1202,5 +1226,22 @@ object CorpusQueries {
          r AS (SELECT doc_id, version, md5(text) AS fp,
              row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn
            FROM all_rev)
-         SELECT doc_id, version, fp FROM r WHERE rn = 1 ORDER BY doc_id""")
+         SELECT doc_id, version, fp FROM r WHERE rn = 1 ORDER BY doc_id""",
+    // phase boundaries are exact integer floor-division; the
+    // within-phase order is the md5-of-id string order on both engines
+    "q_curriculum" ->
+      """WITH d AS (SELECT doc_id,
+             len(string_split(trim(text), ' ')) AS n_tokens
+           FROM documents),
+         r AS (SELECT doc_id, n_tokens, CAST(row_number() OVER
+             (ORDER BY n_tokens, doc_id) AS BIGINT) AS rn FROM d),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM d),
+         p AS (SELECT doc_id, n_tokens,
+             CAST(((rn - 1) * 10) // n_total AS INTEGER) AS phase
+           FROM r CROSS JOIN t)
+         SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, phase,
+           CAST(row_number() OVER (PARTITION BY phase
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+             AS ord
+         FROM p ORDER BY phase, ord""")
 }

@@ -741,6 +741,55 @@ object VectorQueries {
                 lit(1.0) / (lit(60.0) + col("sem_rank"))).otherwise(lit(0.0)),
             6).as("rrf_r"))
         .orderBy(col("rrf_r").desc, col("doc_id"))
+    }),
+
+    // Maximal-marginal-relevance reranking: greedy diversified top-4
+    // from the semantic top-20 pool — pick argmax of
+    // λ·relevance − (1−λ)·max-similarity-to-already-picked (λ = 0.7),
+    // the standard redundancy-killing rerank for retrieval results.
+    // Inherently sequential, but every round operates on frames
+    // bounded by the k/pool LITERALS (20 candidates, 20×19 pair sims,
+    // 4 rounds), so the driver loop is constant work at any corpus
+    // size; only the pool selection itself (a distributed sort-limit)
+    // sees the corpus. Scores rank on round-6 values with the id
+    // tiebreak → the greedy trajectory is engine-deterministic. The
+    // 0.3 complement is a shared LITERAL on both engines (1 − 0.7 in
+    // binary is 0.30000000000000004, NOT the 0.3 literal — computing
+    // it would diverge from the oracle's digits).
+    "q_mmr" -> ((s, dir) => {
+      val e = withNorm(emb(s, dir).filter(col("vec_id") < 2000)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v")))
+        .transform(graft.ops.QueryCaches.persist)
+      val cand = e.filter(col("vec_id") >= 10)
+        .join(broadcast(e.filter(col("vec_id") === 0)
+          .select(col("v").as("qv"), col("nrm").as("qn"))))
+        .withColumn("rel", cosR(col("qv"), col("v"), col("qn"), col("nrm")))
+        .orderBy(col("rel").desc, col("vec_id")).limit(20)
+        .select(col("vec_id"), col("v"), col("nrm"), col("rel"))
+        .transform(graft.ops.QueryCaches.persist) // sim matrix + every round read it
+      val sims = cand.select(col("vec_id").as("a"), col("v").as("va"),
+        col("nrm").as("na"))
+        .join(cand.select(col("vec_id").as("b"), col("v").as("vb"),
+          col("nrm").as("nb")), col("a") =!= col("b"))
+        .select(col("a"), col("b"),
+          cosR(col("va"), col("vb"), col("na"), col("nb")).as("sim"))
+        .transform(graft.ops.QueryCaches.persist) // read once per round
+      var sel = cand.orderBy(col("rel").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), lit(1L).as("pick"), col("rel").as("score_r"))
+        .transform(graft.ops.QueryCaches.persist) // each round reads the running set
+      for (r <- 2 to 4) {
+        val maxsim = sims.join(sel.select(col("vec_id").as("b")), Seq("b"))
+          .groupBy("a").agg(max(col("sim")).as("msim"))
+        val next = cand.join(sel.select("vec_id"), Seq("vec_id"), "left_anti")
+          .join(maxsim, col("vec_id") === col("a"))
+          .withColumn("score_r",
+            round(lit(0.7) * col("rel") - lit(0.3) * col("msim"), 6))
+          .orderBy(col("score_r").desc, col("vec_id")).limit(1)
+          .select(col("vec_id"), lit(r.toLong).as("pick"), col("score_r"))
+        sel = sel.unionByName(next)
+          .transform(graft.ops.QueryCaches.persist)
+      }
+      sel.orderBy("pick")
     }))
 
   private val bucketSql = (0 until 8)
@@ -853,7 +902,50 @@ object VectorQueries {
                + list_dot_product(cs, cs) AS ad
            FROM ce CROSS JOIN q)"""
 
+  /** Unrolled greedy MMR trajectory: the same top-20 pool, pairwise
+    * sim matrix, and argmax rounds as the q_mmr Spark loop, each
+    * round's cumulative selected set materialized as a named CTE.
+    */
+  private def mmrOracle(k: Int): String = {
+    val rounds = (2 to k).map { r =>
+      s"""r$r AS (SELECT c.vec_id, c.rel,
+             round(0.7 * c.rel - 0.3 * max(s.sim), 6) AS score_r
+           FROM cand c JOIN sims s ON s.a = c.vec_id
+           WHERE s.b IN (SELECT vec_id FROM sel${r - 1})
+             AND c.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})
+           GROUP BY c.vec_id, c.rel),
+         s$r AS (SELECT vec_id, CAST($r AS BIGINT) AS pick, score_r
+           FROM r$r ORDER BY score_r DESC, vec_id LIMIT 1),
+         sel$r AS (SELECT vec_id FROM sel${r - 1}
+           UNION ALL SELECT vec_id FROM s$r)"""
+    }.mkString(",\n         ")
+    val parts = (1 to k).map(r => s"SELECT * FROM s$r")
+      .mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id < 2000),
+         n AS (SELECT * FROM (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
+             WHERE nrm > 0),
+         qv AS (SELECT v AS qvec, nrm AS qn FROM n WHERE vec_id = 0),
+         cand AS (SELECT vec_id, v, nrm, rel FROM (
+             SELECT n.vec_id, n.v, n.nrm,
+               round(list_dot_product(qv.qvec, n.v) / (qv.qn * n.nrm), 6)
+                 AS rel
+             FROM n CROSS JOIN qv WHERE n.vec_id >= 10)
+           ORDER BY rel DESC, vec_id LIMIT 20),
+         sims AS (SELECT a.vec_id AS a, b.vec_id AS b,
+             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS sim
+           FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+         s1 AS (SELECT vec_id, CAST(1 AS BIGINT) AS pick, rel AS score_r
+           FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+         sel1 AS (SELECT vec_id FROM s1),
+         $rounds
+         SELECT vec_id, pick, score_r FROM ($parts) ORDER BY pick"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_mmr" -> mmrOracle(4),
     "q_vec_norm" ->
       """SELECT vec_id, label,
            CAST(len(embedding) AS INTEGER) AS dim,
