@@ -1278,18 +1278,28 @@ object AnalyticsQueries {
     // the explode is map-side (32× rows, no extra shuffle) into one
     // keyed aggregate; replica count never grows with the corpus.
     "q_bootstrap_ci" -> ((s, dir) => {
-      val u = conv(substring(md5(concat(lit("bs:"),
-        col("l_orderkey").cast("string"), lit(":"),
-        col("l_linenumber").cast("string"), lit(":"),
-        col("b").cast("string"))), 1, 8), 16, 10)
-        .cast("long").cast("double") / lit(4294967296.0)
-      val w = when(u < 0.3678794412, 0L).when(u < 0.7357588823, 1L)
-        .when(u < 0.9196986029, 2L).when(u < 0.9810118431, 3L)
+      // one digest per (row, group-of-4 replicas): an md5 carries four
+      // independent 32-bit draws, so the hash is computed 8×, not
+      // 32×, per row. The Poisson CDF inversion compares the 8-char
+      // hex slice LEXICOGRAPHICALLY against precomputed hex
+      // thresholds (equal-length lowercase hex order IS numeric
+      // order; threshold = ceil(cdf · 2³²) in hex, exactly equivalent
+      // to the u = h/2³² double compare) — no per-row base conversion
+      // or division on the 32×-inflated path.
+      val u = expr("substring(dg, slot * 8 + 1, 8)")
+      val w = when(u < "5e2d58d9", 0L).when(u < "bc5ab1b2", 1L)
+        .when(u < "eb715e1e", 2L).when(u < "fb239798", 3L)
         .otherwise(4L)
       val reps = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
           dec(col("l_extendedprice")).as("x"))
-        .withColumn("b", explode(sequence(lit(0), lit(31))))
+        .withColumn("g", explode(sequence(lit(0), lit(7))))
+        .withColumn("dg", md5(concat(lit("bs:"),
+          col("l_orderkey").cast("string"), lit(":"),
+          col("l_linenumber").cast("string"), lit(":"),
+          col("g").cast("string"))))
+        .withColumn("slot", explode(sequence(lit(0), lit(3))))
+        .withColumn("b", col("g") * 4 + col("slot"))
         .withColumn("w", w)
         .groupBy("b")
         .agg(sum(col("w")).as("n_eff"),
@@ -2328,22 +2338,22 @@ object AnalyticsQueries {
     // thresholds are shared digit-for-digit with the Spark side, and
     // replica means are DECIMAL-exact before the one double division
     "q_bootstrap_ci" ->
-      """WITH r AS (SELECT l_orderkey, l_linenumber, l_extendedprice AS x,
-             unnest(range(32)) AS b FROM lineitem),
-         w AS (SELECT b, x,
+      """WITH r AS (SELECT l_orderkey, l_linenumber, l_extendedprice AS x, g
+           FROM lineitem CROSS JOIN (SELECT unnest(range(8)) AS g)),
+         dg AS (SELECT *, md5('bs:'
+               || CAST(l_orderkey AS VARCHAR) || ':'
+               || CAST(l_linenumber AS VARCHAR) || ':'
+               || CAST(g AS VARCHAR)) AS dgs
+           FROM r),
+         w AS (SELECT g * 4 + slot AS b, x,
              CASE
-               WHEN u < 0.3678794412 THEN 0
-               WHEN u < 0.7357588823 THEN 1
-               WHEN u < 0.9196986029 THEN 2
-               WHEN u < 0.9810118431 THEN 3
+               WHEN u < '5e2d58d9' THEN 0
+               WHEN u < 'bc5ab1b2' THEN 1
+               WHEN u < 'eb715e1e' THEN 2
+               WHEN u < 'fb239798' THEN 3
                ELSE 4 END AS w
-           FROM (SELECT *,
-               CAST(CAST(('0x' || substr(md5('bs:'
-                 || CAST(l_orderkey AS VARCHAR) || ':'
-                 || CAST(l_linenumber AS VARCHAR) || ':'
-                 || CAST(b AS VARCHAR)), 1, 8)) AS UBIGINT) AS DOUBLE)
-                 / 4294967296.0 AS u
-             FROM r)),
+           FROM (SELECT *, substr(dgs, slot * 8 + 1, 8) AS u
+             FROM dg CROSS JOIN (SELECT unnest(range(4)) AS slot))),
          reps AS (SELECT b,
              round(CAST(sum(CAST(w * x AS DECIMAL(28,2))) AS DOUBLE)
                / sum(w), 6) AS mean_r
