@@ -499,6 +499,46 @@ object CorpusQueries {
       Corpus.kAnonymityReport(docs(s, dir), Seq("lang", "source"), k = 15)
         .orderBy("lang", "source")),
 
+    // t-closeness audit on (lang, source): the third of the privacy
+    // triad — a group breaches when the Earth-Mover's Distance between
+    // its sensitive-value distribution (n_chars, 200-char ordered
+    // buckets) and the global distribution exceeds t. For an ordered
+    // domain EMD = Σ|cum_p − cum_q| / (m−1); both cumulative counts
+    // stay INTEGER until one exact division each (identical doubles on
+    // both engines), the per-group window is keyed (scalable), and the
+    // group×bucket scaffold crosses two bounded aggregates — groups ×
+    // buckets never grows with the corpus.
+    "q_t_closeness" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("lang"), col("source"),
+        expr("n_chars div 200").as("sb"))
+        .transform(graft.ops.QueryCaches.persist) // group, global + total aggs share it
+      val gb = d.groupBy("lang", "source", "sb")
+        .agg(count(lit(1)).as("n"))
+        .transform(graft.ops.QueryCaches.persist) // group totals + scaffold join
+      val groups = gb.groupBy("lang", "source").agg(sum(col("n")).as("n_rows"))
+      val glob = d.groupBy("sb").agg(count(lit(1)).as("gn"))
+        .transform(graft.ops.QueryCaches.persist) // scaffold + bucket count
+      val tot = d.agg(count(lit(1)).as("nt"))
+      val nb = glob.agg(count(lit(1)).as("m"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang", "source").orderBy("sb")
+      groups.crossJoin(glob.select(col("sb"), col("gn")))
+        .join(gb, Seq("lang", "source", "sb"), "left")
+        .na.fill(0L, Seq("n"))
+        .withColumn("cn", sum(col("n")).over(w))
+        .withColumn("cg", sum(col("gn")).over(w))
+        .crossJoin(broadcast(tot))
+        .withColumn("ad", abs(col("cn").cast("double") / col("n_rows") -
+          col("cg").cast("double") / col("nt")))
+        .groupBy("lang", "source", "n_rows")
+        .agg(sum(col("ad")).as("emd"))
+        .crossJoin(broadcast(nb))
+        .select(col("lang"), col("source"), col("n_rows"),
+          round(col("emd") / (col("m") - 1), 6).as("emd_r"))
+        .withColumn("breach", col("emd_r") > 0.15)
+        .orderBy("lang", "source")
+    }),
+
     // l-diversity audit on (event_type, day): a group is flagged when
     // its DISTINCT sensitive values (user ids) fall under l — the
     // k-anonymity follow-up that catches large-but-homogeneous groups.
@@ -1124,6 +1164,37 @@ object CorpusQueries {
       """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_rows,
            count(*) < 15 AS suppress
          FROM documents GROUP BY lang, source ORDER BY lang, source""",
+    // cumulative counts stay integer until one exact division each,
+    // so the ECDF gaps — and their bounded sum — compare exactly
+    "q_t_closeness" ->
+      """WITH d AS (SELECT lang, source, n_chars // 200 AS sb
+           FROM documents),
+         gb AS (SELECT lang, source, sb, CAST(count(*) AS BIGINT) AS n
+           FROM d GROUP BY 1, 2, 3),
+         grp AS (SELECT lang, source, CAST(sum(n) AS BIGINT) AS n_rows
+           FROM gb GROUP BY 1, 2),
+         gl AS (SELECT sb, CAST(count(*) AS BIGINT) AS gn
+           FROM d GROUP BY 1),
+         tt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM d),
+         nb AS (SELECT CAST(count(*) AS BIGINT) AS m FROM gl),
+         sc AS (SELECT g.lang, g.source, g.n_rows, s.sb, s.gn
+           FROM grp g CROSS JOIN gl s),
+         j AS (SELECT sc.*, coalesce(gb.n, 0) AS n
+           FROM sc LEFT JOIN gb ON gb.lang = sc.lang
+             AND gb.source = sc.source AND gb.sb = sc.sb),
+         c AS (SELECT *, CAST(sum(n) OVER
+             (PARTITION BY lang, source ORDER BY sb) AS BIGINT) AS cn,
+             CAST(sum(gn) OVER
+             (PARTITION BY lang, source ORDER BY sb) AS BIGINT) AS cg
+           FROM j),
+         e AS (SELECT lang, source, n_rows,
+             sum(abs(CAST(cn AS DOUBLE) / n_rows
+               - CAST(cg AS DOUBLE) / nt)) AS emd
+           FROM c CROSS JOIN tt GROUP BY 1, 2, 3)
+         SELECT e.lang, e.source, e.n_rows,
+           round(e.emd / (nb.m - 1), 6) AS emd_r,
+           round(e.emd / (nb.m - 1), 6) > 0.15 AS breach
+         FROM e CROSS JOIN nb ORDER BY lang, source""",
     "q_weighted_sample" ->
       """WITH k AS (SELECT lang, doc_id, n_chars,
              round(-ln((CAST(CAST(('0x' ||

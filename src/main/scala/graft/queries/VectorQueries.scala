@@ -790,6 +790,73 @@ object VectorQueries {
           .transform(graft.ops.QueryCaches.persist)
       }
       sel.orderBy("pick")
+    }),
+
+    // Hard-negative mining for contrastive training: the BM25 lexical
+    // top-20 annotated with each hit's semantic similarity to the
+    // query vector — a lexically-relevant doc that is semantically far
+    // (cos < 0.15 on the rounded value, the fence rule) is the classic
+    // "hard negative". Docs without an embedding surface cos as the -2
+    // sentinel (a real cosine is ≥ −1) and are never marked hard.
+    // Scale shape: the top-20 is a distributed sort-limit; the
+    // embedding lookup joins 20 rows against the keyed embeddings
+    // side; everything downstream is bounded by the LIMIT literal.
+    "q_hard_negatives" -> ((s, dir) => {
+      val lexTop = graft.ops.Retrieval.bm25(
+        Tables.table(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("spark", "vector", "window"))
+        .orderBy(col("score_r").desc, col("doc_id")).limit(20)
+      val wl = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score_r").desc, col("doc_id"))
+      val lex = lexTop.select(col("doc_id"), col("score_r"),
+        row_number().over(wl).cast("long").as("lex_rank"))
+      val e = withNorm(emb(s, dir).filter(col("vec_id") < 2000)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v")))
+        .transform(graft.ops.QueryCaches.persist) // query row + lookup side share it
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nrm").as("qn"))
+      lex.join(e.select(col("vec_id"), col("v"), col("nrm")),
+          col("doc_id") === col("vec_id"), "left")
+        .crossJoin(broadcast(q))
+        .withColumn("cos_r",
+          coalesce(cosR(col("qv"), col("v"), col("qn"), col("nrm")),
+            lit(-2.0)))
+        .withColumn("is_hard",
+          col("cos_r") =!= -2.0 && col("cos_r") < 0.15)
+        .select(col("doc_id"), col("lex_rank"), col("score_r"),
+          col("cos_r"), col("is_hard"))
+        .orderBy("lex_rank")
+    }),
+
+    // Johnson–Lindenstrauss random-projection audit: every vector
+    // projected onto the 16 seeded ±1 hyperplanes (the SAME
+    // deterministic plane generator as the LSH family — the 1/√16
+    // scale cancels inside cosine, so raw dots ARE the projection),
+    // then pairwise cosine before vs after over the bounded audit
+    // slice — the distortion report run before trusting a
+    // reduced-dimension index. Projection is a per-row map (16
+    // codegen'd dot products, no shuffle); the pair join is bounded
+    // by the slice literal.
+    "q_rand_proj" -> ((s, dir) => {
+      val planes = graft.ops.CosineLsh.planes(16, 64)
+      val e = withNorm(emb(s, dir).filter(col("vec_id") < 120)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v")))
+        .withColumn("p", array(planes.map(pl =>
+          dot(col("v"), array(pl.map(x => lit(x)).toIndexedSeq: _*)))
+          .toIndexedSeq: _*))
+        .withColumn("pn", norm(col("p")))
+        .filter(col("pn") > 0)
+        .transform(graft.ops.QueryCaches.persist) // both pair sides read it
+      val a = e.select(col("vec_id").as("a"), col("v").as("va"),
+        col("nrm").as("na"), col("p").as("pa"), col("pn").as("pna"))
+      val b = e.select(col("vec_id").as("b"), col("v").as("vb"),
+        col("nrm").as("nb"), col("p").as("pb"), col("pn").as("pnb"))
+      a.join(b, col("a") < col("b"))
+        .select(col("a"), col("b"),
+          cosR(col("va"), col("vb"), col("na"), col("nb")).as("cos_r"),
+          cosR(col("pa"), col("pb"), col("pna"), col("pnb")).as("pcos_r"))
+        .withColumn("err_r", round(col("pcos_r") - col("cos_r"), 6))
+        .orderBy("a", "b")
     }))
 
   private val bucketSql = (0 until 8)
@@ -944,8 +1011,79 @@ object VectorQueries {
          SELECT vec_id, pick, score_r FROM ($parts) ORDER BY pick"""
   }
 
+  // the 16 JL plane literals, rendered from the SAME deterministic
+  // generator the Spark side uses (one source of truth, like
+  // lshBucketSql) — an md5-seeded ±1 matrix in (seed, k, dim)
+  private val jlProjSql: String = graft.ops.CosineLsh.planes(16, 64)
+    .map { plane =>
+      val arr = plane.map(x => if (x > 0) "1.0" else "-1.0")
+        .mkString("[", ", ", "]")
+      s"list_dot_product(v, $arr)"
+    }.mkString("[", ",\n             ", "]")
+
   val oracles: Map[String, String] = Map(
     "q_mmr" -> mmrOracle(4),
+    "q_rand_proj" ->
+      s"""WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id < 120),
+         n AS (SELECT * FROM (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
+             WHERE nrm > 0),
+         pj AS (SELECT vec_id, v, nrm, $jlProjSql AS p FROM n),
+         pp AS (SELECT * FROM (SELECT *,
+             sqrt(list_sum(list_transform(p, x -> x * x))) AS pnrm
+             FROM pj) WHERE pnrm > 0),
+         pr AS (SELECT a.vec_id AS a, b.vec_id AS b,
+             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+               AS cos_r,
+             round(list_dot_product(a.p, b.p) / (a.pnrm * b.pnrm), 6)
+               AS pcos_r
+           FROM pp a JOIN pp b ON a.vec_id < b.vec_id)
+         SELECT a, b, cos_r, pcos_r, round(pcos_r - cos_r, 6) AS err_r
+         FROM pr ORDER BY a, b""",
+    // same BM25 CTE chain as q_rrf_fusion; is_hard evaluates FALSE
+    // (not NULL) for missing embeddings on both engines
+    "q_hard_negatives" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+           FROM documents),
+         c AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(toks)) AS BIGINT) AS tot_len FROM d),
+         t AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM d),
+         tf AS (SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
+           FROM t WHERE tok IN ('spark', 'vector', 'window')
+           GROUP BY 1, 2, 3),
+         dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+           FROM tf GROUP BY 1),
+         sc AS (SELECT tf.doc_id,
+             ln(1.0 + (c.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+               * CAST(tf.tf AS DOUBLE) * 2.2
+               / (tf.tf + 1.2 * (1.0 - 0.75 +
+                   0.75 * CAST(tf.dl AS DOUBLE)
+                     / (CAST(c.tot_len AS DOUBLE) / c.n_docs)))
+               AS term_score
+           FROM tf JOIN dfq USING (tok) CROSS JOIN c),
+         bm AS (SELECT doc_id, round(sum(term_score), 6) AS score_r
+           FROM sc GROUP BY 1),
+         lex AS (SELECT doc_id, score_r, CAST(row_number() OVER
+             (ORDER BY score_r DESC, doc_id) AS BIGINT) AS lex_rank
+           FROM (SELECT * FROM bm ORDER BY score_r DESC, doc_id LIMIT 20)),
+         e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id < 2000),
+         n AS (SELECT * FROM (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
+             WHERE nrm > 0),
+         qv AS (SELECT v AS qvec, nrm AS qn FROM n WHERE vec_id = 0),
+         cs AS (SELECT n.vec_id,
+             round(list_dot_product(qv.qvec, n.v) / (qv.qn * n.nrm), 6)
+               AS cosv
+           FROM n CROSS JOIN qv)
+         SELECT l.doc_id, l.lex_rank, l.score_r,
+           coalesce(cs.cosv, -2.0) AS cos_r,
+           (cs.cosv IS NOT NULL AND cs.cosv < 0.15) AS is_hard
+         FROM lex l LEFT JOIN cs ON cs.vec_id = l.doc_id
+         ORDER BY lex_rank""",
     "q_vec_norm" ->
       """SELECT vec_id, label,
            CAST(len(embedding) AS INTEGER) AS dim,
