@@ -170,11 +170,22 @@ object TextDedup {
       .groupBy("fp")
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** MinHash signatures: one min-md5 per seed, columns mh0..mh{k-1}. */
+  /** MinHash signatures, columns mh0..mh{k-1}. One md5 digest carries
+    * FOUR independent 32-bit minhash slots (8 hex chars each —
+    * equal-length lowercase hex order IS numeric order, so the string
+    * min is the numeric min), so k hashes cost ceil(k/4) digests per
+    * (doc, shingle) instead of k: the dominant term of the signature
+    * stage at corpus scale, and band values shrink 4× on the shuffle.
+    * Digests are materialized in a projection BEFORE the aggregate so
+    * the sharing never depends on codegen subexpression elimination.
+    */
   def minhashSignatures(sh: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    val nGroups = (numHashes + 3) / 4
+    val withDigests = sh.select(col(idCol) +: (0 until nGroups).map(g =>
+      md5(concat(lit(s"$g:"), col("shingle"))).as(s"__dg$g")): _*)
     val aggs = (0 until numHashes).map(k =>
-      min(md5(concat(lit(s"$k:"), col("shingle")))).as(s"mh$k"))
-    sh.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+      min(substring(col(s"__dg${k / 4}"), (k % 4) * 8 + 1, 8)).as(s"mh$k"))
+    withDigests.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: rows-per-band = numHashes/bands consecutive

@@ -808,9 +808,12 @@ object StreamQueries {
              JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
              JOIN tok t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2),
          sig AS (SELECT doc_id,
-               min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
-               min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3,
-               min(md5('4:' || shingle)) AS mh4, min(md5('5:' || shingle)) AS mh5
+               min(substr(md5('0:' || shingle), 1, 8)) AS mh0,
+               min(substr(md5('0:' || shingle), 9, 8)) AS mh1,
+               min(substr(md5('0:' || shingle), 17, 8)) AS mh2,
+               min(substr(md5('0:' || shingle), 25, 8)) AS mh3,
+               min(substr(md5('1:' || shingle), 1, 8)) AS mh4,
+               min(substr(md5('1:' || shingle), 9, 8)) AS mh5
              FROM sh GROUP BY doc_id),
          band AS (SELECT doc_id, 0 AS band_idx, mh0 || mh1 AS band_val FROM sig
              UNION ALL SELECT doc_id, 1, mh2 || mh3 FROM sig

@@ -55,9 +55,12 @@ object StreamDedup {
 
   /** Per-document MinHash signature: same scheme as the batch
     * `TextDedup.minhashSignatures` (single-space tokens, distinct
-    * n-token shingles, per-seed min of md5("seed:shingle")), computed
-    * locally — a pure function of one document, no aggregation.
-    * None when the document has fewer than `shingleN` tokens.
+    * n-token shingles, one md5 per group of four 8-hex-char minhash
+    * slots — the digest-packing layout MUST stay in lockstep with the
+    * batch side, the streamed pairs hash-compare against the batch
+    * oracle), computed locally — a pure function of one document, no
+    * aggregation. None when the document has fewer than `shingleN`
+    * tokens.
     */
   def minhashSignature(
       text: String,
@@ -67,8 +70,12 @@ object StreamDedup {
     if (toks.length < shingleN) None
     else {
       val shingles = toks.sliding(shingleN).map(_.mkString(" ")).toSet
-      Some((0 until numHashes).toSeq
-        .map(k => shingles.map(s => md5Hex(s"$k:$s")).min))
+      val nGroups = (numHashes + 3) / 4
+      val digests = shingles.toSeq
+        .map(s => (0 until nGroups).map(g => md5Hex(s"$g:$s")))
+      Some((0 until numHashes).toSeq.map { k =>
+        digests.map(_(k / 4).substring((k % 4) * 8, (k % 4) * 8 + 8)).min
+      })
     }
   }
 
