@@ -273,6 +273,48 @@ object AnalyticsQueries {
         .orderBy("source")
     }),
 
+    // JSON-lines source/sink round trip: the documents slice lands as
+    // newline-delimited JSON and is read back through Spark's
+    // schema-inferring JSON source, then aggregated — the third
+    // columnar-or-text format driven end-to-end beside parquet and
+    // ORC (numbers come back as inferred longs; the aggregate is
+    // integer-exact either way).
+    "q_json_roundtrip" -> ((s, dir) => {
+      val path = Tables.scratchDir(s, "graft_json_docs").toString
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").json(path)
+      s.read.json(path)
+        .filter(col("lang") === "en")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("source")
+    }),
+
+    // Incremental aggregate maintenance (the IVM pattern): the
+    // standing per-priority revenue state merges with the delta
+    // batch's partial aggregate — combine(state, partial(delta)) —
+    // instead of rescanning history. DECIMAL sums make the merge
+    // EXACTLY equal to the full recompute (the oracle is the full
+    // recompute, so the gate proves the algebra, not just the
+    // plumbing). At 100 TB this is the difference between touching
+    // the delta and touching the corpus: both partials are map-side
+    // combined keyed aggregates.
+    "q_agg_incremental" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderpriority"),
+        dec(col("o_totalprice")).as("p"), col("o_orderkey"))
+      def part(df: DataFrame) = df.groupBy("o_orderpriority")
+        .agg(sum(col("p")).cast("decimal(18,2)").as("sum_price"),
+          count(lit(1)).as("n_orders"))
+      part(o.filter(col("o_orderkey") % 10 =!= 0))
+        .unionByName(part(o.filter(col("o_orderkey") % 10 === 0)))
+        .groupBy("o_orderpriority")
+        .agg(sum(col("sum_price")).cast("decimal(18,2)").as("sum_price"),
+          sum(col("n_orders")).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Schema evolution: two writer generations with DISJOINT column
     // sets land in one dataset directory; the mergeSchema read unifies
     // them (absent columns null-filled per file) — the lakehouse
@@ -2116,6 +2158,20 @@ object AnalyticsQueries {
            CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM documents WHERE lang = 'en'
          GROUP BY source ORDER BY source""",
+    // the JSON round trip must not change any aggregate: same oracle
+    // shape as the ORC twin, computed from the source of truth
+    "q_json_roundtrip" ->
+      """SELECT source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents WHERE lang = 'en'
+         GROUP BY source ORDER BY source""",
+    // the full recompute IS the oracle: the incremental merge must
+    // equal it exactly (DECIMAL algebra)
+    "q_agg_incremental" ->
+      """SELECT o_orderpriority,
+           CAST(sum(o_totalprice) AS DECIMAL(18,2)) AS sum_price,
+           CAST(count(*) AS BIGINT) AS n_orders
+         FROM orders GROUP BY 1 ORDER BY 1""",
     "q_schema_merge" ->
       """WITH m AS (
            SELECT doc_id, lang, NULL AS n_chars
