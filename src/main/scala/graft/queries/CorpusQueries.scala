@@ -119,6 +119,34 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    // Reliability diagram for the trained quality model: predictions
+    // binned into ten fixed-width confidence bins, each reporting mean
+    // predicted confidence vs observed positive rate and their gap —
+    // the per-bin decomposition of expected calibration error, the
+    // check run before trusting classifier scores as keep
+    // probabilities. Bin means stay exact until one division each
+    // (confidences sum in DECIMAL(9,6) — the round-6 scores are exact
+    // there; positives are integer counts); the gap subtracts two
+    // already-rounded values. One keyed aggregate over the scored
+    // frame; bins are bounded by the literal 10.
+    "q_calibration" -> ((s, dir) => {
+      val feats = graft.ops.QualityModel.featurize(
+        docs(s, dir), "doc_id", "text")
+      val w = graft.ops.QualityModel.trainLogReg(feats, iters = 5, lr = 0.5)
+      graft.ops.QualityModel.scoreLogReg(feats, w)
+        .withColumn("bin",
+          least(floor(col("score_r") * 10), lit(9L)).cast("int"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          sum(col("score_r").cast("decimal(9,6)")).as("ssum"),
+          sum(when(col("y") > 0.5, 1L).otherwise(0L)).as("npos"))
+        .select(col("bin"), col("n"),
+          round(col("ssum").cast("double") / col("n"), 6).as("conf_r"),
+          round(col("npos").cast("double") / col("n"), 6).as("obs_r"))
+        .withColumn("gap_r", round(abs(col("conf_r") - col("obs_r")), 6))
+        .orderBy("bin")
+    }),
+
     // Epoch-weighted repetition plan: en seen 2.5x, zh 1x, the rest
     // 0.5x — one row per (doc, copy), integer arithmetic end to end
     // with the fractional epoch resolved by the deterministic md5
@@ -715,6 +743,26 @@ object CorpusQueries {
            round(z, 6) > 0 AS pred
          FROM z ORDER BY doc_id"""
 
+  private def calibrationOracle(iters: Int, lr: String): String =
+    s"""${logregChainSql(iters, lr)},
+         z AS (SELECT f.doc_id, f.y, (((w.w0 * x0 + w.w1 * x1)
+             + w.w2 * x2) + w.w3 * x3) AS z
+           FROM f CROSS JOIN w$iters w),
+         sc AS (SELECT doc_id, y,
+             round(1.0 / (1.0 + exp(-z)), 6) AS score_r FROM z),
+         b AS (SELECT CAST(least(floor(score_r * 10), 9) AS INTEGER)
+               AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(score_r AS DECIMAL(9,6))) AS ssum,
+             CAST(sum(CASE WHEN y > 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS npos
+           FROM sc GROUP BY 1)
+         SELECT bin, n, round(CAST(ssum AS DOUBLE) / n, 6) AS conf_r,
+           round(CAST(npos AS DOUBLE) / n, 6) AS obs_r,
+           round(abs(round(CAST(ssum AS DOUBLE) / n, 6)
+             - round(CAST(npos AS DOUBLE) / n, 6)), 6) AS gap_r
+         FROM b ORDER BY bin"""
+
   private def labelAgreementOracle(iters: Int, lr: String): String =
     s"""${logregChainSql(iters, lr)},
          z AS (SELECT (f.y > 0.5) AS rule,
@@ -788,6 +836,7 @@ object CorpusQueries {
     "q_label_agreement" -> labelAgreementOracle(5, "0.5"),
     "q_logreg_train" -> logregTrainOracle(5, "0.5"),
     "q_logreg_score" -> logregScoreOracle(5, "0.5"),
+    "q_calibration" -> calibrationOracle(5, "0.5"),
     "q_sample_hash" ->
       """WITH s AS (SELECT doc_id, lang,
            CAST(CAST(('0x' || substr(md5('smpl:' || CAST(doc_id AS VARCHAR)), 1, 8))
