@@ -119,6 +119,36 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    // Slice-based model evaluation: per-language precision/recall of
+    // the trained quality model against the rule labels — the
+    // fairness-style check that a single global accuracy can hide a
+    // slice the model fails on. Counts are integers, the ratios are
+    // exact-integer divisions, and empty denominators surface as the
+    // -1 sentinel instead of an ANSI divide-by-zero.
+    "q_slice_eval" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val feats = graft.ops.QualityModel.featurize(d, "doc_id", "text")
+      val w = graft.ops.QualityModel.trainLogReg(feats, iters = 5, lr = 0.5)
+      graft.ops.QualityModel.scoreLogReg(feats, w)
+        .join(d.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pred") && col("y") > 0.5, 1L).otherwise(0L))
+            .as("tp"),
+          sum(when(col("pred") && col("y") <= 0.5, 1L).otherwise(0L))
+            .as("fp"),
+          sum(when(!col("pred") && col("y") > 0.5, 1L).otherwise(0L))
+            .as("fn"))
+        .select(col("lang"), col("n"), col("tp"), col("fp"), col("fn"),
+          round(when(col("tp") + col("fp") === 0, -1.0)
+            .otherwise(col("tp").cast("double") / (col("tp") + col("fp"))),
+            6).as("prec_r"),
+          round(when(col("tp") + col("fn") === 0, -1.0)
+            .otherwise(col("tp").cast("double") / (col("tp") + col("fn"))),
+            6).as("rec_r"))
+        .orderBy("lang")
+    }),
+
     // Reliability diagram for the trained quality model: predictions
     // binned into ten fixed-width confidence bins, each reporting mean
     // predicted confidence vs observed positive rate and their gap —
@@ -763,6 +793,29 @@ object CorpusQueries {
              - round(CAST(npos AS DOUBLE) / n, 6)), 6) AS gap_r
          FROM b ORDER BY bin"""
 
+  private def sliceEvalOracle(iters: Int, lr: String): String =
+    s"""${logregChainSql(iters, lr)},
+         z AS (SELECT f.doc_id, f.y,
+             round((((w.w0 * x0 + w.w1 * x1) + w.w2 * x2) + w.w3 * x3), 6)
+               > 0 AS pred
+           FROM f CROSS JOIN w$iters w),
+         sl AS (SELECT d.lang, z.y, z.pred
+           FROM z JOIN documents d ON d.doc_id = z.doc_id),
+         m AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN pred AND y > 0.5 THEN 1 ELSE 0 END)
+               AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN pred AND y <= 0.5 THEN 1 ELSE 0 END)
+               AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN NOT pred AND y > 0.5 THEN 1 ELSE 0 END)
+               AS BIGINT) AS fn
+           FROM sl GROUP BY 1)
+         SELECT lang, n, tp, fp, fn,
+           round(CASE WHEN tp + fp = 0 THEN -1.0
+             ELSE CAST(tp AS DOUBLE) / (tp + fp) END, 6) AS prec_r,
+           round(CASE WHEN tp + fn = 0 THEN -1.0
+             ELSE CAST(tp AS DOUBLE) / (tp + fn) END, 6) AS rec_r
+         FROM m ORDER BY lang"""
+
   private def labelAgreementOracle(iters: Int, lr: String): String =
     s"""${logregChainSql(iters, lr)},
          z AS (SELECT (f.y > 0.5) AS rule,
@@ -837,6 +890,7 @@ object CorpusQueries {
     "q_logreg_train" -> logregTrainOracle(5, "0.5"),
     "q_logreg_score" -> logregScoreOracle(5, "0.5"),
     "q_calibration" -> calibrationOracle(5, "0.5"),
+    "q_slice_eval" -> sliceEvalOracle(5, "0.5"),
     "q_sample_hash" ->
       """WITH s AS (SELECT doc_id, lang,
            CAST(CAST(('0x' || substr(md5('smpl:' || CAST(doc_id AS VARCHAR)), 1, 8))

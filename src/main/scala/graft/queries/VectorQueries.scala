@@ -195,6 +195,33 @@ object VectorQueries {
           round(col("c"), 6).as("c_r"), col("n_vecs"))
         .orderBy("label", "pos")),
 
+    // Embedding drift between snapshot halves: per-label centroid
+    // shift (L2 over the 64 rounded per-dimension means) between the
+    // even- and odd-id halves — the embedding-space twin of
+    // q_corpus_drift, the number that says "this label's vectors
+    // moved" after a re-embed or a data refresh. One exploded keyed
+    // aggregate (|labels|·|halves|·|dim| output rows, corpus-size
+    // independent); the shift sums 64 bounded squared diffs of
+    // already-rounded centroids.
+    "q_embed_drift" -> ((s, dir) => {
+      val c = emb(s, dir)
+        .select(col("label"), (col("vec_id") % 2 === 0).as("even"),
+          posexplode(asDouble(col("embedding"))).as(Seq("pos", "x")))
+        .groupBy("label", "even", "pos")
+        .agg(round(avg(col("x")), 6).as("c_r"), count(lit(1)).as("n"))
+        .transform(graft.ops.QueryCaches.persist) // both half branches read it
+      val ce = c.filter(col("even")).select(col("label"), col("pos"),
+        col("c_r").as("ca"), col("n").as("n_even"))
+      val co = c.filter(!col("even")).select(col("label"), col("pos"),
+        col("c_r").as("cb"), col("n").as("n_odd"))
+      ce.join(co, Seq("label", "pos"))
+        .withColumn("d2", (col("ca") - col("cb")) * (col("ca") - col("cb")))
+        .groupBy("label")
+        .agg(max(col("n_even")).as("n_even"), max(col("n_odd")).as("n_odd"),
+          round(sqrt(sum(col("d2"))), 6).as("shift_r"))
+        .orderBy("label")
+    }),
+
     // Corpus-wide per-dimension standardization (VectorStats): stats
     // from the FULL table (one exploded keyed aggregate, |dim| output
     // rows — broadcast back by design, bounded by the dimension, not
@@ -1090,6 +1117,28 @@ object VectorQueries {
            round(sqrt(list_sum(list_transform(embedding,
              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm_r
          FROM embeddings ORDER BY vec_id""",
+    // halves pivot through a self-join on the ROUNDED centroids, so
+    // the 64-term shift sum compares exactly at round-6
+    "q_embed_drift" ->
+      """WITH e AS (SELECT label, vec_id % 2 = 0 AS even,
+             unnest(range(len(embedding))) AS pos,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+               AS x
+           FROM embeddings),
+         c AS (SELECT label, even, pos, round(avg(x), 6) AS c_r,
+             CAST(count(*) AS BIGINT) AS n
+           FROM e GROUP BY 1, 2, 3),
+         ce AS (SELECT label, pos, c_r AS ca, n AS n_even
+           FROM c WHERE even),
+         co AS (SELECT label, pos, c_r AS cb, n AS n_odd
+           FROM c WHERE NOT even),
+         j AS (SELECT ce.label, ce.n_even, co.n_odd,
+             (ca - cb) * (ca - cb) AS d2
+           FROM ce JOIN co ON ce.label = co.label AND ce.pos = co.pos)
+         SELECT label, CAST(max(n_even) AS BIGINT) AS n_even,
+           CAST(max(n_odd) AS BIGINT) AS n_odd,
+           round(sqrt(sum(d2)), 6) AS shift_r
+         FROM j GROUP BY label ORDER BY label""",
     // parallel unnests zip in DuckDB: (pos, element) pairs without a
     // lateral table function (CLAUDE.md's DuckDB-1.0 rule)
     "q_embed_centroid" ->

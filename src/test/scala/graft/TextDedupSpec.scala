@@ -378,4 +378,34 @@ class TextDedupSpec extends AnyFunSuite {
       minContainment = 0.5, maxPosting = Int.MaxValue)
     assert(uncapped.count() == 190L) // C(20,2) identical docs
   }
+
+  test("batch and streaming minhash signatures agree slot for slot") {
+    // the digest-packed slot layout (four 8-hex-char minhashes per
+    // md5) must stay in lockstep between TextDedup.minhashSignatures
+    // (Column form) and StreamDedup.minhashSignature (local form) —
+    // the streamed near-dup pairs hash-compare against the batch
+    // oracle, so silent drift here would break q_stream_neardup
+    import spark.implicits._
+    val texts = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river"),
+      (1L, "pack my box with five dozen liquor jugs for the long trip"),
+      (2L, "a b c")) // exactly shingleN tokens: single-shingle edge
+    val df = texts.toDF("doc_id", "text")
+    val sh = TextDedup.shingles(df, "doc_id", "text", 3)
+    val batch = TextDedup.minhashSignatures(sh, "doc_id", 6)
+      .collect()
+      .map(r => r.getLong(0) -> (0 until 6).map(k => r.getString(k + 1)))
+      .toMap
+    texts.foreach { case (id, text) =>
+      val local = graft.streaming.StreamDedup
+        .minhashSignature(text, shingleN = 3, numHashes = 6)
+      assert(local.isDefined, s"doc $id lost its signature")
+      assert(local.get == batch(id),
+        s"doc $id: streaming ${local.get} != batch ${batch(id)}")
+    }
+    // every slot is an 8-hex-char string (the packed layout), not a
+    // full 32-char digest
+    assert(batch.values.flatten.forall(s =>
+      s.length == 8 && s.forall(c => c.isDigit || ('a' to 'f').contains(c))))
+  }
 }
