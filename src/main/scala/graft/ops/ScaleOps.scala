@@ -389,6 +389,51 @@ object ScaleOps {
             .cast("long") + col("__off")))
     }
 
+  /** Global EXCLUSIVE running max of `valueCol` (long) in `orderCols`
+    * order, WITHOUT a single-partition window — the max twin of
+    * [[globalRunningSum]]: per-partition maxes become broadcast
+    * prefix maxes (prefix-combine is max, not sum, so it gets its own
+    * body rather than [[withPrefixOffsets]]), the intra-partition
+    * exclusive running max is a `rowsBetween(unboundedPreceding, -1)`
+    * window keyed by partition id. Adds `outCol` = max over STRICTLY
+    * earlier rows (`Long.MinValue` when there are none) — the shape
+    * skyline/frontier scans need. Same persist-for-correctness
+    * discipline as the other two-phase helpers.
+    */
+  def globalRunningMaxExclusive(
+      df: DataFrame,
+      partitions: Int,
+      valueCol: String,
+      outCol: String,
+      orderCols: Column*): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val shaped = df
+      .repartitionByRange(partitions, orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    val totals = shaped.groupBy("__pid")
+      .agg(max(col(valueCol)).cast("long").as("__tot"))
+      .orderBy("__pid")
+      .collect()
+      .map(r => (r.getInt(0),
+        if (r.isNullAt(1)) Long.MinValue else r.getLong(1)))
+    var acc = Long.MinValue
+    val offsets = totals.map { case (pid, tot) =>
+      val off = acc; acc = math.max(acc, tot); (pid, off)
+    }
+    val offDf = offsets.toSeq.toDF("__pid", "__offmax")
+    val w = Window.partitionBy("__pid").orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    shaped.join(broadcast(offDf), Seq("__pid"))
+      .withColumn(outCol,
+        greatest(
+          coalesce(max(col(valueCol)).over(w).cast("long"),
+            lit(Long.MinValue)),
+          col("__offmax")))
+      .drop("__pid", "__offmax")
+  }
+
   /** Shared two-phase prefix machinery: range-partition by the order
     * columns (partition-id order IS value order), run one tiny job
     * aggregating `perPartition` per partition, turn the per-partition

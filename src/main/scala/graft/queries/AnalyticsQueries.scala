@@ -1354,6 +1354,27 @@ object AnalyticsQueries {
         round(expr("percentile(mean_r, 0.95)"), 6).as("mean_hi_r"))
     }),
 
+    // Pareto frontier (2-D skyline): the (cheapest-price, largest-
+    // quantity) non-dominated set — the classic multi-criteria
+    // shortlist query. Sort-based, never pairwise: rows collapse to
+    // one max-quantity row per price (keyed aggregate), and a row is
+    // on the frontier iff its quantity strictly beats the EXCLUSIVE
+    // running max over all cheaper prices — computed by the two-phase
+    // ScaleOps.globalRunningMaxExclusive, so no single-partition
+    // window and no O(n²) dominance join at any corpus size.
+    // Quantity compares as exact integer hundredths.
+    "q_skyline" -> ((s, dir) => {
+      val pv = t(s, dir, "lineitem")
+        .select(col("l_extendedprice").as("price"),
+          (col("l_quantity") * 100).cast("long").as("qty_c"))
+        .groupBy("price").agg(max(col("qty_c")).as("q"))
+      graft.ops.ScaleOps.globalRunningMaxExclusive(pv, 8,
+        "q", "pm", col("price"))
+        .filter(col("q") > col("pm"))
+        .select(col("price"), col("q").as("qty_c"))
+        .orderBy("price")
+    }),
+
     // Theil–Sen robust trend: median of all pairwise slopes of the
     // hourly event-count series (breakdown point 29% — one bad day
     // cannot drag the estimate the way it drags the OLS q_trend_lines
@@ -2419,6 +2440,18 @@ object AnalyticsQueries {
            round(quantile_cont(mean_r, 0.5), 6) AS mean_mid_r,
            round(quantile_cont(mean_r, 0.95), 6) AS mean_hi_r
          FROM reps""",
+    // dominance via the exclusive prefix max over price order — NULL
+    // prefix (cheapest price) is on the frontier by definition
+    "q_skyline" ->
+      """WITH s AS (SELECT l_extendedprice AS price,
+             CAST(l_quantity * 100 AS BIGINT) AS qty_c FROM lineitem),
+         pv AS (SELECT price, CAST(max(qty_c) AS BIGINT) AS q
+           FROM s GROUP BY 1),
+         r AS (SELECT price, q, max(q) OVER (ORDER BY price
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+           FROM pv)
+         SELECT price, q AS qty_c FROM r
+         WHERE pm IS NULL OR q > pm ORDER BY price""",
     // pairwise slopes are exact-integer ratios; both medians are
     // exact interpolated percentiles over identical doubles
     "q_theilsen" ->

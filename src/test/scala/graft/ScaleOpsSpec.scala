@@ -86,6 +86,34 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"global running sum funnels through one partition:\n$p")
   }
 
+  test("globalRunningMaxExclusive matches the single-partition window") {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey").cast("long").as("v"))
+    val expected = o.withColumn("pm",
+      coalesce(
+        max("v").over(Window.orderBy("o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, -1)).cast("long"),
+        lit(Long.MinValue)))
+    val got = ScaleOps.globalRunningMaxExclusive(o, partitions = 7,
+      valueCol = "v", outCol = "pm", col("o_orderkey"))
+    assert(got.exceptAll(expected.select(got.columns.map(col): _*)).isEmpty)
+    assert(expected.exceptAll(got.select(expected.columns.map(col): _*)).isEmpty)
+    // the first row in order has no predecessor -> MinValue sentinel
+    val first = got.orderBy("o_orderkey").limit(1).collect()(0)
+    assert(first.getAs[Long]("pm") == Long.MinValue)
+  }
+
+  test("globalRunningMaxExclusive plans no single-partition exchange") {
+    val o = Tables.table(spark, dir, "orders")
+      .select(col("o_orderkey"), lit(1L).as("v"))
+    val p = ScaleOps.globalRunningMaxExclusive(o, partitions = 7,
+      valueCol = "v", outCol = "pm", col("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global running max funnels through one partition:\n$p")
+  }
+
   test("partitioned layout prunes non-matching directories at scan") {
     val out = java.nio.file.Files
       .createTempDirectory("graft_part").toString
