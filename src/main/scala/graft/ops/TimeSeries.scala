@@ -153,6 +153,60 @@ object TimeSeries {
     df.withColumn("ewma_r", round(num / den, 6))
   }
 
+  /** Forecast weights of truncated Holt linear (double-exponential)
+    * smoothing: with zero-initialized level/trend state, l_t and b_t
+    * are LINEAR in the last `lags` observations, so the one-step
+    * forecast l+b collapses to a fixed weight per observation —
+    * computed once here and embedded as the SAME literals on both
+    * engines (the ewmaWeights pattern, extended to the two-state
+    * recursion). Index i = lags−1 is the current row.
+    */
+  def holtWeights(alpha: Double, beta: Double, lags: Int): Seq[Double] = {
+    require(lags >= 2, s"holt needs at least 2 lags, got $lags")
+    var lC = Array.fill(lags)(0.0)
+    var bC = Array.fill(lags)(0.0)
+    for (t <- 0 until lags) {
+      val nl = new Array[Double](lags)
+      val nb = new Array[Double](lags)
+      for (i <- 0 until lags) {
+        val prev = lC(i) + bC(i)
+        nl(i) = (1 - alpha) * prev + (if (i == t) alpha else 0.0)
+        nb(i) = beta * (nl(i) - lC(i)) + (1 - beta) * bC(i)
+      }
+      lC = nl; bC = nb
+    }
+    (0 until lags).map(i => lC(i) + bC(i))
+  }
+
+  /** Truncated Holt linear smoothing per key: the one-step forecast
+    * level+trend as a FIXED `lags`-term weighted lag chain
+    * ([[holtWeights]]), left-associated identically on both engines —
+    * bit-equal before the gate round, like [[ewmaTruncated]]. Unlike
+    * EWMA there is no denominator renormalization for short
+    * histories: a truncated Holt over fewer observations is a
+    * different estimator, so rows without a FULL `lags`-deep history
+    * emit null (callers filter) — the contract stays crisp.
+    * Scale shape: one window exchange on the key, `lags` lag() reads
+    * per row, no state growth with series length.
+    */
+  def holtTruncated(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      valCol: String,
+      alpha: Double = 0.25,
+      beta: Double = 0.5,
+      lags: Int = 8): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
+    val ws = holtWeights(alpha, beta, lags)
+    val v = col(valCol).cast("double")
+    val f = ws.zipWithIndex.map { case (wt, i) =>
+      val d = lags - 1 - i
+      if (d == 0) lit(wt) * v else lit(wt) * lag(v, d).over(w)
+    }.reduce(_ + _)
+    df.withColumn("holt_r", round(f, 6))
+  }
+
   /** Coalesce overlapping/touching intervals per key into maximal
     * spans (gaps-and-islands): availability windows, session spans,
     * maintenance blackouts. An interval starts a new island exactly

@@ -32,6 +32,36 @@ object AnalyticsQueries {
       (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
       .cast("decimal(18,4)")
 
+  /** Hourly trend/seasonal/residual decomposition shared by
+    * q_seasonal_decomp and q_anomaly_hours: trend = centered 5-hour
+    * rolling mean, seasonal = hour-of-day mean of the detrended
+    * series, residual = remainder. The corpus collapses FIRST to one
+    * row per hour (keyed aggregate, map-side combine); every window
+    * after that runs over the calendar-bounded hourly frame
+    * (≤ 8.8k rows/year however big the corpus). The 5-row trend mean
+    * sums ≤5 integer counts (exact in any order); the seasonal mean
+    * sums identical doubles over the bounded per-hod day count.
+    */
+  private def seasonalHourly(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .select(expr("ts_ns div 3600000000000").as("hr"))
+      .groupBy("hr").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("hr")).rowsBetween(-2, 2)
+    val det = hourly
+      .withColumn("trend", avg(col("cnt").cast("double")).over(w))
+      .withColumn("hod", (col("hr") % 24).cast("int"))
+      .withColumn("det", col("cnt").cast("double") - col("trend"))
+      .transform(graft.ops.QueryCaches.persist) // seasonal mean + output share it
+    // 24 rows by construction — broadcast is safe at any corpus size
+    val seas = det.groupBy("hod")
+      .agg((sum(col("det")) / count(lit(1))).as("seas"))
+    det.join(broadcast(seas), Seq("hod"))
+      .select(col("hr"), col("hod"), col("cnt"),
+        round(col("trend"), 6).as("trend_r"),
+        round(col("seas"), 6).as("seas_r"),
+        round(col("det") - col("seas"), 6).as("resid_r"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // TPC-H Q1 shape: scan-heavy aggregation with decimal math.
@@ -1288,25 +1318,50 @@ object AnalyticsQueries {
     // by construction. The 5-row trend mean is a sum of ≤5 integer
     // counts (exact in any order); the seasonal mean sums identical
     // doubles over the bounded per-hod day count (round-6 safe).
-    "q_seasonal_decomp" -> ((s, dir) => {
-      val hourly = Tables.events(s, dir)
-        .select(expr("ts_ns div 3600000000000").as("hr"))
-        .groupBy("hr").agg(count(lit(1)).as("cnt"))
-      val w = Window.orderBy(col("hr")).rowsBetween(-2, 2)
-      val det = hourly
-        .withColumn("trend", avg(col("cnt").cast("double")).over(w))
-        .withColumn("hod", (col("hr") % 24).cast("int"))
-        .withColumn("det", col("cnt").cast("double") - col("trend"))
-        .transform(graft.ops.QueryCaches.persist) // seasonal mean + output share it
-      // 24 rows by construction — broadcast is safe at any corpus size
-      val seas = det.groupBy("hod")
-        .agg((sum(col("det")) / count(lit(1))).as("seas"))
-      det.join(broadcast(seas), Seq("hod"))
-        .select(col("hr"), col("hod"), col("cnt"),
-          round(col("trend"), 6).as("trend_r"),
-          round(col("seas"), 6).as("seas_r"),
-          round(col("det") - col("seas"), 6).as("resid_r"))
+    "q_seasonal_decomp" -> ((s, dir) =>
+      seasonalHourly(s, dir).orderBy("hr")),
+
+    // Time-series anomaly detection on the decomposition residuals:
+    // hours whose residual sits beyond median ± 4·MAD — the robust
+    // fence (one outlier day cannot widen it the way a stddev fence
+    // widens). Residuals are the round-6 values of q_seasonal_decomp,
+    // medians are exact interpolated percentiles over those identical
+    // doubles, and the fence compares after rounding (the fence
+    // rule). All windows stay calendar-bounded.
+    "q_anomaly_hours" -> ((s, dir) => {
+      val d = seasonalHourly(s, dir)
+        .transform(graft.ops.QueryCaches.persist) // median + deviation passes
+      val med = d.agg(expr("percentile(resid_r, 0.5)").as("med"))
+      val dm = d.crossJoin(broadcast(med))
+        .withColumn("adev", abs(col("resid_r") - col("med")))
+        .transform(graft.ops.QueryCaches.persist) // MAD + flag passes
+      val mad = dm.agg(expr("percentile(adev, 0.5)").as("mad"))
+      dm.crossJoin(broadcast(mad))
+        .withColumn("fence_r", round(lit(4.0) * col("mad"), 6))
+        .filter(col("adev") > col("fence_r"))
+        .select(col("hr"), col("hod"), col("cnt"), col("resid_r"),
+          round(col("med"), 6).as("med_r"), col("fence_r"))
         .orderBy("hr")
+    }),
+
+    // Truncated Holt linear smoothing (TimeSeries.holtTruncated):
+    // level+trend double smoothing as a fixed 8-term weighted lag
+    // chain whose weights come from unrolling the two-state recursion
+    // once in Scala — the same literals are printed into the oracle
+    // (holtOracle), so the chain is bit-equal cross-engine before the
+    // gate round. Rows without a full 8-hour history emit null and
+    // are filtered (truncated Holt over fewer points is a different
+    // estimator).
+    "q_holt" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .filter(col("user_id") % 97 === 0)
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .groupBy("user_id", "h").agg(count(lit(1)).as("n"))
+      graft.ops.TimeSeries.holtTruncated(hourly, Seq("user_id"), "h",
+        "n", alpha = 0.25, beta = 0.5, lags = 8)
+        .filter(col("holt_r").isNotNull)
+        .select(col("user_id"), col("h"), col("n"), col("holt_r"))
+        .orderBy("user_id", "h")
     }),
 
     // Deterministic Poisson(1) bootstrap: each row enters replica b
@@ -1412,6 +1467,51 @@ object AnalyticsQueries {
     * double whose toString round-trips) — identical IEEE operations
     * in identical order, bit-equal before the gate round.
     */
+  /** Shared seasonal-decomposition CTE chain (see [[seasonalHourly]]);
+    * `dc` is the decomposed hourly frame both consumers read.
+    */
+  private val seasonalCtes: String =
+    """h AS (SELECT epoch_ns(ts) // 3600000000000 AS hr
+           FROM events),
+         hc AS (SELECT hr, CAST(count(*) AS BIGINT) AS cnt
+           FROM h GROUP BY 1),
+         tr AS (SELECT hr, cnt, avg(CAST(cnt AS DOUBLE)) OVER
+             (ORDER BY hr ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+             AS trend
+           FROM hc),
+         dt AS (SELECT hr, CAST(hr % 24 AS INTEGER) AS hod, cnt, trend,
+             CAST(cnt AS DOUBLE) - trend AS det FROM tr),
+         se AS (SELECT hod, sum(det) / count(*) AS seas
+           FROM dt GROUP BY 1),
+         dc AS (SELECT dt.hr, dt.hod, dt.cnt,
+             round(dt.trend, 6) AS trend_r, round(se.seas, 6) AS seas_r,
+             round(dt.det - se.seas, 6) AS resid_r
+           FROM dt JOIN se USING (hod))"""
+
+  /** Truncated-Holt oracle: the same fixed left-associated weighted
+    * lag chain as [[graft.ops.TimeSeries.holtTruncated]], with weight
+    * literals printed from the SAME holtWeights doubles
+    * (Double.toString round-trips, so both engines parse the
+    * identical IEEE value) — bit-equal before the gate round. Rows
+    * without a full-depth history are null on both engines and
+    * filtered on both engines.
+    */
+  private def holtOracle(alpha: Double, beta: Double, lags: Int): String = {
+    val ws = graft.ops.TimeSeries.holtWeights(alpha, beta, lags)
+    val chain = ws.zipWithIndex.map { case (wt, i) =>
+      val d = lags - 1 - i
+      if (d == 0) s"$wt * v" else s"$wt * lag(v, $d) OVER w"
+    }.mkString(" + ")
+    s"""WITH hourly AS (SELECT user_id, date_trunc('hour', ts) AS h,
+           CAST(count(*) AS BIGINT) AS n
+         FROM events WHERE user_id % 97 = 0 GROUP BY 1, 2),
+       hv AS (SELECT user_id, h, n, CAST(n AS DOUBLE) AS v FROM hourly),
+       f AS (SELECT user_id, h, n, round(($chain), 6) AS holt_r
+         FROM hv WINDOW w AS (PARTITION BY user_id ORDER BY h))
+       SELECT user_id, h, n, holt_r FROM f WHERE holt_r IS NOT NULL
+       ORDER BY user_id, h"""
+  }
+
   private def ewmaOracle(alpha: Double, lags: Int): String = {
     val ws = graft.ops.TimeSeries.ewmaWeights(alpha, lags)
     val num = ws.zipWithIndex.map {
@@ -2395,22 +2495,23 @@ object AnalyticsQueries {
     // the 5-row trend mean sums ≤5 integer counts (exact in any
     // order); hod means sum identical doubles over a bounded day count
     "q_seasonal_decomp" ->
-      """WITH h AS (SELECT epoch_ns(ts) // 3600000000000 AS hr
-           FROM events),
-         hc AS (SELECT hr, CAST(count(*) AS BIGINT) AS cnt
-           FROM h GROUP BY 1),
-         tr AS (SELECT hr, cnt, avg(CAST(cnt AS DOUBLE)) OVER
-             (ORDER BY hr ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
-             AS trend
-           FROM hc),
-         dt AS (SELECT hr, CAST(hr % 24 AS INTEGER) AS hod, cnt, trend,
-             CAST(cnt AS DOUBLE) - trend AS det FROM tr),
-         se AS (SELECT hod, sum(det) / count(*) AS seas
-           FROM dt GROUP BY 1)
-         SELECT dt.hr, dt.hod, dt.cnt, round(dt.trend, 6) AS trend_r,
-           round(se.seas, 6) AS seas_r,
-           round(dt.det - se.seas, 6) AS resid_r
-         FROM dt JOIN se USING (hod) ORDER BY dt.hr""",
+      s"""WITH $seasonalCtes
+         SELECT hr, hod, cnt, trend_r, seas_r, resid_r FROM dc
+         ORDER BY hr""",
+    // robust fence on the decomposition residuals: medians are exact
+    // interpolated percentiles over the identical round-6 residuals,
+    // and the fence compares after rounding (the fence rule)
+    "q_anomaly_hours" ->
+      s"""WITH $seasonalCtes,
+         md AS (SELECT quantile_cont(resid_r, 0.5) AS med FROM dc),
+         dm AS (SELECT dc.*, md.med, abs(resid_r - md.med) AS adev
+           FROM dc CROSS JOIN md),
+         fm AS (SELECT round(4.0 * quantile_cont(adev, 0.5), 6)
+             AS fence_r FROM dm)
+         SELECT hr, hod, cnt, resid_r, round(med, 6) AS med_r,
+           fm.fence_r
+         FROM dm CROSS JOIN fm WHERE adev > fence_r ORDER BY hr""",
+    "q_holt" -> holtOracle(0.25, 0.5, 8),
     // Poisson(1) CDF inverted at the md5 hash fraction — the CASE
     // thresholds are shared digit-for-digit with the Spark side, and
     // replica means are DECIMAL-exact before the one double division
