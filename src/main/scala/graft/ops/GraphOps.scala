@@ -99,6 +99,41 @@ object GraphOps {
     ranks.select(col("node"), col("rank"))
   }
 
+  /** Fixed-round k-core peeling: drop every node whose CURRENT degree
+    * is below k, `rounds` times — the subgraph-density filter (dense
+    * hubs/rings survive, tendrils peel away). A FIXED round count
+    * rather than run-to-fixpoint keeps the result deterministic and
+    * oracle-expressible as unrolled CTEs; real graphs converge in a
+    * handful of peels, and callers needing the true core raise
+    * `rounds`. Each round is one degree aggregate + two semi-joins,
+    * and references its predecessor edge set three times — so every
+    * round is cut with an eager localCheckpoint (the [[pageRank]] /
+    * [[bfsLevels]] rule: an uncut chain re-expands ~3^rounds subtrees
+    * at analysis).
+    *
+    * `edges` must be canonical distinct (a, b) with a ≠ b. Returns
+    * the surviving nodes with their degree in the FINAL peeled edge
+    * set (which can dip below k again if the peel has not converged —
+    * "after R peels" is the contract, identical on both engines).
+    */
+  def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    def degrees(e: DataFrame): DataFrame = e
+      .select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    var e = edges.select(col("a"), col("b")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val keep = degrees(e).filter(col("deg") >= k).select("node")
+      e = e
+        .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint(true)
+    }
+    degrees(e)
+  }
+
   /** Fixed-depth BFS levels: shortest hop distance from a source set,
     * the reachability/centrality building block (crawl-frontier
     * expansion, link-distance quality tiers). Each round is one |E|

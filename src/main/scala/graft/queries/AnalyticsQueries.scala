@@ -1409,6 +1409,40 @@ object AnalyticsQueries {
         round(expr("percentile(mean_r, 0.95)"), 6).as("mean_hi_r"))
     }),
 
+    // Fixed-round k-core peeling over the supplier–customer bipartite
+    // graph (GraphOps.kcorePeel): three peels at k=4 strip the
+    // low-degree tendrils, leaving the dense trading core — the
+    // density filter that finds hub/ring structure where PageRank
+    // finds importance. Int-encoded like q_pagerank/q_bfs_levels,
+    // string labels only on the surviving rows; the oracle unrolls
+    // the peels into MATERIALIZED CTEs (the same inliner hazard).
+    "q_kcore" -> ((s, dir) => {
+      val b = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey"), col("o_custkey")).distinct()
+        .select((col("l_suppkey") * 2).as("a"),
+          (col("o_custkey") * 2 + 1).as("b"))
+      graft.ops.GraphOps.kcorePeel(b, k = 4, rounds = 3)
+        .select(
+          when(col("node") % 2 === 0,
+            concat(lit("s"), expr("node div 2")))
+            .otherwise(concat(lit("c"), expr("node div 2"))).as("node"),
+          col("deg"))
+        .orderBy("node")
+    }),
+
+    // The same engine through its SQL front door: spark.sql over a
+    // registered view, sharing ONE SQL text with the DuckDB oracle
+    // verbatim (casts included) — the pricing-summary shape every SQL
+    // user runs first, proving the textual surface needs no
+    // translation layer.
+    "q_sql_q1" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(sqlQ1)
+    }),
+
     // Pareto frontier (2-D skyline): the (cheapest-price, largest-
     // quantity) non-dominated set — the classic multi-criteria
     // shortlist query. Sort-based, never pairwise: rows collapse to
@@ -1467,6 +1501,54 @@ object AnalyticsQueries {
     * double whose toString round-trips) — identical IEEE operations
     * in identical order, bit-equal before the gate round.
     */
+  /** ONE SQL text for q_sql_q1, executed verbatim by spark.sql AND by
+    * the DuckDB oracle — the casts make every aggregate DECIMAL-exact
+    * on both engines, so sharing the string is also sharing the
+    * algebra.
+    */
+  private val sqlQ1: String =
+    """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
+           AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+           AS DECIMAL(18,2)) AS sum_base,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+             (CAST(1 AS DECIMAL(12,2)) -
+              CAST(l_discount AS DECIMAL(12,2))))
+           AS DECIMAL(18,4)) AS sum_disc,
+         CAST(count(*) AS BIGINT) AS n
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+       GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus"""
+
+  /** Unrolled k-core oracle: the same fixed peels as
+    * [[graft.ops.GraphOps.kcorePeel]], every round MATERIALIZED (each
+    * references its predecessor three times — DuckDB's inliner has
+    * the same re-expansion hazard the Spark side cuts with eager
+    * localCheckpoints).
+    */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    val peels = (1 to rounds).map { r =>
+      s"""d$r AS (SELECT node, count(*) AS deg FROM (
+             SELECT a AS node FROM e${r - 1}
+             UNION ALL SELECT b AS node FROM e${r - 1}) GROUP BY 1),
+         k$r AS (SELECT node FROM d$r WHERE deg >= $k),
+         e$r AS MATERIALIZED (SELECT e.a, e.b FROM e${r - 1} e
+           JOIN k$r ka ON ka.node = e.a
+           JOIN k$r kb ON kb.node = e.b)"""
+    }.mkString(",\n         ")
+    s"""WITH e0 AS MATERIALIZED (
+           SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS a,
+             'c' || CAST(o_custkey AS VARCHAR) AS b
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         $peels
+         SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+           SELECT a AS node FROM e$rounds
+           UNION ALL SELECT b AS node FROM e$rounds)
+         GROUP BY node ORDER BY node"""
+  }
+
   /** Shared seasonal-decomposition CTE chain (see [[seasonalHourly]]);
     * `dc` is the decomposed hourly frame both consumers read.
     */
@@ -1647,6 +1729,8 @@ object AnalyticsQueries {
   val oracles: Map[String, String] = Map(
     "q_pagerank" -> pagerankOracle(6, 0.85),
     "q_bfs_levels" -> bfsOracle(3),
+    "q_kcore" -> kcoreOracle(4, 3),
+    "q_sql_q1" -> sqlQ1,
     "q_hll_distinct" -> hllOracle,
     "q_scd_asof" ->
       """WITH s AS (SELECT o_orderkey, o_custkey, o_orderpriority,
