@@ -207,6 +207,58 @@ object TimeSeries {
     df.withColumn("holt_r", round(f, 6))
   }
 
+  /** Pearson correlation between two bucketed series at each of a
+    * fixed list of integer lags — the ACF/CCF primitive behind
+    * seasonality detection ("is there a 24-bucket cycle?") and
+    * lead/lag discovery ("do clicks lead purchases by 2 hours?").
+    *
+    * Inputs are PRE-AGGREGATED (bucket `hr` Long, value `v`) frames —
+    * callers collapse the raw corpus to its calendar-bounded bucket
+    * grid first, so everything here runs over |buckets| × |lags|
+    * rows however big the corpus is. A pair exists only where BOTH
+    * buckets are present (missing buckets drop the pair rather than
+    * faking a zero); correlation at lag L pairs x(t) with y(t+L).
+    *
+    * Cross-engine exactness (the q_corr_exact treatment): values are
+    * cast to DECIMAL(18,0) and the five moments summed exactly
+    * (order-independent), the variance/covariance doubles are formed
+    * from those integers in one fixed association, `sqrt` (IEEE
+    * correctly-rounded, never pow) and one division at the end,
+    * rounded to 6 for the gate. Degenerate lags (zero variance on
+    * either side) are dropped on both engines.
+    *
+    * Scale shape: the lag fan-out is an explode of a literal array
+    * (|lags| is a query constant); the pairing is one equi-join
+    * shuffling the bounded bucket frames on the shifted key; the
+    * moment aggregate is map-side-combined down to 6 numbers per lag.
+    */
+  def laggedCorr(xs: DataFrame, ys: DataFrame, lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty, "laggedCorr needs at least one lag")
+    val d = (c: Column) => c.cast("double")
+    val x = xs.select(col("hr").as("xhr"),
+        col("v").cast("decimal(18,0)").as("x"))
+      .select(col("xhr"), col("x"),
+        explode(array(lags.map(l => lit(l.toLong)): _*)).as("lag_h"))
+    val y = ys.select(col("hr").as("yhr"),
+      col("v").cast("decimal(18,0)").as("y"))
+    x.join(y, col("yhr") === col("xhr") + col("lag_h"))
+      .groupBy("lag_h")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("varx",
+        col("n_pairs") * d(col("sxx")) - d(col("sx")) * d(col("sx")))
+      .withColumn("vary",
+        col("n_pairs") * d(col("syy")) - d(col("sy")) * d(col("sy")))
+      .filter(col("varx") > 0 && col("vary") > 0)
+      .select(col("lag_h"), col("n_pairs"),
+        round((col("n_pairs") * d(col("sxy")) -
+          d(col("sx")) * d(col("sy"))) /
+          (sqrt(col("varx")) * sqrt(col("vary"))), 6).as("corr_r"))
+  }
+
   /** Coalesce overlapping/touching intervals per key into maximal
     * spans (gaps-and-islands): availability windows, session spans,
     * maintenance blackouts. An interval starts a new island exactly

@@ -1344,6 +1344,38 @@ object AnalyticsQueries {
         .orderBy("hr")
     }),
 
+    // Autocorrelation function of the hourly arrival series at lags
+    // 1..12 (TimeSeries.laggedCorr): the seasonality fingerprint a
+    // monitoring pipeline reads before fitting any seasonal model.
+    // The corpus collapses FIRST to the calendar-bounded hourly
+    // frame; pairs come from one equi-join on the shifted bucket key
+    // (a missing hour drops its pairs on both engines); moments are
+    // exact DECIMAL sums with one double formula per lag. The hourly
+    // frame feeds both join sides — persisted (self-join rule).
+    "q_acf" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .select(expr("ts_ns div 3600000000000").as("hr"))
+        .groupBy("hr").agg(count(lit(1)).as("v"))
+        .transform(graft.ops.QueryCaches.persist)
+      graft.ops.TimeSeries.laggedCorr(hourly, hourly, 1 to 12)
+        .orderBy("lag_h")
+    }),
+
+    // Cross-correlation of the click and purchase hourly series at
+    // lags −6..6 — the lead/lag discovery companion of q_acf
+    // (positive-lag peaks mean clicks LEAD purchases). Each arm is
+    // its own filtered keyed aggregate (filter pushed to the scan);
+    // the pairing join and exact-moment machinery are shared with
+    // q_acf via TimeSeries.laggedCorr.
+    "q_cross_corr" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def arm(tpe: String) = ev.filter(col("event_type") === tpe)
+        .select(expr("ts_ns div 3600000000000").as("hr"))
+        .groupBy("hr").agg(count(lit(1)).as("v"))
+      graft.ops.TimeSeries.laggedCorr(arm("click"), arm("purchase"),
+        -6 to 6).orderBy("lag_h")
+    }),
+
     // Truncated Holt linear smoothing (TimeSeries.holtTruncated):
     // level+trend double smoothing as a fixed 8-term weighted lag
     // chain whose weights come from unrolling the two-state recursion
@@ -1569,6 +1601,39 @@ object AnalyticsQueries {
              round(dt.trend, 6) AS trend_r, round(se.seas, 6) AS seas_r,
              round(dt.det - se.seas, 6) AS resid_r
            FROM dt JOIN se USING (hod))"""
+
+  /** Lagged-Pearson oracle shared by q_acf / q_cross_corr: the same
+    * pair join on the shifted bucket key and the same exact
+    * DECIMAL(18,0) moment sums → one double formula per lag as
+    * [[graft.ops.TimeSeries.laggedCorr]] (q_corr_exact's association,
+    * sqrt never pow). `xcte`/`ycte` are SQL producing (hr, cnt).
+    */
+  private def laggedCorrOracle(
+      xcte: String, ycte: String, lo: Int, hi: Int): String =
+    s"""WITH xs AS ($xcte),
+       ys AS ($ycte),
+       l AS (SELECT CAST(range AS BIGINT) AS lag_h
+         FROM range($lo, ${hi + 1})),
+       p AS (SELECT l.lag_h,
+           CAST(a.cnt AS DECIMAL(18,0)) AS x,
+           CAST(b.cnt AS DECIMAL(18,0)) AS y
+         FROM xs a CROSS JOIN l JOIN ys b ON b.hr = a.hr + l.lag_h),
+       m AS (SELECT lag_h, CAST(count(*) AS BIGINT) AS n_pairs,
+           sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
+           sum(y*y) AS syy, sum(x*y) AS sxy
+         FROM p GROUP BY 1),
+       v AS (SELECT lag_h, n_pairs, sx, sy, sxy,
+           n_pairs * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx,
+           n_pairs * CAST(syy AS DOUBLE)
+             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary
+         FROM m)
+       SELECT lag_h, n_pairs,
+         round((n_pairs * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (sqrt(varx) * sqrt(vary)), 6) AS corr_r
+       FROM v WHERE varx > 0 AND vary > 0
+       ORDER BY lag_h"""
 
   /** Truncated-Holt oracle: the same fixed left-associated weighted
     * lag chain as [[graft.ops.TimeSeries.holtTruncated]], with weight
@@ -2576,6 +2641,18 @@ object AnalyticsQueries {
            round(dmax * sqrt(CAST(na AS DOUBLE) * nb / (na + nb)), 6)
              AS ks_scaled
          FROM d""",
+    "q_acf" -> {
+      val hourly = """SELECT epoch_ns(ts) // 3600000000000 AS hr,
+           CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1"""
+      laggedCorrOracle(hourly, hourly, 1, 12)
+    },
+    "q_cross_corr" -> {
+      def arm(tpe: String) =
+        s"""SELECT epoch_ns(ts) // 3600000000000 AS hr,
+           CAST(count(*) AS BIGINT) AS cnt FROM events
+           WHERE event_type = '$tpe' GROUP BY 1"""
+      laggedCorrOracle(arm("click"), arm("purchase"), -6, 6)
+    },
     // the 5-row trend mean sums ≤5 integer counts (exact in any
     // order); hod means sum identical doubles over a bounded day count
     "q_seasonal_decomp" ->

@@ -81,4 +81,38 @@ class TimeSeriesSpec extends AnyFunSuite {
     // weights are exact dyadic powers, built by multiplication
     assert(TimeSeries.ewmaWeights(0.25, 4) == Seq(1.0, 0.75, 0.5625, 0.421875))
   }
+
+  test("laggedCorr: lag-0 identity, hand formula, degenerate drop") {
+    import spark.implicits._
+    val xs = Seq(0L -> 1L, 1L -> 2L, 2L -> 4L, 3L -> 8L, 4L -> 3L)
+      .toDF("hr", "v")
+    val self = TimeSeries.laggedCorr(xs, xs, Seq(0, 1))
+      .orderBy("lag_h").collect()
+    assert(self.length == 2)
+    // lag 0 pairs every bucket with itself → exactly 1.0
+    assert(self(0).getLong(0) == 0L && self(0).getLong(1) == 5L &&
+      self(0).getDouble(2) == 1.0)
+    // lag 1: pairs (1,2),(2,4),(4,8),(8,3) — hand moments
+    val (n, sx, sy, sxx, syy, sxy) = (4.0, 15.0, 17.0, 85.0, 93.0, 66.0)
+    val r = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    assert(self(1).getLong(1) == 4L &&
+      self(1).getDouble(2) == math.rint(r * 1e6) / 1e6)
+    // constant series → zero variance → the lag row is dropped
+    val const = Seq(0L -> 7L, 1L -> 7L, 2L -> 7L).toDF("hr", "v")
+    assert(TimeSeries.laggedCorr(xs, const, Seq(0)).isEmpty)
+  }
+
+  test("laggedCorr: ccf(x,y,l) equals ccf(y,x,-l); gaps drop pairs") {
+    import spark.implicits._
+    val xs = Seq(0L -> 3L, 1L -> 1L, 2L -> 5L, 4L -> 2L).toDF("hr", "v")
+    val ys = Seq(0L -> 2L, 1L -> 6L, 2L -> 4L, 3L -> 9L).toDF("hr", "v")
+    val fwd = TimeSeries.laggedCorr(xs, ys, Seq(1)).collect()
+    val rev = TimeSeries.laggedCorr(ys, xs, Seq(-1)).collect()
+    assert(fwd.length == 1 && rev.length == 1)
+    assert(fwd(0).getLong(1) == rev(0).getLong(1) &&
+      fwd(0).getDouble(2) == rev(0).getDouble(2))
+    // x@4 has no y@5 partner and y@3's x@2 partner exists: 3 pairs
+    assert(fwd(0).getLong(1) == 3L)
+  }
 }
