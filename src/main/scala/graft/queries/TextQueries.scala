@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -589,6 +590,79 @@ object TextQueries {
           max(col("n_distinct")).as("n_distinct"),
           round(-sum(col("plogp")), 6).as("entropy_r"))
         .orderBy("source")
+    }),
+
+    // Gini concentration of document length per source — the
+    // one-number inequality audit ("is this source a few huge pages
+    // plus dust?") curation dashboards track beside the mean. Exact
+    // sorted-rank form G = 2·Σ i·xᵢ/(n·Σx) − (n+1)/n with i from a
+    // per-source window over the (n_chars, doc_id) total order (tied
+    // lengths permute within equal values — Σ i·xᵢ is invariant);
+    // rank-weighted sums are exact DECIMAL, one double formula per
+    // source. One keyed window + one keyed aggregate, per-group sort.
+    "q_gini" -> ((s, dir) => {
+      val dd = (c: Column) => c.cast("double")
+      val de = (c: Column) => c.cast("decimal(18,0)")
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_chars"), col("doc_id"))
+      docs(s, dir).select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum(de(col("n_chars"))).as("sx"),
+          sum(de(col("rn")) * de(col("n_chars"))).as("sidx"))
+        .filter(col("sx") > 0)
+        .select(col("source"), col("n"),
+          round(lit(2.0) * dd(col("sidx")) /
+            (dd(col("n")) * dd(col("sx"))) -
+            (dd(col("n")) + lit(1.0)) / dd(col("n")), 6).as("gini_r"))
+        .orderBy("source")
+    }),
+
+    // Heaps-law vocabulary growth: distinct 4-token spans (V) against
+    // total spans (N) accumulated in doc_id order, fit V ≈ K·N^β by
+    // log-log OLS — the "how fast does novelty arrive" curve that
+    // sizes dedup sketches and tokenizer vocabularies. First
+    // occurrences are a keyed min per span; both cumulative series
+    // come from the two-phase ScaleOps.globalRunningSum (no
+    // single-partition window); the OLS sums run over |docs| rows, so
+    // every per-row log term is cast to DECIMAL(28,14) before SUM
+    // (order-independent — the logreg gradient treatment, not the
+    // bounded-terms waiver).
+    "q_heaps_fit" -> ((s, dir) => {
+      val sp = graft.ops.QueryCaches.persist(
+        TextDedup.shingles(docs(s, dir), "doc_id", "text", n = 4,
+          dedup = false))
+      val perDoc = sp.groupBy("doc_id").agg(count(lit(1)).as("n_sp"))
+      val newSp = sp.groupBy("shingle").agg(min(col("doc_id")).as("fd"))
+        .groupBy("fd").agg(count(lit(1)).as("new_sp"))
+      val frame = perDoc.join(newSp,
+          perDoc("doc_id") === newSp("fd"), "left")
+        .select(col("doc_id"), col("n_sp"),
+          coalesce(col("new_sp"), lit(0L)).as("new_sp"))
+      val cum = graft.ops.ScaleOps.globalRunningSum(
+        graft.ops.ScaleOps.globalRunningSum(frame, 8,
+          valueCol = "n_sp", outCol = "cum_n", col("doc_id")), 8,
+        valueCol = "new_sp", outCol = "cum_v", col("doc_id"))
+      val lx = log(col("cum_n").cast("double"))
+      val ly = log(col("cum_v").cast("double"))
+      val dec = (c: Column) => c.cast("decimal(28,14)")
+      val dd = (c: Column) => c.cast("double")
+      val pts = cum.select(dec(lx).as("lx"), dec(ly).as("ly"),
+        dec(lx * lx).as("lxx"), dec(lx * ly).as("lxy"),
+        dec(ly * ly).as("lyy"))
+      val num = col("k") * dd(col("sxy")) - dd(col("sx")) * dd(col("sy"))
+      val den = col("k") * dd(col("sxx")) - dd(col("sx")) * dd(col("sx"))
+      val deny = col("k") * dd(col("syy")) - dd(col("sy")) * dd(col("sy"))
+      pts.agg(count(lit(1)).as("k"),
+        sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
+        sum(col("lxx")).as("sxx"), sum(col("lxy")).as("sxy"),
+        sum(col("lyy")).as("syy"))
+        .select(col("k").as("n_docs"),
+          round(num / den, 6).as("slope_r"),
+          round((dd(col("sy")) - (num / den) * dd(col("sx"))) / col("k"), 6)
+            .as("icept_r"),
+          round(num * num / (den * deny), 6).as("r2_r"))
     }),
 
     // Zipf rank-frequency fit: log-log OLS of token frequency against
@@ -1291,6 +1365,77 @@ ORDER BY doc_id, word_pos, sub_pos"""
          SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS n
          FROM f GROUP BY 1, 2 ORDER BY doc_id, bucket""",
     // rank on (n DESC, tok) mirrors globalRowNumber's total order; the
+    // rank-weighted sums are exact DECIMAL; ties permute within equal
+    // values so Σ i·xᵢ is order-invariant under the window tiebreak
+    "q_gini" ->
+      """WITH r AS (SELECT source,
+             CAST(n_chars AS DECIMAL(18,0)) AS x,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY n_chars, doc_id) AS DECIMAL(18,0)) AS rn
+           FROM documents),
+         m AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(rn * x) AS sidx FROM r GROUP BY 1)
+         SELECT source, n,
+           round(2.0 * CAST(sidx AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+             - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6)
+             AS gini_r
+         FROM m WHERE sx > 0 ORDER BY source""",
+    // every per-row log term is DECIMAL(28,14)-cast before SUM (the
+    // logreg gradient treatment) — order-independent at any scale
+    "q_heaps_fit" ->
+      """WITH tk AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+           FROM documents),
+         s0 AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 2)) AS i
+           FROM tk WHERE len(toks) >= 4),
+         sp AS (SELECT doc_id, array_to_string(
+             toks[CAST(i AS INTEGER):CAST(i + 3 AS INTEGER)], ' ') AS span
+           FROM s0),
+         pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sp
+           FROM sp GROUP BY 1),
+         fo AS (SELECT span, min(doc_id) AS fd FROM sp GROUP BY 1),
+         nv AS (SELECT fd AS doc_id, CAST(count(*) AS BIGINT) AS new_sp
+           FROM fo GROUP BY 1),
+         fr AS (SELECT pd.doc_id, pd.n_sp,
+             COALESCE(nv.new_sp, 0) AS new_sp
+           FROM pd LEFT JOIN nv USING (doc_id)),
+         cm AS (SELECT doc_id,
+             CAST(sum(n_sp) OVER w AS BIGINT) AS cum_n,
+             CAST(sum(new_sp) OVER w AS BIGINT) AS cum_v
+           FROM fr WINDOW w AS (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         pt AS (SELECT
+             CAST(ln(CAST(cum_n AS DOUBLE)) AS DECIMAL(28,14)) AS lx,
+             CAST(ln(CAST(cum_v AS DOUBLE)) AS DECIMAL(28,14)) AS ly,
+             CAST(ln(CAST(cum_n AS DOUBLE)) * ln(CAST(cum_n AS DOUBLE))
+               AS DECIMAL(28,14)) AS lxx,
+             CAST(ln(CAST(cum_n AS DOUBLE)) * ln(CAST(cum_v AS DOUBLE))
+               AS DECIMAL(28,14)) AS lxy,
+             CAST(ln(CAST(cum_v AS DOUBLE)) * ln(CAST(cum_v AS DOUBLE))
+               AS DECIMAL(28,14)) AS lyy
+           FROM cm),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS k,
+             sum(lx) AS sx, sum(ly) AS sy, sum(lxx) AS sxx,
+             sum(lxy) AS sxy, sum(lyy) AS syy FROM pt)
+         SELECT k AS n_docs,
+           round((k * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (k * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope_r,
+           round((CAST(sy AS DOUBLE) - ((k * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (k * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+             * CAST(sx AS DOUBLE)) / k, 6) AS icept_r,
+           round((k * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             * (k * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / ((k * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * (k * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2_r
+         FROM m""",
     // moment sums are vocabulary-bounded doubles (round-6 safe)
     "q_zipf_fit" ->
       """WITH t AS (SELECT unnest(string_split(trim(text), ' ')) AS tok
