@@ -1344,6 +1344,91 @@ object AnalyticsQueries {
         .orderBy("hr")
     }),
 
+    // One-way ANOVA across document sources on length: between/within
+    // sum-of-squares and the F statistic, from exact per-group DECIMAL
+    // moments (n, Σx, Σx²). The only doubles are the k per-group
+    // Σg²/ng terms — summed over the app-bounded source domain (the
+    // bounded-terms rule), then one fixed-association formula. One
+    // keyed aggregate + one 20-row global aggregate; nothing scales
+    // with the corpus but the first exchange.
+    "q_anova" -> ((s, dir) => {
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val de = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,0)")
+      val g = t(s, dir, "documents")
+        .select(col("source"), de(col("n_chars")).as("x"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("ng"), sum(col("x")).as("sg"),
+          sum(col("x") * col("x")).as("sqg"))
+      g.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+        sum(col("sg")).as("s"), sum(col("sqg")).as("sq"),
+        sum(d(col("sg")) * d(col("sg")) / d(col("ng"))).as("a"))
+        .withColumn("ssb", col("a") - d(col("s")) * d(col("s")) / col("n"))
+        .withColumn("ssw", d(col("sq")) - col("a"))
+        .select(col("k").as("k_groups"), col("n"),
+          round(col("ssb"), 6).as("ssb_r"),
+          round(col("ssw"), 6).as("ssw_r"),
+          round((col("ssb") / (col("k") - 1)) /
+            (col("ssw") / (col("n") - col("k"))), 6).as("f_r"))
+    }),
+
+    // CUSUM changepoint over the hourly arrival series — "when did
+    // the level shift?" — in EXACT integer math: with cum_t the
+    // running count, t the hour's rank and `total`/`nh` the global
+    // sums, the centered CUSUM scaled by nh is
+    // d_t = nh·cum_t − t·total (DECIMAL products, no division, no
+    // float drift anywhere); the changepoint is the max |d_t| row,
+    // tie-broken by earliest hour. The corpus collapses FIRST to the
+    // calendar-bounded hourly frame; the rank/running windows run
+    // over that bounded frame only.
+    "q_changepoint" -> ((s, dir) => {
+      val de = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,0)")
+      val hourly = Tables.events(s, dir)
+        .select(expr("ts_ns div 3600000000000").as("hr"))
+        .groupBy("hr").agg(count(lit(1)).as("cnt"))
+        .transform(graft.ops.QueryCaches.persist) // totals + cusum share it
+      val tot = hourly.agg(sum(col("cnt")).as("total"),
+        count(lit(1)).as("nh"))
+      val w = Window.orderBy(col("hr"))
+      hourly
+        .withColumn("t", row_number().over(w).cast("long"))
+        .withColumn("cum", sum(col("cnt")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(tot))
+        .withColumn("d",
+          de(col("nh")) * de(col("cum")) - de(col("t")) * de(col("total")))
+        // |d| ≤ nh·total ≈ hours × events — far inside BIGINT at any
+        // realistic scale; emitted as BIGINT (the fixed-point-output
+        // convention, no cross-engine decimal-width concerns)
+        .select(col("hr"), col("t"), col("cum"),
+          abs(col("d")).cast("bigint").as("abs_d"))
+        .orderBy(col("abs_d").desc, col("hr")).limit(1)
+    }),
+
+    // Fano-factor burstiness per event type: variance/mean of the
+    // hourly count series (1 ≈ Poisson arrivals, ≫1 bursty). Moments
+    // are exact DECIMAL sums per type; the sample-variance and ratio
+    // doubles are one fixed-association formula per type. Two keyed
+    // aggregates, both map-side combined.
+    "q_burstiness" -> ((s, dir) => {
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val de = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,0)")
+      Tables.events(s, dir)
+        .select(col("event_type"), expr("ts_ns div 3600000000000").as("hr"))
+        .groupBy("event_type", "hr").agg(count(lit(1)).as("cnt"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("nh"), sum(de(col("cnt"))).as("s"),
+          sum(de(col("cnt")) * de(col("cnt"))).as("sq"))
+        .filter(col("nh") > 1 && col("s") > 0)
+        .withColumn("mean", d(col("s")) / col("nh"))
+        .withColumn("vars",
+          (col("nh") * d(col("sq")) - d(col("s")) * d(col("s"))) /
+            (col("nh") * (col("nh") - lit(1L))))
+        .select(col("event_type"), col("nh"),
+          round(col("mean"), 6).as("mean_r"),
+          round(col("vars") / col("mean"), 6).as("fano_r"))
+        .orderBy("event_type")
+    }),
+
     // Autocorrelation function of the hourly arrival series at lags
     // 1..12 (TimeSeries.laggedCorr): the seasonality fingerprint a
     // monitoring pipeline reads before fitting any seasonal model.
@@ -2641,6 +2726,61 @@ object AnalyticsQueries {
            round(dmax * sqrt(CAST(na AS DOUBLE) * nb / (na + nb)), 6)
              AS ks_scaled
          FROM d""",
+    "q_anova" ->
+      """WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS ng,
+             sum(CAST(n_chars AS DECIMAL(18,0))) AS sg,
+             sum(CAST(n_chars AS DECIMAL(18,0))
+               * CAST(n_chars AS DECIMAL(18,0))) AS sqg
+           FROM documents GROUP BY 1),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(ng) AS BIGINT) AS n,
+             sum(sg) AS s, sum(sqg) AS sq,
+             sum(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+               / CAST(ng AS DOUBLE)) AS a
+           FROM g),
+         v AS (SELECT k, n,
+             a - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n AS ssb,
+             CAST(sq AS DOUBLE) - a AS ssw
+           FROM m)
+         SELECT k AS k_groups, n, round(ssb, 6) AS ssb_r,
+           round(ssw, 6) AS ssw_r,
+           round((ssb / (k - 1)) / (ssw / (n - k)), 6) AS f_r
+         FROM v""",
+    "q_changepoint" ->
+      """WITH h AS (SELECT epoch_ns(ts) // 3600000000000 AS hr,
+             CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
+         tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS nh FROM h),
+         c AS (SELECT hr,
+             CAST(row_number() OVER (ORDER BY hr) AS BIGINT) AS t,
+             CAST(sum(cnt) OVER (ORDER BY hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+           FROM h),
+         d AS (SELECT hr, t, cum,
+             CAST(abs(CAST(nh AS DECIMAL(18,0)) * CAST(cum AS DECIMAL(18,0))
+               - CAST(t AS DECIMAL(18,0)) * CAST(total AS DECIMAL(18,0)))
+               AS BIGINT) AS abs_d
+           FROM c CROSS JOIN tt)
+         SELECT hr, t, cum, abs_d FROM d
+         ORDER BY abs_d DESC, hr LIMIT 1""",
+    "q_burstiness" ->
+      """WITH h AS (SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1, 2),
+         m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nh,
+             sum(CAST(cnt AS DECIMAL(18,0))) AS s,
+             sum(CAST(cnt AS DECIMAL(18,0))
+               * CAST(cnt AS DECIMAL(18,0))) AS sq
+           FROM h GROUP BY 1),
+         v AS (SELECT event_type, nh,
+             CAST(s AS DOUBLE) / nh AS mean,
+             (nh * CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+               / (nh * (nh - 1)) AS vars
+           FROM m WHERE nh > 1 AND s > 0)
+         SELECT event_type, nh, round(mean, 6) AS mean_r,
+           round(vars / mean, 6) AS fano_r
+         FROM v ORDER BY event_type""",
     "q_acf" -> {
       val hourly = """SELECT epoch_ns(ts) // 3600000000000 AS hr,
            CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1"""
