@@ -625,6 +625,49 @@ object Corpus {
           .as("seq_off"))
   }
 
+  /** T5-style span-corruption plan: the deterministic masking recipe
+    * a denoising-objective loader replays — which token spans of each
+    * document get replaced by sentinel ids. The token stream is cut
+    * into fixed `block`-token blocks and each FULL block masks one
+    * `spanLen`-token span at an md5-derived offset, giving a noise
+    * density of exactly spanLen/block over the covered prefix
+    * (15% at the 3/20 default) with spans non-overlapping BY
+    * CONSTRUCTION (one span per block, offset ≤ block − spanLen).
+    * Output: one row per (doc, span) — (idCol, span_idx, tok_start,
+    * tok_len) — enough for a loader to rebuild inputs/targets without
+    * re-tokenizing twice.
+    *
+    * Determinism: the offset is the first 8 md5 hex chars of
+    * "salt:doc:block" as an integer mod (block − spanLen + 1) — the
+    * retry/backfill-stable hash-decision idiom ([[hashBucket]]), no
+    * RNG state anywhere. Scale shape: stateless per-doc explode of
+    * n_tok/block rows; no shuffle at all until a consumer aggregates.
+    */
+  def spanCorruptionPlan(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      block: Int = 20,
+      spanLen: Int = 3,
+      salt: String = "t5"): DataFrame = {
+    require(spanLen >= 1 && block > spanLen,
+      s"need block > spanLen >= 1, got block=$block spanLen=$spanLen")
+    val width = block - spanLen + 1
+    df.select(col(idCol),
+        size(TextDedup.tokens(col(textCol))).cast("long").as("__n_tok"))
+      .withColumn("__blocks", expr(s"__n_tok div $block"))
+      .filter(col("__blocks") >= 1)
+      .withColumn("span_idx",
+        explode(sequence(lit(0L), col("__blocks") - 1)))
+      .withColumn("__off",
+        conv(substring(md5(concat(lit(s"$salt:"), col(idCol).cast("string"),
+          lit(":"), col("span_idx").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % width)
+      .select(col(idCol), col("span_idx"),
+        (col("span_idx") * block + col("__off")).as("tok_start"),
+        lit(spanLen.toLong).as("tok_len"))
+  }
+
   /** DSIR-style importance weights for data selection (importance
     * resampling over hashed n-gram features, after Xie et al. 2023):
     * fit two smoothed bag-of-hashed-token models — the `isTarget`

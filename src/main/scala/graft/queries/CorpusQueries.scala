@@ -255,6 +255,15 @@ object CorpusQueries {
         .orderBy("seq_id", "doc_id")
     }),
 
+    // T5-style span-corruption plan (Corpus.spanCorruptionPlan): one
+    // masked 3-token span per full 20-token block at an md5-derived
+    // offset — 15% noise density, non-overlapping by construction,
+    // RNG-free so a retry replays the identical mask. Stateless
+    // per-doc explode, exact integers end to end.
+    "q_span_corrupt" -> ((s, dir) =>
+      Corpus.spanCorruptionPlan(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id", "span_idx")),
+
     // Training-shard manifest — the reproducibility audit shipped
     // with every packed corpus: per shard, the doc count, token
     // total, and an order-stable content fingerprint (md5 over the
@@ -886,6 +895,24 @@ object CorpusQueries {
            round(CAST(k.n_kept AS DOUBLE) / CAST(th.n_docs AS DOUBLE), 6)
              AS kept_frac_r
          FROM th JOIN k ON th.source = k.source ORDER BY th.source""",
+    "q_span_corrupt" ->
+      """WITH tk AS (SELECT doc_id,
+           CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok
+         FROM documents),
+         b AS (SELECT doc_id, n_tok // 20 AS blocks FROM tk
+           WHERE n_tok // 20 >= 1),
+         e AS (SELECT doc_id, CAST(unnest(range(0, blocks)) AS BIGINT)
+             AS span_idx
+           FROM b),
+         o AS (SELECT doc_id, span_idx,
+             CAST(CAST(('0x' || substr(md5('t5:' ||
+               CAST(doc_id AS VARCHAR) || ':' ||
+               CAST(span_idx AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+               % 18 AS off
+           FROM e)
+         SELECT doc_id, span_idx, span_idx * 20 + off AS tok_start,
+           CAST(3 AS BIGINT) AS tok_len
+         FROM o ORDER BY doc_id, span_idx""",
     "q_label_agreement" -> labelAgreementOracle(5, "0.5"),
     "q_logreg_train" -> logregTrainOracle(5, "0.5"),
     "q_logreg_score" -> logregScoreOracle(5, "0.5"),

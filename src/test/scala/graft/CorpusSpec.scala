@@ -675,4 +675,31 @@ class CorpusSpec extends AnyFunSuite {
     val again = Corpus.pmiPairs(docs, "doc_id", "text", maxDocVocab = 5)
     assert(capped.exceptAll(again).isEmpty && again.exceptAll(capped).isEmpty)
   }
+
+  test("spanCorruptionPlan: one in-bounds span per full block, stable") {
+    import spark.implicits._
+    // 45 tokens → 2 full blocks; 19 tokens → none; 20 → exactly one
+    val docs = Seq(
+      (1L, (1 to 45).map("t" + _).mkString(" ")),
+      (2L, (1 to 19).map("t" + _).mkString(" ")),
+      (3L, (1 to 20).map("t" + _).mkString(" "))
+    ).toDF("doc_id", "text")
+    val plan = Corpus.spanCorruptionPlan(docs, "doc_id", "text")
+      .orderBy("doc_id", "span_idx").collect()
+    val byDoc = plan.groupBy(_.getLong(0))
+    assert(byDoc(1L).length == 2 && !byDoc.contains(2L) &&
+      byDoc(3L).length == 1)
+    plan.foreach { r =>
+      val (b, start, len) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(len == 3L)
+      // the span sits wholly inside its own block → non-overlapping
+      assert(start >= b * 20 && start + len <= (b + 1) * 20)
+    }
+    // masked density over covered blocks is exactly spanLen/block
+    assert(plan.map(_.getLong(3)).sum == 3L * 3)
+    // RNG-free: a second run replays the identical plan
+    val again = Corpus.spanCorruptionPlan(docs, "doc_id", "text")
+      .orderBy("doc_id", "span_idx").collect()
+    assert(plan.toSeq == again.toSeq)
+  }
 }
