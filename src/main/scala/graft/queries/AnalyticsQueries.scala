@@ -1204,6 +1204,68 @@ object AnalyticsQueries {
         .orderBy("a", "b", "c")
     }),
 
+    // Degree distribution of the supplier–customer bipartite graph in
+    // log2 bins (bin = bit length of the distinct-neighbor degree) —
+    // the first diagnostic a graph pipeline prints (is this
+    // power-law? where do the hubs start?). Bit length is the same
+    // highest-bit-first CASE chain on both engines (the engine-
+    // portable bit-math rule, no floor(log2)); output is bounded by
+    // 2 roles × 64 bins however big the graph. One distinct + two
+    // keyed counts + one bounded aggregate.
+    "q_degree_dist" -> ((s, dir) => {
+      val sc = graft.ops.QueryCaches.persist(
+        t(s, dir, "lineitem").select(col("l_suppkey"), col("l_orderkey"))
+          .join(t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey").as("s"), col("o_custkey").as("c"))
+          .distinct())
+      val bitLen = {
+        val d = col("d")
+        (61 to 0 by -1).foldLeft(when(d >= lit(1L << 62), lit(63)))(
+          (acc, k) => acc.when(d >= lit(1L << k), lit(k + 1)))
+          .otherwise(lit(0)).cast("long")
+      }
+      val sd = sc.groupBy("s").agg(count(lit(1)).as("d"))
+        .select(lit("supplier").as("role"), col("d"))
+      val cd = sc.groupBy("c").agg(count(lit(1)).as("d"))
+        .select(lit("customer").as("role"), col("d"))
+      sd.unionAll(cd)
+        .withColumn("bin", bitLen)
+        .groupBy("role", "bin")
+        .agg(count(lit(1)).as("n_nodes"),
+          min(col("d")).as("min_deg"), max(col("d")).as("max_deg"))
+        .orderBy("role", "bin")
+    }),
+
+    // Neighbor-overlap (Jaccard) similarity between suppliers on the
+    // same bipartite graph: |N(a)∩N(b)| / |N(a)∪N(b)| over the
+    // co-occurrence pairs sharing ≥190 customers — structural-
+    // equivalence mining ("which suppliers serve the same market?").
+    // The pair join is GraphOps.coOccurrenceEdges (hot-key cap knob
+    // available; exact here), degrees join back from the SAME
+    // persisted distinct relation, and the ratio is an exact integer
+    // division.
+    "q_jaccard_neighbors" -> ((s, dir) => {
+      val sc = graft.ops.QueryCaches.persist(
+        t(s, dir, "lineitem").select(col("l_suppkey"), col("l_orderkey"))
+          .join(t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey").as("s"), col("o_custkey").as("c"))
+          .distinct())
+      val edges = graft.ops.GraphOps.coOccurrenceEdges(sc, "s", "c",
+        minShared = 190L)
+      val deg = sc.groupBy("s").agg(count(lit(1)).as("deg"))
+      edges
+        .join(deg.select(col("s").as("ia"), col("deg").as("na")), "ia")
+        .join(deg.select(col("s").as("ib"), col("deg").as("nb")), "ib")
+        .select(col("ia"), col("ib"), col("shared"), col("na"), col("nb"),
+          round(col("shared").cast("double") /
+            (col("na") + col("nb") - col("shared")), 6).as("jacc_r"))
+        .orderBy("ia", "ib")
+    }),
+
     // HyperLogLog distinct users per event type — the standard
     // cardinality sketch with a fully deterministic register pipeline,
     // estimate hash-matched like q_linear_count's.
@@ -1808,6 +1870,15 @@ object AnalyticsQueries {
          $rounds
          SELECT node, round(pr, 6) AS rank_r FROM r$iters ORDER BY node"""
   }
+
+  /** Highest-bit-first bit-length CASE chain over BIGINT `v` — the
+    * engine-portable integer log2 (the HLL-oracle idiom, full 63-bit
+    * range); both engines evaluate the identical literal compares.
+    */
+  private def bitLenCases(v: String): String =
+    (62 to 0 by -1)
+      .map(k => s"WHEN $v >= ${1L << k} THEN ${k + 1}")
+      .mkString("CASE ", "\n               ", " ELSE 0 END")
 
   /** HLL oracle: the identical register pipeline in SQL — bit length
     * of the 26-bit remainder as the same highest-bit-first CASE chain
@@ -2726,6 +2797,33 @@ object AnalyticsQueries {
            round(dmax * sqrt(CAST(na AS DOUBLE) * nb / (na + nb)), 6)
              AS ks_scaled
          FROM d""",
+    "q_degree_dist" ->
+      s"""WITH sc AS (SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         sd AS (SELECT 'supplier' AS role, CAST(count(*) AS BIGINT) AS d
+           FROM sc GROUP BY s),
+         cd AS (SELECT 'customer' AS role, CAST(count(*) AS BIGINT) AS d
+           FROM sc GROUP BY c),
+         u AS (SELECT role, d FROM sd UNION ALL SELECT role, d FROM cd),
+         b AS (SELECT role, CAST(${bitLenCases("d")} AS BIGINT) AS bin, d
+           FROM u)
+         SELECT role, bin, CAST(count(*) AS BIGINT) AS n_nodes,
+           min(d) AS min_deg, max(d) AS max_deg
+         FROM b GROUP BY 1, 2 ORDER BY role, bin""",
+    "q_jaccard_neighbors" ->
+      """WITH sc AS (SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         e AS (SELECT a.s AS ia, b.s AS ib, CAST(count(*) AS BIGINT)
+             AS shared
+           FROM sc a JOIN sc b ON a.c = b.c AND a.s < b.s
+           GROUP BY 1, 2 HAVING count(*) >= 190),
+         dg AS (SELECT s, CAST(count(*) AS BIGINT) AS deg
+           FROM sc GROUP BY 1)
+         SELECT e.ia, e.ib, e.shared, da.deg AS na, db.deg AS nb,
+           round(CAST(e.shared AS DOUBLE)
+             / (da.deg + db.deg - e.shared), 6) AS jacc_r
+         FROM e JOIN dg da ON da.s = e.ia JOIN dg db ON db.s = e.ib
+         ORDER BY e.ia, e.ib""",
     "q_anova" ->
       """WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS ng,
              sum(CAST(n_chars AS DECIMAL(18,0))) AS sg,
