@@ -40,6 +40,13 @@ object Multimodal {
       frame_idx: Int,
       frame_bytes: Array[Byte])
 
+  final case class SampleStats(
+      media_id: Long,
+      n_samples: Long,
+      n_quiet: Long,
+      dev2_sum: Long,
+      peak: Int)
+
   /** The codec seam: everything that needs to crack a payload goes
     * through one of these. Implementations must be serializable — they
     * ship to executors inside the `mapPartitions` closures.
@@ -337,6 +344,48 @@ object Multimodal {
         else m.copy(
           payload = codec.resize(m.payload, m.width, m.height, targetW, targetH),
           width = targetW, height = targetH)
+      }
+    }
+  }
+
+  /** Per-clip loudness/silence statistics over audio payload bytes
+    * read as unsigned 8-bit PCM samples centered at 128: sample
+    * count, quiet-sample count (|sample − 128| ≤ `quietDev`), exact
+    * squared-deviation sum (the RMS numerator, integer — never a
+    * float accumulation), and peak deviation. The audio twin of the
+    * image aHash path: silence-ratio/clipping gates run BEFORE any
+    * expensive transcription at 100 TB. A real pipeline decodes
+    * compressed audio through the [[MediaCodec]] seam first; raw
+    * PCM-as-bytes is the stub-grade interpretation the oracle can
+    * reproduce byte-for-byte. Empty payloads emit nothing (no
+    * samples → no stats row). Batched mapPartitions, partition count
+    * preserved, one pass per payload.
+    */
+  def sampleStats(
+      media: Dataset[MediaRecord],
+      quietDev: Int = 16): Dataset[SampleStats] = {
+    require(quietDev >= 0, s"quietDev must be >= 0, got $quietDev")
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.flatMap { m =>
+        val p = m.payload
+        if (p == null || p.isEmpty) Iterator.empty
+        else {
+          var i = 0
+          var quiet = 0L
+          var dev2 = 0L
+          var peak = 0
+          while (i < p.length) {
+            val v = (p(i) & 0xff) - 128
+            val a = if (v < 0) -v else v
+            if (a <= quietDev) quiet += 1
+            dev2 += v.toLong * v
+            if (a > peak) peak = a
+            i += 1
+          }
+          Iterator.single(
+            SampleStats(m.media_id, p.length.toLong, quiet, dev2, peak))
+        }
       }
     }
   }

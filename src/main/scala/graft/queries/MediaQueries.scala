@@ -93,6 +93,24 @@ object MediaQueries {
       Multimodal.metadataStats(media(s, dir))
         .withColumn("total_bytes", col("total_bytes").cast("long"))),
 
+    // Audio loudness/silence gate (Multimodal.sampleStats): payload
+    // bytes as u8 PCM samples — quiet-sample ratio, exact integer
+    // squared-deviation sum, peak deviation. The cheap pre-filter a
+    // speech pipeline runs before transcription; integer-exact so
+    // the oracle replays it from hex byte slices.
+    "q_media_loudness" -> ((s, dir) => {
+      import s.implicits._
+      val stats = Multimodal.sampleStats(
+        media(s, dir).filter(col("kind") === "audio")
+          .as[Multimodal.MediaRecord])
+      stats.toDF()
+        .select(col("media_id"), col("n_samples"), col("n_quiet"),
+          col("dev2_sum"), col("peak"),
+          round(col("n_quiet").cast("double") / col("n_samples"), 6)
+            .as("quiet_ratio_r"))
+        .orderBy("media_id")
+    }),
+
     // Feature-fingerprint near-dup: above-mean aHash bits over the
     // codec seam, banded Hamming candidate join, exact bit_count(xor)
     // verify — image dedup's plan shape driven through the stub codec
@@ -139,6 +157,25 @@ object MediaQueries {
          SELECT a, b, CAST(bit_count(xor(fpa, fpb)) AS INTEGER) AS ham
          FROM cand WHERE bit_count(xor(fpa, fpb)) <= 1
          ORDER BY a, b""",
+    "q_media_loudness" ->
+      """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS ph,
+           CAST(octet_length(encode(text)) AS BIGINT) AS len
+         FROM documents WHERE doc_id % 3 = 1),
+         s AS (SELECT media_id, len, ph,
+             unnest(range(0, len)) AS i FROM m),
+         b AS (SELECT media_id, len,
+             CAST(('0x' || substr(ph, CAST(2 * i + 1 AS INTEGER), 2))
+               AS INTEGER) - 128 AS dev
+           FROM s),
+         a AS (SELECT media_id, max(len) AS n_samples,
+             CAST(sum(CASE WHEN abs(dev) <= 16 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_quiet,
+             CAST(sum(dev * dev) AS BIGINT) AS dev2_sum,
+             CAST(max(abs(dev)) AS INTEGER) AS peak
+           FROM b GROUP BY 1)
+         SELECT media_id, n_samples, n_quiet, dev2_sum, peak,
+           round(CAST(n_quiet AS DOUBLE) / n_samples, 6) AS quiet_ratio_r
+         FROM a ORDER BY media_id""",
     "q_media_features" ->
       """WITH f AS (SELECT doc_id AS media_id,
            CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

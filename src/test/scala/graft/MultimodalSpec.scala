@@ -237,4 +237,25 @@ class MultimodalSpec extends AnyFunSuite {
     } yield (a, b, ham)).toSet
     assert(got == want)
   }
+
+  test("sampleStats: exact u8-PCM deviation stats, empty payload drops") {
+    import spark.implicits._
+    // bytes 120..135 → devs −8..7 all within the quiet fence; byte 0
+    // → dev −128 (the unsigned-read edge); byte 255 → dev 127
+    val clips = Seq(
+      MediaRecord(1, "audio", Array.tabulate(16)(i => (120 + i).toByte),
+        0, 0, 16000),
+      MediaRecord(2, "audio", Array[Byte](0, -1), 0, 0, 16000), // 0x00,0xff
+      MediaRecord(3, "audio", Array.empty[Byte], 0, 0, 16000)
+    ).toDS()
+    val got = Multimodal.sampleStats(clips).collect()
+      .map(s => s.media_id -> s).toMap
+    assert(!got.contains(3L)) // no samples → no row
+    val s1 = got(1L)
+    assert(s1.n_samples == 16 && s1.n_quiet == 16 && s1.peak == 8)
+    assert(s1.dev2_sum == (-8 to 7).map(v => v * v).sum)
+    val s2 = got(2L)
+    assert(s2.n_samples == 2 && s2.n_quiet == 0 && s2.peak == 128)
+    assert(s2.dev2_sum == 128L * 128 + 127L * 127)
+  }
 }
