@@ -1280,6 +1280,59 @@ object AnalyticsQueries {
         .orderBy("event_type")
     }),
 
+    // Relational division — "customers whose orders span EVERY
+    // priority level": the classic ÷ operator (FORALL over a dynamic
+    // divisor set), expressed as two countDistinct aggregates and a
+    // 1-row broadcast compare instead of the textbook double-NOT-
+    // EXISTS (which plans two correlated anti-joins). One exchange
+    // on the fact key; the divisor cardinality is a single broadcast
+    // row however many priority levels exist.
+    "q_rel_division" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val need = o.agg(countDistinct(col("o_orderpriority")).as("need"))
+      o.groupBy("o_custkey")
+        .agg(countDistinct(col("o_orderpriority")).as("n_priorities"),
+          count(lit(1)).as("n_orders"))
+        .crossJoin(broadcast(need))
+        .filter(col("n_priorities") === col("need"))
+        .select(col("o_custkey"), col("n_orders"), col("n_priorities"))
+        .orderBy("o_custkey")
+    }),
+
+    // KMV (k-minimum-values) distinct-count sketch per event type,
+    // beside the exact truth (the q_hll_distinct pairing): keep the
+    // k=64 smallest md5-derived 32-bit hash values of the user set —
+    // the native TopKByScore aggregate (bounded k-element heap, only
+    // k-row buffers cross the wire) on the NEGATED hash — and
+    // estimate (k−1)·2³²/v₍ₖ₎. The pre-distinct keeps duplicate
+    // events from occupying sketch slots with oracle-exact semantics;
+    // a production buffer dedups on insert and drops that exchange.
+    "q_kmv_distinct" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .transform(graft.ops.QueryCaches.persist) // sketch + truth arms
+      val h = e.select(col("event_type"),
+          conv(substring(md5(concat(lit("kmv:"),
+            col("user_id").cast("string"))), 1, 8), 16, 10)
+            .cast("long").as("v"))
+        .distinct()
+      val kmv = h.groupBy("event_type")
+        .agg(graft.expr.TopKByScore.topK(
+          -col("v").cast("double"), col("v"), 64).as("tk"))
+        .select(col("event_type"),
+          size(col("tk")).cast("long").as("n_kept"),
+          element_at(col("tk"), size(col("tk"))).getField("id")
+            .as("kth_v"))
+      val truth = e.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_true"))
+      truth.join(kmv, "event_type")
+        .select(col("event_type"), col("n_true"), col("n_kept"),
+          col("kth_v"),
+          round(when(col("n_kept") < 64, col("n_kept").cast("double"))
+            .otherwise(lit(63.0) * lit(4294967296L) / col("kth_v")), 6)
+            .as("est_r"))
+        .orderBy("event_type")
+    }),
+
     // Point-in-time dimension lookup: the SCD2 history of q_scd2
     // composed with the NATIVE as-of join — each order resolves the
     // version in effect at its date (ver_started = when the current
@@ -2797,6 +2850,38 @@ object AnalyticsQueries {
            round(dmax * sqrt(CAST(na AS DOUBLE) * nb / (na + nb)), 6)
              AS ks_scaled
          FROM d""",
+    "q_rel_division" ->
+      """WITH need AS (SELECT CAST(count(DISTINCT o_orderpriority)
+             AS BIGINT) AS need FROM orders),
+         g AS (SELECT o_custkey,
+             CAST(count(DISTINCT o_orderpriority) AS BIGINT)
+               AS n_priorities,
+             CAST(count(*) AS BIGINT) AS n_orders
+           FROM orders GROUP BY 1)
+         SELECT o_custkey, n_orders, n_priorities
+         FROM g CROSS JOIN need WHERE n_priorities = need
+         ORDER BY o_custkey""",
+    "q_kmv_distinct" ->
+      """WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+         h AS (SELECT DISTINCT event_type,
+             CAST(CAST(('0x' || substr(md5('kmv:' ||
+               CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+               AS v
+           FROM u),
+         r AS (SELECT event_type, v, row_number() OVER
+             (PARTITION BY event_type ORDER BY v) AS rn FROM h),
+         k AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+             max(v) AS kth_v
+           FROM r WHERE rn <= 64 GROUP BY 1),
+         t AS (SELECT event_type,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_true
+           FROM events GROUP BY 1)
+         SELECT k.event_type, t.n_true, k.n_kept, k.kth_v,
+           round(CASE WHEN k.n_kept < 64 THEN CAST(k.n_kept AS DOUBLE)
+             ELSE CAST(63 AS DOUBLE) * 4294967296 / k.kth_v END, 6)
+             AS est_r
+         FROM k JOIN t ON t.event_type = k.event_type
+         ORDER BY k.event_type""",
     "q_degree_dist" ->
       s"""WITH sc AS (SELECT DISTINCT l_suppkey AS s, o_custkey AS c
            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
