@@ -35,6 +35,76 @@ object VectorStats {
         sqrt(greatest(col("ex2") - col("mu") * col("mu"), lit(0.0)))
           .as("sd"))
 
+  /** Top principal component of the embedding corpus by distributed
+    * power iteration — the "what single direction explains this
+    * embedding space" diagnostic (drift axes, dominant cluster
+    * separation, whitening pre-step).
+    *
+    * Shape: the dim-moment sums S_i and the second-moment matrix
+    * SS_ij reduce the corpus to d and d² rows (the pair fan-out is
+    * bounded by dim², never by rows²); the covariance
+    * C_ij = (SS_ij − S_i·S_j/n)/n is O(1)-magnitude at ANY corpus
+    * size (the /n keeps later decimal casts in range), and each of
+    * the fixed `rounds` matvecs is a d²-row join against a d-row
+    * broadcast vector. The driver never holds the matrix.
+    *
+    * Cross-engine exactness: every sum that runs over unbounded or
+    * matrix-sized row sets (element sums, pair products, matvec
+    * terms, norm squares) is DECIMAL(28,14)-cast per term before SUM
+    * (order-independent — the logreg gradient treatment); divisions
+    * and the sqrt happen once per value in a fixed association, so
+    * the whole iteration is bit-reproducible and the oracle unrolls
+    * the identical rounds. Output: one row per dimension
+    * (i, v_r, lambda_r) — the unit eigenvector and the eigenvalue
+    * estimate (the last round's pre-normalization norm).
+    */
+  def pcaPowerTop(
+      df: DataFrame,
+      idCol: String,
+      embeddingCol: String,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val dec = (c: Column) => c.cast("decimal(28,14)")
+    val d = (c: Column) => c.cast("double")
+    val e = QueryCaches.persist(
+      df.select(col(idCol).as("__id"),
+          posexplode(VectorFunctions.toDoubleArray(col(embeddingCol)))
+            .as(Seq("i", "x")))
+        .withColumn("i", col("i").cast("long")))
+    val sf = e.groupBy("i")
+      .agg(count(lit(1)).as("n"), d(sum(dec(col("x")))).as("s"))
+    val ss = e.as("a").join(e.as("b"), col("a.__id") === col("b.__id"))
+      .select(col("a.i").as("i"), col("b.i").as("j"),
+        (col("a.x") * col("b.x")).as("p"))
+      .groupBy("i", "j").agg(d(sum(dec(col("p")))).as("ss"))
+    // dim-bounded sides: broadcast is valid by construction
+    val sI = sf.select(col("i"), col("n"), col("s").as("si"))
+    val sJ = sf.select(col("i").as("j"), col("s").as("sj"))
+    val cmat = QueryCaches.persist(
+      ss.join(broadcast(sI), "i").join(broadcast(sJ), "j")
+        .select(col("i"), col("j"),
+          ((col("ss") - col("si") * col("sj") / col("n")) / col("n"))
+            .as("c")))
+    var cur: Option[DataFrame] = None
+    var out: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val w = cur match {
+        case None =>
+          cmat.groupBy("i")
+            .agg(d(sum(dec(col("c") * lit(0.125)))).as("w"))
+        case Some(vf) =>
+          cmat.join(broadcast(vf.select(col("i").as("j"), col("v"))), "j")
+            .groupBy("i").agg(d(sum(dec(col("c") * col("v")))).as("w"))
+      }
+      val n2 = w.agg(d(sum(dec(col("w") * col("w")))).as("n2"))
+      out = w.crossJoin(broadcast(n2))
+        .select(col("i"), (col("w") / sqrt(col("n2"))).as("v"), col("n2"))
+      cur = Some(out)
+    }
+    out.select(col("i"), round(col("v"), 6).as("v_r"),
+      round(sqrt(col("n2")), 6).as("lambda_r"))
+  }
+
   /** Z-score every element against [[dimStats]]: output
     * (idCol, pos long, x, z) with zero-variance dimensions dropped
     * (z is undefined there, and the engines disagree on x/0). The

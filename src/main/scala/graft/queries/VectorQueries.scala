@@ -184,6 +184,17 @@ object VectorQueries {
         round(norm(asDouble(col("embedding"))), 6).as("norm_r"))
         .orderBy("vec_id")),
 
+    // Top principal component by distributed power iteration
+    // (VectorStats.pcaPowerTop): corpus → d-row moment sums + d²-row
+    // second-moment matrix (the pair fan-out bounded by dim², never
+    // rows²), then three matvec rounds against a dim-bounded
+    // broadcast vector, every unbounded sum DECIMAL-cast per term so
+    // the oracle unrolls the identical rounds. Output: the unit
+    // eigenvector and eigenvalue estimate, one row per dimension.
+    "q_pca_power" -> ((s, dir) =>
+      graft.ops.VectorStats.pcaPowerTop(emb(s, dir), "vec_id",
+        "embedding", rounds = 3).orderBy("i")),
+
     // Per-label embedding centroids (IvfIndex.groupCentroids — the
     // keyed M-step primitive, also the IVF cell-refresh path): one
     // exploded aggregate, map-side combined; the mean over ~dozens of
@@ -1048,7 +1059,49 @@ object VectorQueries {
       s"list_dot_product(v, $arr)"
     }.mkString("[", ",\n             ", "]")
 
+  /** Power-iteration oracle: the identical covariance build and
+    * unrolled matvec/normalize rounds as
+    * [[graft.ops.VectorStats.pcaPowerTop]] — every unbounded sum
+    * DECIMAL(28,14)-cast per term, divisions/sqrt in the same fixed
+    * association, so each round's vector is bit-equal cross-engine.
+    */
+  private def pcaOracle(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      val mv =
+        if (r == 1)
+          """w1 AS (SELECT i, CAST(sum(CAST(c * CAST(0.125 AS DOUBLE)
+             AS DECIMAL(28,14))) AS DOUBLE) AS w FROM cm GROUP BY 1)"""
+        else
+          s"""w$r AS (SELECT cm.i, CAST(sum(CAST(cm.c * v${r - 1}.v
+             AS DECIMAL(28,14))) AS DOUBLE) AS w
+           FROM cm JOIN v${r - 1} ON v${r - 1}.i = cm.j GROUP BY 1)"""
+      s"""$mv,
+         n$r AS (SELECT CAST(sum(CAST(w * w AS DECIMAL(28,14)))
+             AS DOUBLE) AS n2 FROM w$r),
+         v$r AS (SELECT i, w / sqrt(n2) AS v, n2
+           FROM w$r CROSS JOIN n$r)"""
+    }.mkString(",\n         ")
+    s"""WITH e AS (SELECT vec_id,
+           CAST(unnest(range(len(embedding))) AS BIGINT) AS i,
+           CAST(unnest(embedding) AS DOUBLE) AS x
+         FROM embeddings),
+         sf AS (SELECT i, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(x AS DECIMAL(28,14))) AS DOUBLE) AS s
+           FROM e GROUP BY 1),
+         ss AS (SELECT a.i AS i, b.i AS j,
+             CAST(sum(CAST(a.x * b.x AS DECIMAL(28,14))) AS DOUBLE) AS ss
+           FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+         cm AS MATERIALIZED (SELECT ss.i, ss.j,
+             (ss.ss - si.s * sj.s / si.n) / si.n AS c
+           FROM ss JOIN sf si ON si.i = ss.i
+                   JOIN sf sj ON sj.i = ss.j),
+         $roundCtes
+         SELECT i, round(v, 6) AS v_r, round(sqrt(n2), 6) AS lambda_r
+         FROM v$rounds ORDER BY i"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_pca_power" -> pcaOracle(3),
     "q_mmr" -> mmrOracle(4),
     "q_rand_proj" ->
       s"""WITH e AS (SELECT vec_id,

@@ -43,4 +43,20 @@ class VectorStatsSpec extends AnyFunSuite {
       .select("pos").distinct().collect().map(_.getLong(0)).toSet
     assert(kept == Set(0L))
   }
+
+  test("pcaPowerTop recovers a rank-one covariance direction exactly") {
+    import spark.implicits._
+    // points along u = (0.6, 0.8): centered scatter is 31.25·uuᵀ, so
+    // one round already lands on ±u and the eigenvalue is 31.25
+    val df = Seq(
+      (1L, Array(3.0f, 4.0f)), (2L, Array(6.0f, 8.0f)),
+      (3L, Array(-3.0f, -4.0f)), (4L, Array(0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = VectorStats.pcaPowerTop(df, "vec_id", "embedding",
+      rounds = 3).orderBy("i").collect()
+    graft.ops.QueryCaches.releaseAll()
+    assert(got.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    assert(got.map(_.getDouble(1)).toSeq == Seq(0.6, 0.8))
+    assert(got.map(_.getDouble(2)).toSeq == Seq(31.25, 31.25))
+  }
 }
