@@ -540,6 +540,30 @@ object TextQueries {
         .orderBy("doc_id", "word_pos", "sub_pos")
     }),
 
+    // Tokenizer fertility by language — subwords emitted per word
+    // under the trained BPE vocabulary, the bias audit run before
+    // adopting a tokenizer (a language whose words shatter into
+    // chars pays more sequence length per sentence). Reuses the
+    // q_bpe_segment train/segment pipeline; two keyed aggregates on
+    // top (per-word subword counts → per-language totals).
+    "q_bpe_fertility" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = graft.ops.BpeTrainer.trainMerges(
+        d.filter(col("doc_id") < 200), "text", nMerges = 8)
+      val seg = graft.ops.BpeTrainer.segment(
+        d.filter(col("doc_id") < 50), "doc_id", "text", model)
+      seg.join(d.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy("lang", "doc_id", "word_pos")
+        .agg(count(lit(1)).as("n_sub"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_sub")).as("n_subwords"))
+        .select(col("lang"), col("n_words"), col("n_subwords"),
+          round(col("n_subwords").cast("double") / col("n_words"), 6)
+            .as("fertility_r"))
+        .orderBy("lang")
+    }),
+
     // Posting-list inverted index over the corpus: df/cf per token and
     // the first-20 doc-id postings head as CSV.
     "q_inverted_index" -> ((s, dir) =>
@@ -840,6 +864,27 @@ SELECT doc_id, CAST(word_pos AS BIGINT) AS word_pos, word,
 ORDER BY doc_id, word_pos, sub_pos"""
   }
 
+  /** Fertility oracle: the q_bpe_segment training chain, but folded
+    * to per-language word/subword totals (len(syms) per word — no
+    * subword unnest needed; OOV words char-split like the segmenter).
+    */
+  private def bpeFertilityOracle(nMerges: Int): String = {
+    val rounds = (1 to nMerges).map(bpeRoundSql).mkString(",\n")
+    s"""WITH ${bpeW0("documents WHERE doc_id < 200")},
+$rounds,
+sv AS (SELECT lang, word FROM (
+    SELECT lang, unnest(string_split(trim(text), ' ')) AS word
+    FROM documents WHERE doc_id < 50)
+  WHERE len(word) > 0),
+sj AS (SELECT s.lang,
+    COALESCE(len(v.syms), len(string_split(s.word, ''))) AS n_sub
+  FROM sv s LEFT JOIN w$nMerges v ON v.word = s.word)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+  CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+  round(CAST(sum(n_sub) AS DOUBLE) / count(*), 6) AS fertility_r
+FROM sj GROUP BY lang ORDER BY lang"""
+  }
+
   /** The bigram-profile score columns + tie-precedence argmax, shared
     * by the q_lang_ngram and q_langid_confusion oracles — the SQL twin
     * of [[langNgramScored]].
@@ -868,6 +913,7 @@ ORDER BY doc_id, word_pos, sub_pos"""
   val oracles: Map[String, String] = Map(
     "q_bpe_merges" -> bpeMergesOracle(12),
     "q_bpe_segment" -> bpeSegmentOracle(8),
+    "q_bpe_fertility" -> bpeFertilityOracle(8),
     "q_inverted_index" ->
       """WITH tk AS (SELECT doc_id,
              unnest(string_split(trim(text), ' ')) AS tok FROM documents),
