@@ -1005,6 +1005,31 @@ object AnalyticsQueries {
         .orderBy("pa", "pb")
     }),
 
+    // Entity resolution end-to-end: the q_jaro_block match pairs
+    // (brand+size blocking, native Jaro-Winkler ≥ 0.86) closed into
+    // duplicate-entity clusters by the SAME large-star/small-star
+    // contraction that powers text dedup (TextDedup.clusters —
+    // O(log²) rounds, checkpoint-cut, diameter-independent). Each
+    // part resolves to its cluster's minimum key — the survivorship
+    // id a master-data pipeline carries forward.
+    "q_er_clusters" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"),
+          col("p_name"))
+        .transform(graft.ops.QueryCaches.persist) // pairs ×2 + id universe
+      val pairs = p.select(col("p_partkey").as("a"), col("p_brand"),
+          col("p_size"), col("p_name").as("name_a"))
+        .join(p.select(col("p_partkey").as("b"), col("p_brand"),
+          col("p_size"), col("p_name").as("name_b")),
+          Seq("p_brand", "p_size"))
+        .filter(col("a") < col("b"))
+        .filter(round(graft.expr.JaroWinklerFunctions
+          .jaroWinkler(col("name_a"), col("name_b")), 6) >= lit(0.86))
+        .select(col("a"), col("b"))
+      graft.ops.TextDedup.clusters(p.select(col("p_partkey")), pairs)
+        .orderBy("id")
+    }),
+
     // Robust outliers by median absolute deviation (TimeSeries
     // .madOutliers): rows beyond 3×MAD of their event-type median.
     // Exact interpolating medians (the q_quantiles parity), rounded
@@ -2228,6 +2253,21 @@ object AnalyticsQueries {
          WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6)
            >= 0.86
          ORDER BY pa, pb""",
+    "q_er_clusters" ->
+      """WITH RECURSIVE pr AS (
+           SELECT a.p_partkey AS a, b.p_partkey AS b
+           FROM part a JOIN part b
+             ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+                AND a.p_partkey < b.p_partkey
+           WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6)
+             >= 0.86),
+         edges AS (SELECT a, b FROM pr UNION ALL SELECT b, a FROM pr),
+         reach(id, lbl) AS (
+             SELECT p_partkey, p_partkey FROM part
+             UNION
+             SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.id)
+         SELECT id, min(lbl) AS cluster_id
+         FROM reach GROUP BY id ORDER BY id""",
     "q_mad_outliers" ->
       """WITH e AS (SELECT event_id, event_type, value FROM events
            WHERE value IS NOT NULL),

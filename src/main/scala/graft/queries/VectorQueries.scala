@@ -387,6 +387,39 @@ object VectorQueries {
         queryCap = 50)
     }),
 
+    // Filtered vector search — top-3 bucket-local neighbors among
+    // candidates passing a metadata predicate (even labels), with the
+    // predicate applied BEFORE the bucket join (pre-filtering: the
+    // candidate scan shrinks and recall within the filtered set is
+    // preserved; post-filtering a fixed top-k would silently return
+    // fewer than k). Same LSH machinery and rank tiebreak as
+    // q_ann_lsh.
+    "q_ann_filtered" -> ((s, dir) => {
+      val pm = graft.ops.CosineLsh.planes(k = 8, dim = 64)
+      val base = withNorm(emb(s, dir).filter(col("vec_id") < 2000)
+        .select(col("vec_id"), col("label"),
+          asDouble(col("embedding")).as("v")))
+        .withColumn("bucket", graft.ops.CosineLsh.bucketCol(col("v"), pm))
+        .transform(graft.ops.QueryCaches.persist) // query + candidate arms
+      val q = base.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("bucket"))
+      val c = base.filter(col("label") % 2 === 0)
+        .select(col("vec_id").as("cand_id"), col("label"),
+          col("v").as("cv"), col("nrm").as("cn"),
+          col("bucket").as("cbucket"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("cos_r").desc, col("cand_id"))
+      q.join(c, col("bucket") === col("cbucket") &&
+          col("q_id") =!= col("cand_id"))
+        .withColumn("cos_r", cosR(col("qv"), col("cv"), col("qn"), col("cn")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("rank"), col("cand_id"), col("label"),
+          col("cos_r"))
+        .orderBy("q_id", "rank")
+    }),
+
     // IVF with k-means-trained centroids + nprobe (graft.ops.IvfIndex)
     // — the production variant of the fixed-centroid q_ann_ivf.
     // Declared rows-only (q_sniff precedent): k-means runs on Spark ML
@@ -1307,6 +1340,24 @@ object VectorQueries {
              (PARTITION BY q_id ORDER BY cos_r DESC, cand_id) AS rk FROM p)
          SELECT q_id, cand_id, bucket, cos_r FROM r WHERE rk = 1
          ORDER BY q_id""",
+    "q_ann_filtered" ->
+      s"""WITH e AS (SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id < 2000),
+         n AS (SELECT * FROM (SELECT vec_id, label, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+             $lshBucketSql AS bucket FROM e) WHERE nrm > 0),
+         p AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id, c.label,
+             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6)
+               AS cos_r
+           FROM n q JOIN n c
+             ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+           WHERE q.vec_id < 50 AND c.label % 2 = 0),
+         r AS (SELECT *, CAST(row_number() OVER
+             (PARTITION BY q_id ORDER BY cos_r DESC, cand_id) AS BIGINT)
+             AS rank FROM p)
+         SELECT q_id, rank, cand_id, label, cos_r FROM r WHERE rank <= 3
+         ORDER BY q_id, rank""",
     // q_ann_ivf_kmeans: intentionally no oracle (Spark-ML k-means has
     // no DuckDB twin; rows-only — the fixed-centroid q_ann_ivf is the
     // oracle-checked form of the same search shape).
