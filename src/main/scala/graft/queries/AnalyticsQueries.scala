@@ -1358,6 +1358,62 @@ object AnalyticsQueries {
         .orderBy("event_type")
     }),
 
+    // HITS hubs (Kleinberg) on the supplier→customer bipartite
+    // graph, two full mutual-reinforcement rounds in EXACT integer
+    // arithmetic: h₀ ≡ 1, aₖ = Aᵀhₖ₋₁, hₖ = A·aₖ — per-round L2
+    // normalization (what a float deployment does) only rescales, so
+    // the integer ranking is the HITS ranking and the gate stays
+    // hash-exact. Each half-round is one keyed join + keyed aggregate
+    // (|E| shuffle), the PageRank cost shape without the dangling
+    // machinery; magnitudes stay far under Long at the tested SFs.
+    "q_hits" -> ((s, dir) => {
+      val e = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("s"), col("o_custkey").as("c"))
+        .distinct()
+        .transform(graft.ops.QueryCaches.persist) // 4 propagation passes
+      val a1 = e.groupBy("c").agg(count(lit(1)).as("a1"))
+      val h1 = e.join(a1, "c").groupBy("s").agg(sum("a1").as("h1"))
+      val a2 = e.join(h1, "s").groupBy("c").agg(sum("h1").as("a2"))
+      e.join(a2, "c").groupBy("s").agg(sum("a2").as("h2"))
+        .orderBy(col("h2").desc, col("s")).limit(20)
+        .select(col("s").as("supp"), col("h2").as("hub2"))
+    }),
+
+    // AMS (Alon–Matthias–Szegedy) F₂ sketch per event type, beside
+    // the exact second moment it estimates (the self-join-size
+    // estimator: F₂ = Σᵤ cᵤ², what q_join_size computes exactly).
+    // Eight ±1-hash estimators ride ONE keyed aggregate — the
+    // per-user counts explode 8× map-side, signs are md5-derived so
+    // both engines draw identical streams — and the mean of the
+    // squared sums divides by 2³ (exact in binary). The sketch state
+    // is 8 longs per group however many users exist; the exact arm
+    // is the oracle anchor, dropped in production.
+    "q_ams_f2" -> ((s, dir) => {
+      val cnts = Tables.events(s, dir)
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("cu"))
+        .transform(graft.ops.QueryCaches.persist) // truth + sketch arms
+      val truth = cnts.groupBy("event_type")
+        .agg(sum(col("cu") * col("cu")).as("f2_true"))
+      val est = cnts
+        .withColumn("j", explode(lit((0 until 8).toArray)))
+        .withColumn("sgn",
+          when(conv(substring(md5(concat(col("j").cast("string"),
+            lit(":"), col("user_id").cast("string"))), 1, 1), 16, 10)
+            .cast("long") % 2 === 0, lit(1L)).otherwise(lit(-1L)))
+        .groupBy("event_type", "j")
+        .agg(sum(col("sgn") * col("cu")).as("x"))
+        .groupBy("event_type")
+        .agg((sum(col("x") * col("x")).cast("double") / lit(8.0))
+          .as("est"))
+      truth.join(est, "event_type")
+        .select(col("event_type"), col("f2_true"), col("est"),
+          round(abs(col("est") - col("f2_true").cast("double")) /
+            col("f2_true").cast("double"), 6).as("rel_err_r"))
+        .orderBy("event_type")
+    }),
+
     // Point-in-time dimension lookup: the SCD2 history of q_scd2
     // composed with the NATIVE as-of join — each order resolves the
     // version in effect at its date (ver_started = when the current
@@ -1700,6 +1756,30 @@ object AnalyticsQueries {
       s.sql(sqlQ1)
     }),
 
+    // TPC-H Q3 shape (shipping-priority top-10) through the same SQL
+    // front door: three-table star join with filters on BOTH fact and
+    // dimension sides. The segment filter prunes customer before the
+    // join (PushedFilters at the scan), AQE broadcasts the filtered
+    // dimension; revenue is DECIMAL-exact so the DESC top-10 cut is
+    // deterministic (o_orderkey completes the total order).
+    "q_sql_q3" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(sqlQ3)
+    }),
+
+    // TPC-H Q5 shape (regional local-supplier volume): six-table join
+    // where supplier and customer must share a nation — the
+    // co-location predicate rides the join, region prunes nation, and
+    // the two tiny dimension chains broadcast. One shuffle pair on
+    // the fact keys; grouped on the 25-row nation domain.
+    "q_sql_q5" -> ((s, dir) => {
+      Seq("customer", "orders", "lineitem", "supplier", "nation",
+        "region").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(sqlQ5)
+    }),
+
     // Pareto frontier (2-D skyline): the (cheapest-price, largest-
     // quantity) non-dominated set — the classic multi-criteria
     // shortlist query. Sort-based, never pairwise: rows collapse to
@@ -1778,6 +1858,51 @@ object AnalyticsQueries {
        WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
        GROUP BY l_returnflag, l_linestatus
        ORDER BY l_returnflag, l_linestatus"""
+
+  /** ONE SQL text for q_sql_q3 — TPC-H Q3 adapted to this star schema
+    * (o_orderpriority stands in for o_shippriority; the date pivots
+    * sit inside the generated 1995–2001 order-date range).
+    */
+  private val sqlQ3: String =
+    """SELECT o_orderkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+             (CAST(1 AS DECIMAL(12,2)) -
+              CAST(l_discount AS DECIMAL(12,2))))
+           AS DECIMAL(18,4)) AS revenue,
+         o_orderdate, o_orderpriority
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+         AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+       GROUP BY o_orderkey, o_orderdate, o_orderpriority
+       ORDER BY revenue DESC, o_orderkey
+       LIMIT 10"""
+
+  /** ONE SQL text for q_sql_q5 — TPC-H Q5 adapted: local-supplier
+    * revenue (customer and supplier in the SAME nation) for one
+    * region-year.
+    */
+  private val sqlQ5: String =
+    """SELECT n_name,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+             (CAST(1 AS DECIMAL(12,2)) -
+              CAST(l_discount AS DECIMAL(12,2))))
+           AS DECIMAL(18,4)) AS revenue,
+         CAST(count(*) AS BIGINT) AS n_items
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       WHERE c_nationkey = s_nationkey
+         AND r_name = 'ASIA'
+         AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+         AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       GROUP BY n_name
+       ORDER BY revenue DESC, n_name"""
 
   /** Unrolled k-core oracle: the same fixed peels as
     * [[graft.ops.GraphOps.kcorePeel]], every round MATERIALIZED (each
@@ -2030,6 +2155,8 @@ object AnalyticsQueries {
     "q_bfs_levels" -> bfsOracle(3),
     "q_kcore" -> kcoreOracle(4, 3),
     "q_sql_q1" -> sqlQ1,
+    "q_sql_q3" -> sqlQ3,
+    "q_sql_q5" -> sqlQ5,
     "q_hll_distinct" -> hllOracle,
     "q_scd_asof" ->
       """WITH s AS (SELECT o_orderkey, o_custkey, o_orderpriority,
@@ -2901,6 +3028,42 @@ object AnalyticsQueries {
          SELECT o_custkey, n_orders, n_priorities
          FROM g CROSS JOIN need WHERE n_priorities = need
          ORDER BY o_custkey""",
+    "q_hits" ->
+      """WITH e AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s,
+             o_custkey AS c
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         a1 AS (SELECT c, CAST(count(*) AS BIGINT) AS a1
+           FROM e GROUP BY 1),
+         h1 AS (SELECT s, CAST(sum(a1) AS BIGINT) AS h1
+           FROM e JOIN a1 USING (c) GROUP BY 1),
+         a2 AS (SELECT c, CAST(sum(h1) AS BIGINT) AS a2
+           FROM e JOIN h1 USING (s) GROUP BY 1),
+         h2 AS (SELECT s, CAST(sum(a2) AS BIGINT) AS h2
+           FROM e JOIN a2 USING (c) GROUP BY 1)
+         SELECT s AS supp, h2 AS hub2 FROM h2
+         ORDER BY h2 DESC, s LIMIT 20""",
+    "q_ams_f2" ->
+      """WITH cu AS (SELECT event_type, user_id,
+             CAST(count(*) AS BIGINT) AS cu
+           FROM events GROUP BY 1, 2),
+         tr AS (SELECT event_type, CAST(sum(cu * cu) AS BIGINT)
+             AS f2_true FROM cu GROUP BY 1),
+         ex AS (SELECT event_type, user_id, cu,
+             unnest(range(8)) AS j FROM cu),
+         sg AS (SELECT event_type, j, cu,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(j AS VARCHAR)
+               || ':' || CAST(user_id AS VARCHAR)), 1, 1)) AS UBIGINT)
+               % 2 = 0 THEN 1 ELSE -1 END AS sgn
+           FROM ex),
+         xs AS (SELECT event_type, j, CAST(sum(sgn * cu) AS BIGINT)
+             AS x FROM sg GROUP BY 1, 2),
+         es AS (SELECT event_type, CAST(sum(x * x) AS DOUBLE) / 8
+             AS est FROM xs GROUP BY 1)
+         SELECT t.event_type, t.f2_true, e.est,
+           round(abs(e.est - CAST(t.f2_true AS DOUBLE)) /
+             CAST(t.f2_true AS DOUBLE), 6) AS rel_err_r
+         FROM tr t JOIN es e ON e.event_type = t.event_type
+         ORDER BY t.event_type""",
     "q_kmv_distinct" ->
       """WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
          h AS (SELECT DISTINCT event_type,
