@@ -33,6 +33,98 @@ object CorpusQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // URL canonicalization dedup — the web-corpus twin of exact text
+    // dedup: crawls see one page under scheme-case / default-port /
+    // tracking-param / fragment / trailing-slash variants. Four
+    // deterministic variants per page key are synthesized from doc_id
+    // (the corpus carries no URL column), then canonicalized with the
+    // standard rules — casefold, strip fragment, strip utm_* params,
+    // fold http→https, drop the default :443 port, strip the trailing
+    // slash — and deduped keep-min-id. Stateless per-row string ops +
+    // ONE keyed exchange on the canonical key, the exact-dedup shape.
+    "q_url_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        (col("doc_id") % 4).as("vr"),
+        expr("doc_id div 4").cast("string").as("g"))
+      val url = when(col("vr") === 0,
+          concat(lit("https://www.example.com/page/"), col("g")))
+        .when(col("vr") === 1,
+          concat(lit("HTTP://WWW.EXAMPLE.COM/page/"), col("g"), lit("/")))
+        .when(col("vr") === 2,
+          concat(lit("https://www.example.com:443/page/"), col("g"),
+            lit("?utm_source=feed")))
+        .otherwise(
+          concat(lit("https://www.example.com/page/"), col("g"),
+            lit("#sec")))
+      val canon =
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(lower(url), "#.*$", ""),
+                "\\?utm_[a-z_]+=[a-z]+$", ""),
+              "^http://", "https://"),
+            "^https://([^/]+):443/", "https://$1/"),
+          "/$", "")
+      d.select(canon.as("canon_url"), col("doc_id"))
+        .groupBy("canon_url")
+        .agg(count(lit(1)).as("n_variants"), min("doc_id").as("keep_id"))
+        .orderBy("canon_url")
+    }),
+
+    // Mutual-information feature ranking — the feature-selection step
+    // before training the quality model: MI(feature; quality label)
+    // for each candidate feature (source, lang, length bucket), all
+    // from ONE counts aggregate per feature (margins derive from the
+    // persisted joint counts, never a second corpus pass). Cell terms
+    // are exact-integer ratios; the ≤40-term double sum sits far from
+    // the round(…,6) boundary (the bm25/bounded-sum precedent).
+    "q_mi_features" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("source"), col("lang"),
+        expr("n_chars div 100").cast("string").as("lb"),
+        Corpus.qualityPass(col("text")).cast("int").as("l"))
+      val f = d.select(lit("source").as("feat"), col("source").as("v"),
+          col("l"))
+        .unionByName(d.select(lit("lang").as("feat"),
+          col("lang").as("v"), col("l")))
+        .unionByName(d.select(lit("len_bucket").as("feat"),
+          col("lb").as("v"), col("l")))
+      val cvl = f.groupBy("feat", "v", "l").agg(count(lit(1)).as("cvl"))
+        .transform(graft.ops.QueryCaches.persist) // 3 margins + cells
+      val cv = cvl.groupBy("feat", "v").agg(sum("cvl").as("cv"))
+      val cl = cvl.groupBy("feat", "l").agg(sum("cvl").as("cl"))
+      val n = cvl.groupBy("feat").agg(sum("cvl").as("n"))
+      cvl.join(cv, Seq("feat", "v")).join(cl, Seq("feat", "l"))
+        .join(n, Seq("feat"))
+        .groupBy("feat")
+        .agg(count(lit(1)).as("cells"),
+          round(sum((col("cvl").cast("double") / col("n").cast("double")) *
+            log((col("cvl") * col("n")).cast("double") /
+              (col("cv") * col("cl")).cast("double"))), 6).as("mi_r"))
+        .orderBy("feat")
+    }),
+
+    // Differentially-private release shape: per-(lang, source) counts
+    // with Laplace(1/ε=1) noise via the inverse CDF over an
+    // md5-derived uniform — a DETERMINISTIC stand-in for the release
+    // sampler (retry/backfill-stable, cross-engine reproducible; a
+    // production release swaps in a secret seed). Noise costs one
+    // per-group expression on the already-aggregated rows; the true
+    // count rides along as the gate anchor and is what DP would drop.
+    "q_dp_counts" -> ((s, dir) => {
+      val g = docs(s, dir).groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_true"))
+      val u = (conv(substring(md5(concat(lit("dp:"), col("lang"),
+        lit(":"), col("source"))), 1, 8), 16, 10).cast("double") +
+        lit(0.5)) / lit(4294967296.0)
+      val noise = when(u >= 0.5,
+          -log(lit(1.0) - lit(2.0) * (u - lit(0.5))))
+        .otherwise(log(lit(1.0) - lit(2.0) * (lit(0.5) - u)))
+      g.select(col("lang"), col("source"), col("n_true"),
+          round(col("n_true").cast("double") + noise, 6).as("noisy_r"))
+        .orderBy("lang", "source")
+    }),
+
     // Deterministic stratified sampling: md5-bucket in [0,100), keep
     // 'en' docs at 50%, everything else at 20%. Reproducible under
     // retry/backfill (no rand()); pure filter, no shuffle.
@@ -863,6 +955,76 @@ object CorpusQueries {
          FROM c"""
 
   val oracles: Map[String, String] = Map(
+    "q_url_dedup" ->
+      """WITH d AS (SELECT doc_id, doc_id % 4 AS vr,
+           CAST(doc_id // 4 AS VARCHAR) AS g FROM documents),
+         u AS (SELECT doc_id, CASE vr
+             WHEN 0 THEN 'https://www.example.com/page/' || g
+             WHEN 1 THEN 'HTTP://WWW.EXAMPLE.COM/page/' || g || '/'
+             WHEN 2 THEN 'https://www.example.com:443/page/' || g
+               || '?utm_source=feed'
+             ELSE 'https://www.example.com/page/' || g || '#sec'
+           END AS url FROM d),
+         c AS (SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(lower(url), '#.*$', ''),
+                   '\?utm_[a-z_]+=[a-z]+$', ''),
+                 '^http://', 'https://'),
+               '^https://([^/]+):443/', 'https://\1/'),
+             '/$', '') AS canon_url
+           FROM u)
+         SELECT canon_url, CAST(count(*) AS BIGINT) AS n_variants,
+           min(doc_id) AS keep_id
+         FROM c GROUP BY 1 ORDER BY canon_url""",
+    "q_mi_features" ->
+      """WITH q AS (SELECT source, lang,
+           CAST(n_chars // 100 AS VARCHAR) AS lb,
+           CAST(len(string_split(trim(text), ' ')) AS INTEGER)
+             AS n_tokens,
+           CAST(len(list_filter(string_split(trim(text), ' '),
+             x -> list_contains(['the','a','data','row','key'], x)))
+             AS INTEGER) AS n_stop,
+           CAST(length(text) AS INTEGER) AS len_text
+         FROM documents),
+         lb AS (SELECT source, lang, lb,
+           CASE WHEN len_text BETWEEN 20 AND 2000 AND n_tokens >= 5
+             AND CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+               <= 0.5 THEN 1 ELSE 0 END AS l FROM q),
+         f AS (SELECT 'source' AS feat, source AS v, l FROM lb
+           UNION ALL SELECT 'lang', lang, l FROM lb
+           UNION ALL SELECT 'len_bucket', lb, l FROM lb),
+         cvl AS (SELECT feat, v, l, CAST(count(*) AS BIGINT) AS cvl
+           FROM f GROUP BY 1, 2, 3),
+         cv AS (SELECT feat, v, CAST(sum(cvl) AS BIGINT) AS cv
+           FROM cvl GROUP BY 1, 2),
+         cl AS (SELECT feat, l, CAST(sum(cvl) AS BIGINT) AS cl
+           FROM cvl GROUP BY 1, 2),
+         n AS (SELECT feat, CAST(sum(cvl) AS BIGINT) AS n
+           FROM cvl GROUP BY 1)
+         SELECT cvl.feat, CAST(count(*) AS BIGINT) AS cells,
+           round(sum((CAST(cvl.cvl AS DOUBLE) / CAST(n.n AS DOUBLE)) *
+             ln(CAST(cvl.cvl * n.n AS DOUBLE) /
+               CAST(cv.cv * cl.cl AS DOUBLE))), 6) AS mi_r
+         FROM cvl
+         JOIN cv ON cv.feat = cvl.feat AND cv.v = cvl.v
+         JOIN cl ON cl.feat = cvl.feat AND cl.l = cvl.l
+         JOIN n ON n.feat = cvl.feat
+         GROUP BY 1 ORDER BY cvl.feat""",
+    "q_dp_counts" ->
+      """WITH g AS (SELECT lang, source, CAST(count(*) AS BIGINT)
+             AS n_true FROM documents GROUP BY 1, 2),
+         uu AS (SELECT lang, source, n_true,
+           (CAST(CAST(('0x' || substr(md5('dp:' || lang || ':' ||
+             source), 1, 8)) AS UBIGINT) AS DOUBLE) + 0.5) /
+             4294967296.0 AS u FROM g)
+         SELECT lang, source, n_true,
+           round(CAST(n_true AS DOUBLE) + CASE WHEN u >= 0.5
+             THEN -ln(1.0 - 2.0 * (u - 0.5))
+             ELSE ln(1.0 - 2.0 * (0.5 - u)) END, 6) AS noisy_r
+         FROM uu ORDER BY lang, source""",
     "q_repeat_plan" ->
       """WITH d AS (SELECT doc_id, lang,
            CASE WHEN lang = 'en' THEN 250 WHEN lang = 'zh' THEN 100

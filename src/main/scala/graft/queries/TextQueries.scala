@@ -162,6 +162,36 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Incremental clustering — the nightly shape of q_dedup_cluster:
+    // yesterday's labels survive as STAR EDGES (doc → its cluster
+    // representative, one edge per labeled node — the contracted
+    // graph, not yesterday's full edge set), union today's new pairs,
+    // one components run. The result provably equals the full
+    // recompute (star edges preserve both connectivity and the
+    // min-member label), which is exactly what the shared recursive-
+    // closure oracle checks. At 100 TB the nightly input is |V_old| +
+    // |new pairs|, never the historical pair set.
+    "q_cluster_incremental" -> ((s, dir) => {
+      val scoped = docs(s, dir).filter(col("doc_id") < 2000)
+      val pairs = TextDedup.minhashDedup(scoped, "doc_id", "text",
+        shingleN = 3, numHashes = 6, bands = 3, threshold = 0.8,
+        maxBucket = Int.MaxValue) // uncapped: mirrors the oracle CTE
+        .select("a", "b").transform(graft.ops.QueryCaches.persist)
+      val cut = 1000L
+      val oldLabels = TextDedup.clusters(
+        scoped.filter(col("doc_id") < cut).select("doc_id"),
+        pairs.filter(col("a") < cut && col("b") < cut))
+        .toDF("doc_id", "cluster_id")
+      val starEdges = oldLabels
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id").as("a"), col("cluster_id").as("b"))
+      val newPairs = pairs.filter(col("a") >= cut || col("b") >= cut)
+      TextDedup.clusters(scoped.select("doc_id"),
+        starEdges.unionByName(newPairs))
+        .toDF("doc_id", "cluster_id")
+        .orderBy("doc_id")
+    }),
+
     // Near-dup-aware representative selection — the curation step
     // AFTER clustering: keep the best member of every duplicate
     // family (longest doc, ties to the smallest id) instead of the
@@ -459,6 +489,26 @@ object TextQueries {
     "q_unigram_logprob" -> ((s, dir) =>
       graft.ops.Corpus.unigramLogProb(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+
+    // Perplexity-band filtering — the CCNet-style curation step on
+    // top of the unigram score: drop BOTH tails of the NLL
+    // distribution (low = boilerplate/repetitive, high = garbage/
+    // rare-token soup), keeping the [p5, p95] band. Thresholds are
+    // exact interpolated percentiles over the ROUNDED per-doc scores
+    // (identical doubles both engines → the band edges cannot
+    // ulp-flip); one 1-row broadcast against the persisted score
+    // frame, so the filter costs no second corpus pass.
+    "q_ppl_filter" -> ((s, dir) => {
+      val nll = graft.ops.Corpus.unigramLogProb(
+        docs(s, dir), "doc_id", "text")
+        .transform(graft.ops.QueryCaches.persist) // thresholds + keep
+      val th = nll.agg(percentile(col("nll"), lit(0.05)).as("lo"),
+        percentile(col("nll"), lit(0.95)).as("hi"))
+      nll.crossJoin(broadcast(th))
+        .filter(col("nll") >= col("lo") && col("nll") <= col("hi"))
+        .select(col("doc_id"), col("n_tokens"), col("nll"))
+        .orderBy("doc_id")
+    }),
 
     // Bigram-LM quality score: second-order companion to
     // q_unigram_logprob — flags unusual word ORDER (scrambled or
@@ -1197,6 +1247,34 @@ FROM sj GROUP BY lang ORDER BY lang"""
              SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.id)
          SELECT id AS doc_id, min(lbl) AS cluster_id
          FROM reach GROUP BY id ORDER BY doc_id""",
+    // identical to q_dedup_cluster's closure: the incremental star-
+    // edge merge must equal the full recompute, which is the claim
+    "q_cluster_incremental" ->
+      s"""WITH RECURSIVE ${minhashCtes()},
+         ids AS (SELECT doc_id FROM documents WHERE doc_id < 2000),
+         edges AS (SELECT a, b FROM pairs
+             UNION ALL SELECT b, a FROM pairs),
+         reach(id, lbl) AS (
+             SELECT doc_id, doc_id FROM ids
+             UNION
+             SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.id)
+         SELECT id AS doc_id, min(lbl) AS cluster_id
+         FROM reach GROUP BY id ORDER BY doc_id""",
+    "q_ppl_filter" ->
+      """WITH tk AS (SELECT doc_id,
+             unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+         vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+           FROM tk GROUP BY 1),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+         nl AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             round(avg(-ln(CAST(v.cnt AS DOUBLE) / CAST(total AS DOUBLE))),
+               6) AS nll
+           FROM tk t JOIN vocab v ON t.tok = v.tok CROSS JOIN tot
+           GROUP BY t.doc_id),
+         th AS (SELECT quantile_cont(nll, 0.05) AS lo,
+             quantile_cont(nll, 0.95) AS hi FROM nl)
+         SELECT doc_id, n_tokens, nll FROM nl CROSS JOIN th
+         WHERE nll >= lo AND nll <= hi ORDER BY doc_id""",
     "q_cluster_best" ->
       s"""WITH RECURSIVE ${minhashCtes()},
          ids AS (SELECT doc_id FROM documents WHERE doc_id < 2000),

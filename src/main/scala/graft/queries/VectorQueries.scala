@@ -323,6 +323,25 @@ object VectorQueries {
         // feeds both the query and candidate sides of the search
         .transform(graft.ops.QueryCaches.persist))),
 
+    // IVF+PQ — the FAISS-IVFPQ serving shape, composed from the two
+    // verified halves: the fixed coarse quantizer prunes the corpus
+    // to the query's cell (1/k of the data touched), and within the
+    // cell the database stays PQ CODES — the approximate distance is
+    // served from the broadcast 8×16 ADC table, never from raw cell
+    // vectors. At 100 TB this is the ANN shape that actually ships:
+    // cells bound the scan, codes bound the bytes.
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val assigned = ivfFixedAssigned(s, dir)
+        .transform(graft.ops.QueryCaches.persist) // query row + cell slice
+      val qcell = assigned.filter(col("vec_id") === 20)
+        .select(col("cell").as("qcell"))
+      val cellVecs = assigned
+        .join(broadcast(qcell), col("cell") === col("qcell"))
+        .select(col("vec_id"), col("v"))
+      graft.ops.ProductQuantizer.adcTopK(cellVecs, "vec_id", "v",
+        queryId = 20L, subspaces = 8, subDim = 8, k = 16, topK = 10)
+    }),
+
     // Embedding-cosine near-dup at scale: same pair semantics as
     // q_cosine_pairs but candidates come only from shared LSH buckets
     // (seeded Rademacher planes) — the bucket id is the shuffle key,
@@ -999,6 +1018,64 @@ object VectorQueries {
          SELECT q_id, cand_id, cell, cos_r FROM r WHERE rk = 1
          ORDER BY q_id"""
 
+  /** IVF+PQ oracle: the ivfOracle assignment chain composed with the
+    * pqAdcChainSql arithmetic, parameterized on the query's cell
+    * (query = vec_id 20, database = its cell minus itself, codebook
+    * seeded from the CELL members by the same pq: hash order).
+    */
+  private val ivfpqOracle =
+    """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id < 2000),
+         n AS (SELECT * FROM (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
+             WHERE nrm > 0),
+         cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n
+             WHERE vec_id < 16),
+         scored AS (SELECT x.vec_id, x.v, x.nrm, c.c_id,
+             round(list_dot_product(x.v, c.cv) / (x.nrm * c.cn), 6) AS c_cos
+             FROM n x CROSS JOIN cent c WHERE x.vec_id >= 16),
+         assigned AS (SELECT vec_id, v, nrm, c_id AS cell FROM (
+             SELECT *, row_number() OVER
+               (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS rk
+             FROM scored) WHERE rk = 1),
+         qc AS (SELECT cell AS qcell FROM assigned WHERE vec_id = 20),
+         qq AS (SELECT v AS qv FROM assigned WHERE vec_id = 20),
+         b AS (SELECT a.vec_id, a.v FROM assigned a
+           JOIN qc ON a.cell = qc.qcell WHERE a.vec_id <> 20),
+         seeds AS (SELECT vec_id AS cid, v AS cv FROM b
+           ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR)), vec_id
+           LIMIT 16),
+         sb AS (SELECT unnest(range(0, 8)) AS sub),
+         ve AS (SELECT vec_id, sub,
+             v[CAST(sub * 8 + 1 AS INTEGER):CAST(sub * 8 + 8 AS INTEGER)]
+               AS vs
+           FROM b CROSS JOIN sb),
+         ce AS (SELECT cid, sub,
+             cv[CAST(sub * 8 + 1 AS INTEGER):CAST(sub * 8 + 8 AS INTEGER)]
+               AS cs
+           FROM seeds CROSS JOIN sb),
+         d AS (SELECT ve.vec_id, ve.sub, ce.cid,
+             (list_dot_product(vs, vs) - 2.0 * list_dot_product(vs, cs))
+               + list_dot_product(cs, cs) AS dist
+           FROM ve JOIN ce ON ve.sub = ce.sub),
+         codes AS (SELECT vec_id, sub, cid AS code FROM (
+             SELECT vec_id, sub, cid, row_number() OVER
+               (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+             FROM d) WHERE rn = 1),
+         lut AS (SELECT ce.sub, ce.cid,
+             (list_dot_product(
+                 qv[CAST(ce.sub * 8 + 1 AS INTEGER):CAST(ce.sub * 8 + 8 AS INTEGER)],
+                 qv[CAST(ce.sub * 8 + 1 AS INTEGER):CAST(ce.sub * 8 + 8 AS INTEGER)])
+               - 2.0 * list_dot_product(
+                 qv[CAST(ce.sub * 8 + 1 AS INTEGER):CAST(ce.sub * 8 + 8 AS INTEGER)],
+                 cs))
+               + list_dot_product(cs, cs) AS ad
+           FROM ce CROSS JOIN qq)
+         SELECT c.vec_id, round(sum(l.ad), 6) AS adist_r
+         FROM codes c JOIN lut l ON l.sub = c.sub AND l.cid = c.code
+         GROUP BY 1 ORDER BY adist_r, c.vec_id LIMIT 10"""
+
   /** Shared CTE chain for the PQ oracles (q_pq_adc / q_pq_recall):
     * base/query split at vec_id 0, hash-seeded codebook, per-subspace
     * slices, code assignment, and the query's ADC lookup table — the
@@ -1286,6 +1363,7 @@ object VectorQueries {
          FROM assigned CROSS JOIN t
          GROUP BY cell, t.n_total ORDER BY cell""",
     "q_ann_ivf" -> ivfOracle,
+    "q_ann_ivfpq" -> ivfpqOracle,
     // the persisted variant must reproduce the in-memory index exactly
     // after its disk round trip, and the incrementally-appended one
     // must be arrival-wave-independent — one oracle serves all three
