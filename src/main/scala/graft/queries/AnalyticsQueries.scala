@@ -1801,6 +1801,44 @@ object AnalyticsQueries {
         .orderBy("price")
     }),
 
+    // SAX symbolization (Lin et al.): the hourly arrival series
+    // z-normalized, PAA-compressed 4:1, and discretized against the
+    // fixed Gaussian quartile breakpoints (±0.6745) into a 4-letter
+    // alphabet — the symbolic form that makes motif/anomaly search a
+    // STRING problem (q_repeated_spans machinery applies to time
+    // series). Exactness: PAA means and both moments are integer
+    // sums until one division each (window sums Sw, ΣSw, ΣSw²), the
+    // breakpoint compare reads the ROUNDED z (fence rule), and
+    // incomplete tail/gap windows are dropped by exact row count.
+    "q_sax_symbols" -> ((s, dir) => {
+      val win = Tables.events(s, dir)
+        .select(expr("ts_ns div 3600000000000").as("hr"))
+        .groupBy("hr").agg(count(lit(1)).as("cnt"))
+        .withColumn("w", expr("hr div 4"))
+        .groupBy("w").agg(sum("cnt").as("sw"), count(lit(1)).as("nh"))
+        .filter(col("nh") === 4)
+        .transform(graft.ops.QueryCaches.persist) // moments + symbols
+      val m = win.agg(count(lit(1)).as("m"), sum("sw").as("ssum"),
+        sum(col("sw") * col("sw")).as("ssq"))
+      val mean = col("ssum").cast("double") /
+        (lit(4.0) * col("m").cast("double"))
+      val varp = (col("ssq").cast("double") / lit(16.0)) /
+        col("m").cast("double") - col("mean") * col("mean")
+      win.crossJoin(broadcast(m))
+        .withColumn("mean", mean)
+        .withColumn("varp", varp)
+        .withColumn("z_r", when(col("varp") > 0,
+          round((col("sw").cast("double") / lit(4.0) - col("mean")) /
+            sqrt(col("varp")), 6)).otherwise(lit(0.0)))
+        .select(col("w"), round(col("sw").cast("double") / lit(4.0), 6)
+            .as("paa_r"), col("z_r"),
+          when(col("z_r") < -0.6745, lit("a"))
+            .when(col("z_r") < 0.0, lit("b"))
+            .when(col("z_r") < 0.6745, lit("c"))
+            .otherwise(lit("d")).as("sym"))
+        .orderBy("w")
+    }),
+
     // Theil–Sen robust trend: median of all pairwise slopes of the
     // hourly event-count series (breakdown point 29% — one bad day
     // cannot drag the estimate the way it drags the OLS q_trend_lines
@@ -3242,6 +3280,36 @@ object AnalyticsQueries {
          WHERE pm IS NULL OR q > pm ORDER BY price""",
     // pairwise slopes are exact-integer ratios; both medians are
     // exact interpolated percentiles over identical doubles
+    "q_sax_symbols" ->
+      """WITH h AS (SELECT epoch_ns(ts) // 3600000000000 AS hr
+           FROM events),
+         hc AS (SELECT hr, CAST(count(*) AS BIGINT) AS cnt
+           FROM h GROUP BY 1),
+         w AS (SELECT hr // 4 AS w, CAST(sum(cnt) AS BIGINT) AS sw,
+             CAST(count(*) AS BIGINT) AS nh
+           FROM hc GROUP BY 1),
+         cw AS (SELECT w, sw FROM w WHERE nh = 4),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(sw) AS BIGINT) AS ssum,
+             CAST(sum(sw * sw) AS BIGINT) AS ssq FROM cw),
+         z AS (SELECT cw.w, cw.sw,
+             CAST(ssum AS DOUBLE) / (4.0 * CAST(m.m AS DOUBLE)) AS mean,
+             (CAST(ssq AS DOUBLE) / 16.0) / CAST(m.m AS DOUBLE) -
+               (CAST(ssum AS DOUBLE) / (4.0 * CAST(m.m AS DOUBLE))) *
+               (CAST(ssum AS DOUBLE) / (4.0 * CAST(m.m AS DOUBLE)))
+               AS varp
+           FROM cw CROSS JOIN m),
+         zr AS (SELECT w, sw,
+             CASE WHEN varp > 0 THEN
+               round((CAST(sw AS DOUBLE) / 4.0 - mean) / sqrt(varp), 6)
+             ELSE 0.0 END AS z_r
+           FROM z)
+         SELECT w, round(CAST(sw AS DOUBLE) / 4.0, 6) AS paa_r, z_r,
+           CASE WHEN z_r < -0.6745 THEN 'a'
+             WHEN z_r < 0.0 THEN 'b'
+             WHEN z_r < 0.6745 THEN 'c'
+             ELSE 'd' END AS sym
+         FROM zr ORDER BY w""",
     "q_theilsen" ->
       """WITH h AS (SELECT epoch_ns(ts) // 3600000000000 AS hr
            FROM events),

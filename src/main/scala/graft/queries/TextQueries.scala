@@ -162,6 +162,32 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Cross-source duplication matrix — the provenance report after
+    // near-dup mining: which source pairs share near-duplicate
+    // documents (mirror sites, syndication, scraped re-posts). The
+    // verified minhash pair set joins the tiny (doc → source) lookup
+    // twice; output is bounded by sources² however large the corpus.
+    // The pair endpoints are ordered per row so the matrix is
+    // triangular regardless of mining order.
+    "q_source_overlap" -> ((s, dir) => {
+      val scoped = docs(s, dir).filter(col("doc_id") < 2000)
+        .transform(graft.ops.QueryCaches.persist) // pairs + 2 lookups
+      val pairs = TextDedup.minhashDedup(scoped, "doc_id", "text",
+        shingleN = 3, numHashes = 6, bands = 3, threshold = 0.8,
+        maxBucket = Int.MaxValue) // uncapped: mirrors the oracle CTE
+        .select("a", "b")
+      val src = scoped.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("a"),
+          col("source").as("src_a")), "a")
+        .join(src.select(col("doc_id").as("b"),
+          col("source").as("src_b")), "b")
+        .select(least(col("src_a"), col("src_b")).as("s1"),
+          greatest(col("src_a"), col("src_b")).as("s2"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("s1", "s2")
+    }),
+
     // Incremental clustering — the nightly shape of q_dedup_cluster:
     // yesterday's labels survive as STAR EDGES (doc → its cluster
     // representative, one edge per labeled node — the contracted
@@ -1247,6 +1273,20 @@ FROM sj GROUP BY lang ORDER BY lang"""
              SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.id)
          SELECT id AS doc_id, min(lbl) AS cluster_id
          FROM reach GROUP BY id ORDER BY doc_id""",
+    "q_source_overlap" ->
+      s"""WITH ${minhashCtes()},
+         src AS (SELECT doc_id, source FROM documents
+           WHERE doc_id < 2000),
+         j AS (SELECT
+             CASE WHEN sa.source <= sb.source THEN sa.source
+               ELSE sb.source END AS s1,
+             CASE WHEN sa.source <= sb.source THEN sb.source
+               ELSE sa.source END AS s2
+           FROM pairs p
+           JOIN src sa ON sa.doc_id = p.a
+           JOIN src sb ON sb.doc_id = p.b)
+         SELECT s1, s2, CAST(count(*) AS BIGINT) AS n_pairs
+         FROM j GROUP BY 1, 2 ORDER BY 1, 2""",
     // identical to q_dedup_cluster's closure: the incremental star-
     // edge merge must equal the full recompute, which is the claim
     "q_cluster_incremental" ->

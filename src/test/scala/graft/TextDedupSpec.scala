@@ -170,6 +170,34 @@ class TextDedupSpec extends AnyFunSuite {
     (1001L to 1000L + n).foreach(i => assert(got(i) == 1001L, s"node $i"))
   }
 
+  test("clusters: star-edge incremental merge equals the full recompute") {
+    import spark.implicits._
+    // the q_cluster_incremental contract: yesterday's labels survive
+    // as star edges (node → representative) and, unioned with the new
+    // day's pairs, must reproduce the full-graph components exactly —
+    // including merges that only the new edges create (old cluster ∪
+    // old cluster, old ∪ new node, chains THROUGH new nodes).
+    val rnd = new scala.util.Random(42)
+    val n = 200L
+    val all = (0 until 400).map { _ =>
+      (rnd.nextLong(n).abs % n, rnd.nextLong(n).abs % n)
+    }.filter { case (a, b) => a != b }
+    val cut = 120L
+    val (oldE, newE) = all.partition { case (a, b) => a < cut && b < cut }
+    val ids = (0L until n).toDF("id")
+    val oldLabels = TextDedup.clusters(
+      (0L until cut).toDF("id"), oldE.toDF("a", "b"))
+      .toDF("id", "cl")
+    val star = oldLabels.filter(col("id") =!= col("cl"))
+      .select(col("id").as("a"), col("cl").as("b"))
+    val merged = TextDedup.clusters(ids,
+      star.unionByName(newE.toDF("a", "b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = TextDedup.clusters(ids, all.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == full)
+  }
+
   test("clusters over planted minhash pairs keep one doc per dup group") {
     val pairs = TextDedup.minhashDedup(corpus, "doc_id", "text",
       threshold = 0.5).select("a", "b")
