@@ -783,6 +783,59 @@ object AnalyticsQueries {
         .orderBy("l_suppkey")
     }),
 
+    // Measured Bloom false-positive rate — the calibration audit for
+    // the q_bloom_prune runtime filter: build a deliberately small
+    // filter (m=256 bits, k=3, the supplier key set), probe it with
+    // keys absent BY CONSTRUCTION (customer keys offset past every
+    // supplier), and report measured FPR beside the analytic
+    // (1−e^{−kn/m})^k expectation — the number that says whether the
+    // production mBits is sized right. Fully distributed: the 32-byte
+    // word table is a groupBy bit_or aggregate (bounded by the
+    // CONSTANT m → broadcast-valid), probes test bits via a keyed
+    // join; no driver-side bit array. 8-bit words keep every shift
+    // inside small positive ints (no sign-bit semantics to match
+    // across engines).
+    "q_bloom_fpr" -> ((s, dir) => {
+      val mBits = 256L
+      def posi(i: Int, key: org.apache.spark.sql.Column)
+          : org.apache.spark.sql.Column =
+        pmod(conv(substring(md5(concat(lit(s"bf$i:"),
+          key.cast("string"))), 1, 8), 16, 10).cast("long"), lit(mBits))
+      def positions(df: DataFrame): DataFrame =
+        df.withColumn("pos",
+            explode(array((0 until 3).map(i => posi(i, col("k"))): _*)))
+          .select(col("k"), expr("CAST(pos div 8 AS INT)").as("word"),
+            call_function("shiftleft", lit(1),
+              pmod(col("pos"), lit(8L)).cast("int")).as("mask"))
+      val ins = t(s, dir, "supplier").select(col("s_suppkey").as("k"))
+        .transform(graft.ops.QueryCaches.persist) // build + count arms
+      val words = positions(ins).select("word", "mask").distinct()
+        .groupBy("word").agg(expr("bit_or(mask)").as("bits"))
+        .transform(graft.ops.QueryCaches.persist) // probe join + popcount
+      val pp = positions(t(s, dir, "customer")
+        .select((col("c_custkey") + 1000000L).as("k")))
+      val hits = pp.join(broadcast(words), Seq("word"), "left")
+        .withColumn("hit",
+          coalesce(col("bits"), lit(0)).bitwiseAND(col("mask")) =!= 0)
+        .groupBy("k").agg(expr("bool_and(hit)").as("fp"))
+      val probeAgg = hits.agg(count(lit(1)).as("n_probes"),
+        sum(when(col("fp"), 1L).otherwise(0L)).as("n_fp"))
+      val insAgg = ins.agg(count(lit(1)).as("n_inserted"))
+      val nset = words.agg(sum(bit_count(col("bits"))).cast("long")
+        .as("n_bits_set"))
+      probeAgg.crossJoin(insAgg).crossJoin(nset)
+        // 255/256 is exactly representable, so the log argument is the
+        // same binary64 on both engines
+        .withColumn("pbit", lit(1.0) - exp(lit(3.0) *
+          col("n_inserted").cast("double") * log(lit(0.99609375))))
+        .select(col("n_inserted"), col("n_bits_set"), col("n_probes"),
+          col("n_fp"),
+          round(col("n_fp").cast("double") /
+            col("n_probes").cast("double"), 6).as("fpr_r"),
+          round(col("pbit") * col("pbit") * col("pbit"), 6)
+            .as("theory_r"))
+    }),
+
     // Join-size / skew profiler — the pre-flight analysis that decides
     // whether a join needs salting BEFORE paying for it: exact join
     // output cardinality Σ_k c1(k)·c2(k) from the two sides' per-key
@@ -2219,6 +2272,43 @@ object AnalyticsQueries {
            JOIN nation ON s_nationkey = n_nationkey
            WHERE n_name = 'NATION_9')
          GROUP BY l_suppkey ORDER BY l_suppkey""",
+    "q_bloom_fpr" ->
+      """WITH ins AS (SELECT s_suppkey AS k FROM supplier),
+         ip AS (SELECT DISTINCT
+             CAST(CAST(('0x' || substr(md5('bf' || CAST(i.i AS VARCHAR)
+               || ':' || CAST(k AS VARCHAR)), 1, 8)) AS UBIGINT)
+               AS BIGINT) % 256 AS pos
+           FROM ins CROSS JOIN (SELECT unnest(range(3)) AS i) i),
+         words AS (SELECT pos // 8 AS word,
+             bit_or(CAST(1 AS INTEGER) << CAST(pos % 8 AS INTEGER))
+               AS bits
+           FROM ip GROUP BY 1),
+         pr AS (SELECT c_custkey + 1000000 AS k FROM customer),
+         pp AS (SELECT k,
+             CAST(CAST(('0x' || substr(md5('bf' || CAST(i.i AS VARCHAR)
+               || ':' || CAST(k AS VARCHAR)), 1, 8)) AS UBIGINT)
+               AS BIGINT) % 256 AS pos
+           FROM pr CROSS JOIN (SELECT unnest(range(3)) AS i) i),
+         hit AS (SELECT pp.k,
+             bool_and((coalesce(w.bits, 0) &
+               (CAST(1 AS INTEGER) << CAST(pp.pos % 8 AS INTEGER)))
+               <> 0) AS fp
+           FROM pp LEFT JOIN words w ON w.word = pp.pos // 8
+           GROUP BY pp.k),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n_probes,
+             CAST(sum(CASE WHEN fp THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fp FROM hit),
+         ia AS (SELECT CAST(count(*) AS BIGINT) AS n_inserted FROM ins),
+         bs AS (SELECT CAST(sum(bit_count(bits)) AS BIGINT)
+             AS n_bits_set FROM words),
+         th AS (SELECT n_inserted, 1.0 - exp(3.0 *
+             CAST(n_inserted AS DOUBLE) * ln(0.99609375)) AS pbit
+           FROM ia)
+         SELECT th.n_inserted, bs.n_bits_set, st.n_probes, st.n_fp,
+           round(CAST(st.n_fp AS DOUBLE) / CAST(st.n_probes AS DOUBLE),
+             6) AS fpr_r,
+           round(th.pbit * th.pbit * th.pbit, 6) AS theory_r
+         FROM st CROSS JOIN bs CROSS JOIN th""",
     "q_join_size" ->
       """WITH lc AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS c1
            FROM lineitem GROUP BY 1),

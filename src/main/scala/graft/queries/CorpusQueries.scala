@@ -33,6 +33,32 @@ object CorpusQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Temperature-based mixture weights (the multilingual-sampling
+    // rule of mBERT/XLM-R at T=2): per-language sampling weight
+    // ∝ √n_docs, which upsamples low-resource languages relative to
+    // proportional sampling without letting the head drown them. √ is
+    // the one fractional power that stays engine-exact (sqrt is
+    // IEEE correctly-rounded; pow is not — the CLAUDE rule), and the
+    // normalizer is a ≤n_langs-term sum. Output: weight, vs the
+    // proportional share, and the implied upsampling factor.
+    "q_temp_mix" -> ((s, dir) => {
+      val g = docs(s, dir).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .transform(graft.ops.QueryCaches.persist) // totals + per-lang
+      val tot = g.agg(sum(sqrt(col("n_docs").cast("double"))).as("z"),
+        sum("n_docs").as("n_total"))
+      g.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_docs"),
+          round(sqrt(col("n_docs").cast("double")) / col("z"), 6)
+            .as("w_r"),
+          round(col("n_docs").cast("double") /
+            col("n_total").cast("double"), 6).as("prop_r"),
+          round((sqrt(col("n_docs").cast("double")) / col("z")) /
+            (col("n_docs").cast("double") /
+             col("n_total").cast("double")), 6).as("boost_r"))
+        .orderBy("lang")
+    }),
+
     // URL canonicalization dedup — the web-corpus twin of exact text
     // dedup: crawls see one page under scheme-case / default-port /
     // tracking-param / fragment / trailing-slash variants. Four
@@ -955,6 +981,19 @@ object CorpusQueries {
          FROM c"""
 
   val oracles: Map[String, String] = Map(
+    "q_temp_mix" ->
+      """WITH g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY 1),
+         t AS (SELECT sum(sqrt(CAST(n_docs AS DOUBLE))) AS z,
+             CAST(sum(n_docs) AS BIGINT) AS n_total FROM g)
+         SELECT lang, n_docs,
+           round(sqrt(CAST(n_docs AS DOUBLE)) / z, 6) AS w_r,
+           round(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+             AS prop_r,
+           round((sqrt(CAST(n_docs AS DOUBLE)) / z) /
+             (CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE)), 6)
+             AS boost_r
+         FROM g CROSS JOIN t ORDER BY lang""",
     "q_url_dedup" ->
       """WITH d AS (SELECT doc_id, doc_id % 4 AS vr,
            CAST(doc_id // 4 AS VARCHAR) AS g FROM documents),

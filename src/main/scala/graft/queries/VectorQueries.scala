@@ -323,6 +323,38 @@ object VectorQueries {
         // feeds both the query and candidate sides of the search
         .transform(graft.ops.QueryCaches.persist))),
 
+    // Int8 compressed-domain ANN — the serving path for the
+    // q_quantize_embed storage format: top-10 by cosine computed
+    // ENTIRELY over int8 codes (the per-vector scales cancel in the
+    // cosine, so code dot products are exact integer arithmetic —
+    // deterministic on any engine), then the survivors re-scored
+    // against the float truth (the rerank pattern). Codes ride the
+    // native codegen DotProduct as exact-integer doubles; the top-10
+    // cut is a distributed TakeOrdered on the ROUNDED score.
+    "q_ann_int8" -> ((s, dir) => {
+      val vf = graft.expr.VectorFunctions
+      val e = emb(s, dir)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("scale", vf.int8Scale(col("v")))
+        .filter(col("scale") > 0)
+        .withColumn("q8",
+          vf.toDoubleArray(vf.int8Quantize(col("v"), col("scale"))))
+        .withColumn("ii", vf.dotProduct(col("q8"), col("q8")))
+        .filter(col("ii") > 0)
+        .transform(graft.ops.QueryCaches.persist) // query + candidates
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("q8").as("qq8"), col("ii").as("qii"),
+          col("v").as("qv"))
+      e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .withColumn("icos_r", round(vf.dotProduct(col("q8"), col("qq8")) /
+          sqrt(col("ii") * col("qii")), 6))
+        .orderBy(col("icos_r").desc, col("vec_id")).limit(10)
+        .withColumn("cos_r", round(vf.dotProduct(col("v"), col("qv")) /
+          (vf.l2Norm(col("v")) * vf.l2Norm(col("qv"))), 6))
+        .select(col("vec_id"), col("icos_r"), col("cos_r"))
+        .orderBy(col("icos_r").desc, col("vec_id"))
+    }),
+
     // IVF+PQ — the FAISS-IVFPQ serving shape, composed from the two
     // verified halves: the fixed coarse quantizer prunes the corpus
     // to the query's cell (1/k of the data touched), and within the
@@ -1364,6 +1396,35 @@ object VectorQueries {
          GROUP BY cell, t.n_total ORDER BY cell""",
     "q_ann_ivf" -> ivfOracle,
     "q_ann_ivfpq" -> ivfpqOracle,
+    "q_ann_int8" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         s AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+           FROM e),
+         sv AS (SELECT * FROM s WHERE scale > 0),
+         q8 AS (SELECT vec_id, v,
+             list_transform(v, x -> CAST(floor(x / scale + 0.5)
+               AS DOUBLE)) AS q8
+           FROM sv),
+         ii AS (SELECT vec_id, v, q8, list_dot_product(q8, q8) AS ii
+           FROM q8),
+         iv AS (SELECT * FROM ii WHERE ii > 0),
+         qq AS (SELECT q8 AS qq8, ii AS qii, v AS qv FROM iv
+           WHERE vec_id = 0),
+         sc AS (SELECT c.vec_id,
+             round(list_dot_product(c.q8, qq8) / sqrt(c.ii * qii), 6)
+               AS icos_r, c.v
+           FROM iv c CROSS JOIN qq WHERE c.vec_id <> 0),
+         top AS (SELECT vec_id, icos_r, v FROM sc
+           ORDER BY icos_r DESC, vec_id LIMIT 10)
+         SELECT t.vec_id, t.icos_r,
+           round(list_dot_product(t.v, qv) /
+             (sqrt(list_dot_product(t.v, t.v)) *
+              sqrt(list_dot_product(qv, qv))), 6) AS cos_r
+         FROM top t CROSS JOIN qq
+         ORDER BY t.icos_r DESC, t.vec_id""",
     // the persisted variant must reproduce the in-memory index exactly
     // after its disk round trip, and the incrementally-appended one
     // must be arrival-wave-independent — one oracle serves all three
