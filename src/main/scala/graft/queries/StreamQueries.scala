@@ -483,6 +483,29 @@ object StreamQueries {
       }.select(col("user_id"), col("ts_ns"), col("event_id"))
         .orderBy("user_id", "ts_ns", "event_id")),
 
+    // Streaming CDC apply — the materialized-view-maintenance shape:
+    // the event stream read as a keyed changelog (user = key, event
+    // time = version, 'error' = delete, everything else = upsert)
+    // through StreamCdc.applyChangelog (per-key forward-only version
+    // state; stale/duplicate deliveries suppressed at the edge). The
+    // maintained table is then ONE keyed argmax over the emitted
+    // post-images — no history replay — and the oracle is the batch
+    // last-writer-wins read of the same changelog.
+    "q_stream_cdc" -> ((s, dir) =>
+      runFileStream(s, dir, "events", "q_stream_cdc_sink") { raw =>
+        graft.streaming.StreamCdc.applyChangelog(
+          Tables.withEventTime(raw)
+            .select(col("user_id").as("key"), col("ts_ns").as("ver"),
+              when(col("event_type") === "error", lit("D"))
+                .otherwise(lit("U")).as("op"),
+              col("value"))).toDF()
+      }.groupBy("key")
+        .agg(max(struct(col("ver"), col("op"), col("value"))).as("m"))
+        .filter(col("m.op") =!= "D")
+        .select(col("key").as("user_id"), col("m.ver").as("last_ver"),
+          round(col("m.value"), 6).as("last_value_r"))
+        .orderBy("user_id")),
+
     // Streaming corpus-drift monitor: tumbling-window token counts
     // (watermark-bounded state, the q_stream_trending ingest) emit to
     // the sink, then the PSI of each window's smoothed token
@@ -896,6 +919,18 @@ object StreamQueries {
            FROM e)
          SELECT user_id, ts_ns, event_id FROM r WHERE rn <= 5
          ORDER BY user_id, ts_ns, event_id""",
+    // batch last-writer-wins over the same changelog mapping: the
+    // per-user max-version row, deleted keys (last op 'error') absent
+    "q_stream_cdc" ->
+      """WITH c AS (SELECT user_id, epoch_ns(ts) AS ver,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             value
+           FROM events),
+         r AS (SELECT user_id, ver, op, value, row_number() OVER
+             (PARTITION BY user_id ORDER BY ver DESC) AS rn
+           FROM c)
+         SELECT user_id, ver AS last_ver, round(value, 6) AS last_value_r
+         FROM r WHERE rn = 1 AND op <> 'D' ORDER BY user_id""",
     // window token distributions vs the corpus reference, smoothed
     // PSI over the full vocab grid — same epoch buckets as trending
     "q_stream_drift" ->
