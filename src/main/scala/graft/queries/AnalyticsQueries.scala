@@ -1324,6 +1324,39 @@ object AnalyticsQueries {
     // available; exact here), degrees join back from the SAME
     // persisted distinct relation, and the ratio is an exact integer
     // division.
+    // Adamic–Adar link prediction over the supplier–customer
+    // bipartite graph: candidate supplier pairs scored by
+    // Σ 1/ln(deg(z)) over their common customers z (rarely-shared
+    // customers say more than hubs — the weighting that beats raw
+    // common-neighbor counts). Cross-engine exactness: every term is
+    // cast to DECIMAL(20,12) BEFORE the sum (order-independent — the
+    // QualityModel gradient treatment), so the per-pair score never
+    // depends on aggregation order; common neighbors have degree ≥ 2
+    // by construction, so ln never sees 1. Top-20 via distributed
+    // TakeOrdered on the rounded score.
+    "q_adamic_adar" -> ((s, dir) => {
+      val e = t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"))
+        .join(t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("sp"), col("o_custkey").as("c"))
+        .distinct()
+        .transform(graft.ops.QueryCaches.persist) // pair sides + degrees
+      val degc = e.groupBy("c").agg(count(lit(1)).as("deg"))
+      e.select(col("sp").as("ia"), col("c"))
+        .join(e.select(col("sp").as("ib"), col("c")), "c")
+        .filter(col("ia") < col("ib"))
+        .join(degc, "c")
+        .withColumn("term", (lit(1.0) / log(col("deg").cast("double")))
+          .cast("decimal(20,12)"))
+        .groupBy("ia", "ib")
+        .agg(count(lit(1)).as("shared"), sum(col("term")).as("aa"))
+        .select(col("ia"), col("ib"), col("shared"),
+          round(col("aa").cast("double"), 6).as("aa_r"))
+        .orderBy(col("aa_r").desc, col("ia"), col("ib")).limit(20)
+    }),
+
     "q_jaccard_neighbors" -> ((s, dir) => {
       val sc = graft.ops.QueryCaches.persist(
         t(s, dir, "lineitem").select(col("l_suppkey"), col("l_orderkey"))
@@ -3226,6 +3259,21 @@ object AnalyticsQueries {
          SELECT role, bin, CAST(count(*) AS BIGINT) AS n_nodes,
            min(d) AS min_deg, max(d) AS max_deg
          FROM b GROUP BY 1, 2 ORDER BY role, bin""",
+    "q_adamic_adar" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey AS sp, o_custkey AS c
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         dg AS (SELECT c, CAST(count(*) AS BIGINT) AS deg
+           FROM e GROUP BY 1),
+         p AS (SELECT a.sp AS ia, b.sp AS ib, a.c
+           FROM e a JOIN e b ON a.c = b.c AND a.sp < b.sp),
+         tm AS (SELECT p.ia, p.ib,
+             CAST(1.0 / ln(CAST(dg.deg AS DOUBLE)) AS DECIMAL(20,12))
+               AS term
+           FROM p JOIN dg ON dg.c = p.c),
+         g AS (SELECT ia, ib, CAST(count(*) AS BIGINT) AS shared,
+             sum(term) AS aa FROM tm GROUP BY 1, 2)
+         SELECT ia, ib, shared, round(CAST(aa AS DOUBLE), 6) AS aa_r
+         FROM g ORDER BY aa_r DESC, ia, ib LIMIT 20""",
     "q_jaccard_neighbors" ->
       """WITH sc AS (SELECT DISTINCT l_suppkey AS s, o_custkey AS c
            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),

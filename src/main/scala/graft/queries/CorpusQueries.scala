@@ -237,6 +237,41 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    // ROC threshold sweep for the trained quality model: TPR/FPR at
+    // eleven fixed operating points — the curve a pipeline reads
+    // before picking the keep-threshold (q_calibration says whether
+    // scores are honest; this says what each cut costs). ONE pass:
+    // the 11-point grid explodes map-side onto the scored rows, so
+    // the sweep is a single keyed aggregate however many documents
+    // exist. Compares read the ROUNDED sigmoid (the logreg-family
+    // rule), thresholds are exact binary-representable literals on
+    // both engines.
+    "q_roc_points" -> ((s, dir) => {
+      val feats = graft.ops.QualityModel.featurize(
+        docs(s, dir), "doc_id", "text")
+      val w = graft.ops.QualityModel.trainLogReg(feats, iters = 5,
+        lr = 0.5)
+      graft.ops.QualityModel.scoreLogReg(feats, w)
+        .select(col("y"), col("score_r"))
+        .withColumn("t", explode(typedlit((0 to 10).map(_ / 10.0))))
+        .groupBy("t")
+        .agg(
+          sum(when(col("score_r") >= col("t") && col("y") > 0.5, 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(col("score_r") >= col("t") && col("y") <= 0.5, 1L)
+            .otherwise(0L)).as("fp"),
+          sum(when(col("y") > 0.5, 1L).otherwise(0L)).as("p"),
+          sum(when(col("y") <= 0.5, 1L).otherwise(0L)).as("n"))
+        .select(round(col("t"), 6).as("t_r"), col("tp"), col("fp"),
+          when(col("p") > 0, round(col("tp").cast("double") /
+            col("p").cast("double"), 6)).otherwise(lit(-1.0))
+            .as("tpr_r"),
+          when(col("n") > 0, round(col("fp").cast("double") /
+            col("n").cast("double"), 6)).otherwise(lit(-1.0))
+            .as("fpr_r"))
+        .orderBy("t_r")
+    }),
+
     // Slice-based model evaluation: per-language precision/recall of
     // the trained quality model against the rule labels — the
     // fairness-style check that a single global accuracy can hide a
@@ -900,6 +935,32 @@ object CorpusQueries {
            round(z, 6) > 0 AS pred
          FROM z ORDER BY doc_id"""
 
+  private def rocOracle(iters: Int, lr: String): String =
+    s"""${logregChainSql(iters, lr)},
+         z AS (SELECT f.doc_id, f.y, (((w.w0 * x0 + w.w1 * x1)
+             + w.w2 * x2) + w.w3 * x3) AS z
+           FROM f CROSS JOIN w$iters w),
+         sc AS (SELECT y, round(1.0 / (1.0 + exp(-z)), 6) AS score_r
+           FROM z),
+         tt AS (SELECT CAST(unnest([0.0, 0.1, 0.2, 0.3, 0.4, 0.5,
+             0.6, 0.7, 0.8, 0.9, 1.0]) AS DOUBLE) AS t),
+         g AS (SELECT t,
+             CAST(sum(CASE WHEN score_r >= t AND y > 0.5
+               THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN score_r >= t AND y <= 0.5
+               THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN y > 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS p,
+             CAST(sum(CASE WHEN y <= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n
+           FROM sc CROSS JOIN tt GROUP BY t)
+         SELECT round(t, 6) AS t_r, tp, fp,
+           CASE WHEN p > 0 THEN round(CAST(tp AS DOUBLE) /
+             CAST(p AS DOUBLE), 6) ELSE -1.0 END AS tpr_r,
+           CASE WHEN n > 0 THEN round(CAST(fp AS DOUBLE) /
+             CAST(n AS DOUBLE), 6) ELSE -1.0 END AS fpr_r
+         FROM g ORDER BY t_r"""
+
   private def calibrationOracle(iters: Int, lr: String): String =
     s"""${logregChainSql(iters, lr)},
          z AS (SELECT f.doc_id, f.y, (((w.w0 * x0 + w.w1 * x1)
@@ -1117,6 +1178,7 @@ object CorpusQueries {
     "q_label_agreement" -> labelAgreementOracle(5, "0.5"),
     "q_logreg_train" -> logregTrainOracle(5, "0.5"),
     "q_logreg_score" -> logregScoreOracle(5, "0.5"),
+    "q_roc_points" -> rocOracle(5, "0.5"),
     "q_calibration" -> calibrationOracle(5, "0.5"),
     "q_slice_eval" -> sliceEvalOracle(5, "0.5"),
     "q_sample_hash" ->

@@ -543,6 +543,45 @@ object TextQueries {
       graft.ops.Corpus.bigramLogProb(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Jelinek–Mercer interpolated LM score: per-doc NLL under the
+    // λ-mixture 0.75·P(w₂|w₁) + 0.25·P(w₂) — the smoothing that keeps
+    // unseen-in-context (but known) words from blowing up the bigram
+    // score, the standard backoff a perplexity filter actually runs.
+    // Both component probabilities are exact-integer ratios; the mix
+    // and ln are identical doubles cross-engine, and the per-doc avg
+    // follows the rounded-logprob precedent. The exploded token table
+    // persists once and feeds the unigram counts and both bigram
+    // sides.
+    "q_lm_interp" -> ((s, dir) => {
+      val tk = docs(s, dir)
+        .select(col("doc_id"), TextDedup.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+        .transform(graft.ops.QueryCaches.persist)
+      val uc = tk.groupBy("tok").agg(count(lit(1)).as("ucnt"))
+        .transform(graft.ops.QueryCaches.persist) // score join + total
+      val ut = uc.agg(sum("ucnt").as("total"))
+      val bg = tk.select(col("doc_id"), col("pos"), col("tok").as("w1"))
+        .join(tk.select(col("doc_id"), (col("pos") - 1).as("pos"),
+          col("tok").as("w2")), Seq("doc_id", "pos"))
+        .select(col("doc_id"), col("w1"), col("w2"))
+        .transform(graft.ops.QueryCaches.persist) // counts + scoring
+      val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+        .transform(graft.ops.QueryCaches.persist) // prefix sums + join
+      val pc = bc.groupBy("w1").agg(sum("cnt").as("pcnt"))
+      bg.join(bc, Seq("w1", "w2"))
+        .join(pc, Seq("w1"))
+        .join(uc.select(col("tok").as("w2"), col("ucnt")), Seq("w2"))
+        .crossJoin(broadcast(ut))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_bigrams"),
+          round(avg(-log(lit(0.75) * (col("cnt").cast("double") /
+              col("pcnt").cast("double")) +
+            lit(0.25) * (col("ucnt").cast("double") /
+              col("total").cast("double")))), 6).as("nll_mix_r"))
+        .orderBy("doc_id")
+    }),
+
     // BM25 retrieval scoring (Lucene-style +1 idf floor) for a fixed
     // query term set — the search/mining half of a data platform.
     // Exploded tokens filter to the tiny term set at the scan; corpus
@@ -1451,6 +1490,34 @@ FROM sj GROUP BY lang ORDER BY lang"""
              AS nll
          FROM tk t JOIN vocab v ON t.tok = v.tok CROSS JOIN tot
          GROUP BY t.doc_id ORDER BY t.doc_id""",
+    "q_lm_interp" ->
+      """WITH tk AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+           FROM documents),
+         d2 AS (SELECT doc_id, toks FROM tk WHERE len(toks) >= 2),
+         t AS (SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS pos
+           FROM d2),
+         uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS ucnt
+           FROM t GROUP BY 1),
+         ut AS (SELECT CAST(sum(ucnt) AS BIGINT) AS total FROM uc),
+         bg AS (SELECT t1.doc_id, t1.tok AS w1, t2.tok AS w2
+           FROM t t1 JOIN t t2
+             ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1),
+         bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt
+           FROM bg GROUP BY 1, 2),
+         pc AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS pcnt
+           FROM bc GROUP BY 1)
+         SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(-ln(0.75 * (CAST(c.cnt AS DOUBLE) /
+               CAST(p.pcnt AS DOUBLE)) +
+             0.25 * (CAST(u.ucnt AS DOUBLE) /
+               CAST(ut.total AS DOUBLE)))), 6) AS nll_mix_r
+         FROM bg b
+         JOIN bc c ON b.w1 = c.w1 AND b.w2 = c.w2
+         JOIN pc p ON b.w1 = p.w1
+         JOIN uc u ON b.w2 = u.tok
+         CROSS JOIN ut
+         GROUP BY b.doc_id ORDER BY b.doc_id""",
     "q_bigram_logprob" ->
       """WITH tk AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
            FROM documents),
