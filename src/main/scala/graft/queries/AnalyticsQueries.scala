@@ -1343,13 +1343,16 @@ object AnalyticsQueries {
         .select(col("l_suppkey").as("sp"), col("o_custkey").as("c"))
         .distinct()
         .transform(graft.ops.QueryCaches.persist) // pair sides + degrees
+      // the term is a function of the CUSTOMER's degree alone —
+      // computed once per customer here, not once per pair row (a
+      // |pairs|/|customers| ≈ 1000× saving on the ln+decimal work)
       val degc = e.groupBy("c").agg(count(lit(1)).as("deg"))
+        .withColumn("term", (lit(1.0) / log(col("deg").cast("double")))
+          .cast("decimal(20,12)"))
       e.select(col("sp").as("ia"), col("c"))
         .join(e.select(col("sp").as("ib"), col("c")), "c")
         .filter(col("ia") < col("ib"))
         .join(degc, "c")
-        .withColumn("term", (lit(1.0) / log(col("deg").cast("double")))
-          .cast("decimal(20,12)"))
         .groupBy("ia", "ib")
         .agg(count(lit(1)).as("shared"), sum(col("term")).as("aa"))
         .select(col("ia"), col("ib"), col("shared"),
