@@ -1324,6 +1324,34 @@ object AnalyticsQueries {
     // available; exact here), degrees join back from the SAME
     // persisted distinct relation, and the ratio is an exact integer
     // division.
+    // Rolling 7-day distinct actives + DAU/WAU stickiness — the
+    // product-analytics staple whose naive form (a range join per
+    // day) devolves to a nested loop. Here each (day, user) row
+    // explodes onto the ≤7 trailing window anchors it can serve —
+    // pure equi-join shapes end to end, distinct fan-out bounded by
+    // the literal 7 — and the calendar-bounded day grid (broadcast-
+    // valid by construction) drops anchors past the observed range.
+    "q_rolling_dau" -> ((s, dir) => {
+      val du = Tables.events(s, dir)
+        .select(expr("ts_ns div 86400000000000").as("day"),
+          col("user_id"))
+        .distinct()
+        .transform(graft.ops.QueryCaches.persist) // grid + both arms
+      val grid = du.select(col("day").as("d")).distinct()
+      val w7 = du
+        .withColumn("d", explode(array((0 to 6).map(k =>
+          col("day") + lit(k.toLong)): _*)))
+        .join(broadcast(grid), "d")
+        .groupBy("d").agg(countDistinct("user_id").as("dau7"))
+      val d1 = du.groupBy(col("day").as("d"))
+        .agg(countDistinct("user_id").as("dau1"))
+      w7.join(d1, "d")
+        .select(col("d"), col("dau1"), col("dau7"),
+          round(col("dau1").cast("double") / col("dau7").cast("double"),
+            6).as("stickiness_r"))
+        .orderBy("d")
+    }),
+
     // Adamic–Adar link prediction over the supplier–customer
     // bipartite graph: candidate supplier pairs scored by
     // Σ 1/ln(deg(z)) over their common customers z (rarely-shared
@@ -3262,6 +3290,22 @@ object AnalyticsQueries {
          SELECT role, bin, CAST(count(*) AS BIGINT) AS n_nodes,
            min(d) AS min_deg, max(d) AS max_deg
          FROM b GROUP BY 1, 2 ORDER BY role, bin""",
+    "q_rolling_dau" ->
+      """WITH du AS (SELECT DISTINCT
+             epoch_ns(ts) // 86400000000000 AS day, user_id
+           FROM events),
+         grid AS (SELECT DISTINCT day AS d FROM du),
+         ex AS (SELECT du.user_id, du.day + k.k AS d
+           FROM du CROSS JOIN (SELECT unnest(range(7)) AS k) k),
+         w AS (SELECT e.d, CAST(count(DISTINCT e.user_id) AS BIGINT)
+             AS dau7
+           FROM ex e JOIN grid g ON g.d = e.d GROUP BY 1),
+         d1 AS (SELECT day AS d, CAST(count(DISTINCT user_id) AS BIGINT)
+             AS dau1 FROM du GROUP BY 1)
+         SELECT w.d, d1.dau1, w.dau7,
+           round(CAST(d1.dau1 AS DOUBLE) / CAST(w.dau7 AS DOUBLE), 6)
+             AS stickiness_r
+         FROM w JOIN d1 ON d1.d = w.d ORDER BY w.d""",
     "q_adamic_adar" ->
       """WITH e AS (SELECT DISTINCT l_suppkey AS sp, o_custkey AS c
            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),

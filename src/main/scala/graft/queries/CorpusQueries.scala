@@ -33,6 +33,33 @@ object CorpusQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Token-weighted median length per source — the weighted
+    // percentile a data card should quote instead of the per-DOC
+    // median (half the TOKENS sit in docs at/below this length, so it
+    // describes what training actually sees). Entirely integer
+    // arithmetic: the within-source prefix sum runs in a partitioned
+    // window (distributed by group — no single-partition funnel), the
+    // median test is 2·cum ≥ total (no division), and the qualifying
+    // row resolves via the aggregate min-struct argmin, not a second
+    // sort.
+    "q_weighted_median" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+      val w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = d.groupBy("source").agg(sum("n_chars").as("total"),
+        count(lit(1)).as("n_docs"))
+      d.withColumn("cum", sum("n_chars").over(w))
+        .join(tot, "source")
+        .filter(col("cum") * 2 >= col("total"))
+        .groupBy("source")
+        .agg(min(struct(col("n_chars"), col("doc_id"))).as("m"),
+          max("total").as("total_chars"), max("n_docs").as("n_docs"))
+        .select(col("source"), col("n_docs"), col("total_chars"),
+          col("m.n_chars").as("wmedian_chars"))
+        .orderBy("source")
+    }),
+
     // Temperature-based mixture weights (the multilingual-sampling
     // rule of mBERT/XLM-R at T=2): per-language sampling weight
     // ∝ √n_docs, which upsamples low-resource languages relative to
@@ -1042,6 +1069,27 @@ object CorpusQueries {
          FROM c"""
 
   val oracles: Map[String, String] = Map(
+    "q_weighted_median" ->
+      """WITH d AS (SELECT source, doc_id, n_chars FROM documents),
+         c AS (SELECT source, doc_id, n_chars,
+             CAST(sum(n_chars) OVER (PARTITION BY source
+               ORDER BY n_chars, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+           FROM d),
+         t AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_docs
+           FROM d GROUP BY 1),
+         q AS (SELECT c.source, c.doc_id, c.n_chars, t.total, t.n_docs
+           FROM c JOIN t ON t.source = c.source
+           WHERE c.cum * 2 >= t.total),
+         r AS (SELECT source, n_chars, doc_id, total, n_docs,
+             row_number() OVER (PARTITION BY source
+               ORDER BY n_chars, doc_id) AS rn
+           FROM q)
+         SELECT source, n_docs, total AS total_chars,
+           n_chars AS wmedian_chars
+         FROM r WHERE rn = 1 ORDER BY source""",
     "q_temp_mix" ->
       """WITH g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
            FROM documents GROUP BY 1),
