@@ -1324,6 +1324,127 @@ object AnalyticsQueries {
     // available; exact here), degrees join back from the SAME
     // persisted distinct relation, and the ratio is an exact integer
     // division.
+    // Seasonal-naive forecast backtest: forecast(hour) = actual(hour
+    // − 168) (the weekly-naive baseline every real forecast must
+    // beat), evaluated as MAE + MAPE over every hour that has both.
+    // MAE is an exact integer sum; MAPE's per-hour ratios are rounded
+    // into DECIMAL(20,12) BEFORE summing (order-independent — the
+    // gradient-sum treatment), so neither metric depends on
+    // aggregation order. One keyed self-join on the bounded hourly
+    // frame.
+    "q_forecast_eval" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .select(expr("ts_ns div 3600000000000").as("hr"))
+        .groupBy("hr").agg(count(lit(1)).as("cnt"))
+        .transform(graft.ops.QueryCaches.persist) // actual + lag arms
+      hourly
+        .join(hourly.select((col("hr") + 168).as("hr"),
+          col("cnt").as("fc")), "hr")
+        .withColumn("ae", abs(col("cnt") - col("fc")))
+        .withColumn("rt", (col("ae").cast("double") /
+          col("cnt").cast("double")).cast("decimal(20,12)"))
+        .agg(count(lit(1)).as("n_hours"), sum("ae").as("sae"),
+          sum("rt").as("srt"))
+        .select(col("n_hours"), col("sae"),
+          round(col("sae").cast("double") /
+            col("n_hours").cast("double"), 6).as("mae_r"),
+          round(col("srt").cast("double") /
+            col("n_hours").cast("double"), 6).as("mape_r"))
+    }),
+
+    // Welch's unequal-variance t-test: click vs purchase event
+    // values — the A/B-test statistic beside the rank-based
+    // q_mannwhitney and the k-group q_anova. Moments are exact:
+    // every value (and its square) rounds into DECIMAL(28,14) before
+    // the sum, so means/variances come from order-independent
+    // aggregates; t and the Welch–Satterthwaite df are then a fixed
+    // double expression mirrored verbatim in the oracle.
+    "q_welch_t" -> ((s, dir) => {
+      val m = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"),
+          col("value").cast("decimal(28,14)").as("x"),
+          (col("value") * col("value")).cast("decimal(28,14)").as("x2"))
+        .groupBy("event_type").agg(count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("x2").as("sx2"))
+        .transform(graft.ops.QueryCaches.persist) // both sample arms
+      val a = m.filter(col("event_type") === "click")
+        .select(col("n").as("na"), col("sx").cast("double").as("sxa"),
+          col("sx2").cast("double").as("sx2a"))
+      val b = m.filter(col("event_type") === "purchase")
+        .select(col("n").as("nb"), col("sx").cast("double").as("sxb"),
+          col("sx2").cast("double").as("sx2b"))
+      a.crossJoin(b)
+        .withColumn("ma", col("sxa") / col("na"))
+        .withColumn("mb", col("sxb") / col("nb"))
+        .withColumn("va", (col("sx2a") - col("sxa") * col("sxa") /
+          col("na")) / (col("na") - 1))
+        .withColumn("vb", (col("sx2b") - col("sxb") * col("sxb") /
+          col("nb")) / (col("nb") - 1))
+        .withColumn("sa", col("va") / col("na"))
+        .withColumn("sb", col("vb") / col("nb"))
+        .select(col("na"), col("nb"),
+          round(col("ma"), 6).as("mean_a_r"),
+          round(col("mb"), 6).as("mean_b_r"),
+          round((col("ma") - col("mb")) /
+            sqrt(col("sa") + col("sb")), 6).as("t_r"),
+          round(((col("sa") + col("sb")) * (col("sa") + col("sb"))) /
+            ((col("sa") * col("sa")) / (col("na") - 1) +
+             (col("sb") * col("sb")) / (col("nb") - 1)), 6).as("df_r"))
+    }),
+
+    // Global clustering coefficient of the supplier co-occurrence
+    // graph: 3·triangles / open-triads — the one-number "how cliquey"
+    // summary on top of q_triangles' listing. Triads come from the
+    // degree aggregate (deg·(deg−1) div 2, exact integers); the
+    // coefficient is one integer ratio. Same bounded projected-edge
+    // set as q_triangles (shared minShared threshold).
+    "q_clustering_coef" -> ((s, dir) => {
+      val sc = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("s"), col("o_custkey").as("c"))
+      val edges = graft.ops.QueryCaches.persist(
+        graft.ops.GraphOps.coOccurrenceEdges(sc, "s", "c",
+          minShared = 190L, maxKeyDegree = Int.MaxValue)
+          .select(col("ia").as("sa"), col("ib").as("sb")))
+      val tri = edges.select(col("sa").as("a"), col("sb").as("b"))
+        .join(edges.select(col("sa").as("b"), col("sb").as("c")), "b")
+        .join(edges.select(col("sa").as("a"), col("sb").as("c")),
+          Seq("a", "c"))
+        .agg(count(lit(1)).as("n_tri"))
+      val deg = edges.select(col("sa").as("v"))
+        .unionAll(edges.select(col("sb").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val dd = deg.agg(count(lit(1)).as("n_nodes"),
+        sum(expr("deg * (deg - 1) div 2")).as("n_triads"))
+      val ne = edges.agg(count(lit(1)).as("n_edges"))
+      dd.crossJoin(ne).crossJoin(tri)
+        .select(col("n_nodes"), col("n_edges"), col("n_tri"),
+          col("n_triads"),
+          when(col("n_triads") > 0,
+            round(lit(3.0) * col("n_tri").cast("double") /
+              col("n_triads").cast("double"), 6)).otherwise(lit(-1.0))
+            .as("coef_r"))
+    }),
+
+    // Ordered set aggregation — the reporting shape SQL users reach
+    // for constantly (string_agg / array_agg ... ORDER BY): per
+    // source, the alphabetised distinct language list. Spark's
+    // collect_set is order-nondeterministic BY DESIGN; sort_array
+    // makes the result a function of the set alone, which is the only
+    // form that can cross engines.
+    "q_agg_list" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(countDistinct("lang").cast("long").as("n_langs"),
+          array_join(sort_array(collect_set(col("lang"))), ",")
+            .as("langs"))
+        .orderBy("source")
+    }),
+
     // Rolling 7-day distinct actives + DAU/WAU stickiness — the
     // product-analytics staple whose naive form (a range join per
     // day) devolves to a nested loop. Here each (day, user) row
@@ -3290,6 +3411,76 @@ object AnalyticsQueries {
          SELECT role, bin, CAST(count(*) AS BIGINT) AS n_nodes,
            min(d) AS min_deg, max(d) AS max_deg
          FROM b GROUP BY 1, 2 ORDER BY role, bin""",
+    "q_forecast_eval" ->
+      """WITH h AS (SELECT epoch_ns(ts) // 3600000000000 AS hr
+           FROM events),
+         hc AS (SELECT hr, CAST(count(*) AS BIGINT) AS cnt
+           FROM h GROUP BY 1),
+         j AS (SELECT a.hr, a.cnt, f.cnt AS fc
+           FROM hc a JOIN hc f ON a.hr = f.hr + 168),
+         m AS (SELECT abs(cnt - fc) AS ae,
+             CAST(CAST(abs(cnt - fc) AS DOUBLE) / CAST(cnt AS DOUBLE)
+               AS DECIMAL(20,12)) AS rt
+           FROM j)
+         SELECT CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(ae) AS BIGINT) AS sae,
+           round(CAST(sum(ae) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             AS mae_r,
+           round(CAST(sum(rt) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             AS mape_r
+         FROM m""",
+    "q_welch_t" ->
+      """WITH e AS (SELECT event_type,
+             CAST(value AS DECIMAL(28,14)) AS x,
+             CAST(value * value AS DECIMAL(28,14)) AS x2
+           FROM events WHERE event_type IN ('click', 'purchase')),
+         m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(x2) AS sx2 FROM e GROUP BY 1),
+         a AS (SELECT n AS na, CAST(sx AS DOUBLE) AS sxa,
+             CAST(sx2 AS DOUBLE) AS sx2a FROM m
+           WHERE event_type = 'click'),
+         b AS (SELECT n AS nb, CAST(sx AS DOUBLE) AS sxb,
+             CAST(sx2 AS DOUBLE) AS sx2b FROM m
+           WHERE event_type = 'purchase'),
+         c AS (SELECT na, nb, sxa / na AS ma, sxb / nb AS mb,
+             (sx2a - sxa * sxa / na) / (na - 1) AS va,
+             (sx2b - sxb * sxb / nb) / (nb - 1) AS vb
+           FROM a CROSS JOIN b),
+         d AS (SELECT na, nb, ma, mb, va / na AS sa, vb / nb AS sb
+           FROM c)
+         SELECT na, nb, round(ma, 6) AS mean_a_r,
+           round(mb, 6) AS mean_b_r,
+           round((ma - mb) / sqrt(sa + sb), 6) AS t_r,
+           round(((sa + sb) * (sa + sb)) /
+             ((sa * sa) / (na - 1) + (sb * sb) / (nb - 1)), 6) AS df_r
+         FROM d""",
+    "q_clustering_coef" ->
+      """WITH sc AS (SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         e AS (SELECT x.s AS sa, y.s AS sb
+           FROM sc x JOIN sc y ON x.c = y.c AND x.s < y.s
+           GROUP BY 1, 2 HAVING count(*) >= 190),
+         tri AS (SELECT CAST(count(*) AS BIGINT) AS n_tri
+           FROM e e1
+           JOIN e e2 ON e2.sa = e1.sb
+           JOIN e e3 ON e3.sa = e1.sa AND e3.sb = e2.sb),
+         dg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM
+             (SELECT sa AS v FROM e UNION ALL SELECT sb AS v FROM e)
+           GROUP BY 1),
+         dd AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_triads
+           FROM dg),
+         ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+         SELECT n_nodes, n_edges, n_tri, n_triads,
+           CASE WHEN n_triads > 0 THEN round(3.0 *
+             CAST(n_tri AS DOUBLE) / CAST(n_triads AS DOUBLE), 6)
+             ELSE -1.0 END AS coef_r
+         FROM dd CROSS JOIN ne CROSS JOIN tri""",
+    "q_agg_list" ->
+      """WITH dl AS (SELECT DISTINCT source, lang FROM documents)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_langs,
+           string_agg(lang, ',' ORDER BY lang) AS langs
+         FROM dl GROUP BY 1 ORDER BY source""",
     "q_rolling_dau" ->
       """WITH du AS (SELECT DISTINCT
              epoch_ns(ts) // 86400000000000 AS day, user_id
