@@ -323,6 +323,47 @@ object VectorQueries {
         // feeds both the query and candidate sides of the search
         .transform(graft.ops.QueryCaches.persist))),
 
+    // Exact-arithmetic k-means (2 unrolled Lloyd iterations, k=4) —
+    // the HASH-GATED clustering twin of the rows-only
+    // q_ann_ivf_kmeans: every quantity that crosses an aggregate is
+    // order-independent (squared-distance terms and coordinate sums
+    // go through DECIMAL(28,14) — the gradient-sum treatment — so
+    // assignment argmins compare exact decimals and centroid means
+    // are exact until one division), which is what lets a DuckDB
+    // oracle replay Lloyd's algorithm step for step. Per iteration:
+    // one keyed distance aggregate + one keyed mean aggregate over
+    // the exploded (vec, dim) frame; the min-struct argmin replaces
+    // any window sort.
+    "q_kmeans_exact" -> ((s, dir) => {
+      val ex = emb(s, dir).filter(col("vec_id") < 500)
+        .select(col("vec_id"),
+          posexplode(asDouble(col("embedding"))).as(Seq("pos", "x")))
+        .transform(graft.ops.QueryCaches.persist) // every Lloyd pass
+      var cent = ex.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cid"), col("pos"), col("x").as("cx"))
+      var asg: DataFrame = null
+      for (_ <- 1 to 2) {
+        val d = ex.join(cent, "pos")
+          .groupBy("vec_id", "cid")
+          .agg(sum(((col("x") - col("cx")) * (col("x") - col("cx")))
+            .cast("decimal(28,14)")).as("d"))
+        asg = d.groupBy("vec_id")
+          .agg(min(struct(col("d"), col("cid"))).as("m"))
+          .select(col("vec_id"), col("m.cid").as("cid"))
+          .transform(graft.ops.QueryCaches.persist) // update + output
+        cent = ex.join(asg, "vec_id")
+          .groupBy("cid", "pos")
+          .agg((sum(col("x").cast("decimal(28,14)")).cast("double") /
+            count(lit(1))).as("cx"))
+          .transform(graft.ops.QueryCaches.persist) // next pass reads 1-2×
+      }
+      val cnt = asg.groupBy("cid").agg(count(lit(1)).as("n_members"))
+      val cs = cent.groupBy("cid")
+        .agg(sum(round(col("cx"), 6).cast("decimal(20,12)"))
+          .cast("double").as("cent_sum_r"))
+      cnt.join(cs, "cid").orderBy("cid")
+    }),
+
     // Int8 compressed-domain ANN — the serving path for the
     // q_quantize_embed storage format: top-10 by cosine computed
     // ENTIRELY over int8 codes (the per-vector scales cancel in the
@@ -1050,6 +1091,42 @@ object VectorQueries {
          SELECT q_id, cand_id, cell, cos_r FROM r WHERE rk = 1
          ORDER BY q_id"""
 
+  /** Unrolled Lloyd oracle for q_kmeans_exact: each iteration's
+    * distance/argmin/update mirrors the Spark side's decimal-exact
+    * aggregates (terms and coordinate sums through DECIMAL(28,14)).
+    */
+  private val kmeansOracle: String = {
+    def iter(i: Int) =
+      s"""d$i AS (SELECT x.vec_id, c.cid,
+             sum(CAST((x.x - c.cx) * (x.x - c.cx) AS DECIMAL(28,14)))
+               AS d
+           FROM x JOIN c${i - 1} c ON c.pos = x.pos GROUP BY 1, 2),
+         a$i AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, cid)
+               AS rn
+           FROM d$i) WHERE rn = 1),
+         c$i AS (SELECT a.cid, x.pos,
+             CAST(sum(CAST(x.x AS DECIMAL(28,14))) AS DOUBLE) /
+               count(*) AS cx
+           FROM x JOIN a$i a ON a.vec_id = x.vec_id GROUP BY 1, 2)"""
+    s"""WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id < 500),
+         x AS (SELECT vec_id, unnest(v) AS x,
+             generate_subscripts(v, 1) AS pos FROM e),
+         c0 AS (SELECT vec_id AS cid, pos, x AS cx FROM x
+           WHERE vec_id < 4),
+         ${iter(1)},
+         ${iter(2)},
+         cnt AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_members
+           FROM a2 GROUP BY 1),
+         cs AS (SELECT cid, CAST(sum(CAST(round(cx, 6)
+             AS DECIMAL(20,12))) AS DOUBLE) AS cent_sum_r
+           FROM c2 GROUP BY 1)
+         SELECT cnt.cid, cnt.n_members, cs.cent_sum_r
+         FROM cnt JOIN cs ON cs.cid = cnt.cid ORDER BY cnt.cid"""
+  }
+
   /** IVF+PQ oracle: the ivfOracle assignment chain composed with the
     * pqAdcChainSql arithmetic, parameterized on the query's cell
     * (query = vec_id 20, database = its cell minus itself, codebook
@@ -1396,6 +1473,7 @@ object VectorQueries {
          GROUP BY cell, t.n_total ORDER BY cell""",
     "q_ann_ivf" -> ivfOracle,
     "q_ann_ivfpq" -> ivfpqOracle,
+    "q_kmeans_exact" -> kmeansOracle,
     "q_ann_int8" ->
       """WITH e AS (SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
