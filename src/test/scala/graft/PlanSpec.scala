@@ -283,6 +283,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_rolling_dau: trailing window is equi-join explode, never a range join") {
+    // the 7-day window must come from the bounded per-row explode,
+    // not a non-equi join (which plans a nested loop over the grid)
+    val p = plan("q_rolling_dau")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Generate explode") || p.contains("explode"), p)
+    graft.ops.QueryCaches.releaseAll()
+  }
+
+  test("q_adamic_adar: keyed pair mining; term computed on the degree table") {
+    val p = plan("q_adamic_adar")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p)
+    // the ln+decimal term must ride the degree aggregate, not the
+    // pair rows: it appears under a HashAggregate subtree's project,
+    // and only ONE decimal cast of the LN expression exists in the plan
+    assert("cast\\(\\(1.0 / LN".r.findAllIn(p).size <= 2, p)
+    graft.ops.QueryCaches.releaseAll()
+  }
+
+  test("q_ann_ivfpq: cell prune then broadcast ADC lookup, no cartesian scoring") {
+    val p = plan("q_ann_ivfpq")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    graft.ops.QueryCaches.releaseAll()
+  }
+
+  test("q_kmeans_exact: Lloyd passes are keyed aggregates with map-side partials") {
+    val p = plan("q_kmeans_exact")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p)
+    assert("partial".r.findFirstIn(p).isDefined, p)
+    graft.ops.QueryCaches.releaseAll()
+  }
+
   test("q_pmi: vocab count joins unhinted; AQE broadcasts at gate scale") {
     // same contract as q_tfidf: no forced hint on vocabulary-sized
     // builds; pin that AQE converts on measured size in the FINAL plan
