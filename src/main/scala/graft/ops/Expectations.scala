@@ -64,6 +64,15 @@ object Expectations {
         .as("n_violations"))
   }
 
+  /** Rows failing an arbitrary row-level predicate (nulls fail: an
+    * expectation that cannot be evaluated is not satisfied).
+    */
+  def satisfies(df: DataFrame, name: String, pred: Column): DataFrame =
+    df.agg(row(name, sum(when(coalesce(pred, lit(false)), 0L)
+      .otherwise(1L))))
+      .select(lit(name).as("check"), coalesce(col("n_violations"), lit(0L))
+        .as("n_violations"))
+
   /** Union the checks into the report: (check, n_violations, pass),
     * one row per check, ordered by check name.
     */

@@ -1324,6 +1324,70 @@ object AnalyticsQueries {
     // available; exact here), degrees join back from the SAME
     // persisted distinct relation, and the ratio is an exact integer
     // division.
+    // Bivariate Mahalanobis outliers over (quantity, price): the
+    // covariance-aware distance that catches rows each univariate
+    // fence calls normal (cheap quantity at luxury price). The 2×2
+    // covariance inverts ANALYTICALLY, so the whole test is: exact
+    // DECIMAL moments (one aggregate), five broadcast scalars, one
+    // per-row quadratic form — no matrix library, no second pass.
+    // Top-20 via distributed TakeOrdered on the rounded distance.
+    "q_mahalanobis" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          dec(col("l_quantity")).as("x"),
+          dec(col("l_extendedprice")).as("y"))
+        .transform(graft.ops.QueryCaches.persist) // moments + scoring
+      val m = li.agg(count(lit(1)).as("n"),
+        sum("x").cast("double").as("sx"),
+        sum("y").cast("double").as("sy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y") * col("y")).cast("double").as("syy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"))
+      li.crossJoin(broadcast(m))
+        .withColumn("mx", col("sx") / col("n"))
+        .withColumn("my", col("sy") / col("n"))
+        .withColumn("vx",
+          (col("sxx") - col("sx") * col("sx") / col("n")) / col("n"))
+        .withColumn("vy",
+          (col("syy") - col("sy") * col("sy") / col("n")) / col("n"))
+        .withColumn("cxy",
+          (col("sxy") - col("sx") * col("sy") / col("n")) / col("n"))
+        .withColumn("det",
+          col("vx") * col("vy") - col("cxy") * col("cxy"))
+        .filter(col("det") > 0) // degenerate covariance: no outliers
+        .withColumn("dx", col("x").cast("double") - col("mx"))
+        .withColumn("dy", col("y").cast("double") - col("my"))
+        .withColumn("d2_r", round(
+          (col("vy") * col("dx") * col("dx") -
+            lit(2.0) * col("cxy") * col("dx") * col("dy") +
+            col("vx") * col("dy") * col("dy")) / col("det"), 6))
+        .orderBy(col("d2_r").desc, col("l_orderkey"),
+          col("l_linenumber")).limit(20)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("x").cast("double").as("qty"),
+          col("y").cast("double").as("price"), col("d2_r"))
+    }),
+
+    // The Expectations suite pointed at the documents corpus — the
+    // text-side twin of q_expectations (relational): id uniqueness,
+    // non-null text/lang/source, the n_chars column agreeing with the
+    // text it describes, ISO-ish language codes, and a length range.
+    // Counts-only, same 100 TB shape.
+    "q_doc_expectations" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .transform(graft.ops.QueryCaches.persist) // five check scans
+      graft.ops.Expectations.report(Seq(
+        graft.ops.Expectations.unique(d, "doc_id_unique", Seq("doc_id")),
+        graft.ops.Expectations.notNull(d, "doc_fields_not_null",
+          Seq("text", "lang", "source")),
+        graft.ops.Expectations.satisfies(d, "n_chars_matches_len",
+          col("n_chars") === length(col("text")).cast("long")),
+        graft.ops.Expectations.satisfies(d, "lang_iso2",
+          col("lang").rlike("^[a-z]{2}$")),
+        graft.ops.Expectations.inRange(d, "n_chars_range", "n_chars",
+          lit(1L), lit(100000L))))
+    }),
+
     // Seasonal-naive forecast backtest: forecast(hour) = actual(hour
     // − 168) (the weekly-naive baseline every real forecast must
     // beat), evaluated as MAE + MAPE over every hour that has both.
@@ -3411,6 +3475,63 @@ object AnalyticsQueries {
          SELECT role, bin, CAST(count(*) AS BIGINT) AS n_nodes,
            min(d) AS min_deg, max(d) AS max_deg
          FROM b GROUP BY 1, 2 ORDER BY role, bin""",
+    "q_mahalanobis" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS DECIMAL(12,2)) AS x,
+           CAST(l_extendedprice AS DECIMAL(12,2)) AS y
+         FROM lineitem),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(y * y) AS DOUBLE) AS syy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy
+           FROM li),
+         s AS (SELECT sx / n AS mx, sy / n AS my,
+             (sxx - sx * sx / n) / n AS vx,
+             (syy - sy * sy / n) / n AS vy,
+             (sxy - sx * sy / n) / n AS cxy
+           FROM m),
+         s2 AS (SELECT *, vx * vy - cxy * cxy AS det FROM s),
+         d AS (SELECT li.l_orderkey, li.l_linenumber,
+             CAST(li.x AS DOUBLE) AS qty, CAST(li.y AS DOUBLE) AS price,
+             CAST(li.x AS DOUBLE) - s2.mx AS dx,
+             CAST(li.y AS DOUBLE) - s2.my AS dy,
+             s2.vx, s2.vy, s2.cxy, s2.det
+           FROM li CROSS JOIN s2 WHERE s2.det > 0),
+         r AS (SELECT l_orderkey, l_linenumber, qty, price,
+             round((vy * dx * dx - 2.0 * cxy * dx * dy +
+               vx * dy * dy) / det, 6) AS d2_r
+           FROM d)
+         SELECT l_orderkey, l_linenumber, qty, price, d2_r
+         FROM r ORDER BY d2_r DESC, l_orderkey, l_linenumber LIMIT 20""",
+    "q_doc_expectations" ->
+      """WITH u AS (SELECT 'doc_id_unique' AS "check",
+           CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS n_violations
+         FROM (SELECT doc_id, count(*) AS c FROM documents GROUP BY 1)),
+         nn AS (SELECT 'doc_fields_not_null',
+           CAST(coalesce(sum(CASE WHEN text IS NULL OR lang IS NULL
+             OR source IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+         FROM documents),
+         nc AS (SELECT 'n_chars_matches_len',
+           CAST(coalesce(sum(CASE WHEN coalesce(
+             n_chars = CAST(length(text) AS BIGINT), false)
+             THEN 0 ELSE 1 END), 0) AS BIGINT)
+         FROM documents),
+         li AS (SELECT 'lang_iso2',
+           CAST(coalesce(sum(CASE WHEN coalesce(
+             regexp_matches(lang, '^[a-z]{2}$'), false)
+             THEN 0 ELSE 1 END), 0) AS BIGINT)
+         FROM documents),
+         rg AS (SELECT 'n_chars_range',
+           CAST(coalesce(sum(CASE WHEN n_chars IS NOT NULL
+             AND NOT (n_chars BETWEEN 1 AND 100000)
+             THEN 1 ELSE 0 END), 0) AS BIGINT)
+         FROM documents)
+         SELECT "check", n_violations, n_violations = 0 AS pass FROM (
+           SELECT * FROM u UNION ALL SELECT * FROM nn
+           UNION ALL SELECT * FROM nc UNION ALL SELECT * FROM li
+           UNION ALL SELECT * FROM rg)
+         ORDER BY "check"""",
     "q_forecast_eval" ->
       """WITH h AS (SELECT epoch_ns(ts) // 3600000000000 AS hr
            FROM events),

@@ -483,6 +483,50 @@ object StreamQueries {
       }.select(col("user_id"), col("ts_ns"), col("event_id"))
         .orderBy("user_id", "ts_ns", "event_id")),
 
+    // Streaming IVF probe — the ANN SERVING path as a stream: query
+    // vectors arrive, pick their probe cells against the broadcast
+    // 16-centroid coarse quantizer (bounded by construction), then
+    // stream-static join the STANDING cell-assigned corpus on the
+    // cell key and emit verified matches. Entirely STATELESS (two
+    // joins, no aggregation, no watermark): at 10⁹ corpus vectors the
+    // static side is the partition-pruned persisted index and the
+    // per-query work is its probe cells only — never a corpus scan.
+    "q_stream_ivf" -> ((s, dir) => {
+      val vf = graft.expr.VectorFunctions
+      val statics = VectorQueries.ivfFixedAssigned(s, dir)
+        .filter(col("vec_id") < 450) // corpus; 450+ are the query stream
+        .select(col("vec_id").as("cand_id"), col("v").as("cv2"),
+          col("nrm").as("cn2"), col("cell"))
+        .transform(graft.ops.QueryCaches.persist) // static join side
+      val centB = Tables.table(s, dir, "embeddings")
+        .filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"),
+          vf.toDoubleArray(col("embedding")).as("cv"))
+        .withColumn("cn", vf.l2Norm(col("cv")))
+        .filter(col("cn") > 0)
+      runFileStream(s, dir, "embeddings", "q_stream_ivf_sink") { raw =>
+        val q0 = raw
+          .filter(col("vec_id") >= 450 && col("vec_id") < 500)
+          .select(col("vec_id").as("q_id"),
+            vf.toDoubleArray(col("embedding")).as("qv"))
+          .withColumn("qn", vf.l2Norm(col("qv")))
+          .filter(col("qn") > 0)
+        // probe-cell pick: nested loop against the 16-row broadcast
+        // quantizer is bounded by construction (nprobe = cells whose
+        // centroid cosine clears the probe threshold)
+        val probed = q0.join(broadcast(centB),
+            vf.cosineSimilarityRounded(col("qv"), col("cv"),
+              col("qn"), col("cn")) >= 0.0)
+          .select(col("q_id"), col("qv"), col("qn"),
+            col("c_id").as("cell"))
+        probed.join(statics, "cell")
+          .withColumn("cos_r", vf.cosineSimilarityRounded(col("qv"),
+            col("cv2"), col("qn"), col("cn2")))
+          .filter(col("cos_r") >= 0.2)
+          .select(col("q_id"), col("cand_id"), col("cell"), col("cos_r"))
+      }.orderBy("q_id", "cand_id")
+    }),
+
     // Streaming CDC apply — the materialized-view-maintenance shape:
     // the event stream read as a keyed changelog (user = key, event
     // time = version, 'error' = delete, everything else = upsert)
@@ -919,6 +963,43 @@ object StreamQueries {
            FROM e)
          SELECT user_id, ts_ns, event_id FROM r WHERE rn <= 5
          ORDER BY user_id, ts_ns, event_id""",
+    // batch twin of the stream-static IVF probe: same fixed coarse
+    // quantizer chain as q_ann_ivf's oracle, probe cells ≥ 0.0,
+    // verify ≥ 0.2
+    "q_stream_ivf" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id < 2000),
+         n AS (SELECT * FROM (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
+             WHERE nrm > 0),
+         cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n
+             WHERE vec_id < 16),
+         scored AS (SELECT x.vec_id, x.v, x.nrm, c.c_id,
+             round(list_dot_product(x.v, c.cv) / (x.nrm * c.cn), 6)
+               AS c_cos
+             FROM n x CROSS JOIN cent c WHERE x.vec_id >= 16),
+         assigned AS (SELECT vec_id, v, nrm, c_id AS cell FROM (
+             SELECT *, row_number() OVER
+               (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS rk
+             FROM scored) WHERE rk = 1),
+         qe AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id >= 450 AND vec_id < 500),
+         qn AS (SELECT * FROM (SELECT vec_id AS q_id, v AS qv,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS qnn
+             FROM qe) WHERE qnn > 0),
+         probe AS (SELECT q.q_id, q.qv, q.qnn, c.c_id AS cell
+           FROM qn q CROSS JOIN cent c
+           WHERE round(list_dot_product(q.qv, c.cv) / (q.qnn * c.cn), 6)
+             >= 0.0),
+         m AS (SELECT p.q_id, a.vec_id AS cand_id, p.cell,
+             round(list_dot_product(p.qv, a.v) / (p.qnn * a.nrm), 6)
+               AS cos_r
+           FROM probe p JOIN assigned a ON a.cell = p.cell
+           WHERE a.vec_id < 450)
+         SELECT q_id, cand_id, cell, cos_r FROM m
+         WHERE cos_r >= 0.2 ORDER BY q_id, cand_id""",
     // batch last-writer-wins over the same changelog mapping: the
     // per-user max-version row, deleted keys (last op 'error') absent
     "q_stream_cdc" ->

@@ -121,7 +121,7 @@ object VectorQueries {
     * so the assignment rule — and therefore the shared oracle — cannot
     * drift between the two.
     */
-  private def ivfFixedAssigned(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def ivfFixedAssigned(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(emb(s, dir).filter(col("vec_id") < 2000)
       .select(col("vec_id"), asDouble(col("embedding")).as("v")))
     val cent = e.filter(col("vec_id") < 16)
