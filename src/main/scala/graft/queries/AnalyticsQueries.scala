@@ -1324,6 +1324,37 @@ object AnalyticsQueries {
     // available; exact here), degrees join back from the SAME
     // persisted distinct relation, and the ratio is an exact integer
     // division.
+    // Per-group OLS (price ~ quantity by return flag) — the grouped
+    // twin of q_trend_lines: slope, intercept and R² per segment from
+    // ONE aggregate of DECIMAL-exact moments (n, Σx, Σy, Σxx, Σyy,
+    // Σxy); the closed forms are a fixed double expression mirrored
+    // verbatim. No per-group iteration, no ML library — regression at
+    // 100 TB is five exact sums.
+    "q_grouped_ols" -> ((s, dir) => {
+      val nD = col("n").cast("double")
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), dec(col("l_quantity")).as("x"),
+          dec(col("l_extendedprice")).as("y"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum("x").cast("double").as("sx"),
+          sum("y").cast("double").as("sy"),
+          sum(col("x") * col("x")).cast("double").as("sxx"),
+          sum(col("y") * col("y")).cast("double").as("syy"),
+          sum(col("x") * col("y")).cast("double").as("sxy"))
+        .withColumn("dxx", nD * col("sxx") - col("sx") * col("sx"))
+        .withColumn("dyy", nD * col("syy") - col("sy") * col("sy"))
+        .withColumn("dxy", nD * col("sxy") - col("sx") * col("sy"))
+        .filter(col("dxx") > 0 && col("dyy") > 0) // degenerate groups out
+        .select(col("l_returnflag"), col("n"),
+          round(col("dxy") / col("dxx"), 6).as("slope_r"),
+          round((col("sy") - (col("dxy") / col("dxx")) * col("sx")) /
+            nD, 6).as("icept_r"),
+          round((col("dxy") * col("dxy")) / (col("dxx") * col("dyy")),
+            6).as("r2_r"))
+        .orderBy("l_returnflag")
+    }),
+
     // Bivariate Mahalanobis outliers over (quantity, price): the
     // covariance-aware distance that catches rows each univariate
     // fence calls normal (cheap quantity at luxury price). The 2×2
@@ -2071,6 +2102,17 @@ object AnalyticsQueries {
       s.sql(sqlQ3)
     }),
 
+    // TPC-H Q18 shape (large-volume customers): the HAVING-subquery
+    // pattern through the SQL front door — the IN subquery plans as a
+    // semi-join against the re-aggregated fact, the outer three-table
+    // join re-groups only surviving orders. DECIMAL quantities keep
+    // the HAVING cut and the top-100 sort deterministic.
+    "q_sql_q18" -> ((s, dir) => {
+      Seq("customer", "orders", "lineitem")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(sqlQ18)
+    }),
+
     // TPC-H Q5 shape (regional local-supplier volume): six-table join
     // where supplier and customer must share a nation — the
     // co-location predicate rides the join, region prunes nation, and
@@ -2219,6 +2261,23 @@ object AnalyticsQueries {
        GROUP BY o_orderkey, o_orderdate, o_orderpriority
        ORDER BY revenue DESC, o_orderkey
        LIMIT 10"""
+
+  /** ONE SQL text for q_sql_q18 — TPC-H Q18 adapted (threshold 250
+    * sits at the top ~1.5% of per-order quantity sums on this data).
+    */
+  private val sqlQ18: String =
+    """SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
+           AS sum_qty
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON o_orderkey = l_orderkey
+       WHERE o_orderkey IN (
+         SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+         HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 250)
+       GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+       ORDER BY o_totalprice DESC, o_orderkey
+       LIMIT 100"""
 
   /** ONE SQL text for q_sql_q5 — TPC-H Q5 adapted: local-supplier
     * revenue (customer and supplier in the SAME nation) for one
@@ -2497,6 +2556,7 @@ object AnalyticsQueries {
     "q_sql_q1" -> sqlQ1,
     "q_sql_q3" -> sqlQ3,
     "q_sql_q5" -> sqlQ5,
+    "q_sql_q18" -> sqlQ18,
     "q_hll_distinct" -> hllOracle,
     "q_scd_asof" ->
       """WITH s AS (SELECT o_orderkey, o_custkey, o_orderpriority,
@@ -3475,6 +3535,29 @@ object AnalyticsQueries {
          SELECT role, bin, CAST(count(*) AS BIGINT) AS n_nodes,
            min(d) AS min_deg, max(d) AS max_deg
          FROM b GROUP BY 1, 2 ORDER BY role, bin""",
+    "q_grouped_ols" ->
+      """WITH li AS (SELECT l_returnflag,
+           CAST(l_quantity AS DECIMAL(12,2)) AS x,
+           CAST(l_extendedprice AS DECIMAL(12,2)) AS y
+         FROM lineitem),
+         m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(y * y) AS DOUBLE) AS syy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy
+           FROM li GROUP BY 1),
+         d AS (SELECT l_returnflag, n,
+             CAST(n AS DOUBLE) * sxx - sx * sx AS dxx,
+             CAST(n AS DOUBLE) * syy - sy * sy AS dyy,
+             CAST(n AS DOUBLE) * sxy - sx * sy AS dxy,
+             sx, sy
+           FROM m)
+         SELECT l_returnflag, n,
+           round(dxy / dxx, 6) AS slope_r,
+           round((sy - (dxy / dxx) * sx) / CAST(n AS DOUBLE), 6)
+             AS icept_r,
+           round((dxy * dxy) / (dxx * dyy), 6) AS r2_r
+         FROM d WHERE dxx > 0 AND dyy > 0 ORDER BY l_returnflag""",
     "q_mahalanobis" ->
       """WITH li AS (SELECT l_orderkey, l_linenumber,
            CAST(l_quantity AS DECIMAL(12,2)) AS x,

@@ -543,6 +543,26 @@ object TextQueries {
       graft.ops.Corpus.bigramLogProb(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Positional phrase search — the retrieval op an inverted index
+    // with positions exists FOR: find documents containing the exact
+    // phrase "data table" by joining the two terms' postings on
+    // (doc, adjacent position). Both postings filter to their term AT
+    // THE SCAN (pushed predicates on the exploded frame), so the join
+    // touches only the two terms' postings however large the corpus —
+    // the q_inverted_index serving path, not a text rescan.
+    "q_phrase_search" -> ((s, dir) => {
+      val tk = docs(s, dir)
+        .select(col("doc_id"),
+          posexplode(TextDedup.tokens(col("text"))).as(Seq("pos", "tok")))
+      val a = tk.filter(col("tok") === "data")
+        .select(col("doc_id"), col("pos"))
+      val b = tk.filter(col("tok") === "table")
+        .select(col("doc_id"), (col("pos") - 1).as("pos"))
+      a.join(b, Seq("doc_id", "pos"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_matches"))
+        .orderBy("doc_id")
+    }),
+
     // Jelinek–Mercer interpolated LM score: per-doc NLL under the
     // λ-mixture 0.75·P(w₂|w₁) + 0.25·P(w₂) — the smoothing that keeps
     // unseen-in-context (but known) words from blowing up the bigram
@@ -1490,6 +1510,17 @@ FROM sj GROUP BY lang ORDER BY lang"""
              AS nll
          FROM tk t JOIN vocab v ON t.tok = v.tok CROSS JOIN tot
          GROUP BY t.doc_id ORDER BY t.doc_id""",
+    "q_phrase_search" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(trim(text), ' '))
+             AS tok,
+             generate_subscripts(string_split(trim(text), ' '), 1) AS pos
+           FROM documents),
+         a AS (SELECT doc_id, pos FROM tk WHERE tok = 'data'),
+         b AS (SELECT doc_id, pos - 1 AS pos FROM tk
+           WHERE tok = 'table')
+         SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+         FROM a JOIN b ON a.doc_id = b.doc_id AND a.pos = b.pos
+         GROUP BY 1 ORDER BY a.doc_id""",
     "q_lm_interp" ->
       """WITH tk AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
            FROM documents),
