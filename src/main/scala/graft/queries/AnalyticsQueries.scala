@@ -1324,6 +1324,75 @@ object AnalyticsQueries {
     // available; exact here), degrees join back from the SAME
     // persisted distinct relation, and the ratio is an exact integer
     // division.
+    // Lag/rolling feature generation — the feature-engineering pass a
+    // training pipeline runs over event history: previous values,
+    // inter-event gap, and a 3-row rolling mean per user, all from
+    // ONE keyed window (single user_id exchange; the frame order is
+    // the accumulation order on both engines, so even the float
+    // rolling mean is deterministic).
+    "q_lag_features" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+      val w3 = w.rowsBetween(-2, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts_ns"), col("event_id"),
+          col("value"))
+        .withColumn("lag1_r", round(lag("value", 1).over(w), 6))
+        .withColumn("lag2_r", round(lag("value", 2).over(w), 6))
+        .withColumn("rmean3_r", round(avg("value").over(w3), 6))
+        .withColumn("dt_ns", col("ts_ns") - lag("ts_ns", 1).over(w))
+        .select(col("user_id"), col("ts_ns"), col("event_id"),
+          round(col("value"), 6).as("value_r"), col("lag1_r"),
+          col("lag2_r"), col("rmean3_r"), col("dt_ns"))
+        .orderBy("user_id", "ts_ns", "event_id")
+    }),
+
+    // One-hot categorical encoding via pivot with a LITERAL value
+    // list (an unlisted category can appear in new data without
+    // changing the schema — the trained-model contract): per user,
+    // presence flags per event type. One keyed exchange; the pivot
+    // width is the literal list, not data-dependent.
+    "q_one_hot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = Tables.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      types.foldLeft(p) { (df, ty) =>
+        df.withColumn(s"oh_$ty",
+          when(coalesce(col(ty), lit(0L)) > 0, 1L).otherwise(0L))
+      }
+        .select(col("user_id") +: types.map(ty => col(s"oh_$ty")): _*)
+        .orderBy("user_id")
+    }),
+
+    // Leave-one-out target encoding — the categorical feature trick
+    // that leaks without the leave-one-out correction: each row's
+    // category encoding is (Σy − y_row)/(n − 1) over ITS OWN
+    // category. The numerator stays exact DECIMAL (one subtraction
+    // from the category aggregate), the per-category audit moments
+    // sum decimal-cast encodings (order-independent); singleton
+    // categories are excluded (undefined denominator).
+    "q_target_encoding" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("cat"),
+          dec(col("l_extendedprice")).as("y"))
+        .transform(graft.ops.QueryCaches.persist) // agg + encode arms
+      val g = li.groupBy("cat")
+        .agg(count(lit(1)).as("n"), sum("y").as("sy"))
+      li.join(g, "cat")
+        .filter(col("n") > 1)
+        .withColumn("enc", (col("sy") - col("y")).cast("double") /
+          (col("n") - 1).cast("double"))
+        .groupBy("cat")
+        .agg(count(lit(1)).as("n_rows"),
+          round(min(col("enc")), 6).as("min_enc_r"),
+          round(max(col("enc")), 6).as("max_enc_r"),
+          round(sum(col("enc").cast("decimal(28,10)")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("mean_enc_r"))
+        .orderBy("cat")
+    }),
+
     // Per-group OLS (price ~ quantity by return flag) — the grouped
     // twin of q_trend_lines: slope, intercept and R² per segment from
     // ONE aggregate of DECIMAL-exact moments (n, Σx, Σy, Σxx, Σyy,
@@ -3535,6 +3604,52 @@ object AnalyticsQueries {
          SELECT role, bin, CAST(count(*) AS BIGINT) AS n_nodes,
            min(d) AS min_deg, max(d) AS max_deg
          FROM b GROUP BY 1, 2 ORDER BY role, bin""",
+    "q_lag_features" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns, event_id,
+             value FROM events)
+         SELECT user_id, ts_ns, event_id, round(value, 6) AS value_r,
+           round(lag(value, 1) OVER w, 6) AS lag1_r,
+           round(lag(value, 2) OVER w, 6) AS lag2_r,
+           round(avg(value) OVER (PARTITION BY user_id
+             ORDER BY ts_ns, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS rmean3_r,
+           ts_ns - lag(ts_ns, 1) OVER w AS dt_ns
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)
+         ORDER BY user_id, ts_ns, event_id""",
+    "q_one_hot" ->
+      """SELECT user_id,
+           CAST(CASE WHEN sum(CASE WHEN event_type = 'click'
+             THEN 1 ELSE 0 END) > 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS oh_click,
+           CAST(CASE WHEN sum(CASE WHEN event_type = 'error'
+             THEN 1 ELSE 0 END) > 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS oh_error,
+           CAST(CASE WHEN sum(CASE WHEN event_type = 'purchase'
+             THEN 1 ELSE 0 END) > 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS oh_purchase,
+           CAST(CASE WHEN sum(CASE WHEN event_type = 'signup'
+             THEN 1 ELSE 0 END) > 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS oh_signup,
+           CAST(CASE WHEN sum(CASE WHEN event_type = 'view'
+             THEN 1 ELSE 0 END) > 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS oh_view
+         FROM events GROUP BY 1 ORDER BY user_id""",
+    "q_target_encoding" ->
+      """WITH li AS (SELECT l_returnflag AS cat,
+           CAST(l_extendedprice AS DECIMAL(12,2)) AS y FROM lineitem),
+         g AS (SELECT cat, CAST(count(*) AS BIGINT) AS n, sum(y) AS sy
+           FROM li GROUP BY 1),
+         e AS (SELECT li.cat,
+             CAST(g.sy - li.y AS DOUBLE) / CAST(g.n - 1 AS DOUBLE)
+               AS enc
+           FROM li JOIN g ON g.cat = li.cat WHERE g.n > 1)
+         SELECT cat, CAST(count(*) AS BIGINT) AS n_rows,
+           round(min(enc), 6) AS min_enc_r,
+           round(max(enc), 6) AS max_enc_r,
+           round(CAST(sum(CAST(enc AS DECIMAL(28,10))) AS DOUBLE) /
+             CAST(count(*) AS DOUBLE), 6) AS mean_enc_r
+         FROM e GROUP BY 1 ORDER BY cat""",
     "q_grouped_ols" ->
       """WITH li AS (SELECT l_returnflag,
            CAST(l_quantity AS DECIMAL(12,2)) AS x,
