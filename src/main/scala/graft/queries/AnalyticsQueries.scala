@@ -1324,6 +1324,57 @@ object AnalyticsQueries {
     // available; exact here), degrees join back from the SAME
     // persisted distinct relation, and the ratio is an exact integer
     // division.
+    // Robust (median/IQR) scaling audit per event type — the
+    // outlier-immune standardization (the mean/std path is
+    // q_embed_standardize): exact interpolated percentiles give the
+    // center and scale, and the audit reports the scaled extremes and
+    // the out-of-fence count per type. Scaled per-row values compare
+    // on ROUNDED numbers (fence rule); IQR=0 groups are reported with
+    // the -1 sentinel instead of dividing.
+    "q_robust_scale" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_type"), col("value"))
+        .transform(graft.ops.QueryCaches.persist) // percentiles + scan
+      val q = e.groupBy("event_type")
+        .agg(percentile(col("value"), lit(0.5)).as("med"),
+          (percentile(col("value"), lit(0.75)) -
+            percentile(col("value"), lit(0.25))).as("iqr"))
+      e.join(q, "event_type")
+        .withColumn("z_r", when(col("iqr") > 0,
+          round((col("value") - col("med")) / col("iqr"), 6))
+          .otherwise(lit(-1.0)))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(max(col("med")), 6).as("med_r"),
+          round(max(col("iqr")), 6).as("iqr_r"),
+          round(min(col("z_r")), 6).as("zmin_r"),
+          round(max(col("z_r")), 6).as("zmax_r"),
+          sum(when(abs(col("z_r")) > 2.0, 1L).otherwise(0L))
+            .as("n_outside"))
+        .orderBy("event_type")
+    }),
+
+    // Order-invariant table checksum — the replication/migration
+    // primitive: did two jobs produce the SAME table, without sorting
+    // either copy? Per-row md5 over the integer-exact key+measure
+    // tuple → 32-bit value → plain SUM (magnitudes bounded far below
+    // Long overflow at any tested SF; a production form sums mod a
+    // prime). Any row difference, duplication, or loss moves the sum;
+    // row order never does. One scan, one aggregate, no exchange
+    // before the final combine.
+    "q_table_checksum" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(conv(substring(md5(concat_ws("|",
+          col("l_orderkey").cast("string"),
+          col("l_linenumber").cast("string"),
+          col("l_partkey").cast("string"),
+          col("l_suppkey").cast("string"),
+          (dec(col("l_quantity")) * 100).cast("long").cast("string"),
+          (dec(col("l_extendedprice")) * 100).cast("long")
+            .cast("string"))), 1, 8), 16, 10).cast("long").as("h"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
+    }),
+
     // Lag/rolling feature generation — the feature-engineering pass a
     // training pipeline runs over event history: previous values,
     // inter-event gap, and a 3-row rolling mean per user, all from
@@ -3604,6 +3655,37 @@ object AnalyticsQueries {
          SELECT role, bin, CAST(count(*) AS BIGINT) AS n_nodes,
            min(d) AS min_deg, max(d) AS max_deg
          FROM b GROUP BY 1, 2 ORDER BY role, bin""",
+    "q_robust_scale" ->
+      """WITH q AS (SELECT event_type,
+             quantile_cont(value, 0.5) AS med,
+             quantile_cont(value, 0.75) - quantile_cont(value, 0.25)
+               AS iqr
+           FROM events GROUP BY 1),
+         z AS (SELECT e.event_type, q.med, q.iqr,
+             CASE WHEN q.iqr > 0
+               THEN round((e.value - q.med) / q.iqr, 6)
+               ELSE -1.0 END AS z_r
+           FROM events e JOIN q ON q.event_type = e.event_type)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(max(med), 6) AS med_r, round(max(iqr), 6) AS iqr_r,
+           round(min(z_r), 6) AS zmin_r, round(max(z_r), 6) AS zmax_r,
+           CAST(sum(CASE WHEN abs(z_r) > 2.0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_outside
+         FROM z GROUP BY 1 ORDER BY event_type""",
+    "q_table_checksum" ->
+      """WITH h AS (SELECT CAST(CAST(('0x' || substr(md5(
+             CAST(l_orderkey AS VARCHAR) || '|' ||
+             CAST(l_linenumber AS VARCHAR) || '|' ||
+             CAST(l_partkey AS VARCHAR) || '|' ||
+             CAST(l_suppkey AS VARCHAR) || '|' ||
+             CAST(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100
+               AS BIGINT) AS VARCHAR) || '|' ||
+             CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+               AS BIGINT) AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+             AS h
+           FROM lineitem)
+         SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(h) AS BIGINT) AS checksum FROM h""",
     "q_lag_features" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns, event_id,
              value FROM events)
