@@ -543,6 +543,44 @@ object TextQueries {
       graft.ops.Corpus.bigramLogProb(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Deterministic BERT-style MLM masking plan — the 15% / 80-10-10
+    // recipe as a materialized, bit-reproducible artifact (the MLM
+    // twin of q_span_corrupt's T5 spans): position selection and the
+    // branch draw both come from one md5 per (doc, pos), the random-
+    // replacement token is drawn from the frequency-ranked vocabulary
+    // by hash index (rank via the two-phase globalRowNumber — no
+    // single-partition window), and re-running the plan yields the
+    // identical masks under retry or backfill. One exchange for the
+    // vocab rank; selection itself is a pure per-row filter.
+    "q_mlm_mask" -> ((s, dir) => {
+      val tk = docs(s, dir)
+        .select(col("doc_id"),
+          posexplode(TextDedup.tokens(col("text"))).as(Seq("pos", "tok")))
+        .transform(graft.ops.QueryCaches.persist) // vocab + mask arms
+      val vocab = tk.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val ranked = graft.ops.ScaleOps.globalRowNumber(vocab, 8,
+        col("cnt").desc, col("tok"))
+        .select(col("rn"), col("tok").as("repl_tok"))
+        .transform(graft.ops.QueryCaches.persist) // size + repl join
+      val vsize = ranked.agg(max("rn").as("v"))
+      val h = conv(substring(md5(concat(lit("mlm:"),
+        col("doc_id").cast("string"), lit(":"),
+        col("pos").cast("string"))), 1, 8), 16, 10).cast("long")
+      val sel = tk.withColumn("h", h).filter(col("h") % 100 < 15)
+        .crossJoin(broadcast(vsize))
+        .withColumn("r", expr("(h div 100) % 10"))
+        .withColumn("rv", expr("(h div 1000) % v + 1"))
+        .withColumn("action", when(col("r") < 8, lit("mask"))
+          .when(col("r") === 8, lit("random")).otherwise(lit("keep")))
+      sel.join(ranked, sel("rv") === ranked("rn"), "left")
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("tok").as("orig"), col("action"),
+          when(col("action") === "mask", lit("[MASK]"))
+            .when(col("action") === "random", col("repl_tok"))
+            .otherwise(col("tok")).as("replacement"))
+        .orderBy("doc_id", "pos")
+    }),
+
     // Positional phrase search — the retrieval op an inverted index
     // with positions exists FOR: find documents containing the exact
     // phrase "data table" by joining the two terms' postings on
@@ -1510,6 +1548,37 @@ FROM sj GROUP BY lang ORDER BY lang"""
              AS nll
          FROM tk t JOIN vocab v ON t.tok = v.tok CROSS JOIN tot
          GROUP BY t.doc_id ORDER BY t.doc_id""",
+    "q_mlm_mask" ->
+      """WITH tk AS (SELECT doc_id,
+             unnest(string_split(trim(text), ' ')) AS tok,
+             generate_subscripts(string_split(trim(text), ' '), 1) - 1
+               AS pos
+           FROM documents),
+         vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+           FROM tk GROUP BY 1),
+         rk AS (SELECT tok AS repl_tok, CAST(row_number() OVER
+             (ORDER BY cnt DESC, tok) AS BIGINT) AS rn FROM vocab),
+         vs AS (SELECT CAST(max(rn) AS BIGINT) AS v FROM rk),
+         hh AS (SELECT doc_id, pos, tok,
+             CAST(CAST(('0x' || substr(md5('mlm:' ||
+               CAST(doc_id AS VARCHAR) || ':' ||
+               CAST(pos AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+               AS h
+           FROM tk),
+         sel AS (SELECT hh.doc_id, hh.pos, hh.tok,
+             (h // 100) % 10 AS r, (h // 1000) % vs.v + 1 AS rv
+           FROM hh CROSS JOIN vs WHERE h % 100 < 15),
+         act AS (SELECT doc_id, pos, tok, rv,
+             CASE WHEN r < 8 THEN 'mask'
+               WHEN r = 8 THEN 'random' ELSE 'keep' END AS action
+           FROM sel)
+         SELECT a.doc_id, CAST(a.pos AS BIGINT) AS pos, a.tok AS orig,
+           a.action,
+           CASE WHEN a.action = 'mask' THEN '[MASK]'
+             WHEN a.action = 'random' THEN r2.repl_tok
+             ELSE a.tok END AS replacement
+         FROM act a LEFT JOIN rk r2 ON r2.rn = a.rv
+         ORDER BY a.doc_id, a.pos""",
     "q_phrase_search" ->
       """WITH tk AS (SELECT doc_id, unnest(string_split(trim(text), ' '))
              AS tok,
