@@ -292,6 +292,35 @@ object TextQueries {
               col("n_true").cast("double")), 6).as("recall_r"))
     }),
 
+    // LSH banding S-curve measured on REAL data — the tuning artifact
+    // behind q_minhash_recall's single point: recall of every valid
+    // (bands, rows) regrouping of the SAME 6-hash signatures
+    // (1×6, 2×3, 3×2, 6×1) against the exact-Jaccard truth. One
+    // shingle explode and one signature aggregate serve all four
+    // configs (banding only regroups signature columns); the bounded
+    // slice keeps the all-pairs truth affordable, exactly as the
+    // recall gate does.
+    "q_banding_curve" -> ((s, dir) => {
+      val slice = docs(s, dir).filter(col("doc_id") < 1000)
+      val sh = TextDedup.shingles(slice, "doc_id", "text", n = 3)
+        .transform(graft.ops.QueryCaches.persist) // truth + 4 configs
+      val truth = TextDedup.verifiedJaccard(sh, "doc_id", cand = null,
+        threshold = 0.8)
+        .agg(count(lit(1)).cast("long").as("n_true"))
+      val rows = Seq(1, 2, 3, 6).map { b =>
+        TextDedup.minhashDedupFromShingles(sh, "doc_id", numHashes = 6,
+          bands = b, threshold = 0.8, maxBucket = Int.MaxValue)
+          .agg(count(lit(1)).cast("long").as("n_found"))
+          .select(lit(b.toLong).as("bands"), col("n_found"))
+      }.reduce(_ unionByName _)
+      rows.crossJoin(broadcast(truth))
+        .select(col("bands"), col("n_true"), col("n_found"),
+          round(when(col("n_true") === 0L, lit(1.0))
+            .otherwise(col("n_found").cast("double") /
+              col("n_true").cast("double")), 6).as("recall_r"))
+        .orderBy("bands")
+    }),
+
     // Segment-level dedup with reassembly (C4-style line dedup over
     // fixed 8-token spans): keep each distinct span's first
     // occurrence corpus-wide, rebuild documents from survivors.
@@ -937,6 +966,62 @@ object TextQueries {
              JOIN sz sb ON sb.doc_id = i.b
              WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE) >= 0.8)"""
 
+  /** Banding-curve oracle: the minhashCtes signature columns regrouped
+    * into every valid (bands × rows) config; b=3 reuses the chain's
+    * own `pairs` CTE.
+    */
+  private val bandingCurveOracle: String = {
+    def bandsFor(b: Int): String = {
+      val rows = 6 / b
+      (0 until b).map { bi =>
+        val cat = (0 until rows).map(r => s"mh${bi * rows + r}")
+          .mkString(" || ")
+        s"SELECT doc_id, $bi AS band_idx, $cat AS band_val FROM sig"
+      }.mkString(" UNION ALL ")
+    }
+    def cfg(b: Int): String =
+      s"""cand$b AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           FROM (${bandsFor(b)}) x JOIN (${bandsFor(b)}) y
+             ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+                AND x.doc_id < y.doc_id),
+         int$b AS (SELECT c.a, c.b, count(*) AS inter FROM cand$b c
+             JOIN sh sa ON sa.doc_id = c.a
+             JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+             GROUP BY 1, 2),
+         vf$b AS (SELECT i.a, i.b FROM int$b i
+             JOIN sz sa ON sa.doc_id = i.a
+             JOIN sz sb ON sb.doc_id = i.b
+             WHERE CAST(i.inter AS DOUBLE)
+               / CAST(sa.n + sb.n - i.inter AS DOUBLE) >= 0.8)"""
+    s"""WITH ${minhashCtes(1000)},
+         truth0 AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*)
+               AS inter
+             FROM sh x JOIN sh y
+               ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+             GROUP BY 1, 2),
+         tt AS (SELECT t.a, t.b FROM truth0 t
+             JOIN sz sa ON sa.doc_id = t.a
+             JOIN sz sb ON sb.doc_id = t.b
+             WHERE CAST(t.inter AS DOUBLE)
+               / CAST(sa.n + sb.n - t.inter AS DOUBLE) >= 0.8),
+         ${cfg(1)},
+         ${cfg(2)},
+         ${cfg(6)},
+         res AS (SELECT 1 AS bands,
+               (SELECT count(*) FROM vf1) AS n_found
+             UNION ALL SELECT 2, (SELECT count(*) FROM vf2)
+             UNION ALL SELECT 3, (SELECT count(*) FROM pairs)
+             UNION ALL SELECT 6, (SELECT count(*) FROM vf6))
+         SELECT CAST(bands AS BIGINT) AS bands,
+           CAST((SELECT count(*) FROM tt) AS BIGINT) AS n_true,
+           CAST(n_found AS BIGINT) AS n_found,
+           round(CASE WHEN (SELECT count(*) FROM tt) = 0 THEN 1.0
+             ELSE CAST(n_found AS DOUBLE) /
+               CAST((SELECT count(*) FROM tt) AS DOUBLE) END, 6)
+             AS recall_r
+         FROM res ORDER BY bands"""
+  }
+
   private val simhashBitSums = (0 until 32)
     .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
     .mkString(",\n             ")
@@ -1359,6 +1444,7 @@ FROM sj GROUP BY lang ORDER BY lang"""
              ELSE CAST(n_found AS DOUBLE) / CAST(n_true AS DOUBLE) END, 6)
              AS recall_r
          FROM c""",
+    "q_banding_curve" -> bandingCurveOracle,
     "q_dedup_cluster" ->
       s"""WITH RECURSIVE ${minhashCtes()},
          ids AS (SELECT doc_id FROM documents WHERE doc_id < 2000),
