@@ -307,9 +307,16 @@ object TextQueries {
       val truth = TextDedup.verifiedJaccard(sh, "doc_id", cand = null,
         threshold = 0.8)
         .agg(count(lit(1)).cast("long").as("n_true"))
+      // ONE signature aggregate serves all four configs — banding
+      // only regroups signature columns, so recomputing it per
+      // config would quadruple the dominant stage for nothing
+      val sig = TextDedup.minhashSignatures(sh, "doc_id", numHashes = 6)
+        .transform(graft.ops.QueryCaches.persist)
       val rows = Seq(1, 2, 3, 6).map { b =>
-        TextDedup.minhashDedupFromShingles(sh, "doc_id", numHashes = 6,
-          bands = b, threshold = 0.8, maxBucket = Int.MaxValue)
+        val cand = graft.ops.TextDedup.lshCandidates(
+          TextDedup.lshBands(sig, "doc_id", numHashes = 6, bands = b),
+          "doc_id", maxBucket = Int.MaxValue)
+        TextDedup.verifiedJaccard(sh, "doc_id", cand, threshold = 0.8)
           .agg(count(lit(1)).cast("long").as("n_found"))
           .select(lit(b.toLong).as("bands"), col("n_found"))
       }.reduce(_ unionByName _)
