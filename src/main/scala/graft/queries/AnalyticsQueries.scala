@@ -1324,6 +1324,74 @@ object AnalyticsQueries {
     // available; exact here), degrees join back from the SAME
     // persisted distinct relation, and the ratio is an exact integer
     // division.
+    // Kendall's τ-b rank correlation of the hourly arrival series vs
+    // time — the nonparametric monotone-trend test beside Theil–Sen's
+    // slope: concordant/discordant/tied counts over the SAME
+    // calendar-bounded pair join, all exact integers until the final
+    // τ (hours are distinct, so the x-tie term vanishes; y ties enter
+    // the denominator exactly).
+    "q_kendall_tau" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .select(expr("ts_ns div 3600000000000").as("hr"))
+        .groupBy("hr").agg(count(lit(1)).as("cnt"))
+        .transform(graft.ops.QueryCaches.persist) // pair sides + ties
+      val p = hourly.select(col("hr").as("h1"), col("cnt").as("c1"))
+        .join(hourly.select(col("hr").as("h2"), col("cnt").as("c2")),
+          col("h1") < col("h2"))
+        .agg(count(lit(1)).as("n0"),
+          sum(when(col("c2") > col("c1"), 1L).otherwise(0L)).as("c"),
+          sum(when(col("c2") < col("c1"), 1L).otherwise(0L)).as("d"))
+      val ties = hourly.groupBy("cnt").agg(count(lit(1)).as("t"))
+        .agg(sum(expr("t * (t - 1) div 2")).as("n2"))
+      p.crossJoin(broadcast(ties))
+        .select(col("n0"), col("c"), col("d"), col("n2"),
+          round((col("c") - col("d")).cast("double") /
+            sqrt((col("n0") * (col("n0") - col("n2"))).cast("double")),
+            6).as("tau_r"))
+    }),
+
+    // Wald–Wolfowitz runs test on the hourly series (above/below the
+    // median): too FEW runs means trending/clustered arrivals, too
+    // many means oscillation — the randomness sanity check before
+    // trusting i.i.d.-flavored statistics. The orderd adjacency comes
+    // from the two-phase globalRowNumber (no single-partition
+    // window); runs, n1, n2 are exact integers and the normal
+    // approximation's z is one mirrored double expression.
+    "q_runs_test" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .select(expr("ts_ns div 3600000000000").as("hr"))
+        .groupBy("hr").agg(count(lit(1)).as("cnt"))
+        .transform(graft.ops.QueryCaches.persist) // median + sequence
+      val med = hourly.agg(percentile(col("cnt"), lit(0.5)).as("med"))
+      val signed = hourly.crossJoin(broadcast(med))
+        .filter(col("cnt").cast("double") =!= col("med"))
+        .withColumn("s",
+          when(col("cnt").cast("double") > col("med"), 1L)
+            .otherwise(0L))
+      val rn = graft.ops.ScaleOps.globalRowNumber(signed, 8,
+        col("hr").asc)
+        .select(col("rn"), col("s"))
+        .transform(graft.ops.QueryCaches.persist) // both adjacency sides
+      val changes = rn.select(col("rn"), col("s"))
+        .join(rn.select((col("rn") - 1).as("rn"), col("s").as("s2")),
+          "rn")
+        .agg(sum(when(col("s") =!= col("s2"), 1L).otherwise(0L))
+          .as("nchg"))
+      val counts = rn.agg(sum(col("s")).as("n1"),
+        sum(lit(1L) - col("s")).as("n2"))
+      counts.crossJoin(changes)
+        .withColumn("runs", col("nchg") + 1)
+        .withColumn("nn", (col("n1") + col("n2")).cast("double"))
+        .withColumn("p2", lit(2.0) * col("n1").cast("double") *
+          col("n2").cast("double"))
+        .withColumn("mu", col("p2") / col("nn") + lit(1.0))
+        .withColumn("s2", (col("p2") * (col("p2") - col("nn"))) /
+          (col("nn") * col("nn") * (col("nn") - lit(1.0))))
+        .select(col("n1"), col("n2"), col("runs"),
+          round((col("runs").cast("double") - col("mu")) /
+            sqrt(col("s2")), 6).as("z_r"))
+    }),
+
     // Robust (median/IQR) scaling audit per event type — the
     // outlier-immune standardization (the mean/std path is
     // q_embed_standardize): exact interpolated percentiles give the
@@ -3655,6 +3723,49 @@ object AnalyticsQueries {
          SELECT role, bin, CAST(count(*) AS BIGINT) AS n_nodes,
            min(d) AS min_deg, max(d) AS max_deg
          FROM b GROUP BY 1, 2 ORDER BY role, bin""",
+    "q_kendall_tau" ->
+      """WITH h AS (SELECT epoch_ns(ts) // 3600000000000 AS hr
+           FROM events),
+         hc AS (SELECT hr, CAST(count(*) AS BIGINT) AS cnt
+           FROM h GROUP BY 1),
+         p AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN b.cnt > a.cnt THEN 1 ELSE 0 END)
+               AS BIGINT) AS c,
+             CAST(sum(CASE WHEN b.cnt < a.cnt THEN 1 ELSE 0 END)
+               AS BIGINT) AS d
+           FROM hc a JOIN hc b ON a.hr < b.hr),
+         t AS (SELECT CAST(sum(t * (t - 1) // 2) AS BIGINT) AS n2
+           FROM (SELECT cnt, CAST(count(*) AS BIGINT) AS t
+             FROM hc GROUP BY 1))
+         SELECT p.n0, p.c, p.d, t.n2,
+           round(CAST(p.c - p.d AS DOUBLE) /
+             sqrt(CAST(p.n0 * (p.n0 - t.n2) AS DOUBLE)), 6) AS tau_r
+         FROM p CROSS JOIN t""",
+    "q_runs_test" ->
+      """WITH h AS (SELECT epoch_ns(ts) // 3600000000000 AS hr
+           FROM events),
+         hc AS (SELECT hr, CAST(count(*) AS BIGINT) AS cnt
+           FROM h GROUP BY 1),
+         md AS (SELECT quantile_cont(cnt, 0.5) AS med FROM hc),
+         sg AS (SELECT hr, CASE WHEN CAST(cnt AS DOUBLE) > med
+             THEN 1 ELSE 0 END AS s
+           FROM hc CROSS JOIN md WHERE CAST(cnt AS DOUBLE) <> med),
+         r AS (SELECT s, CAST(row_number() OVER (ORDER BY hr)
+             AS BIGINT) AS rn FROM sg),
+         ch AS (SELECT CAST(sum(CASE WHEN a.s <> b.s THEN 1 ELSE 0 END)
+             AS BIGINT) AS nchg
+           FROM r a JOIN r b ON b.rn = a.rn - 1),
+         ct AS (SELECT CAST(sum(s) AS BIGINT) AS n1,
+             CAST(sum(1 - s) AS BIGINT) AS n2 FROM sg),
+         f AS (SELECT n1, n2, nchg + 1 AS runs,
+             CAST(n1 + n2 AS DOUBLE) AS nn,
+             2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) AS p2
+           FROM ct CROSS JOIN ch)
+         SELECT n1, n2, CAST(runs AS BIGINT) AS runs,
+           round((CAST(runs AS DOUBLE) - (p2 / nn + 1.0)) /
+             sqrt((p2 * (p2 - nn)) / (nn * nn * (nn - 1.0))), 6)
+             AS z_r
+         FROM f""",
     "q_robust_scale" ->
       """WITH q AS (SELECT event_type,
              quantile_cont(value, 0.5) AS med,

@@ -426,6 +426,27 @@ object VectorQueries {
         .orderBy("a", "b")
     }),
 
+    // Cross-lingual near-duplicates — the translated-content dup
+    // class text fingerprints CANNOT see (different surface tokens,
+    // same meaning): embedding near-dup pairs whose endpoint
+    // documents carry DIFFERENT language labels (ids are shared
+    // across documents/embeddings). Bucket-local mining as ever; the
+    // lang lookup joins the tiny (id → lang) projection twice.
+    "q_crosslingual_dups" -> ((s, dir) => {
+      val (_, pairs) = lshPairs(s, dir)
+      val langs = graft.Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"))
+      pairs
+        .join(langs.select(col("doc_id").as("a"),
+          col("lang").as("lang_a")), "a")
+        .join(langs.select(col("doc_id").as("b"),
+          col("lang").as("lang_b")), "b")
+        .filter(col("lang_a") =!= col("lang_b"))
+        .select(col("a"), col("b"), col("lang_a"), col("lang_b"),
+          col("cos_r"))
+        .orderBy("a", "b")
+    }),
+
     // Embedding dedup clusters: LSH-bucket-local near-dup pairs →
     // connected components — the same keep/drop clustering the text
     // dedup family uses, composed over the embedding modality (one
@@ -1521,6 +1542,26 @@ object VectorQueries {
            ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.2
          ORDER BY a, b""",
+    "q_crosslingual_dups" ->
+      s"""WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id < 300),
+         n AS (SELECT * FROM (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+             $lshBucketSql AS bucket FROM e) WHERE nrm > 0),
+         p AS (SELECT a.vec_id AS a, b.vec_id AS b,
+             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+               AS cos_r
+           FROM n a JOIN n b
+             ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+           WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+             >= 0.2)
+         SELECT p.a, p.b, da.lang AS lang_a, db.lang AS lang_b, p.cos_r
+         FROM p
+         JOIN documents da ON da.doc_id = p.a
+         JOIN documents db ON db.doc_id = p.b
+         WHERE da.lang <> db.lang
+         ORDER BY p.a, p.b""",
     "q_topk_agg" -> topk3Oracle,
     "q_embed_cluster" ->
       s"""WITH RECURSIVE e AS (SELECT vec_id,
