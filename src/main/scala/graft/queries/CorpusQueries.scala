@@ -264,6 +264,23 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    // Uncertainty sampling — the active-learning selection step: the
+    // 20 documents the trained quality model is LEAST sure about
+    // (|score − 0.5| smallest) are where a human label buys the most
+    // model improvement. One projection over the scored frame + a
+    // distributed TakeOrdered; the uncertainty reads the ROUNDED
+    // sigmoid, so the cut is ulp-stable.
+    "q_uncertainty_sample" -> ((s, dir) => {
+      val feats = graft.ops.QualityModel.featurize(
+        docs(s, dir), "doc_id", "text")
+      val w = graft.ops.QualityModel.trainLogReg(feats, iters = 5,
+        lr = 0.5)
+      graft.ops.QualityModel.scoreLogReg(feats, w)
+        .select(col("doc_id"), col("score_r"),
+          round(abs(col("score_r") - lit(0.5)), 6).as("unc_r"))
+        .orderBy(col("unc_r"), col("doc_id")).limit(20)
+    }),
+
     // ROC threshold sweep for the trained quality model: TPR/FPR at
     // eleven fixed operating points — the curve a pipeline reads
     // before picking the keep-threshold (q_calibration says whether
@@ -988,6 +1005,17 @@ object CorpusQueries {
              CAST(n AS DOUBLE), 6) ELSE -1.0 END AS fpr_r
          FROM g ORDER BY t_r"""
 
+  private def uncertaintyOracle(iters: Int, lr: String): String =
+    s"""${logregChainSql(iters, lr)},
+         z AS (SELECT f.doc_id, (((w.w0 * x0 + w.w1 * x1)
+             + w.w2 * x2) + w.w3 * x3) AS z
+           FROM f CROSS JOIN w$iters w),
+         sc AS (SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6)
+             AS score_r FROM z)
+         SELECT doc_id, score_r,
+           round(abs(score_r - 0.5), 6) AS unc_r
+         FROM sc ORDER BY unc_r, doc_id LIMIT 20"""
+
   private def calibrationOracle(iters: Int, lr: String): String =
     s"""${logregChainSql(iters, lr)},
          z AS (SELECT f.doc_id, f.y, (((w.w0 * x0 + w.w1 * x1)
@@ -1227,6 +1255,7 @@ object CorpusQueries {
     "q_logreg_train" -> logregTrainOracle(5, "0.5"),
     "q_logreg_score" -> logregScoreOracle(5, "0.5"),
     "q_roc_points" -> rocOracle(5, "0.5"),
+    "q_uncertainty_sample" -> uncertaintyOracle(5, "0.5"),
     "q_calibration" -> calibrationOracle(5, "0.5"),
     "q_slice_eval" -> sliceEvalOracle(5, "0.5"),
     "q_sample_hash" ->

@@ -637,6 +637,38 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Held-out perplexity with add-1 smoothing — the evaluation split
+    // the in-corpus scores (q_unigram_logprob) cannot provide: the
+    // unigram model trains on the deterministic 80% md5 split and
+    // scores the held-out 20%, where unseen tokens get the Laplace
+    // (cnt+1)/(N+V) mass instead of a crash. The OOV count rides
+    // along (the coverage number that explains a bad perplexity).
+    // Vocab join unhinted (AQE); the (N, V) scalars broadcast.
+    "q_heldout_nll" -> ((s, dir) => {
+      val bucket = pmod(conv(substring(md5(concat(lit("split:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"),
+        lit(100L))
+      val tk = docs(s, dir)
+        .select(col("doc_id"), (bucket < 80).as("is_train"),
+          explode(TextDedup.tokens(col("text"))).as("tok"))
+        .transform(graft.ops.QueryCaches.persist) // train + held arms
+      val vocab = tk.filter(col("is_train"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .transform(graft.ops.QueryCaches.persist) // totals + score join
+      val nv = vocab.agg(sum("cnt").as("bign"),
+        count(lit(1)).as("bigv"))
+      tk.filter(!col("is_train"))
+        .join(vocab, Seq("tok"), "left")
+        .crossJoin(broadcast(nv))
+        .withColumn("p", (coalesce(col("cnt"), lit(0L)) + 1)
+          .cast("double") / (col("bign") + col("bigv")).cast("double"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_tokens"),
+          sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("n_oov"),
+          round(avg(-log(col("p"))), 6).as("nll_r"))
+        .orderBy("doc_id")
+    }),
+
     // Jelinek–Mercer interpolated LM score: per-doc NLL under the
     // λ-mixture 0.75·P(w₂|w₁) + 0.25·P(w₂) — the smoothing that keeps
     // unseen-in-context (but known) words from blowing up the bigram
@@ -1683,6 +1715,27 @@ FROM sj GROUP BY lang ORDER BY lang"""
          SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_matches
          FROM a JOIN b ON a.doc_id = b.doc_id AND a.pos = b.pos
          GROUP BY 1 ORDER BY a.doc_id""",
+    "q_heldout_nll" ->
+      """WITH tk AS (SELECT doc_id,
+             CAST(CAST(('0x' || substr(md5('split:' ||
+               CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+               % 100 < 80 AS is_train,
+             unnest(string_split(trim(text), ' ')) AS tok
+           FROM documents),
+         vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+           FROM tk WHERE is_train GROUP BY 1),
+         nv AS (SELECT CAST(sum(cnt) AS BIGINT) AS bign,
+             CAST(count(*) AS BIGINT) AS bigv FROM vocab),
+         sc AS (SELECT t.doc_id, v.cnt,
+             CAST(coalesce(v.cnt, 0) + 1 AS DOUBLE) /
+               CAST(nv.bign + nv.bigv AS DOUBLE) AS p
+           FROM tk t LEFT JOIN vocab v ON v.tok = t.tok
+           CROSS JOIN nv WHERE NOT t.is_train)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN cnt IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_oov,
+           round(avg(-ln(p)), 6) AS nll_r
+         FROM sc GROUP BY 1 ORDER BY doc_id""",
     "q_lm_interp" ->
       """WITH tk AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
            FROM documents),
