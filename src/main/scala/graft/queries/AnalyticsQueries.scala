@@ -1324,6 +1324,46 @@ object AnalyticsQueries {
     // available; exact here), degrees join back from the SAME
     // persisted distinct relation, and the ratio is an exact integer
     // division.
+    // Degree assortativity of the supplier co-occurrence graph —
+    // Pearson r of endpoint degrees over every (directed) edge: do
+    // hubs link hubs (r>0, resilient core) or leaves (r<0, hub-and-
+    // spoke)? The last number in the graph-stats panel (coefficient,
+    // triangles, degree distribution). Exact integer moments over the
+    // symmetrized edge list; one mirrored double formula.
+    "q_assortativity" -> ((s, dir) => {
+      val sc = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("s"), col("o_custkey").as("c"))
+      val edges = graft.ops.QueryCaches.persist(
+        graft.ops.GraphOps.coOccurrenceEdges(sc, "s", "c",
+          minShared = 190L, maxKeyDegree = Int.MaxValue)
+          .select(col("ia").as("sa"), col("ib").as("sb")))
+      val deg = edges.select(col("sa").as("v"))
+        .unionAll(edges.select(col("sb").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val dir2 = edges.select(col("sa").as("u"), col("sb").as("w"))
+        .unionAll(edges.select(col("sb").as("u"), col("sa").as("w")))
+      dir2
+        .join(deg.select(col("v").as("u"), col("deg").as("x")), "u")
+        .join(deg.select(col("v").as("w"), col("deg").as("y")), "w")
+        .agg(count(lit(1)).as("m"),
+          sum("x").cast("double").as("sx"),
+          sum("y").cast("double").as("sy"),
+          sum(col("x") * col("x")).cast("double").as("sxx"),
+          sum(col("y") * col("y")).cast("double").as("syy"),
+          sum(col("x") * col("y")).cast("double").as("sxy"))
+        .select(col("m"),
+          round((col("m").cast("double") * col("sxy") -
+            col("sx") * col("sy")) /
+            sqrt((col("m").cast("double") * col("sxx") -
+              col("sx") * col("sx")) *
+              (col("m").cast("double") * col("syy") -
+                col("sy") * col("sy"))), 6).as("r_r"))
+    }),
+
     // Kendall's τ-b rank correlation of the hourly arrival series vs
     // time — the nonparametric monotone-trend test beside Theil–Sen's
     // slope: concordant/discordant/tied counts over the SAME
@@ -3723,6 +3763,32 @@ object AnalyticsQueries {
          SELECT role, bin, CAST(count(*) AS BIGINT) AS n_nodes,
            min(d) AS min_deg, max(d) AS max_deg
          FROM b GROUP BY 1, 2 ORDER BY role, bin""",
+    "q_assortativity" ->
+      """WITH sc AS (SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         e AS (SELECT x.s AS sa, y.s AS sb
+           FROM sc x JOIN sc y ON x.c = y.c AND x.s < y.s
+           GROUP BY 1, 2 HAVING count(*) >= 190),
+         dg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM
+             (SELECT sa AS v FROM e UNION ALL SELECT sb AS v FROM e)
+           GROUP BY 1),
+         d2 AS (SELECT sa AS u, sb AS w FROM e
+           UNION ALL SELECT sb AS u, sa AS w FROM e),
+         j AS (SELECT du.deg AS x, dw.deg AS y
+           FROM d2
+           JOIN dg du ON du.v = d2.u
+           JOIN dg dw ON dw.v = d2.w),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(y * y) AS DOUBLE) AS syy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy
+           FROM j)
+         SELECT m,
+           round((CAST(m AS DOUBLE) * sxy - sx * sy) /
+             sqrt((CAST(m AS DOUBLE) * sxx - sx * sx) *
+               (CAST(m AS DOUBLE) * syy - sy * sy)), 6) AS r_r
+         FROM m""",
     "q_kendall_tau" ->
       """WITH h AS (SELECT epoch_ns(ts) // 3600000000000 AS hr
            FROM events),

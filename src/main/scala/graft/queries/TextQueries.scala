@@ -637,6 +637,34 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Class-based TF-IDF (the BERTopic c-TF-IDF shape): top-3
+    // characteristic tokens PER SOURCE, scored tf_c · ln(1 + A/f_t)
+    // where A is the average class token mass — the "what makes this
+    // source different" keywords, where plain TF-IDF answers per-doc.
+    // Ranking reads the ROUNDED score (fence rule); the per-source
+    // window is partitioned — distributed by class however many
+    // sources exist.
+    "q_ctfidf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tk = docs(s, dir)
+        .select(col("source"),
+          explode(TextDedup.tokens(col("text"))).as("tok"))
+        .transform(graft.ops.QueryCaches.persist) // class+global counts
+      val cls = tk.groupBy("source", "tok").agg(count(lit(1)).as("tf"))
+      val glob = tk.groupBy("tok").agg(count(lit(1)).as("ft"))
+      val a = tk.agg((count(lit(1)).cast("double") /
+        countDistinct("source").cast("double")).as("bigA"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("score_r").desc, col("tok"))
+      cls.join(glob, "tok").crossJoin(broadcast(a))
+        .withColumn("score_r", round(col("tf").cast("double") *
+          log(lit(1.0) + col("bigA") / col("ft").cast("double")), 6))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("source"), col("rank"), col("tok"), col("score_r"))
+        .orderBy("source", "rank")
+    }),
+
     // Held-out perplexity with add-1 smoothing — the evaluation split
     // the in-corpus scores (q_unigram_logprob) cannot provide: the
     // unigram model trains on the deterministic 80% md5 split and
@@ -1715,6 +1743,26 @@ FROM sj GROUP BY lang ORDER BY lang"""
          SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_matches
          FROM a JOIN b ON a.doc_id = b.doc_id AND a.pos = b.pos
          GROUP BY 1 ORDER BY a.doc_id""",
+    "q_ctfidf" ->
+      """WITH tk AS (SELECT source,
+             unnest(string_split(trim(text), ' ')) AS tok
+           FROM documents),
+         cls AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS tf
+           FROM tk GROUP BY 1, 2),
+         gl AS (SELECT tok, CAST(count(*) AS BIGINT) AS ft
+           FROM tk GROUP BY 1),
+         a AS (SELECT CAST(count(*) AS DOUBLE) /
+             CAST(count(DISTINCT source) AS DOUBLE) AS bigA FROM tk),
+         sc AS (SELECT c.source, c.tok,
+             round(CAST(c.tf AS DOUBLE) *
+               ln(1.0 + a.bigA / CAST(g.ft AS DOUBLE)), 6) AS score_r
+           FROM cls c JOIN gl g ON g.tok = c.tok CROSS JOIN a),
+         r AS (SELECT source, tok, score_r,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY score_r DESC, tok) AS BIGINT) AS rank
+           FROM sc)
+         SELECT source, rank, tok, score_r FROM r WHERE rank <= 3
+         ORDER BY source, rank""",
     "q_heldout_nll" ->
       """WITH tk AS (SELECT doc_id,
              CAST(CAST(('0x' || substr(md5('split:' ||
