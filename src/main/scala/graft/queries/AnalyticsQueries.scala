@@ -1483,6 +1483,32 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
     }),
 
+    // Time-weighted average (TWAP) per user: each observation holds
+    // until the next one arrives, so its weight is the inter-event
+    // gap — the right average for irregularly-sampled series, where
+    // the plain mean over-counts bursts. The value·dt products cast
+    // to DECIMAL before summing (order-independent), the total span
+    // is an exact integer sum; one keyed window + one keyed
+    // aggregate.
+    "q_twap" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts_ns"), col("event_id"),
+          col("value"))
+        .withColumn("dt", lead("ts_ns", 1).over(w) - col("ts_ns"))
+        .filter(col("dt").isNotNull)
+        .withColumn("wv", (col("value") * col("dt").cast("double"))
+          .cast("decimal(28,8)"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_intervals"), sum("dt").as("span_ns"),
+          sum("wv").as("swv"))
+        .select(col("user_id"), col("n_intervals"), col("span_ns"),
+          round(col("swv").cast("double") /
+            col("span_ns").cast("double"), 6).as("twap_r"))
+        .orderBy("user_id")
+    }),
+
     // Lag/rolling feature generation — the feature-engineering pass a
     // training pipeline runs over event history: previous values,
     // inter-event gap, and a 3-row rolling mean per user, all from
@@ -2341,6 +2367,17 @@ object AnalyticsQueries {
       s.sql(sqlQ18)
     }),
 
+    // TPC-H Q7 shape (bilateral shipping volume): the disjunctive
+    // nation-pair predicate exercises OR-of-conjunctions join
+    // filtering through the SQL front door; nation joins broadcast
+    // twice (aliased), the year extraction groups on a bounded
+    // domain.
+    "q_sql_q7" -> ((s, dir) => {
+      Seq("supplier", "lineitem", "orders", "customer", "nation")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(sqlQ7)
+    }),
+
     // TPC-H Q5 shape (regional local-supplier volume): six-table join
     // where supplier and customer must share a nation — the
     // co-location predicate rides the join, region prunes nation, and
@@ -2489,6 +2526,31 @@ object AnalyticsQueries {
        GROUP BY o_orderkey, o_orderdate, o_orderpriority
        ORDER BY revenue DESC, o_orderkey
        LIMIT 10"""
+
+  /** ONE SQL text for q_sql_q7 — TPC-H Q7 adapted to this schema's
+    * nation naming and timestamp-typed ship dates.
+    */
+  private val sqlQ7: String =
+    """SELECT supp_nation, cust_nation, l_year,
+         CAST(sum(volume) AS DECIMAL(18,4)) AS revenue,
+         CAST(count(*) AS BIGINT) AS n_items
+       FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           EXTRACT(year FROM l_shipdate) AS l_year,
+           CAST(l_extendedprice AS DECIMAL(12,2)) *
+             (CAST(1 AS DECIMAL(12,2)) -
+              CAST(l_discount AS DECIMAL(12,2))) AS volume
+         FROM supplier
+         JOIN lineitem ON s_suppkey = l_suppkey
+         JOIN orders ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+           AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+             AND TIMESTAMP '1997-12-31 00:00:00') shipping
+       GROUP BY supp_nation, cust_nation, l_year
+       ORDER BY supp_nation, cust_nation, l_year"""
 
   /** ONE SQL text for q_sql_q18 — TPC-H Q18 adapted (threshold 250
     * sits at the top ~1.5% of per-order quantity sums on this data).
@@ -2785,6 +2847,7 @@ object AnalyticsQueries {
     "q_sql_q3" -> sqlQ3,
     "q_sql_q5" -> sqlQ5,
     "q_sql_q18" -> sqlQ18,
+    "q_sql_q7" -> sqlQ7,
     "q_hll_distinct" -> hllOracle,
     "q_scd_asof" ->
       """WITH s AS (SELECT o_orderkey, o_custkey, o_orderpriority,
@@ -3863,6 +3926,21 @@ object AnalyticsQueries {
            FROM lineitem)
          SELECT CAST(count(*) AS BIGINT) AS n_rows,
            CAST(sum(h) AS BIGINT) AS checksum FROM h""",
+    "q_twap" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns, event_id,
+             value FROM events),
+         d AS (SELECT user_id, value,
+             lead(ts_ns, 1) OVER (PARTITION BY user_id
+               ORDER BY ts_ns, event_id) - ts_ns AS dt
+           FROM e),
+         v AS (SELECT user_id, dt,
+             CAST(value * CAST(dt AS DOUBLE) AS DECIMAL(28,8)) AS wv
+           FROM d WHERE dt IS NOT NULL)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(dt) AS BIGINT) AS span_ns,
+           round(CAST(sum(wv) AS DOUBLE) / CAST(sum(dt) AS DOUBLE), 6)
+             AS twap_r
+         FROM v GROUP BY 1 ORDER BY user_id""",
     "q_lag_features" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns, event_id,
              value FROM events)
