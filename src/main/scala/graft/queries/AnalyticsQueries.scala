@@ -967,6 +967,46 @@ object AnalyticsQueries {
         .orderBy("event_type")
     }),
 
+    // Position-based (U-shaped) multi-touch attribution — the
+    // industry-standard upgrade of q_attribution's last-touch: each
+    // user's first purchase distributes credit 40/40 to the first and
+    // last preceding touch and splits 20 across the middles (1.0 /
+    // 0.5-0.5 for one/two-touch paths). Per-touch credits are exact
+    // CASE fractions rounded into DECIMAL before the per-type sum
+    // (order-independent), so the report is bit-stable however the
+    // touches shuffle. Two keyed windows + keyed aggregates — the
+    // q_attribution cost shape.
+    "q_multi_touch" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_sec"), col("event_id"))
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts_sec"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .transform(graft.ops.QueryCaches.persist) // purchase + touches
+      val firstPurchase = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min(col("rn")).as("prn"))
+      val touches = e.join(firstPurchase, "user_id")
+        .filter(col("rn") < col("prn") &&
+          col("event_type") =!= "purchase")
+      val k = touches.groupBy("user_id")
+        .agg(count(lit(1)).as("k"), min("rn").as("rn_first"),
+          max("rn").as("rn_last"))
+      touches.join(k, "user_id")
+        .withColumn("credit",
+          when(col("k") === 1, lit(1.0))
+            .when(col("k") === 2, lit(0.5))
+            .when(col("rn") === col("rn_first") ||
+              col("rn") === col("rn_last"), lit(0.4))
+            .otherwise(lit(0.2) / (col("k") - 2).cast("double")))
+        .withColumn("cd", round(col("credit"), 12)
+          .cast("decimal(20,12)"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_touches"),
+          round(sum(col("cd")).cast("double"), 6).as("credit_r"))
+        .orderBy("event_type")
+    }),
+
     // Trailing-20-row z-score anomaly flags per user. The rolling
     // moments accumulate in DECIMAL (sliding-frame double sums differ
     // between Spark's incremental add and DuckDB's segment tree; exact
@@ -3282,6 +3322,29 @@ object AnalyticsQueries {
          FROM d JOIN f USING (event_type)
          WHERE d.value < f.lo_r OR d.value > f.hi_r
          ORDER BY d.event_id""",
+    "q_multi_touch" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY date_trunc('second', ts), event_id) AS rn
+           FROM events),
+         fp AS (SELECT user_id, min(rn) AS prn FROM e
+           WHERE event_type = 'purchase' GROUP BY 1),
+         t AS (SELECT e.user_id, e.event_type, e.rn
+           FROM e JOIN fp ON fp.user_id = e.user_id
+           WHERE e.rn < fp.prn AND e.event_type <> 'purchase'),
+         k AS (SELECT user_id, CAST(count(*) AS BIGINT) AS k,
+             min(rn) AS rn_first, max(rn) AS rn_last
+           FROM t GROUP BY 1),
+         c AS (SELECT t.event_type,
+             CAST(round(CASE WHEN k.k = 1 THEN 1.0
+               WHEN k.k = 2 THEN 0.5
+               WHEN t.rn = k.rn_first OR t.rn = k.rn_last THEN 0.4
+               ELSE 0.2 / CAST(k.k - 2 AS DOUBLE) END, 12)
+               AS DECIMAL(20,12)) AS cd
+           FROM t JOIN k ON k.user_id = t.user_id)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_touches,
+           round(CAST(sum(cd) AS DOUBLE), 6) AS credit_r
+         FROM c GROUP BY 1 ORDER BY event_type""",
     "q_attribution" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
              row_number() OVER (PARTITION BY user_id
