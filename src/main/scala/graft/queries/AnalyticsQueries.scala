@@ -967,6 +967,77 @@ object AnalyticsQueries {
         .orderBy("event_type")
     }),
 
+    // A/B-test power analysis from OBSERVED moments — the "how long
+    // must this experiment run" calculator: per event type, the
+    // sample size per arm to detect a 5% lift at α=0.05, power 0.8
+    // (z literals 1.96 / 0.84), using the same DECIMAL-exact
+    // mean/variance machinery as q_welch_t. Everything after the
+    // moments is one mirrored double formula; ceil on identical
+    // doubles is identical.
+    "q_power_sample" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          col("value").cast("decimal(28,14)").as("x"),
+          (col("value") * col("value")).cast("decimal(28,14)").as("x2"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          sum("x2").as("sx2"))
+        .withColumn("m", col("sx").cast("double") / col("n"))
+        .withColumn("v", (col("sx2").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double") /
+            col("n")) / (col("n") - 1))
+        .withColumn("delta", lit(0.05) * col("m"))
+        .select(col("event_type"), col("n"),
+          round(col("m"), 6).as("mean_r"),
+          round(col("v"), 6).as("var_r"),
+          round(col("delta"), 6).as("mde_r"),
+          ceil(lit(2.0) * col("v") * lit(7.84) /
+            (col("delta") * col("delta"))).cast("long")
+            .as("n_per_arm"))
+        .orderBy("event_type")
+    }),
+
+    // Day-of-week seasonality index — the calendar profile beside the
+    // hourly decomposition: events per weekday vs the uniform
+    // expectation (index 1.0 = flat). The weekday comes from integer
+    // epoch-day arithmetic ((days + 4) mod 7 — engine-free, no
+    // date-function dialect risk); shares and indices are exact
+    // integer ratios.
+    "q_dow_index" -> ((s, dir) => {
+      val d = Tables.events(s, dir)
+        .select(expr("(ts_ns div 86400000000000 + 4) % 7").as("dow"))
+        .groupBy("dow").agg(count(lit(1)).as("n"))
+        .transform(graft.ops.QueryCaches.persist) // total + per-dow
+      val tot = d.agg(sum("n").as("total"))
+      d.crossJoin(broadcast(tot))
+        .select(col("dow"), col("n"),
+          round(col("n").cast("double") / col("total").cast("double"),
+            6).as("share_r"),
+          round(lit(7.0) * col("n").cast("double") /
+            col("total").cast("double"), 6).as("index_r"))
+        .orderBy("dow")
+    }),
+
+    // New-vs-returning daily actives — the growth-accounting split:
+    // each day's distinct users partitioned by whether this is their
+    // FIRST active day. Two keyed aggregates ((day,user) distinct +
+    // per-user min day) and one keyed join; all integer counts.
+    "q_new_returning" -> ((s, dir) => {
+      val du = Tables.events(s, dir)
+        .select(expr("ts_ns div 86400000000000").as("day"),
+          col("user_id"))
+        .distinct()
+        .transform(graft.ops.QueryCaches.persist) // first-day + daily
+      val first = du.groupBy("user_id").agg(min("day").as("first_day"))
+      du.join(first, "user_id")
+        .groupBy("day")
+        .agg(sum(when(col("day") === col("first_day"), 1L)
+          .otherwise(0L)).as("n_new"),
+          sum(when(col("day") > col("first_day"), 1L).otherwise(0L))
+            .as("n_returning"))
+        .orderBy("day")
+    }),
+
     // Position-based (U-shaped) multi-touch attribution — the
     // industry-standard upgrade of q_attribution's last-touch: each
     // user's first purchase distributes credit 40/40 to the first and
@@ -3322,6 +3393,49 @@ object AnalyticsQueries {
          FROM d JOIN f USING (event_type)
          WHERE d.value < f.lo_r OR d.value > f.hi_r
          ORDER BY d.event_id""",
+    "q_power_sample" ->
+      """WITH e AS (SELECT event_type,
+             CAST(value AS DECIMAL(28,14)) AS x,
+             CAST(value * value AS DECIMAL(28,14)) AS x2
+           FROM events),
+         m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(x2) AS sx2 FROM e GROUP BY 1),
+         s AS (SELECT event_type, n,
+             CAST(sx AS DOUBLE) / n AS m,
+             (CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) *
+               CAST(sx AS DOUBLE) / n) / (n - 1) AS v
+           FROM m),
+         d AS (SELECT event_type, n, m, v, 0.05 * m AS delta FROM s)
+         SELECT event_type, n, round(m, 6) AS mean_r,
+           round(v, 6) AS var_r, round(delta, 6) AS mde_r,
+           CAST(ceil(2.0 * v * 7.84 / (delta * delta)) AS BIGINT)
+             AS n_per_arm
+         FROM d ORDER BY event_type""",
+    "q_dow_index" ->
+      """WITH d AS (SELECT (epoch_ns(ts) // 86400000000000 + 4) % 7
+             AS dow FROM events),
+         g AS (SELECT dow, CAST(count(*) AS BIGINT) AS n
+           FROM d GROUP BY 1),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g)
+         SELECT dow, n,
+           round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6)
+             AS share_r,
+           round(7.0 * CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6)
+             AS index_r
+         FROM g CROSS JOIN t ORDER BY dow""",
+    "q_new_returning" ->
+      """WITH du AS (SELECT DISTINCT
+             epoch_ns(ts) // 86400000000000 AS day, user_id
+           FROM events),
+         f AS (SELECT user_id, min(day) AS first_day FROM du
+           GROUP BY 1)
+         SELECT du.day,
+           CAST(sum(CASE WHEN du.day = f.first_day THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN du.day > f.first_day THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_returning
+         FROM du JOIN f ON f.user_id = du.user_id
+         GROUP BY 1 ORDER BY du.day""",
     "q_multi_touch" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
              row_number() OVER (PARTITION BY user_id
