@@ -967,6 +967,40 @@ object AnalyticsQueries {
         .orderBy("event_type")
     }),
 
+    // Cohort cumulative value (the LTV curve): purchasers grouped by
+    // first-purchase week, each cohort's per-user cumulative spend
+    // tracked by age-in-weeks. Spend stays DECIMAL end to end
+    // (per-row cast, exact sums, exact partitioned-window running
+    // sum), so the curve is bit-stable; the cohort size denominator
+    // is the age-0 distinct count.
+    "q_cohort_value" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          expr("ts_ns div 604800000000000").as("wk"),
+          col("value").cast("decimal(18,6)").as("v"))
+        .transform(graft.ops.QueryCaches.persist) // cohorts + spend
+      val first = e.groupBy("user_id").agg(min("wk").as("cohort"))
+      val ca = e.join(first, "user_id")
+        .withColumn("age", col("wk") - col("cohort"))
+        .groupBy("cohort", "age")
+        .agg(countDistinct("user_id").as("n_users"),
+          sum("v").as("wv"))
+        .transform(graft.ops.QueryCaches.persist) // window + size join
+      val size0 = ca.filter(col("age") === 0)
+        .select(col("cohort"), col("n_users").as("cohort_size"))
+      val w = Window.partitionBy("cohort").orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ca.withColumn("cum", sum("wv").over(w))
+        .join(size0, "cohort")
+        .select(col("cohort"), col("age"), col("n_users"),
+          col("cohort_size"),
+          round(col("cum").cast("double") /
+            col("cohort_size").cast("double"), 6).as("cum_per_user_r"))
+        .orderBy("cohort", "age")
+    }),
+
     // A/B-test power analysis from OBSERVED moments — the "how long
     // must this experiment run" calculator: per event type, the
     // sample size per arm to detect a 5% lift at α=0.05, power 0.8
@@ -2489,6 +2523,16 @@ object AnalyticsQueries {
       s.sql(sqlQ7)
     }),
 
+    // TPC-H Q10 shape (returned-item top customers): filter on the
+    // fact's flag + a quarter of order dates, four-way join, top-20
+    // by exact-decimal revenue — the "who should we call" report
+    // through the SQL front door.
+    "q_sql_q10" -> ((s, dir) => {
+      Seq("customer", "orders", "lineitem", "nation")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(sqlQ10)
+    }),
+
     // TPC-H Q5 shape (regional local-supplier volume): six-table join
     // where supplier and customer must share a nation — the
     // co-location predicate rides the join, region prunes nation, and
@@ -2637,6 +2681,27 @@ object AnalyticsQueries {
        GROUP BY o_orderkey, o_orderdate, o_orderpriority
        ORDER BY revenue DESC, o_orderkey
        LIMIT 10"""
+
+  /** ONE SQL text for q_sql_q10 — TPC-H Q10 adapted (one 1997 quarter
+    * of returned items).
+    */
+  private val sqlQ10: String =
+    """SELECT c_custkey, c_name, n_name,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+             (CAST(1 AS DECIMAL(12,2)) -
+              CAST(l_discount AS DECIMAL(12,2))))
+           AS DECIMAL(18,4)) AS revenue,
+         CAST(count(*) AS BIGINT) AS n_items
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       JOIN nation ON c_nationkey = n_nationkey
+       WHERE l_returnflag = 'R'
+         AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+         AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+       GROUP BY c_custkey, c_name, n_name
+       ORDER BY revenue DESC, c_custkey
+       LIMIT 20"""
 
   /** ONE SQL text for q_sql_q7 — TPC-H Q7 adapted to this schema's
     * nation naming and timestamp-typed ship dates.
@@ -2959,6 +3024,7 @@ object AnalyticsQueries {
     "q_sql_q5" -> sqlQ5,
     "q_sql_q18" -> sqlQ18,
     "q_sql_q7" -> sqlQ7,
+    "q_sql_q10" -> sqlQ10,
     "q_hll_distinct" -> hllOracle,
     "q_scd_asof" ->
       """WITH s AS (SELECT o_orderkey, o_custkey, o_orderpriority,
@@ -3393,6 +3459,28 @@ object AnalyticsQueries {
          FROM d JOIN f USING (event_type)
          WHERE d.value < f.lo_r OR d.value > f.hi_r
          ORDER BY d.event_id""",
+    "q_cohort_value" ->
+      """WITH e AS (SELECT user_id,
+             epoch_ns(ts) // 604800000000000 AS wk,
+             CAST(value AS DECIMAL(18,6)) AS v
+           FROM events WHERE event_type = 'purchase'),
+         f AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY 1),
+         ca AS (SELECT f.cohort, e.wk - f.cohort AS age,
+             CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+             sum(e.v) AS wv
+           FROM e JOIN f ON f.user_id = e.user_id GROUP BY 1, 2),
+         s0 AS (SELECT cohort, n_users AS cohort_size FROM ca
+           WHERE age = 0),
+         c AS (SELECT cohort, age, n_users,
+             sum(wv) OVER (PARTITION BY cohort ORDER BY age
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+           FROM ca)
+         SELECT c.cohort, c.age, c.n_users, s0.cohort_size,
+           round(CAST(c.cum AS DOUBLE) /
+             CAST(s0.cohort_size AS DOUBLE), 6) AS cum_per_user_r
+         FROM c JOIN s0 ON s0.cohort = c.cohort
+         ORDER BY c.cohort, c.age""",
     "q_power_sample" ->
       """WITH e AS (SELECT event_type,
              CAST(value AS DECIMAL(28,14)) AS x,
