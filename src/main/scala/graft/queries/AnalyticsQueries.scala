@@ -967,6 +967,35 @@ object AnalyticsQueries {
         .orderBy("event_type")
     }),
 
+    // Equal-depth (quantile) histogram — the profiling complement of
+    // q_histogram's fixed-width bins: quartile boundaries from exact
+    // interpolated percentiles (rounded — the fence rule — so bin
+    // assignment can't ulp-flip), then per-bin count/min/max/mass.
+    // Skewed data gets four equally-populated bins instead of one
+    // giant bucket; one percentile pass + one scan.
+    "q_equi_depth_hist" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(dec(col("l_extendedprice")).as("p"))
+        .transform(graft.ops.QueryCaches.persist) // thresholds + scan
+      val th = li.agg(
+        round(percentile(col("p").cast("double"), lit(0.25)), 6).as("q1"),
+        round(percentile(col("p").cast("double"), lit(0.5)), 6).as("q2"),
+        round(percentile(col("p").cast("double"), lit(0.75)), 6).as("q3"))
+      li.crossJoin(broadcast(th))
+        .withColumn("bin",
+          when(col("p").cast("double") <= col("q1"), 0L)
+            .when(col("p").cast("double") <= col("q2"), 1L)
+            .when(col("p").cast("double") <= col("q3"), 2L)
+            .otherwise(3L))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          min(col("p")).cast("double").as("p_min"),
+          max(col("p")).cast("double").as("p_max"),
+          (sum(col("p")).cast("decimal(18,2)") * 100).cast("bigint")
+            .as("mass_c"))
+        .orderBy("bin")
+    }),
+
     // Cohort cumulative value (the LTV curve): purchasers grouped by
     // first-purchase week, each cohort's per-user cumulative spend
     // tracked by age-in-weeks. Spend stays DECIMAL end to end
@@ -3459,6 +3488,27 @@ object AnalyticsQueries {
          FROM d JOIN f USING (event_type)
          WHERE d.value < f.lo_r OR d.value > f.hi_r
          ORDER BY d.event_id""",
+    "q_equi_depth_hist" ->
+      """WITH li AS (SELECT CAST(l_extendedprice AS DECIMAL(12,2)) AS p
+           FROM lineitem),
+         th AS (SELECT round(quantile_cont(CAST(p AS DOUBLE), 0.25), 6)
+               AS q1,
+             round(quantile_cont(CAST(p AS DOUBLE), 0.5), 6) AS q2,
+             round(quantile_cont(CAST(p AS DOUBLE), 0.75), 6) AS q3
+           FROM li),
+         b AS (SELECT p, CASE
+             WHEN CAST(p AS DOUBLE) <= q1 THEN 0
+             WHEN CAST(p AS DOUBLE) <= q2 THEN 1
+             WHEN CAST(p AS DOUBLE) <= q3 THEN 2
+             ELSE 3 END AS bin
+           FROM li CROSS JOIN th)
+         SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(p) AS DOUBLE) AS p_min,
+           CAST(max(p) AS DOUBLE) AS p_max,
+           CAST(CAST(sum(p) AS DECIMAL(18,2)) * 100 AS BIGINT)
+             AS mass_c
+         FROM b GROUP BY 1 ORDER BY bin""",
     "q_cohort_value" ->
       """WITH e AS (SELECT user_id,
              epoch_ns(ts) // 604800000000000 AS wk,
