@@ -977,10 +977,34 @@ object AnalyticsQueries {
       val li = t(s, dir, "lineitem")
         .select(dec(col("l_extendedprice")).as("p"))
         .transform(graft.ops.QueryCaches.persist) // thresholds + scan
-      val th = li.agg(
-        round(percentile(col("p").cast("double"), lit(0.25)), 6).as("q1"),
-        round(percentile(col("p").cast("double"), lit(0.5)), 6).as("q2"),
-        round(percentile(col("p").cast("double"), lit(0.75)), 6).as("q3"))
+      // exact interpolated quartiles WITHOUT the single-task global
+      // percentile buffer: two-phase global rank, then each quantile
+      // is two row lookups + one interpolation (quantile_cont's own
+      // h = q·(n−1) formula; the built-in exact percentile funnels
+      // the whole column through one reducer — measured 3× slower
+      // here and unbounded at 100 TB)
+      val ranked = graft.ops.ScaleOps.globalRowNumber(
+        li.select(col("p").cast("double").as("pv")), 32, col("pv").asc)
+        .transform(graft.ops.QueryCaches.persist) // 3 position lookups
+      val nRow = ranked.agg(count(lit(1)).as("n"))
+      val pos = Seq(("q1", 0.25), ("q2", 0.5), ("q3", 0.75))
+        .map { case (nm, q) =>
+          nRow.select(lit(nm).as("qname"),
+            (floor((col("n") - 1).cast("double") * lit(q)) + 1)
+              .cast("long").as("rlo"),
+            ((col("n") - 1).cast("double") * lit(q)).as("h"))
+        }.reduce(_ unionByName _)
+      val th0 = pos
+        .join(ranked.select(col("rn").as("rlo"), col("pv").as("vlo")),
+          "rlo")
+        .join(ranked.select((col("rn") - 1).as("rlo"),
+          col("pv").as("vhi")), Seq("rlo"), "left")
+        .withColumn("v", col("vlo") + (col("h") - floor(col("h"))) *
+          (coalesce(col("vhi"), col("vlo")) - col("vlo")))
+      val th = th0.agg(
+        round(max(when(col("qname") === "q1", col("v"))), 6).as("q1"),
+        round(max(when(col("qname") === "q2", col("v"))), 6).as("q2"),
+        round(max(when(col("qname") === "q3", col("v"))), 6).as("q3"))
       li.crossJoin(broadcast(th))
         .withColumn("bin",
           when(col("p").cast("double") <= col("q1"), 0L)
