@@ -41,6 +41,13 @@ class ExpectationsSpec extends AnyFunSuite {
       child, "fk", Seq("ck"), parent, Seq("pk"))) == 1L)
   }
 
+  test("satisfies counts predicate failures; null predicates fail") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(Some(1L), Some(5L), None).toDF("k")
+    // 1 passes, 5 fails the predicate, null k → null predicate → fails
+    assert(getN(Expectations.satisfies(df, "s", col("k") < 3L)) == 2L)
+  }
+
   test("report unions checks with pass flags in name order") {
     val a = Seq(1L).toDF("k")
     val rep = Expectations.report(Seq(
