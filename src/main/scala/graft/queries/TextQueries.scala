@@ -564,8 +564,31 @@ object TextQueries {
       val nll = graft.ops.Corpus.unigramLogProb(
         docs(s, dir), "doc_id", "text")
         .transform(graft.ops.QueryCaches.persist) // thresholds + keep
-      val th = nll.agg(percentile(col("nll"), lit(0.05)).as("lo"),
-        percentile(col("nll"), lit(0.95)).as("hi"))
+      // band edges via the two-phase global rank (one row per DOC at
+      // 100 TB — the built-in exact percentile would funnel them all
+      // through a single reducer); the interpolation formula is
+      // mirrored textually in the oracle, so the unrounded edges stay
+      // bit-identical cross-engine
+      val ranked = graft.ops.ScaleOps.globalRowNumber(
+        nll.select(col("nll").as("nv")), 8, col("nv").asc)
+        .transform(graft.ops.QueryCaches.persist) // two edge lookups
+      val nRow = ranked.agg(count(lit(1)).as("n"))
+      val pos = Seq(("lo", 0.05), ("hi", 0.95)).map { case (nm, q) =>
+        nRow.select(lit(nm).as("qname"),
+          (floor((col("n") - 1).cast("double") * lit(q)) + 1)
+            .cast("long").as("rlo"),
+          ((col("n") - 1).cast("double") * lit(q)).as("h"))
+      }.reduce(_ unionByName _)
+      val edges = pos
+        .join(ranked.select(col("rn").as("rlo"), col("nv").as("vlo")),
+          "rlo")
+        .join(ranked.select((col("rn") - 1).as("rlo"),
+          col("nv").as("vhi")), Seq("rlo"), "left")
+        .withColumn("v", col("vlo") + (col("h") - floor(col("h"))) *
+          (coalesce(col("vhi"), col("vlo")) - col("vlo")))
+      val th = edges.agg(
+        max(when(col("qname") === "lo", col("v"))).as("lo"),
+        max(when(col("qname") === "hi", col("v"))).as("hi"))
       nll.crossJoin(broadcast(th))
         .filter(col("nll") >= col("lo") && col("nll") <= col("hi"))
         .select(col("doc_id"), col("n_tokens"), col("nll"))
@@ -1561,8 +1584,27 @@ FROM sj GROUP BY lang ORDER BY lang"""
                6) AS nll
            FROM tk t JOIN vocab v ON t.tok = v.tok CROSS JOIN tot
            GROUP BY t.doc_id),
-         th AS (SELECT quantile_cont(nll, 0.05) AS lo,
-             quantile_cont(nll, 0.95) AS hi FROM nl)
+         r AS (SELECT nll AS nv, CAST(row_number() OVER (ORDER BY nll)
+             AS BIGINT) AS rn FROM nl),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nl),
+         p AS (SELECT 'lo' AS qname,
+             CAST(floor(CAST(n - 1 AS DOUBLE) * 0.05) + 1 AS BIGINT)
+               AS rlo,
+             CAST(n - 1 AS DOUBLE) * 0.05 AS h
+           FROM nn
+           UNION ALL SELECT 'hi',
+             CAST(floor(CAST(n - 1 AS DOUBLE) * 0.95) + 1 AS BIGINT),
+             CAST(n - 1 AS DOUBLE) * 0.95
+           FROM nn),
+         ev AS (SELECT p.qname,
+             a.nv + (p.h - floor(p.h)) * (coalesce(b.nv, a.nv) - a.nv)
+               AS v
+           FROM p JOIN r a ON a.rn = p.rlo
+           LEFT JOIN r b ON b.rn = p.rlo + 1),
+         th AS (SELECT
+             max(CASE WHEN qname = 'lo' THEN v END) AS lo,
+             max(CASE WHEN qname = 'hi' THEN v END) AS hi
+           FROM ev)
          SELECT doc_id, n_tokens, nll FROM nl CROSS JOIN th
          WHERE nll >= lo AND nll <= hi ORDER BY doc_id""",
     "q_cluster_best" ->
