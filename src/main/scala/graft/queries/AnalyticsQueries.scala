@@ -2576,6 +2576,16 @@ object AnalyticsQueries {
       s.sql(sqlQ7)
     }),
 
+    // Window functions through the SQL front door: per-customer
+    // running spend + order sequence, ONE SQL text on both engines —
+    // proving the shared-text contract extends past joins/aggregates
+    // to the windowed surface (exact-decimal frames keep the running
+    // sum deterministic).
+    "q_sql_window" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(sqlWindow)
+    }),
+
     // TPC-H Q10 shape (returned-item top customers): filter on the
     // fact's flag + a quarter of order dates, four-way join, top-20
     // by exact-decimal revenue — the "who should we call" report
@@ -2734,6 +2744,21 @@ object AnalyticsQueries {
        GROUP BY o_orderkey, o_orderdate, o_orderpriority
        ORDER BY revenue DESC, o_orderkey
        LIMIT 10"""
+
+  /** ONE SQL text for q_sql_window — windowed running spend, shared
+    * verbatim (decimal frame sums are order-deterministic).
+    */
+  private val sqlWindow: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS DECIMAL(18,2)) AS running_spend,
+         CAST(row_number() OVER
+           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+           AS BIGINT) AS order_seq
+       FROM orders
+       ORDER BY o_custkey, order_seq"""
 
   /** ONE SQL text for q_sql_q10 — TPC-H Q10 adapted (one 1997 quarter
     * of returned items).
@@ -3078,6 +3103,7 @@ object AnalyticsQueries {
     "q_sql_q18" -> sqlQ18,
     "q_sql_q7" -> sqlQ7,
     "q_sql_q10" -> sqlQ10,
+    "q_sql_window" -> sqlWindow,
     "q_hll_distinct" -> hllOracle,
     "q_scd_asof" ->
       """WITH s AS (SELECT o_orderkey, o_custkey, o_orderpriority,
