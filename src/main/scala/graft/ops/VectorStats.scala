@@ -66,17 +66,30 @@ object VectorStats {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val dec = (c: Column) => c.cast("decimal(28,14)")
     val d = (c: Column) => c.cast("double")
+    // repartition BEFORE the explode: a single-file source otherwise
+    // funnels the whole element frame (and every aggregate above it)
+    // through one task
     val e = QueryCaches.persist(
-      df.select(col(idCol).as("__id"),
+      df.repartition(32).select(col(idCol).as("__id"),
           posexplode(VectorFunctions.toDoubleArray(col(embeddingCol)))
             .as(Seq("i", "x")))
         .withColumn("i", col("i").cast("long")))
+    e.count() // eager: the sI/sJ broadcast futures race a lazy cache
     val sf = e.groupBy("i")
       .agg(count(lit(1)).as("n"), d(sum(dec(col("x")))).as("s"))
-    val ss = e.as("a").join(e.as("b"), col("a.__id") === col("b.__id"))
-      .select(col("a.i").as("i"), col("b.i").as("j"),
-        (col("a.x") * col("b.x")).as("p"))
-      .groupBy("i", "j").agg(d(sum(dec(col("p")))).as("ss"))
+    // the second-moment matrix is symmetric: aggregate only i ≤ j
+    // (half the d² pair rows and decimal casts) and mirror after —
+    // x_i·x_j and x_j·x_i are the same doubles, so the mirrored
+    // cell is the identical exact sum the full fan-out produced
+    val ssUp = QueryCaches.persist( // both union branches read it
+      e.as("a").join(e.as("b"),
+        col("a.__id") === col("b.__id") && col("a.i") <= col("b.i"))
+        .select(col("a.i").as("i"), col("b.i").as("j"),
+          (col("a.x") * col("b.x")).as("p"))
+        .groupBy("i", "j").agg(d(sum(dec(col("p")))).as("ss")))
+    ssUp.count() // eager: both mirror branches must read the cache
+    val ss = ssUp.unionByName(ssUp.filter(col("i") < col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("ss")))
     // dim-bounded sides: broadcast is valid by construction
     val sI = sf.select(col("i"), col("n"), col("s").as("si"))
     val sJ = sf.select(col("i").as("j"), col("s").as("sj"))
@@ -85,6 +98,13 @@ object VectorStats {
         .select(col("i"), col("j"),
           ((col("ss") - col("si") * col("sj") / col("n")) / col("n"))
             .as("c")))
+    // EAGER materialization: every round issues broadcast exchanges
+    // (the matvec vector, the norm scalar) whose subtrees sit above
+    // cmat, and Spark runs broadcast futures as separate concurrent
+    // jobs — against a still-lazy cache they each re-ran the d²-pair
+    // aggregate (PerfProbe showed the same 64-task stage 8×; this
+    // one cheap count cut the query 16.3 → ~6 s at sf0.1)
+    cmat.count()
     var cur: Option[DataFrame] = None
     var out: DataFrame = null
     for (_ <- 1 to rounds) {
@@ -97,8 +117,12 @@ object VectorStats {
             .groupBy("i").agg(d(sum(dec(col("c") * col("v")))).as("w"))
       }
       val n2 = w.agg(d(sum(dec(col("w") * col("w")))).as("n2"))
+      // lazy plan cut per round (the TextDedup.clusters rule): the
+      // next round's broadcast(vf) future otherwise re-expands every
+      // earlier round's matvec subtree
       out = w.crossJoin(broadcast(n2))
         .select(col("i"), (col("w") / sqrt(col("n2"))).as("v"), col("n2"))
+        .localCheckpoint(false)
       cur = Some(out)
     }
     out.select(col("i"), round(col("v"), 6).as("v_r"),
