@@ -197,9 +197,15 @@ object GraphOps {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     val base = rel.select(col(itemCol).as("__i"), col(keyCol).as("__k"))
       .distinct()
-    val capped =
+    val capped0 =
       if (maxKeyDegree == Int.MaxValue) base
       else TextDedup.capBuckets(base, Seq("__k"), maxKeyDegree)
+    // explicit key partitioning for the self-join: AQE sizes the
+    // exchange by its INPUT bytes and coalesces to a handful of
+    // tasks, but the deg² pair fan-out explodes INSIDE the join
+    // stage — the classic coalesce-before-fan-out trap (the fold ran
+    // on 8 of 32 cores). A user repartition pins the width.
+    val capped = capped0.repartition(32, col("__k"))
     capped.select(col("__i").as("ia"), col("__k"))
       .join(capped.select(col("__i").as("ib"), col("__k")), "__k")
       .filter(col("ia") < col("ib"))
