@@ -304,6 +304,8 @@ object TextQueries {
       val slice = docs(s, dir).filter(col("doc_id") < 1000)
       val sh = TextDedup.shingles(slice, "doc_id", "text", n = 3)
         .transform(graft.ops.QueryCaches.persist) // truth + 4 configs
+      sh.count() // eager: 5 arms evaluate CONCURRENTLY in the final
+      // union job and a lazy cache races them into recomputes
       val truth = TextDedup.verifiedJaccard(sh, "doc_id", cand = null,
         threshold = 0.8)
         .agg(count(lit(1)).cast("long").as("n_true"))
@@ -312,6 +314,7 @@ object TextQueries {
       // config would quadruple the dominant stage for nothing
       val sig = TextDedup.minhashSignatures(sh, "doc_id", numHashes = 6)
         .transform(graft.ops.QueryCaches.persist)
+      sig.count() // eager, same reason
       val rows = Seq(1, 2, 3, 6).map { b =>
         val cand = graft.ops.TextDedup.lshCandidates(
           TextDedup.lshBands(sig, "doc_id", numHashes = 6, bands = b),
