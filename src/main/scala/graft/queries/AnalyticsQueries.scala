@@ -897,7 +897,7 @@ object AnalyticsQueries {
         .select(col("o_custkey"), col("o_orderpriority"),
           col("o_orderdate").as("valid_from"),
           coalesce(col("valid_to"),
-            lit("9999-12-31 00:00:00").cast("timestamp")).as("valid_to"),
+            lit("2200-01-01 00:00:00").cast("timestamp")).as("valid_to"),
           col("is_current"))
         // valid_from is DAY-granular: a customer whose priority changes
         // twice on one day yields tied (custkey, valid_from) keys (15 real
@@ -2714,14 +2714,14 @@ object AnalyticsQueries {
     */
   private val sqlQ1: String =
     """SELECT l_returnflag, l_linestatus,
-         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
-           AS sum_qty,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
-           AS DECIMAL(18,2)) AS sum_base,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT)
+           AS sum_qty_c,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) * 100
+           AS BIGINT) AS sum_base_c,
          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
              (CAST(1 AS DECIMAL(12,2)) -
-              CAST(l_discount AS DECIMAL(12,2))))
-           AS DECIMAL(18,4)) AS sum_disc,
+              CAST(l_discount AS DECIMAL(12,2)))) * 10000
+           AS BIGINT) AS sum_disc_c4,
          CAST(count(*) AS BIGINT) AS n
        FROM lineitem
        WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -2736,8 +2736,8 @@ object AnalyticsQueries {
     """SELECT o_orderkey,
          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
              (CAST(1 AS DECIMAL(12,2)) -
-              CAST(l_discount AS DECIMAL(12,2))))
-           AS DECIMAL(18,4)) AS revenue,
+              CAST(l_discount AS DECIMAL(12,2)))) * 10000
+           AS BIGINT) AS revenue_c4,
          o_orderdate, o_orderpriority
        FROM customer
        JOIN orders ON c_custkey = o_custkey
@@ -2746,7 +2746,7 @@ object AnalyticsQueries {
          AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
          AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
        GROUP BY o_orderkey, o_orderdate, o_orderpriority
-       ORDER BY revenue DESC, o_orderkey
+       ORDER BY revenue_c4 DESC, o_orderkey
        LIMIT 10"""
 
   /** ONE SQL text for q_sql_window — windowed running spend, shared
@@ -2756,8 +2756,8 @@ object AnalyticsQueries {
     """SELECT o_custkey, o_orderkey, o_orderdate,
          CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER
            (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS DECIMAL(18,2)) AS running_spend,
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100
+           AS BIGINT) AS running_spend_c,
          CAST(row_number() OVER
            (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
            AS BIGINT) AS order_seq
@@ -2771,8 +2771,8 @@ object AnalyticsQueries {
     """SELECT c_custkey, c_name, n_name,
          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
              (CAST(1 AS DECIMAL(12,2)) -
-              CAST(l_discount AS DECIMAL(12,2))))
-           AS DECIMAL(18,4)) AS revenue,
+              CAST(l_discount AS DECIMAL(12,2)))) * 10000
+           AS BIGINT) AS revenue_c4,
          CAST(count(*) AS BIGINT) AS n_items
        FROM customer
        JOIN orders ON c_custkey = o_custkey
@@ -2782,7 +2782,7 @@ object AnalyticsQueries {
          AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
          AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
        GROUP BY c_custkey, c_name, n_name
-       ORDER BY revenue DESC, c_custkey
+       ORDER BY revenue_c4 DESC, c_custkey
        LIMIT 20"""
 
   /** ONE SQL text for q_sql_q7 — TPC-H Q7 adapted to this schema's
@@ -2790,7 +2790,7 @@ object AnalyticsQueries {
     */
   private val sqlQ7: String =
     """SELECT supp_nation, cust_nation, l_year,
-         CAST(sum(volume) AS DECIMAL(18,4)) AS revenue,
+         CAST(sum(volume) * 10000 AS BIGINT) AS revenue_c4,
          CAST(count(*) AS BIGINT) AS n_items
        FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            EXTRACT(year FROM l_shipdate) AS l_year,
@@ -2815,8 +2815,8 @@ object AnalyticsQueries {
     */
   private val sqlQ18: String =
     """SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
-         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
-           AS sum_qty
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT)
+           AS sum_qty_c
        FROM customer
        JOIN orders ON c_custkey = o_custkey
        JOIN lineitem ON o_orderkey = l_orderkey
@@ -2835,8 +2835,8 @@ object AnalyticsQueries {
     """SELECT n_name,
          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
              (CAST(1 AS DECIMAL(12,2)) -
-              CAST(l_discount AS DECIMAL(12,2))))
-           AS DECIMAL(18,4)) AS revenue,
+              CAST(l_discount AS DECIMAL(12,2)))) * 10000
+           AS BIGINT) AS revenue_c4,
          CAST(count(*) AS BIGINT) AS n_items
        FROM customer
        JOIN orders ON c_custkey = o_custkey
@@ -2849,7 +2849,7 @@ object AnalyticsQueries {
          AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
        GROUP BY n_name
-       ORDER BY revenue DESC, n_name"""
+       ORDER BY revenue_c4 DESC, n_name"""
 
   /** Unrolled k-core oracle: the same fixed peels as
     * [[graft.ops.GraphOps.kcorePeel]], every round MATERIALIZED (each
@@ -3238,11 +3238,11 @@ object AnalyticsQueries {
                ORDER BY o_orderdate, o_orderkey) AS valid_to
            FROM c)
          SELECT o_custkey, o_orderpriority, valid_from,
-           COALESCE(valid_to, TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+           COALESCE(valid_to, TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
            (valid_to IS NULL) AS is_current
          FROM v
          ORDER BY o_custkey, valid_from, o_orderpriority,
-           COALESCE(valid_to, TIMESTAMP '9999-12-31 00:00:00')""",
+           COALESCE(valid_to, TIMESTAMP '2200-01-01 00:00:00')""",
     "q_table_stats" ->
       """SELECT 'l_orderkey' AS col_name, count(*) AS n,
            CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
