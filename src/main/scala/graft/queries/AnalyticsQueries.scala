@@ -2611,6 +2611,39 @@ object AnalyticsQueries {
       s.sql(sqlQ5)
     }),
 
+    // TPC-H Q6 shape (forecast-revenue-change): the pure selective
+    // scan through the SQL front door — no join at all, so the whole
+    // query is the scan's pushed filters plus one partial+final
+    // aggregate. At 100 TB this shape IS the scan-pruning test: date
+    // range, discount band, and quantity cap all reach parquet.
+    "q_sql_q6" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(sqlQ6)
+    }),
+
+    // TPC-H Q16 shape (supplier-part-type counts): distinct
+    // aggregation after a fact join plus a NOT IN null-aware
+    // anti-join — two planner paths the front door didn't cover.
+    // count(DISTINCT) expands to a two-phase aggregate (partial
+    // distinct by group+suppkey, then final count) — no single-node
+    // funnel.
+    "q_sql_q16" -> ((s, dir) => {
+      Seq("part", "lineitem", "supplier")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(sqlQ16)
+    }),
+
+    // TPC-H Q4 shape (order-priority checking): correlated EXISTS
+    // with an inequality on the OUTER column — decorrelates to a
+    // left-semi join whose condition mixes the key equality with
+    // l_shipdate > o_orderdate; the bounded priority domain keeps the
+    // final group-by tiny.
+    "q_sql_q4" -> ((s, dir) => {
+      Seq("orders", "lineitem")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(sqlQ4)
+    }),
+
     // Pareto frontier (2-D skyline): the (cheapest-price, largest-
     // quantity) non-dominated set — the classic multi-criteria
     // shortlist query. Sort-based, never pairwise: rows collapse to
@@ -2850,6 +2883,59 @@ object AnalyticsQueries {
          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
        GROUP BY n_name
        ORDER BY revenue_c4 DESC, n_name"""
+
+  /** ONE SQL text for q_sql_q6 — TPC-H Q6 shape: the selective
+    * single-table scan (one ship year × a discount band × a quantity
+    * cap). All three predicates must reach the parquet scan as
+    * PushedFilters; the aggregate is a map-side-partial global sum.
+    */
+  private val sqlQ6: String =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+             CAST(l_discount AS DECIMAL(12,2))) * 10000 AS BIGINT)
+           AS revenue_c4,
+         CAST(count(*) AS BIGINT) AS n_items
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         AND l_discount BETWEEN 0.05 AND 0.07
+         AND l_quantity < 24"""
+
+  /** ONE SQL text for q_sql_q16 — TPC-H Q16 shape adapted to this
+    * schema (no partsupp table: lineitem stands in as the
+    * part↔supplier relationship, acctbal for the complaint filter).
+    * Exercises distinct aggregation after a join plus a NOT IN
+    * null-aware anti-join the current front door doesn't cover.
+    */
+  private val sqlQ16: String =
+    """SELECT p_brand, p_type, p_size,
+         CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+       FROM part
+       JOIN lineitem ON p_partkey = l_partkey
+       WHERE p_brand <> 'Brand#45'
+         AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+         AND l_suppkey NOT IN (
+           SELECT s_suppkey FROM supplier WHERE s_acctbal < 500)
+       GROUP BY p_brand, p_type, p_size
+       ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+
+  /** ONE SQL text for q_sql_q4 — TPC-H Q4 shape adapted (no
+    * commit/receipt dates: "late" = a discounted line shipped after
+    * the order date). The correlated EXISTS carries BOTH an equality
+    * key and a correlated inequality on the outer column — planning
+    * must decorrelate to a left-semi join with a mixed condition.
+    */
+  private val sqlQ4: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+       FROM orders o
+       WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+         AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+         AND EXISTS (
+           SELECT 1 FROM lineitem l
+           WHERE l.l_orderkey = o.o_orderkey
+             AND l.l_shipdate > o.o_orderdate
+             AND l.l_discount >= 0.05)
+       GROUP BY o_orderpriority
+       ORDER BY o_orderpriority"""
 
   /** Unrolled k-core oracle: the same fixed peels as
     * [[graft.ops.GraphOps.kcorePeel]], every round MATERIALIZED (each
@@ -3108,6 +3194,9 @@ object AnalyticsQueries {
     "q_sql_q7" -> sqlQ7,
     "q_sql_q10" -> sqlQ10,
     "q_sql_window" -> sqlWindow,
+    "q_sql_q6" -> sqlQ6,
+    "q_sql_q16" -> sqlQ16,
+    "q_sql_q4" -> sqlQ4,
     "q_hll_distinct" -> hllOracle,
     "q_scd_asof" ->
       """WITH s AS (SELECT o_orderkey, o_custkey, o_orderpriority,

@@ -318,6 +318,31 @@ class PlanSpec extends AnyFunSuite {
     graft.ops.QueryCaches.releaseAll()
   }
 
+  test("q_sql_q6: all three scan predicates pushed; no join, no shuffle beyond the agg") {
+    // the 100 TB selective-scan shape: every predicate must reach
+    // parquet or the scan reads the whole fact table
+    val p = plan("q_sql_q6")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount") &&
+      pushed.contains("l_quantity"), s"missing pushdown: $pushed\n$p")
+    assert(!p.contains("Join"), s"unexpected join in:\n$p")
+  }
+
+  test("q_sql_q4: correlated EXISTS decorrelates to a semi join, no nested loop") {
+    val p = plan("q_sql_q4")
+    assert(p.contains("LeftSemi"), s"EXISTS did not plan as semi join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), s"non-keyed join in:\n$p")
+  }
+
+  test("q_sql_q16: distinct agg expands two-phase; NOT IN stays an anti join") {
+    val p = plan("q_sql_q16")
+    assert(p.contains("LeftAnti"), s"NOT IN did not plan as anti join:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 3,
+      s"distinct agg not two-phase in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
   test("q_pmi: vocab count joins unhinted; AQE broadcasts at gate scale") {
     // same contract as q_tfidf: no forced hint on vocabulary-sized
     // builds; pin that AQE converts on measured size in the FINAL plan
