@@ -392,6 +392,14 @@ object TextDedup {
       handle: CacheHandle = null): DataFrame = {
     val bandsDf = CacheHandle.persistWith(handle, lshBands(
       minhashSignatures(sh, idCol, numHashes), idCol, numHashes, bands))
+    // eager: the candidate self-join (x/y) and the verify step's four
+    // reads of `sh` are independent AQE stages that materialize
+    // CONCURRENTLY — against a lazy cache each racing stage recomputes
+    // the whole shingle→signature pipeline (3× measured on
+    // q_cluster_sizes). One cheap count materializes bands AND, in the
+    // same pass, the sh cache it reads; every fan-out branch below
+    // then hits memory.
+    bandsDf.count()
     verifiedJaccard(sh, idCol,
       lshCandidates(bandsDf, idCol, maxBucket), threshold)
   }

@@ -109,8 +109,17 @@ object StreamQueries {
         .outputMode("append").start()
       try {
         q.processAllAvailable()
-        sentinels.zipWithIndex.foreach { case (r, i) =>
-          addSentinelFile(i + 1, r)
+        // all sentinels land in ONE drain: append-mode emission is a
+        // function of the FINAL watermark only (windows/join state
+        // flush when the max event time passes them), so staging the
+        // files together yields the identical output while paying one
+        // data + no-data micro-batch pair instead of one per sentinel
+        // — each extra pair is ~1 s of per-partition state commits on
+        // a stream-stream join (q_stream_sjoin_outer measured)
+        if (sentinels.nonEmpty) {
+          sentinels.zipWithIndex.foreach { case (r, i) =>
+            addSentinelFile(i + 1, r)
+          }
           q.processAllAvailable()
         }
       } finally {
