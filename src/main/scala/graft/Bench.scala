@@ -148,6 +148,28 @@ object Bench {
     val fullPath = java.nio.file.Paths.get("bench_full.json").toAbsolutePath
     java.nio.file.Files.writeString(fullPath,
       s"""{"metric":"total","value":${s3(total)},"unit":"sec","sf":"$sfDir","n":${results.size},"queries":$fullQs}""")
+    // regression tripwire: compare against the committed baseline map
+    // (bench_baseline.json — a snapshot of the last clean full-suite
+    // bench_full.json, refreshed at each round end) and surface any
+    // query >2× its baseline AND >1 s absolute growth as its own short
+    // stdout line just before the report, inside the driver's ~2 KiB
+    // tail capture. Round 8's q_cluster_sizes 2.8× regression shipped
+    // silently for want of exactly this line.
+    val basePath = java.nio.file.Paths.get("bench_baseline.json")
+    if (java.nio.file.Files.exists(basePath)) {
+      val qre = """"(q_[a-z0-9_]+)":([0-9.]+)""".r
+      val base = qre.findAllMatchIn(java.nio.file.Files.readString(basePath))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val regressed = results.toSeq
+        .flatMap { case (k, v) => base.get(k).collect {
+          case b if v > 2 * b && v - b > 1.0 => (k, v, b)
+        } }
+        .sortBy { case (_, v, b) => b - v } // worst absolute growth first
+        .take(8)
+        .map { case (k, v, b) => "\"" + k + "\":\"" + s3(v) + ">2x" + s3(b) + "\"" }
+      if (regressed.nonEmpty)
+        println(regressed.mkString("{\"tripwire\":{", ",", "}}"))
+    }
     val budget = 1500 // line cap well inside the ~2 KiB tail window
     val head = s"""{"metric":"total","value":${s3(total)},"unit":"sec","sf":"$sfDir","n":${results.size},"full":"$fullPath","queries":{"""
     val entries = results.toSeq.sortBy(-_._2)
