@@ -103,6 +103,67 @@ object IvfIndex {
       .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cell"))
   }
 
+  /** [[build]]'s hash-gateable twin: exact-arithmetic Lloyd training
+    * (the q_kmeans_exact discipline) instead of Spark-ML k-means, so a
+    * SQL oracle can replay the trained quantizer step for step.
+    * Determinism inventory: seeds are the `k` lowest ids (a k-row
+    * LIMIT — bounded by construction, so the single-partition
+    * row_number is k rows); every distance term and coordinate sum
+    * crosses its aggregate as DECIMAL(28,14) (order-independent, and
+    * doubles never sit exactly on decimal midpoints so both engines
+    * round alike); assignment argmins compare exact decimals with an
+    * id tiebreak; the one double division per mean coordinate is the
+    * same IEEE op on both engines. `iters` is a fixed bounded round
+    * count — each round is one keyed distance aggregate + one keyed
+    * mean aggregate over the exploded (vec, dim) frame, all map-side
+    * partial. The collected result is k × dim — constant-sized, the
+    * permitted driver materialization — and feeds the same
+    * [[assignCells]]/[[search]] path as the ML build, so the gate
+    * covers the whole production search shape.
+    */
+  def buildExact(
+      df: DataFrame,
+      idCol: String,
+      embeddingCol: String,
+      k: Int,
+      iters: Int = 2,
+      handle: CacheHandle = null): Model = {
+    val base = CacheHandle.persistWith(handle,
+      df.select(col(idCol).cast("long").as("vec_id"),
+          vecCol(col(embeddingCol)).as("v"))
+        .withColumn("nrm", VectorFunctions.l2Norm(col("v"))))
+    val ex = CacheHandle.persistWith(handle, base.select(col("vec_id"),
+      posexplode(col("v")).as(Seq("pos", "x"))))
+    val sw = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+    val seeds = base.select("vec_id").orderBy("vec_id").limit(k)
+      .select(col("vec_id"),
+        (row_number().over(sw) - 1).cast("int").as("cid"))
+    var cent = ex.join(seeds, "vec_id")
+      .select(col("cid"), col("pos"), col("x").as("cx"))
+    for (_ <- 1 to iters) {
+      val d = ex.join(cent, "pos")
+        .groupBy("vec_id", "cid")
+        .agg(sum(((col("x") - col("cx")) * (col("x") - col("cx")))
+          .cast("decimal(28,14)")).as("d"))
+      val asg = d.groupBy("vec_id")
+        .agg(min(struct(col("d"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"))
+      cent = CacheHandle.persistWith(handle, ex.join(asg, "vec_id")
+        .groupBy("cid", "pos")
+        .agg((sum(col("x").cast("decimal(28,14)")).cast("double") /
+          count(lit(1))).as("cx")))
+    }
+    val centroids = cent.orderBy("cid", "pos").collect()
+      .groupBy(_.getInt(0)).toArray
+      .map { case (cid, rows) =>
+        (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)))
+      }
+      .sortBy(_._1)
+    val assigned =
+      CacheHandle.persistWith(handle, assignCells(centroids, base))
+    Model(centroids, assigned)
+  }
+
   /** Assign new vectors with `model`'s centroids (no re-train). */
   def assign(
       model: Model,

@@ -533,14 +533,18 @@ object VectorQueries {
         .orderBy("q_id", "rank")
     }),
 
-    // IVF with k-means-trained centroids + nprobe (graft.ops.IvfIndex)
-    // — the production variant of the fixed-centroid q_ann_ivf.
-    // Declared rows-only (q_sniff precedent): k-means runs on Spark ML
-    // and has no DuckDB twin; the fixed-centroid query is the
-    // oracle-checked form of the same search shape.
+    // IVF with k-means-TRAINED centroids + nprobe — the production
+    // variant of the fixed-centroid q_ann_ivf, now HASH-GATED end to
+    // end: IvfIndex.buildExact runs two unrolled Lloyd rounds with
+    // lowest-id seeds and DECIMAL(28,14) distance/mean sums (the
+    // q_kmeans_exact discipline), so the oracle replays training,
+    // cell assignment, probe selection, and top-3 scoring step for
+    // step. (The Spark-ML build() stays the library's fast path,
+    // spec-covered in IvfIndexSpec.)
     "q_ann_ivf_kmeans" -> ((s, dir) => {
       val e = emb(s, dir).filter(col("vec_id") < 2000)
-      val model = graft.ops.IvfIndex.build(e, "vec_id", "embedding", k = 8)
+      val model = graft.ops.IvfIndex.buildExact(e, "vec_id", "embedding",
+        k = 8, iters = 2, handle = graft.ops.QueryCaches.handle())
       val q = e.filter(col("vec_id") < 10)
       graft.ops.IvfIndex.search(model, q, "vec_id", "embedding",
         topK = 3, nprobe = 2)
@@ -1616,9 +1620,78 @@ object VectorQueries {
              AS rank FROM p)
          SELECT q_id, rank, cand_id, label, cos_r FROM r WHERE rank <= 3
          ORDER BY q_id, rank""",
-    // q_ann_ivf_kmeans: intentionally no oracle (Spark-ML k-means has
-    // no DuckDB twin; rows-only — the fixed-centroid q_ann_ivf is the
-    // oracle-checked form of the same search shape).
+    // Trained-IVF oracle: unrolls IvfIndex.buildExact — seeds = 8
+    // lowest ids, two Lloyd rounds with DECIMAL(28,14) distance and
+    // mean sums (identical to the Spark aggregates, so the trained
+    // coordinates are bit-equal doubles) — then rebuilds centroid
+    // LISTS so every dot product runs in the same fixed ascending
+    // order as the Spark kernel, assigns cells (raw cosine, lowest-cid
+    // ties), probes top-2 cells per query, and ranks top-3 candidates
+    // by (score DESC, cand_id) — the TopKByScore total order.
+    "q_ann_ivf_kmeans" -> {
+      def iter(i: Int) =
+        s"""d$i AS (SELECT x.vec_id, c.cid,
+               sum(CAST((x.x - c.cx) * (x.x - c.cx) AS DECIMAL(28,14)))
+                 AS d
+             FROM x JOIN c${i - 1} c ON c.pos = x.pos GROUP BY 1, 2),
+           a$i AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid)
+                 AS rn
+             FROM d$i) WHERE rn = 1),
+           c$i AS (SELECT a.cid, x.pos,
+               CAST(sum(CAST(x.x AS DECIMAL(28,14))) AS DOUBLE) /
+                 count(*) AS cx
+             FROM x JOIN a$i a ON a.vec_id = x.vec_id GROUP BY 1, 2)"""
+      s"""WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id < 2000),
+         x AS (SELECT vec_id, unnest(v) AS x,
+             generate_subscripts(v, 1) AS pos FROM e),
+         seeds AS (SELECT vec_id,
+             CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+               AS cid
+           FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT 8)),
+         c0 AS (SELECT s.cid, x.pos, x.x AS cx
+           FROM x JOIN seeds s ON s.vec_id = x.vec_id),
+         ${iter(1)},
+         ${iter(2)},
+         cl AS (SELECT cid, list(cx ORDER BY pos) AS cv FROM c2
+           GROUP BY cid),
+         cn AS (SELECT cid, cv,
+             sqrt(list_sum(list_transform(cv, y -> y * y))) AS cn
+           FROM cl),
+         n AS (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, y -> y * y))) AS nrm
+           FROM e),
+         asg AS (SELECT vec_id, v, nrm, cid AS cell FROM (
+             SELECT nv.vec_id, nv.v, nv.nrm, c.cid,
+               row_number() OVER (PARTITION BY nv.vec_id
+                 ORDER BY list_dot_product(nv.v, c.cv) / (nv.nrm * c.cn)
+                   DESC, c.cid) AS rk
+             FROM n nv CROSS JOIN cn c) WHERE rk = 1),
+         probe AS (SELECT q_id, cell FROM (
+             SELECT nv.vec_id AS q_id, c.cid AS cell,
+               row_number() OVER (PARTITION BY nv.vec_id
+                 ORDER BY list_dot_product(nv.v, c.cv) / (nv.nrm * c.cn)
+                   DESC, c.cid) AS rk
+             FROM n nv CROSS JOIN cn c WHERE nv.vec_id < 10) WHERE rk <= 2),
+         qv AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n
+           WHERE vec_id < 10),
+         sc AS (SELECT p.q_id, a.vec_id AS cand_id,
+             list_dot_product(q.qv, a.v) / (q.qn * a.nrm) AS score
+           FROM probe p
+           JOIN qv q ON q.q_id = p.q_id
+           JOIN asg a ON a.cell = p.cell
+           WHERE a.vec_id <> p.q_id),
+         r AS (SELECT q_id, cand_id, score,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY score DESC, cand_id) AS rk
+           FROM sc)
+         SELECT q_id, cand_id, CAST(rk AS BIGINT) AS rank,
+           round(score, 6) AS score_r
+         FROM r WHERE rk <= 3
+         ORDER BY q_id, rank"""
+    },
     "q_ann_bucketed" ->
       s"""WITH e AS (SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

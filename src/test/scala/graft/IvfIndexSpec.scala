@@ -67,6 +67,21 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(got.size == truth.size)
   }
 
+  test("buildExact: deterministic Lloyd trainer covers the corpus and repeats bit-exactly") {
+    val emb = Tables.table(spark, dir, "embeddings")
+    val m1 = IvfIndex.buildExact(emb, "vec_id", "embedding", k = 4, iters = 2)
+    // cells may go empty during Lloyd, never exceed k
+    assert(m1.centroids.nonEmpty && m1.centroids.length <= 4)
+    assert(m1.assigned.count() == emb.count())
+    // exact arithmetic -> the trained coordinates are REPRODUCIBLE
+    // bit for bit, the property the DuckDB oracle relies on
+    val m2 = IvfIndex.buildExact(emb, "vec_id", "embedding", k = 4, iters = 2)
+    assert(m1.centroids.map { case (i, c) => (i, c.toSeq) }.toSeq ==
+      m2.centroids.map { case (i, c) => (i, c.toSeq) }.toSeq)
+    spark.catalog.clearCache()
+    graft.ops.QueryCaches.releaseAll()
+  }
+
   test("saved index round-trips and search prunes to the probed cells") {
     val base = java.nio.file.Files
       .createTempDirectory("graft_ivf").toString
