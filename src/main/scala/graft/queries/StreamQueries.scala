@@ -549,15 +549,58 @@ object StreamQueries {
         graft.streaming.StreamCdc.applyChangelog(
           Tables.withEventTime(raw)
             .select(col("user_id").as("key"), col("ts_ns").as("ver"),
+              col("event_id").as("sub"),
               when(col("event_type") === "error", lit("D"))
                 .otherwise(lit("U")).as("op"),
-              col("value"))).toDF()
+              col("value"), col("event_type").as("payload"))).toDF()
       }.groupBy("key")
-        .agg(max(struct(col("ver"), col("op"), col("value"))).as("m"))
+        // sub sits between ver and op so timestamp ties resolve by the
+        // same (ver, sub) order the operator applies in
+        .agg(max(struct(col("ver"), col("sub"), col("op"), col("value")))
+          .as("m"))
         .filter(col("m.op") =!= "D")
         .select(col("key").as("user_id"), col("m.ver").as("last_ver"),
           round(col("m.value"), 6).as("last_value_r"))
         .orderBy("user_id")),
+
+    // CDC → SCD2 composition — the lakehouse bronze→silver shape: the
+    // STREAMED changelog (per-key forward-only (ver, sub) state, the
+    // exactly-once edge) feeds the batch SCD2 history builder, so the
+    // maintained dimension's validity intervals come from the stream's
+    // applied post-images, hash-matched against the batch SCD2 oracle
+    // over the same raw changelog. A stale-delivery probe rides the
+    // second drain: a re-delivered change at the corpus's max (ver)
+    // with a SMALLER sub and a poisoned payload — if suppression ever
+    // regressed, the poison opens an interval the oracle lacks and the
+    // gate goes red. Interval bounds stay BIGINT ns (no timestamp
+    // rendering hazard); valid_to's null is pinned to -1 (stream rule).
+    "q_stream_cdc_scd2" -> ((s, dir) => {
+      import s.implicits._
+      val last = Tables.events(s, dir)
+        .orderBy(col("ts_ns").desc, col("event_id").desc)
+        .select("ts_ns", "user_id").head()
+      val applied = runFileStream(s, dir, "events", "q_stream_cdc_scd2_sink",
+        sentinels =
+          Seq(Row(-1L, last.getLong(0), last.getLong(1), "poison", 0.0, "{}"))) {
+        raw =>
+          graft.streaming.StreamCdc.applyChangelog(
+            Tables.withEventTime(raw)
+              .select(col("user_id").as("key"), col("ts_ns").as("ver"),
+                col("event_id").as("sub"),
+                when(col("event_type") === "error", lit("D"))
+                  .otherwise(lit("U")).as("op"),
+                col("value"), col("event_type").as("payload"))).toDF()
+      }
+      graft.ops.Corpus.scd2History(
+        applied.filter(col("op") === "U")
+          .select(col("key"), col("ver"), col("sub"), col("payload")),
+        "key", "payload", Seq("ver", "sub"))
+        .select(col("key").as("user_id"), col("payload").as("etype"),
+          col("ver").as("valid_from_ns"),
+          coalesce(col("valid_to"), lit(-1L)).as("valid_to_ns"),
+          col("is_current"))
+        .orderBy("user_id", "valid_from_ns", "etype", "valid_to_ns")
+    }),
 
     // Streaming corpus-drift monitor: tumbling-window token counts
     // (watermark-bounded state, the q_stream_trending ingest) emit to
@@ -1010,17 +1053,43 @@ object StreamQueries {
          SELECT q_id, cand_id, cell, cos_r FROM m
          WHERE cos_r >= 0.2 ORDER BY q_id, cand_id""",
     // batch last-writer-wins over the same changelog mapping: the
-    // per-user max-version row, deleted keys (last op 'error') absent
+    // per-user max-(version, event_id) row — event_id is the same
+    // minor-version tiebreak the stream operator applies, so tied
+    // commit timestamps rank identically on both engines — deleted
+    // keys (last op 'error') absent
     "q_stream_cdc" ->
-      """WITH c AS (SELECT user_id, epoch_ns(ts) AS ver,
+      """WITH c AS (SELECT user_id, epoch_ns(ts) AS ver, event_id AS sub,
              CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
              value
            FROM events),
          r AS (SELECT user_id, ver, op, value, row_number() OVER
-             (PARTITION BY user_id ORDER BY ver DESC) AS rn
+             (PARTITION BY user_id ORDER BY ver DESC, sub DESC) AS rn
            FROM c)
          SELECT user_id, ver AS last_ver, round(value, 6) AS last_value_r
          FROM r WHERE rn = 1 AND op <> 'D' ORDER BY user_id""",
+    // batch SCD2 over the same changelog's upserts: lag-compressed
+    // event_type runs per user, intervals closed by the next change's
+    // version, ordered by the stream's (ver, event_id) composite; the
+    // stream side's poison probe must be absent (suppressed at the
+    // CDC edge) for the hashes to meet
+    "q_stream_cdc_scd2" ->
+      """WITH u AS (SELECT user_id, epoch_ns(ts) AS ver, event_id AS sub,
+             event_type AS payload
+           FROM events WHERE event_type <> 'error'),
+         s AS (SELECT user_id, ver, sub, payload,
+             lag(payload) OVER (PARTITION BY user_id ORDER BY ver, sub)
+               AS prev
+           FROM u),
+         ch AS (SELECT user_id, ver, sub, payload FROM s
+           WHERE prev IS DISTINCT FROM payload),
+         v AS (SELECT user_id, payload, ver,
+             lead(ver) OVER (PARTITION BY user_id ORDER BY ver, sub)
+               AS vt
+           FROM ch)
+         SELECT user_id, payload AS etype, ver AS valid_from_ns,
+           coalesce(vt, -1) AS valid_to_ns, (vt IS NULL) AS is_current
+         FROM v
+         ORDER BY user_id, valid_from_ns, etype, valid_to_ns""",
     // window token distributions vs the corpus reference, smoothed
     // PSI over the full vocab grid — same epoch buckets as trending
     "q_stream_drift" ->
