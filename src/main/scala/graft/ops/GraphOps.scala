@@ -205,7 +205,8 @@ object GraphOps {
     // tasks, but the deg² pair fan-out explodes INSIDE the join
     // stage — the classic coalesce-before-fan-out trap (the fold ran
     // on 8 of 32 cores). A user repartition pins the width.
-    val capped = capped0.repartition(32, col("__k"))
+    val capped =
+      capped0.repartition(ScaleOps.fanoutWidth(capped0), col("__k"))
     capped.select(col("__i").as("ia"), col("__k"))
       .join(capped.select(col("__i").as("ib"), col("__k")), "__k")
       .filter(col("ia") < col("ib"))

@@ -12,6 +12,20 @@ import org.apache.spark.sql.functions._
   */
 object ScaleOps {
 
+  /** Width for the explicit repartitions that pin parallelism BEFORE a
+    * fan-out stage (pre-explode spread of a few-file source, the
+    * coalesce-before-fan-out self-join trap): the session's configured
+    * shuffle parallelism, falling back to the cluster default — never
+    * a hardcoded literal, which undersizes bigger executors and is
+    * pure overhead on smaller ones.
+    */
+  def fanoutWidth(df: DataFrame): Int = {
+    val s = df.sparkSession
+    s.conf.getOption("spark.sql.shuffle.partitions")
+      .flatMap(v => scala.util.Try(v.toInt).toOption)
+      .getOrElse(s.sparkContext.defaultParallelism)
+  }
+
   /** Salted equi-join for skewed keys.
     *
     * The big (skewed) side gets a deterministic salt derived from

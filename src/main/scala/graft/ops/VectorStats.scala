@@ -70,7 +70,7 @@ object VectorStats {
     // funnels the whole element frame (and every aggregate above it)
     // through one task
     val e = QueryCaches.persist(
-      df.repartition(32).select(col(idCol).as("__id"),
+      df.repartition(ScaleOps.fanoutWidth(df)).select(col(idCol).as("__id"),
           posexplode(VectorFunctions.toDoubleArray(col(embeddingCol)))
             .as(Seq("i", "x")))
         .withColumn("i", col("i").cast("long")))

@@ -812,8 +812,15 @@ object AnalyticsQueries {
       val words = positions(ins).select("word", "mask").distinct()
         .groupBy("word").agg(expr("bit_or(mask)").as("bits"))
         .transform(graft.ops.QueryCaches.persist) // probe join + popcount
-      val pp = positions(t(s, dir, "customer")
-        .select((col("c_custkey") + 1000000L).as("k")))
+      // probe keys absent BY DERIVATION, not assumption: offset past
+      // the observed max inserted key (a fixed 1e6 literal collides
+      // with real keys once supplier cardinality reaches it and
+      // silently biases the measured FPR upward). 1-row aggregate —
+      // bounded by construction, the hintable class.
+      val off = t(s, dir, "supplier")
+        .agg((max(col("s_suppkey")) + 1L).as("off"))
+      val pp = positions(t(s, dir, "customer").crossJoin(broadcast(off))
+        .select((col("c_custkey") + col("off")).as("k")))
       val hits = pp.join(broadcast(words), Seq("word"), "left")
         .withColumn("hit",
           coalesce(col("bits"), lit(0)).bitwiseAND(col("mask")) =!= 0)
@@ -2491,7 +2498,7 @@ object AnalyticsQueries {
         // spread BEFORE the 32× explode: the source's few file
         // partitions otherwise bottleneck the whole resample stage
         // (measured 3 tasks / 9.6 s → 32 tasks at sf0.1)
-        .repartition(32)
+        .transform(d => d.repartition(graft.ops.ScaleOps.fanoutWidth(d)))
         .withColumn("g", explode(sequence(lit(0), lit(7))))
         .withColumn("dg", md5(concat(lit("bs:"),
           col("l_orderkey").cast("string"), lit(":"),
@@ -3232,7 +3239,9 @@ object AnalyticsQueries {
              bit_or(CAST(1 AS INTEGER) << CAST(pos % 8 AS INTEGER))
                AS bits
            FROM ip GROUP BY 1),
-         pr AS (SELECT c_custkey + 1000000 AS k FROM customer),
+         pr AS (SELECT c_custkey +
+             (SELECT max(s_suppkey) + 1 FROM supplier) AS k
+           FROM customer),
          pp AS (SELECT k,
              CAST(CAST(('0x' || substr(md5('bf' || CAST(i.i AS VARCHAR)
                || ':' || CAST(k AS VARCHAR)), 1, 8)) AS UBIGINT)

@@ -413,7 +413,7 @@ object TextQueries {
         // spread BEFORE the ~|text|-per-row gram fan-out: the
         // single-file source otherwise runs the whole explode+hash
         // map stage in one task (measured 3.1 s of a 3.9 s pass)
-        .repartition(32)
+        .transform(d => d.repartition(graft.ops.ScaleOps.fanoutWidth(d)))
         .select(col("doc_id"), lower(trim(col("text"))).as("t"))
         .filter(length(col("t")) >= 5)
         .select(col("doc_id"),
