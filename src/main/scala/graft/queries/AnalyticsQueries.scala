@@ -2651,6 +2651,37 @@ object AnalyticsQueries {
       s.sql(sqlQ4)
     }),
 
+    // TPC-H Q13 shape (order-count distribution): LEFT OUTER with an
+    // ON-clause filter (zero-order customers survive) under two
+    // stacked aggregations — the dimension side is preserved, so the
+    // join cannot be reduced to inner, and the second aggregate runs
+    // over |customers| rows, not |orders|.
+    "q_sql_q13" -> ((s, dir) => {
+      Seq("customer", "orders")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(sqlQ13)
+    }),
+
+    // TPC-H Q15 shape (top supplier): the grouped revenue CTE feeds
+    // both the join and a scalar max subquery; cents keep the
+    // max-equality cut exact. The CTE is cheap enough that Spark's
+    // CTE inlining (two executions) beats materializing it.
+    "q_sql_q15" -> ((s, dir) => {
+      Seq("supplier", "lineitem")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(sqlQ15)
+    }),
+
+    // TPC-H Q22 shape (dormant high-balance accounts): two scalar
+    // subqueries (count + sum — the cross-multiplied exact form of
+    // the average threshold) and a NOT EXISTS anti join against the
+    // fact table, grouped on the bounded nation domain.
+    "q_sql_q22" -> ((s, dir) => {
+      Seq("supplier", "lineitem")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(sqlQ22)
+    }),
+
     // Pareto frontier (2-D skyline): the (cheapest-price, largest-
     // quantity) non-dominated set — the classic multi-criteria
     // shortlist query. Sort-based, never pairwise: rows collapse to
@@ -2944,6 +2975,68 @@ object AnalyticsQueries {
        GROUP BY o_orderpriority
        ORDER BY o_orderpriority"""
 
+  /** ONE SQL text for q_sql_q13 — TPC-H Q13 shape (customer order-count
+    * distribution): LEFT OUTER join with a filter INSIDE the ON clause
+    * (zero-order customers must survive it) feeding two stacked
+    * aggregations — the outer-join-then-histogram planner path.
+    */
+  private val sqlQ13: String =
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+       FROM (SELECT c_custkey,
+           CAST(count(o_orderkey) AS BIGINT) AS c_count
+         FROM customer LEFT JOIN orders
+           ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+         GROUP BY c_custkey) c_orders
+       GROUP BY c_count
+       ORDER BY custdist DESC, c_count DESC"""
+
+  /** ONE SQL text for q_sql_q15 — TPC-H Q15 shape (top supplier by
+    * quarterly revenue): a grouped revenue CTE read twice — once
+    * joined, once under a scalar max subquery the filter compares
+    * against. Revenue is BIGINT cents so the max-equality cut is
+    * exact.
+    */
+  private val sqlQ15: String =
+    """WITH rev AS (SELECT l_suppkey AS supplier_no,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+               (CAST(1 AS DECIMAL(12,2)) -
+                CAST(l_discount AS DECIMAL(12,2)))) * 10000
+             AS BIGINT) AS total_c4
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+         GROUP BY l_suppkey)
+       SELECT s_suppkey, s_name, total_c4
+       FROM supplier JOIN rev ON s_suppkey = supplier_no
+       WHERE total_c4 = (SELECT max(total_c4) FROM rev)
+       ORDER BY s_suppkey"""
+
+  /** ONE SQL text for q_sql_q22 — TPC-H Q22 shape adapted (supplier
+    * stands in for the phone-prefixed customer; nation key for the
+    * country code; "dormant" = no large recent shipment, the
+    * discriminating window this data actually has). The
+    * half-average-balance threshold is compared by
+    * CROSS-MULTIPLICATION (bal × 2n > total) so the cut is
+    * decimal-exact on both engines — no avg() rounding at the
+    * boundary — and the NOT EXISTS plans as an anti join against the
+    * filtered fact table.
+    */
+  private val sqlQ22: String =
+    """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS numsupp,
+         CAST(sum(CAST(s_acctbal AS DECIMAL(12,2))) * 100 AS BIGINT)
+           AS totacctbal_c
+       FROM supplier s
+       WHERE CAST(s_acctbal AS DECIMAL(12,2)) * 2 *
+           (SELECT count(*) FROM supplier WHERE s_acctbal > 0.0)
+           > (SELECT sum(CAST(s_acctbal AS DECIMAL(12,2)))
+              FROM supplier WHERE s_acctbal > 0.0)
+         AND NOT EXISTS (
+           SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey
+             AND l.l_quantity >= 49
+             AND l.l_shipdate >= TIMESTAMP '2001-01-01 00:00:00')
+       GROUP BY s_nationkey
+       ORDER BY s_nationkey"""
+
   /** Unrolled k-core oracle: the same fixed peels as
     * [[graft.ops.GraphOps.kcorePeel]], every round MATERIALIZED (each
     * references its predecessor three times — DuckDB's inliner has
@@ -3204,6 +3297,9 @@ object AnalyticsQueries {
     "q_sql_q6" -> sqlQ6,
     "q_sql_q16" -> sqlQ16,
     "q_sql_q4" -> sqlQ4,
+    "q_sql_q13" -> sqlQ13,
+    "q_sql_q15" -> sqlQ15,
+    "q_sql_q22" -> sqlQ22,
     "q_hll_distinct" -> hllOracle,
     "q_scd_asof" ->
       """WITH s AS (SELECT o_orderkey, o_custkey, o_orderpriority,

@@ -343,6 +343,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
   }
 
+  test("q_sql_q13: ON-filtered outer join survives, two aggregate levels, no cartesian") {
+    val p = plan("q_sql_q13")
+    assert(p.contains("LeftOuter"), s"outer join reduced to inner in:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"stacked aggregates not two-phase in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
+  test("q_sql_q22: anti join against the filtered fact; threshold via scalar subqueries") {
+    val p = plan("q_sql_q22")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS did not plan as anti join:\n$p")
+    assert(p.contains("Subquery") || p.contains("subquery"),
+      s"scalar threshold not a subquery plan in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
   test("q_pmi: vocab count joins unhinted; AQE broadcasts at gate scale") {
     // same contract as q_tfidf: no forced hint on vocabulary-sized
     // builds; pin that AQE converts on measured size in the FINAL plan
