@@ -404,6 +404,62 @@ object TextDedup {
       lshCandidates(bandsDf, idCol, maxBucket), threshold)
   }
 
+  /** Exact repeated-substring removal planning — the ExactSubstr
+    * dedup step of training-data pipelines (remove every character
+    * span that appears verbatim elsewhere in the corpus, rather than
+    * dropping whole near-dup documents): character grams of length
+    * `gramLen` at EVERY offset, grams occurring >= `minCount` times
+    * corpus-wide mark their covering spans, and per-document
+    * overlapping spans merge into disjoint cut intervals
+    * (`(idCol, cut_start, cut_end)`, 1-based, end exclusive).
+    *
+    * Scale shape: the gram fan-out is |text| rows per doc (map-side,
+    * spread to [[ScaleOps.fanoutWidth]] first — a few-file source
+    * would funnel it); duplicate detection is ONE hash aggregate on
+    * the gram and one equi-join back; interval merging is the
+    * gap-and-island idiom — two window passes over the SAME
+    * (doc, start) sort, so one exchange keyed by document. Nothing is
+    * pairwise: a gram repeated a million times costs one aggregate
+    * row, and the cut set is bounded by corpus length.
+    */
+  def substringRemovalPlan(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      gramLen: Int,
+      minCount: Long = 2L,
+      handle: CacheHandle = null): DataFrame = {
+    require(gramLen >= 2, s"gramLen must be >= 2, got $gramLen")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val grams = CacheHandle.persistWith(handle,
+      df.transform(d => d.repartition(ScaleOps.fanoutWidth(d)))
+        .select(col(idCol), lower(trim(col(textCol))).as("t"))
+        .filter(length(col("t")) >= gramLen)
+        .select(col(idCol), explode(expr(
+          s"transform(sequence(1, length(t) - ${gramLen - 1}), " +
+            s"i -> struct(i AS pos, substring(t, i, $gramLen) AS g))"))
+          .as("x"))
+        .select(col(idCol), col("x.pos").as("pos"), col("x.g").as("g")))
+    val dup = grams.groupBy("g").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount).select("g")
+    val hits = grams.join(dup, "g")
+      .select(col(idCol), col("pos").as("start"),
+        (col("pos") + gramLen).as("end"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("start")
+    val islands = hits
+      .withColumn("__pmax", max(col("end")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)))
+      .withColumn("__new",
+        when(col("__pmax").isNull || col("start") > col("__pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("__island", sum(col("__new")).over(w))
+    islands.groupBy(col(idCol), col("__island"))
+      .agg(min("start").as("cut_start"), max("end").as("cut_end"))
+      .select(col(idCol), col("cut_start"), col("cut_end"))
+  }
+
   /** 32-bit SimHash fingerprints: (idCol, simhash). */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df

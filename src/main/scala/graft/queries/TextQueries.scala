@@ -134,6 +134,20 @@ object TextQueries {
         .orderBy("a", "b")
     }),
 
+    // Exact repeated-substring removal plan (TextDedup
+    // .substringRemovalPlan) — the ExactSubstr step: cut every 40-char
+    // span that appears verbatim >= 2 times corpus-wide, merged into
+    // disjoint per-doc intervals. Distinct from the document-level
+    // dedups above: documents survive, only the verbatim-repeated
+    // spans are scheduled for removal. All-integer output (positions),
+    // so the gate has no float surface at all.
+    "q_dedup_substring" -> ((s, dir) =>
+      TextDedup.substringRemovalPlan(docs(s, dir), "doc_id", "text",
+        gramLen = 40, minCount = 2,
+        handle = graft.ops.QueryCaches.handle())
+        .withColumn("n_cut", col("cut_end") - col("cut_start"))
+        .orderBy("doc_id", "cut_start")),
+
     // MinHash + LSH banding (trigram shingles, 6 hashes, 3 bands of 2)
     // → candidate pairs → verified with true Jaccard >= 0.8. This is
     // the dedup scale path: cost O(n · shingles), pairs only within
@@ -1465,6 +1479,32 @@ FROM sj GROUP BY lang ORDER BY lang"""
              string_agg(CASE WHEN rn = 1 AND NOT in_corpus THEN seg END,
                ' ' ORDER BY seg_idx) AS clean_text
          FROM r GROUP BY doc_id ORDER BY doc_id""",
+    // the same gap-and-island merge over spans covered by >=2-count
+    // 40-grams; positions 1-based, end exclusive — all integers
+    "q_dedup_substring" ->
+      """WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents
+             WHERE length(lower(trim(text))) >= 40),
+         g0 AS (SELECT doc_id, t,
+             unnest(range(1, length(t) - 38)) AS pos FROM d),
+         g AS (SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+             substr(t, CAST(pos AS INTEGER), 40) AS gr FROM g0),
+         dup AS (SELECT gr FROM g GROUP BY gr HAVING count(*) >= 2),
+         hits AS (SELECT doc_id, pos AS strt, pos + 40 AS e
+           FROM g JOIN dup USING (gr)),
+         pm AS (SELECT doc_id, strt, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY strt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+           FROM hits),
+         isl AS (SELECT doc_id, strt, e,
+             sum(CASE WHEN pmax IS NULL OR strt > pmax THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY strt
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+           FROM pm)
+         SELECT doc_id, min(strt) AS cut_start, max(e) AS cut_end,
+           max(e) - min(strt) AS n_cut
+         FROM isl GROUP BY doc_id, island
+         ORDER BY doc_id, cut_start""",
     "q_dedup_ngram" ->
       """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
              FROM documents WHERE doc_id < 1000),

@@ -436,4 +436,37 @@ class TextDedupSpec extends AnyFunSuite {
     assert(batch.values.flatten.forall(s =>
       s.length == 8 && s.forall(c => c.isDigit || ('a' to 'f').contains(c))))
   }
+
+  test("substringRemovalPlan: planted shared span yields one merged interval per doc") {
+    import spark.implicits._
+    // a 10-char span "0123456789" shared verbatim by docs 0 and 1 at
+    // different offsets; the rest of each doc is unique (distinct
+    // character sets), so only grams inside the span repeat
+    val df = Seq(
+      (0L, "aaaaabbbbb0123456789cccccddddd"),
+      (1L, "eeeeefffff__0123456789ggggghhh"),
+      (2L, "iiiiijjjjjkkkkklllllmmmmmnnnnn"))
+      .toDF("doc_id", "text")
+    val plan = TextDedup.substringRemovalPlan(df, "doc_id", "text",
+      gramLen = 10, minCount = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .sortBy(x => (x._1, x._2))
+    // exactly the planted span, 1-based, end exclusive: doc 0 at
+    // offset 11, doc 1 at offset 13; doc 2 untouched. A single
+    // 10-gram matches only the exact span, so merge is the identity —
+    // the point is that NO unique text leaks into the cut set.
+    assert(plan.toSeq == Seq((0L, 11, 21), (1L, 13, 23)))
+    // overlap merge: two shared grams overlapping by 5 chars fuse
+    val df2 = Seq(
+      (0L, "xx_SHAREDAAAA_yyzz"), (1L, "qq_SHAREDAAAA_wwvv"))
+      .toDF("doc_id", "text")
+    val plan2 = TextDedup.substringRemovalPlan(df2, "doc_id", "text",
+      gramLen = 6, minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .sortBy(x => (x._1, x._2))
+    // shared region "_sharedaaaa_" (lowercased) spans cols 3..14: its
+    // 6-grams at offsets 3..9 all repeat, merging to [3, 15)
+    assert(plan2.toSeq == Seq((0L, 3, 15), (1L, 3, 15)))
+  }
 }
