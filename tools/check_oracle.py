@@ -45,6 +45,30 @@ def main(outdir, sfdir):
             continue
         srel = con.sql(f"SELECT * FROM read_parquet({files!r})")
         scols, srows = srel.columns, srel.fetchall()
+        # output-rendering hazards (CLAUDE.md rules, r8 root causes):
+        # DECIMAL columns hash differently from their float repr when a
+        # value has trailing zeros at scale; timestamps outside the
+        # ns-int64 range corrupt in ns readers. Flag them even when the
+        # hash happens to pass, so the hazard can't ship latent.
+        hazards = []
+        for cname, ctype in zip(scols, srel.types):
+            ts = str(ctype).upper()
+            if ts.startswith("DECIMAL"):
+                hazards.append(f"decimal column {cname}")
+        import datetime
+        NS_MIN = datetime.datetime(1677, 9, 22)
+        NS_MAX = datetime.datetime(2262, 4, 11)
+        for i, cname in enumerate(scols):
+            for r in srows[:10000]:
+                v = r[i]
+                if isinstance(v, datetime.datetime) and (
+                        v.replace(tzinfo=None) < NS_MIN or
+                        v.replace(tzinfo=None) > NS_MAX):
+                    hazards.append(f"out-of-ns-range timestamp in {cname}")
+                    break
+        if hazards:
+            results[name] = "HAZARD: " + "; ".join(sorted(set(hazards)))
+            continue
         if name not in oracle:
             results[name] = f"NO_ORACLE rows={len(srows)}"
             continue
