@@ -390,6 +390,26 @@ object Multimodal {
     }
   }
 
+  /** Per-sample explode over the PCM seam: (media_id, i, dev, n) with
+    * i 0-based and dev = u8 sample − 128 — the row shape DSP-flavored
+    * SQL (windowed energies, fixed-frequency probes) aggregates over.
+    * Decode happens once inside the partition; everything above it is
+    * columnar. Fan-out is |payload| rows per clip — bounded by clip
+    * length, and the downstream aggregates are all map-side partial.
+    */
+  def samples(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.flatMap { m =>
+        val p = m.payload
+        if (p == null || p.isEmpty) Iterator.empty
+        else p.iterator.zipWithIndex.map { case (b, i) =>
+          (m.media_id, i.toLong, (b & 0xff) - 128, p.length.toLong)
+        }
+      }
+    }.toDF("media_id", "i", "dev", "n")
+  }
+
   /** Frame sampling: one input video/image row → up to `framesPer`
     * frame rows (flatMap inside the partition, still batched).
     */

@@ -340,7 +340,9 @@ object AnalyticsQueries {
       part(o.filter(col("o_orderkey") % 10 =!= 0))
         .unionByName(part(o.filter(col("o_orderkey") % 10 === 0)))
         .groupBy("o_orderpriority")
-        .agg(sum(col("sum_price")).cast("decimal(18,2)").as("sum_price"),
+        // cents out (the decimal-output rule): the merge algebra stays
+        // DECIMAL-exact; only the projection scales to BIGINT
+        .agg((sum(col("sum_price")) * 100).cast("long").as("sum_price_c"),
           sum(col("n_orders")).as("n_orders"))
         .orderBy("o_orderpriority")
     }),
@@ -4106,7 +4108,8 @@ object AnalyticsQueries {
     // equal it exactly (DECIMAL algebra)
     "q_agg_incremental" ->
       """SELECT o_orderpriority,
-           CAST(sum(o_totalprice) AS DECIMAL(18,2)) AS sum_price,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100
+             AS BIGINT) AS sum_price_c,
            CAST(count(*) AS BIGINT) AS n_orders
          FROM orders GROUP BY 1 ORDER BY 1""",
     "q_schema_merge" ->

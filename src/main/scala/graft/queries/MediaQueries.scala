@@ -111,6 +111,41 @@ object MediaQueries {
         .orderBy("media_id")
     }),
 
+    // Fixed-frequency spectral probe (Goertzel-style single-bin DFT
+    // energies at k = 1..3 cycles per clip) over the PCM seam — the
+    // tone/hum detector a speech pipeline runs before transcription.
+    // Cross-engine determinism: the angle is built with ONE shared
+    // association ((2π)·(k·i))/n from exact-integer doubles, each
+    // dev·cos term crosses the aggregate as DECIMAL(28,14)
+    // (order-independent; a 1-ulp libm cos difference shifts the sum
+    // by ≤ n·1e-14, far inside the round(…,6) gate), and the energy
+    // normalization mirrors the oracle's parenthesization exactly.
+    "q_media_spectrum" -> ((s, dir) => {
+      import s.implicits._
+      val sm = graft.ops.Multimodal.samples(
+        media(s, dir).filter(col("kind") === "audio")
+          .as[graft.ops.Multimodal.MediaRecord])
+      val aggs = Seq(1, 2, 3).flatMap { k =>
+        val ang = (lit(2.0 * math.Pi) *
+          (lit(k.toDouble) * col("i").cast("double"))) /
+          col("n").cast("double")
+        Seq(
+          sum((col("dev").cast("double") * cos(ang))
+            .cast("decimal(28,14)")).as(s"c$k"),
+          sum((col("dev").cast("double") * sin(ang))
+            .cast("decimal(28,14)")).as(s"s$k"))
+      }
+      val nn = col("n").cast("double") * col("n").cast("double")
+      sm.groupBy("media_id", "n").agg(aggs.head, aggs.tail: _*)
+        .select(col("media_id") +: col("n").as("n_samples") +:
+          Seq(1, 2, 3).map { k =>
+            round((col(s"c$k").cast("double") * col(s"c$k").cast("double") +
+              col(s"s$k").cast("double") * col(s"s$k").cast("double")) / nn,
+              6).as(s"e${k}_r")
+          }: _*)
+        .orderBy("media_id")
+    }),
+
     // Feature-fingerprint near-dup: above-mean aHash bits over the
     // codec seam, banded Hamming candidate join, exact bit_count(xor)
     // verify — image dedup's plan shape driven through the stub codec
@@ -176,6 +211,36 @@ object MediaQueries {
          SELECT media_id, n_samples, n_quiet, dev2_sum, peak,
            round(CAST(n_quiet AS DOUBLE) / n_samples, 6) AS quiet_ratio_r
          FROM a ORDER BY media_id""",
+    // same hex byte slices as loudness; the angle and energy
+    // expressions share the Spark side's association exactly
+    "q_media_spectrum" -> {
+      def pair(k: Int) =
+        s"""sum(CAST(CAST(dev AS DOUBLE) *
+               cos(((2.0 * pi()) * ($k.0 * CAST(i AS DOUBLE))) /
+                 CAST(n AS DOUBLE)) AS DECIMAL(28,14))) AS c$k,
+             sum(CAST(CAST(dev AS DOUBLE) *
+               sin(((2.0 * pi()) * ($k.0 * CAST(i AS DOUBLE))) /
+                 CAST(n AS DOUBLE)) AS DECIMAL(28,14))) AS s$k"""
+      def energy(k: Int) =
+        s"""round((CAST(c$k AS DOUBLE) * CAST(c$k AS DOUBLE) +
+             CAST(s$k AS DOUBLE) * CAST(s$k AS DOUBLE)) /
+             (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS e${k}_r"""
+      s"""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS ph,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n
+         FROM documents WHERE doc_id % 3 = 1),
+         s AS (SELECT media_id, n, ph,
+             unnest(range(0, n)) AS i FROM m),
+         b AS (SELECT media_id, n, CAST(i AS BIGINT) AS i,
+             CAST(('0x' || substr(ph, CAST(2 * i + 1 AS INTEGER), 2))
+               AS INTEGER) - 128 AS dev
+           FROM s),
+         a AS (SELECT media_id, n,
+             ${pair(1)}, ${pair(2)}, ${pair(3)}
+           FROM b GROUP BY 1, 2)
+         SELECT media_id, n AS n_samples,
+           ${energy(1)}, ${energy(2)}, ${energy(3)}
+         FROM a ORDER BY media_id"""
+    },
     "q_media_features" ->
       """WITH f AS (SELECT doc_id AS media_id,
            CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
