@@ -399,15 +399,18 @@ object Multimodal {
     */
   def samples(media: Dataset[MediaRecord]): DataFrame = {
     import media.sparkSession.implicits._
-    media.mapPartitions { batch =>
-      batch.flatMap { m =>
-        val p = m.payload
-        if (p == null || p.isEmpty) Iterator.empty
-        else p.iterator.zipWithIndex.map { case (b, i) =>
-          (m.media_id, i.toLong, (b & 0xff) - 128, p.length.toLong)
+    // spread BEFORE the |payload|-per-clip fan-out: a few-file source
+    // otherwise funnels the whole sample frame through its file count
+    media.repartition(ScaleOps.fanoutWidth(media.toDF()))
+      .mapPartitions { batch =>
+        batch.flatMap { m =>
+          val p = m.payload
+          if (p == null || p.isEmpty) Iterator.empty
+          else p.iterator.zipWithIndex.map { case (b, i) =>
+            (m.media_id, i.toLong, (b & 0xff) - 128, p.length.toLong)
+          }
         }
-      }
-    }.toDF("media_id", "i", "dev", "n")
+      }.toDF("media_id", "i", "dev", "n")
   }
 
   /** Frame sampling: one input video/image row → up to `framesPer`
