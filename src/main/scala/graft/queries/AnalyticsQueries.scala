@@ -2073,6 +2073,7 @@ object AnalyticsQueries {
             col("l_orderkey") === col("o_orderkey"))
           .select(col("l_suppkey").as("s"), col("o_custkey").as("c"))
           .distinct())
+      sc.count() // eager: self-join sides + degree branch race a lazy cache
       val edges = graft.ops.GraphOps.coOccurrenceEdges(sc, "s", "c",
         minShared = 190L)
       val deg = sc.groupBy("s").agg(count(lit(1)).as("deg"))
