@@ -2685,6 +2685,52 @@ object AnalyticsQueries {
       s.sql(sqlQ22)
     }),
 
+    // TPC-H Q11 shape (important stock): grouped values filtered
+    // against a FRACTION of their own global sum — the
+    // HAVING-vs-scalar-aggregate path, exact decimal at the boundary.
+    "q_sql_q11" -> ((s, dir) => {
+      Seq("lineitem", "supplier", "nation")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(sqlQ11)
+    }),
+
+    // TPC-H Q14 shape (promo revenue share): conditional aggregation
+    // over the fact-dimension join; one month of ship dates pushes to
+    // the scan.
+    "q_sql_q14" -> ((s, dir) => {
+      Seq("lineitem", "part")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(sqlQ14)
+    }),
+
+    // TPC-H Q17 shape (small-quantity orders): a correlated SCALAR
+    // aggregate subquery — the planner decorrelates the per-part
+    // average into an aggregate join rather than re-scanning lineitem
+    // per row.
+    "q_sql_q17" -> ((s, dir) => {
+      Seq("lineitem", "part")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(sqlQ17)
+    }),
+
+    // TPC-H Q19 shape (three-way disjunctive predicate): OR-of-ANDs
+    // spanning both join sides — filter placement around the join is
+    // the exercised path.
+    "q_sql_q19" -> ((s, dir) => {
+      Seq("lineitem", "part")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(sqlQ19)
+    }),
+
+    // TPC-H Q21 shape (waiting suppliers): EXISTS + NOT EXISTS, both
+    // correlated on the fact key and an outer THIRD-table column —
+    // the deepest decorrelation the front door exercises.
+    "q_sql_q21" -> ((s, dir) => {
+      Seq("supplier", "lineitem", "orders")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(sqlQ21)
+    }),
+
     // Pareto frontier (2-D skyline): the (cheapest-price, largest-
     // quantity) non-dominated set — the classic multi-criteria
     // shortlist query. Sort-based, never pairwise: rows collapse to
@@ -3040,6 +3086,122 @@ object AnalyticsQueries {
        GROUP BY s_nationkey
        ORDER BY s_nationkey"""
 
+  /** ONE SQL text for q_sql_q11 — TPC-H Q11 shape adapted (lineitem
+    * value per part stands in for partsupp stock value): parts whose
+    * one-nation value exceeds a FRACTION of the global sum. The
+    * threshold is DECIMAL × DECIMAL (0.001 parses as DECIMAL(4,3) on
+    * both engines) — exact at the boundary, the HAVING-against-
+    * scalar-aggregate planner path.
+    */
+  private val sqlQ11: String =
+    """WITH pv AS (SELECT l_partkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+             AS DECIMAL(28,2)) AS value
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE n_name = 'NATION_3'
+         GROUP BY l_partkey)
+       SELECT l_partkey, CAST(value * 100 AS BIGINT) AS value_c
+       FROM pv
+       WHERE value > (SELECT sum(value) * 0.001 FROM pv)
+       ORDER BY value_c DESC, l_partkey"""
+
+  /** ONE SQL text for q_sql_q14 — TPC-H Q14 shape (promo revenue
+    * share for one month): conditional aggregation over the join; the
+    * share ratio is the one double division, mirrored textually.
+    */
+  private val sqlQ14: String =
+    """SELECT
+         CAST(sum(CASE WHEN p_type = 'PROMO'
+             THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+               (CAST(1 AS DECIMAL(12,2)) -
+                CAST(l_discount AS DECIMAL(12,2)))
+             ELSE CAST(0 AS DECIMAL(12,2)) END) * 10000 AS BIGINT)
+           AS promo_c4,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+             (CAST(1 AS DECIMAL(12,2)) -
+              CAST(l_discount AS DECIMAL(12,2)))) * 10000 AS BIGINT)
+           AS total_c4,
+         round(CAST(sum(CASE WHEN p_type = 'PROMO'
+             THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+               (CAST(1 AS DECIMAL(12,2)) -
+                CAST(l_discount AS DECIMAL(12,2)))
+             ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) /
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+             (CAST(1 AS DECIMAL(12,2)) -
+              CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 6)
+           AS promo_share_r
+       FROM lineitem
+       JOIN part ON l_partkey = p_partkey
+       WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+         AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'"""
+
+  /** ONE SQL text for q_sql_q17 — TPC-H Q17 shape (small-quantity
+    * revenue for one brand/size): a CORRELATED scalar aggregate
+    * subquery (0.2 × the part's average quantity) the planner must
+    * decorrelate into a per-part aggregate join. Quantities are
+    * integer-valued doubles, so the average is an exact sum / exact
+    * count — the threshold cannot wobble at the boundary.
+    */
+  private val sqlQ17: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_small,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) * 100
+           AS BIGINT) AS sum_price_c
+       FROM lineitem l
+       JOIN part p ON p_partkey = l_partkey
+       WHERE p_brand = 'Brand#23' AND p_size = 5
+         AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+             FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)"""
+
+  /** ONE SQL text for q_sql_q19 — TPC-H Q19 shape (discounted revenue
+    * over a DISJUNCTION of brand/size/quantity conjunctions): the
+    * OR-of-ANDs predicate straddles both join sides, exercising
+    * filter placement around the join.
+    */
+  private val sqlQ19: String =
+    """SELECT
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+             (CAST(1 AS DECIMAL(12,2)) -
+              CAST(l_discount AS DECIMAL(12,2)))) * 10000 AS BIGINT)
+           AS revenue_c4,
+         CAST(count(*) AS BIGINT) AS n_items
+       FROM lineitem
+       JOIN part ON p_partkey = l_partkey
+       WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+          OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+          OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)"""
+
+  /** ONE SQL text for q_sql_q21 — TPC-H Q21 shape adapted (no
+    * commit/receipt dates: "late" = shipped more than 90 days after
+    * the order date, via the engine-portable `DATE + int` idiom):
+    * suppliers who were the ONLY late shipper on a multi-supplier
+    * finished order — an EXISTS and a NOT EXISTS both correlated on
+    * the fact key AND an outer column from a third table.
+    */
+  private val sqlQ21: String =
+    """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+       FROM supplier
+       JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+       JOIN orders ON o_orderkey = l1.l_orderkey
+       WHERE o_orderstatus = 'F'
+         AND CAST(l1.l_shipdate AS DATE) >
+           CAST(o_orderdate AS DATE) + 90
+         AND EXISTS (SELECT 1 FROM lineitem l2
+             WHERE l2.l_orderkey = l1.l_orderkey
+               AND l2.l_suppkey <> l1.l_suppkey)
+         AND NOT EXISTS (SELECT 1 FROM lineitem l3
+             WHERE l3.l_orderkey = l1.l_orderkey
+               AND l3.l_suppkey <> l1.l_suppkey
+               AND CAST(l3.l_shipdate AS DATE) >
+                 CAST(o_orderdate AS DATE) + 90)
+       GROUP BY s_name
+       ORDER BY numwait DESC, s_name
+       LIMIT 20"""
+
   /** Unrolled k-core oracle: the same fixed peels as
     * [[graft.ops.GraphOps.kcorePeel]], every round MATERIALIZED (each
     * references its predecessor three times — DuckDB's inliner has
@@ -3303,6 +3465,11 @@ object AnalyticsQueries {
     "q_sql_q13" -> sqlQ13,
     "q_sql_q15" -> sqlQ15,
     "q_sql_q22" -> sqlQ22,
+    "q_sql_q11" -> sqlQ11,
+    "q_sql_q14" -> sqlQ14,
+    "q_sql_q17" -> sqlQ17,
+    "q_sql_q19" -> sqlQ19,
+    "q_sql_q21" -> sqlQ21,
     "q_hll_distinct" -> hllOracle,
     "q_scd_asof" ->
       """WITH s AS (SELECT o_orderkey, o_custkey, o_orderpriority,

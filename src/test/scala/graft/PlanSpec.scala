@@ -359,6 +359,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
   }
 
+  test("q_sql_q17: correlated scalar avg decorrelates to an aggregate join") {
+    val p = plan("q_sql_q17")
+    assert("HashAggregate".r.findAllIn(p).size >= 3,
+      s"per-part average not a standalone aggregate in:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), s"non-keyed join in:\n$p")
+  }
+
+  test("q_sql_q21: EXISTS and NOT EXISTS plan as semi + anti joins") {
+    val p = plan("q_sql_q21")
+    assert(p.contains("LeftSemi"), s"EXISTS not a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS not an anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
   test("q_pmi: vocab count joins unhinted; AQE broadcasts at gate scale") {
     // same contract as q_tfidf: no forced hint on vocabulary-sized
     // builds; pin that AQE converts on measured size in the FINAL plan
