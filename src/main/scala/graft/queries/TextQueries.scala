@@ -148,6 +148,34 @@ object TextQueries {
         .withColumn("n_cut", col("cut_end") - col("cut_start"))
         .orderBy("doc_id", "cut_start")),
 
+    // The removal plan rolled up to the decision report: per SOURCE,
+    // how much of the text is verbatim-repeated boilerplate (cut
+    // chars / total chars). A LEFT join keeps cut-free sources at
+    // ratio 0 — the number a curation run reads before deciding which
+    // feeds to drop. Integer sums; one rounded division.
+    "q_dedup_substring_stats" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          length(lower(trim(col("text")))).cast("long").as("len"))
+      val cuts = TextDedup.substringRemovalPlan(docs(s, dir), "doc_id",
+        "text", gramLen = 40, minCount = 2,
+        handle = graft.ops.QueryCaches.handle())
+        .groupBy("doc_id")
+        .agg(sum((col("cut_end") - col("cut_start")).cast("long"))
+          .as("cut"))
+      d.join(cuts, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("len")).as("n_chars"),
+          coalesce(sum(col("cut")), lit(0L)).as("n_cut"),
+          count(col("cut")).as("n_docs_cut"))
+        .select(col("source"), col("n_docs"), col("n_chars"),
+          col("n_cut"), col("n_docs_cut"),
+          round(col("n_cut").cast("double") /
+            col("n_chars").cast("double"), 6).as("cut_ratio_r"))
+        .orderBy("source")
+    }),
+
     // MinHash + LSH banding (trigram shingles, 6 hashes, 3 bands of 2)
     // → candidate pairs → verified with true Jaccard >= 0.8. This is
     // the dedup scale path: cost O(n · shingles), pairs only within
@@ -1505,6 +1533,43 @@ FROM sj GROUP BY lang ORDER BY lang"""
            max(e) - min(strt) AS n_cut
          FROM isl GROUP BY doc_id, island
          ORDER BY doc_id, cut_start""",
+    // per-source rollup of the same plan; LEFT join keeps cut-free
+    // sources at ratio 0
+    "q_dedup_substring_stats" ->
+      """WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents
+             WHERE length(lower(trim(text))) >= 40),
+         g0 AS (SELECT doc_id, t,
+             unnest(range(1, length(t) - 38)) AS pos FROM d),
+         g AS (SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+             substr(t, CAST(pos AS INTEGER), 40) AS gr FROM g0),
+         dup AS (SELECT gr FROM g GROUP BY gr HAVING count(*) >= 2),
+         hits AS (SELECT doc_id, pos AS strt, pos + 40 AS e
+           FROM g JOIN dup USING (gr)),
+         pm AS (SELECT doc_id, strt, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY strt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+           FROM hits),
+         isl AS (SELECT doc_id, strt, e,
+             sum(CASE WHEN pmax IS NULL OR strt > pmax THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY strt
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+           FROM pm),
+         iv AS (SELECT doc_id,
+             CAST(sum(mx - mn) AS BIGINT) AS cut
+           FROM (SELECT doc_id, island, min(strt) AS mn, max(e) AS mx
+             FROM isl GROUP BY doc_id, island) GROUP BY doc_id),
+         dl AS (SELECT doc_id, source,
+             CAST(length(lower(trim(text))) AS BIGINT) AS len
+           FROM documents)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len) AS BIGINT) AS n_chars,
+           CAST(coalesce(sum(cut), 0) AS BIGINT) AS n_cut,
+           CAST(count(cut) AS BIGINT) AS n_docs_cut,
+           round(CAST(coalesce(sum(cut), 0) AS DOUBLE) /
+             CAST(sum(len) AS DOUBLE), 6) AS cut_ratio_r
+         FROM dl LEFT JOIN iv USING (doc_id)
+         GROUP BY source ORDER BY source""",
     "q_dedup_ngram" ->
       """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
              FROM documents WHERE doc_id < 1000),

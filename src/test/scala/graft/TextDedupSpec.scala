@@ -469,4 +469,44 @@ class TextDedupSpec extends AnyFunSuite {
     // 6-grams at offsets 3..9 all repeat, merging to [3, 15)
     assert(plan2.toSeq == Seq((0L, 3, 15), (1L, 3, 15)))
   }
+
+  test("substringRemovalPlan equals the brute-force covered-span union on a seeded corpus") {
+    import spark.implicits._
+    val L = 5
+    // deterministic low-entropy corpus: plenty of genuine cross- and
+    // within-doc gram repeats
+    val rng = new scala.util.Random(42)
+    val texts = (0L until 30L).map { id =>
+      id -> (0 until (20 + rng.nextInt(40)))
+        .map(_ => "abc".charAt(rng.nextInt(3))).mkString
+    }
+    val got = TextDedup.substringRemovalPlan(
+      texts.toDF("doc_id", "text"), "doc_id", "text",
+      gramLen = L, minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .toSet
+    // brute force: duplicated grams -> covered position union ->
+    // maximal runs as intervals (1-based, end exclusive)
+    val grams = texts.flatMap { case (id, t0) =>
+      val t = t0.toLowerCase.trim
+      if (t.length < L) Nil
+      else (0 to t.length - L).map(i => (id, i + 1, t.substring(i, i + L)))
+    }
+    val dup = grams.groupBy(_._3).filter(_._2.size >= 2).keySet
+    val expected = grams.filter(g => dup(g._3))
+      .groupBy(_._1).flatMap { case (id, hs) =>
+        val covered = hs.flatMap(h => h._2 until h._2 + L).toSet
+        val runs = scala.collection.mutable.Buffer.empty[(Long, Int, Int)]
+        val sorted = covered.toSeq.sorted
+        var start = -1; var prev = -2
+        sorted.foreach { p =>
+          if (p != prev + 1) { if (start >= 0) runs += ((id, start, prev + 1)); start = p }
+          prev = p
+        }
+        if (start >= 0) runs += ((id, start, prev + 1))
+        runs
+      }.toSet
+    assert(got == expected,
+      s"plan mismatch: extra=${got -- expected} missing=${expected -- got}")
+  }
 }
