@@ -374,6 +374,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
   }
 
+  test("q_dedup_substring: gram dup-join keyed, interval merge windows share one doc sort") {
+    val p = plan("q_dedup_substring")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), s"non-keyed join in:\n$p")
+    // both window passes (running max + island sum) ride ONE doc-keyed
+    // exchange: a second hash exchange on doc_id would mean the merge
+    // re-shuffles between its two windows
+    val exchanges = "Exchange hashpartitioning\\(doc_id".r.findAllIn(p).size
+    assert(exchanges <= 1,
+      s"interval merge re-shuffles between windows ($exchanges doc_id exchanges):\n$p")
+    graft.ops.QueryCaches.releaseAll()
+  }
+
   test("q_pmi: vocab count joins unhinted; AQE broadcasts at gate scale") {
     // same contract as q_tfidf: no forced hint on vocabulary-sized
     // builds; pin that AQE converts on measured size in the FINAL plan
