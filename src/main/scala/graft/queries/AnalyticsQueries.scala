@@ -2731,6 +2731,62 @@ object AnalyticsQueries {
       s.sql(sqlQ21)
     }),
 
+    // TPC-H Q2 shape (minimum-cost supplier): the correlated SCALAR
+    // MIN over a 4-way dimension join — the subquery re-joins the
+    // derived part-supplier offers to nation/region and must
+    // decorrelate into a per-part min aggregate joined back on the
+    // equality correlation, not a per-row re-execution. The offers
+    // CTE stands in for partsupp (this schema has none): min exact-
+    // DECIMAL lineitem price per (part, supplier) pair.
+    "q_sql_q2" -> ((s, dir) => {
+      Seq("part", "supplier", "lineitem", "nation", "region")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(sqlQ2)
+    }),
+
+    // TPC-H Q8 shape (market share): one supplier-nation's share of
+    // regional import volume per year — a seven-table join feeding a
+    // conditional aggregate, with the share as the single mirrored
+    // double division over exact-decimal sums.
+    "q_sql_q8" -> ((s, dir) => {
+      Seq("part", "supplier", "lineitem", "orders", "customer",
+        "nation", "region")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(sqlQ8)
+    }),
+
+    // TPC-H Q9 shape (product-type profit rollup): profit =
+    // revenue − cost (p_retailprice × quantity stands in for the
+    // absent ps_supplycost) per nation per year, parts filtered by a
+    // LIKE pattern — the signed-decimal aggregate over a five-table
+    // join, grouped on the bounded nation × year domain.
+    "q_sql_q9" -> ((s, dir) => {
+      Seq("part", "supplier", "lineitem", "orders", "nation")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(sqlQ9)
+    }),
+
+    // TPC-H Q12 shape (late-shipment priority counts): l_linestatus
+    // stands in for the absent l_shipmode, "late" = shipped > 30 days
+    // after ordering (the DATE + int idiom from Q21) — the CASE-
+    // pivoted count pair over the fact join, one year of ship dates
+    // pushed to the scan.
+    "q_sql_q12" -> ((s, dir) => {
+      Seq("orders", "lineitem")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(sqlQ12)
+    }),
+
+    // TPC-H Q20 shape (qualified suppliers): a NESTED semi-join
+    // chain — suppliers IN (shippers of parts IN (pattern-matched
+    // parts) with a HAVING over the exact-decimal year volume) —
+    // two IN-subquery levels the planner must stack as semi joins.
+    "q_sql_q20" -> ((s, dir) => {
+      Seq("supplier", "nation", "lineitem", "part")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(sqlQ20)
+    }),
+
     // Pareto frontier (2-D skyline): the (cheapest-price, largest-
     // quantity) non-dominated set — the classic multi-criteria
     // shortlist query. Sort-based, never pairwise: rows collapse to
@@ -3202,6 +3258,140 @@ object AnalyticsQueries {
        ORDER BY numwait DESC, s_name
        LIMIT 20"""
 
+  /** ONE SQL text for q_sql_q2 — TPC-H Q2 shape adapted: `offers`
+    * (min exact-DECIMAL lineitem price per part–supplier pair) stands
+    * in for partsupp, and the correlated scalar subquery re-derives
+    * the regional minimum per part. Ties on the min keep ALL winning
+    * suppliers (as in TPC-H); (p_partkey, s_name) is the total order.
+    */
+  private val sqlQ2: String =
+    """WITH offers AS (
+         SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           min(CAST(l_extendedprice AS DECIMAL(12,2))) AS ps_cost
+         FROM lineitem GROUP BY l_partkey, l_suppkey)
+       SELECT s_name, n_name, p_partkey, p_brand,
+         CAST(ps_cost * 100 AS BIGINT) AS cost_c,
+         CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+           AS acctbal_c
+       FROM part
+       JOIN offers ON p_partkey = ps_partkey
+       JOIN supplier ON s_suppkey = ps_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name = 'EUROPE' AND p_type = 'LARGE' AND p_size <= 25
+         AND ps_cost = (SELECT min(o2.ps_cost)
+             FROM offers o2
+             JOIN supplier s2 ON s2.s_suppkey = o2.ps_suppkey
+             JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+             JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+             WHERE o2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+       ORDER BY acctbal_c DESC, n_name, s_name, p_partkey"""
+
+  /** ONE SQL text for q_sql_q8 — TPC-H Q8 shape (market share):
+    * NATION_6's share of AMERICA-region ECONOMY-part import volume
+    * per order year. Numerator and denominator are exact-decimal
+    * conditional sums; the share is the one mirrored double division.
+    */
+  private val sqlQ8: String =
+    """WITH vol AS (
+         SELECT year(o_orderdate) AS o_year,
+           CAST(l_extendedprice AS DECIMAL(12,2)) *
+             (CAST(1 AS DECIMAL(12,2)) -
+              CAST(l_discount AS DECIMAL(12,2))) AS volume,
+           n2.n_name AS supp_nation
+         FROM lineitem
+         JOIN part ON p_partkey = l_partkey
+         JOIN supplier ON s_suppkey = l_suppkey
+         JOIN orders ON o_orderkey = l_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         JOIN region ON n1.n_regionkey = r_regionkey
+         JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00')
+       SELECT CAST(o_year AS BIGINT) AS o_year,
+         CAST(sum(CASE WHEN supp_nation = 'NATION_6' THEN volume
+             ELSE CAST(0 AS DECIMAL(12,2)) END) * 10000 AS BIGINT)
+           AS nation_c4,
+         CAST(sum(volume) * 10000 AS BIGINT) AS total_c4,
+         round(CAST(sum(CASE WHEN supp_nation = 'NATION_6' THEN volume
+             ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) /
+           CAST(sum(volume) AS DOUBLE), 6) AS mkt_share_r
+       FROM vol
+       GROUP BY o_year
+       ORDER BY o_year"""
+
+  /** ONE SQL text for q_sql_q9 — TPC-H Q9 shape (profit rollup):
+    * revenue − cost per supplier nation per order year for one part
+    * family; p_retailprice × l_quantity stands in for the absent
+    * ps_supplycost × quantity. Both terms are scale-4 decimals
+    * (quantity is integral), so the signed sum × 10000 is integral.
+    */
+  private val sqlQ9: String =
+    """SELECT n_name AS nation,
+         CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+             (CAST(1 AS DECIMAL(12,2)) -
+              CAST(l_discount AS DECIMAL(12,2))) -
+             CAST(p_retailprice AS DECIMAL(12,2)) *
+             CAST(l_quantity AS DECIMAL(12,2))) * 10000 AS BIGINT)
+           AS profit_c4
+       FROM lineitem
+       JOIN part ON p_partkey = l_partkey
+       JOIN supplier ON s_suppkey = l_suppkey
+       JOIN orders ON o_orderkey = l_orderkey
+       JOIN nation ON s_nationkey = n_nationkey
+       WHERE p_name LIKE '%bolt%'
+       GROUP BY n_name, year(o_orderdate)
+       ORDER BY nation, o_year"""
+
+  /** ONE SQL text for q_sql_q12 — TPC-H Q12 shape (late-shipment
+    * priority counts): l_linestatus stands in for l_shipmode, late =
+    * shipped more than 30 days after ordering (`DATE + int`, the Q21
+    * idiom), one year of ship dates pushed to the scan; the CASE
+    * pivot counts urgent-vs-rest order priorities per class.
+    */
+  private val sqlQ12: String =
+    """SELECT l_linestatus AS ship_class,
+         CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+               OR o_orderpriority = '2-HIGH'
+             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT'
+               AND o_orderpriority <> '2-HIGH'
+             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+       FROM orders
+       JOIN lineitem ON o_orderkey = l_orderkey
+       WHERE CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 30
+         AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+       GROUP BY l_linestatus
+       ORDER BY l_linestatus"""
+
+  /** ONE SQL text for q_sql_q20 — TPC-H Q20 shape (qualified
+    * suppliers): suppliers IN (shippers of parts IN (the red part
+    * family) whose one-year shipped volume clears an exact-decimal
+    * HAVING) — the two-level nested semi-join chain, restricted to
+    * one region's nations.
+    */
+  private val sqlQ20: String =
+    """SELECT s_name,
+         CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+           AS acctbal_c
+       FROM supplier
+       JOIN nation ON s_nationkey = n_nationkey
+       WHERE n_regionkey = 3
+         AND s_suppkey IN (
+           SELECT l_suppkey FROM lineitem
+           WHERE l_partkey IN (SELECT p_partkey FROM part
+               WHERE p_name LIKE 'red%')
+             AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+           GROUP BY l_suppkey
+           HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) >
+             CAST(50 AS DECIMAL(12,2)))
+       ORDER BY s_name"""
+
   /** Unrolled k-core oracle: the same fixed peels as
     * [[graft.ops.GraphOps.kcorePeel]], every round MATERIALIZED (each
     * references its predecessor three times — DuckDB's inliner has
@@ -3470,6 +3660,11 @@ object AnalyticsQueries {
     "q_sql_q17" -> sqlQ17,
     "q_sql_q19" -> sqlQ19,
     "q_sql_q21" -> sqlQ21,
+    "q_sql_q2" -> sqlQ2,
+    "q_sql_q8" -> sqlQ8,
+    "q_sql_q9" -> sqlQ9,
+    "q_sql_q12" -> sqlQ12,
+    "q_sql_q20" -> sqlQ20,
     "q_hll_distinct" -> hllOracle,
     "q_scd_asof" ->
       """WITH s AS (SELECT o_orderkey, o_custkey, o_orderpriority,

@@ -374,6 +374,46 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
   }
 
+  test("q_sql_q2: correlated scalar min decorrelates to an aggregate join") {
+    val p = plan("q_sql_q2")
+    // the per-part regional minimum must become a standalone aggregate
+    // joined back on ps_partkey — a per-row re-execution would show as
+    // a nested-loop or cartesian
+    assert("HashAggregate".r.findAllIn(p).size >= 3,
+      s"regional min not a standalone aggregate in:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), s"non-keyed join in:\n$p")
+  }
+
+  test("q_sql_q8: seven-table star join keeps every edge keyed") {
+    val p = plan("q_sql_q8")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), s"non-keyed join in:\n$p")
+    // the two tiny dimension chains (nation×2, region, part filter)
+    // must broadcast — a shuffled join against a 25-row table is the
+    // wrong plan at any scale
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast dims in:\n$p")
+  }
+
+  test("q_sql_q12: both date predicates push to the lineitem scan") {
+    val p = plan("q_sql_q12")
+    // several scans carry PushedFilters — the lineitem one must have
+    // the ship-date range
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters"))
+      .mkString("\n")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate"),
+      s"ship-date range not pushed: $pushed\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
+  test("q_sql_q20: nested IN chain plans as stacked semi joins") {
+    val p = plan("q_sql_q20")
+    assert("LeftSemi".r.findAllIn(p).size >= 2,
+      s"nested IN not stacked semi joins in:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), s"non-keyed join in:\n$p")
+  }
+
   test("q_dedup_substring: gram dup-join keyed, interval merge windows share one doc sort") {
     val p = plan("q_dedup_substring")
     assert(!p.contains("CartesianProduct") &&
