@@ -421,6 +421,15 @@ object TextDedup {
     * (doc, start) sort, so one exchange keyed by document. Nothing is
     * pairwise: a gram repeated a million times costs one aggregate
     * row, and the cut set is bounded by corpus length.
+    *
+    * Shuffle width: grams travel as an 8-byte `xxhash64`, never as
+    * raw text — a `gramLen`-char gram would amplify the exchange (and
+    * the cache) ~`gramLen`× over the source bytes, the same
+    * slot-packing economics as the minhash signatures. Equality on
+    * the 64-bit hash stands in for gram equality; a collision needs
+    * two distinct grams in the same 2^64 slot (birthday ~5e9 DISTINCT
+    * grams for even one expected collision, and its worst case is one
+    * spurious cut interval, not a lost document).
     */
   def substringRemovalPlan(
       df: DataFrame,
@@ -437,7 +446,7 @@ object TextDedup {
         .filter(length(col("t")) >= gramLen)
         .select(col(idCol), explode(expr(
           s"transform(sequence(1, length(t) - ${gramLen - 1}), " +
-            s"i -> struct(i AS pos, substring(t, i, $gramLen) AS g))"))
+            s"i -> struct(i AS pos, xxhash64(substring(t, i, $gramLen)) AS g))"))
           .as("x"))
         .select(col(idCol), col("x.pos").as("pos"), col("x.g").as("g")))
     val dup = grams.groupBy("g").agg(count(lit(1)).as("c"))
