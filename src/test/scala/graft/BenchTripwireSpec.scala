@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench regression tripwire's gate logic ([[Bench.regressions]])
+  * — including the r9 lesson: a contended first observation must be
+  * clearable by the end-of-run re-time (min) before it reaches stdout.
+  */
+class BenchTripwireSpec extends AnyFunSuite {
+
+  private val base = Map("q_a" -> 1.0, "q_b" -> 0.4, "q_c" -> 3.0)
+
+  test("a seeded slowdown past 2x and 1s absolute growth fires") {
+    val flagged = Bench.regressions(Seq("q_a" -> 2.6), base)
+    assert(flagged == Seq(("q_a", 2.6, 1.0)))
+  }
+
+  test("exactly 2x, or under 1s absolute growth, stays silent") {
+    // 2x but not >2x
+    assert(Bench.regressions(Seq("q_a" -> 2.0), base).isEmpty)
+    // >2x but only 0.6s absolute growth (the sub-second noise band)
+    assert(Bench.regressions(Seq("q_b" -> 1.0), base).isEmpty)
+  }
+
+  test("queries without a committed baseline are ignored") {
+    assert(Bench.regressions(Seq("q_new" -> 99.0), base).isEmpty)
+  }
+
+  test("worst absolute growth sorts first") {
+    val flagged = Bench.regressions(
+      Seq("q_a" -> 3.0, "q_c" -> 9.0), base)
+    assert(flagged.map(_._1) == Seq("q_c", "q_a"))
+  }
+
+  test("a contention false positive clears when the re-time min is taken") {
+    // first pass flags q_a at 2.6s; the idle re-time lands at baseline
+    val candidates = Bench.regressions(Seq("q_a" -> 2.6), base)
+    assert(candidates.nonEmpty)
+    val retimed = candidates.map { case (k, v, _) =>
+      k -> math.min(v, 0.9) } // idle third pass
+    assert(Bench.regressions(retimed, base).isEmpty)
+  }
+
+  test("a real regression survives the re-time pass") {
+    val candidates = Bench.regressions(Seq("q_a" -> 4.0), base)
+    val retimed = candidates.map { case (k, v, _) =>
+      k -> math.min(v, 3.8) } // still slow when idle
+    assert(Bench.regressions(retimed, base) == Seq(("q_a", 3.8, 1.0)))
+  }
+}
