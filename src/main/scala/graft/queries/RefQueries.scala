@@ -291,6 +291,37 @@ object RefQueries {
         }
         .toDF("sample_id", "delimiter", "n_cols")
         .orderBy("sample_id")
+    }),
+
+    // D3–D5 warehouse sink, driver-gated end-to-end: nation flows
+    // through the REAL JdbcDestination writer (plan → all-text DDL via
+    // createTableColumnTypes → batched insert) into embedded Derby
+    // (in /opt/spark/jars — the one warehouse reachable offline), is
+    // read back over spark.read.jdbc, and must hash-match the parquet
+    // original. This is the q_orc_roundtrip pattern for the JDBC
+    // destination: the sink's value fidelity becomes a CORRECTNESS
+    // row instead of spec-only evidence. The all-text contract is the
+    // reference's (generate_table_stmt, app/data.py:57-62): values
+    // go to the warehouse as text and are re-typed on the way out.
+    "q_jdbc_roundtrip" -> ((s, dir) => {
+      import graft.sync.JdbcDestination
+      val url = "jdbc:derby:memory:graftgate;create=true"
+      val derby = JdbcDestination.Dialect("derby", "VARCHAR(255)")
+      val src = t(s, dir, "nation").select(
+        col("n_nationkey").cast("string").as("n_nationkey"),
+        col("n_name"),
+        col("n_regionkey").cast("string").as("n_regionkey"))
+      val p = JdbcDestination.plan("Nation RT", src.columns.toSeq,
+        existingCols = Nil, derby)
+      // bare table name: Derby's JDBC writer cannot auto-create the
+      // x_excel schema (same bound as JdbcIntegrationSpec)
+      JdbcDestination.write(src, url, p.copy(table = "nation_rt"))
+      s.read.format("jdbc")
+        .option("url", url).option("dbtable", "nation_rt").load()
+        .select(col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_name"),
+          col("n_regionkey").cast("long").as("n_regionkey"))
+        .orderBy("n_nationkey")
     }))
 
   // Shared by the reference-faithful form and its scale twin: both
@@ -410,7 +441,13 @@ object RefQueries {
              'Created $b/empty_sheet.csv.' || chr(10) ||
                '0 records loaded successfully.' || chr(10)) AS u
          ORDER BY table_name"""
-    }
+    },
+    // The JDBC roundtrip must return EXACTLY the parquet original:
+    // text-in, re-typed-out through the warehouse loses nothing.
+    "q_jdbc_roundtrip" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+                CAST(n_regionkey AS BIGINT) AS n_regionkey
+         FROM nation ORDER BY n_nationkey"""
     // q_sniff: intentionally no oracle (non-SQL-expressible; rows-only).
   )
 }
