@@ -308,10 +308,13 @@ object StreamQueries {
     // Streaming silence detection: one (last-second, tiebreak) state
     // record per user closes gaps the moment the ending event arrives
     // (StreamGaps.detectGaps — NoTimeout by design: expiring state
-    // would swallow the longest gaps). The two far-future sentinel
-    // FILES land in their own micro-batches and carry user_id −1:
-    // their 8 h spacing forces a cross-batch gap emission through
-    // state, excluded from the gate structurally by sign.
+    // would swallow the longest gaps). The two far-future sentinels
+    // carry user ids −1/−2, excluded from the gate structurally by
+    // sign; runFileStream stages all sentinels before ONE drain, so
+    // they share a micro-batch here — the CROSS-batch emission path
+    // (a gap whose endpoints arrive in different micro-batches) is
+    // pinned by StreamGapsSpec's explicit two-drain MemoryStream
+    // test, not by this gate.
     "q_stream_gaps" -> ((s, dir) => {
       val out = runFileStream(s, dir, "events", "q_stream_gaps_sink",
         sentinels = Seq(
@@ -591,6 +594,23 @@ object StreamQueries {
                   .otherwise(lit("U")).as("op"),
                 col("value"), col("event_type").as("payload"))).toDF()
       }
+      // single-initial-batch assumption made LOUD: the forward-only
+      // operator matches the batch SCD2 oracle because the whole
+      // corpus arrives in the first micro-batch (every key's changes
+      // apply in (ver, sub) order in-batch). A harness change that
+      // slices the initial load (maxFilesPerTrigger, a second drain
+      // of real data) would silently DROP out-of-order events and
+      // diverge the history while q_stream_cdc still passed — so the
+      // applied count must equal the corpus's event count exactly
+      // (the poisoned stale re-delivery contributes 0 when
+      // suppression holds; +1 if it ever regresses — both sides of
+      // the gate trip this check before the hash compare runs).
+      val nApplied = applied.count()
+      val nEvents = Tables.events(s, dir).count()
+      require(nApplied == nEvents,
+        s"q_stream_cdc_scd2: applied $nApplied changes but the corpus " +
+          s"has $nEvents — batch slicing dropped events or the stale " +
+          "re-delivery was applied; the SCD2 gate would be meaningless")
       graft.ops.Corpus.scd2History(
         applied.filter(col("op") === "U")
           .select(col("key"), col("ver"), col("sub"), col("payload")),

@@ -56,10 +56,12 @@ def main(outdir, sfdir):
             if ts.startswith("DECIMAL"):
                 hazards.append(f"decimal column {cname}")
         import datetime
-        NS_MIN = datetime.datetime(1677, 9, 22)
-        NS_MAX = datetime.datetime(2262, 4, 11)
+        # exact ns-int64 bounds (not day-granular: values ON the
+        # boundary days are legitimate up to the exact limit)
+        NS_MIN = datetime.datetime(1677, 9, 21, 0, 12, 43, 145225)
+        NS_MAX = datetime.datetime(2262, 4, 11, 23, 47, 16, 854775)
         for i, cname in enumerate(scols):
-            for r in srows[:10000]:
+            for r in srows:  # all rows: a corrupt sentinel can sit anywhere
                 v = r[i]
                 if isinstance(v, datetime.datetime) and (
                         v.replace(tzinfo=None) < NS_MIN or
