@@ -322,6 +322,38 @@ object AnalyticsQueries {
         .orderBy("source")
     }),
 
+    // Gzip-CSV source/sink round trip — the reference's BULK format
+    // (the D2 s3 destination ships gzip csv; SCALE.md: "bulk data
+    // enters as CSV/parquet"): the documents slice lands as
+    // compressed, quoted CSV and is read back through Spark's
+    // distributed CSV source with an EXPLICIT schema (inference would
+    // cost a second pass over the corpus at scale), then aggregated —
+    // sum(length(text)) crosses the quoting/escaping layer, so a
+    // mangled character anywhere in the corpus moves the hash. Gzip
+    // is not splittable; at 100 TB each written part stays its own
+    // task, which is why the write inherits the source's partitioning
+    // (many parts) rather than coalescing.
+    "q_csv_roundtrip" -> ((s, dir) => {
+      val path = Tables.scratchDir(s, "graft_csv_docs").toString
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), col("text"))
+        .write.mode("overwrite")
+        .option("header", "true").option("compression", "gzip")
+        .csv(path)
+      s.read
+        .schema("doc_id LONG, lang STRING, source STRING, " +
+          "n_chars LONG, text STRING")
+        .option("header", "true")
+        .csv(path)
+        .filter(col("lang") === "en")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).cast("long").as("sum_text_len"))
+        .orderBy("source")
+    }),
+
     // Incremental aggregate maintenance (the IVM pattern): the
     // standing per-priority revenue state merges with the delta
     // batch's partial aggregate — combine(state, partial(delta)) —
@@ -4465,6 +4497,14 @@ object AnalyticsQueries {
     "q_json_roundtrip" ->
       """SELECT source, count(*) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents WHERE lang = 'en'
+         GROUP BY source ORDER BY source""",
+    // the gzip-CSV round trip reads the source of truth too; the
+    // text-length sum crosses the quoting layer on the Spark side
+    "q_csv_roundtrip" ->
+      """SELECT source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(length(text)) AS BIGINT) AS sum_text_len
          FROM documents WHERE lang = 'en'
          GROUP BY source ORDER BY source""",
     // the full recompute IS the oracle: the incremental merge must

@@ -373,6 +373,37 @@ object TextQueries {
         .orderBy("bands")
     }),
 
+    // The other half of the q_minhash_recall measurement: banding
+    // PRECISION — what fraction of LSH candidate pairs survive true-
+    // Jaccard verification. Recall prices missed dups; precision
+    // prices the verification bill (at 100 TB the candidate count IS
+    // the dominant cost of the verify stage, so this is the number
+    // that says whether b/r is wasting it). Same one shingle explode
+    // and one signature aggregate as the recall gate.
+    "q_dedup_precision" -> ((s, dir) => {
+      val slice = docs(s, dir).filter(col("doc_id") < 1000)
+      val sh = TextDedup.shingles(slice, "doc_id", "text", n = 3)
+        .transform(graft.ops.QueryCaches.persist) // cand + verify arms
+      val bandsDf = TextDedup.lshBands(
+        TextDedup.minhashSignatures(sh, "doc_id", numHashes = 6),
+        "doc_id", numHashes = 6, bands = 3)
+      val cand = graft.ops.TextDedup.lshCandidates(bandsDf, "doc_id",
+        maxBucket = Int.MaxValue)
+        .transform(graft.ops.QueryCaches.persist)
+      cand.count() // eager: the count arm and the verify arm race a
+      // lazy cache into recomputing the signature chain (r9 lesson);
+      // this also materializes sh in the same pass
+      val nCand = cand.agg(count(lit(1)).cast("long").as("n_cand"))
+      val nVer = TextDedup.verifiedJaccard(sh, "doc_id", cand,
+        threshold = 0.8)
+        .agg(count(lit(1)).cast("long").as("n_verified"))
+      nCand.crossJoin(nVer)
+        .select(col("n_cand"), col("n_verified"),
+          round(when(col("n_cand") === 0L, lit(1.0))
+            .otherwise(col("n_verified").cast("double") /
+              col("n_cand").cast("double")), 6).as("precision_r"))
+    }),
+
     // Segment-level dedup with reassembly (C4-style line dedup over
     // fixed 8-token spans): keep each distinct span's first
     // occurrence corpus-wide, rebuild documents from survivors.
@@ -1647,6 +1678,16 @@ FROM sj GROUP BY lang ORDER BY lang"""
              AS recall_r
          FROM c""",
     "q_banding_curve" -> bandingCurveOracle,
+    "q_dedup_precision" ->
+      s"""WITH ${minhashCtes(1000)},
+         c AS (SELECT
+             CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
+             CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_verified)
+         SELECT n_cand, n_verified,
+           round(CASE WHEN n_cand = 0 THEN 1.0
+             ELSE CAST(n_verified AS DOUBLE) / CAST(n_cand AS DOUBLE)
+             END, 6) AS precision_r
+         FROM c""",
     "q_dedup_cluster" ->
       s"""WITH RECURSIVE ${minhashCtes()},
          ids AS (SELECT doc_id FROM documents WHERE doc_id < 2000),
