@@ -345,23 +345,46 @@ object TextQueries {
     "q_banding_curve" -> ((s, dir) => {
       val slice = docs(s, dir).filter(col("doc_id") < 1000)
       val sh = TextDedup.shingles(slice, "doc_id", "text", n = 3)
-        .transform(graft.ops.QueryCaches.persist) // truth + 4 configs
-      sh.count() // eager: 5 arms evaluate CONCURRENTLY in the final
-      // union job and a lazy cache races them into recomputes
+        .transform(graft.ops.QueryCaches.persist) // truth + verify arms
+      // ONE signature aggregate serves all four configs — banding
+      // only regroups signature columns
+      val sig = TextDedup.minhashSignatures(sh, "doc_id", numHashes = 6)
+        .transform(graft.ops.QueryCaches.persist) // cand + flag joins
+      sig.count() // eager: concurrent arms race a lazy cache into
+      // recomputes (r9 lesson); materializes sh in the same pass
       val truth = TextDedup.verifiedJaccard(sh, "doc_id", cand = null,
         threshold = 0.8)
         .agg(count(lit(1)).cast("long").as("n_true"))
-      // ONE signature aggregate serves all four configs — banding
-      // only regroups signature columns, so recomputing it per
-      // config would quadruple the dominant stage for nothing
-      val sig = TextDedup.minhashSignatures(sh, "doc_id", numHashes = 6)
-        .transform(graft.ops.QueryCaches.persist)
-      sig.count() // eager, same reason
+      // ONE candidate set and ONE verification serve all four
+      // configs: the b=6 single-hash bands are a SUPERSET of every
+      // valid regrouping's candidates (agreeing on a multi-hash band
+      // implies agreeing on each of its single-hash bands), so
+      // cand_b = cand_6 ∩ band-agreement(b) — config membership is a
+      // projection over the verified pairs, not four verify joins
+      // (the b=1/2/3 verification legs were ~half the query's task
+      // time for answers the b=6 leg already contained).
+      val cand6 = graft.ops.TextDedup.lshCandidates(
+        TextDedup.lshBands(sig, "doc_id", numHashes = 6, bands = 6),
+        "doc_id", maxBucket = Int.MaxValue)
+      def agree(b: Int): Column = {
+        val rows = 6 / b
+        (0 until b).map { bi =>
+          (0 until rows).map(r =>
+            col(s"sa.mh${bi * rows + r}") === col(s"sb.mh${bi * rows + r}"))
+            .reduce(_ && _)
+        }.reduce(_ || _)
+      }
+      val flags = TextDedup.verifiedJaccard(sh, "doc_id", cand6,
+        threshold = 0.8)
+        .select(col("a"), col("b"))
+        .join(sig.as("sa"), col("a") === col("sa.doc_id"))
+        .join(sig.as("sb"), col("b") === col("sb.doc_id"))
+        .select(agree(1).as("f1"), agree(2).as("f2"),
+          agree(3).as("f3"), agree(6).as("f6"))
+        .transform(graft.ops.QueryCaches.persist) // 4 count arms
+      flags.count() // eager, same race
       val rows = Seq(1, 2, 3, 6).map { b =>
-        val cand = graft.ops.TextDedup.lshCandidates(
-          TextDedup.lshBands(sig, "doc_id", numHashes = 6, bands = b),
-          "doc_id", maxBucket = Int.MaxValue)
-        TextDedup.verifiedJaccard(sh, "doc_id", cand, threshold = 0.8)
+        flags.filter(col(s"f$b"))
           .agg(count(lit(1)).cast("long").as("n_found"))
           .select(lit(b.toLong).as("bands"), col("n_found"))
       }.reduce(_ unionByName _)
