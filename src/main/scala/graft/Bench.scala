@@ -186,12 +186,21 @@ object Bench {
         case "q_ann_lsh_16x" => annProxyPass()
         case _ => SparkEntry.queries.get(name).map { fn =>
           val t0 = System.nanoTime()
-          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch { case _: Throwable => () }
+          // a failed re-time must NOT clear a flagged regression: the
+          // elapsed time of a crash is short, and min(v, crash-time)
+          // would silently clear a genuinely broken query. Surface it and
+          // keep the original (flagged) measurement.
+          val ok =
+            try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+            catch {
+              case e: Throwable =>
+                System.err.println(s"[bench] $name RETIME FAILED: ${e.getClass.getSimpleName}")
+                false
+            }
           val dt = (System.nanoTime() - t0) / 1e9
           graft.ops.QueryCaches.releaseAll()
           spark.catalog.clearCache()
-          dt
+          if (ok) dt else Double.MaxValue
         }.getOrElse(Double.MaxValue)
       }
       val regressed = regressions(

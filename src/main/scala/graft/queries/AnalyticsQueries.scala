@@ -341,10 +341,15 @@ object AnalyticsQueries {
         .write.mode("overwrite")
         .option("header", "true").option("compression", "gzip")
         .csv(path)
+      // multiLine keeps embedded newlines inside quoted fields intact
+      // on the read-back (the synthetic corpus has none today, but a
+      // regeneration adding them must not mangle the hash); gzip parts
+      // are one task each regardless, so splittability is unaffected.
       s.read
         .schema("doc_id LONG, lang STRING, source STRING, " +
           "n_chars LONG, text STRING")
         .option("header", "true")
+        .option("multiLine", "true")
         .csv(path)
         .filter(col("lang") === "en")
         .groupBy("source")
@@ -1500,9 +1505,9 @@ object AnalyticsQueries {
     // The fold from the bipartite purchase graph is the expensive
     // step and is persisted before the triple join reuses it 3×.
     // GraphOps.coOccurrenceEdges carries the per-customer degree cap
-    // (a hot buyer makes the fold quadratic); the gate passes
-    // Int.MaxValue to mirror the uncapped oracle exactly — the
-    // capBuckets pattern. CoOccurrenceSpec exercises the capped path.
+    // (a hot buyer makes the fold quadratic); the gates pass
+    // GateScale.uncapped — rationale and the production cap contract
+    // live on that constant.
     "q_triangles" -> ((s, dir) => {
       val sc = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"))
@@ -1511,7 +1516,7 @@ object AnalyticsQueries {
         .select(col("l_suppkey").as("s"), col("o_custkey").as("c"))
       val edges = graft.ops.QueryCaches.persist(
         graft.ops.GraphOps.coOccurrenceEdges(sc, "s", "c",
-          minShared = 190L, maxKeyDegree = Int.MaxValue)
+          minShared = 190L, maxKeyDegree = GateScale.uncapped)
           .select(col("ia").as("sa"), col("ib").as("sb")))
       edges.select(col("sa").as("a"), col("sb").as("b"))
         .join(edges.select(col("sa").as("b"), col("sb").as("c")), "b")
@@ -1578,7 +1583,7 @@ object AnalyticsQueries {
         .select(col("l_suppkey").as("s"), col("o_custkey").as("c"))
       val edges = graft.ops.QueryCaches.persist(
         graft.ops.GraphOps.coOccurrenceEdges(sc, "s", "c",
-          minShared = 190L, maxKeyDegree = Int.MaxValue)
+          minShared = 190L, maxKeyDegree = GateScale.uncapped)
           .select(col("ia").as("sa"), col("ib").as("sb")))
       val deg = edges.select(col("sa").as("v"))
         .unionAll(edges.select(col("sb").as("v")))
@@ -1996,7 +2001,7 @@ object AnalyticsQueries {
         .select(col("l_suppkey").as("s"), col("o_custkey").as("c"))
       val edges = graft.ops.QueryCaches.persist(
         graft.ops.GraphOps.coOccurrenceEdges(sc, "s", "c",
-          minShared = 190L, maxKeyDegree = Int.MaxValue)
+          minShared = 190L, maxKeyDegree = GateScale.uncapped)
           .select(col("ia").as("sa"), col("ib").as("sb")))
       val tri = edges.select(col("sa").as("a"), col("sb").as("b"))
         .join(edges.select(col("sa").as("b"), col("sb").as("c")), "b")
@@ -2107,7 +2112,7 @@ object AnalyticsQueries {
           .distinct())
       sc.count() // eager: self-join sides + degree branch race a lazy cache
       val edges = graft.ops.GraphOps.coOccurrenceEdges(sc, "s", "c",
-        minShared = 190L)
+        minShared = 190L, maxKeyDegree = GateScale.uncapped)
       val deg = sc.groupBy("s").agg(count(lit(1)).as("deg"))
       edges
         .join(deg.select(col("s").as("ia"), col("deg").as("na")), "ia")

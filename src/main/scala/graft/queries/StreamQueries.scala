@@ -285,8 +285,10 @@ object StreamQueries {
             .outputMode("append").start()
           try {
             q.processAllAvailable()
+            // both sentinels in ONE drain: append-mode emission is a
+            // function of the FINAL watermark only (the runFileStream
+            // rule) — a per-sentinel drain costs ~1 s of state commits
             addSentinelFile(1, maxNs + 3600L * 1000000000L)
-            q.processAllAvailable()
             addSentinelFile(2, maxNs + 7200L * 1000000000L)
             q.processAllAvailable()
           } finally {
@@ -622,6 +624,96 @@ object StreamQueries {
         .orderBy("user_id", "valid_from_ns", "etype", "valid_to_ns")
     }),
 
+    // CDC → SCD2 under REAL batch slicing — the multi-batch twin of
+    // q_stream_cdc_scd2. The changelog arrives as TWO time-sliced
+    // parquet files drained as separate micro-batches (slice 1 drains
+    // fully before slice 2 enters the source dir), so the per-key
+    // forward-only (ver, sub) state must SURVIVE the batch boundary
+    // for the history to match the batch oracle. Slicing is by event
+    // time (slice 1 = ts_ns <= midpoint), so cross-batch arrival is
+    // version-ordered and the exact batch SCD2 oracle still holds;
+    // what the single-batch gate cannot prove — state continuity and
+    // CROSS-batch stale suppression — this one does: slice 2 carries
+    // a verbatim re-delivery of slice 1's last applied change for one
+    // key with a poisoned payload, suppressed only if batch 1's state
+    // is still live when batch 2 applies (a fresh state would admit
+    // it and open an interval the oracle lacks).
+    "q_stream_cdc_scd2_sliced" -> ((s, dir) => {
+      import java.nio.file.{Files => NF}
+      import scala.jdk.CollectionConverters._
+      // staging shape: ts as epoch-ns Long (withEventTime's LongType
+      // leg) — slices re-written from the normalized read keep ONE
+      // schema regardless of the raw table's physical ts type
+      val ev = graft.ops.QueryCaches.persist(Tables.events(s, dir)
+        .select(col("event_id"), col("ts_ns").as("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props")))
+      val bounds = ev.agg(min("ts").as("lo"), max("ts").as("hi")).head()
+      val mid = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
+      val sliceA = ev.filter(col("ts") <= mid)
+      // stale re-delivery probe: slice 1's last change, verbatim but
+      // poisoned — its (ver, sub) equals that key's state after batch
+      // 1, so the forward-only rule (strictly greater) must apply 0
+      val lastA = sliceA.orderBy(col("ts").desc, col("event_id").desc).head()
+      val poison = s.createDataFrame(
+        java.util.List.of(Row(lastA.getLong(0), lastA.getLong(1),
+          lastA.getLong(2), "poison", 0.0, "{}")), sliceA.schema)
+      val sliceB = ev.filter(col("ts") > mid).unionAll(poison)
+      val tmp = NF.createTempDirectory("graft_stream_cdc_sliced")
+      def stage(df: DataFrame, name: String): Unit = {
+        val st = NF.createTempDirectory(s"graft_slice_$name")
+        try {
+          df.coalesce(1).write.mode("overwrite").parquet(st.toString)
+          val ls = NF.list(st)
+          val part = try ls.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+            finally ls.close()
+          // same-fs move is atomic — the source never sees half a file
+          NF.move(part, tmp.resolve(s"$name.parquet"))
+        } finally deleteRecursively(st)
+      }
+      stage(sliceA, "slice_0")
+      var dataBatches = 0
+      val applied = withStatePartitions(s) {
+        val q = graft.streaming.StreamCdc.applyChangelog(
+          Tables.withEventTime(
+            s.readStream.schema(sliceA.schema).parquet(tmp.toString))
+            .select(col("user_id").as("key"), col("ts_ns").as("ver"),
+              col("event_id").as("sub"),
+              when(col("event_type") === "error", lit("D"))
+                .otherwise(lit("U")).as("op"),
+              col("value"), col("event_type").as("payload"))).toDF()
+          .writeStream.format("memory")
+          .queryName("q_stream_cdc_scd2_sliced_sink")
+          .outputMode("append").start()
+        try {
+          q.processAllAvailable() // batch 1: slice_0 only
+          stage(sliceB, "slice_1")
+          q.processAllAvailable() // batch 2: slice_1 + the poison
+          dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        } finally { q.stop(); deleteRecursively(tmp) }
+        s.table("q_stream_cdc_scd2_sliced_sink")
+      }
+      require(dataBatches >= 2,
+        s"q_stream_cdc_scd2_sliced: saw $dataBatches data micro-batches " +
+          "— the slicing harness collapsed to one batch and the gate " +
+          "no longer tests cross-batch state")
+      val nApplied = applied.count()
+      val nEvents = ev.count()
+      require(nApplied == nEvents,
+        s"q_stream_cdc_scd2_sliced: applied $nApplied changes, corpus " +
+          s"has $nEvents — batch slicing dropped events or the " +
+          "cross-batch stale re-delivery was applied")
+      graft.ops.Corpus.scd2History(
+        applied.filter(col("op") === "U")
+          .select(col("key"), col("ver"), col("sub"), col("payload")),
+        "key", "payload", Seq("ver", "sub"))
+        .select(col("key").as("user_id"), col("payload").as("etype"),
+          col("ver").as("valid_from_ns"),
+          coalesce(col("valid_to"), lit(-1L)).as("valid_to_ns"),
+          col("is_current"))
+        .orderBy("user_id", "valid_from_ns", "etype", "valid_to_ns")
+    }),
+
     // Streaming corpus-drift monitor: tumbling-window token counts
     // (watermark-bounded state, the q_stream_trending ingest) emit to
     // the sink, then the PSI of each window's smoothed token
@@ -818,8 +910,12 @@ object StreamQueries {
                   .find(_.getFileName.toString.endsWith(".parquet")).get
                 finally st.close()
               NF.move(part, inDir.resolve(s"sentinel_$i.parquet"))
-              q.processAllAvailable()
             }
+            // one drain for both sentinel files (the runFileStream
+            // rule): append-mode output depends only on the final
+            // watermark, and each extra drain pays a data + no-data
+            // micro-batch pair of state commits
+            q.processAllAvailable()
           } finally q.stop()
         }
         // reading the sink directory goes through its _spark_metadata
@@ -1093,6 +1189,27 @@ object StreamQueries {
     // stream side's poison probe must be absent (suppressed at the
     // CDC edge) for the hashes to meet
     "q_stream_cdc_scd2" ->
+      """WITH u AS (SELECT user_id, epoch_ns(ts) AS ver, event_id AS sub,
+             event_type AS payload
+           FROM events WHERE event_type <> 'error'),
+         s AS (SELECT user_id, ver, sub, payload,
+             lag(payload) OVER (PARTITION BY user_id ORDER BY ver, sub)
+               AS prev
+           FROM u),
+         ch AS (SELECT user_id, ver, sub, payload FROM s
+           WHERE prev IS DISTINCT FROM payload),
+         v AS (SELECT user_id, payload, ver,
+             lead(ver) OVER (PARTITION BY user_id ORDER BY ver, sub)
+               AS vt
+           FROM ch)
+         SELECT user_id, payload AS etype, ver AS valid_from_ns,
+           coalesce(vt, -1) AS valid_to_ns, (vt IS NULL) AS is_current
+         FROM v
+         ORDER BY user_id, valid_from_ns, etype, valid_to_ns""",
+    // multi-batch twin: time-ordered slicing keeps the batch SCD2
+    // oracle exact, and the cross-batch poison re-delivery must be
+    // suppressed for the hashes to meet — identical oracle text
+    "q_stream_cdc_scd2_sliced" ->
       """WITH u AS (SELECT user_id, epoch_ns(ts) AS ver, event_id AS sub,
              event_type AS payload
            FROM events WHERE event_type <> 'error'),
