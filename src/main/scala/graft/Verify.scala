@@ -20,7 +20,22 @@ object Verify {
       name: String,
       fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
     try {
-      fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      val df = fn(spark, sfDir)
+      // global-window tripwire: an unpartitioned window is a
+      // single-reducer funnel at scale; only the audited bounded set
+      // may plan one (see graft.tools.WindowAudit.whitelist). The
+      // check rides the driver's own correctness run — a new global
+      // window turns this query's row red instead of shipping as a
+      // silent WARN in the bench tail. Inspect sparkPlan (pre-AQE);
+      // the counter recurses persist/adaptive boundaries itself.
+      val nGlobal = graft.tools.WindowAudit.unpartitionedWindows(
+        df.queryExecution.sparkPlan)
+      if (nGlobal > 0 && !graft.tools.WindowAudit.whitelist(name))
+        throw new IllegalStateException(
+          s"$name plans $nGlobal unpartitioned window(s) but is not in " +
+            "WindowAudit.whitelist — partition the window (or, if " +
+            "bounded by construction, whitelist it with the rationale)")
+      df.coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       true
     } catch { case e: Throwable =>

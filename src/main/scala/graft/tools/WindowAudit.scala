@@ -17,8 +17,16 @@ import org.apache.spark.sql.execution.window.WindowExec
   */
 object WindowAudit {
 
-  /** Queries allowed to plan a global window, each bounded by
-    * construction (see PlanSpec's whitelist test for the rationale).
+  /** The EXACT set of declared queries allowed to plan a global
+    * window, each bounded by construction. Verified empirically by
+    * this tool's full sweep (r11): every other query — including the
+    * global-window users whose window runs in a driver-bounded
+    * BUILD-time action (two-phase quantile lookups, IVF seed
+    * selection) and therefore never appears in the returned plan —
+    * is clean. Enforced two ways: `Verify.runOne` fails any
+    * non-whitelisted query that plans one (driver-gated every
+    * round), and PlanSpec asserts each member still plans one (a
+    * stale entry must shrink this set, not linger).
     */
   val whitelist: Set[String] = Set(
     // reference-faithful global row_number (driver-sized; each has a
@@ -27,21 +35,42 @@ object WindowAudit {
     // calendar-bounded hourly frames (corpus collapses to <= 8.8k
     // rows/year BEFORE the window)
     "q_seasonal_decomp", "q_anomaly_hours", "q_changepoint",
-    "q_acf", "q_holt_winters", "q_hourly_gaps",
-    // k-row frames (after .limit(k) / bounded seed selection)
-    "q_ann_ivf_kmeans", "q_stream_ivf",
-    // bounded post-aggregate frames (quantile grid, distribution keys)
-    "q_equi_depth_hist", "q_quantiles")
+    // rank windows over frames bounded by a LIMIT literal (top-20
+    // retrieval arms)
+    "q_rrf_fusion", "q_hard_negatives")
 
+  /** Count unpartitioned windows, recursing through persist boundaries
+    * (an `InMemoryTableScan` leaf hides its cached subtree from a
+    * naive collect) and subqueries. localCheckpoint cuts stay opaque
+    * by construction — their subtree already ran at build time.
+    */
+  /* collect, NOT collectWithSubqueries: on the unprepared sparkPlan a
+   * subquery expression still holds its LOGICAL plan and the traversal
+   * would cast it to SparkPlan (q_sql_q11/q15/q22 crashed on exactly
+   * this). Subquery bodies are scalar/IN-list shaped — a global window
+   * inside one is bounded by the subquery's own cardinality. */
   def unpartitionedWindows(plan: org.apache.spark.sql.execution.SparkPlan): Int =
-    plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }.size
+    plan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => 1
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        unpartitionedWindows(s.relation.cachedPlan)
+      // a cached plan (or a plan handed in post-wrapping) may carry
+      // the adaptive wrapper; audit its input tree
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        unpartitionedWindows(a.inputPlan)
+    }.sum
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = graft.GraftSession.configure(
-      org.apache.spark.sql.SparkSession.builder()).getOrCreate()
+      org.apache.spark.sql.SparkSession.builder()
+        .master(s"local[$cpus]")).getOrCreate()
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val skipStreams = sys.env.get("SPARK_GRAFT_AUDIT_SKIP_STREAMS").contains("1")
+    val t00 = System.nanoTime()
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(n => skipStreams && n.startsWith("q_stream_"))
     var offenders = Vector.empty[(String, Int)]
     names.foreach { name =>
       val t0 = System.nanoTime()
@@ -62,7 +91,8 @@ object WindowAudit {
     }
     val newOnes = offenders.map(_._1).filterNot(whitelist)
     val unused = whitelist -- offenders.map(_._1).toSet
-    println(s"\n${offenders.size} queries with global windows; " +
+    println(f"\nswept ${names.size} queries in ${(System.nanoTime() - t00) / 1e9}%.1f s")
+    println(s"${offenders.size} queries with global windows; " +
       s"NEW (not whitelisted): ${if (newOnes.isEmpty) "none" else newOnes.mkString(", ")}; " +
       s"whitelisted-but-clean: ${if (unused.isEmpty) "none" else unused.mkString(", ")}")
   }

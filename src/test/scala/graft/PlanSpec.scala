@@ -427,6 +427,26 @@ class PlanSpec extends AnyFunSuite {
     graft.ops.QueryCaches.releaseAll()
   }
 
+  test("unpartitioned-window whitelist is exact: every member still plans one") {
+    // the enforcement direction (NO query outside the whitelist plans
+    // a global window) rides Verify.runOne on the driver's own run —
+    // zero extra cost, every round, full surface. This spec pins the
+    // other direction: each whitelisted query still PLANS its bounded
+    // global window, so a refactor that removes one must shrink the
+    // whitelist rather than leave a stale allowance a future
+    // unbounded window could hide behind. sparkPlan (pre-AQE) +
+    // persist-boundary recursion per the plan-string rule.
+    graft.tools.WindowAudit.whitelist.toSeq.sorted.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      val n = graft.tools.WindowAudit.unpartitionedWindows(
+        df.queryExecution.sparkPlan)
+      assert(n > 0,
+        s"$name is whitelisted for a global window but no longer plans " +
+          "one — remove it from WindowAudit.whitelist")
+      graft.ops.QueryCaches.releaseAll()
+    }
+  }
+
   test("q_pmi: vocab count joins unhinted; AQE broadcasts at gate scale") {
     // same contract as q_tfidf: no forced hint on vocabulary-sized
     // builds; pin that AQE converts on measured size in the FINAL plan
