@@ -55,11 +55,18 @@ object AnalyticsQueries {
     // 24 rows by construction — broadcast is safe at any corpus size
     val seas = det.groupBy("hod")
       .agg((sum(col("det")) / count(lit(1))).as("seas"))
+    // + 0.0 after the round: residuals (and in principle the seasonal
+    // mean) sit AT zero, where cross-engine accumulation epsilons
+    // round to -0.0 on one engine and 0.0 on the other (repr'd
+    // differently by the driver's hash — sf0.1 hit exactly one such
+    // row). IEEE -0.0 + 0.0 = +0.0 normalizes the sign identically
+    // on both sides; trend is an exact positive integer mean and
+    // needs no guard.
     det.join(broadcast(seas), Seq("hod"))
       .select(col("hr"), col("hod"), col("cnt"),
         round(col("trend"), 6).as("trend_r"),
-        round(col("seas"), 6).as("seas_r"),
-        round(col("det") - col("seas"), 6).as("resid_r"))
+        (round(col("seas"), 6) + lit(0.0)).as("seas_r"),
+        (round(col("det") - col("seas"), 6) + lit(0.0)).as("resid_r"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2088,7 +2095,15 @@ object AnalyticsQueries {
       // the term is a function of the CUSTOMER's degree alone —
       // computed once per customer here, not once per pair row (a
       // |pairs|/|customers| ≈ 1000× saving on the ln+decimal work)
+      // deg >= 2 BEFORE the term: a degree-1 customer can never sit
+      // between two suppliers, but ANSI mode evaluates 1/ln(deg) for
+      // every degc row during the join — ln(1) = 0 raised
+      // DIVIDE_BY_ZERO the first time a single-supplier customer
+      // appeared in the corpus (sf0.1; smaller gates are denser).
+      // The oracle needs no change: DuckDB computes the term only on
+      // pair-joined rows, which are deg >= 2 by construction.
       val degc = e.groupBy("c").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 2)
         .withColumn("term", (lit(1.0) / log(col("deg").cast("double")))
           .cast("decimal(20,12)"))
       e.select(col("sp").as("ia"), col("c"))
@@ -3473,8 +3488,9 @@ object AnalyticsQueries {
          se AS (SELECT hod, sum(det) / count(*) AS seas
            FROM dt GROUP BY 1),
          dc AS (SELECT dt.hr, dt.hod, dt.cnt,
-             round(dt.trend, 6) AS trend_r, round(se.seas, 6) AS seas_r,
-             round(dt.det - se.seas, 6) AS resid_r
+             round(dt.trend, 6) AS trend_r,
+             round(se.seas, 6) + 0.0 AS seas_r,
+             round(dt.det - se.seas, 6) + 0.0 AS resid_r
            FROM dt JOIN se USING (hod))"""
 
   /** Lagged-Pearson oracle shared by q_acf / q_cross_corr: the same

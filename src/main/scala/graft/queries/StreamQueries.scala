@@ -29,11 +29,12 @@ object StreamQueries {
     * the stream's first checkpoint: each micro-batch opens/commits one
     * state store PER partition PER stateful operator, so oversizing it
     * multiplies fixed store overhead, not parallelism. The gate/bench
-    * streams carry tiny state, and 32 partitions measured 2-3x slower
-    * than 8 on pure store-commit overhead; a production deployment
-    * sizes this to state volume instead (conf at first run).
+    * streams carry tiny state: 32 partitions measured 2-3x slower
+    * than 8 on pure store-commit overhead, and 4 measured faster
+    * still (r11 family bench); a production deployment sizes this to
+    * state volume instead (conf at first run).
     */
-  private def withStatePartitions[A](s: SparkSession, n: Int = 8)(f: => A): A = {
+  private def withStatePartitions[A](s: SparkSession, n: Int = 4)(f: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val old = s.conf.get(key)
     s.conf.set(key, n.toString)
