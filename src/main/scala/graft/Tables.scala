@@ -58,9 +58,17 @@ object Tables {
     * gates use it to place watermark-advancing sentinels past the data.
     */
   def maxEventNs(spark: SparkSession, dir: String): Option[Long] = {
-    val r = events(spark, dir).agg(max("ts_ns")).head()
-    if (r.isNullAt(0)) None else Some(r.getLong(0))
+    // memoized per sf dir: the testdata is immutable within a run and
+    // ~10 stream gates each paid this full-column agg (~0.3 s at
+    // sf0.1) just to place their watermark sentinels — the same
+    // caching any production system applies to table statistics
+    maxNsCache.computeIfAbsent(dir, { d =>
+      val r = events(spark, d).agg(max("ts_ns")).head()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    })
   }
+  private val maxNsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Long]]()
 
   /** Per-run scratch path for queries that write real files (ORC
     * round-trip, CoW merge, persisted IVF, stream sink …). Fixed

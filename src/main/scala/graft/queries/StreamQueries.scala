@@ -81,46 +81,45 @@ object StreamQueries {
       dir: String,
       table: String,
       sink: String,
-      sentinels: Seq[Row] = Nil)(
+      sentinels: Seq[Row] = Nil,
+      stateParts: Int = 4)(
       pipeline: DataFrame => DataFrame): DataFrame = {
     import scala.jdk.CollectionConverters._
     import java.nio.file.{Files => NF, Paths}
     val src = Paths.get(dir, s"$table.parquet")
-    val schema = s.read.parquet(src.toString).schema
+    val schema = tableSchema(s, src.toString)
     val tmp = NF.createTempDirectory(s"graft_stream_$table")
     val stagings = scala.collection.mutable.Buffer.empty[java.nio.file.Path]
-    def addSentinelFile(i: Int, row: Row): Unit = {
-      val staging = NF.createTempDirectory(s"graft_sentinel$i")
-      stagings += staging
-      s.createDataFrame(java.util.List.of(conformRow(row, schema)), schema)
-        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
-      val st = NF.list(staging)
-      val part =
-        try st.iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet")).get
-        finally st.close()
-      // move is atomic on the same fs — the source never sees a
-      // half-written sentinel file
-      NF.move(part, tmp.resolve(s"sentinel_$i.parquet"))
-    }
     copyTableFiles(src, tmp)
-    withStatePartitions(s) {
+    withStatePartitions(s, stateParts) {
       val q = pipeline(s.readStream.schema(schema).parquet(tmp.toString))
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       try {
         q.processAllAvailable()
-        // all sentinels land in ONE drain: append-mode emission is a
-        // function of the FINAL watermark only (windows/join state
-        // flush when the max event time passes them), so staging the
-        // files together yields the identical output while paying one
-        // data + no-data micro-batch pair instead of one per sentinel
-        // — each extra pair is ~1 s of per-partition state commits on
-        // a stream-stream join (q_stream_sjoin_outer measured)
+        // all sentinels land in ONE drain AND one FILE: append-mode
+        // emission is a function of the FINAL watermark only
+        // (windows/join state flush when the max event time passes
+        // them), so staging the rows together yields the identical
+        // output while paying one data + no-data micro-batch pair
+        // instead of one per sentinel — each extra pair is ~1 s of
+        // per-partition state commits on a stream-stream join
+        // (q_stream_sjoin_outer measured) — and ONE driver-side write
+        // job instead of one per row (~0.2 s each, r11 family bench)
         if (sentinels.nonEmpty) {
-          sentinels.zipWithIndex.foreach { case (r, i) =>
-            addSentinelFile(i + 1, r)
-          }
+          val staging = NF.createTempDirectory("graft_sentinels")
+          stagings += staging
+          s.createDataFrame(
+            sentinels.map(conformRow(_, schema)).asJava, schema)
+            .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+          val st = NF.list(staging)
+          val part =
+            try st.iterator().asScala
+              .find(_.getFileName.toString.endsWith(".parquet")).get
+            finally st.close()
+          // move is atomic on the same fs — the source never sees a
+          // half-written sentinel file
+          NF.move(part, tmp.resolve("sentinel_all.parquet"))
           q.processAllAvailable()
         }
       } finally {
@@ -130,6 +129,17 @@ object StreamQueries {
     }
     s.table(sink)
   }
+
+  /** Parquet footer schema, memoized per path: the testdata tables are
+    * immutable within a run, and every file-source gate re-read the
+    * same events footer just to declare its stream schema.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.StructType]()
+  private def tableSchema(
+      s: SparkSession, path: String): org.apache.spark.sql.types.StructType =
+    schemaCache.computeIfAbsent(path, p => s.read.parquet(p).schema)
 
   /** Event time synthesized from doc_id/vec_id, offset past epoch 0: a
     * row whose event time equals the stream's initial watermark would
@@ -263,20 +273,19 @@ object StreamQueries {
         // a sentinel event as a parquet FILE dropped into the stream
         // dir — the file-source analogue of the sentinel batches
         val stagings = scala.collection.mutable.Buffer.empty[java.nio.file.Path]
-        val rawSchema = s.read.parquet(src.toString).schema
-        def addSentinelFile(i: Int, tsNs: Long): Unit = {
-          val staging = NF.createTempDirectory(s"graft_stream_sentinel$i")
+        val rawSchema = tableSchema(s, src.toString)
+        def addSentinelFile(rows: Seq[Row]): Unit = {
+          val staging = NF.createTempDirectory("graft_stream_sentinels")
           stagings += staging
           s.createDataFrame(
-            java.util.List.of(
-              conformRow(eventRow(-i.toLong, tsNs), rawSchema)), rawSchema)
+            rows.map(conformRow(_, rawSchema)).asJava, rawSchema)
             .coalesce(1).write.mode("overwrite").parquet(staging.toString)
           val st = NF.list(staging)
           val part =
             try st.iterator().asScala
               .find(_.getFileName.toString.endsWith(".parquet")).get
             finally st.close()
-          NF.move(part, tmp.resolve(s"sentinel_$i.parquet"))
+          NF.move(part, tmp.resolve("sentinel_all.parquet"))
         }
         withStatePartitions(s) {
           val q = EventStream.windowedCounts(
@@ -286,11 +295,12 @@ object StreamQueries {
             .outputMode("append").start()
           try {
             q.processAllAvailable()
-            // both sentinels in ONE drain: append-mode emission is a
-            // function of the FINAL watermark only (the runFileStream
-            // rule) — a per-sentinel drain costs ~1 s of state commits
-            addSentinelFile(1, maxNs + 3600L * 1000000000L)
-            addSentinelFile(2, maxNs + 7200L * 1000000000L)
+            // both sentinels in ONE drain and one file (the
+            // runFileStream rule): a per-sentinel drain costs ~1 s of
+            // state commits, a per-row file a write job each
+            addSentinelFile(Seq(
+              eventRow(-1L, maxNs + 3600L * 1000000000L),
+              eventRow(-2L, maxNs + 7200L * 1000000000L)))
             q.processAllAvailable()
           } finally {
             q.stop()
@@ -895,27 +905,27 @@ object StreamQueries {
           try {
             q.processAllAvailable()
             val rawSchema =
-              s.read.parquet(Paths.get(dir, "events.parquet").toString).schema
-            Seq(1, 2).foreach { i =>
-              val staging = NF.createTempDirectory(s"graft_sink_s$i")
-              s.createDataFrame(
-                java.util.List.of(conformRow(
-                  eventRow(-i.toLong, maxNs + i * 3600L * 1000000000L),
-                  rawSchema)), rawSchema)
-                .coalesce(1).write.mode("overwrite")
-                .parquet(staging.toString)
-              import scala.jdk.CollectionConverters._
-              val st = NF.list(staging)
-              val part =
-                try st.iterator().asScala
-                  .find(_.getFileName.toString.endsWith(".parquet")).get
-                finally st.close()
-              NF.move(part, inDir.resolve(s"sentinel_$i.parquet"))
-            }
-            // one drain for both sentinel files (the runFileStream
-            // rule): append-mode output depends only on the final
-            // watermark, and each extra drain pays a data + no-data
-            // micro-batch pair of state commits
+              tableSchema(s, Paths.get(dir, "events.parquet").toString)
+            // one drain, one file for both sentinels (the
+            // runFileStream rule): append-mode output depends only on
+            // the final watermark; each extra drain pays a data +
+            // no-data micro-batch pair of state commits, each extra
+            // file a driver write job
+            val staging = NF.createTempDirectory("graft_sink_sentinels")
+            import scala.jdk.CollectionConverters._
+            s.createDataFrame(
+              Seq(1, 2).map(i => conformRow(
+                eventRow(-i.toLong, maxNs + i * 3600L * 1000000000L),
+                rawSchema)).asJava, rawSchema)
+              .coalesce(1).write.mode("overwrite")
+              .parquet(staging.toString)
+            val st = NF.list(staging)
+            val part =
+              try st.iterator().asScala
+                .find(_.getFileName.toString.endsWith(".parquet")).get
+              finally st.close()
+            NF.move(part, inDir.resolve("sentinel_all.parquet"))
+            deleteRecursively(staging)
             q.processAllAvailable()
           } finally q.stop()
         }
