@@ -167,6 +167,26 @@ object StreamQueries {
   private def eventRow(id: Long, tsNs: Long): Row =
     Row(id, tsNs, -1L, "sentinel", 0.0, "{}")
 
+  /** Write `df` as a single parquet file `tmp/<name>.parquet` — the
+    * micro-batch slicing primitive of the `_sliced` gates: each slice
+    * becomes one source file, moved in atomically (same fs) between
+    * drains so the running stream sees it as a complete later batch.
+    */
+  private def stageSliceFile(
+      df: DataFrame, tmp: java.nio.file.Path, name: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    import java.nio.file.{Files => NF}
+    val st = NF.createTempDirectory(s"graft_slice_$name")
+    try {
+      df.coalesce(1).write.mode("overwrite").parquet(st.toString)
+      val ls = NF.list(st)
+      val part = try ls.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+        finally ls.close()
+      NF.move(part, tmp.resolve(s"$name.parquet"))
+    } finally deleteRecursively(st)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Streaming exact dedup: documents stream through
@@ -182,6 +202,57 @@ object StreamQueries {
           raw.select(col("doc_id"), col("text"), syntheticTs("doc_id")),
           textCol = "text", tsCol = "ts")
       }.select(col("fp")).orderBy("fp")),
+
+    // Streaming exact dedup under REAL batch slicing — the multi-batch
+    // twin of q_stream_dedup (the q_stream_cdc_scd2_sliced pattern on
+    // the OTHER stateful primitive, dropDuplicatesWithinWatermark):
+    // the corpus arrives as two doc_id-sliced files drained as
+    // separate micro-batches, so the fingerprint state must survive
+    // the batch boundary — both for the corpus's natural cross-slice
+    // duplicate texts and for an explicit verbatim re-delivery of
+    // slice 1's last document in slice 2 (suppressed only by live
+    // batch-1 state; a fresh store would re-emit its fp and break the
+    // DISTINCT oracle by a row). The watermark delay is sized to the
+    // corpus's synthetic time span (retention >= the re-delivery
+    // horizon), so no fp is ever evicted mid-gate and the exact
+    // DISTINCT oracle holds across any slicing.
+    "q_stream_dedup_sliced" -> ((s, dir) => {
+      import java.nio.file.{Files => NF}
+      val docs = graft.ops.QueryCaches.persist(
+        Tables.table(s, dir, "documents").select(col("doc_id"), col("text")))
+      val b = docs.agg(min("doc_id").as("lo"), max("doc_id").as("hi")).head()
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val mid = lo + (hi - lo) / 2
+      val sliceA = docs.filter(col("doc_id") <= mid)
+      val sliceB = docs.filter(col("doc_id") > mid)
+        .unionAll(docs.filter(col("doc_id") === mid)) // verbatim re-delivery
+      val tmp = NF.createTempDirectory("graft_stream_dedup_sliced")
+      stageSliceFile(sliceA, tmp, "slice_0")
+      var dataBatches = 0
+      val kept = withStatePartitions(s) {
+        val q = EventStream.dedupExact(
+          s.readStream.schema("doc_id LONG, text STRING")
+            .parquet(tmp.toString)
+            .select(col("doc_id"), col("text"), syntheticTs("doc_id")),
+          textCol = "text", tsCol = "ts",
+          watermarkDelay = s"${hi - lo + 3600} seconds")
+          .writeStream.format("memory")
+          .queryName("q_stream_dedup_sliced_sink")
+          .outputMode("append").start()
+        try {
+          q.processAllAvailable() // batch 1: slice_0 only
+          stageSliceFile(sliceB, tmp, "slice_1")
+          q.processAllAvailable() // batch 2: slice_1 + the re-delivery
+          dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        } finally { q.stop(); deleteRecursively(tmp) }
+        s.table("q_stream_dedup_sliced_sink")
+      }
+      require(dataBatches >= 2,
+        s"q_stream_dedup_sliced: saw $dataBatches data micro-batches — " +
+          "the slicing harness collapsed to one batch and the gate no " +
+          "longer tests cross-batch dedup state")
+      kept.select(col("fp")).orderBy("fp")
+    }),
 
     // Streaming segment-level dedup: arriving documents explode into
     // fixed 8-token spans and the stream keeps the first arrival of
@@ -670,19 +741,7 @@ object StreamQueries {
           lastA.getLong(2), "poison", 0.0, "{}")), sliceA.schema)
       val sliceB = ev.filter(col("ts") > mid).unionAll(poison)
       val tmp = NF.createTempDirectory("graft_stream_cdc_sliced")
-      def stage(df: DataFrame, name: String): Unit = {
-        val st = NF.createTempDirectory(s"graft_slice_$name")
-        try {
-          df.coalesce(1).write.mode("overwrite").parquet(st.toString)
-          val ls = NF.list(st)
-          val part = try ls.iterator().asScala
-            .find(_.getFileName.toString.endsWith(".parquet")).get
-            finally ls.close()
-          // same-fs move is atomic — the source never sees half a file
-          NF.move(part, tmp.resolve(s"$name.parquet"))
-        } finally deleteRecursively(st)
-      }
-      stage(sliceA, "slice_0")
+      stageSliceFile(sliceA, tmp, "slice_0")
       var dataBatches = 0
       val applied = withStatePartitions(s) {
         val q = graft.streaming.StreamCdc.applyChangelog(
@@ -698,7 +757,7 @@ object StreamQueries {
           .outputMode("append").start()
         try {
           q.processAllAvailable() // batch 1: slice_0 only
-          stage(sliceB, "slice_1")
+          stageSliceFile(sliceB, tmp, "slice_1")
           q.processAllAvailable() // batch 2: slice_1 + the poison
           dataBatches = q.recentProgress.count(_.numInputRows > 0)
         } finally { q.stop(); deleteRecursively(tmp) }
@@ -1080,6 +1139,12 @@ object StreamQueries {
              JOIN sig sb ON sb.doc_id = c.b)
          SELECT a, b, est_r FROM est WHERE est_r >= 0.5 ORDER BY a, b""",
     "q_stream_dedup" ->
+      """SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+         FROM documents ORDER BY fp""",
+    // multi-batch twin: corpus-spanning retention keeps the exact
+    // DISTINCT oracle valid under any slicing; the cross-batch
+    // re-delivery must be state-suppressed for the row counts to meet
+    "q_stream_dedup_sliced" ->
       """SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
          FROM documents ORDER BY fp""",
     "q_stream_lines" ->
