@@ -49,6 +49,12 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     def selected(name: String): Boolean = only.forall(_.contains(name))
+    // a failed query's elapsed time is its time-to-crash — recorded
+    // (timing semantics frozen) but NAMED in the report: r9-r10 shipped
+    // q_adamic_adar's sf0.1 crash as a plausible-looking 2 s row for
+    // two rounds because the FAILED line only ever reached stderr,
+    // outside the driver's stdout tail capture
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     def pass(): Map[String, Double] = SparkEntry.queries
       .filter { case (name, _) => selected(name) }
       .map {
@@ -57,9 +63,8 @@ object Bench {
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         } catch { case e: Throwable =>
-          // visibility only (timing semantics frozen): a broken query
-          // must not silently read as a fast one
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          failed += name
         }
         val dt = (System.nanoTime() - t0) / 1e9
         // drop persisted subplans so caches neither accumulate nor
@@ -93,6 +98,7 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
       } catch { case e: Throwable =>
         System.err.println(s"[bench] q_dedup_minhash_16x FAILED: ${e.getMessage}")
+        failed += "q_dedup_minhash_16x"
       }
       val dt = (System.nanoTime() - t0) / 1e9
       graft.ops.QueryCaches.releaseAll()
@@ -132,6 +138,7 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
       } catch { case e: Throwable =>
         System.err.println(s"[bench] q_ann_lsh_16x FAILED: ${e.getMessage}")
+        failed += "q_ann_lsh_16x"
       }
       val dt = (System.nanoTime() - t0) / 1e9
       graft.ops.QueryCaches.releaseAll()
@@ -161,8 +168,14 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")
     val fullPath = java.nio.file.Paths.get("bench_full.json").toAbsolutePath
+    val failedJson =
+      failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     java.nio.file.Files.writeString(fullPath,
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec","sf":"$sfDir","n":${results.size},"queries":$fullQs}""")
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","sf":"$sfDir","n":${results.size},"failed":$failedJson,"queries":$fullQs}""")
+    // failures go to STDOUT inside the driver's tail window, not just
+    // stderr — a crashed query must be visible in the round artifact
+    if (failed.nonEmpty)
+      println(s"""{"bench_failed":$failedJson}""")
     // regression tripwire: compare against the committed baseline map
     // (bench_baseline.json — a snapshot of the last clean full-suite
     // bench_full.json, refreshed at each round end) and surface any
