@@ -666,9 +666,14 @@ object StreamQueries {
       val last = Tables.events(s, dir)
         .orderBy(col("ts_ns").desc, col("event_id").desc)
         .select("ts_ns", "user_id").head()
+      // stateParts 8: the per-user CDC state is the family's largest
+      // (every user keyed) and three r11 family-bench runs read it
+      // 2.6-2.9 s at the family default of 4 vs 2.0-2.4 s historical
+      // at 8 — the one gate where state work outweighs commit overhead
       val applied = runFileStream(s, dir, "events", "q_stream_cdc_scd2_sink",
         sentinels =
-          Seq(Row(-1L, last.getLong(0), last.getLong(1), "poison", 0.0, "{}"))) {
+          Seq(Row(-1L, last.getLong(0), last.getLong(1), "poison", 0.0, "{}")),
+        stateParts = 8) {
         raw =>
           graft.streaming.StreamCdc.applyChangelog(
             Tables.withEventTime(raw)
@@ -743,7 +748,8 @@ object StreamQueries {
       val tmp = NF.createTempDirectory("graft_stream_cdc_sliced")
       stageSliceFile(sliceA, tmp, "slice_0")
       var dataBatches = 0
-      val applied = withStatePartitions(s) {
+      // 8 like q_stream_cdc_scd2 — same every-user keyed state
+      val applied = withStatePartitions(s, 8) {
         val q = graft.streaming.StreamCdc.applyChangelog(
           Tables.withEventTime(
             s.readStream.schema(sliceA.schema).parquet(tmp.toString))
