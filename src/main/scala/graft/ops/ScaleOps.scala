@@ -81,12 +81,18 @@ object ScaleOps {
       df: DataFrame,
       table: String,
       key: String,
-      buckets: Int): Unit =
-    df.write.mode("overwrite")
+      buckets: Int,
+      path: Option[String] = None): Unit = {
+    // bucketBy requires the catalog (saveAsTable); `path` makes the
+    // table EXTERNAL so callers can land the files in a per-run
+    // scratch dir instead of accumulating under the shared warehouse
+    val w = df.write.mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
-      .saveAsTable(table)
+    path.fold(w.saveAsTable(table))(p =>
+      w.option("path", p).saveAsTable(table))
+  }
 
   /** Z-order (Morton) value over numeric columns: each column is
     * bucketed into `2^bits` fixed-width ranks between its min and max

@@ -686,6 +686,38 @@ object AnalyticsQueries {
       p.select(col("p_partkey"), z.as("zval")).orderBy("p_partkey")
     }),
 
+    // Bucketed co-located join — the recurring-join layout gate
+    // (upgrades ScaleOps.writeBucketed from spec-level to
+    // driver-gated, like r10 did for the CSV/JDBC sinks): both fact
+    // slices land bucketed+sorted by the join key as EXTERNAL tables
+    // in per-run scratch dirs, then join WITHOUT a shuffle on either
+    // side (PlanSpec pins <= 1 exchange: only the tiny post-join
+    // aggregate re-keys). At 100 TB this layout is the difference
+    // between a nightly co-located merge and re-shuffling the corpus
+    // every run. Bucketing is layout-only, so the oracle is the plain
+    // join over the raw tables; money exits as BIGINT cents.
+    "q_bucketed_join" -> ((s, dir) => {
+      val app = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      val (liT, oT) = (s"graft_li_bk_$app", s"graft_o_bk_$app")
+      graft.ops.ScaleOps.writeBucketed(
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice")),
+        liT, "l_orderkey", 16,
+        path = Some(Tables.scratchDir(s, liT).toString))
+      graft.ops.ScaleOps.writeBucketed(
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority")),
+        oT, "o_orderkey", 16,
+        path = Some(Tables.scratchDir(s, oT).toString))
+      s.table(liT)
+        .join(s.table(oT), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          (sum(dec(col("l_extendedprice"))) * 100)
+            .cast("long").as("sum_price_c"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Set operations: nation keys of customers vs suppliers.
     "q_setops" -> ((s, dir) => {
       val cn = t(s, dir, "customer")
@@ -4669,6 +4701,16 @@ object AnalyticsQueries {
          SELECT p_partkey, $terms AS zval
          FROM r ORDER BY p_partkey"""
     },
+    // bucketing is layout-only: the oracle is the plain key join over
+    // the raw tables (DECIMAL sum -> exact integral cents)
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) * 100
+             AS BIGINT) AS sum_price_c
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
     "q_setops" ->
       """SELECT 'both' AS rel, k FROM
            (SELECT DISTINCT c_nationkey AS k FROM customer

@@ -427,6 +427,22 @@ class PlanSpec extends AnyFunSuite {
     graft.ops.QueryCaches.releaseAll()
   }
 
+  test("q_bucketed_join: neither side shuffles for the join (bucketed layout)") {
+    // the recurring-join layout contract, now on the DECLARED query:
+    // both sides scan Bucketed and NO side shuffles for the join —
+    // the only hash exchange left is the tiny post-join aggregate.
+    // (At gate scale AQE may still broadcast the small side — fine;
+    // the zero-exchange sort-merge path is pinned by ScaleOpsSpec
+    // with broadcast disabled. The layout property here is that the
+    // bucketed scans make a shuffle unnecessary at ANY size.)
+    val p = plan("q_bucketed_join")
+    assert("Bucketed: true".r.findAllIn(p).size >= 2,
+      s"expected two bucketed scans in:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1,
+      s"bucketed join re-shuffles a side ($exchanges hash exchanges):\n$p")
+  }
+
   test("unpartitioned-window whitelist is exact: every member still plans one") {
     // the enforcement direction (NO query outside the whitelist plans
     // a global window) rides Verify.runOne on the driver's own run —
