@@ -878,6 +878,102 @@ object StreamQueries {
       }
     }),
 
+    // Sessionization under REAL batch slicing — the third stateful
+    // primitive gated cross-batch (after CDC state and dedup state):
+    // native session_window merge state. The corpus arrives as two
+    // time-sliced micro-batches; a session whose events STRADDLE the
+    // slice boundary only matches the batch gap-and-islands oracle if
+    // batch 1's open session state is still live when batch 2's
+    // continuation events merge into it — a dropped store would split
+    // every straddling session into two rows. The gate asserts at
+    // least one user actually straddles (events within the 30-min gap
+    // on BOTH sides of the cut), so the property can never silently
+    // degenerate; watermark sentinels arrive as a third batch to
+    // flush the tail sessions.
+    "q_stream_sessions_sliced" -> ((s, dir) => {
+      import s.implicits._
+      import java.nio.file.{Files => NF}
+      val maxNsOpt = Tables.maxEventNs(s, dir)
+      if (maxNsOpt.isEmpty) {
+        Seq.empty[(Long, Long, Long, Long)]
+          .toDF("user_id", "start_s", "end_s", "n_events")
+      } else {
+        val maxNs = maxNsOpt.get
+        val gapNs = 1800L * 1000000000L
+        val ev = graft.ops.QueryCaches.persist(Tables.events(s, dir)
+          .select(col("event_id"), col("ts_ns").as("ts"), col("user_id"),
+            col("event_type"), col("value"), col("props")))
+        // the cut is SITED, not blind: per-user sessions are sparse
+        // enough that a midpoint cut can miss every in-flight session
+        // (it did at sf0.01) — instead find the earliest intra-session
+        // consecutive event pair (same user, gap <= 30 min, strictly
+        // increasing ts) via a KEYED per-user lag window and cut
+        // between its two events, guaranteeing >= 1 straddler
+        val uw = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts")
+        val pairRow = ev
+          .select(col("user_id"), col("ts"),
+            lag("ts", 1).over(uw).as("prev"))
+          .filter(col("prev").isNotNull && col("ts") > col("prev") &&
+            col("ts") - col("prev") <= gapNs)
+          .agg(min(struct(col("prev"), col("ts"), col("user_id"))).as("m"))
+          .head()
+        require(!pairRow.isNullAt(0),
+          "q_stream_sessions_sliced: the corpus has no multi-event " +
+            "session at all — the gate cannot test cross-batch state")
+        val pairSt = pairRow.getStruct(0)
+        val (pv, nx) = (pairSt.getLong(0), pairSt.getLong(1))
+        val mid = pv + (nx - pv) / 2 // pv <= mid < nx: the pair straddles
+        val straddlers = ev
+          .filter(col("ts") > mid - gapNs && col("ts") <= mid)
+          .select("user_id").distinct()
+          .join(ev.filter(col("ts") > mid && col("ts") <= mid + gapNs)
+            .select("user_id").distinct(), "user_id")
+          .count()
+        require(straddlers >= 1,
+          s"q_stream_sessions_sliced: no user's session straddles the " +
+            s"sited cut at $mid — the pair-finding logic regressed")
+        val sentinels = Seq(
+          (-1L, maxNs + 7200L * 1000000000L, -1L, "sentinel", 0.0, "{}"),
+          (-2L, maxNs + 10800L * 1000000000L, -2L, "sentinel", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        val tmp = NF.createTempDirectory("graft_stream_sessions_sliced")
+        stageSliceFile(ev.filter(col("ts") <= mid), tmp, "slice_0")
+        var dataBatches = 0
+        val sess = withStatePartitions(s) {
+          val q = EventStream.sessionWindows(
+            Tables.withEventTime(
+              s.readStream.schema(ev.schema).parquet(tmp.toString))
+              .select(col("event_id"),
+                timestamp_seconds(expr("ts_ns div 1000000000")).as("ts"),
+                col("user_id"), col("event_type"), col("value")),
+            gap = "30 minutes", watermarkDelay = Some("30 minutes"))
+            .writeStream.format("memory")
+            .queryName("q_stream_sessions_sliced_sink")
+            .outputMode("append").start()
+          try {
+            q.processAllAvailable() // batch 1: sessions open in state
+            stageSliceFile(ev.filter(col("ts") > mid), tmp, "slice_1")
+            q.processAllAvailable() // batch 2: straddlers must merge
+            stageSliceFile(sentinels, tmp, "slice_2")
+            q.processAllAvailable() // batch 3: watermark flush
+            dataBatches = q.recentProgress.count(_.numInputRows > 0)
+          } finally { q.stop(); deleteRecursively(tmp) }
+          s.table("q_stream_sessions_sliced_sink")
+        }
+        require(dataBatches >= 3,
+          s"q_stream_sessions_sliced: saw $dataBatches data " +
+            "micro-batches — the slicing harness collapsed and the gate " +
+            "no longer tests cross-batch session state")
+        sess.filter(col("user_id") >= 0)
+          .select(col("user_id"),
+            unix_timestamp(col("session_start")).as("start_s"),
+            unix_timestamp(col("session_end")).as("end_s"),
+            col("n_events"))
+          .orderBy("user_id", "start_s")
+      }
+    }),
+
     // Stream-static enrichment: events join the nation DIMENSION
     // (genuinely bounded — 25 rows by modeling, so the broadcast hint
     // is valid; see EventStream.enrichedWindowedCounts) and the
@@ -1348,6 +1444,29 @@ object StreamQueries {
     // same-session ⟺ gap to previous event ≤ 1800 s; session end =
     // last event + gap (session_window semantics)
     "q_stream_sessions" ->
+      """WITH e AS (SELECT user_id,
+             CAST(epoch(CAST(date_trunc('second', ts) AS TIMESTAMP)) AS BIGINT) AS ts_s
+           FROM events),
+         l AS (SELECT user_id, ts_s,
+             lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) AS prev
+           FROM e),
+         f AS (SELECT user_id, ts_s,
+             CASE WHEN prev IS NULL OR ts_s - prev > 1800 THEN 1 ELSE 0 END AS new_s
+           FROM l),
+         g AS (SELECT user_id, ts_s,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_s
+               ROWS UNBOUNDED PRECEDING) AS sid
+           FROM f),
+         sess AS (SELECT user_id, min(ts_s) AS start_s,
+             max(ts_s) + 1800 AS end_s, count(*) AS n_events
+           FROM g GROUP BY user_id, sid)
+         SELECT user_id, CAST(start_s AS BIGINT) AS start_s,
+           CAST(end_s AS BIGINT) AS end_s, n_events
+         FROM sess ORDER BY user_id, start_s""",
+    // multi-batch twin: time-ordered slicing preserves the batch
+    // gap-and-islands answer only if straddling sessions merge across
+    // the boundary — identical oracle text
+    "q_stream_sessions_sliced" ->
       """WITH e AS (SELECT user_id,
              CAST(epoch(CAST(date_trunc('second', ts) AS TIMESTAMP)) AS BIGINT) AS ts_s
            FROM events),
