@@ -323,6 +323,80 @@ object StreamQueries {
       }
     }),
 
+    // Windowed counts under REAL batch slicing — the fourth stateful
+    // primitive gated cross-batch (after CDC, dedup and session
+    // state): watermarked window-aggregation state. Time-ordered
+    // slicing means no window that batch 2 will touch can have been
+    // flushed by batch 1's watermark (any such window ends after the
+    // cut, and the cut is ahead of the watermark by the full delay),
+    // so the exact batch oracle holds — but the window CONTAINING the
+    // cut accumulates events from both batches and only matches if
+    // its partial count survived the boundary. The cut is sited
+    // inside the earliest window with two distinct event times, so at
+    // least one window always straddles.
+    "q_stream_counts_sliced" -> ((s, dir) => {
+      import s.implicits._
+      import java.nio.file.{Files => NF}
+      val maxNsOpt = Tables.maxEventNs(s, dir)
+      if (maxNsOpt.isEmpty) {
+        Seq.empty[(Long, Long, String, Long)]
+          .toDF("window_start_s", "window_end_s", "event_type", "n")
+      } else {
+        val maxNs = maxNsOpt.get
+        val ev = graft.ops.QueryCaches.persist(Tables.events(s, dir)
+          .select(col("event_id"), col("ts_ns").as("ts"), col("user_id"),
+            col("event_type"), col("value"), col("props")))
+        val pairOpt = ev
+          .select(expr("ts div 300000000000").as("w"), col("ts"))
+          .groupBy("w").agg(min("ts").as("mn"), max("ts").as("mx"))
+          .filter(col("mx") > col("mn"))
+          .orderBy("w").limit(1).collect().headOption
+        require(pairOpt.nonEmpty,
+          "q_stream_counts_sliced: no window has two distinct event " +
+            "times — the gate cannot test cross-batch window state")
+        val pair = pairOpt.get
+        val mid = pair.getLong(1) +
+          (pair.getLong(2) - pair.getLong(1)) / 2 // mn <= mid < mx
+        val sentinels = Seq(
+          (-1L, maxNs + 3600L * 1000000000L, -1L, "sentinel", 0.0, "{}"),
+          (-2L, maxNs + 7200L * 1000000000L, -2L, "sentinel", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        val tmp = NF.createTempDirectory("graft_stream_counts_sliced")
+        stageSliceFile(ev.filter(col("ts") <= mid), tmp, "slice_0")
+        var dataBatches = 0
+        val counts = withStatePartitions(s) {
+          val q = EventStream.windowedCounts(
+            Tables.withEventTime(
+              s.readStream.schema(ev.schema).parquet(tmp.toString)),
+            watermarkDelay = "10 minutes", windowLen = "5 minutes")
+            .writeStream.format("memory")
+            .queryName("q_stream_counts_sliced_sink")
+            .outputMode("append").start()
+          try {
+            q.processAllAvailable() // batch 1: cut window partial
+            stageSliceFile(ev.filter(col("ts") > mid), tmp, "slice_1")
+            q.processAllAvailable() // batch 2: partial must accumulate
+            stageSliceFile(sentinels, tmp, "slice_2")
+            q.processAllAvailable() // batch 3: watermark flush
+            dataBatches = q.recentProgress.count(_.numInputRows > 0)
+          } finally { q.stop(); deleteRecursively(tmp) }
+          s.table("q_stream_counts_sliced_sink")
+        }
+        require(dataBatches >= 3,
+          s"q_stream_counts_sliced: saw $dataBatches data micro-batches " +
+            "— the slicing harness collapsed and the gate no longer " +
+            "tests cross-batch window state")
+        counts
+          .filter(unix_timestamp(col("window_start")) <=
+            lit(maxNs / 1000000000L))
+          .select(
+            unix_timestamp(col("window_start")).as("window_start_s"),
+            unix_timestamp(col("window_end")).as("window_end_s"),
+            col("event_type"), col("n"))
+          .orderBy("window_start_s", "event_type")
+      }
+    }),
+
     // The same windowed counts ingested through the PUBLISHED library
     // entry point EventStream.fromEventsDir (schema declaration +
     // ns→event-time conversion bundled for callers) — the harness
@@ -1433,6 +1507,9 @@ object StreamQueries {
            round(sum((p - r) * ln(p / r)), 6) AS psi_r
          FROM p GROUP BY 1, 2 ORDER BY window_start_s""",
     "q_stream_counts" -> streamCountsOracle,
+    // multi-batch twin: time-ordered slicing + the cut-straddling
+    // window's state continuity keep the identical batch oracle exact
+    "q_stream_counts_sliced" -> streamCountsOracle,
     // identical aggregation, different ingestion entry point
     // (EventStream.fromEventsDir vs the shared harness) — one oracle
     // pins both to the same answer
