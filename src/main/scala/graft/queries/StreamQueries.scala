@@ -1102,6 +1102,65 @@ object StreamQueries {
           horizonSec = 21600L, watermarkDelay = "10 minutes")
       }.orderBy("l_id", "r_id")),
 
+    // Stream-stream join under REAL batch slicing — the fifth stateful
+    // primitive gated cross-batch: the JOIN BUFFERS. A view arriving
+    // in batch 1 whose click arrives in batch 2 pairs only if the
+    // left buffer held it across the boundary. Time-ordered slicing
+    // makes this sound BY CONSTRUCTION: a batch-1 view is evicted
+    // only once the watermark passes its ts + horizon, and any click
+    // arriving in batch 2 is past the cut, which trails that eviction
+    // point by the full horizon — so no cross-batch match can be
+    // lost to eviction and the exact batch oracle holds. The cut is
+    // sited between the earliest strict (view, click) pair inside
+    // the horizon, guaranteeing >= 1 cross-batch pair; inner matches
+    // emit on arrival, so two data batches and no sentinels.
+    "q_stream_sjoin_sliced" -> ((s, dir) => {
+      import s.implicits._
+      import java.nio.file.{Files => NF}
+      val horizonNs = 21600L * 1000000000L
+      val ev = graft.ops.QueryCaches.persist(Tables.events(s, dir)
+        .select(col("event_id"), col("ts_ns").as("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props")))
+      val pairOpt = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("v_ts"))
+        .join(ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("c_ts")), "user_id")
+        .filter(col("c_ts") > col("v_ts") &&
+          col("c_ts") - col("v_ts") <= horizonNs)
+        .agg(min(struct(col("v_ts"), col("c_ts"))).as("m"))
+        .head()
+      require(!pairOpt.isNullAt(0),
+        "q_stream_sjoin_sliced: no strict in-horizon (view, click) " +
+          "pair exists — the gate cannot test cross-batch join state")
+      val pr = pairOpt.getStruct(0)
+      val mid = pr.getLong(0) + (pr.getLong(1) - pr.getLong(0)) / 2
+      val tmp = NF.createTempDirectory("graft_stream_sjoin_sliced")
+      stageSliceFile(ev.filter(col("ts") <= mid), tmp, "slice_0")
+      var dataBatches = 0
+      val pairs = withStatePartitions(s) {
+        val q = EventStream.intervalJoin(
+          Tables.withEventTime(
+            s.readStream.schema(ev.schema).parquet(tmp.toString)),
+          leftType = "view", rightType = "click",
+          horizonSec = 21600L, watermarkDelay = "10 minutes")
+          .writeStream.format("memory")
+          .queryName("q_stream_sjoin_sliced_sink")
+          .outputMode("append").start()
+        try {
+          q.processAllAvailable() // batch 1: views buffer in state
+          stageSliceFile(ev.filter(col("ts") > mid), tmp, "slice_1")
+          q.processAllAvailable() // batch 2: cross-batch clicks pair
+          dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        } finally { q.stop(); deleteRecursively(tmp) }
+        s.table("q_stream_sjoin_sliced_sink")
+      }
+      require(dataBatches >= 2,
+        s"q_stream_sjoin_sliced: saw $dataBatches data micro-batches — " +
+          "the slicing harness collapsed and the gate no longer tests " +
+          "cross-batch join state")
+      pairs.orderBy("l_id", "r_id")
+    }),
+
     // End-to-end FILE-TO-FILE streaming: the same windowed counts, but
     // landing in Structured Streaming's exactly-once PARQUET sink
     // (commit-log-tracked files + checkpoint) instead of the memory
@@ -1581,6 +1640,18 @@ object StreamQueries {
     // on exact integer microseconds (the stream's ns→micros ingest
     // conversion mirrored with date_trunc)
     "q_stream_sjoin" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+             epoch_us(CAST(date_trunc('microseconds', ts) AS TIMESTAMP)) AS t_us
+           FROM events)
+         SELECT v.event_id AS l_id, c.event_id AS r_id, v.user_id,
+           c.t_us - v.t_us AS delta_us
+         FROM e v JOIN e c ON v.user_id = c.user_id
+           AND v.event_type = 'view' AND c.event_type = 'click'
+           AND c.t_us >= v.t_us AND c.t_us <= v.t_us + 21600000000
+         ORDER BY l_id, r_id""",
+    // multi-batch twin: identical pair set — a cross-batch match lost
+    // to a dropped join buffer would show as a missing row
+    "q_stream_sjoin_sliced" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
              epoch_us(CAST(date_trunc('microseconds', ts) AS TIMESTAMP)) AS t_us
            FROM events)
