@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tools.{CountsStamp, WindowAudit}
+
+/** Round-close tooling: the README count stamper's patterns and the
+  * unpartitioned-window counter's traversal (incl. the persist
+  * boundary a naive collect would stop at).
+  */
+class ToolsSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  test("CountsStamp rewrites exactly the three count patterns") {
+    val readme =
+      """sbt test        # 310 specs
+        |hash-matches at sf0.01 (307 declared queries, 0 failing)
+        |and 303 oracle-checked rows, plus 307 unrelated digits
+        |""".stripMargin
+    val out = CountsStamp.stamp(readme, queries = 321, oracles = 317,
+      testCount = Some(323))
+    assert(out.contains("# 323 specs"))
+    assert(out.contains("(321 declared queries"))
+    assert(out.contains("317 oracle-checked"))
+    // untouched: a number that matches none of the stamped patterns
+    assert(out.contains("plus 307 unrelated digits"))
+  }
+
+  test("CountsStamp without a test count leaves the spec line alone") {
+    val out = CountsStamp.stamp("# 310 specs and (5 declared queries",
+      queries = 7, oracles = 7, testCount = None)
+    assert(out.contains("# 310 specs") && out.contains("(7 declared queries"))
+  }
+
+  test("unpartitionedWindows counts global windows, not keyed ones") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("v", "k")
+    val global = df.withColumn("rn",
+      row_number().over(Window.orderBy("v")))
+    val keyed = df.withColumn("rn",
+      row_number().over(Window.partitionBy("k").orderBy("v")))
+    assert(WindowAudit.unpartitionedWindows(
+      global.queryExecution.sparkPlan) == 1)
+    assert(WindowAudit.unpartitionedWindows(
+      keyed.queryExecution.sparkPlan) == 0)
+  }
+
+  test("unpartitionedWindows sees through a persist boundary") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val cached = Seq(1L, 2L, 3L).toDF("v")
+      .withColumn("rn", row_number().over(Window.orderBy("v")))
+      .persist()
+    try {
+      val downstream = cached.groupBy("rn").count()
+      // the global window lives INSIDE the cached subtree; a naive
+      // collect sees only the InMemoryTableScan leaf
+      assert(WindowAudit.unpartitionedWindows(
+        downstream.queryExecution.sparkPlan) >= 1)
+    } finally cached.unpersist()
+  }
+}
