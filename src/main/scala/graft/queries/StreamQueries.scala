@@ -1274,6 +1274,84 @@ object StreamQueries {
             coalesce(col("delta_us"), lit(-1L)).as("delta_us"))
           .orderBy("l_id", "r_id")
       }
+    }),
+
+    // LEFT-OUTER interval join under REAL batch slicing — cross-batch
+    // OUTER bookkeeping: a batch-1 view must null-emit exactly once
+    // and only after its horizon, even when later batches keep
+    // arriving. Time-ordered slicing keeps the batch oracle exact for
+    // the same reason eviction cannot lose a match: a view whose
+    // null-emission horizon the batch-1 watermark has passed
+    // (v_ts < maxA − delay − horizon) provably has no click past the
+    // cut (such a click would sit inside the view's horizon yet after
+    // maxA — a contradiction), so every premature-looking null row is
+    // genuinely matchless and every cross-batch match still pairs.
+    // The cut is sited between the earliest strict in-horizon pair;
+    // watermark sentinels (type-carrying, the outer-gate rule) arrive
+    // as the third batch to flush the tail null-emissions.
+    "q_stream_sjoin_outer_sliced" -> ((s, dir) => {
+      import s.implicits._
+      import java.nio.file.{Files => NF}
+      val maxNsOpt = Tables.maxEventNs(s, dir)
+      if (maxNsOpt.isEmpty) {
+        Seq.empty[(Long, Long, Long, Long)]
+          .toDF("l_id", "r_id", "user_id", "delta_us")
+      } else {
+        val maxNs = maxNsOpt.get
+        val horizonNs = 21600L * 1000000000L
+        val ev = graft.ops.QueryCaches.persist(Tables.events(s, dir)
+          .select(col("event_id"), col("ts_ns").as("ts"), col("user_id"),
+            col("event_type"), col("value"), col("props")))
+        val pairOpt = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts").as("v_ts"))
+          .join(ev.filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts").as("c_ts")), "user_id")
+          .filter(col("c_ts") > col("v_ts") &&
+            col("c_ts") - col("v_ts") <= horizonNs)
+          .agg(min(struct(col("v_ts"), col("c_ts"))).as("m"))
+          .head()
+        require(!pairOpt.isNullAt(0),
+          "q_stream_sjoin_outer_sliced: no strict in-horizon " +
+            "(view, click) pair — the gate cannot test cross-batch state")
+        val pr = pairOpt.getStruct(0)
+        val mid = pr.getLong(0) + (pr.getLong(1) - pr.getLong(0)) / 2
+        val sentinels = Seq(
+          (-1L, maxNs + 7L * 3600L * 1000000000L, -1L, "view", 0.0, "{}"),
+          (-2L, maxNs + 7L * 3600L * 1000000000L, -2L, "click", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        val tmp = NF.createTempDirectory("graft_stream_sjoin_outer_sliced")
+        stageSliceFile(ev.filter(col("ts") <= mid), tmp, "slice_0")
+        var dataBatches = 0
+        val pairs = withStatePartitions(s) {
+          val q = EventStream.intervalJoin(
+            Tables.withEventTime(
+              s.readStream.schema(ev.schema).parquet(tmp.toString)),
+            leftType = "view", rightType = "click",
+            horizonSec = 21600L, watermarkDelay = "10 minutes",
+            joinType = "left_outer")
+            .writeStream.format("memory")
+            .queryName("q_stream_sjoin_outer_sliced_sink")
+            .outputMode("append").start()
+          try {
+            q.processAllAvailable() // batch 1: views buffer, some null-emit
+            stageSliceFile(ev.filter(col("ts") > mid), tmp, "slice_1")
+            q.processAllAvailable() // batch 2: cross-batch pairs + nulls
+            stageSliceFile(sentinels, tmp, "slice_2")
+            q.processAllAvailable() // batch 3: tail null-emission flush
+            dataBatches = q.recentProgress.count(_.numInputRows > 0)
+          } finally { q.stop(); deleteRecursively(tmp) }
+          s.table("q_stream_sjoin_outer_sliced_sink")
+        }
+        require(dataBatches >= 3,
+          s"q_stream_sjoin_outer_sliced: saw $dataBatches data " +
+            "micro-batches — the slicing harness collapsed and the gate " +
+            "no longer tests cross-batch outer state")
+        pairs.filter(col("user_id") >= 0)
+          .select(col("l_id"), coalesce(col("r_id"), lit(-1L)).as("r_id"),
+            col("user_id"),
+            coalesce(col("delta_us"), lit(-1L)).as("delta_us"))
+          .orderBy("l_id", "r_id")
+      }
     }))
 
   // epoch-aligned 5-minute buckets (Spark's tumbling windows align to
@@ -1663,6 +1741,20 @@ object StreamQueries {
          ORDER BY l_id, r_id""",
     // the same pairs plus null-matched views, nulls pinned to -1
     "q_stream_sjoin_outer" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+             epoch_us(CAST(date_trunc('microseconds', ts) AS TIMESTAMP)) AS t_us
+           FROM events),
+         v AS (SELECT * FROM e WHERE event_type = 'view'),
+         c AS (SELECT * FROM e WHERE event_type = 'click')
+         SELECT v.event_id AS l_id,
+           coalesce(c.event_id, -1) AS r_id, v.user_id,
+           coalesce(c.t_us - v.t_us, -1) AS delta_us
+         FROM v LEFT JOIN c ON v.user_id = c.user_id
+           AND c.t_us >= v.t_us AND c.t_us <= v.t_us + 21600000000
+         ORDER BY l_id, r_id""",
+    // multi-batch twin: identical outer set — a lost join buffer would
+    // drop cross-batch matches AND corrupt the null-emission set
+    "q_stream_sjoin_outer_sliced" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
              epoch_us(CAST(date_trunc('microseconds', ts) AS TIMESTAMP)) AS t_us
            FROM events),
