@@ -35,6 +35,17 @@ object Verify {
           s"$name plans $nGlobal unpartitioned window(s) but is not in " +
             "WindowAudit.whitelist — partition the window (or, if " +
             "bounded by construction, whitelist it with the rationale)")
+      // cartesian tripwire: the unbounded all-pairs join must never
+      // plan. The broadcast(single-row) crossJoin idiom plans as
+      // BroadcastNestedLoopJoin and is not counted; a true cartesian
+      // means two unbounded sides met without a key — red row.
+      val nCart = graft.tools.WindowAudit.cartesianProducts(
+        df.queryExecution.sparkPlan)
+      if (nCart > 0 && !graft.tools.WindowAudit.cartesianWhitelist(name))
+        throw new IllegalStateException(
+          s"$name plans $nCart CartesianProductExec node(s) — an " +
+            "unbounded all-pairs join; key the join or broadcast a " +
+            "bounded-by-construction side")
       df.coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       true

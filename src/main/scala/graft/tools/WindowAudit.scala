@@ -60,6 +60,32 @@ object WindowAudit {
         unpartitionedWindows(a.inputPlan)
     }.sum
 
+  /** No declared query may plan one, ever — a `CartesianProductExec`
+    * is the unbounded all-pairs join, the one shape that can never
+    * survive a 100× scale-up. The repo's 60+ `crossJoin` sites all
+    * join `broadcast()`-ed single-row aggregates (the
+    * attach-a-global-total idiom) and plan as
+    * BroadcastNestedLoopJoin, which this counter deliberately
+    * ignores: the broadcast side there is bounded by construction,
+    * and the hint is pinned at each site. A cartesian appears only
+    * when someone cross-joins two unbounded frames — that must be a
+    * red Verify row, not a silently quadratic plan.
+    */
+  val cartesianWhitelist: Set[String] = Set.empty
+
+  /** Count `CartesianProductExec` nodes, with the same traversal
+    * discipline as [[unpartitionedWindows]] (persist boundaries,
+    * adaptive wrappers, plain `collect` — not subqueries).
+    */
+  def cartesianProducts(plan: org.apache.spark.sql.execution.SparkPlan): Int =
+    plan.collect {
+      case _: org.apache.spark.sql.execution.joins.CartesianProductExec => 1
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        cartesianProducts(s.relation.cachedPlan)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        cartesianProducts(a.inputPlan)
+    }.sum
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -72,20 +98,27 @@ object WindowAudit {
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
       .filterNot(n => skipStreams && n.startsWith("q_stream_"))
     var offenders = Vector.empty[(String, Int)]
+    var cartesians = Vector.empty[(String, Int)]
     names.foreach { name =>
       val t0 = System.nanoTime()
       val r = try {
         val df = graft.SparkEntry.queries(name)(spark, dir)
-        Right(unpartitionedWindows(df.queryExecution.executedPlan))
+        val p = df.queryExecution.executedPlan
+        Right((unpartitionedWindows(p), cartesianProducts(p)))
       } catch { case e: Throwable => Left(e.getClass.getSimpleName) }
       graft.ops.QueryCaches.releaseAll()
       spark.catalog.clearCache()
       val dt = (System.nanoTime() - t0) / 1e9
       r match {
-        case Right(n) if n > 0 =>
-          offenders :+= (name, n)
-          println(f"$name%-28s $n global window(s)  [${dt}%.1f s]")
-        case Right(_) => ()
+        case Right((n, c)) =>
+          if (n > 0) {
+            offenders :+= (name, n)
+            println(f"$name%-28s $n global window(s)  [${dt}%.1f s]")
+          }
+          if (c > 0) {
+            cartesians :+= (name, c)
+            println(f"$name%-28s $c CARTESIAN product(s)  [${dt}%.1f s]")
+          }
         case Left(err) => println(f"$name%-28s PLAN FAILED: $err")
       }
     }
@@ -95,5 +128,7 @@ object WindowAudit {
     println(s"${offenders.size} queries with global windows; " +
       s"NEW (not whitelisted): ${if (newOnes.isEmpty) "none" else newOnes.mkString(", ")}; " +
       s"whitelisted-but-clean: ${if (unused.isEmpty) "none" else unused.mkString(", ")}")
+    println(s"${cartesians.size} queries with cartesian products" +
+      (if (cartesians.isEmpty) "" else s": ${cartesians.map(_._1).mkString(", ")}"))
   }
 }

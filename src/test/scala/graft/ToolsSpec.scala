@@ -48,6 +48,35 @@ class ToolsSpec extends AnyFunSuite {
       keyed.queryExecution.sparkPlan) == 0)
   }
 
+  test("cartesianProducts counts true cartesians, not broadcast NLJs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val a = Seq(1L, 2L).toDF("x")
+    val b = Seq(3L, 4L).toDF("y")
+    // the repo idiom — broadcast side bounded by construction — must
+    // NOT count (it plans as BroadcastNestedLoopJoin)
+    val bounded = a.crossJoin(broadcast(b.agg(max("y").as("m"))))
+    assert(WindowAudit.cartesianProducts(
+      bounded.queryExecution.sparkPlan) == 0)
+    // with auto-broadcast off, an unhinted cross join of two unbounded
+    // frames plans the CartesianProductExec the tripwire exists for
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val cart = a.crossJoin(b)
+      assert(WindowAudit.cartesianProducts(
+        cart.queryExecution.sparkPlan) == 1)
+      // and through a persist boundary, like the window counter
+      val cached = a.crossJoin(b).persist()
+      try {
+        val downstream = cached.groupBy("x").count()
+        assert(WindowAudit.cartesianProducts(
+          downstream.queryExecution.sparkPlan) >= 1)
+      } finally cached.unpersist()
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("unpartitionedWindows sees through a persist boundary") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
