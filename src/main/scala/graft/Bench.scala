@@ -173,9 +173,17 @@ object Bench {
     java.nio.file.Files.writeString(fullPath,
       s"""{"metric":"total","value":${s3(total)},"unit":"sec","sf":"$sfDir","n":${results.size},"failed":$failedJson,"queries":$fullQs}""")
     // failures go to STDOUT inside the driver's tail window, not just
-    // stderr — a crashed query must be visible in the round artifact
-    if (failed.nonEmpty)
-      println(s"""{"bench_failed":$failedJson}""")
+    // stderr — a crashed query must be visible in the round artifact.
+    // Capped like the report line: a mass failure (broken session
+    // config) must not grow this line past the ~2 KiB tail window and
+    // push its own head — or the report line — out of capture; the
+    // complete list is in bench_full.json's "failed" field.
+    if (failed.nonEmpty) {
+      val shown = failed.toSeq.sorted.take(8)
+      val omitted = failed.size - shown.size
+      println(shown.map("\"" + _ + "\"")
+        .mkString("{\"bench_failed\":[", ",", s"],\"failed_omitted\":$omitted}"))
+    }
     // regression tripwire: compare against the committed baseline map
     // (bench_baseline.json — a snapshot of the last clean full-suite
     // bench_full.json, refreshed at each round end) and surface any
@@ -195,8 +203,24 @@ object Bench {
       // of the run — and keep the min before judging. Seconds of cost,
       // only on flagged rows.
       def retime(name: String): Double = name match {
-        case "q_dedup_minhash_16x" => proxyPass()
-        case "q_ann_lsh_16x" => annProxyPass()
+        // the proxy passes swallow their own exceptions (recording the
+        // name in `failed`) and return elapsed time-to-crash — which
+        // must not clear a flagged regression any more than a declared
+        // query's crash does. Detect a failure by the ledger growing.
+        case "q_dedup_minhash_16x" | "q_ann_lsh_16x" =>
+          // `failed` is a SET, so clear the name first or a crash in
+          // BOTH the measured pass and the retime is invisible (the
+          // stdout/artifact ledger was already emitted above — this
+          // mutation can't reach it)
+          val hadFailed = failed.remove(name)
+          val dt =
+            if (name == "q_dedup_minhash_16x") proxyPass() else annProxyPass()
+          val crashed = failed.contains(name)
+          if (hadFailed) failed.add(name)
+          if (crashed) {
+            System.err.println(s"[bench] $name RETIME FAILED")
+            Double.MaxValue
+          } else dt
         case _ => SparkEntry.queries.get(name).map { fn =>
           val t0 = System.nanoTime()
           // a failed re-time must NOT clear a flagged regression: the
