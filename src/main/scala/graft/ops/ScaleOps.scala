@@ -43,6 +43,13 @@ object ScaleOps {
       nSalts: Int,
       joinType: String = "inner"): DataFrame = {
     require(nSalts > 0)
+    // replication is only transparent when unmatched SMALL rows never
+    // reach the output: a right/full outer would emit every unmatched
+    // small row once PER SALT — silently duplicated results
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+      .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left-side join types, got '$joinType' " +
+        "(the salted small side would duplicate unmatched right rows)")
     val bigS = big.withColumn("__salt",
       pmod(xxhash64(saltSource), lit(nSalts.toLong)).cast("int"))
     val saltValues = array((0 until nSalts).map(lit): _*)
@@ -116,7 +123,10 @@ object ScaleOps {
       // nulls AND NaNs rank 0 (ANSI cast(NaN AS long) would throw
       // mid-write otherwise); both co-locate and stay skippable
       val v = coalesce(nanvl(c.cast("double"), lit(null)), lit(mins(i)))
-      if (span <= 0) lit(0L) // constant column: every row rank 0
+      // span.isNaN: belt-and-braces for a caller passing un-sanitized
+      // stats (NaN never satisfies <= 0 — the rank math would emit NaN
+      // and the ANSI long cast would throw mid-write)
+      if (span.isNaN || span <= 0) lit(0L) // constant column: rank 0
       else least(lit(top), greatest(lit(0L),
         floor((v - lit(mins(i))) / lit(span) * lit(top.toDouble))
           .cast("long")))
@@ -144,8 +154,13 @@ object ScaleOps {
       bits: Int,
       zCols: String*): Unit = {
     require(nFiles >= 1)
+    // NaN-exclude the stats: max() treats NaN as greater than
+    // everything, so ONE NaN row would make span NaN and the per-row
+    // nanvl guard in zorderValue can't save a NaN min/max LITERAL —
+    // NaN rows themselves rank 0 via that guard, same as nulls
     val aggs = zCols.flatMap(c =>
-      Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+      Seq(min(nanvl(col(c).cast("double"), lit(null))),
+        max(nanvl(col(c).cast("double"), lit(null)))))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val mins = zCols.indices.map(i =>
       if (row.isNullAt(2 * i)) 0.0 else row.getDouble(2 * i))
@@ -192,7 +207,9 @@ object ScaleOps {
     * swap loses nothing), and the swap renames the live directory
     * ASIDE (`…__cow_old`) before renaming the fresh one in — at every
     * intermediate state the old data exists under a recoverable name,
-    * and a failed swap rolls the aside back. Per-directory rename is
+    * and a failed swap rolls the aside back; the aside name is
+    * dot-prefixed so partition discovery never surfaces the old rows
+    * as a bogus extra partition mid-swap. Per-directory rename is
     * atomic on hdfs (object stores approximate it); cross-directory
     * the swap remains per-partition — the transactionality ceiling of
     * a plain parquet layout, stated rather than papered over. The driver
@@ -200,6 +217,14 @@ object ScaleOps {
     * distinct `partCol` set — operationally small; a batch touching
     * every partition degenerates to a full rewrite, as it must).
     * Returns the touched partition values.
+    *
+    * CONTRACT: an id's partition value is immutable — the merge reads
+    * only touched partitions, so an update that MOVES an id to a new
+    * `partCol` value leaves the old copy stranded in its unread
+    * partition (two live rows for one id). Detecting moves would need
+    * an id-indexed scan of the FULL base per batch, which defeats the
+    * op's purpose; partition-stable ids (date-of-creation, tenant,
+    * source) are the standard contract for partition-local upserts.
     */
   def copyOnWriteMerge(
       spark: org.apache.spark.sql.SparkSession,
@@ -211,8 +236,15 @@ object ScaleOps {
     import org.apache.hadoop.fs.Path
     val fs = new Path(basePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val touched = updates.select(col(partCol).cast("string"))
-      .distinct().collect().map(_.getString(0)).toSeq.sorted
+    val touchedRaw = updates.select(col(partCol).cast("string"))
+      .distinct().collect().map(r => Option(r.getString(0))).toSeq
+    // reject null partition values explicitly (Spark would write them
+    // as __HIVE_DEFAULT_PARTITION__; here one would NPE the sort /
+    // regex below with a far less useful stack)
+    require(touchedRaw.forall(_.isDefined),
+      s"updates batch has a null $partCol — null partition values are " +
+        "unsupported by the directory-swap merge")
+    val touched = touchedRaw.flatten.sorted
     if (touched.isEmpty) return touched
     // partition dir names are built as "col=value": restrict to values
     // that need no path escaping rather than silently mis-targeting a
@@ -251,7 +283,13 @@ object ScaleOps {
       // has the data, but recovery is manual). With the aside rename
       // the old data survives under a recoverable name at every
       // intermediate state; only after the swap succeeds is it dropped.
-      val aside = new Path(basePath, dirName + "__cow_old")
+      // dot-prefixed: partition DISCOVERY parses any bare "col=value"
+      // directory as a partition, so an un-hidden aside would expose
+      // the old rows a second time (bogus partition value) to every
+      // reader during the swap window — and indefinitely after a crash
+      // there. Leading-dot paths are invisible to Spark's file index
+      // while staying recoverable on disk.
+      val aside = new Path(basePath, "." + dirName + "__cow_old")
       fs.delete(aside, true) // leftover from a previously crashed swap
       val hadLive = fs.exists(live)
       if (hadLive && !fs.rename(live, aside))
@@ -365,10 +403,10 @@ object ScaleOps {
     * job and the main pass would each draw their own boundaries over
     * an unpersisted input and the offsets would describe the wrong
     * partitions (observed as off-by-a-few row numbers). Persisting the
-    * shaped input pins one materialization that both passes read —
-    * the price is that the cache lives until the caller's next
-    * `clearCache` (Verify/Bench clear between queries; library callers
-    * running many indexes should do the same). Order columns must be a
+    * shaped input pins one materialization that both passes read; the
+    * cache books into the [[QueryCaches]] ledger (or the caller's
+    * [[CacheHandle]] on the handle overload) so harnesses and library
+    * callers can reclaim it deterministically. Order columns must be a
     * total order (unique key) for `rn` to be deterministic — same
     * contract as a global `row_number`.
     */
@@ -376,7 +414,18 @@ object ScaleOps {
       df: DataFrame,
       partitions: Int,
       orderCols: Column*): DataFrame =
-    withPrefixOffsets(df, partitions, count(lit(1)), orderCols) {
+    globalRowNumber(df, partitions, null: CacheHandle, orderCols: _*)
+
+  /** [[globalRowNumber]] with an explicit cache lifecycle (see
+    * [[CacheHandle]]); the no-handle overload books the
+    * correctness-persist into the [[QueryCaches]] ledger.
+    */
+  def globalRowNumber(
+      df: DataFrame,
+      partitions: Int,
+      handle: CacheHandle,
+      orderCols: Column*): DataFrame =
+    withPrefixOffsets(df, partitions, count(lit(1)), orderCols, handle) {
       (shaped, w) =>
         shaped
           .withColumn("rn", (row_number().over(w) + col("__off")).cast("long"))
@@ -399,7 +448,7 @@ object ScaleOps {
       outCol: String,
       orderCols: Column*): DataFrame =
     withPrefixOffsets(df, partitions,
-      coalesce(sum(col(valueCol)), lit(0L)).cast("long"), orderCols) {
+      coalesce(sum(col(valueCol)), lit(0L)).cast("long"), orderCols, null) {
       (shaped, w) =>
         // the frame always contains the current row and the summed
         // expression is null-coalesced, so this sum is never null
@@ -428,10 +477,9 @@ object ScaleOps {
       orderCols: Column*): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val shaped = df
-      .repartitionByRange(partitions, orderCols: _*)
-      .withColumn("__pid", spark_partition_id())
-      .persist()
+    val shaped = CacheHandle.persistWith(null,
+      df.repartitionByRange(partitions, orderCols: _*)
+        .withColumn("__pid", spark_partition_id()))
     val totals = shaped.groupBy("__pid")
       .agg(max(col(valueCol)).cast("long").as("__tot"))
       .orderBy("__pid")
@@ -466,8 +514,8 @@ object ScaleOps {
     * job and the main pass would each draw their own boundaries over
     * an unpersisted input and the offsets would describe the wrong
     * partitions (observed as off-by-a-few results). Persisting pins
-    * one materialization both passes read; callers running many of
-    * these should `clearCache` between them (Verify/Bench do). Order
+    * one materialization both passes read; the cache books into the
+    * caller's [[CacheHandle]] or the [[QueryCaches]] ledger. Order
     * columns must be a total order (unique key) for determinism —
     * same contract as a global window.
     */
@@ -475,15 +523,15 @@ object ScaleOps {
       df: DataFrame,
       partitions: Int,
       perPartition: Column,
-      orderCols: Seq[Column])(
+      orderCols: Seq[Column],
+      handle: CacheHandle)(
       finish: (DataFrame, org.apache.spark.sql.expressions.WindowSpec)
         => DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val shaped = df
-      .repartitionByRange(partitions, orderCols: _*)
-      .withColumn("__pid", spark_partition_id())
-      .persist()
+    val shaped = CacheHandle.persistWith(handle,
+      df.repartitionByRange(partitions, orderCols: _*)
+        .withColumn("__pid", spark_partition_id()))
     val totals = shaped.groupBy("__pid").agg(perPartition.as("__tot"))
       .orderBy("__pid")
       .collect()
@@ -518,7 +566,10 @@ object ScaleOps {
       s"mBits must be a positive multiple of 64, got $mBits")
     require(k >= 1, s"k must be >= 1, got $k")
     val pos = (0 until k).map(i => bloomPos(i, col(keyCol), mBits))
-    val words = keys
+    // null keys contribute null positions (md5(null) is null) whose
+    // word group would NPE the getInt below — and a null key can never
+    // match the exact semi-join this filter fronts, so drop them here
+    val words = keys.filter(col(keyCol).isNotNull)
       .select(explode(array(pos: _*)).as("pos")).distinct()
       .select(expr("CAST(pos div 64 AS INT) AS word"),
         expr("shiftleft(1L, CAST(pos % 64 AS INT)) AS mask"))

@@ -221,12 +221,15 @@ object TextDedup {
   /** Keep only rows whose bucket (the `keyCols` group) has at most
     * `maxBucket` members. The over-cap bucket list is an aggregate with
     * map-side partial combine — its shuffle carries one count per
-    * DISTINCT bucket key, not the banded rows — and is removed with a
-    * broadcast anti-join, so the banded rows themselves are never
-    * re-shuffled by the cap: the candidate join downstream keeps
-    * whatever exchange plan it had without the cap. (The broadcast is
-    * safe by construction: at most rows/maxBucket buckets can exceed
-    * the cap, and only their key columns ship.)
+    * DISTINCT bucket key, not the banded rows — and is removed with an
+    * anti-join that carries NO broadcast hint: the over-cap set is
+    * corpus-derived (bounded only by rows/maxBucket, which GROWS with
+    * the corpus — a boilerplate-heavy 100 TB crawl can push 1e9 keys
+    * over a 1000-cap), and a forced broadcast() is honored
+    * unconditionally however big the side gets (the CLAUDE.md
+    * vocab-join rule; q_tfidf is the pinned precedent). AQE converts
+    * the join to a broadcast at runtime whenever the measured over-cap
+    * set is actually small — which at sane caps it is.
     *
     * Dropping is never silent: pair it with [[overCapBuckets]] — same
     * inputs, returns the dropped (key, n_members) set — to log/audit
@@ -239,7 +242,7 @@ object TextDedup {
     require(maxBucket > 0, s"maxBucket must be positive, got $maxBucket")
     val over = overCapBuckets(banded, keyCols, maxBucket)
       .select(keyCols.map(col): _*)
-    banded.join(broadcast(over), keyCols, "left_anti")
+    banded.join(over, keyCols, "left_anti")
   }
 
   /** The keep-some alternative to [[capBuckets]]: over-cap buckets are
@@ -258,8 +261,10 @@ object TextDedup {
       idCol: String,
       maxBucket: Int): DataFrame = {
     require(maxBucket > 0, s"maxBucket must be positive, got $maxBucket")
+    // no broadcast hint — the over-cap set is corpus-derived (see
+    // capBuckets); AQE converts when it measures small
     val over = overCapBuckets(banded, keyCols, maxBucket)
-    banded.join(broadcast(over), keyCols, "left_outer")
+    banded.join(over, keyCols, "left_outer")
       .withColumn("__shard",
         when(col("n_members").isNull, lit(0L))
           .otherwise(pmod(xxhash64(col(idCol)),
@@ -455,6 +460,12 @@ object TextDedup {
             .as("pos"))
         .select(col(idCol), col("pos"),
           xxhash64(expr(s"substring(t, pos, $gramLen)")).as("g")))
+    // NO eager materialization, unlike minhashDedupFromShingles: this
+    // plan has only TWO readers of the lazy cache (dup aggregate +
+    // join probe) and an A/B at sf0.1 measured the extra count() pass
+    // as pure cost (+85% on q_dedup_substring, 1.47→2.73 s) — the
+    // concurrent-stage recompute the minhash pipeline suffers does not
+    // materialize here. Measure before "fixing" lazy caches.
     val dup = grams.groupBy("g").agg(count(lit(1)).as("c"))
       .filter(col("c") >= minCount).select("g")
     val hits = grams.join(dup, "g")
@@ -640,7 +651,8 @@ object TextDedup {
       sim: DataFrame,
       idCol: String,
       maxHamming: Int,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket,
+      fpCol: String = "simhash"): DataFrame = {
     // >= 32 would create zero-width bands whose band_val is 0 for every
     // row — one hot bucket, i.e. the all-pairs join this exists to avoid
     require(maxHamming >= 0 && maxHamming < 32,
@@ -653,7 +665,10 @@ object TextDedup {
         shiftright(col("fp"), lo).bitwiseAND(lit((1L << (hi - lo)) - 1))
           .as("band_val"))
     }
-    val banded0 = sim.toDF("id", "fp")
+    // select BY NAME — the former positional toDF("id", "fp") silently
+    // mislabeled any input not shaped exactly (id, fp), making the
+    // idCol/fpCol parameters lies
+    val banded0 = sim.select(col(idCol).as("id"), col(fpCol).as("fp"))
       .select(col("id"), col("fp"), explode(array(bands: _*)).as("bd"))
       .select(col("id"), col("fp"),
         col("bd.band_idx").as("band_idx"), col("bd.band_val").as("band_val"))
