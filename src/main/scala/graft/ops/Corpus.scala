@@ -30,14 +30,25 @@ object Corpus {
     */
   val defaultStopWords: Seq[String] = Seq("the", "a", "data", "row", "key")
 
+  /** The engine-portable hash-mod idiom — first 8 hex chars of
+    * md5(input) as a long, mod `m` — shared by hash sampling
+    * ([[hashBucket]]), feature hashing ([[hashingTf]]) and span
+    * corruption ([[spanCorruptionPlan]]). ONE definition pins the
+    * cross-engine contract the DuckDB oracles mirror textually
+    * (8 hex chars = 32 bits so the long never overflows, base-16
+    * conv, long cast, then mod); a drive-by change at one call site
+    * can no longer diverge the others from their oracles.
+    */
+  def hashMod(input: Column, m: Long): Column =
+    conv(substring(md5(input), 1, 8), 16, 10).cast("long") % m
+
   /** Deterministic sampling bucket in [0, 100): md5 of `salt:id`.
     * Same formula as the DuckDB oracle side; stable across engines,
     * retries, and runs — the property that makes hash sampling the
     * standard over `rand()` in data pipelines.
     */
   def hashBucket(idCol: Column, salt: String): Column =
-    conv(substring(md5(concat(lit(s"$salt:"), idCol.cast("string"))), 1, 8),
-      16, 10).cast("long") % 100
+    hashMod(concat(lit(s"$salt:"), idCol.cast("string")), 100)
 
   /** Stratified deterministic sample: keep a row when its hash bucket
     * falls under its stratum's percentage rate. `rates` maps stratum
@@ -161,6 +172,15 @@ object Corpus {
     * pre-join shuffle; only MATCHING (train-doc, shingle) rows reach
     * the per-document count exchange, and matches are rare by
     * construction at production n-gram lengths.
+    *
+    * PRECONDITION — the broadcast() is deliberate and UNCONDITIONAL
+    * (the hint never degrades, per the repo broadcast rule):
+    * `benchmark` must be eval-set-sized (its distinct shingles fit an
+    * executor — tens of MB). It does NOT grow with the train corpus,
+    * which is what the no-hint rule protects against; but a caller
+    * "decontaminating" one corpus slice against another corpus-sized
+    * slice is outside this operator's contract — use the
+    * [[TextDedup]] posting-join shapes for corpus-vs-corpus overlap.
     */
   def decontaminate(
       train: DataFrame,
@@ -660,9 +680,8 @@ object Corpus {
       .withColumn("span_idx",
         explode(sequence(lit(0L), col("__blocks") - 1)))
       .withColumn("__off",
-        conv(substring(md5(concat(lit(s"$salt:"), col(idCol).cast("string"),
-          lit(":"), col("span_idx").cast("string"))), 1, 8), 16, 10)
-          .cast("long") % width)
+        hashMod(concat(lit(s"$salt:"), col(idCol).cast("string"),
+          lit(":"), col("span_idx").cast("string")), width))
       .select(col(idCol), col("span_idx"),
         (col("span_idx") * block + col("__off")).as("tok_start"),
         lit(spanLen.toLong).as("tok_len"))
@@ -690,14 +709,18 @@ object Corpus {
       idCol: String,
       textCol: String,
       isTarget: Column,
-      buckets: Int): DataFrame = {
+      buckets: Int,
+      handle: CacheHandle = null): DataFrame = {
     require(buckets > 0, s"buckets must be > 0, got $buckets")
-    val tok = df
+    // persisted: the exploded token set feeds BOTH the bucket-count
+    // branch and the final scoring join — unpersisted, the corpus
+    // scan + explode runs twice (the multi-branch rule)
+    val tok = CacheHandle.persistWith(handle, df
       .select(col(idCol), isTarget.as("__t"),
         TextDedup.tokens(col(textCol)).as("__toks"))
       .filter(size(col("__toks")) >= 1)
       .select(col(idCol), col("__t"), explode(col("__toks")).as("__tok"))
-      .withColumn("__b", Sketches.cmBucket(col("__tok"), 0, buckets))
+      .withColumn("__b", Sketches.cmBucket(col("__tok"), 0, buckets)))
     val side = tok.groupBy("__b")
       .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("ct"),
         sum(when(!col("__t"), 1L).otherwise(0L)).as("cq"))
@@ -712,7 +735,10 @@ object Corpus {
     tok.join(broadcast(scores), "__b")
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("long").as("n_tokens"),
-        round(sum(col("__score")), 6).as("weight_r"))
+        // + 0.0: the score sum straddles zero by design (keep is its
+        // sign), so round can land AT -0.0 on one engine and 0.0 on
+        // the other — the computed-zero normalization rule
+        (round(sum(col("__score")), 6) + lit(0.0)).as("weight_r"))
       .withColumn("keep", col("weight_r") > 0)
   }
 
@@ -789,8 +815,7 @@ object Corpus {
     df.select(col(idCol), explode(TextDedup.tokens(col(textCol))).as("tok"))
       .filter(length(col("tok")) > 0)
       .withColumn("bucket",
-        conv(substring(md5(concat(lit("htf:"), col("tok"))), 1, 8),
-          16, 10).cast("long") % numFeatures)
+        hashMod(concat(lit("htf:"), col("tok")), numFeatures))
       .groupBy(col(idCol), col("bucket"))
       .agg(count(lit(1)).as("n"))
   }
@@ -933,6 +958,36 @@ object Corpus {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** Snapshot diff — the change-data-feed summary between two corpus
+    * versions: one full-outer hash join on the id comparing content
+    * fingerprints, classifying every id as added / removed / changed /
+    * unchanged. The row-level output feeds incremental downstream work
+    * (re-embed only `changed`, retire `removed`); one exchange of
+    * old+new ids however the revisions are distributed.
+    */
+  def snapshotDiff(
+      oldSnap: DataFrame,
+      newSnap: DataFrame,
+      idCol: String,
+      fpCol: String): DataFrame = {
+    // presence is detected with MARKER columns, not fingerprint
+    // nullness: a null fp (md5 of a null text) on a present row would
+    // otherwise read as absence — a REMOVED doc with null old text
+    // classified "added". A null fp on a both-present row classifies
+    // "changed" (unknown content; plain === null-propagates to the
+    // otherwise branch — the same semantics as the SQL oracle's =).
+    oldSnap.select(col(idCol), col(fpCol).as("__fp_old"),
+        lit(true).as("__in_old"))
+      .join(newSnap.select(col(idCol), col(fpCol).as("__fp_new"),
+        lit(true).as("__in_new")), Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "removed")
+          .when(col("__fp_old") === col("__fp_new"), "unchanged")
+          .otherwise("changed"))
+      .drop("__fp_old", "__fp_new", "__in_old", "__in_new")
+  }
+
   /** Document-level PMI of token pairs: for tokens a<b,
     * pmi = ln( c_ab · n_docs / (c_a · c_b) ) over per-doc DISTINCT
     * token sets — the collocation / topic-coherence statistic.
@@ -950,29 +1005,6 @@ object Corpus {
     * parenthesized identically to the oracle ((c_ab·n)/(c_a·c_b)) so
     * both engines run the same IEEE ops; round(,6) absorbs the ln ulp.
     */
-  /** Snapshot diff — the change-data-feed summary between two corpus
-    * versions: one full-outer hash join on the id comparing content
-    * fingerprints, classifying every id as added / removed / changed /
-    * unchanged. The row-level output feeds incremental downstream work
-    * (re-embed only `changed`, retire `removed`); one exchange of
-    * old+new ids however the revisions are distributed.
-    */
-  def snapshotDiff(
-      oldSnap: DataFrame,
-      newSnap: DataFrame,
-      idCol: String,
-      fpCol: String): DataFrame = {
-    oldSnap.select(col(idCol), col(fpCol).as("__fp_old"))
-      .join(newSnap.select(col(idCol), col(fpCol).as("__fp_new")),
-        Seq(idCol), "full_outer")
-      .withColumn("status",
-        when(col("__fp_old").isNull, "added")
-          .when(col("__fp_new").isNull, "removed")
-          .when(col("__fp_old") === col("__fp_new"), "unchanged")
-          .otherwise("changed"))
-      .drop("__fp_old", "__fp_new")
-  }
-
   def pmiPairs(
       docs: DataFrame,
       idCol: String,

@@ -63,6 +63,15 @@ object GraphOps {
     // re-derived per round
     val ew = CacheHandle.persistWith(handle,
       e.join(deg, "src").select(col("src"), col("dst"), col("outdeg")))
+    // eager (the q_pca_power rule): the init checkpoint below contains
+    // crossJoin(broadcast(n1)) — the broadcast exchange runs as its
+    // own concurrent driver job, and against LAZY e/nodes caches both
+    // jobs would materialize the |E| distinct and the node union at
+    // once, computing cold partitions twice. Materialize e first (the
+    // expensive distinct), then nodes over the warm e; every later
+    // reader — ew, n1, the init join — hits warm caches.
+    e.count()
+    nodes.count()
     // carry N as a column: one broadcast cross-join at init, then the
     // constant is just data — no per-round re-aggregation
     val n1 = nodes.agg(count(lit(1)).as("n"))

@@ -56,13 +56,16 @@ object IvfIndex {
       idCol: String,
       embeddingCol: String,
       k: Int,
-      seed: Long = 42L): Model = {
+      seed: Long = 42L,
+      handle: CacheHandle = null): Model = {
+    require(k >= 1, s"k must be >= 1, got $k")
     val spark = df.sparkSession
     import spark.implicits._
-    val base = df.select(col(idCol).as("vec_id"),
-      vecCol(col(embeddingCol)).as("v"))
-      .withColumn("nrm", VectorFunctions.l2Norm(col("v")))
-      .persist()
+    // ledger/handle-tracked like buildExact (the bare-persist rule)
+    val base = CacheHandle.persistWith(handle,
+      df.select(col(idCol).as("vec_id"),
+          vecCol(col(embeddingCol)).as("v"))
+        .withColumn("nrm", VectorFunctions.l2Norm(col("v"))))
 
     val mlVecs = base.select(col("vec_id"), col("v"))
       .as[(Long, Seq[Double])]
@@ -73,7 +76,13 @@ object IvfIndex {
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }
 
-    val assigned = assignCells(centroids, base).persist()
+    val assigned = CacheHandle.persistWith(handle,
+      assignCells(centroids, base))
+    // materialize the assignment WHILE base is still cached, then drop
+    // base: the old order (unpersist base, assigned still lazy) threw
+    // away the warm scan+norm and recomputed it on the caller's first
+    // action over the assignment
+    assigned.count()
     base.unpersist()
     Model(centroids, assigned)
   }
@@ -84,6 +93,16 @@ object IvfIndex {
     * break to the lowest cell id. Shared by [[build]] and [[append]]
     * so batch and incremental assignment cannot diverge.
     */
+  /** Cosine with a zero-norm guard: an all-zero vector (a failed or
+    * OOV embedding) or a zero-sum centroid scores −2.0 — below every
+    * real cosine — so it never wins a probe or neighbor slot,
+    * DETERMINISTICALLY, instead of injecting NaN into the rankings
+    * (double x/0.0 is NaN, and NaN sorts FIRST under desc, so an
+    * unguarded zero-norm row would win every ordering it touched).
+    */
+  private def cosOrFloor(dot: Column, n1: Column, n2: Column): Column =
+    when(n1 * n2 > 0, dot / (n1 * n2)).otherwise(lit(-2.0))
+
   private def assignCells(
       centroids: Array[(Int, Array[Double])],
       base: DataFrame): DataFrame = {
@@ -96,8 +115,9 @@ object IvfIndex {
     val aw = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id"))
     base.join(broadcast(centDf))
-      .withColumn("c_cos", VectorFunctions.dotProduct(col("v"), col("cv")) /
-        (col("nrm") * col("cn")))
+      .withColumn("c_cos", cosOrFloor(
+        VectorFunctions.dotProduct(col("v"), col("cv")),
+        col("nrm"), col("cn")))
       .withColumn("rk", row_number().over(aw))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cell"))
@@ -128,6 +148,11 @@ object IvfIndex {
       k: Int,
       iters: Int = 2,
       handle: CacheHandle = null): Model = {
+    // fail fast like the sibling round/size params (pageRank, kcore):
+    // k=0 silently built an empty index, iters=0 returned the raw
+    // seeds as "trained" centroids
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
     val base = CacheHandle.persistWith(handle,
       df.select(col(idCol).cast("long").as("vec_id"),
           vecCol(col(embeddingCol)).as("v"))
@@ -256,8 +281,9 @@ object IvfIndex {
     val pw = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("c_cos").desc, col("c_id"))
     val probed = q.join(broadcast(centDf))
-      .withColumn("c_cos", VectorFunctions.dotProduct(col("qv"), col("cv")) /
-        (col("qn") * col("cn")))
+      .withColumn("c_cos", cosOrFloor(
+        VectorFunctions.dotProduct(col("qv"), col("cv")),
+        col("qn"), col("cn")))
       .withColumn("rk", row_number().over(pw))
       .filter(col("rk") <= nprobe)
       .select(col("q_id"), col("qv"), col("qn"), col("c_id").as("cell"))
@@ -266,8 +292,9 @@ object IvfIndex {
         col("nrm").as("cn2"), col("cell"))
     probed.join(cand, Seq("cell"))
       .filter(col("q_id") =!= col("cand_id"))
-      .withColumn("score", VectorFunctions.dotProduct(col("qv"), col("cv2")) /
-        (col("qn") * col("cn2")))
+      .withColumn("score", cosOrFloor(
+        VectorFunctions.dotProduct(col("qv"), col("cv2")),
+        col("qn"), col("cn2")))
       .groupBy("q_id")
       .agg(graft.expr.TopKByScore.topK(col("score"), col("cand_id"), topK)
         .as("neighbors"))

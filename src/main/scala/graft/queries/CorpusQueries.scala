@@ -1334,7 +1334,7 @@ object CorpusQueries {
              ln(CAST(cq + 1 AS DOUBLE) / CAST(tq + 16 AS DOUBLE)) AS score
            FROM side CROSS JOIN tot)
          SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-           round(sum(sc.score), 6) AS weight_r,
+           round(sum(sc.score), 6) + 0.0 AS weight_r,
            round(sum(sc.score), 6) > 0 AS keep
          FROM tk JOIN sc ON tk.b = sc.b
          GROUP BY tk.doc_id ORDER BY doc_id""",
