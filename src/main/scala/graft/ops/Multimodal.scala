@@ -122,7 +122,13 @@ object Multimodal {
 
     private def decode(payload: Array[Byte]): Option[BufferedImage] =
       if (payload.isEmpty) None
-      else Option(ImageIO.read(new ByteArrayInputStream(payload)))
+      // catch, don't just null-check: a TRUNCATED image (valid magic
+      // bytes, cut-off body) makes ImageIO pick a reader that then
+      // THROWS from read() — per the contract above, anything that
+      // cannot decode falls back to the stub instead of crashing the
+      // task (WavCodec.decodePcm does the same)
+      else try Option(ImageIO.read(new ByteArrayInputStream(payload)))
+      catch { case scala.util.control.NonFatal(_) => None }
 
     /** 16-dim feature: mean luminance of a 4×4 grid over the decoded
       * raster, each in [0, 1) — a real (if tiny) visual embedding.
@@ -420,6 +426,9 @@ object Multimodal {
       media: Dataset[MediaRecord],
       framesPer: Int = 4,
       codec: MediaCodec = StubCodec): Dataset[Frame] = {
+    // fail at the API edge: framesPer=0 reached the stub codec's
+    // payload.length / n as an executor-side ArithmeticException
+    require(framesPer >= 1, s"framesPer must be >= 1, got $framesPer")
     import media.sparkSession.implicits._
     media.mapPartitions { batch =>
       batch.flatMap { m =>

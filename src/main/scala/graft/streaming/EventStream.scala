@@ -152,7 +152,10 @@ object EventStream {
       textCol: String = "text",
       tsCol: String = "ts",
       segTokens: Int = 8,
-      watermarkDelay: String = "10 minutes"): DataFrame =
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    // segTokens=0 would be an ANSI DIVIDE_BY_ZERO raised per row once
+    // the stream starts — fail at the API edge instead
+    require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
     docs
       .select(col(idCol), col(tsCol),
         graft.ops.TextDedup.tokens(col(textCol)).as("__toks"))
@@ -168,6 +171,7 @@ object EventStream {
       .withColumn("seg_fp", md5(col("seg")))
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("seg_fp")
+  }
 
   /** Stream-static enrichment + windowed counts per dimension value:
     * the canonical "join the stream to a dimension table" shape. The
@@ -288,7 +292,13 @@ object EventStream {
               val t = e.ts.getTime
               open match {
                 case Some(s) if t - s.end <= gapMs =>
-                  open = Some(s.copy(end = math.max(s.end, t), n = s.n + 1))
+                  // min on start: a cross-batch late event can sort
+                  // BEFORE the open session's first event (negative
+                  // delta also lands in this merge branch) — the batch
+                  // oracle's globally-sorted sessionization starts the
+                  // session at that earlier time, so must the stream
+                  open = Some(s.copy(start = math.min(s.start, t),
+                    end = math.max(s.end, t), n = s.n + 1))
                 case Some(s) =>
                   closed += toSession(s)
                   open = Some(OpenSession(t, t, 1))

@@ -66,7 +66,13 @@ object StreamDedup {
       text: String,
       shingleN: Int,
       numHashes: Int): Option[Seq[String]] = {
-    val toks = text.trim.split(" ")
+    // strip ASCII SPACES only — Spark's trim() semantics. Java
+    // String.trim strips every char <= U+0020 (\n, \t, …), so a text
+    // with a trailing newline would tokenize differently here than in
+    // TextDedup.tokens and the signatures would silently diverge from
+    // the batch oracle the scaladoc promises lockstep with.
+    val toks = text.dropWhile(_ == ' ')
+      .reverse.dropWhile(_ == ' ').reverse.split(" ")
     if (toks.length < shingleN) None
     else {
       val shingles = toks.sliding(shingleN).map(_.mkString(" ")).toSet
@@ -172,7 +178,9 @@ object StreamDedup {
         }
       }
       .toDF("band_idx", "band_val", "doc_id", "sig")
-      .persist() // both self-join sides read it
+      // both self-join sides read it; ledger-tracked (the bare-persist
+      // rule) so Verify/Bench and library callers can reclaim it
+      .transform(graft.ops.QueryCaches.persist)
     banded.as("x")
       .join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&

@@ -54,7 +54,15 @@ object StreamGaps {
               if (e.ts_sec_l - p.lastSec > gapSeconds)
                 out += Gap(uid, p.lastSec, e.ts_sec_l, e.ts_sec_l - p.lastSec)
             }
-            last = Some(GapState(e.ts_sec_l, e.event_id))
+            // the frontier only moves FORWARD: a cross-batch late
+            // arrival older than the stored last-event must not drag
+            // lastSec backward — it would emit a spurious gap from the
+            // stale timestamp and swallow the real one at the frontier
+            // (gaps the late event itself closed are already emitted —
+            // inherent to append-mode streaming, documented above)
+            if (last.forall(p => e.ts_sec_l > p.lastSec ||
+                (e.ts_sec_l == p.lastSec && e.event_id > p.lastId)))
+              last = Some(GapState(e.ts_sec_l, e.event_id))
           }
           last.foreach(state.update)
           out.iterator

@@ -49,8 +49,13 @@ object StreamQuota {
           val out = Seq.newBuilder[QuotaEvent]
           sorted.foreach { e =>
             val hour = Math.floorDiv(e.ts_ns, bucketNs)
-            if (hour != st.hour) st = QuotaState(hour, 0L)
-            if (st.n < k) {
+            // the bucket rolls FORWARD only: a late event from an
+            // already-rolled-past bucket must not reset the counter —
+            // `!=` let one stale arrival zero the live hour's count
+            // and re-admit past the quota (stale events are dropped;
+            // their own bucket's budget closed when the state rolled)
+            if (hour > st.hour) st = QuotaState(hour, 0L)
+            if (hour == st.hour && st.n < k) {
               out += e
               st = st.copy(n = st.n + 1)
             }
