@@ -39,6 +39,29 @@ class StreamGapsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a cross-batch late arrival cannot drag the frontier backward") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long)]
+    val q = StreamGaps.detectGaps(
+      input.toDF().toDF("user_id", "ts_ns", "event_id"), gapSeconds = 150)
+      .writeStream.format("memory").queryName("sgaps_back")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ns(1000), 1L))
+      q.processAllAvailable()
+      // batch 2: a LATE event older than the stored frontier, then a
+      // frontier event. The old state overwrite emitted a spurious
+      // (100, 1200) gap and swallowed the real (1000, 1200) one.
+      input.addData((1L, ns(100), 2L), (1L, ns(1200), 3L))
+      q.processAllAvailable()
+      val got = spark.table("sgaps_back")
+        .select("gap_start_s", "gap_end_s", "gap_sec")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == Set((1000L, 1200L, 200L)))
+    } finally q.stop()
+  }
+
   test("a late-but-next event still closes the gap (NoTimeout state)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -45,4 +45,30 @@ class StreamQuotaSpec extends AnyFunSuite {
         Seq((1L, 0L, 0L)).toDF("user_id", "ts_ns", "event_id"), k = 0)
     }
   }
+
+  test("a stale-period late arrival cannot reset the live counter") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long)]
+    val q = StreamQuota.perUserHourly(
+      input.toDF().toDF("user_id", "ts_ns", "event_id"),
+      k = 2, bucketNs = ns(10))
+      .writeStream.format("memory").queryName("squota_stale")
+      .outputMode("append").start()
+    try {
+      // batch 1: period 1's budget is fully spent
+      input.addData((1L, ns(11), 1L), (1L, ns(12), 2L))
+      q.processAllAvailable()
+      // batch 2: a LATE period-0 event, then another period-1 event.
+      // The old `hour != state.hour` roll reset the counter on the
+      // stale arrival, admitted it, reset AGAIN on the period-1 event
+      // and re-admitted past k — the quota bypass. Now: the stale
+      // event is dropped (its budget closed) and period 1 stays spent.
+      input.addData((1L, ns(5), 3L), (1L, ns(13), 4L))
+      q.processAllAvailable()
+      val got = spark.table("squota_stale")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == Set((1L, ns(11), 1L), (1L, ns(12), 2L)))
+    } finally q.stop()
+  }
 }

@@ -156,6 +156,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a late in-watermark event extends the open session's start backward") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    val q = EventStream.sessionize(input.toDS(), gapSeconds = 1800,
+      watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("sess_back")
+      .outputMode("append").start()
+    try {
+      // batch 1: the session opens at 10:00
+      input.addData(EventStream.Event(1L,
+        Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "view", 0.0))
+      q.processAllAvailable()
+      // batch 2: a LATE event at 09:59 merges in FRONT of the open
+      // session (negative delta). A globally-sorted batch
+      // sessionization starts this session at 09:59 — so must the
+      // stream (the old code kept start at 10:00).
+      input.addData(EventStream.Event(2L,
+        Timestamp.valueOf("2024-01-01 09:59:00"), 7L, "view", 0.0))
+      q.processAllAvailable()
+      // far-future sentinels close and flush the session
+      input.addData(EventStream.Event(Long.MaxValue,
+        Timestamp.valueOf("2030-01-01 00:00:00"), -1L, "sentinel", 0.0))
+      q.processAllAvailable()
+      input.addData(EventStream.Event(Long.MaxValue - 1,
+        Timestamp.valueOf("2031-01-01 00:00:00"), -1L, "sentinel2", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_back").filter(col("user_id") === 7L)
+        .select("session_start", "session_end", "n_events")
+        .as[(Timestamp, Timestamp, Long)].collect().toSeq
+      assert(got == Seq((Timestamp.valueOf("2024-01-01 09:59:00"),
+        Timestamp.valueOf("2024-01-01 10:00:00"), 2L)))
+    } finally q.stop()
+  }
+
   test("built-in session_window agrees with batch query and custom state op") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
