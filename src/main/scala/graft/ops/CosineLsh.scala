@@ -56,9 +56,21 @@ object CosineLsh {
       idCol: String,
       embeddingCol: String,
       k: Int = 8,
-      seed: Long = 42L): DataFrame = {
-    val dim = df.select(size(col(embeddingCol))).head().getInt(0)
-    val pm = planes(k, dim, seed)
+      seed: Long = 42L,
+      dim: Int = -1): DataFrame = {
+    // pass `dim` to skip the inference action (one driver job per
+    // call); the inference head() throws on an empty frame or a null
+    // first embedding — fail with a clear message instead
+    val d =
+      if (dim > 0) dim
+      else {
+        val row = df.select(size(col(embeddingCol))).limit(1).collect()
+        require(row.nonEmpty && !row.head.isNullAt(0),
+          s"cannot infer dim from an empty frame or null $embeddingCol — " +
+            "pass dim explicitly")
+        row.head.getInt(0)
+      }
+    val pm = planes(k, d, seed)
     df.select(col(idCol).as("vec_id"),
       VectorFunctions.toDoubleArray(col(embeddingCol)).as("v"))
       .withColumn("nrm", VectorFunctions.l2Norm(col("v")))

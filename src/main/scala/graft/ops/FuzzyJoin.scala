@@ -44,7 +44,12 @@ object FuzzyJoin {
       .select("id", "gram").distinct())
     val in =
       if (maxPosting == Int.MaxValue) grams
-      else TextDedup.capBuckets(grams, Seq("gram"), maxPosting)
+      // persisted: three branches read it (both self-join sides + the
+      // gl totals) — unpersisted, the cap's count aggregate and
+      // anti-join re-execute per branch (grams beneath is cached, so
+      // only those shuffles were being repeated)
+      else CacheHandle.persistWith(handle,
+        TextDedup.capBuckets(grams, Seq("gram"), maxPosting))
     // gram totals MUST come from the same capped set as the shared
     // counts: with ga from uncapped grams but shared from capped
     // postings, any pair touching a hot gram could fail the count

@@ -69,7 +69,22 @@ object ProductQuantizer {
       k: Int): DataFrame = {
     require(subspaces >= 1 && subDim >= 1 && k >= 1,
       s"need positive subspaces/subDim/k, got $subspaces/$subDim/$k")
-    val ce = codebookSlices(embs, idCol, vecCol, subspaces, subDim, k)
+    pqCodesFrom(codebookSlices(embs, idCol, vecCol, subspaces, subDim, k),
+      embs, idCol, vecCol, subspaces, subDim)
+  }
+
+  /** [[pqCodes]] over an already-built (possibly shared/persisted)
+    * codebook — [[adcTopK]] reuses one codebook for the assignment
+    * AND the lookup table instead of running the corpus-wide
+    * TakeOrdered seed pass twice.
+    */
+  private def pqCodesFrom(
+      ce: DataFrame,
+      embs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      subspaces: Int,
+      subDim: Int): DataFrame = {
     val ve = embs
       .select(col(idCol),
         explode(sequence(lit(0), lit(subspaces - 1))).as("sub"),
@@ -81,7 +96,11 @@ object ProductQuantizer {
       .groupBy(col(idCol), col("sub"))
       .agg(min(struct(col("dist"), col("cid"))).as("m"))
       .select(col(idCol), col("sub").cast("long").as("sub"),
-        col("m.cid").as("code"), round(col("m.dist"), 6).as("dist_r"))
+        col("m.cid").as("code"),
+        // + 0.0: the squared distance is cancellation-prone ((aa−2ab)
+        // + bb) and lands AT zero for a vector equal to its centroid
+        // slice — the computed-zero normalization rule
+        (round(col("m.dist"), 6) + lit(0.0)).as("dist_r"))
   }
 
   /** Asymmetric-distance (ADC) top-k search over the PQ codes: the
@@ -103,11 +122,18 @@ object ProductQuantizer {
       subspaces: Int,
       subDim: Int,
       k: Int,
-      topK: Int): DataFrame = {
+      topK: Int,
+      handle: CacheHandle = null): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
     val base = embs.filter(col(idCol) =!= queryId)
-    val codes = pqCodes(base, idCol, vecCol, subspaces, subDim, k)
-    val ce = codebookSlices(base, idCol, vecCol, subspaces, subDim, k)
+    // ONE codebook for assignment + LUT (was two corpus-wide
+    // TakeOrdered seed passes), persisted and eagerly materialized:
+    // broadcast(ce) and broadcast(lut) run as separate concurrent
+    // driver jobs and would otherwise race the lazy cache
+    val ce = CacheHandle.persistWith(handle,
+      codebookSlices(base, idCol, vecCol, subspaces, subDim, k))
+    ce.count()
+    val codes = pqCodesFrom(ce, base, idCol, vecCol, subspaces, subDim)
     val q = embs.filter(col(idCol) === queryId).select(col(vecCol).as("qv"))
     val lut = ce.crossJoin(broadcast(q))
       .select(col("sub").cast("long").as("sub"), col("cid"),
@@ -115,7 +141,9 @@ object ProductQuantizer {
     codes.join(broadcast(lut),
         codes("sub") === lut("sub") && codes("code") === lut("cid"))
       .groupBy(col(idCol))
-      .agg(round(sum(col("ad")), 6).as("adist_r"))
+      // + 0.0: same computed-zero guard as dist_r (a query sitting on
+      // its reconstruction hashes -0.0 vs 0.0 across engines)
+      .agg((round(sum(col("ad")), 6) + lit(0.0)).as("adist_r"))
       .orderBy(col("adist_r"), col(idCol))
       .limit(topK)
   }

@@ -61,6 +61,11 @@ object Retrieval {
     // a corpus vocabulary, neither side grows with the data: dfreq is
     // an aggregate of tf AFTER the isInCollection(terms) filter, so it
     // has at most terms.size rows, and consts is exactly one row
+    // eager (the broadcast-vs-lazy-persist rule): broadcast(dfreq)
+    // materializes as its own concurrent driver job reading the LAZY
+    // tf cache — both jobs would re-run the corpus explode. One cheap
+    // count materializes tf before the broadcast subtree exists.
+    tf.count()
     tf.join(broadcast(dfreq), "tok")
       .crossJoin(broadcast(consts))
       .withColumn("term_score",
@@ -120,9 +125,12 @@ object Retrieval {
     *
     * Scale shape: posting join cost is Σ_tok df(tok)² — stop-word
     * grade tokens are the hazard, capped via `maxPosting`
-    * ([[TextDedup.capBuckets]]; recall loss = pairs whose ONLY shared
-    * tokens are hot, the LSH-bucket argument; the gate mirrors the
-    * oracle uncapped). The dot/norm sums are order-dependent double
+    * ([[TextDedup.capBuckets]]; the gate mirrors the oracle
+    * uncapped). Under a cap, norms AND dots both run over the kept
+    * posting set, so sim is the true cosine of the kept-token
+    * vectors; the only recall loss is pairs whose every shared token
+    * is hot (they never meet in the posting join) — the LSH-bucket
+    * argument. The dot/norm sums are order-dependent double
     * aggregates over per-pair SHARED tokens — bounded by per-doc
     * vocabulary, the CLAUDE.md bounded-terms condition; `minSim`
     * compares the ROUNDED similarity (round-before-threshold).
@@ -146,12 +154,22 @@ object Retrieval {
       .withColumn("w", col("tf").cast("double") *
         log((col("n_docs") + 1).cast("double") / (col("df") + 1)))
       .select(col("doc"), col("tok"), col("w")))
-    val norms = wtd.groupBy("doc")
-      .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
-      .filter(col("nrm") > 0)
     val in =
       if (maxPosting == Int.MaxValue) wtd
-      else TextDedup.capBuckets(wtd, Seq("tok"), maxPosting)
+      // persisted: the capped set feeds THREE branches (both self-join
+      // sides and the norms) — unpersisted, capBuckets' count
+      // aggregate + anti-join re-execute per branch
+      else CacheHandle.persistWith(handle,
+        TextDedup.capBuckets(wtd, Seq("tok"), maxPosting))
+    // norms over the SAME (capped) posting set as the dot: deriving
+    // them from the uncapped wtd kept hot-token w² mass in the
+    // denominator while the numerator lost it, systematically
+    // underestimating every capped pair's similarity (the
+    // FuzzyJoin.editDistancePairs capped-totals discipline) — sim is
+    // the true cosine over the KEPT tokens
+    val norms = in.groupBy("doc")
+      .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+      .filter(col("nrm") > 0)
     in.select(col("doc").as("a"), col("tok"), col("w").as("wa"))
       .join(in.select(col("doc").as("b"), col("tok"), col("w").as("wb")),
         "tok")

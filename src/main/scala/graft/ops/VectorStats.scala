@@ -125,7 +125,10 @@ object VectorStats {
         .localCheckpoint(false)
       cur = Some(out)
     }
-    out.select(col("i"), round(col("v"), 6).as("v_r"),
+    // v_r + 0.0: an eigenvector component can land AT zero (a
+    // dimension orthogonal to the top component) — the computed-zero
+    // rule; lambda_r is a sqrt, always +0-signed, no guard needed
+    out.select(col("i"), (round(col("v"), 6) + lit(0.0)).as("v_r"),
       round(sqrt(col("n2")), 6).as("lambda_r"))
   }
 

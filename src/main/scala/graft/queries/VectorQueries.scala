@@ -241,7 +241,10 @@ object VectorQueries {
       graft.ops.VectorStats.standardize(emb(s, dir), "vec_id", "embedding")
         .filter(col("vec_id") < 50)
         .select(col("vec_id"), col("pos"),
-          round(col("x"), 6).as("x_r"), round(col("z"), 6).as("z_r"))
+          round(col("x"), 6).as("x_r"),
+          // + 0.0: z straddles zero for x within accumulation noise
+          // of mu (the computed-zero rule; oracle mirrors it)
+          (round(col("z"), 6) + lit(0.0)).as("z_r"))
         .orderBy("vec_id", "pos")),
 
     // Embedding-cosine near-dup: all pairs above threshold (bounded
@@ -1206,7 +1209,7 @@ object VectorQueries {
                  cs))
                + list_dot_product(cs, cs) AS ad
            FROM ce CROSS JOIN qq)
-         SELECT c.vec_id, round(sum(l.ad), 6) AS adist_r
+         SELECT c.vec_id, round(sum(l.ad), 6) + 0.0 AS adist_r
          FROM codes c JOIN lut l ON l.sub = c.sub AND l.cid = c.code
          GROUP BY 1 ORDER BY adist_r, c.vec_id LIMIT 10"""
 
@@ -1340,7 +1343,7 @@ object VectorQueries {
            FROM ss JOIN sf si ON si.i = ss.i
                    JOIN sf sj ON sj.i = ss.j),
          $roundCtes
-         SELECT i, round(v, 6) AS v_r, round(sqrt(n2), 6) AS lambda_r
+         SELECT i, round(v, 6) + 0.0 AS v_r, round(sqrt(n2), 6) AS lambda_r
          FROM v$rounds ORDER BY i"""
   }
 
@@ -1457,7 +1460,7 @@ object VectorQueries {
              sqrt(greatest(avg(x * x) - avg(x) * avg(x), 0)) AS sd
            FROM e GROUP BY pos)
          SELECT e.vec_id, e.pos AS pos, round(e.x, 6) AS x_r,
-           round((e.x - st.mu) / st.sd, 6) AS z_r
+           round((e.x - st.mu) / st.sd, 6) + 0.0 AS z_r
          FROM e JOIN st ON e.pos = st.pos AND st.sd > 0
          WHERE e.vec_id < 50
          ORDER BY vec_id, e.pos""",
@@ -1872,11 +1875,11 @@ object VectorQueries {
          r AS (SELECT vec_id, sub, cid, dist, row_number() OVER
              (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
            FROM d)
-         SELECT vec_id, sub, cid AS code, round(dist, 6) AS dist_r
+         SELECT vec_id, sub, cid AS code, round(dist, 6) + 0.0 AS dist_r
          FROM r WHERE rn = 1 ORDER BY vec_id, sub""",
     "q_pq_adc" ->
       s"""WITH $pqAdcChainSql
-         SELECT c.vec_id, round(sum(l.ad), 6) AS adist_r
+         SELECT c.vec_id, round(sum(l.ad), 6) + 0.0 AS adist_r
          FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.cid
          GROUP BY c.vec_id
          ORDER BY adist_r, c.vec_id LIMIT 20""",
