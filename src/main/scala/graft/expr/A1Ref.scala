@@ -14,6 +14,10 @@ object A1Ref {
     val s = col.trim
     require(s.nonEmpty && s.forall(c => c >= 'A' && c <= 'Z'),
       s"not a column ref: '$col'")
+    // 6 letters tops out at ~3.2e8; 7+ would overflow Int into a
+    // silently-wrong (possibly negative) ordinal — xlsx column refs
+    // max out at XFD (3 letters), so reject rather than wrap
+    require(s.length <= 6, s"column ref too long: '$col'")
     s.foldLeft(0)((n, c) => n * 26 + (c - 'A' + 1))
   }
 
@@ -35,7 +39,12 @@ object A1Ref {
     * (`xlsparser.js:98-102`).
     */
   def parse(ref: String): (Int, Int) = ref.trim match {
-    case RefPattern(letters, digits) => (digits.toInt, colToInt(letters))
+    // the digit-count bound keeps toInt from throwing a raw
+    // NumberFormatException (the documented failure is
+    // IllegalArgumentException) on an oversized row from a malformed
+    // file; xlsx rows max out at 1,048,576 (7 digits)
+    case RefPattern(letters, digits) if digits.length <= 9 =>
+      (digits.toInt, colToInt(letters))
     case other => throw new IllegalArgumentException(s"not an A1 ref: '$other'")
   }
 }

@@ -39,10 +39,36 @@ case class TopKByScore(
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("score", DoubleType), StructField("id", LongType))))
 
-  // min-heap on (score asc, id desc): the head is the entry to evict —
-  // worst score, and among equals the largest id (ids ascend on ties)
+  // wrong-typed arguments must fail ANALYSIS, not throw
+  // ClassCastException per row on the executors (the asInstanceOf in
+  // update) — the same contract the sibling expressions declare
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (score.dataType != DoubleType)
+      TypeCheckFailure(s"score must be DOUBLE, got ${score.dataType.sql}")
+    else if (id.dataType != LongType)
+      TypeCheckFailure(s"id must be BIGINT, got ${id.dataType.sql}")
+    else TypeCheckSuccess
+  }
+
+  /* ALL score comparisons use java.lang.Double.compare — the same
+   * TOTAL order Spark's sort uses (NaN greatest, +0.0 > -0.0) — so a
+   * NaN score ranks exactly where the window-rank idiom ranks it
+   * (first under desc) instead of poisoning the heap: the old
+   * IEEE `s > ws` test was always false against a NaN head, which
+   * let one early NaN permanently block a group's top-k and made the
+   * result depend on partition/merge order. */
+
+  // min-heap: the head is the entry to evict — worst score under the
+  // total order, and among equals the largest id (ids ascend on ties)
   private def heapOrder: Ordering[(Double, Long)] =
-    Ordering.by[(Double, Long), (Double, Long)] { case (s, i) => (-s, i) }
+    new Ordering[(Double, Long)] {
+      override def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1) // lower score = worse
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2) // bigger id = worse
+      }
+    }
 
   override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Long)] =
     mutable.PriorityQueue.empty(heapOrder)
@@ -53,7 +79,8 @@ case class TopKByScore(
     if (buf.size < k) buf.enqueue((s, i))
     else {
       val (ws, wi) = buf.head
-      if (s > ws || (s == ws && i < wi)) { buf.dequeue(); buf.enqueue((s, i)) }
+      val c = java.lang.Double.compare(s, ws)
+      if (c > 0 || (c == 0 && i < wi)) { buf.dequeue(); buf.enqueue((s, i)) }
     }
   }
 
@@ -76,7 +103,8 @@ case class TopKByScore(
   }
 
   override def eval(buf: mutable.PriorityQueue[(Double, Long)]): Any = {
-    val sorted = buf.toArray.sortBy { case (s, i) => (-s, i) }
+    // same total order as the heap, inverted: score desc, id asc
+    val sorted = buf.toArray.sorted(heapOrder)
     new GenericArrayData(sorted.map { case (s, i) =>
       InternalRow(s, i): Any
     })

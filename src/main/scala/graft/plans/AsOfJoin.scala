@@ -75,6 +75,15 @@ object AsOfJoin {
 
     override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
 
+    // the output is row-for-row the left stream (plus appended right
+    // columns), so the left child's key-clustering survives — without
+    // this override the exec reports UnknownPartitioning and any
+    // downstream groupBy/join on the same key pays a spurious full
+    // exchange (the SortMergeJoin propagation pattern)
+    override def outputPartitioning
+        : org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+      left.outputPartitioning
+
     override protected def doExecute(): RDD[InternalRow] = {
       val lk = BindReferences.bindReference(leftKey, left.output)
       val lt = BindReferences.bindReference(leftTime, left.output)
@@ -194,10 +203,19 @@ object AsOfJoin {
       val ordered: Set[DataType] = Set(ByteType, ShortType, IntegerType,
         LongType, FloatType, DoubleType, StringType, TimestampType,
         TimestampNTZType, DateType, BooleanType)
-      Seq(lkE, ltE).foreach { e =>
-        require(ordered.contains(e.dataType),
-          s"asof join needs an atomic ordered type, got ${e.dataType}")
-      }
+      // the KEY additionally excludes float types: equality goes
+      // through compareTo AND the hash exchange, and -0.0 vs 0.0
+      // differ under both (Double.compare and Murmur3 of the raw
+      // bits) while SQL `=` treats them equal — a float key would
+      // silently miss matches. Float TIME is fine: the as-of
+      // inequality only needs a total order, which compareTo is.
+      val keyOrdered = ordered -- Set[DataType](FloatType, DoubleType)
+      require(keyOrdered.contains(lkE.dataType),
+        s"asof join key needs a non-float atomic ordered type, got " +
+          s"${lkE.dataType} (float equality diverges from SQL = on " +
+          "signed zeros; cast or bucket the key)")
+      require(ordered.contains(ltE.dataType),
+        s"asof join needs an atomic ordered time type, got ${ltE.dataType}")
     }
     val spark = left.sparkSession
     register(spark)

@@ -1374,10 +1374,10 @@ object StreamQueries {
              ${VectorQueries.lshBucketSql} AS bucket FROM e)
              WHERE nrm > 0)
          SELECT a.vec_id AS a, b.vec_id AS b,
-           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_r
+           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) + 0.0 AS cos_r
          FROM n a JOIN n b
            ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.2
+         WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) + 0.0 >= 0.2
          ORDER BY a, b""",
     // same 300 s epoch buckets the tumbling window aligns to
     "q_stream_trending" ->
@@ -1527,7 +1527,7 @@ object StreamQueries {
          cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n
              WHERE vec_id < 16),
          scored AS (SELECT x.vec_id, x.v, x.nrm, c.c_id,
-             round(list_dot_product(x.v, c.cv) / (x.nrm * c.cn), 6)
+             round(list_dot_product(x.v, c.cv) / (x.nrm * c.cn), 6) + 0.0
                AS c_cos
              FROM n x CROSS JOIN cent c WHERE x.vec_id >= 16),
          assigned AS (SELECT vec_id, v, nrm, c_id AS cell FROM (
@@ -1542,10 +1542,10 @@ object StreamQueries {
              FROM qe) WHERE qnn > 0),
          probe AS (SELECT q.q_id, q.qv, q.qnn, c.c_id AS cell
            FROM qn q CROSS JOIN cent c
-           WHERE round(list_dot_product(q.qv, c.cv) / (q.qnn * c.cn), 6)
+           WHERE round(list_dot_product(q.qv, c.cv) / (q.qnn * c.cn), 6) + 0.0
              >= 0.0),
          m AS (SELECT p.q_id, a.vec_id AS cand_id, p.cell,
-             round(list_dot_product(p.qv, a.v) / (p.qnn * a.nrm), 6)
+             round(list_dot_product(p.qv, a.v) / (p.qnn * a.nrm), 6) + 0.0
                AS cos_r
            FROM probe p JOIN assigned a ON a.cell = p.cell
            WHERE a.vec_id < 450)

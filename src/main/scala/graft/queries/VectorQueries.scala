@@ -391,10 +391,10 @@ object VectorQueries {
           col("v").as("qv"))
       e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
         .withColumn("icos_r", round(vf.dotProduct(col("q8"), col("qq8")) /
-          sqrt(col("ii") * col("qii")), 6))
+          sqrt(col("ii") * col("qii")), 6) + lit(0.0))
         .orderBy(col("icos_r").desc, col("vec_id")).limit(10)
         .withColumn("cos_r", round(vf.dotProduct(col("v"), col("qv")) /
-          (vf.l2Norm(col("v")) * vf.l2Norm(col("qv"))), 6))
+          (vf.l2Norm(col("v")) * vf.l2Norm(col("qv"))), 6) + lit(0.0))
         .select(col("vec_id"), col("icos_r"), col("cos_r"))
         .orderBy(col("icos_r").desc, col("vec_id"))
     }),
@@ -1081,7 +1081,7 @@ object VectorQueries {
              sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
              WHERE nrm > 0),
          p AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
-             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos_r
+             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) + 0.0 AS cos_r
            FROM n q JOIN n c ON c.vec_id >= 10
            WHERE q.vec_id < 10),
          r AS (SELECT *, CAST(row_number() OVER
@@ -1103,14 +1103,14 @@ object VectorQueries {
          cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n
              WHERE vec_id < 16),
          scored AS (SELECT x.vec_id, x.v, x.nrm, c.c_id,
-             round(list_dot_product(x.v, c.cv) / (x.nrm * c.cn), 6) AS c_cos
+             round(list_dot_product(x.v, c.cv) / (x.nrm * c.cn), 6) + 0.0 AS c_cos
              FROM n x CROSS JOIN cent c WHERE x.vec_id >= 16),
          assigned AS (SELECT vec_id, v, nrm, c_id AS cell FROM (
              SELECT *, row_number() OVER
                (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS rk
              FROM scored) WHERE rk = 1),
          p AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id, q.cell,
-             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos_r
+             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) + 0.0 AS cos_r
              FROM assigned q JOIN assigned c
                ON q.cell = c.cell AND q.vec_id <> c.vec_id
              WHERE q.vec_id < 66),
@@ -1170,7 +1170,7 @@ object VectorQueries {
          cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n
              WHERE vec_id < 16),
          scored AS (SELECT x.vec_id, x.v, x.nrm, c.c_id,
-             round(list_dot_product(x.v, c.cv) / (x.nrm * c.cn), 6) AS c_cos
+             round(list_dot_product(x.v, c.cv) / (x.nrm * c.cn), 6) + 0.0 AS c_cos
              FROM n x CROSS JOIN cent c WHERE x.vec_id >= 16),
          assigned AS (SELECT vec_id, v, nrm, c_id AS cell FROM (
              SELECT *, row_number() OVER
@@ -1282,12 +1282,12 @@ object VectorQueries {
          qv AS (SELECT v AS qvec, nrm AS qn FROM n WHERE vec_id = 0),
          cand AS (SELECT vec_id, v, nrm, rel FROM (
              SELECT n.vec_id, n.v, n.nrm,
-               round(list_dot_product(qv.qvec, n.v) / (qv.qn * n.nrm), 6)
+               round(list_dot_product(qv.qvec, n.v) / (qv.qn * n.nrm), 6) + 0.0
                  AS rel
              FROM n CROSS JOIN qv WHERE n.vec_id >= 10)
            ORDER BY rel DESC, vec_id LIMIT 20),
          sims AS (SELECT a.vec_id AS a, b.vec_id AS b,
-             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS sim
+             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) + 0.0 AS sim
            FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
          s1 AS (SELECT vec_id, CAST(1 AS BIGINT) AS pick, rel AS score_r
            FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
@@ -1362,9 +1362,9 @@ object VectorQueries {
              sqrt(list_sum(list_transform(p, x -> x * x))) AS pnrm
              FROM pj) WHERE pnrm > 0),
          pr AS (SELECT a.vec_id AS a, b.vec_id AS b,
-             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) + 0.0
                AS cos_r,
-             round(list_dot_product(a.p, b.p) / (a.pnrm * b.pnrm), 6)
+             round(list_dot_product(a.p, b.p) / (a.pnrm * b.pnrm), 6) + 0.0
                AS pcos_r
            FROM pp a JOIN pp b ON a.vec_id < b.vec_id)
          SELECT a, b, cos_r, pcos_r, round(pcos_r - cos_r, 6) AS err_r
@@ -1403,7 +1403,7 @@ object VectorQueries {
              WHERE nrm > 0),
          qv AS (SELECT v AS qvec, nrm AS qn FROM n WHERE vec_id = 0),
          cs AS (SELECT n.vec_id,
-             round(list_dot_product(qv.qvec, n.v) / (qv.qn * n.nrm), 6)
+             round(list_dot_product(qv.qvec, n.v) / (qv.qn * n.nrm), 6) + 0.0
                AS cosv
            FROM n CROSS JOIN qv)
          SELECT l.doc_id, l.lex_rank, l.score_r,
@@ -1472,9 +1472,9 @@ object VectorQueries {
              sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
              WHERE nrm > 0)
          SELECT a.vec_id AS a, b.vec_id AS b,
-             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_r
+             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) + 0.0 AS cos_r
          FROM n a JOIN n b ON a.vec_id < b.vec_id
-         WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.2
+         WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) + 0.0 >= 0.2
          ORDER BY a, b""",
     "q_ann_topk" -> topk3Oracle,
     "q_ivf_stats" ->
@@ -1487,7 +1487,7 @@ object VectorQueries {
          cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n
              WHERE vec_id < 16),
          scored AS (SELECT x.vec_id, c.c_id,
-             round(list_dot_product(x.v, c.cv) / (x.nrm * c.cn), 6) AS c_cos
+             round(list_dot_product(x.v, c.cv) / (x.nrm * c.cn), 6) + 0.0 AS c_cos
              FROM n x CROSS JOIN cent c WHERE x.vec_id >= 16),
          assigned AS (SELECT vec_id, c_id AS cell FROM (
              SELECT *, row_number() OVER
@@ -1520,7 +1520,7 @@ object VectorQueries {
          qq AS (SELECT q8 AS qq8, ii AS qii, v AS qv FROM iv
            WHERE vec_id = 0),
          sc AS (SELECT c.vec_id,
-             round(list_dot_product(c.q8, qq8) / sqrt(c.ii * qii), 6)
+             round(list_dot_product(c.q8, qq8) / sqrt(c.ii * qii), 6) + 0.0
                AS icos_r, c.v
            FROM iv c CROSS JOIN qq WHERE c.vec_id <> 0),
          top AS (SELECT vec_id, icos_r, v FROM sc
@@ -1528,7 +1528,7 @@ object VectorQueries {
          SELECT t.vec_id, t.icos_r,
            round(list_dot_product(t.v, qv) /
              (sqrt(list_dot_product(t.v, t.v)) *
-              sqrt(list_dot_product(qv, qv))), 6) AS cos_r
+              sqrt(list_dot_product(qv, qv))), 6) + 0.0 AS cos_r
          FROM top t CROSS JOIN qq
          ORDER BY t.icos_r DESC, t.vec_id""",
     // the persisted variant must reproduce the in-memory index exactly
@@ -1544,10 +1544,10 @@ object VectorQueries {
              sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
              $lshBucketSql AS bucket FROM e) WHERE nrm > 0)
          SELECT a.vec_id AS a, b.vec_id AS b, a.bucket,
-             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_r
+             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) + 0.0 AS cos_r
          FROM n a JOIN n b
            ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.2
+         WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) + 0.0 >= 0.2
          ORDER BY a, b""",
     "q_crosslingual_dups" ->
       s"""WITH e AS (SELECT vec_id,
@@ -1557,11 +1557,11 @@ object VectorQueries {
              sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
              $lshBucketSql AS bucket FROM e) WHERE nrm > 0),
          p AS (SELECT a.vec_id AS a, b.vec_id AS b,
-             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) + 0.0
                AS cos_r
            FROM n a JOIN n b
              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-           WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+           WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) + 0.0
              >= 0.2)
          SELECT p.a, p.b, da.lang AS lang_a, db.lang AS lang_b, p.cos_r
          FROM p
@@ -1580,7 +1580,7 @@ object VectorQueries {
          pairs AS (SELECT a.vec_id AS a, b.vec_id AS b
            FROM n a JOIN n b
              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-           WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.2),
+           WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) + 0.0 >= 0.2),
          edges AS (SELECT a, b FROM pairs
              UNION ALL SELECT b, a FROM pairs),
          reach(id, lbl) AS (
@@ -1597,7 +1597,7 @@ object VectorQueries {
              sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
              $lshBucketSql AS bucket FROM e) WHERE nrm > 0),
          p AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id, q.bucket,
-             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos_r
+             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) + 0.0 AS cos_r
            FROM n q JOIN n c
              ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
            WHERE q.vec_id < 50),
@@ -1613,7 +1613,7 @@ object VectorQueries {
              sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
              $lshBucketSql AS bucket FROM e) WHERE nrm > 0),
          p AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id, c.label,
-             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6)
+             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) + 0.0
                AS cos_r
            FROM n q JOIN n c
              ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
@@ -1703,7 +1703,7 @@ object VectorQueries {
              sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
              $bucketSql AS bucket FROM e) WHERE nrm > 0),
          p AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id, q.bucket,
-             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos_r
+             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) + 0.0 AS cos_r
            FROM n q JOIN n c
              ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
            WHERE q.vec_id < 50),
@@ -1722,13 +1722,13 @@ object VectorQueries {
            FROM n WHERE vec_id < 8),
          asg AS (SELECT vec_id, v, nrm, c_id, row_number() OVER
              (PARTITION BY vec_id ORDER BY
-               round(list_dot_product(v, cv) / (nrm * cn), 6) DESC, c_id)
+               round(list_dot_product(v, cv) / (nrm * cn), 6) + 0.0 DESC, c_id)
                AS rk
            FROM n CROSS JOIN cent WHERE vec_id >= 8),
          cell AS (SELECT vec_id, v, nrm, c_id AS cell FROM asg WHERE rk = 1),
          dropped AS (SELECT DISTINCT b.vec_id AS id
            FROM cell a JOIN cell b ON a.cell = b.cell AND a.vec_id < b.vec_id
-           WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+           WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) + 0.0
              >= 0.3)
          SELECT c.vec_id, c.cell FROM cell c
          WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.id = c.vec_id)
@@ -1745,7 +1745,7 @@ object VectorQueries {
              xor(bucket, mask) AS pbucket
            FROM n CROSS JOIN m WHERE vec_id < 50),
          p AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id, q.bucket,
-             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos_r
+             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) + 0.0 AS cos_r
            FROM qp q JOIN n c
              ON q.pbucket = c.bucket AND q.vec_id <> c.vec_id),
          r AS (SELECT *, row_number() OVER
@@ -1761,7 +1761,7 @@ object VectorQueries {
              $lshBucketSql AS bucket FROM e) WHERE nrm > 0),
          s AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
              q.bucket AS qb, c.bucket AS cb,
-             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos_r
+             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) + 0.0 AS cos_r
            FROM n q JOIN n c ON c.vec_id >= 10 WHERE q.vec_id < 10),
          ex AS (SELECT q_id, cand_id, 6 - rk AS rel FROM
              (SELECT q_id, cand_id, row_number() OVER (PARTITION BY q_id
@@ -1790,7 +1790,7 @@ object VectorQueries {
              $lshBucketSql AS bucket FROM e) WHERE nrm > 0),
          s AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
              q.bucket AS qb, c.bucket AS cb,
-             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos_r
+             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) + 0.0 AS cos_r
            FROM n q JOIN n c ON c.vec_id >= 10 WHERE q.vec_id < 10),
          ex AS (SELECT q_id, cand_id FROM (SELECT q_id, cand_id,
              row_number() OVER (PARTITION BY q_id
@@ -1841,7 +1841,7 @@ object VectorQueries {
          epairs AS (SELECT a.vec_id AS a, b.vec_id AS b
            FROM en a JOIN en b
              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-           WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+           WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) + 0.0
              >= 0.2),
          allp AS (SELECT a, b FROM pairs UNION SELECT a, b FROM epairs),
          ids AS (SELECT doc_id FROM documents WHERE doc_id < 2000),
@@ -1931,12 +1931,12 @@ object VectorQueries {
              WHERE pn > 0),
          s1 AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
              q.v AS qv, c.v AS cv, q.nrm AS qn, c.nrm AS cn,
-             round(list_dot_product(q.p, c.p) / (q.pn * c.pn), 6) AS pcos
+             round(list_dot_product(q.p, c.p) / (q.pn * c.pn), 6) + 0.0 AS pcos
            FROM n2 q JOIN n2 c ON c.vec_id >= 10 WHERE q.vec_id < 10),
          r1 AS (SELECT *, row_number() OVER
              (PARTITION BY q_id ORDER BY pcos DESC, cand_id) AS rk1 FROM s1),
          s2 AS (SELECT q_id, cand_id,
-             round(list_dot_product(qv, cv) / (qn * cn), 6) AS cos_r
+             round(list_dot_product(qv, cv) / (qn * cn), 6) + 0.0 AS cos_r
            FROM r1 WHERE rk1 <= 10),
          r2 AS (SELECT *, CAST(row_number() OVER
              (PARTITION BY q_id ORDER BY cos_r DESC, cand_id) AS BIGINT)
@@ -1978,7 +1978,7 @@ object VectorQueries {
              WHERE nrm > 0),
          qv AS (SELECT v AS qvec, nrm AS qn FROM n WHERE vec_id = 0),
          scd AS (SELECT n.vec_id,
-             round(list_dot_product(qv.qvec, n.v) / (qv.qn * n.nrm), 6)
+             round(list_dot_product(qv.qvec, n.v) / (qv.qn * n.nrm), 6) + 0.0
                AS cos_r
            FROM n CROSS JOIN qv WHERE n.vec_id >= 10),
          sem AS (SELECT vec_id AS doc_id, CAST(row_number() OVER
