@@ -217,11 +217,11 @@ object XlsxIngest {
       areDates: Vector[Boolean],
       opts: Options): Vector[Vector[String]] = {
     val r = reader(in)
-    var dimCols = 0
-    var dimRows = 0
-    // sparse collect first; densify after dimension is known
+    // sparse collect first; densify after the extent is known
     val cells = mutable.ArrayBuffer.empty[(Int, Int, String)]
-    var curRef: String = null
+    var curRow = 0
+    var curCol = 0
+    var haveCell = false
     var curType: String = null
     var curStyle: Int = -1
     var inV = false
@@ -229,8 +229,8 @@ object XlsxIngest {
     var maxRowSeen = 0
     var maxColSeen = 0
 
-    def commitCell(): Unit = if (curRef != null) {
-      val (row, colNum) = A1Ref.parse(curRef)
+    def commitCell(): Unit = if (haveCell) {
+      val (row, colNum) = (curRow, curCol)
       val raw = v.result()
       val value =
         if (curType == "s") {
@@ -253,28 +253,46 @@ object XlsxIngest {
       r.next() match {
         case XMLStreamConstants.START_ELEMENT =>
           r.getLocalName match {
-            case "dimension" =>
-              Option(r.getAttributeValue(null, "ref")).foreach { ref =>
-                val parts = ref.split(":")
-                if (parts.length == 2) {
-                  val (rows, cols) = A1Ref.parse(parts(1))
-                  dimRows = rows; dimCols = cols
-                }
-              }
+            // the declared <dimension> box is deliberately IGNORED for
+            // allocation: the trailing-trim below reduces the matrix
+            // to the observed extent anyway (identical output), and a
+            // stale/crafted full-sheet box ("A1:XFD1048576" from a
+            // kB-sized file) would otherwise OOM the driver on the
+            // dense fill — the extent comes from the cells themselves
+            case "row" =>
+              // row index from r= when present, else the implied
+              // next row; a new row resets the implied column cursor
+              curRow = Option(r.getAttributeValue(null, "r"))
+                .flatMap(_.toIntOption).getOrElse(curRow + 1)
+              curCol = 0
             case "c" =>
-              curRef = r.getAttributeValue(null, "r")
+              // OOXML makes c@r OPTIONAL (position implied from the
+              // previous cell) — minimal writers omit it; dropping
+              // those cells silently emptied their columns
+              Option(r.getAttributeValue(null, "r")) match {
+                case Some(ref) =>
+                  val (row, colNum) = A1Ref.parse(ref)
+                  curRow = row; curCol = colNum
+                case None => curCol += 1
+              }
+              haveCell = curRow >= 1 && curCol >= 1
               curType = r.getAttributeValue(null, "t")
               curStyle = Option(r.getAttributeValue(null, "s"))
                 .flatMap(_.toIntOption).getOrElse(-1)
               v.clear()
             case "v" => inV = true
+            // inline strings (<c t="inlineStr"><is><t>…</t></is>) —
+            // streaming producers (openpyxl write-only, POI SXSSF)
+            // emit these; reading only <v> silently blanked them
+            case "t" if curType == "inlineStr" => inV = true
             case _ =>
           }
         case XMLStreamConstants.CHARACTERS if inV => v.append(r.getText)
         case XMLStreamConstants.END_ELEMENT =>
           r.getLocalName match {
             case "v" => inV = false
-            case "c" => commitCell(); curRef = null
+            case "t" => inV = false
+            case "c" => commitCell(); haveCell = false
             case _ =>
           }
         case _ =>
@@ -282,12 +300,8 @@ object XlsxIngest {
     }
     r.close()
 
-    // the reference requires a two-part dimension (skips the sheet
-    // otherwise); we take the max of the declared box and the observed
-    // extent — several producers emit stale dimensions that understate
-    // the sheet, and dropping those cells would silently lose data
-    val rows = math.max(dimRows, maxRowSeen)
-    val cols = math.max(dimCols, maxColSeen)
+    val rows = maxRowSeen
+    val cols = maxColSeen
     if (rows == 0 || cols == 0) return Vector.empty
 
     val data = Array.fill(rows, cols)("")

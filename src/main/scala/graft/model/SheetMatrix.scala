@@ -20,12 +20,24 @@ object SheetMatrix {
     */
   def headerNames(header: Seq[String]): Seq[String] = {
     val seen = scala.collection.mutable.HashMap.empty[String, Int]
+    val taken = scala.collection.mutable.HashSet.empty[String]
     header.zipWithIndex.map { case (raw, i) =>
       val base0 = Identifiers.toAlnum(raw)
       val base = if (base0.isEmpty) s"_c$i" else base0
-      val n = seen.getOrElse(base.toLowerCase, 0)
-      seen(base.toLowerCase) = n + 1
-      if (n == 0) base else s"${base}_$n"
+      val key = base.toLowerCase
+      // collision-PROOF, not just per-base counting: a generated
+      // suffix can collide with a later literal column ("a","a","a_1"
+      // counted to a, a_1, a_1 — duplicate DDL, failed CREATE), so
+      // probe the taken set until the name is genuinely free
+      var n = seen.getOrElse(key, 0)
+      var name = if (n == 0) base else s"${base}_$n"
+      while (taken.contains(name.toLowerCase)) {
+        n += 1
+        name = s"${base}_$n"
+      }
+      seen(key) = n + 1
+      taken += name.toLowerCase
+      name
     }
   }
 

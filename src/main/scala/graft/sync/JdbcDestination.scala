@@ -51,7 +51,14 @@ object JdbcDestination {
     // must yield the same uniquified names the DataFrame carries, or
     // the clause mismatches the schema and the JDBC write fails
     graft.model.SheetMatrix.headerNames(header)
-      .map(c => s"$c ${dialect.textType}").mkString(", ")
+      // backquote names Spark's option parser would mis-lex: an
+      // all-digit/leading-digit column ("2024") tokenizes as an
+      // integer literal in parseTableSchema and fails the write;
+      // standard identifiers stay bare (spec-pinned clause format)
+      .map { c =>
+        val ident = if (c.head.isDigit) s"`$c`" else c
+        s"$ident ${dialect.textType}"
+      }.mkString(", ")
 
   final case class Plan(
       table: String,

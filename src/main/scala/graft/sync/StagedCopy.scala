@@ -106,6 +106,12 @@ object StagedCopy {
     val (files, n) = writeStage(df, dir)
     val statements = Seq(
       s"USE SCHEMA $schema",
+      // reference-faithful quirk (data.py:244-248): the named
+      // TEMPORARY STAGE created here is never referenced — REMOVE/
+      // PUT/COPY all address the implicit TABLE stage @%table, which
+      // exists once the table does (the flow creates the table
+      // first). Kept verbatim: the oracle of record is the
+      // reference's statement sequence, dead CREATE included.
       s"CREATE OR REPLACE TEMPORARY STAGE $tableName;",
       s"REMOVE @%$tableName;") ++
       files.map(f => s"PUT file://$dir/$f @%$tableName OVERWRITE=TRUE") :+

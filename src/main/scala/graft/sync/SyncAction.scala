@@ -16,8 +16,15 @@ case object DropCreate extends SyncAction { val pastTense = "Dropped" }
 
 object SyncAction {
 
-  /** `Truncate` iff sorted(lower(existing)) == sorted(lower(to_alnum(incoming))).
-    * `forceDropCreate` models the Azure DW path, which never truncates.
+  /** `Truncate` iff sorted(lower(existing)) matches the sanitized
+    * incoming header. The incoming side goes through the SAME
+    * uniquification the DDL uses (`SheetMatrix.headerNames`, not bare
+    * to_alnum): a header with duplicate or empty cells creates
+    * uniquified columns, and comparing against the raw to_alnum names
+    * would mismatch on every later sync — a permanent DropCreate loop
+    * that defeats the Truncate path's whole purpose (preserving
+    * grants/views). `forceDropCreate` models the Azure DW path, which
+    * never truncates.
     */
   def decide(
       existingCols: Seq[String],
@@ -26,8 +33,8 @@ object SyncAction {
     if (forceDropCreate) DropCreate
     else {
       val existing = existingCols.map(_.toLowerCase).sorted
-      val incoming =
-        incomingHeader.map(Identifiers.toAlnum).map(_.toLowerCase).sorted
+      val incoming = graft.model.SheetMatrix.headerNames(incomingHeader)
+        .map(_.toLowerCase).sorted
       if (existing == incoming) Truncate else DropCreate
     }
   }

@@ -30,7 +30,12 @@ class SyncActionSpec extends AnyFunSuite with PropHelpers {
 
   test("duplicate columns are multiset-compared (sorted lists, not sets)") {
     assert(SyncAction.decide(Seq("a", "a"), Seq("a")) == DropCreate)
-    assert(SyncAction.decide(Seq("a", "a"), Seq("A", "a")) == Truncate)
+    // the incoming side goes through the SAME uniquification the DDL
+    // uses: a duplicate header maps to (a, a_1) — matching the table
+    // our own CREATE produced (Truncate, grants preserved), and NOT a
+    // raw duplicate-column table our DDL can never create
+    assert(SyncAction.decide(Seq("a", "a_1"), Seq("A", "a")) == Truncate)
+    assert(SyncAction.decide(Seq("a", "a"), Seq("A", "a")) == DropCreate)
   }
 
   test("Azure path forces DropCreate (data.py:179-186)") {

@@ -95,6 +95,35 @@ object XlsxFixture {
       |</sheetData>
       |</worksheet>""".stripMargin
 
+  /** One-sheet workbook around a caller-supplied worksheet XML — for
+    * specs that pin parser edge behaviors (inline strings, implied
+    * cell positions, crafted dimension boxes).
+    */
+  def createWith(sheetXml: String): Path = {
+    val path = Files.createTempFile("graft-fixture1", ".xlsx")
+    val zip = new ZipOutputStream(new FileOutputStream(path.toFile))
+    def put(name: String, content: String): Unit = {
+      zip.putNextEntry(new ZipEntry(name))
+      zip.write(content.getBytes(StandardCharsets.UTF_8))
+      zip.closeEntry()
+    }
+    put("xl/workbook.xml",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="Only" sheetId="1" r:id="rId1"/></sheets>
+        |</workbook>""".stripMargin)
+    put("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+        |</Relationships>""".stripMargin)
+    put("xl/sharedStrings.xml", SharedStringsXml)
+    put("xl/styles.xml", StylesXml)
+    put("xl/worksheets/sheet1.xml", sheetXml)
+    zip.close()
+    path
+  }
+
   /** Writes the two-sheet fixture workbook; returns its path. */
   def create(): Path = {
     val path = Files.createTempFile("graft-fixture", ".xlsx")

@@ -133,6 +133,35 @@ class XlsxIngestSpec extends AnyFunSuite {
     assert(dfs("Data").count() == 3)
   }
 
+  test("inline strings, implied cell positions, crafted dimension box") {
+    // three producer behaviors the fixture workbook doesn't cover:
+    // t="inlineStr" cells (openpyxl write-only / POI SXSSF), <c>
+    // without r= (position implied from the previous cell), and a
+    // full-sheet <dimension> box over a tiny sheet — which must NOT
+    // drive the dense allocation (it used to OOM the driver; the
+    // extent comes from the observed cells, and the trailing trim
+    // made the declared box unobservable in the output anyway)
+    val path = XlsxFixture.createWith(
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<dimension ref="A1:XFD1048576"/>
+        |<sheetData>
+        |<row r="1">
+        |  <c r="A1" t="inlineStr"><is><t>hello</t></is></c>
+        |  <c t="inlineStr"><is><r><t>ri</t></r><r><t>ch</t></r></is></c>
+        |  <c><v>7</v></c>
+        |</row>
+        |<row>
+        |  <c t="s"><v>4</v></c>
+        |</row>
+        |</sheetData>
+        |</worksheet>""".stripMargin)
+    val m = graft.ingest.XlsxIngest.parseMatrices(path.toString).toMap
+    assert(m("Only") == Vector(
+      Vector("hello", "rich", "7"),
+      Vector("Gadget", "", "")))
+  }
+
   test("readWorkbook produces all-string DataFrames with header row 0") {
     val spark = TestSpark.spark
     val dfs = XlsxIngest.readWorkbook(spark, XlsxFixture.create().toString)
