@@ -56,6 +56,12 @@ object Tables {
 
   /** Max event time as epoch nanos; None on an empty table. The stream
     * gates use it to place watermark-advancing sentinels past the data.
+    *
+    * MEMOIZED per path for the life of the JVM: assumes the data at
+    * `dir` is immutable while this process lives (true for every gate
+    * run). A long-lived library JVM whose table at the same path is
+    * REGENERATED would be served a stale stat — restart, or call
+    * through a fresh path.
     */
   def maxEventNs(spark: SparkSession, dir: String): Option[Long] = {
     // memoized per sf dir: the testdata is immutable within a run and

@@ -30,10 +30,13 @@ object CsvIngest {
     // our own API (no reference analogue): blank lines are dropped
     // from the SAMPLE — a single blank line would otherwise fail
     // every candidate's equal-width test and silently collapse the
-    // sniff to ',' (misreading the whole file one-columned). The
-    // fromString port keeps the reference's literal behavior.
-    val sample = spark.read.textFile(path).limit(10).collect()
-      .filter(_.trim.nonEmpty).mkString("\n")
+    // sniff to ',' (misreading the whole file one-columned). Filter
+    // BEFORE limit so a blank-heavy prologue still yields up to 10
+    // real lines instead of a tiny/empty sample. The fromString port
+    // keeps the reference's literal behavior.
+    val sample = spark.read.textFile(path)
+      .filter((l: String) => l.trim.nonEmpty).limit(10).collect()
+      .mkString("\n")
     Sniffer.sniffDelimiter(sample)
   }
 

@@ -65,7 +65,11 @@ object IvfIndex {
     val base = CacheHandle.persistWith(handle,
       df.select(col(idCol).as("vec_id"),
           vecCol(col(embeddingCol)).as("v"))
-        .withColumn("nrm", VectorFunctions.l2Norm(col("v"))))
+        .withColumn("nrm", VectorFunctions.l2Norm(col("v")))
+        // zero-norm (failed/OOV) embeddings are outside the cosine
+        // domain — exclude them from the index like the oracle's
+        // `WHERE nrm > 0`; cosOrFloor stays as a second guard
+        .filter(col("nrm") > 0))
 
     val mlVecs = base.select(col("vec_id"), col("v"))
       .as[(Long, Seq[Double])]
@@ -156,7 +160,8 @@ object IvfIndex {
     val base = CacheHandle.persistWith(handle,
       df.select(col(idCol).cast("long").as("vec_id"),
           vecCol(col(embeddingCol)).as("v"))
-        .withColumn("nrm", VectorFunctions.l2Norm(col("v"))))
+        .withColumn("nrm", VectorFunctions.l2Norm(col("v")))
+        .filter(col("nrm") > 0)) // oracle domain: WHERE nrm > 0
     val ex = CacheHandle.persistWith(handle, base.select(col("vec_id"),
       posexplode(col("v")).as(Seq("pos", "x"))))
     val sw = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
@@ -198,7 +203,8 @@ object IvfIndex {
     assignCells(model.centroids,
       df.select(col(idCol).as("vec_id"),
         vecCol(col(embeddingCol)).as("v"))
-        .withColumn("nrm", VectorFunctions.l2Norm(col("v"))))
+        .withColumn("nrm", VectorFunctions.l2Norm(col("v")))
+        .filter(col("nrm") > 0)) // oracle domain: WHERE nrm > 0
 
   /** Append already-assigned rows (vec_id, v, nrm, cell) to a saved
     * index's cell-partitioned layout. Append mode writes only the
@@ -273,6 +279,7 @@ object IvfIndex {
     val q = queries.select(col(idCol).as("q_id"),
       vecCol(col(embeddingCol)).as("qv"))
       .withColumn("qn", VectorFunctions.l2Norm(col("qv")))
+      .filter(col("qn") > 0) // oracle domain: WHERE nrm > 0
     val centDf = spark.createDataFrame(
       model.centroids.toIndexedSeq.map { case (i, c) =>
         (i, c.toSeq, math.sqrt(c.map(x => x * x).sum))

@@ -291,6 +291,10 @@ object ScaleOps {
       // while staying recoverable on disk.
       val aside = new Path(basePath, "." + dirName + "__cow_old")
       fs.delete(aside, true) // leftover from a previously crashed swap
+      // one-release migration: an aside left by the pre-dot-prefix
+      // code is a bare "col=value__cow_old" dir that partition
+      // discovery parses as a bogus partition value — sweep it too
+      fs.delete(new Path(basePath, dirName + "__cow_old"), true)
       val hadLive = fs.exists(live)
       if (hadLive && !fs.rename(live, aside))
         throw new java.io.IOException(s"aside rename failed for $dirName")

@@ -2170,6 +2170,43 @@ object AnalyticsQueries {
         .orderBy("ia", "ib")
     }),
 
+    // Production-shaped twin of q_jaccard_neighbors: the SAME fold,
+    // run through the 100 TB cap contract (GateScale.uncapped's
+    // scaladoc and docs/SCALE.md "Joins" say production callers MUST
+    // set maxKeyDegree — this gate runs that capped plan, exchange
+    // machinery included). cap=500 sits in the documented
+    // hundreds-to-thousands production band and provably exceeds
+    // every key degree in the gate corpora (max 102 at sf0.1), so
+    // capBuckets drops nothing and the result hash-matches the same
+    // uncapped DuckDB oracle. The explicit emptiness require turns a
+    // corpus regeneration that violates that precondition into a
+    // named failure instead of a silent hash red.
+    "q_jaccard_capped" -> ((s, dir) => {
+      val sc = graft.ops.QueryCaches.persist(
+        t(s, dir, "lineitem").select(col("l_suppkey"), col("l_orderkey"))
+          .join(t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey").as("s"), col("o_custkey").as("c"))
+          .distinct())
+      sc.count() // eager: self-join sides + degree branch race a lazy cache
+      val cap = 500
+      require(
+        graft.ops.TextDedup.overCapBuckets(sc, Seq("c"), cap).isEmpty,
+        s"q_jaccard_capped precondition: a key exceeds cap=$cap — the " +
+          "capped plan would no longer match the uncapped oracle")
+      val edges = graft.ops.GraphOps.coOccurrenceEdges(sc, "s", "c",
+        minShared = 190L, maxKeyDegree = cap)
+      val deg = sc.groupBy("s").agg(count(lit(1)).as("deg"))
+      edges
+        .join(deg.select(col("s").as("ia"), col("deg").as("na")), "ia")
+        .join(deg.select(col("s").as("ib"), col("deg").as("nb")), "ib")
+        .select(col("ia"), col("ib"), col("shared"), col("na"), col("nb"),
+          round(col("shared").cast("double") /
+            (col("na") + col("nb") - col("shared")), 6).as("jacc_r"))
+        .orderBy("ia", "ib")
+    }),
+
     // HyperLogLog distinct users per event type — the standard
     // cardinality sketch with a fully deterministic register pipeline,
     // estimate hash-matched like q_linear_count's.
@@ -5201,6 +5238,22 @@ object AnalyticsQueries {
          SELECT ia, ib, shared, round(CAST(aa AS DOUBLE), 6) AS aa_r
          FROM g ORDER BY aa_r DESC, ia, ib LIMIT 20""",
     "q_jaccard_neighbors" ->
+      """WITH sc AS (SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         e AS (SELECT a.s AS ia, b.s AS ib, CAST(count(*) AS BIGINT)
+             AS shared
+           FROM sc a JOIN sc b ON a.c = b.c AND a.s < b.s
+           GROUP BY 1, 2 HAVING count(*) >= 190),
+         dg AS (SELECT s, CAST(count(*) AS BIGINT) AS deg
+           FROM sc GROUP BY 1)
+         SELECT e.ia, e.ib, e.shared, da.deg AS na, db.deg AS nb,
+           round(CAST(e.shared AS DOUBLE)
+             / (da.deg + db.deg - e.shared), 6) AS jacc_r
+         FROM e JOIN dg da ON da.s = e.ia JOIN dg db ON db.s = e.ib
+         ORDER BY e.ia, e.ib""",
+    // identical oracle by design: cap=500 exceeds every gate-corpus
+    // key degree, so the capped Spark plan computes the exact answer
+    "q_jaccard_capped" ->
       """WITH sc AS (SELECT DISTINCT l_suppkey AS s, o_custkey AS c
            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
          e AS (SELECT a.s AS ia, b.s AS ib, CAST(count(*) AS BIGINT)

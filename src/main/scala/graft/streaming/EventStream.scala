@@ -291,6 +291,14 @@ object EventStream {
             sorted.foreach { e =>
               val t = e.ts.getTime
               open match {
+                case Some(s) if t < s.start - gapMs =>
+                  // more than a gap BEFORE the open session's first
+                  // event: the batch oracle's globally-sorted pass
+                  // splits here, so merging would stretch the session
+                  // across a real gap. The straggler's true neighbours
+                  // (if any) were already emitted — close it alone.
+                  closed += Session(userId, new Timestamp(t),
+                    new Timestamp(t), 1)
                 case Some(s) if t - s.end <= gapMs =>
                   // min on start: a cross-batch late event can sort
                   // BEFORE the open session's first event (negative

@@ -303,6 +303,17 @@ class PlanSpec extends AnyFunSuite {
     graft.ops.QueryCaches.releaseAll()
   }
 
+  test("q_jaccard_capped: the cap anti-join is in the executed plan") {
+    // the point of the gate is that the PRODUCTION plan shape — the
+    // overCapBuckets aggregate feeding a left-anti join on the key —
+    // runs and still hash-matches the uncapped oracle; if the cap
+    // machinery were optimized away the gate would prove nothing
+    val p = plan("q_jaccard_capped")
+    assert(p.contains("LeftAnti"), s"cap anti-join missing in:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    graft.ops.QueryCaches.releaseAll()
+  }
+
   test("q_ann_ivfpq: cell prune then broadcast ADC lookup, no cartesian scoring") {
     val p = plan("q_ann_ivfpq")
     assert(p.contains("BroadcastHashJoin"), p)
