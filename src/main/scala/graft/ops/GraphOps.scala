@@ -209,11 +209,50 @@ object GraphOps {
     val capped0 =
       if (maxKeyDegree == Int.MaxValue) base
       else TextDedup.capBuckets(base, Seq("__k"), maxKeyDegree)
-    // explicit key partitioning for the self-join: AQE sizes the
-    // exchange by its INPUT bytes and coalesces to a handful of
-    // tasks, but the deg² pair fan-out explodes INSIDE the join
-    // stage — the classic coalesce-before-fan-out trap (the fold ran
-    // on 8 of 32 cores). A user repartition pins the width.
+    pairFold(capped0, minShared)
+  }
+
+  /** [[coOccurrenceEdges]] with the over-cap audit from ONE shared
+    * degree aggregate: callers that both audit/assert on the dropped
+    * keys AND run the capped fold (`overCapBuckets` + `capBuckets`
+    * separately) pay the per-key count twice — plus each anti-join
+    * side recomputing it lazily. Here the tiny over-cap set is
+    * persisted (via `handle`, or the [[QueryCaches]] ledger when null)
+    * and the deduplicated bipartite base is too, so the precondition
+    * action and the fold's self-join sides all read one computation.
+    *
+    * @return (edges, over) — edges as [[coOccurrenceEdges]]; over =
+    *         (keyCol, n_members) for every key the cap dropped (tiny
+    *         by construction: at most rows/maxKeyDegree keys).
+    */
+  def coOccurrenceEdgesAudited(
+      rel: DataFrame,
+      itemCol: String,
+      keyCol: String,
+      minShared: Long,
+      maxKeyDegree: Int,
+      handle: CacheHandle = null): (DataFrame, DataFrame) = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxKeyDegree > 0, s"maxKeyDegree must be positive, got $maxKeyDegree")
+    val base = CacheHandle.persistWith(handle,
+      rel.select(col(itemCol).as("__i"), col(keyCol).as("__k")).distinct())
+    val over = CacheHandle.persistWith(handle,
+      TextDedup.overCapBuckets(base, Seq("__k"), maxKeyDegree))
+    // no broadcast hint on the anti side — corpus-derived (the
+    // capBuckets rule); AQE converts when it measures small
+    val capped0 = base.join(over.select(col("__k")), Seq("__k"), "left_anti")
+    (pairFold(capped0, minShared),
+      over.select(col("__k").as(keyCol), col("n_members")))
+  }
+
+  /** The shared candidate fold: key-partitioned self-join → pair
+    * counts. Explicit key partitioning for the self-join: AQE sizes
+    * the exchange by its INPUT bytes and coalesces to a handful of
+    * tasks, but the deg² pair fan-out explodes INSIDE the join
+    * stage — the classic coalesce-before-fan-out trap (the fold ran
+    * on 8 of 32 cores). A user repartition pins the width.
+    */
+  private def pairFold(capped0: DataFrame, minShared: Long): DataFrame = {
     val capped =
       capped0.repartition(ScaleOps.fanoutWidth(capped0), col("__k"))
     capped.select(col("__i").as("ia"), col("__k"))

@@ -293,8 +293,22 @@ object ScaleOps {
       fs.delete(aside, true) // leftover from a previously crashed swap
       // one-release migration: an aside left by the pre-dot-prefix
       // code is a bare "col=value__cow_old" dir that partition
-      // discovery parses as a bogus partition value — sweep it too
-      fs.delete(new Path(basePath, dirName + "__cow_old"), true)
+      // discovery parses as a bogus partition value — sweep it, UNLESS
+      // live is missing: then the old code crashed between its aside
+      // rename and the swap, the bare aside holds the ONLY copy of the
+      // partition, and deleting it would destroy the documented
+      // manual-recovery copy. Park it under a hidden name nothing
+      // sweeps instead (recovery stays manual, but stays possible).
+      val bareAside = new Path(basePath, dirName + "__cow_old")
+      if (fs.exists(bareAside)) {
+        if (fs.exists(live)) fs.delete(bareAside, true)
+        else if (!fs.rename(bareAside,
+            new Path(basePath, "." + dirName + "__cow_recovered")))
+          throw new java.io.IOException(
+            s"recovery-park rename failed for $dirName — a previous " +
+              "crash left the bare aside as the only copy; resolve " +
+              s"$bareAside manually before upserting this partition")
+      }
       val hadLive = fs.exists(live)
       if (hadLive && !fs.rename(live, aside))
         throw new java.io.IOException(s"aside rename failed for $dirName")

@@ -2191,12 +2191,16 @@ object AnalyticsQueries {
           .distinct())
       sc.count() // eager: self-join sides + degree branch race a lazy cache
       val cap = 500
-      require(
-        graft.ops.TextDedup.overCapBuckets(sc, Seq("c"), cap).isEmpty,
+      // ONE shared degree aggregate serves both the precondition and
+      // the cap's anti-join (r12 verdict: the separate overCapBuckets
+      // pass + capBuckets' internal twin were two extra corpus passes);
+      // the require materializes the persisted over/base caches, so
+      // the fold below reads them instead of recomputing.
+      val (edges, over) = graft.ops.GraphOps.coOccurrenceEdgesAudited(
+        sc, "s", "c", minShared = 190L, maxKeyDegree = cap)
+      require(over.isEmpty,
         s"q_jaccard_capped precondition: a key exceeds cap=$cap — the " +
           "capped plan would no longer match the uncapped oracle")
-      val edges = graft.ops.GraphOps.coOccurrenceEdges(sc, "s", "c",
-        minShared = 190L, maxKeyDegree = cap)
       val deg = sc.groupBy("s").agg(count(lit(1)).as("deg"))
       edges
         .join(deg.select(col("s").as("ia"), col("deg").as("na")), "ia")

@@ -180,22 +180,49 @@ object StreamQueries {
     p
   }
 
+  /** Fingerprint of a slice's DEFINITION: the canonicalized analyzed
+    * plan (filter literals, projections, source paths — exprIds
+    * normalized away) plus any [[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]]
+    * rows, because sentinel content lives in the relation's data, not
+    * its plan string. Driver-only plan work — no job runs.
+    */
+  private def defFingerprint(df: DataFrame): String = {
+    val plan = df.queryExecution.analyzed
+    val localData = plan.collect {
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        lr.data.iterator.map(_.toString).mkString("|")
+    }.mkString(";")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(plan.canonicalized.toString.getBytes("UTF-8"))
+    md.update(localData.getBytes("UTF-8"))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
   /** Stage slice `key` of `dir` (built by `df` on first use only) into
     * the WATCHED stream dir `tmp` as `name`.parquet. The copy lands
     * under a dot-prefixed temp name inside `tmp` first and is renamed
     * into place (same directory — atomic): the running file source
     * must never list a half-copied data file, and dot-prefixed paths
     * are invisible to Spark's file index.
+    *
+    * The cache key folds in [[defFingerprint]] so an edit that changes
+    * a slice/sentinel definition without renaming its string key
+    * cannot silently serve the old bytes for the rest of the JVM —
+    * the changed definition simply misses and rebuilds. Building the
+    * frame to fingerprint it is driver-side analysis only; the write
+    * JOB still runs once per distinct definition.
     */
   private def stageCachedSlice(dir: String, key: String,
       tmp: java.nio.file.Path, name: String)(df: => DataFrame): Unit = {
     import java.nio.file.{Files => NF, StandardCopyOption => CP}
-    val cached = sliceCache.computeIfAbsent((dir, key), { _ =>
+    val frame = df
+    val cached = sliceCache.computeIfAbsent(
+      (dir, key + "|" + defFingerprint(frame)), { _ =>
       val dst = NF.createTempFile(sliceCacheRoot, "slice_", ".parquet")
       val st = NF.createTempDirectory("graft_slice_build")
       try {
         import scala.jdk.CollectionConverters._
-        df.coalesce(1).write.mode("overwrite").parquet(st.toString)
+        frame.coalesce(1).write.mode("overwrite").parquet(st.toString)
         val ls = NF.list(st)
         val part = try ls.iterator().asScala
           .find(_.getFileName.toString.endsWith(".parquet")).get
@@ -1375,8 +1402,10 @@ object StreamQueries {
     // maxA — a contradiction), so every premature-looking null row is
     // genuinely matchless and every cross-batch match still pairs.
     // The cut is sited between the earliest strict in-horizon pair;
-    // watermark sentinels (type-carrying, the outer-gate rule) arrive
-    // as the third batch to flush the tail null-emissions.
+    // watermark sentinels (type-carrying, the outer-gate rule) are
+    // staged as a second file alongside slice_1, so they ride the
+    // second data batch and flush the tail null-emissions — two data
+    // batches total, no separate sentinel-only third batch.
     "q_stream_sjoin_outer_sliced" -> ((s, dir) => {
       import s.implicits._
       import java.nio.file.{Files => NF}

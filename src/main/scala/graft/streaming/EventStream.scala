@@ -284,34 +284,35 @@ object EventStream {
             state.remove()
             out.iterator
           } else {
-            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             val gapMs = gapSeconds * 1000L
-            var open = state.getOption
+            // Sweep the batch events and the open-session interval
+            // together in start order. The open session is an atom
+            // (its internal events are within gap by construction),
+            // so this reproduces the batch oracle's globally-sorted
+            // pass on everything the (start, end, n) state can still
+            // represent: stragglers older than the open session fold
+            // among themselves instead of each closing alone, and a
+            // bridging late event re-joins a straggler chain to the
+            // open session. Chain ends are monotone across the sweep
+            // (merge takes max-end; a new chain starts > end + gap),
+            // so the LAST chain is the one that stays open.
+            val items: Seq[OpenSession] =
+              (state.getOption.toSeq ++
+                batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+                  .map(e => OpenSession(e.ts.getTime, e.ts.getTime, 1)))
+                .sortBy(s => (s.start, s.end))
+            var open: Option[OpenSession] = None
             val closed = List.newBuilder[Session]
-            sorted.foreach { e =>
-              val t = e.ts.getTime
+            items.foreach { it =>
               open match {
-                case Some(s) if t < s.start - gapMs =>
-                  // more than a gap BEFORE the open session's first
-                  // event: the batch oracle's globally-sorted pass
-                  // splits here, so merging would stretch the session
-                  // across a real gap. The straggler's true neighbours
-                  // (if any) were already emitted — close it alone.
-                  closed += Session(userId, new Timestamp(t),
-                    new Timestamp(t), 1)
-                case Some(s) if t - s.end <= gapMs =>
-                  // min on start: a cross-batch late event can sort
-                  // BEFORE the open session's first event (negative
-                  // delta also lands in this merge branch) — the batch
-                  // oracle's globally-sorted sessionization starts the
-                  // session at that earlier time, so must the stream
-                  open = Some(s.copy(start = math.min(s.start, t),
-                    end = math.max(s.end, t), n = s.n + 1))
+                case Some(s) if it.start - s.end <= gapMs =>
+                  open = Some(OpenSession(math.min(s.start, it.start),
+                    math.max(s.end, it.end), s.n + it.n))
                 case Some(s) =>
                   closed += toSession(s)
-                  open = Some(OpenSession(t, t, 1))
+                  open = Some(it)
                 case None =>
-                  open = Some(OpenSession(t, t, 1))
+                  open = Some(it)
               }
             }
             open.foreach { s =>

@@ -318,6 +318,50 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cow migration sweep parks an orphaned bare aside instead of deleting it") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_cow_migrate_spec").toString
+    try {
+      val v1 = Seq((1L, "en", "one", 1L), (3L, "de", "drei", 1L))
+        .toDF("id", "lang", "text", "version")
+      ScaleOps.writePartitioned(v1, base, "lang")
+      // Simulate the pre-dot-prefix code crashing between its aside
+      // rename and the swap: live "lang=de" is GONE, the bare aside
+      // holds the only copy of the partition.
+      val live = new java.io.File(base, "lang=de")
+      val bareAside = new java.io.File(base, "lang=de__cow_old")
+      assert(live.renameTo(bareAside))
+      val updates = Seq((5L, "de", "fuenf", 2L))
+        .toDF("id", "lang", "text", "version")
+      ScaleOps.copyOnWriteMerge(spark, base, updates, "lang", "id", "version")
+      // the recovery copy survived under the hidden parked name
+      val parked = new java.io.File(base, ".lang=de__cow_recovered")
+      assert(parked.isDirectory, "orphaned bare aside was destroyed")
+      assert(!bareAside.exists)
+      val recovered = spark.read.parquet(parked.toString)
+        .select("id").as[Long].collect().toSet
+      assert(recovered == Set(3L))
+      // second merge into the same partition, now that live EXISTS:
+      // a bare aside alongside a live dir is stale duplicate data
+      // (the pre-dot-prefix code crashed AFTER its swap) — swept
+      val bare2 = new java.io.File(base, "lang=de__cow_old")
+      assert(bare2.mkdir())
+      val donor = new java.io.File(base, "lang=en").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(donor.toPath,
+        bare2.toPath.resolve(donor.getName))
+      ScaleOps.copyOnWriteMerge(spark, base,
+        Seq((6L, "de", "sechs", 3L)).toDF("id", "lang", "text", "version"),
+        "lang", "id", "version")
+      assert(!bare2.exists, "bare aside not swept when live exists")
+      assert(new java.io.File(base, "lang=de").isDirectory)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(base)).deleteRecursively()
+    }
+  }
+
   test("keySkewReport: shares sum to ~1 and hot flags the heavy key") {
     import spark.implicits._
     // 90 rows of key "hot", 10 spread across others

@@ -191,6 +191,83 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("two mutually-in-gap stragglers merge into one session, as the batch pass would") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    val q = EventStream.sessionize(input.toDS(), gapSeconds = 1800,
+      watermarkDelay = "3 hours")
+      .writeStream.format("memory").queryName("sess_straggle")
+      .outputMode("append").start()
+    try {
+      // batch 1: the session opens at 10:00
+      input.addData(EventStream.Event(1L,
+        Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "view", 0.0))
+      q.processAllAvailable()
+      // batch 2: two LATE events, each > gap before the open session's
+      // start but within gap of each other. A globally-sorted batch
+      // pass makes them ONE two-event session (08:00–08:10); the old
+      // straggler branch closed each alone.
+      input.addData(
+        EventStream.Event(2L, Timestamp.valueOf("2024-01-01 08:00:00"),
+          7L, "view", 0.0),
+        EventStream.Event(3L, Timestamp.valueOf("2024-01-01 08:10:00"),
+          7L, "view", 0.0))
+      q.processAllAvailable()
+      // far-future sentinels close and flush the open session
+      input.addData(EventStream.Event(Long.MaxValue,
+        Timestamp.valueOf("2030-01-01 00:00:00"), -1L, "sentinel", 0.0))
+      q.processAllAvailable()
+      input.addData(EventStream.Event(Long.MaxValue - 1,
+        Timestamp.valueOf("2031-01-01 00:00:00"), -1L, "sentinel2", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_straggle").filter(col("user_id") === 7L)
+        .select("session_start", "session_end", "n_events")
+        .as[(Timestamp, Timestamp, Long)].collect().sortBy(_._1.getTime).toSeq
+      assert(got == Seq(
+        (Timestamp.valueOf("2024-01-01 08:00:00"),
+          Timestamp.valueOf("2024-01-01 08:10:00"), 2L),
+        (Timestamp.valueOf("2024-01-01 10:00:00"),
+          Timestamp.valueOf("2024-01-01 10:00:00"), 1L)), s"got=$got")
+    } finally q.stop()
+  }
+
+  test("a straggler chain bridged to the open session by a late event merges whole") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    val q = EventStream.sessionize(input.toDS(), gapSeconds = 1800,
+      watermarkDelay = "3 hours")
+      .writeStream.format("memory").queryName("sess_bridge")
+      .outputMode("append").start()
+    try {
+      // batch 1: the session opens at 10:00
+      input.addData(EventStream.Event(1L,
+        Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "view", 0.0))
+      q.processAllAvailable()
+      // batch 2: a straggler at 09:10 (> gap before 10:00) plus a
+      // bridge at 09:35 (within gap of both) — the globally-sorted
+      // pass makes ONE 3-event session 09:10–10:00
+      input.addData(
+        EventStream.Event(2L, Timestamp.valueOf("2024-01-01 09:10:00"),
+          7L, "view", 0.0),
+        EventStream.Event(3L, Timestamp.valueOf("2024-01-01 09:35:00"),
+          7L, "view", 0.0))
+      q.processAllAvailable()
+      input.addData(EventStream.Event(Long.MaxValue,
+        Timestamp.valueOf("2030-01-01 00:00:00"), -1L, "sentinel", 0.0))
+      q.processAllAvailable()
+      input.addData(EventStream.Event(Long.MaxValue - 1,
+        Timestamp.valueOf("2031-01-01 00:00:00"), -1L, "sentinel2", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_bridge").filter(col("user_id") === 7L)
+        .select("session_start", "session_end", "n_events")
+        .as[(Timestamp, Timestamp, Long)].collect().toSeq
+      assert(got == Seq((Timestamp.valueOf("2024-01-01 09:10:00"),
+        Timestamp.valueOf("2024-01-01 10:00:00"), 3L)), s"got=$got")
+    } finally q.stop()
+  }
+
   test("built-in session_window agrees with batch query and custom state op") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
