@@ -221,6 +221,12 @@ object GraphOps {
     * and the deduplicated bipartite base is too, so the precondition
     * action and the fold's self-join sides all read one computation.
     *
+    * @param preDeduplicated the caller asserts `rel` is already
+    *        DISTINCT on (itemCol, keyCol) — and, for the shared-read
+    *        win, already persisted/materialized. Skips the internal
+    *        distinct + persist (q_jaccard_capped's `sc` is exactly
+    *        this shape; re-distincting it was a second corpus-wide
+    *        aggregate plus a duplicate in-memory copy).
     * @return (edges, over) — edges as [[coOccurrenceEdges]]; over =
     *         (keyCol, n_members) for every key the cap dropped (tiny
     *         by construction: at most rows/maxKeyDegree keys).
@@ -231,11 +237,14 @@ object GraphOps {
       keyCol: String,
       minShared: Long,
       maxKeyDegree: Int,
-      handle: CacheHandle = null): (DataFrame, DataFrame) = {
+      handle: CacheHandle = null,
+      preDeduplicated: Boolean = false): (DataFrame, DataFrame) = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(maxKeyDegree > 0, s"maxKeyDegree must be positive, got $maxKeyDegree")
-    val base = CacheHandle.persistWith(handle,
-      rel.select(col(itemCol).as("__i"), col(keyCol).as("__k")).distinct())
+    val renamed = rel.select(col(itemCol).as("__i"), col(keyCol).as("__k"))
+    val base =
+      if (preDeduplicated) renamed
+      else CacheHandle.persistWith(handle, renamed.distinct())
     val over = CacheHandle.persistWith(handle,
       TextDedup.overCapBuckets(base, Seq("__k"), maxKeyDegree))
     // no broadcast hint on the anti side — corpus-derived (the

@@ -302,12 +302,22 @@ object ScaleOps {
       val bareAside = new Path(basePath, dirName + "__cow_old")
       if (fs.exists(bareAside)) {
         if (fs.exists(live)) fs.delete(bareAside, true)
-        else if (!fs.rename(bareAside,
-            new Path(basePath, "." + dirName + "__cow_recovered")))
-          throw new java.io.IOException(
-            s"recovery-park rename failed for $dirName — a previous " +
-              "crash left the bare aside as the only copy; resolve " +
-              s"$bareAside manually before upserting this partition")
+        else {
+          // probe a free park name: a previous park for the same
+          // partition may still await manual resolution, and renaming
+          // onto an existing dir is FS-dependent (HDFS refuses, local
+          // nests the source inside) — never merge two recovery
+          // generations under one name
+          val park = Iterator.from(0)
+            .map(i => new Path(basePath, "." + dirName +
+              (if (i == 0) "__cow_recovered" else s"__cow_recovered_$i")))
+            .find(p => !fs.exists(p)).get
+          if (!fs.rename(bareAside, park))
+            throw new java.io.IOException(
+              s"recovery-park rename failed for $dirName — a previous " +
+                "crash left the bare aside as the only copy; resolve " +
+                s"$bareAside manually before upserting this partition")
+        }
       }
       val hadLive = fs.exists(live)
       if (hadLive && !fs.rename(live, aside))

@@ -2197,7 +2197,8 @@ object AnalyticsQueries {
       // the require materializes the persisted over/base caches, so
       // the fold below reads them instead of recomputing.
       val (edges, over) = graft.ops.GraphOps.coOccurrenceEdgesAudited(
-        sc, "s", "c", minShared = 190L, maxKeyDegree = cap)
+        sc, "s", "c", minShared = 190L, maxKeyDegree = cap,
+        preDeduplicated = true) // sc IS distinct(s,c), persisted, counted
       require(over.isEmpty,
         s"q_jaccard_capped precondition: a key exceeds cap=$cap — the " +
           "capped plan would no longer match the uncapped oracle")

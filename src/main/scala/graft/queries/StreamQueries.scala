@@ -34,6 +34,9 @@ object StreamQueries {
     * still (r11 family bench); a production deployment sizes this to
     * state volume instead (conf at first run).
     */
+  // family default 4: an A/B at 2 was a wash (r13: 17.28 s vs 17.79 s
+  // over the six sliced gates) — the floor is per-micro-batch
+  // incremental planning, not state-store commit count
   private def withStatePartitions[A](s: SparkSession, n: Int = 4)(f: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val old = s.conf.get(key)
@@ -176,7 +179,10 @@ object StreamQueries {
       java.nio.file.Path]()
   private lazy val sliceCacheRoot = {
     val p = java.nio.file.Files.createTempDirectory("graft_slice_cache")
-    p.toFile.deleteOnExit()
+    // deleteOnExit silently no-ops on a non-empty directory — a
+    // recursive shutdown hook actually reclaims the cached files
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try deleteRecursively(p) catch { case _: Exception => () }))
     p
   }
 
@@ -216,8 +222,20 @@ object StreamQueries {
       tmp: java.nio.file.Path, name: String)(df: => DataFrame): Unit = {
     import java.nio.file.{Files => NF, StandardCopyOption => CP}
     val frame = df
-    val cached = sliceCache.computeIfAbsent(
-      (dir, key + "|" + defFingerprint(frame)), { _ =>
+    val fullKey = key + "|" + defFingerprint(frame)
+    // a changed definition supersedes every older fingerprint of the
+    // same (dir, key): evict them (and their temp files) so repeated
+    // edit-rerun sessions don't strand one file per stale definition
+    val it = sliceCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 == dir && e.getKey._2 != fullKey &&
+        e.getKey._2.startsWith(key + "|")) {
+        NF.deleteIfExists(e.getValue)
+        it.remove()
+      }
+    }
+    val cached = sliceCache.computeIfAbsent((dir, fullKey), { _ =>
       val dst = NF.createTempFile(sliceCacheRoot, "slice_", ".parquet")
       val st = NF.createTempDirectory("graft_slice_build")
       try {
@@ -1403,9 +1421,12 @@ object StreamQueries {
     // genuinely matchless and every cross-batch match still pairs.
     // The cut is sited between the earliest strict in-horizon pair;
     // watermark sentinels (type-carrying, the outer-gate rule) are
-    // staged as a second file alongside slice_1, so they ride the
-    // second data batch and flush the tail null-emissions — two data
-    // batches total, no separate sentinel-only third batch.
+    // UNIONED INTO the second staged file, so they ride the second
+    // data batch and flush the tail null-emissions — two data batches
+    // total, no separate sentinel-only third batch. One file, one
+    // atomic rename: staging them as a second file would race the
+    // source's continuous poll (a poll between two renames lists
+    // slice_1 alone and the sentinels become a third batch).
     "q_stream_sjoin_outer_sliced" -> ((s, dir) => {
       import s.implicits._
       import java.nio.file.{Files => NF}
@@ -1447,18 +1468,18 @@ object StreamQueries {
             .outputMode("append").start()
           try {
             q.processAllAvailable() // batch 1: views buffer, some null-emit
-            // sliceB stays the inner gate's shared cached file; the
-            // type-carrying sentinels land as a SECOND file in the
-            // same listing — one micro-batch reads both, so batch 2
-            // pairs the cross-batch matches AND carries the final
-            // watermark, and the trailing no-data batch flushes the
-            // tail null-emissions (a join drain is ~1 s of state
-            // commits, the family's most expensive batch pair)
-            stageCachedSlice(dir, "sjoin_sliceB", tmp, "slice_1") {
-              ev.filter(col("ts") > mid)
+            // the type-carrying sentinels are unioned into the staged
+            // slice itself (its own cache key — the inner gate's bare
+            // sliceB stays separately cached): ONE atomic rename, so
+            // batch 2 deterministically pairs the cross-batch matches
+            // AND carries the final watermark, and the trailing
+            // no-data batch flushes the tail null-emissions (a join
+            // drain is ~1 s of state commits, the family's most
+            // expensive batch pair)
+            stageCachedSlice(dir, "sjoin_outer_sliceB_sent", tmp,
+              "slice_1") {
+              ev.filter(col("ts") > mid).unionAll(sentinels)
             }
-            stageCachedSlice(dir, "sjoin_outer_sent", tmp, "slice_2")(
-              sentinels)
             q.processAllAvailable() // batch 2: pairs + nulls + flush
             dataBatches = q.recentProgress.count(_.numInputRows > 0)
           } finally { q.stop(); deleteRecursively(tmp) }

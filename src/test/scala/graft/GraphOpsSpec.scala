@@ -110,4 +110,37 @@ class GraphOpsSpec extends AnyFunSuite {
     val exact = GraphOps.coOccurrenceEdges(rel, "item", "k", minShared = 1L)
     assert(exact.count() == 40L * 39 / 2)
   }
+
+  test("coOccurrenceEdgesAudited: edges match the capped fold, over = dropped keys") {
+    import spark.implicits._
+    val hot = (1 to 40).map(i => (f"i$i%02d", "khot"))
+    val cold = Seq(("i01", "kcold"), ("i02", "kcold"),
+      ("i01", "kwarm"), ("i02", "kwarm"), ("i03", "kwarm"))
+    val rel = (hot ++ cold).toDF("item", "k")
+    val (edges, over) = GraphOps.coOccurrenceEdgesAudited(
+      rel, "item", "k", minShared = 1L, maxKeyDegree = 10)
+    // over = exactly the keys the cap drops, with their member counts
+    val dropped = over.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dropped == Map("khot" -> 40L))
+    // edges = the plain capped fold's edges
+    val viaCap = GraphOps.coOccurrenceEdges(rel, "item", "k",
+      minShared = 1L, maxKeyDegree = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val got = edges.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == viaCap && got ==
+      Map(("i01", "i02") -> 2L, ("i01", "i03") -> 1L, ("i02", "i03") -> 1L))
+    // preDeduplicated skips the internal distinct: identical results
+    // on an input that IS distinct (and counts duplicates if not —
+    // the caller contract, so only the distinct shape is asserted)
+    val (edgesPre, overPre) = GraphOps.coOccurrenceEdgesAudited(
+      rel.distinct(), "item", "k", minShared = 1L, maxKeyDegree = 10,
+      preDeduplicated = true)
+    assert(overPre.collect().map(r => r.getString(0)).toSeq == Seq("khot"))
+    assert(edgesPre.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap == got)
+    graft.ops.QueryCaches.releaseAll()
+  }
 }
