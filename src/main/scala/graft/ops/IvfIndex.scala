@@ -42,13 +42,28 @@ object IvfIndex {
   def groupCentroids(
       df: DataFrame,
       groupCol: String,
-      embeddingCol: String): DataFrame =
+      embeddingCol: String,
+      exactMean: Boolean = false): DataFrame = {
+    // exactMean: each term DECIMAL-cast before SUM, so the mean is
+    // accumulation-order-independent (the q_pca_power / QualityModel
+    // pattern). A plain double avg over an UNBOUNDED group (every
+    // vector of a label) can straddle a round(…,6) boundary or the
+    // ±0.0 split differently per engine once the group grows — the
+    // hash-gated centroid queries pass true and their oracles mirror
+    // the decimal sum; the index-internal refresh paths keep the
+    // cheaper double avg (no cross-engine compare there).
+    val mean =
+      if (exactMean)
+        sum(col("x").cast("decimal(28,14)")).cast("double") /
+          count(lit(1)).cast("double")
+      else avg(col("x"))
     df.select(col(groupCol),
         posexplode(vecCol(col(embeddingCol))).as(Seq("pos", "x")))
       .groupBy(col(groupCol), col("pos"))
-      .agg(avg(col("x")).as("c"), count(lit(1)).as("n_vecs"))
+      .agg(mean.as("c"), count(lit(1)).as("n_vecs"))
       .select(col(groupCol), col("pos").cast("long").as("pos"),
         col("c"), col("n_vecs"))
+  }
 
   /** Train centroids and assign the corpus. `df` needs (idCol, vecCol). */
   def build(

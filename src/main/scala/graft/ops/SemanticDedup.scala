@@ -55,6 +55,20 @@ object SemanticDedup {
     * smallest id) survives per near-dup group, matching the exact
     * dedup family's keep-min rule.
     *
+    * SCALE CONTRACT: within-cell mining is O(Σ m_c²) — bounded only
+    * if cell sizes are. The centroid count must GROW with the corpus
+    * (SemDeDup trains k so cells hold thousands, not n/k-of-everything
+    * — a fixed tiny k over 100 TB is quadratic). `maxCellSize` is the
+    * backstop for the skewed/mis-trained cell: over-cap cells are
+    * sub-sharded by id hash ([[TextDedup.subBandBuckets]]) so per-cell
+    * work stays O(maxCellSize²) per shard. Recall trade: cross-shard
+    * pairs inside a mega-cell are not mined, so a near-dup group
+    * split across shards keeps one representative PER SHARD — same
+    * accepted loss as [[TextDedup.lshCandidatesSubBanded]]. The gates
+    * run uncapped (`Int.MaxValue`, exact); q_semantic_dedup_capped
+    * runs the capped plan under a provably drop-free cap against the
+    * same oracle.
+    *
     * `assigned` is read by both self-join sides and the anti-join, so
     * it is persisted here (pass a [[CacheHandle]] to own the
     * lifecycle).
@@ -62,14 +76,24 @@ object SemanticDedup {
   def keepSet(
       assigned: DataFrame,
       tau: Double,
-      handle: CacheHandle = null): DataFrame = {
+      handle: CacheHandle = null,
+      maxCellSize: Int = Int.MaxValue): DataFrame = {
     val ap = CacheHandle.persistWith(handle, assigned)
-    val a = ap.select(col("id").as("a"), col("v").as("va"),
-      col("nrm").as("na"), col("cell"))
-    val b = ap.select(col("id").as("b"), col("v").as("vb"),
-      col("nrm").as("nb"), col("cell").as("bcell"))
+    val sharded =
+      if (maxCellSize == Int.MaxValue) ap
+      else TextDedup.subBandBuckets(ap, Seq("cell"), "id", maxCellSize)
+    val shardKey: Seq[org.apache.spark.sql.Column] =
+      if (maxCellSize == Int.MaxValue) Nil else Seq(col("__shard"))
+    val a = sharded.select((Seq(col("id").as("a"), col("v").as("va"),
+      col("nrm").as("na"), col("cell")) ++ shardKey): _*)
+    val b = sharded.select((Seq(col("id").as("b"), col("v").as("vb"),
+      col("nrm").as("nb"), col("cell").as("bcell")) ++
+      shardKey.map(_.as("bshard"))): _*)
+    val pairCond = col("cell") === col("bcell") && col("a") < col("b") &&
+      (if (maxCellSize == Int.MaxValue) lit(true)
+       else col("__shard") === col("bshard"))
     val dropped = a
-      .join(b, col("cell") === col("bcell") && col("a") < col("b"))
+      .join(b, pairCond)
       .withColumn("cos_r", cosR(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("cos_r") >= tau)
       .select(col("b").as("id")).distinct()

@@ -72,6 +72,7 @@ object CorpusQueries {
       val g = docs(s, dir).groupBy("lang")
         .agg(count(lit(1)).as("n_docs"))
         .transform(graft.ops.QueryCaches.persist) // totals + per-lang
+      g.count() // eager: broadcast(tot) races a lazy cache (CLAUDE.md)
       val tot = g.agg(sum(sqrt(col("n_docs").cast("double"))).as("z"),
         sum("n_docs").as("n_total"))
       g.crossJoin(broadcast(tot))
@@ -144,6 +145,7 @@ object CorpusQueries {
           col("lb").as("v"), col("l")))
       val cvl = f.groupBy("feat", "v", "l").agg(count(lit(1)).as("cvl"))
         .transform(graft.ops.QueryCaches.persist) // 3 margins + cells
+      cvl.count() // eager: margin joins may broadcast against the lazy cache
       val cv = cvl.groupBy("feat", "v").agg(sum("cvl").as("cv"))
       val cl = cvl.groupBy("feat", "l").agg(sum("cvl").as("cl"))
       val n = cvl.groupBy("feat").agg(sum("cvl").as("n"))
@@ -151,9 +153,15 @@ object CorpusQueries {
         .join(n, Seq("feat"))
         .groupBy("feat")
         .agg(count(lit(1)).as("cells"),
+          // each count cast to double BEFORE multiplying: the BIGINT
+          // products cvl·n and cv·cl overflow (ANSI error, both
+          // engines) once the corpus passes ~3e9 docs — the ratio is
+          // consumed as a double anyway; the oracle mirrors the
+          // double-first association verbatim
           round(sum((col("cvl").cast("double") / col("n").cast("double")) *
-            log((col("cvl") * col("n")).cast("double") /
-              (col("cv") * col("cl")).cast("double"))), 6).as("mi_r"))
+            log((col("cvl").cast("double") * col("n").cast("double")) /
+              (col("cv").cast("double") * col("cl").cast("double")))), 6)
+            .as("mi_r"))
         .orderBy("feat")
     }),
 
@@ -174,7 +182,10 @@ object CorpusQueries {
           -log(lit(1.0) - lit(2.0) * (u - lit(0.5))))
         .otherwise(log(lit(1.0) - lit(2.0) * (lit(0.5) - u)))
       g.select(col("lang"), col("source"), col("n_true"),
-          round(col("n_true").cast("double") + noise, 6).as("noisy_r"))
+          // + 0.0: deeply negative noise can land noisy_r AT zero —
+          // the computed-zero sign-split rule (both sides normalized)
+          (round(col("n_true").cast("double") + noise, 6) + lit(0.0))
+            .as("noisy_r"))
         .orderBy("lang", "source")
     }),
 
@@ -436,8 +447,11 @@ object CorpusQueries {
           ((col("n00") + col("n10")).cast("double") / nD)
       counts.select(col("n"), col("n11"), col("n00"), col("n10"),
         col("n01"), round(po, 6).as("po_r"),
-        round(when(lit(1.0) - pe === 0.0, 0.0)
-          .otherwise((po - pe) / (lit(1.0) - pe)), 6).as("kappa_r"))
+        // + 0.0: po ≈ pe (agreement at chance level) lands kappa AT
+        // zero — the computed-zero sign-split rule, both sides
+        (round(when(lit(1.0) - pe === 0.0, 0.0)
+          .otherwise((po - pe) / (lit(1.0) - pe)), 6) + lit(0.0))
+          .as("kappa_r"))
     }),
 
     // GPT-style sequence packing: the corpus concatenated in doc_id
@@ -782,6 +796,10 @@ object CorpusQueries {
       val groups = gb.groupBy("lang", "source").agg(sum(col("n")).as("n_rows"))
       val glob = d.groupBy("sb").agg(count(lit(1)).as("gn"))
         .transform(graft.ops.QueryCaches.persist) // scaffold + bucket count
+      // eager: broadcast(tot)/broadcast(nb) subtrees read the d/glob/gb
+      // caches — materialize before the races (CLAUDE.md); glob's count
+      // fills d's cache as a side effect, gb's reads it
+      glob.count(); gb.count()
       val tot = d.agg(count(lit(1)).as("nt"))
       val nb = glob.agg(count(lit(1)).as("m"))
       val w = org.apache.spark.sql.expressions.Window
@@ -798,7 +816,11 @@ object CorpusQueries {
         .agg(sum(col("ad")).as("emd"))
         .crossJoin(broadcast(nb))
         .select(col("lang"), col("source"), col("n_rows"),
-          round(col("emd") / (col("m") - 1), 6).as("emd_r"))
+          // greatest(m−1, 1): a single-bucket corpus (every doc in one
+          // 200-char band) made this 0/0 — Spark NaN vs DuckDB NULL.
+          // With m=1 every ad is 0, so emd/1 = 0 on both engines.
+          round(col("emd") / greatest(col("m") - 1, lit(1L)), 6)
+            .as("emd_r"))
         .withColumn("breach", col("emd_r") > 0.15)
         .orderBy("lang", "source")
     }),
@@ -819,8 +841,13 @@ object CorpusQueries {
     // join classifies ids, then per-source counts.
     "q_snapshot_diff" -> ((s, dir) => {
       val d = docs(s, dir)
+      // both snaps feed the diff AND the source map (md5 over every
+      // text would run twice), and the srcMap join side is small
+      // enough for AQE to broadcast — persist + eager-materialize so
+      // the broadcast job reads caches (CLAUDE.md lazy-cache race)
       val oldSnap = d.select(col("doc_id"), col("source"),
         md5(col("text")).as("fp"))
+        .transform(graft.ops.QueryCaches.persist)
       val newSnap = d.filter(col("doc_id") % 10 =!= 7)
         .select(col("doc_id"), col("source"),
           when(col("lang") === "de",
@@ -829,6 +856,8 @@ object CorpusQueries {
         .unionByName(d.filter(col("doc_id") < 50)
           .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
             md5(concat(lit("new:"), col("text"))).as("fp")))
+        .transform(graft.ops.QueryCaches.persist)
+      oldSnap.count(); newSnap.count()
       val status = Corpus.snapshotDiff(
         oldSnap.select("doc_id", "fp"), newSnap.select("doc_id", "fp"),
         "doc_id", "fp")
@@ -854,7 +883,9 @@ object CorpusQueries {
         lit(4294967296.0)
       val keyed = docs(s, dir).filter(col("n_chars") > 0)
         .select(col("lang"), col("doc_id"), col("n_chars"),
-          round((-log(u)) / col("n_chars").cast("double"), 6)
+          // + 0.0: an ffffffff md5 prefix makes u = 1.0 exactly →
+          // −ln(1) = −0.0 → k_r = −0.0; normalize on both sides
+          (round((-log(u)) / col("n_chars").cast("double"), 6) + lit(0.0))
             .as("k_r"))
       val w = Window.partitionBy(col("lang"))
         .orderBy(col("k_r"), col("doc_id"))
@@ -871,6 +902,8 @@ object CorpusQueries {
     "q_chi_square" -> ((s, dir) => {
       val o = docs(s, dir).groupBy("lang", "source")
         .agg(count(lit(1)).as("o"))
+        .transform(graft.ops.QueryCaches.persist) // 3 margins + join side
+      o.count() // eager: broadcast(n) + margin joins race a lazy cache
       val rt = o.groupBy("lang").agg(sum(col("o")).as("rt"))
       val ct = o.groupBy("source").agg(sum(col("o")).as("ct"))
       val n = o.agg(sum(col("o")).as("n"))
@@ -891,20 +924,29 @@ object CorpusQueries {
     // ntile and no single-partition window — rank comes from the
     // two-phase ScaleOps.globalRowNumber), then shuffled WITHIN each
     // phase by the deterministic md5 order (retry-stable, seedless).
-    // The within-phase window partitions by phase — keyed, scalable.
+    // The within-phase order is a SECOND two-phase global rank over
+    // (phase, md5, id) minus each phase's min rank: a window
+    // partitioned by the 10-value phase key would sort n/10 of the
+    // corpus in one reducer — a near-global funnel the unpartitioned-
+    // window tripwire can't see (the key cardinality is a literal 10,
+    // independent of corpus size).
     "q_curriculum" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"),
         size(graft.ops.TextDedup.tokens(col("text"))).as("n_tokens"))
       val ranked = graft.ops.ScaleOps.globalRowNumber(d, 8,
         col("n_tokens"), col("doc_id"))
       val tot = ranked.agg(count(lit(1)).as("n_total"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("phase")
-        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-      ranked.crossJoin(broadcast(tot))
+      val phased = ranked.crossJoin(broadcast(tot))
         .withColumn("phase",
           expr("((rn - 1) * 10) div n_total").cast("int"))
-        .withColumn("ord", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("n_tokens"), col("phase"))
+      val ranked2 = graft.ops.ScaleOps.globalRowNumber(phased, 8,
+        col("phase"), md5(col("doc_id").cast("string")), col("doc_id"))
+      // per-phase min rank → 1-based within-phase ord; ≤10 rows, a
+      // bounded-by-construction lookup (AQE broadcasts it)
+      val base = ranked2.groupBy("phase").agg(min(col("rn")).as("pbase"))
+      ranked2.join(base, "phase")
+        .withColumn("ord", (col("rn") - col("pbase") + 1L).cast("long"))
         .select(col("doc_id"), col("n_tokens"), col("phase"), col("ord"))
         .orderBy("phase", "ord")
     }))
@@ -1093,7 +1135,7 @@ object CorpusQueries {
                  (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE)) +
                 (CAST(n00 + n01 AS DOUBLE) / CAST(n AS DOUBLE)) *
                  (CAST(n00 + n10 AS DOUBLE) / CAST(n AS DOUBLE))))
-             END, 6) AS kappa_r
+             END, 6) + 0.0 AS kappa_r
          FROM c"""
 
   val oracles: Map[String, String] = Map(
@@ -1182,8 +1224,8 @@ object CorpusQueries {
            FROM cvl GROUP BY 1)
          SELECT cvl.feat, CAST(count(*) AS BIGINT) AS cells,
            round(sum((CAST(cvl.cvl AS DOUBLE) / CAST(n.n AS DOUBLE)) *
-             ln(CAST(cvl.cvl * n.n AS DOUBLE) /
-               CAST(cv.cv * cl.cl AS DOUBLE))), 6) AS mi_r
+             ln((CAST(cvl.cvl AS DOUBLE) * CAST(n.n AS DOUBLE)) /
+               (CAST(cv.cv AS DOUBLE) * CAST(cl.cl AS DOUBLE)))), 6) AS mi_r
          FROM cvl
          JOIN cv ON cv.feat = cvl.feat AND cv.v = cvl.v
          JOIN cl ON cl.feat = cvl.feat AND cl.l = cvl.l
@@ -1199,7 +1241,7 @@ object CorpusQueries {
          SELECT lang, source, n_true,
            round(CAST(n_true AS DOUBLE) + CASE WHEN u >= 0.5
              THEN -ln(1.0 - 2.0 * (u - 0.5))
-             ELSE ln(1.0 - 2.0 * (0.5 - u)) END, 6) AS noisy_r
+             ELSE ln(1.0 - 2.0 * (0.5 - u)) END, 6) + 0.0 AS noisy_r
          FROM uu ORDER BY lang, source""",
     "q_repeat_plan" ->
       """WITH d AS (SELECT doc_id, lang,
@@ -1662,15 +1704,15 @@ object CorpusQueries {
                - CAST(cg AS DOUBLE) / nt)) AS emd
            FROM c CROSS JOIN tt GROUP BY 1, 2, 3)
          SELECT e.lang, e.source, e.n_rows,
-           round(e.emd / (nb.m - 1), 6) AS emd_r,
-           round(e.emd / (nb.m - 1), 6) > 0.15 AS breach
+           round(e.emd / GREATEST(nb.m - 1, 1), 6) AS emd_r,
+           round(e.emd / GREATEST(nb.m - 1, 1), 6) > 0.15 AS breach
          FROM e CROSS JOIN nb ORDER BY lang, source""",
     "q_weighted_sample" ->
       """WITH k AS (SELECT lang, doc_id, n_chars,
              round(-ln((CAST(CAST(('0x' ||
                  substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8))
                  AS UBIGINT) AS BIGINT) + 1) / 4294967296.0)
-               / CAST(n_chars AS DOUBLE), 6) AS k_r
+               / CAST(n_chars AS DOUBLE), 6) + 0.0 AS k_r
            FROM documents WHERE n_chars > 0),
          r AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang
              ORDER BY k_r, doc_id) AS BIGINT) AS rank

@@ -197,11 +197,13 @@ object VectorQueries {
 
     // Per-label embedding centroids (IvfIndex.groupCentroids — the
     // keyed M-step primitive, also the IVF cell-refresh path): one
-    // exploded aggregate, map-side combined; the mean over ~dozens of
-    // doubles per (label, pos) sits far from the round(…,6) boundary
-    // (CLAUDE.md's bounded-sum rule).
+    // exploded aggregate, map-side combined. exactMean: the group is
+    // UNBOUNDED (every vector of a label), so the mean is a
+    // DECIMAL-term sum — order-independent, immune to the round(…,6)
+    // boundary / ±0.0 drift a double avg accrues as the corpus grows.
     "q_embed_centroid" -> ((s, dir) =>
-      graft.ops.IvfIndex.groupCentroids(emb(s, dir), "label", "embedding")
+      graft.ops.IvfIndex.groupCentroids(emb(s, dir), "label", "embedding",
+        exactMean = true)
         .select(col("label"), col("pos"),
           round(col("c"), 6).as("c_r"), col("n_vecs"))
         .orderBy("label", "pos")),
@@ -219,7 +221,11 @@ object VectorQueries {
         .select(col("label"), (col("vec_id") % 2 === 0).as("even"),
           posexplode(asDouble(col("embedding"))).as(Seq("pos", "x")))
         .groupBy("label", "even", "pos")
-        .agg(round(avg(col("x")), 6).as("c_r"), count(lit(1)).as("n"))
+        // DECIMAL-term mean: unbounded group, same rationale as
+        // q_embed_centroid's exactMean (oracle mirrors the sum)
+        .agg(round(sum(col("x").cast("decimal(28,14)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("c_r"),
+          count(lit(1)).as("n"))
         .transform(graft.ops.QueryCaches.persist) // both half branches read it
       val ce = c.filter(col("even")).select(col("label"), col("pos"),
         col("c_r").as("ca"), col("n").as("n_even"))
@@ -306,6 +312,8 @@ object VectorQueries {
         .withColumn("rk", row_number().over(aw))
         .filter(col("rk") === 1)
         .select(col("vec_id"), col("c_id").as("cell"))
+        .transform(graft.ops.QueryCaches.persist) // total + per-cell agg
+      assigned.count() // eager: broadcast(total) re-ran the whole assignment
       val total = assigned.agg(count(lit(1)).as("n_total"))
       assigned.groupBy("cell")
         .agg(count(lit(1)).cast("long").as("n_vecs"))
@@ -658,6 +666,36 @@ object VectorQueries {
         .orderBy("vec_id")
     }),
 
+    // Production-shaped twin of q_semantic_dedup (the q_jaccard_capped
+    // pattern): the SAME keep-set fold run through the maxCellSize
+    // backstop — sub-shard machinery included in the executed plan. A
+    // 4096 cap provably exceeds every cell (the whole table is ≤2000
+    // vectors), so sub-sharding assigns shard 0 everywhere and the
+    // result hash-matches the same uncapped oracle; the explicit
+    // require names a regeneration that breaks the precondition.
+    "q_semantic_dedup_capped" -> ((s, dir) => {
+      val n = withNorm(emb(s, dir)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v")))
+      val cent = n.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"),
+          col("nrm").as("cn"))
+      val assigned = graft.ops.QueryCaches.persist(
+        graft.ops.SemanticDedup.assignCells(
+          n.filter(col("vec_id") >= 8)
+            .select(col("vec_id").as("id"), col("v"), col("nrm")),
+          cent))
+      val cap = 4096
+      require(
+        graft.ops.TextDedup.overCapBuckets(assigned, Seq("cell"), cap)
+          .isEmpty,
+        s"q_semantic_dedup_capped precondition: a cell exceeds cap=$cap " +
+          "— the sub-sharded plan would no longer match the exact oracle")
+      graft.ops.SemanticDedup.keepSet(assigned, tau = 0.3,
+        maxCellSize = cap)
+        .select(col("id").as("vec_id"), col("cell"))
+        .orderBy("vec_id")
+    }),
+
     // Int8 scalar quantization: the storage path for embeddings at
     // 100 TB (4 bytes→1 per dim). Per-vector symmetric scale, codes
     // via floor(x/s + 0.5) (exact on both engines, unlike round()'s
@@ -973,8 +1011,11 @@ object VectorQueries {
           .groupBy("a").agg(max(col("sim")).as("msim"))
         val next = cand.join(sel.select("vec_id"), Seq("vec_id"), "left_anti")
           .join(maxsim, col("vec_id") === col("a"))
+          // + 0.0: the 0.7·rel − 0.3·msim DIFFERENCE can land AT zero
+          // (computed-zero sign-split rule; mirrored in mmrOracle)
           .withColumn("score_r",
-            round(lit(0.7) * col("rel") - lit(0.3) * col("msim"), 6))
+            round(lit(0.7) * col("rel") - lit(0.3) * col("msim"), 6) +
+              lit(0.0))
           .orderBy(col("score_r").desc, col("vec_id")).limit(1)
           .select(col("vec_id"), lit(r.toLong).as("pick"), col("score_r"))
         sel = sel.unionByName(next)
@@ -1004,8 +1045,14 @@ object VectorQueries {
       val e = withNorm(emb(s, dir).filter(col("vec_id") < 2000)
         .select(col("vec_id"), asDouble(col("embedding")).as("v")))
         .transform(graft.ops.QueryCaches.persist) // query row + lookup side share it
+      // aggregate the query row into EXACTLY ONE row (nulls when
+      // vec_id 0 is absent or zero-norm): a bare filter would make the
+      // cross join drop ALL lex rows on an empty query side, while the
+      // oracle's LEFT JOIN keeps them with the −2 sentinel — a
+      // regeneration-triggered 0-vs-20-row hash split (the
+      // q_adamic_adar "can't happen" domain-guard class)
       val q = e.filter(col("vec_id") === 0)
-        .select(col("v").as("qv"), col("nrm").as("qn"))
+        .agg(first(col("v")).as("qv"), first(col("nrm")).as("qn"))
       lex.join(e.select(col("vec_id"), col("v"), col("nrm")),
           col("doc_id") === col("vec_id"), "left")
         .crossJoin(broadcast(q))
@@ -1258,10 +1305,36 @@ object VectorQueries {
     * sim matrix, and argmax rounds as the q_mmr Spark loop, each
     * round's cumulative selected set materialized as a named CTE.
     */
+  /** Shared by q_semantic_dedup and its capped twin — the cap is
+    * provably drop-free, so both run against the exact fold.
+    */
+  private val semanticDedupOracle: String =
+    """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (SELECT * FROM (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
+             WHERE nrm > 0),
+         cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn
+           FROM n WHERE vec_id < 8),
+         asg AS (SELECT vec_id, v, nrm, c_id, row_number() OVER
+             (PARTITION BY vec_id ORDER BY
+               round(list_dot_product(v, cv) / (nrm * cn), 6) + 0.0 DESC, c_id)
+               AS rk
+           FROM n CROSS JOIN cent WHERE vec_id >= 8),
+         cell AS (SELECT vec_id, v, nrm, c_id AS cell FROM asg WHERE rk = 1),
+         dropped AS (SELECT DISTINCT b.vec_id AS id
+           FROM cell a JOIN cell b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) + 0.0
+             >= 0.3)
+         SELECT c.vec_id, c.cell FROM cell c
+         WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.id = c.vec_id)
+         ORDER BY c.vec_id"""
+
   private def mmrOracle(k: Int): String = {
     val rounds = (2 to k).map { r =>
       s"""r$r AS (SELECT c.vec_id, c.rel,
-             round(0.7 * c.rel - 0.3 * max(s.sim), 6) AS score_r
+             round(0.7 * c.rel - 0.3 * max(s.sim), 6) + 0.0 AS score_r
            FROM cand c JOIN sims s ON s.a = c.vec_id
            WHERE s.b IN (SELECT vec_id FROM sel${r - 1})
              AND c.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})
@@ -1425,7 +1498,9 @@ object VectorQueries {
              unnest(list_transform(embedding, x -> CAST(x AS DOUBLE)))
                AS x
            FROM embeddings),
-         c AS (SELECT label, even, pos, round(avg(x), 6) AS c_r,
+         c AS (SELECT label, even, pos,
+             round(CAST(sum(CAST(x AS DECIMAL(28,14))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE), 6) AS c_r,
              CAST(count(*) AS BIGINT) AS n
            FROM e GROUP BY 1, 2, 3),
          ce AS (SELECT label, pos, c_r AS ca, n AS n_even
@@ -1446,7 +1521,9 @@ object VectorQueries {
              unnest(range(len(embedding))) AS pos,
              unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
            FROM embeddings)
-         SELECT label, pos, round(avg(x), 6) AS c_r,
+         SELECT label, pos,
+           round(CAST(sum(CAST(x AS DECIMAL(28,14))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS c_r,
            CAST(count(*) AS BIGINT) AS n_vecs
          FROM e GROUP BY label, pos ORDER BY label, pos""",
     // identical moment expressions on both engines (avg(x²) − µ²,
@@ -1711,28 +1788,10 @@ object VectorQueries {
              (PARTITION BY q_id ORDER BY cos_r DESC, cand_id) AS rk FROM p)
          SELECT q_id, cand_id, bucket, cos_r FROM r WHERE rk = 1
          ORDER BY q_id""",
-    "q_semantic_dedup" ->
-      """WITH e AS (SELECT vec_id,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           FROM embeddings),
-         n AS (SELECT * FROM (SELECT vec_id, v,
-             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
-             WHERE nrm > 0),
-         cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn
-           FROM n WHERE vec_id < 8),
-         asg AS (SELECT vec_id, v, nrm, c_id, row_number() OVER
-             (PARTITION BY vec_id ORDER BY
-               round(list_dot_product(v, cv) / (nrm * cn), 6) + 0.0 DESC, c_id)
-               AS rk
-           FROM n CROSS JOIN cent WHERE vec_id >= 8),
-         cell AS (SELECT vec_id, v, nrm, c_id AS cell FROM asg WHERE rk = 1),
-         dropped AS (SELECT DISTINCT b.vec_id AS id
-           FROM cell a JOIN cell b ON a.cell = b.cell AND a.vec_id < b.vec_id
-           WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) + 0.0
-             >= 0.3)
-         SELECT c.vec_id, c.cell FROM cell c
-         WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.id = c.vec_id)
-         ORDER BY c.vec_id""",
+    // the capped twin runs the identical fold under a provably
+    // drop-free cell cap — same exact oracle
+    "q_semantic_dedup_capped" -> semanticDedupOracle,
+    "q_semantic_dedup" -> semanticDedupOracle,
     "q_ann_multiprobe" ->
       s"""WITH e AS (SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -314,6 +314,17 @@ class PlanSpec extends AnyFunSuite {
     graft.ops.QueryCaches.releaseAll()
   }
 
+  test("q_semantic_dedup_capped: the sub-shard machinery is in the executed plan") {
+    // same contract as q_jaccard_capped: the PRODUCTION cell-cap plan
+    // (id-hash sub-sharding of over-cap cells) runs and still
+    // hash-matches the exact oracle; if it were optimized away the
+    // gate would prove nothing
+    val p = plan("q_semantic_dedup_capped")
+    assert(p.contains("xxhash64"), s"sub-shard hash missing in:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    graft.ops.QueryCaches.releaseAll()
+  }
+
   test("q_ann_ivfpq: cell prune then broadcast ADC lookup, no cartesian scoring") {
     val p = plan("q_ann_ivfpq")
     assert(p.contains("BroadcastHashJoin"), p)

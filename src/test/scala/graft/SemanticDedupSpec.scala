@@ -58,6 +58,37 @@ class SemanticDedupSpec extends AnyFunSuite {
     assert(keptSplit == Seq(20L, 21L))
   }
 
+  test("maxCellSize sub-shards a mega-cell: bounded work, intra-shard pairs survive") {
+    // 6 near-identical vectors in ONE cell; cap 3 → 2 shards. The
+    // uncapped fold keeps only the smallest id; under the cap each
+    // SHARD keeps its own min (the documented cross-shard recall
+    // trade) — so the kept set is larger but every shard still dedups.
+    val vecs = frame(Seq.tabulate(6)(i =>
+      (10L + i, Seq(0.9, 0.1, 0.0001 * i))))
+    val assigned = SemanticDedup.assignCells(vecs, centroids)
+    val h = new graft.ops.CacheHandle
+    val exact = SemanticDedup.keepSet(assigned, tau = 0.99, handle = h)
+      .select("id").as[Long].collect().sorted.toSeq
+    val capped = SemanticDedup.keepSet(assigned, tau = 0.99, handle = h,
+      maxCellSize = 3)
+      .select("id").as[Long].collect().sorted.toSeq
+    h.release()
+    assert(exact == Seq(10L))
+    // shards are id-hash-determined (ceil(6/3) = 2 of them); each
+    // non-empty shard keeps exactly its smallest id
+    val expected = vecs.select(col("id"),
+      pmod(xxhash64(col("id")), lit(2L)).as("sh"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._2).values.map(_.map(_._1).min).toSeq.sorted
+    assert(capped == expected, s"capped=$capped expected=$expected")
+    // a generous cap (> every cell) is provably drop-free: shard 0
+    // everywhere, identical result through the sub-shard machinery
+    val cappedBig = SemanticDedup.keepSet(assigned, tau = 0.99,
+      handle = h, maxCellSize = 100)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(cappedBig == exact)
+  }
+
   test("pair mining is cell-local: the candidate join keys on the cell") {
     // feed keepSet a pre-assigned frame so the only joins in the plan
     // are pair mining + the anti-join (assignCells itself broadcasts
