@@ -8,6 +8,24 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyJoin {
 
+  /** Cap blocking-key groups before a blocked self-join: rows whose
+    * block exceeds `maxBlockSize` members are DROPPED (with
+    * [[TextDedup.capBuckets]]'s audit twin available on the same
+    * inputs). The hazard is not just skew: a FIXED block-key domain
+    * (brand × size, zip, first-letter) makes the MEAN block grow
+    * linearly with the corpus, so the within-block pair join is
+    * quadratic everywhere, not only on hot keys. Production linkage
+    * either refines the blocking key until blocks are bounded or caps
+    * here; `Int.MaxValue` (the oracle gates' setting) skips the cap
+    * and is exact.
+    */
+  def capBlocks(
+      df: DataFrame,
+      keyCols: Seq[String],
+      maxBlockSize: Int): DataFrame =
+    if (maxBlockSize == Int.MaxValue) df
+    else TextDedup.capBuckets(df, keyCols, maxBlockSize)
+
   /** Edit-distance self-join via the q-gram count filter: pairs
     * sharing too few q-grams cannot be within `maxDist` edits (each
     * edit destroys at most q grams — Gravano's bound, valid on

@@ -486,6 +486,52 @@ object ScaleOps {
             .cast("long") + col("__off")))
     }
 
+  /** Exact interpolated quantiles (the `quantile_cont` / Spark
+    * `percentile` h = q·(n−1) formula — identical doubles, so a gate
+    * oracle written against the built-in stays green) WITHOUT the
+    * single-task global percentile buffer: two-phase [[globalRowNumber]]
+    * rank, then each quantile is two row lookups + one interpolation.
+    * The built-in exact percentile funnels the whole column through
+    * ONE reducer's sort buffer — measured 3× slower at sf0.1
+    * (q_equi_depth_hist, 7.6→2.9 s) and unbounded at 100 TB.
+    *
+    * Returns ONE row: `n` (input count) plus a double column per
+    * (name → q). Empty input → one all-null row, like the built-in.
+    */
+  def exactQuantiles(
+      df: DataFrame,
+      valueCol: Column,
+      qs: Seq[(String, Double)],
+      partitions: Int = 32,
+      handle: CacheHandle = null): DataFrame = {
+    require(qs.nonEmpty, "need at least one quantile")
+    require(qs.forall { case (_, q) => q >= 0.0 && q <= 1.0 },
+      s"quantiles must be in [0, 1]: $qs")
+    val ranked = CacheHandle.persistWith(handle,
+      globalRowNumber(df.select(valueCol.cast("double").as("__qv")),
+        partitions, handle, col("__qv").asc))
+    // ONE count pass exploded into per-quantile positions (a union of
+    // N single-row aggregates re-scanned the ranked cache N times)
+    val qlit = array(qs.map { case (nm, q) =>
+      struct(lit(nm).as("nm"), lit(q).as("q")) }: _*)
+    val pos = ranked.agg(count(lit(1)).as("n"))
+      .select(col("n"), explode(qlit).as("__qq"))
+      .select(col("__qq.nm").as("__qname"), col("n"),
+        (floor((col("n") - 1).cast("double") * col("__qq.q")) + 1)
+          .cast("long").as("__rlo"),
+        ((col("n") - 1).cast("double") * col("__qq.q")).as("__h"))
+    val looked = pos
+      .join(ranked.select(col("rn").as("__rlo"), col("__qv").as("__vlo")),
+        "__rlo")
+      .join(ranked.select((col("rn") - 1).as("__rlo"),
+        col("__qv").as("__vhi")), Seq("__rlo"), "left")
+      .withColumn("__v", col("__vlo") + (col("__h") - floor(col("__h"))) *
+        (coalesce(col("__vhi"), col("__vlo")) - col("__vlo")))
+    looked.agg(max(col("n")).as("n"),
+      qs.map { case (nm, _) =>
+        max(when(col("__qname") === nm, col("__v"))).as(nm) }: _*)
+  }
+
   /** Global EXCLUSIVE running max of `valueCol` (long) in `orderCols`
     * order, WITHOUT a single-partition window — the max twin of
     * [[globalRunningSum]]: per-partition maxes become broadcast

@@ -91,9 +91,12 @@ object AnalyticsQueries {
           (col("sum_disc_price_d") * 10000).cast("bigint").as("sum_disc_price_c"),
           col("n"),
           // fixed-point micro-units: round(x,6) would depend on each
-          // engine's shortest-repr formatting; an integer never does
-          round(col("sum_qty_d").cast("double") / col("n") * lit(1e6))
-            .cast("bigint").as("avg_qty_c"))
+          // engine's shortest-repr formatting; an integer never does.
+          // floor(x + 0.5), never round(x): half-mode differs between
+          // engines (Spark HALF_UP vs engine-specific) when the
+          // micro-unit value lands exactly on .5 (CLAUDE.md rule)
+          floor(col("sum_qty_d").cast("double") / col("n") * lit(1e6) +
+            lit(0.5)).cast("bigint").as("avg_qty_c"))
         .orderBy("l_returnflag", "l_linestatus")),
 
     // Star join: fact ⋈ broadcast dims, revenue per region/nation.
@@ -511,6 +514,10 @@ object AnalyticsQueries {
       val p = e.filter(col("event_type") === "purchase")
         .join(c, "user_id").filter(col("ts_s") > col("tc"))
         .groupBy("user_id").agg(min("ts_s").as("tp"))
+      // eager: the two crossJoin broadcast exchanges are separate
+      // concurrent driver jobs that would each re-run the lazy e/v/c
+      // caches (the q_pca_power race); c's count fills e and v too
+      c.count()
       v.agg(count(lit(1)).as("n_view_users"))
         .crossJoin(c.agg(count(lit(1)).as("n_click_users")))
         .crossJoin(p.agg(count(lit(1)).as("n_purchase_users")))
@@ -1159,6 +1166,13 @@ object AnalyticsQueries {
           col("sx").cast("double") * col("sx").cast("double") /
             col("n")) / (col("n") - 1))
         .withColumn("delta", lit(0.05) * col("m"))
+        // degenerate arms guarded BEFORE the projection that casts:
+        // a singleton type makes v = 0/0 and a zero-mean type makes
+        // delta = 0 — either way ceil(NaN/Inf).cast(long) is an ANSI
+        // crash on a row the analyst can't power anyway (the
+        // q_adamic_adar guard-at-producing-projection rule; mirrored
+        // in the oracle)
+        .filter(col("n") > 1 && col("delta") =!= 0.0)
         .select(col("event_type"), col("n"),
           round(col("m"), 6).as("mean_r"),
           round(col("v"), 6).as("var_r"),
@@ -1180,6 +1194,7 @@ object AnalyticsQueries {
         .select(expr("(ts_ns div 86400000000000 + 4) % 7").as("dow"))
         .groupBy("dow").agg(count(lit(1)).as("n"))
         .transform(graft.ops.QueryCaches.persist) // total + per-dow
+      d.count() // eager: broadcast(tot) races the lazy cache
       val tot = d.agg(sum("n").as("total"))
       d.crossJoin(broadcast(tot))
         .select(col("dow"), col("n"),
@@ -1319,15 +1334,21 @@ object AnalyticsQueries {
     // JaroWinkler expression (codegen'd kernel, DuckDB-bit-compatible
     // — see JaroWinklerKernel). Blocking bounds the self-join the way
     // record-linkage pipelines do at scale: candidates only within a
-    // block, never corpus × corpus; block keys are app-bounded here
-    // (brand × size), so block size grows linearly with data —
-    // skewed NATURAL block keys would take the capBuckets treatment
-    // (drop/shard hot blocks) before the join. Threshold compares the
-    // ROUNDED similarity (round-before-threshold rule).
+    // block, never corpus × corpus. NOTE the contract: the
+    // (brand × size) key DOMAIN is fixed, so mean block size grows
+    // linearly with the corpus and the within-block join is
+    // quadratic at 100 TB — production callers must refine the
+    // blocking key or set FuzzyJoin.capBlocks' maxBlockSize (the
+    // GateScale.uncapped doctrine; the gates run uncapped to mirror
+    // the exact oracle, affordable at gate-scale block sizes ≤7).
+    // Threshold compares the ROUNDED similarity
+    // (round-before-threshold rule).
     "q_jaro_block" -> ((s, dir) => {
-      val p = t(s, dir, "part")
-        .select(col("p_partkey"), col("p_brand"), col("p_size"),
-          col("p_name"))
+      val p = graft.ops.FuzzyJoin.capBlocks(
+        t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"), col("p_size"),
+            col("p_name")),
+        Seq("p_brand", "p_size"), GateScale.uncapped)
       p.select(col("p_partkey").as("pa"), col("p_brand"),
           col("p_size"), col("p_name").as("name_a"))
         .join(p.select(col("p_partkey").as("pb"), col("p_brand"),
@@ -1349,9 +1370,13 @@ object AnalyticsQueries {
     // part resolves to its cluster's minimum key — the survivorship
     // id a master-data pipeline carries forward.
     "q_er_clusters" -> ((s, dir) => {
-      val p = t(s, dir, "part")
-        .select(col("p_partkey"), col("p_brand"), col("p_size"),
-          col("p_name"))
+      // same blocked-join contract as q_jaro_block: fixed key domain
+      // ⇒ linear block growth ⇒ capBlocks at production scale
+      val p = graft.ops.FuzzyJoin.capBlocks(
+        t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"), col("p_size"),
+            col("p_name")),
+        Seq("p_brand", "p_size"), GateScale.uncapped)
         .transform(graft.ops.QueryCaches.persist) // pairs ×2 + id universe
       val pairs = p.select(col("p_partkey").as("a"), col("p_brand"),
           col("p_size"), col("p_name").as("name_a"))
@@ -1658,6 +1683,7 @@ object AnalyticsQueries {
         .select(expr("ts_ns div 3600000000000").as("hr"))
         .groupBy("hr").agg(count(lit(1)).as("cnt"))
         .transform(graft.ops.QueryCaches.persist) // pair sides + ties
+      hourly.count() // eager: broadcast(ties) races the lazy cache
       val p = hourly.select(col("hr").as("h1"), col("cnt").as("c1"))
         .join(hourly.select(col("hr").as("h2"), col("cnt").as("c2")),
           col("h1") < col("h2"))
@@ -1668,8 +1694,13 @@ object AnalyticsQueries {
         .agg(sum(expr("t * (t - 1) div 2")).as("n2"))
       p.crossJoin(broadcast(ties))
         .select(col("n0"), col("c"), col("d"), col("n2"),
+          // each factor cast to double BEFORE the product: n0 is
+          // H(H−1)/2, so n0·(n0−n2) ~ H⁴/4 overflows BIGINT (ANSI
+          // error, both engines) once the calendar spans ~9 years;
+          // the oracle mirrors the double-first association
           round((col("c") - col("d")).cast("double") /
-            sqrt((col("n0") * (col("n0") - col("n2"))).cast("double")),
+            sqrt(col("n0").cast("double") *
+              (col("n0") - col("n2")).cast("double")),
             6).as("tau_r"))
     }),
 
@@ -1999,6 +2030,10 @@ object AnalyticsQueries {
           (col("value") * col("value")).cast("decimal(28,14)").as("x2"))
         .groupBy("event_type").agg(count(lit(1)).as("n"),
           sum("x").as("sx"), sum("x2").as("sx2"))
+        // a singleton arm makes va/vb divide by (n−1) = 0 → NaN
+        // outputs whose repr the two engines need not share; a test
+        // needs n ≥ 2 per arm anyway (oracle mirrors the HAVING)
+        .filter(col("n") > 1)
         .transform(graft.ops.QueryCaches.persist) // both sample arms
       val a = m.filter(col("event_type") === "click")
         .select(col("n").as("na"), col("sx").cast("double").as("sxa"),
@@ -2372,9 +2407,15 @@ object AnalyticsQueries {
       val e = Tables.events(s, dir).filter(col("value").isNotNull)
         .select(col("value"), (col("ts") < cut).as("is_base"))
         .transform(graft.ops.QueryCaches.persist)
-      val fs = (1 to 9).map(i =>
-        round(percentile(col("value"), lit(i / 10.0)), 6).as(s"f$i"))
-      val fences = e.filter(col("is_base")).agg(fs.head, fs.tail: _*)
+      // two-phase exact deciles: the baseline is a fixed FRACTION of
+      // the corpus, so the built-in percentile's single-reducer buffer
+      // is unbounded at 100 TB (CLAUDE.md's global-percentile rule);
+      // exactQuantiles reproduces the identical h = q·(n−1) doubles,
+      // so the quantile_cont oracle is untouched
+      val fences = graft.ops.ScaleOps.exactQuantiles(
+        e.filter(col("is_base")), col("value"),
+        (1 to 9).map(i => (s"f$i", i / 10.0)))
+        .select((1 to 9).map(i => round(col(s"f$i"), 6).as(s"f$i")): _*)
       val bucket = (1 to 9).map(i =>
         when(col("value") >= col(s"f$i"), 1).otherwise(0))
         .reduce(_ + _)
@@ -2448,10 +2489,12 @@ object AnalyticsQueries {
     "q_anomaly_hours" -> ((s, dir) => {
       val d = seasonalHourly(s, dir)
         .transform(graft.ops.QueryCaches.persist) // median + deviation passes
+      d.count() // eager: the chained broadcasts race the lazy caches
       val med = d.agg(expr("percentile(resid_r, 0.5)").as("med"))
       val dm = d.crossJoin(broadcast(med))
         .withColumn("adev", abs(col("resid_r") - col("med")))
         .transform(graft.ops.QueryCaches.persist) // MAD + flag passes
+      dm.count()
       val mad = dm.agg(expr("percentile(adev, 0.5)").as("mad"))
       dm.crossJoin(broadcast(mad))
         .withColumn("fence_r", round(lit(4.0) * col("mad"), 6))
@@ -2925,7 +2968,12 @@ object AnalyticsQueries {
     "q_skyline" -> ((s, dir) => {
       val pv = t(s, dir, "lineitem")
         .select(col("l_extendedprice").as("price"),
-          (col("l_quantity") * 100).cast("long").as("qty_c"))
+          // DECIMAL staging before the ×100 long cast: a raw double
+          // 17.35*100 = 1734.999… truncates to 1734 in Spark's ANSI
+          // cast but rounds to 1735 in DuckDB's CAST(DOUBLE AS
+          // BIGINT) — exact at scale 2, both engines agree (the
+          // repo-wide *_c cents idiom; oracle mirrors the staging)
+          (dec(col("l_quantity")) * 100).cast("long").as("qty_c"))
         .groupBy("price").agg(max(col("qty_c")).as("q"))
       graft.ops.ScaleOps.globalRunningMaxExclusive(pv, 8,
         "q", "pm", col("price"))
@@ -2987,16 +3035,25 @@ object AnalyticsQueries {
         .transform(graft.ops.QueryCaches.persist) // both pair sides + intercept pass
       val a = hourly.select(col("hr").as("x1"), col("cnt").as("y1"))
       val b = hourly.select(col("hr").as("x2"), col("cnt").as("y2"))
-      val m = a.join(b, col("x1") < col("x2"))
-        .select(((col("y2") - col("y1")).cast("double") /
-          (col("x2") - col("x1")).cast("double")).as("slope"))
-        .agg(count(lit(1)).as("n_pairs"),
-          expr("percentile(slope, 0.5)").as("ms"))
+      // both medians via the two-phase exactQuantiles (identical
+      // h = q·(n−1) doubles as the built-in, oracle untouched): the
+      // pair frame is H(H−1)/2 — calendar-bounded but QUADRATIC in
+      // the span, so one reducer's percentile buffer holds ~1e9
+      // doubles at a 5-year calendar (the global-percentile rule)
+      val m = graft.ops.ScaleOps.exactQuantiles(
+        a.join(b, col("x1") < col("x2"))
+          .select(((col("y2") - col("y1")).cast("double") /
+            (col("x2") - col("x1")).cast("double")).as("slope")),
+        col("slope"), Seq(("ms", 0.5)))
+        .select(col("n").as("n_pairs"), col("ms"))
         .transform(graft.ops.QueryCaches.persist) // intercept pass + output
-      val ic = hourly.crossJoin(broadcast(m.select(col("ms"))))
-        .select((col("cnt").cast("double") -
-          col("ms") * col("hr").cast("double")).as("icv"))
-        .agg(expr("percentile(icv, 0.5)").as("mi"))
+      m.count() // eager: the intercept broadcast races the lazy cache
+      val ic = graft.ops.ScaleOps.exactQuantiles(
+        hourly.crossJoin(broadcast(m.select(col("ms"))))
+          .select((col("cnt").cast("double") -
+            col("ms") * col("hr").cast("double")).as("icv")),
+        col("icv"), Seq(("mi", 0.5)))
+        .select(col("mi"))
       m.crossJoin(ic)
         .select(col("n_pairs"), round(col("ms"), 6).as("slope_r"),
           round(col("mi"), 6).as("icept_r"))
@@ -4288,7 +4345,7 @@ object AnalyticsQueries {
            round(v, 6) AS var_r, round(delta, 6) AS mde_r,
            CAST(ceil(2.0 * v * 7.84 / (delta * delta)) AS BIGINT)
              AS n_per_arm
-         FROM d ORDER BY event_type""",
+         FROM d WHERE n > 1 AND delta <> 0.0 ORDER BY event_type""",
     "q_dow_index" ->
       """WITH d AS (SELECT (epoch_ns(ts) // 86400000000000 + 4) % 7
              AS dow FROM events),
@@ -4402,8 +4459,8 @@ object AnalyticsQueries {
              (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
              AS DECIMAL(18,4))) AS DECIMAL(18,4)) * 10000 AS BIGINT) AS sum_disc_price_c,
            count(*) AS n,
-           CAST(round(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
-             AS DOUBLE) / count(*) * 1e6) AS BIGINT) AS avg_qty_c
+           CAST(floor(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
+             AS DOUBLE) / count(*) * 1e6 + 0.5) AS BIGINT) AS avg_qty_c
          FROM lineitem
          WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          GROUP BY l_returnflag, l_linestatus
@@ -4942,7 +4999,8 @@ object AnalyticsQueries {
              FROM hc GROUP BY 1))
          SELECT p.n0, p.c, p.d, t.n2,
            round(CAST(p.c - p.d AS DOUBLE) /
-             sqrt(CAST(p.n0 * (p.n0 - t.n2) AS DOUBLE)), 6) AS tau_r
+             sqrt(CAST(p.n0 AS DOUBLE) * CAST(p.n0 - t.n2 AS DOUBLE)),
+             6) AS tau_r
          FROM p CROSS JOIN t""",
     "q_runs_test" ->
       """WITH h AS (SELECT epoch_ns(ts) // 3600000000000 AS hr
@@ -5165,7 +5223,8 @@ object AnalyticsQueries {
              CAST(value * value AS DECIMAL(28,14)) AS x2
            FROM events WHERE event_type IN ('click', 'purchase')),
          m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-             sum(x) AS sx, sum(x2) AS sx2 FROM e GROUP BY 1),
+             sum(x) AS sx, sum(x2) AS sx2 FROM e GROUP BY 1
+           HAVING count(*) > 1),
          a AS (SELECT n AS na, CAST(sx AS DOUBLE) AS sxa,
              CAST(sx2 AS DOUBLE) AS sx2a FROM m
            WHERE event_type = 'click'),
@@ -5392,7 +5451,8 @@ object AnalyticsQueries {
     // prefix (cheapest price) is on the frontier by definition
     "q_skyline" ->
       """WITH s AS (SELECT l_extendedprice AS price,
-             CAST(l_quantity * 100 AS BIGINT) AS qty_c FROM lineitem),
+             CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS qty_c FROM lineitem),
          pv AS (SELECT price, CAST(max(qty_c) AS BIGINT) AS q
            FROM s GROUP BY 1),
          r AS (SELECT price, q, max(q) OVER (ORDER BY price

@@ -1014,18 +1014,25 @@ object TextQueries {
     // Gini concentration of document length per source — the
     // one-number inequality audit ("is this source a few huge pages
     // plus dust?") curation dashboards track beside the mean. Exact
-    // sorted-rank form G = 2·Σ i·xᵢ/(n·Σx) − (n+1)/n with i from a
-    // per-source window over the (n_chars, doc_id) total order (tied
+    // sorted-rank form G = 2·Σ i·xᵢ/(n·Σx) − (n+1)/n with i the
+    // per-source rank over the (n_chars, doc_id) total order (tied
     // lengths permute within equal values — Σ i·xᵢ is invariant);
     // rank-weighted sums are exact DECIMAL, one double formula per
-    // source. One keyed window + one keyed aggregate, per-group sort.
+    // source. The rank is a two-phase global row number over
+    // (source, n_chars, doc_id) minus each source's min rank — a
+    // window PARTITIONED by the ~20-value source key would sort 5 %
+    // of the corpus in one reducer (the low-cardinality-key funnel
+    // the unpartitioned-window tripwire can't see; the q_curriculum
+    // treatment).
     "q_gini" -> ((s, dir) => {
       val dd = (c: Column) => c.cast("double")
       val de = (c: Column) => c.cast("decimal(18,0)")
-      val w = Window.partitionBy("source")
-        .orderBy(col("n_chars"), col("doc_id"))
-      docs(s, dir).select(col("source"), col("doc_id"), col("n_chars"))
-        .withColumn("rn", row_number().over(w).cast("long"))
+      val ranked = graft.ops.ScaleOps.globalRowNumber(
+        docs(s, dir).select(col("source"), col("doc_id"), col("n_chars")),
+        8, col("source"), col("n_chars"), col("doc_id"))
+      val base = ranked.groupBy("source").agg(min(col("rn")).as("pbase"))
+      ranked.join(base, "source")
+        .withColumn("rn", col("rn") - col("pbase") + 1L)
         .groupBy("source")
         .agg(count(lit(1)).as("n"),
           sum(de(col("n_chars"))).as("sx"),
@@ -1089,9 +1096,13 @@ object TextQueries {
     // looks like natural language (slope ≈ −1) rather than templated
     // or synthetic junk. Rank comes from the two-phase
     // ScaleOps.globalRowNumber (no single-partition window); the OLS
-    // moment sums run over n_types points — vocabulary-bounded, far
-    // below the corpus size, so the double sums fall under the
-    // bounded-terms round-6 rule.
+    // moments run over n_types points — the vocabulary is
+    // CORPUS-DERIVED (31 types in the synthetic corpus, 10⁵–10⁷ in
+    // real text), so every per-point log term is DECIMAL(28,14)-cast
+    // before SUM (order-independent — the q_heaps_fit treatment, not
+    // the bounded-terms waiver): the k·sxx − sx² closed form cancels
+    // catastrophically and would amplify accumulation epsilon past
+    // the round-6 gate.
     "q_zipf_fit" -> ((s, dir) => {
       val counts = docs(s, dir)
         .select(explode(graft.ops.TextDedup.tokens(col("text"))).as("tok"))
@@ -1105,10 +1116,14 @@ object TextQueries {
       val den = col("k") * col("sxx") - col("sx") * col("sx")
       val deny = col("k") * col("syy") - col("sy") * col("sy")
       pts.agg(count(lit(1)).as("k"),
-        sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
-        sum(col("lx") * col("lx")).as("sxx"),
-        sum(col("lx") * col("ly")).as("sxy"),
-        sum(col("ly") * col("ly")).as("syy"))
+        sum(col("lx").cast("decimal(28,14)")).cast("double").as("sx"),
+        sum(col("ly").cast("decimal(28,14)")).cast("double").as("sy"),
+        sum((col("lx") * col("lx")).cast("decimal(28,14)"))
+          .cast("double").as("sxx"),
+        sum((col("lx") * col("ly")).cast("decimal(28,14)"))
+          .cast("double").as("sxy"),
+        sum((col("ly") * col("ly")).cast("decimal(28,14)"))
+          .cast("double").as("syy"))
         .select(col("k").as("n_types"),
           round(num / den, 6).as("slope_r"),
           round((col("sy") - (num / den) * col("sx")) / col("k"), 6)
@@ -2191,8 +2206,12 @@ FROM sj GROUP BY lang ORDER BY lang"""
          p AS (SELECT ln(CAST(rn AS DOUBLE)) AS lx,
              ln(CAST(n AS DOUBLE)) AS ly FROM r),
          m AS (SELECT CAST(count(*) AS BIGINT) AS k,
-             sum(lx) AS sx, sum(ly) AS sy, sum(lx * lx) AS sxx,
-             sum(lx * ly) AS sxy, sum(ly * ly) AS syy FROM p)
+             CAST(sum(CAST(lx AS DECIMAL(28,14))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(ly AS DECIMAL(28,14))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(lx * lx AS DECIMAL(28,14))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(lx * ly AS DECIMAL(28,14))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(ly * ly AS DECIMAL(28,14))) AS DOUBLE) AS syy
+           FROM p)
          SELECT k AS n_types,
            round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS slope_r,
            round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx)

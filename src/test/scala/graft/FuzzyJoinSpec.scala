@@ -51,6 +51,20 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(full.nonEmpty)
   }
 
+  test("capBlocks drops over-cap blocks and passes the rest through untouched") {
+    import spark.implicits._
+    // block "big" has 5 members, "small" has 2
+    val rows = ((1 to 5).map(i => (i.toLong, "big")) ++
+      Seq((10L, "small"), (11L, "small"))).toDF("id", "blk")
+    val capped = FuzzyJoin.capBlocks(rows, Seq("blk"), maxBlockSize = 3)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(capped == Seq(10L, 11L))
+    // Int.MaxValue skips the cap entirely (the oracle-gate setting):
+    // same frame back, no cap aggregate in the plan
+    val un = FuzzyJoin.capBlocks(rows, Seq("blk"), Int.MaxValue)
+    assert(un eq rows)
+  }
+
   test("strings shorter than q are silently un-pairable, not an error") {
     import spark.implicits._
     val names = Seq((1L, "a"), (2L, "b"), (3L, "ab")).toDF("id", "name")

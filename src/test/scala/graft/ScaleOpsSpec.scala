@@ -362,6 +362,39 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("exactQuantiles reproduces the built-in percentile bit-for-bit") {
+    import spark.implicits._
+    // awkward n (7) so every requested quantile interpolates
+    val xs = Seq(3.0, 1.5, 9.25, -2.0, 4.75, 4.75, 0.125)
+    val df = xs.toDF("x")
+    val qs = Seq(("p10", 0.1), ("q1", 0.25), ("med", 0.5),
+      ("q3", 0.75), ("p99", 0.99), ("lo", 0.0), ("hi", 1.0))
+    val got = ScaleOps.exactQuantiles(df, col("x"), qs, partitions = 3)
+      .collect().head
+    assert(got.getLong(got.fieldIndex("n")) == xs.length)
+    val want = df.agg(
+      qs.map { case (nm, q) =>
+        expr(s"percentile(x, $q)").as(nm) }.head,
+      qs.tail.map { case (nm, q) =>
+        expr(s"percentile(x, $q)").as(nm) }: _*).collect().head
+    qs.foreach { case (nm, _) =>
+      // bit-for-bit: the h = q·(n−1) interpolation is the same
+      // formula over the same doubles — gate oracles written against
+      // the built-in stay green after swapping in the two-phase form
+      assert(java.lang.Double.compare(
+        got.getDouble(got.fieldIndex(nm)),
+        want.getDouble(want.fieldIndex(nm))) == 0,
+        s"$nm: ${got.getDouble(got.fieldIndex(nm))} != " +
+          s"${want.getDouble(want.fieldIndex(nm))}")
+    }
+    // empty input → one all-null row, like the built-in
+    val empty = ScaleOps.exactQuantiles(
+      df.filter(col("x") > 1e9), col("x"), Seq(("m", 0.5)))
+      .collect().head
+    assert(empty.isNullAt(empty.fieldIndex("m")))
+    graft.ops.QueryCaches.releaseAll()
+  }
+
   test("keySkewReport: shares sum to ~1 and hot flags the heavy key") {
     import spark.implicits._
     // 90 rows of key "hot", 10 spread across others
