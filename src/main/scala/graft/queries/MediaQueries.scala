@@ -26,12 +26,22 @@ object MediaQueries {
 
   /** documents → deterministic MediaRecord columns (modality cycles
     * image/audio/video by doc_id; dimensions fixed per modality).
+    *
+    * Repartitioned at the source: documents.parquet is ONE file at
+    * every sf, so without it every mapPartitions decode pipeline
+    * downstream (features/frames/resize/loudness/neardup) ran in ONE
+    * task — zero decode parallelism, contradicting the module's scale
+    * stance (the CLAUDE.md single-file-source rule; Multimodal.samples
+    * already did this for the spectrum gate).
     */
   private def media(s: SparkSession, dir: String): DataFrame = {
     val kind = when(pmod(col("doc_id"), lit(3)) === 0, "image")
       .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
       .otherwise("video")
-    Tables.table(s, dir, "documents").select(
+    Tables.table(s, dir, "documents")
+      .repartition(graft.ops.ScaleOps.fanoutWidth(
+        Tables.table(s, dir, "documents")))
+      .select(
       col("doc_id").as("media_id"),
       kind.as("kind"),
       encode(col("text"), "UTF-8").as("payload"),

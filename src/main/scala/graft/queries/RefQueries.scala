@@ -209,8 +209,12 @@ object RefQueries {
           DateSerial(58 + k * 7),
           DateSerial(45000 + k, builtin = false))
       }
-      val path = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_q_xlsx.xlsx")
+      // per-process scratch path: a FIXED name raced when two
+      // Verify/Bench runs shared a machine (one process reads the
+      // other's half-written zip — the Tables.scratchDir rule)
+      val path = java.nio.file.Files.createDirectories(
+        graft.Tables.scratchDir(s, "graft_q_xlsx"))
+        .resolve("q_xlsx.xlsx")
       XlsxWriter.write(path, "Data", header +: body, trailingEmptyRows = 3)
       s.read.format("graft.sources.XlsxDataSource")
         .option("sheet", "Data").load(path.toString)
@@ -230,25 +234,28 @@ object RefQueries {
       import graft.ingest.XlsxWriter
       import graft.ingest.XlsxWriter._
       import graft.sync.{LoadReport, LocalDestination, SyncAction}
-      val tmp = System.getProperty("java.io.tmpdir")
       // FIXED base dir: the report string embeds the target path, and
-      // the oracle SQL interpolates the same constant
+      // the oracle SQL interpolates the same constant. The workbook
+      // SOURCE paths never reach the oracle, so they are per-process
+      // scratch (fixed names raced concurrent Verify/Bench runs)
       val baseDir = "/tmp/graft_upload_gate"
+      val wbDir = java.nio.file.Files.createDirectories(
+        graft.Tables.scratchDir(s, "graft_upload_wb"))
       val nation = t(s, dir, "nation").select("n_nationkey", "n_name")
         .collect().sortBy(_.getInt(0)) // 25 rows — workbook synthesis is driver-sized
-      val wb1 = java.nio.file.Paths.get(tmp, "graft_upload_nation.xlsx")
+      val wb1 = wbDir.resolve("graft_upload_nation.xlsx")
       XlsxWriter.write(wb1, "Nation Data",
         Seq[Seq[Cell]](Seq(Str("nkey"), Str("name"))) ++
           nation.toSeq.map(r =>
             Seq[Cell](Num(r.getInt(0).toString), Str(r.getString(1)))))
       val region = t(s, dir, "region").select("r_regionkey", "r_name")
         .collect().sortBy(_.getInt(0))
-      val wb2 = java.nio.file.Paths.get(tmp, "graft_upload_region.xlsx")
+      val wb2 = wbDir.resolve("graft_upload_region.xlsx")
       XlsxWriter.write(wb2, "Region-List!",
         Seq[Seq[Cell]](Seq(Str("rkey"), Str("rname"))) ++
           region.toSeq.map(r =>
             Seq[Cell](Num(r.getInt(0).toString), Str(r.getString(1)))))
-      val wb3 = java.nio.file.Paths.get(tmp, "graft_upload_empty.xlsx")
+      val wb3 = wbDir.resolve("graft_upload_empty.xlsx")
       XlsxWriter.write(wb3, "Empty Sheet",
         Seq[Seq[Cell]](Seq(Str("a"), Str("b"))))
       val catalog = Map(

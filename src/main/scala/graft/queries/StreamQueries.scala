@@ -334,6 +334,10 @@ object StreamQueries {
       val (lo, hi, mid, probeId) = memoAnchor(dir, "dedup_cut") {
         val b = docs.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
           .head()
+        // loud on an empty table: getLong on the null min/max was an
+        // unexplained NPE; the sliced gate cannot test anything there
+        require(!b.isNullAt(0),
+          "q_stream_dedup_sliced: documents is empty — no cut anchor")
         val (lo0, hi0) = (b.getLong(0), b.getLong(1))
         val mid0 = lo0 + (hi0 - lo0) / 2
         val probe = docs.filter(col("doc_id") <= mid0)
@@ -595,10 +599,11 @@ object StreamQueries {
     // pinned by StreamGapsSpec's explicit two-drain MemoryStream
     // test, not by this gate.
     "q_stream_gaps" -> ((s, dir) => {
-      val out = runFileStream(s, dir, "events", "q_stream_gaps_sink",
-        sentinels = Seq(
-          eventRow(-1L, 1893456000000000000L),
-          eventRow(-2L, 1893456000000000000L + 8L * 3600L * 1000000000L)))(
+      // NO sentinels: detectGaps declares no watermark (NoTimeout
+      // state, emits on arrival), so sentinel rows advanced nothing —
+      // the gate paid a staged file + an extra data/no-data drain pair
+      // (~0.2–1 s) for output-identical results (r13 review)
+      val out = runFileStream(s, dir, "events", "q_stream_gaps_sink")(
         df => graft.streaming.StreamGaps.detectGaps(
           Tables.withEventTime(df), gapSeconds = 21600).toDF())
       out.filter(col("user_id") >= 0)
@@ -795,6 +800,17 @@ object StreamQueries {
           vf.toDoubleArray(col("embedding")).as("cv"))
         .withColumn("cn", vf.l2Norm(col("cv")))
         .filter(col("cn") > 0)
+      // loud anchors (the firstInHorizonPair precedent): an id-shifted
+      // or sparse embeddings regeneration would otherwise empty the
+      // quantizer and/or the query band on BOTH engines — a green
+      // empty-vs-empty gate that tests nothing from then on
+      require(!centB.isEmpty,
+        "q_stream_ivf: no usable centroid in vec_id < 16 — the " +
+          "quantizer band no longer exists in this corpus")
+      require(!Tables.table(s, dir, "embeddings")
+          .filter(col("vec_id") >= 450 && col("vec_id") < 500).isEmpty,
+        "q_stream_ivf: the query band vec_id in [450, 500) is empty — " +
+          "the gate would stream zero queries and prove nothing")
       runFileStream(s, dir, "embeddings", "q_stream_ivf_sink") { raw =>
         val q0 = raw
           .filter(col("vec_id") >= 450 && col("vec_id") < 500)
@@ -859,9 +875,14 @@ object StreamQueries {
     "q_stream_cdc_scd2" -> ((s, dir) => {
       import s.implicits._
       val last = memoAnchor(dir, "cdc_last") {
-        Tables.events(s, dir)
+        val rows = Tables.events(s, dir)
           .orderBy(col("ts_ns").desc, col("event_id").desc)
-          .select("ts_ns", "user_id").head()
+          .select("ts_ns", "user_id").limit(1).collect()
+        // loud on an empty table: bare head() was an unexplained
+        // NoSuchElementException; the probe needs a max-(ver) change
+        require(rows.nonEmpty,
+          "q_stream_cdc_scd2: events is empty — no stale-delivery anchor")
+        rows.head
       }
       // stateParts 8: the per-user CDC state is the family's largest
       // (every user keyed) and three r11 family-bench runs read it
@@ -1027,9 +1048,14 @@ object StreamQueries {
             col("tok"), col("n"))
           .transform(graft.ops.QueryCaches.persist) // grid + join share it
         val ref = Tables.table(s, dir, "documents")
+          // single parquet file = ONE task for the whole exploded
+          // token frame (the CLAUDE.md repartition-before-explode rule)
+          .repartition(graft.ops.ScaleOps.fanoutWidth(
+            Tables.table(s, dir, "documents")))
           .select(explode(graft.ops.TextDedup.tokens(col("text"))).as("tok"))
           .groupBy("tok").agg(count(lit(1)).as("c_ref"))
           .transform(graft.ops.QueryCaches.persist) // totals + grid share it
+        ref.count() // eager: broadcast(refTot) races the lazy cache
         val refTot = ref.agg(sum(col("c_ref")).as("n_ref"),
           count(lit(1)).as("v"))
         val wsTot = counts.groupBy("ws").agg(sum(col("n")).as("n_w"))
@@ -1500,6 +1526,84 @@ object StreamQueries {
   // epoch-aligned 5-minute buckets (Spark's tumbling windows align to
   // the epoch); counts are exact integers so the compare has no
   // float-order sensitivity
+  /** Shared by q_stream_dedup and its sliced twin (byte-identical
+    * by design: slicing must not change the answer). */
+  private val streamDedupOracle: String =
+    """SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+         FROM documents ORDER BY fp"""
+
+  /** Shared by q_stream_cdc_scd2 and its sliced twin (byte-identical
+    * by design: slicing must not change the answer). */
+  private val streamCdcScd2Oracle: String =
+    """WITH u AS (SELECT user_id, epoch_ns(ts) AS ver, event_id AS sub,
+             event_type AS payload
+           FROM events WHERE event_type <> 'error'),
+         s AS (SELECT user_id, ver, sub, payload,
+             lag(payload) OVER (PARTITION BY user_id ORDER BY ver, sub)
+               AS prev
+           FROM u),
+         ch AS (SELECT user_id, ver, sub, payload FROM s
+           WHERE prev IS DISTINCT FROM payload),
+         v AS (SELECT user_id, payload, ver,
+             lead(ver) OVER (PARTITION BY user_id ORDER BY ver, sub)
+               AS vt
+           FROM ch)
+         SELECT user_id, payload AS etype, ver AS valid_from_ns,
+           coalesce(vt, -1) AS valid_to_ns, (vt IS NULL) AS is_current
+         FROM v
+         ORDER BY user_id, valid_from_ns, etype, valid_to_ns"""
+
+  /** Shared by q_stream_sessions and its sliced twin (byte-identical
+    * by design: slicing must not change the answer). */
+  private val streamSessionsOracle: String =
+    """WITH e AS (SELECT user_id,
+             CAST(epoch(CAST(date_trunc('second', ts) AS TIMESTAMP)) AS BIGINT) AS ts_s
+           FROM events),
+         l AS (SELECT user_id, ts_s,
+             lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) AS prev
+           FROM e),
+         f AS (SELECT user_id, ts_s,
+             CASE WHEN prev IS NULL OR ts_s - prev > 1800 THEN 1 ELSE 0 END AS new_s
+           FROM l),
+         g AS (SELECT user_id, ts_s,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_s
+               ROWS UNBOUNDED PRECEDING) AS sid
+           FROM f),
+         sess AS (SELECT user_id, min(ts_s) AS start_s,
+             max(ts_s) + 1800 AS end_s, count(*) AS n_events
+           FROM g GROUP BY user_id, sid)
+         SELECT user_id, CAST(start_s AS BIGINT) AS start_s,
+           CAST(end_s AS BIGINT) AS end_s, n_events
+         FROM sess ORDER BY user_id, start_s"""
+
+  /** Shared by q_stream_sjoin and its sliced twin (byte-identical
+    * by design: slicing must not change the answer). */
+  private val streamSjoinOracle: String =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+             epoch_us(CAST(date_trunc('microseconds', ts) AS TIMESTAMP)) AS t_us
+           FROM events)
+         SELECT v.event_id AS l_id, c.event_id AS r_id, v.user_id,
+           c.t_us - v.t_us AS delta_us
+         FROM e v JOIN e c ON v.user_id = c.user_id
+           AND v.event_type = 'view' AND c.event_type = 'click'
+           AND c.t_us >= v.t_us AND c.t_us <= v.t_us + 21600000000
+         ORDER BY l_id, r_id"""
+
+  /** Shared by q_stream_sjoin_outer and its sliced twin (byte-identical
+    * by design: slicing must not change the answer). */
+  private val streamSjoinOuterOracle: String =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+             epoch_us(CAST(date_trunc('microseconds', ts) AS TIMESTAMP)) AS t_us
+           FROM events),
+         v AS (SELECT * FROM e WHERE event_type = 'view'),
+         c AS (SELECT * FROM e WHERE event_type = 'click')
+         SELECT v.event_id AS l_id,
+           coalesce(c.event_id, -1) AS r_id, v.user_id,
+           coalesce(c.t_us - v.t_us, -1) AS delta_us
+         FROM v LEFT JOIN c ON v.user_id = c.user_id
+           AND c.t_us >= v.t_us AND c.t_us <= v.t_us + 21600000000
+         ORDER BY l_id, r_id"""
+
   private val streamCountsOracle =
     """WITH e AS (SELECT
              CAST(epoch(CAST(date_trunc('second', ts) AS TIMESTAMP)) AS BIGINT) AS ts_s,
@@ -1595,14 +1699,12 @@ object StreamQueries {
              JOIN sig sb ON sb.doc_id = c.b)
          SELECT a, b, est_r FROM est WHERE est_r >= 0.5 ORDER BY a, b""",
     "q_stream_dedup" ->
-      """SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
-         FROM documents ORDER BY fp""",
+      streamDedupOracle,
     // multi-batch twin: corpus-spanning retention keeps the exact
     // DISTINCT oracle valid under any slicing; the cross-batch
     // re-delivery must be state-suppressed for the row counts to meet
     "q_stream_dedup_sliced" ->
-      """SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
-         FROM documents ORDER BY fp""",
+      streamDedupOracle,
     "q_stream_lines" ->
       """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
              FROM documents),
@@ -1721,44 +1823,12 @@ object StreamQueries {
     // stream side's poison probe must be absent (suppressed at the
     // CDC edge) for the hashes to meet
     "q_stream_cdc_scd2" ->
-      """WITH u AS (SELECT user_id, epoch_ns(ts) AS ver, event_id AS sub,
-             event_type AS payload
-           FROM events WHERE event_type <> 'error'),
-         s AS (SELECT user_id, ver, sub, payload,
-             lag(payload) OVER (PARTITION BY user_id ORDER BY ver, sub)
-               AS prev
-           FROM u),
-         ch AS (SELECT user_id, ver, sub, payload FROM s
-           WHERE prev IS DISTINCT FROM payload),
-         v AS (SELECT user_id, payload, ver,
-             lead(ver) OVER (PARTITION BY user_id ORDER BY ver, sub)
-               AS vt
-           FROM ch)
-         SELECT user_id, payload AS etype, ver AS valid_from_ns,
-           coalesce(vt, -1) AS valid_to_ns, (vt IS NULL) AS is_current
-         FROM v
-         ORDER BY user_id, valid_from_ns, etype, valid_to_ns""",
+      streamCdcScd2Oracle,
     // multi-batch twin: time-ordered slicing keeps the batch SCD2
     // oracle exact, and the cross-batch poison re-delivery must be
     // suppressed for the hashes to meet — identical oracle text
     "q_stream_cdc_scd2_sliced" ->
-      """WITH u AS (SELECT user_id, epoch_ns(ts) AS ver, event_id AS sub,
-             event_type AS payload
-           FROM events WHERE event_type <> 'error'),
-         s AS (SELECT user_id, ver, sub, payload,
-             lag(payload) OVER (PARTITION BY user_id ORDER BY ver, sub)
-               AS prev
-           FROM u),
-         ch AS (SELECT user_id, ver, sub, payload FROM s
-           WHERE prev IS DISTINCT FROM payload),
-         v AS (SELECT user_id, payload, ver,
-             lead(ver) OVER (PARTITION BY user_id ORDER BY ver, sub)
-               AS vt
-           FROM ch)
-         SELECT user_id, payload AS etype, ver AS valid_from_ns,
-           coalesce(vt, -1) AS valid_to_ns, (vt IS NULL) AS is_current
-         FROM v
-         ORDER BY user_id, valid_from_ns, etype, valid_to_ns""",
+      streamCdcScd2Oracle,
     // window token distributions vs the corpus reference, smoothed
     // PSI over the full vocab grid — same epoch buckets as trending
     "q_stream_drift" ->
@@ -1801,48 +1871,12 @@ object StreamQueries {
     // same-session ⟺ gap to previous event ≤ 1800 s; session end =
     // last event + gap (session_window semantics)
     "q_stream_sessions" ->
-      """WITH e AS (SELECT user_id,
-             CAST(epoch(CAST(date_trunc('second', ts) AS TIMESTAMP)) AS BIGINT) AS ts_s
-           FROM events),
-         l AS (SELECT user_id, ts_s,
-             lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) AS prev
-           FROM e),
-         f AS (SELECT user_id, ts_s,
-             CASE WHEN prev IS NULL OR ts_s - prev > 1800 THEN 1 ELSE 0 END AS new_s
-           FROM l),
-         g AS (SELECT user_id, ts_s,
-             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_s
-               ROWS UNBOUNDED PRECEDING) AS sid
-           FROM f),
-         sess AS (SELECT user_id, min(ts_s) AS start_s,
-             max(ts_s) + 1800 AS end_s, count(*) AS n_events
-           FROM g GROUP BY user_id, sid)
-         SELECT user_id, CAST(start_s AS BIGINT) AS start_s,
-           CAST(end_s AS BIGINT) AS end_s, n_events
-         FROM sess ORDER BY user_id, start_s""",
+      streamSessionsOracle,
     // multi-batch twin: time-ordered slicing preserves the batch
     // gap-and-islands answer only if straddling sessions merge across
     // the boundary — identical oracle text
     "q_stream_sessions_sliced" ->
-      """WITH e AS (SELECT user_id,
-             CAST(epoch(CAST(date_trunc('second', ts) AS TIMESTAMP)) AS BIGINT) AS ts_s
-           FROM events),
-         l AS (SELECT user_id, ts_s,
-             lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) AS prev
-           FROM e),
-         f AS (SELECT user_id, ts_s,
-             CASE WHEN prev IS NULL OR ts_s - prev > 1800 THEN 1 ELSE 0 END AS new_s
-           FROM l),
-         g AS (SELECT user_id, ts_s,
-             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_s
-               ROWS UNBOUNDED PRECEDING) AS sid
-           FROM f),
-         sess AS (SELECT user_id, min(ts_s) AS start_s,
-             max(ts_s) + 1800 AS end_s, count(*) AS n_events
-           FROM g GROUP BY user_id, sid)
-         SELECT user_id, CAST(start_s AS BIGINT) AS start_s,
-           CAST(end_s AS BIGINT) AS end_s, n_events
-         FROM sess ORDER BY user_id, start_s""",
+      streamSessionsOracle,
     // the stream-static enrichment over the same epoch-aligned 300 s
     // buckets: events ⋈ nation on user_id % 25 (sentinels never join
     // — the oracle has none to begin with)
@@ -1861,52 +1895,16 @@ object StreamQueries {
     // on exact integer microseconds (the stream's ns→micros ingest
     // conversion mirrored with date_trunc)
     "q_stream_sjoin" ->
-      """WITH e AS (SELECT event_id, user_id, event_type,
-             epoch_us(CAST(date_trunc('microseconds', ts) AS TIMESTAMP)) AS t_us
-           FROM events)
-         SELECT v.event_id AS l_id, c.event_id AS r_id, v.user_id,
-           c.t_us - v.t_us AS delta_us
-         FROM e v JOIN e c ON v.user_id = c.user_id
-           AND v.event_type = 'view' AND c.event_type = 'click'
-           AND c.t_us >= v.t_us AND c.t_us <= v.t_us + 21600000000
-         ORDER BY l_id, r_id""",
+      streamSjoinOracle,
     // multi-batch twin: identical pair set — a cross-batch match lost
     // to a dropped join buffer would show as a missing row
     "q_stream_sjoin_sliced" ->
-      """WITH e AS (SELECT event_id, user_id, event_type,
-             epoch_us(CAST(date_trunc('microseconds', ts) AS TIMESTAMP)) AS t_us
-           FROM events)
-         SELECT v.event_id AS l_id, c.event_id AS r_id, v.user_id,
-           c.t_us - v.t_us AS delta_us
-         FROM e v JOIN e c ON v.user_id = c.user_id
-           AND v.event_type = 'view' AND c.event_type = 'click'
-           AND c.t_us >= v.t_us AND c.t_us <= v.t_us + 21600000000
-         ORDER BY l_id, r_id""",
+      streamSjoinOracle,
     // the same pairs plus null-matched views, nulls pinned to -1
     "q_stream_sjoin_outer" ->
-      """WITH e AS (SELECT event_id, user_id, event_type,
-             epoch_us(CAST(date_trunc('microseconds', ts) AS TIMESTAMP)) AS t_us
-           FROM events),
-         v AS (SELECT * FROM e WHERE event_type = 'view'),
-         c AS (SELECT * FROM e WHERE event_type = 'click')
-         SELECT v.event_id AS l_id,
-           coalesce(c.event_id, -1) AS r_id, v.user_id,
-           coalesce(c.t_us - v.t_us, -1) AS delta_us
-         FROM v LEFT JOIN c ON v.user_id = c.user_id
-           AND c.t_us >= v.t_us AND c.t_us <= v.t_us + 21600000000
-         ORDER BY l_id, r_id""",
+      streamSjoinOuterOracle,
     // multi-batch twin: identical outer set — a lost join buffer would
     // drop cross-batch matches AND corrupt the null-emission set
     "q_stream_sjoin_outer_sliced" ->
-      """WITH e AS (SELECT event_id, user_id, event_type,
-             epoch_us(CAST(date_trunc('microseconds', ts) AS TIMESTAMP)) AS t_us
-           FROM events),
-         v AS (SELECT * FROM e WHERE event_type = 'view'),
-         c AS (SELECT * FROM e WHERE event_type = 'click')
-         SELECT v.event_id AS l_id,
-           coalesce(c.event_id, -1) AS r_id, v.user_id,
-           coalesce(c.t_us - v.t_us, -1) AS delta_us
-         FROM v LEFT JOIN c ON v.user_id = c.user_id
-           AND c.t_us >= v.t_us AND c.t_us <= v.t_us + 21600000000
-         ORDER BY l_id, r_id""")
+      streamSjoinOuterOracle)
 }
