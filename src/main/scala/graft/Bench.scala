@@ -178,11 +178,18 @@ object Bench {
     // config) must not grow this line past the ~2 KiB tail window and
     // push its own head — or the report line — out of capture; the
     // complete list is in bench_full.json's "failed" field.
+    // every structured line's length is tracked: the driver captures
+    // one ~2 KiB stdout TAIL, so the failed + tripwire + report lines
+    // share ONE budget (three per-line caps could still sum past the
+    // window in exactly the mass-failure round they exist for)
+    var extraLineBytes = 0
     if (failed.nonEmpty) {
       val shown = failed.toSeq.sorted.take(8)
       val omitted = failed.size - shown.size
-      println(shown.map("\"" + _ + "\"")
-        .mkString("{\"bench_failed\":[", ",", s"],\"failed_omitted\":$omitted}"))
+      val line = shown.map("\"" + _ + "\"")
+        .mkString("{\"bench_failed\":[", ",", s"],\"failed_omitted\":$omitted}")
+      extraLineBytes += line.length + 1
+      println(line)
     }
     // regression tripwire: compare against the committed baseline map
     // (bench_baseline.json — a snapshot of the last clean full-suite
@@ -245,10 +252,24 @@ object Bench {
           .map { case (k, v, _) => k -> math.min(v, retime(k)) }, base)
         .take(8)
         .map { case (k, v, b) => "\"" + k + "\":\"" + s3(v) + ">2x" + s3(b) + "\"" }
-      if (regressed.nonEmpty)
-        println(regressed.mkString("{\"tripwire\":{", ",", "}}"))
+      if (regressed.nonEmpty) {
+        val line = regressed.mkString("{\"tripwire\":{", ",", "}}")
+        extraLineBytes += line.length + 1
+        println(line)
+      }
+    } else {
+      // a missing baseline must be LOUD: silently skipping the
+      // tripwire is indistinguishable from "no regressions", and a
+      // renamed file / wrong CWD would turn the gate off for good
+      val line = "{\"tripwire\":\"NO_BASELINE — bench_baseline.json " +
+        "not found; regression gate OFF\"}"
+      extraLineBytes += line.length + 1
+      println(line)
     }
-    val budget = 1500 // line cap well inside the ~2 KiB tail window
+    // the report line gets what the earlier structured lines left of
+    // the shared window (floor keeps the slowest entries visible even
+    // in a worst-case failure round)
+    val budget = math.max(600, 1500 - extraLineBytes)
     val head = s"""{"metric":"total","value":${s3(total)},"unit":"sec","sf":"$sfDir","n":${results.size},"full":"$fullPath","queries":{"""
     val entries = results.toSeq.sortBy(-_._2)
       .map { case (k, v) => "\"" + k + "\":" + s3(v) }

@@ -67,14 +67,26 @@ object Tables {
     // memoized per sf dir: the testdata is immutable within a run and
     // ~10 stream gates each paid this full-column agg (~0.3 s at
     // sf0.1) just to place their watermark sentinels — the same
-    // caching any production system applies to table statistics
-    maxNsCache.computeIfAbsent(dir, { d =>
-      val r = events(spark, d).agg(max("ts_ns")).head()
-      if (r.isNullAt(0)) None else Some(r.getLong(0))
-    })
+    // caching any production system applies to table statistics.
+    // Keyed on the NORMALIZED path ("sf0.1" vs "sf0.1/" were two
+    // entries); [[clearStatsCache]] is the regeneration hook.
+    maxNsCache.computeIfAbsent(
+      java.nio.file.Paths.get(dir).normalize().toString, { _ =>
+        val r = events(spark, dir).agg(max("ts_ns")).head()
+        if (r.isNullAt(0)) None else Some(r.getLong(0))
+      })
   }
   private val maxNsCache =
     new java.util.concurrent.ConcurrentHashMap[String, Option[Long]]()
+
+  /** Drop the memoized per-dir statistics. A long-lived JVM that
+    * REGENERATES a table under the same path must call this (test
+    * fixtures, notebook sessions) — otherwise stream gates place
+    * their watermark sentinels relative to the OLD max event time and
+    * silently drop late rows (the r7 regeneration lesson, reduced
+    * from "restart the JVM" to one call).
+    */
+  def clearStatsCache(): Unit = maxNsCache.clear()
 
   /** Per-run scratch path for queries that write real files (ORC
     * round-trip, CoW merge, persisted IVF, stream sink …). Fixed

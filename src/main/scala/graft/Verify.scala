@@ -35,6 +35,16 @@ object Verify {
           s"$name plans $nGlobal unpartitioned window(s) but is not in " +
             "WindowAudit.whitelist — partition the window (or, if " +
             "bounded by construction, whitelist it with the rationale)")
+      // subquery bodies are invisible to the physical traversal (their
+      // plans are still logical on the unprepared sparkPlan); audit
+      // them on the optimized LOGICAL plan, same whitelist
+      val nSubq = graft.tools.WindowAudit.unpartitionedSubqueryWindows(
+        df.queryExecution.optimizedPlan)
+      if (nSubq > 0 && !graft.tools.WindowAudit.whitelist(name))
+        throw new IllegalStateException(
+          s"$name plans $nSubq unpartitioned window(s) INSIDE a " +
+            "subquery — a 1-row subquery output can still sort the " +
+            "whole table in one reducer; partition or whitelist")
       // cartesian tripwire: the unbounded all-pairs join must never
       // plan. The broadcast(single-row) crossJoin idiom plans as
       // BroadcastNestedLoopJoin and is not counted; a true cartesian
@@ -60,9 +70,16 @@ object Verify {
           .iterator().asScala.foreach(Files.deleteIfExists(_))
         finally st.close()
       }
-      Files.createDirectories(qDir)
-      Files.writeString(qDir.resolve("_ERROR.txt"),
-        s"${e.getClass.getName}: ${e.getMessage}\n")
+      // the marker write gets its own try: a disk-full/permission
+      // failure HERE must cost one query's marker, not abort the loop
+      // and leave every remaining query without any output at all
+      try {
+        Files.createDirectories(qDir)
+        Files.writeString(qDir.resolve("_ERROR.txt"),
+          s"${e.getClass.getName}: ${e.getMessage}\n")
+      } catch { case m: Throwable =>
+        System.err.println(s"[verify] $name marker write failed: $m")
+      }
       false
     }
 
@@ -81,9 +98,18 @@ object Verify {
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    // the manifest is written BEFORE the loop (as is oracle_sql.json
+    // below — moved ahead of the loop in spirit by the manifest): if
+    // the loop aborts, the checker sees which queries were ATTEMPTED
+    // and fails the absent ones, instead of a reused outdir's stale
+    // green results passing a truncated run (r13 harness review)
+    val manifestNames = selected.keys.toSeq.sorted
+    Files.writeString(Paths.get(s"$outDir/run_manifest.json"),
+      if (manifestNames.isEmpty) "[]"
+      else manifestNames.mkString("[\"", "\",\"", "\"]"))
+    selected.foreach { case (name, fn) =>
       runOne(spark, sfDir, outDir, name, fn)
       // multi-branch queries persist() shared subplans, registered in
       // the QueryCaches ledger; release them now that the result is

@@ -32,6 +32,12 @@ object PerfProbe {
     }
     final case class St(id: Int, nm: String, wallMs: Long, taskMs: Long,
         shufWriteMB: Double, shufReadMB: Double, spillMB: Double, tasks: Int)
+    // the bus delivers events asynchronously and the buffer is
+    // appended from the bus thread: synchronize the append, and drain
+    // the bus before reading (see below) — otherwise the measured
+    // pass's LAST stage (often the final exchange, the largest) can
+    // still be queued when the report prints, and the missing wall
+    // time is misread as driver/scheduling overhead
     val stages = scala.collection.mutable.ArrayBuffer.empty[St]
     val listener = new SparkListener {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
@@ -40,12 +46,14 @@ object PerfProbe {
           a <- i.completionTime; b <- i.submissionTime
         } yield a - b).getOrElse(-1L)
         val m = i.taskMetrics
-        stages += St(i.stageId, i.name.takeWhile(_ != '\n').take(60), wall,
-          m.executorRunTime,
-          m.shuffleWriteMetrics.bytesWritten / 1e6,
-          m.shuffleReadMetrics.totalBytesRead / 1e6,
-          (m.memoryBytesSpilled + m.diskBytesSpilled) / 1e6,
-          i.numTasks)
+        stages.synchronized {
+          stages += St(i.stageId, i.name.takeWhile(_ != '\n').take(60), wall,
+            m.executorRunTime,
+            m.shuffleWriteMetrics.bytesWritten / 1e6,
+            m.shuffleReadMetrics.totalBytesRead / 1e6,
+            (m.memoryBytesSpilled + m.diskBytesSpilled) / 1e6,
+            i.numTasks)
+        }
       }
     }
     // one warm pass untimed (codegen/JIT), then the measured pass
@@ -60,11 +68,18 @@ object PerfProbe {
     val dt = (System.nanoTime() - t0) / 1e9
     graft.ops.QueryCaches.releaseAll()
     spark.catalog.clearCache()
+    // drain BEFORE detaching/reading: stage-completed events are
+    // delivered asynchronously on the bus thread
+    org.apache.spark.sql.graftshim.Bridge
+      .drainListenerBus(spark.sparkContext)
     spark.sparkContext.removeSparkListener(listener)
-    println(f"== $name measured pass: $dt%.2f s, ${stages.size} stages ==")
-    val wallSum = stages.map(_.wallMs).sum / 1e3
+    // snapshot under the same lock the bus thread appends with (the
+    // drain guarantees completeness; this guarantees visibility)
+    val snap = stages.synchronized(stages.toVector)
+    println(f"== $name measured pass: $dt%.2f s, ${snap.size} stages ==")
+    val wallSum = snap.map(_.wallMs).sum / 1e3
     println(f"stage wall sum: $wallSum%.2f s (gap to pass time = driver/scheduling)")
-    stages.sortBy(-_.wallMs).take(25).foreach { s =>
+    snap.sortBy(-_.wallMs).take(25).foreach { s =>
       println(f"stage ${s.id}%4d wall=${s.wallMs / 1e3}%6.2fs task=${s.taskMs / 1e3}%7.2fs " +
         f"tasks=${s.tasks}%3d sw=${s.shufWriteMB}%8.1fMB sr=${s.shufReadMB}%8.1fMB " +
         f"spill=${s.spillMB}%6.1fMB  ${s.nm}")

@@ -47,8 +47,10 @@ object WindowAudit {
   /* collect, NOT collectWithSubqueries: on the unprepared sparkPlan a
    * subquery expression still holds its LOGICAL plan and the traversal
    * would cast it to SparkPlan (q_sql_q11/q15/q22 crashed on exactly
-   * this). Subquery bodies are scalar/IN-list shaped — a global window
-   * inside one is bounded by the subquery's own cardinality. */
+   * this). Subquery bodies are covered separately by
+   * [[unpartitionedSubqueryWindows]] on the optimized LOGICAL plan —
+   * a subquery's 1-row OUTPUT says nothing about its window's INPUT
+   * size, so they cannot simply be skipped. */
   def unpartitionedWindows(plan: org.apache.spark.sql.execution.SparkPlan): Int =
     plan.collect {
       case w: WindowExec if w.partitionSpec.isEmpty => 1
@@ -59,6 +61,31 @@ object WindowAudit {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         unpartitionedWindows(a.inputPlan)
     }.sum
+
+  /** Unpartitioned windows INSIDE SUBQUERY expressions — the blind
+    * spot of the physical traversal (whose collect cannot descend
+    * into a subquery's still-logical plan on the unprepared
+    * sparkPlan). On the optimized LOGICAL plan `collectWithSubqueries`
+    * is cast-safe: count global windows everywhere, subtract the
+    * main-plan count, and what remains lives in subquery bodies —
+    * e.g. `(SELECT max(rn) FROM (… row_number() OVER (ORDER BY x) …))`
+    * returns one row but sorts the whole table in one reducer.
+    * Residual blind spots, accepted: a window under a persist
+    * boundary inside a subquery (the cached plan is physical), and
+    * windows executed in builder-time actions that never reach the
+    * returned plan.
+    */
+  def unpartitionedSubqueryWindows(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int = {
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    def hits(withSub: Boolean): Int =
+      (if (withSub)
+         plan.collectWithSubqueries {
+           case w: Window if w.partitionSpec.isEmpty => 1 }
+       else plan.collect {
+         case w: Window if w.partitionSpec.isEmpty => 1 }).sum
+    hits(withSub = true) - hits(withSub = false)
+  }
 
   /** No declared query may plan one, ever — a `CartesianProductExec`
     * is the unbounded all-pairs join, the one shape that can never

@@ -25,4 +25,12 @@ object Bridge {
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
       .queryExecution.analyzed
+
+  /** Block until the listener bus has delivered every queued event —
+    * `private[spark]`, needed by tooling (PerfProbe) that reads
+    * listener-collected metrics right after an action: without the
+    * drain the last stages of the measured pass may still be queued.
+    */
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }

@@ -77,6 +77,30 @@ class ToolsSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("unpartitionedSubqueryWindows catches a global window hidden in a scalar subquery") {
+    import spark.implicits._
+    Seq(1L, 2L, 3L).toDF("v").createOrReplaceTempView("wa_sub_t")
+    try {
+      // the subquery returns ONE row but its window sorts the whole
+      // table in one reducer — invisible to the physical traversal
+      val df = spark.sql(
+        """SELECT v FROM wa_sub_t
+           WHERE v = (SELECT max(rn) FROM
+             (SELECT row_number() OVER (ORDER BY v) AS rn FROM wa_sub_t))""")
+      assert(WindowAudit.unpartitionedSubqueryWindows(
+        df.queryExecution.optimizedPlan) >= 1)
+      // physical traversal indeed misses it (the reason the logical
+      // check exists)
+      assert(WindowAudit.unpartitionedWindows(
+        df.queryExecution.sparkPlan) == 0)
+      // a main-plan-only window is NOT double-counted as a subquery one
+      val plain = spark.sql(
+        "SELECT row_number() OVER (ORDER BY v) AS rn FROM wa_sub_t")
+      assert(WindowAudit.unpartitionedSubqueryWindows(
+        plain.queryExecution.optimizedPlan) == 0)
+    } finally spark.catalog.dropTempView("wa_sub_t")
+  }
+
   test("unpartitionedWindows sees through a persist boundary") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

@@ -31,14 +31,35 @@ def canon(rows, cols):
     return hashlib.md5("\x1e".join(out).encode()).hexdigest()
 
 
+# Queries declared rows-only BY DESIGN (engine-specific internals the
+# oracle cannot mirror). Any OTHER query landing NO_ORACLE is a typo'd
+# or missing oracle key — a silently-unchecked query — and FAILS; a
+# name here that HAS an oracle is a stale whitelist entry and FAILS.
+ROWS_ONLY = {"q_sniff", "q_approx_distinct", "q_quantiles_approx",
+             "q_compress_ratio"}
+
+
 def main(outdir, sfdir):
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+    # completeness: iterate the run manifest (what Verify ATTEMPTED),
+    # not a q_* glob — a truncated run on a reused outdir would
+    # otherwise pass on the prior run's stale green dirs, and a query
+    # named without the q_ prefix would never be compared at all
+    mpath = os.path.join(outdir, "run_manifest.json")
+    if os.path.exists(mpath):
+        names = json.load(open(mpath))
+    else:  # pre-manifest dump: fall back to the glob
+        names = [os.path.basename(d)
+                 for d in glob.glob(os.path.join(outdir, "q_*"))]
     results = {}
-    for qdir in sorted(glob.glob(os.path.join(outdir, "q_*"))):
-        name = os.path.basename(qdir)
+    for name in sorted(names):
+        qdir = os.path.join(outdir, name)
+        if not os.path.isdir(qdir):
+            results[name] = "MISSING_OUTPUT_DIR (run aborted before it?)"
+            continue
         files = glob.glob(os.path.join(qdir, "*.parquet"))
         if not files:
             results[name] = "NO_SPARK_OUTPUT"
@@ -72,7 +93,16 @@ def main(outdir, sfdir):
             results[name] = "HAZARD: " + "; ".join(sorted(set(hazards)))
             continue
         if name not in oracle:
-            results[name] = f"NO_ORACLE rows={len(srows)}"
+            if name in ROWS_ONLY:
+                results[name] = f"NO_ORACLE rows={len(srows)} (by design)"
+            else:
+                results[name] = (f"NO_ORACLE_UNDECLARED rows={len(srows)} "
+                                 "— oracle key missing/typo'd; the query "
+                                 "is silently unchecked")
+            continue
+        if name in ROWS_ONLY:
+            results[name] = ("STALE_ROWS_ONLY_WHITELIST — an oracle now "
+                             "exists; remove the ROWS_ONLY entry")
             continue
         try:
             orel = con.sql(oracle[name])
@@ -96,14 +126,28 @@ def main(outdir, sfdir):
                 if a != b:
                     problems.append(f"first diff:\n  spark  ={a}\n  oracle ={b}")
                     break
-        results[name] = "OK rows=%d" % len(srows) if not problems else "FAIL: " + "; ".join(problems)
+        if problems:
+            results[name] = "FAIL: " + "; ".join(problems)
+        elif len(srows) == 0:
+            # both sides empty hash equal — a filter that silently
+            # degenerated under a regeneration stays green while the
+            # query exercises nothing. Annotate loudly (not a failure:
+            # an empty-by-design output would be legitimate).
+            results[name] = "OK rows=0 [EMPTY — degenerate?]"
+        else:
+            results[name] = "OK rows=%d" % len(srows)
     width = max(len(k) for k in results)
-    nfail = 0
+    nfail = nempty = 0
     for k in sorted(results):
         print(f"{k:<{width}}  {results[k]}")
-        if not results[k].startswith("OK") and not results[k].startswith("NO_ORACLE"):
+        if results[k].startswith("OK rows=0"):
+            nempty += 1
+        ok = (results[k].startswith("OK") or
+              results[k].startswith("NO_ORACLE rows"))
+        if not ok:
             nfail += 1
-    print(f"\n{len(results)} queries, {nfail} failing")
+    tail = f", {nempty} empty" if nempty else ""
+    print(f"\n{len(results)} queries, {nfail} failing{tail}")
     sys.exit(1 if nfail else 0)
 
 
