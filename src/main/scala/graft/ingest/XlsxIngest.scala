@@ -64,10 +64,17 @@ object XlsxIngest {
   /** Parse to raw matrices (header row still in row 0) — the exact IR
     * of the reference; used by tests and by callers that feed
     * destinations directly.
+    *
+    * `only`: parse just the named sheet (the catalog/rels/strings
+    * members are always read — they are tiny; the WORKSHEET XML
+    * streams of unselected sheets are skipped entirely, which is what
+    * matters for a multi-sheet workbook read through the DataSource's
+    * `sheet` option). None parses every sheet.
     */
   def parseMatrices(
       path: String,
-      opts: Options = Options()): Seq[(String, Vector[Vector[String]])] = {
+      opts: Options = Options(),
+      only: Option[String] = None): Seq[(String, Vector[Vector[String]])] = {
     val zip = new ZipFile(path)
     try {
       def open(name: String): Option[InputStream] =
@@ -79,6 +86,7 @@ object XlsxIngest {
         .map(parseStyles).getOrElse(Vector.empty)
       val sheets = parseSheetCatalog(
         open("xl/workbook.xml"), open("xl/_rels/workbook.xml.rels"))
+        .filter { case (n, _) => only.forall(_ == n) }
 
       sheets.flatMap { case (sheetName, target) =>
         // rels targets are relative to xl/ (e.g. "worksheets/sheet1.xml");

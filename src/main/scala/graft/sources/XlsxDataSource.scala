@@ -24,30 +24,94 @@ import graft.model.SheetMatrix
   *     .load("/path/book.xlsx")
   * }}}
   *
-  * Schema inference reads only the header row region of the sheet
-  * driver-side. One InputPartition per workbook file: an xlsx (zip of
-  * XML) is not splittable, so the file — not the row range — is the
-  * parallelism unit; a directory of workbooks fans out across
-  * executors, which is the only scale-out an xlsx corpus admits.
-  * Cells stay all-string (the reference's data model).
+  * Schema inference parses the SELECTED sheet driver-side (with the
+  * `sheet` option set, the other sheets' worksheet XML streams are
+  * skipped entirely). One InputPartition per workbook file: an xlsx
+  * (zip of XML) is not splittable, so the file — not the row range —
+  * is the parallelism unit; a DIRECTORY path expands to its .xlsx
+  * files (case-insensitive) and fans out across executors, which is
+  * the only scale-out an xlsx corpus admits. Cells stay all-string
+  * (the reference's data model).
   */
+object XlsxDataSource {
+
+  /** Spark passes multi-path loads as a JSON string array. A naive
+    * split(",") mis-split any path CONTAINING a comma and never
+    * unescaped backslash sequences — parse the array properly
+    * (strings, escapes, separators; nothing else appears in it).
+    */
+  def parsePathsJson(json: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inStr = false
+    var i = 0
+    while (i < json.length) {
+      val c = json.charAt(i)
+      if (inStr) c match {
+        case '\\' if i + 1 < json.length =>
+          json.charAt(i + 1) match {
+            case 'n' => cur.append('\n'); case 't' => cur.append('\t')
+            case 'r' => cur.append('\r'); case 'b' => cur.append('\b')
+            case 'f' => cur.append('\f')
+            case 'u' if i + 5 < json.length =>
+              cur.append(Integer.parseInt(
+                json.substring(i + 2, i + 6), 16).toChar)
+              i += 4
+            case e => cur.append(e) // \" \\ \/ and anything literal
+          }
+          i += 1
+        case '"' => inStr = false; out += cur.result(); cur.clear()
+        case ch => cur.append(ch)
+      } else if (c == '"') inStr = true
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Expand directory paths to the workbooks inside (sorted,
+    * case-insensitive .xlsx) — the documented fan-out unit: one
+    * InputPartition per workbook. A directory fed straight to
+    * ZipFile crashed with an opaque FileNotFound/ZipException.
+    */
+  def expandPaths(paths: Seq[String]): Seq[String] =
+    paths.flatMap { p =>
+      val np = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.isDirectory(np)) {
+        val st = java.nio.file.Files.list(np)
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.map(_.toString)
+            .filter(_.toLowerCase.endsWith(".xlsx")).toSeq.sorted
+        } finally st.close()
+      } else Seq(p)
+    }
+
+  def optionPaths(
+      options: CaseInsensitiveStringMap): Seq[String] = {
+    val raw = Option(options.get("paths")) match {
+      case Some(json) => parsePathsJson(json)
+      case None => Option(options.get("path")).toSeq
+    }
+    val expanded = expandPaths(raw)
+    if (expanded.isEmpty)
+      throw new IllegalArgumentException(
+        "xlsx source needs a path (or a directory containing .xlsx files)")
+    expanded
+  }
+}
+
 class XlsxDataSource extends TableProvider {
 
   override def supportsExternalMetadata(): Boolean = true
 
-  private def firstPath(options: CaseInsensitiveStringMap): String = {
-    val p = Option(options.get("path")).orElse(Option(options.get("paths")))
-      .getOrElse(throw new IllegalArgumentException("xlsx source needs a path"))
-    // "paths" arrives as a JSON array; take the first for inference
-    if (p.startsWith("[")) p.stripPrefix("[").stripSuffix("]")
-      .split(",").head.trim.stripPrefix("\"").stripSuffix("\"")
-    else p
-  }
+  private def firstPath(options: CaseInsensitiveStringMap): String =
+    XlsxDataSource.optionPaths(options).head
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val sheet = Option(options.get("sheet"))
     val opts = xlsxOptions(options)
-    val matrices = XlsxIngest.parseMatrices(firstPath(options), opts)
+    val matrices = XlsxIngest.parseMatrices(firstPath(options), opts,
+      only = sheet)
     val matrix = sheet match {
       case Some(name) => matrices.find(_._1 == name).map(_._2)
         .getOrElse(throw new IllegalArgumentException(s"no sheet '$name'"))
@@ -81,14 +145,7 @@ final class XlsxTable(schema: StructType, properties: Map[String, String])
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch {
-      private val paths: Seq[String] = {
-        val p = Option(options.get("paths"))
-        p match {
-          case Some(json) => json.stripPrefix("[").stripSuffix("]")
-            .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
-          case None => Seq(options.get("path"))
-        }
-      }
+      private val paths: Seq[String] = XlsxDataSource.optionPaths(options)
       private val sheet = Option(options.get("sheet"))
       private val leapBug =
         Option(options.get("leapBugCompat")).forall(_.toBoolean)
@@ -115,11 +172,20 @@ final class XlsxReaderFactory(schema: StructType)
     val part = p.asInstanceOf[XlsxPartition]
     new PartitionReader[InternalRow] {
       private val matrices = XlsxIngest.parseMatrices(
-        part.path, XlsxIngest.Options(part.leapBugCompat))
+        part.path, XlsxIngest.Options(part.leapBugCompat),
+        only = part.sheet)
+      // fail-fast like inferSchema: a workbook MISSING the requested
+      // sheet silently contributed zero rows to a multi-file load —
+      // partial data with a green job, the opposite of the
+      // inference-time error for the identical malformation. (A sheet
+      // that EXISTS but is empty still reads as zero rows — legit.)
       private val matrix = part.sheet match {
         case Some(name) => matrices.find(_._1 == name).map(_._2)
-          .getOrElse(Vector.empty)
-        case None => matrices.headOption.map(_._2).getOrElse(Vector.empty)
+          .getOrElse(throw new IllegalArgumentException(
+            s"workbook ${part.path} has no sheet '$name'"))
+        case None => matrices.headOption.map(_._2)
+          .getOrElse(throw new IllegalArgumentException(
+            s"workbook ${part.path} has no sheets"))
       }
       private val width = schema.length
       private val rows = matrix.drop(1).iterator // row 0 = header

@@ -33,6 +33,9 @@ object EventStream {
 
   // public: the state encoder's generated code instantiates it
   final case class OpenSession(start: Long, end: Long, n: Long)
+  // every not-yet-watermark-sealed chain for a key (public: codegen
+  // instantiates state classes); bounded by the watermark horizon
+  final case class OpenChains(chains: Seq[OpenSession])
 
   /** File-source stream over an events parquet directory: each new
     * file dropped in `dir` becomes a micro-batch. Streams need an
@@ -254,14 +257,27 @@ object EventStream {
   }
 
   /** Gap-based sessionization with custom state
-    * (`flatMapGroupsWithState`, event-time timeout): a session closes
-    * when `gapSeconds` passes without an event, or when the watermark
-    * moves past its end.
+    * (`flatMapGroupsWithState`, event-time timeout): a session emits
+    * only when the WATERMARK passes its end + gap — until then no
+    * in-watermark event can be ruled out as a member, so emitting
+    * earlier (e.g. a straggler chain closed the moment a newer chain
+    * exists) can split a session a later bridging event would have
+    * joined. State per key is every not-yet-sealed chain — bounded by
+    * the watermark horizon (at most delay/gap + 2 chains).
     *
-    * Streaming-only semantics: a key's final open session is emitted
-    * only when the watermark advances past it, which needs a later
-    * event. On bounded/batch input use [[sessionWindows]] or the
-    * declared `q_sessionize` query — those flush everything.
+    * Exactness: for any in-watermark delivery order, the emitted
+    * sessions equal the batch oracle's globally-sorted pass (each
+    * chain is an atom; the merge sweep below is that pass). Events
+    * older than the watermark are dropped by Spark before this
+    * operator — that loss is the streaming contract, not this op's.
+    * At-least-once transports must dedup upstream ([[dedupExact]]):
+    * a transport DUPLICATE of an in-watermark event inflates
+    * `n_events` (the (start, end, n) state cannot know past ids).
+    *
+    * Streaming-only semantics: a key's final chains emit only when
+    * the watermark advances past them, which needs a later event. On
+    * bounded/batch input use [[sessionWindows]] or the declared
+    * `q_sessionize` query — those flush everything.
     */
   def sessionize(
       events: Dataset[Event],
@@ -269,59 +285,54 @@ object EventStream {
       watermarkDelay: String = "30 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._
     events
+      .filter((e: Event) => e.ts != null) // a null event time would
+        // NPE the sweep (and wedge the query on checkpoint replay)
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[OpenSession, Session](
+      .flatMapGroupsWithState[OpenChains, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, batch: Iterator[Event],
-         state: GroupState[OpenSession]) =>
+         state: GroupState[OpenChains]) =>
           def toSession(s: OpenSession): Session =
             Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n)
-
-          if (batch.isEmpty && state.hasTimedOut) {
-            // watermark passed: close and emit whatever is open
-            val out = state.getOption.map(toSession).toList
-            state.remove()
-            out.iterator
-          } else {
-            val gapMs = gapSeconds * 1000L
-            // Sweep the batch events and the open-session interval
-            // together in start order. The open session is an atom
-            // (its internal events are within gap by construction),
-            // so this reproduces the batch oracle's globally-sorted
-            // pass on everything the (start, end, n) state can still
-            // represent: stragglers older than the open session fold
-            // among themselves instead of each closing alone, and a
-            // bridging late event re-joins a straggler chain to the
-            // open session. Chain ends are monotone across the sweep
-            // (merge takes max-end; a new chain starts > end + gap),
-            // so the LAST chain is the one that stays open.
-            val items: Seq[OpenSession] =
-              (state.getOption.toSeq ++
-                batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-                  .map(e => OpenSession(e.ts.getTime, e.ts.getTime, 1)))
-                .sortBy(s => (s.start, s.end))
-            var open: Option[OpenSession] = None
-            val closed = List.newBuilder[Session]
-            items.foreach { it =>
-              open match {
-                case Some(s) if it.start - s.end <= gapMs =>
-                  open = Some(OpenSession(math.min(s.start, it.start),
-                    math.max(s.end, it.end), s.n + it.n))
-                case Some(s) =>
-                  closed += toSession(s)
-                  open = Some(it)
-                case None =>
-                  open = Some(it)
-              }
+          val gapMs = gapSeconds * 1000L
+          // Sweep the held chains (atoms — their internal events are
+          // within gap by construction) and the batch events together
+          // in start order: exactly the batch oracle's globally-sorted
+          // pass. Chain ends are monotone across the sweep (merge
+          // takes max-end; a new chain starts > end + gap), so
+          // comparing against the LAST chain suffices. The unified
+          // body also serves the timeout invocation (empty batch):
+          // the sweep over already-disjoint chains is the identity
+          // and only the seal step below acts.
+          val items: Seq[OpenSession] =
+            (state.getOption.map(_.chains).getOrElse(Seq.empty) ++
+              batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+                .map(e => OpenSession(e.ts.getTime, e.ts.getTime, 1)))
+              .sortBy(s => (s.start, s.end))
+          var chains = Vector.empty[OpenSession]
+          items.foreach { it =>
+            chains.lastOption match {
+              case Some(s) if it.start - s.end <= gapMs =>
+                chains = chains.init :+ OpenSession(
+                  math.min(s.start, it.start),
+                  math.max(s.end, it.end), s.n + it.n)
+              case _ => chains = chains :+ it
             }
-            open.foreach { s =>
-              state.update(s)
-              // time out once the watermark passes session end + gap
-              state.setTimeoutTimestamp(s.end + gapMs)
-            }
-            closed.result().iterator
           }
+          // seal: a chain emits once the watermark passes end + gap —
+          // any future in-watermark event has ts > wm ≥ end + gap and
+          // provably cannot merge into it
+          val wm = state.getCurrentWatermarkMs()
+          val (sealedChains, open) =
+            chains.partition(_.end + gapMs <= wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(OpenChains(open))
+            // strictly > wm by the partition above, as Spark requires
+            state.setTimeoutTimestamp(open.map(_.end + gapMs).min)
+          }
+          sealedChains.map(toSession).iterator
       }
   }
 }

@@ -99,11 +99,16 @@ object StreamAnn {
     import vecs.sparkSession.implicits._
     val planes = CosineLsh.planes(k, dim, seed)
     val banded: Dataset[BucketRow] = vecs.flatMap { r =>
+      // null-safe: a null embedding would NPE the task and wedge the
+      // query (checkpoint replays the poisoned batch forever)
+      if (r.embedding == null) None
+      else {
       val nrm = math.sqrt(dot(r.embedding, r.embedding))
       if (nrm > 0)
         Some(BucketRow(bucketOf(r.embedding, planes),
           r.vec_id, r.ts, r.embedding, nrm))
       else None
+      }
     }
     banded
       .withWatermark("ts", watermarkDelay)

@@ -71,6 +71,10 @@ object StreamDedup {
     // with a trailing newline would tokenize differently here than in
     // TextDedup.tokens and the signatures would silently diverge from
     // the batch oracle the scaladoc promises lockstep with.
+    // null-safe: one null payload would otherwise NPE the executor
+    // task, exhaust retries, and WEDGE the query permanently (the
+    // checkpoint replays the same micro-batch on every restart)
+    if (text == null) return None
     val toks = text.dropWhile(_ == ' ')
       .reverse.dropWhile(_ == ' ').reverse.split(" ")
     if (toks.length < shingleN) None

@@ -12,18 +12,23 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   * `flatMapGroupsWithState` and decides admission the moment an event
   * arrives.
   *
-  * State is deliberately NoTimeout and O(1) per ever-seen key (a
-  * single hour+count record — the hour ROLLS, it does not accumulate);
-  * within a micro-batch arrivals are sorted by (ts_ns, event_id), the
-  * same total order the batch oracle ranks by, so the admitted set is
-  * deterministic for any batch slicing that preserves hour locality —
-  * the gate feeds the whole table as one initial batch.
+  * State is deliberately NoTimeout and O(k) per ever-seen key (the
+  * current hour, its count, and the ≤k admitted event ids — the hour
+  * ROLLS, it does not accumulate); within a micro-batch arrivals are
+  * sorted by (ts_ns, event_id), the same total order the batch oracle
+  * ranks by, so the admitted set is deterministic for any batch
+  * slicing that preserves hour locality — the gate feeds the whole
+  * table as one initial batch. The admitted-id set is the
+  * at-least-once redelivery guard (the StreamDedup/StreamAnn rule): a
+  * transport duplicate of an ADMITTED event must neither re-emit nor
+  * burn quota — without it, one duplicate both double-emitted and
+  * later rejected a legitimate event the batch oracle admits.
   */
 object StreamQuota {
 
   // public: Spark's codegen instantiates encoder/state classes
   final case class QuotaEvent(user_id: Long, ts_ns: Long, event_id: Long)
-  final case class QuotaState(hour: Long, n: Long)
+  final case class QuotaState(hour: Long, n: Long, admitted: Seq[Long])
 
   val HourNs: Long = 3600L * 1000000000L
   val DayNs: Long = 24L * HourNs
@@ -45,7 +50,8 @@ object StreamQuota {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_, batch, state) =>
           val sorted = batch.toSeq.sortBy(e => (e.ts_ns, e.event_id))
-          var st = state.getOption.getOrElse(QuotaState(Long.MinValue, 0L))
+          var st = state.getOption
+            .getOrElse(QuotaState(Long.MinValue, 0L, Nil))
           val out = Seq.newBuilder[QuotaEvent]
           sorted.foreach { e =>
             val hour = Math.floorDiv(e.ts_ns, bucketNs)
@@ -54,10 +60,11 @@ object StreamQuota {
             // `!=` let one stale arrival zero the live hour's count
             // and re-admit past the quota (stale events are dropped;
             // their own bucket's budget closed when the state rolled)
-            if (hour > st.hour) st = QuotaState(hour, 0L)
-            if (hour == st.hour && st.n < k) {
+            if (hour > st.hour) st = QuotaState(hour, 0L, Nil)
+            if (hour == st.hour && !st.admitted.contains(e.event_id) &&
+              st.n < k) {
               out += e
-              st = st.copy(n = st.n + 1)
+              st = QuotaState(st.hour, st.n + 1, st.admitted :+ e.event_id)
             }
           }
           state.update(st)

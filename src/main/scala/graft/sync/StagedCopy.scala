@@ -74,12 +74,18 @@ object StagedCopy {
       bucket: String,
       iamRole: String,
       region: String = "eu-central-1"): Staged = {
+    // sanitize INTERNALLY like JdbcDestination.plan (idempotent —
+    // sqlify∘sqlify = sqlify): the raw name was interpolated into
+    // warehouse SQL (the reference's B6 injection surface) AND into
+    // the local stage path ("../../etc" traversal); sqlify's
+    // [a-z0-9_] output closes both
+    val table = graft.model.Identifiers.sqlify(tableName)
     val schema = JdbcDestination.targetSchema(path)
-    val dir = Paths.get(localStageDir, schema, tableName)
+    val dir = Paths.get(localStageDir, schema, table)
     val (files, n) = writeStage(df, dir)
-    val prefix = s"excel-to-database/$schema/$tableName/"
+    val prefix = s"excel-to-database/$schema/$table/"
     val copy =
-      s"""COPY $schema.$tableName
+      s"""COPY $schema.$table
          |FROM 's3://$bucket/$prefix'
          |iam_role '$iamRole'
          |GZIP
@@ -99,10 +105,12 @@ object StagedCopy {
       tableName: String,
       path: String,
       localStageDir: String): Staged = {
+    // same internal sanitization as redshift (injection + traversal)
+    val table = graft.model.Identifiers.sqlify(tableName)
     val schema = JdbcDestination.targetSchema(path)
     // schema-scoped like the Redshift prefix: two tenants loading the
     // same table name never collide in one local stage dir
-    val dir = Paths.get(localStageDir, schema, tableName)
+    val dir = Paths.get(localStageDir, schema, table)
     val (files, n) = writeStage(df, dir)
     val statements = Seq(
       s"USE SCHEMA $schema",
@@ -112,10 +120,10 @@ object StagedCopy {
       // exists once the table does (the flow creates the table
       // first). Kept verbatim: the oracle of record is the
       // reference's statement sequence, dead CREATE included.
-      s"CREATE OR REPLACE TEMPORARY STAGE $tableName;",
-      s"REMOVE @%$tableName;") ++
-      files.map(f => s"PUT file://$dir/$f @%$tableName OVERWRITE=TRUE") :+
-      s"""COPY INTO $tableName file_format = (
+      s"CREATE OR REPLACE TEMPORARY STAGE $table;",
+      s"REMOVE @%$table;") ++
+      files.map(f => s"PUT file://$dir/$f @%$table OVERWRITE=TRUE") :+
+      s"""COPY INTO $table file_format = (
          |    TYPE = CSV
          |    FIELD_OPTIONALLY_ENCLOSED_BY = '"'
          |)""".stripMargin

@@ -50,7 +50,9 @@ object UploadPipeline {
     val sub = rest.headOption.getOrElse("")
     val spark = graft.GraftSession.local()
     val reports =
-      if (file.endsWith(".xlsx")) uploadXlsx(spark, file, outDir, sub)
+      // case-insensitive: browsers/OSes upper-case extensions
+      // (Report.XLSX routed through the CSV sniffer parsed zip bytes)
+      if (file.toLowerCase.endsWith(".xlsx")) uploadXlsx(spark, file, outDir, sub)
       else Seq(uploadCsv(spark, file, outDir, sub))
     reports.foreach(print)
     spark.stop()

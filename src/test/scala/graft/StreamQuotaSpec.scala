@@ -71,4 +71,32 @@ class StreamQuotaSpec extends AnyFunSuite {
       assert(got == Set((1L, ns(11), 1L), (1L, ns(12), 2L)))
     } finally q.stop()
   }
+
+  test("an at-least-once redelivery of an admitted event neither re-emits nor burns quota") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long)]
+    val q = StreamQuota.perUserHourly(
+      input.toDF().toDF("user_id", "ts_ns", "event_id"),
+      k = 2, bucketNs = ns(10))
+      .writeStream.format("memory").queryName("squota_redeliver")
+      .outputMode("append").start()
+    try {
+      // batch 1: one admitted event (n=1 of k=2)
+      input.addData((1L, ns(11), 1L))
+      q.processAllAvailable()
+      // batch 2: the SAME event redelivered (at-least-once transport),
+      // plus two new unique events. The old counter re-admitted the
+      // duplicate (double emission) AND counted it, so the second
+      // unique event was rejected with only one unique admission made.
+      input.addData((1L, ns(11), 1L), (1L, ns(12), 2L), (1L, ns(13), 3L))
+      q.processAllAvailable()
+      val got = spark.table("squota_redeliver")
+        .as[(Long, Long, Long)].collect().toSeq
+      // exactly-once output: events 1 and 2 admitted once each, the
+      // duplicate suppressed, event 3 rejected by the true quota
+      assert(got.sortBy(_._3) == Seq((1L, ns(11), 1L), (1L, ns(12), 2L)),
+        s"got=$got")
+    } finally q.stop()
+  }
 }

@@ -268,6 +268,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a straggler chain is HELD until the watermark seals it — a later bridge still joins") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    val q = EventStream.sessionize(input.toDS(), gapSeconds = 1800,
+      watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("sess_hold")
+      .outputMode("append").start()
+    try {
+      // batch 1: session opens at 10:00 (watermark after: 09:00)
+      input.addData(EventStream.Event(1L,
+        Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "view", 0.0))
+      q.processAllAvailable()
+      // batch 2: a straggler at 09:15 — 45 min before the open
+      // session (> gap), but its own seal time 09:45 is past the
+      // 09:00 watermark, so it must be HELD, not emitted (the old
+      // sweep emitted every non-final chain immediately)
+      input.addData(EventStream.Event(2L,
+        Timestamp.valueOf("2024-01-01 09:15:00"), 7L, "view", 0.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_hold").filter(col("user_id") === 7L)
+        .count() == 0, "straggler chain emitted before its seal time")
+      // batch 3: a bridge at 09:40 — within gap of BOTH chains; the
+      // batch oracle makes ONE 3-event session 09:15–10:00, and so
+      // must the stream (early emission would have split it forever)
+      input.addData(EventStream.Event(3L,
+        Timestamp.valueOf("2024-01-01 09:40:00"), 7L, "view", 0.0))
+      q.processAllAvailable()
+      input.addData(EventStream.Event(Long.MaxValue,
+        Timestamp.valueOf("2030-01-01 00:00:00"), -1L, "sentinel", 0.0))
+      q.processAllAvailable()
+      input.addData(EventStream.Event(Long.MaxValue - 1,
+        Timestamp.valueOf("2031-01-01 00:00:00"), -1L, "sentinel2", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_hold").filter(col("user_id") === 7L)
+        .select("session_start", "session_end", "n_events")
+        .as[(Timestamp, Timestamp, Long)].collect().toSeq
+      assert(got == Seq((Timestamp.valueOf("2024-01-01 09:15:00"),
+        Timestamp.valueOf("2024-01-01 10:00:00"), 3L)), s"got=$got")
+    } finally q.stop()
+  }
+
   test("built-in session_window agrees with batch query and custom state op") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"

@@ -39,4 +39,45 @@ class XlsxDataSourceSpec extends AnyFunSuite {
     assert(df.columns.toSeq == Seq("Name", "Qty"))
     assert(df.count() == 1)
   }
+
+  test("multi-path load survives commas in paths; the paths JSON is parsed, not split") {
+    import graft.sources.XlsxDataSource
+    // a path CONTAINING a comma mis-split under the old split(",")
+    assert(XlsxDataSource.parsePathsJson(
+      """["/data/a,b.xlsx","/data/c.xlsx"]""") ==
+      Seq("/data/a,b.xlsx", "/data/c.xlsx"))
+    assert(XlsxDataSource.parsePathsJson("""["/d/\"q\".xlsx"]""") ==
+      Seq("/d/\"q\".xlsx"))
+    // end-to-end: two real workbooks through one load
+    val p1 = XlsxFixture.create().toString
+    val p2 = XlsxFixture.create().toString
+    val df = spark.read.format("graft.sources.XlsxDataSource")
+      .option("sheet", "Data").load(p1, p2)
+    assert(df.count() == 6) // 3 data rows per workbook
+  }
+
+  test("a directory path expands to its workbooks, one partition each") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_dir")
+    java.nio.file.Files.copy(XlsxFixture.create(),
+      dir.resolve("a.xlsx"))
+    java.nio.file.Files.copy(XlsxFixture.create(),
+      dir.resolve("B.XLSX")) // case-insensitive extension
+    java.nio.file.Files.writeString(dir.resolve("notes.txt"), "skip me")
+    val df = spark.read.format("graft.sources.XlsxDataSource")
+      .option("sheet", "Data").load(dir.toString)
+    assert(df.count() == 6)
+    assert(df.rdd.getNumPartitions == 2)
+  }
+
+  test("a workbook missing the requested sheet fails the read, not silently zero rows") {
+    val ok = XlsxFixture.create().toString
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("graft.sources.XlsxDataSource")
+        .option("sheet", "Data").load(ok)
+        .sparkSession.read.format("graft.sources.XlsxDataSource")
+        .option("sheet", "Nope").schema("a STRING").load(ok).count()
+    }
+    assert(e.getMessage.contains("no sheet") ||
+      Option(e.getCause).exists(_.getMessage.contains("no sheet")))
+  }
 }
