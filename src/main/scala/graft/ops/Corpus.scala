@@ -92,10 +92,21 @@ object Corpus {
       idCol: String,
       n: Int,
       salt: String = "exact"): DataFrame = {
-    val w = Window.partitionBy(col(strataCol)).orderBy(
-      md5(concat_ws(":", lit(salt), col(idCol).cast("string"))),
-      col(idCol))
-    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+    val key = md5(concat_ws(":", lit(salt), col(idCol).cast("string")))
+    // two-phase: a FIXED-DOMAIN stratum (source, lang) makes every
+    // window partition corpus/|strata| rows through one reducer — the
+    // funnel the unpartitioned-window tripwire can't see. A local
+    // per-(stratum, input-partition) top-n prunes first: any global
+    // top-n member is also in its own partition's local top-n, so the
+    // final keyed window ranks ≤ n·partitions survivors and emits
+    // IDENTICAL ranks.
+    val wLocal = Window
+      .partitionBy(col(strataCol), spark_partition_id())
+      .orderBy(key, col(idCol))
+    val pruned = df.withColumn("__lr", row_number().over(wLocal))
+      .filter(col("__lr") <= n).drop("__lr")
+    val w = Window.partitionBy(col(strataCol)).orderBy(key, col(idCol))
+    pruned.withColumn("sample_rank", row_number().over(w).cast("long"))
       .filter(col("sample_rank") <= n)
   }
 
@@ -315,19 +326,26 @@ object Corpus {
       s"input columns ${clash.mkString(", ")} collide with curate()'s " +
         "generated columns (fp, n_tokens, n_stop, len_text, __rn)")
     val tk = TextDedup.tokens(col(textCol))
-    val w = Window.partitionBy("fp").orderBy(idCol)
     // gate FIRST (the shared predicate, ahead of even the projection),
     // stats kept only for the survivors' output columns
-    df.filter(qualityPass(col(textCol), stopWords,
+    val projected = df.filter(qualityPass(col(textCol), stopWords,
         minLen, maxLen, minTokens, maxStopRatio))
       .select(df.columns.filterNot(_ == textCol).toIndexedSeq.map(col) :+
         size(tk).as("n_tokens") :+
         size(filter(tk, x => x.isInCollection(stopWords))).as("n_stop") :+
         length(col(textCol)).as("len_text") :+
         md5(TextDedup.normText(col(textCol))).as("fp"): _*)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn", "n_stop")
+    // keep-smallest-id per fingerprint as a GROUPED ARGMIN (CLAUDE.md:
+    // min(struct(id, …)) == the row_number()=1 of the same total
+    // order, with map-side partial combine) — the previous window
+    // sorted every copy of a hot duplicate group through ONE reducer,
+    // and dedup input is duplicate-heavy by definition
+    val valueCols = projected.columns.filterNot(c => c == "fp").toSeq
+    val ordered = idCol +: valueCols.filterNot(_ == idCol)
+    projected.groupBy("fp")
+      .agg(min(struct(ordered.map(col): _*)).as("__w"))
+      .select(valueCols.map(n => col(s"__w.$n")) :+ col("fp"): _*)
+      .select((projected.columns.toSeq.filterNot(_ == "n_stop")).map(col): _*)
   }
 
   /** Deterministic train/val/test assignment: the same md5 bucket as
@@ -626,12 +644,15 @@ object Corpus {
       idCol: String,
       nTokensCol: String,
       window: Int,
-      partitions: Int = 8): DataFrame = {
+      partitions: Int = -1): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     val w = window.toLong
+    // -1 → session width: a hardcoded 8 made each __pid reducer carry
+    // corpus/8 rows — the two-phase shape is only as parallel as this
+    val parts = if (partitions > 0) partitions else ScaleOps.fanoutWidth(df)
     ScaleOps.globalRunningSum(
       df.select(col(idCol), col(nTokensCol).cast("long").as("__n")),
-      partitions, valueCol = "__n", outCol = "__cum", col(idCol))
+      parts, valueCol = "__n", outCol = "__cum", col(idCol))
       .filter(col("__n") > 0)
       .withColumn("__start", col("__cum") - col("__n"))
       .withColumn("seq_id", explode(sequence(
@@ -839,7 +860,11 @@ object Corpus {
       textCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    // null ids filtered (the primitive-Long encoder throws on null
+    // INSIDE the executor task — one poisoned row killed the query
+    // with no hint which row); the numeric-id cast is the op contract
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
         val deflater = new java.util.zip.Deflater(6)

@@ -251,12 +251,22 @@ object ScaleOps {
     // directory (hive-style escaping for exotic values is out of scope)
     require(touched.forall(_.matches("[A-Za-z0-9_.-]+")),
       s"partition values need escaping, unsupported: $touched")
-    val staging = new Path(basePath + "__cow_staging")
+    // Path.suffix (not string concat — a trailing-slash basePath
+    // would nest the staging dir INSIDE the table, breaking partition
+    // discovery with two leaf depths) + the application id (the
+    // Tables.scratchDir rule: a FIXED staging name raced concurrent
+    // merges into the same table — one run's cleanup deleted the
+    // other's staged output mid-swap)
+    val staging = new Path(basePath).suffix(
+      "__cow_staging_" + spark.sparkContext.applicationId)
     fs.delete(staging, true)
     // first merge into a not-yet-written table: treat a missing base
     // as empty (the updates batch IS the table) instead of throwing
-    // on the read
+    // on the read — and CREATE the base dir, or the swap renames
+    // below fail on HDFS (rename into a missing parent returns false;
+    // the local FS masks it via its copy fallback)
     val baseExists = fs.exists(new Path(basePath))
+    if (!baseExists) fs.mkdirs(new Path(basePath))
     val merged =
       if (baseExists) {
         val base = spark.read.parquet(basePath)
@@ -502,14 +512,16 @@ object ScaleOps {
       df: DataFrame,
       valueCol: Column,
       qs: Seq[(String, Double)],
-      partitions: Int = 32,
+      partitions: Int = -1,
       handle: CacheHandle = null): DataFrame = {
     require(qs.nonEmpty, "need at least one quantile")
     require(qs.forall { case (_, q) => q >= 0.0 && q <= 1.0 },
       s"quantiles must be in [0, 1]: $qs")
+    // -1 → session width (never a hardcoded literal — fanoutWidth rule)
+    val parts = if (partitions > 0) partitions else fanoutWidth(df)
     val ranked = CacheHandle.persistWith(handle,
       globalRowNumber(df.select(valueCol.cast("double").as("__qv")),
-        partitions, handle, col("__qv").asc))
+        parts, handle, col("__qv").asc))
     // ONE count pass exploded into per-quantile positions (a union of
     // N single-row aggregates re-scanned the ranked cache N times)
     val qlit = array(qs.map { case (nm, q) =>

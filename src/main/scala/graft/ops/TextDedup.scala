@@ -100,17 +100,36 @@ object TextDedup {
               x => x.getField("seg")), " "))
           .as("clean_text"))
 
+  /** Keep-first marker via GROUPED ARGMIN + fp-keyed join-back
+    * (CLAUDE.md: min(struct(id, seg_idx)) per fingerprint == the
+    * row_number() = 1 of the same total order, with map-side partial
+    * combine): a boilerplate span repeated 10⁷ times previously
+    * funneled every copy through ONE window reducer just to keep one.
+    * Caller persists `segs` (it feeds both the winner aggregate and
+    * the join side).
+    */
+  private def markKeepFirst(
+      segs: DataFrame, idCol: String, fpCol: Column): DataFrame = {
+    val withFp = segs.withColumn("__fp", fpCol)
+    val winners = withFp.groupBy("__fp")
+      .agg(min(struct(col(idCol), col("seg_idx"))).as("__w"))
+    withFp.join(winners, "__fp")
+      .withColumn("__first",
+        col(idCol) === col(s"__w.$idCol") &&
+          col("seg_idx") === col("__w.seg_idx"))
+      .drop("__w", "__fp")
+  }
+
   def dedupSegments(
       df: DataFrame,
       idCol: String,
       textCol: String,
       segTokens: Int = 8): DataFrame = {
-    val keepFirst = org.apache.spark.sql.expressions.Window
-      .partitionBy(md5(col("seg")))
-      .orderBy(col(idCol), col("seg_idx"))
+    val segs = CacheHandle.persistWith(null,
+      segments(df, idCol, textCol, segTokens))
     reassemble(
-      segments(df, idCol, textCol, segTokens)
-        .withColumn("__keep", row_number().over(keepFirst) === 1),
+      markKeepFirst(segs, idCol, md5(col("seg")))
+        .withColumnRenamed("__first", "__keep"),
       idCol)
   }
 
@@ -151,16 +170,17 @@ object TextDedup {
       textCol: String,
       corpusFps: DataFrame,
       segTokens: Int = 8): DataFrame = {
-    val segs = segments(batch, idCol, textCol, segTokens)
-      .withColumn("seg_fp", md5(col("seg")))
-    val keepFirst = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("seg_fp"))
-      .orderBy(col(idCol), col("seg_idx"))
-    val decided = segs
+    val segs = CacheHandle.persistWith(null,
+      segments(batch, idCol, textCol, segTokens)
+        .withColumn("seg_fp", md5(col("seg"))))
+    // same grouped-argmin keep-first as dedupSegments (the hot-span
+    // window funnel), then the corpus anti-lookup marks drops
+    val decided = markKeepFirst(segs, idCol, col("seg_fp"))
       .join(corpusFps.select(col("seg_fp"))
         .withColumn("__in_corpus", lit(1)), Seq("seg_fp"), "left")
       .withColumn("__keep",
-        col("__in_corpus").isNull && row_number().over(keepFirst) === 1)
+        col("__in_corpus").isNull && col("__first"))
+      .drop("__first")
     reassemble(decided, idCol)
   }
 

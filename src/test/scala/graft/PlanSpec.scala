@@ -175,10 +175,15 @@ class PlanSpec extends AnyFunSuite {
       s"lang filter not pushed to the ORC scan:\n$p")
   }
 
-  test("q_sample_exact: one stratum exchange feeds the quota window") {
+  test("q_sample_exact: local prune then stratum window — two exchanges") {
+    // two-phase (r13): a (stratum, input-partition) local top-n
+    // bounds the final stratum window to ≤ n·partitions survivors —
+    // a FIXED-DOMAIN stratum otherwise sorts corpus/|strata| rows per
+    // reducer. Exchange 1: the local window's (stratum, pid) key;
+    // exchange 2: the final stratum window over the pruned survivors.
     val p = plan("q_sample_exact")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges in:\n$p")
+    assert(exchanges == 2, s"expected 2 hash exchanges, got $exchanges in:\n$p")
   }
 
   test("q_ivf_stats: centroid assignment broadcasts, no cartesian") {
