@@ -33,13 +33,16 @@ object GraphOps {
     * caps. Fixed `iters` (no convergence probe) keeps the round count
     * — and hence the shuffle count — a static property of the job.
     *
-    * Determinism note: the per-dst contribution sum is an
-    * order-dependent double aggregate; it is cross-engine-stable under
-    * the repo's `round(x, 6)` gate only while in-degrees are modest
-    * (the ~1e-13 relative accumulation error sits far from rounding
-    * boundaries — the CLAUDE.md bounded-terms rule). Hub nodes with
-    * 1e6+ in-edges would need the DECIMAL-moments treatment of
-    * q_corr_exact.
+    * Determinism: BOTH unbounded-group double sums (the per-dst
+    * contribution sum and the dangling-mass sum) cross their aggregate
+    * as DECIMAL(28,14) per-term casts — order-independent exact sums,
+    * the q_corr_exact / QualityModel gradient treatment — so the
+    * result is bit-identical at ANY in-degree: a 1e6-in-edge hub (real
+    * web graphs have them) sums the same on every engine and every
+    * partition order. The per-term quantization (≤5e-15 absolute) is
+    * invisible at the repo's round(x, 6) output gate. The remaining
+    * per-row update `(1−d)/n + d·(contrib + dm/n)` is scalar double
+    * math with a fixed association, deterministic by construction.
     *
     * @param edges  DataFrame with `src` and `dst` columns (any
     *               equatable type); parallel edges are deduplicated.
@@ -89,12 +92,17 @@ object GraphOps {
         coalesce(col("has_out"), lit(false)).as("has_out"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
+      // hub-safe: per-edge terms cross the sum as DECIMAL(28,14)
+      // (exact, order-independent), back to double after — in-degree
+      // no longer bounds determinism
       val contrib = ew
         .join(ranks.select(col("node").as("src"), col("rank")), "src")
         .groupBy(col("dst").as("node"))
-        .agg(sum(col("rank") / col("outdeg")).as("contrib"))
+        .agg(sum((col("rank") / col("outdeg")).cast("decimal(28,14)"))
+          .cast("double").as("contrib"))
       val dangling = ranks.filter(!col("has_out"))
-        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
+        .agg(coalesce(sum(col("rank").cast("decimal(28,14)"))
+          .cast("double"), lit(0.0)).as("dm"))
       ranks = ranks.select(col("node"), col("n"), col("has_out"))
         .join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(dangling))

@@ -3705,7 +3705,10 @@ object AnalyticsQueries {
   /** PageRank oracle: DuckDB 1.0 disallows aggregation inside a
     * recursive CTE member, so the FIXED iteration count is unrolled
     * into chained CTEs r0..r{iters} — each a plain join+aggregate,
-    * the exact update rule of [[graft.ops.GraphOps.pageRank]]. The
+    * the exact update rule of [[graft.ops.GraphOps.pageRank]],
+    * including its hub-safe DECIMAL(28,14) per-term casts on the
+    * contribution and dangling sums (order-independent on both
+    * engines — the gradient-sum treatment). The
     * (1−d) literal is emitted via Double.toString so the SQL double
     * is BIT-identical to Spark's `lit(1.0 - damping)` (1.0−0.85 is
     * 0.15000000000000002, not 0.15). Every round CTE is MATERIALIZED:
@@ -3724,11 +3727,15 @@ object AnalyticsQueries {
              (COALESCE(c.contrib, CAST(0 AS DOUBLE)) + dg.dm / p.n) AS pr,
            p.n
          FROM r${i - 1} p
-         LEFT JOIN (SELECT e.dst AS node, sum(r.pr / g.outdeg) AS contrib
+         LEFT JOIN (SELECT e.dst AS node,
+                      CAST(sum(CAST(r.pr / g.outdeg AS DECIMAL(28,14)))
+                        AS DOUBLE) AS contrib
                     FROM e JOIN r${i - 1} r ON r.node = e.src
                          JOIN deg g ON g.src = e.src
                     GROUP BY e.dst) c ON c.node = p.node
-         CROSS JOIN (SELECT COALESCE(sum(r.pr), CAST(0 AS DOUBLE)) AS dm
+         CROSS JOIN (SELECT COALESCE(
+                       CAST(sum(CAST(r.pr AS DECIMAL(28,14))) AS DOUBLE),
+                       CAST(0 AS DOUBLE)) AS dm
                      FROM r${i - 1} r LEFT JOIN deg g ON g.src = r.node
                      WHERE g.src IS NULL) dg)"""
     }.mkString(",\n         ")

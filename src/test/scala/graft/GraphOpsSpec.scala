@@ -33,6 +33,23 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(r("b") > r("a") && r("a") > r("d"))
   }
 
+  test("hub ranks are bit-identical under any edge partitioning") {
+    // a 200-in-edge hub: with plain double sums the per-dst
+    // contribution would depend on partition/merge order; the
+    // DECIMAL(28,14) per-term treatment makes it exact, so two runs
+    // over differently-partitioned edges must agree to the BIT
+    import spark.implicits._
+    val edges = ((1 to 200).map(i => (s"n$i", "h")) :+ ("h" -> "n1"))
+      .toDF("src", "dst")
+    def run(df: org.apache.spark.sql.DataFrame): Map[String, Double] =
+      GraphOps.pageRank(df, iters = 3)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val r1 = run(edges.repartition(1))
+    val r32 = run(edges.repartition(32))
+    assert(r1 == r32) // exact ==, not tolerance
+    assert(math.abs(r1.values.sum - 1.0) < 1e-9)
+  }
+
   test("hand-computed two-node chain matches the closed form") {
     // a→b, 1 iteration, d=0.85: both start at 1/2; b gets a's full
     // contribution 1/2, dangling mass = rank(b) = 1/2.
