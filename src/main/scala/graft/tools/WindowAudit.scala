@@ -70,21 +70,82 @@ object WindowAudit {
     * main-plan count, and what remains lives in subquery bodies —
     * e.g. `(SELECT max(rn) FROM (… row_number() OVER (ORDER BY x) …))`
     * returns one row but sorts the whole table in one reducer.
-    * Residual blind spots, accepted: a window under a persist
-    * boundary inside a subquery (the cached plan is physical), and
-    * windows executed in builder-time actions that never reach the
-    * returned plan.
+    * A persist boundary inside a subquery is recursed too: the
+    * `InMemoryRelation` LOGICAL leaf hides a PHYSICAL cached plan, so
+    * the traversal hands it to [[unpartitionedWindows]] (which also
+    * unwraps adaptive wrappers) — both halves count it, so a cached
+    * main-plan window still cancels out of the subtraction and is
+    * reported only by the physical tripwire. Residual blind spot,
+    * accepted: windows executed in builder-time actions never reach
+    * the returned plan (see [[builderActionAudit]] for the
+    * discovery-mode sweep of those).
     */
   def unpartitionedSubqueryWindows(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int = {
     import org.apache.spark.sql.catalyst.plans.logical.Window
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
     def hits(withSub: Boolean): Int =
       (if (withSub)
          plan.collectWithSubqueries {
-           case w: Window if w.partitionSpec.isEmpty => 1 }
+           case w: Window if w.partitionSpec.isEmpty => 1
+           case r: InMemoryRelation => unpartitionedWindows(r.cachedPlan) }
        else plan.collect {
-         case w: Window if w.partitionSpec.isEmpty => 1 }).sum
+         case w: Window if w.partitionSpec.isEmpty => 1
+         case r: InMemoryRelation => unpartitionedWindows(r.cachedPlan) }).sum
     hits(withSub = true) - hits(withSub = false)
+  }
+
+  /** Queries allowed builder-time global windows (see
+    * [[builderActionAudit]]): each runs its window during CONSTRUCTION
+    * over a driver-bounded frame that never scales with the corpus.
+    * Populated by the r14 discovery sweep; a new hit outside this set
+    * is a triage item ("read the site"), printed loudly in [[main]].
+    */
+  val builderWhitelist: Set[String] = Set(
+    // IvfIndex.buildExact seed ranking: row_number over an
+    // `orderBy(vec_id).limit(k)` frame — k is a literal (8 here), the
+    // LIMIT-k bounded-by-construction case; runs when the first
+    // centroid persist materializes
+    "q_ann_ivf_kmeans",
+    // calendar-bounded hourly frames (the q_anomaly_hours main-plan
+    // whitelist rationale): the same <= 8.8k-rows/year windows also
+    // run in the query's anchor-probing build actions
+    "q_anomaly_hours")
+
+  /** Discovery-mode sweep of BUILDER-TIME actions — the tripwires'
+    * last documented blind spot: a window executed while a query is
+    * CONSTRUCTED (quantile boundary lookups, seed selection) never
+    * appears in the RETURNED plan, so neither the physical nor the
+    * subquery traversal can see it. This hook registers a
+    * `QueryExecutionListener` around a construction thunk and counts
+    * global windows in every executed plan the build fires (listener
+    * bus drained through the graftshim before reading the counter).
+    * Best-effort by nature — RDD-level materializations
+    * (localCheckpoint) and streaming micro-batches bypass the
+    * listener — which is why this reports for triage in [[main]]
+    * rather than gating Verify.
+    */
+  def builderActionAudit[A](spark: org.apache.spark.sql.SparkSession)(
+      build: => A): (Either[String, A], Int) = {
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        hits.addAndGet(unpartitionedWindows(qe.executedPlan))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val a =
+        try Right(build)
+        catch { case e: Throwable => Left(e.getClass.getSimpleName) }
+      org.apache.spark.sql.graftshim.Bridge
+        .drainListenerBus(spark.sparkContext)
+      (a, hits.get)
+    } finally spark.listenerManager.unregister(listener)
   }
 
   /** No declared query may plan one, ever — a `CartesianProductExec`
@@ -126,16 +187,21 @@ object WindowAudit {
       .filterNot(n => skipStreams && n.startsWith("q_stream_"))
     var offenders = Vector.empty[(String, Int)]
     var cartesians = Vector.empty[(String, Int)]
+    var builders = Vector.empty[(String, Int)]
     names.foreach { name =>
       val t0 = System.nanoTime()
-      val r = try {
+      val (r, builderHits) = builderActionAudit(spark) {
         val df = graft.SparkEntry.queries(name)(spark, dir)
         val p = df.queryExecution.executedPlan
-        Right((unpartitionedWindows(p), cartesianProducts(p)))
-      } catch { case e: Throwable => Left(e.getClass.getSimpleName) }
+        (unpartitionedWindows(p), cartesianProducts(p))
+      }
       graft.ops.QueryCaches.releaseAll()
       spark.catalog.clearCache()
       val dt = (System.nanoTime() - t0) / 1e9
+      if (builderHits > 0) {
+        builders :+= (name, builderHits)
+        println(f"$name%-28s $builderHits BUILDER-TIME global window(s)  [${dt}%.1f s]")
+      }
       r match {
         case Right((n, c)) =>
           if (n > 0) {
@@ -157,5 +223,12 @@ object WindowAudit {
       s"whitelisted-but-clean: ${if (unused.isEmpty) "none" else unused.mkString(", ")}")
     println(s"${cartesians.size} queries with cartesian products" +
       (if (cartesians.isEmpty) "" else s": ${cartesians.map(_._1).mkString(", ")}"))
+    val newBuilders = builders.map(_._1).filterNot(builderWhitelist)
+    val staleBuilders = builderWhitelist -- builders.map(_._1).toSet
+    println(s"${builders.size} queries with builder-time global windows; " +
+      s"NEW (not builder-whitelisted): ${
+        if (newBuilders.isEmpty) "none" else newBuilders.mkString(", ")}; " +
+      s"builder-whitelisted-but-clean: ${
+        if (staleBuilders.isEmpty) "none" else staleBuilders.mkString(", ")}")
   }
 }

@@ -27,10 +27,19 @@ object Bridge {
       .queryExecution.analyzed
 
   /** Block until the listener bus has delivered every queued event —
-    * `private[spark]`, needed by tooling (PerfProbe) that reads
-    * listener-collected metrics right after an action: without the
-    * drain the last stages of the measured pass may still be queued.
+    * `private[spark]`, needed by tooling (PerfProbe, WindowAudit) that
+    * reads listener-collected metrics right after an action: without
+    * the drain the last stages of the measured pass may still be
+    * queued. A backlogged bus must not turn an already-finished
+    * measured pass into a crash, so the wait has a generous explicit
+    * timeout and degrades to a partial-metrics warning.
     */
   def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
-    sc.listenerBus.waitUntilEmpty()
+    try sc.listenerBus.waitUntilEmpty(120000L)
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        System.err.println(
+          "[graft] WARN: listener bus not drained after 120 s — " +
+            "listener-derived metrics may be partial")
+    }
 }

@@ -101,6 +101,69 @@ class ToolsSpec extends AnyFunSuite {
     } finally spark.catalog.dropTempView("wa_sub_t")
   }
 
+  test("unpartitionedSubqueryWindows sees through a persist boundary inside a subquery") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val base = Seq(1L, 2L, 3L).toDF("v")
+    // the global window lives inside a CACHED subtree referenced from
+    // a scalar subquery: the logical traversal sees only an
+    // InMemoryRelation leaf, the physical traversal can't descend
+    // into the subquery at all — the r13-named blind spot
+    val cached = base
+      .withColumn("rn", row_number().over(Window.orderBy("v")))
+      .persist()
+    base.createOrReplaceTempView("wa_outer_t")
+    cached.createOrReplaceTempView("wa_cached_t")
+    try {
+      val df = spark.sql(
+        """SELECT v FROM wa_outer_t
+           WHERE v = (SELECT max(rn) FROM wa_cached_t)""")
+      assert(WindowAudit.unpartitionedSubqueryWindows(
+        df.queryExecution.optimizedPlan) >= 1)
+      // and the physical half indeed misses it (why the recursion
+      // had to go into the LOGICAL subquery traversal)
+      assert(WindowAudit.unpartitionedWindows(
+        df.queryExecution.sparkPlan) == 0)
+      // a cached MAIN-plan window is not double-reported as a
+      // subquery hit (both subtraction halves count it)
+      val mainOnly = cached.groupBy("rn").count()
+      assert(WindowAudit.unpartitionedSubqueryWindows(
+        mainOnly.queryExecution.optimizedPlan) == 0)
+      assert(WindowAudit.unpartitionedWindows(
+        mainOnly.queryExecution.sparkPlan) >= 1)
+    } finally {
+      cached.unpersist()
+      spark.catalog.dropTempView("wa_outer_t")
+      spark.catalog.dropTempView("wa_cached_t")
+    }
+  }
+
+  test("builderActionAudit counts global windows run during construction") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val df = Seq(1L, 2L, 3L).toDF("v")
+      .withColumn("rn", row_number().over(Window.orderBy("v")))
+    // the window runs in a BUILD-time collect and never reaches any
+    // returned plan — invisible to both plan traversals
+    val (r, hits) = WindowAudit.builderActionAudit(spark) {
+      df.collect().length
+    }
+    assert(r == Right(3))
+    assert(hits >= 1)
+    // a clean build registers zero
+    val (_, clean) = WindowAudit.builderActionAudit(spark) {
+      Seq(1L).toDF("v").collect().length
+    }
+    assert(clean == 0)
+    // a throwing build reports the error instead of propagating
+    val (err, _) = WindowAudit.builderActionAudit(spark) {
+      throw new IllegalStateException("boom")
+    }
+    assert(err == Left("IllegalStateException"))
+  }
+
   test("unpartitionedWindows sees through a persist boundary") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
