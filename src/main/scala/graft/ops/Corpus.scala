@@ -336,14 +336,18 @@ object Corpus {
         length(col(textCol)).as("len_text") :+
         md5(TextDedup.normText(col(textCol))).as("fp"): _*)
     // keep-smallest-id per fingerprint as a GROUPED ARGMIN (CLAUDE.md:
-    // min(struct(id, …)) == the row_number()=1 of the same total
-    // order, with map-side partial combine) — the previous window
-    // sorted every copy of a hot duplicate group through ONE reducer,
-    // and dedup input is duplicate-heavy by definition
+    // == the row_number()=1 of the same order, with map-side partial
+    // combine) — the previous window sorted every copy of a hot
+    // duplicate group through ONE reducer, and dedup input is
+    // duplicate-heavy by definition. `min_by` (not min(struct(ALL
+    // cols))) so only the ORDERING key needs to be orderable — a
+    // MapType payload column deduped fine under the old window and
+    // must keep doing so. With `idCol` unique (a document key) the
+    // choice is total; duplicate ids within a fingerprint would make
+    // the surviving PAYLOAD row arbitrary among those id-ties.
     val valueCols = projected.columns.filterNot(c => c == "fp").toSeq
-    val ordered = idCol +: valueCols.filterNot(_ == idCol)
     projected.groupBy("fp")
-      .agg(min(struct(ordered.map(col): _*)).as("__w"))
+      .agg(min_by(struct(valueCols.map(col): _*), col(idCol)).as("__w"))
       .select(valueCols.map(n => col(s"__w.$n")) :+ col("fp"): _*)
       .select((projected.columns.toSeq.filterNot(_ == "n_stop")).map(col): _*)
   }

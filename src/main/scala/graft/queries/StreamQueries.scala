@@ -235,22 +235,36 @@ object StreamQueries {
         it.remove()
       }
     }
-    val cached = sliceCache.computeIfAbsent((dir, fullKey), { _ =>
-      val dst = NF.createTempFile(sliceCacheRoot, "slice_", ".parquet")
-      val st = NF.createTempDirectory("graft_slice_build")
-      try {
-        import scala.jdk.CollectionConverters._
-        frame.coalesce(1).write.mode("overwrite").parquet(st.toString)
-        val ls = NF.list(st)
-        val part = try ls.iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet")).get
-          finally ls.close()
-        NF.move(part, dst, CP.REPLACE_EXISTING)
-        dst
-      } finally deleteRecursively(st)
-    })
+    def lookup(): java.nio.file.Path =
+      sliceCache.computeIfAbsent((dir, fullKey), { _ =>
+        val dst = NF.createTempFile(sliceCacheRoot, "slice_", ".parquet")
+        val st = NF.createTempDirectory("graft_slice_build")
+        try {
+          import scala.jdk.CollectionConverters._
+          frame.coalesce(1).write.mode("overwrite").parquet(st.toString)
+          val ls = NF.list(st)
+          val part = try ls.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+            finally ls.close()
+          NF.move(part, dst, CP.REPLACE_EXISTING)
+          dst
+        } finally deleteRecursively(st)
+      })
+    val cached = lookup()
     val stage = NF.createTempFile(tmp, s".$name", ".tmp")
-    NF.copy(cached, stage, CP.REPLACE_EXISTING)
+    // the stale-fingerprint eviction above is check-then-act over the
+    // shared map: a CONCURRENT stager may delete the file this thread
+    // just looked up (gates run sequentially today, but nothing here
+    // should rely on that). Recover at the only affected point — the
+    // copy — by dropping the dead entry and rebuilding once; a second
+    // race would need two different live definitions of the same key
+    // in one JVM, which cannot happen (definitions are code).
+    try NF.copy(cached, stage, CP.REPLACE_EXISTING)
+    catch {
+      case _: java.nio.file.NoSuchFileException =>
+        sliceCache.remove((dir, fullKey), cached)
+        NF.copy(lookup(), stage, CP.REPLACE_EXISTING)
+    }
     NF.move(stage, tmp.resolve(s"$name.parquet"), CP.ATOMIC_MOVE)
   }
 

@@ -72,9 +72,25 @@ object XlsxDataSource {
     * case-insensitive .xlsx) — the documented fan-out unit: one
     * InputPartition per workbook. A directory fed straight to
     * ZipFile crashed with an opaque FileNotFound/ZipException.
+    *
+    * LOCAL-FILESYSTEM CONTRACT: the whole xlsx source is driver/
+    * executor-local — the partition reader opens workbooks with
+    * `java.util.zip.ZipFile`, which takes an OS path, so an
+    * `hdfs://`/`s3a://` URI could never be read even if listed here
+    * with a Hadoop FileSystem. Remote-scheme paths fail FAST with a
+    * named error instead of java.nio quietly not expanding the
+    * directory and ZipFile throwing its opaque ZipException later.
+    * (Workbooks are MB-scale upload artifacts in the reference
+    * workflow; distributed-FS ingest is the parquet/CSV sources' job.)
     */
   def expandPaths(paths: Seq[String]): Seq[String] =
     paths.flatMap { p =>
+      val sep = p.indexOf("://")
+      if (sep > 0 && p.substring(0, sep) != "file")
+        throw new IllegalArgumentException(
+          s"xlsx source reads the LOCAL filesystem only (ZipFile), got " +
+            s"scheme '${p.substring(0, sep)}' in: $p — copy the " +
+            "workbook local first")
       val np = java.nio.file.Paths.get(p)
       if (java.nio.file.Files.isDirectory(np)) {
         val st = java.nio.file.Files.list(np)

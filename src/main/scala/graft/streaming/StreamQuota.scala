@@ -52,6 +52,11 @@ object StreamQuota {
           val sorted = batch.toSeq.sortBy(e => (e.ts_ns, e.event_id))
           var st = state.getOption
             .getOrElse(QuotaState(Long.MinValue, 0L, Nil))
+          // the dedup lookup runs per EVENT: mirror the admitted ids
+          // into a Set so large quotas stay O(1) per arrival (a Seq
+          // `contains` + append made the batch O(k²) per key); the
+          // STATE row keeps the Seq encoding unchanged
+          var admitted = st.admitted.toSet
           val out = Seq.newBuilder[QuotaEvent]
           sorted.foreach { e =>
             val hour = Math.floorDiv(e.ts_ns, bucketNs)
@@ -60,11 +65,14 @@ object StreamQuota {
             // `!=` let one stale arrival zero the live hour's count
             // and re-admit past the quota (stale events are dropped;
             // their own bucket's budget closed when the state rolled)
-            if (hour > st.hour) st = QuotaState(hour, 0L, Nil)
-            if (hour == st.hour && !st.admitted.contains(e.event_id) &&
-              st.n < k) {
+            if (hour > st.hour) {
+              st = QuotaState(hour, 0L, Nil)
+              admitted = Set.empty
+            }
+            if (hour == st.hour && !admitted(e.event_id) && st.n < k) {
               out += e
               st = QuotaState(st.hour, st.n + 1, st.admitted :+ e.event_id)
+              admitted += e.event_id
             }
           }
           state.update(st)

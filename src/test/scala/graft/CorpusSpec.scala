@@ -154,6 +154,19 @@ class CorpusSpec extends AnyFunSuite {
     assert(kept == Set(1L, 5L))
   }
 
+  test("curate dedupes rows carrying a non-orderable (MapType) payload column") {
+    // min(struct(ALL cols)) would fail analysis on the map column;
+    // the min_by argmin orders by the id only (the ADVICE r13 case)
+    val docs = Seq(
+      (1L, Map("k" -> "v1"), "the data row key value here and more tokens"),
+      (2L, Map("k" -> "v2"), "the data row key value here and more tokens"))
+      .toDF("doc_id", "meta", "text")
+    val kept = Corpus.curate(docs, "doc_id", "text", stop)
+    assert(kept.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    assert(kept.select("meta").collect().head.getMap[String, String](0)
+      .get("k").contains("v1"))
+  }
+
   test("curate keeps stats columns and drops the text payload") {
     val docs = Seq((1L, "en", "web", "one two three four five six seven"))
       .toDF("doc_id", "lang", "source", "text")

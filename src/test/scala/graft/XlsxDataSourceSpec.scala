@@ -69,6 +69,21 @@ class XlsxDataSourceSpec extends AnyFunSuite {
     assert(df.rdd.getNumPartitions == 2)
   }
 
+  test("a remote-scheme path fails fast with a named local-FS error") {
+    // the source is ZipFile-backed (local OS paths only): an
+    // hdfs://-style directory used to fall through java.nio's
+    // isDirectory to an opaque ZipException at read time
+    for (p <- Seq("hdfs://nn/warehouse/books", "s3a://bucket/books")) {
+      val e = intercept[IllegalArgumentException] {
+        graft.sources.XlsxDataSource.expandPaths(Seq(p))
+      }
+      assert(e.getMessage.contains("LOCAL filesystem only"))
+    }
+    // plain local paths are untouched by the guard
+    assert(graft.sources.XlsxDataSource.expandPaths(Seq("/tmp/x.xlsx")) ==
+      Seq("/tmp/x.xlsx"))
+  }
+
   test("a workbook missing the requested sheet fails the read, not silently zero rows") {
     val ok = XlsxFixture.create().toString
     val e = intercept[org.apache.spark.SparkException] {
