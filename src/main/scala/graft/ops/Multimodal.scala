@@ -312,6 +312,81 @@ object Multimodal {
       }
   }
 
+  /** Container-aware video codec on top of [[Mp4]] — the third real
+    * seam implementation beside [[ImageIoCodec]] and [[WavCodec]]:
+    * payloads that parse as ISO-BMFF get REAL sample extraction
+    * (`stsz`/`stco` locate each sample's exact byte range in `mdat` —
+    * no decode needed to slice true sample bytes); anything else falls
+    * back to the deterministic stub. Pixel DECODE of those samples
+    * still needs a native codec (no pure-JDK H.264/HEVC), so features
+    * and resize stay stub-backed — the documented residual.
+    */
+  object Mp4Codec extends MediaCodec {
+    def extractFeatures(payload: Array[Byte]): Array[Float] =
+      StubCodec.extractFeatures(payload)
+
+    def resize(payload: Array[Byte], srcW: Int, srcH: Int,
+        targetW: Int, targetH: Int): Array[Byte] =
+      StubCodec.resize(payload, srcW, srcH, targetW, targetH)
+
+    /** First `n` non-empty container samples, byte-true; stub split
+      * for non-BMFF payloads (zero-size samples are legal in `stsz`
+      * and dropped here, like the stub drops empty tail chunks).
+      */
+    def sampleFrames(payload: Array[Byte], n: Int): Seq[Array[Byte]] = {
+      val real = Mp4.samples(payload)
+      if (real.isEmpty) StubCodec.sampleFrames(payload, n)
+      else real.filter(_.nonEmpty).take(n)
+    }
+  }
+
+  final case class ContainerMeta(
+      media_id: Long,
+      is_mp4: Boolean,
+      brand: String,
+      timescale: Long,
+      duration_ticks: Long,
+      duration_ms: Long,
+      n_tracks: Int,
+      handler: String,
+      codec: String,
+      width: Int,
+      height: Int,
+      n_samples: Long,
+      media_bytes: Long)
+
+  /** Container metadata for video payloads — the no-decode fast path
+    * ([[metadataStats]]'s rule) made REAL for MP4: duration, track
+    * count, codec fourcc, presentation size and exact media-byte
+    * accounting, parsed from the box tree inside `mapPartitions`
+    * (batched, partition count preserved). Non-BMFF payloads emit an
+    * `is_mp4 = false` row with zeroed fields rather than vanishing —
+    * a curation filter needs to COUNT the undecodable, not skip it.
+    */
+  def containerMeta(media: Dataset[MediaRecord]): Dataset[ContainerMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.map { m =>
+        Mp4.parse(m.payload) match {
+          case Some(info) =>
+            val t = info.tracks.headOption
+            ContainerMeta(m.media_id, is_mp4 = true, info.brand,
+              info.timescale, info.durationTicks, info.durationMs,
+              info.tracks.length,
+              t.map(_.handler).getOrElse(""),
+              t.map(_.codec).getOrElse(""),
+              t.map(_.width).getOrElse(0), t.map(_.height).getOrElse(0),
+              t.map(_.sampleSizes.length.toLong).getOrElse(0L),
+              info.mediaBytes)
+          case None =>
+            ContainerMeta(m.media_id, is_mp4 = false, "", 0L, 0L, 0L,
+              0, "", "", 0, 0, 0L,
+              if (m.payload == null) 0L else m.payload.length.toLong)
+        }
+      }
+    }
+  }
+
   /** Batched feature extraction over the binary column. Partition count
     * is preserved — upstream `repartition(k, col("media_id"))` controls
     * parallelism/batch size exactly like `mapInPandas` batches.

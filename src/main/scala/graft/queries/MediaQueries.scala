@@ -51,7 +51,75 @@ object MediaQueries {
         .as("sample_rate"))
   }
 
+  /** Video documents wrapped in REAL deterministic MP4 containers
+    * ([[graft.ops.Mp4.build]]): every container field is a pure
+    * function of (doc_id, text byte length), so the DuckDB oracle
+    * reproduces the expected metadata from the GENERATING formulas
+    * while the Spark side recovers it by PARSING the box tree on
+    * executors — a writer or parser bug on either side breaks the
+    * hash. Same single-file-source repartition as [[media]].
+    */
+  private def mp4media(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRecord] = {
+    import s.implicits._
+    Tables.table(s, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(3)) === 2)
+      .repartition(graft.ops.ScaleOps.fanoutWidth(
+        Tables.table(s, dir, "documents")))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val data = Option(text).getOrElse("").getBytes("UTF-8")
+          val len = data.length
+          val base = len / 4
+          val rem = len % 4
+          val w = (160 * (1 + id % 4)).toInt
+          val h = (90 * (1 + id % 4)).toInt
+          val payload = graft.ops.Mp4.build(
+            data,
+            timescale = (600 + (id % 5) * 120).toInt,
+            durationTicks = len.toLong * 50 + (id % 7) * 3,
+            codec = ((id / 3) % 3) match {
+              case 0 => "avc1"; case 1 => "hev1"; case _ => "vp09"
+            },
+            width = w, height = h,
+            sampleSizes = (0 until 4).map(i =>
+              base + (if (i < rem) 1 else 0)))
+          Multimodal.MediaRecord(id, "video", payload, w, h, 0)
+        }
+      }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // MP4 container metadata through the box-walking parser
+    // (Multimodal.containerMeta): duration/timescale/codec/dims/
+    // sample accounting recovered from REAL container bytes inside
+    // mapPartitions; the oracle recomputes each field from mp4media's
+    // generating formulas — parse ∘ build must be the identity.
+    "q_media_mp4_meta" -> ((s, dir) =>
+      Multimodal.containerMeta(mp4media(s, dir)).toDF()
+        .select(col("media_id"), col("brand"), col("timescale"),
+          col("duration_ticks"), col("duration_ms"), col("n_tracks"),
+          col("handler"), col("codec"), col("width"), col("height"),
+          col("n_samples"), col("media_bytes"))
+        .orderBy("media_id")),
+
+    // Container-aware frame sampling (Mp4Codec): stsz/stco locate
+    // each sample's exact byte range in mdat — the emitted frames are
+    // byte-true slices of the original text, which the oracle slices
+    // back out of the hex string with the same base/rem arithmetic.
+    "q_media_mp4_frames" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.sampleFrames(mp4media(s, dir), framesPer = 4,
+        codec = Multimodal.Mp4Codec).toDF()
+        .select(col("media_id"), col("frame_idx"),
+          length(col("frame_bytes")).as("n_frame_bytes"),
+          md5(hex(col("frame_bytes"))).as("frame_md5"))
+        .orderBy("media_id", "frame_idx")
+    }),
+
 
     // Batched feature extraction through the MediaCodec seam: payload
     // → digest + 16-dim feature vector inside mapPartitions. The
@@ -176,6 +244,42 @@ object MediaQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q_media_mp4_meta" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS len,
+           600 + (doc_id % 5) * 120 AS ts
+         FROM documents WHERE doc_id % 3 = 2)
+         SELECT media_id, 'isom' AS brand,
+           CAST(ts AS BIGINT) AS timescale,
+           CAST(len * 50 + (media_id % 7) * 3 AS BIGINT)
+             AS duration_ticks,
+           CAST(((len * 50 + (media_id % 7) * 3) * 1000) // ts AS BIGINT)
+             AS duration_ms,
+           1 AS n_tracks, 'vide' AS handler,
+           CASE (media_id // 3) % 3 WHEN 0 THEN 'avc1'
+             WHEN 1 THEN 'hev1' ELSE 'vp09' END AS codec,
+           CAST(160 * (1 + media_id % 4) AS INTEGER) AS width,
+           CAST(90 * (1 + media_id % 4) AS INTEGER) AS height,
+           CAST(4 AS BIGINT) AS n_samples,
+           CAST(len AS BIGINT) AS media_bytes
+         FROM m ORDER BY media_id""",
+    "q_media_mp4_frames" ->
+      """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS ph,
+           octet_length(encode(text)) AS len
+         FROM documents WHERE doc_id % 3 = 2),
+         series AS (SELECT CAST(unnest(range(0, 4)) AS INTEGER) AS i),
+         f AS (SELECT m.media_id, s.i,
+             (m.len // 4) +
+               CASE WHEN s.i < m.len % 4 THEN 1 ELSE 0 END AS sz,
+             s.i * (m.len // 4) + least(s.i, m.len % 4) AS st,
+             m.ph
+           FROM m CROSS JOIN series s)
+         SELECT media_id, i AS frame_idx,
+           CAST(sz AS INTEGER) AS n_frame_bytes,
+           md5(substring(ph, CAST(2 * st + 1 AS INTEGER),
+             CAST(2 * sz AS INTEGER))) AS frame_md5
+         FROM f WHERE sz > 0
+         ORDER BY media_id, frame_idx""",
     "q_media_neardup" ->
       """WITH f AS (SELECT doc_id AS media_id, md5(text) AS digest
            FROM documents WHERE doc_id < 2000),

@@ -1,0 +1,148 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Mp4, Multimodal}
+
+class Mp4Spec extends AnyFunSuite {
+
+  private val mdat = "hello mp4 container world!".getBytes("UTF-8")
+  private def sizes(len: Int, k: Int): Seq[Int] = {
+    val base = len / k; val rem = len % k
+    (0 until k).map(i => base + (if (i < rem) 1 else 0))
+  }
+  private def fixture: Array[Byte] =
+    Mp4.build(mdat, timescale = 600, durationTicks = 1234L,
+      codec = "avc1", width = 640, height = 360,
+      sampleSizes = sizes(mdat.length, 4))
+
+  private def u32(b: Array[Byte], i: Int): Long =
+    Integer.toUnsignedLong(
+      ByteBuffer.wrap(b).order(ByteOrder.BIG_ENDIAN).getInt(i))
+  private def find(b: Array[Byte], tag: String): Int = {
+    val t = tag.getBytes("US-ASCII")
+    (0 to b.length - 4).find(i =>
+      b(i) == t(0) && b(i + 1) == t(1) && b(i + 2) == t(2) &&
+        b(i + 3) == t(3)).getOrElse(fail(s"no '$tag' box in fixture"))
+  }
+
+  test("written layout pins the ISO/IEC 14496-12 field offsets, independent of the parser") {
+    val b = fixture
+    // file starts with the ftyp box; brand right after the header
+    assert(new String(b, 4, 4, "US-ASCII") == "ftyp")
+    assert(new String(b, 8, 4, "US-ASCII") == "isom")
+    // mvhd v0: timescale at payload+12, duration at payload+16
+    val mvhd = find(b, "mvhd") + 4
+    assert(u32(b, mvhd + 12) == 600L)
+    assert(u32(b, mvhd + 16) == 1234L)
+    // tkhd: width/height are the last two 16.16 words of the payload
+    val tkhd = find(b, "tkhd")
+    val tkhdEnd = tkhd - 4 + u32(b, tkhd - 4).toInt
+    assert(u32(b, tkhdEnd - 8) == 640L << 16)
+    assert(u32(b, tkhdEnd - 4) == 360L << 16)
+    // hdlr handler_type at payload+8
+    assert(new String(b, find(b, "hdlr") + 4 + 8, 4, "US-ASCII") == "vide")
+    // stsd: first sample entry's fourcc at payload+12
+    assert(new String(b, find(b, "stsd") + 4 + 12, 4, "US-ASCII") == "avc1")
+    // stco's single chunk offset points at the mdat PAYLOAD, whose
+    // bytes are the original data
+    val stco = find(b, "stco") + 4
+    val off = u32(b, stco + 8).toInt
+    assert(b.slice(off, off + mdat.length).toSeq == mdat.toSeq)
+    assert(new String(b, off - 4, 4, "US-ASCII") == "mdat")
+  }
+
+  test("parse(build(...)) roundtrips every declared field") {
+    val info = Mp4.parse(fixture).getOrElse(fail("fixture did not parse"))
+    assert(info.brand == "isom")
+    assert(info.timescale == 600L)
+    assert(info.durationTicks == 1234L)
+    assert(info.durationMs == 1234L * 1000L / 600L)
+    assert(info.tracks.length == 1)
+    val t = info.tracks.head
+    assert(t.handler == "vide")
+    assert(t.codec == "avc1")
+    assert((t.width, t.height) == ((640, 360)))
+    assert(t.sampleSizes == sizes(mdat.length, 4).map(_.toLong).toVector)
+    assert(info.mediaBytes == mdat.length.toLong)
+  }
+
+  test("samples() returns the exact byte ranges stsz/stco declare") {
+    val got = Mp4.samples(fixture).map(new String(_, "UTF-8"))
+    val sz = sizes(mdat.length, 4)
+    val starts = sz.scanLeft(0)(_ + _)
+    val want = sz.indices.map(i =>
+      new String(mdat.slice(starts(i), starts(i) + sz(i)), "UTF-8"))
+    assert(got == want)
+    assert(got.mkString == new String(mdat, "UTF-8"))
+  }
+
+  test("edge shapes: empty mdat, zero-size samples, short payloads") {
+    val empty = Mp4.build(Array.empty, 1000, 0L, "hev1", 0, 0, Seq(0, 0))
+    val ei = Mp4.parse(empty).getOrElse(fail("empty-mdat mp4 must parse"))
+    assert(ei.tracks.head.sampleSizes == Vector(0L, 0L))
+    assert(ei.mediaBytes == 0L)
+    assert(Mp4.samples(empty).forall(_.isEmpty))
+    // 3 bytes over 4 samples: one zero-size tail sample
+    val short = Mp4.build("abc".getBytes, 90000, 5L, "vp09", 16, 9,
+      sizes(3, 4))
+    assert(Mp4.samples(short).map(new String(_)) ==
+      Seq("a", "b", "c", ""))
+  }
+
+  test("malformed inputs parse to None, never throw: every truncation prefix") {
+    val b = fixture
+    // each strict prefix is either structurally rejected or —
+    // when the cut lands exactly between top-level boxes — parses
+    // without the mdat; no prefix may throw
+    (0 until b.length).foreach { n =>
+      Mp4.parse(b.take(n)) // must not throw
+    }
+    assert(Mp4.parse(Array.empty) == None)
+    assert(Mp4.parse("not an mp4 at all, just text bytes".getBytes) == None)
+    assert(Mp4.parse(null) == None)
+    // a box whose size overruns its parent is rejected
+    val lying = b.clone()
+    val stsz = find(b, "stsz") - 4
+    ByteBuffer.wrap(lying).order(ByteOrder.BIG_ENDIAN)
+      .putInt(stsz, Int.MaxValue)
+    assert(Mp4.parse(lying) == None)
+    // samples() survives a lying chunk offset (honest prefix, no crash)
+    val badOff = b.clone()
+    val stco = find(b, "stco") + 4
+    ByteBuffer.wrap(badOff).order(ByteOrder.BIG_ENDIAN)
+      .putInt(stco + 8, b.length - 2)
+    assert(Mp4.samples(badOff).length < 4)
+  }
+
+  test("largesize (size==1 + u64) and size==0 (to end) box headers are accepted") {
+    val plain = fixture
+    // rewrite the top-level mdat header as a largesize header
+    val mdatBox = find(plain, "mdat") - 4
+    val body = plain.drop(mdatBox + 8)
+    val pre = plain.take(mdatBox)
+    val large = ByteBuffer.allocate(16).order(ByteOrder.BIG_ENDIAN)
+      .putInt(1).put("mdat".getBytes("US-ASCII"))
+      .putLong(16L + body.length).array()
+    val rebuilt = pre ++ large ++ body
+    assert(Mp4.parse(rebuilt).map(_.timescale) == Some(600L))
+    // size==0: mdat extends to EOF
+    val zero = plain.clone()
+    ByteBuffer.wrap(zero).order(ByteOrder.BIG_ENDIAN).putInt(mdatBox, 0)
+    assert(Mp4.parse(zero).map(_.durationTicks) == Some(1234L))
+  }
+
+  test("Mp4Codec: container samples for mp4 payloads, stub fallback otherwise") {
+    val real = Multimodal.Mp4Codec.sampleFrames(fixture, 4)
+    assert(real.map(new String(_, "UTF-8")).mkString ==
+      new String(mdat, "UTF-8"))
+    val plain = "no container here".getBytes
+    assert(Multimodal.Mp4Codec.sampleFrames(plain, 4).map(_.toSeq) ==
+      Multimodal.StubCodec.sampleFrames(plain, 4).map(_.toSeq))
+    // features/resize stay stub-backed (decode needs a native codec)
+    assert(Multimodal.Mp4Codec.extractFeatures(fixture).toSeq ==
+      Multimodal.StubCodec.extractFeatures(fixture).toSeq)
+  }
+}
