@@ -919,6 +919,39 @@ object TextQueries {
         .orderBy("rank")
     }),
 
+    // Unigram-LM (SentencePiece-style) tokenizer training
+    // (UnigramLmTrainer.train): seed substrings + alphabet, hard-EM
+    // Viterbi rounds over the vocabulary-sized word frame, prune to
+    // the target size. ROWS-ONLY by design — the EM fixed point over
+    // doubles is not SQL-expressible cross-engine; exactness is
+    // pinned by UnigramLmSpec against an independent exhaustive-
+    // search reference (the q_bpe_merges / BpeTrainerSpec pattern,
+    // with the DRIVER gate carrying the rows check).
+    "q_unigram_lm" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.UnigramLmTrainer.train(docs(s, dir), "text",
+        vocabSize = 48, seedSize = 60, maxPieceLen = 4, emIters = 3)
+        .pieces.toDF()
+        .select(col("rank").cast("long").as("rank"), col("piece"),
+          col("count"), round(col("logProb"), 6).as("log_prob_r"))
+        .orderBy("rank")
+    }),
+
+    // Unigram-LM segmentation with the trained model: Viterbi under
+    // the final piece probabilities, executor-parallel, OOV
+    // characters fall back to raw chars (rows-only with the same
+    // spec-pinned exactness as q_unigram_lm; lossless reassembly is
+    // asserted in UnigramLmSpec).
+    "q_unigram_lm_segment" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = graft.ops.UnigramLmTrainer.train(
+        d.filter(col("doc_id") < 200), "text",
+        vocabSize = 48, seedSize = 60, maxPieceLen = 4, emIters = 2)
+      graft.ops.UnigramLmTrainer.segment(
+        d.filter(col("doc_id") < 50), "doc_id", "text", model)
+        .orderBy("doc_id", "word_pos", "sub_pos")
+    }),
+
     // BPE segmentation with a trained model: train on the standing
     // slice, segment the serving slice — in-vocab words take the
     // trained split via a keyed join (no broadcast hint, AQE decides),

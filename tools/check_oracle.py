@@ -36,7 +36,11 @@ def canon(rows, cols):
 # or missing oracle key — a silently-unchecked query — and FAILS; a
 # name here that HAS an oracle is a stale whitelist entry and FAILS.
 ROWS_ONLY = {"q_sniff", "q_approx_distinct", "q_quantiles_approx",
-             "q_compress_ratio"}
+             "q_compress_ratio",
+             # unigram-LM EM over doubles is not SQL-expressible
+             # cross-engine; UnigramLmSpec pins exactness against an
+             # independent exhaustive-search reference
+             "q_unigram_lm", "q_unigram_lm_segment"}
 
 
 def main(outdir, sfdir):
