@@ -212,9 +212,16 @@ object Mp4 {
             val fixed = u32(bytes, f0 + 4)
             val n = u32(bytes, f0 + 8)
             if (fixed != 0L) { // constant-size samples: no table
-              tr = tr.copy(sampleSizes = Vector.fill(
-                math.min(n, Int.MaxValue.toLong).toInt)(fixed))
-              true
+              // the fixed-size form has no table to bound n — sanity-
+              // cap it against the FILE (all samples live in this
+              // file's mdat), or a lying count of 0xFFFFFFFF would
+              // materialize a multi-GB Vector instead of parsing to
+              // None
+              if (n > bytes.length.toLong / fixed) false
+              else {
+                tr = tr.copy(sampleSizes = Vector.fill(n.toInt)(fixed))
+                true
+              }
             } else if (t0 - f0 - 12 < n * 4) false
             else {
               tr = tr.copy(sampleSizes = Vector.tabulate(

@@ -84,13 +84,22 @@ object XlsxDataSource {
     * workflow; distributed-FS ingest is the parquet/CSV sources' job.)
     */
   def expandPaths(paths: Seq[String]): Seq[String] =
-    paths.flatMap { p =>
-      val sep = p.indexOf("://")
-      if (sep > 0 && p.substring(0, sep) != "file")
+    paths.flatMap { p0 =>
+      val sep = p0.indexOf("://")
+      // file:// is accepted by stripping the scheme down to the OS
+      // path (literal bytes, no percent-decoding) — letting it
+      // through UNstripped would resurrect the opaque ZipFile error
+      // this guard exists to remove; a file://host/... remote-host
+      // form is rejected like the other schemes
+      val p =
+        if (sep > 0 && p0.substring(0, sep) == "file" &&
+          p0.substring(sep + 3).startsWith("/")) p0.substring(sep + 3)
+        else p0
+      if (p.indexOf("://") > 0)
         throw new IllegalArgumentException(
           s"xlsx source reads the LOCAL filesystem only (ZipFile), got " +
-            s"scheme '${p.substring(0, sep)}' in: $p — copy the " +
-            "workbook local first")
+            s"scheme '${p.substring(0, p.indexOf("://"))}' in: $p — " +
+            "copy the workbook local first")
       val np = java.nio.file.Paths.get(p)
       if (java.nio.file.Files.isDirectory(np)) {
         val st = java.nio.file.Files.list(np)

@@ -51,12 +51,17 @@ object StreamQuota {
         (_, batch, state) =>
           val sorted = batch.toSeq.sortBy(e => (e.ts_ns, e.event_id))
           var st = state.getOption
-            .getOrElse(QuotaState(Long.MinValue, 0L, Nil))
+            .getOrElse(QuotaState(Long.MinValue, 0L, Vector.empty))
           // the dedup lookup runs per EVENT: mirror the admitted ids
           // into a Set so large quotas stay O(1) per arrival (a Seq
           // `contains` + append made the batch O(k²) per key); the
-          // STATE row keeps the Seq encoding unchanged
+          // STATE row keeps the Seq encoding unchanged. The appended
+          // collection must be a Vector — `:+` on the default List
+          // re-copies the whole list per admission, the same
+          // quadratic shape in disguise
           var admitted = st.admitted.toSet
+          if (!st.admitted.isInstanceOf[Vector[_]])
+            st = st.copy(admitted = st.admitted.toVector)
           val out = Seq.newBuilder[QuotaEvent]
           sorted.foreach { e =>
             val hour = Math.floorDiv(e.ts_ns, bucketNs)
@@ -66,7 +71,7 @@ object StreamQuota {
             // and re-admit past the quota (stale events are dropped;
             // their own bucket's budget closed when the state rolled)
             if (hour > st.hour) {
-              st = QuotaState(hour, 0L, Nil)
+              st = QuotaState(hour, 0L, Vector.empty)
               admitted = Set.empty
             }
             if (hour == st.hour && !admitted(e.event_id) && st.n < k) {

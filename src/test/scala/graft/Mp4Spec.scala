@@ -109,6 +109,22 @@ class Mp4Spec extends AnyFunSuite {
     ByteBuffer.wrap(lying).order(ByteOrder.BIG_ENDIAN)
       .putInt(stsz, Int.MaxValue)
     assert(Mp4.parse(lying) == None)
+    // fixed-size stsz with a lying giant count: the fixed form has no
+    // table to bound it, so the parser must cap against the file size
+    // (None), not materialize a multi-GB Vector
+    val bigN = b.clone()
+    val szPay = find(b, "stsz") + 4
+    val bb2 = ByteBuffer.wrap(bigN).order(ByteOrder.BIG_ENDIAN)
+    bb2.putInt(szPay + 4, 1) // sample_size = 1 (fixed form)
+    bb2.putInt(szPay + 8, Int.MaxValue) // sample_count
+    assert(Mp4.parse(bigN) == None)
+    // a PLAUSIBLE fixed-size table still parses
+    val okN = b.clone()
+    val bb3 = ByteBuffer.wrap(okN).order(ByteOrder.BIG_ENDIAN)
+    bb3.putInt(szPay + 4, 2)
+    bb3.putInt(szPay + 8, 5)
+    assert(Mp4.parse(okN).get.tracks.head.sampleSizes ==
+      Vector.fill(5)(2L))
     // samples() survives a lying chunk offset (honest prefix, no crash)
     val badOff = b.clone()
     val stco = find(b, "stco") + 4
