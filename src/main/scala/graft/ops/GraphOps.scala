@@ -35,14 +35,19 @@ object GraphOps {
     *
     * Determinism: BOTH unbounded-group double sums (the per-dst
     * contribution sum and the dangling-mass sum) cross their aggregate
-    * as DECIMAL(28,14) per-term casts — order-independent exact sums,
-    * the q_corr_exact / QualityModel gradient treatment — so the
-    * result is bit-identical at ANY in-degree: a 1e6-in-edge hub (real
-    * web graphs have them) sums the same on every engine and every
-    * partition order. The per-term quantization (≤5e-15 absolute) is
-    * invisible at the repo's round(x, 6) output gate. The remaining
-    * per-row update `(1−d)/n + d·(contrib + dm/n)` is scalar double
-    * math with a fixed association, deterministic by construction.
+    * as INTEGER-SCALED exact terms — `floor(x·10¹⁴ + 0.5)` cast to
+    * long (the engine-portable fixed-point quantization, identical to
+    * a DECIMAL(28,14) HALF_UP cast for the non-negative ranks here,
+    * but summed as codegen'd longs instead of Decimal128) — so the
+    * result is bit-identical at ANY in-degree: a 1e6-in-edge hub
+    * (real web graphs have them) sums the same on every engine and
+    * every partition order. Overflow is bounded by the MASS INVARIANT,
+    * not the graph: total rank mass is exactly 1.0 every round, so any
+    * contribution/dangling sum is ≤ 10¹⁴ ≪ Long.MaxValue at every
+    * corpus scale. The per-term quantization (≤5e-15 absolute) is
+    * invisible at the repo's round(x, 6) output gate; the per-row
+    * update `(1−d)/n + d·(contrib + dm/n)` is scalar double math with
+    * a fixed association, deterministic by construction.
     *
     * @param edges  DataFrame with `src` and `dst` columns (any
     *               equatable type); parallel edges are deduplicated.
@@ -92,17 +97,20 @@ object GraphOps {
         coalesce(col("has_out"), lit(false)).as("has_out"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
-      // hub-safe: per-edge terms cross the sum as DECIMAL(28,14)
-      // (exact, order-independent), back to double after — in-degree
-      // no longer bounds determinism
+      // hub-safe: per-edge terms cross the sum integer-scaled at 1e14
+      // (exact, order-independent long sums; mass-invariant overflow
+      // bound), back to double after — in-degree no longer bounds
+      // determinism
       val contrib = ew
         .join(ranks.select(col("node").as("src"), col("rank")), "src")
         .groupBy(col("dst").as("node"))
-        .agg(sum((col("rank") / col("outdeg")).cast("decimal(28,14)"))
-          .cast("double").as("contrib"))
+        .agg((sum(floor(col("rank") / col("outdeg") * lit(1.0e14)
+            + lit(0.5)).cast("long"))
+          .cast("double") / lit(1.0e14)).as("contrib"))
       val dangling = ranks.filter(!col("has_out"))
-        .agg(coalesce(sum(col("rank").cast("decimal(28,14)"))
-          .cast("double"), lit(0.0)).as("dm"))
+        .agg(coalesce(
+          sum(floor(col("rank") * lit(1.0e14) + lit(0.5)).cast("long"))
+            .cast("double") / lit(1.0e14), lit(0.0)).as("dm"))
       ranks = ranks.select(col("node"), col("n"), col("has_out"))
         .join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(dangling))

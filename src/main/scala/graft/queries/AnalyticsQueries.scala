@@ -3706,9 +3706,10 @@ object AnalyticsQueries {
     * recursive CTE member, so the FIXED iteration count is unrolled
     * into chained CTEs r0..r{iters} — each a plain join+aggregate,
     * the exact update rule of [[graft.ops.GraphOps.pageRank]],
-    * including its hub-safe DECIMAL(28,14) per-term casts on the
-    * contribution and dangling sums (order-independent on both
-    * engines — the gradient-sum treatment). The
+    * including its hub-safe integer-scaled contribution and dangling
+    * sums (floor(x·10¹⁴ + 0.5) per term, summed as BIGINT —
+    * order-independent on both engines, the engine-portable
+    * floor-idiom twin of the gradient-sum DECIMAL treatment). The
     * (1−d) literal is emitted via Double.toString so the SQL double
     * is BIT-identical to Spark's `lit(1.0 - damping)` (1.0−0.85 is
     * 0.15000000000000002, not 0.15). Every round CTE is MATERIALIZED:
@@ -3728,13 +3729,14 @@ object AnalyticsQueries {
            p.n
          FROM r${i - 1} p
          LEFT JOIN (SELECT e.dst AS node,
-                      CAST(sum(CAST(r.pr / g.outdeg AS DECIMAL(28,14)))
-                        AS DOUBLE) AS contrib
+                      CAST(sum(CAST(floor(r.pr / g.outdeg * 1e14 + 0.5)
+                          AS BIGINT)) AS DOUBLE) / 1e14 AS contrib
                     FROM e JOIN r${i - 1} r ON r.node = e.src
                          JOIN deg g ON g.src = e.src
                     GROUP BY e.dst) c ON c.node = p.node
          CROSS JOIN (SELECT COALESCE(
-                       CAST(sum(CAST(r.pr AS DECIMAL(28,14))) AS DOUBLE),
+                       CAST(sum(CAST(floor(r.pr * 1e14 + 0.5)
+                         AS BIGINT)) AS DOUBLE) / 1e14,
                        CAST(0 AS DOUBLE)) AS dm
                      FROM r${i - 1} r LEFT JOIN deg g ON g.src = r.node
                      WHERE g.src IS NULL) dg)"""
