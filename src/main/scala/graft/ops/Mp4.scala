@@ -36,10 +36,27 @@ object Mp4 {
       timescale: Long,
       durationTicks: Long,
       tracks: Vector[Track]) {
+    /** Decomposed (quotient first) so a v1 64-bit tick count cannot
+      * overflow the ×1000: the remainder product is bounded by the
+      * u32 timescale × 1000.
+      */
     def durationMs: Long =
-      if (timescale <= 0) 0L else durationTicks * 1000L / timescale
+      if (timescale <= 0) 0L
+      else durationTicks / timescale * 1000L +
+        durationTicks % timescale * 1000L / timescale
     def mediaBytes: Long = tracks.map(_.sampleSizes.sum).sum
   }
+
+  /** Parser bound on materialized sample tables (stsz/stco/co64 and
+    * the table-less fixed-size stsz form): a crafted count inside a
+    * large payload may be structurally consistent yet materialize a
+    * huge Vector inside an executor task (the a2d570c cap closed only
+    * the large-`fixed` case — a 512 MB payload declaring 10⁸ 1-byte
+    * samples passed both the box-size and file-size checks). Beyond
+    * this bound the file parses to None: a metadata pass that cannot
+    * afford the table cannot honestly claim to have read it.
+    */
+  val MaxSampleTableEntries: Long = 1L << 20
 
   // ------------------------------------------------------------------
   // writer
@@ -89,6 +106,13 @@ object Mp4 {
     require(sampleSizes.forall(_ >= 0) &&
       sampleSizes.map(_.toLong).sum == mdat.length,
       "sampleSizes must be >= 0 and sum to the mdat length")
+    // the v0 boxes carry u32 ticks and u16 entry dimensions: values
+    // beyond them would silently truncate through beInts/putShort and
+    // break the documented parse-after-build identity
+    require(durationTicks >= 0 && durationTicks <= 0xFFFFFFFFL,
+      s"durationTicks must fit u32, got $durationTicks")
+    require(width >= 0 && width <= 0xFFFF && height >= 0 && height <= 0xFFFF,
+      s"width/height must fit u16, got ${width}x$height")
     val mvhd = box("mvhd", concat(
       beInts(0, 0, 0, timescale.toLong, durationTicks,
         0x00010000L), // version/flags, created, modified, ts, dur, rate
@@ -211,12 +235,11 @@ object Mp4 {
           else {
             val fixed = u32(bytes, f0 + 4)
             val n = u32(bytes, f0 + 8)
-            if (fixed != 0L) { // constant-size samples: no table
-              // the fixed-size form has no table to bound n — sanity-
-              // cap it against the FILE (all samples live in this
-              // file's mdat), or a lying count of 0xFFFFFFFF would
-              // materialize a multi-GB Vector instead of parsing to
-              // None
+            if (n > MaxSampleTableEntries) false
+            else if (fixed != 0L) { // constant-size samples: no table
+              // the fixed-size form has no table to bound n — also
+              // sanity-cap against the FILE (all samples live in this
+              // file's mdat)
               if (n > bytes.length.toLong / fixed) false
               else {
                 tr = tr.copy(sampleSizes = Vector.fill(n.toInt)(fixed))
@@ -224,9 +247,8 @@ object Mp4 {
               }
             } else if (t0 - f0 - 12 < n * 4) false
             else {
-              tr = tr.copy(sampleSizes = Vector.tabulate(
-                math.min(n, Int.MaxValue.toLong).toInt)(i =>
-                  u32(bytes, f0 + 12 + 4L * i)))
+              tr = tr.copy(sampleSizes = Vector.tabulate(n.toInt)(i =>
+                u32(bytes, f0 + 12 + 4L * i)))
               true
             }
           }
@@ -234,11 +256,10 @@ object Mp4 {
           if (t0 - f0 < 8) false
           else {
             val n = u32(bytes, f0 + 4)
-            if (t0 - f0 - 8 < n * 4) false
+            if (n > MaxSampleTableEntries || t0 - f0 - 8 < n * 4) false
             else {
-              tr = tr.copy(chunkOffsets = Vector.tabulate(
-                math.min(n, Int.MaxValue.toLong).toInt)(i =>
-                  u32(bytes, f0 + 8 + 4L * i)))
+              tr = tr.copy(chunkOffsets = Vector.tabulate(n.toInt)(i =>
+                u32(bytes, f0 + 8 + 4L * i)))
               true
             }
           }
@@ -246,12 +267,11 @@ object Mp4 {
           if (t0 - f0 < 8) false
           else {
             val n = u32(bytes, f0 + 4)
-            if (t0 - f0 - 8 < n * 8) false
+            if (n > MaxSampleTableEntries || t0 - f0 - 8 < n * 8) false
             else {
               val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
-              tr = tr.copy(chunkOffsets = Vector.tabulate(
-                math.min(n, Int.MaxValue.toLong).toInt)(i =>
-                  bb.getLong((f0 + 8 + 8L * i).toInt)))
+              tr = tr.copy(chunkOffsets = Vector.tabulate(n.toInt)(i =>
+                bb.getLong((f0 + 8 + 8L * i).toInt)))
               true
             }
           }
@@ -306,12 +326,16 @@ object Mp4 {
             if (t1 - f1 >= 20 && bytes(f1.toInt) == 0) {
               timescale = u32(bytes, f1 + 12)
               duration = u32(bytes, f1 + 16)
+              true
             } else if (t1 - f1 >= 32 && bytes(f1.toInt) == 1) {
               val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
               timescale = u32(bytes, f1 + 20)
               duration = bb.getLong((f1 + 24).toInt)
-            }
-            true
+              // a v1 tick count with the sign bit set is not a
+              // duration — reject rather than emit negative
+              // duration_ms downstream ("never silently misread")
+              duration >= 0L
+            } else true
           case ("trak", f1, t1) =>
             parseTrak(f1, t1) match {
               case Some(t) => tracks :+= t; true
@@ -331,8 +355,12 @@ object Mp4 {
     * samples to chunks — out of scope, returns empty (callers fall
     * back to the stub). Every slice is bounds-checked: a lying offset
     * table yields the honest prefix, never an exception in a task.
+    * `limit` caps how many samples are COPIED — a take-the-first-n
+    * caller ([[Multimodal.Mp4Codec]]) must not pay a full-mdat copy
+    * for the samples it discards.
     */
-  def samples(bytes: Array[Byte]): Seq[Array[Byte]] =
+  def samples(bytes: Array[Byte],
+      limit: Int = Int.MaxValue): Seq[Array[Byte]] =
     parse(bytes) match {
       case Some(info) =>
         info.tracks.headOption match {
@@ -341,7 +369,7 @@ object Mp4 {
             val out = Vector.newBuilder[Array[Byte]]
             var i = 0
             var okSoFar = true
-            while (i < t.sampleSizes.length && okSoFar) {
+            while (i < math.min(t.sampleSizes.length, limit) && okSoFar) {
               val sz = t.sampleSizes(i)
               if (off < 0 || sz < 0 || off + sz > bytes.length) {
                 okSoFar = false

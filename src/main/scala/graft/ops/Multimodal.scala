@@ -329,14 +329,16 @@ object Multimodal {
         targetW: Int, targetH: Int): Array[Byte] =
       StubCodec.resize(payload, srcW, srcH, targetW, targetH)
 
-    /** First `n` non-empty container samples, byte-true; stub split
-      * for non-BMFF payloads (zero-size samples are legal in `stsz`
-      * and dropped here, like the stub drops empty tail chunks).
+    /** The first `n` container samples, byte-true, empties dropped
+      * (zero-size samples are legal in `stsz`; they count toward the
+      * n-window — the limit caps the COPY work, so a payload with
+      * thousands of samples never pays a full-mdat copy for frames it
+      * discards). Stub split for non-BMFF payloads.
       */
     def sampleFrames(payload: Array[Byte], n: Int): Seq[Array[Byte]] = {
-      val real = Mp4.samples(payload)
+      val real = Mp4.samples(payload, limit = n)
       if (real.isEmpty) StubCodec.sampleFrames(payload, n)
-      else real.filter(_.nonEmpty).take(n)
+      else real.filter(_.nonEmpty)
     }
   }
 

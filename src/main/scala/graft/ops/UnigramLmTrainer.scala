@@ -102,8 +102,13 @@ object UnigramLmTrainer {
     }
   }
 
-  /** Train a unigram-LM vocabulary of (up to) `vocabSize` pieces over
-    * the whitespace words of `df.textCol`.
+  /** Train a unigram-LM vocabulary of `vocabSize` pieces over the
+    * whitespace words of `df.textCol`. The whole alphabet always
+    * survives pruning (SentencePiece's required-characters rule), so
+    * the returned vocabulary EXCEEDS `vocabSize` when the corpus has
+    * more distinct characters than the target — the caller's size
+    * budget must account for the alphabet. Piece lengths are UTF-16
+    * code units throughout (seeding, the Viterbi window, maxPieceLen).
     */
   def train(
       df: DataFrame,
@@ -127,14 +132,20 @@ object UnigramLmTrainer {
       .localCheckpoint(false) // cut the corpus scan off the round plans
       .as[(String, Long)]
     // seed candidates: every substring of length 1..maxPieceLen of
-    // every distinct word, weighted by word frequency — one exploded
-    // aggregate over the VOCABULARY frame, map-side combined
-    val subs = words.toDF("word", "n")
-      .select(col("n"), explode(expr(
-        s"flatten(transform(sequence(0, length(word) - 1), i -> " +
-          s"transform(sequence(1, least($maxPieceLen, " +
-          s"length(word) - i)), len -> substring(word, i + 1, len))))"))
-        .as("piece"))
+    // every distinct word, weighted by word frequency — one flatMap +
+    // aggregate over the VOCABULARY frame, map-side combined. Scala
+    // substrings (UTF-16 CODE UNITS), not SQL substring (code
+    // points): the Viterbi window below slides in code units, and a
+    // seeding that counted "length" differently would emit non-BMP
+    // pieces the matcher can never span (seeded but permanently
+    // zero-count)
+    val mplSeed = maxPieceLen
+    val subs = words.flatMap { case (w, n) =>
+      for {
+        i <- 0 until w.length
+        k <- 1 to math.min(mplSeed, w.length - i)
+      } yield (w.substring(i, i + k), n)
+    }.toDF("piece", "n")
       .groupBy("piece").agg(sum(col("n")).as("cnt"))
       .transform(QueryCaches.persist)
     // both collects bounded by LIMIT literals (seedSize / maxAlphabet)
@@ -210,7 +221,10 @@ object UnigramLmTrainer {
     df.select(col(idCol).cast("long").as("id"),
         posexplode(TextDedup.tokens(col(textCol)))
           .as(Seq("word_pos", "word")))
-      .filter(length(col("word")) > 0)
+      // a null (or non-castable) id would NPE the primitive-Long
+      // decode inside the task — the executor-lambda null rule;
+      // id-less rows are dropped, documented
+      .filter(col("id").isNotNull && length(col("word")) > 0)
       .as[(Long, Int, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, wp, w) =>

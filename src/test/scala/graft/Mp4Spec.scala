@@ -125,6 +125,24 @@ class Mp4Spec extends AnyFunSuite {
     bb3.putInt(szPay + 8, 5)
     assert(Mp4.parse(okN).get.tracks.head.sampleSizes ==
       Vector.fill(5)(2L))
+    // small-`fixed` DoS: a LARGE payload with sample_size=1 and a
+    // file-length-sized count passes the bytes/fixed check — the
+    // MaxSampleTableEntries cap must reject it (review finding r14)
+    val bigPayload = Mp4.build(new Array[Byte](2 * 1024 * 1024), 600,
+      1L, "avc1", 8, 8, sizes(2 * 1024 * 1024, 4))
+    val szPay2 = find(bigPayload, "stsz") + 4
+    val bb4 = ByteBuffer.wrap(bigPayload).order(ByteOrder.BIG_ENDIAN)
+    bb4.putInt(szPay2 + 4, 1)
+    bb4.putInt(szPay2 + 8, 2 * 1024 * 1024) // > MaxSampleTableEntries
+    assert(Mp4.parse(bigPayload) == None)
+    // a v1 mvhd whose 64-bit tick count has the sign bit set is not a
+    // duration: reject, never emit a negative duration_ms
+    val v1neg = b.clone()
+    val mv = find(b, "mvhd") + 4
+    v1neg(mv) = 1 // version byte
+    ByteBuffer.wrap(v1neg).order(ByteOrder.BIG_ENDIAN)
+      .putLong(mv + 24, Long.MinValue + 5)
+    assert(Mp4.parse(v1neg) == None)
     // samples() survives a lying chunk offset (honest prefix, no crash)
     val badOff = b.clone()
     val stco = find(b, "stco") + 4
@@ -148,6 +166,29 @@ class Mp4Spec extends AnyFunSuite {
     val zero = plain.clone()
     ByteBuffer.wrap(zero).order(ByteOrder.BIG_ENDIAN).putInt(mdatBox, 0)
     assert(Mp4.parse(zero).map(_.durationTicks) == Some(1234L))
+  }
+
+  test("durationMs survives v1 64-bit tick counts; build rejects field overflow") {
+    // decomposed quotient-first math: ticks near Long.MaxValue must
+    // not wrap negative through the x1000
+    val big = Mp4.Info("isom", 90000L, Long.MaxValue / 2, Vector.empty)
+    assert(big.durationMs > 0)
+    assert(big.durationMs == Long.MaxValue / 2 / 90000L * 1000L +
+      Long.MaxValue / 2 % 90000L * 1000L / 90000L)
+    assert(Mp4.Info("isom", 0L, 5L, Vector.empty).durationMs == 0L)
+    // writer fields that would silently truncate are require-guarded
+    intercept[IllegalArgumentException] {
+      Mp4.build(Array.empty, 600, 1L << 32, "avc1", 1, 1, Seq(0))
+    }
+    intercept[IllegalArgumentException] {
+      Mp4.build(Array.empty, 600, 1L, "avc1", 0x10000, 1, Seq(0))
+    }
+  }
+
+  test("samples(limit) copies only the requested prefix") {
+    val two = Mp4.samples(fixture, limit = 2).map(new String(_, "UTF-8"))
+    val all = Mp4.samples(fixture).map(new String(_, "UTF-8"))
+    assert(two == all.take(2))
   }
 
   test("Mp4Codec: container samples for mp4 payloads, stub fallback otherwise") {

@@ -164,4 +164,16 @@ class UnigramLmSpec extends AnyFunSuite {
     // 'q' is not in the trained alphabet: raw characters, still total
     assert(out.filter(_._1 == "qq").map(_._2).toSeq == Seq("q", "q"))
   }
+
+  test("segment drops null-id rows instead of crashing the decode") {
+    import spark.implicits._
+    val m = UnigramLmTrainer.train(
+      corpusDF(Seq("aa bb")), "text",
+      vocabSize = 4, seedSize = 4, maxPieceLen = 2, emIters = 1)
+    val rows = UnigramLmTrainer.segment(
+      Seq((Option(1L), "aa"), (Option.empty[Long], "aa"))
+        .toDF("id", "text"), "id", "text", m)
+      .select("id").as[Long].collect()
+    assert(rows.nonEmpty && rows.forall(_ == 1L))
+  }
 }
