@@ -275,12 +275,18 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + s3(v) }
     val sb = new StringBuilder(head)
     var taken = 0
+    var full = false
     entries.foreach { e =>
       val sep = if (taken == 0) 0 else 1
-      if (sb.length + sep + e.length + 30 <= budget) { // 30: room for the closer
-        if (taken > 0) sb.append(',')
-        sb.append(e)
-        taken += 1
+      // STOP at the first entry that doesn't fit: admitting shorter-
+      // named later (faster) entries would break the slowest-prefix
+      // contract — "omitted" must mean "everything faster than shown"
+      if (!full) {
+        if (sb.length + sep + e.length + 30 <= budget) { // 30: closer room
+          if (taken > 0) sb.append(',')
+          sb.append(e)
+          taken += 1
+        } else full = true
       }
     }
     sb.append(s"""},"omitted":${entries.size - taken}}""")

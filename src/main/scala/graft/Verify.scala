@@ -87,8 +87,16 @@ object Verify {
     // optional 3rd arg: comma-separated query names for a targeted
     // re-check (the driver always runs the full surface with 2 args)
     val (sfDir, outDir, only) = args match {
-      case Array(s, o)    => (s, o, None)
-      case Array(s, o, f) => (s, o, Some(f.split(',').toSet))
+      case Array(s, o) => (s, o, None)
+      // trim + drop empties (the Bench SPARK_GRAFT_BENCH_ONLY idiom):
+      // "q_a, q_b" must select q_b, not silently run one query while
+      // the manifest hides the other from the checker
+      case Array(s, o, f) =>
+        (s, o, Some(f.split(',').map(_.trim).filter(_.nonEmpty).toSet))
+      case _ =>
+        System.err.println(
+          "usage: graft.Verify <sfDir> <outDir> [q_a,q_b,...]")
+        sys.exit(2)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.configure(
@@ -109,15 +117,6 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/run_manifest.json"),
       if (manifestNames.isEmpty) "[]"
       else manifestNames.mkString("[\"", "\",\"", "\"]"))
-    selected.foreach { case (name, fn) =>
-      runOne(spark, sfDir, outDir, name, fn)
-      // multi-branch queries persist() shared subplans, registered in
-      // the QueryCaches ledger; release them now that the result is
-      // materialized (clearCache is the belt-and-braces backstop for
-      // anything persisted outside the ledger)
-      graft.ops.QueryCaches.releaseAll()
-      spark.catalog.clearCache()
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -130,9 +129,23 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // the oracle file is written BEFORE the loop, like the manifest:
+    // on an aborted run over a REUSED outdir the checker must compare
+    // fresh outputs against THIS round's oracle SQL, not the previous
+    // round's stale file (r14 harness review — a changed query+oracle
+    // pair would otherwise false-red, or worse, false-green)
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    selected.foreach { case (name, fn) =>
+      runOne(spark, sfDir, outDir, name, fn)
+      // multi-branch queries persist() shared subplans, registered in
+      // the QueryCaches ledger; release them now that the result is
+      // materialized (clearCache is the belt-and-braces backstop for
+      // anything persisted outside the ledger)
+      graft.ops.QueryCaches.releaseAll()
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }

@@ -98,7 +98,15 @@ def main(outdir, sfdir):
             continue
         if name not in oracle:
             if name in ROWS_ONLY:
-                results[name] = f"NO_ORACLE rows={len(srows)} (by design)"
+                # row count is the ONLY check these queries get — a
+                # degenerate 0-row result must be annotated (and
+                # counted in the empty tally), not pass silently
+                if len(srows) == 0:
+                    results[name] = ("NO_ORACLE rows=0 (by design) "
+                                     "[EMPTY — degenerate?]")
+                else:
+                    results[name] = (f"NO_ORACLE rows={len(srows)} "
+                                     "(by design)")
             else:
                 results[name] = (f"NO_ORACLE_UNDECLARED rows={len(srows)} "
                                  "— oracle key missing/typo'd; the query "
@@ -140,11 +148,28 @@ def main(outdir, sfdir):
             results[name] = "OK rows=0 [EMPTY — degenerate?]"
         else:
             results[name] = "OK rows=%d" % len(srows)
+    # staleness, the OTHER way: a ROWS_ONLY entry whose query no
+    # longer exists would linger forever (the has-an-oracle direction
+    # is checked per-query above). Only meaningful on a FULL run — a
+    # targeted re-check's manifest legitimately omits most queries —
+    # and the driver's full surface is hundreds of queries, so 100 is
+    # an unambiguous discriminator.
+    if len(results) >= 100:
+        for gone in sorted(ROWS_ONLY - set(results)):
+            results[gone] = ("STALE_ROWS_ONLY_WHITELIST — no such query "
+                             "in the run manifest; remove the ROWS_ONLY "
+                             "entry")
+    if not results:
+        # an empty selection is a gate that checked NOTHING — fail
+        # loudly instead of crashing on max() of an empty sequence
+        print("0 queries selected — nothing was verified "
+              "(typo'd name in a targeted run?)")
+        sys.exit(1)
     width = max(len(k) for k in results)
     nfail = nempty = 0
     for k in sorted(results):
         print(f"{k:<{width}}  {results[k]}")
-        if results[k].startswith("OK rows=0"):
+        if "rows=0" in results[k]:
             nempty += 1
         ok = (results[k].startswith("OK") or
               results[k].startswith("NO_ORACLE rows"))
