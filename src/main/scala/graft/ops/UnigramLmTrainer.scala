@@ -140,14 +140,17 @@ object UnigramLmTrainer {
     // pieces the matcher can never span (seeded but permanently
     // zero-count)
     val mplSeed = maxPieceLen
-    val subs = words.flatMap { case (w, n) =>
+    // a LOCAL handle, released after the two seed collects: unlike
+    // the declared-query ops, train() consumes its cache entirely
+    // inside this call, so nothing needs to outlive it in the ledger
+    val seedCache = new CacheHandle
+    val subs = seedCache.persist(words.flatMap { case (w, n) =>
       for {
         i <- 0 until w.length
         k <- 1 to math.min(mplSeed, w.length - i)
       } yield (w.substring(i, i + k), n)
     }.toDF("piece", "n")
-      .groupBy("piece").agg(sum(col("n")).as("cnt"))
-      .transform(QueryCaches.persist)
+      .groupBy("piece").agg(sum(col("n")).as("cnt")))
     // both collects bounded by LIMIT literals (seedSize / maxAlphabet)
     val alphabet = subs.filter(length(col("piece")) === 1)
       .orderBy(col("cnt").desc, col("piece")).limit(maxAlphabet)
@@ -155,6 +158,7 @@ object UnigramLmTrainer {
     val multiSeed = subs.filter(length(col("piece")) > 1)
       .orderBy(col("cnt").desc, col("piece")).limit(seedSize)
       .as[(String, Long)].collect()
+    seedCache.release()
     val alphaSet = alphabet.iterator.map(_._1).toSet
     var counts: Map[String, Long] = (alphabet ++ multiSeed).toMap
 
