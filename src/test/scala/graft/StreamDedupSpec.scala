@@ -52,6 +52,38 @@ class StreamDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("idle buckets are removed wholesale once the watermark passes the horizon") {
+    // the 100 TB property behind hasTimedOut/state.remove(): an idle
+    // bucket's state must VANISH from the store, not merely stop
+    // matching — otherwise state grows with every bucket ever touched
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = StreamDedup.candidatePairs(input.toDS(), threshold = 0.5,
+      watermarkDelay = "0 seconds", horizonMs = 60_000L)
+      .writeStream.format("memory").queryName("sdedup_timeout")
+      .outputMode("append").start()
+    try {
+      def stateRows: Long =
+        Option(q.lastProgress).map(_.stateOperators(0).numRowsTotal)
+          .getOrElse(0L)
+      input.addData(corpus.map { case (id, text) => Doc(id, ts(0), text) }: _*)
+      q.processAllAvailable()
+      val populated = stateRows
+      assert(populated > 0, "expected per-bucket state after batch 1")
+      // a far-future doc advances the watermark well past every
+      // bucket's (maxTs + horizon) timeout; two batches so the
+      // watermark computed at the END of the first is APPLIED in the
+      // second, firing the timeouts
+      input.addData(Doc(90L, ts(30), "totally fresh unrelated text now"))
+      q.processAllAvailable()
+      input.addData(Doc(91L, ts(31), "and one more to sweep the timers"))
+      q.processAllAvailable()
+      assert(stateRows < populated,
+        s"idle buckets not removed: $populated -> $stateRows")
+    } finally q.stop()
+  }
+
   test("documents beyond the horizon no longer pair") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
