@@ -103,12 +103,17 @@ object UnigramLmTrainer {
   }
 
   /** Train a unigram-LM vocabulary of `vocabSize` pieces over the
-    * whitespace words of `df.textCol`. The whole alphabet always
-    * survives pruning (SentencePiece's required-characters rule), so
-    * the returned vocabulary EXCEEDS `vocabSize` when the corpus has
-    * more distinct characters than the target — the caller's size
-    * budget must account for the alphabet. Piece lengths are UTF-16
-    * code units throughout (seeding, the Viterbi window, maxPieceLen).
+    * space-separated words of `df.textCol` (the repo-wide
+    * [[TextDedup.tokens]] semantics: split on spaces after a
+    * space-trim; other whitespace rides inside tokens). The whole
+    * alphabet always survives pruning (SentencePiece's
+    * required-characters rule), so the returned vocabulary EXCEEDS
+    * `vocabSize` when the corpus has more distinct characters than
+    * the target — the caller's size budget must account for the
+    * alphabet. `maxPieceLen`, seeding windows, and the alphabet/multi
+    * split count CODE POINTS (a surrogate pair is one character); the
+    * Viterbi window internally adapts to the longest live piece's
+    * code-UNIT length.
     */
   def train(
       df: DataFrame,
@@ -131,31 +136,47 @@ object UnigramLmTrainer {
       .groupBy("word").agg(count(lit(1)).as("n"))
       .localCheckpoint(false) // cut the corpus scan off the round plans
       .as[(String, Long)]
-    // seed candidates: every substring of length 1..maxPieceLen of
-    // every distinct word, weighted by word frequency — one flatMap +
-    // aggregate over the VOCABULARY frame, map-side combined. Scala
-    // substrings (UTF-16 CODE UNITS), not SQL substring (code
-    // points): the Viterbi window below slides in code units, and a
-    // seeding that counted "length" differently would emit non-BMP
-    // pieces the matcher can never span (seeded but permanently
-    // zero-count)
+    // seed candidates: every CODE-POINT substring of length
+    // 1..maxPieceLen of every distinct word, weighted by word
+    // frequency — one flatMap + aggregate over the VOCABULARY frame,
+    // map-side combined. Code-POINT windows (boundaries never split a
+    // surrogate pair): a UTF-16-indexed seeding emitted lone
+    // surrogates, which UTF8String silently encodes as '?' — distinct
+    // characters conflated into one phantom piece — and classified a
+    // supplementary-plane character as "multi" by SQL length while
+    // the matcher measured code units. The `cp` column (the piece's
+    // code-point count, intrinsic to the string) drives the
+    // alphabet/multi split below.
     val mplSeed = maxPieceLen
     // a LOCAL handle, released after the two seed collects: unlike
     // the declared-query ops, train() consumes its cache entirely
     // inside this call, so nothing needs to outlive it in the ledger
     val seedCache = new CacheHandle
     val subs = seedCache.persist(words.flatMap { case (w, n) =>
+      // code-point boundary indices into the UTF-16 string
+      val bnd = {
+        val b = Array.newBuilder[Int]
+        var i = 0
+        b += 0
+        while (i < w.length) {
+          i += Character.charCount(w.codePointAt(i)); b += i
+        }
+        b.result()
+      }
       for {
-        i <- 0 until w.length
-        k <- 1 to math.min(mplSeed, w.length - i)
-      } yield (w.substring(i, i + k), n)
-    }.toDF("piece", "n")
-      .groupBy("piece").agg(sum(col("n")).as("cnt")))
+        a <- 0 until bnd.length - 1
+        k <- 1 to math.min(mplSeed, bnd.length - 1 - a)
+      } yield (w.substring(bnd(a), bnd(a + k)), n, k)
+    }.toDF("piece", "n", "cp")
+      .groupBy("piece").agg(sum(col("n")).as("cnt"),
+        max(col("cp")).as("cp")))
     // both collects bounded by LIMIT literals (seedSize / maxAlphabet)
-    val alphabet = subs.filter(length(col("piece")) === 1)
+    val alphabet = subs.filter(col("cp") === 1)
+      .select(col("piece"), col("cnt"))
       .orderBy(col("cnt").desc, col("piece")).limit(maxAlphabet)
       .as[(String, Long)].collect()
-    val multiSeed = subs.filter(length(col("piece")) > 1)
+    val multiSeed = subs.filter(col("cp") > 1)
+      .select(col("piece"), col("cnt"))
       .orderBy(col("cnt").desc, col("piece")).limit(seedSize)
       .as[(String, Long)].collect()
     seedCache.release()
@@ -166,7 +187,10 @@ object UnigramLmTrainer {
     while (round < emIters) {
       val total = counts.valuesIterator.sum.toDouble
       val lp = counts.map { case (p, c) => p -> math.log(c / total) }
-      val mpl = maxPieceLen
+      // the DP window slides in CODE UNITS: size it to the longest
+      // live piece's code-unit length (a maxPieceLen-code-point piece
+      // of supplementary-plane characters spans 2x the units)
+      val mpl = counts.keysIterator.map(_.length).maxOption.getOrElse(1)
       // E-step: one distributed Viterbi pass over the word frame; the
       // lp map is closure-shipped (bounded: seedSize + maxAlphabet)
       val stepCounts = words.mapPartitions { it =>
@@ -222,12 +246,14 @@ object UnigramLmTrainer {
     import spark.implicits._
     val lp = model.logProbs
     val mpl = math.max(1, model.maxPieceLen)
-    df.select(col(idCol).cast("long").as("id"),
+    df.select(expr(s"try_cast(`$idCol` AS BIGINT)").as("id"),
         posexplode(TextDedup.tokens(col(textCol)))
           .as(Seq("word_pos", "word")))
-      // a null (or non-castable) id would NPE the primitive-Long
-      // decode inside the task — the executor-lambda null rule;
-      // id-less rows are dropped, documented
+      // a null id would NPE the primitive-Long decode inside the
+      // task — the executor-lambda null rule — and under ANSI a plain
+      // cast of a NON-castable id THROWS in the projection before any
+      // filter could drop the row (the guard-at-the-producing-
+      // projection rule): try_cast makes both shapes a dropped row
       .filter(col("id").isNotNull && length(col("word")) > 0)
       .as[(Long, Int, String)]
       .mapPartitions { it =>

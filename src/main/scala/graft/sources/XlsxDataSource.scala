@@ -85,16 +85,20 @@ object XlsxDataSource {
     */
   def expandPaths(paths: Seq[String]): Seq[String] =
     paths.flatMap { p0 =>
-      val sep = p0.indexOf("://")
-      // file:// is accepted by stripping the scheme down to the OS
-      // path (literal bytes, no percent-decoding) — letting it
-      // through UNstripped would resurrect the opaque ZipFile error
-      // this guard exists to remove; a file://host/... remote-host
-      // form is rejected like the other schemes
+      // file: is accepted by stripping the scheme down to the OS path
+      // (literal bytes, no percent-decoding) — letting it through
+      // UNstripped would resurrect the opaque ZipFile error this
+      // guard exists to remove. Both URI spellings are handled:
+      // file:///p and file:/p (java.io.File.toURI's single-slash
+      // form); file://host/... keeps its authority and is rejected
+      // below like the other remote schemes.
       val p =
-        if (sep > 0 && p0.substring(0, sep) == "file" &&
-          p0.substring(sep + 3).startsWith("/")) p0.substring(sep + 3)
-        else p0
+        if (p0.startsWith("file:")) {
+          val rest = p0.stripPrefix("file:")
+          if (rest.startsWith("///")) rest.substring(2)
+          else if (rest.startsWith("/") && !rest.startsWith("//")) rest
+          else p0 // file://host/... or malformed — rejected below
+        } else p0
       if (p.indexOf("://") > 0)
         throw new IllegalArgumentException(
           s"xlsx source reads the LOCAL filesystem only (ZipFile), got " +

@@ -82,22 +82,11 @@ class StreamAnnFuzzSpec extends AnyFunSuite with PropHelpers {
       val rows = c.vecs.indices.map(i => StreamAnn.Vec(
         i.toLong, new Timestamp(Base + c.secs(i) * 1000L),
         c.vecs(i))).toVector
-      val batches: Vector[Vector[StreamAnn.Vec]] = {
-        val bounds = (0 +: c.cuts :+ rows.length).distinct.sorted
-        bounds.sliding(2).map(w => rows.slice(w(0), w(1))).toVector
-          .filter(_.nonEmpty)
-      }
-      val withRe = batches.zipWithIndex.map { case (b, bi) =>
-        val origBatchOf = (i: Int) =>
-          batches.indexWhere(_.exists(_.vec_id == i.toLong))
-        val maxTsThrough = batches.take(bi + 1).flatten
-          .map(_.ts.getTime).max
-        b ++ c.redeliveries.collect {
-          case (i, rb) if math.min(rb, batches.length - 1) == bi &&
-            origBatchOf(i) >= 0 && origBatchOf(i) <= bi &&
-            maxTsThrough - rows(i).ts.getTime <= HorizonMs => rows(i)
-        }
-      }
+      val batches = sliceBatches(rows, c.cuts)
+      val withRe = withRedeliveries(batches, c.redeliveries,
+        (v: StreamAnn.Vec, i: Int) => v.vec_id == i.toLong, rows(_),
+        eligible = (i, bi) => batches.take(bi + 1).flatten
+          .map(_.ts.getTime).max - rows(i).ts.getTime <= HorizonMs)
       val input = MemoryStream[StreamAnn.Vec]
       val sink = s"sann_fuzz_${System.nanoTime()}"
       // delay > horizon: with "0 seconds" any row whose event time

@@ -66,21 +66,9 @@ class StreamCdcFuzzSpec extends AnyFunSuite with PropHelpers {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     forAll(caseGen, n = 15) { c =>
-      val batches: Vector[Vector[StreamCdc.Change]] = {
-        val bounds = (0 +: c.cuts :+ c.changes.length).distinct.sorted
-        bounds.sliding(2).map(w => c.changes.slice(w(0), w(1))).toVector
-          .filter(_.nonEmpty)
-      }
-      // redeliver change i inside batch b, but never before its
-      // original delivery (at-least-once, not reordering)
-      val withRe = batches.zipWithIndex.map { case (b, bi) =>
-        val origBatchOf = (i: Int) =>
-          batches.indexWhere(_.exists(_.sub == i.toLong))
-        b ++ c.redeliveries.collect {
-          case (i, rb) if math.min(rb, batches.length - 1) == bi &&
-            origBatchOf(i) >= 0 && origBatchOf(i) <= bi => c.changes(i)
-        }
-      }
+      val batches = sliceBatches(c.changes, c.cuts)
+      val withRe = withRedeliveries(batches, c.redeliveries,
+        (x: StreamCdc.Change, i: Int) => x.sub == i.toLong, c.changes(_))
       val input = MemoryStream[StreamCdc.Change]
       val sink = s"cdc_fuzz_${System.nanoTime()}"
       val q = StreamCdc.applyChangelog(input.toDF())

@@ -85,25 +85,14 @@ class StreamDedupFuzzSpec extends AnyFunSuite with PropHelpers {
       val docs = c.texts.indices.map(i => StreamDedup.Doc(
         i.toLong, new Timestamp(Base + c.secs(i) * 1000L),
         c.texts(i))).toVector
-      val batches: Vector[Vector[StreamDedup.Doc]] = {
-        val bounds = (0 +: c.cuts :+ docs.length).distinct.sorted
-        bounds.sliding(2).map(w => docs.slice(w(0), w(1))).toVector
-          .filter(_.nonEmpty)
-      }
-      // redeliver doc i in a later batch ONLY while it is still
-      // inside the horizon of every event seen so far (redelivery
-      // after eviction is outside the operator's exactness domain)
-      val withRe = batches.zipWithIndex.map { case (b, bi) =>
-        val origBatchOf = (i: Int) =>
-          batches.indexWhere(_.exists(_.doc_id == i.toLong))
-        val maxSecThrough = batches.take(bi + 1).flatten
-          .map(d => d.ts.getTime).max
-        b ++ c.redeliveries.collect {
-          case (i, rb) if math.min(rb, batches.length - 1) == bi &&
-            origBatchOf(i) >= 0 && origBatchOf(i) <= bi &&
-            maxSecThrough - docs(i).ts.getTime <= HorizonMs => docs(i)
-        }
-      }
+      val batches = sliceBatches(docs, c.cuts)
+      // eligibility: redeliver ONLY while the doc is still inside the
+      // horizon of everything seen so far (redelivery after eviction
+      // is outside the operator's exactness domain)
+      val withRe = withRedeliveries(batches, c.redeliveries,
+        (d: StreamDedup.Doc, i: Int) => d.doc_id == i.toLong, docs(_),
+        eligible = (i, bi) => batches.take(bi + 1).flatten
+          .map(_.ts.getTime).max - docs(i).ts.getTime <= HorizonMs)
       val input = MemoryStream[StreamDedup.Doc]
       val sink = s"sdedup_fuzz_${System.nanoTime()}"
       // delay > horizon (the StreamAnnFuzzSpec rationale): ties at a

@@ -56,19 +56,9 @@ class StreamGapsFuzzSpec extends AnyFunSuite with PropHelpers {
     forAll(caseGen, n = 15) { c =>
       val events = c.secs.indices.map(i =>
         (c.users(i), c.secs(i) * 1000000000L, i.toLong)).toVector
-      val batches: Vector[Vector[(Long, Long, Long)]] = {
-        val bounds = (0 +: c.cuts :+ events.length).distinct.sorted
-        bounds.sliding(2).map(w => events.slice(w(0), w(1))).toVector
-          .filter(_.nonEmpty)
-      }
-      val withRe = batches.zipWithIndex.map { case (b, bi) =>
-        val origBatchOf = (i: Int) =>
-          batches.indexWhere(_.exists(_._3 == i.toLong))
-        b ++ c.redeliveries.collect {
-          case (i, rb) if math.min(rb, batches.length - 1) == bi &&
-            origBatchOf(i) >= 0 && origBatchOf(i) <= bi => events(i)
-        }
-      }
+      val batches = sliceBatches(events, c.cuts)
+      val withRe = withRedeliveries(batches, c.redeliveries,
+        (e: (Long, Long, Long), i: Int) => e._3 == i.toLong, events(_))
       val input = MemoryStream[(Long, Long, Long)]
       val sink = s"gaps_fuzz_${System.nanoTime()}"
       val q = StreamGaps.detectGaps(

@@ -65,23 +65,9 @@ class StreamQuotaFuzzSpec extends AnyFunSuite with PropHelpers {
     forAll(caseGen, n = 15) { c =>
       val events = c.times.indices.map(i =>
         (c.users(i), c.times(i) * 1000000000L, i.toLong)).toVector
-      val batches: Vector[Vector[(Long, Long, Long)]] = {
-        val bounds = (0 +: c.cuts :+ events.length).distinct.sorted
-        bounds.sliding(2).map(w => events.slice(w(0), w(1))).toVector
-          .filter(_.nonEmpty)
-      }
-      // a redelivery re-sends event i inside batch b (or the last
-      // batch if b is past the end) — the at-least-once transport,
-      // but never EARLIER than the original delivery (time-ordered
-      // exactness domain)
-      val withRe = batches.zipWithIndex.map { case (b, bi) =>
-        val origBatchOf = (i: Int) =>
-          batches.indexWhere(_.exists(_._3 == i.toLong))
-        b ++ c.redeliveries.collect {
-          case (i, rb) if math.min(rb, batches.length - 1) == bi &&
-            origBatchOf(i) >= 0 && origBatchOf(i) <= bi => events(i)
-        }
-      }
+      val batches = sliceBatches(events, c.cuts)
+      val withRe = withRedeliveries(batches, c.redeliveries,
+        (e: (Long, Long, Long), i: Int) => e._3 == i.toLong, events(_))
       val input = MemoryStream[(Long, Long, Long)]
       val sink = s"quota_fuzz_${System.nanoTime()}"
       val q = StreamQuota.perUserHourly(

@@ -65,25 +65,32 @@ class UnigramLmSpec extends AnyFunSuite {
       vocabSize: Int, seedSize: Int, maxLen: Int, iters: Int,
       maxAlphabet: Int): Seq[(Int, String, Long)] = {
     val subCnt = collection.mutable.Map.empty[String, Long]
+    // code-POINT windows, built independently of the trainer's
+    // boundary walk: materialize the code-point array and re-encode
     wordFreqs.foreach { case (w, n) =>
-      for (i <- 0 until w.length;
-           k <- 1 to math.min(maxLen, w.length - i))
-        subCnt.updateWith(w.substring(i, i + k)) {
+      val cps = w.codePoints().toArray
+      for (i <- cps.indices;
+           k <- 1 to math.min(maxLen, cps.length - i))
+        subCnt.updateWith(new String(cps, i, k)) {
           c => Some(c.getOrElse(0L) + n)
         }
     }
-    val alpha = subCnt.filter(_._1.length == 1).toSeq
+    def cpLen(p: String): Int = p.codePointCount(0, p.length)
+    val alpha = subCnt.filter(e => cpLen(e._1) == 1).toSeq
       .sortBy { case (p, c) => (-c, p) }.take(maxAlphabet)
     val alphaSet = alpha.map(_._1).toSet
-    val multi = subCnt.filter(_._1.length > 1).toSeq
+    val multi = subCnt.filter(e => cpLen(e._1) > 1).toSeq
       .sortBy { case (p, c) => (-c, p) }.take(seedSize)
     var counts = (alpha ++ multi).toMap
     (1 to iters).foreach { _ =>
       val total = counts.values.sum.toDouble
       val lp = counts.map { case (p, c) => p -> math.log(c / total) }
+      // the segmentation window is the longest live piece's
+      // code-UNIT length, like the trainer
+      val window = counts.keysIterator.map(_.length).maxOption.getOrElse(1)
       val step = collection.mutable.Map.empty[String, Long]
       wordFreqs.foreach { case (w, n) =>
-        refBest(w, lp, maxLen).foreach(_.foreach(p =>
+        refBest(w, lp, window).foreach(_.foreach(p =>
           step.updateWith(p)(c => Some(c.getOrElse(0L) + n))))
       }
       counts = counts.flatMap { case (p, _) =>
@@ -94,7 +101,7 @@ class UnigramLmSpec extends AnyFunSuite {
         }
       }
     }
-    val (af, mf) = counts.toSeq.partition(p => alphaSet(p._1))
+    val (af, mf) = counts.toSeq.partition(e => alphaSet(e._1))
     val keep = (af ++ mf.sortBy { case (p, c) => (-c, p) }
       .take(math.max(0, vocabSize - af.size)))
       .sortBy { case (p, c) => (-c, p) }
@@ -108,8 +115,11 @@ class UnigramLmSpec extends AnyFunSuite {
     texts.toDF("text")
   }
 
+  // the trainer tokenizes with TextDedup.tokens = split(trim, " "):
+  // single SPACES only (other whitespace rides inside tokens) — the
+  // reference must count words identically
   private def wordFreqs(texts: Seq[String]): Seq[(String, Long)] =
-    texts.flatMap(_.split("\\s+")).filter(_.nonEmpty)
+    texts.flatMap(_.split(" ")).filter(_.nonEmpty)
       .groupBy(identity).map { case (w, g) => (w, g.size.toLong) }.toSeq
 
   test("trainer matches the exhaustive-reference EM exactly on a repeated-bigram corpus") {
@@ -135,6 +145,26 @@ class UnigramLmSpec extends AnyFunSuite {
     // the whole alphabet survives pruning (coverage invariant)
     val pieces = got.map(_._2).toSet
     assert(Set("x", "y", "z").subsetOf(pieces))
+  }
+
+  test("non-BMP corpora: surrogate pairs stay whole, parity holds, no phantom '?' pieces") {
+    // U+1D11E (musical G clef) is 2 UTF-16 code units: a code-unit
+    // seeding emitted lone surrogates (silently '?' in UTF8String)
+    // and classified the character as a MULTI piece while the
+    // reference called it alphabet — the r14 review finding
+    val clef = new String(Character.toChars(0x1D11E))
+    val texts = Seq(s"$clef$clef ab$clef ab", s"ab $clef$clef$clef x",
+      s"x$clef ab")
+    val got = UnigramLmTrainer.train(corpusDF(texts), "text",
+      vocabSize = 10, seedSize = 12, maxPieceLen = 2, emIters = 3)
+      .pieces.map(p => (p.rank, p.piece, p.count))
+    val want = refTrain(wordFreqs(texts), 10, 12, 2, 3, 1000)
+    assert(got == want)
+    val pieces = got.map(_._2)
+    assert(pieces.contains(clef)) // one CODE POINT -> alphabet piece
+    assert(!pieces.exists(_.contains("?")))
+    assert(!pieces.exists(p => Character.isHighSurrogate(p.last) ||
+      Character.isLowSurrogate(p.head))) // no broken pairs ever seeded
   }
 
   test("viterbi equals exhaustive search: score, piece count, and tie chain") {

@@ -82,10 +82,13 @@ class XlsxDataSourceSpec extends AnyFunSuite {
     // plain local paths are untouched by the guard
     assert(graft.sources.XlsxDataSource.expandPaths(Seq("/tmp/x.xlsx")) ==
       Seq("/tmp/x.xlsx"))
-    // file:// is accepted by stripping the scheme to the OS path —
-    // unstripped it would fall through to the opaque ZipFile error
+    // file: is accepted by stripping the scheme to the OS path —
+    // unstripped it would fall through to the opaque ZipFile error;
+    // BOTH URI spellings work (file:/// and File.toURI's file:/)
     assert(graft.sources.XlsxDataSource.expandPaths(
       Seq("file:///tmp/x.xlsx")) == Seq("/tmp/x.xlsx"))
+    assert(graft.sources.XlsxDataSource.expandPaths(
+      Seq("file:/tmp/x.xlsx")) == Seq("/tmp/x.xlsx"))
     // the remote-host file form is rejected like any remote scheme
     intercept[IllegalArgumentException] {
       graft.sources.XlsxDataSource.expandPaths(
