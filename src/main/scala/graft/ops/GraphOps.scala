@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Link-analysis over distributed edge lists.
@@ -268,6 +268,66 @@ object GraphOps {
     val capped0 = base.join(over.select(col("__k")), Seq("__k"), "left_anti")
     (pairFold(capped0, minShared),
       over.select(col("__k").as(keyCol), col("n_members")))
+  }
+
+  /** [[coOccurrenceEdgesAudited]] with a per-key weight summed across
+    * each pair's shared keys — the fold behind degree-weighted
+    * neighborhood scores (Adamic–Adar's Σ 1/ln(deg(k)), resource
+    * allocation's Σ 1/deg(k)): rarely-shared keys say more than hubs.
+    *
+    * `keyWeight` maps the key's item-degree column (BIGINT, always
+    * ≥ 2 when evaluated — see below) to the weight each pair earns
+    * from that key. The weight is computed ONCE per key on the degree
+    * aggregate, never on the quadratic pair rows, and should produce
+    * an order-independent summable type (DECIMAL, or scaled longs)
+    * when the output is hash-gated.
+    *
+    * Keys with degree 1 contribute no pairs at all, so the weighted
+    * fold prunes them BEFORE applying `keyWeight` — identical results
+    * for any weight, and expressions like 1/ln(deg) never see ln(1)=0
+    * under ANSI (the guard-at-producing-projection rule).
+    *
+    * @return (edges, over) — edges as (ia, ib, shared, wsum) with
+    *         ia < ib, shared ≥ minShared, wsum = Σ keyWeight(deg(k))
+    *         over the pair's shared keys; over as in
+    *         [[coOccurrenceEdgesAudited]].
+    */
+  def coOccurrenceEdgesWeightedAudited(
+      rel: DataFrame,
+      itemCol: String,
+      keyCol: String,
+      minShared: Long,
+      maxKeyDegree: Int,
+      keyWeight: Column => Column,
+      handle: CacheHandle = null,
+      preDeduplicated: Boolean = false): (DataFrame, DataFrame) = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxKeyDegree > 0, s"maxKeyDegree must be positive, got $maxKeyDegree")
+    val renamed = rel.select(col(itemCol).as("__i"), col(keyCol).as("__k"))
+    val base =
+      if (preDeduplicated) renamed
+      else CacheHandle.persistWith(handle, renamed.distinct())
+    val over = CacheHandle.persistWith(handle,
+      TextDedup.overCapBuckets(base, Seq("__k"), maxKeyDegree))
+    // no broadcast hint on the anti side — corpus-derived (the
+    // capBuckets rule); AQE converts when it measures small
+    val capped0 = base.join(over.select(col("__k")), Seq("__k"), "left_anti")
+    // degrees of SURVIVING keys only (capBuckets drops whole keys, so
+    // a survivor's degree equals its pre-cap degree); corpus-derived,
+    // so no broadcast hint here either
+    val degW = capped0.groupBy("__k").agg(count(lit(1)).as("__deg"))
+      .filter(col("__deg") >= 2)
+      .select(col("__k"), keyWeight(col("__deg")).as("__w"))
+    val capped =
+      capped0.repartition(ScaleOps.fanoutWidth(capped0), col("__k"))
+    val edges = capped.select(col("__i").as("ia"), col("__k"))
+      .join(degW, "__k") // inner: prunes pair-free degree-1 keys
+      .join(capped.select(col("__i").as("ib"), col("__k")), "__k")
+      .filter(col("ia") < col("ib"))
+      .groupBy("ia", "ib")
+      .agg(count(lit(1)).as("shared"), sum(col("__w")).as("wsum"))
+      .filter(col("shared") >= minShared)
+    (edges, over.select(col("__k").as(keyCol), col("n_members")))
   }
 
   /** The shared candidate fold: key-partitioned self-join → pair

@@ -2144,12 +2144,20 @@ object AnalyticsQueries {
     // bipartite graph: candidate supplier pairs scored by
     // Σ 1/ln(deg(z)) over their common customers z (rarely-shared
     // customers say more than hubs — the weighting that beats raw
-    // common-neighbor counts). Cross-engine exactness: every term is
-    // cast to DECIMAL(20,12) BEFORE the sum (order-independent — the
-    // QualityModel gradient treatment), so the per-pair score never
-    // depends on aggregation order; common neighbors have degree ≥ 2
-    // by construction, so ln never sees 1. Top-20 via distributed
-    // TakeOrdered on the rounded score.
+    // common-neighbor counts). Runs the PRODUCTION cap contract the
+    // q_jaccard_capped way: the weighted fold routes through
+    // GraphOps.coOccurrenceEdgesWeightedAudited(maxKeyDegree) — hot
+    // customers are dropped via the audited anti-join before the
+    // quadratic pair fan-out — with a cap that provably exceeds every
+    // gate-corpus customer degree (max 102 at sf0.1), so nothing is
+    // dropped and the result hash-matches the same uncapped oracle.
+    // The emptiness require turns a corpus regeneration violating
+    // that precondition into a named failure, not a silent hash red.
+    // Cross-engine exactness: every term is cast to DECIMAL(20,12)
+    // BEFORE the sum (order-independent); the fold computes the term
+    // once per CUSTOMER on the degree aggregate (never per pair row)
+    // and only for deg >= 2 — see the keyWeight contract. Top-20 via
+    // distributed TakeOrdered on the rounded score.
     "q_adamic_adar" -> ((s, dir) => {
       val e = t(s, dir, "lineitem")
         .select(col("l_suppkey"), col("l_orderkey"))
@@ -2159,28 +2167,18 @@ object AnalyticsQueries {
         .select(col("l_suppkey").as("sp"), col("o_custkey").as("c"))
         .distinct()
         .transform(graft.ops.QueryCaches.persist) // pair sides + degrees
-      // the term is a function of the CUSTOMER's degree alone —
-      // computed once per customer here, not once per pair row (a
-      // |pairs|/|customers| ≈ 1000× saving on the ln+decimal work)
-      // deg >= 2 BEFORE the term: a degree-1 customer can never sit
-      // between two suppliers, but ANSI mode evaluates 1/ln(deg) for
-      // every degc row during the join — ln(1) = 0 raised
-      // DIVIDE_BY_ZERO the first time a single-supplier customer
-      // appeared in the corpus (sf0.1; smaller gates are denser).
-      // The oracle needs no change: DuckDB computes the term only on
-      // pair-joined rows, which are deg >= 2 by construction.
-      val degc = e.groupBy("c").agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= 2)
-        .withColumn("term", (lit(1.0) / log(col("deg").cast("double")))
-          .cast("decimal(20,12)"))
-      e.select(col("sp").as("ia"), col("c"))
-        .join(e.select(col("sp").as("ib"), col("c")), "c")
-        .filter(col("ia") < col("ib"))
-        .join(degc, "c")
-        .groupBy("ia", "ib")
-        .agg(count(lit(1)).as("shared"), sum(col("term")).as("aa"))
-        .select(col("ia"), col("ib"), col("shared"),
-          round(col("aa").cast("double"), 6).as("aa_r"))
+      e.count() // eager: self-join sides + degree branch race a lazy cache
+      val cap = 500
+      val (edges, over) = graft.ops.GraphOps.coOccurrenceEdgesWeightedAudited(
+        e, "sp", "c", minShared = 1L, maxKeyDegree = cap,
+        keyWeight = d => (lit(1.0) / log(d.cast("double")))
+          .cast("decimal(20,12)"),
+        preDeduplicated = true) // e IS distinct(sp,c), persisted, counted
+      require(over.isEmpty,
+        s"q_adamic_adar precondition: a customer exceeds cap=$cap — the " +
+          "capped plan would no longer match the uncapped oracle")
+      edges.select(col("ia"), col("ib"), col("shared"),
+          round(col("wsum").cast("double"), 6).as("aa_r"))
         .orderBy(col("aa_r").desc, col("ia"), col("ib")).limit(20)
     }),
 

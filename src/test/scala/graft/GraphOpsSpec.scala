@@ -160,4 +160,42 @@ class GraphOpsSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap == got)
     graft.ops.QueryCaches.releaseAll()
   }
+
+  test("coOccurrenceEdgesWeightedAudited: wsum = Σ weight(deg) over shared keys; cap drops hot keys from both") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, log}
+    // x,y share k2 (deg 2) and k3 (deg 3); x,z share only k3; khot
+    // (deg 40) is over a cap of 10 and must contribute to NEITHER
+    // shared nor wsum. k1 has degree 1: its weight must never be
+    // evaluated (1/ln(1) raises under ANSI) and it produces no pairs.
+    val hot = (1 to 40).map(i => (f"i$i%02d", "khot"))
+    val rel = (Seq(("x", "k1"),
+      ("x", "k2"), ("y", "k2"),
+      ("x", "k3"), ("y", "k3"), ("z", "k3"),
+      ("x", "khot"), ("y", "khot")) ++ hot).toDF("item", "k")
+    val (edges, over) = GraphOps.coOccurrenceEdgesWeightedAudited(
+      rel, "item", "k", minShared = 1L, maxKeyDegree = 10,
+      keyWeight = d => (lit(1.0) / log(d.cast("double")))
+        .cast("decimal(20,12)"))
+    assert(over.collect().map(r => r.getString(0)).toSeq == Seq("khot"))
+    val got = edges.collect().map(r =>
+      (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDecimal(3).doubleValue()))).toMap
+    val w2 = 1.0 / math.log(2.0)
+    val w3 = 1.0 / math.log(3.0)
+    assert(got.keySet == Set(("x", "y"), ("x", "z"), ("y", "z")))
+    assert(got(("x", "y"))._1 == 2L)
+    assert(math.abs(got(("x", "y"))._2 - (w2 + w3)) < 1e-9)
+    assert(got(("x", "z"))._1 == 1L)
+    assert(math.abs(got(("x", "z"))._2 - w3) < 1e-9)
+    assert(math.abs(got(("y", "z"))._2 - w3) < 1e-9)
+    // minShared prunes on the shared COUNT, independent of weights
+    val (strict, _) = GraphOps.coOccurrenceEdgesWeightedAudited(
+      rel, "item", "k", minShared = 2L, maxKeyDegree = 10,
+      keyWeight = d => (lit(1.0) / log(d.cast("double")))
+        .cast("decimal(20,12)"))
+    assert(strict.collect().map(r =>
+      (r.getString(0), r.getString(1))).toSet == Set(("x", "y")))
+    graft.ops.QueryCaches.releaseAll()
+  }
 }

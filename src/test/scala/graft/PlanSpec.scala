@@ -297,8 +297,13 @@ class PlanSpec extends AnyFunSuite {
     graft.ops.QueryCaches.releaseAll()
   }
 
-  test("q_adamic_adar: keyed pair mining; term computed on the degree table") {
+  test("q_adamic_adar: capped weighted fold; term computed on the degree table") {
     val p = plan("q_adamic_adar")
+    // the PRODUCTION cap machinery — overCapBuckets feeding a
+    // left-anti join on the key — must be in the executed plan (the
+    // q_jaccard_capped contract); if it were optimized away the gate
+    // would prove nothing about the capped plan
+    assert(p.contains("LeftAnti"), s"cap anti-join missing in:\n$p")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoop"), p)
     // the ln+decimal term must ride the degree aggregate, not the
