@@ -230,6 +230,20 @@ object UnigramLmTrainer {
     })
   }
 
+  /** One piece per Unicode CODE POINT, surrogate pairs kept intact —
+    * the lossless per-character split for the OOV fallback.
+    */
+  private def codePointPieces(w: String): List[String] = {
+    val b = List.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      b += w.substring(i, i + n)
+      i += n
+    }
+    b.result()
+  }
+
   /** Segment a corpus with a trained model: Viterbi under the final
     * piece log-probabilities, executor-parallel; words with uncovered
     * characters fall back to per-character pieces with null-handled
@@ -258,8 +272,13 @@ object UnigramLmTrainer {
       .as[(Long, Int, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, wp, w) =>
+          // OOV fallback splits by CODE POINT, not UTF-16 code unit:
+          // per-char split of a supplementary-plane character emits
+          // lone surrogates, which UTF8String encodes as '?' —
+          // reassembly would be lossy (the same corruption class the
+          // train()-side code-point seeding avoids)
           val pieces = viterbi(w, lp, mpl)
-            .getOrElse(w.map(_.toString).toList)
+            .getOrElse(codePointPieces(w))
           pieces.iterator.zipWithIndex.map { case (p, sp) =>
             (id, wp.toLong, w, sp.toLong, p)
           }

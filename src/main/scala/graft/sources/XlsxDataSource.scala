@@ -85,19 +85,25 @@ object XlsxDataSource {
     */
   def expandPaths(paths: Seq[String]): Seq[String] =
     paths.flatMap { p0 =>
-      // file: is accepted by stripping the scheme down to the OS path
-      // (literal bytes, no percent-decoding) — letting it through
-      // UNstripped would resurrect the opaque ZipFile error this
-      // guard exists to remove. Both URI spellings are handled:
-      // file:///p and file:/p (java.io.File.toURI's single-slash
-      // form); file://host/... keeps its authority and is rejected
-      // below like the other remote schemes.
+      // file: is accepted by URI decoding, because the common
+      // producers of file: URIs (java.io.File.toURI / Path.toUri)
+      // PERCENT-ENCODE spaces and non-ASCII — a literal strip of
+      // 'file:///a%20b.xlsx' would pass the scheme guard and then
+      // fail the lookup with the very opaque NoSuchFile/ZipException
+      // this guard exists to name. Paths.get(URI) handles both
+      // hierarchical spellings (file:///p and file:/p) and itself
+      // rejects file://host/... (authority) and the schemeless
+      // 'file:relative' opaque form — those become the named error.
       val p =
         if (p0.startsWith("file:")) {
-          val rest = p0.stripPrefix("file:")
-          if (rest.startsWith("///")) rest.substring(2)
-          else if (rest.startsWith("/") && !rest.startsWith("//")) rest
-          else p0 // file://host/... or malformed — rejected below
+          try java.nio.file.Paths.get(java.net.URI.create(p0)).toString
+          catch {
+            case e: Exception => throw new IllegalArgumentException(
+              s"xlsx source reads the LOCAL filesystem only (ZipFile); " +
+                s"cannot map file: URI to a local path: $p0 " +
+                s"(${e.getClass.getSimpleName}: ${e.getMessage}) — " +
+                "use an absolute file:///path form or a plain OS path")
+          }
         } else p0
       if (p.indexOf("://") > 0)
         throw new IllegalArgumentException(

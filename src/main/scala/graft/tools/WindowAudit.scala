@@ -139,9 +139,15 @@ object WindowAudit {
     }
     spark.listenerManager.register(listener)
     try {
+      // NonFatal only: an OOM/VM error during one query's build must
+      // abort the sweep, not be recorded as that query's plan error
+      // while the sweep keeps running in a broken JVM
       val a =
         try Right(build)
-        catch { case e: Throwable => Left(e.getClass.getSimpleName) }
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            Left(e.getClass.getSimpleName)
+        }
       org.apache.spark.sql.graftshim.Bridge
         .drainListenerBus(spark.sparkContext)
       (a, hits.get)

@@ -195,6 +195,24 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(out.filter(_._1 == "qq").map(_._2).toSeq == Seq("q", "q"))
   }
 
+  test("segment: OOV fallback splits by code point — no lone surrogates") {
+    import spark.implicits._
+    // U+1D11E is 2 UTF-16 units and NOT in the trained alphabet: a
+    // code-unit fallback would emit two lone-surrogate pieces (each
+    // silently '?' in UTF8String) — reassembly must be lossless
+    val clef = new String(Character.toChars(0x1D11E))
+    val m = UnigramLmTrainer.train(
+      corpusDF(Seq("aa bb aa")), "text",
+      vocabSize = 4, seedSize = 4, maxPieceLen = 2, emIters = 1)
+    val out = UnigramLmTrainer.segment(
+      Seq((1L, s"a$clef${clef}q")).toDF("id", "text"), "id", "text", m)
+      .orderBy("word_pos", "sub_pos")
+      .select("piece").as[String].collect().toSeq
+    assert(out == Seq("a", clef, clef, "q"))
+    assert(out.mkString == s"a$clef${clef}q") // lossless reassembly
+    assert(!out.exists(_.contains("?")))
+  }
+
   test("segment drops null-id rows instead of crashing the decode") {
     import spark.implicits._
     val m = UnigramLmTrainer.train(

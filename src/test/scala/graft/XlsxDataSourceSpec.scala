@@ -82,17 +82,32 @@ class XlsxDataSourceSpec extends AnyFunSuite {
     // plain local paths are untouched by the guard
     assert(graft.sources.XlsxDataSource.expandPaths(Seq("/tmp/x.xlsx")) ==
       Seq("/tmp/x.xlsx"))
-    // file: is accepted by stripping the scheme to the OS path —
-    // unstripped it would fall through to the opaque ZipFile error;
-    // BOTH URI spellings work (file:/// and File.toURI's file:/)
+    // file: is accepted by URI decoding — unstripped it would fall
+    // through to the opaque ZipFile error; BOTH URI spellings work
+    // (file:/// and File.toURI's file:/)
     assert(graft.sources.XlsxDataSource.expandPaths(
       Seq("file:///tmp/x.xlsx")) == Seq("/tmp/x.xlsx"))
     assert(graft.sources.XlsxDataSource.expandPaths(
       Seq("file:/tmp/x.xlsx")) == Seq("/tmp/x.xlsx"))
-    // the remote-host file form is rejected like any remote scheme
-    intercept[IllegalArgumentException] {
-      graft.sources.XlsxDataSource.expandPaths(
-        Seq("file://nas01/share/x.xlsx"))
+    // percent-encoded forms (what File.toURI / Path.toUri actually
+    // PRODUCE for spaces and non-ASCII) decode to the literal path —
+    // a byte-strip would look up 'a%20b.xlsx' and miss
+    assert(graft.sources.XlsxDataSource.expandPaths(
+      Seq("file:///tmp/a%20b.xlsx")) == Seq("/tmp/a b.xlsx"))
+    // round-trip of what Path.toUri actually produces for a space
+    // (non-ASCII is locale-dependent in this JVM's POSIX charset and
+    // can't be pinned portably)
+    assert(graft.sources.XlsxDataSource.expandPaths(
+      Seq(java.nio.file.Paths.get("/tmp/a b.xlsx").toUri.toString)) ==
+      Seq("/tmp/a b.xlsx"))
+    // rejected with the NAMED error, never a fall-through:
+    // remote-host file form, schemeless relative form, bad encoding
+    for (bad <- Seq("file://nas01/share/x.xlsx", "file:relative.xlsx",
+        "file:///tmp/bad%ZZ.xlsx")) {
+      val e = intercept[IllegalArgumentException] {
+        graft.sources.XlsxDataSource.expandPaths(Seq(bad))
+      }
+      assert(e.getMessage.contains("LOCAL filesystem only"), bad)
     }
   }
 
