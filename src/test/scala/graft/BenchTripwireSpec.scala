@@ -47,4 +47,23 @@ class BenchTripwireSpec extends AnyFunSuite {
       k -> math.min(v, 3.8) } // still slow when idle
     assert(Bench.regressions(retimed, base) == Seq(("q_a", 3.8, 1.0)))
   }
+
+  test("foldRetimes: map and tripwire carry the SAME folded values") {
+    // r14's artifact self-contradiction: the tripwire reported the
+    // post-retime min while the queries map kept the pre-retime one.
+    // q_a is a contention false positive (retime clears it), q_c a
+    // real regression (retime still slow) — the reported map must
+    // carry the folded min for BOTH, and every tripwire row must
+    // equal the map's value for its key.
+    val measured = Map("q_a" -> 2.6, "q_b" -> 0.4, "q_c" -> 9.0)
+    val retimes = Map("q_a" -> 0.9, "q_c" -> 8.5)
+    val (folded, rows) = Bench.foldRetimes(measured, base, retimes)
+    assert(folded == Map("q_a" -> 0.9, "q_b" -> 0.4, "q_c" -> 8.5))
+    assert(rows == Seq(("q_c", 8.5, 3.0))) // q_a cleared, q_c survives
+    rows.foreach { case (k, v, _) => assert(folded(k) == v) }
+    // unflagged rows are never retimed (the retime map would throw)
+    val (f2, r2) = Bench.foldRetimes(Map("q_b" -> 0.5), base,
+      (_: String) => fail("retimed an unflagged row"))
+    assert(f2 == Map("q_b" -> 0.5) && r2.isEmpty)
+  }
 }
