@@ -459,13 +459,11 @@ object Corpus {
       toks.groupBy("tok").agg(count(lit(1)).as("cnt")))
     val total = vocab.agg(sum("cnt").as("total"))
     // the vocabulary grows with the corpus (10^8–10^9 distinct tokens
-    // at 100 TB), so it must NOT carry a broadcast() hint — an
-    // explicit hint is honored unconditionally and would OOM the
-    // driver at scale. Unhinted, AQE broadcasts it when its MEASURED
-    // size fits and falls back to a shuffled join when it doesn't;
-    // the zero-vocab-shuffle path for standing corpora is
-    // [[writeVocabulary]] + [[unigramLogProbAgainst]]. Only the 1-row
-    // total keeps its hint (genuinely bounded).
+    // at 100 TB): NO broadcast() hint, AQE decides by measured size
+    // (see CLAUDE.md: broadcast-hint rule). The zero-vocab-shuffle
+    // path for standing corpora is [[writeVocabulary]] +
+    // [[unigramLogProbAgainst]]. Only the 1-row total keeps its hint
+    // (genuinely bounded).
     toks
       .join(vocab.crossJoin(broadcast(total)), Seq("tok"))
       .groupBy(idCol)
@@ -531,11 +529,9 @@ object Corpus {
     * join (persisted — pass a [[CacheHandle]]); the bigram vocabulary
     * aggregates map-side, and the prefix counts derive from the bigram
     * counts, never from a second corpus pass. Neither join carries a
-    * broadcast hint: a bigram vocab grows even faster than the unigram
-    * one, so strategy is left to AQE, which broadcasts by MEASURED
-    * size and shuffles on the shingle/prefix key when it doesn't fit
-    * (a forced hint would be honored unconditionally and OOM the
-    * driver at corpus scale).
+    * broadcast hint — a bigram vocab grows even faster than the
+    * unigram one; strategy is left to AQE (see CLAUDE.md:
+    * broadcast-hint rule).
     */
   def bigramLogProb(
       df: DataFrame,

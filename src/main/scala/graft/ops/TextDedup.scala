@@ -245,11 +245,10 @@ object TextDedup {
     * anti-join that carries NO broadcast hint: the over-cap set is
     * corpus-derived (bounded only by rows/maxBucket, which GROWS with
     * the corpus — a boilerplate-heavy 100 TB crawl can push 1e9 keys
-    * over a 1000-cap), and a forced broadcast() is honored
-    * unconditionally however big the side gets (the CLAUDE.md
-    * vocab-join rule; q_tfidf is the pinned precedent). AQE converts
-    * the join to a broadcast at runtime whenever the measured over-cap
-    * set is actually small — which at sane caps it is.
+    * over a 1000-cap; see CLAUDE.md: broadcast-hint rule, q_tfidf is
+    * the pinned precedent). AQE converts the join to a broadcast at
+    * runtime whenever the measured over-cap set is actually small —
+    * which at sane caps it is.
     *
     * Dropping is never silent: pair it with [[overCapBuckets]] — same
     * inputs, returns the dropped (key, n_members) set — to log/audit
@@ -584,14 +583,11 @@ object TextDedup {
     * the iteration, so every round runs over |V(edges)| ≪ |V|.
     *
     * Iteration hygiene: every round boundary is a LAZY
-    * `localCheckpoint` — never a bare `persist` — because persisting
-    * caches only DATA, not the PLAN; without a plan cut each round's
-    * logical tree re-embeds the previous round's several times and
-    * analysis/canonicalization goes exponential (a multi-level cached
-    * LSH pipeline measured 4.8M plan nodes by round 2). Lazy
-    * (eager = false) keeps it to ONE action per round — the exact
-    * set-equality convergence check, whose map stage doubles as the
-    * checkpoint materialization.
+    * `localCheckpoint`, never a bare `persist` (see CLAUDE.md:
+    * persist caches DATA, not the PLAN — uncut iterative plans go
+    * exponential). Lazy (eager = false) keeps it to ONE action per
+    * round — the exact set-equality convergence check, whose map
+    * stage doubles as the checkpoint materialization.
     *
     * `maxIter` is a safety bound far above the O(log² n) worst case
     * (25 rounds covers any component a real corpus can hold);

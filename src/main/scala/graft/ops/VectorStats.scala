@@ -12,11 +12,10 @@ import graft.expr.VectorFunctions
   * Scale stance: per-dimension stats are ONE exploded keyed aggregate
   * (posexplode → per-pos moments, map-side combined) — |dim| output
   * rows regardless of corpus size. The stats joined back for
-  * standardization carry an explicit broadcast hint, which is valid
-  * HERE because the row count is bounded by the embedding DIMENSION
-  * (a modeling constant, like a dimension table) — not by the corpus
-  * (Corpus.scala's rule forbids hints only on aggregates whose size
-  * grows with the data).
+  * standardization carry an explicit broadcast hint, valid HERE
+  * because the row count is bounded by the embedding DIMENSION — a
+  * modeling constant, not the corpus (see CLAUDE.md: broadcast-hint
+  * rule).
   */
 object VectorStats {
 

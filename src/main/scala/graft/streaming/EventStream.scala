@@ -187,9 +187,8 @@ object EventStream {
     * from a snapshot-isolating table format that retains old files.
     * The explicit `broadcast()` hint is
     * valid HERE because a modeled dimension is bounded by design
-    * (nation = 25 rows forever); corpus-DERIVED aggregates must never
-    * carry the hint (see Corpus.unigramLogProb's rule — an explicit
-    * hint is honored unconditionally).
+    * (nation = 25 rows forever); corpus-DERIVED aggregates never
+    * carry it (see CLAUDE.md: broadcast-hint rule).
     *
     * The watermark is declared on the stream BEFORE the join so event
     *-time tracking is independent of join selectivity; rows without a
