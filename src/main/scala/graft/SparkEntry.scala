@@ -58,5 +58,9 @@ object SparkEntry {
       graft.queries.VectorQueries.oracles ++
       graft.queries.CorpusQueries.oracles ++
       graft.queries.MediaQueries.oracles ++
-      graft.queries.StreamQueries.oracles
+      graft.queries.StreamQueries.oracles ++
+      // run-time-authored entries (piece tables interpolated by the
+      // query itself); empty until the owning queries have run, so
+      // Verify re-dumps oracle_sql.json after its loop
+      graft.queries.DynamicOracles.entries
 }

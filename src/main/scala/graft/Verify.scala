@@ -134,9 +134,12 @@ object Verify {
     // fresh outputs against THIS round's oracle SQL, not the previous
     // round's stale file (r14 harness review — a changed query+oracle
     // pair would otherwise false-red, or worse, false-green)
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    def writeOracle(): Unit = {
+      val json = SparkEntry.oracleSql
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    }
+    writeOracle()
     selected.foreach { case (name, fn) =>
       runOne(spark, sfDir, outDir, name, fn)
       // multi-branch queries persist() shared subplans, registered in
@@ -146,6 +149,11 @@ object Verify {
       graft.ops.QueryCaches.releaseAll()
       spark.catalog.clearCache()
     }
+    // re-dump AFTER the loop: queries that author their oracle at run
+    // time (DynamicOracles — piece tables interpolated from in-query
+    // training) have registered by now; an aborted run keeps the
+    // pre-loop file, so the static entries' abort-safety is unchanged
+    writeOracle()
     spark.stop()
   }
 }

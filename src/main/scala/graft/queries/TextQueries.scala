@@ -939,14 +939,19 @@ object TextQueries {
 
     // Unigram-LM segmentation with the trained model: Viterbi under
     // the final piece probabilities, executor-parallel, OOV
-    // characters fall back to raw chars (rows-only with the same
-    // spec-pinned exactness as q_unigram_lm; lossless reassembly is
-    // asserted in UnigramLmSpec).
+    // characters fall back to raw chars. HASH-GATED via a run-time
+    // oracle: training (the EM fixed point over doubles) stays
+    // SQL-inexpressible, but segmentation under the FIXED trained
+    // piece table is deterministic — the model is interpolated into
+    // a recursive-CTE DuckDB Viterbi (unigramSegmentOracle) and
+    // registered through DynamicOracles while the query runs.
     "q_unigram_lm_segment" -> ((s, dir) => {
       val d = docs(s, dir)
       val model = graft.ops.UnigramLmTrainer.train(
         d.filter(col("doc_id") < 200), "text",
         vocabSize = 48, seedSize = 60, maxPieceLen = 4, emIters = 2)
+      DynamicOracles.put("q_unigram_lm_segment",
+        unigramSegmentOracle(model))
       graft.ops.UnigramLmTrainer.segment(
         d.filter(col("doc_id") < 50), "doc_id", "text", model)
         .orderBy("doc_id", "word_pos", "sub_pos")
@@ -1382,6 +1387,75 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
   CAST(sum(n_sub) AS BIGINT) AS n_subwords,
   round(CAST(sum(n_sub) AS DOUBLE) / count(*), 6) AS fertility_r
 FROM sj GROUP BY lang ORDER BY lang"""
+  }
+
+  /** Run-time oracle for q_unigram_lm_segment: segmentation under the
+    * FIXED trained piece table, as SQL. The piece log-probs are
+    * interpolated as string literals CAST to DOUBLE (Double.toString
+    * is the shortest round-trip repr, so DuckDB reconstructs the
+    * exact bits Spark's Viterbi reads), and a recursive CTE
+    * replicates [[graft.ops.UnigramLmTrainer.viterbi]] POSITION BY
+    * POSITION: per word, iteration i extends the DP state lists
+    * (score/count/pieces per position) with the best candidate over
+    * the last `mpl` starts, scored with the identical `score(j)+lp`
+    * association and the identical (score DESC, fewer pieces, smaller
+    * back-pointer) tie rule — so even bit-level float discards at
+    * intermediate positions match the Scala DP (a path-enumeration
+    * oracle would NOT: a prefix discarded by bits can still tie on
+    * the total after rounding). Uncoverable words fall back to
+    * per-character pieces, the segmenter's OOV rule. Registered via
+    * [[DynamicOracles]] because the piece table only exists after the
+    * in-query training step runs.
+    */
+  private[queries] def unigramSegmentOracle(
+      model: graft.ops.UnigramLmTrainer.Model): String = {
+    val vals = model.pieces
+      .map(p => s"('${p.piece.replace("'", "''")}', " +
+        s"'${java.lang.Double.toString(p.logProb)}')")
+      .mkString(", ")
+    s"""WITH RECURSIVE
+up AS (SELECT v.piece, CAST(v.lps AS DOUBLE) AS lp
+       FROM (VALUES $vals) v(piece, lps)),
+mx AS (SELECT max(len(piece)) AS mpl FROM up),
+sv AS (SELECT doc_id, word_pos, word FROM (
+    SELECT doc_id, unnest(range(0, len(tk))) AS word_pos, unnest(tk) AS word
+    FROM (SELECT doc_id, string_split(trim(text), ' ') AS tk
+          FROM documents WHERE doc_id < 50))
+  WHERE len(word) > 0),
+wd AS (SELECT DISTINCT word FROM sv),
+dp AS (
+  SELECT word, 0 AS i,
+         [CAST(0.0 AS DOUBLE)] AS sc, [0] AS ct,
+         [CAST([] AS VARCHAR[])] AS pth
+  FROM wd
+  UNION ALL
+  SELECT dp.word, dp.i + 1,
+    dp.sc || [cand.s], dp.ct || [cand.c], dp.pth || [cand.p]
+  FROM dp JOIN mx ON TRUE
+  LEFT JOIN LATERAL (
+     SELECT dp.sc[jj::INTEGER + 1] + u.lp AS s,
+            dp.ct[jj::INTEGER + 1] + 1 AS c,
+            dp.pth[jj::INTEGER + 1] || [u.piece] AS p, jj
+     -- constant range (no lateral table-function args in DuckDB 1.0),
+     -- filtered to the live window; 256 bounds the corpus word length
+     FROM (SELECT unnest(range(0, 256)) AS jj) j
+     JOIN up u ON u.piece = substr(dp.word, jj::INTEGER + 1, dp.i + 1 - jj::INTEGER)
+     WHERE jj >= greatest(0, dp.i + 1 - mx.mpl) AND jj <= dp.i
+       AND dp.sc[jj::INTEGER + 1] IS NOT NULL
+     ORDER BY s DESC, c ASC, jj ASC
+     LIMIT 1) cand ON TRUE
+  WHERE dp.i < len(dp.word)),
+fin AS (SELECT word, pth[len(word) + 1] AS pieces
+        FROM dp WHERE i = len(word)),
+seg AS (SELECT word,
+    CASE WHEN pieces IS NULL THEN string_split(word, '') ELSE pieces END AS ps
+  FROM fin)
+SELECT doc_id, CAST(word_pos AS BIGINT) AS word_pos, s.word,
+  CAST(sub_pos AS BIGINT) AS sub_pos, piece FROM (
+  SELECT s0.doc_id, s0.word_pos, s0.word,
+    unnest(range(0, len(g.ps))) AS sub_pos, unnest(g.ps) AS piece
+  FROM sv s0 JOIN seg g ON g.word = s0.word) s
+ORDER BY doc_id, word_pos, sub_pos"""
   }
 
   /** The bigram-profile score columns + tie-precedence argmax, shared

@@ -12,6 +12,21 @@ class ToolsSpec extends AnyFunSuite {
 
   lazy val spark = TestSpark.spark
 
+  test("DynamicOracles: running the owning query surfaces its oracle in SparkEntry.oracleSql") {
+    // the run-time-authored oracle channel: q_unigram_lm_segment
+    // trains in-query and registers its interpolated recursive-CTE
+    // Viterbi; after the query BUILDS, the entry must be visible to
+    // the post-loop oracle_sql.json rewrite (Verify.writeOracle) —
+    // and it must carry the interpolated piece literals
+    SparkEntry.queries("q_unigram_lm_segment")(
+      spark, "/root/testdata/sf0.001")
+    val sql = SparkEntry.oracleSql.get("q_unigram_lm_segment")
+    assert(sql.nonEmpty, "dynamic oracle entry missing after query build")
+    assert(sql.get.contains("WITH RECURSIVE") &&
+      sql.get.contains("CAST(v.lps AS DOUBLE)"), sql.get.take(200))
+    graft.ops.QueryCaches.releaseAll()
+  }
+
   test("CountsStamp rewrites exactly the three count patterns") {
     val readme =
       """sbt test        # 310 specs

@@ -37,10 +37,13 @@ def canon(rows, cols):
 # name here that HAS an oracle is a stale whitelist entry and FAILS.
 ROWS_ONLY = {"q_sniff", "q_approx_distinct", "q_quantiles_approx",
              "q_compress_ratio",
-             # unigram-LM EM over doubles is not SQL-expressible
-             # cross-engine; UnigramLmSpec pins exactness against an
-             # independent exhaustive-search reference
-             "q_unigram_lm", "q_unigram_lm_segment"}
+             # unigram-LM TRAINING (EM over doubles) is not
+             # SQL-expressible cross-engine; UnigramLmSpec pins
+             # exactness against an independent exhaustive-search
+             # reference. Segmentation under the trained table IS:
+             # q_unigram_lm_segment carries a run-time-authored
+             # recursive-CTE Viterbi oracle (DynamicOracles).
+             "q_unigram_lm"}
 
 
 def main(outdir, sfdir):
