@@ -312,38 +312,48 @@ object GraphOps {
     // no broadcast hint on the anti side — corpus-derived (the
     // capBuckets rule); AQE converts when it measures small
     val capped0 = base.join(over.select(col("__k")), Seq("__k"), "left_anti")
-    // degrees of SURVIVING keys only (capBuckets drops whole keys, so
-    // a survivor's degree equals its pre-cap degree); corpus-derived,
-    // so no broadcast hint here either
-    val degW = capped0.groupBy("__k").agg(count(lit(1)).as("__deg"))
-      .filter(col("__deg") >= 2)
-      .select(col("__k"), keyWeight(col("__deg")).as("__w"))
+    (pairFold(capped0, minShared, Some(keyWeight)),
+      over.select(col("__k").as(keyCol), col("n_members")))
+  }
+
+  /** The ONE shared candidate fold: key-partitioned self-join → pair
+    * counts (and, when `keyWeight` is set, the per-pair weight sum
+    * over shared keys). Explicit key partitioning for the self-join:
+    * AQE sizes the exchange by its INPUT bytes and coalesces to a
+    * handful of tasks, but the deg² pair fan-out explodes INSIDE the
+    * join stage — the classic coalesce-before-fan-out trap (the fold
+    * ran on 8 of 32 cores). A user repartition pins the width. Any
+    * future fold fix (width heuristic, skew salt) lands here once for
+    * both the counted and the weighted variants.
+    */
+  private def pairFold(
+      capped0: DataFrame,
+      minShared: Long,
+      keyWeight: Option[Column => Column] = None): DataFrame = {
     val capped =
       capped0.repartition(ScaleOps.fanoutWidth(capped0), col("__k"))
-    val edges = capped.select(col("__i").as("ia"), col("__k"))
-      .join(degW, "__k") // inner: prunes pair-free degree-1 keys
+    val left = keyWeight match {
+      case None => capped.select(col("__i").as("ia"), col("__k"))
+      case Some(w) =>
+        // degrees of SURVIVING keys only (capBuckets drops whole keys,
+        // so a survivor's degree equals its pre-cap degree);
+        // corpus-derived, so no broadcast hint. The weight is computed
+        // once per key on this aggregate, never on the pair rows;
+        // degree-1 keys produce no pairs, so pruning them first is a
+        // pure optimization AND the ANSI guard for weights like
+        // 1/ln(deg) (guard at the producing projection)
+        val degW = capped0.groupBy("__k").agg(count(lit(1)).as("__deg"))
+          .filter(col("__deg") >= 2)
+          .select(col("__k"), w(col("__deg")).as("__w"))
+        capped.select(col("__i").as("ia"), col("__k"))
+          .join(degW, "__k") // inner: prunes pair-free degree-1 keys
+    }
+    left
       .join(capped.select(col("__i").as("ib"), col("__k")), "__k")
       .filter(col("ia") < col("ib"))
       .groupBy("ia", "ib")
-      .agg(count(lit(1)).as("shared"), sum(col("__w")).as("wsum"))
-      .filter(col("shared") >= minShared)
-    (edges, over.select(col("__k").as(keyCol), col("n_members")))
-  }
-
-  /** The shared candidate fold: key-partitioned self-join → pair
-    * counts. Explicit key partitioning for the self-join: AQE sizes
-    * the exchange by its INPUT bytes and coalesces to a handful of
-    * tasks, but the deg² pair fan-out explodes INSIDE the join
-    * stage — the classic coalesce-before-fan-out trap (the fold ran
-    * on 8 of 32 cores). A user repartition pins the width.
-    */
-  private def pairFold(capped0: DataFrame, minShared: Long): DataFrame = {
-    val capped =
-      capped0.repartition(ScaleOps.fanoutWidth(capped0), col("__k"))
-    capped.select(col("__i").as("ia"), col("__k"))
-      .join(capped.select(col("__i").as("ib"), col("__k")), "__k")
-      .filter(col("ia") < col("ib"))
-      .groupBy("ia", "ib").agg(count(lit(1)).as("shared"))
+      .agg(count(lit(1)).as("shared"),
+        keyWeight.map(_ => sum(col("__w")).as("wsum")).toSeq: _*)
       .filter(col("shared") >= minShared)
   }
 }

@@ -950,10 +950,21 @@ object TextQueries {
       val model = graft.ops.UnigramLmTrainer.train(
         d.filter(col("doc_id") < 200), "text",
         vocabSize = 48, seedSize = 60, maxPieceLen = 4, emIters = 2)
+      // named precondition (the q_adamic_adar require pattern): the
+      // oracle's DP start positions come from a constant range(0,256)
+      // — a regenerated corpus with a longer covered token would
+      // silently diverge as an opaque hash mismatch without this
+      val serving = d.filter(col("doc_id") < 50)
+      val maxTok = serving
+        .select(explode(graft.ops.TextDedup.tokens(col("text"))).as("w"))
+        .agg(max(length(col("w")))).head.getInt(0)
+      require(maxTok <= 256,
+        s"q_unigram_lm_segment precondition: a serving token has " +
+          s"$maxTok chars — the oracle's Viterbi window is bounded at 256")
       DynamicOracles.put("q_unigram_lm_segment",
         unigramSegmentOracle(model))
       graft.ops.UnigramLmTrainer.segment(
-        d.filter(col("doc_id") < 50), "doc_id", "text", model)
+        serving, "doc_id", "text", model)
         .orderBy("doc_id", "word_pos", "sub_pos")
     }),
 
