@@ -2182,6 +2182,35 @@ object AnalyticsQueries {
         .orderBy(col("aa_r").desc, col("ia"), col("ib")).limit(20)
     }),
 
+    // Resource-allocation link prediction (Zhou/Lü/Zhang 2009): the
+    // Adamic–Adar sibling with weight 1/deg(z) instead of 1/ln(deg) —
+    // hubs are penalized linearly, the stronger discount. Same capped
+    // weighted fold, second weight function through the shared
+    // machinery (pins wsum semantics beyond the ln case).
+    "q_resource_alloc" -> ((s, dir) => {
+      val e = t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"))
+        .join(t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("sp"), col("o_custkey").as("c"))
+        .distinct()
+        .transform(graft.ops.QueryCaches.persist)
+      e.count() // eager: self-join sides + degree branch race a lazy cache
+      val cap = 500
+      val (edges, over) = graft.ops.GraphOps.coOccurrenceEdgesWeightedAudited(
+        e, "sp", "c", minShared = 1L, maxKeyDegree = cap,
+        keyWeight = d => (lit(1.0) / d.cast("double"))
+          .cast("decimal(20,12)"),
+        preDeduplicated = true)
+      require(over.isEmpty,
+        s"q_resource_alloc precondition: a customer exceeds cap=$cap — " +
+          "the capped plan would no longer match the uncapped oracle")
+      edges.select(col("ia"), col("ib"), col("shared"),
+          round(col("wsum").cast("double"), 6).as("ra_r"))
+        .orderBy(col("ra_r").desc, col("ia"), col("ib")).limit(20)
+    }),
+
     "q_jaccard_neighbors" -> ((s, dir) => {
       val sc = graft.ops.QueryCaches.persist(
         t(s, dir, "lineitem").select(col("l_suppkey"), col("l_orderkey"))
@@ -5308,6 +5337,23 @@ object AnalyticsQueries {
              sum(term) AS aa FROM tm GROUP BY 1, 2)
          SELECT ia, ib, shared, round(CAST(aa AS DOUBLE), 6) AS aa_r
          FROM g ORDER BY aa_r DESC, ia, ib LIMIT 20""",
+    // same shape with the linear hub discount 1/deg; the cap drops
+    // nothing at gate scale so the uncapped SQL is exact
+    "q_resource_alloc" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey AS sp, o_custkey AS c
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         dg AS (SELECT c, CAST(count(*) AS BIGINT) AS deg
+           FROM e GROUP BY 1),
+         p AS (SELECT a.sp AS ia, b.sp AS ib, a.c
+           FROM e a JOIN e b ON a.c = b.c AND a.sp < b.sp),
+         tm AS (SELECT p.ia, p.ib,
+             CAST(CAST(1.0 AS DOUBLE) / dg.deg AS DECIMAL(20,12))
+               AS term
+           FROM p JOIN dg ON dg.c = p.c),
+         g AS (SELECT ia, ib, CAST(count(*) AS BIGINT) AS shared,
+             sum(term) AS ra FROM tm GROUP BY 1, 2)
+         SELECT ia, ib, shared, round(CAST(ra AS DOUBLE), 6) AS ra_r
+         FROM g ORDER BY ra_r DESC, ia, ib LIMIT 20""",
     "q_jaccard_neighbors" ->
       """WITH sc AS (SELECT DISTINCT l_suppkey AS s, o_custkey AS c
            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
