@@ -14,6 +14,15 @@ package graft.queries
   * fixed-scratch-path race (CLAUDE.md) cannot arise.
   */
 object DynamicOracles {
+
+  /** Queries CONTRACTED to register a run-time oracle — the static
+    * twin of the runtime registry, so a fresh JVM (CountsStamp) can
+    * count them as oracle-checked without running them. ToolsSpec
+    * pins that every declared name actually registers when its query
+    * builds, and that nothing undeclared registers.
+    */
+  val declared: Set[String] = Set("q_unigram_lm_segment")
+
   private val reg =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 

@@ -33,7 +33,10 @@ object CountsStamp {
 
   def main(args: Array[String]): Unit = {
     val queries = graft.SparkEntry.queries.size
-    val oracles = graft.SparkEntry.oracleSql.size
+    // static oracles + the run-time-authored ones (DynamicOracles is
+    // empty in this fresh JVM — count its declared contract instead)
+    val oracles = (graft.SparkEntry.oracleSql.keySet ++
+      graft.queries.DynamicOracles.declared).size
     val testCount = args.headOption.map(_.toInt)
     val path = java.nio.file.Paths.get("README.md")
     val before = java.nio.file.Files.readString(path)

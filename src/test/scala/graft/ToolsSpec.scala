@@ -24,6 +24,15 @@ class ToolsSpec extends AnyFunSuite {
     assert(sql.nonEmpty, "dynamic oracle entry missing after query build")
     assert(sql.get.contains("WITH RECURSIVE") &&
       sql.get.contains("CAST(v.lps AS DOUBLE)"), sql.get.take(200))
+    // the static contract CountsStamp counts from must match what
+    // actually registered — stale in either direction fails
+    assert(graft.queries.DynamicOracles.entries.keySet ==
+      graft.queries.DynamicOracles.declared)
+    // every declared name must be a real query, and never shadow a
+    // static oracle entry
+    graft.queries.DynamicOracles.declared.foreach { n =>
+      assert(SparkEntry.queries.contains(n), s"$n is not a declared query")
+    }
     graft.ops.QueryCaches.releaseAll()
   }
 
