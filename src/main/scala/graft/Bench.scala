@@ -288,16 +288,32 @@ object Bench {
         if (ok) dt else Double.MaxValue
       }.getOrElse(Double.MaxValue)
     }
+    // a query whose MEASURED passes crashed must keep its flagged
+    // time-to-crash: a lucky successful retime would both clear the
+    // tripwire and publish a success-run duration while `failed`
+    // still names the query — the artifact-self-contradiction class
+    // in the value-provenance dimension
+    def retimeGuarded(name: String): Double =
+      if (failed.contains(name)) Double.MaxValue else retime(name)
     val (results, regressedOpt) = baseOpt match {
       case Some(base) =>
-        val (folded, rows) = foldRetimes(measured, base, retime)
+        val (folded, rows) = foldRetimes(measured, base, retimeGuarded)
         (folded, Some(rows))
       case None => (measured, None)
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val loadEnd = procFirst("/proc/loadavg")
     val upSec = procFirst("/proc/uptime")
-    val loadJson = s""""load":[${s3(loadStart)},${s3(loadEnd)}],"up":${s3(upSec)}"""
+    // per-query analogue of the loud file-level NO_BASELINE: queries
+    // the tripwire silently cannot judge (absent from the committed
+    // baseline — new this round) are COUNTED in the artifact, so a
+    // 25 s funnel added mid-round is visible before the close
+    // re-snapshot grandfathers it
+    val noBase = baseOpt
+      .map(b => results.keys.count(k => !b.contains(k)))
+      .map(n => s""""no_baseline":$n,""").getOrElse("")
+    val loadJson = noBase +
+      s""""load":[${s3(loadStart)},${s3(loadEnd)}],"up":${s3(upSec)}"""
     // the driver captures only the TAIL (~2 KiB) of stdout and parses
     // the report line from it: 100+ queries no longer fit (r5's line
     // outgrew the window and the head — metric/total — was cut off, so
@@ -312,8 +328,15 @@ object Bench {
     val fullPath = java.nio.file.Paths.get("bench_full.json").toAbsolutePath
     val failedJson =
       failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    java.nio.file.Files.writeString(fullPath,
+    // temp + atomic move: a reader racing the write (concurrent
+    // triage run, tooling following the stdout "full" pointer) must
+    // never see truncated JSON
+    val tmpPath = java.nio.file.Paths.get("bench_full.json.tmp")
+    java.nio.file.Files.writeString(tmpPath,
       s"""{"metric":"total","value":${s3(total)},"unit":"sec","sf":"$sfDir","n":${results.size},$loadJson,"failed":$failedJson,"queries":$fullQs}""")
+    java.nio.file.Files.move(tmpPath, fullPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     // failures go to STDOUT inside the driver's tail window, not just
     // stderr — a crashed query must be visible in the round artifact.
     // Capped like the report line: a mass failure (broken session

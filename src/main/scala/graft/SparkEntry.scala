@@ -51,16 +51,33 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
-    graft.queries.RefQueries.oracles ++
-      graft.queries.AnalyticsQueries.oracles ++
-      graft.queries.TextQueries.oracles ++
-      graft.queries.VectorQueries.oracles ++
-      graft.queries.CorpusQueries.oracles ++
-      graft.queries.MediaQueries.oracles ++
-      graft.queries.StreamQueries.oracles ++
-      // run-time-authored entries (piece tables interpolated by the
-      // query itself); empty until the owning queries have run, so
-      // Verify re-dumps oracle_sql.json after its loop
-      graft.queries.DynamicOracles.entries
+  def oracleSql: Map[String, String] = {
+    val static =
+      graft.queries.RefQueries.oracles ++
+        graft.queries.AnalyticsQueries.oracles ++
+        graft.queries.TextQueries.oracles ++
+        graft.queries.VectorQueries.oracles ++
+        graft.queries.CorpusQueries.oracles ++
+        graft.queries.MediaQueries.oracles ++
+        graft.queries.StreamQueries.oracles
+    val dynamic = graft.queries.DynamicOracles.entries
+    // the dynamic map is appended LAST (last-wins): a same-named
+    // static oracle would be silently shadowed in the post-loop
+    // re-dump, and an undeclared registration would dodge the
+    // CountsStamp contract — both must fail LOUDLY at dump time
+    val shadow = graft.queries.DynamicOracles.declared
+      .intersect(static.keySet)
+    require(shadow.isEmpty,
+      s"static oracle(s) shadowed by dynamic entries: " +
+        s"${shadow.toSeq.sorted.mkString(", ")} — remove one side")
+    val undeclared = dynamic.keySet -- graft.queries.DynamicOracles.declared
+    require(undeclared.isEmpty,
+      s"undeclared dynamic oracle registration(s): " +
+        s"${undeclared.toSeq.sorted.mkString(", ")} — add to " +
+        "DynamicOracles.declared")
+    // run-time-authored entries (piece tables interpolated by the
+    // query itself); empty until the owning queries have run, so
+    // Verify re-dumps oracle_sql.json after its loop
+    static ++ dynamic
+  }
 }

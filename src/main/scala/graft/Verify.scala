@@ -98,6 +98,29 @@ object Verify {
           "usage: graft.Verify <sfDir> <outDir> [q_a,q_b,...]")
         sys.exit(2)
     }
+    // clear the previous run's gate files BEFORE anything that can
+    // fail (session build included): a startup crash on a reused
+    // outdir must leave NO manifest — the checker then fails loudly
+    // instead of certifying last round's outputs as this round's
+    // (stale-green; the r13 manifest fix only covered aborts AFTER
+    // the manifest write)
+    new java.io.File(outDir).mkdirs()
+    Files.deleteIfExists(Paths.get(s"$outDir/run_manifest.json"))
+    Files.deleteIfExists(Paths.get(s"$outDir/oracle_sql.json"))
+    Files.deleteIfExists(Paths.get(s"$outDir/run_full.json"))
+    // a targeted name that matches no declared query must FAIL, not
+    // silently shrink the checked surface (the round-7 vanished-query
+    // class at the selection layer: a typo'd re-check printed green
+    // over the query that was never run)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty) {
+        System.err.println(
+          s"unknown quer${if (unknown.size == 1) "y" else "ies"} in " +
+            s"selection: ${unknown.toSeq.sorted.mkString(", ")}")
+        sys.exit(2)
+      }
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.configure(
       SparkSession.builder()
@@ -105,7 +128,6 @@ object Verify {
         .config("spark.sql.shuffle.partitions", cpus)
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
     // the manifest is written BEFORE the loop (as is oracle_sql.json
@@ -117,6 +139,12 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/run_manifest.json"),
       if (manifestNames.isEmpty) "[]"
       else manifestNames.mkString("[\"", "\",\"", "\"]"))
+    // separate marker file (the manifest stays a plain list — the
+    // driver parses that shape): tells the checker whether this was
+    // the FULL surface, so its gone-query ROWS_ONLY staleness sweep
+    // can key off fact instead of the >=100-results heuristic
+    Files.writeString(Paths.get(s"$outDir/run_full.json"),
+      if (only.isEmpty) "true" else "false")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

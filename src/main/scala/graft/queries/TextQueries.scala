@@ -950,17 +950,30 @@ object TextQueries {
       val model = graft.ops.UnigramLmTrainer.train(
         d.filter(col("doc_id") < 200), "text",
         vocabSize = 48, seedSize = 60, maxPieceLen = 4, emIters = 2)
-      // named precondition (the q_adamic_adar require pattern): the
-      // oracle's DP start positions come from a constant range(0,256)
-      // — a regenerated corpus with a longer covered token would
-      // silently diverge as an opaque hash mismatch without this
+      // named preconditions (the q_adamic_adar require pattern) for
+      // the two ways a regenerated corpus could silently diverge from
+      // the oracle as an opaque hash mismatch: (a) the oracle's DP
+      // start positions come from a constant range(0,256); (b) the
+      // oracle DP indexes DuckDB CHARACTERS (code points) while the
+      // Scala viterbi indexes UTF-16 code units — they only align on
+      // BMP-only tokens (a supplementary-plane char is 1 vs 2
+      // positions). One aggregate checks both.
       val serving = d.filter(col("doc_id") < 50)
-      val maxTok = serving
+      val tokStats = serving
         .select(explode(graft.ops.TextDedup.tokens(col("text"))).as("w"))
-        .agg(max(length(col("w")))).head.getInt(0)
-      require(maxTok <= 256,
+        .agg(max(length(col("w"))).as("mx"),
+          // UTF-16BE bytes minus 2·code-points: 0 iff BMP-only
+          max(length(encode(col("w"), "UTF-16BE")) -
+            length(col("w")) * 2).as("nonbmp"))
+        .head
+      require(tokStats.getInt(0) <= 256,
         s"q_unigram_lm_segment precondition: a serving token has " +
-          s"$maxTok chars — the oracle's Viterbi window is bounded at 256")
+          s"${tokStats.getInt(0)} chars — the oracle's Viterbi window " +
+          "is bounded at 256")
+      require(tokStats.getInt(1) == 0,
+        "q_unigram_lm_segment precondition: a serving token carries a " +
+          "supplementary-plane character — the SQL oracle's code-point " +
+          "DP positions would diverge from viterbi's UTF-16 positions")
       DynamicOracles.put("q_unigram_lm_segment",
         unigramSegmentOracle(model))
       graft.ops.UnigramLmTrainer.segment(

@@ -47,20 +47,27 @@ ROWS_ONLY = {"q_sniff", "q_approx_distinct", "q_quantiles_approx",
 
 
 def main(outdir, sfdir):
+    # completeness: iterate the run manifest (what Verify ATTEMPTED),
+    # not a q_* glob — a truncated run on a reused outdir would
+    # otherwise pass on the prior run's stale green dirs, and a query
+    # named without the q_ prefix would never be compared at all.
+    # Check the manifest FIRST (before touching oracle_sql.json) so an
+    # aborted run yields the named message, not a traceback.
+    mpath = os.path.join(outdir, "run_manifest.json")
+    if not os.path.exists(mpath):
+        # no glob fallback: Verify deletes the gate files FIRST, so a
+        # missing manifest means the run died before selecting anything
+        # — globbing q_* dirs here would certify a PREVIOUS run's
+        # outputs as this run's (the stale-green class)
+        print(f"no run_manifest.json in {outdir} — the Verify run "
+              "aborted before writing it (or the outdir is wrong); "
+              "nothing was verified")
+        sys.exit(1)
+    names = json.load(open(mpath))
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
-    # completeness: iterate the run manifest (what Verify ATTEMPTED),
-    # not a q_* glob — a truncated run on a reused outdir would
-    # otherwise pass on the prior run's stale green dirs, and a query
-    # named without the q_ prefix would never be compared at all
-    mpath = os.path.join(outdir, "run_manifest.json")
-    if os.path.exists(mpath):
-        names = json.load(open(mpath))
-    else:  # pre-manifest dump: fall back to the glob
-        names = [os.path.basename(d)
-                 for d in glob.glob(os.path.join(outdir, "q_*"))]
     results = {}
     for name in sorted(names):
         qdir = os.path.join(outdir, name)
@@ -154,10 +161,17 @@ def main(outdir, sfdir):
     # staleness, the OTHER way: a ROWS_ONLY entry whose query no
     # longer exists would linger forever (the has-an-oracle direction
     # is checked per-query above). Only meaningful on a FULL run — a
-    # targeted re-check's manifest legitimately omits most queries —
-    # and the driver's full surface is hundreds of queries, so 100 is
-    # an unambiguous discriminator.
-    if len(results) >= 100:
+    # targeted re-check's manifest legitimately omits most queries.
+    # Verify writes run_full.json ("true"/"false") alongside the
+    # manifest; the >=100 heuristic stays only as the fallback for
+    # outdirs older than the marker (it false-reds a 100+-name
+    # targeted run and disarms if the surface ever shrinks below 100).
+    fpath = os.path.join(outdir, "run_full.json")
+    if os.path.exists(fpath):
+        full_run = open(fpath).read().strip() == "true"
+    else:
+        full_run = len(results) >= 100
+    if full_run:
         for gone in sorted(ROWS_ONLY - set(results)):
             results[gone] = ("STALE_ROWS_ONLY_WHITELIST — no such query "
                              "in the run manifest; remove the ROWS_ONLY "
