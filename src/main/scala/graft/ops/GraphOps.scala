@@ -307,53 +307,60 @@ object GraphOps {
     val base =
       if (preDeduplicated) renamed
       else CacheHandle.persistWith(handle, renamed.distinct())
-    val over = CacheHandle.persistWith(handle,
-      TextDedup.overCapBuckets(base, Seq("__k"), maxKeyDegree))
+    // ONE key-degree aggregate serves both the cap audit AND the
+    // weight table (the unweighted fold needs no degrees, so its
+    // overCapBuckets stays a single pass too; recomputing degrees for
+    // the weight here was a second corpus-wide aggregate). Persisted:
+    // key-cardinality-sized, read twice.
+    val degAll = CacheHandle.persistWith(handle,
+      base.groupBy("__k").agg(count(lit(1)).as("n_members")))
+    val over = degAll.filter(col("n_members") > maxKeyDegree)
     // no broadcast hint on the anti side — corpus-derived (the
     // capBuckets rule); AQE converts when it measures small
     val capped0 = base.join(over.select(col("__k")), Seq("__k"), "left_anti")
-    (pairFold(capped0, minShared, Some(keyWeight)),
+    // surviving keys' degrees (capBuckets drops whole keys, so a
+    // survivor's degree equals its pre-cap degree); degree-1 keys
+    // produce no pairs, so pruning them first is a pure optimization
+    // AND the ANSI guard for weights like 1/ln(deg) (guard at the
+    // producing projection). Weight computed once per KEY, never on
+    // the quadratic pair rows.
+    val degW = degAll
+      .filter(col("n_members") >= 2 && col("n_members") <= maxKeyDegree)
+      .select(col("__k"), keyWeight(col("n_members")).as("__w"))
+    (pairFold(capped0, minShared, Some(degW)),
       over.select(col("__k").as(keyCol), col("n_members")))
   }
 
   /** The ONE shared candidate fold: key-partitioned self-join → pair
-    * counts (and, when `keyWeight` is set, the per-pair weight sum
-    * over shared keys). Explicit key partitioning for the self-join:
-    * AQE sizes the exchange by its INPUT bytes and coalesces to a
-    * handful of tasks, but the deg² pair fan-out explodes INSIDE the
-    * join stage — the classic coalesce-before-fan-out trap (the fold
-    * ran on 8 of 32 cores). A user repartition pins the width. Any
-    * future fold fix (width heuristic, skew salt) lands here once for
-    * both the counted and the weighted variants.
+    * counts (and, when `keyWeights` — a (__k, __w) frame — is given,
+    * the per-pair weight sum over shared keys). Explicit key
+    * partitioning for the self-join: AQE sizes the exchange by its
+    * INPUT bytes and coalesces to a handful of tasks, but the deg²
+    * pair fan-out explodes INSIDE the join stage — the classic
+    * coalesce-before-fan-out trap (the fold ran on 8 of 32 cores). A
+    * user repartition pins the width. Any future fold fix (width
+    * heuristic, skew salt) lands here once for both the counted and
+    * the weighted variants. The weight join is inner — keys absent
+    * from `keyWeights` (degree-1 keys, which produce no pairs anyway)
+    * are pruned; corpus-derived, so no broadcast hint.
     */
   private def pairFold(
       capped0: DataFrame,
       minShared: Long,
-      keyWeight: Option[Column => Column] = None): DataFrame = {
+      keyWeights: Option[DataFrame] = None): DataFrame = {
     val capped =
       capped0.repartition(ScaleOps.fanoutWidth(capped0), col("__k"))
-    val left = keyWeight match {
+    val left = keyWeights match {
       case None => capped.select(col("__i").as("ia"), col("__k"))
       case Some(w) =>
-        // degrees of SURVIVING keys only (capBuckets drops whole keys,
-        // so a survivor's degree equals its pre-cap degree);
-        // corpus-derived, so no broadcast hint. The weight is computed
-        // once per key on this aggregate, never on the pair rows;
-        // degree-1 keys produce no pairs, so pruning them first is a
-        // pure optimization AND the ANSI guard for weights like
-        // 1/ln(deg) (guard at the producing projection)
-        val degW = capped0.groupBy("__k").agg(count(lit(1)).as("__deg"))
-          .filter(col("__deg") >= 2)
-          .select(col("__k"), w(col("__deg")).as("__w"))
-        capped.select(col("__i").as("ia"), col("__k"))
-          .join(degW, "__k") // inner: prunes pair-free degree-1 keys
+        capped.select(col("__i").as("ia"), col("__k")).join(w, "__k")
     }
     left
       .join(capped.select(col("__i").as("ib"), col("__k")), "__k")
       .filter(col("ia") < col("ib"))
       .groupBy("ia", "ib")
       .agg(count(lit(1)).as("shared"),
-        keyWeight.map(_ => sum(col("__w")).as("wsum")).toSeq: _*)
+        keyWeights.map(_ => sum(col("__w")).as("wsum")).toSeq: _*)
       .filter(col("shared") >= minShared)
   }
 }

@@ -313,6 +313,16 @@ class PlanSpec extends AnyFunSuite {
     graft.ops.QueryCaches.releaseAll()
   }
 
+  test("q_resource_alloc: capped weighted fold, term on the degree table") {
+    // same contract as q_adamic_adar: the second consumer of the
+    // weighted fold must also run the cap machinery
+    val p = plan("q_resource_alloc")
+    assert(p.contains("LeftAnti"), s"cap anti-join missing in:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p)
+    graft.ops.QueryCaches.releaseAll()
+  }
+
   test("q_jaccard_capped: the cap anti-join is in the executed plan") {
     // the point of the gate is that the PRODUCTION plan shape — the
     // overCapBuckets aggregate feeding a left-anti join on the key —
