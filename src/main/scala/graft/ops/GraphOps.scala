@@ -220,12 +220,20 @@ object GraphOps {
       minShared: Long,
       maxKeyDegree: Int = Int.MaxValue): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
-    val base = rel.select(col(itemCol).as("__i"), col(keyCol).as("__k"))
-      .distinct()
-    val capped0 =
-      if (maxKeyDegree == Int.MaxValue) base
-      else TextDedup.capBuckets(base, Seq("__k"), maxKeyDegree)
-    pairFold(capped0, minShared)
+    if (maxKeyDegree == Int.MaxValue) {
+      // uncapped: base feeds only the self-join, whose two sides share
+      // one repartition exchange (ReusedExchange) — no persist needed
+      val base = rel.select(col(itemCol).as("__i"), col(keyCol).as("__k"))
+        .distinct()
+      pairFold(base, minShared)
+    } else
+      // capped: the degree aggregate is a SEPARATE subtree from the
+      // anti-join probe — an unpersisted base would recompute the
+      // corpus-wide distinct (the shared-subplan rule). The audited
+      // fold persists base (QueryCaches ledger) and shares ONE degree
+      // aggregate; the over-cap audit frame is simply dropped here.
+      coOccurrenceEdgesAudited(rel, itemCol, keyCol, minShared,
+        maxKeyDegree)._1
   }
 
   /** [[coOccurrenceEdges]] with the over-cap audit from ONE shared

@@ -50,6 +50,11 @@ object ScaleOps {
       .contains(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin supports inner/left-side join types, got '$joinType' " +
         "(the salted small side would duplicate unmatched right rows)")
+    Seq(big -> "big", small -> "small").foreach { case (d, side) =>
+      require(!d.columns.contains("__salt"),
+        s"$side side already has a '__salt' column (it would be " +
+          "overwritten by the salting bookkeeping)")
+    }
     val bigS = big.withColumn("__salt",
       pmod(xxhash64(saltSource), lit(nSalts.toLong)).cast("int"))
     val saltValues = array((0 until nSalts).map(lit): _*)
@@ -120,9 +125,14 @@ object ScaleOps {
     val top = (1L << bits) - 1
     val ranks = cols.zipWithIndex.map { case (c, i) =>
       val span = maxs(i) - mins(i)
-      // nulls AND NaNs rank 0 (ANSI cast(NaN AS long) would throw
-      // mid-write otherwise); both co-locate and stay skippable
-      val v = coalesce(nanvl(c.cast("double"), lit(null)), lit(mins(i)))
+      // nulls, NaNs AND infinities rank 0 (ANSI cast(NaN/Inf AS long)
+      // would throw mid-write otherwise — with finite stats an Inf row
+      // reaches the cast as Inf); all co-locate and stay skippable
+      val d = nanvl(c.cast("double"), lit(null))
+      val v = coalesce(
+        when(abs(d) === lit(Double.PositiveInfinity), lit(null))
+          .otherwise(d),
+        lit(mins(i)))
       // span.isNaN: belt-and-braces for a caller passing un-sanitized
       // stats (NaN never satisfies <= 0 — the rank math would emit NaN
       // and the ANSI long cast would throw mid-write)
@@ -154,13 +164,18 @@ object ScaleOps {
       bits: Int,
       zCols: String*): Unit = {
     require(nFiles >= 1)
-    // NaN-exclude the stats: max() treats NaN as greater than
-    // everything, so ONE NaN row would make span NaN and the per-row
-    // nanvl guard in zorderValue can't save a NaN min/max LITERAL —
-    // NaN rows themselves rank 0 via that guard, same as nulls
+    // NaN- AND Infinity-exclude the stats: max() treats NaN as greater
+    // than everything, so ONE NaN row would make span NaN; likewise a
+    // single +/-Inf row makes span Inf and every finite row ranks 0 —
+    // the whole dimension's z-contribution silently collapses (the
+    // data-skipping layout degrades with no error). Non-finite rows
+    // themselves rank 0 via zorderValue's per-row guard, same as nulls.
+    def finiteOrNull(c: Column): Column = {
+      val d = nanvl(c.cast("double"), lit(null))
+      when(abs(d) === lit(Double.PositiveInfinity), lit(null)).otherwise(d)
+    }
     val aggs = zCols.flatMap(c =>
-      Seq(min(nanvl(col(c).cast("double"), lit(null))),
-        max(nanvl(col(c).cast("double"), lit(null)))))
+      Seq(min(finiteOrNull(col(c))), max(finiteOrNull(col(c)))))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val mins = zCols.indices.map(i =>
       if (row.isNullAt(2 * i)) 0.0 else row.getDouble(2 * i))
@@ -262,11 +277,13 @@ object ScaleOps {
     fs.delete(staging, true)
     // first merge into a not-yet-written table: treat a missing base
     // as empty (the updates batch IS the table) instead of throwing
-    // on the read — and CREATE the base dir, or the swap renames
-    // below fail on HDFS (rename into a missing parent returns false;
-    // the local FS masks it via its copy fallback)
+    // on the read. The base dir is created AFTER the staging write
+    // succeeds (just before the swap) — creating it here meant a
+    // failed first staging write left an EMPTY base dir, and every
+    // retry then read it as an existing table and died on
+    // UNABLE_TO_INFER_SCHEMA: the documented "a crash before the swap
+    // loses nothing" restartability was broken until manual cleanup.
     val baseExists = fs.exists(new Path(basePath))
-    if (!baseExists) fs.mkdirs(new Path(basePath))
     val merged =
       if (baseExists) {
         val base = spark.read.parquet(basePath)
@@ -284,6 +301,11 @@ object ScaleOps {
       } else Corpus.upsertLatest(updates, idCol, versionCol)
     merged.write.mode("overwrite").partitionBy(partCol)
       .parquet(staging.toString)
+    // create the base dir only now that staging data exists — the
+    // swap renames below need the parent on HDFS (rename into a
+    // missing parent returns false; the local FS masks it via its
+    // copy fallback)
+    if (!baseExists) fs.mkdirs(new Path(basePath))
     touched.foreach { v =>
       val dirName = s"$partCol=$v"
       val live = new Path(basePath, dirName)
@@ -462,12 +484,16 @@ object ScaleOps {
       df: DataFrame,
       partitions: Int,
       handle: CacheHandle,
-      orderCols: Column*): DataFrame =
+      orderCols: Column*): DataFrame = {
+    require(!df.columns.contains("rn"),
+      "input already has an 'rn' column (it would be overwritten by " +
+        "the global rank output)")
     withPrefixOffsets(df, partitions, count(lit(1)), orderCols, handle) {
       (shaped, w) =>
         shaped
           .withColumn("rn", (row_number().over(w) + col("__off")).cast("long"))
     }
+  }
 
   /** Global running (prefix) sum of `valueCol` in `orderCols` order,
     * WITHOUT a single-partition window — same two-phase shape as
@@ -484,7 +510,10 @@ object ScaleOps {
       partitions: Int,
       valueCol: String,
       outCol: String,
-      orderCols: Column*): DataFrame =
+      orderCols: Column*): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"input already has a '$outCol' column (it would be overwritten " +
+        "by the running-sum output)")
     withPrefixOffsets(df, partitions,
       coalesce(sum(col(valueCol)), lit(0L)).cast("long"), orderCols, null) {
       (shaped, w) =>
@@ -495,6 +524,7 @@ object ScaleOps {
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
             .cast("long") + col("__off")))
     }
+  }
 
   /** Exact interpolated quantiles (the `quantile_cont` / Spark
     * `percentile` h = q·(n−1) formula — identical doubles, so a gate
@@ -522,6 +552,26 @@ object ScaleOps {
     val ranked = CacheHandle.persistWith(handle,
       globalRowNumber(df.select(valueCol.cast("double").as("__qv")),
         parts, handle, col("__qv").asc))
+    // ONE eager action doing double duty. (a) Materialization: the
+    // final plan reads this cache from THREE branches (count-agg +
+    // two rank lookups) that AQE materializes concurrently — against
+    // a lazy persist each re-runs the corpus-wide sort (the
+    // q_pca_power rule). (b) Named precondition: a NULL/NaN value
+    // would silently shift every h = q·(n−1) position vs the
+    // built-in percentile / quantile_cont (which SKIP them) — a
+    // cross-engine hash-gate divergence. Checked HERE on the
+    // materialized column, never as an input filter: a filter on the
+    // projected value pushes the caller's expression below its own
+    // guards (q_theilsen's slope division reached x1 == x2 pairs and
+    // raised DIVIDE_BY_ZERO — the ANSI guard-at-producing-projection
+    // class).
+    val bad = ranked
+      .agg(count(when(col("__qv").isNull || isnan(col("__qv")), 1)))
+      .head.getLong(0)
+    require(bad == 0,
+      s"exactQuantiles input contains $bad NULL/NaN value(s) — " +
+        "pre-filter them (the built-in percentile skips them; ranked, " +
+        "they shift every quantile position)")
     // ONE count pass exploded into per-quantile positions (a union of
     // N single-row aggregates re-scanned the ranked cache N times)
     val qlit = array(qs.map { case (nm, q) =>
@@ -613,6 +663,14 @@ object ScaleOps {
       handle: CacheHandle)(
       finish: (DataFrame, org.apache.spark.sql.expressions.WindowSpec)
         => DataFrame): DataFrame = {
+    // reserved bookkeeping names — silently overwriting a caller's
+    // column would corrupt the two-phase rank with no error (the
+    // writeZordered '__z' require pattern)
+    Seq("__pid", "__off").foreach { r =>
+      require(!df.columns.contains(r),
+        s"input already has a '$r' column (it would be overwritten " +
+          "by the two-phase offset bookkeeping)")
+    }
     val spark = df.sparkSession
     import spark.implicits._
     val shaped = CacheHandle.persistWith(handle,

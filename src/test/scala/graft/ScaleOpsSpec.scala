@@ -395,6 +395,52 @@ class ScaleOpsSpec extends AnyFunSuite {
     graft.ops.QueryCaches.releaseAll()
   }
 
+  test("exactQuantiles: NULL/NaN input is a NAMED failure, never a silent shift") {
+    import spark.implicits._
+    // nulls rank first in Spark and would shift every h = q·(n−1)
+    // position vs the built-in percentile (which skips them) — the
+    // op refuses instead of diverging; checked on the materialized
+    // cache, never via an input filter (a filter on the projected
+    // value pushes the caller's expression below its own join guards
+    // — the q_theilsen DIVIDE_BY_ZERO regression this pins against)
+    val withNull = Seq(Some(1.0), None, Some(3.0)).toDF("x")
+    val e1 = intercept[IllegalArgumentException] {
+      ScaleOps.exactQuantiles(withNull, col("x"), Seq(("m", 0.5)))
+    }
+    assert(e1.getMessage.contains("NULL/NaN"))
+    val withNan = Seq(1.0, Double.NaN, 3.0).toDF("x")
+    val e2 = intercept[IllegalArgumentException] {
+      ScaleOps.exactQuantiles(withNan, col("x"), Seq(("m", 0.5)))
+    }
+    assert(e2.getMessage.contains("NULL/NaN"))
+    graft.ops.QueryCaches.releaseAll()
+  }
+
+  test("reserved bookkeeping/output columns are require-guarded, not overwritten") {
+    import spark.implicits._
+    val df = Seq((1L, 2L)).toDF("k", "rn")
+    val e = intercept[IllegalArgumentException] {
+      ScaleOps.globalRowNumber(df, 2, col("k"))
+    }
+    assert(e.getMessage.contains("'rn'"))
+    val df2 = Seq((1L, 2L)).toDF("k", "__pid")
+    val e2 = intercept[IllegalArgumentException] {
+      ScaleOps.globalRowNumber(df2, 2, col("k"))
+    }
+    assert(e2.getMessage.contains("'__pid'"))
+    val df3 = Seq((1L, 2L)).toDF("k", "tot")
+    val e3 = intercept[IllegalArgumentException] {
+      ScaleOps.globalRunningSum(df3, 2, "k", "tot", col("k"))
+    }
+    assert(e3.getMessage.contains("'tot'"))
+    val salted = Seq((1L, 0)).toDF("k", "__salt")
+    val plain = Seq((1L, "x")).toDF("k", "v")
+    val e4 = intercept[IllegalArgumentException] {
+      ScaleOps.saltedJoin(salted, plain, "k", col("k"), 4)
+    }
+    assert(e4.getMessage.contains("'__salt'"))
+  }
+
   test("keySkewReport: shares sum to ~1 and hot flags the heavy key") {
     import spark.implicits._
     // 90 rows of key "hot", 10 spread across others
