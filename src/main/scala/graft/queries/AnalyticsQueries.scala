@@ -3067,14 +3067,19 @@ object AnalyticsQueries {
       // pair frame is H(H−1)/2 — calendar-bounded but QUADRATIC in
       // the span, so one reducer's percentile buffer holds ~1e9
       // doubles at a 5-year calendar (the global-percentile rule)
+      // eager localCheckpoint, not persist+count: m (1 row) is read by
+      // the intercept pass AND the output crossJoin — a persisted m
+      // EMBEDS the whole slope-quantile tree in both consumers' plans
+      // (the doubly-nested cache blew the q_theilsen plan string to
+      // 1.4 MB in docs/PLANS.md); the checkpoint truncates lineage to
+      // a leaf while still materializing once
       val m = graft.ops.ScaleOps.exactQuantiles(
         a.join(b, col("x1") < col("x2"))
           .select(((col("y2") - col("y1")).cast("double") /
             (col("x2") - col("x1")).cast("double")).as("slope")),
         col("slope"), Seq(("ms", 0.5)))
         .select(col("n").as("n_pairs"), col("ms"))
-        .transform(graft.ops.QueryCaches.persist) // intercept pass + output
-      m.count() // eager: the intercept broadcast races the lazy cache
+        .localCheckpoint()
       val ic = graft.ops.ScaleOps.exactQuantiles(
         hourly.crossJoin(broadcast(m.select(col("ms"))))
           .select((col("cnt").cast("double") -
