@@ -552,32 +552,39 @@ object ScaleOps {
     val ranked = CacheHandle.persistWith(handle,
       globalRowNumber(df.select(valueCol.cast("double").as("__qv")),
         parts, handle, col("__qv").asc))
-    // ONE eager action doing double duty. (a) Materialization: the
-    // final plan reads this cache from THREE branches (count-agg +
-    // two rank lookups) that AQE materializes concurrently — against
-    // a lazy persist each re-runs the corpus-wide sort (the
-    // q_pca_power rule). (b) Named precondition: a NULL/NaN value
-    // would silently shift every h = q·(n−1) position vs the
-    // built-in percentile / quantile_cont (which SKIP them) — a
-    // cross-engine hash-gate divergence. Checked HERE on the
-    // materialized column, never as an input filter: a filter on the
-    // projected value pushes the caller's expression below its own
-    // guards (q_theilsen's slope division reached x1 == x2 pairs and
-    // raised DIVIDE_BY_ZERO — the ANSI guard-at-producing-projection
-    // class).
-    val bad = ranked
-      .agg(count(when(col("__qv").isNull || isnan(col("__qv")), 1)))
-      .head.getLong(0)
+    // ONE eager action doing triple duty. (a) Materialization: the
+    // final plan reads this cache from several branches (the rank
+    // lookups) that AQE materializes concurrently — against a lazy
+    // persist each re-runs the corpus-wide sort (the q_pca_power
+    // rule). (b) Named precondition: a NULL/NaN value would silently
+    // shift every h = q·(n−1) position vs the built-in percentile /
+    // quantile_cont (which SKIP them) — a cross-engine hash-gate
+    // divergence. Checked HERE on the materialized column, never as
+    // an input filter: a filter on the projected value pushes the
+    // caller's expression below its own guards (q_theilsen's slope
+    // division reached x1 == x2 pairs and raised DIVIDE_BY_ZERO —
+    // the ANSI guard-at-producing-projection class). (c) The global
+    // count: folding n into this same aggregate (rather than a
+    // count-agg branch in the returned plan) saves one full cached-
+    // frame pass per call AND one concurrent AQE branch — n is one
+    // bounded scalar over the now-pinned materialization, so baking
+    // it in as a literal cannot drift from what the lookups read.
+    val firstPass = ranked.agg(
+      count(lit(1)).as("n"),
+      count(when(col("__qv").isNull || isnan(col("__qv")), 1)).as("bad"))
+      .head
+    val bad = firstPass.getLong(1)
     require(bad == 0,
       s"exactQuantiles input contains $bad NULL/NaN value(s) — " +
         "pre-filter them (the built-in percentile skips them; ranked, " +
         "they shift every quantile position)")
+    val nRows = firstPass.getLong(0)
     // ONE count pass exploded into per-quantile positions (a union of
     // N single-row aggregates re-scanned the ranked cache N times)
     val qlit = array(qs.map { case (nm, q) =>
       struct(lit(nm).as("nm"), lit(q).as("q")) }: _*)
-    val pos = ranked.agg(count(lit(1)).as("n"))
-      .select(col("n"), explode(qlit).as("__qq"))
+    val pos = df.sparkSession.range(1)
+      .select(lit(nRows).as("n"), explode(qlit).as("__qq"))
       .select(col("__qq.nm").as("__qname"), col("n"),
         (floor((col("n") - 1).cast("double") * col("__qq.q")) + 1)
           .cast("long").as("__rlo"),
