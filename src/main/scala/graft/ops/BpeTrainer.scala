@@ -45,17 +45,22 @@ object BpeTrainer {
       vocab: DataFrame /* word, n, syms (post-merge symbol split) */)
 
   /** Character split of a word; the trailing empty string Spark's
-    * split-by-"" emits is filtered out.
+    * split-by-"" emits is filtered out. Shared with
+    * [[WordPieceTrainer]] (which marks continuations on top).
     */
-  private def charSplit(word: Column): Column =
+  private[ops] def charSplit(word: Column): Column =
     filter(split(word, ""), x => x =!= "")
 
-  /** Apply one merge (left, right) to a symbol array, left-to-right
-    * non-overlapping, as a higher-order fold: carry (out, prev); a
-    * prev==left followed by right emits the joined symbol and clears
-    * prev, anything else flushes prev.
+  /** Apply one merge (left, right) → `joined` to a symbol array,
+    * left-to-right non-overlapping, as a higher-order fold: carry
+    * (out, prev); a prev==left followed by right emits the joined
+    * symbol and clears prev, anything else flushes prev. BPE joins
+    * as `left + right`; WordPiece strips the continuation marker off
+    * `right` first — one fold body serves both trainers (the shared
+    * pairFold rule).
     */
-  private def applyMerge(syms: Column, left: String, right: String): Column = {
+  private[ops] def applyMerge(syms: Column, left: String, right: String,
+      joined: String): Column = {
     def state(out: Column, prev: Column) =
       struct(out.as("out"), prev.cast("string").as("prev"))
     aggregate(
@@ -65,7 +70,7 @@ object BpeTrainer {
         val out = acc.getField("out")
         val prev = acc.getField("prev")
         when(prev === lit(left) && x === lit(right),
-          state(concat(out, array(lit(left + right))), lit(null)))
+          state(concat(out, array(lit(joined))), lit(null)))
           .when(prev.isNull, state(out, x))
           .otherwise(state(concat(out, array(prev)), x))
       },
@@ -113,7 +118,7 @@ object BpeTrainer {
           // lazy localCheckpoint: materialized by the NEXT round's
           // argmax action, so each round stays one job
           words = words
-            .withColumn("syms", applyMerge(col("syms"), l, rt))
+            .withColumn("syms", applyMerge(col("syms"), l, rt, l + rt))
             .localCheckpoint(false)
           r += 1
       }

@@ -21,7 +21,8 @@ object DynamicOracles {
     * pins that every declared name actually registers when its query
     * builds, and that nothing undeclared registers.
     */
-  val declared: Set[String] = Set("q_unigram_lm_segment")
+  val declared: Set[String] =
+    Set("q_unigram_lm_segment", "q_wordpiece_segment")
 
   private val reg =
     new java.util.concurrent.ConcurrentHashMap[String, String]()

@@ -452,6 +452,37 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Content-defined chunking dedup (FastCDC-style gear hash,
+    // graft.expr.GearChunks): chunk each document's UTF-8 bytes at
+    // content-defined boundaries (maskBits=5 → expected ~32-byte
+    // chunks past min=8, forced cut at 64 — tiny widths per the
+    // fixed-vocab rule, so the gate corpus actually produces dup
+    // chunks), fingerprint each chunk via the engine-portable
+    // hex-slice md5 (CLAUDE.md: DuckDB BLOB substring), and mark
+    // every non-first occurrence corpus-wide. This is the byte-level
+    // dedup primitive for payload columns where an insert shifts
+    // every FIXED block but leaves content-defined boundaries after
+    // the edit intact. Scale shape: one scan + one fp-keyed window
+    // (distributes on fp); the chunker is a per-row kernel inside
+    // whole-stage codegen.
+    "q_cdc_chunks" -> ((s, dir) => {
+      val withChunks = docs(s, dir)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("bin"))
+        .select(col("doc_id"), hex(col("bin")).as("hx"),
+          graft.expr.CdcFunctions.gearChunks(col("bin"),
+            maskBits = 5, minLen = 8, maxLen = 64).as("chunks"))
+      val ch = withChunks
+        .select(col("doc_id"), col("hx"), explode(col("chunks")).as("c"))
+        .select(col("doc_id"), col("c.off").as("off"),
+          col("c.len").as("len"),
+          md5(col("hx").substr(col("c.off") * 2 + 1,
+            col("c.len") * 2)).as("fp"))
+      val w = Window.partitionBy("fp").orderBy("doc_id", "off")
+      ch.withColumn("is_dup",
+          when(row_number().over(w) > 1, 1).otherwise(0))
+        .orderBy("doc_id", "off")
+    }),
+
     // Language-ID via character-n-gram profiles: score each language
     // by occurrences of its characteristic bigrams, argmax with
     // deterministic tie-break. (Real systems learn the profiles; the
@@ -1021,6 +1052,56 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    // WordPiece tokenizer training (WordPieceTrainer): likelihood-
+    // scored merges — count(lr)/(count(l)·count(r)) — over
+    // continuation-marked symbols, the BERT-family tokenizer beside
+    // BPE (frequency) and unigram-LM (prune-down EM). Hash-gated via
+    // unrolled MATERIALIZED rounds (the q_bpe_merges pattern) with
+    // the score division mirrored verbatim — the doubles are
+    // bit-identical (exact ints in, one product, one division).
+    "q_wordpiece_merges" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.WordPieceTrainer.trainMerges(docs(s, dir), "text",
+        nMerges = 8)
+        .merges.toDF()
+        .select(col("rank").cast("long").as("rank"), col("left"),
+          col("right"), col("count"),
+          round(col("score"), 6).as("score_r"))
+        .orderBy("rank")
+    }),
+
+    // WordPiece greedy serving (BERT's max-munch): train on the
+    // standing slice, segment the serving slice with longest-match
+    // under the piece inventory — word-initial pieces bare,
+    // continuations '##'-marked, uncoverable words collapse to
+    // [UNK]. HASH-GATED via a run-time oracle: the inventory is
+    // interpolated into a recursive-CTE greedy matcher
+    // (wordpieceSegmentOracle) through DynamicOracles — the
+    // q_unigram_lm_segment channel. Greedy matching indexes DuckDB
+    // code points vs Scala UTF-16 units, so the BMP-only serving
+    // precondition is checked by name (same rule as the unigram
+    // gate).
+    "q_wordpiece_segment" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = graft.ops.WordPieceTrainer.trainMerges(
+        d.filter(col("doc_id") < 200), "text", nMerges = 8)
+      val serving = d.filter(col("doc_id") < 50)
+      val nonBmp = serving
+        .select(explode(graft.ops.TextDedup.tokens(col("text"))).as("w"))
+        .agg(max(length(encode(col("w"), "UTF-16BE")) -
+          length(col("w")) * 2).as("nonbmp"))
+        .head.getInt(0)
+      require(nonBmp == 0,
+        "q_wordpiece_segment precondition: a serving token carries a " +
+          "supplementary-plane character — the SQL oracle's code-point " +
+          "positions would diverge from greedy's UTF-16 positions")
+      DynamicOracles.put("q_wordpiece_segment",
+        wordpieceSegmentOracle(model))
+      graft.ops.WordPieceTrainer.segment(
+        serving, "doc_id", "text", model)
+        .orderBy("doc_id", "word_pos", "sub_pos")
+    }),
+
     // Posting-list inverted index over the corpus: df/cf per token and
     // the first-20 doc-id postings head as CSV.
     "q_inverted_index" -> ((s, dir) =>
@@ -1413,6 +1494,138 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
 FROM sj GROUP BY lang ORDER BY lang"""
   }
 
+  /** WordPiece w0: per-word counts + continuation-MARKED char splits
+    * (first char bare, rest '##'-prefixed) via the parallel-unnest
+    * zip idiom — the only structural difference from [[bpeW0]].
+    */
+  private def wpW0(fromClause: String): String =
+    s"""w0 AS MATERIALIZED (
+  SELECT word, n,
+    list(CASE WHEN pos = 0 THEN c ELSE '##' || c END ORDER BY pos) AS syms
+  FROM (SELECT word, n, unnest(range(0, len(cs))) AS pos, unnest(cs) AS c
+        FROM (SELECT word, CAST(count(*) AS BIGINT) AS n,
+                string_split(word, '') AS cs FROM (
+            SELECT unnest(string_split(trim(text), ' ')) AS word
+            FROM $fromClause)
+          WHERE len(word) > 0 GROUP BY word))
+  GROUP BY word, n)"""
+
+  /** One unrolled WordPiece round: identical skeleton to
+    * [[bpeRoundSql]] (match → greedy non-overlap → rebuild), but the
+    * argmax adds per-round unigram counts and orders by the
+    * likelihood score (sc DESC, l, r) with the trainer's exact
+    * association CAST(cnt)/(CAST(lc)·CAST(rc)), and the rebuild
+    * strips the right symbol's continuation marker (WordPiece join
+    * semantics).
+    */
+  private def wpRoundSql(i: Int): String = {
+    val p = i - 1
+    s"""uc$i AS MATERIALIZED (
+  SELECT sym, CAST(sum(n) AS BIGINT) AS uc
+  FROM (SELECT n, unnest(syms) AS sym FROM w$p) GROUP BY sym),
+pm$i AS MATERIALIZED (
+  SELECT l, r, cnt,
+    CAST(cnt AS DOUBLE) / (CAST(ul.uc AS DOUBLE) * CAST(ur.uc AS DOUBLE))
+      AS sc
+  FROM (
+    SELECT syms[ii] AS l, syms[ii+1] AS r, CAST(sum(n) AS BIGINT) AS cnt
+    FROM (SELECT n, syms, unnest(range(1, len(syms))) AS ii FROM w$p)
+    GROUP BY 1, 2 HAVING sum(n) >= 2) pp
+  JOIN uc$i ul ON ul.sym = pp.l JOIN uc$i ur ON ur.sym = pp.r
+  ORDER BY sc DESC, l, r LIMIT 1),
+mt$i AS (
+  SELECT word, ii FROM
+    (SELECT word, syms, unnest(range(1, len(syms))) AS ii FROM w$p)
+    CROSS JOIN pm$i
+  WHERE syms[ii] = l AND syms[ii+1] = r),
+sel$i AS (
+  SELECT word, ii AS st FROM (
+    SELECT word, ii,
+      ii - row_number() OVER (PARTITION BY word ORDER BY ii) AS grp
+    FROM mt$i) g
+  QUALIFY (ii - min(ii) OVER (PARTITION BY word, grp)) % 2 = 0),
+pos$i AS (SELECT word, n, unnest(range(1, len(syms)+1)) AS j,
+    unnest(syms) AS sym FROM w$p),
+w$i AS MATERIALIZED (
+  SELECT word, first(n) AS n, list(sym2 ORDER BY j) AS syms FROM (
+    SELECT p.word, p.n, p.j,
+      CASE WHEN ss.st IS NOT NULL THEN
+        pm.l || CASE WHEN pm.r LIKE '##%' THEN substr(pm.r, 3)
+                ELSE pm.r END
+      ELSE p.sym END AS sym2
+    FROM pos$i p LEFT JOIN pm$i pm ON TRUE
+    LEFT JOIN sel$i ss ON ss.word = p.word AND ss.st = p.j
+    LEFT JOIN sel$i sp ON sp.word = p.word AND sp.st = p.j - 1
+    WHERE sp.st IS NULL)
+  GROUP BY word)"""
+  }
+
+  private def wordpieceMergesOracle(nMerges: Int): String = {
+    val rounds = (1 to nMerges).map(wpRoundSql).mkString(",\n")
+    val finals = (1 to nMerges).map(i =>
+      s"""SELECT CAST(${i - 1} AS BIGINT) AS rank, l AS "left",
+            r AS "right", cnt AS "count", round(sc, 6) AS score_r
+          FROM pm$i""")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${wpW0("documents")},\n$rounds
+SELECT * FROM ($finals) ORDER BY rank"""
+  }
+
+  /** Run-time oracle for q_wordpiece_segment: greedy longest-match
+    * under the FIXED trained inventory, as SQL. The inventory is
+    * interpolated as (piece, body, iscont) literals; a recursive CTE
+    * replicates [[graft.ops.WordPieceTrainer.greedy]] POSITION BY
+    * POSITION — each step's lateral picks the longest matching body
+    * under the same position-0/continuation rule, and a no-match
+    * collapses the whole word to ['[UNK]'] exactly like the Scala
+    * fallback. Registered via [[DynamicOracles]] because the
+    * inventory only exists after the in-query training step runs.
+    */
+  private[queries] def wordpieceSegmentOracle(
+      model: graft.ops.WordPieceTrainer.Model): String = {
+    val vals = model.pieces
+      .map { p =>
+        val body = graft.ops.WordPieceTrainer.stripCont(p)
+        val esc = (s: String) => s.replace("'", "''")
+        s"('${esc(p)}', '${esc(body)}', ${p.startsWith("##")})"
+      }
+      .mkString(", ")
+    s"""WITH RECURSIVE
+inv AS (SELECT piece, body, iscont FROM (VALUES $vals)
+        v(piece, body, iscont)),
+sv AS (SELECT doc_id, word_pos, word FROM (
+    SELECT doc_id, unnest(range(0, len(tk))) AS word_pos,
+      unnest(tk) AS word
+    FROM (SELECT doc_id, string_split(trim(text), ' ') AS tk
+          FROM documents WHERE doc_id < 50))
+  WHERE len(word) > 0),
+wd AS (SELECT DISTINCT word FROM sv),
+rec(word, pos, pieces, failed) AS (
+  SELECT word, 0, CAST([] AS VARCHAR[]), FALSE FROM wd
+  UNION ALL
+  SELECT r.word,
+    CASE WHEN c.piece IS NULL THEN len(r.word)
+         ELSE r.pos + len(c.body) END,
+    CASE WHEN c.piece IS NULL THEN ['[UNK]']
+         ELSE r.pieces || [c.piece] END,
+    c.piece IS NULL
+  FROM rec r
+  LEFT JOIN LATERAL (
+    SELECT piece, body FROM inv
+    WHERE iscont = (r.pos > 0)
+      AND substr(r.word, r.pos + 1, len(body)) = body
+    ORDER BY len(body) DESC, piece LIMIT 1) c ON TRUE
+  WHERE r.pos < len(r.word) AND NOT r.failed),
+fin AS (SELECT word, pieces FROM rec WHERE pos >= len(word))
+SELECT s.doc_id AS doc_id, CAST(s.word_pos AS BIGINT) AS word_pos,
+  s.word, CAST(sub_pos AS BIGINT) AS sub_pos, piece FROM (
+  SELECT s0.doc_id, s0.word_pos, s0.word,
+    unnest(range(0, len(f.pieces))) AS sub_pos,
+    unnest(f.pieces) AS piece
+  FROM sv s0 JOIN fin f ON f.word = s0.word) s
+ORDER BY s.doc_id, word_pos, sub_pos"""
+  }
+
   /** Run-time oracle for q_unigram_lm_segment: segmentation under the
     * FIXED trained piece table, as SQL. The piece log-probs are
     * interpolated as string literals CAST to DOUBLE (Double.toString
@@ -1511,6 +1724,7 @@ ORDER BY doc_id, word_pos, sub_pos"""
     "q_bpe_merges" -> bpeMergesOracle(12),
     "q_bpe_segment" -> bpeSegmentOracle(8),
     "q_bpe_fertility" -> bpeFertilityOracle(8),
+    "q_wordpiece_merges" -> wordpieceMergesOracle(8),
     "q_inverted_index" ->
       """WITH tk AS (SELECT doc_id,
              unnest(string_split(trim(text), ' ')) AS tok FROM documents),
@@ -1707,6 +1921,72 @@ ORDER BY doc_id, word_pos, sub_pos"""
              string_agg(CASE WHEN rn = 1 AND NOT in_corpus THEN seg END,
                ' ' ORDER BY seg_idx) AS clean_text
          FROM r GROUP BY doc_id ORDER BY doc_id""",
+    // gear CDC replicated position-by-position: the recursive CTE
+    // carries (h, start) through every byte (gear(b) = first 8 md5
+    // hex chars of the byte's decimal string — same derivation as
+    // GearChunks.gearTable), cut rows become chunks, the unsealed
+    // tail joins back for its length. The next-byte lookup is
+    // guarded INSIDE the lateral (it evaluates before the recursion's
+    // WHERE — the guard-at-producing-projection class).
+    "q_cdc_chunks" ->
+      """WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n FROM documents),
+         walk AS (
+           WITH RECURSIVE rec(doc_id, i, h, start, cut) AS (
+             SELECT doc_id, 0,
+               CAST(CAST(('0x' || substr(md5(CAST(
+                 CAST(('0x' || substr(hx, 1, 2)) AS UBIGINT)
+                 AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+                 % 4294967296,
+               0,
+               (1 >= 8 AND
+                 (CAST(CAST(('0x' || substr(md5(CAST(
+                   CAST(('0x' || substr(hx, 1, 2)) AS UBIGINT)
+                   AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+                   % 4294967296) // 134217728 = 0)
+               OR 1 >= 64
+             FROM d WHERE n > 0
+             UNION ALL
+             SELECT r.doc_id, r.i + 1, h2.h2,
+               CASE WHEN r.cut THEN r.i + 1 ELSE r.start END,
+               ((r.i + 1 - CASE WHEN r.cut THEN r.i + 1
+                   ELSE r.start END + 1) >= 8
+                 AND h2.h2 // 134217728 = 0)
+               OR (r.i + 1 - CASE WHEN r.cut THEN r.i + 1
+                   ELSE r.start END + 1) >= 64
+             FROM rec r
+             JOIN d ON d.doc_id = r.doc_id,
+             LATERAL (SELECT
+               ((CASE WHEN r.cut THEN 0 ELSE r.h END) * 2 +
+                 CAST(CAST(('0x' || substr(md5(CAST(
+                   CASE WHEN r.i + 1 < d.n THEN
+                     CAST(('0x' || substr(d.hx, (r.i + 1) * 2 + 1, 2))
+                       AS UBIGINT)
+                   ELSE 0 END
+                   AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT))
+                 % 4294967296 AS h2) h2
+             WHERE r.i + 1 < d.n
+           )
+           SELECT * FROM rec
+         ),
+         chunks AS (
+           SELECT doc_id, start AS off, i - start + 1 AS len
+           FROM walk WHERE cut
+           UNION ALL
+           SELECT w.doc_id, w.start, d.n - w.start
+           FROM walk w JOIN d ON d.doc_id = w.doc_id
+           WHERE w.i = d.n - 1 AND NOT w.cut
+         ),
+         fps AS (
+           SELECT c.doc_id AS doc_id, CAST(c.off AS INTEGER) AS off,
+             CAST(c.len AS INTEGER) AS len,
+             md5(substr(d.hx, c.off * 2 + 1, c.len * 2)) AS fp
+           FROM chunks c JOIN d ON d.doc_id = c.doc_id
+         )
+         SELECT doc_id, off, len, fp,
+           CASE WHEN row_number() OVER (PARTITION BY fp
+             ORDER BY doc_id, off) > 1 THEN 1 ELSE 0 END AS is_dup
+         FROM fps ORDER BY doc_id, off""",
     // the same gap-and-island merge over spans covered by >=2-count
     // 40-grams; positions 1-based, end exclusive — all integers
     "q_dedup_substring" ->

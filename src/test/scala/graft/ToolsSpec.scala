@@ -18,12 +18,20 @@ class ToolsSpec extends AnyFunSuite {
     // Viterbi; after the query BUILDS, the entry must be visible to
     // the post-loop oracle_sql.json rewrite (Verify.writeOracle) —
     // and it must carry the interpolated piece literals
-    SparkEntry.queries("q_unigram_lm_segment")(
-      spark, "/root/testdata/sf0.001")
+    // build EVERY declared dynamic-oracle query, then check the
+    // registry is exactly the declared set — a new declared name
+    // whose query forgets to register fails here, not at the driver
+    graft.queries.DynamicOracles.declared.toSeq.sorted.foreach { n =>
+      SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
+    }
     val sql = SparkEntry.oracleSql.get("q_unigram_lm_segment")
     assert(sql.nonEmpty, "dynamic oracle entry missing after query build")
     assert(sql.get.contains("WITH RECURSIVE") &&
       sql.get.contains("CAST(v.lps AS DOUBLE)"), sql.get.take(200))
+    val wp = SparkEntry.oracleSql.get("q_wordpiece_segment")
+    assert(wp.nonEmpty, "wordpiece dynamic oracle missing after build")
+    assert(wp.get.contains("WITH RECURSIVE") &&
+      wp.get.contains("iscont"), wp.get.take(200))
     // the static contract CountsStamp counts from must match what
     // actually registered — stale in either direction fails
     assert(graft.queries.DynamicOracles.entries.keySet ==
