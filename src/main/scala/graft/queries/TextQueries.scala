@@ -44,6 +44,25 @@ object TextQueries {
   // gate run the same code
   import graft.ops.TextDedup
 
+  /** Per-chunk frame shared by the CDC dedup queries: gear
+    * content-defined chunking (graft.expr.GearChunks) of each
+    * document's UTF-8 bytes at gate-scale widths (maskBits=5, min 8,
+    * max 64 — tiny per the fixed-vocab collision rule), fingerprinted
+    * via the engine-portable hex-slice md5 (CLAUDE.md: DuckDB BLOB
+    * substring). Output: (doc_id, off, len, fp).
+    */
+  private def cdcChunkFrame(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("bin"))
+      .select(col("doc_id"), hex(col("bin")).as("hx"),
+        graft.expr.CdcFunctions.gearChunks(col("bin"),
+          maskBits = 5, minLen = 8, maxLen = 64).as("chunks"))
+      .select(col("doc_id"), col("hx"), explode(col("chunks")).as("c"))
+      .select(col("doc_id"), col("c.off").as("off"),
+        col("c.len").as("len"),
+        md5(col("hx").substr(col("c.off") * 2 + 1,
+          col("c.len") * 2)).as("fp"))
+
   /** Bigram-profile language scorer shared by q_lang_ngram and
     * q_langid_confusion (one definition so the eval can never drift
     * from the predictor it measures): per-language profile-gram count
@@ -466,20 +485,28 @@ object TextQueries {
     // (distributes on fp); the chunker is a per-row kernel inside
     // whole-stage codegen.
     "q_cdc_chunks" -> ((s, dir) => {
-      val withChunks = docs(s, dir)
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("bin"))
-        .select(col("doc_id"), hex(col("bin")).as("hx"),
-          graft.expr.CdcFunctions.gearChunks(col("bin"),
-            maskBits = 5, minLen = 8, maxLen = 64).as("chunks"))
-      val ch = withChunks
-        .select(col("doc_id"), col("hx"), explode(col("chunks")).as("c"))
-        .select(col("doc_id"), col("c.off").as("off"),
-          col("c.len").as("len"),
-          md5(col("hx").substr(col("c.off") * 2 + 1,
-            col("c.len") * 2)).as("fp"))
+      val ch = cdcChunkFrame(s, dir)
       val w = Window.partitionBy("fp").orderBy("doc_id", "off")
       ch.withColumn("is_dup",
           when(row_number().over(w) > 1, 1).otherwise(0))
+        .orderBy("doc_id", "off")
+    }),
+
+    // Incremental CDC dedup — the nightly chunk-store shape: tonight's
+    // batch (docs >= 250) chunks are flagged against the standing
+    // corpus's (docs < 250) distinct chunk fingerprints — a crawl
+    // re-scrape pays storage only for chunks the store doesn't hold.
+    // One fp-keyed left join; the shared chunk frame is persisted
+    // (two branches — the self-join re-execution rule).
+    "q_cdc_chunks_incr" -> ((s, dir) => {
+      val ch = cdcChunkFrame(s, dir)
+        .transform(graft.ops.QueryCaches.persist)
+      val corpus = ch.filter(col("doc_id") < 250)
+        .select(col("fp")).distinct().withColumn("known", lit(1))
+      ch.filter(col("doc_id") >= 250)
+        .join(corpus, Seq("fp"), "left")
+        .select(col("doc_id"), col("off"), col("len"), col("fp"),
+          coalesce(col("known"), lit(0)).as("is_known"))
         .orderBy("doc_id", "off")
     }),
 
@@ -1494,6 +1521,71 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
 FROM sj GROUP BY lang ORDER BY lang"""
   }
 
+  /** The gear-CDC walk as SQL, shared by both q_cdc_chunks oracles:
+    * a recursive CTE carries (h, start) through every byte (gear(b)
+    * = first 8 md5 hex chars of the byte's decimal string — same
+    * derivation as GearChunks.gearTable), cut rows become chunks,
+    * the unsealed tail joins back for its length, and `fps`
+    * fingerprints each chunk off the hex slice. The next-byte lookup
+    * is guarded INSIDE the lateral (it evaluates before the
+    * recursion's WHERE — the guard-at-producing-projection class).
+    */
+  private val cdcWalkSql: String =
+    """d AS (SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n FROM documents),
+         walk AS (
+           WITH RECURSIVE rec(doc_id, i, h, start, cut) AS (
+             SELECT doc_id, 0,
+               CAST(CAST(('0x' || substr(md5(CAST(
+                 CAST(('0x' || substr(hx, 1, 2)) AS UBIGINT)
+                 AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+                 % 4294967296,
+               0,
+               (1 >= 8 AND
+                 (CAST(CAST(('0x' || substr(md5(CAST(
+                   CAST(('0x' || substr(hx, 1, 2)) AS UBIGINT)
+                   AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+                   % 4294967296) // 134217728 = 0)
+               OR 1 >= 64
+             FROM d WHERE n > 0
+             UNION ALL
+             SELECT r.doc_id, r.i + 1, h2.h2,
+               CASE WHEN r.cut THEN r.i + 1 ELSE r.start END,
+               ((r.i + 1 - CASE WHEN r.cut THEN r.i + 1
+                   ELSE r.start END + 1) >= 8
+                 AND h2.h2 // 134217728 = 0)
+               OR (r.i + 1 - CASE WHEN r.cut THEN r.i + 1
+                   ELSE r.start END + 1) >= 64
+             FROM rec r
+             JOIN d ON d.doc_id = r.doc_id,
+             LATERAL (SELECT
+               ((CASE WHEN r.cut THEN 0 ELSE r.h END) * 2 +
+                 CAST(CAST(('0x' || substr(md5(CAST(
+                   CASE WHEN r.i + 1 < d.n THEN
+                     CAST(('0x' || substr(d.hx, (r.i + 1) * 2 + 1, 2))
+                       AS UBIGINT)
+                   ELSE 0 END
+                   AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT))
+                 % 4294967296 AS h2) h2
+             WHERE r.i + 1 < d.n
+           )
+           SELECT * FROM rec
+         ),
+         chunks AS (
+           SELECT doc_id, start AS off, i - start + 1 AS len
+           FROM walk WHERE cut
+           UNION ALL
+           SELECT w.doc_id, w.start, d.n - w.start
+           FROM walk w JOIN d ON d.doc_id = w.doc_id
+           WHERE w.i = d.n - 1 AND NOT w.cut
+         ),
+         fps AS (
+           SELECT c.doc_id AS doc_id, CAST(c.off AS INTEGER) AS off,
+             CAST(c.len AS INTEGER) AS len,
+             md5(substr(d.hx, c.off * 2 + 1, c.len * 2)) AS fp
+           FROM chunks c JOIN d ON d.doc_id = c.doc_id
+         )"""
+
   /** WordPiece w0: per-word counts + continuation-MARKED char splits
     * (first char bare, rest '##'-prefixed) via the parallel-unnest
     * zip idiom — the only structural difference from [[bpeW0]].
@@ -1921,72 +2013,24 @@ ORDER BY doc_id, word_pos, sub_pos"""
              string_agg(CASE WHEN rn = 1 AND NOT in_corpus THEN seg END,
                ' ' ORDER BY seg_idx) AS clean_text
          FROM r GROUP BY doc_id ORDER BY doc_id""",
-    // gear CDC replicated position-by-position: the recursive CTE
-    // carries (h, start) through every byte (gear(b) = first 8 md5
-    // hex chars of the byte's decimal string — same derivation as
-    // GearChunks.gearTable), cut rows become chunks, the unsealed
-    // tail joins back for its length. The next-byte lookup is
-    // guarded INSIDE the lateral (it evaluates before the recursion's
-    // WHERE — the guard-at-producing-projection class).
+    // gear CDC replicated position-by-position (cdcWalkSql); the
+    // dup flag is the fp-keyed first-occurrence window.
     "q_cdc_chunks" ->
-      """WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
-             octet_length(encode(text)) AS n FROM documents),
-         walk AS (
-           WITH RECURSIVE rec(doc_id, i, h, start, cut) AS (
-             SELECT doc_id, 0,
-               CAST(CAST(('0x' || substr(md5(CAST(
-                 CAST(('0x' || substr(hx, 1, 2)) AS UBIGINT)
-                 AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
-                 % 4294967296,
-               0,
-               (1 >= 8 AND
-                 (CAST(CAST(('0x' || substr(md5(CAST(
-                   CAST(('0x' || substr(hx, 1, 2)) AS UBIGINT)
-                   AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
-                   % 4294967296) // 134217728 = 0)
-               OR 1 >= 64
-             FROM d WHERE n > 0
-             UNION ALL
-             SELECT r.doc_id, r.i + 1, h2.h2,
-               CASE WHEN r.cut THEN r.i + 1 ELSE r.start END,
-               ((r.i + 1 - CASE WHEN r.cut THEN r.i + 1
-                   ELSE r.start END + 1) >= 8
-                 AND h2.h2 // 134217728 = 0)
-               OR (r.i + 1 - CASE WHEN r.cut THEN r.i + 1
-                   ELSE r.start END + 1) >= 64
-             FROM rec r
-             JOIN d ON d.doc_id = r.doc_id,
-             LATERAL (SELECT
-               ((CASE WHEN r.cut THEN 0 ELSE r.h END) * 2 +
-                 CAST(CAST(('0x' || substr(md5(CAST(
-                   CASE WHEN r.i + 1 < d.n THEN
-                     CAST(('0x' || substr(d.hx, (r.i + 1) * 2 + 1, 2))
-                       AS UBIGINT)
-                   ELSE 0 END
-                   AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT))
-                 % 4294967296 AS h2) h2
-             WHERE r.i + 1 < d.n
-           )
-           SELECT * FROM rec
-         ),
-         chunks AS (
-           SELECT doc_id, start AS off, i - start + 1 AS len
-           FROM walk WHERE cut
-           UNION ALL
-           SELECT w.doc_id, w.start, d.n - w.start
-           FROM walk w JOIN d ON d.doc_id = w.doc_id
-           WHERE w.i = d.n - 1 AND NOT w.cut
-         ),
-         fps AS (
-           SELECT c.doc_id AS doc_id, CAST(c.off AS INTEGER) AS off,
-             CAST(c.len AS INTEGER) AS len,
-             md5(substr(d.hx, c.off * 2 + 1, c.len * 2)) AS fp
-           FROM chunks c JOIN d ON d.doc_id = c.doc_id
-         )
+      s"""WITH $cdcWalkSql
          SELECT doc_id, off, len, fp,
            CASE WHEN row_number() OVER (PARTITION BY fp
              ORDER BY doc_id, off) > 1 THEN 1 ELSE 0 END AS is_dup
          FROM fps ORDER BY doc_id, off""",
+    // same walk, batch chunks flagged against the standing corpus's
+    // distinct fingerprints
+    "q_cdc_chunks_incr" ->
+      s"""WITH $cdcWalkSql,
+         corp AS (SELECT DISTINCT fp FROM fps WHERE doc_id < 250)
+         SELECT f.doc_id AS doc_id, f.off, f.len, f.fp,
+           CASE WHEN c.fp IS NULL THEN 0 ELSE 1 END AS is_known
+         FROM fps f LEFT JOIN corp c ON c.fp = f.fp
+         WHERE f.doc_id >= 250
+         ORDER BY f.doc_id, f.off""",
     // the same gap-and-island merge over spans covered by >=2-count
     // 40-grams; positions 1-based, end exclusive — all integers
     "q_dedup_substring" ->
