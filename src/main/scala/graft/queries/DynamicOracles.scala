@@ -22,7 +22,8 @@ object DynamicOracles {
     * builds, and that nothing undeclared registers.
     */
   val declared: Set[String] =
-    Set("q_unigram_lm_segment", "q_wordpiece_segment")
+    Set("q_unigram_lm_segment", "q_wordpiece_segment",
+      "q_tokenizer_compare")
 
   private val reg =
     new java.util.concurrent.ConcurrentHashMap[String, String]()

@@ -1129,6 +1129,68 @@ object TextQueries {
         .orderBy("doc_id", "word_pos", "sub_pos")
     }),
 
+    // Cross-tokenizer eval — the adopt-a-tokenizer decision table:
+    // train all three families on the standing slice with their gate
+    // configs, serve the same slice, compare fertility (subwords per
+    // word, weighted by occurrence) and WordPiece's whole-word UNK
+    // count. HASH-GATED through the dynamic channel: BPE + WordPiece
+    // replay as prefixed unrolled rounds in ONE oracle statement,
+    // the unigram piece table interpolates (tokenizerCompareOracle).
+    "q_tokenizer_compare" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val train = d.filter(col("doc_id") < 200)
+      val serving = d.filter(col("doc_id") < 50)
+      // same named preconditions as the unigram gate: its Viterbi
+      // window and code-point/UTF-16 alignment carry over verbatim
+      val tokStats = serving
+        .select(explode(graft.ops.TextDedup.tokens(col("text"))).as("w"))
+        .agg(max(length(col("w"))).as("mx"),
+          max(length(encode(col("w"), "UTF-16BE")) -
+            length(col("w")) * 2).as("nonbmp"))
+        .head
+      require(tokStats.getInt(0) <= 256,
+        s"q_tokenizer_compare precondition: a serving token has " +
+          s"${tokStats.getInt(0)} chars — the oracle's Viterbi window " +
+          "is bounded at 256")
+      require(tokStats.getInt(1) == 0,
+        "q_tokenizer_compare precondition: a serving token carries a " +
+          "supplementary-plane character — the SQL oracles' code-point " +
+          "positions would diverge from the UTF-16 segmenters")
+      val bpe = graft.ops.BpeTrainer.trainMerges(train, "text",
+        nMerges = 8)
+      val wp = graft.ops.WordPieceTrainer.trainMerges(train, "text",
+        nMerges = 8)
+      val ugm = graft.ops.UnigramLmTrainer.train(train, "text",
+        vocabSize = 48, seedSize = 60, maxPieceLen = 4, emIters = 2)
+      DynamicOracles.put("q_tokenizer_compare",
+        tokenizerCompareOracle(wp, ugm))
+      def fert(seg: DataFrame, name: String, pieceCol: String,
+          countUnk: Boolean): DataFrame = {
+        val per = seg.groupBy("doc_id", "word_pos")
+          .agg(count(lit(1)).as("n_sub"),
+            max(when(col(pieceCol) === "[UNK]", 1).otherwise(0))
+              .as("unk"))
+        per.agg(
+            count(lit(1)).cast("long").as("n_words"),
+            sum(col("n_sub")).cast("long").as("n_subwords"),
+            (if (countUnk) sum(col("unk")).cast("long")
+             else lit(0L)).as("n_unk"),
+            round(sum(col("n_sub")).cast("double") / count(lit(1)), 6)
+              .as("fertility_r"))
+          .select(lit(name).as("tokenizer"), col("n_words"),
+            col("n_subwords"), col("n_unk"), col("fertility_r"))
+      }
+      fert(graft.ops.BpeTrainer.segment(serving, "doc_id", "text", bpe),
+          "bpe", "subword", countUnk = false)
+        .unionAll(fert(graft.ops.UnigramLmTrainer.segment(
+          serving, "doc_id", "text", ugm), "unigram", "piece",
+          countUnk = false))
+        .unionAll(fert(graft.ops.WordPieceTrainer.segment(
+          serving, "doc_id", "text", wp), "wordpiece", "piece",
+          countUnk = true))
+        .orderBy("tokenizer")
+    }),
+
     // Posting-list inverted index over the corpus: df/cf per token and
     // the first-20 doc-id postings head as CSV.
     "q_inverted_index" -> ((s, dir) =>
@@ -1421,34 +1483,34 @@ object TextQueries {
     * carries words through unchanged if a round finds no pair ≥
     * minCount — the trainer's early stop.
     */
-  private def bpeRoundSql(i: Int): String = {
+  private def bpeRoundSql(i: Int, x: String = ""): String = {
     val p = i - 1
-    s"""pm$i AS MATERIALIZED (
+    s"""${x}pm$i AS MATERIALIZED (
   SELECT l, r, cnt FROM (
     SELECT syms[ii] AS l, syms[ii+1] AS r, CAST(sum(n) AS BIGINT) AS cnt
-    FROM (SELECT n, syms, unnest(range(1, len(syms))) AS ii FROM w$p)
+    FROM (SELECT n, syms, unnest(range(1, len(syms))) AS ii FROM ${x}w$p)
     GROUP BY 1, 2 HAVING sum(n) >= 2)
   ORDER BY cnt DESC, l, r LIMIT 1),
-mt$i AS (
+${x}mt$i AS (
   SELECT word, ii FROM
-    (SELECT word, syms, unnest(range(1, len(syms))) AS ii FROM w$p)
-    CROSS JOIN pm$i
+    (SELECT word, syms, unnest(range(1, len(syms))) AS ii FROM ${x}w$p)
+    CROSS JOIN ${x}pm$i
   WHERE syms[ii] = l AND syms[ii+1] = r),
-sel$i AS (
+${x}sel$i AS (
   SELECT word, ii AS st FROM (
     SELECT word, ii,
       ii - row_number() OVER (PARTITION BY word ORDER BY ii) AS grp
-    FROM mt$i) g
+    FROM ${x}mt$i) g
   QUALIFY (ii - min(ii) OVER (PARTITION BY word, grp)) % 2 = 0),
-pos$i AS (SELECT word, n, unnest(range(1, len(syms)+1)) AS j,
-    unnest(syms) AS sym FROM w$p),
-w$i AS MATERIALIZED (
+${x}pos$i AS (SELECT word, n, unnest(range(1, len(syms)+1)) AS j,
+    unnest(syms) AS sym FROM ${x}w$p),
+${x}w$i AS MATERIALIZED (
   SELECT word, first(n) AS n, list(sym2 ORDER BY j) AS syms FROM (
     SELECT p.word, p.n, p.j,
       CASE WHEN ss.st IS NOT NULL THEN pm.l || pm.r ELSE p.sym END AS sym2
-    FROM pos$i p LEFT JOIN pm$i pm ON TRUE
-    LEFT JOIN sel$i ss ON ss.word = p.word AND ss.st = p.j
-    LEFT JOIN sel$i sp ON sp.word = p.word AND sp.st = p.j - 1
+    FROM ${x}pos$i p LEFT JOIN ${x}pm$i pm ON TRUE
+    LEFT JOIN ${x}sel$i ss ON ss.word = p.word AND ss.st = p.j
+    LEFT JOIN ${x}sel$i sp ON sp.word = p.word AND sp.st = p.j - 1
     WHERE sp.st IS NULL)
   GROUP BY word)"""
   }
@@ -1458,15 +1520,15 @@ w$i AS MATERIALIZED (
     * synthetic vocab keeps every w$i tiny, so 12 unrolled rounds are
     * cheap).
     */
-  private def bpeW0(fromClause: String): String =
-    s"""w0 AS MATERIALIZED (
+  private def bpeW0(fromClause: String, x: String = ""): String =
+    s"""${x}w0 AS MATERIALIZED (
   SELECT word, n, string_split(word, '') AS syms FROM (
     SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
       SELECT unnest(string_split(trim(text), ' ')) AS word FROM $fromClause)
     WHERE len(word) > 0 GROUP BY word))"""
 
   private def bpeMergesOracle(nMerges: Int): String = {
-    val rounds = (1 to nMerges).map(bpeRoundSql).mkString(",\n")
+    val rounds = (1 to nMerges).map(i => bpeRoundSql(i)).mkString(",\n")
     val finals = (1 to nMerges).map(i =>
       s"""SELECT CAST(${i - 1} AS BIGINT) AS rank, l AS "left",
             r AS "right", cnt AS "count" FROM pm$i""")
@@ -1481,7 +1543,7 @@ SELECT * FROM ($finals) ORDER BY rank"""
     * order), OOV words fall back to char splits.
     */
   private def bpeSegmentOracle(nMerges: Int): String = {
-    val rounds = (1 to nMerges).map(bpeRoundSql).mkString(",\n")
+    val rounds = (1 to nMerges).map(i => bpeRoundSql(i)).mkString(",\n")
     s"""WITH ${bpeW0("documents WHERE doc_id < 200")},
 $rounds,
 sv AS (SELECT doc_id, word_pos, word FROM (
@@ -1505,7 +1567,7 @@ ORDER BY doc_id, word_pos, sub_pos"""
     * subword unnest needed; OOV words char-split like the segmenter).
     */
   private def bpeFertilityOracle(nMerges: Int): String = {
-    val rounds = (1 to nMerges).map(bpeRoundSql).mkString(",\n")
+    val rounds = (1 to nMerges).map(i => bpeRoundSql(i)).mkString(",\n")
     s"""WITH ${bpeW0("documents WHERE doc_id < 200")},
 $rounds,
 sv AS (SELECT lang, word FROM (
@@ -1590,8 +1652,8 @@ FROM sj GROUP BY lang ORDER BY lang"""
     * (first char bare, rest '##'-prefixed) via the parallel-unnest
     * zip idiom — the only structural difference from [[bpeW0]].
     */
-  private def wpW0(fromClause: String): String =
-    s"""w0 AS MATERIALIZED (
+  private def wpW0(fromClause: String, x: String = ""): String =
+    s"""${x}w0 AS MATERIALIZED (
   SELECT word, n,
     list(CASE WHEN pos = 0 THEN c ELSE '##' || c END ORDER BY pos) AS syms
   FROM (SELECT word, n, unnest(range(0, len(cs))) AS pos, unnest(cs) AS c
@@ -1610,50 +1672,50 @@ FROM sj GROUP BY lang ORDER BY lang"""
     * strips the right symbol's continuation marker (WordPiece join
     * semantics).
     */
-  private def wpRoundSql(i: Int): String = {
+  private def wpRoundSql(i: Int, x: String = ""): String = {
     val p = i - 1
-    s"""uc$i AS MATERIALIZED (
+    s"""${x}uc$i AS MATERIALIZED (
   SELECT sym, CAST(sum(n) AS BIGINT) AS uc
-  FROM (SELECT n, unnest(syms) AS sym FROM w$p) GROUP BY sym),
-pm$i AS MATERIALIZED (
+  FROM (SELECT n, unnest(syms) AS sym FROM ${x}w$p) GROUP BY sym),
+${x}pm$i AS MATERIALIZED (
   SELECT l, r, cnt,
     CAST(cnt AS DOUBLE) / (CAST(ul.uc AS DOUBLE) * CAST(ur.uc AS DOUBLE))
       AS sc
   FROM (
     SELECT syms[ii] AS l, syms[ii+1] AS r, CAST(sum(n) AS BIGINT) AS cnt
-    FROM (SELECT n, syms, unnest(range(1, len(syms))) AS ii FROM w$p)
+    FROM (SELECT n, syms, unnest(range(1, len(syms))) AS ii FROM ${x}w$p)
     GROUP BY 1, 2 HAVING sum(n) >= 2) pp
-  JOIN uc$i ul ON ul.sym = pp.l JOIN uc$i ur ON ur.sym = pp.r
+  JOIN ${x}uc$i ul ON ul.sym = pp.l JOIN ${x}uc$i ur ON ur.sym = pp.r
   ORDER BY sc DESC, l, r LIMIT 1),
-mt$i AS (
+${x}mt$i AS (
   SELECT word, ii FROM
-    (SELECT word, syms, unnest(range(1, len(syms))) AS ii FROM w$p)
-    CROSS JOIN pm$i
+    (SELECT word, syms, unnest(range(1, len(syms))) AS ii FROM ${x}w$p)
+    CROSS JOIN ${x}pm$i
   WHERE syms[ii] = l AND syms[ii+1] = r),
-sel$i AS (
+${x}sel$i AS (
   SELECT word, ii AS st FROM (
     SELECT word, ii,
       ii - row_number() OVER (PARTITION BY word ORDER BY ii) AS grp
-    FROM mt$i) g
+    FROM ${x}mt$i) g
   QUALIFY (ii - min(ii) OVER (PARTITION BY word, grp)) % 2 = 0),
-pos$i AS (SELECT word, n, unnest(range(1, len(syms)+1)) AS j,
-    unnest(syms) AS sym FROM w$p),
-w$i AS MATERIALIZED (
+${x}pos$i AS (SELECT word, n, unnest(range(1, len(syms)+1)) AS j,
+    unnest(syms) AS sym FROM ${x}w$p),
+${x}w$i AS MATERIALIZED (
   SELECT word, first(n) AS n, list(sym2 ORDER BY j) AS syms FROM (
     SELECT p.word, p.n, p.j,
       CASE WHEN ss.st IS NOT NULL THEN
         pm.l || CASE WHEN pm.r LIKE '##%' THEN substr(pm.r, 3)
                 ELSE pm.r END
       ELSE p.sym END AS sym2
-    FROM pos$i p LEFT JOIN pm$i pm ON TRUE
-    LEFT JOIN sel$i ss ON ss.word = p.word AND ss.st = p.j
-    LEFT JOIN sel$i sp ON sp.word = p.word AND sp.st = p.j - 1
+    FROM ${x}pos$i p LEFT JOIN ${x}pm$i pm ON TRUE
+    LEFT JOIN ${x}sel$i ss ON ss.word = p.word AND ss.st = p.j
+    LEFT JOIN ${x}sel$i sp ON sp.word = p.word AND sp.st = p.j - 1
     WHERE sp.st IS NULL)
   GROUP BY word)"""
   }
 
   private def wordpieceMergesOracle(nMerges: Int): String = {
-    val rounds = (1 to nMerges).map(wpRoundSql).mkString(",\n")
+    val rounds = (1 to nMerges).map(i => wpRoundSql(i)).mkString(",\n")
     val finals = (1 to nMerges).map(i =>
       s"""SELECT CAST(${i - 1} AS BIGINT) AS rank, l AS "left",
             r AS "right", cnt AS "count", round(sc, 6) AS score_r
@@ -1673,6 +1735,45 @@ SELECT * FROM ($finals) ORDER BY rank"""
     * fallback. Registered via [[DynamicOracles]] because the
     * inventory only exists after the in-query training step runs.
     */
+  /** Serving-words CTEs shared by the segmentation/compare oracles:
+    * `sv` (doc_id, word_pos, word — empties dropped AFTER
+    * positioning, the posexplode order) and `wd` (distinct words).
+    */
+  private val servingWordsSql: String =
+    """sv AS (SELECT doc_id, word_pos, word FROM (
+    SELECT doc_id, unnest(range(0, len(tk))) AS word_pos,
+      unnest(tk) AS word
+    FROM (SELECT doc_id, string_split(trim(text), ' ') AS tk
+          FROM documents WHERE doc_id < 50))
+  WHERE len(word) > 0),
+wd AS (SELECT DISTINCT word FROM sv)"""
+
+  /** Greedy max-munch CTEs (`${x}rec` + `${x}fin`) replicating
+    * [[graft.ops.WordPieceTrainer.greedy]] POSITION BY POSITION over
+    * the distinct words of `wd`: each step's lateral picks the
+    * longest matching body of `$invName(piece, body, iscont)` under
+    * the position-0/continuation rule; a no-match collapses the
+    * whole word to ['[UNK]'] exactly like the Scala fallback.
+    */
+  private def wpGreedyCtes(invName: String, x: String): String =
+    s"""${x}rec(word, pos, pieces, failed) AS (
+  SELECT word, 0, CAST([] AS VARCHAR[]), FALSE FROM wd
+  UNION ALL
+  SELECT r.word,
+    CASE WHEN c.piece IS NULL THEN len(r.word)
+         ELSE r.pos + len(c.body) END,
+    CASE WHEN c.piece IS NULL THEN ['[UNK]']
+         ELSE r.pieces || [c.piece] END,
+    c.piece IS NULL
+  FROM ${x}rec r
+  LEFT JOIN LATERAL (
+    SELECT piece, body FROM $invName
+    WHERE iscont = (r.pos > 0)
+      AND substr(r.word, r.pos + 1, len(body)) = body
+    ORDER BY len(body) DESC, piece LIMIT 1) c ON TRUE
+  WHERE r.pos < len(r.word) AND NOT r.failed),
+${x}fin AS (SELECT word, pieces FROM ${x}rec WHERE pos >= len(word))"""
+
   private[queries] def wordpieceSegmentOracle(
       model: graft.ops.WordPieceTrainer.Model): String = {
     val vals = model.pieces
@@ -1685,30 +1786,8 @@ SELECT * FROM ($finals) ORDER BY rank"""
     s"""WITH RECURSIVE
 inv AS (SELECT piece, body, iscont FROM (VALUES $vals)
         v(piece, body, iscont)),
-sv AS (SELECT doc_id, word_pos, word FROM (
-    SELECT doc_id, unnest(range(0, len(tk))) AS word_pos,
-      unnest(tk) AS word
-    FROM (SELECT doc_id, string_split(trim(text), ' ') AS tk
-          FROM documents WHERE doc_id < 50))
-  WHERE len(word) > 0),
-wd AS (SELECT DISTINCT word FROM sv),
-rec(word, pos, pieces, failed) AS (
-  SELECT word, 0, CAST([] AS VARCHAR[]), FALSE FROM wd
-  UNION ALL
-  SELECT r.word,
-    CASE WHEN c.piece IS NULL THEN len(r.word)
-         ELSE r.pos + len(c.body) END,
-    CASE WHEN c.piece IS NULL THEN ['[UNK]']
-         ELSE r.pieces || [c.piece] END,
-    c.piece IS NULL
-  FROM rec r
-  LEFT JOIN LATERAL (
-    SELECT piece, body FROM inv
-    WHERE iscont = (r.pos > 0)
-      AND substr(r.word, r.pos + 1, len(body)) = body
-    ORDER BY len(body) DESC, piece LIMIT 1) c ON TRUE
-  WHERE r.pos < len(r.word) AND NOT r.failed),
-fin AS (SELECT word, pieces FROM rec WHERE pos >= len(word))
+$servingWordsSql,
+${wpGreedyCtes("inv", "")}
 SELECT s.doc_id AS doc_id, CAST(s.word_pos AS BIGINT) AS word_pos,
   s.word, CAST(sub_pos AS BIGINT) AS sub_pos, piece FROM (
   SELECT s0.doc_id, s0.word_pos, s0.word,
@@ -1743,16 +1822,28 @@ ORDER BY s.doc_id, word_pos, sub_pos"""
         s"'${java.lang.Double.toString(p.logProb)}')")
       .mkString(", ")
     s"""WITH RECURSIVE
-up AS (SELECT v.piece, CAST(v.lps AS DOUBLE) AS lp
+$servingWordsSql,
+${unigramDpCtes(vals, "")}
+SELECT doc_id, CAST(word_pos AS BIGINT) AS word_pos, s.word,
+  CAST(sub_pos AS BIGINT) AS sub_pos, piece FROM (
+  SELECT s0.doc_id, s0.word_pos, s0.word,
+    unnest(range(0, len(g.ps))) AS sub_pos, unnest(g.ps) AS piece
+  FROM sv s0 JOIN seg g ON g.word = s0.word) s
+ORDER BY doc_id, word_pos, sub_pos"""
+  }
+
+  /** Unigram Viterbi CTEs (`${x}up/${x}mx/${x}dp/${x}fin/${x}seg`)
+    * over the distinct words of `wd`, with `$vals` the interpolated
+    * (piece, logProb-string) literals — extracted so the compare
+    * oracle can run this chain beside the BPE/WordPiece ones. The
+    * final `${x}seg(word, ps)` applies the char-split fallback for
+    * words the piece table cannot cover.
+    */
+  private def unigramDpCtes(vals: String, x: String): String =
+    s"""${x}up AS (SELECT v.piece, CAST(v.lps AS DOUBLE) AS lp
        FROM (VALUES $vals) v(piece, lps)),
-mx AS (SELECT max(len(piece)) AS mpl FROM up),
-sv AS (SELECT doc_id, word_pos, word FROM (
-    SELECT doc_id, unnest(range(0, len(tk))) AS word_pos, unnest(tk) AS word
-    FROM (SELECT doc_id, string_split(trim(text), ' ') AS tk
-          FROM documents WHERE doc_id < 50))
-  WHERE len(word) > 0),
-wd AS (SELECT DISTINCT word FROM sv),
-dp AS (
+${x}mx AS (SELECT max(len(piece)) AS mpl FROM ${x}up),
+${x}dp AS (
   SELECT word, 0 AS i,
          [CAST(0.0 AS DOUBLE)] AS sc, [0] AS ct,
          [CAST([] AS VARCHAR[])] AS pth
@@ -1760,7 +1851,7 @@ dp AS (
   UNION ALL
   SELECT dp.word, dp.i + 1,
     dp.sc || [cand.s], dp.ct || [cand.c], dp.pth || [cand.p]
-  FROM dp JOIN mx ON TRUE
+  FROM ${x}dp dp JOIN ${x}mx mx ON TRUE
   LEFT JOIN LATERAL (
      SELECT dp.sc[jj::INTEGER + 1] + u.lp AS s,
             dp.ct[jj::INTEGER + 1] + 1 AS c,
@@ -1768,23 +1859,79 @@ dp AS (
      -- constant range (no lateral table-function args in DuckDB 1.0),
      -- filtered to the live window; 256 bounds the corpus word length
      FROM (SELECT unnest(range(0, 256)) AS jj) j
-     JOIN up u ON u.piece = substr(dp.word, jj::INTEGER + 1, dp.i + 1 - jj::INTEGER)
+     JOIN ${x}up u ON u.piece = substr(dp.word, jj::INTEGER + 1, dp.i + 1 - jj::INTEGER)
      WHERE jj >= greatest(0, dp.i + 1 - mx.mpl) AND jj <= dp.i
        AND dp.sc[jj::INTEGER + 1] IS NOT NULL
      ORDER BY s DESC, c ASC, jj ASC
      LIMIT 1) cand ON TRUE
   WHERE dp.i < len(dp.word)),
-fin AS (SELECT word, pth[len(word) + 1] AS pieces
-        FROM dp WHERE i = len(word)),
-seg AS (SELECT word,
+${x}fin AS (SELECT word, pth[len(word) + 1] AS pieces
+        FROM ${x}dp WHERE i = len(word)),
+${x}seg AS (SELECT word,
     CASE WHEN pieces IS NULL THEN string_split(word, '') ELSE pieces END AS ps
-  FROM fin)
-SELECT doc_id, CAST(word_pos AS BIGINT) AS word_pos, s.word,
-  CAST(sub_pos AS BIGINT) AS sub_pos, piece FROM (
-  SELECT s0.doc_id, s0.word_pos, s0.word,
-    unnest(range(0, len(g.ps))) AS sub_pos, unnest(g.ps) AS piece
-  FROM sv s0 JOIN seg g ON g.word = s0.word) s
-ORDER BY doc_id, word_pos, sub_pos"""
+  FROM ${x}fin)"""
+
+  /** Run-time oracle for q_tokenizer_compare: all three tokenizer
+    * chains in ONE statement over the shared serving words — BPE
+    * trains IN SQL (prefixed unrolled rounds `b*`), the WordPiece
+    * inventory and the unigram piece table interpolate through the
+    * dynamic channel (greedy `g*` and Viterbi `u*` chains; WordPiece
+    * training itself is gated by q_wordpiece_merges — and the greedy
+    * lateral MUST read a VALUES inventory: a correlated lateral
+    * inside a recursive CTE silently matches nothing against a
+    * derived CTE in DuckDB 1.0, observed when this oracle first
+    * computed the inventory from the `p*` training chain in-SQL).
+    * Fertility weights by serving OCCURRENCES (sv join), n_unk is
+    * WordPiece's whole-word fallback count (structurally zero for
+    * the other two).
+    */
+  private[queries] def tokenizerCompareOracle(
+      wp: graft.ops.WordPieceTrainer.Model,
+      ug: graft.ops.UnigramLmTrainer.Model): String = {
+    val esc = (s: String) => s.replace("'", "''")
+    val vals = ug.pieces
+      .map(p => s"('${esc(p.piece)}', " +
+        s"'${java.lang.Double.toString(p.logProb)}')")
+      .mkString(", ")
+    val invVals = wp.pieces
+      .map { p =>
+        val body = graft.ops.WordPieceTrainer.stripCont(p)
+        s"('${esc(p)}', '${esc(body)}', ${p.startsWith("##")})"
+      }
+      .mkString(", ")
+    val bRounds = (1 to 8).map(i => bpeRoundSql(i, "b")).mkString(",\n")
+    s"""WITH RECURSIVE
+$servingWordsSql,
+${bpeW0("documents WHERE doc_id < 200", "b")},
+$bRounds,
+bseg AS (SELECT w.word,
+    COALESCE(len(v.syms), len(string_split(w.word, ''))) AS n_sub
+  FROM wd w LEFT JOIN bw8 v ON v.word = w.word),
+pinv AS (SELECT piece, body, iscont FROM (VALUES $invVals)
+         v(piece, body, iscont)),
+${wpGreedyCtes("pinv", "g")},
+pseg AS (SELECT word, len(pieces) AS n_sub,
+    CASE WHEN pieces = ['[UNK]'] THEN 1 ELSE 0 END AS is_unk
+  FROM gfin),
+${unigramDpCtes(vals, "u")},
+u2 AS (SELECT word, len(ps) AS n_sub FROM useg)
+SELECT tokenizer, n_words, n_subwords, n_unk, fertility_r FROM (
+  SELECT 'bpe' AS tokenizer, CAST(count(*) AS BIGINT) AS n_words,
+    CAST(sum(b.n_sub) AS BIGINT) AS n_subwords,
+    CAST(0 AS BIGINT) AS n_unk,
+    round(CAST(sum(b.n_sub) AS DOUBLE) / count(*), 6) AS fertility_r
+  FROM sv s JOIN bseg b ON b.word = s.word
+  UNION ALL
+  SELECT 'unigram', CAST(count(*) AS BIGINT),
+    CAST(sum(u.n_sub) AS BIGINT), CAST(0 AS BIGINT),
+    round(CAST(sum(u.n_sub) AS DOUBLE) / count(*), 6)
+  FROM sv s JOIN u2 u ON u.word = s.word
+  UNION ALL
+  SELECT 'wordpiece', CAST(count(*) AS BIGINT),
+    CAST(sum(p.n_sub) AS BIGINT), CAST(sum(p.is_unk) AS BIGINT),
+    round(CAST(sum(p.n_sub) AS DOUBLE) / count(*), 6)
+  FROM sv s JOIN pseg p ON p.word = s.word
+) ORDER BY tokenizer"""
   }
 
   /** The bigram-profile score columns + tie-precedence argmax, shared
