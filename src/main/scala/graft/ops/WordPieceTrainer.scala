@@ -83,6 +83,14 @@ object WordPieceTrainer {
     var r = 0
     var done = false
     while (r < nMerges && !done) {
+      // eager materialization of the round's lazy checkpoint BEFORE
+      // the argmax plan reads it from three subtrees (pair counts +
+      // uni joined twice): broadcast exchanges run as separate
+      // concurrent driver jobs that would each re-run the fold
+      // against a lazy cache (CLAUDE.md: the q_pca_power rule). One
+      // vocab-sized count per round; round 1's is a cached re-read
+      // (the alphabet collect already materialized w0)
+      words.count()
       val uni = words.select(col("n"), explode(col("syms")).as("sym"))
         .groupBy("sym").agg(sum(col("n")).as("uc"))
       val top = words

@@ -63,6 +63,55 @@ object TextQueries {
         md5(col("hx").substr(col("c.off") * 2 + 1,
           col("c.len") * 2)).as("fp"))
 
+  /** (max token length, non-BMP excess) over a serving slice's
+    * whitespace tokens — ONE probe shared by every segmentation gate
+    * whose SQL oracle indexes DuckDB code points against a Scala
+    * UTF-16 segmenter (the named-precondition pair: DP/lookahead
+    * window bound + BMP-only alignment). The excess is
+    * UTF-16BE bytes minus 2·code-points: 0 iff BMP-only. Empty
+    * serving (no tokens) probes as (0, 0) — max() over zero rows is
+    * null, which must not surface as an unnamed NPE.
+    */
+  private def servingTokenStats(serving: DataFrame): (Int, Int) = {
+    val r = serving
+      .select(explode(graft.ops.TextDedup.tokens(col("text"))).as("w"))
+      .agg(max(length(col("w"))).as("mx"),
+        max(length(encode(col("w"), "UTF-16BE")) -
+          length(col("w")) * 2).as("nonbmp"))
+      .head
+    (if (r.isNullAt(0)) 0 else r.getInt(0),
+      if (r.isNullAt(1)) 0 else r.getInt(1))
+  }
+
+  /** The trained unigram piece table as (piece, logProb-string)
+    * VALUES literals — Double.toString round-trips the exact bits
+    * (CLAUDE.md: interpolate doubles as quoted strings); one
+    * serialization shared by the segment and compare oracles.
+    */
+  private def ugPieceVals(
+      model: graft.ops.UnigramLmTrainer.Model): String =
+    model.pieces
+      .map(p => s"('${p.piece.replace("'", "''")}', " +
+        s"'${java.lang.Double.toString(p.logProb)}')")
+      .mkString(", ")
+
+  /** The trained WordPiece inventory as (piece, body, iscont) VALUES
+    * literals — ONE serialization shared by the segment and compare
+    * oracles (two hand-maintained copies could silently
+    * desynchronize the gates for the same model). Must stay a VALUES
+    * table: see CLAUDE.md's recursive-lateral-over-derived-CTE rule.
+    */
+  private def wpInventoryVals(
+      model: graft.ops.WordPieceTrainer.Model): String = {
+    val esc = (s: String) => s.replace("'", "''")
+    model.pieces
+      .map { p =>
+        val body = graft.ops.WordPieceTrainer.stripCont(p)
+        s"('${esc(p)}', '${esc(body)}', ${p.startsWith("##")})"
+      }
+      .mkString(", ")
+  }
+
   /** Bigram-profile language scorer shared by q_lang_ngram and
     * q_langid_confusion (one definition so the eval can never drift
     * from the predictor it measures): per-language profile-gram count
@@ -1017,18 +1066,11 @@ object TextQueries {
       // BMP-only tokens (a supplementary-plane char is 1 vs 2
       // positions). One aggregate checks both.
       val serving = d.filter(col("doc_id") < 50)
-      val tokStats = serving
-        .select(explode(graft.ops.TextDedup.tokens(col("text"))).as("w"))
-        .agg(max(length(col("w"))).as("mx"),
-          // UTF-16BE bytes minus 2·code-points: 0 iff BMP-only
-          max(length(encode(col("w"), "UTF-16BE")) -
-            length(col("w")) * 2).as("nonbmp"))
-        .head
-      require(tokStats.getInt(0) <= 256,
+      val (mxTok, nonBmp) = servingTokenStats(serving)
+      require(mxTok <= 256,
         s"q_unigram_lm_segment precondition: a serving token has " +
-          s"${tokStats.getInt(0)} chars — the oracle's Viterbi window " +
-          "is bounded at 256")
-      require(tokStats.getInt(1) == 0,
+          s"$mxTok chars — the oracle's Viterbi window is bounded at 256")
+      require(nonBmp == 0,
         "q_unigram_lm_segment precondition: a serving token carries a " +
           "supplementary-plane character — the SQL oracle's code-point " +
           "DP positions would diverge from viterbi's UTF-16 positions")
@@ -1113,11 +1155,7 @@ object TextQueries {
       val model = graft.ops.WordPieceTrainer.trainMerges(
         d.filter(col("doc_id") < 200), "text", nMerges = 8)
       val serving = d.filter(col("doc_id") < 50)
-      val nonBmp = serving
-        .select(explode(graft.ops.TextDedup.tokens(col("text"))).as("w"))
-        .agg(max(length(encode(col("w"), "UTF-16BE")) -
-          length(col("w")) * 2).as("nonbmp"))
-        .head.getInt(0)
+      val (_, nonBmp) = servingTokenStats(serving)
       require(nonBmp == 0,
         "q_wordpiece_segment precondition: a serving token carries a " +
           "supplementary-plane character — the SQL oracle's code-point " +
@@ -1142,17 +1180,11 @@ object TextQueries {
       val serving = d.filter(col("doc_id") < 50)
       // same named preconditions as the unigram gate: its Viterbi
       // window and code-point/UTF-16 alignment carry over verbatim
-      val tokStats = serving
-        .select(explode(graft.ops.TextDedup.tokens(col("text"))).as("w"))
-        .agg(max(length(col("w"))).as("mx"),
-          max(length(encode(col("w"), "UTF-16BE")) -
-            length(col("w")) * 2).as("nonbmp"))
-        .head
-      require(tokStats.getInt(0) <= 256,
+      val (mxTok, nonBmp) = servingTokenStats(serving)
+      require(mxTok <= 256,
         s"q_tokenizer_compare precondition: a serving token has " +
-          s"${tokStats.getInt(0)} chars — the oracle's Viterbi window " +
-          "is bounded at 256")
-      require(tokStats.getInt(1) == 0,
+          s"$mxTok chars — the oracle's Viterbi window is bounded at 256")
+      require(nonBmp == 0,
         "q_tokenizer_compare precondition: a serving token carries a " +
           "supplementary-plane character — the SQL oracles' code-point " +
           "positions would diverge from the UTF-16 segmenters")
@@ -1776,15 +1808,8 @@ ${x}fin AS (SELECT word, pieces FROM ${x}rec WHERE pos >= len(word))"""
 
   private[queries] def wordpieceSegmentOracle(
       model: graft.ops.WordPieceTrainer.Model): String = {
-    val vals = model.pieces
-      .map { p =>
-        val body = graft.ops.WordPieceTrainer.stripCont(p)
-        val esc = (s: String) => s.replace("'", "''")
-        s"('${esc(p)}', '${esc(body)}', ${p.startsWith("##")})"
-      }
-      .mkString(", ")
     s"""WITH RECURSIVE
-inv AS (SELECT piece, body, iscont FROM (VALUES $vals)
+inv AS (SELECT piece, body, iscont FROM (VALUES ${wpInventoryVals(model)})
         v(piece, body, iscont)),
 $servingWordsSql,
 ${wpGreedyCtes("inv", "")}
@@ -1817,10 +1842,7 @@ ORDER BY s.doc_id, word_pos, sub_pos"""
     */
   private[queries] def unigramSegmentOracle(
       model: graft.ops.UnigramLmTrainer.Model): String = {
-    val vals = model.pieces
-      .map(p => s"('${p.piece.replace("'", "''")}', " +
-        s"'${java.lang.Double.toString(p.logProb)}')")
-      .mkString(", ")
+    val vals = ugPieceVals(model)
     s"""WITH RECURSIVE
 $servingWordsSql,
 ${unigramDpCtes(vals, "")}
@@ -1888,17 +1910,8 @@ ${x}seg AS (SELECT word,
   private[queries] def tokenizerCompareOracle(
       wp: graft.ops.WordPieceTrainer.Model,
       ug: graft.ops.UnigramLmTrainer.Model): String = {
-    val esc = (s: String) => s.replace("'", "''")
-    val vals = ug.pieces
-      .map(p => s"('${esc(p.piece)}', " +
-        s"'${java.lang.Double.toString(p.logProb)}')")
-      .mkString(", ")
-    val invVals = wp.pieces
-      .map { p =>
-        val body = graft.ops.WordPieceTrainer.stripCont(p)
-        s"('${esc(p)}', '${esc(body)}', ${p.startsWith("##")})"
-      }
-      .mkString(", ")
+    val vals = ugPieceVals(ug)
+    val invVals = wpInventoryVals(wp)
     val bRounds = (1 to 8).map(i => bpeRoundSql(i, "b")).mkString(",\n")
     s"""WITH RECURSIVE
 $servingWordsSql,
