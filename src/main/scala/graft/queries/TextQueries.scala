@@ -969,6 +969,56 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Interpolated Kneser–Ney bigram score (the KenLM/CCNet-standard
+    // smoothing; Kneser & Ney 1995, Chen & Goodman 1999): absolute
+    // discount D=0.75 off every seen bigram, with the freed mass
+    // backed off to the CONTINUATION probability — how many distinct
+    // left contexts a word follows (n1l/btot), not how often it
+    // occurs — the property that stops "Francisco" (frequent but only
+    // ever after "San") from soaking up backoff mass the way the
+    // q_lm_interp unigram mixture lets it. Every component is an
+    // exact integer count; the discount/backoff composition is a
+    // bounded chain of IEEE doubles mirrored textually in the oracle,
+    // and the per-doc avg follows the rounded-logprob precedent.
+    // Scale shape = q_lm_interp's: one exploded token table persisted
+    // for both bigram sides, the bigram-count frame persisted for its
+    // three readers (w1-aggregate fusing pcnt+n1p, w2-aggregate,
+    // 1-row btot broadcast), all joins key-distributed under AQE.
+    "q_kneser_ney" -> ((s, dir) => {
+      val tk = docs(s, dir)
+        .select(col("doc_id"), TextDedup.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+        .transform(graft.ops.QueryCaches.persist) // both bigram sides
+      val bg = tk.select(col("doc_id"), col("pos"), col("tok").as("w1"))
+        .join(tk.select(col("doc_id"), (col("pos") - 1).as("pos"),
+          col("tok").as("w2")), Seq("doc_id", "pos"))
+        .select(col("doc_id"), col("w1"), col("w2"))
+        .transform(graft.ops.QueryCaches.persist) // counts + scoring
+      val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+        .transform(graft.ops.QueryCaches.persist) // 3 readers below
+      // one pass over bc serves both the prefix mass c(w1·) and the
+      // continuation fan-out N1+(w1·) the lambda weight needs
+      val pre = bc.groupBy("w1")
+        .agg(sum("cnt").as("pcnt"), count(lit(1)).as("n1p"))
+      val contL = bc.groupBy("w2").agg(count(lit(1)).as("n1l"))
+      val btot = bc.agg(count(lit(1)).as("btot"))
+      bg.join(bc, Seq("w1", "w2"))
+        .join(pre, Seq("w1"))
+        .join(contL, Seq("w2"))
+        .crossJoin(broadcast(btot))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_bigrams"),
+          round(avg(-log(
+            greatest(col("cnt").cast("double") - lit(0.75), lit(0.0)) /
+              col("pcnt").cast("double") +
+            (lit(0.75) * col("n1p").cast("double") /
+              col("pcnt").cast("double")) *
+            (col("n1l").cast("double") / col("btot").cast("double")))),
+            6).as("nll_kn_r"))
+        .orderBy("doc_id")
+    }),
+
     // BM25 retrieval scoring (Lucene-style +1 idf floor) for a fixed
     // query term set — the search/mining half of a data platform.
     // Exploded tokens filter to the tiny term set at the scan; corpus
@@ -2659,6 +2709,37 @@ SELECT tokenizer, n_words, n_subwords, n_unk, fertility_r FROM (
          JOIN pc p ON b.w1 = p.w1
          JOIN uc u ON b.w2 = u.tok
          CROSS JOIN ut
+         GROUP BY b.doc_id ORDER BY b.doc_id""",
+    "q_kneser_ney" ->
+      """WITH tk AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+           FROM documents),
+         t AS (SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS pos
+           FROM tk WHERE len(toks) >= 2),
+         bg AS (SELECT t1.doc_id, t1.tok AS w1, t2.tok AS w2
+           FROM t t1 JOIN t t2
+             ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1),
+         bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt
+           FROM bg GROUP BY 1, 2),
+         pre AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS pcnt,
+             CAST(count(*) AS BIGINT) AS n1p
+           FROM bc GROUP BY 1),
+         contl AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1l
+           FROM bc GROUP BY 1),
+         bt AS (SELECT CAST(count(*) AS BIGINT) AS btot FROM bc)
+         SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(-ln(
+             greatest(CAST(c.cnt AS DOUBLE) - 0.75, 0.0) /
+               CAST(p.pcnt AS DOUBLE) +
+             (0.75 * CAST(p.n1p AS DOUBLE) /
+               CAST(p.pcnt AS DOUBLE)) *
+             (CAST(l.n1l AS DOUBLE) / CAST(bt.btot AS DOUBLE)))), 6)
+             AS nll_kn_r
+         FROM bg b
+         JOIN bc c ON b.w1 = c.w1 AND b.w2 = c.w2
+         JOIN pre p ON b.w1 = p.w1
+         JOIN contl l ON b.w2 = l.w2
+         CROSS JOIN bt
          GROUP BY b.doc_id ORDER BY b.doc_id""",
     "q_bigram_logprob" ->
       """WITH tk AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
