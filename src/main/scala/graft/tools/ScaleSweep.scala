@@ -1,0 +1,218 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{GraftSession, Tables}
+import graft.ops.QueryCaches
+
+/** Measured scaling curves for the scale-critical operator families —
+  * the sweep that turns "the bucketed plan is ~linear in corpus size"
+  * from an asserted property (pinned at ONE size by the bench stress
+  * proxies q_dedup_minhash_16x / q_ann_lsh_16x / q_graph_hub) into a
+  * fitted exponent over a 1×/2×/4×/8× input ladder.
+  *
+  * For each family the input is multiplied by m ∈ {1, 2, 4, 8} with
+  * shifted ids (the proxy idiom — every copy is a distinct row, so
+  * group/bucket cardinalities scale with m too), the full pipeline
+  * runs to a noop sink, and the min of two passes is kept per rung
+  * (the Bench timing discipline). The log–log least-squares slope over
+  * the ladder estimates the scaling exponent: slope ≈ 1 is linear,
+  * slope ≈ 2 would be an all-pairs shape leaking through. The fit is
+  * deliberately biased DOWN at the small rungs by fixed per-action
+  * overhead (planning, codegen, job launch — a second or so at
+  * local[32]); a super-linear family shows up anyway because the bias
+  * shrinks exactly where the signal grows.
+  *
+  * Output: a markdown table appended to stdout and written to
+  * `docs/SCALING.md` (overwrite — the doc is a generated artifact).
+  * Run:  SPARK_GRAFT_SF_DIR=... sbt "runMain graft.tools.ScaleSweep"
+  *
+  * Not part of the per-round Bench (the driver's stdout budget and
+  * runtime envelope stay untouched); re-run when a family's plan
+  * changes.
+  */
+object ScaleSweep {
+
+  /** Least-squares slope of y over x. Pure — spec-pinned in
+    * ToolsSpec (the only math in the sweep; everything else is
+    * operator calls).
+    */
+  def fitSlope(points: Seq[(Double, Double)]): Double = {
+    require(points.size >= 2, "need at least two points to fit a slope")
+    val n = points.size.toDouble
+    val xBar = points.map(_._1).sum / n
+    val yBar = points.map(_._2).sum / n
+    val sxx = points.map { case (x, _) => (x - xBar) * (x - xBar) }.sum
+    require(sxx > 0, "degenerate x values — all rungs identical")
+    points.map { case (x, y) => (x - xBar) * (y - yBar) }.sum / sxx
+  }
+
+  private def timed(body: => Unit): Double = {
+    val t0 = System.nanoTime()
+    body
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.configure(
+      SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // ---- family bodies, each parameterized by the multiplier m ----
+
+    // m shifted copies of a bounded documents slice (the
+    // q_dedup_minhash_16x construction at variable width): every doc
+    // is an m-member exact-dup family — bucket skew grows WITH m, the
+    // adversarial direction for LSH banding.
+    def docsBig(m: Int): DataFrame = {
+      val d0 = Tables.table(spark, sfDir, "documents")
+        .filter(col("doc_id") < 5000)
+        .select(col("doc_id"), col("text"))
+      (0 until m).map(i =>
+          d0.select((col("doc_id") * m + i).as("doc_id"), col("text")))
+        .reduce(_ unionAll _)
+    }
+    def minhashBody(m: Int): Unit =
+      noop(graft.ops.TextDedup.minhashDedup(docsBig(m), "doc_id", "text",
+        shingleN = 3, numHashes = 6, bands = 3, threshold = 0.8))
+
+    // exact dedup: one wide shuffle on the content hash — the
+    // linear-by-construction control row every other family is read
+    // against.
+    def exactBody(m: Int): Unit =
+      noop(docsBig(m)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep")))
+
+    // LSH cosine pair mining (the q_ann_lsh_16x construction): m
+    // copies of the embeddings slice through sign-bucketize + the
+    // bucket-local pair join.
+    def lshPairsBody(m: Int): Unit = {
+      val e0 = Tables.table(spark, sfDir, "embeddings")
+        .filter(col("vec_id") < 2000)
+        .select(col("vec_id"), col("embedding"))
+      val big = (0 until m).map(i =>
+          e0.select((col("vec_id") * m + i).as("vec_id"), col("embedding")))
+        .reduce(_ unionAll _)
+      val b = QueryCaches.persist(
+        graft.ops.CosineLsh.bucketize(big, "vec_id", "embedding", k = 8)
+          .filter(col("nrm") > 0))
+      val l = b.select(col("vec_id").as("a"), col("v").as("va"),
+        col("nrm").as("na"), col("bucket"))
+      val r = b.select(col("vec_id").as("b"), col("v").as("vb"),
+        col("nrm").as("nb"), col("bucket"))
+      noop(l.join(r, Seq("bucket")).filter(col("a") < col("b"))
+        .withColumn("cos",
+          graft.expr.VectorFunctions.dotProduct(col("va"), col("vb")) /
+            (col("na") * col("nb")))
+        .filter(col("cos") >= 0.2))
+    }
+
+    // capped co-occurrence fold + PageRank under degree skew (the
+    // q_graph_hub synthetic, every band scaled by m: m× the keys at
+    // CONSTANT per-key degree, so pair fan-out per key is constant
+    // and the expected total cost is linear in m).
+    def graphBody(m: Int): Unit = {
+      val light = spark.range(0, 200000L * m)
+        .select(col("id").as("item"), (col("id") % (25000L * m)).as("k"))
+      val heavy = spark.range(0, 12000L * m)
+        .select((col("id") + 300000L * m).as("item"),
+          (col("id") % (200L * m) + 25000L * m).as("k"))
+      val hubs = spark.range(0, 16000L * m)
+        .select((col("id") + 400000L * m).as("item"),
+          (col("id") % (4L * m) + 25200L * m).as("k"))
+      val rel = light.unionAll(heavy).unionAll(hubs)
+      val (edges, over) = graft.ops.GraphOps.coOccurrenceEdgesAudited(
+        rel, "item", "k", minShared = 1L, maxKeyDegree = 64)
+      val dropped = over.count()
+      require(dropped == 4L * m,
+        s"scale sweep graph: expected ${4L * m} over-cap hubs, got $dropped")
+      noop(graft.ops.GraphOps.pageRank(
+        edges.select(col("ia").as("src"), col("ib").as("dst")), iters = 3))
+    }
+
+    // two-phase global exact quantiles over a synthetic double column
+    // (sf-independent): the repartitionByRange + per-partition rank
+    // shape that replaced the single-reducer percentile funnel.
+    def quantilesBody(m: Int): Unit = {
+      val vals = spark.range(0, 2000000L * m)
+        .select((conv(substring(md5(col("id").cast("string")), 1, 8),
+          16, 10).cast("double") / lit(4294967296.0)).as("v"))
+      noop(graft.ops.ScaleOps.exactQuantiles(vals, col("v"),
+        Seq(("p50", 0.5), ("p95", 0.95), ("p99", 0.99))))
+    }
+
+    val families: Seq[(String, Int => Unit)] = Seq(
+      ("exact_dedup (control)", exactBody),
+      ("minhash_lsh_dedup", minhashBody),
+      ("lsh_cosine_pairs", lshPairsBody),
+      ("cooccur_capped_pagerank", graphBody),
+      ("global_exact_quantiles", quantilesBody))
+
+    val rungs = Seq(1, 2, 4, 8)
+    def loadNow(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split(" ").head
+      catch { case _: Throwable => "?" }
+    val loadStart = loadNow()
+
+    val rows = families.map { case (name, body) =>
+      // one untimed warm pass at m=1 (codegen/JIT; page cache for the
+      // table-backed families), then min-of-2 per rung
+      body(1); QueryCaches.releaseAll(); spark.catalog.clearCache()
+      val times = rungs.map { m =>
+        val t = math.min(
+          { val t1 = timed(body(m))
+            QueryCaches.releaseAll(); spark.catalog.clearCache(); t1 },
+          { val t2 = timed(body(m))
+            QueryCaches.releaseAll(); spark.catalog.clearCache(); t2 })
+        println(f"[sweep] $name%-28s m=$m%-2d ${t}%8.2f s")
+        m -> t
+      }
+      val slope = fitSlope(times.map { case (m, t) =>
+        (math.log(m.toDouble), math.log(t)) })
+      (name, times, slope)
+    }
+
+    val sb = new StringBuilder
+    sb.append("# SCALING — measured scaling exponents (generated by ")
+    sb.append("`graft.tools.ScaleSweep`)\n\n")
+    sb.append(s"Input: `$sfDir`, local[$cpus]. Each rung multiplies the\n")
+    sb.append("family's input by m with shifted ids (distinct rows —\n")
+    sb.append("group/bucket counts scale too); min of two passes per rung;\n")
+    sb.append("exponent = log–log least-squares over m ∈ {1,2,4,8}.\n\n")
+    sb.append("Reading: exponent ≈ 1 is linear; an all-pairs leak would\n")
+    sb.append("read ≈ 2. Fixed per-action overhead (planning + job launch,\n")
+    sb.append("~1 s at local[32]) biases small rungs, pushing fitted\n")
+    sb.append("exponents BELOW the asymptote — the tail ratio t(8×)/t(4×)\n")
+    sb.append("(2.0 = linear over the last doubling) is the less-biased\n")
+    sb.append("local estimate. An exponent at or above ~1.3, or a tail\n")
+    sb.append("ratio near 4, deserves a plan audit; sub-linear fits mostly\n")
+    sb.append("mean overhead still dominates at these sizes. Local bench\n")
+    sb.append("variance is ±20% (CLAUDE.md); read the curve, not one cell.\n\n")
+    sb.append("| family | t(1×) s | t(2×) s | t(4×) s | t(8×) s | fitted exponent | tail t8/t4 |\n")
+    sb.append("|---|---|---|---|---|---|---|\n")
+    def f2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    rows.foreach { case (name, times, slope) =>
+      val cells = times.map { case (_, t) => f2(t) }
+      val tail = times.last._2 / times(times.size - 2)._2
+      sb.append(s"| $name | ${cells.mkString(" | ")} | ${f2(slope)} | ")
+      sb.append(s"${f2(tail)} |\n")
+    }
+    sb.append(s"\nLoad (1-min avg): start $loadStart, end ${loadNow()}.\n")
+    val out = java.nio.file.Paths.get("docs/SCALING.md")
+    java.nio.file.Files.writeString(out, sb.toString)
+    println(sb.toString)
+    spark.stop()
+  }
+}

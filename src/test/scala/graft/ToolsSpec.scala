@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.tools.{CountsStamp, WindowAudit}
+import graft.tools.{CountsStamp, ScaleSweep, WindowAudit}
 
 /** Round-close tooling: the README count stamper's patterns and the
   * unpartitioned-window counter's traversal (incl. the persist
@@ -210,5 +210,22 @@ class ToolsSpec extends AnyFunSuite {
       assert(WindowAudit.unpartitionedWindows(
         downstream.queryExecution.sparkPlan) >= 1)
     } finally cached.unpersist()
+  }
+
+  test("ScaleSweep.fitSlope recovers known exponents and rejects degenerates") {
+    val ms = Seq(1.0, 2.0, 4.0, 8.0)
+    // exact power laws t = c * m^k fit to k in log–log space
+    for (k <- Seq(0.0, 1.0, 2.0)) {
+      val pts = ms.map(m => (math.log(m), math.log(3.0 * math.pow(m, k))))
+      assert(math.abs(ScaleSweep.fitSlope(pts) - k) < 1e-12, s"k=$k")
+    }
+    // a constant-plus-linear curve (fixed overhead) fits BELOW 1 —
+    // the documented downward bias of the ladder
+    val biased = ms.map(m => (math.log(m), math.log(1.0 + m)))
+    assert(ScaleSweep.fitSlope(biased) < 1.0)
+    assertThrows[IllegalArgumentException](
+      ScaleSweep.fitSlope(Seq((1.0, 1.0))))
+    assertThrows[IllegalArgumentException](
+      ScaleSweep.fitSlope(Seq((1.0, 1.0), (1.0, 2.0))))
   }
 }
