@@ -949,6 +949,52 @@ object CorpusQueries {
         .withColumn("ord", (col("rn") - col("pbase") + 1L).cast("long"))
         .select(col("doc_id"), col("n_tokens"), col("phase"), col("ord"))
         .orderBy("phase", "ord")
+    }),
+
+    // DPO/RLHF preference-pair mining: per source, pair the 3
+    // highest-quality documents (chosen) with the 3 lowest (rejected)
+    // — the offline construction a preference-tuning pipeline feeds
+    // on when it has a scalar quality signal but no human labels
+    // (quality score = the repo's canonical stopword-ratio axis, an
+    // exact integer quotient both engines compute bit-identically).
+    // Sources with < 6 docs are skipped (the top-3/bottom-3 sets
+    // would overlap and a doc would prefer itself). Ranking within
+    // the ~20-value source domain is the fixed-domain-key funnel case
+    // (CLAUDE.md): one two-phase global rank over (source, ratio,
+    // doc_id) minus each source's min rank — no per-source window
+    // reducer ever sees corpus/|domain| rows. The 3×3 pair join fans
+    // out ≤ 9 rows per source, bounded by the literal k.
+    "q_pref_pairs" -> ((s, dir) => {
+      val tk = graft.ops.TextDedup.tokens(col("text"))
+      val sc = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(filter(tk, x =>
+            x.isInCollection(graft.ops.Corpus.defaultStopWords)))
+            .as("n_stop"),
+          size(tk).as("n_tok"))
+        .filter(col("n_tok") >= 1) // guard the ratio at its projection
+        .withColumn("r",
+          col("n_stop").cast("double") / col("n_tok").cast("double"))
+        .select(col("doc_id"), col("source"), col("r"))
+      val ranked = graft.ops.ScaleOps.globalRowNumber(sc, 8,
+        col("source"), col("r"), col("doc_id"))
+      // ≤ |sources| rows — bounded by construction (AQE broadcasts)
+      val base = ranked.groupBy("source")
+        .agg(min(col("rn")).as("pbase"), count(lit(1)).as("cnt"))
+      val w = ranked.join(base, "source")
+        .withColumn("ord", (col("rn") - col("pbase") + 1L).cast("long"))
+        .filter(col("cnt") >= 6)
+        .transform(graft.ops.QueryCaches.persist) // chosen + rejected arms
+      val chosen = w.filter(col("ord") > col("cnt") - 3)
+        .select(col("source"), col("doc_id").as("chosen_id"),
+          col("r").as("cr"))
+      val rejected = w.filter(col("ord") <= 3)
+        .select(col("source"), col("doc_id").as("rejected_id"),
+          col("r").as("rr"))
+      chosen.join(rejected, "source")
+        .select(col("source"), col("chosen_id"), col("rejected_id"),
+          round(col("cr") - col("rr"), 6).as("gap_r"))
+        .orderBy("source", "chosen_id", "rejected_id")
     }))
 
   /** Unrolled-GD oracle chain for the q_logreg_* gates: the feature
@@ -1826,5 +1872,28 @@ object CorpusQueries {
            CAST(row_number() OVER (PARTITION BY phase
              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
              AS ord
-         FROM p ORDER BY phase, ord""")
+         FROM p ORDER BY phase, ord""",
+    // the ratio is an exact integer quotient (bit-identical cross-
+    // engine); within-source rank tie-breaks on doc_id both sides
+    "q_pref_pairs" ->
+      """WITH sc AS (SELECT doc_id, source,
+             CAST(len(list_filter(string_split(trim(text), ' '),
+               x -> list_contains(['the','a','data','row','key'], x)))
+               AS DOUBLE)
+               / CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS r
+           FROM documents
+           WHERE len(string_split(trim(text), ' ')) >= 1),
+         rk AS (SELECT doc_id, source, r,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY r, doc_id) AS BIGINT) AS ord,
+             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS cnt
+           FROM sc),
+         ch AS (SELECT source, doc_id AS chosen_id, r AS cr
+           FROM rk WHERE cnt >= 6 AND ord > cnt - 3),
+         rj AS (SELECT source, doc_id AS rejected_id, r AS rr
+           FROM rk WHERE cnt >= 6 AND ord <= 3)
+         SELECT c.source, c.chosen_id, r.rejected_id,
+           round(c.cr - r.rr, 6) AS gap_r
+         FROM ch c JOIN rj r ON c.source = r.source
+         ORDER BY c.source, c.chosen_id, r.rejected_id""")
 }
