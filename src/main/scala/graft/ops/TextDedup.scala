@@ -753,4 +753,89 @@ object TextDedup {
         round(col("inter").cast("double") / col("nb").cast("double"), 6))
       .filter(greatest(col("cont_a_r"), col("cont_b_r")) >= minContainment)
   }
+
+  /** Prefix-filtered exact Jaccard self-join (the PPJoin candidate
+    * rule; Chaudhuri/Ganti/Kaushik ICDE 2006, Xiao et al. WWW 2008):
+    * the third candidate-generation idiom beside MinHash banding
+    * (probabilistic, q_dedup_minhash) and the capped full posting
+    * join (exact but every shared shingle is a candidate row,
+    * q_dedup_ngram / containmentPairs). Shingles are ordered by
+    * corpus rarity (df asc); a pair with J ≥ τ MUST share one of
+    * each side's first `sz − floor(τ·sz) + 1` rarest shingles — the
+    * i ≥ τ·|A| overlap bound plus the pigeonhole on the prefix — so
+    * only PREFIX postings join (≈ (1−τ) of the posting volume,
+    * squared in the pair fan-out), and survivors are verified
+    * EXACTLY against the full shingle sets. Lossless by construction:
+    * the floor() prefix is one longer than the ⌈τ·sz⌉ minimum, and
+    * the length prune `least ≥ floor(τ·greatest)` only drops pairs
+    * that cannot reach τ. Output (a, b, inter, sz_a, sz_b, ja_r) for
+    * exact-quotient Jaccard ≥ τ — hash-comparable to a ground-truth
+    * oracle that never saw the prefix machinery.
+    *
+    * Scale shape: the rarity rank is a vocabulary-sized two-phase
+    * global rank (no single-reducer window); the per-document prefix
+    * position window partitions on the document id (corpus-cardinality
+    * key — distributes); every join is a key equi-join. The prefix
+    * frame feeds both self-join sides and the shingle frame feeds four
+    * readers — both persisted via the handle/ledger, eagerly
+    * materialized per the self-join rule.
+    */
+  def prefixJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.8,
+      handle: CacheHandle = null): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold in (0, 1], got $threshold")
+    val sh = CacheHandle.persistWith(handle,
+      shingles(df, idCol, textCol, shingleN))
+    sh.count() // eager: sizes, rarity rank, prefix + verify sides race a lazy cache
+    val sz = CacheHandle.persistWith(handle,
+      sh.groupBy(idCol).agg(count(lit(1)).as("sz")))
+    val dfc = sh.groupBy("shingle").agg(count(lit(1)).as("dfc"))
+    // rarity order: df asc, shingle as the total-order tiebreak; the
+    // global rank is unique, so each document's prefix is
+    // deterministic (retry-stable candidates)
+    val ranked = ScaleOps.globalRowNumber(dfc, 8,
+        handle, col("dfc"), col("shingle"))
+      .select(col("shingle"), col("rn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("rn")
+    val pref = CacheHandle.persistWith(handle,
+      sh.join(ranked, "shingle")
+        .withColumn("p", row_number().over(w).cast("long"))
+        .join(sz, idCol)
+        .filter(col("p") <=
+          col("sz") - floor(lit(threshold) * col("sz").cast("double")) + 1L)
+        .select(col(idCol), col("shingle"), col("sz")))
+    pref.count() // eager: both candidate sides read it
+    val la = pref.select(col(idCol).as("a"), col("shingle"),
+      col("sz").as("sa"))
+    val lb = pref.select(col(idCol).as("b"), col("shingle"),
+      col("sz").as("sb"))
+    val cand = la.join(lb, Seq("shingle"))
+      .filter(col("a") < col("b"))
+      // length prune: a qualifying pair has min ≥ τ·max; floor keeps
+      // the boundary (over-inclusive, never lossy)
+      .filter(least(col("sa"), col("sb")).cast("double") >=
+        floor(lit(threshold) *
+          greatest(col("sa"), col("sb")).cast("double")).cast("double"))
+      .select(col("a"), col("b"))
+      .distinct()
+    val inter = cand
+      .join(sh.select(col(idCol).as("a"), col("shingle")), Seq("a"))
+      .join(sh.select(col(idCol).as("b"), col("shingle")),
+        Seq("b", "shingle"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col(idCol).as("a"), col("sz").as("sz_a")), "a")
+      .join(sz.select(col(idCol).as("b"), col("sz").as("sz_b")), "b")
+      .withColumn("ja", col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .filter(col("ja") >= threshold)
+      .select(col("a"), col("b"), col("inter"), col("sz_a"), col("sz_b"),
+        round(col("ja"), 6).as("ja_r"))
+  }
 }

@@ -202,6 +202,20 @@ object TextQueries {
         .orderBy("a", "b")
     }),
 
+    // Prefix-filtered exact Jaccard pairs (PPJoin candidate rule) —
+    // the third candidate-generation idiom beside MinHash banding and
+    // the capped posting join: only each document's rarest
+    // `sz − floor(τ·sz) + 1` shingles enter the pair join, survivors
+    // verify exactly. The oracle computes ground truth from the FULL
+    // posting join with no prefix machinery, so a hash match proves
+    // the prefix rule lossless corpus-wide (and exact — no false
+    // positives), the q_jaccard_capped gate pattern. Corpus-wide (no
+    // doc_id bound): the prefix join is the production plan.
+    "q_prefix_jaccard" -> ((s, dir) =>
+      TextDedup.prefixJaccardPairs(docs(s, dir), "doc_id", "text",
+        shingleN = 3, threshold = 0.8)
+        .orderBy("a", "b")),
+
     // Exact repeated-substring removal plan (TextDedup
     // .substringRemovalPlan) — the ExactSubstr step: cut every 40-char
     // span that appears verbatim >= 2 times corpus-wide, merged into
@@ -2324,6 +2338,35 @@ SELECT tokenizer, n_words, n_subwords, n_unk, fertility_r FROM (
          JOIN sz sa ON sa.doc_id = i.a
          JOIN sz sb ON sb.doc_id = i.b
          WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE) >= 0.5
+         ORDER BY a, b""",
+    // ground truth from the FULL posting join — the prefix filter
+    // never appears here, so a hash match proves it lossless
+    "q_prefix_jaccard" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+             FROM documents),
+         d2 AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 3),
+         tok AS (SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS pos FROM d2),
+         sh AS (SELECT DISTINCT t1.doc_id,
+             t1.tok || ' ' || t2.tok || ' ' || t3.tok AS shingle
+             FROM tok t1
+             JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+             JOIN tok t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2),
+         sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+             FROM sh GROUP BY doc_id),
+         inter AS (SELECT x.doc_id AS a, y.doc_id AS b,
+             CAST(count(*) AS BIGINT) AS inter
+             FROM sh x JOIN sh y
+               ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+             GROUP BY 1, 2)
+         SELECT i.a, i.b, i.inter, sa.sz AS sz_a, sb.sz AS sz_b,
+             round(CAST(i.inter AS DOUBLE) /
+               CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 6) AS ja_r
+         FROM inter i
+         JOIN sz sa ON sa.doc_id = i.a
+         JOIN sz sb ON sb.doc_id = i.b
+         WHERE CAST(i.inter AS DOUBLE) /
+           CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= 0.8
          ORDER BY a, b""",
     "q_dedup_minhash" ->
       s"""WITH ${minhashCtes()}

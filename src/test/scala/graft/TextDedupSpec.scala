@@ -509,4 +509,44 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got == expected,
       s"plan mismatch: extra=${got -- expected} missing=${expected -- got}")
   }
+
+  test("prefixJaccardPairs: lossless and exact vs brute force under fuzz") {
+    // the PPJoin prefix rule's completeness proof is easy to break
+    // off-by-one (prefix length, the length prune, tie order) — fuzz
+    // random corpora against a driver-side all-pairs reference over
+    // the SAME shingle definition
+    import spark.implicits._
+    import org.scalacheck.Gen
+    val alpha = Vector("a", "b", "c", "d", "e")
+    val genDoc = for {
+      len <- Gen.choose(2, 12) // includes < shingleN docs (excluded sets)
+      ws <- Gen.listOfN(len, Gen.oneOf(alpha))
+    } yield ws.mkString(" ")
+    val genCorpus = for {
+      n <- Gen.choose(4, 14)
+      docs <- Gen.listOfN(n, genDoc)
+      tau <- Gen.oneOf(0.5, 0.7, 0.8, 0.9)
+    } yield (docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }, tau)
+    new PropHelpers {}.forAll(genCorpus, n = 12) { case (rows, tau) =>
+      val df = rows.toDF("doc_id", "text")
+      val got = TextDedup.prefixJaccardPairs(df, "doc_id", "text",
+          shingleN = 3, threshold = tau)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+        .toSet
+      val sets = rows.map { case (id, t) =>
+        id -> t.split(" ").filter(_.nonEmpty).sliding(3)
+          .filter(_.size == 3).map(_.mkString(" ")).toSet
+      }.filter(_._2.nonEmpty)
+      val expected = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        i = (sa & sb).size
+        if i > 0 && i.toDouble / (sa.size + sb.size - i) >= tau
+      } yield (a, b, i.toLong, sa.size.toLong, sb.size.toLong)).toSet
+      assert(got == expected,
+        s"tau=$tau extra=${got -- expected} missing=${expected -- got}")
+      graft.ops.QueryCaches.releaseAll()
+    }
+  }
 }
