@@ -102,6 +102,18 @@ class PlanSpec extends AnyFunSuite {
       s"simhash pairing plans a cartesian:\n$p")
   }
 
+  test("q_prefix_jaccard: equi-join candidates off cached prefix, no all-pairs") {
+    val p = plan("q_prefix_jaccard")
+    assert(!p.contains("CartesianProduct"),
+      s"prefix pairing plans a cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"prefix pairing fell back to an all-pairs nested loop:\n$p")
+    // both candidate sides must read the persisted prefix frame, not
+    // recompute the shingle/rank/window pipeline per side
+    assert(p.contains("InMemoryTableScan"),
+      s"prefix frame not cached — self-join re-runs its upstream:\n$p")
+  }
+
   test("scaled batching/reshape twins have no single-partition exchange") {
     Seq("q_batch_scaled", "q_reshape_scaled").foreach { name =>
       val p = plan(name)
