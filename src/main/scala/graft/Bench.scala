@@ -112,17 +112,9 @@ object Bench {
     // TextDedupSpec 16x stress pins the plan SHAPE; this pins the
     // NUMBER).
     def proxyPass(): Double = {
-      import org.apache.spark.sql.functions._
       val t0 = System.nanoTime()
       try {
-        val docs0 = Tables.table(spark, sfDir, "documents")
-          .filter(col("doc_id") < 5000)
-          .select(col("doc_id"), col("text"))
-        val big = (0 until 16).map(i =>
-            docs0.select((col("doc_id") * 16 + i).as("doc_id"), col("text")))
-          .reduce(_ unionAll _)
-        graft.ops.TextDedup.minhashDedup(big, "doc_id", "text",
-          shingleN = 3, numHashes = 6, bands = 3, threshold = 0.8)
+        StressProxies.minhashFamily(spark, sfDir, 16)
           .write.format("noop").mode("overwrite").save()
       } catch { case e: Throwable =>
         System.err.println(s"[bench] q_dedup_minhash_16x FAILED: ${e.getMessage}")
@@ -142,27 +134,9 @@ object Bench {
     // tracks whether the bucket-local equi-join stays ~linear as the
     // vector corpus multiplies.
     def annProxyPass(): Double = {
-      import org.apache.spark.sql.functions._
       val t0 = System.nanoTime()
       try {
-        val e0 = Tables.table(spark, sfDir, "embeddings")
-          .filter(col("vec_id") < 2000)
-          .select(col("vec_id"), col("embedding"))
-        val big = (0 until 16).map(i =>
-            e0.select((col("vec_id") * 16 + i).as("vec_id"), col("embedding")))
-          .reduce(_ unionAll _)
-        val b = graft.ops.QueryCaches.persist(
-          graft.ops.CosineLsh.bucketize(big, "vec_id", "embedding", k = 8)
-            .filter(col("nrm") > 0))
-        val l = b.select(col("vec_id").as("a"), col("v").as("va"),
-          col("nrm").as("na"), col("bucket"))
-        val r = b.select(col("vec_id").as("b"), col("v").as("vb"),
-          col("nrm").as("nb"), col("bucket"))
-        l.join(r, Seq("bucket")).filter(col("a") < col("b"))
-          .withColumn("cos",
-            graft.expr.VectorFunctions.dotProduct(col("va"), col("vb")) /
-              (col("na") * col("nb")))
-          .filter(col("cos") >= 0.2)
+        StressProxies.lshPairsFamily(spark, sfDir, 16)
           .write.format("noop").mode("overwrite").save()
       } catch { case e: Throwable =>
         System.err.println(s"[bench] q_ann_lsh_16x FAILED: ${e.getMessage}")
@@ -188,27 +162,12 @@ object Bench {
     // whole capped-fold + rank path whose cost under skew was
     // previously asserted, never measured.
     def graphHubPass(): Double = {
-      import org.apache.spark.sql.functions._
       val t0 = System.nanoTime()
       try {
-        val light = spark.range(0, 200000)
-          .select(col("id").as("item"), (col("id") % 25000).as("k"))
-        val heavy = spark.range(0, 12000)
-          .select((col("id") + 300000).as("item"),
-            (col("id") % 200 + 25000).as("k"))
-        val hubs = spark.range(0, 16000)
-          .select((col("id") + 400000).as("item"),
-            (col("id") % 4 + 25200).as("k"))
-        val rel = light.unionAll(heavy).unionAll(hubs)
-        val (edges, over) = graft.ops.GraphOps.coOccurrenceEdgesAudited(
-          rel, "item", "k", minShared = 1L, maxKeyDegree = 64)
-        // the proxy is only meaningful if the cap actually fired on
-        // exactly the 4 hubs — a silent no-drop would time a
-        // different (uncapped-equivalent) plan
-        val dropped = over.count()
-        require(dropped == 4L, s"q_graph_hub: expected 4 over-cap hubs, got $dropped")
-        graft.ops.GraphOps.pageRank(
-          edges.select(col("ia").as("src"), col("ib").as("dst")), iters = 3)
+        // the over-cap require (exactly 4 hubs at m=1) lives in the
+        // shared body — a silent no-drop would time an
+        // uncapped-equivalent plan
+        StressProxies.graphHubFamily(spark, m = 1)
           .write.format("noop").mode("overwrite").save()
       } catch { case e: Throwable =>
         System.err.println(s"[bench] q_graph_hub FAILED: ${e.getMessage}")

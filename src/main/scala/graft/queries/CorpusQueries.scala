@@ -954,16 +954,20 @@ object CorpusQueries {
     // DPO/RLHF preference-pair mining: per source, pair the 3
     // highest-quality documents (chosen) with the 3 lowest (rejected)
     // — the offline construction a preference-tuning pipeline feeds
-    // on when it has a scalar quality signal but no human labels
-    // (quality score = the repo's canonical stopword-ratio axis, an
-    // exact integer quotient both engines compute bit-identically).
-    // Sources with < 6 docs are skipped (the top-3/bottom-3 sets
-    // would overlap and a doc would prefer itself). Ranking within
-    // the ~20-value source domain is the fixed-domain-key funnel case
-    // (CLAUDE.md): one two-phase global rank over (source, ratio,
-    // doc_id) minus each source's min rank — no per-source window
-    // reducer ever sees corpus/|domain| rows. The 3×3 pair join fans
-    // out ≤ 9 rows per source, bounded by the literal k.
+    // on when it has a scalar quality signal but no human labels.
+    // The signal is the repo's canonical stopword-ratio axis (an
+    // exact integer quotient both engines compute bit-identically),
+    // where HIGH ratio = boilerplate = LOW quality (the
+    // Corpus.qualityPass convention: the gate fails ratio > max) —
+    // so chosen = the LOWEST-ratio docs, rejected = the highest, and
+    // gap_r = rejected_ratio − chosen_ratio ≥ 0. Sources with < 6
+    // docs are skipped (the top-3/bottom-3 sets would overlap and a
+    // doc would prefer itself). Ranking within the ~20-value source
+    // domain is the fixed-domain-key funnel case (CLAUDE.md): one
+    // two-phase global rank over (source, ratio, doc_id) minus each
+    // source's min rank — no per-source window reducer ever sees
+    // corpus/|domain| rows. The 3×3 pair join fans out ≤ 9 rows per
+    // source, bounded by the literal k.
     "q_pref_pairs" -> ((s, dir) => {
       val tk = graft.ops.TextDedup.tokens(col("text"))
       val sc = docs(s, dir)
@@ -985,15 +989,17 @@ object CorpusQueries {
         .withColumn("ord", (col("rn") - col("pbase") + 1L).cast("long"))
         .filter(col("cnt") >= 6)
         .transform(graft.ops.QueryCaches.persist) // chosen + rejected arms
-      val chosen = w.filter(col("ord") > col("cnt") - 3)
+      // rank is ratio-ASCENDING: ord ≤ 3 = lowest stopword ratio =
+      // highest quality (chosen); the top of the order is rejected
+      val chosen = w.filter(col("ord") <= 3)
         .select(col("source"), col("doc_id").as("chosen_id"),
           col("r").as("cr"))
-      val rejected = w.filter(col("ord") <= 3)
+      val rejected = w.filter(col("ord") > col("cnt") - 3)
         .select(col("source"), col("doc_id").as("rejected_id"),
           col("r").as("rr"))
       chosen.join(rejected, "source")
         .select(col("source"), col("chosen_id"), col("rejected_id"),
-          round(col("cr") - col("rr"), 6).as("gap_r"))
+          round(col("rr") - col("cr"), 6).as("gap_r"))
         .orderBy("source", "chosen_id", "rejected_id")
     }))
 
@@ -1889,11 +1895,11 @@ object CorpusQueries {
              CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS cnt
            FROM sc),
          ch AS (SELECT source, doc_id AS chosen_id, r AS cr
-           FROM rk WHERE cnt >= 6 AND ord > cnt - 3),
+           FROM rk WHERE cnt >= 6 AND ord <= 3),
          rj AS (SELECT source, doc_id AS rejected_id, r AS rr
-           FROM rk WHERE cnt >= 6 AND ord <= 3)
+           FROM rk WHERE cnt >= 6 AND ord > cnt - 3)
          SELECT c.source, c.chosen_id, r.rejected_id,
-           round(c.cr - r.rr, 6) AS gap_r
+           round(r.rr - c.cr, 6) AS gap_r
          FROM ch c JOIN rj r ON c.source = r.source
          ORDER BY c.source, c.chosen_id, r.rejected_id""")
 }

@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.{GraftSession, Tables}
+import graft.{GraftSession, StressProxies, Tables}
 import graft.ops.QueryCaches
 
 /** Measured scaling curves for the scale-critical operator families —
@@ -67,78 +67,34 @@ object ScaleSweep {
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    // ---- family bodies, each parameterized by the multiplier m ----
+    // ---- family bodies, each parameterized by the multiplier m.
+    // The three stress families are the SHARED StressProxies bodies —
+    // the very pipelines Bench pins at one size each round — so a
+    // pipeline change moves the bench point and this curve together.
 
-    // m shifted copies of a bounded documents slice (the
-    // q_dedup_minhash_16x construction at variable width): every doc
-    // is an m-member exact-dup family — bucket skew grows WITH m, the
-    // adversarial direction for LSH banding.
-    def docsBig(m: Int): DataFrame = {
-      val d0 = Tables.table(spark, sfDir, "documents")
-        .filter(col("doc_id") < 5000)
-        .select(col("doc_id"), col("text"))
-      (0 until m).map(i =>
-          d0.select((col("doc_id") * m + i).as("doc_id"), col("text")))
-        .reduce(_ unionAll _)
-    }
     def minhashBody(m: Int): Unit =
-      noop(graft.ops.TextDedup.minhashDedup(docsBig(m), "doc_id", "text",
-        shingleN = 3, numHashes = 6, bands = 3, threshold = 0.8))
+      noop(StressProxies.minhashFamily(spark, sfDir, m))
 
     // exact dedup: one wide shuffle on the content hash — the
     // linear-by-construction control row every other family is read
-    // against.
-    def exactBody(m: Int): Unit =
-      noop(docsBig(m)
+    // against (sweep-only; Bench gates it via q_dedup_exact instead).
+    def exactBody(m: Int): Unit = {
+      val d0 = Tables.table(spark, sfDir, "documents")
+        .filter(col("doc_id") < 5000)
+        .select(col("doc_id"), col("text"))
+      val big = (0 until m).map(i =>
+          d0.select((col("doc_id") * m + i).as("doc_id"), col("text")))
+        .reduce(_ unionAll _)
+      noop(big
         .groupBy(md5(col("text")).as("h"))
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep")))
-
-    // LSH cosine pair mining (the q_ann_lsh_16x construction): m
-    // copies of the embeddings slice through sign-bucketize + the
-    // bucket-local pair join.
-    def lshPairsBody(m: Int): Unit = {
-      val e0 = Tables.table(spark, sfDir, "embeddings")
-        .filter(col("vec_id") < 2000)
-        .select(col("vec_id"), col("embedding"))
-      val big = (0 until m).map(i =>
-          e0.select((col("vec_id") * m + i).as("vec_id"), col("embedding")))
-        .reduce(_ unionAll _)
-      val b = QueryCaches.persist(
-        graft.ops.CosineLsh.bucketize(big, "vec_id", "embedding", k = 8)
-          .filter(col("nrm") > 0))
-      val l = b.select(col("vec_id").as("a"), col("v").as("va"),
-        col("nrm").as("na"), col("bucket"))
-      val r = b.select(col("vec_id").as("b"), col("v").as("vb"),
-        col("nrm").as("nb"), col("bucket"))
-      noop(l.join(r, Seq("bucket")).filter(col("a") < col("b"))
-        .withColumn("cos",
-          graft.expr.VectorFunctions.dotProduct(col("va"), col("vb")) /
-            (col("na") * col("nb")))
-        .filter(col("cos") >= 0.2))
     }
 
-    // capped co-occurrence fold + PageRank under degree skew (the
-    // q_graph_hub synthetic, every band scaled by m: m× the keys at
-    // CONSTANT per-key degree, so pair fan-out per key is constant
-    // and the expected total cost is linear in m).
-    def graphBody(m: Int): Unit = {
-      val light = spark.range(0, 200000L * m)
-        .select(col("id").as("item"), (col("id") % (25000L * m)).as("k"))
-      val heavy = spark.range(0, 12000L * m)
-        .select((col("id") + 300000L * m).as("item"),
-          (col("id") % (200L * m) + 25000L * m).as("k"))
-      val hubs = spark.range(0, 16000L * m)
-        .select((col("id") + 400000L * m).as("item"),
-          (col("id") % (4L * m) + 25200L * m).as("k"))
-      val rel = light.unionAll(heavy).unionAll(hubs)
-      val (edges, over) = graft.ops.GraphOps.coOccurrenceEdgesAudited(
-        rel, "item", "k", minShared = 1L, maxKeyDegree = 64)
-      val dropped = over.count()
-      require(dropped == 4L * m,
-        s"scale sweep graph: expected ${4L * m} over-cap hubs, got $dropped")
-      noop(graft.ops.GraphOps.pageRank(
-        edges.select(col("ia").as("src"), col("ib").as("dst")), iters = 3))
-    }
+    def lshPairsBody(m: Int): Unit =
+      noop(StressProxies.lshPairsFamily(spark, sfDir, m))
+
+    def graphBody(m: Int): Unit =
+      noop(StressProxies.graphHubFamily(spark, m))
 
     // two-phase global exact quantiles over a synthetic double column
     // (sf-independent): the repartitionByRange + per-partition rank

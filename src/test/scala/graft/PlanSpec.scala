@@ -103,15 +103,29 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q_prefix_jaccard: equi-join candidates off cached prefix, no all-pairs") {
-    val p = plan("q_prefix_jaccard")
-    assert(!p.contains("CartesianProduct"),
-      s"prefix pairing plans a cartesian:\n$p")
-    assert(!p.contains("BroadcastNestedLoopJoin"),
-      s"prefix pairing fell back to an all-pairs nested loop:\n$p")
-    // both candidate sides must read the persisted prefix frame, not
-    // recompute the shingle/rank/window pipeline per side
-    assert(p.contains("InMemoryTableScan"),
-      s"prefix frame not cached — self-join re-runs its upstream:\n$p")
+    try {
+      val p = plan("q_prefix_jaccard")
+      assert(!p.contains("CartesianProduct"),
+        s"prefix pairing plans a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"prefix pairing fell back to an all-pairs nested loop:\n$p")
+      // the pipeline persists sh/sz/rank/pref; losing ANY of those
+      // re-runs a corpus pass per consumer (the pref self-join alone
+      // has two). Count the cache reads, don't just probe presence —
+      // dropping the pref persist would still leave sh cached and a
+      // contains() check green.
+      val scans = "InMemoryTableScan".r.findAllIn(p).size
+      assert(scans >= 4,
+        s"expected >= 4 cache reads (pref x2 sides, sh verify x2), " +
+          s"got $scans — a shared subplan lost its persist:\n$p")
+    } finally {
+      // plan() ran prefixJaccardPairs' eager counts — real
+      // materialized caches on the shared session; leaking them lets
+      // the CacheManager rewrite later tests' canonically-equal
+      // subtrees to InMemoryTableScan and flip their plan assertions
+      graft.ops.QueryCaches.releaseAll()
+      spark.catalog.clearCache()
+    }
   }
 
   test("scaled batching/reshape twins have no single-partition exchange") {
