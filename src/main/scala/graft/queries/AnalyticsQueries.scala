@@ -1391,6 +1391,64 @@ object AnalyticsQueries {
         .orderBy("id")
     }),
 
+    // Fellegi–Sunter probabilistic record linkage (JASA 1969; the
+    // Splink-style scoring layer on top of the q_jaro_block blocked
+    // candidates): each compared field contributes log2(m/u) on
+    // agreement and log2((1−m)/(1−u)) on disagreement, and the summed
+    // match weight classifies link / possible / nonlink. The weights
+    // are MICRO-INTEGER literals (log2 ratios precomputed at 6dp,
+    // ×1e6) so the score is an exact BIGINT sum — no float surface at
+    // all beyond the established round(jw,6) ≥ 0.86 agreement fence
+    // and the rounded price-delta band. Fields: name (JW band,
+    // m=0.9/u=0.05 → ±4169925/−3247928), type equality
+    // (m=0.8/u=0.02 → +5321928/−2292782), retail-price-within-50 band
+    // (m=0.7/u=0.025 → +4807355/−1700440). Output keeps the
+    // score ≥ 0 pairs (possible + link) — the review queue a linkage
+    // pipeline actually materializes; nonlinks are the quadratic
+    // bulk and stay unmaterialized. Same capBlocks contract as its
+    // siblings: fixed block-key domain ⇒ capBlocks at production
+    // scale (GateScale.uncapped mirrors the exact oracle here).
+    "q_linkage_fs" -> ((s, dir) => {
+      val p = graft.ops.FuzzyJoin.capBlocks(
+        t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"), col("p_size"),
+            col("p_name"), col("p_type"), col("p_retailprice")),
+        Seq("p_brand", "p_size"), GateScale.uncapped)
+        .transform(graft.ops.QueryCaches.persist) // both pair sides
+      p.count() // eager: self-join sides race a lazy cache
+      val a = p.select(col("p_partkey").as("pa"), col("p_brand"),
+        col("p_size"), col("p_name").as("name_a"),
+        col("p_type").as("type_a"), col("p_retailprice").as("price_a"))
+      val b = p.select(col("p_partkey").as("pb"), col("p_brand"),
+        col("p_size"), col("p_name").as("name_b"),
+        col("p_type").as("type_b"), col("p_retailprice").as("price_b"))
+      a.join(b, Seq("p_brand", "p_size"))
+        .filter(col("pa") < col("pb"))
+        .withColumn("agr_name",
+          (round(graft.expr.JaroWinklerFunctions
+            .jaroWinkler(col("name_a"), col("name_b")), 6) >= lit(0.86))
+            .cast("int"))
+        .withColumn("agr_type",
+          (col("type_a") === col("type_b")).cast("int"))
+        .withColumn("agr_price",
+          (round(abs(col("price_a") - col("price_b")), 6) < lit(50.0))
+            .cast("int"))
+        .withColumn("score_u",
+          (when(col("agr_name") === 1, lit(4169925L))
+            .otherwise(lit(-3247928L)) +
+           when(col("agr_type") === 1, lit(5321928L))
+            .otherwise(lit(-2292782L)) +
+           when(col("agr_price") === 1, lit(4807355L))
+            .otherwise(lit(-1700440L))).cast("long"))
+        .filter(col("score_u") >= 0L)
+        .withColumn("decision",
+          when(col("score_u") >= 9000000L, lit("link"))
+            .otherwise(lit("possible")))
+        .select(col("pa"), col("pb"), col("agr_name"), col("agr_type"),
+          col("agr_price"), col("score_u"), col("decision"))
+        .orderBy("pa", "pb")
+    }),
+
     // Robust outliers by median absolute deviation (TimeSeries
     // .madOutliers): rows beyond 3×MAD of their event-type median.
     // Exact interpolating medians (the q_quantiles parity), rounded
@@ -4151,6 +4209,32 @@ object AnalyticsQueries {
               AND a.p_partkey < b.p_partkey
          WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6)
            >= 0.86
+         ORDER BY pa, pb""",
+    // micro-integer weights are the same literals as the Spark side;
+    // the only float surfaces are the two rounded agreement fences
+    "q_linkage_fs" ->
+      """WITH pr AS (SELECT a.p_partkey AS pa, b.p_partkey AS pb,
+           CASE WHEN round(jaro_winkler_similarity(a.p_name, b.p_name), 6)
+             >= 0.86 THEN 1 ELSE 0 END AS agr_name,
+           CASE WHEN a.p_type = b.p_type THEN 1 ELSE 0 END AS agr_type,
+           CASE WHEN round(abs(a.p_retailprice - b.p_retailprice), 6)
+             < 50.0 THEN 1 ELSE 0 END AS agr_price
+         FROM part a JOIN part b
+           ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+              AND a.p_partkey < b.p_partkey),
+         sc AS (SELECT pa, pb,
+           CAST(agr_name AS INTEGER) AS agr_name,
+           CAST(agr_type AS INTEGER) AS agr_type,
+           CAST(agr_price AS INTEGER) AS agr_price,
+           CAST(CASE WHEN agr_name = 1 THEN 4169925 ELSE -3247928 END
+             + CASE WHEN agr_type = 1 THEN 5321928 ELSE -2292782 END
+             + CASE WHEN agr_price = 1 THEN 4807355 ELSE -1700440 END
+             AS BIGINT) AS score_u
+         FROM pr)
+         SELECT pa, pb, agr_name, agr_type, agr_price, score_u,
+           CASE WHEN score_u >= 9000000 THEN 'link'
+             ELSE 'possible' END AS decision
+         FROM sc WHERE score_u >= 0
          ORDER BY pa, pb""",
     "q_er_clusters" ->
       """WITH RECURSIVE pr AS (
