@@ -91,4 +91,91 @@ object FuzzyJoin {
       .filter(col("dist") <= maxDist)
       .select("a", "b", "name_a", "name_b", "dist")
   }
+
+  /** EM estimation of the Fellegi–Sunter m/u parameters from UNLABELED
+    * candidate pairs (Winkler 1988; the Splink training step): under
+    * conditional independence, the agreement-pattern distribution is a
+    * two-component mixture, and EM recovers the match proportion λ and
+    * per-field m_i = P(agree | match), u_i = P(agree | non-match).
+    *
+    * Scale stance: the corpus-side work is ONE aggregate collapsing
+    * the pair frame into ≤ 2^|fields| pattern counts (bounded by
+    * construction — the collect is 8 rows for 3 fields); every EM
+    * round is driver-side scalar arithmetic on those counts, zero
+    * additional jobs. At 100 TB the cost is the one pattern exchange.
+    *
+    * Cross-engine exactness (the oracle replays the identical
+    * recursion in unrolled CTEs): EM here uses ONLY +,−,×,÷ — every
+    * step is a correctly-rounded IEEE op on identical inputs, so the
+    * trajectories are bit-identical with no transcendental drift at
+    * all. Pattern sums are accumulated as exact DECIMAL(28,14)
+    * (BigDecimal HALF_UP per term — the QualityModel gradient
+    * treatment), so accumulation order cannot move a round's result;
+    * pm/pu products are associated ((f1·f2)·f3) and the SQL mirrors
+    * that textually.
+    *
+    * `pairs` must carry one 0/1 integer column per field. Returns
+    * (λ, m, u) after `iters` rounds from the literal inits.
+    */
+  def linkageEm(
+      pairs: DataFrame,
+      gCols: Seq[String],
+      iters: Int,
+      lam0: Double = 0.1,
+      m0: Double = 0.85,
+      u0: Double = 0.15): (Double, Array[Double], Array[Double]) = {
+    require(gCols.nonEmpty && gCols.size <= 8,
+      s"1..8 agreement fields, got ${gCols.size}")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(lam0 > 0 && lam0 < 1 && m0 > 0 && m0 < 1 && u0 > 0 && u0 < 1,
+      "inits must lie strictly in (0, 1)")
+    val k = gCols.size
+    val counts = pairs
+      .groupBy(gCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .collect() // bounded by construction: <= 2^k rows
+      .map(r => (gCols.indices.map(i => r.getInt(i)).toArray,
+        r.getLong(k)))
+    require(counts.nonEmpty, "cannot run EM on an empty pair frame")
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def d14(x: Double): JBD =
+      new JBD(x).setScale(14, RoundingMode.HALF_UP)
+    var lam = lam0
+    var m = Array.fill(k)(m0)
+    var u = Array.fill(k)(u0)
+    for (_ <- 1 to iters) {
+      // exact decimal accumulators — order-independent sums
+      var sA, sB = JBD.ZERO
+      val sAi = Array.fill(k)(JBD.ZERO)
+      val sBi = Array.fill(k)(JBD.ZERO)
+      counts.foreach { case (g, n) =>
+        // fixed association ((f1·f2)·f3)… — mirrored in the oracle
+        var pm = 1.0; var pu = 1.0
+        var i = 0
+        while (i < k) {
+          pm = pm * (if (g(i) == 1) m(i) else 1.0 - m(i))
+          pu = pu * (if (g(i) == 1) u(i) else 1.0 - u(i))
+          i += 1
+        }
+        val num = lam * pm
+        val w = num / (num + (1.0 - lam) * pu)
+        val nd = n.toDouble
+        sA = sA.add(d14(w * nd))
+        sB = sB.add(d14((1.0 - w) * nd))
+        i = 0
+        while (i < k) {
+          if (g(i) == 1) {
+            sAi(i) = sAi(i).add(d14(w * nd))
+            sBi(i) = sBi(i).add(d14((1.0 - w) * nd))
+          }
+          i += 1
+        }
+      }
+      val a = sA.doubleValue; val b = sB.doubleValue
+      lam = a / (a + b)
+      m = sAi.map(_.doubleValue / a)
+      u = sBi.map(_.doubleValue / b)
+    }
+    (lam, m, u)
+  }
 }

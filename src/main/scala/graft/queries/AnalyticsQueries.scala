@@ -69,6 +69,42 @@ object AnalyticsQueries {
         (round(col("det") - col("seas"), 6) + lit(0.0)).as("resid_r"))
   }
 
+  /** Blocked candidate pairs with the three Fellegi–Sunter agreement
+    * bits — shared by q_linkage_fs (fixed-weight scoring) and
+    * q_linkage_em (EM parameter estimation) so the comparison
+    * definitions cannot drift between the scorer and its trainer.
+    * Columns: (pa, pb, agr_name, agr_type, agr_price). Same capBlocks
+    * contract as q_jaro_block; the block frame persists for the two
+    * self-join sides (eagerly — the lazy-cache race rule).
+    */
+  private def fsAgreementBits(s: SparkSession, dir: String): DataFrame = {
+    val p = graft.ops.FuzzyJoin.capBlocks(
+      t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"),
+          col("p_name"), col("p_type"), col("p_retailprice")),
+      Seq("p_brand", "p_size"), GateScale.uncapped)
+      .transform(graft.ops.QueryCaches.persist) // both pair sides
+    p.count() // eager: self-join sides race a lazy cache
+    val a = p.select(col("p_partkey").as("pa"), col("p_brand"),
+      col("p_size"), col("p_name").as("name_a"),
+      col("p_type").as("type_a"), col("p_retailprice").as("price_a"))
+    val b = p.select(col("p_partkey").as("pb"), col("p_brand"),
+      col("p_size"), col("p_name").as("name_b"),
+      col("p_type").as("type_b"), col("p_retailprice").as("price_b"))
+    a.join(b, Seq("p_brand", "p_size"))
+      .filter(col("pa") < col("pb"))
+      .withColumn("agr_name",
+        (round(graft.expr.JaroWinklerFunctions
+          .jaroWinkler(col("name_a"), col("name_b")), 6) >= lit(0.86))
+          .cast("int"))
+      .withColumn("agr_type",
+        (col("type_a") === col("type_b")).cast("int"))
+      .withColumn("agr_price",
+        (round(abs(col("price_a") - col("price_b")), 6) < lit(50.0))
+          .cast("int"))
+      .select("pa", "pb", "agr_name", "agr_type", "agr_price")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // TPC-H Q1 shape: scan-heavy aggregation with decimal math.
@@ -1408,31 +1444,8 @@ object AnalyticsQueries {
     // bulk and stay unmaterialized. Same capBlocks contract as its
     // siblings: fixed block-key domain ⇒ capBlocks at production
     // scale (GateScale.uncapped mirrors the exact oracle here).
-    "q_linkage_fs" -> ((s, dir) => {
-      val p = graft.ops.FuzzyJoin.capBlocks(
-        t(s, dir, "part")
-          .select(col("p_partkey"), col("p_brand"), col("p_size"),
-            col("p_name"), col("p_type"), col("p_retailprice")),
-        Seq("p_brand", "p_size"), GateScale.uncapped)
-        .transform(graft.ops.QueryCaches.persist) // both pair sides
-      p.count() // eager: self-join sides race a lazy cache
-      val a = p.select(col("p_partkey").as("pa"), col("p_brand"),
-        col("p_size"), col("p_name").as("name_a"),
-        col("p_type").as("type_a"), col("p_retailprice").as("price_a"))
-      val b = p.select(col("p_partkey").as("pb"), col("p_brand"),
-        col("p_size"), col("p_name").as("name_b"),
-        col("p_type").as("type_b"), col("p_retailprice").as("price_b"))
-      a.join(b, Seq("p_brand", "p_size"))
-        .filter(col("pa") < col("pb"))
-        .withColumn("agr_name",
-          (round(graft.expr.JaroWinklerFunctions
-            .jaroWinkler(col("name_a"), col("name_b")), 6) >= lit(0.86))
-            .cast("int"))
-        .withColumn("agr_type",
-          (col("type_a") === col("type_b")).cast("int"))
-        .withColumn("agr_price",
-          (round(abs(col("price_a") - col("price_b")), 6) < lit(50.0))
-            .cast("int"))
+    "q_linkage_fs" -> ((s, dir) =>
+      fsAgreementBits(s, dir)
         .withColumn("score_u",
           (when(col("agr_name") === 1, lit(4169925L))
             .otherwise(lit(-3247928L)) +
@@ -1446,7 +1459,32 @@ object AnalyticsQueries {
             .otherwise(lit("possible")))
         .select(col("pa"), col("pb"), col("agr_name"), col("agr_type"),
           col("agr_price"), col("score_u"), col("decision"))
-        .orderBy("pa", "pb")
+        .orderBy("pa", "pb")),
+
+    // EM estimation of the Fellegi–Sunter parameters from the SAME
+    // unlabeled candidate pairs (Winkler 1988; the Splink training
+    // step): the agreement-pattern distribution is a two-component
+    // mixture and 4 EM rounds recover λ (match proportion) and the
+    // per-field m/u the fixed-weight q_linkage_fs hardcodes — the
+    // trainable-linkage companion to QualityModel's trainable filter.
+    // Corpus-side work is ONE aggregate into ≤ 8 pattern counts
+    // (bounded collect); the rounds are pure +,−,×,÷ on those counts
+    // — every step a correctly-rounded IEEE op, so the oracle's
+    // unrolled-CTE replay is bit-identical with NO transcendental
+    // drift anywhere (see FuzzyJoin.linkageEm for the decimal-exact
+    // sum treatment).
+    "q_linkage_em" -> ((s, dir) => {
+      val (lam, m, u) = graft.ops.FuzzyJoin.linkageEm(
+        fsAgreementBits(s, dir)
+          .select("agr_name", "agr_type", "agr_price"),
+        Seq("agr_name", "agr_type", "agr_price"), iters = 4)
+      import s.implicits._
+      Seq(("lam", lam),
+        ("m_name", m(0)), ("m_type", m(1)), ("m_price", m(2)),
+        ("u_name", u(0)), ("u_type", u(1)), ("u_price", u(2)))
+        .toDF("param", "v")
+        .select(col("param"), round(col("v"), 6).as("value_r"))
+        .orderBy("param")
     }),
 
     // Robust outliers by median absolute deviation (TimeSeries
@@ -3671,6 +3709,64 @@ object AnalyticsQueries {
     * the same re-expansion hazard the Spark side cuts with eager
     * localCheckpoints).
     */
+  /** Unrolled-EM oracle chain for q_linkage_em: the pattern-count CTE
+    * plus one (E-step, decimal-exact sums, M-step) CTE triple per
+    * round, written with the EXACT arithmetic FuzzyJoin.linkageEm
+    * runs — same ((f1·f2)·f3) product association, same num/den
+    * shape, same DECIMAL(28,14) per-term casts — so the parameter
+    * trajectories are bit-identical (EM is +,−,×,÷ only; every op is
+    * correctly rounded IEEE on identical inputs).
+    */
+  private def linkageEmChainSql(iters: Int): String = {
+    val head =
+      """WITH pr AS (SELECT
+           CASE WHEN round(jaro_winkler_similarity(a.p_name, b.p_name), 6)
+             >= 0.86 THEN 1 ELSE 0 END AS g1,
+           CASE WHEN a.p_type = b.p_type THEN 1 ELSE 0 END AS g2,
+           CASE WHEN round(abs(a.p_retailprice - b.p_retailprice), 6)
+             < 50.0 THEN 1 ELSE 0 END AS g3
+         FROM part a JOIN part b
+           ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+              AND a.p_partkey < b.p_partkey),
+         g AS MATERIALIZED (SELECT g1, g2, g3,
+             CAST(count(*) AS BIGINT) AS n
+           FROM pr GROUP BY 1, 2, 3),
+         p0 AS (SELECT CAST(0.1 AS DOUBLE) AS lam,
+           CAST(0.85 AS DOUBLE) AS m1, CAST(0.85 AS DOUBLE) AS m2,
+           CAST(0.85 AS DOUBLE) AS m3,
+           CAST(0.15 AS DOUBLE) AS u1, CAST(0.15 AS DOUBLE) AS u2,
+           CAST(0.15 AS DOUBLE) AS u3)"""
+    def prod(p: String) =
+      s"""((CASE WHEN g.g1 = 1 THEN p.${p}1 ELSE 1.0 - p.${p}1 END)
+           * (CASE WHEN g.g2 = 1 THEN p.${p}2 ELSE 1.0 - p.${p}2 END))
+           * (CASE WHEN g.g3 = 1 THEN p.${p}3 ELSE 1.0 - p.${p}3 END)"""
+    val rounds = (1 to iters).map { k =>
+      val pm = prod("m"); val pu = prod("u")
+      s"""e$k AS (SELECT g.g1, g.g2, g.g3, g.n,
+             (p.lam * ($pm))
+               / ((p.lam * ($pm)) + ((1.0 - p.lam) * ($pu))) AS w
+           FROM g CROSS JOIN p${k - 1} p),
+         s$k AS MATERIALIZED (SELECT
+             CAST(sum(CAST(w * n AS DECIMAL(28,14))) AS DOUBLE) AS a,
+             CAST(sum(CAST((1.0 - w) * n AS DECIMAL(28,14))) AS DOUBLE) AS b,
+             CAST(sum(CAST(w * n * g1 AS DECIMAL(28,14))) AS DOUBLE) AS a1,
+             CAST(sum(CAST(w * n * g2 AS DECIMAL(28,14))) AS DOUBLE) AS a2,
+             CAST(sum(CAST(w * n * g3 AS DECIMAL(28,14))) AS DOUBLE) AS a3,
+             CAST(sum(CAST((1.0 - w) * n * g1 AS DECIMAL(28,14)))
+               AS DOUBLE) AS b1,
+             CAST(sum(CAST((1.0 - w) * n * g2 AS DECIMAL(28,14)))
+               AS DOUBLE) AS b2,
+             CAST(sum(CAST((1.0 - w) * n * g3 AS DECIMAL(28,14)))
+               AS DOUBLE) AS b3
+           FROM e$k),
+         p$k AS MATERIALIZED (SELECT a / (a + b) AS lam,
+             a1 / a AS m1, a2 / a AS m2, a3 / a AS m3,
+             b1 / b AS u1, b2 / b AS u2, b3 / b AS u3
+           FROM s$k)"""
+    }.mkString(",\n         ")
+    s"$head,\n         $rounds"
+  }
+
   private def kcoreOracle(k: Int, rounds: Int): String = {
     val peels = (1 to rounds).map { r =>
       s"""d$r AS (SELECT node, count(*) AS deg FROM (
@@ -4236,6 +4332,17 @@ object AnalyticsQueries {
              ELSE 'possible' END AS decision
          FROM sc WHERE score_u >= 0
          ORDER BY pa, pb""",
+    "q_linkage_em" ->
+      s"""${linkageEmChainSql(4)}
+         SELECT * FROM (
+           SELECT 'lam' AS param, round(lam, 6) AS value_r FROM p4
+           UNION ALL SELECT 'm_name', round(m1, 6) FROM p4
+           UNION ALL SELECT 'm_type', round(m2, 6) FROM p4
+           UNION ALL SELECT 'm_price', round(m3, 6) FROM p4
+           UNION ALL SELECT 'u_name', round(u1, 6) FROM p4
+           UNION ALL SELECT 'u_type', round(u2, 6) FROM p4
+           UNION ALL SELECT 'u_price', round(u3, 6) FROM p4)
+         ORDER BY param""",
     "q_er_clusters" ->
       """WITH RECURSIVE pr AS (
            SELECT a.p_partkey AS a, b.p_partkey AS b

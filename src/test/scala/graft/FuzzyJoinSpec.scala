@@ -72,4 +72,56 @@ class FuzzyJoinSpec extends AnyFunSuite {
       maxPosting = Int.MaxValue).count()
     assert(got == 0L)
   }
+
+  test("linkageEm separates a planted mixture: m above u, lambda near truth") {
+    import spark.implicits._
+    // 100 match-like pairs (mostly all-agree) + 900 non-match-like
+    // (mostly all-disagree), with 10% per-field noise on both sides —
+    // EM must recover m_i >> u_i and lambda near 0.1 without labels
+    // seeded INDEPENDENT per-field noise — modular noise is
+    // cross-field correlated and breaks the conditional-independence
+    // model EM fits (the first draft converged to a different split)
+    val rng = new scala.util.Random(42)
+    def noisy(p: Double) = if (rng.nextDouble() < p) 1 else 0
+    val rows = (0 until 100).map { _ =>
+      (noisy(0.9), noisy(0.9), noisy(0.9))
+    } ++ (0 until 900).map { _ =>
+      (noisy(0.1), noisy(0.1), noisy(0.1))
+    }
+    val df = rows.toDF("g1", "g2", "g3")
+    val (lam, m, u) = FuzzyJoin.linkageEm(df, Seq("g1", "g2", "g3"),
+      iters = 8)
+    assert(lam > 0.05 && lam < 0.2, s"lambda=$lam")
+    (0 until 3).foreach { i =>
+      assert(m(i) > 0.7 && u(i) < 0.3, s"field $i: m=${m(i)} u=${u(i)}")
+    }
+  }
+
+  test("linkageEm is bit-stable under input partitioning and row order") {
+    import spark.implicits._
+    val rows = (0 until 500).map(i =>
+      (if (i % 7 == 0) 1 else 0, if (i % 3 == 0) 1 else 0,
+        if (i % 5 == 0) 1 else 0))
+    val base = rows.toDF("g1", "g2", "g3")
+    val a = FuzzyJoin.linkageEm(base.repartition(1), Seq("g1", "g2", "g3"), 4)
+    val b = FuzzyJoin.linkageEm(
+      base.repartition(32, org.apache.spark.sql.functions.col("g2")),
+      Seq("g1", "g2", "g3"), 4)
+    // decimal-exact pattern sums + a lexicographically-irrelevant
+    // 8-row collect: the trajectories must be IDENTICAL doubles
+    assert(a._1 == b._1 && a._2.sameElements(b._2) &&
+      a._3.sameElements(b._3), s"$a vs $b")
+  }
+
+  test("linkageEm rejects empty input and out-of-range inits") {
+    import spark.implicits._
+    val empty = Seq.empty[(Int, Int, Int)].toDF("g1", "g2", "g3")
+    assertThrows[IllegalArgumentException](
+      FuzzyJoin.linkageEm(empty, Seq("g1", "g2", "g3"), 2))
+    val one = Seq((1, 0, 1)).toDF("g1", "g2", "g3")
+    assertThrows[IllegalArgumentException](
+      FuzzyJoin.linkageEm(one, Seq("g1", "g2", "g3"), 0))
+    assertThrows[IllegalArgumentException](
+      FuzzyJoin.linkageEm(one, Seq("g1", "g2", "g3"), 2, lam0 = 1.0))
+  }
 }
