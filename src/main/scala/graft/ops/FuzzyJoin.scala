@@ -105,14 +105,18 @@ object FuzzyJoin {
     * additional jobs. At 100 TB the cost is the one pattern exchange.
     *
     * Cross-engine exactness (the oracle replays the identical
-    * recursion in unrolled CTEs): EM here uses ONLY +,−,×,÷ — every
-    * step is a correctly-rounded IEEE op on identical inputs, so the
-    * trajectories are bit-identical with no transcendental drift at
-    * all. Pattern sums are accumulated as exact DECIMAL(28,14)
-    * (BigDecimal HALF_UP per term — the QualityModel gradient
-    * treatment), so accumulation order cannot move a round's result;
-    * pm/pu products are associated ((f1·f2)·f3) and the SQL mirrors
-    * that textually.
+    * recursion in unrolled CTEs): EM here uses ONLY +,−,×,÷ — no
+    * transcendental drift anywhere. Pattern sums are accumulated as
+    * exact DECIMAL(28,14) (BigDecimal HALF_UP per term — the
+    * QualityModel gradient treatment), so accumulation order cannot
+    * move a round's result; pm/pu products are associated
+    * ((f1·f2)·f3) and the SQL mirrors that textually. The one
+    * residual engine surface is the decimal→double conversion of
+    * each round's sums: once a sum exceeds 2^53 UNSCALED units
+    * (value ≳ 90, e.g. λ·N at large N), the two engines' conversion
+    * paths may differ by 1 ulp — ~8 orders below the round(…,6)
+    * output fence (the QualityModel exp() precedent), not
+    * bit-identity. Everything below the conversion is exact.
     *
     * `pairs` must carry one 0/1 integer column per field. Returns
     * (λ, m, u) after `iters` rounds from the literal inits.
@@ -127,8 +131,12 @@ object FuzzyJoin {
     require(gCols.nonEmpty && gCols.size <= 8,
       s"1..8 agreement fields, got ${gCols.size}")
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    require(lam0 > 0 && lam0 < 1 && m0 > 0 && m0 < 1 && u0 > 0 && u0 < 1,
-      "inits must lie strictly in (0, 1)")
+    // the band (not just the open interval): an init near the edge
+    // can round every 14dp E-step term of one mixture side to zero,
+    // and 0/0 would surface as silent NaN parameters
+    def inBand(x: Double) = x >= 1e-6 && x <= 1.0 - 1e-6
+    require(inBand(lam0) && inBand(m0) && inBand(u0),
+      s"inits must lie in [1e-6, 1-1e-6]: lam0=$lam0 m0=$m0 u0=$u0")
     val k = gCols.size
     val counts = pairs
       .groupBy(gCols.map(col): _*)
@@ -172,6 +180,12 @@ object FuzzyJoin {
         }
       }
       val a = sA.doubleValue; val b = sB.doubleValue
+      // named failure instead of 0/0 → NaN: a side losing ALL its
+      // mass at 14dp precision means the mixture collapsed (skewed
+      // inits or a degenerate pattern table)
+      require(a > 0 && b > 0,
+        s"EM round degenerated: mixture side mass a=$a b=$b — " +
+          "check inits and the agreement-pattern distribution")
       lam = a / (a + b)
       m = sAi.map(_.doubleValue / a)
       u = sBi.map(_.doubleValue / b)

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -77,7 +77,13 @@ object AnalyticsQueries {
     * contract as q_jaro_block; the block frame persists for the two
     * self-join sides (eagerly — the lazy-cache race rule).
     */
-  private def fsAgreementBits(s: SparkSession, dir: String): DataFrame = {
+  /** The record-linkage family's blocked candidate universe: parts
+    * blocked on (brand, size) under the capBlocks contract, persisted
+    * and eagerly counted for the self-join consumers (q_jaro_block,
+    * q_er_clusters, and the FS scorer/trainer all read it — ONE copy
+    * of the blocking key so the siblings cannot drift).
+    */
+  private def partBlockFrame(s: SparkSession, dir: String): DataFrame = {
     val p = graft.ops.FuzzyJoin.capBlocks(
       t(s, dir, "part")
         .select(col("p_partkey"), col("p_brand"), col("p_size"),
@@ -85,25 +91,40 @@ object AnalyticsQueries {
       Seq("p_brand", "p_size"), GateScale.uncapped)
       .transform(graft.ops.QueryCaches.persist) // both pair sides
     p.count() // eager: self-join sides race a lazy cache
+    p
+  }
+
+  /** All within-block candidate pairs with both sides' compare fields
+    * — the one textual home of the (brand, size) USING-join and the
+    * pa < pb orientation.
+    */
+  private def blockedPartPairs(p: DataFrame): DataFrame = {
     val a = p.select(col("p_partkey").as("pa"), col("p_brand"),
       col("p_size"), col("p_name").as("name_a"),
       col("p_type").as("type_a"), col("p_retailprice").as("price_a"))
     val b = p.select(col("p_partkey").as("pb"), col("p_brand"),
       col("p_size"), col("p_name").as("name_b"),
       col("p_type").as("type_b"), col("p_retailprice").as("price_b"))
-    a.join(b, Seq("p_brand", "p_size"))
-      .filter(col("pa") < col("pb"))
-      .withColumn("agr_name",
-        (round(graft.expr.JaroWinklerFunctions
-          .jaroWinkler(col("name_a"), col("name_b")), 6) >= lit(0.86))
-          .cast("int"))
+    a.join(b, Seq("p_brand", "p_size")).filter(col("pa") < col("pb"))
+  }
+
+  /** The rounded Jaro-Winkler name similarity — the ONE copy of the
+    * linkage family's 0.86 fence input (q_jaro_block thresholds it,
+    * the FS bits binarize it, q_er_clusters mines edges from it).
+    */
+  private def nameSimR: Column =
+    round(graft.expr.JaroWinklerFunctions
+      .jaroWinkler(col("name_a"), col("name_b")), 6)
+
+  private def fsAgreementBits(s: SparkSession, dir: String): DataFrame =
+    blockedPartPairs(partBlockFrame(s, dir))
+      .withColumn("agr_name", (nameSimR >= lit(0.86)).cast("int"))
       .withColumn("agr_type",
         (col("type_a") === col("type_b")).cast("int"))
       .withColumn("agr_price",
         (round(abs(col("price_a") - col("price_b")), 6) < lit(50.0))
           .cast("int"))
       .select("pa", "pb", "agr_name", "agr_type", "agr_price")
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -1379,24 +1400,12 @@ object AnalyticsQueries {
     // the exact oracle, affordable at gate-scale block sizes ≤7).
     // Threshold compares the ROUNDED similarity
     // (round-before-threshold rule).
-    "q_jaro_block" -> ((s, dir) => {
-      val p = graft.ops.FuzzyJoin.capBlocks(
-        t(s, dir, "part")
-          .select(col("p_partkey"), col("p_brand"), col("p_size"),
-            col("p_name")),
-        Seq("p_brand", "p_size"), GateScale.uncapped)
-      p.select(col("p_partkey").as("pa"), col("p_brand"),
-          col("p_size"), col("p_name").as("name_a"))
-        .join(p.select(col("p_partkey").as("pb"), col("p_brand"),
-          col("p_size"), col("p_name").as("name_b")),
-          Seq("p_brand", "p_size"))
-        .filter(col("pa") < col("pb"))
-        .withColumn("sim_r", round(graft.expr.JaroWinklerFunctions
-          .jaroWinkler(col("name_a"), col("name_b")), 6))
+    "q_jaro_block" -> ((s, dir) =>
+      blockedPartPairs(partBlockFrame(s, dir))
+        .withColumn("sim_r", nameSimR)
         .filter(col("sim_r") >= lit(0.86))
         .select("pa", "pb", "sim_r")
-        .orderBy("pa", "pb")
-    }),
+        .orderBy("pa", "pb")),
 
     // Entity resolution end-to-end: the q_jaro_block match pairs
     // (brand+size blocking, native Jaro-Winkler ≥ 0.86) closed into
@@ -1406,23 +1415,11 @@ object AnalyticsQueries {
     // part resolves to its cluster's minimum key — the survivorship
     // id a master-data pipeline carries forward.
     "q_er_clusters" -> ((s, dir) => {
-      // same blocked-join contract as q_jaro_block: fixed key domain
-      // ⇒ linear block growth ⇒ capBlocks at production scale
-      val p = graft.ops.FuzzyJoin.capBlocks(
-        t(s, dir, "part")
-          .select(col("p_partkey"), col("p_brand"), col("p_size"),
-            col("p_name")),
-        Seq("p_brand", "p_size"), GateScale.uncapped)
-        .transform(graft.ops.QueryCaches.persist) // pairs ×2 + id universe
-      val pairs = p.select(col("p_partkey").as("a"), col("p_brand"),
-          col("p_size"), col("p_name").as("name_a"))
-        .join(p.select(col("p_partkey").as("b"), col("p_brand"),
-          col("p_size"), col("p_name").as("name_b")),
-          Seq("p_brand", "p_size"))
-        .filter(col("a") < col("b"))
-        .filter(round(graft.expr.JaroWinklerFunctions
-          .jaroWinkler(col("name_a"), col("name_b")), 6) >= lit(0.86))
-        .select(col("a"), col("b"))
+      // shared blocked universe (persisted: pairs ×2 + id universe)
+      val p = partBlockFrame(s, dir)
+      val pairs = blockedPartPairs(p)
+        .filter(nameSimR >= lit(0.86))
+        .select(col("pa").as("a"), col("pb").as("b"))
       graft.ops.TextDedup.clusters(p.select(col("p_partkey")), pairs)
         .orderBy("id")
     }),

@@ -123,5 +123,9 @@ class FuzzyJoinSpec extends AnyFunSuite {
       FuzzyJoin.linkageEm(one, Seq("g1", "g2", "g3"), 0))
     assertThrows[IllegalArgumentException](
       FuzzyJoin.linkageEm(one, Seq("g1", "g2", "g3"), 2, lam0 = 1.0))
+    // in (0,1) but outside the band: a 1e-20 init would round every
+    // 14dp E-step term of the match side to zero (0/0 -> NaN params)
+    assertThrows[IllegalArgumentException](
+      FuzzyJoin.linkageEm(one, Seq("g1", "g2", "g3"), 2, lam0 = 1e-20))
   }
 }
