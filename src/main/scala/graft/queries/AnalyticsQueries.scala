@@ -1484,6 +1484,68 @@ object AnalyticsQueries {
         .orderBy("param")
     }),
 
+    // Blocking-scheme evaluation — the measurement row the linkage
+    // family was missing (the q_minhash_recall / q_dedup_precision
+    // precedent): reduction ratio = 1 − |candidate pairs|/|all pairs|
+    // computed from COUNTS ONLY (Σ b(b−1)/2 per block — no pair frame
+    // is ever materialized for the denominator), and pairs
+    // completeness of (brand, size) blocking against the name-3-gram
+    // candidate truth (pairs sharing a name trigram with JW ≥ 0.86 —
+    // the honest, equi-join-computable stand-in for the all-pairs
+    // truth a cartesian would need; a JW ≥ 0.86 pair sharing NO
+    // trigram is possible in principle and excluded by definition).
+    // Bounded slice like its measurement siblings; every join is a
+    // key equi-join, every scalar a 1-row broadcast.
+    "q_blocking_quality" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .filter(col("p_partkey") < 1000 && length(col("p_name")) >= 3)
+        .select(col("p_partkey"), col("p_name"), col("p_brand"),
+          col("p_size"))
+        .transform(graft.ops.QueryCaches.persist) // counts, grams, attrs
+      p.count() // eager: four readers race a lazy cache
+      val nRow = p.agg(count(lit(1)).as("n"))
+      val cand = p.groupBy("p_brand", "p_size")
+        .agg(count(lit(1)).as("b"))
+        .agg(sum(expr("(b * (b - 1)) div 2")).as("n_cand"))
+      val grams = p.select(col("p_partkey").as("id"),
+          col("p_name").as("nm"),
+          explode(expr(
+            "transform(sequence(1, length(p_name) - 2), " +
+              "i -> substring(p_name, i, 3))")).as("gr"))
+        .distinct()
+      val tm = grams.select(col("id").as("a"), col("nm").as("name_a"),
+          col("gr"))
+        .join(grams.select(col("id").as("b"), col("nm").as("name_b"),
+          col("gr")), Seq("gr"))
+        .filter(col("a") < col("b"))
+        .select("a", "b", "name_a", "name_b").distinct()
+        .filter(nameSimR >= lit(0.86))
+        .select("a", "b")
+        .transform(graft.ops.QueryCaches.persist) // truth count + found join
+      val truthN = tm.agg(count(lit(1)).as("n_true"))
+      val attrs = p.select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val foundN = tm
+        .join(attrs.select(col("p_partkey").as("a"),
+          col("p_brand").as("ba"), col("p_size").as("sa")), "a")
+        .join(attrs.select(col("p_partkey").as("b"),
+          col("p_brand").as("bb"), col("p_size").as("sb")), "b")
+        .filter(col("ba") === col("bb") && col("sa") === col("sb"))
+        .agg(count(lit(1)).as("n_found"))
+      nRow.crossJoin(broadcast(cand)).crossJoin(broadcast(truthN))
+        .crossJoin(broadcast(foundN))
+        .select(col("n").cast("long").as("n"),
+          expr("(n * (n - 1)) div 2").cast("long").as("n_all"),
+          col("n_cand").cast("long").as("n_cand"),
+          round(lit(1.0) - col("n_cand").cast("double") /
+            expr("(n * (n - 1)) div 2").cast("double"), 6)
+            .as("reduction_r"),
+          col("n_true").cast("long").as("n_true"),
+          col("n_found").cast("long").as("n_found"),
+          round(when(col("n_true") === 0L, lit(1.0))
+            .otherwise(col("n_found").cast("double") /
+              col("n_true").cast("double")), 6).as("completeness_r"))
+    }),
+
     // Robust outliers by median absolute deviation (TimeSeries
     // .madOutliers): rows beyond 3×MAD of their event-type median.
     // Exact interpolating medians (the q_quantiles parity), rounded
@@ -4329,6 +4391,40 @@ object AnalyticsQueries {
              ELSE 'possible' END AS decision
          FROM sc WHERE score_u >= 0
          ORDER BY pa, pb""",
+    "q_blocking_quality" ->
+      """WITH p AS (SELECT p_partkey, p_name, p_brand, p_size
+           FROM part WHERE p_partkey < 1000 AND length(p_name) >= 3),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p),
+         cand AS (SELECT CAST(sum((b * (b - 1)) // 2) AS BIGINT)
+             AS n_cand
+           FROM (SELECT CAST(count(*) AS BIGINT) AS b FROM p
+             GROUP BY p_brand, p_size)),
+         g0 AS (SELECT p_partkey AS id, p_name AS nm,
+             unnest(range(1, length(p_name) - 1)) AS pos FROM p),
+         g AS (SELECT DISTINCT id, nm, substr(nm, pos, 3) AS gr
+           FROM g0),
+         tm AS (SELECT a, b FROM (
+             SELECT DISTINCT x.id AS a, y.id AS b,
+               x.nm AS na, y.nm AS nb
+             FROM g x JOIN g y ON x.gr = y.gr AND x.id < y.id)
+           WHERE round(jaro_winkler_similarity(na, nb), 6) >= 0.86),
+         tn AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM tm),
+         fn AS (SELECT CAST(count(*) AS BIGINT) AS n_found
+           FROM tm
+           JOIN p pa ON pa.p_partkey = tm.a
+           JOIN p pb ON pb.p_partkey = tm.b
+           WHERE pa.p_brand = pb.p_brand AND pa.p_size = pb.p_size)
+         SELECT nn.n,
+           CAST((nn.n * (nn.n - 1)) // 2 AS BIGINT) AS n_all,
+           cand.n_cand,
+           round(1.0 - CAST(cand.n_cand AS DOUBLE) /
+             CAST((nn.n * (nn.n - 1)) // 2 AS DOUBLE), 6)
+             AS reduction_r,
+           tn.n_true, fn.n_found,
+           round(CASE WHEN tn.n_true = 0 THEN 1.0
+             ELSE CAST(fn.n_found AS DOUBLE) / CAST(tn.n_true AS DOUBLE)
+             END, 6) AS completeness_r
+         FROM nn CROSS JOIN cand CROSS JOIN tn CROSS JOIN fn""",
     "q_linkage_em" ->
       s"""${linkageEmChainSql(4)}
          SELECT * FROM (

@@ -128,4 +128,45 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       FuzzyJoin.linkageEm(one, Seq("g1", "g2", "g3"), 2, lam0 = 1e-20))
   }
+
+  test("linkageEm tracks a plain-double reference EM under fuzz") {
+    // algorithmic-drift pin: the decimal-exact accumulation must stay
+    // within numerical noise of the textbook recursion (the 14dp
+    // rounding per term perturbs sums by ~1e-14 relative)
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    for (_ <- 1 to 6) {
+      val rows = (0 until 300).map(_ =>
+        (rng.nextInt(2), rng.nextInt(2), rng.nextInt(2)))
+      val counts = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      // reference: same recursion, plain double sums
+      var lam = 0.1; var m = Array(0.85, 0.85, 0.85)
+      var u = Array(0.15, 0.15, 0.15)
+      for (_ <- 1 to 4) {
+        var a = 0.0; var b = 0.0
+        val ai = Array(0.0, 0.0, 0.0); val bi = Array(0.0, 0.0, 0.0)
+        counts.foreach { case ((g1, g2, g3), n) =>
+          val g = Array(g1, g2, g3)
+          var pm = 1.0; var pu = 1.0
+          (0 until 3).foreach { i =>
+            pm *= (if (g(i) == 1) m(i) else 1.0 - m(i))
+            pu *= (if (g(i) == 1) u(i) else 1.0 - u(i))
+          }
+          val w = lam * pm / (lam * pm + (1.0 - lam) * pu)
+          a += w * n; b += (1.0 - w) * n
+          (0 until 3).foreach { i =>
+            if (g(i) == 1) { ai(i) += w * n; bi(i) += (1.0 - w) * n }
+          }
+        }
+        lam = a / (a + b); m = ai.map(_ / a); u = bi.map(_ / b)
+      }
+      val (gl, gm, gu) = FuzzyJoin.linkageEm(
+        rows.toDF("g1", "g2", "g3"), Seq("g1", "g2", "g3"), 4)
+      assert(math.abs(gl - lam) < 1e-9, s"lam $gl vs $lam")
+      (0 until 3).foreach { i =>
+        assert(math.abs(gm(i) - m(i)) < 1e-9, s"m$i ${gm(i)} vs ${m(i)}")
+        assert(math.abs(gu(i) - u(i)) < 1e-9, s"u$i ${gu(i)} vs ${u(i)}")
+      }
+    }
+  }
 }
