@@ -779,6 +779,19 @@ object TextDedup {
     * frame feeds both self-join sides and the shingle frame feeds four
     * readers — both persisted via the handle/ledger, eagerly
     * materialized per the self-join rule.
+    *
+    * Hot-posting audit (`maxPrefixPosting`): rarity ordering bounds
+    * prefix postings on any realistic corpus — a shingle lands in
+    * prefixes only while it is RARE relative to its documents' sizes —
+    * but a degenerate corpus of tiny documents made only of
+    * globally-common shingles can still concentrate one posting (a
+    * 2-shingle doc's prefix is its whole shingle set, however common).
+    * Capping would break the losslessness this join proves, so the
+    * treatment is an AUDIT, not a cap: one tiny aggregate over the
+    * already-persisted prefix frame fails LOUDLY (worst posting named)
+    * when any prefix posting exceeds the bound — the
+    * coOccurrenceEdgesAudited pattern. The lossy alternative for
+    * corpora that trip it is [[prefixJaccardPairsCapped]].
     */
   def prefixJaccardPairs(
       df: DataFrame,
@@ -786,7 +799,81 @@ object TextDedup {
       textCol: String,
       shingleN: Int = 3,
       threshold: Double = 0.8,
-      handle: CacheHandle = null): DataFrame = {
+      handle: CacheHandle = null,
+      maxPrefixPosting: Int = Int.MaxValue): DataFrame = {
+    require(maxPrefixPosting > 0,
+      s"maxPrefixPosting must be positive, got $maxPrefixPosting")
+    val (sh, sz, pref) =
+      prefixFrames(df, idCol, textCol, shingleN, threshold, handle)
+    if (maxPrefixPosting != Int.MaxValue) {
+      // audit, not cap: dropping a hot posting would break the
+      // losslessness proof, so a posting past the bound FAILS with the
+      // worst offender named. One map-side-combined aggregate + a
+      // limit(1) argmax over the persisted prefix frame (bounded
+      // collect by construction).
+      val worst = overCapBuckets(pref, Seq("shingle"), maxPrefixPosting)
+        .orderBy(col("n_members").desc, col("shingle"))
+        .limit(1).collect()
+      require(worst.isEmpty, {
+        val r = worst.head
+        s"prefixJaccardPairs: prefix posting for shingle " +
+          s"'${r.getString(0)}' has ${r.getLong(1)} members " +
+          s"(> maxPrefixPosting=$maxPrefixPosting) — the candidate " +
+          "join would fan out quadratically on it; raise the bound " +
+          "if the fan-out is affordable, or use the lossy " +
+          "prefixJaccardPairsCapped twin"
+      })
+    }
+    prefixCandidateVerify(sh, sz, pref, idCol, threshold)
+  }
+
+  /** The lossy production twin of [[prefixJaccardPairs]] for corpora
+    * whose audit trips: prefix postings past `maxPrefixPosting` are
+    * DROPPED (capBuckets), bounding the candidate fan-out at
+    * O(maxPrefixPosting²) per shingle. Recall semantics: a qualifying
+    * pair is missed only if EVERY prefix shingle it shares sits in an
+    * over-cap posting — by the prefix pigeonhole such pairs are built
+    * almost entirely from globally-common shingles, the
+    * non-discriminating evidence the cap exists to shed (same trade as
+    * [[containmentPairs]]' `maxPosting`). Never silent: the second
+    * return is the dropped (shingle, n_members) audit frame — tiny by
+    * construction (≤ prefixRows/maxPrefixPosting groups) — for
+    * logging/asserting, computed from the SAME persisted prefix frame
+    * the cap reads. Survivors verify exactly, so emitted pairs carry
+    * true Jaccard (precision is unaffected; only recall is traded).
+    */
+  def prefixJaccardPairsCapped(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.8,
+      maxPrefixPosting: Int = DefaultMaxBucket,
+      handle: CacheHandle = null): (DataFrame, DataFrame) = {
+    require(maxPrefixPosting > 0,
+      s"maxPrefixPosting must be positive, got $maxPrefixPosting")
+    val (sh, sz, pref) =
+      prefixFrames(df, idCol, textCol, shingleN, threshold, handle)
+    val over = CacheHandle.persistWith(handle,
+      overCapBuckets(pref, Seq("shingle"), maxPrefixPosting))
+    // no broadcast hint — the over-cap set is corpus-derived (the
+    // capBuckets rule); AQE converts when it measures small
+    val capped = pref.join(over.select(col("shingle")),
+      Seq("shingle"), "left_anti")
+    (prefixCandidateVerify(sh, sz, capped, idCol, threshold), over)
+  }
+
+  /** Shared [[prefixJaccardPairs]] core: shingles, per-doc sizes, and
+    * the rarity-ordered prefix frame — all persisted via the handle
+    * and eagerly materialized (multiple readers race a lazy cache).
+    */
+  private def prefixFrames(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      threshold: Double,
+      handle: CacheHandle): (DataFrame, DataFrame, DataFrame) = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold in (0, 1], got $threshold")
     val sh = CacheHandle.persistWith(handle,
@@ -811,6 +898,20 @@ object TextDedup {
           col("sz") - floor(lit(threshold) * col("sz").cast("double")) + 1L)
         .select(col(idCol), col("shingle"), col("sz")))
     pref.count() // eager: both candidate sides read it
+    (sh, sz, pref)
+  }
+
+  /** Shared [[prefixJaccardPairs]] tail: prefix-posting self-join with
+    * the length prune, then EXACT verification against the full
+    * shingle sets. `pref` may be the audited-lossless or the capped
+    * frame — verification semantics are identical either way.
+    */
+  private def prefixCandidateVerify(
+      sh: DataFrame,
+      sz: DataFrame,
+      pref: DataFrame,
+      idCol: String,
+      threshold: Double): DataFrame = {
     val la = pref.select(col(idCol).as("a"), col("shingle"),
       col("sz").as("sa"))
     val lb = pref.select(col(idCol).as("b"), col("shingle"),

@@ -69,14 +69,6 @@ object AnalyticsQueries {
         (round(col("det") - col("seas"), 6) + lit(0.0)).as("resid_r"))
   }
 
-  /** Blocked candidate pairs with the three Fellegi–Sunter agreement
-    * bits — shared by q_linkage_fs (fixed-weight scoring) and
-    * q_linkage_em (EM parameter estimation) so the comparison
-    * definitions cannot drift between the scorer and its trainer.
-    * Columns: (pa, pb, agr_name, agr_type, agr_price). Same capBlocks
-    * contract as q_jaro_block; the block frame persists for the two
-    * self-join sides (eagerly — the lazy-cache race rule).
-    */
   /** The record-linkage family's blocked candidate universe: parts
     * blocked on (brand, size) under the capBlocks contract, persisted
     * and eagerly counted for the self-join consumers (q_jaro_block,
@@ -116,6 +108,12 @@ object AnalyticsQueries {
     round(graft.expr.JaroWinklerFunctions
       .jaroWinkler(col("name_a"), col("name_b")), 6)
 
+  /** Blocked candidate pairs with the three Fellegi–Sunter agreement
+    * bits — shared by q_linkage_fs (fixed-weight scoring) and
+    * q_linkage_em (EM parameter estimation) so the comparison
+    * definitions cannot drift between the scorer and its trainer.
+    * Columns: (pa, pb, agr_name, agr_type, agr_price).
+    */
   private def fsAgreementBits(s: SparkSession, dir: String): DataFrame =
     blockedPartPairs(partBlockFrame(s, dir))
       .withColumn("agr_name", (nameSimR >= lit(0.86)).cast("int"))
@@ -1484,18 +1482,24 @@ object AnalyticsQueries {
         .orderBy("param")
     }),
 
-    // Blocking-scheme evaluation — the measurement row the linkage
+    // Blocking-scheme evaluation — the measurement table the linkage
     // family was missing (the q_minhash_recall / q_dedup_precision
-    // precedent): reduction ratio = 1 − |candidate pairs|/|all pairs|
-    // computed from COUNTS ONLY (Σ b(b−1)/2 per block — no pair frame
-    // is ever materialized for the denominator), and pairs
-    // completeness of (brand, size) blocking against the name-3-gram
-    // candidate truth (pairs sharing a name trigram with JW ≥ 0.86 —
-    // the honest, equi-join-computable stand-in for the all-pairs
-    // truth a cartesian would need; a JW ≥ 0.86 pair sharing NO
-    // trigram is possible in principle and excluded by definition).
-    // Bounded slice like its measurement siblings; every join is a
-    // key equi-join, every scalar a 1-row broadcast.
+    // precedent), one row PER CANDIDATE BLOCKING KEY so the table
+    // ranks schemes instead of indicting one: reduction ratio =
+    // 1 − |candidate pairs|/|all pairs| and pairs completeness
+    // against the shared truth (pairs sharing a name trigram with
+    // JW ≥ 0.86 — the honest, equi-join-computable stand-in for the
+    // all-pairs truth a cartesian would need; a JW ≥ 0.86 pair
+    // sharing NO trigram is possible in principle and excluded by
+    // definition, which also means the trigram scheme's completeness
+    // is 1.0 by construction — still COMPUTED via the membership
+    // join, not asserted). brand_size's candidate count comes from
+    // COUNTS ONLY (Σ b(b−1)/2 per block — no pair frame
+    // materialized); name_trigram's counts the distinct pair frame
+    // the truth derivation materializes anyway. Bounded slice like
+    // its measurement siblings; every join is a key equi-join, every
+    // scalar a 1-row broadcast; both persisted frames eagerly counted
+    // (concurrent broadcast subtrees re-run a LAZY cache).
     "q_blocking_quality" -> ((s, dir) => {
       val p = t(s, dir, "part")
         .filter(col("p_partkey") < 1000 && length(col("p_name")) >= 3)
@@ -1504,7 +1508,7 @@ object AnalyticsQueries {
         .transform(graft.ops.QueryCaches.persist) // counts, grams, attrs
       p.count() // eager: four readers race a lazy cache
       val nRow = p.agg(count(lit(1)).as("n"))
-      val cand = p.groupBy("p_brand", "p_size")
+      val candBS = p.groupBy("p_brand", "p_size")
         .agg(count(lit(1)).as("b"))
         .agg(sum(expr("(b * (b - 1)) div 2")).as("n_cand"))
       val grams = p.select(col("p_partkey").as("id"),
@@ -1513,37 +1517,50 @@ object AnalyticsQueries {
             "transform(sequence(1, length(p_name) - 2), " +
               "i -> substring(p_name, i, 3))")).as("gr"))
         .distinct()
-      val tm = grams.select(col("id").as("a"), col("nm").as("name_a"),
+      val candTri = grams.select(col("id").as("a"), col("nm").as("name_a"),
           col("gr"))
         .join(grams.select(col("id").as("b"), col("nm").as("name_b"),
           col("gr")), Seq("gr"))
         .filter(col("a") < col("b"))
         .select("a", "b", "name_a", "name_b").distinct()
+        .transform(graft.ops.QueryCaches.persist) // count + truth filter
+      candTri.count() // eager: two broadcast readers
+      val candTriN = candTri.agg(count(lit(1)).as("n_cand"))
+      val tm = candTri
         .filter(nameSimR >= lit(0.86))
         .select("a", "b")
-        .transform(graft.ops.QueryCaches.persist) // truth count + found join
+        .transform(graft.ops.QueryCaches.persist) // truth + 2 found joins
+      tm.count() // eager: three broadcast readers
       val truthN = tm.agg(count(lit(1)).as("n_true"))
       val attrs = p.select(col("p_partkey"), col("p_brand"), col("p_size"))
-      val foundN = tm
+      val foundBS = tm
         .join(attrs.select(col("p_partkey").as("a"),
           col("p_brand").as("ba"), col("p_size").as("sa")), "a")
         .join(attrs.select(col("p_partkey").as("b"),
           col("p_brand").as("bb"), col("p_size").as("sb")), "b")
         .filter(col("ba") === col("bb") && col("sa") === col("sb"))
         .agg(count(lit(1)).as("n_found"))
-      nRow.crossJoin(broadcast(cand)).crossJoin(broadcast(truthN))
-        .crossJoin(broadcast(foundN))
-        .select(col("n").cast("long").as("n"),
-          expr("(n * (n - 1)) div 2").cast("long").as("n_all"),
-          col("n_cand").cast("long").as("n_cand"),
-          round(lit(1.0) - col("n_cand").cast("double") /
-            expr("(n * (n - 1)) div 2").cast("double"), 6)
-            .as("reduction_r"),
-          col("n_true").cast("long").as("n_true"),
-          col("n_found").cast("long").as("n_found"),
-          round(when(col("n_true") === 0L, lit(1.0))
-            .otherwise(col("n_found").cast("double") /
-              col("n_true").cast("double")), 6).as("completeness_r"))
+      val foundTri = tm
+        .join(candTri.select(col("a"), col("b")), Seq("a", "b"))
+        .agg(count(lit(1)).as("n_found"))
+      def row(scheme: String, cand: DataFrame, found: DataFrame) =
+        nRow.crossJoin(broadcast(cand)).crossJoin(broadcast(truthN))
+          .crossJoin(broadcast(found))
+          .select(lit(scheme).as("scheme"),
+            col("n").cast("long").as("n"),
+            expr("(n * (n - 1)) div 2").cast("long").as("n_all"),
+            col("n_cand").cast("long").as("n_cand"),
+            round(lit(1.0) - col("n_cand").cast("double") /
+              expr("(n * (n - 1)) div 2").cast("double"), 6)
+              .as("reduction_r"),
+            col("n_true").cast("long").as("n_true"),
+            col("n_found").cast("long").as("n_found"),
+            round(when(col("n_true") === 0L, lit(1.0))
+              .otherwise(col("n_found").cast("double") /
+                col("n_true").cast("double")), 6).as("completeness_r"))
+      row("brand_size", candBS, foundBS)
+        .unionAll(row("name_trigram", candTriN, foundTri))
+        .orderBy("scheme")
     }),
 
     // Robust outliers by median absolute deviation (TimeSeries
@@ -4403,28 +4420,47 @@ object AnalyticsQueries {
              unnest(range(1, length(p_name) - 1)) AS pos FROM p),
          g AS (SELECT DISTINCT id, nm, substr(nm, pos, 3) AS gr
            FROM g0),
-         tm AS (SELECT a, b FROM (
-             SELECT DISTINCT x.id AS a, y.id AS b,
-               x.nm AS na, y.nm AS nb
-             FROM g x JOIN g y ON x.gr = y.gr AND x.id < y.id)
+         ctri AS (SELECT DISTINCT x.id AS a, y.id AS b,
+             x.nm AS na, y.nm AS nb
+           FROM g x JOIN g y ON x.gr = y.gr AND x.id < y.id),
+         cn2 AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM ctri),
+         tm AS (SELECT a, b FROM ctri
            WHERE round(jaro_winkler_similarity(na, nb), 6) >= 0.86),
          tn AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM tm),
          fn AS (SELECT CAST(count(*) AS BIGINT) AS n_found
            FROM tm
            JOIN p pa ON pa.p_partkey = tm.a
            JOIN p pb ON pb.p_partkey = tm.b
-           WHERE pa.p_brand = pb.p_brand AND pa.p_size = pb.p_size)
-         SELECT nn.n,
-           CAST((nn.n * (nn.n - 1)) // 2 AS BIGINT) AS n_all,
-           cand.n_cand,
-           round(1.0 - CAST(cand.n_cand AS DOUBLE) /
-             CAST((nn.n * (nn.n - 1)) // 2 AS DOUBLE), 6)
-             AS reduction_r,
-           tn.n_true, fn.n_found,
-           round(CASE WHEN tn.n_true = 0 THEN 1.0
-             ELSE CAST(fn.n_found AS DOUBLE) / CAST(tn.n_true AS DOUBLE)
-             END, 6) AS completeness_r
-         FROM nn CROSS JOIN cand CROSS JOIN tn CROSS JOIN fn""",
+           WHERE pa.p_brand = pb.p_brand AND pa.p_size = pb.p_size),
+         fn2 AS (SELECT CAST(count(*) AS BIGINT) AS n_found
+           FROM tm JOIN ctri c ON c.a = tm.a AND c.b = tm.b)
+         SELECT * FROM (
+           SELECT 'brand_size' AS scheme, nn.n,
+             CAST((nn.n * (nn.n - 1)) // 2 AS BIGINT) AS n_all,
+             cand.n_cand,
+             round(1.0 - CAST(cand.n_cand AS DOUBLE) /
+               CAST((nn.n * (nn.n - 1)) // 2 AS DOUBLE), 6)
+               AS reduction_r,
+             tn.n_true, fn.n_found,
+             round(CASE WHEN tn.n_true = 0 THEN 1.0
+               ELSE CAST(fn.n_found AS DOUBLE) /
+                 CAST(tn.n_true AS DOUBLE)
+               END, 6) AS completeness_r
+           FROM nn CROSS JOIN cand CROSS JOIN tn CROSS JOIN fn
+           UNION ALL
+           SELECT 'name_trigram' AS scheme, nn.n,
+             CAST((nn.n * (nn.n - 1)) // 2 AS BIGINT) AS n_all,
+             cn2.n_cand,
+             round(1.0 - CAST(cn2.n_cand AS DOUBLE) /
+               CAST((nn.n * (nn.n - 1)) // 2 AS DOUBLE), 6)
+               AS reduction_r,
+             tn.n_true, fn2.n_found,
+             round(CASE WHEN tn.n_true = 0 THEN 1.0
+               ELSE CAST(fn2.n_found AS DOUBLE) /
+                 CAST(tn.n_true AS DOUBLE)
+               END, 6) AS completeness_r
+           FROM nn CROSS JOIN cn2 CROSS JOIN tn CROSS JOIN fn2)
+         ORDER BY scheme""",
     "q_linkage_em" ->
       s"""${linkageEmChainSql(4)}
          SELECT * FROM (

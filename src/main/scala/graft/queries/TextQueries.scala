@@ -210,10 +210,15 @@ object TextQueries {
     // posting join with no prefix machinery, so a hash match proves
     // the prefix rule lossless corpus-wide (and exact — no false
     // positives), the q_jaccard_capped gate pattern. Corpus-wide (no
-    // doc_id bound): the prefix join is the production plan.
+    // doc_id bound): the prefix join is the production plan. The
+    // hot-posting AUDIT runs here too (maxPrefixPosting): rarity
+    // ordering bounds prefix postings on any realistic corpus, and
+    // the audit fails loudly — worst posting named — if a degenerate
+    // corpus ever concentrates one (measured sf0.1 worst: 8; the
+    // lossy capped twin is prefixJaccardPairsCapped).
     "q_prefix_jaccard" -> ((s, dir) =>
       TextDedup.prefixJaccardPairs(docs(s, dir), "doc_id", "text",
-        shingleN = 3, threshold = 0.8)
+        shingleN = 3, threshold = 0.8, maxPrefixPosting = 200)
         .orderBy("a", "b")),
 
     // Exact repeated-substring removal plan (TextDedup

@@ -48,6 +48,19 @@ object ScaleSweep {
     points.map { case (x, y) => (x - xBar) * (y - yBar) }.sum / sxx
   }
 
+  /** Nearest ancestor of the CWD holding a build.sbt — the repo root
+    * anchor for the generated artifact; falls back to the CWD itself
+    * when no ancestor qualifies (e.g. an installed-jar run).
+    */
+  private def repoRoot(): java.nio.file.Path = {
+    val d = java.nio.file.Paths.get("").toAbsolutePath
+    var probe = d
+    while (probe != null &&
+        !java.nio.file.Files.exists(probe.resolve("build.sbt")))
+      probe = probe.getParent
+    if (probe != null) probe else d
+  }
+
   private def timed(body: => Unit): Double = {
     val t0 = System.nanoTime()
     body
@@ -166,7 +179,11 @@ object ScaleSweep {
       sb.append(s"${f2(tail)} |\n")
     }
     sb.append(s"\nLoad (1-min avg): start $loadStart, end ${loadNow()}.\n")
-    val out = java.nio.file.Paths.get("docs/SCALING.md")
+    // anchor the artifact at the repo root (nearest ancestor holding
+    // build.sbt), not the CWD — running from elsewhere used to write
+    // docs/SCALING.md into whatever directory sbt happened to run in
+    val out = repoRoot().resolve("docs").resolve("SCALING.md")
+    java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.writeString(out, sb.toString)
     println(sb.toString)
     spark.stop()

@@ -549,4 +549,57 @@ class TextDedupSpec extends AnyFunSuite {
       graft.ops.QueryCaches.releaseAll()
     }
   }
+
+  test("prefixJaccardPairs: hot-posting audit fails loudly on a " +
+      "degenerate corpus; capped twin bounds fan-out and stays exact") {
+    // the degenerate shape the audit exists for: tiny documents made
+    // ONLY of one globally-common shingle — every doc's prefix is its
+    // whole (1-shingle) set, so that shingle's prefix posting holds
+    // the entire corpus and the candidate join would fan out
+    // quadratically on it
+    import spark.implicits._
+    val degenerate = (0L until 40L).map(i => (i, "x x x")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      TextDedup.prefixJaccardPairs(degenerate, "doc_id", "text",
+        shingleN = 3, threshold = 0.8, maxPrefixPosting = 16)
+    }
+    assert(ex.getMessage.contains("prefix posting"), ex.getMessage)
+    assert(ex.getMessage.contains("40 members"), ex.getMessage)
+    graft.ops.QueryCaches.releaseAll()
+
+    // the audited-lossless run passes untouched corpora at the same
+    // bound (worst posting there is far under it)
+    val normal = Seq(
+      (0L, "a b c d e f"), (1L, "a b c d e f"),
+      (2L, "p q r s t u"), (3L, "p q r s t u v"),
+      (4L, "m n o m n o")).toDF("doc_id", "text")
+    val audited = TextDedup.prefixJaccardPairs(normal, "doc_id", "text",
+      shingleN = 3, threshold = 0.8, maxPrefixPosting = 16)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(audited == Set((0L, 1L), (2L, 3L)), audited)
+    graft.ops.QueryCaches.releaseAll()
+
+    // capped twin on the degenerate corpus: candidate fan-out is cut
+    // (the hot posting drops — pairs are missed, the documented recall
+    // trade), the audit frame names exactly what was dropped, and
+    // nothing errors
+    val (pairs, over) = TextDedup.prefixJaccardPairsCapped(degenerate,
+      "doc_id", "text", shingleN = 3, threshold = 0.8,
+      maxPrefixPosting = 16)
+    assert(pairs.count() == 0L)
+    val dropped = over.collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(dropped.toSeq == Seq(("x x x", 40L)), dropped.toSeq)
+    graft.ops.QueryCaches.releaseAll()
+
+    // capped twin under a NON-tripping cap equals the lossless join —
+    // the GateScale.uncapped mirror property
+    val (p2, o2) = TextDedup.prefixJaccardPairsCapped(normal,
+      "doc_id", "text", shingleN = 3, threshold = 0.8,
+      maxPrefixPosting = 16)
+    assert(o2.count() == 0L)
+    val got2 = p2.select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 == Set((0L, 1L), (2L, 3L)), got2)
+    graft.ops.QueryCaches.releaseAll()
+  }
 }
