@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
   * DataFrame (word, n, syms) — the corpus is scanned ONCE to build
   * word counts; every subsequent round touches only distinct words,
   * so a 100 TB corpus and a 100 GB corpus pay the same per-round cost
-  * (|vocab| rows). Per round: one exploded pair aggregate (map-side
-  * combined), a 1-row argmax collect (bounded by construction), and a
-  * per-word fold applying the merge. The fold is a higher-order
+  * (|vocab| rows). Per BATCH (up to `batchK` merges — see
+  * [[trainMerges]] for the sequence-identity proof): one exploded
+  * pair aggregate (map-side combined), a top-(k+1) argmax collect
+  * (bounded by construction), and a composed per-word fold applying
+  * every accepted merge. The fold is a higher-order
   * `aggregate` — interpreted, not codegen'd (CLAUDE.md's HOF rule),
   * which is the right trade HERE because it runs over the vocabulary,
   * not the corpus. Each round cuts the nesting plan with a lazy
@@ -40,9 +42,14 @@ object BpeTrainer {
     */
   final case class Merge(rank: Int, left: String, right: String, count: Long)
 
+  /** `actions` counts the driver-side Spark actions training issued
+    * (collects + eager checkpoints) — the batched-training win a spec
+    * can assert on; 0 for models not produced by training.
+    */
   final case class Model(
       merges: Seq[Merge],
-      vocab: DataFrame /* word, n, syms (post-merge symbol split) */)
+      vocab: DataFrame /* word, n, syms (post-merge symbol split) */,
+      actions: Int = 0)
 
   /** Character split of a word; the trailing empty string Spark's
     * split-by-"" emits is filtered out. Shared with
@@ -79,37 +86,167 @@ object BpeTrainer {
           array(acc.getField("prev")))))
   }
 
+  /** The per-round pair-count frame over the current word table —
+    * shared by the sequential and batched trainers (and, with the
+    * continuation-marked split, by [[WordPieceTrainer]]).
+    */
+  private[ops] def pairCounts(words: DataFrame): DataFrame =
+    words
+      .filter(size(col("syms")) >= 2)
+      .select(col("n"), explode(expr(
+        "transform(sequence(0, size(syms) - 2), " +
+          "i -> struct(syms[i] AS l, syms[i + 1] AS r))")).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("n")).as("cnt"))
+
   /** Train up to `nMerges` merges over the whitespace words of
     * `df.textCol`; stops early when the best remaining pair's
     * weighted count falls below `minCount`.
+    *
+    * BATCHED (the parallel-BPE trick, provably sequence-identical):
+    * one driver action collects the top `batchK`+1 candidate pairs
+    * (plus a joined-symbol-collision flag), and the longest SAFE
+    * prefix of that list is applied in one composed fold + one eager
+    * checkpoint — so a 32k-merge production vocab costs ~2·32k/batchK
+    * driver round-trips instead of 32k. Candidate j (after the
+    * unconditional argmax) is safe exactly when applying the earlier
+    * accepted merges provably cannot change what sequential training
+    * would pick at its sub-round:
+    *  - its symbols are disjoint from every earlier accepted merge's
+    *    {left, right, joined} (its own count and everything it could
+    *    create stay untouched; accepted pairs drop to count 0);
+    *  - its count strictly exceeds the (k+1)-th row's (every pair
+    *    that could interfere is VISIBLE in the collected rows);
+    *  - no visible non-accepted pair with EQUAL count touches an
+    *    accepted symbol (counts never increase, and a new pair's
+    *    count is bounded by its touched parent's — an equal-count
+    *    touched pair is the only way a tie against candidate j can
+    *    appear whose (l, r) tiebreak we cannot order).
+    * A batch also ends right AFTER accepting a merge whose joined
+    * string already exists as a symbol (count conflation), repeats an
+    * earlier joined string, or has left == right (a run like `r r r`
+    * yields new (joined, r) pairs bounded by the ACCEPTED pair's own
+    * count, which may exceed later candidates') — each a documented
+    * escape to sequential semantics, never a wrong sequence.
+    * Batched ≡ sequential is additionally fuzz-pinned in
+    * BpeTrainerSpec against [[trainMergesSequential]] and the
+    * driver-side reference.
     */
   def trainMerges(
+      df: DataFrame,
+      textCol: String,
+      nMerges: Int,
+      minCount: Long = 2L,
+      batchK: Int = 16): Model = {
+    require(nMerges >= 0 && minCount >= 1,
+      s"need nMerges >= 0 and minCount >= 1, got $nMerges / $minCount")
+    require(batchK >= 1, s"batchK must be >= 1, got $batchK")
+    var actions = 0
+    var words = initWords(df, textCol)
+    // EAGER checkpoint: the batch argmax plan reads `words` from two
+    // subtrees (pair counts + the symbol set), and the collision
+    // join's exchange runs as a separate driver job — against a LAZY
+    // checkpoint each would recompute the fold chain (the q_pca_power
+    // rule). One vocab-sized job per batch, amortized over batchK
+    // merges.
+    words = words.localCheckpoint(); actions += 1
+    val merges = Seq.newBuilder[Merge]
+    var r = 0
+    var done = false
+    while (r < nMerges && !done) {
+      // acceptance is capped at the merges still wanted, but the
+      // COLLECTED list stays batchK+1 wide — the sentinel fence must
+      // reflect what exists, not what we want (a shrunken limit reads
+      // as "full" and blinds the visibility guards)
+      val k = math.min(batchK, nMerges - r)
+      val cands = pairCounts(words)
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(batchK + 1) // +1 sentinel: the visibility fence for ties
+      val symSet = words.select(explode(col("syms")).as("sym")).distinct()
+      val rows = cands
+        .join(symSet, concat(col("l"), col("r")) === col("sym"), "left")
+        .select(col("l"), col("r"), col("cnt"),
+          col("sym").isNotNull.as("joined_exists"))
+        .collect()
+        .map(x => (x.getString(0), x.getString(1), x.getLong(2),
+          x.getBoolean(3)))
+        .sortBy { case (l, rt, cnt, _) => (-cnt, l, rt) } // join broke order
+      actions += 1
+      if (rows.isEmpty) done = true
+      else {
+        val full = rows.length == batchK + 1
+        val hiddenTail = if (full) rows.last._3 else 0L
+        val considered = rows.take(k)
+        val accepted = Seq.newBuilder[(String, String, Long)]
+        var used = Set.empty[String]
+        var stop = false
+        var idx = 0 // == number accepted so far (the prefix property)
+        while (idx < considered.length && !stop) {
+          val (l, rt, cnt, jExists) = considered(idx)
+          val joined = l + rt
+          val safe =
+            if (idx == 0) cnt >= minCount // the true argmax, always safe
+            else {
+              val touched = used.contains(l) || used.contains(rt)
+              // rows 0..idx-1 are accepted (consumed — count drops to
+              // 0, not a threat); scan only the non-accepted remainder
+              // incl. the sentinel for an equal-count TOUCHED pair
+              val eqThreat = rows.drop(idx + 1).exists { q =>
+                q._3 == cnt && (used.contains(q._1) || used.contains(q._2))
+              }
+              cnt >= minCount && cnt > hiddenTail && !touched && !eqThreat
+            }
+          if (!safe) {
+            if (idx == 0) done = true // argmax under minCount: trained out
+            stop = true
+          } else {
+            accepted += ((l, rt, cnt))
+            val collides = jExists || used.contains(joined) || l == rt
+            used = used + l + rt + joined
+            if (collides) stop = true
+            idx += 1
+          }
+        }
+        val acc = accepted.result()
+        if (acc.nonEmpty) {
+          var syms: Column = col("syms")
+          acc.foreach { case (l, rt, _) =>
+            syms = applyMerge(syms, l, rt, l + rt)
+          }
+          acc.foreach { case (l, rt, cnt) =>
+            merges += Merge(r, l, rt, cnt); r += 1
+          }
+          words = words.withColumn("syms", syms).localCheckpoint()
+          actions += 1
+        }
+      }
+    }
+    Model(merges.result(), words, actions)
+  }
+
+  /** The one-merge-per-action reference loop [[trainMerges]] batches:
+    * kept for the batched-equals-sequential spec pins (and as the
+    * executable definition of the merge order).
+    */
+  private[graft] def trainMergesSequential(
       df: DataFrame,
       textCol: String,
       nMerges: Int,
       minCount: Long = 2L): Model = {
     require(nMerges >= 0 && minCount >= 1,
       s"need nMerges >= 0 and minCount >= 1, got $nMerges / $minCount")
-    var words = df
-      .select(explode(TextDedup.tokens(col(textCol))).as("word"))
-      .filter(length(col("word")) > 0)
-      .groupBy("word").agg(count(lit(1)).as("n"))
-      .withColumn("syms", charSplit(col("word")))
+    var actions = 0
+    var words = initWords(df, textCol)
       .localCheckpoint(false) // cut the corpus scan off the loop plans
     val merges = Seq.newBuilder[Merge]
     var r = 0
     var done = false
     while (r < nMerges && !done) {
-      val top = words
-        .filter(size(col("syms")) >= 2)
-        .select(col("n"), explode(expr(
-          "transform(sequence(0, size(syms) - 2), " +
-            "i -> struct(syms[i] AS l, syms[i + 1] AS r))")).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("n")).as("cnt"))
+      val top = pairCounts(words)
         .orderBy(col("cnt").desc, col("l"), col("r"))
         .limit(1) // the argmax row — the only driver-sized collect
         .collect()
+      actions += 1
       top.headOption.filter(_.getLong(2) >= minCount) match {
         case None => done = true
         case Some(row) =>
@@ -123,8 +260,14 @@ object BpeTrainer {
           r += 1
       }
     }
-    Model(merges.result(), words)
+    Model(merges.result(), words, actions)
   }
+
+  private def initWords(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextDedup.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .withColumn("syms", charSplit(col("word")))
 
   /** Segment a corpus with a trained model: words join the trained
     * vocabulary's final symbol split (keyed join, NO broadcast hint —

@@ -94,6 +94,66 @@ class BpeTrainerSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("batched trainMerges equals sequential under fuzz (ties, runs, " +
+      "tiny batches)") {
+    // the batch guards (count gap, equal-count-touched, collision and
+    // l==r stops) are easy to get wrong exactly where random tiny
+    // corpora live: massive count ties, overlapping symbols, self
+    // pairs. batchK=3 forces many batch boundaries.
+    import spark.implicits._
+    import org.scalacheck.Gen
+    val genWord = for {
+      len <- Gen.choose(1, 5)
+      cs <- Gen.listOfN(len, Gen.oneOf("a", "b", "c"))
+    } yield cs.mkString
+    val genCorpus = for {
+      n <- Gen.choose(3, 10)
+      ws <- Gen.listOfN(n, genWord)
+      reps <- Gen.listOfN(n, Gen.choose(1, 4))
+      mc <- Gen.oneOf(1L, 2L)
+    } yield (ws.zip(reps).map { case (w, k) =>
+      Seq.fill(k)(w).mkString(" ") }, mc)
+    forAllProp(genCorpus, n = 15) { case (docs, mc) =>
+      val df = docs.toDF("text")
+      val batched = BpeTrainer.trainMerges(df, "text", nMerges = 8,
+        minCount = mc, batchK = 3)
+      val seq = BpeTrainer.trainMergesSequential(df, "text", nMerges = 8,
+        minCount = mc)
+      assert(batched.merges == seq.merges,
+        s"docs=$docs mc=$mc\nbatched=${batched.merges}\nseq=${seq.merges}")
+      def vocabOf(m: BpeTrainer.Model) =
+        m.vocab.select("word", "n", "syms").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2)))
+          .sortBy(_._1).toSeq
+      assert(vocabOf(batched) == vocabOf(seq))
+    }
+  }
+
+  private def forAllProp[A](gen: org.scalacheck.Gen[A], n: Int)(
+      f: A => Unit): Unit = new PropHelpers {}.forAll(gen, n)(f)
+
+  test("batched trainMerges needs >= 5x fewer driver actions at " +
+      "nMerges = 50") {
+    // the production shape the batching exists for: a 32k-merge vocab
+    // must not mean 32k sequential Spark jobs. Corpus engineered for
+    // clean batches (disjoint 2-char words, strictly decreasing
+    // counts); correctness on conflict-heavy corpora is the fuzz
+    // test's job — here we pin the ACTION economics.
+    import spark.implicits._
+    val docs = (0 until 60).map { i =>
+      val w = s"${(0x41 + i).toChar}${(0xC0 + i).toChar}"
+      Seq.fill(600 - 10 * i)(w).mkString(" ")
+    }.toDF("text")
+    val batched = BpeTrainer.trainMerges(docs, "text", nMerges = 50,
+      minCount = 2, batchK = 16)
+    val seq = BpeTrainer.trainMergesSequential(docs, "text", nMerges = 50,
+      minCount = 2)
+    assert(batched.merges == seq.merges)
+    assert(batched.merges.size == 50)
+    assert(batched.actions * 5 <= seq.actions,
+      s"batched=${batched.actions} actions vs sequential=${seq.actions}")
+  }
+
   test("segment reassembles every word losslessly; OOV falls back to chars") {
     import spark.implicits._
     val train = Seq("low lower low", "new newest").toDF("text")

@@ -176,6 +176,66 @@ class WordPieceSpec extends AnyFunSuite with PropHelpers {
     }
   }
 
+  test("batched trainMerges equals sequential under fuzz (score ties, " +
+      "shared symbols, tiny batches)") {
+    // the score-domain batch guards (denominator-shrinkage F, new-pair
+    // inheritance I, preMax fence) must NEVER change the sequence —
+    // random tiny corpora maximize shared symbols, consumed unigram
+    // counts (F unbounded) and score ties; batchK=3 forces boundaries.
+    import spark.implicits._
+    import org.scalacheck.Gen
+    val genWord = for {
+      len <- Gen.choose(1, 5)
+      cs <- Gen.listOfN(len, Gen.oneOf("a", "b", "c"))
+    } yield cs.mkString
+    val genCorpus = for {
+      n <- Gen.choose(3, 10)
+      ws <- Gen.listOfN(n, genWord)
+      reps <- Gen.listOfN(n, Gen.choose(1, 4))
+      mc <- Gen.oneOf(1L, 2L)
+    } yield (ws.zip(reps).map { case (w, k) =>
+      Seq.fill(k)(w).mkString(" ") }, mc)
+    forAll(genCorpus, n = 15) { case (docs, mc) =>
+      val df = docs.toDF("text")
+      val batched = WordPieceTrainer.trainMerges(df, "text", nMerges = 8,
+        minCount = mc, batchK = 3)
+      val seq = WordPieceTrainer.trainMergesSequential(df, "text",
+        nMerges = 8, minCount = mc)
+      assert(batched.merges == seq.merges,
+        s"docs=$docs mc=$mc\nbatched=${batched.merges}\nseq=${seq.merges}")
+      assert(batched.pieces.sorted == seq.pieces.sorted)
+      assert(batched.maxBodyLen == seq.maxBodyLen)
+      def vocabOf(m: WordPieceTrainer.Model) =
+        m.vocab.select("word", "n", "syms").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2)))
+          .sortBy(_._1).toSeq
+      assert(vocabOf(batched) == vocabOf(seq))
+    }
+  }
+
+  test("batched trainMerges needs >= 5x fewer driver actions at " +
+      "nMerges = 50") {
+    // WordPiece batches are intrinsically smaller than BPE's (real
+    // merges chain on fresh joined symbols), but the no-touched-pairs
+    // fast path must still collapse an embarrassingly-parallel merge
+    // set — disjoint 2-char words whose pairs cannot interact — into
+    // a handful of driver actions. batchK must cover the full pair
+    // list (the preMax = 0 proof needs every pair visible).
+    import spark.implicits._
+    val docs = (0 until 60).map { i =>
+      val w = s"${(0x41 + i).toChar}${(0xC0 + i).toChar}"
+      Seq.fill(600 - 10 * i)(w).mkString(" ")
+    }.toDF("text")
+    val batched = WordPieceTrainer.trainMerges(docs, "text", nMerges = 50,
+      minCount = 2, batchK = 64)
+    val seq = WordPieceTrainer.trainMergesSequential(docs, "text",
+      nMerges = 50, minCount = 2)
+    assert(batched.merges == seq.merges)
+    assert(batched.merges.size == 50)
+    assert(batched.actions * 5 <= seq.actions,
+      s"batched=${batched.actions} actions vs sequential=${seq.actions}")
+  }
+
   test("segment output composes like the other tokenizers") {
     val d = Tables.table(spark, dir, "documents")
     val model = WordPieceTrainer.trainMerges(
