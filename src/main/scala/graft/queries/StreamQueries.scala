@@ -404,6 +404,81 @@ object StreamQueries {
           raw.select(col("doc_id"), col("text"), syntheticTs("doc_id")))
       }.select(col("seg_fp")).orderBy("seg_fp")),
 
+    // Streaming CDC-chunk dedup: arriving documents explode into gear
+    // content-defined chunks (the batch q_cdc_chunks definition,
+    // tiny gate-scale widths per the fixed-vocab rule) and the stream
+    // keeps the first arrival of every distinct chunk fingerprint
+    // within the watermark — the live chunk-store admission filter,
+    // completing the chunk family's batch / nightly / streaming
+    // triad. Output = the distinct kept chunk-fp set, which equals
+    // the batch distinct fp set (the oracle replays the gear walk as
+    // a recursive CTE) regardless of which arrival won.
+    "q_stream_cdc_chunks" -> ((s, dir) =>
+      runFileStream(s, dir, "documents", "q_stream_cdc_chunks_sink") {
+        raw =>
+          EventStream.dedupCdcChunks(
+            raw.select(col("doc_id"), col("text"), syntheticTs("doc_id")))
+      }.select(col("fp")).orderBy("fp")),
+
+    // Multi-batch twin of q_stream_cdc_chunks (the
+    // q_stream_dedup_sliced pattern on the chunk-fp state): the
+    // corpus arrives as two doc_id-sliced files drained as separate
+    // micro-batches — chunk-fp state must survive the boundary, both
+    // for natural cross-slice duplicate chunks and for an explicit
+    // verbatim re-delivery of slice 1's last document (suppressed
+    // only by live batch-1 state; every one of its chunks re-emitted
+    // would break the DISTINCT oracle). Cut anchors and slice files
+    // are shared with the exact-dedup sliced gate (same definitions —
+    // the slice cache serves the same bytes); the watermark spans the
+    // corpus's synthetic time range so nothing evicts mid-gate.
+    "q_stream_cdc_chunks_sliced" -> ((s, dir) => {
+      import java.nio.file.{Files => NF}
+      val docs = graft.ops.QueryCaches.persist(
+        Tables.table(s, dir, "documents").select(col("doc_id"), col("text")))
+      val (lo, hi, mid, probeId) = memoAnchor(dir, "dedup_cut") {
+        val b = docs.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+          .head()
+        require(!b.isNullAt(0),
+          "q_stream_cdc_chunks_sliced: documents is empty — no cut anchor")
+        val (lo0, hi0) = (b.getLong(0), b.getLong(1))
+        val mid0 = lo0 + (hi0 - lo0) / 2
+        val probe = docs.filter(col("doc_id") <= mid0)
+          .agg(max("doc_id")).head().getLong(0)
+        (lo0, hi0, mid0, probe)
+      }
+      val tmp = NF.createTempDirectory("graft_stream_cdc_chunks_sliced")
+      stageCachedSlice(dir, "dedup_sliceA", tmp, "slice_0") {
+        docs.filter(col("doc_id") <= mid)
+      }
+      var dataBatches = 0
+      val kept = withStatePartitions(s) {
+        val q = EventStream.dedupCdcChunks(
+          s.readStream.schema("doc_id LONG, text STRING")
+            .parquet(tmp.toString)
+            .select(col("doc_id"), col("text"), syntheticTs("doc_id")),
+          watermarkDelay = s"${hi - lo + 3600} seconds")
+          .writeStream.format("memory")
+          .queryName("q_stream_cdc_chunks_sliced_sink")
+          .outputMode("append").start()
+        try {
+          q.processAllAvailable() // batch 1: slice_0 only
+          stageCachedSlice(dir, "dedup_sliceB", tmp, "slice_1") {
+            docs.filter(col("doc_id") > mid)
+              // verbatim re-delivery
+              .unionAll(docs.filter(col("doc_id") === probeId))
+          }
+          q.processAllAvailable() // batch 2: slice_1 + the re-delivery
+          dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        } finally { q.stop(); deleteRecursively(tmp) }
+        s.table("q_stream_cdc_chunks_sliced_sink")
+      }
+      require(dataBatches >= 2,
+        s"q_stream_cdc_chunks_sliced: saw $dataBatches data " +
+          "micro-batches — the slicing harness collapsed to one batch " +
+          "and the gate no longer tests cross-batch chunk-fp state")
+      kept.select(col("fp")).orderBy("fp")
+    }),
+
     // Streaming MinHash near-dup: documents stream through the
     // band-keyed stateful matcher (LSH bucket state, horizon-bounded).
     // The initial file load arrives as one micro-batch with distinct
@@ -1719,6 +1794,18 @@ object StreamQueries {
     // re-delivery must be state-suppressed for the row counts to meet
     "q_stream_dedup_sliced" ->
       streamDedupOracle,
+    // the batch gear walk (TextQueries.cdcWalkSql — shared, so the
+    // stream and batch oracles cannot drift), distinct fps: the kept
+    // set equals the batch chunk universe whatever arrival order won
+    "q_stream_cdc_chunks" ->
+      s"""WITH ${TextQueries.cdcWalkSql}
+         SELECT DISTINCT fp FROM fps ORDER BY fp""",
+    // multi-batch twin: corpus-spanning retention keeps the exact
+    // DISTINCT oracle valid under any slicing; the cross-batch
+    // re-delivery must be state-suppressed for the row counts to meet
+    "q_stream_cdc_chunks_sliced" ->
+      s"""WITH ${TextQueries.cdcWalkSql}
+         SELECT DISTINCT fp FROM fps ORDER BY fp""",
     "q_stream_lines" ->
       """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
              FROM documents),

@@ -1693,7 +1693,7 @@ FROM sj GROUP BY lang ORDER BY lang"""
     * is guarded INSIDE the lateral (it evaluates before the
     * recursion's WHERE — the guard-at-producing-projection class).
     */
-  private val cdcWalkSql: String =
+  private[queries] val cdcWalkSql: String =
     """d AS (SELECT doc_id, hex(encode(text)) AS hx,
              octet_length(encode(text)) AS n FROM documents),
          walk AS (

@@ -176,6 +176,48 @@ object EventStream {
       .dropDuplicatesWithinWatermark("seg_fp")
   }
 
+  /** Streaming content-defined-chunk dedup — [[dedupExact]] at CDC
+    * granularity, completing the gear-chunk family's triad (batch
+    * q_cdc_chunks, nightly-incremental q_cdc_chunks_incr): each
+    * arriving document explodes STATELESSLY into gear chunks
+    * ([[graft.expr.GearChunks]] — a codegen'd per-row kernel over the
+    * UTF-8 bytes), each chunk is fingerprinted by the engine-portable
+    * hex-slice md5 (the batch cdcChunkFrame definition, verbatim), and
+    * the first arrival of every distinct chunk fingerprint within the
+    * watermark horizon survives — the live chunk-store admission
+    * filter: a re-scraped document pays state/storage only for chunks
+    * the horizon hasn't seen. State is one entry per distinct
+    * in-horizon chunk fp (watermark-bounded, evicted as time
+    * advances). Emits (idCol, tsCol, off, len, fp) for kept chunks.
+    * Null text yields null bytes → null chunk array → explode drops
+    * the row (no executor lambda to poison — the wedged-checkpoint
+    * class cannot occur).
+    */
+  def dedupCdcChunks(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      tsCol: String = "ts",
+      maskBits: Int = 5,
+      minLen: Int = 8,
+      maxLen: Int = 64,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    docs
+      .select(col(idCol), col(tsCol),
+        encode(col(textCol), "UTF-8").as("__bin"))
+      .select(col(idCol), col(tsCol), hex(col("__bin")).as("__hx"),
+        graft.expr.CdcFunctions.gearChunks(col("__bin"),
+          maskBits = maskBits, minLen = minLen, maxLen = maxLen)
+          .as("__chunks"))
+      .select(col(idCol), col(tsCol), col("__hx"),
+        explode(col("__chunks")).as("__c"))
+      .select(col(idCol), col(tsCol),
+        col("__c.off").as("off"), col("__c.len").as("len"),
+        md5(col("__hx").substr(col("__c.off") * 2 + 1,
+          col("__c.len") * 2)).as("fp"))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Stream-static enrichment + windowed counts per dimension value:
     * the canonical "join the stream to a dimension table" shape. The
     * static side is stateless and RE-EXECUTED every micro-batch, but

@@ -127,14 +127,33 @@ object ScaleSweep {
       ("cooccur_capped_pagerank", graphBody),
       ("global_exact_quantiles", quantilesBody))
 
-    val rungs = Seq(1, 2, 4, 8)
+    val rungs = Seq(1, 2, 4, 8, 16)
     def loadNow(): String =
       try scala.io.Source.fromFile("/proc/loadavg").mkString
         .split(" ").head
       catch { case _: Throwable => "?" }
     val loadStart = loadNow()
 
+    // start-load gate: the sweep's whole point is a clean exponent,
+    // and a contended host inflates exactly the big rungs (r15's
+    // global_exact_quantiles tail read 2.36 under load rising 2.2 →
+    // 19.2) — refuse to overwrite the committed curve with noise.
+    // SPARK_GRAFT_SWEEP_FORCE=1 overrides for a deliberate dirty run.
+    val maxStartLoad = 4.0
+    val force = sys.env.get("SPARK_GRAFT_SWEEP_FORCE").contains("1")
+    loadStart.toDoubleOption.filter(_ > maxStartLoad) match {
+      case Some(l) if !force =>
+        println(s"[sweep] SKIPPED: 1-min loadavg $l > $maxStartLoad — " +
+          "a contended host would publish noise as a scaling curve. " +
+          "Re-run idle, or force past the gate with " +
+          "SPARK_GRAFT_SWEEP_FORCE=1 (docs/SCALING.md left untouched).")
+        spark.stop()
+        return
+      case _ => ()
+    }
+
     val rows = families.map { case (name, body) =>
+      val famLoad = loadNow()
       // one untimed warm pass at m=1 (codegen/JIT; page cache for the
       // table-backed families), then min-of-2 per rung
       body(1); QueryCaches.releaseAll(); spark.catalog.clearCache()
@@ -149,7 +168,7 @@ object ScaleSweep {
       }
       val slope = fitSlope(times.map { case (m, t) =>
         (math.log(m.toDouble), math.log(t)) })
-      (name, times, slope)
+      (name, times, slope, famLoad)
     }
 
     val sb = new StringBuilder
@@ -158,25 +177,29 @@ object ScaleSweep {
     sb.append(s"Input: `$sfDir`, local[$cpus]. Each rung multiplies the\n")
     sb.append("family's input by m with shifted ids (distinct rows —\n")
     sb.append("group/bucket counts scale too); min of two passes per rung;\n")
-    sb.append("exponent = log–log least-squares over m ∈ {1,2,4,8}.\n\n")
+    sb.append("exponent = log–log least-squares over m ∈ {1,2,4,8,16}.\n")
+    sb.append("The sweep refuses to run (and to overwrite this file) when\n")
+    sb.append("the start 1-min loadavg exceeds 4.0 — a contended host\n")
+    sb.append("publishes noise, not a curve (SPARK_GRAFT_SWEEP_FORCE=1\n")
+    sb.append("overrides). Per-family start load is stamped below.\n\n")
     sb.append("Reading: exponent ≈ 1 is linear; an all-pairs leak would\n")
     sb.append("read ≈ 2. Fixed per-action overhead (planning + job launch,\n")
     sb.append("~1 s at local[32]) biases small rungs, pushing fitted\n")
-    sb.append("exponents BELOW the asymptote — the tail ratio t(8×)/t(4×)\n")
+    sb.append("exponents BELOW the asymptote — the tail ratio t(16×)/t(8×)\n")
     sb.append("(2.0 = linear over the last doubling) is the less-biased\n")
     sb.append("local estimate. An exponent at or above ~1.3, or a tail\n")
     sb.append("ratio near 4, deserves a plan audit; sub-linear fits mostly\n")
     sb.append("mean overhead still dominates at these sizes. Local bench\n")
     sb.append("variance is ±20% (CLAUDE.md); read the curve, not one cell.\n\n")
-    sb.append("| family | t(1×) s | t(2×) s | t(4×) s | t(8×) s | fitted exponent | tail t8/t4 |\n")
-    sb.append("|---|---|---|---|---|---|---|\n")
+    sb.append("| family | t(1×) s | t(2×) s | t(4×) s | t(8×) s | t(16×) s | fitted exponent | tail t16/t8 | load |\n")
+    sb.append("|---|---|---|---|---|---|---|---|---|\n")
     def f2(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    rows.foreach { case (name, times, slope) =>
+    rows.foreach { case (name, times, slope, famLoad) =>
       val cells = times.map { case (_, t) => f2(t) }
       val tail = times.last._2 / times(times.size - 2)._2
       sb.append(s"| $name | ${cells.mkString(" | ")} | ${f2(slope)} | ")
-      sb.append(s"${f2(tail)} |\n")
+      sb.append(s"${f2(tail)} | $famLoad |\n")
     }
     sb.append(s"\nLoad (1-min avg): start $loadStart, end ${loadNow()}.\n")
     // anchor the artifact at the repo root (nearest ancestor holding
