@@ -221,6 +221,34 @@ object TextQueries {
         shingleN = 3, threshold = 0.8, maxPrefixPosting = 200)
         .orderBy("a", "b")),
 
+    // The lossy production twin, driver-gated the GateScale.uncapped
+    // way: at gate scale the cap provably drops nothing (REQUIRED by
+    // name below — a regenerated corpus that concentrates a prefix
+    // posting must fail legibly, not as an opaque hash mismatch), so
+    // the capped plan's output is hash-comparable to the same exact
+    // ground-truth oracle; the cap's lossy path and drop accounting
+    // are spec-pinned on a planted degenerate corpus (TextDedupSpec).
+    // Corpus-wide at tau=0.9 — a DIFFERENT operating point from
+    // q_prefix_jaccard's 0.8 (a ~10% prefix, so the capped plan is
+    // exercised at the tightest, cheapest prefix the family ships;
+    // a doc_id slice would be structurally empty at sf0.1, where dup
+    // partners scatter across the whole id range).
+    "q_prefix_jaccard_capped" -> ((s, dir) => {
+      val (pairs, over) = TextDedup.prefixJaccardPairsCapped(
+        docs(s, dir), "doc_id", "text",
+        shingleN = 3, threshold = 0.9, maxPrefixPosting = 200)
+      val dropped = over.orderBy(col("n_members").desc, col("shingle"))
+        .limit(1).collect()
+      require(dropped.isEmpty, {
+        val r = dropped.head
+        "q_prefix_jaccard_capped precondition: the gate-scale cap " +
+          s"dropped prefix posting '${r.getString(0)}' " +
+          s"(${r.getLong(1)} members > 200) — the exact oracle no " +
+          "longer mirrors the capped plan; re-site the cap or the slice"
+      })
+      pairs.orderBy("a", "b")
+    }),
+
     // Exact repeated-substring removal plan (TextDedup
     // .substringRemovalPlan) — the ExactSubstr step: cut every 40-char
     // span that appears verbatim >= 2 times corpus-wide, merged into
@@ -2372,6 +2400,35 @@ SELECT tokenizer, n_words, n_subwords, n_unk, fertility_r FROM (
          JOIN sz sb ON sb.doc_id = i.b
          WHERE CAST(i.inter AS DOUBLE) /
            CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= 0.8
+         ORDER BY a, b""",
+    // the capped twin at a non-tripping cap equals the exact join —
+    // same ground-truth oracle, tau = 0.9
+    "q_prefix_jaccard_capped" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+             FROM documents),
+         d2 AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 3),
+         tok AS (SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS pos FROM d2),
+         sh AS (SELECT DISTINCT t1.doc_id,
+             t1.tok || ' ' || t2.tok || ' ' || t3.tok AS shingle
+             FROM tok t1
+             JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+             JOIN tok t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2),
+         sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+             FROM sh GROUP BY doc_id),
+         inter AS (SELECT x.doc_id AS a, y.doc_id AS b,
+             CAST(count(*) AS BIGINT) AS inter
+             FROM sh x JOIN sh y
+               ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+             GROUP BY 1, 2)
+         SELECT i.a, i.b, i.inter, sa.sz AS sz_a, sb.sz AS sz_b,
+             round(CAST(i.inter AS DOUBLE) /
+               CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 6) AS ja_r
+         FROM inter i
+         JOIN sz sa ON sa.doc_id = i.a
+         JOIN sz sb ON sb.doc_id = i.b
+         WHERE CAST(i.inter AS DOUBLE) /
+           CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= 0.9
          ORDER BY a, b""",
     "q_dedup_minhash" ->
       s"""WITH ${minhashCtes()}
