@@ -804,13 +804,16 @@ object TextDedup {
     require(maxPrefixPosting > 0,
       s"maxPrefixPosting must be positive, got $maxPrefixPosting")
     val (sh, sz, pref) =
-      prefixFrames(df, idCol, textCol, shingleN, threshold, handle)
+      prefixFrames(df, idCol, textCol, shingleN, threshold, handle,
+        // the audit collect below doubles as the eager materializer
+        eagerPref = maxPrefixPosting == Int.MaxValue)
     if (maxPrefixPosting != Int.MaxValue) {
       // audit, not cap: dropping a hot posting would break the
       // losslessness proof, so a posting past the bound FAILS with the
       // worst offender named. One map-side-combined aggregate + a
-      // limit(1) argmax over the persisted prefix frame (bounded
-      // collect by construction).
+      // limit(1) argmax over the prefix frame (bounded collect by
+      // construction) — this action is ALSO the eager materializer of
+      // the persisted prefix frame for the self-join sides.
       val worst = overCapBuckets(pref, Seq("shingle"), maxPrefixPosting)
         .orderBy(col("n_members").desc, col("shingle"))
         .limit(1).collect()
@@ -873,7 +876,8 @@ object TextDedup {
       textCol: String,
       shingleN: Int,
       threshold: Double,
-      handle: CacheHandle): (DataFrame, DataFrame, DataFrame) = {
+      handle: CacheHandle,
+      eagerPref: Boolean = true): (DataFrame, DataFrame, DataFrame) = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold in (0, 1], got $threshold")
     val sh = CacheHandle.persistWith(handle,
@@ -897,7 +901,10 @@ object TextDedup {
         .filter(col("p") <=
           col("sz") - floor(lit(threshold) * col("sz").cast("double")) + 1L)
         .select(col(idCol), col("shingle"), col("sz")))
-    pref.count() // eager: both candidate sides read it
+    // eager: both candidate sides read it (a caller whose own first
+    // action over pref runs before anything else — the audit collect —
+    // opts out and materializes it there instead)
+    if (eagerPref) pref.count()
     (sh, sz, pref)
   }
 
