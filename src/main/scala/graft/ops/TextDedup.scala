@@ -866,6 +866,90 @@ object TextDedup {
     (prefixCandidateVerify(sh, sz, capped, idCol, threshold), over)
   }
 
+  /** Nightly-incremental PPJoin — tonight's `batch` exactly
+    * threshold-joined against the standing `corpus` (the
+    * q_dedup_incremental / q_cdc_chunks_incr shape at EXACT-Jaccard
+    * semantics): emits every cross pair (a ∈ batch, b ∈ corpus) with
+    * J(a, b) ≥ τ, verified exactly. Only CROSS pairs — in-batch dedup
+    * composes with [[prefixJaccardPairs]] on the batch alone, and the
+    * corpus is assumed already deduped.
+    *
+    * The prefix theorem needs ONE total order over both sides'
+    * shingles (the rarest SHARED shingle of a qualifying pair lands
+    * in both prefixes only if both prefixes are cut under the same
+    * rank), so the rarity rank is computed over corpus ∪ batch.
+    * Internal keys carry a side tag, so id collisions between corpus
+    * and batch never conflate sizes or verification — the output
+    * columns (a, b) are the raw ids per side.
+    *
+    * Scale honesty: the union df count re-scans the corpus shingles
+    * once per run — exactness of the shared rank, not an incremental
+    * index. A production deployment maintains the df table and the
+    * corpus prefix postings as a bucketed store (the
+    * writeSegmentFingerprints pattern) and pays only the batch side
+    * nightly; every join here is a key equi-join either way, so the
+    * plan shape carries over unchanged.
+    */
+  def prefixJaccardAgainst(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.8,
+      handle: CacheHandle = null): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold in (0, 1], got $threshold")
+    val sh = CacheHandle.persistWith(handle,
+      shingles(corpus, idCol, textCol, shingleN)
+        .select(lit(0).as("__side"), col(idCol), col("shingle"))
+        .unionAll(shingles(batch, idCol, textCol, shingleN)
+          .select(lit(1).as("__side"), col(idCol), col("shingle"))))
+    sh.count() // eager: sizes, rank, prefix + verify sides race a lazy cache
+    val sz = CacheHandle.persistWith(handle,
+      sh.groupBy("__side", idCol).agg(count(lit(1)).as("sz")))
+    val dfc = sh.groupBy("shingle").agg(count(lit(1)).as("dfc"))
+    val ranked = ScaleOps.globalRowNumber(dfc, 8,
+        handle, col("dfc"), col("shingle"))
+      .select(col("shingle"), col("rn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__side", idCol).orderBy("rn")
+    val pref = CacheHandle.persistWith(handle,
+      sh.join(ranked, "shingle")
+        .withColumn("p", row_number().over(w).cast("long"))
+        .join(sz, Seq("__side", idCol))
+        .filter(col("p") <=
+          col("sz") - floor(lit(threshold) * col("sz").cast("double")) + 1L)
+        .select(col("__side"), col(idCol), col("shingle"), col("sz")))
+    pref.count() // eager: both candidate sides read it
+    val la = pref.filter(col("__side") === 1)
+      .select(col(idCol).as("a"), col("shingle"), col("sz").as("sa"))
+    val lb = pref.filter(col("__side") === 0)
+      .select(col(idCol).as("b"), col("shingle"), col("sz").as("sb"))
+    val cand = la.join(lb, Seq("shingle"))
+      .filter(least(col("sa"), col("sb")).cast("double") >=
+        floor(lit(threshold) *
+          greatest(col("sa"), col("sb")).cast("double")).cast("double"))
+      .select(col("a"), col("b"))
+      .distinct()
+    val inter = cand
+      .join(sh.filter(col("__side") === 1)
+        .select(col(idCol).as("a"), col("shingle")), Seq("a"))
+      .join(sh.filter(col("__side") === 0)
+        .select(col(idCol).as("b"), col("shingle")), Seq("b", "shingle"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.filter(col("__side") === 1)
+        .select(col(idCol).as("a"), col("sz").as("sz_a")), "a")
+      .join(sz.filter(col("__side") === 0)
+        .select(col(idCol).as("b"), col("sz").as("sz_b")), "b")
+      .withColumn("ja", col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .filter(col("ja") >= threshold)
+      .select(col("a"), col("b"), col("inter"), col("sz_a"), col("sz_b"),
+        round(col("ja"), 6).as("ja_r"))
+  }
+
   /** Shared [[prefixJaccardPairs]] core: shingles, per-doc sizes, and
     * the rarity-ordered prefix frame — all persisted via the handle
     * and eagerly materialized (multiple readers race a lazy cache).

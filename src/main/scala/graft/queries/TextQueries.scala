@@ -249,6 +249,23 @@ object TextQueries {
       pairs.orderBy("a", "b")
     }),
 
+    // Nightly-incremental PPJoin (TextDedup.prefixJaccardAgainst):
+    // tonight's batch (docs >= 250) exact-Jaccard-joined against the
+    // standing corpus (docs < 250) at tau=0.8 — the incremental shape
+    // the other dedup families have (q_dedup_incremental,
+    // q_cdc_chunks_incr) at exact-threshold semantics. The rarity
+    // rank spans corpus ∪ batch (the cross-prefix theorem needs one
+    // total order); the oracle computes the cross posting join with
+    // no prefix machinery, so a hash match proves the cross-side
+    // prefix rule lossless too.
+    "q_prefix_jaccard_incr" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextDedup.prefixJaccardAgainst(
+        d.filter(col("doc_id") < 250), d.filter(col("doc_id") >= 250),
+        "doc_id", "text", shingleN = 3, threshold = 0.8)
+        .orderBy("a", "b")
+    }),
+
     // Exact repeated-substring removal plan (TextDedup
     // .substringRemovalPlan) — the ExactSubstr step: cut every 40-char
     // span that appears verbatim >= 2 times corpus-wide, merged into
@@ -2391,6 +2408,36 @@ SELECT tokenizer, n_words, n_subwords, n_unk, fertility_r FROM (
              CAST(count(*) AS BIGINT) AS inter
              FROM sh x JOIN sh y
                ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+             GROUP BY 1, 2)
+         SELECT i.a, i.b, i.inter, sa.sz AS sz_a, sb.sz AS sz_b,
+             round(CAST(i.inter AS DOUBLE) /
+               CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 6) AS ja_r
+         FROM inter i
+         JOIN sz sa ON sa.doc_id = i.a
+         JOIN sz sb ON sb.doc_id = i.b
+         WHERE CAST(i.inter AS DOUBLE) /
+           CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= 0.8
+         ORDER BY a, b""",
+    // cross-side ground truth: batch (>= 250) x corpus (< 250)
+    // posting join, no prefix machinery
+    "q_prefix_jaccard_incr" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+             FROM documents),
+         d2 AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 3),
+         tok AS (SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS pos FROM d2),
+         sh AS (SELECT DISTINCT t1.doc_id,
+             t1.tok || ' ' || t2.tok || ' ' || t3.tok AS shingle
+             FROM tok t1
+             JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+             JOIN tok t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2),
+         sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+             FROM sh GROUP BY doc_id),
+         inter AS (SELECT x.doc_id AS a, y.doc_id AS b,
+             CAST(count(*) AS BIGINT) AS inter
+             FROM sh x JOIN sh y
+               ON x.shingle = y.shingle
+                  AND x.doc_id >= 250 AND y.doc_id < 250
              GROUP BY 1, 2)
          SELECT i.a, i.b, i.inter, sa.sz AS sz_a, sb.sz AS sz_b,
              round(CAST(i.inter AS DOUBLE) /

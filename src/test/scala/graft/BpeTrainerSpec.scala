@@ -132,6 +132,32 @@ class BpeTrainerSpec extends AnyFunSuite {
   private def forAllProp[A](gen: org.scalacheck.Gen[A], n: Int)(
       f: A => Unit): Unit = new PropHelpers {}.forAll(gen, n)(f)
 
+  test("equal-count pairs batch when disjoint, stop the batch when " +
+      "touched") {
+    import spark.implicits._
+    // (a,b) and (c,d) tie on count but share no symbol — ONE batch
+    // must take both (an early guard wrongly scanned accepted rows
+    // for the equal-count threat and serialized exactly this case)
+    val disjoint = Seq("ab ab ab", "cd cd cd").toDF("text")
+    val m1 = BpeTrainer.trainMerges(disjoint, "text", nMerges = 2,
+      minCount = 2, batchK = 4)
+    assert(m1.merges.map(m => (m.left, m.right)) ==
+      Seq(("a", "b"), ("c", "d")))
+    assert(m1.actions == 3, // init + one (collect, checkpoint) batch
+      s"equal-count disjoint pairs split into ${m1.actions - 1} actions")
+    // (a,b) and (b,c) tie on count AND share b — the batch must stop
+    // after the argmax (the tie's winner after merge 1 depends on
+    // reduced counts only sequential evaluation can see)
+    val touched = Seq("abc abc abc").toDF("text")
+    val m2 = BpeTrainer.trainMerges(touched, "text", nMerges = 2,
+      minCount = 2, batchK = 4)
+    val s2 = BpeTrainer.trainMergesSequential(touched, "text",
+      nMerges = 2, minCount = 2)
+    assert(m2.merges == s2.merges)
+    assert(m2.actions == 5, // init + two single-merge batches
+      s"equal-count touched tie batched unsafely: ${m2.actions} actions")
+  }
+
   test("batched trainMerges needs >= 5x fewer driver actions at " +
       "nMerges = 50") {
     // the production shape the batching exists for: a 32k-merge vocab

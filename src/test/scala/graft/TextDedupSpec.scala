@@ -550,6 +550,51 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("prefixJaccardAgainst: cross-side lossless and exact vs brute " +
+      "force under fuzz") {
+    // the cross-side prefix rule shares the within-corpus theorem but
+    // its own failure modes: a rank computed over one side only, side
+    // mix-ups in the verify joins, id collisions across sides
+    import spark.implicits._
+    import org.scalacheck.Gen
+    val alpha = Vector("a", "b", "c", "d", "e")
+    val genDoc = for {
+      len <- Gen.choose(2, 12)
+      ws <- Gen.listOfN(len, Gen.oneOf(alpha))
+    } yield ws.mkString(" ")
+    val genCorpus = for {
+      nc <- Gen.choose(3, 8)
+      nb <- Gen.choose(3, 8)
+      cd <- Gen.listOfN(nc, genDoc)
+      bd <- Gen.listOfN(nb, genDoc)
+      tau <- Gen.oneOf(0.5, 0.7, 0.8, 0.9)
+    } yield (cd.zipWithIndex.map { case (t, i) => (i.toLong, t) },
+      // batch ids deliberately OVERLAP corpus ids (0-based too): the
+      // side tag must keep them apart
+      bd.zipWithIndex.map { case (t, i) => (i.toLong, t) }, tau)
+    new PropHelpers {}.forAll(genCorpus, n = 12) { case (crows, brows, tau) =>
+      val got = TextDedup.prefixJaccardAgainst(
+          crows.toDF("doc_id", "text"), brows.toDF("doc_id", "text"),
+          "doc_id", "text", shingleN = 3, threshold = tau)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+        .toSet
+      def sets(rows: Seq[(Long, String)]) = rows.map { case (id, t) =>
+        id -> t.split(" ").filter(_.nonEmpty).sliding(3)
+          .filter(_.size == 3).map(_.mkString(" ")).toSet
+      }.filter(_._2.nonEmpty)
+      val expected = (for {
+        (b, sb) <- sets(brows); (c, sc) <- sets(crows)
+        i = (sb & sc).size
+        if i > 0 && i.toDouble / (sb.size + sc.size - i) >= tau
+      } yield (b, c, i.toLong, sb.size.toLong, sc.size.toLong)).toSet
+      assert(got == expected,
+        s"tau=$tau extra=${got -- expected} missing=${expected -- got}")
+      graft.ops.QueryCaches.releaseAll()
+    }
+  }
+
   test("prefixJaccardPairs: hot-posting audit fails loudly on a " +
       "degenerate corpus; capped twin bounds fan-out and stays exact") {
     // the degenerate shape the audit exists for: tiny documents made
