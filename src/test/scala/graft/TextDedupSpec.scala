@@ -550,6 +550,63 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("prefixJaccardPairsCapped: emitted pairs are always a subset of " +
+      "exact truth with true Jaccard; a non-tripping cap loses nothing") {
+    // the capped twin's contract under fuzz: precision is NEVER traded
+    // (survivors verify against full shingle sets), recall only drops
+    // via dropped hot postings — and with the cap above every posting
+    // the result equals the lossless join bit-for-bit
+    import spark.implicits._
+    import org.scalacheck.Gen
+    val alpha = Vector("a", "b", "c")
+    val genDoc = for {
+      len <- Gen.choose(2, 10)
+      ws <- Gen.listOfN(len, Gen.oneOf(alpha))
+    } yield ws.mkString(" ")
+    val genCorpus = for {
+      n <- Gen.choose(4, 12)
+      docs <- Gen.listOfN(n, genDoc)
+      tau <- Gen.oneOf(0.5, 0.8)
+      cap <- Gen.choose(1, 4)
+    } yield (docs.zipWithIndex.map { case (t, i) => (i.toLong, t) },
+      tau, cap)
+    new PropHelpers {}.forAll(genCorpus, n = 6) { case (rows, tau, cap) =>
+      val df = rows.toDF("doc_id", "text")
+      def collectPairs(d: org.apache.spark.sql.DataFrame) = d.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+        .toSet
+      val sets = rows.map { case (id, t) =>
+        id -> t.split(" ").filter(_.nonEmpty).sliding(3)
+          .filter(_.size == 3).map(_.mkString(" ")).toSet
+      }.filter(_._2.nonEmpty)
+      val exact = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        i = (sa & sb).size
+        if i > 0 && i.toDouble / (sa.size + sb.size - i) >= tau
+      } yield (a, b, i.toLong, sa.size.toLong, sb.size.toLong)).toSet
+      val (capped, over) = TextDedup.prefixJaccardPairsCapped(
+        df, "doc_id", "text", shingleN = 3, threshold = tau,
+        maxPrefixPosting = cap)
+      val got = collectPairs(capped)
+      // subset with TRUE stats: every emitted pair exists in truth
+      // with identical inter/sizes (precision + exact verification)
+      assert((got -- exact).isEmpty,
+        s"tau=$tau cap=$cap false positives: ${got -- exact}")
+      // nothing dropped ⇒ nothing lost
+      if (over.isEmpty) assert(got == exact,
+        s"tau=$tau cap=$cap empty audit but missing: ${exact -- got}")
+      graft.ops.QueryCaches.releaseAll()
+      // a cap no posting reaches reproduces the lossless join exactly
+      val (full, over2) = TextDedup.prefixJaccardPairsCapped(
+        df, "doc_id", "text", shingleN = 3, threshold = tau,
+        maxPrefixPosting = 10000)
+      assert(over2.isEmpty, s"cap=10000 still dropped postings")
+      assert(collectPairs(full) == exact, s"tau=$tau high-cap mismatch")
+      graft.ops.QueryCaches.releaseAll()
+    }
+  }
+
   test("prefixJaccardAgainst: cross-side lossless and exact vs brute " +
       "force under fuzz") {
     // the cross-side prefix rule shares the within-corpus theorem but
