@@ -316,8 +316,12 @@ object Bench {
       println(line)
     }
     // regression tripwire: compare against the committed baseline map
-    // (bench_baseline.json — a snapshot of the last clean full-suite
-    // bench_full.json, refreshed at each round end) and surface any
+    // (bench_baseline.json — the BEST clean full-suite bench_full.json
+    // at the current surface, refreshed at each round end; "last run"
+    // is not good enough — this host degrades 15-30% across a long
+    // session with no per-row outliers, and an inflated reference
+    // masks exactly the regressions the tripwire exists to catch) and
+    // surface any
     // query >2× its baseline AND >1 s absolute growth as its own short
     // stdout line just before the report, inside the driver's ~2 KiB
     // tail capture. Round 8's q_cluster_sizes 2.8× regression shipped

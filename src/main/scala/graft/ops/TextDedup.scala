@@ -859,11 +859,50 @@ object TextDedup {
       prefixFrames(df, idCol, textCol, shingleN, threshold, handle)
     val over = CacheHandle.persistWith(handle,
       overCapBuckets(pref, Seq("shingle"), maxPrefixPosting))
+    // eager: the anti-join's broadcast subtrees (one per self-join
+    // side) run as separate driver jobs and would each re-run the
+    // over-cap aggregate against a LAZY cache (the q_pca_power rule);
+    // tiny by construction, so the count is cheap
+    over.count()
     // no broadcast hint — the over-cap set is corpus-derived (the
     // capBuckets rule); AQE converts when it measures small
-    val capped = pref.join(over.select(col("shingle")),
-      Seq("shingle"), "left_anti")
+    val capped = CacheHandle.persistWith(handle,
+      pref.join(over.select(col("shingle")), Seq("shingle"), "left_anti"))
+    capped.count() // eager: both candidate sides read it
     (prefixCandidateVerify(sh, sz, capped, idCol, threshold), over)
+  }
+
+  /** The ONE gear-CDC chunk-fingerprint frame — the canonical
+    * definition all three chunk-dedup legs share (batch q_cdc_chunks,
+    * nightly q_cdc_chunks_incr via TextQueries.cdcChunkFrame,
+    * streaming [[graft.streaming.EventStream.dedupCdcChunks]]), so the
+    * recursive-CTE gear-walk oracle can never drift from only one of
+    * them: each row's `textCol` UTF-8 bytes are chunked at
+    * content-defined boundaries ([[graft.expr.GearChunks]] — a
+    * codegen'd per-row kernel) and each chunk is fingerprinted via the
+    * engine-portable hex-slice md5 (CLAUDE.md: DuckDB has no BLOB
+    * substring). Output: `carryCols` ++ (off, len, fp). Null text
+    * yields a null chunk array — explode drops the row.
+    */
+  def cdcChunkFp(
+      df: DataFrame,
+      carryCols: Seq[String],
+      textCol: String,
+      maskBits: Int,
+      minLen: Int,
+      maxLen: Int): DataFrame = {
+    val carry = carryCols.map(col)
+    df.select(carry :+ encode(col(textCol), "UTF-8").as("__bin"): _*)
+      .select(carry ++ Seq(hex(col("__bin")).as("__hx"),
+        graft.expr.CdcFunctions.gearChunks(col("__bin"),
+          maskBits = maskBits, minLen = minLen, maxLen = maxLen)
+          .as("__chunks")): _*)
+      .select(carry ++ Seq(col("__hx"),
+        explode(col("__chunks")).as("__c")): _*)
+      .select(carry ++ Seq(
+        col("__c.off").as("off"), col("__c.len").as("len"),
+        md5(col("__hx").substr(col("__c.off") * 2 + 1,
+          col("__c.len") * 2)).as("fp")): _*)
   }
 
   /** Nightly-incremental PPJoin — tonight's `batch` exactly
@@ -897,9 +936,12 @@ object TextDedup {
       textCol: String,
       shingleN: Int = 3,
       threshold: Double = 0.8,
-      handle: CacheHandle = null): DataFrame = {
+      handle: CacheHandle = null,
+      maxPrefixPosting: Int = Int.MaxValue): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold in (0, 1], got $threshold")
+    require(maxPrefixPosting > 0,
+      s"maxPrefixPosting must be positive, got $maxPrefixPosting")
     val sh = CacheHandle.persistWith(handle,
       shingles(corpus, idCol, textCol, shingleN)
         .select(lit(0).as("__side"), col(idCol), col("shingle"))
@@ -921,7 +963,26 @@ object TextDedup {
         .filter(col("p") <=
           col("sz") - floor(lit(threshold) * col("sz").cast("double")) + 1L)
         .select(col("__side"), col(idCol), col("shingle"), col("sz")))
-    pref.count() // eager: both candidate sides read it
+    if (maxPrefixPosting == Int.MaxValue)
+      pref.count() // eager: both candidate sides read it
+    else {
+      // same hot-posting AUDIT as the within-corpus join (the family
+      // contract: the exact path fails loudly rather than fanning out
+      // quadratically on a degenerate corpus); posting size counts
+      // BOTH sides — that union is what the cross join fans out on.
+      // The collect doubles as the prefix frame's eager materializer.
+      val worst = overCapBuckets(pref, Seq("shingle"), maxPrefixPosting)
+        .orderBy(col("n_members").desc, col("shingle"))
+        .limit(1).collect()
+      require(worst.isEmpty, {
+        val r = worst.head
+        s"prefixJaccardAgainst: prefix posting for shingle " +
+          s"'${r.getString(0)}' has ${r.getLong(1)} members across " +
+          s"corpus+batch (> maxPrefixPosting=$maxPrefixPosting) — the " +
+          "cross candidate join would fan out quadratically on it; " +
+          "raise the bound if the fan-out is affordable"
+      })
+    }
     val la = pref.filter(col("__side") === 1)
       .select(col(idCol).as("a"), col("shingle"), col("sz").as("sa"))
     val lb = pref.filter(col("__side") === 0)

@@ -268,6 +268,75 @@ object StreamQueries {
     NF.move(stage, tmp.resolve(s"$name.parquet"), CP.ATOMIC_MOVE)
   }
 
+  /** The ONE two-micro-batch document-stream harness behind the
+    * doc-sliced dedup gates (q_stream_dedup_sliced,
+    * q_stream_cdc_chunks_sliced — a fix to the slicing discipline
+    * lands here once): the corpus arrives as two doc_id-sliced files
+    * drained as separate micro-batches, with slice 2 carrying a
+    * VERBATIM re-delivery of slice 1's last document — suppressed
+    * only by live batch-1 state, so the gate fails if state does not
+    * survive the boundary. The probe targets slice A's last document
+    * BY EXISTING ID (the arithmetic midpoint may fall in an id gap
+    * under a sparse regeneration, silently emptying the probe); the
+    * cut anchor is loud on an empty table (a null min/max was an
+    * unexplained NPE); the watermark delay passed to `op` spans the
+    * corpus's synthetic time range, so nothing evicts mid-gate and
+    * exact DISTINCT oracles hold across any slicing. Anchors and
+    * slice files are (dir-keyed) cached — gates sharing the harness
+    * share the same bytes.
+    *
+    * @param op builds the stream: receives (doc_id, text, ts) rows
+    *        and the corpus-spanning watermark delay string.
+    */
+  private def runSlicedDocStream(
+      s: SparkSession, dir: String, gate: String, sink: String)(
+      op: (DataFrame, String) => DataFrame): DataFrame = {
+    import java.nio.file.{Files => NF}
+    val docs = graft.ops.QueryCaches.persist(
+      Tables.table(s, dir, "documents").select(col("doc_id"), col("text")))
+    val (lo, hi, mid, probeId) = memoAnchor(dir, "dedup_cut") {
+      val b = docs.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+        .head()
+      require(!b.isNullAt(0),
+        s"$gate: documents is empty — no cut anchor")
+      val (lo0, hi0) = (b.getLong(0), b.getLong(1))
+      val mid0 = lo0 + (hi0 - lo0) / 2
+      val probe = docs.filter(col("doc_id") <= mid0)
+        .agg(max("doc_id")).head().getLong(0)
+      (lo0, hi0, mid0, probe)
+    }
+    val tmp = NF.createTempDirectory(s"graft_$sink")
+    stageCachedSlice(dir, "dedup_sliceA", tmp, "slice_0") {
+      docs.filter(col("doc_id") <= mid)
+    }
+    var dataBatches = 0
+    val kept = withStatePartitions(s) {
+      val q = op(
+        s.readStream.schema("doc_id LONG, text STRING")
+          .parquet(tmp.toString)
+          .select(col("doc_id"), col("text"), syntheticTs("doc_id")),
+        s"${hi - lo + 3600} seconds")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable() // batch 1: slice_0 only
+        stageCachedSlice(dir, "dedup_sliceB", tmp, "slice_1") {
+          docs.filter(col("doc_id") > mid)
+            // verbatim re-delivery
+            .unionAll(docs.filter(col("doc_id") === probeId))
+        }
+        q.processAllAvailable() // batch 2: slice_1 + the re-delivery
+        dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      } finally { q.stop(); deleteRecursively(tmp) }
+      s.table(sink)
+    }
+    require(dataBatches >= 2,
+      s"$gate: saw $dataBatches data micro-batches — the slicing " +
+        "harness collapsed to one batch and the gate no longer tests " +
+        "cross-batch state")
+    kept
+  }
+
   /** Per-(dir, key) memo for the sliced gates' cut-siting anchors
     * (bounds, sited midpoints, probe rows): pure functions of the
     * immutable testdata, each worth one or two driver actions per
@@ -326,71 +395,19 @@ object StreamQueries {
     // Streaming exact dedup under REAL batch slicing — the multi-batch
     // twin of q_stream_dedup (the q_stream_cdc_scd2_sliced pattern on
     // the OTHER stateful primitive, dropDuplicatesWithinWatermark):
-    // the corpus arrives as two doc_id-sliced files drained as
-    // separate micro-batches, so the fingerprint state must survive
-    // the batch boundary — both for the corpus's natural cross-slice
-    // duplicate texts and for an explicit verbatim re-delivery of
-    // slice 1's last document in slice 2 (suppressed only by live
-    // batch-1 state; a fresh store would re-emit its fp and break the
-    // DISTINCT oracle by a row). The watermark delay is sized to the
-    // corpus's synthetic time span (retention >= the re-delivery
-    // horizon), so no fp is ever evicted mid-gate and the exact
-    // DISTINCT oracle holds across any slicing.
-    "q_stream_dedup_sliced" -> ((s, dir) => {
-      import java.nio.file.{Files => NF}
-      val docs = graft.ops.QueryCaches.persist(
-        Tables.table(s, dir, "documents").select(col("doc_id"), col("text")))
-      // the re-delivery probe targets slice A's LAST document BY
-      // EXISTING ID — the arithmetic midpoint itself may fall in an id
-      // gap under a sparse regeneration, silently emptying the probe
-      // and leaving the explicit suppression untested (the gate would
-      // still pass on natural cross-slice duplicates alone)
-      val (lo, hi, mid, probeId) = memoAnchor(dir, "dedup_cut") {
-        val b = docs.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
-          .head()
-        // loud on an empty table: getLong on the null min/max was an
-        // unexplained NPE; the sliced gate cannot test anything there
-        require(!b.isNullAt(0),
-          "q_stream_dedup_sliced: documents is empty — no cut anchor")
-        val (lo0, hi0) = (b.getLong(0), b.getLong(1))
-        val mid0 = lo0 + (hi0 - lo0) / 2
-        val probe = docs.filter(col("doc_id") <= mid0)
-          .agg(max("doc_id")).head().getLong(0)
-        (lo0, hi0, mid0, probe)
-      }
-      val tmp = NF.createTempDirectory("graft_stream_dedup_sliced")
-      stageCachedSlice(dir, "dedup_sliceA", tmp, "slice_0") {
-        docs.filter(col("doc_id") <= mid)
-      }
-      var dataBatches = 0
-      val kept = withStatePartitions(s) {
-        val q = EventStream.dedupExact(
-          s.readStream.schema("doc_id LONG, text STRING")
-            .parquet(tmp.toString)
-            .select(col("doc_id"), col("text"), syntheticTs("doc_id")),
-          textCol = "text", tsCol = "ts",
-          watermarkDelay = s"${hi - lo + 3600} seconds")
-          .writeStream.format("memory")
-          .queryName("q_stream_dedup_sliced_sink")
-          .outputMode("append").start()
-        try {
-          q.processAllAvailable() // batch 1: slice_0 only
-          stageCachedSlice(dir, "dedup_sliceB", tmp, "slice_1") {
-            docs.filter(col("doc_id") > mid)
-              // verbatim re-delivery
-              .unionAll(docs.filter(col("doc_id") === probeId))
-          }
-          q.processAllAvailable() // batch 2: slice_1 + the re-delivery
-          dataBatches = q.recentProgress.count(_.numInputRows > 0)
-        } finally { q.stop(); deleteRecursively(tmp) }
-        s.table("q_stream_dedup_sliced_sink")
-      }
-      require(dataBatches >= 2,
-        s"q_stream_dedup_sliced: saw $dataBatches data micro-batches — " +
-          "the slicing harness collapsed to one batch and the gate no " +
-          "longer tests cross-batch dedup state")
-      kept.select(col("fp")).orderBy("fp")
-    }),
+    // fingerprint state must survive the batch boundary, both for the
+    // corpus's natural cross-slice duplicate texts and for the
+    // harness's verbatim re-delivery (suppressed only by live batch-1
+    // state; a fresh store would re-emit its fp and break the
+    // DISTINCT oracle by a row). Slicing mechanics, probe siting and
+    // the corpus-spanning watermark live in runSlicedDocStream — ONE
+    // harness for every doc-sliced dedup gate.
+    "q_stream_dedup_sliced" -> ((s, dir) =>
+      runSlicedDocStream(s, dir, "q_stream_dedup_sliced",
+        "q_stream_dedup_sliced_sink") { (raw, delay) =>
+        EventStream.dedupExact(raw, textCol = "text", tsCol = "ts",
+          watermarkDelay = delay)
+      }.select(col("fp")).orderBy("fp")),
 
     // Streaming segment-level dedup: arriving documents explode into
     // fixed 8-token spans and the stream keeps the first arrival of
@@ -420,64 +437,18 @@ object StreamQueries {
             raw.select(col("doc_id"), col("text"), syntheticTs("doc_id")))
       }.select(col("fp")).orderBy("fp")),
 
-    // Multi-batch twin of q_stream_cdc_chunks (the
-    // q_stream_dedup_sliced pattern on the chunk-fp state): the
-    // corpus arrives as two doc_id-sliced files drained as separate
-    // micro-batches — chunk-fp state must survive the boundary, both
-    // for natural cross-slice duplicate chunks and for an explicit
-    // verbatim re-delivery of slice 1's last document (suppressed
-    // only by live batch-1 state; every one of its chunks re-emitted
-    // would break the DISTINCT oracle). Cut anchors and slice files
-    // are shared with the exact-dedup sliced gate (same definitions —
-    // the slice cache serves the same bytes); the watermark spans the
-    // corpus's synthetic time range so nothing evicts mid-gate.
-    "q_stream_cdc_chunks_sliced" -> ((s, dir) => {
-      import java.nio.file.{Files => NF}
-      val docs = graft.ops.QueryCaches.persist(
-        Tables.table(s, dir, "documents").select(col("doc_id"), col("text")))
-      val (lo, hi, mid, probeId) = memoAnchor(dir, "dedup_cut") {
-        val b = docs.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
-          .head()
-        require(!b.isNullAt(0),
-          "q_stream_cdc_chunks_sliced: documents is empty — no cut anchor")
-        val (lo0, hi0) = (b.getLong(0), b.getLong(1))
-        val mid0 = lo0 + (hi0 - lo0) / 2
-        val probe = docs.filter(col("doc_id") <= mid0)
-          .agg(max("doc_id")).head().getLong(0)
-        (lo0, hi0, mid0, probe)
-      }
-      val tmp = NF.createTempDirectory("graft_stream_cdc_chunks_sliced")
-      stageCachedSlice(dir, "dedup_sliceA", tmp, "slice_0") {
-        docs.filter(col("doc_id") <= mid)
-      }
-      var dataBatches = 0
-      val kept = withStatePartitions(s) {
-        val q = EventStream.dedupCdcChunks(
-          s.readStream.schema("doc_id LONG, text STRING")
-            .parquet(tmp.toString)
-            .select(col("doc_id"), col("text"), syntheticTs("doc_id")),
-          watermarkDelay = s"${hi - lo + 3600} seconds")
-          .writeStream.format("memory")
-          .queryName("q_stream_cdc_chunks_sliced_sink")
-          .outputMode("append").start()
-        try {
-          q.processAllAvailable() // batch 1: slice_0 only
-          stageCachedSlice(dir, "dedup_sliceB", tmp, "slice_1") {
-            docs.filter(col("doc_id") > mid)
-              // verbatim re-delivery
-              .unionAll(docs.filter(col("doc_id") === probeId))
-          }
-          q.processAllAvailable() // batch 2: slice_1 + the re-delivery
-          dataBatches = q.recentProgress.count(_.numInputRows > 0)
-        } finally { q.stop(); deleteRecursively(tmp) }
-        s.table("q_stream_cdc_chunks_sliced_sink")
-      }
-      require(dataBatches >= 2,
-        s"q_stream_cdc_chunks_sliced: saw $dataBatches data " +
-          "micro-batches — the slicing harness collapsed to one batch " +
-          "and the gate no longer tests cross-batch chunk-fp state")
-      kept.select(col("fp")).orderBy("fp")
-    }),
+    // Multi-batch twin of q_stream_cdc_chunks on the chunk-fp state:
+    // natural cross-slice duplicate chunks AND the harness's verbatim
+    // re-delivery (every one of its chunks re-emitted would break the
+    // DISTINCT oracle) must be suppressed by live batch-1 state. Same
+    // runSlicedDocStream harness — and the same slice-cache bytes —
+    // as the exact-dedup twin, so the slicing discipline cannot
+    // diverge between the gates.
+    "q_stream_cdc_chunks_sliced" -> ((s, dir) =>
+      runSlicedDocStream(s, dir, "q_stream_cdc_chunks_sliced",
+        "q_stream_cdc_chunks_sliced_sink") { (raw, delay) =>
+        EventStream.dedupCdcChunks(raw, watermarkDelay = delay)
+      }.select(col("fp")).orderBy("fp")),
 
     // Streaming MinHash near-dup: documents stream through the
     // band-keyed stateful matcher (LSH bucket state, horizon-bounded).

@@ -44,24 +44,15 @@ object TextQueries {
   // gate run the same code
   import graft.ops.TextDedup
 
-  /** Per-chunk frame shared by the CDC dedup queries: gear
-    * content-defined chunking (graft.expr.GearChunks) of each
-    * document's UTF-8 bytes at gate-scale widths (maskBits=5, min 8,
-    * max 64 — tiny per the fixed-vocab collision rule), fingerprinted
-    * via the engine-portable hex-slice md5 (CLAUDE.md: DuckDB BLOB
-    * substring). Output: (doc_id, off, len, fp).
+  /** Per-chunk frame shared by the CDC dedup queries — the canonical
+    * TextDedup.cdcChunkFp at gate-scale widths (maskBits=5, min 8,
+    * max 64 — tiny per the fixed-vocab collision rule); one definition
+    * for batch/nightly/streaming so the gear-walk oracle cannot drift
+    * from only one leg. Output: (doc_id, off, len, fp).
     */
   private def cdcChunkFrame(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("bin"))
-      .select(col("doc_id"), hex(col("bin")).as("hx"),
-        graft.expr.CdcFunctions.gearChunks(col("bin"),
-          maskBits = 5, minLen = 8, maxLen = 64).as("chunks"))
-      .select(col("doc_id"), col("hx"), explode(col("chunks")).as("c"))
-      .select(col("doc_id"), col("c.off").as("off"),
-        col("c.len").as("len"),
-        md5(col("hx").substr(col("c.off") * 2 + 1,
-          col("c.len") * 2)).as("fp"))
+    TextDedup.cdcChunkFp(docs(s, dir), Seq("doc_id"), "text",
+      maskBits = 5, minLen = 8, maxLen = 64)
 
   /** (max token length, non-BMP excess) over a serving slice's
     * whitespace tokens — ONE probe shared by every segmentation gate
@@ -257,12 +248,14 @@ object TextQueries {
     // rank spans corpus ∪ batch (the cross-prefix theorem needs one
     // total order); the oracle computes the cross posting join with
     // no prefix machinery, so a hash match proves the cross-side
-    // prefix rule lossless too.
+    // prefix rule lossless too. Runs the family's hot-posting audit
+    // at the same gate bound as q_prefix_jaccard.
     "q_prefix_jaccard_incr" -> ((s, dir) => {
       val d = docs(s, dir)
       TextDedup.prefixJaccardAgainst(
         d.filter(col("doc_id") < 250), d.filter(col("doc_id") >= 250),
-        "doc_id", "text", shingleN = 3, threshold = 0.8)
+        "doc_id", "text", shingleN = 3, threshold = 0.8,
+        maxPrefixPosting = 200)
         .orderBy("a", "b")
     }),
 

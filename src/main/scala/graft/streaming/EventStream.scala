@@ -179,10 +179,11 @@ object EventStream {
   /** Streaming content-defined-chunk dedup — [[dedupExact]] at CDC
     * granularity, completing the gear-chunk family's triad (batch
     * q_cdc_chunks, nightly-incremental q_cdc_chunks_incr): each
-    * arriving document explodes STATELESSLY into gear chunks
-    * ([[graft.expr.GearChunks]] — a codegen'd per-row kernel over the
-    * UTF-8 bytes), each chunk is fingerprinted by the engine-portable
-    * hex-slice md5 (the batch cdcChunkFrame definition, verbatim), and
+    * arriving document explodes STATELESSLY into gear chunks and
+    * chunk fingerprints via the ONE shared definition
+    * ([[graft.ops.TextDedup.cdcChunkFp]] — the same frame the batch
+    * and nightly legs build on, so the gear-walk oracle cannot drift
+    * from only one of them), and
     * the first arrival of every distinct chunk fingerprint within the
     * watermark horizon survives — the live chunk-store admission
     * filter: a re-scraped document pays state/storage only for chunks
@@ -202,19 +203,8 @@ object EventStream {
       minLen: Int = 8,
       maxLen: Int = 64,
       watermarkDelay: String = "10 minutes"): DataFrame =
-    docs
-      .select(col(idCol), col(tsCol),
-        encode(col(textCol), "UTF-8").as("__bin"))
-      .select(col(idCol), col(tsCol), hex(col("__bin")).as("__hx"),
-        graft.expr.CdcFunctions.gearChunks(col("__bin"),
-          maskBits = maskBits, minLen = minLen, maxLen = maxLen)
-          .as("__chunks"))
-      .select(col(idCol), col(tsCol), col("__hx"),
-        explode(col("__chunks")).as("__c"))
-      .select(col(idCol), col(tsCol),
-        col("__c.off").as("off"), col("__c.len").as("len"),
-        md5(col("__hx").substr(col("__c.off") * 2 + 1,
-          col("__c.len") * 2)).as("fp"))
+    graft.ops.TextDedup.cdcChunkFp(docs, Seq(idCol, tsCol), textCol,
+        maskBits = maskBits, minLen = minLen, maxLen = maxLen)
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("fp")
 

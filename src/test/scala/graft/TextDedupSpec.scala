@@ -669,6 +669,19 @@ class TextDedupSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("40 members"), ex.getMessage)
     graft.ops.QueryCaches.releaseAll()
 
+    // the cross-side variant runs the same audit over the UNION
+    // posting (that union is what its candidate join fans out on)
+    val exIncr = intercept[IllegalArgumentException] {
+      TextDedup.prefixJaccardAgainst(
+        degenerate.filter(col("doc_id") < 20),
+        degenerate.filter(col("doc_id") >= 20),
+        "doc_id", "text", shingleN = 3, threshold = 0.8,
+        maxPrefixPosting = 16)
+    }
+    assert(exIncr.getMessage.contains("prefix posting"), exIncr.getMessage)
+    assert(exIncr.getMessage.contains("corpus+batch"), exIncr.getMessage)
+    graft.ops.QueryCaches.releaseAll()
+
     // the audited-lossless run passes untouched corpora at the same
     // bound (worst posting there is far under it)
     val normal = Seq(
