@@ -1011,6 +1011,216 @@ object TextDedup {
         round(col("ja"), 6).as("ja_r"))
   }
 
+  /** Build the standing-corpus half of the incremental PPJoin ONCE —
+    * the production twin [[prefixJaccardAgainst]]'s scaladoc promises:
+    * three bucketed, key-sorted EXTERNAL tables (the
+    * [[graft.ops.Corpus.writeCorpusFingerprints]] /
+    * [[ScaleOps.writeBucketed]] layout) so every nightly
+    * [[prefixJaccardAgainstIndexed]] pays batch-sized cost with ZERO
+    * exchange on any corpus side:
+    *
+    *  - `<prefix>_rank` (shingle, rn), bucketed by shingle — the
+    *    corpus rarity total order (df asc, shingle asc; unique);
+    *  - `<prefix>_pref` (shingle, id, sz), bucketed by shingle — the
+    *    corpus prefix postings cut at `threshold`;
+    *  - `<prefix>_sh` (id, shingle), bucketed by id — the full corpus
+    *    postings for exact verification.
+    *
+    * The prefix theorem is order-agnostic (ANY one total order shared
+    * by both sides works — the df-asc choice is a posting-size
+    * heuristic, not a correctness condition), which is what makes a
+    * FROZEN corpus order exact: see [[prefixJaccardAgainstIndexed]]
+    * for how a batch shingle absent from `_rank` is ordered without
+    * re-scanning the corpus. The index bakes in (shingleN, threshold):
+    * a nightly run at threshold' > threshold stays lossless (stored
+    * prefixes are longer than that cut needs — over-inclusive only);
+    * threshold' < threshold would need prefixes the index never
+    * stored and is rejected by the reader.
+    *
+    * The family's hot-posting audit runs at BUILD time over the
+    * corpus prefix postings (fail loud once per rebuild, not at 3am
+    * in the nightly): `maxPrefixPosting` bounds the corpus factor of
+    * the nightly cross fan-out (posting_batch × posting_corpus); the
+    * reader audits the batch factor per run.
+    */
+  def writePrefixIndex(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      tablePrefix: String,
+      buckets: Int,
+      shingleN: Int = 3,
+      threshold: Double = 0.8,
+      pathPrefix: Option[String] = None,
+      maxPrefixPosting: Int = Int.MaxValue,
+      handle: CacheHandle = null): Unit = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold in (0, 1], got $threshold")
+    require(maxPrefixPosting > 0,
+      s"maxPrefixPosting must be positive, got $maxPrefixPosting")
+    val sh = CacheHandle.persistWith(handle,
+      shingles(corpus, idCol, textCol, shingleN))
+    sh.count() // eager: sizes, rank, prefix + the _sh write all read it
+    val sz = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    val dfc = sh.groupBy("shingle").agg(count(lit(1)).as("dfc"))
+    val ranked = CacheHandle.persistWith(handle,
+      ScaleOps.globalRowNumber(dfc, 8, handle, col("dfc"), col("shingle"))
+        .select(col("shingle"), col("rn")))
+    ranked.count() // eager: the _rank write + the prefix build read it
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("rn")
+    val pref = CacheHandle.persistWith(handle,
+      sh.join(ranked, "shingle")
+        .withColumn("p", row_number().over(w).cast("long"))
+        .join(sz, idCol)
+        .filter(col("p") <=
+          col("sz") - floor(lit(threshold) * col("sz").cast("double")) + 1L)
+        .select(col("shingle"), col(idCol), col("sz")))
+    // build-time audit — the collect doubles as pref's materializer
+    // (the prefixJaccardPairs pattern)
+    if (maxPrefixPosting == Int.MaxValue) pref.count()
+    else {
+      val worst = overCapBuckets(pref, Seq("shingle"), maxPrefixPosting)
+        .orderBy(col("n_members").desc, col("shingle"))
+        .limit(1).collect()
+      require(worst.isEmpty, {
+        val r = worst.head
+        s"writePrefixIndex: corpus prefix posting for shingle " +
+          s"'${r.getString(0)}' has ${r.getLong(1)} members " +
+          s"(> maxPrefixPosting=$maxPrefixPosting) — every nightly " +
+          "cross join would fan out on it; raise the bound or dedup " +
+          "the corpus before indexing"
+      })
+    }
+    def p(suffix: String): Option[String] = pathPrefix.map(_ + suffix)
+    ScaleOps.writeBucketed(ranked, s"${tablePrefix}_rank", "shingle",
+      buckets, p("_rank"))
+    ScaleOps.writeBucketed(pref, s"${tablePrefix}_pref", "shingle",
+      buckets, p("_pref"))
+    ScaleOps.writeBucketed(sh.select(col(idCol), col("shingle")),
+      s"${tablePrefix}_sh", idCol, buckets, p("_sh"))
+  }
+
+  /** Nightly-incremental PPJoin against a standing-corpus index
+    * written by [[writePrefixIndex]] — [[prefixJaccardAgainst]]'s
+    * documented production twin: the same exact cross-pair output
+    * (a ∈ batch, b ∈ corpus, J ≥ τ, exactly verified), but the corpus
+    * side is never re-scanned, re-ranked, or re-shuffled. Tonight's
+    * cost is batch-sized: the batch shingle frame, one keyed lookup
+    * into the bucketed `_rank` table, a per-batch-doc prefix window,
+    * and candidate/verify equi-joins whose corpus sides read
+    * pre-bucketed layouts with zero exchange (spec-pinned).
+    *
+    * Exactness with a FROZEN corpus rank — the new-shingle contract:
+    * the prefix theorem needs one total order shared by both sides,
+    * not any particular one. The order used here is O = (batch
+    * shingles absent from `_rank`, sorted among themselves by shingle)
+    * BEFORE (corpus shingles in `_rank` order). Corpus documents
+    * contain no absent shingle by definition, so their shingle
+    * sequences under O are exactly their `_rank`-order sequences — the
+    * STORED prefixes are their true O-prefixes, unchanged. Batch
+    * prefixes are computed directly under O. Both sides' prefixes
+    * therefore share the one total order and the pigeonhole holds:
+    * lossless, no recall trade (fuzz-pinned against
+    * [[prefixJaccardAgainst]] in TextDedupSpec). Ordering absent
+    * shingles FIRST is the df-asc heuristic taken to its limit —
+    * corpus df 0 — and is also the cheap end: their corpus postings
+    * are empty, so they generate no cross candidates at all (and a
+    * batch doc whose prefix is ALL absent shingles provably has no
+    * qualifying corpus partner: >= sz − floor(τ·sz) + 1 of its
+    * shingles miss every corpus doc).
+    *
+    * `threshold` must be >= the index's build threshold: the stored
+    * corpus prefixes are cut at the build τ, and a looser nightly τ
+    * would need longer prefixes than the index holds. The index does
+    * not carry its build τ (a bucketed table has no metadata channel
+    * worth racing), so the contract is the caller's — stated here and
+    * in the builder's scaladoc, and exercised at equal τ by the
+    * declared query.
+    */
+  def prefixJaccardAgainstIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.8,
+      handle: CacheHandle = null,
+      maxPrefixPosting: Int = Int.MaxValue): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold in (0, 1], got $threshold")
+    require(maxPrefixPosting > 0,
+      s"maxPrefixPosting must be positive, got $maxPrefixPosting")
+    val rank = spark.table(s"${tablePrefix}_rank")
+    val cpref = spark.table(s"${tablePrefix}_pref")
+    val csh = spark.table(s"${tablePrefix}_sh")
+    val bsh = CacheHandle.persistWith(handle,
+      shingles(batch, idCol, textCol, shingleN))
+    bsh.count() // eager: sizes, prefix + verify side read it
+    val bsz = bsh.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    // the one corpus lookup of the night: batch shingles against the
+    // bucketed rank table (corpus side pre-partitioned on shingle —
+    // no exchange); a LEFT join keeps absent shingles with null rn
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol)
+      // O: absent-from-corpus first (false < true), among themselves
+      // by shingle; then corpus shingles by their frozen unique rank
+      .orderBy(col("rn").isNotNull, coalesce(col("rn"), lit(-1L)),
+        col("shingle"))
+    val bpref = CacheHandle.persistWith(handle,
+      bsh.join(rank, Seq("shingle"), "left")
+        .withColumn("p", row_number().over(w).cast("long"))
+        .join(bsz, idCol)
+        .filter(col("p") <=
+          col("sz") - floor(lit(threshold) * col("sz").cast("double")) + 1L)
+        .select(col(idCol), col("shingle"), col("sz")))
+    if (maxPrefixPosting == Int.MaxValue)
+      bpref.count() // eager: candidate join + audit would race it
+    else {
+      // the BATCH factor of the cross fan-out (the corpus factor was
+      // audited once at build time); collect doubles as materializer
+      val worst = overCapBuckets(bpref, Seq("shingle"), maxPrefixPosting)
+        .orderBy(col("n_members").desc, col("shingle"))
+        .limit(1).collect()
+      require(worst.isEmpty, {
+        val r = worst.head
+        s"prefixJaccardAgainstIndexed: batch prefix posting for " +
+          s"shingle '${r.getString(0)}' has ${r.getLong(1)} members " +
+          s"(> maxPrefixPosting=$maxPrefixPosting) — the cross " +
+          "candidate join would fan out on it; raise the bound if " +
+          "the fan-out is affordable"
+      })
+    }
+    // candidate join: batch prefix postings against the bucketed
+    // corpus prefix postings — corpus side zero-exchange; sizes ride
+    // along (functionally determined by the ids) so verification
+    // needs no extra corpus lookup
+    val cand = bpref
+      .select(col(idCol).as("a"), col("shingle"), col("sz").as("sz_a"))
+      .join(cpref.select(col("shingle"), col(idCol).as("b"),
+        col("sz").as("sz_b")), Seq("shingle"))
+      .filter(least(col("sz_a"), col("sz_b")).cast("double") >=
+        floor(lit(threshold) *
+          greatest(col("sz_a"), col("sz_b")).cast("double")).cast("double"))
+      .select(col("a"), col("b"), col("sz_a"), col("sz_b"))
+      .distinct()
+    // exact verify: pull each candidate corpus doc's postings from the
+    // id-bucketed table (zero corpus exchange — the join key is the
+    // bucket key), intersect with the batch side's cached shingles
+    val inter = cand
+      .join(csh.select(col(idCol).as("b"), col("shingle")), Seq("b"))
+      .join(bsh.select(col(idCol).as("a"), col("shingle")),
+        Seq("a", "shingle"))
+      .groupBy("a", "b", "sz_a", "sz_b").agg(count(lit(1)).as("inter"))
+    inter
+      .withColumn("ja", col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .filter(col("ja") >= threshold)
+      .select(col("a"), col("b"), col("inter"), col("sz_a"), col("sz_b"),
+        round(col("ja"), 6).as("ja_r"))
+  }
+
   /** Shared [[prefixJaccardPairs]] core: shingles, per-doc sizes, and
     * the rarity-ordered prefix frame — all persisted via the handle
     * and eagerly materialized (multiple readers race a lazy cache).

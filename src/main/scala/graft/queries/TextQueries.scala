@@ -259,6 +259,34 @@ object TextQueries {
         .orderBy("a", "b")
     }),
 
+    // The PRODUCTION twin of q_prefix_jaccard_incr (VERDICT r16 #1):
+    // the standing corpus's rank/prefix/posting tables are written
+    // ONCE as bucketed, key-sorted external tables
+    // (TextDedup.writePrefixIndex — the writeCorpusFingerprints
+    // layout), and the nightly join reads them with ZERO exchange on
+    // every corpus side (PlanSpec-pinned) — tonight's cost is
+    // batch-sized. Exactness with the frozen corpus rank: the prefix
+    // theorem is order-agnostic, and new batch shingles (absent from
+    // the corpus) order FIRST among themselves by shingle — corpus
+    // docs contain none of them, so the stored corpus prefixes remain
+    // true prefixes of the extended order (no recall trade; the same
+    // exact cross-pairs oracle as the re-ranking variant proves it
+    // corpus-wide). Same slices and gate-scale audit bound as
+    // q_prefix_jaccard_incr.
+    "q_prefix_jaccard_incr_idx" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val app = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      val tp = s"graft_ppjidx_$app"
+      TextDedup.writePrefixIndex(d.filter(col("doc_id") < 250),
+        "doc_id", "text", tp, buckets = 8, shingleN = 3, threshold = 0.8,
+        pathPrefix = Some(Tables.scratchDir(s, tp).toString),
+        maxPrefixPosting = 200)
+      TextDedup.prefixJaccardAgainstIndexed(s, tp,
+        d.filter(col("doc_id") >= 250), "doc_id", "text",
+        shingleN = 3, threshold = 0.8, maxPrefixPosting = 200)
+        .orderBy("a", "b")
+    }),
+
     // Exact repeated-substring removal plan (TextDedup
     // .substringRemovalPlan) — the ExactSubstr step: cut every 40-char
     // span that appears verbatim >= 2 times corpus-wide, merged into
@@ -2414,6 +2442,37 @@ SELECT tokenizer, n_words, n_subwords, n_unk, fertility_r FROM (
     // cross-side ground truth: batch (>= 250) x corpus (< 250)
     // posting join, no prefix machinery
     "q_prefix_jaccard_incr" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+             FROM documents),
+         d2 AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 3),
+         tok AS (SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS pos FROM d2),
+         sh AS (SELECT DISTINCT t1.doc_id,
+             t1.tok || ' ' || t2.tok || ' ' || t3.tok AS shingle
+             FROM tok t1
+             JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+             JOIN tok t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2),
+         sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+             FROM sh GROUP BY doc_id),
+         inter AS (SELECT x.doc_id AS a, y.doc_id AS b,
+             CAST(count(*) AS BIGINT) AS inter
+             FROM sh x JOIN sh y
+               ON x.shingle = y.shingle
+                  AND x.doc_id >= 250 AND y.doc_id < 250
+             GROUP BY 1, 2)
+         SELECT i.a, i.b, i.inter, sa.sz AS sz_a, sb.sz AS sz_b,
+             round(CAST(i.inter AS DOUBLE) /
+               CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 6) AS ja_r
+         FROM inter i
+         JOIN sz sa ON sa.doc_id = i.a
+         JOIN sz sb ON sb.doc_id = i.b
+         WHERE CAST(i.inter AS DOUBLE) /
+           CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= 0.8
+         ORDER BY a, b""",
+    // the indexed production twin is exact too — the SAME cross-side
+    // ground truth (no prefix machinery, no index): a hash match
+    // proves the frozen-corpus-rank prefix rule lossless corpus-wide
+    "q_prefix_jaccard_incr_idx" ->
       """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
              FROM documents),
          d2 AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 3),

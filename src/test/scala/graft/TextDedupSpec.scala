@@ -717,4 +717,188 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got2 == Set((0L, 1L), (2L, 3L)), got2)
     graft.ops.QueryCaches.releaseAll()
   }
+
+  private def dropIndex(tp: String): Unit =
+    Seq("_rank", "_pref", "_sh").foreach(sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS $tp$sfx"))
+
+  private def scratch(tp: String): String =
+    Tables.scratchDir(spark, tp).toString
+
+  test("indexed PPJoin equals the re-ranking variant under fuzz, " +
+      "including batch shingles absent from the corpus") {
+    // the production twin's frozen-corpus-rank contract: new batch
+    // shingles order FIRST by shingle among themselves, corpus
+    // prefixes stay valid — any off-by-one there silently drops cross
+    // pairs. Batch docs draw from a WIDER alphabet (z tokens) so
+    // unseen shingles occur in every sample; ids overlap across sides.
+    import spark.implicits._
+    import org.scalacheck.Gen
+    val alpha = Vector("a", "b", "c", "d", "e")
+    def genDoc(v: Vector[String]) = for {
+      len <- Gen.choose(2, 12)
+      ws <- Gen.listOfN(len, Gen.oneOf(v))
+    } yield ws.mkString(" ")
+    val genCorpus = for {
+      nc <- Gen.choose(3, 8)
+      nb <- Gen.choose(3, 8)
+      cd <- Gen.listOfN(nc, genDoc(alpha))
+      bd <- Gen.listOfN(nb, genDoc(alpha :+ "z"))
+      tau <- Gen.oneOf(0.5, 0.8)
+    } yield (cd.zipWithIndex.map { case (t, i) => (i.toLong, t) },
+      bd.zipWithIndex.map { case (t, i) => (i.toLong, t) }, tau)
+    val tp = "graft_ppjidx_fuzz"
+    try {
+      new PropHelpers {}.forAll(genCorpus, n = 6) { case (crows, brows, tau) =>
+        val cdf = crows.toDF("doc_id", "text")
+        val bdf = brows.toDF("doc_id", "text")
+        TextDedup.writePrefixIndex(cdf, "doc_id", "text", tp,
+          buckets = 4, shingleN = 3, threshold = tau,
+          pathPrefix = Some(scratch(tp)))
+        def collectPairs(d: org.apache.spark.sql.DataFrame) = d.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4)))
+          .toSet
+        val got = collectPairs(TextDedup.prefixJaccardAgainstIndexed(
+          spark, tp, bdf, "doc_id", "text", shingleN = 3, threshold = tau))
+        val expected = collectPairs(TextDedup.prefixJaccardAgainst(
+          cdf, bdf, "doc_id", "text", shingleN = 3, threshold = tau))
+        assert(got == expected,
+          s"tau=$tau extra=${got -- expected} missing=${expected -- got}")
+        graft.ops.QueryCaches.releaseAll()
+      }
+    } finally {
+      dropIndex(tp)
+      graft.ops.QueryCaches.releaseAll()
+    }
+  }
+
+  test("indexed PPJoin: all-new-shingle batch docs, a looser build " +
+      "threshold stays lossless, build-time audit fails loudly") {
+    import spark.implicits._
+    val corpusDf = Seq(
+      (0L, "a b c d e f"), (1L, "p q r s t u"), (2L, "m n o w x y"))
+      .toDF("doc_id", "text")
+    val batchDf = Seq(
+      (0L, "a b c d e f g"),     // near-dup of corpus 0 (id collides)
+      (10L, "z1 z2 z3 z4 z5"),   // every shingle absent from the corpus
+      (11L, "p q r s t u"))      // exact dup of corpus 1
+      .toDF("doc_id", "text")
+    val tp = "graft_ppjidx_hand"
+    try {
+      // build at tau=0.5, query at 0.8: stored prefixes are LONGER
+      // than the nightly cut needs — over-inclusive, never lossy
+      TextDedup.writePrefixIndex(corpusDf, "doc_id", "text", tp,
+        buckets = 4, shingleN = 3, threshold = 0.5,
+        pathPrefix = Some(scratch(tp)))
+      val got = TextDedup.prefixJaccardAgainstIndexed(spark, tp, batchDf,
+          "doc_id", "text", shingleN = 3, threshold = 0.8)
+        .select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // (0, 0): J = 4/6 < 0.8? shingles(corpus 0) = 4, shingles(batch
+      // 0) = 5, inter 4, J = 4/5... = 0.8 — qualifies; (11, 1) exact
+      assert(got == Set((0L, 0L), (11L, 1L)), got)
+      graft.ops.QueryCaches.releaseAll()
+
+      // the all-absent batch doc generated no candidates, and the
+      // batch-side audit sees only batch-sized postings
+      val got2 = TextDedup.prefixJaccardAgainstIndexed(spark, tp, batchDf,
+        "doc_id", "text", shingleN = 3, threshold = 0.8,
+        maxPrefixPosting = 16)
+      assert(got2.count() == 2L)
+      graft.ops.QueryCaches.releaseAll()
+    } finally {
+      dropIndex(tp)
+      graft.ops.QueryCaches.releaseAll()
+    }
+
+    // build-time hot-posting audit: the degenerate corpus fails at
+    // INDEX BUILD, naming the posting — not at 3am in the nightly
+    import spark.implicits._
+    val degenerate = (0L until 30L).map(i => (i, "x x x"))
+      .toDF("doc_id", "text")
+    val tp2 = "graft_ppjidx_degen"
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        TextDedup.writePrefixIndex(degenerate, "doc_id", "text", tp2,
+          buckets = 4, shingleN = 3, threshold = 0.8,
+          pathPrefix = Some(scratch(tp2)), maxPrefixPosting = 16)
+      }
+      assert(ex.getMessage.contains("corpus prefix posting"), ex.getMessage)
+      assert(ex.getMessage.contains("30 members"), ex.getMessage)
+    } finally {
+      dropIndex(tp2)
+      graft.ops.QueryCaches.releaseAll()
+    }
+  }
+
+  test("indexed PPJoin: zero shuffle exchange above every corpus-side " +
+      "bucketed scan") {
+    // the index's whole point: the nightly pays batch-sized cost only
+    // — the rank lookup, the candidate join, and the verify join all
+    // read corpus tables pre-partitioned on their join keys. AQE off
+    // for the inspection (stages hide subtrees — the CLAUDE.md rule);
+    // auto-broadcast off so the corpus sides cannot dodge the check by
+    // being gate-scale small.
+    import spark.implicits._
+    val corpusDf = (0L until 60L)
+      .map(i => (i, s"w${i % 7} w${(i + 1) % 7} w${(i + 2) % 7} t$i u$i"))
+      .toDF("doc_id", "text")
+    val batchDf = (0L until 20L)
+      .map(i => (i + 100L, s"w${i % 7} w${(i + 1) % 7} w${(i + 2) % 7} t$i u$i v$i"))
+      .toDF("doc_id", "text")
+    val tp = "graft_ppjidx_plan"
+    try {
+      TextDedup.writePrefixIndex(corpusDf, "doc_id", "text", tp,
+        buckets = 4, shingleN = 3, threshold = 0.5,
+        pathPrefix = Some(scratch(tp)))
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val out = TextDedup.prefixJaccardAgainstIndexed(spark, tp, batchDf,
+        "doc_id", "text", shingleN = 3, threshold = 0.5)
+      // the corpus scans live under PERSISTED frames too (bpref reads
+      // _rank) — recurse cached subtrees (the WindowAudit rule)
+      import org.apache.spark.sql.execution.SparkPlan
+      def fragments(p: SparkPlan): Seq[SparkPlan] =
+        p +: p.collect {
+          case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+            fragments(s.relation.cachedPlan)
+        }.flatten
+      val names = Seq("_rank", "_pref", "_sh").map(tp + _)
+      // a corpus-side shuffle = an exchange whose UNARY path down
+      // reaches a corpus table scan without crossing a join — the
+      // legitimate post-join shuffles (batch-sized rows that merely
+      // CARRY corpus-derived columns) have a binary node on the path
+      // only a real file scan counts as "the corpus table": an
+      // InMemoryTableScan LEAF prints its whole cached subtree in
+      // toString, so a substring probe on any leaf would flag the
+      // batch-side caches whose lineage merely MENTIONS the tables
+      def reachesScan(p: SparkPlan): Boolean = p match {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          names.exists(f.toString.contains)
+        case _ if p.children.length == 1 => reachesScan(p.children.head)
+        case _ => false
+      }
+      val frs = fragments(out.queryExecution.executedPlan)
+      val offenders = frs.flatMap(_.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if reachesScan(e.child) => e
+      })
+      assert(offenders.isEmpty,
+        "a corpus-side bucketed scan still shuffles:\n" +
+          offenders.map(_.toString).mkString("\n---\n"))
+      // and the plan genuinely reads all three corpus tables
+      val allStr = frs.map(_.toString).mkString("\n")
+      names.foreach { n =>
+        assert(allStr.contains(n), s"plan does not read $n:\n$allStr")
+      }
+      // the result is still right under these confs
+      assert(out.count() > 0L)
+    } finally {
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      dropIndex(tp)
+      graft.ops.QueryCaches.releaseAll()
+    }
+  }
 }
