@@ -128,6 +128,67 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_prefix_jaccard_capped: left-anti cap off the persisted prefix " +
+      "frame, equi-join candidates, no all-pairs") {
+    try {
+      val p = plan("q_prefix_jaccard_capped")
+      assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"all-pairs nested loop in:\n$p")
+      // the cap is a LEFT ANTI join of the prefix frame against the
+      // over-cap audit set — dropping it would silently revert the
+      // twin to the (audit-tripping) lossless join
+      assert(p.contains("LeftAnti"), s"cap anti-join missing in:\n$p")
+      // sh / pref / over / capped are persisted and multiply read
+      val scans = "InMemoryTableScan".r.findAllIn(p).size
+      assert(scans >= 4,
+        s"expected >= 4 cache reads, got $scans — a shared subplan " +
+          s"lost its persist:\n$p")
+    } finally {
+      graft.ops.QueryCaches.releaseAll()
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("q_prefix_jaccard_incr: cross-side candidates are keyed " +
+      "equi-joins, no all-pairs") {
+    try {
+      val p = plan("q_prefix_jaccard_incr")
+      assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"all-pairs nested loop in:\n$p")
+      // union shingles / sizes / prefix are persisted, multiply read
+      val scans = "InMemoryTableScan".r.findAllIn(p).size
+      assert(scans >= 4,
+        s"expected >= 4 cache reads, got $scans:\n$p")
+    } finally {
+      graft.ops.QueryCaches.releaseAll()
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("q_prefix_jaccard_incr_idx: corpus sides are bucketed scans " +
+      "(the zero-exchange layout), no all-pairs") {
+    try {
+      val p = plan("q_prefix_jaccard_incr_idx")
+      assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"all-pairs nested loop in:\n$p")
+      // the candidate and verify joins read the _pref/_sh bucketed
+      // tables directly (the _rank scan sits inside the cached batch
+      // prefix frame; the per-join zero-exchange pin with broadcast
+      // and AQE disabled lives in TextDedupSpec)
+      val bucketed = "Bucketed: true".r.findAllIn(p).size
+      assert(bucketed >= 2,
+        s"expected >= 2 bucketed corpus scans, got $bucketed in:\n$p")
+      assert("graft_ppjidx".r.findAllIn(p).size >= 2,
+        s"index tables not read in:\n$p")
+    } finally {
+      graft.ops.QueryCaches.releaseAll()
+      spark.catalog.clearCache()
+    }
+  }
+
   test("scaled batching/reshape twins have no single-partition exchange") {
     Seq("q_batch_scaled", "q_reshape_scaled").foreach { name =>
       val p = plan(name)
