@@ -37,6 +37,23 @@ import org.apache.spark.sql.functions._
   */
 object BpeTrainer {
 
+  /** Spark's UTF8String binary order — unsigned byte-wise over UTF-8
+    * bytes — for driver-side re-sorts of Spark-ordered collects. Java
+    * String order is UTF-16 code-unit order, which ranks a
+    * supplementary-plane symbol (surrogate pair, units 0xD800–0xDFFF)
+    * BEFORE a BMP char in [U+E000, U+FFFF]; UTF-8 bytes (0xF0–0xF4 vs
+    * 0xEE–0xEF lead) rank it AFTER. A batched trainer re-sorting a
+    * collected candidate list with Java order could therefore pick a
+    * different count-tie winner than the Spark orderBy/limit and the
+    * sequential argmax it must stay sequence-identical to.
+    */
+  private[graft] object Utf8Order extends Ordering[String] {
+    def compare(a: String, b: String): Int =
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   /** One learned merge: `rank`-th rule joins (left, right) into one
     * symbol; `count` is the weighted pair frequency when chosen.
     */
@@ -104,11 +121,16 @@ object BpeTrainer {
     * weighted count falls below `minCount`.
     *
     * BATCHED (the parallel-BPE trick, provably sequence-identical):
-    * one driver action collects the top `batchK`+1 candidate pairs
-    * (plus a joined-symbol-collision flag), and the longest SAFE
-    * prefix of that list is applied in one composed fold + one eager
-    * checkpoint — so a 32k-merge production vocab costs ~2·32k/batchK
-    * driver round-trips instead of 32k. Candidate j (after the
+    * one driver action collects the top `batchK`+1 candidate pairs,
+    * and the longest SAFE prefix of that list is applied in one
+    * composed fold + one lazy checkpoint — so a 32k-merge production
+    * vocab costs ~32k/fill driver round-trips instead of 32k, and a
+    * batched ROUND costs exactly what a sequential round costs (one
+    * argmax collect; the r17 change: the per-round vocab-sized
+    * collision-symbol join is replaced by a driver-maintained symbol
+    * SUPERSET — see below — so with realized fill >= 1 batching
+    * strictly dominates sequential on every corpus, including the
+    * tie-saturated ones where fill ~2). Candidate j (after the
     * unconditional argmax) is safe exactly when applying the earlier
     * accepted merges provably cannot change what sequential training
     * would pick at its sub-round:
@@ -128,6 +150,17 @@ object BpeTrainer {
     * yields new (joined, r) pairs bounded by the ACCEPTED pair's own
     * count, which may exceed later candidates') — each a documented
     * escape to sequential semantics, never a wrong sequence.
+    *
+    * The conflation escape tests membership against a driver-held
+    * symbol SUPERSET (initial alphabet ∪ every accepted joined
+    * string) instead of joining the live symbol set per round: every
+    * symbol a words row can hold is an original character or the
+    * joined of an applied merge, so the superset provably contains
+    * the live set at every round; the only divergence is a symbol
+    * that has been merged AWAY, and treating it as alive can only end
+    * a batch EARLY — an escape, never a wrong acceptance. Bounded by
+    * charset + nMerges; costs one charset-bounded collect at init
+    * and removes the batch machinery's dominant per-round cost.
     * Batched ≡ sequential is additionally fuzz-pinned in
     * BpeTrainerSpec against [[trainMergesSequential]] and the
     * driver-side reference.
@@ -142,14 +175,16 @@ object BpeTrainer {
       s"need nMerges >= 0 and minCount >= 1, got $nMerges / $minCount")
     require(batchK >= 1, s"batchK must be >= 1, got $batchK")
     var actions = 0
-    var words = initWords(df, textCol)
-    // EAGER checkpoint: the batch argmax plan reads `words` from two
-    // subtrees (pair counts + the symbol set), and the collision
-    // join's exchange runs as a separate driver job — against a LAZY
-    // checkpoint each would recompute the fold chain (the q_pca_power
-    // rule). One vocab-sized job per batch, amortized over batchK
-    // merges.
-    words = words.localCheckpoint(); actions += 1
+    // lazy checkpoint (cut the corpus scan off the loop plans, the
+    // sequential trainer's rule) — the alphabet collect right below
+    // is the materializing action, and each round's single argmax
+    // collect reads words from ONE subtree (pair counts), so nothing
+    // re-runs the fold chain
+    var words = initWords(df, textCol).localCheckpoint(false)
+    // the live-symbol superset (see scaladoc): charset-bounded collect
+    var symsSuper = words.select(explode(col("syms")).as("sym"))
+      .distinct().collect().map(_.getString(0)).toSet
+    actions += 1
     val merges = Seq.newBuilder[Merge]
     var r = 0
     var done = false
@@ -159,18 +194,14 @@ object BpeTrainer {
       // reflect what exists, not what we want (a shrunken limit reads
       // as "full" and blinds the visibility guards)
       val k = math.min(batchK, nMerges - r)
-      val cands = pairCounts(words)
+      // TakeOrderedAndProject: the collect returns rows in the Spark
+      // UTF8-binary argmax order (no join to break it — a driver
+      // re-sort would need Utf8Order, never Java String order)
+      val rows = pairCounts(words)
         .orderBy(col("cnt").desc, col("l"), col("r"))
         .limit(batchK + 1) // +1 sentinel: the visibility fence for ties
-      val symSet = words.select(explode(col("syms")).as("sym")).distinct()
-      val rows = cands
-        .join(symSet, concat(col("l"), col("r")) === col("sym"), "left")
-        .select(col("l"), col("r"), col("cnt"),
-          col("sym").isNotNull.as("joined_exists"))
         .collect()
-        .map(x => (x.getString(0), x.getString(1), x.getLong(2),
-          x.getBoolean(3)))
-        .sortBy { case (l, rt, cnt, _) => (-cnt, l, rt) } // join broke order
+        .map(x => (x.getString(0), x.getString(1), x.getLong(2)))
       actions += 1
       if (rows.isEmpty) done = true
       else {
@@ -182,8 +213,9 @@ object BpeTrainer {
         var stop = false
         var idx = 0 // == number accepted so far (the prefix property)
         while (idx < considered.length && !stop) {
-          val (l, rt, cnt, jExists) = considered(idx)
+          val (l, rt, cnt) = considered(idx)
           val joined = l + rt
+          val jExists = symsSuper.contains(joined)
           val safe =
             if (idx == 0) cnt >= minCount // the true argmax, always safe
             else {
@@ -215,9 +247,12 @@ object BpeTrainer {
           }
           acc.foreach { case (l, rt, cnt) =>
             merges += Merge(r, l, rt, cnt); r += 1
+            symsSuper = symsSuper + (l + rt) // joineds join the superset
           }
-          words = words.withColumn("syms", syms).localCheckpoint()
-          actions += 1
+          // lazy: the next round's argmax collect (ONE subtree over
+          // words) materializes it — one job per round, like the
+          // sequential trainer
+          words = words.withColumn("syms", syms).localCheckpoint(false)
         }
       }
     }

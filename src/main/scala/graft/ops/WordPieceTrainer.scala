@@ -88,7 +88,7 @@ object WordPieceTrainer {
 
   /** One collected candidate row. */
   private final case class Cand(l: String, r: String, cnt: Long,
-      lc: Long, rc: Long, score: Double, joinedExists: Boolean)
+      lc: Long, rc: Long, score: Double)
 
   /** Train up to `nMerges` likelihood-scored merges over the
     * whitespace words of `df.textCol`; a round stops early when no
@@ -99,7 +99,11 @@ object WordPieceTrainer {
     * because merging (l, r) SHRINKS the unigram counts of l and r —
     * a surviving pair that touches them can have its score RISE).
     * One driver action collects the top `batchK`+1 scored candidates
-    * (plus the joined-symbol-collision flag); candidate j after the
+    * (the conflation escape tests the joined string against the
+    * driver-held symbol SUPERSET — alphabet ∪ accepted joineds, the
+    * [[BpeTrainer.trainMerges]] r17 rule: a superset can only end a
+    * batch EARLY, and it removes the per-round vocab-sized symbol
+    * join); candidate j after the
     * unconditional argmax is accepted only when
     *  - its symbols are disjoint from every earlier accepted merge's
     *    {left, right, joined} (its own cnt, lc, rc — hence its exact
@@ -138,19 +142,21 @@ object WordPieceTrainer {
       s"need nMerges >= 0 and minCount >= 1, got $nMerges / $minCount")
     require(batchK >= 1, s"batchK must be >= 1, got $batchK")
     var actions = 0
-    // EAGER checkpoint: the batch plan reads `words` from four
-    // subtrees (pair counts, uni joined twice, the collision symbol
-    // set) whose exchanges run as separate driver jobs — a lazy
-    // checkpoint would recompute the fold chain per subtree (the
-    // q_pca_power rule). Replaces the sequential trainer's per-round
-    // count(), one per batch.
-    var words = initWords(df, textCol).localCheckpoint()
-    actions += 1
+    // lazy init checkpoint — the alphabet collect right below is the
+    // materializing action; the PER-ROUND checkpoints stay EAGER (the
+    // batch plan reads `words` from three subtrees: pair counts + uni
+    // joined twice, whose exchanges run as separate driver jobs — a
+    // lazy checkpoint would recompute the fold chain per subtree, the
+    // q_pca_power rule). The eager round checkpoint replaces the
+    // sequential trainer's per-round count(), one per batch.
+    var words = initWords(df, textCol).localCheckpoint(false)
     // the alphabet collect is bounded by the charset (distinct marked
     // single characters), never by the corpus
     val alphabet = words.select(explode(col("syms")).as("sym"))
       .distinct().collect().map(_.getString(0)).toSeq.sorted
     actions += 1
+    // live-symbol superset for the conflation escape (see scaladoc)
+    var symsSuper = alphabet.toSet
     val merges = Seq.newBuilder[Merge]
     var r = 0
     var done = false
@@ -160,21 +166,15 @@ object WordPieceTrainer {
       // reflect what exists, not what we want (a shrunken limit reads
       // as "full" and blinds the preMax = 0 fast path)
       val k = math.min(batchK, nMerges - r)
-      val cands = scoredPairs(words, minCount)
+      // TakeOrderedAndProject: rows arrive in the Spark UTF8-binary
+      // argmax order (no join to break it — a driver re-sort would
+      // need BpeTrainer.Utf8Order, never Java String order)
+      val rows = scoredPairs(words, minCount)
         .orderBy(col("score").desc, col("l"), col("r"))
         .limit(batchK + 1) // +1 sentinel: the hidden-pair score fence
-      val symSet = words.select(explode(col("syms")).as("sym")).distinct()
-      val joinedCol = concat(col("l"),
-        when(col("r").startsWith("##"), expr("substring(r, 3)"))
-          .otherwise(col("r")))
-      val rows = cands
-        .join(symSet, joinedCol === col("sym"), "left")
-        .select(col("l"), col("r"), col("cnt"), col("lc"), col("rc"),
-          col("score"), col("sym").isNotNull.as("joined_exists"))
         .collect()
         .map(x => Cand(x.getString(0), x.getString(1), x.getLong(2),
-          x.getLong(3), x.getLong(4), x.getDouble(5), x.getBoolean(6)))
-        .sortBy(c => (-c.score, c.l, c.r)) // the join broke the order
+          x.getLong(3), x.getLong(4), x.getDouble(5)))
       actions += 1
       if (rows.isEmpty) done = true
       else {
@@ -207,8 +207,8 @@ object WordPieceTrainer {
           if (!safe) stop = true
           else {
             accepted += c
-            val collides = c.joinedExists || used.contains(joined) ||
-              c.l == c.r
+            val collides = symsSuper.contains(joined) ||
+              used.contains(joined) || c.l == c.r
             used = used + c.l + c.r + joined
             val denomL = c.lc - c.cnt
             val denomR = c.rc - c.cnt
@@ -231,6 +231,7 @@ object WordPieceTrainer {
           }
           acc.foreach { c =>
             merges += Merge(r, c.l, c.r, c.cnt, c.score); r += 1
+            symsSuper = symsSuper + (c.l + stripCont(c.r))
           }
           words = words.withColumn("syms", syms).localCheckpoint()
           actions += 1

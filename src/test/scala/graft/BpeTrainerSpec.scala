@@ -143,8 +143,8 @@ class BpeTrainerSpec extends AnyFunSuite {
       minCount = 2, batchK = 4)
     assert(m1.merges.map(m => (m.left, m.right)) ==
       Seq(("a", "b"), ("c", "d")))
-    assert(m1.actions == 3, // init + one (collect, checkpoint) batch
-      s"equal-count disjoint pairs split into ${m1.actions - 1} actions")
+    assert(m1.actions == 2, // alphabet collect + ONE batch collect
+      s"equal-count disjoint pairs split into ${m1.actions - 1} batches")
     // (a,b) and (b,c) tie on count AND share b — the batch must stop
     // after the argmax (the tie's winner after merge 1 depends on
     // reduced counts only sequential evaluation can see)
@@ -154,8 +154,31 @@ class BpeTrainerSpec extends AnyFunSuite {
     val s2 = BpeTrainer.trainMergesSequential(touched, "text",
       nMerges = 2, minCount = 2)
     assert(m2.merges == s2.merges)
-    assert(m2.actions == 5, // init + two single-merge batches
+    assert(m2.actions == 3, // alphabet + two single-merge batch collects
       s"equal-count touched tie batched unsafely: ${m2.actions} actions")
+  }
+
+  test("count ties over supplementary-plane symbols follow Spark's " +
+      "UTF8 binary order, not Java's") {
+    // Java String order is UTF-16 code-unit order: a surrogate pair
+    // (0xD800 lead) ranks BEFORE U+E000; Spark's UTF8String compares
+    // UTF-8 bytes, where U+E000 (EE 80 80) ranks BEFORE U+10000
+    // (F0 90 80 80). The batched trainer's driver re-sort of the
+    // collected candidate list must match the Spark orderBy/limit and
+    // the sequential argmax — an ASCII-only fuzz can never catch this.
+    import spark.implicits._
+    val e = "\uE000"      // BMP private-use, UTF-8 EE 80 80
+    val s = "\uD800\uDC00" // U+10000, UTF-8 F0 90 80 80
+    assert(graft.ops.BpeTrainer.Utf8Order.compare(e, s) < 0)
+    assert(e.compareTo(s) > 0) // Java order disagrees — the trap
+    val docs = Seq(s"${e}b ${e}b ${s}b ${s}b").toDF("text")
+    val batched = BpeTrainer.trainMerges(docs, "text", nMerges = 2,
+      minCount = 2, batchK = 4)
+    val seq = BpeTrainer.trainMergesSequential(docs, "text", nMerges = 2,
+      minCount = 2)
+    assert(batched.merges == seq.merges)
+    // the count tie's winner is the UTF8-smaller left symbol
+    assert(batched.merges.head.left == e, batched.merges.toString)
   }
 
   test("batched trainMerges needs >= 5x fewer driver actions at " +
@@ -178,6 +201,51 @@ class BpeTrainerSpec extends AnyFunSuite {
     assert(batched.merges.size == 50)
     assert(batched.actions * 5 <= seq.actions,
       s"batched=${batched.actions} actions vs sequential=${seq.actions}")
+  }
+
+  test("Zipf vocabulary at nMerges = 200: batching strictly beats " +
+      "sequential actions, and a batched round costs one collect") {
+    // VERDICT r16 #5's measurement, with its finding applied: on a
+    // Zipf word table (the shape real text has) realized fill is only
+    // ~1.6-2 merges/batch — early BPE pair counts are dominated by
+    // single hot words, so exact count ties chain through shared
+    // symbols and the touched/eqThreat guards stop batches early.
+    // That is a property of the PROBLEM (sequential order genuinely
+    // depends on reduced counts), not of the guard: the r17 response
+    // is to make a batched round cost exactly a sequential round (one
+    // argmax collect; the collision symbol join is now a driver-side
+    // superset, the checkpoint lazy), so fill > 1 strictly wins and
+    // fill = 1 ties — batching never pays WITHOUT winning again.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val alpha = ('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9')
+    val words = (0 until 300).map { _ =>
+      val len = 3 + rnd.nextInt(6)
+      (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    }.distinct
+    val docs = words.zipWithIndex.map { case (w, r) =>
+      Seq.fill(math.max(1, 1000 / (r + 1)))(w).mkString(" ")
+    }.toDF("text")
+    val m = BpeTrainer.trainMerges(docs, "text", nMerges = 200,
+      minCount = 2, batchK = 16)
+    assert(m.merges.size >= 100,
+      s"corpus trained out after ${m.merges.size} merges — " +
+        "regenerate a richer vocabulary")
+    // actions = 1 (alphabet) + one collect per round — no per-round
+    // checkpoint job, no symbol-set join
+    val rounds = m.actions - 1
+    val fill = m.merges.size.toDouble / rounds
+    assert(fill >= 1.5,
+      s"realized fill $fill (${m.merges.size} merges / $rounds rounds)")
+    // strict dominance: sequential would cost merges+1 collects of the
+    // same shape; batched must use strictly fewer
+    assert(m.actions < m.merges.size,
+      s"batched actions ${m.actions} not under ${m.merges.size} " +
+        "sequential collects — batching pays without winning")
+    // the argmax invariant (identity vs sequential is fuzz-pinned
+    // elsewhere; 200 sequential rounds here would cost minutes)
+    val cnts = m.merges.map(_.count)
+    assert(cnts.zip(cnts.drop(1)).forall { case (a, b) => a >= b })
   }
 
   test("segment reassembles every word losslessly; OOV falls back to chars") {

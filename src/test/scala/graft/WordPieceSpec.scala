@@ -213,6 +213,25 @@ class WordPieceSpec extends AnyFunSuite with PropHelpers {
     }
   }
 
+  test("score ties over supplementary-plane symbols follow Spark's " +
+      "UTF8 binary order, not Java's") {
+    // same trap as the BpeTrainerSpec twin: the driver re-sort of the
+    // collected candidates must use UTF8 byte order (Utf8Order), where
+    // U+E000 < U+10000, not Java's UTF-16 code-unit order, where the
+    // surrogate pair ranks first — a score tie would otherwise pick a
+    // different argmax than trainMergesSequential's Spark orderBy.
+    import spark.implicits._
+    val e = "\uE000"      // BMP private-use, UTF-8 EE 80 80
+    val s = "\uD800\uDC00" // U+10000, UTF-8 F0 90 80 80
+    val docs = Seq(s"${e}b ${e}b ${s}b ${s}b").toDF("text")
+    val batched = WordPieceTrainer.trainMerges(docs, "text", nMerges = 2,
+      minCount = 2, batchK = 4)
+    val seq = WordPieceTrainer.trainMergesSequential(docs, "text",
+      nMerges = 2, minCount = 2)
+    assert(batched.merges == seq.merges)
+    assert(batched.merges.head.left == e, batched.merges.toString)
+  }
+
   test("batched trainMerges needs >= 5x fewer driver actions at " +
       "nMerges = 50") {
     // WordPiece batches are intrinsically smaller than BPE's (real
