@@ -106,6 +106,25 @@ object ScaleOps {
       w.option("path", p).saveAsTable(table))
   }
 
+  /** Append rows into an existing bucketed table written by
+    * [[writeBucketed]] — the incremental half of the layout story
+    * (nightly accepted rows join the standing table without a
+    * rebuild). Spark validates the bucket spec against the catalog;
+    * each append lands its own per-bucket files (bucketed scans read
+    * multi-file buckets fine — the within-bucket sort is per-file,
+    * which only costs the joiner a re-sort, never an exchange).
+    */
+  def appendBucketed(
+      df: DataFrame,
+      table: String,
+      key: String,
+      buckets: Int): Unit =
+    df.write.mode("append")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Z-order (Morton) value over numeric columns: each column is
     * bucketed into `2^bits` fixed-width ranks between its min and max
     * (passed in as literals — one tiny agg job collects them), and the

@@ -1158,23 +1158,8 @@ object TextDedup {
     val bsh = CacheHandle.persistWith(handle,
       shingles(batch, idCol, textCol, shingleN))
     bsh.count() // eager: sizes, prefix + verify side read it
-    val bsz = bsh.groupBy(idCol).agg(count(lit(1)).as("sz"))
-    // the one corpus lookup of the night: batch shingles against the
-    // bucketed rank table (corpus side pre-partitioned on shingle —
-    // no exchange); a LEFT join keeps absent shingles with null rn
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol)
-      // O: absent-from-corpus first (false < true), among themselves
-      // by shingle; then corpus shingles by their frozen unique rank
-      .orderBy(col("rn").isNotNull, coalesce(col("rn"), lit(-1L)),
-        col("shingle"))
     val bpref = CacheHandle.persistWith(handle,
-      bsh.join(rank, Seq("shingle"), "left")
-        .withColumn("p", row_number().over(w).cast("long"))
-        .join(bsz, idCol)
-        .filter(col("p") <=
-          col("sz") - floor(lit(threshold) * col("sz").cast("double")) + 1L)
-        .select(col(idCol), col("shingle"), col("sz")))
+      frozenOrderPrefix(rank, bsh, idCol, threshold))
     if (maxPrefixPosting == Int.MaxValue)
       bpref.count() // eager: candidate join + audit would race it
     else {
@@ -1219,6 +1204,78 @@ object TextDedup {
       .filter(col("ja") >= threshold)
       .select(col("a"), col("b"), col("inter"), col("sz_a"), col("sz_b"),
         round(col("ja"), 6).as("ja_r"))
+  }
+
+  /** Extend a standing-corpus index written by [[writePrefixIndex]]
+    * with newly ACCEPTED documents (tonight's batch after dedup) —
+    * the incremental half of the index lifecycle, so the corpus never
+    * needs a full re-shingle between rebuilds. The `_rank` table
+    * stays FROZEN: the index order O is "(shingles absent from
+    * `_rank`, sorted by shingle) before (`_rank` shingles by rank)",
+    * which is one well-defined total order for every past and future
+    * participant — appended documents' prefixes are computed under O
+    * exactly like a query batch's (shared [[frozenOrderPrefix]]), so
+    * stored and appended prefixes are all true O-prefixes and the
+    * reader's exactness proof carries over unchanged. What drifts is
+    * only the df HEURISTIC: an appended shingle's real document
+    * frequency grows while its rank stays frozen, so prefix postings
+    * can run hotter than a fresh rebuild's — a performance property,
+    * policed by the reader's hot-posting audit; rebuild the index
+    * (one [[writePrefixIndex]]) when the audit margin thins.
+    * `threshold` and `buckets` must match the build (Spark validates
+    * the bucket spec; the τ contract is the builder's).
+    */
+  def appendPrefixIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int,
+      shingleN: Int = 3,
+      threshold: Double = 0.8,
+      handle: CacheHandle = null): Unit = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold in (0, 1], got $threshold")
+    val rank = spark.table(s"${tablePrefix}_rank")
+    val bsh = CacheHandle.persistWith(handle,
+      shingles(batch, idCol, textCol, shingleN))
+    bsh.count() // eager: the prefix build and the _sh append read it
+    ScaleOps.appendBucketed(
+      frozenOrderPrefix(rank, bsh, idCol, threshold)
+        .select(col("shingle"), col(idCol), col("sz")),
+      s"${tablePrefix}_pref", "shingle", buckets)
+    ScaleOps.appendBucketed(bsh.select(col(idCol), col("shingle")),
+      s"${tablePrefix}_sh", idCol, buckets)
+  }
+
+  /** Batch-side prefix frame under a FROZEN index order (shared by
+    * the indexed reader and [[appendPrefixIndex]]): shingles absent
+    * from `rank` order FIRST among themselves by shingle (corpus df
+    * 0 — the rarity heuristic's limit), then `rank` shingles by their
+    * frozen unique rank. The rank lookup is the one corpus-table
+    * touch (bucketed on shingle — no corpus-side exchange); a LEFT
+    * join keeps absent shingles with null rn. Output
+    * (idCol, shingle, sz).
+    */
+  private def frozenOrderPrefix(
+      rank: DataFrame,
+      bsh: DataFrame,
+      idCol: String,
+      threshold: Double): DataFrame = {
+    val bsz = bsh.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol)
+      // O: absent-from-corpus first (false < true), among themselves
+      // by shingle; then corpus shingles by their frozen unique rank
+      .orderBy(col("rn").isNotNull, coalesce(col("rn"), lit(-1L)),
+        col("shingle"))
+    bsh.join(rank, Seq("shingle"), "left")
+      .withColumn("p", row_number().over(w).cast("long"))
+      .join(bsz, idCol)
+      .filter(col("p") <=
+        col("sz") - floor(lit(threshold) * col("sz").cast("double")) + 1L)
+      .select(col(idCol), col("shingle"), col("sz"))
   }
 
   /** Shared [[prefixJaccardPairs]] core: shingles, per-doc sizes, and

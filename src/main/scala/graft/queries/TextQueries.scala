@@ -287,6 +287,33 @@ object TextQueries {
         .orderBy("a", "b")
     }),
 
+    // The index LIFECYCLE gate: build on half the standing corpus
+    // (doc_id < 150), APPEND the other half (150..249 — tonight's
+    // accepted docs joining the index under the FROZEN rank, the
+    // TextDedup.appendPrefixIndex contract), then run the nightly
+    // against the extended index. Ground truth is the SAME cross-pairs
+    // oracle as q_prefix_jaccard_incr — a hash match proves appended
+    // documents participate exactly (their prefixes are true prefixes
+    // of the frozen total order even when their shingles never
+    // appeared in the rank table). writePrefixIndex's overwrite mode
+    // makes the query rerun-safe in one JVM (Bench runs it twice).
+    "q_prefix_jaccard_incr_append" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val app = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      val tp = s"graft_ppjapp_$app"
+      TextDedup.writePrefixIndex(d.filter(col("doc_id") < 150),
+        "doc_id", "text", tp, buckets = 8, shingleN = 3, threshold = 0.8,
+        pathPrefix = Some(Tables.scratchDir(s, tp).toString),
+        maxPrefixPosting = 200)
+      TextDedup.appendPrefixIndex(s, tp,
+        d.filter(col("doc_id") >= 150 && col("doc_id") < 250),
+        "doc_id", "text", buckets = 8, shingleN = 3, threshold = 0.8)
+      TextDedup.prefixJaccardAgainstIndexed(s, tp,
+        d.filter(col("doc_id") >= 250), "doc_id", "text",
+        shingleN = 3, threshold = 0.8, maxPrefixPosting = 200)
+        .orderBy("a", "b")
+    }),
+
     // Exact repeated-substring removal plan (TextDedup
     // .substringRemovalPlan) — the ExactSubstr step: cut every 40-char
     // span that appears verbatim >= 2 times corpus-wide, merged into
@@ -2473,6 +2500,37 @@ SELECT tokenizer, n_words, n_subwords, n_unk, fertility_r FROM (
     // ground truth (no prefix machinery, no index): a hash match
     // proves the frozen-corpus-rank prefix rule lossless corpus-wide
     "q_prefix_jaccard_incr_idx" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+             FROM documents),
+         d2 AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 3),
+         tok AS (SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS pos FROM d2),
+         sh AS (SELECT DISTINCT t1.doc_id,
+             t1.tok || ' ' || t2.tok || ' ' || t3.tok AS shingle
+             FROM tok t1
+             JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+             JOIN tok t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2),
+         sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+             FROM sh GROUP BY doc_id),
+         inter AS (SELECT x.doc_id AS a, y.doc_id AS b,
+             CAST(count(*) AS BIGINT) AS inter
+             FROM sh x JOIN sh y
+               ON x.shingle = y.shingle
+                  AND x.doc_id >= 250 AND y.doc_id < 250
+             GROUP BY 1, 2)
+         SELECT i.a, i.b, i.inter, sa.sz AS sz_a, sb.sz AS sz_b,
+             round(CAST(i.inter AS DOUBLE) /
+               CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 6) AS ja_r
+         FROM inter i
+         JOIN sz sa ON sa.doc_id = i.a
+         JOIN sz sb ON sb.doc_id = i.b
+         WHERE CAST(i.inter AS DOUBLE) /
+           CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= 0.8
+         ORDER BY a, b""",
+    // the append lifecycle is exact too — identical ground truth (the
+    // full standing corpus is < 250 regardless of which half was
+    // built vs appended)
+    "q_prefix_jaccard_incr_append" ->
       """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
              FROM documents),
          d2 AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 3),

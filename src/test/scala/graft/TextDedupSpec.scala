@@ -773,6 +773,63 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("appendPrefixIndex: appended docs participate exactly under " +
+      "the frozen rank, including shingles the rank never saw") {
+    // the lifecycle contract: build(c1) + append(c2) must answer
+    // queries exactly like a fresh union index — even when c2 and the
+    // batch both carry shingles absent from c1's frozen rank (they
+    // order first-by-shingle for EVERY participant, so all stored
+    // prefixes stay true prefixes of the one total order)
+    import spark.implicits._
+    import org.scalacheck.Gen
+    val alpha = Vector("a", "b", "c", "d", "e")
+    def genDoc(v: Vector[String]) = for {
+      len <- Gen.choose(2, 12)
+      ws <- Gen.listOfN(len, Gen.oneOf(v))
+    } yield ws.mkString(" ")
+    val genCorpus = for {
+      n1 <- Gen.choose(3, 6)
+      n2 <- Gen.choose(3, 6)
+      nb <- Gen.choose(3, 8)
+      c1 <- Gen.listOfN(n1, genDoc(alpha))
+      c2 <- Gen.listOfN(n2, genDoc(alpha :+ "y")) // unseen vs c1
+      bd <- Gen.listOfN(nb, genDoc(alpha ++ Vector("y", "z")))
+      tau <- Gen.oneOf(0.5, 0.8)
+    } yield (c1.zipWithIndex.map { case (t, i) => (i.toLong, t) },
+      c2.zipWithIndex.map { case (t, i) => (100L + i, t) },
+      bd.zipWithIndex.map { case (t, i) => (i.toLong, t) }, tau)
+    val tp = "graft_ppjapp_fuzz"
+    try {
+      new PropHelpers {}.forAll(genCorpus, n = 5) {
+        case (c1, c2, brows, tau) =>
+          val c1df = c1.toDF("doc_id", "text")
+          val c2df = c2.toDF("doc_id", "text")
+          val bdf = brows.toDF("doc_id", "text")
+          TextDedup.writePrefixIndex(c1df, "doc_id", "text", tp,
+            buckets = 4, shingleN = 3, threshold = tau,
+            pathPrefix = Some(scratch(tp)))
+          TextDedup.appendPrefixIndex(spark, tp, c2df, "doc_id", "text",
+            buckets = 4, shingleN = 3, threshold = tau)
+          def collectPairs(d: org.apache.spark.sql.DataFrame) = d.collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+              r.getLong(3), r.getLong(4)))
+            .toSet
+          val got = collectPairs(TextDedup.prefixJaccardAgainstIndexed(
+            spark, tp, bdf, "doc_id", "text", shingleN = 3,
+            threshold = tau))
+          val expected = collectPairs(TextDedup.prefixJaccardAgainst(
+            c1df.unionAll(c2df), bdf, "doc_id", "text", shingleN = 3,
+            threshold = tau))
+          assert(got == expected,
+            s"tau=$tau extra=${got -- expected} missing=${expected -- got}")
+          graft.ops.QueryCaches.releaseAll()
+      }
+    } finally {
+      dropIndex(tp)
+      graft.ops.QueryCaches.releaseAll()
+    }
+  }
+
   test("indexed PPJoin: all-new-shingle batch docs, a looser build " +
       "threshold stays lossless, build-time audit fails loudly") {
     import spark.implicits._
