@@ -121,12 +121,57 @@ object ScaleSweep {
         Seq(("p50", 0.5), ("p95", 0.95), ("p99", 0.99))))
     }
 
+    // nightly PPJoin twins on the SAME ladder: the corpus multiplies
+    // with DISTINCT content per copy (every token prefixed per copy —
+    // the realistic growth regime: a bigger corpus is mostly new
+    // text), the batch stays FIXED (200 exact copies of corpus-copy-0
+    // docs, so matches exist and the match set is flat in m). The
+    // re-ranking variant re-shingles + re-ranks corpus ∪ batch every
+    // night — its cost must track the corpus (~linear); the indexed
+    // variant reads the prebuilt bucketed tables — scan-only on the
+    // corpus side, no exchange, so its curve must sit well below with
+    // a smaller slope. The index build runs INSIDE the first pass of
+    // each rung and the min-of-passes discipline discards it (the
+    // catalog memo skips it on later passes).
+    def ppjCorpus(m: Int): DataFrame = {
+      val d0 = Tables.table(spark, sfDir, "documents")
+        .filter(col("doc_id") < 3000)
+        .select(col("doc_id"), col("text"))
+      (0 until m).map(i =>
+          d0.select((col("doc_id") * m + i).as("doc_id"),
+            regexp_replace(col("text"), "(^|\\s)", "$1x" + i + "_")
+              .as("text")))
+        .reduce(_ unionAll _)
+    }
+    def ppjBatch: DataFrame =
+      Tables.table(spark, sfDir, "documents")
+        .filter(col("doc_id") < 200)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          regexp_replace(col("text"), "(^|\\s)", "$1x0_").as("text"))
+    def ppjRerankBody(m: Int): Unit =
+      noop(graft.ops.TextDedup.prefixJaccardAgainst(
+        ppjCorpus(m), ppjBatch, "doc_id", "text",
+        shingleN = 3, threshold = 0.8))
+    def ppjIndexedBody(m: Int): Unit = {
+      val tp = s"graft_ppj_sweep_$m"
+      if (!spark.catalog.tableExists(s"${tp}_rank"))
+        graft.ops.TextDedup.writePrefixIndex(ppjCorpus(m),
+          "doc_id", "text", tp, buckets = 16, shingleN = 3,
+          threshold = 0.8,
+          pathPrefix = Some(Tables.scratchDir(spark, tp).toString))
+      noop(graft.ops.TextDedup.prefixJaccardAgainstIndexed(
+        spark, tp, ppjBatch, "doc_id", "text",
+        shingleN = 3, threshold = 0.8))
+    }
+
     val families: Seq[(String, Int => Unit)] = Seq(
       ("exact_dedup (control)", exactBody),
       ("minhash_lsh_dedup", minhashBody),
       ("lsh_cosine_pairs", lshPairsBody),
       ("cooccur_capped_pagerank", graphBody),
-      ("global_exact_quantiles", quantilesBody))
+      ("global_exact_quantiles", quantilesBody),
+      ("ppjoin_nightly_rerank", ppjRerankBody),
+      ("ppjoin_nightly_indexed", ppjIndexedBody))
 
     val rungs = Seq(1, 2, 4, 8, 16)
     def loadNow(): String =
