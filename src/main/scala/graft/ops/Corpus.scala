@@ -278,10 +278,11 @@ object Corpus {
       corpus: DataFrame,
       textCol: String,
       table: String,
-      buckets: Int): Unit =
+      buckets: Int,
+      path: Option[String] = None): Unit =
     ScaleOps.writeBucketed(
       corpus.select(md5(TextDedup.normText(col(textCol))).as("fp")).distinct(),
-      table, "fp", buckets)
+      table, "fp", buckets, path)
 
   /** [[incrementalDedup]] against a bucketed fingerprint table written
     * by [[writeCorpusFingerprints]]: same output, but the corpus side
