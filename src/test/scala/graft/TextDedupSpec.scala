@@ -909,6 +909,14 @@ class TextDedupSpec extends AnyFunSuite {
       TextDedup.writePrefixIndex(corpusDf, "doc_id", "text", tp,
         buckets = 4, shingleN = 3, threshold = 0.5,
         pathPrefix = Some(scratch(tp)))
+      // append a second tranche BEFORE pinning: each append lands its
+      // own per-bucket files, and multi-file buckets must keep the
+      // zero-exchange property (they only cost the joiner a re-sort)
+      TextDedup.appendPrefixIndex(spark, tp,
+        (200L until 220L)
+          .map(i => (i, s"w${i % 7} w${(i + 1) % 7} w${(i + 2) % 7} p$i q$i"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", buckets = 4, shingleN = 3, threshold = 0.5)
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val out = TextDedup.prefixJaccardAgainstIndexed(spark, tp, batchDf,
