@@ -380,6 +380,20 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Exact cosine-threshold pairs over shingle-tf vectors — the
+    // AllPairs prefix filter (Bayardo et al. WWW'07), the exact
+    // cosine companion to q_prefix_jaccard. The oracle computes
+    // ground truth from the FULL tf posting join with no prefix
+    // machinery, so a hash match proves the suffix-bound prefix rule
+    // lossless corpus-wide; the threshold decision is the all-integer
+    // num² >= τ²·(na2·nb2) comparison written with the identical
+    // association on both engines (no boundary-row float risk). Runs
+    // the family's hot-posting audit at the shared gate bound.
+    "q_cosine_allpairs" -> ((s, dir) =>
+      graft.ops.CosineAllPairs.pairs(docs(s, dir), "doc_id", "text",
+        shingleN = 3, threshold = 0.8, maxPrefixPosting = 200)
+        .orderBy("a", "b")),
+
     // Exact repeated-substring removal plan (TextDedup
     // .substringRemovalPlan) — the ExactSubstr step: cut every 40-char
     // span that appears verbatim >= 2 times corpus-wide, merged into
@@ -2700,6 +2714,38 @@ SELECT tokenizer, n_words, n_subwords, n_unk, fertility_r FROM (
            b.doc_id IN (SELECT doc_id FROM ncx) AS corpus_clean,
            b.doc_id IN (SELECT doc_id FROM acc) AS accepted
          FROM b ORDER BY doc_id""",
+    // cosine AllPairs ground truth: FULL tf posting join, the same
+    // all-integer threshold comparison, association mirrored verbatim
+    "q_cosine_allpairs" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+             FROM documents),
+         d2 AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 3),
+         tok AS (SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS pos FROM d2),
+         shm AS (SELECT t1.doc_id,
+             t1.tok || ' ' || t2.tok || ' ' || t3.tok AS shingle
+             FROM tok t1
+             JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+             JOIN tok t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2),
+         tf AS (SELECT doc_id, shingle, CAST(count(*) AS BIGINT) AS tf
+             FROM shm GROUP BY 1, 2),
+         sz AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS na2
+             FROM tf GROUP BY 1),
+         nm AS (SELECT x.doc_id AS a, y.doc_id AS b,
+             CAST(sum(x.tf * y.tf) AS BIGINT) AS num
+             FROM tf x JOIN tf y
+               ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+             GROUP BY 1, 2)
+         SELECT n.a, n.b, n.num, sa.na2 AS na2, sb.na2 AS nb2,
+             round(CAST(n.num AS DOUBLE) /
+               (sqrt(CAST(sa.na2 AS DOUBLE)) *
+                sqrt(CAST(sb.na2 AS DOUBLE))), 6) AS cos_r
+         FROM nm n
+         JOIN sz sa ON sa.doc_id = n.a
+         JOIN sz sb ON sb.doc_id = n.b
+         WHERE CAST(n.num AS DOUBLE) * CAST(n.num AS DOUBLE) >=
+           0.8 * 0.8 * (CAST(sa.na2 AS DOUBLE) * CAST(sb.na2 AS DOUBLE))
+         ORDER BY a, b""",
     // the capped twin at a non-tripping cap equals the exact join —
     // same ground-truth oracle, tau = 0.9
     "q_prefix_jaccard_capped" ->

@@ -189,6 +189,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_cosine_allpairs: equi-join candidates off cached prefix, " +
+      "no all-pairs") {
+    try {
+      val p = plan("q_cosine_allpairs")
+      assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"all-pairs nested loop in:\n$p")
+      // tf / norms / prefix are persisted and multiply read (prefix
+      // feeds both candidate sides, tf both verify sides)
+      val scans = "InMemoryTableScan".r.findAllIn(p).size
+      assert(scans >= 4,
+        s"expected >= 4 cache reads, got $scans:\n$p")
+    } finally {
+      graft.ops.QueryCaches.releaseAll()
+      spark.catalog.clearCache()
+    }
+  }
+
   test("scaled batching/reshape twins have no single-partition exchange") {
     Seq("q_batch_scaled", "q_reshape_scaled").foreach { name =>
       val p = plan(name)
