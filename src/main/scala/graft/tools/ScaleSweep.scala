@@ -164,6 +164,15 @@ object ScaleSweep {
         shingleN = 3, threshold = 0.8))
     }
 
+    // exact cosine AllPairs self-join on the same multiplied corpus
+    // (distinct content per copy, so qualifying pairs stay within
+    // copies and the family measures candidate-volume growth, not
+    // result-set blowup) — its prefix postings are structurally
+    // larger than Jaccard's, so the exponent is worth a measured row
+    def cosineBody(m: Int): Unit =
+      noop(graft.ops.CosineAllPairs.pairs(ppjCorpus(m),
+        "doc_id", "text", shingleN = 3, threshold = 0.8))
+
     val families: Seq[(String, Int => Unit)] = Seq(
       ("exact_dedup (control)", exactBody),
       ("minhash_lsh_dedup", minhashBody),
@@ -171,7 +180,8 @@ object ScaleSweep {
       ("cooccur_capped_pagerank", graphBody),
       ("global_exact_quantiles", quantilesBody),
       ("ppjoin_nightly_rerank", ppjRerankBody),
-      ("ppjoin_nightly_indexed", ppjIndexedBody))
+      ("ppjoin_nightly_indexed", ppjIndexedBody),
+      ("cosine_allpairs", cosineBody))
 
     val rungs = Seq(1, 2, 4, 8, 16)
     def loadNow(): String =
