@@ -1035,13 +1035,19 @@ object TextDedup {
     * a nightly run at threshold' > threshold stays lossless (stored
     * prefixes are longer than that cut needs — over-inclusive only);
     * threshold' < threshold would need prefixes the index never
-    * stored and is rejected by the reader.
+    * stored. That contract is ENFORCED, not trusted: a fourth 1-row
+    * sidecar table `<prefix>_meta` (tau_build, shingle_n, buckets)
+    * is written with the index, and both the reader and
+    * [[appendPrefixIndex]] reject a call that violates it instead of
+    * silently losing pairs.
     *
     * The family's hot-posting audit runs at BUILD time over the
     * corpus prefix postings (fail loud once per rebuild, not at 3am
     * in the nightly): `maxPrefixPosting` bounds the corpus factor of
     * the nightly cross fan-out (posting_batch × posting_corpus); the
-    * reader audits the batch factor per run.
+    * reader audits the batch factor per run, plus the corpus postings
+    * the batch actually touches (appends can grow them past the
+    * build-time audit — see [[appendPrefixIndex]]).
     */
   def writePrefixIndex(
       corpus: DataFrame,
@@ -1099,6 +1105,29 @@ object TextDedup {
       buckets, p("_pref"))
     ScaleOps.writeBucketed(sh.select(col(idCol), col("shingle")),
       s"${tablePrefix}_sh", idCol, buckets, p("_sh"))
+    // the build contract rides WITH the index (1-row sidecar) so the
+    // reader/append paths can reject a mismatched call instead of
+    // silently losing pairs (a τ' < τ_build read is lossy by
+    // construction — stored prefixes are too short for it)
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val mw = Seq((threshold, shingleN, buckets))
+      .toDF("tau_build", "shingle_n", "buckets")
+      .coalesce(1).write.mode("overwrite").format("parquet")
+    p("_meta").fold(mw.saveAsTable(s"${tablePrefix}_meta"))(pp =>
+      mw.option("path", pp).saveAsTable(s"${tablePrefix}_meta"))
+  }
+
+  /** Read the 1-row `_meta` sidecar written by [[writePrefixIndex]]:
+    * (tau_build, shingle_n, buckets).
+    */
+  private def readIndexMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String): (Double, Int, Int) = {
+    val r = spark.table(s"${tablePrefix}_meta").collect().head
+    (r.getDouble(r.fieldIndex("tau_build")),
+      r.getInt(r.fieldIndex("shingle_n")),
+      r.getInt(r.fieldIndex("buckets")))
   }
 
   /** Nightly-incremental PPJoin against a standing-corpus index
@@ -1132,11 +1161,19 @@ object TextDedup {
     *
     * `threshold` must be >= the index's build threshold: the stored
     * corpus prefixes are cut at the build τ, and a looser nightly τ
-    * would need longer prefixes than the index holds. The index does
-    * not carry its build τ (a bucketed table has no metadata channel
-    * worth racing), so the contract is the caller's — stated here and
-    * in the builder's scaladoc, and exercised at equal τ by the
-    * declared query.
+    * would need longer prefixes than the index holds. The contract is
+    * ENFORCED against the `_meta` sidecar the builder writes
+    * (τ' < τ_build or a shingleN mismatch is rejected here, loudly,
+    * instead of silently losing pairs).
+    *
+    * With `maxPrefixPosting` set, TWO audits run per nightly: the
+    * batch prefix postings (the batch factor of the cross fan-out),
+    * and the CORPUS prefix postings tonight's batch actually touches
+    * (a left-semi lookup keyed on the bucket key — zero corpus
+    * exchange, batch-sized output). The corpus factor was audited
+    * once at build time, but [[appendPrefixIndex]] grows postings
+    * under a frozen rank, so the touched-posting audit is what makes
+    * append drift loud instead of a quiet quadratic fan-out.
     */
   def prefixJaccardAgainstIndexed(
       spark: org.apache.spark.sql.SparkSession,
@@ -1152,6 +1189,15 @@ object TextDedup {
       s"threshold in (0, 1], got $threshold")
     require(maxPrefixPosting > 0,
       s"maxPrefixPosting must be positive, got $maxPrefixPosting")
+    val (tauBuild, shNBuild, _) = readIndexMeta(spark, tablePrefix)
+    require(threshold >= tauBuild,
+      s"prefixJaccardAgainstIndexed: threshold $threshold < the " +
+        s"index's build threshold $tauBuild — stored prefixes are cut " +
+        "at the build τ and a looser read would silently lose pairs; " +
+        "rebuild the index at the looser τ")
+    require(shingleN == shNBuild,
+      s"prefixJaccardAgainstIndexed: shingleN $shingleN does not " +
+        s"match the index's build shingleN $shNBuild")
     val rank = spark.table(s"${tablePrefix}_rank")
     val cpref = spark.table(s"${tablePrefix}_pref")
     val csh = spark.table(s"${tablePrefix}_sh")
@@ -1163,8 +1209,8 @@ object TextDedup {
     if (maxPrefixPosting == Int.MaxValue)
       bpref.count() // eager: candidate join + audit would race it
     else {
-      // the BATCH factor of the cross fan-out (the corpus factor was
-      // audited once at build time); collect doubles as materializer
+      // the BATCH factor of the cross fan-out; collect doubles as
+      // materializer
       val worst = overCapBuckets(bpref, Seq("shingle"), maxPrefixPosting)
         .orderBy(col("n_members").desc, col("shingle"))
         .limit(1).collect()
@@ -1175,6 +1221,27 @@ object TextDedup {
           s"(> maxPrefixPosting=$maxPrefixPosting) — the cross " +
           "candidate join would fan out on it; raise the bound if " +
           "the fan-out is affordable"
+      })
+      // the CORPUS factor, restricted to what tonight actually
+      // touches: the build-time audit covered the freshly-built
+      // postings, but appendPrefixIndex grows them under a frozen
+      // rank — without this, a run of appends fans the candidate
+      // join out with no tripwire. Left-semi keyed on the bucket key:
+      // zero corpus exchange, batch-sized output.
+      val cworst = overCapBuckets(
+          cpref.join(bpref.select("shingle").distinct(),
+            Seq("shingle"), "left_semi"),
+          Seq("shingle"), maxPrefixPosting)
+        .orderBy(col("n_members").desc, col("shingle"))
+        .limit(1).collect()
+      require(cworst.isEmpty, {
+        val r = cworst.head
+        s"prefixJaccardAgainstIndexed: corpus prefix posting for " +
+          s"batch-touched shingle '${r.getString(0)}' has " +
+          s"${r.getLong(1)} members (> maxPrefixPosting=" +
+          s"$maxPrefixPosting) — appends have grown it past the " +
+          "build-time audit; rebuild the index (one writePrefixIndex) " +
+          "or raise the bound if the fan-out is affordable"
       })
     }
     // candidate join: batch prefix postings against the bucketed
@@ -1220,10 +1287,15 @@ object TextDedup {
     * only the df HEURISTIC: an appended shingle's real document
     * frequency grows while its rank stays frozen, so prefix postings
     * can run hotter than a fresh rebuild's — a performance property,
-    * policed by the reader's hot-posting audit; rebuild the index
-    * (one [[writePrefixIndex]]) when the audit margin thins.
-    * `threshold` and `buckets` must match the build (Spark validates
-    * the bucket spec; the τ contract is the builder's).
+    * policed per nightly by the reader's touched-corpus-posting audit
+    * ([[prefixJaccardAgainstIndexed]] with `maxPrefixPosting` set
+    * semi-joins `_pref` against tonight's batch prefix shingles and
+    * REQUIREs every touched posting within the bound); rebuild the
+    * index (one [[writePrefixIndex]]) when that audit trips.
+    * `threshold`, `shingleN` and `buckets` must match the build —
+    * validated here against the `_meta` sidecar (an append at a
+    * different τ would store prefixes cut at the wrong length and
+    * quietly break readers between the two τs).
     */
   def appendPrefixIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -1237,6 +1309,18 @@ object TextDedup {
       handle: CacheHandle = null): Unit = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold in (0, 1], got $threshold")
+    val (tauBuild, shNBuild, bkBuild) = readIndexMeta(spark, tablePrefix)
+    require(threshold == tauBuild,
+      s"appendPrefixIndex: threshold $threshold != the index's build " +
+        s"threshold $tauBuild — appended prefixes must be cut exactly " +
+        "like the stored ones or readers between the two τs silently " +
+        "lose pairs")
+    require(shingleN == shNBuild,
+      s"appendPrefixIndex: shingleN $shingleN does not match the " +
+        s"index's build shingleN $shNBuild")
+    require(buckets == bkBuild,
+      s"appendPrefixIndex: buckets $buckets does not match the " +
+        s"index's build buckets $bkBuild")
     val rank = spark.table(s"${tablePrefix}_rank")
     val bsh = CacheHandle.persistWith(handle,
       shingles(batch, idCol, textCol, shingleN))

@@ -719,7 +719,7 @@ class TextDedupSpec extends AnyFunSuite {
   }
 
   private def dropIndex(tp: String): Unit =
-    Seq("_rank", "_pref", "_sh").foreach(sfx =>
+    Seq("_rank", "_pref", "_sh", "_meta").foreach(sfx =>
       spark.sql(s"DROP TABLE IF EXISTS $tp$sfx"))
 
   private def scratch(tp: String): String =
@@ -885,6 +885,106 @@ class TextDedupSpec extends AnyFunSuite {
       assert(ex.getMessage.contains("30 members"), ex.getMessage)
     } finally {
       dropIndex(tp2)
+      graft.ops.QueryCaches.releaseAll()
+    }
+  }
+
+  test("prefix index _meta sidecar: reader and append reject a call " +
+      "that violates the build contract") {
+    // the VERDICT-r17 gap: τ' < τ_build silently LOSES pairs (stored
+    // prefixes are too short) — the sidecar turns that into a loud
+    // rejection instead of a contract in the caller's head
+    import spark.implicits._
+    val corpusDf = Seq(
+      (0L, "a b c d e f"), (1L, "p q r s t u")).toDF("doc_id", "text")
+    val batchDf = Seq((10L, "a b c d e f g")).toDF("doc_id", "text")
+    val tp = "graft_ppjidx_meta"
+    try {
+      TextDedup.writePrefixIndex(corpusDf, "doc_id", "text", tp,
+        buckets = 4, shingleN = 3, threshold = 0.8,
+        pathPrefix = Some(scratch(tp)))
+      // the sidecar carries the build contract
+      val m = spark.table(s"${tp}_meta").collect().head
+      assert(m.getDouble(m.fieldIndex("tau_build")) == 0.8)
+      assert(m.getInt(m.fieldIndex("shingle_n")) == 3)
+      assert(m.getInt(m.fieldIndex("buckets")) == 4)
+      // reader at a LOOSER τ: lossy by construction -> rejected
+      val e1 = intercept[IllegalArgumentException] {
+        TextDedup.prefixJaccardAgainstIndexed(spark, tp, batchDf,
+          "doc_id", "text", shingleN = 3, threshold = 0.5)
+      }
+      assert(e1.getMessage.contains("build threshold 0.8"), e1.getMessage)
+      // reader with a mismatched shingleN: different feature space
+      val e2 = intercept[IllegalArgumentException] {
+        TextDedup.prefixJaccardAgainstIndexed(spark, tp, batchDf,
+          "doc_id", "text", shingleN = 2, threshold = 0.8)
+      }
+      assert(e2.getMessage.contains("shingleN"), e2.getMessage)
+      // append at a different τ: wrong prefix cut for stored readers
+      val e3 = intercept[IllegalArgumentException] {
+        TextDedup.appendPrefixIndex(spark, tp, batchDf, "doc_id", "text",
+          buckets = 4, shingleN = 3, threshold = 0.9)
+      }
+      assert(e3.getMessage.contains("build"), e3.getMessage)
+      // append with mismatched buckets
+      val e4 = intercept[IllegalArgumentException] {
+        TextDedup.appendPrefixIndex(spark, tp, batchDf, "doc_id", "text",
+          buckets = 8, shingleN = 3, threshold = 0.8)
+      }
+      assert(e4.getMessage.contains("buckets"), e4.getMessage)
+      // the matching call still works end-to-end
+      val ok = TextDedup.prefixJaccardAgainstIndexed(spark, tp, batchDf,
+        "doc_id", "text", shingleN = 3, threshold = 0.8)
+      assert(ok.count() >= 0L)
+      graft.ops.QueryCaches.releaseAll()
+    } finally {
+      dropIndex(tp)
+      graft.ops.QueryCaches.releaseAll()
+    }
+  }
+
+  test("indexed PPJoin reader audits the corpus postings the batch " +
+      "touches — append drift trips it, untouched postings don't") {
+    // the r17 'What's wrong': appendPrefixIndex grows corpus prefix
+    // postings under the frozen rank with no tripwire — the reader
+    // must fail loudly when tonight's batch touches a posting appends
+    // have grown past the bound, and stay quiet when the hot posting
+    // is never touched (the audit is batch-sized by design)
+    import spark.implicits._
+    val corpusDf = Seq(
+      (0L, "a b c d e"), (1L, "p q r s t")).toDF("doc_id", "text")
+    val tp = "graft_ppjidx_drift"
+    try {
+      TextDedup.writePrefixIndex(corpusDf, "doc_id", "text", tp,
+        buckets = 4, shingleN = 3, threshold = 0.5,
+        pathPrefix = Some(scratch(tp)), maxPrefixPosting = 16)
+      // 30 appended near-identical docs: every one's prefix holds the
+      // shingle 'x x x' -> its corpus posting grows to 30 > 16
+      TextDedup.appendPrefixIndex(spark, tp,
+        (100L until 130L).map(i => (i, "x x x x")).toDF("doc_id", "text"),
+        "doc_id", "text", buckets = 4, shingleN = 3, threshold = 0.5)
+      // a batch that TOUCHES the grown posting trips the audit
+      val hot = Seq((500L, "x x x y")).toDF("doc_id", "text")
+      val ex = intercept[IllegalArgumentException] {
+        TextDedup.prefixJaccardAgainstIndexed(spark, tp, hot,
+          "doc_id", "text", shingleN = 3, threshold = 0.5,
+          maxPrefixPosting = 16)
+      }
+      assert(ex.getMessage.contains("batch-touched shingle 'x x x'"),
+        ex.getMessage)
+      assert(ex.getMessage.contains("appends have grown"), ex.getMessage)
+      graft.ops.QueryCaches.releaseAll()
+      // a batch that avoids it passes — and still answers exactly
+      val cold = Seq((501L, "a b c d e f")).toDF("doc_id", "text")
+      val got = TextDedup.prefixJaccardAgainstIndexed(spark, tp, cold,
+          "doc_id", "text", shingleN = 3, threshold = 0.5,
+          maxPrefixPosting = 16)
+        .select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((501L, 0L)), got)
+      graft.ops.QueryCaches.releaseAll()
+    } finally {
+      dropIndex(tp)
       graft.ops.QueryCaches.releaseAll()
     }
   }
