@@ -284,6 +284,25 @@ object Corpus {
       corpus.select(md5(TextDedup.normText(col(textCol))).as("fp")).distinct(),
       table, "fp", buckets, path)
 
+  /** Append tonight's ACCEPTED documents' fingerprints into the
+    * standing bucketed table written by [[writeCorpusFingerprints]] —
+    * the incremental half of the exact-dedup lifecycle (the
+    * [[TextDedup.appendPrefixIndex]] counterpart): tomorrow's
+    * [[incrementalDedupBucketed]] then sees tonight's accepted docs
+    * without a corpus rebuild. Accepted docs passed exact dedup
+    * against this very table, so their fingerprints are genuinely
+    * new; distinct-within-batch keeps the table a set.
+    */
+  def appendCorpusFingerprints(
+      accepted: DataFrame,
+      textCol: String,
+      table: String,
+      buckets: Int): Unit =
+    ScaleOps.appendBucketed(
+      accepted.select(md5(TextDedup.normText(col(textCol))).as("fp"))
+        .distinct(),
+      table, "fp", buckets)
+
   /** [[incrementalDedup]] against a bucketed fingerprint table written
     * by [[writeCorpusFingerprints]]: same output, but the corpus side
     * scans pre-partitioned on `fp` — only tonight's (small) batch

@@ -146,4 +146,133 @@ object CosineAllPairs {
           (sqrt(col("na2").cast("double")) *
             sqrt(col("nb2").cast("double"))), 6).as("cos_r"))
   }
+
+  /** Nightly-incremental cosine AllPairs — tonight's `batch` exactly
+    * threshold-joined against the standing `corpus`
+    * ([[TextDedup.prefixJaccardAgainst]]'s shape at cosine
+    * semantics): emits every CROSS pair (a ∈ batch, b ∈ corpus) with
+    * cos(a, b) ≥ τ over shingle-tf vectors, exactly verified. Only
+    * cross pairs — in-batch mining composes with [[pairs]] on the
+    * batch alone, and the corpus is assumed already mined.
+    *
+    * The prefix theorem needs ONE rarity total order spanning both
+    * sides (a qualifying pair's earliest shared feature must land in
+    * both prefixes under the SAME order), so the rank is computed
+    * over corpus ∪ batch — the family's cross-side rule. The
+    * cosine-specific hazard the Jaccard family doesn't have: the
+    * suffix bound multiplies by maxŵ(t), and a batch doc can RAISE a
+    * shingle's max weight above the corpus's — a corpus-only maxŵ
+    * would UNDER-include (lossy). maxŵ here is the max over
+    * corpus ∪ batch, i.e. greatest(corpus maxŵ, batch maxŵ) per
+    * shingle: over-inclusive for each side's bound, never lossy.
+    *
+    * Internal keys carry a side tag, so id collisions between corpus
+    * and batch never conflate norms or verification — the output
+    * columns (a, b) are the raw ids per side. The hot-posting audit
+    * counts each prefix posting across BOTH sides (that union is what
+    * the cross candidate join fans out on — both factors bounded at
+    * once, the prefixJaccardAgainst contract).
+    *
+    * Scale honesty: the union rank re-scans the corpus tfs once per
+    * run — exactness of the shared order, not a standing index (the
+    * frozen-rank index generalization needs a maxŵ that appends can
+    * only RAISE, plus the `_meta` lifecycle — future work; every join
+    * here is a key equi-join, so the plan shape carries over).
+    *
+    * Output: (a, b, num, na2, nb2, cos_r), a ∈ batch, b ∈ corpus.
+    */
+  def pairsAgainst(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.8,
+      handle: CacheHandle = null,
+      maxPrefixPosting: Int = Int.MaxValue): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold in (0, 1], got $threshold")
+    require(maxPrefixPosting > 0,
+      s"maxPrefixPosting must be positive, got $maxPrefixPosting")
+    val tf = CacheHandle.persistWith(handle,
+      TextDedup.shingles(corpus, idCol, textCol, shingleN, dedup = false)
+        .select(lit(0).as("__side"), col(idCol), col("shingle"))
+        .unionAll(
+          TextDedup.shingles(batch, idCol, textCol, shingleN,
+            dedup = false)
+            .select(lit(1).as("__side"), col(idCol), col("shingle")))
+        .groupBy("__side", idCol, "shingle")
+        .agg(count(lit(1)).as("tf")))
+    tf.count() // eager: norms, df rank, weights + two verify sides
+    val sz = CacheHandle.persistWith(handle,
+      tf.groupBy("__side", idCol)
+        .agg(sum(col("tf") * col("tf")).as("na2")))
+    sz.count() // eager: the weight projection + two final joins
+    val wn = tf.join(sz, Seq("__side", idCol))
+      .select(col("__side"), col(idCol), col("shingle"),
+        (col("tf").cast("double") /
+          sqrt(col("na2").cast("double"))).as("w"))
+    // union max = greatest(corpus maxw, batch maxw) per shingle — the
+    // cosine-specific cross contract (a corpus-frozen maxw would be
+    // LOSSY for batch-raised weights)
+    val maxw = wn.groupBy("shingle").agg(max(col("w")).as("maxw"))
+    val dfc = tf.groupBy("shingle").agg(count(lit(1)).as("dfc"))
+    val ranked = ScaleOps.globalRowNumber(dfc, 8,
+        handle, col("dfc"), col("shingle"))
+      .select(col("shingle"), col("rn"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("__side", idCol).orderBy("rn")
+    val whole = org.apache.spark.sql.expressions.Window
+      .partitionBy("__side", idCol)
+    val pref = CacheHandle.persistWith(handle,
+      wn.join(maxw, "shingle").join(ranked, "shingle")
+        .withColumn("c", col("w") * col("maxw"))
+        .withColumn("cum", sum(col("c")).over(byDoc))
+        .withColumn("tot", sum(col("c")).over(whole))
+        .filter(col("tot") - (col("cum") - col("c")) >=
+          lit(threshold - 1e-9))
+        .select(col("__side"), col(idCol), col("shingle")))
+    if (maxPrefixPosting == Int.MaxValue)
+      pref.count() // eager: both candidate sides read it
+    else {
+      val worst = TextDedup.overCapBuckets(pref, Seq("shingle"),
+          maxPrefixPosting)
+        .orderBy(col("n_members").desc, col("shingle"))
+        .limit(1).collect()
+      require(worst.isEmpty, {
+        val r = worst.head
+        s"CosineAllPairs.pairsAgainst: prefix posting for shingle " +
+          s"'${r.getString(0)}' has ${r.getLong(1)} members across " +
+          s"corpus+batch (> maxPrefixPosting=$maxPrefixPosting) — the " +
+          "cross candidate join would fan out on it; raise the bound " +
+          "if the fan-out is affordable"
+      })
+    }
+    val cand = pref.filter(col("__side") === 1)
+      .select(col(idCol).as("a"), col("shingle"))
+      .join(pref.filter(col("__side") === 0)
+        .select(col("shingle"), col(idCol).as("b")), Seq("shingle"))
+      .select(col("a"), col("b"))
+      .distinct()
+    val num = cand
+      .join(tf.filter(col("__side") === 1)
+        .select(col(idCol).as("a"), col("shingle"),
+          col("tf").as("tfa")), Seq("a"))
+      .join(tf.filter(col("__side") === 0)
+        .select(col(idCol).as("b"), col("shingle"),
+          col("tf").as("tfb")), Seq("b", "shingle"))
+      .groupBy("a", "b").agg(sum(col("tfa") * col("tfb")).as("num"))
+    num
+      .join(sz.filter(col("__side") === 1)
+        .select(col(idCol).as("a"), col("na2")), "a")
+      .join(sz.filter(col("__side") === 0)
+        .select(col(idCol).as("b"), col("na2").as("nb2")), "b")
+      .filter(col("num").cast("double") * col("num").cast("double") >=
+        lit(threshold) * lit(threshold) *
+          (col("na2").cast("double") * col("nb2").cast("double")))
+      .select(col("a"), col("b"), col("num"), col("na2"), col("nb2"),
+        round(col("num").cast("double") /
+          (sqrt(col("na2").cast("double")) *
+            sqrt(col("nb2").cast("double"))), 6).as("cos_r"))
+  }
 }

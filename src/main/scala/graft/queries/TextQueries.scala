@@ -380,6 +380,102 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // The FULL nightly lifecycle loop (two nights): night 1 runs the
+    // composed decision (gates -> exact dedup vs corpus fingerprints
+    // -> near-dup vs the standing prefix index -> in-batch near-dup),
+    // then its ACCEPTED docs join the standing sides incrementally —
+    // fingerprints via Corpus.appendCorpusFingerprints, prefixes via
+    // TextDedup.appendPrefixIndex under the FROZEN rank — and night 2
+    // runs the same decision against the EXTENDED sides. The gate
+    // proves night 2 SEES night 1's accepted docs (an exact or near
+    // dup of an accepted night-1 doc must be rejected in night 2)
+    // without any corpus rebuild. Oracle replays both nights from
+    // scratch with corpus-2 = corpus UNION night-1 accepted. Audit
+    // bound 400 (not the family's 200): the appended night-1 docs
+    // legitimately grow touched corpus postings — exactly the drift
+    // the reader's touched-posting audit measures.
+    "q_pipeline_nightly2" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val corpus = d.filter(col("doc_id") < 250)
+      val b1 = d.filter(col("doc_id") >= 250 && col("doc_id") < 375)
+      val b2 = d.filter(col("doc_id") >= 375)
+      val app = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      val fpT = s"graft_n2_fp_$app"
+      val tp = s"graft_n2_ppj_$app"
+      graft.ops.Corpus.writeCorpusFingerprints(corpus, "text", fpT,
+        buckets = 8, path = Some(Tables.scratchDir(s, fpT).toString))
+      TextDedup.writePrefixIndex(corpus, "doc_id", "text", tp,
+        buckets = 8, shingleN = 3, threshold = 0.8,
+        pathPrefix = Some(Tables.scratchDir(s, tp).toString),
+        maxPrefixPosting = 400)
+      // one night's staged decision (the q_pipeline_nightly stages) —
+      // returns (flags, accepted docs); the standing tables are
+      // whatever fpT/tp hold when the night runs
+      def night(batch: DataFrame): (DataFrame, DataFrame) = {
+        val gated = graft.ops.QueryCaches.persist(
+          batch.filter(graft.ops.Corpus.qualityPass(col("text"))))
+        gated.count()
+        val exactKeep = graft.ops.QueryCaches.persist(
+          gated.join(
+            graft.ops.Corpus.incrementalDedupBucketed(s, fpT, gated,
+              "doc_id", "text").select(col("keep_id").as("doc_id")),
+            Seq("doc_id"), "left_semi"))
+        exactKeep.count()
+        val crossClean = graft.ops.QueryCaches.persist(
+          exactKeep.join(
+            TextDedup.prefixJaccardAgainstIndexed(s, tp, exactKeep,
+              "doc_id", "text", shingleN = 3, threshold = 0.8,
+              maxPrefixPosting = 400)
+              .select(col("a").as("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti"))
+        crossClean.count()
+        val accepted = graft.ops.QueryCaches.persist(
+          crossClean.join(
+            TextDedup.prefixJaccardPairs(crossClean, "doc_id", "text",
+              shingleN = 3, threshold = 0.8, maxPrefixPosting = 400)
+              .select(col("b").as("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti"))
+        accepted.count() // eager: both appends + the flag join read it
+        def flag(ids: DataFrame, name: String): DataFrame =
+          ids.select(col("doc_id"), lit(true).as(name))
+        val flags = batch.select("doc_id")
+          .join(flag(gated.select("doc_id"), "gate_pass"),
+            Seq("doc_id"), "left")
+          .join(flag(exactKeep.select("doc_id"), "exact_keep"),
+            Seq("doc_id"), "left")
+          .join(flag(crossClean.select("doc_id"), "corpus_clean"),
+            Seq("doc_id"), "left")
+          .join(flag(accepted.select("doc_id"), "accepted"),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("gate_pass"), lit(false)).as("gate_pass"),
+            coalesce(col("exact_keep"), lit(false)).as("exact_keep"),
+            coalesce(col("corpus_clean"), lit(false)).as("corpus_clean"),
+            coalesce(col("accepted"), lit(false)).as("accepted"))
+        (flags, accepted)
+      }
+      val (f1l, acc1l) = night(b1)
+      // EAGER checkpoints before any append: appending to fpT/tp
+      // INVALIDATES every cached frame whose plan reads those catalog
+      // tables — without the cut, night 1's stages silently re-execute
+      // against the already-extended tables (each accepted doc then
+      // collides with its own appended fingerprint) and the flags
+      // corrupt. The checkpoint pins night 1's decision to the
+      // pre-append table state.
+      val f1 = f1l.localCheckpoint()
+      val acc1 = acc1l.localCheckpoint()
+      graft.ops.Corpus.appendCorpusFingerprints(acc1, "text", fpT,
+        buckets = 8)
+      TextDedup.appendPrefixIndex(s, tp, acc1, "doc_id", "text",
+        buckets = 8, shingleN = 3, threshold = 0.8)
+      val (f2, _) = night(b2)
+      f1.withColumn("night", lit(1))
+        .unionAll(f2.withColumn("night", lit(2)))
+        .select(col("doc_id"), col("night"), col("gate_pass"),
+          col("exact_keep"), col("corpus_clean"), col("accepted"))
+        .orderBy("doc_id")
+    }),
+
     // Exact cosine-threshold pairs over shingle-tf vectors — the
     // AllPairs prefix filter (Bayardo et al. WWW'07), the exact
     // cosine companion to q_prefix_jaccard. The oracle computes
@@ -393,6 +489,27 @@ object TextQueries {
       graft.ops.CosineAllPairs.pairs(docs(s, dir), "doc_id", "text",
         shingleN = 3, threshold = 0.8, maxPrefixPosting = 200)
         .orderBy("a", "b")),
+
+    // Nightly-incremental cosine AllPairs (CosineAllPairs
+    // .pairsAgainst) — the cosine twin of q_prefix_jaccard_incr:
+    // tonight's batch (>= 250) exactly cosine-joined against the
+    // standing corpus (< 250) at tau=0.8 over shingle-tf vectors. The
+    // rarity rank spans corpus UNION batch and maxw is the union max
+    // per shingle (a batch doc can RAISE a shingle's max weight — a
+    // corpus-frozen maxw would silently under-include). The oracle
+    // computes the cross pairs from the FULL tf posting join with no
+    // prefix machinery, so a hash match proves the cross-side suffix
+    // bound lossless corpus-wide. Runs the family's hot-posting audit
+    // (both factors: postings counted across corpus+batch) at the
+    // shared gate bound.
+    "q_cosine_incr" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.ops.CosineAllPairs.pairsAgainst(
+        d.filter(col("doc_id") < 250), d.filter(col("doc_id") >= 250),
+        "doc_id", "text", shingleN = 3, threshold = 0.8,
+        maxPrefixPosting = 200)
+        .orderBy("a", "b")
+    }),
 
     // Exact repeated-substring removal plan (TextDedup
     // .substringRemovalPlan) — the ExactSubstr step: cut every 40-char
@@ -2714,6 +2831,163 @@ SELECT tokenizer, n_words, n_subwords, n_unk, fertility_r FROM (
            b.doc_id IN (SELECT doc_id FROM ncx) AS corpus_clean,
            b.doc_id IN (SELECT doc_id FROM acc) AS accepted
          FROM b ORDER BY doc_id""",
+    // the two-night lifecycle: replay night 1 from scratch, extend
+    // the corpus with night 1's accepted docs, replay night 2 against
+    // the extended corpus — flags for both nights
+    "q_pipeline_nightly2" ->
+      """WITH c AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+         b1 AS MATERIALIZED (SELECT doc_id, text FROM documents
+           WHERE doc_id >= 250 AND doc_id < 375),
+         b2 AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE doc_id >= 375),
+         q1 AS MATERIALIZED (SELECT doc_id, text,
+             len(string_split(trim(text), ' ')) AS n_tokens,
+             len(list_filter(string_split(trim(text), ' '),
+               x -> list_contains(['the','a','data','row','key'], x)))
+               AS n_stop,
+             length(text) AS len_text,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+           FROM b1),
+         g1 AS MATERIALIZED (SELECT doc_id, text, fp FROM q1
+           WHERE len_text BETWEEN 20 AND 2000 AND n_tokens >= 5
+             AND CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.5),
+         cfp1 AS MATERIALIZED (SELECT DISTINCT
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+           FROM c),
+         ex1 AS MATERIALIZED (SELECT doc_id, text, fp, row_number() OVER
+             (PARTITION BY fp ORDER BY doc_id) AS rn FROM g1),
+         exk1 AS MATERIALIZED (SELECT doc_id, text FROM ex1
+           WHERE rn = 1 AND fp NOT IN (SELECT fp FROM cfp1)),
+         dx1 AS MATERIALIZED (SELECT doc_id, toks FROM
+             (SELECT doc_id, string_split(trim(text), ' ') AS toks
+              FROM exk1) WHERE len(toks) >= 3),
+         tokx1 AS MATERIALIZED (SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS pos FROM dx1),
+         shx1 AS MATERIALIZED (SELECT DISTINCT t1.doc_id,
+             t1.tok || ' ' || t2.tok || ' ' || t3.tok AS shingle
+             FROM tokx1 t1
+             JOIN tokx1 t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+             JOIN tokx1 t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2),
+         szx1 AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM shx1 GROUP BY doc_id),
+         dc1 AS MATERIALIZED (SELECT doc_id, toks FROM
+             (SELECT doc_id, string_split(trim(text), ' ') AS toks
+              FROM c) WHERE len(toks) >= 3),
+         tokc1 AS MATERIALIZED (SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS pos FROM dc1),
+         shc1 AS MATERIALIZED (SELECT DISTINCT t1.doc_id,
+             t1.tok || ' ' || t2.tok || ' ' || t3.tok AS shingle
+             FROM tokc1 t1
+             JOIN tokc1 t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+             JOIN tokc1 t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2),
+         szc1 AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM shc1 GROUP BY doc_id),
+         interx1 AS MATERIALIZED (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS iv
+             FROM shx1 x JOIN shc1 y ON x.shingle = y.shingle
+             GROUP BY 1, 2),
+         crossdup1 AS MATERIALIZED (SELECT DISTINCT i.a AS doc_id FROM interx1 i
+             JOIN szx1 sa ON sa.doc_id = i.a
+             JOIN szc1 sb ON sb.doc_id = i.b
+             WHERE CAST(i.iv AS DOUBLE) /
+               CAST(sa.sz + sb.sz - i.iv AS DOUBLE) >= 0.8),
+         ncx1 AS MATERIALIZED (SELECT doc_id FROM exk1
+           WHERE doc_id NOT IN (SELECT doc_id FROM crossdup1)),
+         shn1 AS MATERIALIZED (SELECT s.doc_id, s.shingle FROM shx1 s
+             JOIN ncx1 n ON s.doc_id = n.doc_id),
+         szn1 AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM shn1 GROUP BY doc_id),
+         intern1 AS MATERIALIZED (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS iv
+             FROM shn1 x JOIN shn1 y
+               ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+             GROUP BY 1, 2),
+         indup1 AS MATERIALIZED (SELECT DISTINCT i.b AS doc_id FROM intern1 i
+             JOIN szn1 sa ON sa.doc_id = i.a
+             JOIN szn1 sb ON sb.doc_id = i.b
+             WHERE CAST(i.iv AS DOUBLE) /
+               CAST(sa.sz + sb.sz - i.iv AS DOUBLE) >= 0.8),
+         acc1 AS MATERIALIZED (SELECT doc_id FROM ncx1
+           WHERE doc_id NOT IN (SELECT doc_id FROM indup1)),
+         c2 AS MATERIALIZED (SELECT doc_id, text FROM c
+           UNION ALL
+           SELECT b.doc_id, b.text FROM b1 b
+           JOIN acc1 a ON a.doc_id = b.doc_id),
+         q2 AS MATERIALIZED (SELECT doc_id, text,
+             len(string_split(trim(text), ' ')) AS n_tokens,
+             len(list_filter(string_split(trim(text), ' '),
+               x -> list_contains(['the','a','data','row','key'], x)))
+               AS n_stop,
+             length(text) AS len_text,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+           FROM b2),
+         g2 AS MATERIALIZED (SELECT doc_id, text, fp FROM q2
+           WHERE len_text BETWEEN 20 AND 2000 AND n_tokens >= 5
+             AND CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.5),
+         cfp2 AS MATERIALIZED (SELECT DISTINCT
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+           FROM c2),
+         ex2 AS MATERIALIZED (SELECT doc_id, text, fp, row_number() OVER
+             (PARTITION BY fp ORDER BY doc_id) AS rn FROM g2),
+         exk2 AS MATERIALIZED (SELECT doc_id, text FROM ex2
+           WHERE rn = 1 AND fp NOT IN (SELECT fp FROM cfp2)),
+         dx2n AS MATERIALIZED (SELECT doc_id, toks FROM
+             (SELECT doc_id, string_split(trim(text), ' ') AS toks
+              FROM exk2) WHERE len(toks) >= 3),
+         tokx2 AS MATERIALIZED (SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS pos FROM dx2n),
+         shx2 AS MATERIALIZED (SELECT DISTINCT t1.doc_id,
+             t1.tok || ' ' || t2.tok || ' ' || t3.tok AS shingle
+             FROM tokx2 t1
+             JOIN tokx2 t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+             JOIN tokx2 t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2),
+         szx2 AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM shx2 GROUP BY doc_id),
+         dc2n AS MATERIALIZED (SELECT doc_id, toks FROM
+             (SELECT doc_id, string_split(trim(text), ' ') AS toks
+              FROM c2) WHERE len(toks) >= 3),
+         tokc2 AS MATERIALIZED (SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS pos FROM dc2n),
+         shc2 AS MATERIALIZED (SELECT DISTINCT t1.doc_id,
+             t1.tok || ' ' || t2.tok || ' ' || t3.tok AS shingle
+             FROM tokc2 t1
+             JOIN tokc2 t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+             JOIN tokc2 t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2),
+         szc2 AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM shc2 GROUP BY doc_id),
+         interx2 AS MATERIALIZED (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS iv
+             FROM shx2 x JOIN shc2 y ON x.shingle = y.shingle
+             GROUP BY 1, 2),
+         crossdup2 AS MATERIALIZED (SELECT DISTINCT i.a AS doc_id FROM interx2 i
+             JOIN szx2 sa ON sa.doc_id = i.a
+             JOIN szc2 sb ON sb.doc_id = i.b
+             WHERE CAST(i.iv AS DOUBLE) /
+               CAST(sa.sz + sb.sz - i.iv AS DOUBLE) >= 0.8),
+         ncx2 AS MATERIALIZED (SELECT doc_id FROM exk2
+           WHERE doc_id NOT IN (SELECT doc_id FROM crossdup2)),
+         shn2 AS MATERIALIZED (SELECT s.doc_id, s.shingle FROM shx2 s
+             JOIN ncx2 n ON s.doc_id = n.doc_id),
+         szn2 AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM shn2 GROUP BY doc_id),
+         intern2 AS MATERIALIZED (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS iv
+             FROM shn2 x JOIN shn2 y
+               ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+             GROUP BY 1, 2),
+         indup2 AS MATERIALIZED (SELECT DISTINCT i.b AS doc_id FROM intern2 i
+             JOIN szn2 sa ON sa.doc_id = i.a
+             JOIN szn2 sb ON sb.doc_id = i.b
+             WHERE CAST(i.iv AS DOUBLE) /
+               CAST(sa.sz + sb.sz - i.iv AS DOUBLE) >= 0.8),
+         acc2 AS MATERIALIZED (SELECT doc_id FROM ncx2
+           WHERE doc_id NOT IN (SELECT doc_id FROM indup2))
+         SELECT doc_id, night, gate_pass, exact_keep, corpus_clean,
+           accepted
+         FROM (
+           SELECT b.doc_id, 1 AS night,
+             b.doc_id IN (SELECT doc_id FROM g1) AS gate_pass,
+             b.doc_id IN (SELECT doc_id FROM exk1) AS exact_keep,
+             b.doc_id IN (SELECT doc_id FROM ncx1) AS corpus_clean,
+             b.doc_id IN (SELECT doc_id FROM acc1) AS accepted
+           FROM b1 b
+           UNION ALL
+           SELECT b.doc_id, 2 AS night,
+             b.doc_id IN (SELECT doc_id FROM g2) AS gate_pass,
+             b.doc_id IN (SELECT doc_id FROM exk2) AS exact_keep,
+             b.doc_id IN (SELECT doc_id FROM ncx2) AS corpus_clean,
+             b.doc_id IN (SELECT doc_id FROM acc2) AS accepted
+           FROM b2 b)
+         ORDER BY doc_id""",
     // cosine AllPairs ground truth: FULL tf posting join, the same
     // all-integer threshold comparison, association mirrored verbatim
     "q_cosine_allpairs" ->
@@ -2744,7 +3018,45 @@ SELECT tokenizer, n_words, n_subwords, n_unk, fertility_r FROM (
          JOIN sz sa ON sa.doc_id = n.a
          JOIN sz sb ON sb.doc_id = n.b
          WHERE CAST(n.num AS DOUBLE) * CAST(n.num AS DOUBLE) >=
-           0.8 * 0.8 * (CAST(sa.na2 AS DOUBLE) * CAST(sb.na2 AS DOUBLE))
+           CAST(0.8 AS DOUBLE) * CAST(0.8 AS DOUBLE) *
+             (CAST(sa.na2 AS DOUBLE) * CAST(sb.na2 AS DOUBLE))
+         ORDER BY a, b""",
+    // cross-side cosine ground truth: FULL tf posting join restricted
+    // to batch (>= 250) x corpus (< 250), no prefix machinery; the
+    // same all-integer threshold with the double multiply forced
+    // (bare 0.8 * 0.8 folds as DECIMAL = exactly 0.64 in DuckDB,
+    // one ulp from Spark's IEEE product)
+    "q_cosine_incr" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+             FROM documents),
+         d2 AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 3),
+         tok AS (SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS pos FROM d2),
+         shm AS (SELECT t1.doc_id,
+             t1.tok || ' ' || t2.tok || ' ' || t3.tok AS shingle
+             FROM tok t1
+             JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+             JOIN tok t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2),
+         tf AS (SELECT doc_id, shingle, CAST(count(*) AS BIGINT) AS tf
+             FROM shm GROUP BY 1, 2),
+         sz AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS na2
+             FROM tf GROUP BY 1),
+         nm AS (SELECT x.doc_id AS a, y.doc_id AS b,
+             CAST(sum(x.tf * y.tf) AS BIGINT) AS num
+             FROM tf x JOIN tf y
+               ON x.shingle = y.shingle
+                  AND x.doc_id >= 250 AND y.doc_id < 250
+             GROUP BY 1, 2)
+         SELECT n.a, n.b, n.num, sa.na2 AS na2, sb.na2 AS nb2,
+             round(CAST(n.num AS DOUBLE) /
+               (sqrt(CAST(sa.na2 AS DOUBLE)) *
+                sqrt(CAST(sb.na2 AS DOUBLE))), 6) AS cos_r
+         FROM nm n
+         JOIN sz sa ON sa.doc_id = n.a
+         JOIN sz sb ON sb.doc_id = n.b
+         WHERE CAST(n.num AS DOUBLE) * CAST(n.num AS DOUBLE) >=
+           CAST(0.8 AS DOUBLE) * CAST(0.8 AS DOUBLE) *
+             (CAST(sa.na2 AS DOUBLE) * CAST(sb.na2 AS DOUBLE))
          ORDER BY a, b""",
     // the capped twin at a non-tripping cap equals the exact join —
     // same ground-truth oracle, tau = 0.9

@@ -10,7 +10,11 @@ package graft.tools
   * where `<testCount>` is the "Tests: succeeded N" figure from that
   * sbt test summary (the only count not knowable from inside one JVM
   * — it exists only in sbt's own run report). Without the arg, only
-  * the query-derived counts are stamped.
+  * the query-derived counts are stamped. Full close form:
+  * `CountsStamp <testCount> [suiteCount] [wallSec] [failures]` — the
+  * failure count comes from the same summary line and is written as
+  * null when not passed (the stamp never asserts a pass it didn't
+  * observe).
   *
   * Stamped patterns (anywhere in README.md):
   *   - `# <n> specs`              <- testCount arg
@@ -53,11 +57,17 @@ object CountsStamp {
     // can diff instead of re-running the 17-minute suite.
     val suites = args.lift(1).map(_.toInt)
     val wallSec = args.lift(2).map(_.toInt)
+    // failures is an EXPLICIT argument (ADVICE r17): the stamp only
+    // ever saw a test count, so asserting failures:0 would publish a
+    // clean record for a run it never observed — absent means
+    // "not reported", never "passed"
+    val failures = args.lift(3).map(_.toInt)
     if (testCount.isDefined) {
       val ts = java.time.ZonedDateTime.now(java.time.ZoneOffset.UTC)
         .format(java.time.format.DateTimeFormatter.ISO_INSTANT
           .withZone(java.time.ZoneOffset.UTC))
-      val j = s"""{"tests":${testCount.get},"failures":0,""" +
+      val j = s"""{"tests":${testCount.get},""" +
+        s""""failures":${failures.map(_.toString).getOrElse("null")},""" +
         s""""suites":${suites.map(_.toString).getOrElse("null")},""" +
         s""""wall_sec":${wallSec.map(_.toString).getOrElse("null")},""" +
         s""""declared_queries":$queries,"oracle_checked":$oracles,""" +

@@ -115,4 +115,78 @@ class CosineAllPairsSpec extends AnyFunSuite {
       Set((0L, 1L), (2L, 3L)))
     graft.ops.QueryCaches.releaseAll()
   }
+
+  test("pairsAgainst equals the batch op on unioned input under fuzz, " +
+      "including batch-raised max weights and unseen shingles") {
+    // the cross-side contract: ONE rarity order over corpus ∪ batch,
+    // and maxw as the union max — a corpus-frozen maxw would silently
+    // under-include when a batch doc raises a shingle's max weight
+    // (batch docs here repeat tokens, which concentrates tf mass and
+    // raises ŵ), and batch-only shingles (z tokens) must order into
+    // the shared rank without breaking either side's prefix.
+    import spark.implicits._
+    import org.scalacheck.Gen
+    val alpha = Vector("a", "b", "c", "d", "e")
+    def genDoc(v: Vector[String], maxRep: Int) = for {
+      len <- Gen.choose(2, 10)
+      rep <- Gen.choose(1, maxRep) // repetition concentrates tf mass
+      ws <- Gen.listOfN(len, Gen.oneOf(v))
+    } yield Iterator.fill(rep)(ws).flatten.mkString(" ")
+    val genCorpus = for {
+      nc <- Gen.choose(3, 8)
+      nb <- Gen.choose(3, 8)
+      cd <- Gen.listOfN(nc, genDoc(alpha, 1))
+      bd <- Gen.listOfN(nb, genDoc(alpha :+ "z", 3))
+      tau <- Gen.oneOf(0.5, 0.8)
+    } yield (cd.zipWithIndex.map { case (t, i) => (i.toLong, t) },
+      bd.zipWithIndex.map { case (t, i) => (1000L + i, t) }, tau)
+    new PropHelpers {}.forAll(genCorpus, n = 8) { case (crows, brows, tau) =>
+      val cdf = crows.toDF("doc_id", "text")
+      val bdf = brows.toDF("doc_id", "text")
+      val got = collectPairs(CosineAllPairs.pairsAgainst(
+        cdf, bdf, "doc_id", "text", shingleN = 3, threshold = tau))
+      // ids are disjoint (batch >= 1000), so the batch op on the
+      // union restricted to cross pairs is ground truth; pairs emits
+      // (a < b) = (corpus, batch) — reorient and swap the norms
+      val expected = collectPairs(CosineAllPairs.pairs(
+        cdf.unionAll(bdf), "doc_id", "text", shingleN = 3,
+        threshold = tau))
+        .filter(p => p._1 < 1000L && p._2 >= 1000L)
+        .map(p => (p._2, p._1, p._3, p._5, p._4))
+      assert(got == expected,
+        s"tau=$tau extra=${got -- expected} missing=${expected -- got}")
+      graft.ops.QueryCaches.releaseAll()
+    }
+  }
+
+  test("pairsAgainst: side-tagged ids — corpus/batch id collisions " +
+      "never conflate norms; cross audit fails loudly") {
+    import spark.implicits._
+    // id 0 exists on BOTH sides with different texts; id 1 collides
+    // with an exact dup — a conflated norm would corrupt both
+    val corpus = Seq(
+      (0L, "p q r s t u"),
+      (1L, "a b c d e f")).toDF("doc_id", "text")
+    val batch = Seq(
+      (0L, "a b c d e f"),  // dup of CORPUS 1, not of corpus 0
+      (1L, "a b c d e f")). // dup of corpus 1 too
+      toDF("doc_id", "text")
+    val got = collectPairs(CosineAllPairs.pairsAgainst(
+      corpus, batch, "doc_id", "text", shingleN = 3, threshold = 0.8))
+    // every batch doc matches corpus 1 exactly: num = na2 = nb2 = 4
+    assert(got == Set((0L, 1L, 4L, 4L, 4L), (1L, 1L, 4L, 4L, 4L)), got)
+    graft.ops.QueryCaches.releaseAll()
+
+    // the audit counts postings across corpus+batch — 20 + 20
+    // identical docs trip a 16 bound even though each side is under
+    val dgc = (0L until 20L).map(i => (i, "x x x")).toDF("doc_id", "text")
+    val dgb = (100L until 120L).map(i => (i, "x x x")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      CosineAllPairs.pairsAgainst(dgc, dgb, "doc_id", "text",
+        shingleN = 3, threshold = 0.8, maxPrefixPosting = 16)
+    }
+    assert(ex.getMessage.contains("corpus+batch"), ex.getMessage)
+    assert(ex.getMessage.contains("40 members"), ex.getMessage)
+    graft.ops.QueryCaches.releaseAll()
+  }
 }
