@@ -94,11 +94,22 @@ object ScaleOps {
       table: String,
       key: String,
       buckets: Int,
-      path: Option[String] = None): Unit = {
+      path: Option[String] = None,
+      partitionCol: Option[String] = None): Unit = {
     // bucketBy requires the catalog (saveAsTable); `path` makes the
     // table EXTERNAL so callers can land the files in a per-run
-    // scratch dir instead of accumulating under the shared warehouse
-    val w = df.write.mode("overwrite")
+    // scratch dir instead of accumulating under the shared warehouse.
+    // `partitionCol` layers hive-style directory partitions UNDER the
+    // bucketing: a reader filtering on it prunes whole directories
+    // (storage-level pruning) while each directory keeps the bucketed
+    // zero-exchange join layout. The write repartitions on the
+    // partition column first — without it every task writes into
+    // every directory it sees and the file count explodes to
+    // tasks × dirs × buckets (one build-time shuffle buys the
+    // dirs × buckets floor).
+    val dfw = partitionCol.fold(df)(pc => df.repartition(col(pc)))
+    val w0 = dfw.write.mode("overwrite")
+    val w = partitionCol.fold(w0)(pc => w0.partitionBy(pc))
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
@@ -118,12 +129,17 @@ object ScaleOps {
       df: DataFrame,
       table: String,
       key: String,
-      buckets: Int): Unit =
-    df.write.mode("append")
+      buckets: Int,
+      partitionCol: Option[String] = None): Unit = {
+    // same dirs × buckets file floor as writeBucketed
+    val dfw = partitionCol.fold(df)(pc => df.repartition(col(pc)))
+    val w0 = dfw.write.mode("append")
+    partitionCol.fold(w0)(pc => w0.partitionBy(pc))
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Z-order (Morton) value over numeric columns: each column is
     * bucketed into `2^bits` fixed-width ranks between its min and max

@@ -1048,6 +1048,20 @@ object TextDedup {
     * reader audits the batch factor per run, plus the corpus postings
     * the batch actually touches (appends can grow them past the
     * build-time audit — see [[appendPrefixIndex]]).
+    *
+    * `shardBy` > 0 additionally partitions `_rank`/`_pref` into hive
+    * directories on `pmod(hash(shingle), shardBy)` UNDER the
+    * bucketing: the reader collects tonight's batch shard set
+    * (bounded by `shardBy`) and PRUNES untouched directories, so
+    * corpus bytes read scale with the batch's shingle footprint
+    * rather than the corpus — the storage-level path toward a
+    * sublinear nightly. Exactness is untouched (a pruned row could
+    * never match a batch shingle); the zero-exchange bucketed join
+    * layout is preserved inside every directory. Size it so
+    * |batch distinct prefix shingles| ≪ shardBy at the expected
+    * nightly batch, else every directory is touched and the pruning
+    * is a no-op (the fixed-vocab gate corpus is exactly that case —
+    * the declared queries build unsharded).
     */
   def writePrefixIndex(
       corpus: DataFrame,
@@ -1059,11 +1073,13 @@ object TextDedup {
       threshold: Double = 0.8,
       pathPrefix: Option[String] = None,
       maxPrefixPosting: Int = Int.MaxValue,
+      shardBy: Int = 0,
       handle: CacheHandle = null): Unit = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold in (0, 1], got $threshold")
     require(maxPrefixPosting > 0,
       s"maxPrefixPosting must be positive, got $maxPrefixPosting")
+    require(shardBy >= 0, s"shardBy must be >= 0, got $shardBy")
     val sh = CacheHandle.persistWith(handle,
       shingles(corpus, idCol, textCol, shingleN))
     sh.count() // eager: sizes, rank, prefix + the _sh write all read it
@@ -1099,10 +1115,23 @@ object TextDedup {
       })
     }
     def p(suffix: String): Option[String] = pathPrefix.map(_ + suffix)
-    ScaleOps.writeBucketed(ranked, s"${tablePrefix}_rank", "shingle",
-      buckets, p("_rank"))
-    ScaleOps.writeBucketed(pref, s"${tablePrefix}_pref", "shingle",
-      buckets, p("_pref"))
+    // shardBy > 0 layers hive directory partitions on a hash of the
+    // bucket key UNDER the bucketing for the shingle-keyed tables: the
+    // reader collects tonight's batch shard set (bounded by shardBy)
+    // and prunes whole directories — corpus bytes read scale with the
+    // batch's shingle footprint, not the corpus (the storage-pruning
+    // path toward a sublinear nightly; the bucketed zero-exchange
+    // join layout is preserved inside every directory)
+    val shardOf = (c: org.apache.spark.sql.Column) =>
+      pmod(hash(c), lit(shardBy))
+    def shingleSharded(df: DataFrame): DataFrame =
+      if (shardBy > 0) df.withColumn("__shard", shardOf(col("shingle")))
+      else df
+    val pc = if (shardBy > 0) Some("__shard") else None
+    ScaleOps.writeBucketed(shingleSharded(ranked),
+      s"${tablePrefix}_rank", "shingle", buckets, p("_rank"), pc)
+    ScaleOps.writeBucketed(shingleSharded(pref),
+      s"${tablePrefix}_pref", "shingle", buckets, p("_pref"), pc)
     ScaleOps.writeBucketed(sh.select(col(idCol), col("shingle")),
       s"${tablePrefix}_sh", idCol, buckets, p("_sh"))
     // the build contract rides WITH the index (1-row sidecar) so the
@@ -1111,23 +1140,24 @@ object TextDedup {
     // construction — stored prefixes are too short for it)
     val sp = corpus.sparkSession
     import sp.implicits._
-    val mw = Seq((threshold, shingleN, buckets))
-      .toDF("tau_build", "shingle_n", "buckets")
+    val mw = Seq((threshold, shingleN, buckets, shardBy))
+      .toDF("tau_build", "shingle_n", "buckets", "shard_by")
       .coalesce(1).write.mode("overwrite").format("parquet")
     p("_meta").fold(mw.saveAsTable(s"${tablePrefix}_meta"))(pp =>
       mw.option("path", pp).saveAsTable(s"${tablePrefix}_meta"))
   }
 
   /** Read the 1-row `_meta` sidecar written by [[writePrefixIndex]]:
-    * (tau_build, shingle_n, buckets).
+    * (tau_build, shingle_n, buckets, shard_by).
     */
   private def readIndexMeta(
       spark: org.apache.spark.sql.SparkSession,
-      tablePrefix: String): (Double, Int, Int) = {
+      tablePrefix: String): (Double, Int, Int, Int) = {
     val r = spark.table(s"${tablePrefix}_meta").collect().head
     (r.getDouble(r.fieldIndex("tau_build")),
       r.getInt(r.fieldIndex("shingle_n")),
-      r.getInt(r.fieldIndex("buckets")))
+      r.getInt(r.fieldIndex("buckets")),
+      r.getInt(r.fieldIndex("shard_by")))
   }
 
   /** Nightly-incremental PPJoin against a standing-corpus index
@@ -1189,7 +1219,8 @@ object TextDedup {
       s"threshold in (0, 1], got $threshold")
     require(maxPrefixPosting > 0,
       s"maxPrefixPosting must be positive, got $maxPrefixPosting")
-    val (tauBuild, shNBuild, _) = readIndexMeta(spark, tablePrefix)
+    val (tauBuild, shNBuild, _, shardBy) =
+      readIndexMeta(spark, tablePrefix)
     require(threshold >= tauBuild,
       s"prefixJaccardAgainstIndexed: threshold $threshold < the " +
         s"index's build threshold $tauBuild — stored prefixes are cut " +
@@ -1198,12 +1229,26 @@ object TextDedup {
     require(shingleN == shNBuild,
       s"prefixJaccardAgainstIndexed: shingleN $shingleN does not " +
         s"match the index's build shingleN $shNBuild")
-    val rank = spark.table(s"${tablePrefix}_rank")
-    val cpref = spark.table(s"${tablePrefix}_pref")
     val csh = spark.table(s"${tablePrefix}_sh")
     val bsh = CacheHandle.persistWith(handle,
       shingles(batch, idCol, textCol, shingleN))
     bsh.count() // eager: sizes, prefix + verify side read it
+    // shard pruning (sharded builds only): a rank/prefix row outside
+    // tonight's batch shard set cannot match any batch shingle, so
+    // filtering on the partition column prunes whole corpus
+    // directories before a byte is read. The shard-set collect is
+    // bounded by shardBy (a build-time literal), the bounded-by-
+    // construction collect rule.
+    val shards: Seq[Int] =
+      if (shardBy <= 0) Nil
+      else bsh
+        .select(pmod(hash(col("shingle")), lit(shardBy)).as("__shard"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+    def pruned(t: DataFrame): DataFrame =
+      if (shardBy <= 0) t
+      else t.filter(col("__shard").isin(shards: _*)).drop("__shard")
+    val rank = pruned(spark.table(s"${tablePrefix}_rank"))
+    val cpref = pruned(spark.table(s"${tablePrefix}_pref"))
     val bpref = CacheHandle.persistWith(handle,
       frozenOrderPrefix(rank, bsh, idCol, threshold))
     if (maxPrefixPosting == Int.MaxValue)
@@ -1309,7 +1354,8 @@ object TextDedup {
       handle: CacheHandle = null): Unit = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold in (0, 1], got $threshold")
-    val (tauBuild, shNBuild, bkBuild) = readIndexMeta(spark, tablePrefix)
+    val (tauBuild, shNBuild, bkBuild, shardBy) =
+      readIndexMeta(spark, tablePrefix)
     require(threshold == tauBuild,
       s"appendPrefixIndex: threshold $threshold != the index's build " +
         s"threshold $tauBuild — appended prefixes must be cut exactly " +
@@ -1321,14 +1367,32 @@ object TextDedup {
     require(buckets == bkBuild,
       s"appendPrefixIndex: buckets $buckets does not match the " +
         s"index's build buckets $bkBuild")
-    val rank = spark.table(s"${tablePrefix}_rank")
     val bsh = CacheHandle.persistWith(handle,
       shingles(batch, idCol, textCol, shingleN))
     bsh.count() // eager: the prefix build and the _sh append read it
-    ScaleOps.appendBucketed(
-      frozenOrderPrefix(rank, bsh, idCol, threshold)
-        .select(col("shingle"), col(idCol), col("sz")),
-      s"${tablePrefix}_pref", "shingle", buckets)
+    // sharded builds: the rank lookup only needs the batch's shards
+    // (a rank row elsewhere cannot match a batch shingle)
+    val rank =
+      if (shardBy <= 0) spark.table(s"${tablePrefix}_rank")
+      else {
+        val shards = bsh
+          .select(pmod(hash(col("shingle")), lit(shardBy)).as("__shard"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        spark.table(s"${tablePrefix}_rank")
+          .filter(col("__shard").isin(shards: _*)).drop("__shard")
+      }
+    val newPref = frozenOrderPrefix(rank, bsh, idCol, threshold)
+      .select(col("shingle"), col(idCol), col("sz"))
+    // sharded builds: appended rows land in their shingle's shard
+    // directory (same hash as the build) so the reader's pruning
+    // stays exact across appends
+    val (prefOut, pc) =
+      if (shardBy > 0)
+        (newPref.withColumn("__shard",
+          pmod(hash(col("shingle")), lit(shardBy))), Some("__shard"))
+      else (newPref, None)
+    ScaleOps.appendBucketed(prefOut,
+      s"${tablePrefix}_pref", "shingle", buckets, pc)
     ScaleOps.appendBucketed(bsh.select(col(idCol), col("shingle")),
       s"${tablePrefix}_sh", idCol, buckets)
   }

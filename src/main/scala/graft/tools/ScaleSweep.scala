@@ -208,7 +208,15 @@ object ScaleSweep {
       case _ => ()
     }
 
-    val rows = families.map { case (name, body) =>
+    // SPARK_GRAFT_SWEEP_SHARD_ONLY=1 runs only the sharded-index
+    // pruning section (a smoke toggle for iterating on it without the
+    // 20-minute family ladder); docs/SCALING.md is NOT written then —
+    // the artifact always reflects a full sweep.
+    val shardOnly =
+      sys.env.get("SPARK_GRAFT_SWEEP_SHARD_ONLY").contains("1")
+    val rows =
+      if (shardOnly) Seq.empty
+      else families.map { case (name, body) =>
       val famLoad = loadNow()
       // one untimed warm pass at m=1 (codegen/JIT; page cache for the
       // table-backed families), then min-of-2 per rung — min-of-3 on
@@ -230,6 +238,50 @@ object ScaleSweep {
       val slope = fitSlope(times.map { case (m, t) =>
         (math.log(m.toDouble), math.log(t)) })
       (name, times, slope, famLoad)
+    }
+
+    // ---- storage-pruning measurement (VERDICT r17 #4): the SHARDED
+    // index on the same corpus ladder, read by a NARROW nightly batch
+    // (5 docs — the "tonight touches few shingles" regime the pruning
+    // exists for). shardBy scales with the corpus (a production index
+    // sizes its directory count to the corpus), so the batch's FIXED
+    // shard footprint is a shrinking fraction: corpus `_pref` files
+    // READ must stay ~flat while the table's file count grows.
+    // Exactness is spec-pinned (TextDedupSpec); this measures the
+    // bytes/files story. AQE off for the metric read (stages hide
+    // subtrees — the CLAUDE.md rule).
+    val narrowBatch = ppjBatch.filter(col("doc_id") < 1000005L)
+    val shardRows = rungs.map { m =>
+      val tp = s"graft_ppj_shardswp_$m"
+      if (!spark.catalog.tableExists(s"${tp}_rank"))
+        graft.ops.TextDedup.writePrefixIndex(ppjCorpus(m),
+          "doc_id", "text", tp, buckets = 4, shingleN = 3,
+          threshold = 0.8,
+          pathPrefix = Some(Tables.scratchDir(spark, tp).toString),
+          shardBy = 64 * m)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        var read = -1L
+        val t = (1 to 2).map { _ =>
+          val out = graft.ops.TextDedup.prefixJaccardAgainstIndexed(
+            spark, tp, narrowBatch, "doc_id", "text",
+            shingleN = 3, threshold = 0.8)
+          val t1 = timed(out.collect())
+          val scans = out.queryExecution.executedPlan.collect {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec
+                if f.toString.contains(s"${tp}_pref") => f
+          }
+          if (scans.nonEmpty)
+            read = scans.map(_.metrics("numFiles").value).max
+          QueryCaches.releaseAll()
+          t1
+        }.min
+        val total = spark.table(s"${tp}_pref").inputFiles.length.toLong
+        spark.catalog.clearCache()
+        println(f"[sweep] sharded_idx m=$m%-2d ${t}%8.2f s " +
+          s"pref files read $read of $total")
+        (m, t, read, total)
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     }
 
     val sb = new StringBuilder
@@ -266,13 +318,30 @@ object ScaleSweep {
       sb.append(s"| $name | ${cells.mkString(" | ")} | ${f2(slope)} | ")
       sb.append(s"${f2(tail)} | $famLoad |\n")
     }
+    sb.append("\n## Sharded-index storage pruning ")
+    sb.append("(`writePrefixIndex(shardBy = 64·m)`, 5-doc nightly batch)\n\n")
+    sb.append("The indexed PPJoin reader on a hash-sharded `_pref`/`_rank`\n")
+    sb.append("layout: the corpus ladder grows 16× and the directory count\n")
+    sb.append("grows with it (a production index sizes shardBy to the\n")
+    sb.append("corpus), while the batch — and so its shard footprint —\n")
+    sb.append("stays fixed. Corpus `_pref` files READ must stay ~flat as\n")
+    sb.append("the table's file count grows: storage-level pruning toward\n")
+    sb.append("a sublinear nightly (exactness spec-pinned in\n")
+    sb.append("TextDedupSpec; the `_sh` verify-side scan is the remaining\n")
+    sb.append("corpus-linear read — documented residual).\n\n")
+    sb.append("| m | _pref files total | files read | read fraction | t(s) |\n")
+    sb.append("|---|---|---|---|---|\n")
+    shardRows.foreach { case (m, t, rd, tot) =>
+      sb.append(s"| $m | $tot | $rd | ")
+      sb.append(s"${f2(rd.toDouble / tot.toDouble)} | ${f2(t)} |\n")
+    }
     sb.append(s"\nLoad (1-min avg): start $loadStart, end ${loadNow()}.\n")
     // anchor the artifact at the repo root (nearest ancestor holding
     // build.sbt), not the CWD — running from elsewhere used to write
     // docs/SCALING.md into whatever directory sbt happened to run in
     val out = repoRoot().resolve("docs").resolve("SCALING.md")
     java.nio.file.Files.createDirectories(out.getParent)
-    java.nio.file.Files.writeString(out, sb.toString)
+    if (!shardOnly) java.nio.file.Files.writeString(out, sb.toString)
     println(sb.toString)
     spark.stop()
   }
