@@ -1049,19 +1049,22 @@ object TextDedup {
     * the batch actually touches (appends can grow them past the
     * build-time audit — see [[appendPrefixIndex]]).
     *
-    * `shardBy` > 0 additionally partitions `_rank`/`_pref` into hive
-    * directories on `pmod(hash(shingle), shardBy)` UNDER the
-    * bucketing: the reader collects tonight's batch shard set
-    * (bounded by `shardBy`) and PRUNES untouched directories, so
-    * corpus bytes read scale with the batch's shingle footprint
-    * rather than the corpus — the storage-level path toward a
-    * sublinear nightly. Exactness is untouched (a pruned row could
-    * never match a batch shingle); the zero-exchange bucketed join
-    * layout is preserved inside every directory. Size it so
-    * |batch distinct prefix shingles| ≪ shardBy at the expected
-    * nightly batch, else every directory is touched and the pruning
-    * is a no-op (the fixed-vocab gate corpus is exactly that case —
-    * the declared queries build unsharded).
+    * `shardBy` > 0 additionally partitions all three tables into hive
+    * directories UNDER the bucketing — `_rank`/`_pref` on
+    * `pmod(hash(shingle), shardBy)`, `_sh` on the id hash: the reader
+    * collects tonight's batch shingle-shard set, prunes untouched
+    * `_rank`/`_pref` directories, derives the candidate corpus IDs'
+    * shard set from the batch-touched prefix postings (one keyed
+    * semi-lookup, bounded collect), and prunes `_sh` the same way —
+    * so corpus bytes read scale with the batch's footprint rather
+    * than the corpus on EVERY corpus-side scan: the storage-level
+    * path toward a sublinear nightly. Exactness is untouched (a
+    * pruned row could never match a batch shingle / candidate id);
+    * the zero-exchange bucketed join layout is preserved inside every
+    * directory. Size it so |batch distinct prefix shingles| ≪ shardBy
+    * at the expected nightly batch, else every directory is touched
+    * and the pruning is a no-op (the fixed-vocab gate corpus is
+    * exactly that case — the declared queries build unsharded).
     */
   def writePrefixIndex(
       corpus: DataFrame,
@@ -1132,8 +1135,16 @@ object TextDedup {
       s"${tablePrefix}_rank", "shingle", buckets, p("_rank"), pc)
     ScaleOps.writeBucketed(shingleSharded(pref),
       s"${tablePrefix}_pref", "shingle", buckets, p("_pref"), pc)
-    ScaleOps.writeBucketed(sh.select(col(idCol), col("shingle")),
-      s"${tablePrefix}_sh", idCol, buckets, p("_sh"))
+    // `_sh` shards on the ID hash (its bucket key): the reader derives
+    // the candidate corpus ids' shard set from the batch-touched
+    // prefix postings and prunes the verify-side scan the same way
+    val shOut =
+      if (shardBy > 0)
+        sh.select(col(idCol), col("shingle"))
+          .withColumn("__shard", shardOf(col(idCol)))
+      else sh.select(col(idCol), col("shingle"))
+    ScaleOps.writeBucketed(shOut,
+      s"${tablePrefix}_sh", idCol, buckets, p("_sh"), pc)
     // the build contract rides WITH the index (1-row sidecar) so the
     // reader/append paths can reject a mismatched call instead of
     // silently losing pairs (a τ' < τ_build read is lossy by
@@ -1229,7 +1240,6 @@ object TextDedup {
     require(shingleN == shNBuild,
       s"prefixJaccardAgainstIndexed: shingleN $shingleN does not " +
         s"match the index's build shingleN $shNBuild")
-    val csh = spark.table(s"${tablePrefix}_sh")
     val bsh = CacheHandle.persistWith(handle,
       shingles(batch, idCol, textCol, shingleN))
     bsh.count() // eager: sizes, prefix + verify side read it
@@ -1288,6 +1298,25 @@ object TextDedup {
           "build-time audit; rebuild the index (one writePrefixIndex) " +
           "or raise the bound if the fan-out is affordable"
       })
+    }
+    // verify-side pruning (sharded builds only): every candidate
+    // corpus id comes from a batch-touched prefix posting, so the
+    // candidate ID shard set is derivable BEFORE the candidate join —
+    // one keyed semi-lookup into the (already shard-pruned) `_pref`
+    // table, collected bounded by shardBy. `_sh` directories outside
+    // it can hold no candidate's postings; pruning them makes the
+    // verify scan track the candidate footprint, not the corpus.
+    val csh = {
+      val t = spark.table(s"${tablePrefix}_sh")
+      if (shardBy <= 0) t
+      else {
+        val idShards = cpref
+          .join(bpref.select("shingle").distinct(),
+            Seq("shingle"), "left_semi")
+          .select(pmod(hash(col(idCol)), lit(shardBy)).as("__s"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        t.filter(col("__shard").isin(idShards: _*)).drop("__shard")
+      }
     }
     // candidate join: batch prefix postings against the bucketed
     // corpus prefix postings — corpus side zero-exchange; sizes ride
@@ -1393,8 +1422,13 @@ object TextDedup {
       else (newPref, None)
     ScaleOps.appendBucketed(prefOut,
       s"${tablePrefix}_pref", "shingle", buckets, pc)
-    ScaleOps.appendBucketed(bsh.select(col(idCol), col("shingle")),
-      s"${tablePrefix}_sh", idCol, buckets)
+    val shOut =
+      if (shardBy > 0)
+        bsh.select(col(idCol), col("shingle"))
+          .withColumn("__shard", pmod(hash(col(idCol)), lit(shardBy)))
+      else bsh.select(col(idCol), col("shingle"))
+    ScaleOps.appendBucketed(shOut,
+      s"${tablePrefix}_sh", idCol, buckets, pc)
   }
 
   /** Batch-side prefix frame under a FROZEN index order (shared by

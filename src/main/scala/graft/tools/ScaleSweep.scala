@@ -261,26 +261,35 @@ object ScaleSweep {
           shardBy = 64 * m)
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       try {
-        var read = -1L
+        var readPref = -1L
+        var readSh = -1L
+        def scanRead(
+            plan: org.apache.spark.sql.execution.SparkPlan,
+            table: String): Long = {
+          val scans = plan.collect {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec
+                if f.toString.contains(table) => f
+          }
+          if (scans.isEmpty) -1L
+          else scans.map(_.metrics("numFiles").value).max
+        }
         val t = (1 to 2).map { _ =>
           val out = graft.ops.TextDedup.prefixJaccardAgainstIndexed(
             spark, tp, narrowBatch, "doc_id", "text",
             shingleN = 3, threshold = 0.8)
           val t1 = timed(out.collect())
-          val scans = out.queryExecution.executedPlan.collect {
-            case f: org.apache.spark.sql.execution.FileSourceScanExec
-                if f.toString.contains(s"${tp}_pref") => f
-          }
-          if (scans.nonEmpty)
-            read = scans.map(_.metrics("numFiles").value).max
+          val plan = out.queryExecution.executedPlan
+          readPref = scanRead(plan, s"${tp}_pref")
+          readSh = scanRead(plan, s"${tp}_sh")
           QueryCaches.releaseAll()
           t1
         }.min
-        val total = spark.table(s"${tp}_pref").inputFiles.length.toLong
+        val totPref = spark.table(s"${tp}_pref").inputFiles.length.toLong
+        val totSh = spark.table(s"${tp}_sh").inputFiles.length.toLong
         spark.catalog.clearCache()
         println(f"[sweep] sharded_idx m=$m%-2d ${t}%8.2f s " +
-          s"pref files read $read of $total")
-        (m, t, read, total)
+          s"pref read $readPref/$totPref sh read $readSh/$totSh")
+        (m, t, readPref, totPref, readSh, totSh)
       } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     }
 
@@ -320,20 +329,22 @@ object ScaleSweep {
     }
     sb.append("\n## Sharded-index storage pruning ")
     sb.append("(`writePrefixIndex(shardBy = 64·m)`, 5-doc nightly batch)\n\n")
-    sb.append("The indexed PPJoin reader on a hash-sharded `_pref`/`_rank`\n")
-    sb.append("layout: the corpus ladder grows 16× and the directory count\n")
+    sb.append("The indexed PPJoin reader on a hash-sharded layout\n")
+    sb.append("(`_rank`/`_pref` on the shingle hash, `_sh` on the id\n")
+    sb.append("hash): the corpus ladder grows 16× and the directory count\n")
     sb.append("grows with it (a production index sizes shardBy to the\n")
     sb.append("corpus), while the batch — and so its shard footprint —\n")
-    sb.append("stays fixed. Corpus `_pref` files READ must stay ~flat as\n")
-    sb.append("the table's file count grows: storage-level pruning toward\n")
-    sb.append("a sublinear nightly (exactness spec-pinned in\n")
-    sb.append("TextDedupSpec; the `_sh` verify-side scan is the remaining\n")
-    sb.append("corpus-linear read — documented residual).\n\n")
-    sb.append("| m | _pref files total | files read | read fraction | t(s) |\n")
-    sb.append("|---|---|---|---|---|\n")
-    shardRows.foreach { case (m, t, rd, tot) =>
-      sb.append(s"| $m | $tot | $rd | ")
-      sb.append(s"${f2(rd.toDouble / tot.toDouble)} | ${f2(t)} |\n")
+    sb.append("stays fixed. Corpus files READ must stay ~flat on every\n")
+    sb.append("corpus-side scan as total files grow: storage-level pruning\n")
+    sb.append("toward a sublinear nightly (exactness spec-pinned in\n")
+    sb.append("TextDedupSpec; the `_sh` prune keys on the candidate ids\n")
+    sb.append("derived from the batch-touched prefix postings).\n\n")
+    sb.append("| m | _pref read/total | _sh read/total | t(s) |\n")
+    sb.append("|---|---|---|---|\n")
+    shardRows.foreach { case (m, t, rp, tp2, rs, ts2) =>
+      sb.append(s"| $m | $rp/$tp2 (${f2(rp.toDouble / tp2.toDouble)}) ")
+      sb.append(s"| $rs/$ts2 (${f2(rs.toDouble / ts2.toDouble)}) ")
+      sb.append(s"| ${f2(t)} |\n")
     }
     sb.append(s"\nLoad (1-min avg): start $loadStart, end ${loadNow()}.\n")
     // anchor the artifact at the repo root (nearest ancestor holding

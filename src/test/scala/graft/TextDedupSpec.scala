@@ -1040,6 +1040,18 @@ class TextDedupSpec extends AnyFunSuite {
         val read = scans.map(_.metrics("numFiles").value).max
         assert(read > 0 && read < allFiles,
           s"pruning read $read of $allFiles files — expected a strict cut")
+        // the verify side prunes too: _sh directories outside the
+        // candidate ids' shard set are never read (one candidate ->
+        // one id shard of 16)
+        val allSh = spark.table(s"${tp}_sh").inputFiles.length
+        val shScans = prunedScan.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+              if f.toString.contains(s"${tp}_sh") => f
+        }
+        assert(shScans.nonEmpty, "no _sh scan found in the plan")
+        val readSh = shScans.map(_.metrics("numFiles").value).max
+        assert(readSh > 0 && readSh < allSh,
+          s"_sh pruning read $readSh of $allSh files — expected a strict cut")
       } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
       graft.ops.QueryCaches.releaseAll()
 
