@@ -275,4 +275,481 @@ object CosineAllPairs {
           (sqrt(col("na2").cast("double")) *
             sqrt(col("nb2").cast("double"))), 6).as("cos_r"))
   }
+
+  /** Build the standing-corpus half of the incremental cosine
+    * AllPairs ONCE — [[pairsAgainst]]'s production twin, the cosine
+    * member of the [[TextDedup.writePrefixIndex]] index family: four
+    * bucketed, key-sorted EXTERNAL tables plus the `_meta` contract
+    * sidecar, so every nightly [[pairsAgainstIndexed]] pays
+    * batch-sized cost with zero exchange on any corpus side:
+    *
+    *  - `<prefix>_rank` (shingle, rn, maxw), bucketed by shingle —
+    *    the corpus rarity total order (df asc, shingle asc; unique)
+    *    PLUS the per-shingle max unit weight ŵ, FROZEN at first
+    *    sight (appends add new shingles with rn = null — see the
+    *    order contract below — and never update an existing maxw);
+    *  - `<prefix>_pref` (shingle, id), bucketed by shingle — the
+    *    corpus prefix postings under the AllPairs suffix bound cut
+    *    at `threshold`;
+    *  - `<prefix>_tf` (id, shingle, tf, na2), bucketed by id — the
+    *    full tf vectors + norms for exact verification (and for the
+    *    raised-shingle compensation scan);
+    *  - `<prefix>_raised` (shingle) — an append-only log of shingles
+    *    whose frozen maxw a later [[appendIndex]] batch EXCEEDED
+    *    (empty at build);
+    *  - `<prefix>_meta` (tau_build, shingle_n, buckets) — the
+    *    enforced build contract ([[TextDedup.writePrefixIndex]]'s
+    *    sidecar rule): τ' < τ_build or a shingleN mismatch is
+    *    rejected by the reader/append instead of silently losing
+    *    pairs.
+    *
+    * Why the Jaccard frozen-rank proof does NOT carry over verbatim
+    * (the [[pairsAgainst]] scaladoc's flagged hazard): the cosine
+    * suffix bound multiplies each weight by maxŵ(t), and a future
+    * batch or appended document can RAISE a shingle's true max unit
+    * weight above the frozen value — prefixes cut with the stale
+    * maxw would then be too short for pairs sharing that shingle
+    * (lossy). The lifecycle's answer is freeze-and-compensate:
+    * maxw(t) is frozen at the first vintage that sees t, every
+    * append LOGS the shingles it raises into `_raised`, the reader
+    * detects the shingles tonight's batch raises, and for the union
+    * of raised shingles it injects the EXACT full-posting candidates
+    * (batch docs containing t × corpus docs containing t, from
+    * `_tf`) alongside the prefix candidates. Pairs none of whose
+    * shared shingles are raised are covered by the classical prefix
+    * argument at the frozen maxw; pairs sharing a raised shingle are
+    * covered by the injection — lossless either way (the proof is
+    * spelled out at [[pairsAgainstIndexed]]; fuzz- and oracle-pinned).
+    *
+    * The family's hot-posting audit runs at build over the fresh
+    * corpus prefix postings; the reader re-audits the batch factor,
+    * the corpus postings tonight touches (append drift), and the
+    * raised-shingle compensation fan-out per run.
+    *
+    * Storage-level sharding (the [[TextDedup.writePrefixIndex]]
+    * `shardBy` layer) is orthogonal to these semantics and not
+    * layered here yet — the bucketed layout is the scale contract
+    * this op pins.
+    */
+  def writeIndex(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      tablePrefix: String,
+      buckets: Int,
+      shingleN: Int = 3,
+      threshold: Double = 0.8,
+      pathPrefix: Option[String] = None,
+      maxPrefixPosting: Int = Int.MaxValue,
+      handle: CacheHandle = null): Unit = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold in (0, 1], got $threshold")
+    require(maxPrefixPosting > 0,
+      s"maxPrefixPosting must be positive, got $maxPrefixPosting")
+    val tf = CacheHandle.persistWith(handle,
+      TextDedup.shingles(corpus, idCol, textCol, shingleN, dedup = false)
+        .groupBy(idCol, "shingle").agg(count(lit(1)).as("tf")))
+    tf.count() // eager: norms, rank, prefix + the _tf write read it
+    val sz = CacheHandle.persistWith(handle,
+      tf.groupBy(idCol).agg(sum(col("tf") * col("tf")).as("na2")))
+    sz.count() // eager: the weight projection + the _tf write read it
+    val wn = tf.join(sz, idCol)
+      .select(col(idCol), col("shingle"),
+        (col("tf").cast("double") /
+          sqrt(col("na2").cast("double"))).as("w"))
+    val maxw = wn.groupBy("shingle").agg(max(col("w")).as("maxw"))
+    val dfc = tf.groupBy("shingle").agg(count(lit(1)).as("dfc"))
+    val rankTab = CacheHandle.persistWith(handle,
+      ScaleOps.globalRowNumber(dfc, 8, handle, col("dfc"), col("shingle"))
+        .select(col("shingle"), col("rn"))
+        .join(maxw, "shingle")
+        .select(col("shingle"), col("rn"), col("maxw")))
+    rankTab.count() // eager: the _rank write + the prefix build read it
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("rn")
+    val whole = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol)
+    val pref = CacheHandle.persistWith(handle,
+      wn.join(rankTab, "shingle")
+        .withColumn("c", col("w") * col("maxw"))
+        .withColumn("cum", sum(col("c")).over(byDoc))
+        .withColumn("tot", sum(col("c")).over(whole))
+        .filter(col("tot") - (col("cum") - col("c")) >=
+          lit(threshold - 1e-9))
+        .select(col("shingle"), col(idCol)))
+    // build-time audit — the collect doubles as pref's materializer
+    if (maxPrefixPosting == Int.MaxValue) pref.count()
+    else {
+      val worst = TextDedup.overCapBuckets(pref, Seq("shingle"),
+          maxPrefixPosting)
+        .orderBy(col("n_members").desc, col("shingle"))
+        .limit(1).collect()
+      require(worst.isEmpty, {
+        val r = worst.head
+        s"CosineAllPairs.writeIndex: corpus prefix posting for " +
+          s"shingle '${r.getString(0)}' has ${r.getLong(1)} members " +
+          s"(> maxPrefixPosting=$maxPrefixPosting) — every nightly " +
+          "cross join would fan out on it; raise the bound or dedup " +
+          "the corpus before indexing"
+      })
+    }
+    def p(suffix: String): Option[String] = pathPrefix.map(_ + suffix)
+    ScaleOps.writeBucketed(rankTab,
+      s"${tablePrefix}_rank", "shingle", buckets, p("_rank"))
+    ScaleOps.writeBucketed(pref,
+      s"${tablePrefix}_pref", "shingle", buckets, p("_pref"))
+    ScaleOps.writeBucketed(
+      tf.join(sz, idCol).select(col(idCol), col("shingle"),
+        col("tf"), col("na2")),
+      s"${tablePrefix}_tf", idCol, buckets, p("_tf"))
+    val sp = corpus.sparkSession
+    // `_raised` starts EMPTY (appends log into it); overwrite makes a
+    // rebuild reset the log with the prefixes it invalidates
+    val emptyRaised = sp.createDataFrame(
+      sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("shingle",
+          org.apache.spark.sql.types.StringType, nullable = true))))
+    val rw = emptyRaised.coalesce(1).write.mode("overwrite")
+      .format("parquet")
+    p("_raised").fold(rw.saveAsTable(s"${tablePrefix}_raised"))(pp =>
+      rw.option("path", pp).saveAsTable(s"${tablePrefix}_raised"))
+    import sp.implicits._
+    val mw = Seq((threshold, shingleN, buckets))
+      .toDF("tau_build", "shingle_n", "buckets")
+      .coalesce(1).write.mode("overwrite").format("parquet")
+    p("_meta").fold(mw.saveAsTable(s"${tablePrefix}_meta"))(pp =>
+      mw.option("path", pp).saveAsTable(s"${tablePrefix}_meta"))
+  }
+
+  /** Read the 1-row `_meta` sidecar written by [[writeIndex]]. */
+  private def readMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String): (Double, Int, Int) = {
+    val r = spark.table(s"${tablePrefix}_meta").collect().head
+    (r.getDouble(r.fieldIndex("tau_build")),
+      r.getInt(r.fieldIndex("shingle_n")),
+      r.getInt(r.fieldIndex("buckets")))
+  }
+
+  /** Nightly-incremental cosine AllPairs against a standing-corpus
+    * index written by [[writeIndex]] — [[pairsAgainst]]'s production
+    * twin: the same exact cross-pair output (a ∈ batch, b ∈ corpus,
+    * cos ≥ τ, exactly verified, all-integer threshold), but the
+    * corpus is never re-shingled, re-ranked, or re-weighted.
+    * Tonight's cost is batch-sized: the batch tf frame, keyed lookups
+    * into the bucketed `_rank`/`_pref`/`_tf` tables (zero corpus-side
+    * exchange, spec-pinned), and the tiny `_raised` log.
+    *
+    * Exactness under the FROZEN order and FROZEN maxw — the theorem,
+    * with F(t) the stored maxw (0 for shingles in no vintage) and
+    * R = {shingles tonight's batch raises: batch maxŵ(t) > F(t)}
+    *     ∪ {`_raised`: shingles some append raised over F(t)}:
+    *
+    *  - Every corpus prefix (build or append vintage) was cut with
+    *    the suffix bound Σ ŵ_b(t)·F(t) under the one extended total
+    *    order O = (shingles with rn null or absent from `_rank`,
+    *    by shingle text) then (`_rank` shingles by frozen rn) — the
+    *    [[TextDedup.prefixJaccardAgainstIndexed]] order contract,
+    *    with appended new shingles joining class one AT their text
+    *    position, which never reorders any earlier participant's
+    *    sequence. Tonight's batch prefixes are cut under O with the
+    *    same F.
+    *  - Pair (a ∈ batch, b ∈ corpus) with cos ≥ τ whose shared
+    *    shingles all avoid R: for every shared t, ŵ_a(t) ≤ batch
+    *    maxŵ(t) ≤ F(t) (t not batch-raised) and ŵ_b(t) ≤ F(t) (t not
+    *    append-raised; build docs satisfy F by construction) — both
+    *    classical prefix arguments hold at F, the earliest shared
+    *    feature sits in BOTH prefixes, and the prefix candidate join
+    *    finds the pair.
+    *  - Pair with some shared t ∈ R: the compensation join emits
+    *    (batch docs containing t) × (corpus docs containing t, from
+    *    the full `_tf` postings) as candidates directly — no bound
+    *    involved, so no loss. Both paths verify exactly; the union is
+    *    lossless (fuzz-pinned against [[pairsAgainst]], oracle-pinned
+    *    against the full-posting ground truth).
+    *
+    * `threshold` ≥ τ_build and shingleN equality are ENFORCED against
+    * the `_meta` sidecar. With `maxPrefixPosting` set, FOUR audits
+    * run per nightly: the batch prefix postings, the corpus prefix
+    * postings tonight touches (append drift — the
+    * [[TextDedup.prefixJaccardAgainstIndexed]] rule), and both
+    * factors of the raised-shingle compensation fan-out (corpus full
+    * postings and batch full postings restricted to R).
+    */
+  def pairsAgainstIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.8,
+      handle: CacheHandle = null,
+      maxPrefixPosting: Int = Int.MaxValue): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold in (0, 1], got $threshold")
+    require(maxPrefixPosting > 0,
+      s"maxPrefixPosting must be positive, got $maxPrefixPosting")
+    val (tauBuild, shNBuild, _) = readMeta(spark, tablePrefix)
+    require(threshold >= tauBuild,
+      s"CosineAllPairs.pairsAgainstIndexed: threshold $threshold < " +
+        s"the index's build threshold $tauBuild — stored prefixes are " +
+        "cut at the build τ and a looser read would silently lose " +
+        "pairs; rebuild the index at the looser τ")
+    require(shingleN == shNBuild,
+      s"CosineAllPairs.pairsAgainstIndexed: shingleN $shingleN does " +
+        s"not match the index's build shingleN $shNBuild")
+    val btf = CacheHandle.persistWith(handle,
+      TextDedup.shingles(batch, idCol, textCol, shingleN, dedup = false)
+        .groupBy(idCol, "shingle").agg(count(lit(1)).as("tf")))
+    btf.count() // eager: norms, prefix, compensation + verify read it
+    val bsz = CacheHandle.persistWith(handle,
+      btf.groupBy(idCol).agg(sum(col("tf") * col("tf")).as("na2")))
+    bsz.count() // eager: the weight projection + the final join read it
+    val bwn = btf.join(bsz, idCol)
+      .select(col(idCol), col("shingle"),
+        (col("tf").cast("double") /
+          sqrt(col("na2").cast("double"))).as("w"))
+    val rank = spark.table(s"${tablePrefix}_rank")
+    // R: shingles whose frozen maxw tonight's batch exceeds, plus
+    // shingles some append exceeded (`_raised`), restricted to
+    // tonight's shingles (a raised shingle the batch doesn't contain
+    // cannot be SHARED by any of tonight's pairs). Batch-sized frame.
+    val braise = bwn.groupBy("shingle").agg(max(col("w")).as("bmaxw"))
+      .join(rank.select(col("shingle"), col("maxw")), Seq("shingle"))
+      .filter(col("bmaxw") > col("maxw"))
+      .select("shingle")
+    val raised = CacheHandle.persistWith(handle,
+      braise.unionAll(
+        spark.table(s"${tablePrefix}_raised")
+          .join(btf.select("shingle").distinct(),
+            Seq("shingle"), "left_semi"))
+        .distinct())
+    // one tiny action decides the compensation branch (commonly
+    // empty); also the frame's eager materializer
+    val nRaised = raised.count()
+    // batch prefixes under the frozen order at the frozen maxw:
+    // F = coalesce(stored maxw, 0) — a shingle in NO vintage has no
+    // corpus occurrence (any corpus doc would have frozen it), so its
+    // partner weight is 0 and M = 0 is both valid and tight
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol)
+      .orderBy(col("rn").isNotNull, coalesce(col("rn"), lit(-1L)),
+        col("shingle"))
+    val whole = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol)
+    val bpref = CacheHandle.persistWith(handle,
+      bwn.join(rank, Seq("shingle"), "left")
+        .withColumn("c", col("w") * coalesce(col("maxw"), lit(0.0)))
+        .withColumn("cum", sum(col("c")).over(w))
+        .withColumn("tot", sum(col("c")).over(whole))
+        .filter(col("tot") - (col("cum") - col("c")) >=
+          lit(threshold - 1e-9))
+        .select(col(idCol), col("shingle")))
+    val cpref = spark.table(s"${tablePrefix}_pref")
+    val ctf = spark.table(s"${tablePrefix}_tf")
+    if (maxPrefixPosting == Int.MaxValue)
+      bpref.count() // eager: candidate join + audit would race it
+    else {
+      // the BATCH factor of the cross fan-out
+      val worst = TextDedup.overCapBuckets(bpref, Seq("shingle"),
+          maxPrefixPosting)
+        .orderBy(col("n_members").desc, col("shingle"))
+        .limit(1).collect()
+      require(worst.isEmpty, {
+        val r = worst.head
+        s"CosineAllPairs.pairsAgainstIndexed: batch prefix posting " +
+          s"for shingle '${r.getString(0)}' has ${r.getLong(1)} " +
+          s"members (> maxPrefixPosting=$maxPrefixPosting) — the " +
+          "cross candidate join would fan out on it; raise the bound " +
+          "if the fan-out is affordable"
+      })
+      // the CORPUS factor tonight touches (append drift — the
+      // prefixJaccardAgainstIndexed rule): left-semi keyed on the
+      // bucket key, zero corpus exchange, batch-sized output
+      val cworst = TextDedup.overCapBuckets(
+          cpref.join(bpref.select("shingle").distinct(),
+            Seq("shingle"), "left_semi"),
+          Seq("shingle"), maxPrefixPosting)
+        .orderBy(col("n_members").desc, col("shingle"))
+        .limit(1).collect()
+      require(cworst.isEmpty, {
+        val r = cworst.head
+        s"CosineAllPairs.pairsAgainstIndexed: corpus prefix posting " +
+          s"for batch-touched shingle '${r.getString(0)}' has " +
+          s"${r.getLong(1)} members (> maxPrefixPosting=" +
+          s"$maxPrefixPosting) — appends have grown it past the " +
+          "build-time audit; rebuild the index (one writeIndex) or " +
+          "raise the bound if the fan-out is affordable"
+      })
+      if (nRaised > 0) {
+        // both factors of the raised-shingle compensation fan-out:
+        // full corpus postings and full batch postings on R
+        val rworst = TextDedup.overCapBuckets(
+            ctf.join(raised, Seq("shingle"), "left_semi"),
+            Seq("shingle"), maxPrefixPosting)
+          .orderBy(col("n_members").desc, col("shingle"))
+          .limit(1).collect()
+        require(rworst.isEmpty, {
+          val r = rworst.head
+          s"CosineAllPairs.pairsAgainstIndexed: corpus full posting " +
+            s"for RAISED shingle '${r.getString(0)}' has " +
+            s"${r.getLong(1)} members (> maxPrefixPosting=" +
+            s"$maxPrefixPosting) — the compensation join would fan " +
+            "out on it; rebuild the index (refreezes maxw) or raise " +
+            "the bound if the fan-out is affordable"
+        })
+        val bworst = TextDedup.overCapBuckets(
+            btf.join(raised, Seq("shingle"), "left_semi"),
+            Seq("shingle"), maxPrefixPosting)
+          .orderBy(col("n_members").desc, col("shingle"))
+          .limit(1).collect()
+        require(bworst.isEmpty, {
+          val r = bworst.head
+          s"CosineAllPairs.pairsAgainstIndexed: batch full posting " +
+            s"for RAISED shingle '${r.getString(0)}' has " +
+            s"${r.getLong(1)} members (> maxPrefixPosting=" +
+            s"$maxPrefixPosting) — the compensation join would fan " +
+            "out on it; raise the bound if the fan-out is affordable"
+        })
+      }
+    }
+    // prefix candidates: batch prefix postings against the bucketed
+    // corpus prefix postings — corpus side zero-exchange
+    val prefCand = bpref
+      .select(col(idCol).as("a"), col("shingle"))
+      .join(cpref.select(col("shingle"), col(idCol).as("b")),
+        Seq("shingle"))
+      .select(col("a"), col("b"))
+    // raised-shingle compensation: exact full-posting injection on R
+    // (skipped entirely when R is empty — the common nightly)
+    val cand = (if (nRaised == 0) prefCand
+      else prefCand.unionAll(
+        btf.join(raised, Seq("shingle"), "left_semi")
+          .select(col(idCol).as("a"), col("shingle"))
+          .join(ctf.join(raised, Seq("shingle"), "left_semi")
+            .select(col("shingle"), col(idCol).as("b")),
+            Seq("shingle"))
+          .select(col("a"), col("b")))).distinct()
+    // exact verify: pull each candidate corpus doc's tf vector from
+    // the id-bucketed table (zero corpus exchange — the join key is
+    // the bucket key); nb2 rides along (functionally determined by b)
+    val num = cand
+      .join(ctf.select(col(idCol).as("b"), col("shingle"),
+        col("tf").as("tfb"), col("na2").as("nb2")), Seq("b"))
+      .join(btf.select(col(idCol).as("a"), col("shingle"),
+        col("tf").as("tfa")), Seq("a", "shingle"))
+      .groupBy("a", "b", "nb2")
+      .agg(sum(col("tfa") * col("tfb")).as("num"))
+    num
+      .join(bsz.select(col(idCol).as("a"), col("na2")), "a")
+      .filter(col("num").cast("double") * col("num").cast("double") >=
+        lit(threshold) * lit(threshold) *
+          (col("na2").cast("double") * col("nb2").cast("double")))
+      .select(col("a"), col("b"), col("num"), col("na2"), col("nb2"),
+        round(col("num").cast("double") /
+          (sqrt(col("na2").cast("double")) *
+            sqrt(col("nb2").cast("double"))), 6).as("cos_r"))
+  }
+
+  /** Extend a standing cosine index written by [[writeIndex]] with
+    * newly ACCEPTED documents — the incremental half of the
+    * lifecycle, so the corpus is never re-shingled between rebuilds.
+    * `_rank` rows are never UPDATED: new shingles append with
+    * rn = null (they join order-class one — by shingle text — AT
+    * their text position, which never reorders any earlier
+    * participant's sequence) and maxw frozen at this batch's max
+    * unit weight; existing shingles whose frozen maxw this batch
+    * EXCEEDS are logged into `_raised` (the reader compensates them
+    * exactly — see [[pairsAgainstIndexed]]). Appended documents' own
+    * prefixes are cut under the frozen order at the frozen maxw
+    * (their own batch max for brand-new shingles — exactly the value
+    * being frozen for them), so every stored prefix in the index is
+    * a true prefix of the one extended total order at its shingles'
+    * frozen weights, whatever vintage wrote it. What drifts is the
+    * df HEURISTIC (postings can run hotter than a fresh rebuild's) —
+    * policed per nightly by the reader's touched-posting audit.
+    * τ, shingleN and buckets must match the build — validated
+    * against the `_meta` sidecar.
+    */
+  def appendIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int,
+      shingleN: Int = 3,
+      threshold: Double = 0.8,
+      handle: CacheHandle = null): Unit = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold in (0, 1], got $threshold")
+    val (tauBuild, shNBuild, bkBuild) = readMeta(spark, tablePrefix)
+    require(threshold == tauBuild,
+      s"CosineAllPairs.appendIndex: threshold $threshold != the " +
+        s"index's build threshold $tauBuild — appended prefixes must " +
+        "be cut exactly like the stored ones or readers between the " +
+        "two τs silently lose pairs")
+    require(shingleN == shNBuild,
+      s"CosineAllPairs.appendIndex: shingleN $shingleN does not " +
+        s"match the index's build shingleN $shNBuild")
+    require(buckets == bkBuild,
+      s"CosineAllPairs.appendIndex: buckets $buckets does not match " +
+        s"the index's build buckets $bkBuild")
+    val btf = CacheHandle.persistWith(handle,
+      TextDedup.shingles(batch, idCol, textCol, shingleN, dedup = false)
+        .groupBy(idCol, "shingle").agg(count(lit(1)).as("tf")))
+    btf.count() // eager: norms, prefix + the _tf append read it
+    val bsz = CacheHandle.persistWith(handle,
+      btf.groupBy(idCol).agg(sum(col("tf") * col("tf")).as("na2")))
+    bsz.count() // eager: the weight projection + the _tf append read it
+    val bwn = btf.join(bsz, idCol)
+      .select(col(idCol), col("shingle"),
+        (col("tf").cast("double") /
+          sqrt(col("na2").cast("double"))).as("w"))
+    val rank = spark.table(s"${tablePrefix}_rank")
+    val bmax = CacheHandle.persistWith(handle,
+      bwn.groupBy("shingle").agg(max(col("w")).as("bmaxw")))
+    bmax.count() // eager: the rank append, raised log + prefix read it
+    // new shingles freeze maxw NOW at this batch's max; raises of
+    // already-frozen shingles are logged for reader compensation.
+    // Order of operations: log raises and compute prefixes against
+    // the PRE-append rank table, then append — a same-JVM reader
+    // later sees the extended tables consistently.
+    val joined = bmax.join(rank, Seq("shingle"), "left")
+    val newRank = joined.filter(col("rn").isNull && col("maxw").isNull)
+      .select(col("shingle"), lit(null).cast("long").as("rn"),
+        col("bmaxw").as("maxw"))
+    val raisedLog = joined
+      .filter(col("maxw").isNotNull && col("bmaxw") > col("maxw"))
+      .select("shingle")
+    raisedLog.write.mode("append").format("parquet")
+      .saveAsTable(s"${tablePrefix}_raised")
+    // appended docs' prefixes: frozen order, frozen maxw — for
+    // brand-new shingles that's this batch's max (the value frozen
+    // above), making stored prefixes self-consistent at read time
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol)
+      .orderBy(col("rn").isNotNull, coalesce(col("rn"), lit(-1L)),
+        col("shingle"))
+    val whole = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol)
+    val newPref = bwn.join(rank, Seq("shingle"), "left")
+      .join(bmax, Seq("shingle"))
+      .withColumn("c", col("w") * coalesce(col("maxw"), col("bmaxw")))
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("tot", sum(col("c")).over(whole))
+      .filter(col("tot") - (col("cum") - col("c")) >=
+        lit(threshold - 1e-9))
+      .select(col("shingle"), col(idCol))
+    ScaleOps.appendBucketed(newPref,
+      s"${tablePrefix}_pref", "shingle", buckets)
+    ScaleOps.appendBucketed(newRank,
+      s"${tablePrefix}_rank", "shingle", buckets)
+    ScaleOps.appendBucketed(
+      btf.join(bsz, idCol).select(col(idCol), col("shingle"),
+        col("tf"), col("na2")),
+      s"${tablePrefix}_tf", idCol, buckets)
+  }
 }

@@ -511,6 +511,55 @@ object TextQueries {
         .orderBy("a", "b")
     }),
 
+    // The PRODUCTION twin of q_cosine_incr (the CosineAllPairs
+    // .writeIndex lifecycle — the cosine member of the standing-index
+    // family): the corpus's rank/maxw/prefix/tf tables are written
+    // ONCE as bucketed external tables and the nightly reads them
+    // with zero corpus-side exchange. The cosine-specific contract
+    // the Jaccard index doesn't need: per-shingle max unit weights
+    // are FROZEN at build, the reader detects the shingles tonight's
+    // batch RAISES and injects their exact full-posting candidates
+    // (freeze-and-compensate — lossless either way, proven by the
+    // SAME full-posting ground-truth oracle as q_cosine_incr).
+    "q_cosine_incr_idx" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val app = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      val tp = s"graft_cosidx_$app"
+      graft.ops.CosineAllPairs.writeIndex(d.filter(col("doc_id") < 250),
+        "doc_id", "text", tp, buckets = 8, shingleN = 3, threshold = 0.8,
+        pathPrefix = Some(Tables.scratchDir(s, tp).toString),
+        maxPrefixPosting = 200)
+      graft.ops.CosineAllPairs.pairsAgainstIndexed(s, tp,
+        d.filter(col("doc_id") >= 250), "doc_id", "text",
+        shingleN = 3, threshold = 0.8, maxPrefixPosting = 200)
+        .orderBy("a", "b")
+    }),
+
+    // The cosine index LIFECYCLE gate: build on half the standing
+    // corpus, APPEND the other half (CosineAllPairs.appendIndex —
+    // frozen rank rows never update; new shingles join order-class
+    // one with rn null, and appended docs that RAISE a frozen max
+    // weight land in the `_raised` log the reader compensates from),
+    // then run the nightly. Ground truth is the SAME cross-pairs
+    // oracle as q_cosine_incr — a hash match proves appended docs
+    // participate exactly through the freeze-and-compensate path.
+    "q_cosine_incr_append" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val app = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      val tp = s"graft_cosapp_$app"
+      graft.ops.CosineAllPairs.writeIndex(d.filter(col("doc_id") < 150),
+        "doc_id", "text", tp, buckets = 8, shingleN = 3, threshold = 0.8,
+        pathPrefix = Some(Tables.scratchDir(s, tp).toString),
+        maxPrefixPosting = 200)
+      graft.ops.CosineAllPairs.appendIndex(s, tp,
+        d.filter(col("doc_id") >= 150 && col("doc_id") < 250),
+        "doc_id", "text", buckets = 8, shingleN = 3, threshold = 0.8)
+      graft.ops.CosineAllPairs.pairsAgainstIndexed(s, tp,
+        d.filter(col("doc_id") >= 250), "doc_id", "text",
+        shingleN = 3, threshold = 0.8, maxPrefixPosting = 200)
+        .orderBy("a", "b")
+    }),
+
     // Exact repeated-substring removal plan (TextDedup
     // .substringRemovalPlan) — the ExactSubstr step: cut every 40-char
     // span that appears verbatim >= 2 times corpus-wide, merged into
@@ -2331,6 +2380,46 @@ SELECT tokenizer, n_words, n_subwords, n_unk, fertility_r FROM (
                 WHEN score_es >= score_fr THEN 'es'
                 ELSE 'fr' END"""
 
+  // cross-side cosine ground truth: FULL tf posting join restricted
+  // to batch (>= 250) x corpus (< 250), no prefix machinery; the
+  // same all-integer threshold with the double multiply forced
+  // (bare 0.8 * 0.8 folds as DECIMAL = exactly 0.64 in DuckDB,
+  // one ulp from Spark's IEEE product). Shared verbatim by the
+  // re-ranking, indexed, and append-lifecycle variants — all three
+  // must hash to the same full-posting truth.
+  private val cosineIncrOracle: String =
+    """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+           FROM documents),
+       d2 AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 3),
+       tok AS (SELECT doc_id, unnest(toks) AS tok,
+           generate_subscripts(toks, 1) AS pos FROM d2),
+       shm AS (SELECT t1.doc_id,
+           t1.tok || ' ' || t2.tok || ' ' || t3.tok AS shingle
+           FROM tok t1
+           JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+           JOIN tok t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2),
+       tf AS (SELECT doc_id, shingle, CAST(count(*) AS BIGINT) AS tf
+           FROM shm GROUP BY 1, 2),
+       sz AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS na2
+           FROM tf GROUP BY 1),
+       nm AS (SELECT x.doc_id AS a, y.doc_id AS b,
+           CAST(sum(x.tf * y.tf) AS BIGINT) AS num
+           FROM tf x JOIN tf y
+             ON x.shingle = y.shingle
+                AND x.doc_id >= 250 AND y.doc_id < 250
+           GROUP BY 1, 2)
+       SELECT n.a, n.b, n.num, sa.na2 AS na2, sb.na2 AS nb2,
+           round(CAST(n.num AS DOUBLE) /
+             (sqrt(CAST(sa.na2 AS DOUBLE)) *
+              sqrt(CAST(sb.na2 AS DOUBLE))), 6) AS cos_r
+       FROM nm n
+       JOIN sz sa ON sa.doc_id = n.a
+       JOIN sz sb ON sb.doc_id = n.b
+       WHERE CAST(n.num AS DOUBLE) * CAST(n.num AS DOUBLE) >=
+         CAST(0.8 AS DOUBLE) * CAST(0.8 AS DOUBLE) *
+           (CAST(sa.na2 AS DOUBLE) * CAST(sb.na2 AS DOUBLE))
+       ORDER BY a, b"""
+
   val oracles: Map[String, String] = Map(
     "q_bpe_merges" -> bpeMergesOracle(12),
     "q_bpe_segment" -> bpeSegmentOracle(8),
@@ -3026,38 +3115,12 @@ SELECT tokenizer, n_words, n_subwords, n_unk, fertility_r FROM (
     // same all-integer threshold with the double multiply forced
     // (bare 0.8 * 0.8 folds as DECIMAL = exactly 0.64 in DuckDB,
     // one ulp from Spark's IEEE product)
-    "q_cosine_incr" ->
-      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
-             FROM documents),
-         d2 AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 3),
-         tok AS (SELECT doc_id, unnest(toks) AS tok,
-             generate_subscripts(toks, 1) AS pos FROM d2),
-         shm AS (SELECT t1.doc_id,
-             t1.tok || ' ' || t2.tok || ' ' || t3.tok AS shingle
-             FROM tok t1
-             JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
-             JOIN tok t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2),
-         tf AS (SELECT doc_id, shingle, CAST(count(*) AS BIGINT) AS tf
-             FROM shm GROUP BY 1, 2),
-         sz AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS na2
-             FROM tf GROUP BY 1),
-         nm AS (SELECT x.doc_id AS a, y.doc_id AS b,
-             CAST(sum(x.tf * y.tf) AS BIGINT) AS num
-             FROM tf x JOIN tf y
-               ON x.shingle = y.shingle
-                  AND x.doc_id >= 250 AND y.doc_id < 250
-             GROUP BY 1, 2)
-         SELECT n.a, n.b, n.num, sa.na2 AS na2, sb.na2 AS nb2,
-             round(CAST(n.num AS DOUBLE) /
-               (sqrt(CAST(sa.na2 AS DOUBLE)) *
-                sqrt(CAST(sb.na2 AS DOUBLE))), 6) AS cos_r
-         FROM nm n
-         JOIN sz sa ON sa.doc_id = n.a
-         JOIN sz sb ON sb.doc_id = n.b
-         WHERE CAST(n.num AS DOUBLE) * CAST(n.num AS DOUBLE) >=
-           CAST(0.8 AS DOUBLE) * CAST(0.8 AS DOUBLE) *
-             (CAST(sa.na2 AS DOUBLE) * CAST(sb.na2 AS DOUBLE))
-         ORDER BY a, b""",
+    "q_cosine_incr" -> cosineIncrOracle,
+    // the indexed and append-lifecycle twins hash against the SAME
+    // full-posting ground truth — the frozen-maxw freeze-and-
+    // compensate path is lossless corpus-wide iff these match
+    "q_cosine_incr_idx" -> cosineIncrOracle,
+    "q_cosine_incr_append" -> cosineIncrOracle,
     // the capped twin at a non-tripping cap equals the exact join —
     // same ground-truth oracle, tau = 0.9
     "q_prefix_jaccard_capped" ->

@@ -189,4 +189,256 @@ class CosineAllPairsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("40 members"), ex.getMessage)
     graft.ops.QueryCaches.releaseAll()
   }
+
+  private def scratch(tp: String): String =
+    graft.Tables.scratchDir(spark, tp).toString
+
+  private def dropIndex(tp: String): Unit =
+    Seq("_rank", "_pref", "_tf", "_raised", "_meta").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS $tp$s"))
+
+  test("raised-shingle compensation is load-bearing: a qualifying " +
+      "pair whose only shared shingle sits past the stored prefix " +
+      "is recovered exactly") {
+    // hand-built miss (shingleN = 1, τ = 0.85): corpus b = 'v v r'
+    // (ŵ_v = 2/√5 ≈ .894), filler c1 = 'v p p p' keeps df_v = 2 so v
+    // ranks LAST in b's scan; b's prefix cuts before v (suffix bound
+    // .8 < .85) — the stored prefixes are {r} and {p}. Batch a = 'v'
+    // has ŵ_v = 1 > frozen maxw .894 (raised) and cos(a, b) =
+    // 2/√5 ≈ .894 ≥ .85 qualifies, but shares NOTHING with any
+    // stored prefix: the prefix join alone returns empty, and only
+    // the raised-shingle full-posting injection recovers the pair —
+    // the cosine-specific hazard the Jaccard index family does not
+    // have, caught and compensated exactly.
+    import spark.implicits._
+    val corpus = Seq((0L, "v v r"), (1L, "v p p p")).toDF("doc_id", "text")
+    val batch = Seq((100L, "v")).toDF("doc_id", "text")
+    val tp = "graft_cosidx_raised"
+    try {
+      CosineAllPairs.writeIndex(corpus, "doc_id", "text", tp,
+        buckets = 4, shingleN = 1, threshold = 0.85,
+        pathPrefix = Some(scratch(tp)))
+      // the stored corpus prefixes really exclude v — the miss is real
+      val storedPref = spark.table(s"${tp}_pref").collect()
+        .map(r => (r.getString(r.fieldIndex("shingle")),
+          r.getLong(r.fieldIndex("doc_id")))).toSet
+      assert(storedPref == Set(("r", 0L), ("p", 1L)), storedPref)
+      val got = collectPairs(CosineAllPairs.pairsAgainstIndexed(
+        spark, tp, batch, "doc_id", "text", shingleN = 1,
+        threshold = 0.85, maxPrefixPosting = 16))
+      // (a=100, b=0): num = 1·2 = 2, na2 = 1, nb2 = 5; c1 is a
+      // compensation candidate too but verifies below τ (cos ≈ .316)
+      assert(got == Set((100L, 0L, 2L, 1L, 5L)), got)
+      graft.ops.QueryCaches.releaseAll()
+    } finally {
+      dropIndex(tp)
+      graft.ops.QueryCaches.releaseAll()
+    }
+  }
+
+  test("indexed cosine equals pairsAgainst under fuzz, including " +
+      "batch-raised max weights and unseen shingles") {
+    // the freeze-and-compensate contract end to end: repetition-heavy
+    // batch docs raise frozen max weights in most samples, z tokens
+    // exercise the absent-shingle order class, and the ground truth
+    // is the re-ranking variant (itself oracle- and brute-pinned)
+    import spark.implicits._
+    import org.scalacheck.Gen
+    val alpha = Vector("a", "b", "c", "d", "e")
+    def genDoc(v: Vector[String], maxRep: Int) = for {
+      len <- Gen.choose(2, 10)
+      rep <- Gen.choose(1, maxRep)
+      ws <- Gen.listOfN(len, Gen.oneOf(v))
+    } yield Iterator.fill(rep)(ws).flatten.mkString(" ")
+    val genCorpus = for {
+      nc <- Gen.choose(3, 8)
+      nb <- Gen.choose(3, 8)
+      cd <- Gen.listOfN(nc, genDoc(alpha, 1))
+      bd <- Gen.listOfN(nb, genDoc(alpha :+ "z", 3))
+      tau <- Gen.oneOf(0.5, 0.8)
+    } yield (cd.zipWithIndex.map { case (t, i) => (i.toLong, t) },
+      bd.zipWithIndex.map { case (t, i) => (1000L + i, t) }, tau)
+    val tp = "graft_cosidx_fuzz"
+    try {
+      new PropHelpers {}.forAll(genCorpus, n = 6) { case (crows, brows, tau) =>
+        val cdf = crows.toDF("doc_id", "text")
+        val bdf = brows.toDF("doc_id", "text")
+        CosineAllPairs.writeIndex(cdf, "doc_id", "text", tp,
+          buckets = 4, shingleN = 3, threshold = tau,
+          pathPrefix = Some(scratch(tp)))
+        val got = collectPairs(CosineAllPairs.pairsAgainstIndexed(
+          spark, tp, bdf, "doc_id", "text", shingleN = 3,
+          threshold = tau))
+        val expected = collectPairs(CosineAllPairs.pairsAgainst(
+          cdf, bdf, "doc_id", "text", shingleN = 3, threshold = tau))
+        assert(got == expected,
+          s"tau=$tau extra=${got -- expected} missing=${expected -- got}")
+        graft.ops.QueryCaches.releaseAll()
+      }
+    } finally {
+      dropIndex(tp)
+      graft.ops.QueryCaches.releaseAll()
+    }
+  }
+
+  test("appendIndex: build + append answers like a fresh union " +
+      "index, raises are logged, and the meta contract rejects " +
+      "mismatched calls") {
+    // lifecycle fuzz: append docs repeat tokens (raising frozen max
+    // weights — the `_raised` log drives reader compensation) and
+    // carry shingles the frozen rank never saw (rn-null rows joining
+    // order-class one at their text position)
+    import spark.implicits._
+    import org.scalacheck.Gen
+    val alpha = Vector("a", "b", "c", "d", "e")
+    def genDoc(v: Vector[String], maxRep: Int) = for {
+      len <- Gen.choose(2, 10)
+      rep <- Gen.choose(1, maxRep)
+      ws <- Gen.listOfN(len, Gen.oneOf(v))
+    } yield Iterator.fill(rep)(ws).flatten.mkString(" ")
+    val genCorpus = for {
+      n1 <- Gen.choose(3, 6)
+      n2 <- Gen.choose(3, 6)
+      nb <- Gen.choose(3, 6)
+      c1 <- Gen.listOfN(n1, genDoc(alpha, 1))
+      c2 <- Gen.listOfN(n2, genDoc(alpha :+ "y", 3)) // raises + unseen
+      bd <- Gen.listOfN(nb, genDoc(alpha ++ Vector("y", "z"), 3))
+      tau <- Gen.oneOf(0.5, 0.8)
+    } yield (c1.zipWithIndex.map { case (t, i) => (i.toLong, t) },
+      c2.zipWithIndex.map { case (t, i) => (100L + i, t) },
+      bd.zipWithIndex.map { case (t, i) => (1000L + i, t) }, tau)
+    val tp = "graft_cosapp_fuzz"
+    try {
+      new PropHelpers {}.forAll(genCorpus, n = 5) {
+        case (c1, c2, brows, tau) =>
+          val c1df = c1.toDF("doc_id", "text")
+          val c2df = c2.toDF("doc_id", "text")
+          val bdf = brows.toDF("doc_id", "text")
+          CosineAllPairs.writeIndex(c1df, "doc_id", "text", tp,
+            buckets = 4, shingleN = 3, threshold = tau,
+            pathPrefix = Some(scratch(tp)))
+          CosineAllPairs.appendIndex(spark, tp, c2df, "doc_id", "text",
+            buckets = 4, shingleN = 3, threshold = tau)
+          val got = collectPairs(CosineAllPairs.pairsAgainstIndexed(
+            spark, tp, bdf, "doc_id", "text", shingleN = 3,
+            threshold = tau))
+          val expected = collectPairs(CosineAllPairs.pairsAgainst(
+            c1df.unionAll(c2df), bdf, "doc_id", "text", shingleN = 3,
+            threshold = tau))
+          assert(got == expected,
+            s"tau=$tau extra=${got -- expected} missing=${expected -- got}")
+          graft.ops.QueryCaches.releaseAll()
+      }
+
+      // a deterministic raising append: 'v v r' raises v's frozen max
+      // (2/√5 > 1/√10 from the build's 'v p p p') — logged, and the
+      // reader still matches the ground truth through the log
+      CosineAllPairs.writeIndex(
+        Seq((0L, "v p p p")).toDF("doc_id", "text"),
+        "doc_id", "text", tp, buckets = 4, shingleN = 1,
+        threshold = 0.8, pathPrefix = Some(scratch(tp)))
+      CosineAllPairs.appendIndex(spark, tp,
+        Seq((1L, "v v r")).toDF("doc_id", "text"),
+        "doc_id", "text", buckets = 4, shingleN = 1, threshold = 0.8)
+      assert(spark.table(s"${tp}_raised").collect()
+        .map(_.getString(0)).toSeq == Seq("v"))
+      val got2 = collectPairs(CosineAllPairs.pairsAgainstIndexed(
+        spark, tp, Seq((100L, "v v r")).toDF("doc_id", "text"),
+        "doc_id", "text", shingleN = 1, threshold = 0.8))
+      assert(got2 == Set((100L, 1L, 5L, 5L, 5L)), got2) // exact dup of 1
+      graft.ops.QueryCaches.releaseAll()
+
+      // the meta contract: τ' < τ_build, shingleN and buckets
+      // mismatches are rejected loudly (a silent τ' < τ_build read
+      // would be lossy by construction)
+      val exT = intercept[IllegalArgumentException] {
+        CosineAllPairs.pairsAgainstIndexed(spark, tp,
+          Seq((100L, "v")).toDF("doc_id", "text"), "doc_id", "text",
+          shingleN = 1, threshold = 0.5)
+      }
+      assert(exT.getMessage.contains("build threshold"), exT.getMessage)
+      val exN = intercept[IllegalArgumentException] {
+        CosineAllPairs.pairsAgainstIndexed(spark, tp,
+          Seq((100L, "v")).toDF("doc_id", "text"), "doc_id", "text",
+          shingleN = 3, threshold = 0.8)
+      }
+      assert(exN.getMessage.contains("shingleN"), exN.getMessage)
+      val exA = intercept[IllegalArgumentException] {
+        CosineAllPairs.appendIndex(spark, tp,
+          Seq((2L, "v")).toDF("doc_id", "text"), "doc_id", "text",
+          buckets = 8, shingleN = 1, threshold = 0.8)
+      }
+      assert(exA.getMessage.contains("buckets"), exA.getMessage)
+      graft.ops.QueryCaches.releaseAll()
+    } finally {
+      dropIndex(tp)
+      graft.ops.QueryCaches.releaseAll()
+    }
+  }
+
+  test("indexed cosine: zero shuffle exchange above every " +
+      "corpus-side bucketed scan, build + append layout") {
+    // the scale contract the index exists for (the
+    // prefixJaccardAgainstIndexed plan pin at cosine semantics):
+    // _rank/_pref (bucketed by shingle) and _tf (bucketed by id) are
+    // read with no exchange between the scan and its join — tonight's
+    // shuffles are all batch-sized. Appending first pins that
+    // multi-file buckets keep the property (they only cost a re-sort).
+    import spark.implicits._
+    val corpusDf = (0L until 60L)
+      .map(i => (i, s"w${i % 7} w${(i + 1) % 7} w${(i + 2) % 7} t$i u$i"))
+      .toDF("doc_id", "text")
+    val batchDf = (0L until 20L)
+      .map(i => (i + 100L, s"w${i % 7} w${(i + 1) % 7} w${(i + 2) % 7} t$i u$i v$i"))
+      .toDF("doc_id", "text")
+    val tp = "graft_cosidx_plan"
+    try {
+      CosineAllPairs.writeIndex(corpusDf, "doc_id", "text", tp,
+        buckets = 4, shingleN = 3, threshold = 0.5,
+        pathPrefix = Some(scratch(tp)))
+      CosineAllPairs.appendIndex(spark, tp,
+        (200L until 220L)
+          .map(i => (i, s"w${i % 7} w${(i + 1) % 7} w${(i + 2) % 7} p$i q$i"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", buckets = 4, shingleN = 3, threshold = 0.5)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val out = CosineAllPairs.pairsAgainstIndexed(spark, tp, batchDf,
+        "doc_id", "text", shingleN = 3, threshold = 0.5)
+      import org.apache.spark.sql.execution.SparkPlan
+      def fragments(p: SparkPlan): Seq[SparkPlan] =
+        p +: p.collect {
+          case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+            fragments(s.relation.cachedPlan)
+        }.flatten
+      val names = Seq("_rank", "_pref", "_tf").map(tp + _)
+      // an exchange whose UNARY path down reaches a corpus FILE scan
+      // without crossing a join is a corpus-side shuffle; see the
+      // TextDedupSpec pin for why only FileSourceScanExec counts
+      def reachesScan(p: SparkPlan): Boolean = p match {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          names.exists(f.toString.contains)
+        case _ if p.children.length == 1 => reachesScan(p.children.head)
+        case _ => false
+      }
+      val frs = fragments(out.queryExecution.executedPlan)
+      val offenders = frs.flatMap(_.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if reachesScan(e.child) => e
+      })
+      assert(offenders.isEmpty,
+        "a corpus-side bucketed scan still shuffles:\n" +
+          offenders.map(_.toString).mkString("\n---\n"))
+      val allStr = frs.map(_.toString).mkString("\n")
+      names.foreach { n =>
+        assert(allStr.contains(n), s"plan does not read $n:\n$allStr")
+      }
+      assert(out.count() > 0L)
+    } finally {
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      dropIndex(tp)
+      graft.ops.QueryCaches.releaseAll()
+    }
+  }
 }
