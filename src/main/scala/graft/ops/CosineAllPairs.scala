@@ -57,19 +57,22 @@ import org.apache.spark.sql.functions._
   */
 object CosineAllPairs {
 
-  def pairs(
+  /** Shared single-corpus frames: tf vectors (shingles WITH
+    * multiplicity), squared norms, and the rarity-ordered prefix
+    * frame under the AllPairs suffix bound — all persisted via the
+    * handle; tf/sz eagerly materialized (multiple readers race a
+    * lazy cache), pref left lazy for the caller's first action (the
+    * audit/cap collect doubles as its materializer).
+    */
+  private def tfFrames(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      shingleN: Int = 3,
-      threshold: Double = 0.8,
-      handle: CacheHandle = null,
-      maxPrefixPosting: Int = Int.MaxValue): DataFrame = {
+      shingleN: Int,
+      threshold: Double,
+      handle: CacheHandle): (DataFrame, DataFrame, DataFrame) = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold in (0, 1], got $threshold")
-    require(maxPrefixPosting > 0,
-      s"maxPrefixPosting must be positive, got $maxPrefixPosting")
-    // tf vectors: shingles WITH multiplicity, counted per (doc, shingle)
     val tf = CacheHandle.persistWith(handle,
       TextDedup.shingles(df, idCol, textCol, shingleN, dedup = false)
         .groupBy(idCol, "shingle").agg(count(lit(1)).as("tf")))
@@ -102,6 +105,56 @@ object CosineAllPairs {
         .filter(col("tot") - (col("cum") - col("c")) >=
           lit(threshold - 1e-9))
         .select(col(idCol), col("shingle")))
+    (tf, sz, pref)
+  }
+
+  /** Shared verify tail: candidate (a < b) pairs from a prefix
+    * posting self-join, then the exact integer dot product over the
+    * full tf vectors and the engine-portable threshold
+    * num² ≥ τ²·(na2·nb2) — every factor exact in double, association
+    * mirrored verbatim in the oracle.
+    */
+  private def candidateVerify(
+      tf: DataFrame,
+      sz: DataFrame,
+      pref: DataFrame,
+      idCol: String,
+      threshold: Double): DataFrame = {
+    val cand = pref.as("x")
+      .join(pref.as("y"), col("x.shingle") === col("y.shingle") &&
+        col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
+      .distinct()
+    val num = cand
+      .join(tf.select(col(idCol).as("a"), col("shingle"),
+        col("tf").as("tfa")), Seq("a"))
+      .join(tf.select(col(idCol).as("b"), col("shingle"),
+        col("tf").as("tfb")), Seq("b", "shingle"))
+      .groupBy("a", "b").agg(sum(col("tfa") * col("tfb")).as("num"))
+    num
+      .join(sz.select(col(idCol).as("a"), col("na2")), "a")
+      .join(sz.select(col(idCol).as("b"), col("na2").as("nb2")), "b")
+      .filter(col("num").cast("double") * col("num").cast("double") >=
+        lit(threshold) * lit(threshold) *
+          (col("na2").cast("double") * col("nb2").cast("double")))
+      .select(col("a"), col("b"), col("num"), col("na2"), col("nb2"),
+        round(col("num").cast("double") /
+          (sqrt(col("na2").cast("double")) *
+            sqrt(col("nb2").cast("double"))), 6).as("cos_r"))
+  }
+
+  def pairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.8,
+      handle: CacheHandle = null,
+      maxPrefixPosting: Int = Int.MaxValue): DataFrame = {
+    require(maxPrefixPosting > 0,
+      s"maxPrefixPosting must be positive, got $maxPrefixPosting")
+    val (tf, sz, pref) =
+      tfFrames(df, idCol, textCol, shingleN, threshold, handle)
     if (maxPrefixPosting == Int.MaxValue)
       pref.count() // eager: both candidate sides read it
     else {
@@ -120,31 +173,45 @@ object CosineAllPairs {
           "if the fan-out is affordable"
       })
     }
-    val cand = pref.as("x")
-      .join(pref.as("y"), col("x.shingle") === col("y.shingle") &&
-        col(s"x.$idCol") < col(s"y.$idCol"))
-      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
-      .distinct()
-    // exact verify: integer dot product over the full tf vectors
-    val num = cand
-      .join(tf.select(col(idCol).as("a"), col("shingle"),
-        col("tf").as("tfa")), Seq("a"))
-      .join(tf.select(col(idCol).as("b"), col("shingle"),
-        col("tf").as("tfb")), Seq("b", "shingle"))
-      .groupBy("a", "b").agg(sum(col("tfa") * col("tfb")).as("num"))
-    num
-      .join(sz.select(col(idCol).as("a"), col("na2")), "a")
-      .join(sz.select(col(idCol).as("b"), col("na2").as("nb2")), "b")
-      // the engine-portable integer threshold: num² ≥ τ²·(na2·nb2),
-      // every factor exact in double, association mirrored verbatim
-      // in the oracle
-      .filter(col("num").cast("double") * col("num").cast("double") >=
-        lit(threshold) * lit(threshold) *
-          (col("na2").cast("double") * col("nb2").cast("double")))
-      .select(col("a"), col("b"), col("num"), col("na2"), col("nb2"),
-        round(col("num").cast("double") /
-          (sqrt(col("na2").cast("double")) *
-            sqrt(col("nb2").cast("double"))), 6).as("cos_r"))
+    candidateVerify(tf, sz, pref, idCol, threshold)
+  }
+
+  /** The LOSSY twin of [[pairs]] for corpora that trip its audit —
+    * the [[TextDedup.prefixJaccardPairsCapped]] contract at cosine
+    * semantics: prefix postings over `maxPrefixPosting` are DROPPED
+    * from candidate generation entirely (a capped hot shingle would
+    * otherwise fan the self-join out quadratically), so a pair whose
+    * every shared prefix shingle is hot can be missed — a strict
+    * SUBSET of the truth (fuzz-pinned), with every emitted pair
+    * still exactly verified against the full tf vectors. Returns
+    * (pairs, dropped) where `dropped` is the over-cap posting report
+    * (shingle, n_members) — the caller's visibility into what recall
+    * was traded, the capBuckets rule.
+    */
+  def pairsCapped(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.8,
+      maxPrefixPosting: Int = TextDedup.DefaultMaxBucket,
+      handle: CacheHandle = null): (DataFrame, DataFrame) = {
+    require(maxPrefixPosting > 0,
+      s"maxPrefixPosting must be positive, got $maxPrefixPosting")
+    val (tf, sz, pref) =
+      tfFrames(df, idCol, textCol, shingleN, threshold, handle)
+    val over = CacheHandle.persistWith(handle,
+      TextDedup.overCapBuckets(pref, Seq("shingle"), maxPrefixPosting))
+    // eager: the anti-join's broadcast subtrees run as separate
+    // driver jobs and would each re-run the over-cap aggregate
+    // against a LAZY cache (the q_pca_power rule); tiny by
+    // construction. No broadcast hint — the over-cap set is
+    // corpus-derived (the capBuckets rule); AQE converts when small.
+    over.count()
+    val capped = CacheHandle.persistWith(handle,
+      pref.join(over.select(col("shingle")), Seq("shingle"), "left_anti"))
+    capped.count() // eager: both candidate sides read it
+    (candidateVerify(tf, sz, capped, idCol, threshold), over)
   }
 
   /** Nightly-incremental cosine AllPairs — tonight's `batch` exactly

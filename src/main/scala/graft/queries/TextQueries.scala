@@ -490,6 +490,30 @@ object TextQueries {
         shingleN = 3, threshold = 0.8, maxPrefixPosting = 200)
         .orderBy("a", "b")),
 
+    // The capped (lossy) twin at a NON-tripping cap equals the exact
+    // join — the q_prefix_jaccard_capped gate shape at cosine
+    // semantics: same full-posting ground truth at tau = 0.9 (the
+    // tightest prefix the family ships), with the run-time REQUIRE
+    // proving the cap genuinely did not drop a posting at gate scale
+    // (the lossy path and drop accounting are spec-pinned on planted
+    // degenerate corpora in CosineAllPairsSpec).
+    "q_cosine_allpairs_capped" -> ((s, dir) => {
+      val (pairs, over) = graft.ops.CosineAllPairs.pairsCapped(
+        docs(s, dir), "doc_id", "text",
+        shingleN = 3, threshold = 0.9, maxPrefixPosting = 200,
+        handle = graft.ops.QueryCaches.handle())
+      val dropped = over.orderBy(col("n_members").desc, col("shingle"))
+        .limit(1).collect()
+      require(dropped.isEmpty, {
+        val r = dropped.head
+        "q_cosine_allpairs_capped precondition: the gate-scale cap " +
+          s"dropped prefix posting '${r.getString(0)}' " +
+          s"(${r.getLong(1)} members > 200) — the exact oracle no " +
+          "longer mirrors the capped plan; re-site the cap"
+      })
+      pairs.orderBy("a", "b")
+    }),
+
     // Nightly-incremental cosine AllPairs (CosineAllPairs
     // .pairsAgainst) — the cosine twin of q_prefix_jaccard_incr:
     // tonight's batch (>= 250) exactly cosine-joined against the
@@ -3121,6 +3145,39 @@ SELECT tokenizer, n_words, n_subwords, n_unk, fertility_r FROM (
     // compensate path is lossless corpus-wide iff these match
     "q_cosine_incr_idx" -> cosineIncrOracle,
     "q_cosine_incr_append" -> cosineIncrOracle,
+    // capped twin at a non-tripping cap equals the exact join — full
+    // tf posting ground truth at tau = 0.9, the forced double multiply
+    "q_cosine_allpairs_capped" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+             FROM documents),
+         d2 AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 3),
+         tok AS (SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS pos FROM d2),
+         shm AS (SELECT t1.doc_id,
+             t1.tok || ' ' || t2.tok || ' ' || t3.tok AS shingle
+             FROM tok t1
+             JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+             JOIN tok t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2),
+         tf AS (SELECT doc_id, shingle, CAST(count(*) AS BIGINT) AS tf
+             FROM shm GROUP BY 1, 2),
+         sz AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS na2
+             FROM tf GROUP BY 1),
+         nm AS (SELECT x.doc_id AS a, y.doc_id AS b,
+             CAST(sum(x.tf * y.tf) AS BIGINT) AS num
+             FROM tf x JOIN tf y
+               ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+             GROUP BY 1, 2)
+         SELECT n.a, n.b, n.num, sa.na2 AS na2, sb.na2 AS nb2,
+             round(CAST(n.num AS DOUBLE) /
+               (sqrt(CAST(sa.na2 AS DOUBLE)) *
+                sqrt(CAST(sb.na2 AS DOUBLE))), 6) AS cos_r
+         FROM nm n
+         JOIN sz sa ON sa.doc_id = n.a
+         JOIN sz sb ON sb.doc_id = n.b
+         WHERE CAST(n.num AS DOUBLE) * CAST(n.num AS DOUBLE) >=
+           CAST(0.9 AS DOUBLE) * CAST(0.9 AS DOUBLE) *
+             (CAST(sa.na2 AS DOUBLE) * CAST(sb.na2 AS DOUBLE))
+         ORDER BY a, b""",
     // the capped twin at a non-tripping cap equals the exact join —
     // same ground-truth oracle, tau = 0.9
     "q_prefix_jaccard_capped" ->

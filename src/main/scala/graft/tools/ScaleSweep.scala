@@ -173,6 +173,29 @@ object ScaleSweep {
       noop(graft.ops.CosineAllPairs.pairs(ppjCorpus(m),
         "doc_id", "text", shingleN = 3, threshold = 0.8))
 
+    // the cosine nightly twins on the SAME ladder and batch as the
+    // Jaccard pair: re-rank re-weights corpus ∪ batch per night
+    // (~linear in the corpus); the standing-index reader must sit in
+    // the ppjoin_nightly_indexed band — the freeze-and-compensate
+    // machinery (raised-shingle detection + injection) rides on
+    // batch-sized frames only, so it must not re-introduce a
+    // corpus-tracking term
+    def cosRerankBody(m: Int): Unit =
+      noop(graft.ops.CosineAllPairs.pairsAgainst(
+        ppjCorpus(m), ppjBatch, "doc_id", "text",
+        shingleN = 3, threshold = 0.8))
+    def cosIndexedBody(m: Int): Unit = {
+      val tp = s"graft_cos_sweep_$m"
+      if (!spark.catalog.tableExists(s"${tp}_rank"))
+        graft.ops.CosineAllPairs.writeIndex(ppjCorpus(m),
+          "doc_id", "text", tp, buckets = 16, shingleN = 3,
+          threshold = 0.8,
+          pathPrefix = Some(Tables.scratchDir(spark, tp).toString))
+      noop(graft.ops.CosineAllPairs.pairsAgainstIndexed(
+        spark, tp, ppjBatch, "doc_id", "text",
+        shingleN = 3, threshold = 0.8))
+    }
+
     val families: Seq[(String, Int => Unit)] = Seq(
       ("exact_dedup (control)", exactBody),
       ("minhash_lsh_dedup", minhashBody),
@@ -181,7 +204,9 @@ object ScaleSweep {
       ("global_exact_quantiles", quantilesBody),
       ("ppjoin_nightly_rerank", ppjRerankBody),
       ("ppjoin_nightly_indexed", ppjIndexedBody),
-      ("cosine_allpairs", cosineBody))
+      ("cosine_allpairs", cosineBody),
+      ("cosine_nightly_rerank", cosRerankBody),
+      ("cosine_nightly_indexed", cosIndexedBody))
 
     val rungs = Seq(1, 2, 4, 8, 16)
     def loadNow(): String =

@@ -190,6 +190,58 @@ class CosineAllPairsSpec extends AnyFunSuite {
     graft.ops.QueryCaches.releaseAll()
   }
 
+  test("pairsCapped: subset of the truth under fuzz, equal when " +
+      "nothing is dropped; planted hot postings are dropped and " +
+      "reported") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    // narrow alphabet + repetition → hot prefix postings in many
+    // samples, so the lossy path genuinely runs
+    val alpha = Vector("a", "b", "c")
+    val genDoc = for {
+      len <- Gen.choose(2, 8)
+      rep <- Gen.choose(1, 2)
+      ws <- Gen.listOfN(len, Gen.oneOf(alpha))
+    } yield Iterator.fill(rep)(ws).flatten.mkString(" ")
+    val genCorpus = for {
+      n <- Gen.choose(4, 12)
+      docs <- Gen.listOfN(n, genDoc)
+      tau <- Gen.oneOf(0.5, 0.8)
+      cap <- Gen.oneOf(2, 4, 1000)
+    } yield (docs.zipWithIndex.map { case (t, i) => (i.toLong, t) },
+      tau, cap)
+    new PropHelpers {}.forAll(genCorpus, n = 10) { case (rows, tau, cap) =>
+      val df = rows.toDF("doc_id", "text")
+      val (pairs, over) = CosineAllPairs.pairsCapped(
+        df, "doc_id", "text", shingleN = 3, threshold = tau,
+        maxPrefixPosting = cap)
+      val got = collectPairs(pairs)
+      val expected = brute(rows, tau)
+      // lossy only ever DOWN, and emitted stats are the true integers
+      assert((got -- expected).isEmpty,
+        s"tau=$tau cap=$cap extra=${got -- expected}")
+      // with nothing over the cap the twin IS the exact join
+      if (over.isEmpty) assert(got == expected,
+        s"tau=$tau cap=$cap missing=${expected -- got}")
+      graft.ops.QueryCaches.releaseAll()
+    }
+
+    // planted degeneracy: 40 identical docs share one hot shingle —
+    // dropped and reported — while a clean near-dup pair elsewhere
+    // still comes through the capped plan
+    val planted = ((0L until 40L).map(i => (i, "x x x")) ++
+      Seq((100L, "a b c d e f"), (101L, "a b c d e f")))
+      .toDF("doc_id", "text")
+    val (cp, cOver) = CosineAllPairs.pairsCapped(
+      planted, "doc_id", "text", shingleN = 3, threshold = 0.8,
+      maxPrefixPosting = 16)
+    val dropped = cOver.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(dropped == Set(("x x x", 40L)), dropped)
+    assert(collectPairs(cp).map(p => (p._1, p._2)) == Set((100L, 101L)))
+    graft.ops.QueryCaches.releaseAll()
+  }
+
   private def scratch(tp: String): String =
     graft.Tables.scratchDir(spark, tp).toString
 
