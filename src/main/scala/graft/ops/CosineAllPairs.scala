@@ -393,10 +393,20 @@ object CosineAllPairs {
     * the corpus postings tonight touches (append drift), and the
     * raised-shingle compensation fan-out per run.
     *
-    * Storage-level sharding (the [[TextDedup.writePrefixIndex]]
-    * `shardBy` layer) is orthogonal to these semantics and not
-    * layered here yet — the bucketed layout is the scale contract
-    * this op pins.
+    * `shardBy` > 0 layers the [[TextDedup.writePrefixIndex]]
+    * storage-pruning scheme UNDER the bucketing: `_rank`/`_pref`
+    * shard on `pmod(hash(shingle), shardBy)` and `_tf` on the id
+    * hash; the reader prunes `_rank`/`_pref` to tonight's batch
+    * shingle shards and the `_tf` VERIFY scan to the candidate ids'
+    * shards (prefix candidates always; plus the compensation
+    * candidates' shards on raised nights) — corpus bytes read track
+    * the batch footprint on every scan except the raised-night
+    * compensation LOOKUP itself, which is shingle-keyed against the
+    * id-sharded `_tf` and therefore scans all directories (raised
+    * nights are the rare path; a shingle-sharded `_tfs` sidecar copy
+    * would close it at 2× posting storage — documented trade, not
+    * taken). Exactness is untouched: a pruned row can match no batch
+    * shingle / hold no candidate's postings.
     */
   def writeIndex(
       corpus: DataFrame,
@@ -408,11 +418,13 @@ object CosineAllPairs {
       threshold: Double = 0.8,
       pathPrefix: Option[String] = None,
       maxPrefixPosting: Int = Int.MaxValue,
+      shardBy: Int = 0,
       handle: CacheHandle = null): Unit = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold in (0, 1], got $threshold")
     require(maxPrefixPosting > 0,
       s"maxPrefixPosting must be positive, got $maxPrefixPosting")
+    require(shardBy >= 0, s"shardBy must be >= 0, got $shardBy")
     val tf = CacheHandle.persistWith(handle,
       TextDedup.shingles(corpus, idCol, textCol, shingleN, dedup = false)
         .groupBy(idCol, "shingle").agg(count(lit(1)).as("tf")))
@@ -461,14 +473,19 @@ object CosineAllPairs {
       })
     }
     def p(suffix: String): Option[String] = pathPrefix.map(_ + suffix)
-    ScaleOps.writeBucketed(rankTab,
-      s"${tablePrefix}_rank", "shingle", buckets, p("_rank"))
-    ScaleOps.writeBucketed(pref,
-      s"${tablePrefix}_pref", "shingle", buckets, p("_pref"))
+    def sharded(df: DataFrame, key: String): DataFrame =
+      if (shardBy > 0)
+        df.withColumn("__shard", pmod(hash(col(key)), lit(shardBy)))
+      else df
+    val pc = if (shardBy > 0) Some("__shard") else None
+    ScaleOps.writeBucketed(sharded(rankTab, "shingle"),
+      s"${tablePrefix}_rank", "shingle", buckets, p("_rank"), pc)
+    ScaleOps.writeBucketed(sharded(pref, "shingle"),
+      s"${tablePrefix}_pref", "shingle", buckets, p("_pref"), pc)
     ScaleOps.writeBucketed(
-      tf.join(sz, idCol).select(col(idCol), col("shingle"),
-        col("tf"), col("na2")),
-      s"${tablePrefix}_tf", idCol, buckets, p("_tf"))
+      sharded(tf.join(sz, idCol).select(col(idCol), col("shingle"),
+        col("tf"), col("na2")), idCol),
+      s"${tablePrefix}_tf", idCol, buckets, p("_tf"), pc)
     val sp = corpus.sparkSession
     // `_raised` starts EMPTY (appends log into it); overwrite makes a
     // rebuild reset the log with the prefixes it invalidates
@@ -482,21 +499,24 @@ object CosineAllPairs {
     p("_raised").fold(rw.saveAsTable(s"${tablePrefix}_raised"))(pp =>
       rw.option("path", pp).saveAsTable(s"${tablePrefix}_raised"))
     import sp.implicits._
-    val mw = Seq((threshold, shingleN, buckets))
-      .toDF("tau_build", "shingle_n", "buckets")
+    val mw = Seq((threshold, shingleN, buckets, shardBy))
+      .toDF("tau_build", "shingle_n", "buckets", "shard_by")
       .coalesce(1).write.mode("overwrite").format("parquet")
     p("_meta").fold(mw.saveAsTable(s"${tablePrefix}_meta"))(pp =>
       mw.option("path", pp).saveAsTable(s"${tablePrefix}_meta"))
   }
 
-  /** Read the 1-row `_meta` sidecar written by [[writeIndex]]. */
+  /** Read the 1-row `_meta` sidecar written by [[writeIndex]]:
+    * (tau_build, shingle_n, buckets, shard_by).
+    */
   private def readMeta(
       spark: org.apache.spark.sql.SparkSession,
-      tablePrefix: String): (Double, Int, Int) = {
+      tablePrefix: String): (Double, Int, Int, Int) = {
     val r = spark.table(s"${tablePrefix}_meta").collect().head
     (r.getDouble(r.fieldIndex("tau_build")),
       r.getInt(r.fieldIndex("shingle_n")),
-      r.getInt(r.fieldIndex("buckets")))
+      r.getInt(r.fieldIndex("buckets")),
+      r.getInt(r.fieldIndex("shard_by")))
   }
 
   /** Nightly-incremental cosine AllPairs against a standing-corpus
@@ -558,7 +578,7 @@ object CosineAllPairs {
       s"threshold in (0, 1], got $threshold")
     require(maxPrefixPosting > 0,
       s"maxPrefixPosting must be positive, got $maxPrefixPosting")
-    val (tauBuild, shNBuild, _) = readMeta(spark, tablePrefix)
+    val (tauBuild, shNBuild, _, shardBy) = readMeta(spark, tablePrefix)
     require(threshold >= tauBuild,
       s"CosineAllPairs.pairsAgainstIndexed: threshold $threshold < " +
         s"the index's build threshold $tauBuild — stored prefixes are " +
@@ -578,7 +598,19 @@ object CosineAllPairs {
       .select(col(idCol), col("shingle"),
         (col("tf").cast("double") /
           sqrt(col("na2").cast("double"))).as("w"))
-    val rank = spark.table(s"${tablePrefix}_rank")
+    // shard pruning (sharded builds only): a rank/prefix row outside
+    // tonight's batch shingle shard set can match no batch shingle —
+    // prune whole directories before a byte is read; the shard-set
+    // collect is bounded by shardBy (a build-time literal)
+    val shingleShards: Seq[Int] =
+      if (shardBy <= 0) Nil
+      else btf
+        .select(pmod(hash(col("shingle")), lit(shardBy)).as("__shard"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+    def pruned(t: DataFrame): DataFrame =
+      if (shardBy <= 0) t
+      else t.filter(col("__shard").isin(shingleShards: _*)).drop("__shard")
+    val rank = pruned(spark.table(s"${tablePrefix}_rank"))
     // R: shingles whose frozen maxw tonight's batch exceeds, plus
     // shingles some append exceeded (`_raised`), restricted to
     // tonight's shingles (a raised shingle the batch doesn't contain
@@ -614,8 +646,13 @@ object CosineAllPairs {
         .filter(col("tot") - (col("cum") - col("c")) >=
           lit(threshold - 1e-9))
         .select(col(idCol), col("shingle")))
-    val cpref = spark.table(s"${tablePrefix}_pref")
+    val cpref = pruned(spark.table(s"${tablePrefix}_pref"))
+    // the full (unpruned) tf table serves the shingle-keyed paths —
+    // the raised-shingle audits and the compensation lookup (an
+    // id-sharded layout cannot prune a shingle-keyed scan; see the
+    // writeIndex scaladoc trade note)
     val ctf = spark.table(s"${tablePrefix}_tf")
+      .drop("__shard")
     if (maxPrefixPosting == Int.MaxValue)
       bpref.count() // eager: candidate join + audit would race it
     else {
@@ -699,11 +736,32 @@ object CosineAllPairs {
             .select(col("shingle"), col(idCol).as("b")),
             Seq("shingle"))
           .select(col("a"), col("b")))).distinct()
+    // verify-side pruning (sharded builds only): every candidate id
+    // comes from a batch-touched prefix posting or a raised-shingle
+    // posting, so the candidate id shard set is derivable BEFORE the
+    // verify join — keyed semi-lookups, collects bounded by shardBy
+    val ctfVerify = {
+      if (shardBy <= 0) ctf
+      else {
+        val prefIds = cpref
+          .join(bpref.select("shingle").distinct(),
+            Seq("shingle"), "left_semi")
+          .select(pmod(hash(col(idCol)), lit(shardBy)).as("__s"))
+        val allIds =
+          if (nRaised == 0) prefIds
+          else prefIds.unionAll(
+            ctf.join(raised, Seq("shingle"), "left_semi")
+              .select(pmod(hash(col(idCol)), lit(shardBy)).as("__s")))
+        val idShards = allIds.distinct().collect().map(_.getInt(0)).toSeq
+        spark.table(s"${tablePrefix}_tf")
+          .filter(col("__shard").isin(idShards: _*)).drop("__shard")
+      }
+    }
     // exact verify: pull each candidate corpus doc's tf vector from
     // the id-bucketed table (zero corpus exchange — the join key is
     // the bucket key); nb2 rides along (functionally determined by b)
     val num = cand
-      .join(ctf.select(col(idCol).as("b"), col("shingle"),
+      .join(ctfVerify.select(col(idCol).as("b"), col("shingle"),
         col("tf").as("tfb"), col("na2").as("nb2")), Seq("b"))
       .join(btf.select(col(idCol).as("a"), col("shingle"),
         col("tf").as("tfa")), Seq("a", "shingle"))
@@ -752,7 +810,8 @@ object CosineAllPairs {
       handle: CacheHandle = null): Unit = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold in (0, 1], got $threshold")
-    val (tauBuild, shNBuild, bkBuild) = readMeta(spark, tablePrefix)
+    val (tauBuild, shNBuild, bkBuild, shardBy) =
+      readMeta(spark, tablePrefix)
     require(threshold == tauBuild,
       s"CosineAllPairs.appendIndex: threshold $threshold != the " +
         s"index's build threshold $tauBuild — appended prefixes must " +
@@ -775,7 +834,17 @@ object CosineAllPairs {
       .select(col(idCol), col("shingle"),
         (col("tf").cast("double") /
           sqrt(col("na2").cast("double"))).as("w"))
-    val rank = spark.table(s"${tablePrefix}_rank")
+    // sharded builds: the rank lookup only needs the batch's shingle
+    // shards (a rank row elsewhere cannot match a batch shingle)
+    val rank =
+      if (shardBy <= 0) spark.table(s"${tablePrefix}_rank")
+      else {
+        val shards = btf
+          .select(pmod(hash(col("shingle")), lit(shardBy)).as("__shard"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        spark.table(s"${tablePrefix}_rank")
+          .filter(col("__shard").isin(shards: _*)).drop("__shard")
+      }
     val bmax = CacheHandle.persistWith(handle,
       bwn.groupBy("shingle").agg(max(col("w")).as("bmaxw")))
     bmax.count() // eager: the rank append, raised log + prefix read it
@@ -810,13 +879,21 @@ object CosineAllPairs {
       .filter(col("tot") - (col("cum") - col("c")) >=
         lit(threshold - 1e-9))
       .select(col("shingle"), col(idCol))
-    ScaleOps.appendBucketed(newPref,
-      s"${tablePrefix}_pref", "shingle", buckets)
-    ScaleOps.appendBucketed(newRank,
-      s"${tablePrefix}_rank", "shingle", buckets)
+    // sharded builds: appended rows land in their key's shard
+    // directory (same hash as the build) so reader pruning stays
+    // exact across appends
+    def sharded(df: DataFrame, key: String): DataFrame =
+      if (shardBy > 0)
+        df.withColumn("__shard", pmod(hash(col(key)), lit(shardBy)))
+      else df
+    val pc = if (shardBy > 0) Some("__shard") else None
+    ScaleOps.appendBucketed(sharded(newPref, "shingle"),
+      s"${tablePrefix}_pref", "shingle", buckets, pc)
+    ScaleOps.appendBucketed(sharded(newRank, "shingle"),
+      s"${tablePrefix}_rank", "shingle", buckets, pc)
     ScaleOps.appendBucketed(
-      btf.join(bsz, idCol).select(col(idCol), col("shingle"),
-        col("tf"), col("na2")),
-      s"${tablePrefix}_tf", idCol, buckets)
+      sharded(btf.join(bsz, idCol).select(col(idCol), col("shingle"),
+        col("tf"), col("na2")), idCol),
+      s"${tablePrefix}_tf", idCol, buckets, pc)
   }
 }

@@ -428,6 +428,86 @@ class CosineAllPairsSpec extends AnyFunSuite {
     }
   }
 
+  test("sharded cosine index: reader prunes corpus directories the " +
+      "batch never touches, stays exact, and appends land in-shard") {
+    // the TextDedup sharded-index layout at cosine semantics:
+    // _rank/_pref shard on hash(shingle), _tf on hash(id); a batch
+    // touching few shingles reads few directories on EVERY corpus
+    // scan — measured via the executed scans' numFiles — while
+    // answering exactly the re-ranking variant's cross pairs
+    import spark.implicits._
+    val corpusDf = (0L until 40L)
+      .map(i => (i, s"c${i}a c${i}b c${i}c c${i}d c${i}e"))
+      .toDF("doc_id", "text")
+    val batchDf = Seq((100L, "c7a c7b c7c c7d c7e f"))
+      .toDF("doc_id", "text")
+    val tp = "graft_cosidx_shard"
+    try {
+      CosineAllPairs.writeIndex(corpusDf, "doc_id", "text", tp,
+        buckets = 2, shingleN = 3, threshold = 0.5,
+        pathPrefix = Some(scratch(tp)), shardBy = 16)
+      val got = CosineAllPairs.pairsAgainstIndexed(spark, tp, batchDf,
+          "doc_id", "text", shingleN = 3, threshold = 0.5)
+        .select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = CosineAllPairs.pairsAgainst(corpusDf, batchDf,
+          "doc_id", "text", shingleN = 3, threshold = 0.5)
+        .select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected && got == Set((100L, 7L)), s"$got vs $expected")
+      graft.ops.QueryCaches.releaseAll()
+      // measured pruning on all three corpus tables (AQE off: stages
+      // hide executed subtrees — the CLAUDE.md rule)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val prunedScan = CosineAllPairs.pairsAgainstIndexed(spark, tp,
+          batchDf, "doc_id", "text", shingleN = 3, threshold = 0.5)
+        prunedScan.collect()
+        // the _rank scan hides under the persisted batch-prefix
+        // frame — recurse cached subtrees (the WindowAudit rule)
+        import org.apache.spark.sql.execution.SparkPlan
+        def fragments(p: SparkPlan): Seq[SparkPlan] =
+          p +: p.collect {
+            case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+              fragments(s.relation.cachedPlan)
+          }.flatten
+        val frs = fragments(prunedScan.queryExecution.executedPlan)
+        for (t <- Seq("_rank", "_pref", "_tf")) {
+          val allFiles = spark.table(s"$tp$t").inputFiles.length
+          val scans = frs.flatMap(_.collect {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec
+                if f.toString.contains(s"$tp$t") => f
+          })
+          assert(scans.nonEmpty, s"no $t scan found in the plan")
+          assert(scans.forall(_.toString.contains("__shard")),
+            s"$t scan carries no __shard partition filter:\n" + scans.head)
+          val read = scans.map(_.metrics("numFiles").value).max
+          assert(read > 0 && read < allFiles,
+            s"$t pruning read $read of $allFiles files — expected a " +
+              "strict cut")
+        }
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      graft.ops.QueryCaches.releaseAll()
+
+      // appends land in their keys' shards: a new-alphabet doc joins
+      // the index and is found exactly — including through the
+      // raised/compensation machinery if its weights raise anything
+      CosineAllPairs.appendIndex(spark, tp,
+        Seq((200L, "n1 n2 n3 n4 n5")).toDF("doc_id", "text"),
+        "doc_id", "text", buckets = 2, shingleN = 3, threshold = 0.5)
+      val got2 = CosineAllPairs.pairsAgainstIndexed(spark, tp,
+          Seq((300L, "n1 n2 n3 n4 n5 n6")).toDF("doc_id", "text"),
+          "doc_id", "text", shingleN = 3, threshold = 0.5)
+        .select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got2 == Set((300L, 200L)), got2)
+      graft.ops.QueryCaches.releaseAll()
+    } finally {
+      dropIndex(tp)
+      graft.ops.QueryCaches.releaseAll()
+    }
+  }
+
   test("indexed cosine: zero shuffle exchange above every " +
       "corpus-side bucketed scan, build + append layout") {
     // the scale contract the index exists for (the
