@@ -476,6 +476,66 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // The composed nightly at COSINE semantics — the production loop
+    // for the round's cosine index: quality gates -> exact dedup vs
+    // the corpus's bucketed fingerprint table -> near-dup vs the
+    // standing COSINE index (CosineAllPairs.pairsAgainstIndexed,
+    // freeze-and-compensate) -> conservative in-batch cosine near-dup
+    // (drop the larger id of every qualifying pair). Same all-boolean
+    // flag surface as q_pipeline_nightly; the oracle replays all four
+    // stages from scratch with the full tf posting joins and the
+    // all-integer threshold — a hash match proves the indexed cosine
+    // path composes exactly in the decision loop.
+    "q_pipeline_nightly_cos" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val corpus = d.filter(col("doc_id") < 250)
+      val batch = d.filter(col("doc_id") >= 250)
+      val app = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      val fpT = s"graft_nightc_fp_$app"
+      val tp = s"graft_nightc_cos_$app"
+      graft.ops.Corpus.writeCorpusFingerprints(corpus, "text", fpT,
+        buckets = 8, path = Some(Tables.scratchDir(s, fpT).toString))
+      graft.ops.CosineAllPairs.writeIndex(corpus, "doc_id", "text", tp,
+        buckets = 8, shingleN = 3, threshold = 0.8,
+        pathPrefix = Some(Tables.scratchDir(s, tp).toString),
+        maxPrefixPosting = 200)
+      val gated = graft.ops.QueryCaches.persist(
+        batch.filter(graft.ops.Corpus.qualityPass(col("text"))))
+      gated.count() // eager: the exact stage + flag join read it
+      val exactKeep = graft.ops.QueryCaches.persist(
+        gated.join(
+          graft.ops.Corpus.incrementalDedupBucketed(s, fpT, gated,
+            "doc_id", "text").select(col("keep_id").as("doc_id")),
+          Seq("doc_id"), "left_semi"))
+      exactKeep.count() // eager: index reader + flag join read it
+      val crossClean = graft.ops.QueryCaches.persist(
+        exactKeep.join(
+          graft.ops.CosineAllPairs.pairsAgainstIndexed(s, tp, exactKeep,
+            "doc_id", "text", shingleN = 3, threshold = 0.8,
+            maxPrefixPosting = 200)
+            .select(col("a").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti"))
+      crossClean.count() // eager: in-batch pairs + flag join read it
+      val accepted = crossClean.join(
+        graft.ops.CosineAllPairs.pairs(crossClean, "doc_id", "text",
+          shingleN = 3, threshold = 0.8, maxPrefixPosting = 200)
+          .select(col("b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      def flag(ids: DataFrame, name: String): DataFrame =
+        ids.select(col("doc_id"), lit(true).as(name))
+      batch.select("doc_id")
+        .join(flag(gated.select("doc_id"), "gate_pass"), Seq("doc_id"), "left")
+        .join(flag(exactKeep.select("doc_id"), "exact_keep"), Seq("doc_id"), "left")
+        .join(flag(crossClean.select("doc_id"), "corpus_clean"), Seq("doc_id"), "left")
+        .join(flag(accepted.select("doc_id"), "accepted"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("gate_pass"), lit(false)).as("gate_pass"),
+          coalesce(col("exact_keep"), lit(false)).as("exact_keep"),
+          coalesce(col("corpus_clean"), lit(false)).as("corpus_clean"),
+          coalesce(col("accepted"), lit(false)).as("accepted"))
+        .orderBy("doc_id")
+    }),
+
     // Exact cosine-threshold pairs over shingle-tf vectors — the
     // AllPairs prefix filter (Bayardo et al. WWW'07), the exact
     // cosine companion to q_prefix_jaccard. The oracle computes
@@ -2936,6 +2996,94 @@ SELECT tokenizer, n_words, n_subwords, n_unk, fertility_r FROM (
              JOIN szn sb ON sb.doc_id = i.b
              WHERE CAST(i.iv AS DOUBLE) /
                CAST(sa.sz + sb.sz - i.iv AS DOUBLE) >= 0.8),
+         acc AS (SELECT doc_id FROM ncx
+           WHERE doc_id NOT IN (SELECT doc_id FROM indup))
+         SELECT b.doc_id,
+           b.doc_id IN (SELECT doc_id FROM g) AS gate_pass,
+           b.doc_id IN (SELECT doc_id FROM exk) AS exact_keep,
+           b.doc_id IN (SELECT doc_id FROM ncx) AS corpus_clean,
+           b.doc_id IN (SELECT doc_id FROM acc) AS accepted
+         FROM b ORDER BY doc_id""",
+    // the cosine-composed nightly: same gate/exact stages, stages
+    // 3-4 replayed with FULL tf posting joins and the all-integer
+    // cosine threshold (forced double multiply — the DECIMAL-fold
+    // rule)
+    "q_pipeline_nightly_cos" ->
+      """WITH b AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250),
+         c AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+         q AS (SELECT doc_id, text,
+             len(string_split(trim(text), ' ')) AS n_tokens,
+             len(list_filter(string_split(trim(text), ' '),
+               x -> list_contains(['the','a','data','row','key'], x)))
+               AS n_stop,
+             length(text) AS len_text,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+           FROM b),
+         g AS (SELECT doc_id, text, fp FROM q
+           WHERE len_text BETWEEN 20 AND 2000 AND n_tokens >= 5
+             AND CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.5),
+         cfp AS (SELECT DISTINCT
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+           FROM c),
+         ex AS (SELECT doc_id, text, fp, row_number() OVER
+             (PARTITION BY fp ORDER BY doc_id) AS rn FROM g),
+         exk AS (SELECT doc_id, text FROM ex
+           WHERE rn = 1 AND fp NOT IN (SELECT fp FROM cfp)),
+         dx2 AS (SELECT doc_id, toks FROM
+             (SELECT doc_id, string_split(trim(text), ' ') AS toks
+              FROM exk) WHERE len(toks) >= 3),
+         tokx AS (SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS pos FROM dx2),
+         shmx AS (SELECT t1.doc_id,
+             t1.tok || ' ' || t2.tok || ' ' || t3.tok AS shingle
+             FROM tokx t1
+             JOIN tokx t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+             JOIN tokx t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2),
+         tfx AS (SELECT doc_id, shingle, CAST(count(*) AS BIGINT) AS tf
+             FROM shmx GROUP BY 1, 2),
+         szx AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS na2
+             FROM tfx GROUP BY 1),
+         dc2 AS (SELECT doc_id, toks FROM
+             (SELECT doc_id, string_split(trim(text), ' ') AS toks
+              FROM c) WHERE len(toks) >= 3),
+         tokc AS (SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS pos FROM dc2),
+         shmc AS (SELECT t1.doc_id,
+             t1.tok || ' ' || t2.tok || ' ' || t3.tok AS shingle
+             FROM tokc t1
+             JOIN tokc t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+             JOIN tokc t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2),
+         tfc AS (SELECT doc_id, shingle, CAST(count(*) AS BIGINT) AS tf
+             FROM shmc GROUP BY 1, 2),
+         szc AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS na2
+             FROM tfc GROUP BY 1),
+         nmx AS (SELECT x.doc_id AS a, y.doc_id AS b,
+             CAST(sum(x.tf * y.tf) AS BIGINT) AS num
+             FROM tfx x JOIN tfc y ON x.shingle = y.shingle
+             GROUP BY 1, 2),
+         crossdup AS (SELECT DISTINCT n.a AS doc_id FROM nmx n
+             JOIN szx sa ON sa.doc_id = n.a
+             JOIN szc sb ON sb.doc_id = n.b
+             WHERE CAST(n.num AS DOUBLE) * CAST(n.num AS DOUBLE) >=
+               CAST(0.8 AS DOUBLE) * CAST(0.8 AS DOUBLE) *
+                 (CAST(sa.na2 AS DOUBLE) * CAST(sb.na2 AS DOUBLE))),
+         ncx AS (SELECT doc_id FROM exk
+           WHERE doc_id NOT IN (SELECT doc_id FROM crossdup)),
+         tfn AS (SELECT t.doc_id, t.shingle, t.tf FROM tfx t
+             JOIN ncx n ON t.doc_id = n.doc_id),
+         szn AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS na2
+             FROM tfn GROUP BY 1),
+         nmn AS (SELECT x.doc_id AS a, y.doc_id AS b,
+             CAST(sum(x.tf * y.tf) AS BIGINT) AS num
+             FROM tfn x JOIN tfn y
+               ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+             GROUP BY 1, 2),
+         indup AS (SELECT DISTINCT n.b AS doc_id FROM nmn n
+             JOIN szn sa ON sa.doc_id = n.a
+             JOIN szn sb ON sb.doc_id = n.b
+             WHERE CAST(n.num AS DOUBLE) * CAST(n.num AS DOUBLE) >=
+               CAST(0.8 AS DOUBLE) * CAST(0.8 AS DOUBLE) *
+                 (CAST(sa.na2 AS DOUBLE) * CAST(sb.na2 AS DOUBLE))),
          acc AS (SELECT doc_id FROM ncx
            WHERE doc_id NOT IN (SELECT doc_id FROM indup))
          SELECT b.doc_id,
