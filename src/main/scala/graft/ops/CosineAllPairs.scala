@@ -359,8 +359,12 @@ object CosineAllPairs {
     *    corpus prefix postings under the AllPairs suffix bound cut
     *    at `threshold`;
     *  - `<prefix>_tf` (id, shingle, tf, na2), bucketed by id — the
-    *    full tf vectors + norms for exact verification (and for the
-    *    raised-shingle compensation scan);
+    *    full tf vectors + norms for exact verification;
+    *  - `<prefix>_tfs` (shingle, id), bucketed by shingle — the full
+    *    postings keyed the OTHER way, read only by the raised-shingle
+    *    compensation (a shingle-keyed lookup the id-bucketed `_tf`
+    *    cannot serve without a full scan) and its audit; the 2×
+    *    posting storage is the price of a batch-sized raised night;
     *  - `<prefix>_raised` (shingle) — an append-only log of shingles
     *    whose frozen maxw a later [[appendIndex]] batch EXCEEDED
     *    (empty at build);
@@ -394,19 +398,15 @@ object CosineAllPairs {
     * raised-shingle compensation fan-out per run.
     *
     * `shardBy` > 0 layers the [[TextDedup.writePrefixIndex]]
-    * storage-pruning scheme UNDER the bucketing: `_rank`/`_pref`
-    * shard on `pmod(hash(shingle), shardBy)` and `_tf` on the id
-    * hash; the reader prunes `_rank`/`_pref` to tonight's batch
-    * shingle shards and the `_tf` VERIFY scan to the candidate ids'
-    * shards (prefix candidates always; plus the compensation
-    * candidates' shards on raised nights) — corpus bytes read track
-    * the batch footprint on every scan except the raised-night
-    * compensation LOOKUP itself, which is shingle-keyed against the
-    * id-sharded `_tf` and therefore scans all directories (raised
-    * nights are the rare path; a shingle-sharded `_tfs` sidecar copy
-    * would close it at 2× posting storage — documented trade, not
-    * taken). Exactness is untouched: a pruned row can match no batch
-    * shingle / hold no candidate's postings.
+    * storage-pruning scheme UNDER the bucketing: `_rank`/`_pref`/
+    * `_tfs` shard on `pmod(hash(shingle), shardBy)` and `_tf` on the
+    * id hash; the reader prunes the shingle-keyed tables to
+    * tonight's batch shingle shards and the `_tf` VERIFY scan to the
+    * candidate ids' shards (prefix candidates always; plus the
+    * compensation candidates' shards on raised nights) — corpus
+    * bytes read track the batch footprint on EVERY corpus-side scan,
+    * raised nights included. Exactness is untouched: a pruned row
+    * can match no batch shingle / hold no candidate's postings.
     */
   def writeIndex(
       corpus: DataFrame,
@@ -486,6 +486,9 @@ object CosineAllPairs {
       sharded(tf.join(sz, idCol).select(col(idCol), col("shingle"),
         col("tf"), col("na2")), idCol),
       s"${tablePrefix}_tf", idCol, buckets, p("_tf"), pc)
+    ScaleOps.writeBucketed(
+      sharded(tf.select(col("shingle"), col(idCol)), "shingle"),
+      s"${tablePrefix}_tfs", "shingle", buckets, p("_tfs"), pc)
     val sp = corpus.sparkSession
     // `_raised` starts EMPTY (appends log into it); overwrite makes a
     // rebuild reset the log with the prefixes it invalidates
@@ -525,8 +528,9 @@ object CosineAllPairs {
     * cos ≥ τ, exactly verified, all-integer threshold), but the
     * corpus is never re-shingled, re-ranked, or re-weighted.
     * Tonight's cost is batch-sized: the batch tf frame, keyed lookups
-    * into the bucketed `_rank`/`_pref`/`_tf` tables (zero corpus-side
-    * exchange, spec-pinned), and the tiny `_raised` log.
+    * into the bucketed `_rank`/`_pref`/`_tf` tables — plus `_tfs` on
+    * raised nights — all zero corpus-side exchange (spec-pinned), and
+    * the tiny `_raised` log.
     *
     * Exactness under the FROZEN order and FROZEN maxw — the theorem,
     * with F(t) the stored maxw (0 for shingles in no vintage) and
@@ -647,12 +651,10 @@ object CosineAllPairs {
           lit(threshold - 1e-9))
         .select(col(idCol), col("shingle")))
     val cpref = pruned(spark.table(s"${tablePrefix}_pref"))
-    // the full (unpruned) tf table serves the shingle-keyed paths —
-    // the raised-shingle audits and the compensation lookup (an
-    // id-sharded layout cannot prune a shingle-keyed scan; see the
-    // writeIndex scaladoc trade note)
-    val ctf = spark.table(s"${tablePrefix}_tf")
-      .drop("__shard")
+    // the shingle-keyed posting copy serves the raised paths — the
+    // compensation lookup and its audit read it bucketed (and
+    // shard-pruned) on shingle, so raised nights stay batch-sized
+    val ctfs = pruned(spark.table(s"${tablePrefix}_tfs"))
     if (maxPrefixPosting == Int.MaxValue)
       bpref.count() // eager: candidate join + audit would race it
     else {
@@ -691,7 +693,7 @@ object CosineAllPairs {
         // both factors of the raised-shingle compensation fan-out:
         // full corpus postings and full batch postings on R
         val rworst = TextDedup.overCapBuckets(
-            ctf.join(raised, Seq("shingle"), "left_semi"),
+            ctfs.join(raised, Seq("shingle"), "left_semi"),
             Seq("shingle"), maxPrefixPosting)
           .orderBy(col("n_members").desc, col("shingle"))
           .limit(1).collect()
@@ -732,7 +734,7 @@ object CosineAllPairs {
       else prefCand.unionAll(
         btf.join(raised, Seq("shingle"), "left_semi")
           .select(col(idCol).as("a"), col("shingle"))
-          .join(ctf.join(raised, Seq("shingle"), "left_semi")
+          .join(ctfs.join(raised, Seq("shingle"), "left_semi")
             .select(col("shingle"), col(idCol).as("b")),
             Seq("shingle"))
           .select(col("a"), col("b")))).distinct()
@@ -741,7 +743,7 @@ object CosineAllPairs {
     // posting, so the candidate id shard set is derivable BEFORE the
     // verify join — keyed semi-lookups, collects bounded by shardBy
     val ctfVerify = {
-      if (shardBy <= 0) ctf
+      if (shardBy <= 0) spark.table(s"${tablePrefix}_tf")
       else {
         val prefIds = cpref
           .join(bpref.select("shingle").distinct(),
@@ -750,7 +752,7 @@ object CosineAllPairs {
         val allIds =
           if (nRaised == 0) prefIds
           else prefIds.unionAll(
-            ctf.join(raised, Seq("shingle"), "left_semi")
+            ctfs.join(raised, Seq("shingle"), "left_semi")
               .select(pmod(hash(col(idCol)), lit(shardBy)).as("__s")))
         val idShards = allIds.distinct().collect().map(_.getInt(0)).toSeq
         spark.table(s"${tablePrefix}_tf")
@@ -895,5 +897,8 @@ object CosineAllPairs {
       sharded(btf.join(bsz, idCol).select(col(idCol), col("shingle"),
         col("tf"), col("na2")), idCol),
       s"${tablePrefix}_tf", idCol, buckets, pc)
+    ScaleOps.appendBucketed(
+      sharded(btf.select(col("shingle"), col(idCol)), "shingle"),
+      s"${tablePrefix}_tfs", "shingle", buckets, pc)
   }
 }

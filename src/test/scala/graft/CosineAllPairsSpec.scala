@@ -246,7 +246,7 @@ class CosineAllPairsSpec extends AnyFunSuite {
     graft.Tables.scratchDir(spark, tp).toString
 
   private def dropIndex(tp: String): Unit =
-    Seq("_rank", "_pref", "_tf", "_raised", "_meta").foreach(s =>
+    Seq("_rank", "_pref", "_tf", "_tfs", "_raised", "_meta").foreach(s =>
       spark.sql(s"DROP TABLE IF EXISTS $tp$s"))
 
   test("raised-shingle compensation is load-bearing: a qualifying " +
