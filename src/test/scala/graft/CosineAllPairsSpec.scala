@@ -486,6 +486,35 @@ class CosineAllPairsSpec extends AnyFunSuite {
             s"$t pruning read $read of $allFiles files — expected a " +
               "strict cut")
         }
+        // an unraised night never touches the posting sidecar at all
+        assert(!frs.exists(_.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+              if f.toString.contains(s"${tp}_tfs") => f
+        }.nonEmpty), "_tfs read on a night with no raised shingles")
+
+        // a RAISED night reads _tfs — keyed, shard-filtered, and
+        // strictly pruned (the batch concentrates tf mass on doc 7's
+        // first shingle, raising its frozen max weight; the pair
+        // itself verifies below τ, which is fine — the pin is the
+        // compensation scan's SHAPE)
+        val raisedBatch = Seq((101L, "c7a c7b c7c c7a c7b c7c"))
+          .toDF("doc_id", "text")
+        val raisedScan = CosineAllPairs.pairsAgainstIndexed(spark, tp,
+          raisedBatch, "doc_id", "text", shingleN = 3, threshold = 0.5)
+        assert(raisedScan.collect().isEmpty) // cos = 2/√18 < 0.5
+        val rfrs = fragments(raisedScan.queryExecution.executedPlan)
+        val tfsScans = rfrs.flatMap(_.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+              if f.toString.contains(s"${tp}_tfs") => f
+        })
+        assert(tfsScans.nonEmpty, "raised night did not read _tfs")
+        assert(tfsScans.forall(_.toString.contains("__shard")),
+          "_tfs scan carries no __shard partition filter")
+        val allTfs = spark.table(s"${tp}_tfs").inputFiles.length
+        val readTfs = tfsScans.map(_.metrics("numFiles").value).max
+        assert(readTfs > 0 && readTfs < allTfs,
+          s"_tfs pruning read $readTfs of $allTfs files — expected a " +
+            "strict cut")
       } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
       graft.ops.QueryCaches.releaseAll()
 
