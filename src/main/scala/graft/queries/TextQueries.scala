@@ -343,23 +343,30 @@ object TextQueries {
         buckets = 8, shingleN = 3, threshold = 0.8,
         pathPrefix = Some(Tables.scratchDir(s, tp).toString),
         maxPrefixPosting = 200)
-      val gated = graft.ops.QueryCaches.persist(
-        batch.filter(graft.ops.Corpus.qualityPass(col("text"))))
-      gated.count() // eager: the exact stage + flag join read it
-      val exactKeep = graft.ops.QueryCaches.persist(
+      // stage frames are EAGER localCheckpoints, not persists: each
+      // stage's plan embeds every upstream stage's full tree through
+      // the persisted subplans, and the nesting multiplies — the
+      // persist version's final flag-join plan string was 7.9 MB
+      // (millions of plan nodes; driver analysis dominated the query,
+      // the q_theilsen rule). A checkpoint cuts the plan to a leaf at
+      // the same materialization cost the eager count already paid.
+      val gated =
+        batch.filter(graft.ops.Corpus.qualityPass(col("text")))
+          .localCheckpoint()
+      val exactKeep =
         gated.join(
           graft.ops.Corpus.incrementalDedupBucketed(s, fpT, gated,
             "doc_id", "text").select(col("keep_id").as("doc_id")),
-          Seq("doc_id"), "left_semi"))
-      exactKeep.count() // eager: PPJoin reader + flag join read it
-      val crossClean = graft.ops.QueryCaches.persist(
+          Seq("doc_id"), "left_semi")
+          .localCheckpoint()
+      val crossClean =
         exactKeep.join(
           TextDedup.prefixJaccardAgainstIndexed(s, tp, exactKeep,
             "doc_id", "text", shingleN = 3, threshold = 0.8,
             maxPrefixPosting = 200)
             .select(col("a").as("doc_id")).distinct(),
-          Seq("doc_id"), "left_anti"))
-      crossClean.count() // eager: in-batch pairs + flag join read it
+          Seq("doc_id"), "left_anti")
+          .localCheckpoint()
       val accepted = crossClean.join(
         TextDedup.prefixJaccardPairs(crossClean, "doc_id", "text",
           shingleN = 3, threshold = 0.8, maxPrefixPosting = 200)
@@ -412,30 +419,36 @@ object TextQueries {
       // returns (flags, accepted docs); the standing tables are
       // whatever fpT/tp hold when the night runs
       def night(batch: DataFrame): (DataFrame, DataFrame) = {
-        val gated = graft.ops.QueryCaches.persist(
-          batch.filter(graft.ops.Corpus.qualityPass(col("text"))))
-        gated.count()
-        val exactKeep = graft.ops.QueryCaches.persist(
+        // stage frames are EAGER localCheckpoints, not persists (the
+        // q_pipeline_nightly rule): the persist version's union plan
+        // string was 15.7 MB of nested cached subtrees and driver
+        // analysis dominated the query. Checkpoints also pin each
+        // night's decision to the PRE-append table state for free
+        // (RDD-backed leaves can't be invalidated by the appends).
+        val gated =
+          batch.filter(graft.ops.Corpus.qualityPass(col("text")))
+            .localCheckpoint()
+        val exactKeep =
           gated.join(
             graft.ops.Corpus.incrementalDedupBucketed(s, fpT, gated,
               "doc_id", "text").select(col("keep_id").as("doc_id")),
-            Seq("doc_id"), "left_semi"))
-        exactKeep.count()
-        val crossClean = graft.ops.QueryCaches.persist(
+            Seq("doc_id"), "left_semi")
+            .localCheckpoint()
+        val crossClean =
           exactKeep.join(
             TextDedup.prefixJaccardAgainstIndexed(s, tp, exactKeep,
               "doc_id", "text", shingleN = 3, threshold = 0.8,
               maxPrefixPosting = 400)
               .select(col("a").as("doc_id")).distinct(),
-            Seq("doc_id"), "left_anti"))
-        crossClean.count()
-        val accepted = graft.ops.QueryCaches.persist(
+            Seq("doc_id"), "left_anti")
+            .localCheckpoint()
+        val accepted =
           crossClean.join(
             TextDedup.prefixJaccardPairs(crossClean, "doc_id", "text",
               shingleN = 3, threshold = 0.8, maxPrefixPosting = 400)
               .select(col("b").as("doc_id")).distinct(),
-            Seq("doc_id"), "left_anti"))
-        accepted.count() // eager: both appends + the flag join read it
+            Seq("doc_id"), "left_anti")
+            .localCheckpoint()
         def flag(ids: DataFrame, name: String): DataFrame =
           ids.select(col("doc_id"), lit(true).as(name))
         val flags = batch.select("doc_id")
@@ -454,16 +467,11 @@ object TextQueries {
             coalesce(col("accepted"), lit(false)).as("accepted"))
         (flags, accepted)
       }
-      val (f1l, acc1l) = night(b1)
-      // EAGER checkpoints before any append: appending to fpT/tp
-      // INVALIDATES every cached frame whose plan reads those catalog
-      // tables — without the cut, night 1's stages silently re-execute
-      // against the already-extended tables (each accepted doc then
-      // collides with its own appended fingerprint) and the flags
-      // corrupt. The checkpoint pins night 1's decision to the
-      // pre-append table state.
-      val f1 = f1l.localCheckpoint()
-      val acc1 = acc1l.localCheckpoint()
+      // night 1's decision is already pinned to the pre-append table
+      // state: every stage frame (incl. accepted) is an RDD-backed
+      // checkpoint leaf, which the appends below cannot invalidate,
+      // and the flag frame reads only those leaves + the batch scan.
+      val (f1, acc1) = night(b1)
       graft.ops.Corpus.appendCorpusFingerprints(acc1, "text", fpT,
         buckets = 8)
       TextDedup.appendPrefixIndex(s, tp, acc1, "doc_id", "text",
@@ -499,23 +507,27 @@ object TextQueries {
         buckets = 8, shingleN = 3, threshold = 0.8,
         pathPrefix = Some(Tables.scratchDir(s, tp).toString),
         maxPrefixPosting = 200)
-      val gated = graft.ops.QueryCaches.persist(
-        batch.filter(graft.ops.Corpus.qualityPass(col("text"))))
-      gated.count() // eager: the exact stage + flag join read it
-      val exactKeep = graft.ops.QueryCaches.persist(
+      // stage frames are EAGER localCheckpoints, not persists (the
+      // q_pipeline_nightly rule): the persist version's flag-join
+      // plan string was 55.9 MB of nested cached subtrees — driver
+      // plan analysis, not execution, dominated the query.
+      val gated =
+        batch.filter(graft.ops.Corpus.qualityPass(col("text")))
+          .localCheckpoint()
+      val exactKeep =
         gated.join(
           graft.ops.Corpus.incrementalDedupBucketed(s, fpT, gated,
             "doc_id", "text").select(col("keep_id").as("doc_id")),
-          Seq("doc_id"), "left_semi"))
-      exactKeep.count() // eager: index reader + flag join read it
-      val crossClean = graft.ops.QueryCaches.persist(
+          Seq("doc_id"), "left_semi")
+          .localCheckpoint()
+      val crossClean =
         exactKeep.join(
           graft.ops.CosineAllPairs.pairsAgainstIndexed(s, tp, exactKeep,
             "doc_id", "text", shingleN = 3, threshold = 0.8,
             maxPrefixPosting = 200)
             .select(col("a").as("doc_id")).distinct(),
-          Seq("doc_id"), "left_anti"))
-      crossClean.count() // eager: in-batch pairs + flag join read it
+          Seq("doc_id"), "left_anti")
+          .localCheckpoint()
       val accepted = crossClean.join(
         graft.ops.CosineAllPairs.pairs(crossClean, "doc_id", "text",
           shingleN = 3, threshold = 0.8, maxPrefixPosting = 200)
