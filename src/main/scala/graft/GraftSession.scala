@@ -28,6 +28,26 @@ object GraftSession {
     .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // size post-shuffle partitions by BYTES (advisoryPartitionSize),
+    // not by the session's parallelism: with the default
+    // parallelismFirst=true AQE keeps tiny shuffles at full width and
+    // every stage over a small frame pays (width × per-task fixed
+    // cost) for kilobytes of data — measured 219 s of task CPU across
+    // 78 stages on a 600 KB corpus (q_cosine_incr_idx, sf0.1). Bytes-
+    // based sizing is scale-ADAPTIVE: big inputs still get wide
+    // stages, small ones collapse; Spark's own docs recommend
+    // disabling parallelismFirst in production. Explicit repartitions
+    // (globalRowNumber's range shape) are never AQE-coalesced, so
+    // partition-id-dependent logic is unaffected.
+    .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+      "false")
+    // let PERSISTED plans apply AQE too (off by default): the ops
+    // persist their shared frames, and with this off every cache
+    // materializes at the raw shuffle width and every one of its many
+    // scans pays that width in tasks — the per-task fixed cost above,
+    // multiplied by each cache's consumer count
+    .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+      "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.ui.enabled", "false")
 

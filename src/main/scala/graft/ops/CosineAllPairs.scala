@@ -76,35 +76,42 @@ object CosineAllPairs {
     val tf = CacheHandle.persistWith(handle,
       TextDedup.shingles(df, idCol, textCol, shingleN, dedup = false)
         .groupBy(idCol, "shingle").agg(count(lit(1)).as("tf")))
-    tf.count() // eager: norms, df rank, weights + two verify sides
     val sz = CacheHandle.persistWith(handle,
       tf.groupBy(idCol).agg(sum(col("tf") * col("tf")).as("na2")))
-    sz.count() // eager: the weight projection + two final joins
+    // ONE eager action fills BOTH caches (sz's job scans tf through
+    // its persist): norms, df rank, weights + two verify sides all
+    // read warm
+    sz.count()
     val wn = tf.join(sz, idCol)
       .select(col(idCol), col("shingle"),
         (col("tf").cast("double") /
           sqrt(col("na2").cast("double"))).as("w"))
-    val maxw = wn.groupBy("shingle").agg(max(col("w")).as("maxw"))
-    val dfc = tf.groupBy("shingle").agg(count(lit(1)).as("dfc"))
-    val ranked = ScaleOps.globalRowNumber(dfc, 8,
+    // ONE shingle-keyed aggregate carries both per-shingle stats
+    // (max unit weight for the suffix bound, document frequency for
+    // the rarity order) — the split maxw/dfc version paid a second
+    // full exchange and a second join for the same information
+    val stats = wn.groupBy("shingle")
+      .agg(max(col("w")).as("maxw"), count(lit(1)).as("dfc"))
+    val ranked = ScaleOps.globalRowNumber(stats, 8,
         handle, col("dfc"), col("shingle"))
-      .select(col("shingle"), col("rn"))
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol).orderBy("rn")
-    val whole = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol)
-    // suffix bound at feature i: tot − cum_before(i); keep while it
-    // can still reach τ (1e-9 margin: the cut is engine-local and
-    // only needs to be OVER-inclusive — losslessness never rides on
-    // a double rounding)
+      .select(col("shingle"), col("rn"), col("maxw"))
+    // suffix bound at feature i: Σ_{j ≥ i} ŵ·maxŵ, computed directly
+    // as the inclusive running sum in REVERSE rarity order — one
+    // window instead of the cum/tot pair (same quantity up to float
+    // association; the cut is engine-local and only needs to be
+    // OVER-inclusive — the 1e-9 margin absorbs rounding, so
+    // losslessness never rides on a double rounding). `rn` rides
+    // along so the candidate self-join can key on a LONG instead of
+    // re-hashing shingle strings over the fan-out.
+    val byDocDesc = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("rn").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     val pref = CacheHandle.persistWith(handle,
-      wn.join(maxw, "shingle").join(ranked, "shingle")
-        .withColumn("c", col("w") * col("maxw"))
-        .withColumn("cum", sum(col("c")).over(byDoc))
-        .withColumn("tot", sum(col("c")).over(whole))
-        .filter(col("tot") - (col("cum") - col("c")) >=
-          lit(threshold - 1e-9))
-        .select(col(idCol), col("shingle")))
+      wn.join(ranked, "shingle")
+        .withColumn("sfx", sum(col("w") * col("maxw")).over(byDocDesc))
+        .filter(col("sfx") >= lit(threshold - 1e-9))
+        .select(col(idCol), col("shingle"), col("rn")))
     (tf, sz, pref)
   }
 
@@ -119,12 +126,23 @@ object CosineAllPairs {
       sz: DataFrame,
       pref: DataFrame,
       idCol: String,
-      threshold: Double): DataFrame = {
-    val cand = pref.as("x")
-      .join(pref.as("y"), col("x.shingle") === col("y.shingle") &&
+      threshold: Double,
+      handle: CacheHandle): DataFrame = {
+    // self-join keyed on the rarity rank `rn` — a LONG that is
+    // injective on shingles (globalRowNumber total order), so the
+    // candidate set is identical to the shingle-string join while the
+    // hash/compare over the Σ|posting|² fan-out (the family's hottest
+    // loop — measured 93 s of task CPU at sf0.1) runs on 8 bytes.
+    // PERSISTED: the two verify joins otherwise re-run the whole
+    // fan-out once per AQE broadcast build (the q_pca_power rule —
+    // measured as two back-to-back 93 s stages); the count is the
+    // eager materializer.
+    val cand = CacheHandle.persistWith(handle, pref.as("x")
+      .join(pref.as("y"), col("x.rn") === col("y.rn") &&
         col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
-      .distinct()
+      .distinct())
+    cand.count()
     val num = cand
       .join(tf.select(col(idCol).as("a"), col("shingle"),
         col("tf").as("tfa")), Seq("a"))
@@ -173,7 +191,7 @@ object CosineAllPairs {
           "if the fan-out is affordable"
       })
     }
-    candidateVerify(tf, sz, pref, idCol, threshold)
+    candidateVerify(tf, sz, pref, idCol, threshold, handle)
   }
 
   /** The LOSSY twin of [[pairs]] for corpora that trip its audit —
@@ -211,7 +229,7 @@ object CosineAllPairs {
     val capped = CacheHandle.persistWith(handle,
       pref.join(over.select(col("shingle")), Seq("shingle"), "left_anti"))
     capped.count() // eager: both candidate sides read it
-    (candidateVerify(tf, sz, capped, idCol, threshold), over)
+    (candidateVerify(tf, sz, capped, idCol, threshold, handle), over)
   }
 
   /** Nightly-incremental cosine AllPairs — tonight's `batch` exactly
@@ -270,35 +288,34 @@ object CosineAllPairs {
             .select(lit(1).as("__side"), col(idCol), col("shingle")))
         .groupBy("__side", idCol, "shingle")
         .agg(count(lit(1)).as("tf")))
-    tf.count() // eager: norms, df rank, weights + two verify sides
     val sz = CacheHandle.persistWith(handle,
       tf.groupBy("__side", idCol)
         .agg(sum(col("tf") * col("tf")).as("na2")))
-    sz.count() // eager: the weight projection + two final joins
+    sz.count() // ONE eager action fills both caches (tf via sz's scan)
     val wn = tf.join(sz, Seq("__side", idCol))
       .select(col("__side"), col(idCol), col("shingle"),
         (col("tf").cast("double") /
           sqrt(col("na2").cast("double"))).as("w"))
-    // union max = greatest(corpus maxw, batch maxw) per shingle — the
+    // one shingle-keyed aggregate carries both stats; the union max
+    // IS greatest(corpus maxw, batch maxw) per shingle — the
     // cosine-specific cross contract (a corpus-frozen maxw would be
     // LOSSY for batch-raised weights)
-    val maxw = wn.groupBy("shingle").agg(max(col("w")).as("maxw"))
-    val dfc = tf.groupBy("shingle").agg(count(lit(1)).as("dfc"))
-    val ranked = ScaleOps.globalRowNumber(dfc, 8,
+    val stats = wn.groupBy("shingle")
+      .agg(max(col("w")).as("maxw"), count(lit(1)).as("dfc"))
+    val ranked = ScaleOps.globalRowNumber(stats, 8,
         handle, col("dfc"), col("shingle"))
-      .select(col("shingle"), col("rn"))
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy("__side", idCol).orderBy("rn")
-    val whole = org.apache.spark.sql.expressions.Window
-      .partitionBy("__side", idCol)
+      .select(col("shingle"), col("rn"), col("maxw"))
+    // suffix bound as ONE reverse-order running sum (the tfFrames
+    // rule); `rn` rides along for the long-keyed candidate join
+    val byDocDesc = org.apache.spark.sql.expressions.Window
+      .partitionBy("__side", idCol).orderBy(col("rn").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     val pref = CacheHandle.persistWith(handle,
-      wn.join(maxw, "shingle").join(ranked, "shingle")
-        .withColumn("c", col("w") * col("maxw"))
-        .withColumn("cum", sum(col("c")).over(byDoc))
-        .withColumn("tot", sum(col("c")).over(whole))
-        .filter(col("tot") - (col("cum") - col("c")) >=
-          lit(threshold - 1e-9))
-        .select(col("__side"), col(idCol), col("shingle")))
+      wn.join(ranked, "shingle")
+        .withColumn("sfx", sum(col("w") * col("maxw")).over(byDocDesc))
+        .filter(col("sfx") >= lit(threshold - 1e-9))
+        .select(col("__side"), col(idCol), col("shingle"), col("rn")))
     if (maxPrefixPosting == Int.MaxValue)
       pref.count() // eager: both candidate sides read it
     else {
@@ -315,12 +332,18 @@ object CosineAllPairs {
           "if the fan-out is affordable"
       })
     }
-    val cand = pref.filter(col("__side") === 1)
-      .select(col(idCol).as("a"), col("shingle"))
-      .join(pref.filter(col("__side") === 0)
-        .select(col("shingle"), col(idCol).as("b")), Seq("shingle"))
-      .select(col("a"), col("b"))
-      .distinct()
+    // cross candidate join keyed on the LONG rank (injective on
+    // shingles — identical candidates, cheap hash/compare over the
+    // fan-out); persisted so the verify joins' broadcast builds don't
+    // each re-run it (the candidateVerify rule)
+    val cand = CacheHandle.persistWith(handle,
+      pref.filter(col("__side") === 1)
+        .select(col(idCol).as("a"), col("rn"))
+        .join(pref.filter(col("__side") === 0)
+          .select(col("rn"), col(idCol).as("b")), Seq("rn"))
+        .select(col("a"), col("b"))
+        .distinct())
+    cand.count()
     val num = cand
       .join(tf.filter(col("__side") === 1)
         .select(col(idCol).as("a"), col("shingle"),
@@ -428,33 +451,30 @@ object CosineAllPairs {
     val tf = CacheHandle.persistWith(handle,
       TextDedup.shingles(corpus, idCol, textCol, shingleN, dedup = false)
         .groupBy(idCol, "shingle").agg(count(lit(1)).as("tf")))
-    tf.count() // eager: norms, rank, prefix + the _tf write read it
     val sz = CacheHandle.persistWith(handle,
       tf.groupBy(idCol).agg(sum(col("tf") * col("tf")).as("na2")))
-    sz.count() // eager: the weight projection + the _tf write read it
+    sz.count() // ONE eager action fills both caches (tf via sz's scan)
     val wn = tf.join(sz, idCol)
       .select(col(idCol), col("shingle"),
         (col("tf").cast("double") /
           sqrt(col("na2").cast("double"))).as("w"))
-    val maxw = wn.groupBy("shingle").agg(max(col("w")).as("maxw"))
-    val dfc = tf.groupBy("shingle").agg(count(lit(1)).as("dfc"))
+    // one shingle-keyed aggregate carries both per-shingle stats (the
+    // tfFrames rule); the global rank carries maxw through, so no
+    // post-rank join is needed
+    val stats = wn.groupBy("shingle")
+      .agg(max(col("w")).as("maxw"), count(lit(1)).as("dfc"))
     val rankTab = CacheHandle.persistWith(handle,
-      ScaleOps.globalRowNumber(dfc, 8, handle, col("dfc"), col("shingle"))
-        .select(col("shingle"), col("rn"))
-        .join(maxw, "shingle")
+      ScaleOps.globalRowNumber(stats, 8, handle, col("dfc"), col("shingle"))
         .select(col("shingle"), col("rn"), col("maxw")))
     rankTab.count() // eager: the _rank write + the prefix build read it
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol).orderBy("rn")
-    val whole = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol)
+    val byDocDesc = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("rn").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     val pref = CacheHandle.persistWith(handle,
       wn.join(rankTab, "shingle")
-        .withColumn("c", col("w") * col("maxw"))
-        .withColumn("cum", sum(col("c")).over(byDoc))
-        .withColumn("tot", sum(col("c")).over(whole))
-        .filter(col("tot") - (col("cum") - col("c")) >=
-          lit(threshold - 1e-9))
+        .withColumn("sfx", sum(col("w") * col("maxw")).over(byDocDesc))
+        .filter(col("sfx") >= lit(threshold - 1e-9))
         .select(col("shingle"), col(idCol)))
     // build-time audit — the collect doubles as pref's materializer
     if (maxPrefixPosting == Int.MaxValue) pref.count()
@@ -478,35 +498,46 @@ object CosineAllPairs {
         df.withColumn("__shard", pmod(hash(col(key)), lit(shardBy)))
       else df
     val pc = if (shardBy > 0) Some("__shard") else None
-    ScaleOps.writeBucketed(sharded(rankTab, "shingle"),
-      s"${tablePrefix}_rank", "shingle", buckets, p("_rank"), pc)
-    ScaleOps.writeBucketed(sharded(pref, "shingle"),
-      s"${tablePrefix}_pref", "shingle", buckets, p("_pref"), pc)
-    ScaleOps.writeBucketed(
-      sharded(tf.join(sz, idCol).select(col(idCol), col("shingle"),
-        col("tf"), col("na2")), idCol),
-      s"${tablePrefix}_tf", idCol, buckets, p("_tf"), pc)
-    ScaleOps.writeBucketed(
-      sharded(tf.select(col("shingle"), col(idCol)), "shingle"),
-      s"${tablePrefix}_tfs", "shingle", buckets, p("_tfs"), pc)
     val sp = corpus.sparkSession
-    // `_raised` starts EMPTY (appends log into it); overwrite makes a
-    // rebuild reset the log with the prefixes it invalidates
-    val emptyRaised = sp.createDataFrame(
-      sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("shingle",
-          org.apache.spark.sql.types.StringType, nullable = true))))
-    val rw = emptyRaised.coalesce(1).write.mode("overwrite")
-      .format("parquet")
-    p("_raised").fold(rw.saveAsTable(s"${tablePrefix}_raised"))(pp =>
-      rw.option("path", pp).saveAsTable(s"${tablePrefix}_raised"))
-    import sp.implicits._
-    val mw = Seq((threshold, shingleN, buckets, shardBy))
-      .toDF("tau_build", "shingle_n", "buckets", "shard_by")
-      .coalesce(1).write.mode("overwrite").format("parquet")
-    p("_meta").fold(mw.saveAsTable(s"${tablePrefix}_meta"))(pp =>
-      mw.option("path", pp).saveAsTable(s"${tablePrefix}_meta"))
+    // the six table writes are INDEPENDENT once the shared frames are
+    // materialized (tf/sz/rankTab/pref caches are all warm here): run
+    // them concurrently so each write's commit/catalog tail backfills
+    // the others' idle executors (guide §2.6 — actions are only
+    // sequential because the driver calls them sequentially)
+    ScaleOps.concurrently(
+      () => ScaleOps.writeBucketed(sharded(rankTab, "shingle"),
+        s"${tablePrefix}_rank", "shingle", buckets, p("_rank"), pc),
+      () => ScaleOps.writeBucketed(sharded(pref, "shingle"),
+        s"${tablePrefix}_pref", "shingle", buckets, p("_pref"), pc),
+      () => ScaleOps.writeBucketed(
+        sharded(tf.join(sz, idCol).select(col(idCol), col("shingle"),
+          col("tf"), col("na2")), idCol),
+        s"${tablePrefix}_tf", idCol, buckets, p("_tf"), pc),
+      () => ScaleOps.writeBucketed(
+        sharded(tf.select(col("shingle"), col(idCol)), "shingle"),
+        s"${tablePrefix}_tfs", "shingle", buckets, p("_tfs"), pc),
+      () => {
+        // `_raised` starts EMPTY (appends log into it); overwrite
+        // makes a rebuild reset the log with the prefixes it
+        // invalidates
+        val emptyRaised = sp.createDataFrame(
+          sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("shingle",
+              org.apache.spark.sql.types.StringType, nullable = true))))
+        val rw = emptyRaised.coalesce(1).write.mode("overwrite")
+          .format("parquet")
+        p("_raised").fold(rw.saveAsTable(s"${tablePrefix}_raised"))(pp =>
+          rw.option("path", pp).saveAsTable(s"${tablePrefix}_raised"))
+      },
+      () => {
+        import sp.implicits._
+        val mw = Seq((threshold, shingleN, buckets, shardBy))
+          .toDF("tau_build", "shingle_n", "buckets", "shard_by")
+          .coalesce(1).write.mode("overwrite").format("parquet")
+        p("_meta").fold(mw.saveAsTable(s"${tablePrefix}_meta"))(pp =>
+          mw.option("path", pp).saveAsTable(s"${tablePrefix}_meta"))
+      })
   }
 
   /** Read the 1-row `_meta` sidecar written by [[writeIndex]]:
@@ -594,10 +625,9 @@ object CosineAllPairs {
     val btf = CacheHandle.persistWith(handle,
       TextDedup.shingles(batch, idCol, textCol, shingleN, dedup = false)
         .groupBy(idCol, "shingle").agg(count(lit(1)).as("tf")))
-    btf.count() // eager: norms, prefix, compensation + verify read it
     val bsz = CacheHandle.persistWith(handle,
       btf.groupBy(idCol).agg(sum(col("tf") * col("tf")).as("na2")))
-    bsz.count() // eager: the weight projection + the final join read it
+    bsz.count() // ONE eager action fills both caches (btf via bsz's scan)
     val bwn = btf.join(bsz, idCol)
       .select(col(idCol), col("shingle"),
         (col("tf").cast("double") /
@@ -636,19 +666,20 @@ object CosineAllPairs {
     // F = coalesce(stored maxw, 0) — a shingle in NO vintage has no
     // corpus occurrence (any corpus doc would have frozen it), so its
     // partner weight is 0 and M = 0 is both valid and tight
-    val w = org.apache.spark.sql.expressions.Window
+    // suffix bound as ONE reverse-order running sum (the tfFrames
+    // rule): the extended order O read backwards is (rank shingles by
+    // rn desc) then (absent shingles by shingle text desc)
+    val wDesc = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol)
-      .orderBy(col("rn").isNotNull, coalesce(col("rn"), lit(-1L)),
-        col("shingle"))
-    val whole = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol)
+      .orderBy(col("rn").isNotNull.desc,
+        coalesce(col("rn"), lit(-1L)).desc, col("shingle").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     val bpref = CacheHandle.persistWith(handle,
       bwn.join(rank, Seq("shingle"), "left")
-        .withColumn("c", col("w") * coalesce(col("maxw"), lit(0.0)))
-        .withColumn("cum", sum(col("c")).over(w))
-        .withColumn("tot", sum(col("c")).over(whole))
-        .filter(col("tot") - (col("cum") - col("c")) >=
-          lit(threshold - 1e-9))
+        .withColumn("sfx",
+          sum(col("w") * coalesce(col("maxw"), lit(0.0))).over(wDesc))
+        .filter(col("sfx") >= lit(threshold - 1e-9))
         .select(col(idCol), col("shingle")))
     val cpref = pruned(spark.table(s"${tablePrefix}_pref"))
     // the shingle-keyed posting copy serves the raised paths — the
@@ -729,15 +760,20 @@ object CosineAllPairs {
         Seq("shingle"))
       .select(col("a"), col("b"))
     // raised-shingle compensation: exact full-posting injection on R
-    // (skipped entirely when R is empty — the common nightly)
-    val cand = (if (nRaised == 0) prefCand
+    // (skipped entirely when R is empty — the common nightly).
+    // PERSISTED: the verify joins' broadcast builds would each re-run
+    // the candidate fan-out otherwise (the candidateVerify rule) —
+    // and here a re-run is also a second corpus `_pref` scan.
+    val cand = CacheHandle.persistWith(handle,
+      (if (nRaised == 0) prefCand
       else prefCand.unionAll(
         btf.join(raised, Seq("shingle"), "left_semi")
           .select(col(idCol).as("a"), col("shingle"))
           .join(ctfs.join(raised, Seq("shingle"), "left_semi")
             .select(col("shingle"), col(idCol).as("b")),
             Seq("shingle"))
-          .select(col("a"), col("b")))).distinct()
+          .select(col("a"), col("b")))).distinct())
+    cand.count()
     // verify-side pruning (sharded builds only): every candidate id
     // comes from a batch-touched prefix posting or a raised-shingle
     // posting, so the candidate id shard set is derivable BEFORE the
@@ -828,10 +864,9 @@ object CosineAllPairs {
     val btf = CacheHandle.persistWith(handle,
       TextDedup.shingles(batch, idCol, textCol, shingleN, dedup = false)
         .groupBy(idCol, "shingle").agg(count(lit(1)).as("tf")))
-    btf.count() // eager: norms, prefix + the _tf append read it
     val bsz = CacheHandle.persistWith(handle,
       btf.groupBy(idCol).agg(sum(col("tf") * col("tf")).as("na2")))
-    bsz.count() // eager: the weight projection + the _tf append read it
+    bsz.count() // ONE eager action fills both caches (btf via bsz's scan)
     val bwn = btf.join(bsz, idCol)
       .select(col(idCol), col("shingle"),
         (col("tf").cast("double") /
@@ -862,24 +897,23 @@ object CosineAllPairs {
     val raisedLog = joined
       .filter(col("maxw").isNotNull && col("bmaxw") > col("maxw"))
       .select("shingle")
-    raisedLog.write.mode("append").format("parquet")
-      .saveAsTable(s"${tablePrefix}_raised")
     // appended docs' prefixes: frozen order, frozen maxw — for
     // brand-new shingles that's this batch's max (the value frozen
-    // above), making stored prefixes self-consistent at read time
-    val w = org.apache.spark.sql.expressions.Window
+    // above), making stored prefixes self-consistent at read time.
+    // Suffix bound as ONE reverse-order running sum (the tfFrames
+    // rule): the extended order O read backwards is (rank shingles by
+    // rn desc) then (absent shingles by shingle text desc).
+    val wDesc = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol)
-      .orderBy(col("rn").isNotNull, coalesce(col("rn"), lit(-1L)),
-        col("shingle"))
-    val whole = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol)
+      .orderBy(col("rn").isNotNull.desc,
+        coalesce(col("rn"), lit(-1L)).desc, col("shingle").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     val newPref = bwn.join(rank, Seq("shingle"), "left")
       .join(bmax, Seq("shingle"))
-      .withColumn("c", col("w") * coalesce(col("maxw"), col("bmaxw")))
-      .withColumn("cum", sum(col("c")).over(w))
-      .withColumn("tot", sum(col("c")).over(whole))
-      .filter(col("tot") - (col("cum") - col("c")) >=
-        lit(threshold - 1e-9))
+      .withColumn("sfx",
+        sum(col("w") * coalesce(col("maxw"), col("bmaxw"))).over(wDesc))
+      .filter(col("sfx") >= lit(threshold - 1e-9))
       .select(col("shingle"), col(idCol))
     // sharded builds: appended rows land in their key's shard
     // directory (same hash as the build) so reader pruning stays
@@ -889,16 +923,23 @@ object CosineAllPairs {
         df.withColumn("__shard", pmod(hash(col(key)), lit(shardBy)))
       else df
     val pc = if (shardBy > 0) Some("__shard") else None
-    ScaleOps.appendBucketed(sharded(newPref, "shingle"),
-      s"${tablePrefix}_pref", "shingle", buckets, pc)
+    // write order: everything that READS the pre-append `_rank` table
+    // (the raised log, the prefix cut) must run before the `_rank`
+    // append lands; `_raised`/`_pref`/`_tf`/`_tfs` target distinct
+    // tables none of the group reads, so they overlap (guide §2.6)
+    ScaleOps.concurrently(
+      () => raisedLog.write.mode("append").format("parquet")
+        .saveAsTable(s"${tablePrefix}_raised"),
+      () => ScaleOps.appendBucketed(sharded(newPref, "shingle"),
+        s"${tablePrefix}_pref", "shingle", buckets, pc),
+      () => ScaleOps.appendBucketed(
+        sharded(btf.join(bsz, idCol).select(col(idCol), col("shingle"),
+          col("tf"), col("na2")), idCol),
+        s"${tablePrefix}_tf", idCol, buckets, pc),
+      () => ScaleOps.appendBucketed(
+        sharded(btf.select(col("shingle"), col(idCol)), "shingle"),
+        s"${tablePrefix}_tfs", "shingle", buckets, pc))
     ScaleOps.appendBucketed(sharded(newRank, "shingle"),
       s"${tablePrefix}_rank", "shingle", buckets, pc)
-    ScaleOps.appendBucketed(
-      sharded(btf.join(bsz, idCol).select(col(idCol), col("shingle"),
-        col("tf"), col("na2")), idCol),
-      s"${tablePrefix}_tf", idCol, buckets, pc)
-    ScaleOps.appendBucketed(
-      sharded(btf.select(col("shingle"), col(idCol)), "shingle"),
-      s"${tablePrefix}_tfs", "shingle", buckets, pc)
   }
 }

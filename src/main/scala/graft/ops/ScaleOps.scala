@@ -26,6 +26,43 @@ object ScaleOps {
       .getOrElse(s.sparkContext.defaultParallelism)
   }
 
+  /** Run INDEPENDENT Spark actions concurrently from driver threads —
+    * the guide-§2.6 overlap: actions are only sequential because the
+    * driver calls them sequentially, so a batch of writes/audits whose
+    * inputs are already materialized can back-fill each other's
+    * scheduling, commit and catalog tails. Spark's scheduler runs the
+    * jobs FIFO; tasks from later actions fill executors freed by
+    * earlier actions' stragglers. Callers must ensure the actions
+    * share no uncached lazy subtree (each would re-run it — the
+    * q_pca_power rule) and touch distinct tables/paths.
+    *
+    * The first failure is rethrown UNWRAPPED (audit `require`
+    * messages must surface verbatim); remaining actions are left to
+    * finish in the pool before the throw propagates, so no action is
+    * ever half-cancelled mid-write.
+    */
+  def concurrently(actions: (() => Unit)*): Unit = {
+    if (actions.lengthCompare(1) <= 0) { actions.foreach(_()); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(actions.size)
+    try {
+      val futs = actions.map { a =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = a()
+        })
+      }
+      var firstFailure: Throwable = null
+      futs.foreach { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException
+              if e.getCause != null =>
+            if (firstFailure == null) firstFailure = e.getCause
+        }
+      }
+      if (firstFailure != null) throw firstFailure
+    } finally pool.shutdown()
+  }
+
   /** Salted equi-join for skewed keys.
     *
     * The big (skewed) side gets a deterministic salt derived from

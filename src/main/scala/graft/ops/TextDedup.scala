@@ -827,7 +827,7 @@ object TextDedup {
           "prefixJaccardPairsCapped twin"
       })
     }
-    prefixCandidateVerify(sh, sz, pref, idCol, threshold)
+    prefixCandidateVerify(sh, sz, pref, idCol, threshold, handle)
   }
 
   /** The lossy production twin of [[prefixJaccardPairs]] for corpora
@@ -869,7 +869,7 @@ object TextDedup {
     val capped = CacheHandle.persistWith(handle,
       pref.join(over.select(col("shingle")), Seq("shingle"), "left_anti"))
     capped.count() // eager: both candidate sides read it
-    (prefixCandidateVerify(sh, sz, capped, idCol, threshold), over)
+    (prefixCandidateVerify(sh, sz, capped, idCol, threshold, handle), over)
   }
 
   /** The ONE gear-CDC chunk-fingerprint frame — the canonical
@@ -947,7 +947,9 @@ object TextDedup {
         .select(lit(0).as("__side"), col(idCol), col("shingle"))
         .unionAll(shingles(batch, idCol, textCol, shingleN)
           .select(lit(1).as("__side"), col(idCol), col("shingle"))))
-    sh.count() // eager: sizes, rank, prefix + verify sides race a lazy cache
+    // no standalone sh.count: the rank's internal shaping action is
+    // the first (sequential) scan of sh and fills the cache before
+    // any concurrent reader exists (the prefixFrames rule)
     val sz = CacheHandle.persistWith(handle,
       sh.groupBy("__side", idCol).agg(count(lit(1)).as("sz")))
     val dfc = sh.groupBy("shingle").agg(count(lit(1)).as("dfc"))
@@ -962,7 +964,8 @@ object TextDedup {
         .join(sz, Seq("__side", idCol))
         .filter(col("p") <=
           col("sz") - floor(lit(threshold) * col("sz").cast("double")) + 1L)
-        .select(col("__side"), col(idCol), col("shingle"), col("sz")))
+        .select(col("__side"), col(idCol), col("shingle"), col("sz"),
+          col("rn")))
     if (maxPrefixPosting == Int.MaxValue)
       pref.count() // eager: both candidate sides read it
     else {
@@ -984,15 +987,20 @@ object TextDedup {
       })
     }
     val la = pref.filter(col("__side") === 1)
-      .select(col(idCol).as("a"), col("shingle"), col("sz").as("sa"))
+      .select(col(idCol).as("a"), col("rn"), col("sz").as("sa"))
     val lb = pref.filter(col("__side") === 0)
-      .select(col(idCol).as("b"), col("shingle"), col("sz").as("sb"))
-    val cand = la.join(lb, Seq("shingle"))
+      .select(col(idCol).as("b"), col("rn"), col("sz").as("sb"))
+    // cross candidate join keyed on the LONG rank (injective on
+    // shingles — identical candidates, cheap hash/compare over the
+    // fan-out); persisted so the verify joins' broadcast builds don't
+    // each re-run it (the prefixCandidateVerify rule)
+    val cand = CacheHandle.persistWith(handle, la.join(lb, Seq("rn"))
       .filter(least(col("sa"), col("sb")).cast("double") >=
         floor(lit(threshold) *
           greatest(col("sa"), col("sb")).cast("double")).cast("double"))
       .select(col("a"), col("b"))
-      .distinct()
+      .distinct())
+    cand.count()
     val inter = cand
       .join(sh.filter(col("__side") === 1)
         .select(col(idCol).as("a"), col("shingle")), Seq("a"))
@@ -1085,7 +1093,9 @@ object TextDedup {
     require(shardBy >= 0, s"shardBy must be >= 0, got $shardBy")
     val sh = CacheHandle.persistWith(handle,
       shingles(corpus, idCol, textCol, shingleN))
-    sh.count() // eager: sizes, rank, prefix + the _sh write all read it
+    // no standalone sh.count: the rank's internal shaping action is
+    // the first (sequential) scan of sh and fills the cache before
+    // any concurrent reader exists (the prefixFrames rule)
     val sz = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))
     val dfc = sh.groupBy("shingle").agg(count(lit(1)).as("dfc"))
     val ranked = CacheHandle.persistWith(handle,
@@ -1131,10 +1141,6 @@ object TextDedup {
       if (shardBy > 0) df.withColumn("__shard", shardOf(col("shingle")))
       else df
     val pc = if (shardBy > 0) Some("__shard") else None
-    ScaleOps.writeBucketed(shingleSharded(ranked),
-      s"${tablePrefix}_rank", "shingle", buckets, p("_rank"), pc)
-    ScaleOps.writeBucketed(shingleSharded(pref),
-      s"${tablePrefix}_pref", "shingle", buckets, p("_pref"), pc)
     // `_sh` shards on the ID hash (its bucket key): the reader derives
     // the candidate corpus ids' shard set from the batch-touched
     // prefix postings and prunes the verify-side scan the same way
@@ -1143,19 +1149,30 @@ object TextDedup {
         sh.select(col(idCol), col("shingle"))
           .withColumn("__shard", shardOf(col(idCol)))
       else sh.select(col(idCol), col("shingle"))
-    ScaleOps.writeBucketed(shOut,
-      s"${tablePrefix}_sh", idCol, buckets, p("_sh"), pc)
-    // the build contract rides WITH the index (1-row sidecar) so the
-    // reader/append paths can reject a mismatched call instead of
-    // silently losing pairs (a τ' < τ_build read is lossy by
-    // construction — stored prefixes are too short for it)
     val sp = corpus.sparkSession
-    import sp.implicits._
-    val mw = Seq((threshold, shingleN, buckets, shardBy))
-      .toDF("tau_build", "shingle_n", "buckets", "shard_by")
-      .coalesce(1).write.mode("overwrite").format("parquet")
-    p("_meta").fold(mw.saveAsTable(s"${tablePrefix}_meta"))(pp =>
-      mw.option("path", pp).saveAsTable(s"${tablePrefix}_meta"))
+    // the four table writes are INDEPENDENT once the shared frames
+    // are materialized (sh/ranked/pref caches are warm here): run
+    // them concurrently so each write's commit/catalog tail backfills
+    // the others' idle executors (guide §2.6)
+    ScaleOps.concurrently(
+      () => ScaleOps.writeBucketed(shingleSharded(ranked),
+        s"${tablePrefix}_rank", "shingle", buckets, p("_rank"), pc),
+      () => ScaleOps.writeBucketed(shingleSharded(pref),
+        s"${tablePrefix}_pref", "shingle", buckets, p("_pref"), pc),
+      () => ScaleOps.writeBucketed(shOut,
+        s"${tablePrefix}_sh", idCol, buckets, p("_sh"), pc),
+      () => {
+        // the build contract rides WITH the index (1-row sidecar) so
+        // the reader/append paths can reject a mismatched call instead
+        // of silently losing pairs (a τ' < τ_build read is lossy by
+        // construction — stored prefixes are too short for it)
+        import sp.implicits._
+        val mw = Seq((threshold, shingleN, buckets, shardBy))
+          .toDF("tau_build", "shingle_n", "buckets", "shard_by")
+          .coalesce(1).write.mode("overwrite").format("parquet")
+        p("_meta").fold(mw.saveAsTable(s"${tablePrefix}_meta"))(pp =>
+          mw.option("path", pp).saveAsTable(s"${tablePrefix}_meta"))
+      })
   }
 
   /** Read the 1-row `_meta` sidecar written by [[writePrefixIndex]]:
@@ -1242,7 +1259,10 @@ object TextDedup {
         s"match the index's build shingleN $shNBuild")
     val bsh = CacheHandle.persistWith(handle,
       shingles(batch, idCol, textCol, shingleN))
-    bsh.count() // eager: sizes, prefix + verify side read it
+    // no standalone bsh.count: the first sequential action over bpref
+    // (its count or the audit collect) scans bsh through the persist
+    // and fills the cache before the verify side reads it
+    // (sharded builds fill it even earlier, at the shard-set collect)
     // shard pruning (sharded builds only): a rank/prefix row outside
     // tonight's batch shard set cannot match any batch shingle, so
     // filtering on the partition column prunes whole corpus
@@ -1322,7 +1342,10 @@ object TextDedup {
     // corpus prefix postings — corpus side zero-exchange; sizes ride
     // along (functionally determined by the ids) so verification
     // needs no extra corpus lookup
-    val cand = bpref
+    // PERSISTED: the verify joins' broadcast builds would each re-run
+    // the candidate fan-out otherwise (the prefixCandidateVerify
+    // rule) — and here a re-run is also a second corpus `_pref` scan
+    val cand = CacheHandle.persistWith(handle, bpref
       .select(col(idCol).as("a"), col("shingle"), col("sz").as("sz_a"))
       .join(cpref.select(col("shingle"), col(idCol).as("b"),
         col("sz").as("sz_b")), Seq("shingle"))
@@ -1330,7 +1353,8 @@ object TextDedup {
         floor(lit(threshold) *
           greatest(col("sz_a"), col("sz_b")).cast("double")).cast("double"))
       .select(col("a"), col("b"), col("sz_a"), col("sz_b"))
-      .distinct()
+      .distinct())
+    cand.count()
     // exact verify: pull each candidate corpus doc's postings from the
     // id-bucketed table (zero corpus exchange — the join key is the
     // bucket key), intersect with the batch side's cached shingles
@@ -1398,7 +1422,8 @@ object TextDedup {
         s"index's build buckets $bkBuild")
     val bsh = CacheHandle.persistWith(handle,
       shingles(batch, idCol, textCol, shingleN))
-    bsh.count() // eager: the prefix build and the _sh append read it
+    bsh.count() // eager: the two appends below run CONCURRENTLY and
+    // would otherwise race the lazy cache (the q_pca_power rule)
     // sharded builds: the rank lookup only needs the batch's shards
     // (a rank row elsewhere cannot match a batch shingle)
     val rank =
@@ -1420,15 +1445,18 @@ object TextDedup {
         (newPref.withColumn("__shard",
           pmod(hash(col("shingle")), lit(shardBy))), Some("__shard"))
       else (newPref, None)
-    ScaleOps.appendBucketed(prefOut,
-      s"${tablePrefix}_pref", "shingle", buckets, pc)
     val shOut =
       if (shardBy > 0)
         bsh.select(col(idCol), col("shingle"))
           .withColumn("__shard", pmod(hash(col(idCol)), lit(shardBy)))
       else bsh.select(col(idCol), col("shingle"))
-    ScaleOps.appendBucketed(shOut,
-      s"${tablePrefix}_sh", idCol, buckets, pc)
+    // the two appends target distinct tables neither reads (guide
+    // §2.6): overlap them
+    ScaleOps.concurrently(
+      () => ScaleOps.appendBucketed(prefOut,
+        s"${tablePrefix}_pref", "shingle", buckets, pc),
+      () => ScaleOps.appendBucketed(shOut,
+        s"${tablePrefix}_sh", idCol, buckets, pc))
   }
 
   /** Batch-side prefix frame under a FROZEN index order (shared by
@@ -1476,13 +1504,18 @@ object TextDedup {
       s"threshold in (0, 1], got $threshold")
     val sh = CacheHandle.persistWith(handle,
       shingles(df, idCol, textCol, shingleN))
-    sh.count() // eager: sizes, rarity rank, prefix + verify sides race a lazy cache
+    // no standalone sh.count: the rarity rank's internal shaping
+    // action (globalRowNumber's offset count) is the first scan of sh
+    // and fills the cache before any concurrent reader exists — the
+    // pref build, audits and verify sides all read it warm
     val sz = CacheHandle.persistWith(handle,
       sh.groupBy(idCol).agg(count(lit(1)).as("sz")))
     val dfc = sh.groupBy("shingle").agg(count(lit(1)).as("dfc"))
     // rarity order: df asc, shingle as the total-order tiebreak; the
     // global rank is unique, so each document's prefix is
-    // deterministic (retry-stable candidates)
+    // deterministic (retry-stable candidates). `rn` rides along in the
+    // prefix frame so the candidate self-join keys on a LONG instead
+    // of re-hashing shingle strings over the fan-out.
     val ranked = ScaleOps.globalRowNumber(dfc, 8,
         handle, col("dfc"), col("shingle"))
       .select(col("shingle"), col("rn"))
@@ -1494,7 +1527,7 @@ object TextDedup {
         .join(sz, idCol)
         .filter(col("p") <=
           col("sz") - floor(lit(threshold) * col("sz").cast("double")) + 1L)
-        .select(col(idCol), col("shingle"), col("sz")))
+        .select(col(idCol), col("shingle"), col("sz"), col("rn")))
     // eager: both candidate sides read it (a caller whose own first
     // action over pref runs before anything else — the audit collect —
     // opts out and materializes it there instead)
@@ -1512,12 +1545,19 @@ object TextDedup {
       sz: DataFrame,
       pref: DataFrame,
       idCol: String,
-      threshold: Double): DataFrame = {
-    val la = pref.select(col(idCol).as("a"), col("shingle"),
+      threshold: Double,
+      handle: CacheHandle): DataFrame = {
+    val la = pref.select(col(idCol).as("a"), col("rn"),
       col("sz").as("sa"))
-    val lb = pref.select(col(idCol).as("b"), col("shingle"),
+    val lb = pref.select(col(idCol).as("b"), col("rn"),
       col("sz").as("sb"))
-    val cand = la.join(lb, Seq("shingle"))
+    // self-join keyed on the rarity rank `rn` — a LONG injective on
+    // shingles (identical candidates, cheap hash/compare over the
+    // Σ|posting|² fan-out). PERSISTED + eagerly counted: the two
+    // verify joins' broadcast builds would otherwise each re-run the
+    // whole fan-out (the q_pca_power rule, measured on the cosine
+    // twin as two back-to-back 93 s stages at sf0.1).
+    val cand = CacheHandle.persistWith(handle, la.join(lb, Seq("rn"))
       .filter(col("a") < col("b"))
       // length prune: a qualifying pair has min ≥ τ·max; floor keeps
       // the boundary (over-inclusive, never lossy)
@@ -1525,7 +1565,8 @@ object TextDedup {
         floor(lit(threshold) *
           greatest(col("sa"), col("sb")).cast("double")).cast("double"))
       .select(col("a"), col("b"))
-      .distinct()
+      .distinct())
+    cand.count()
     val inter = cand
       .join(sh.select(col(idCol).as("a"), col("shingle")), Seq("a"))
       .join(sh.select(col(idCol).as("b"), col("shingle")),

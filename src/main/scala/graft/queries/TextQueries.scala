@@ -336,23 +336,30 @@ object TextQueries {
       val fpT = s"graft_night_fp_$app"
       val tp = s"graft_night_ppj_$app"
       // standing-side artifacts: built once per corpus rebuild in
-      // production, here inside the query (rerun-safe via overwrite)
-      graft.ops.Corpus.writeCorpusFingerprints(corpus, "text", fpT,
-        buckets = 8, path = Some(Tables.scratchDir(s, fpT).toString))
-      TextDedup.writePrefixIndex(corpus, "doc_id", "text", tp,
-        buckets = 8, shingleN = 3, threshold = 0.8,
-        pathPrefix = Some(Tables.scratchDir(s, tp).toString),
-        maxPrefixPosting = 200)
-      // stage frames are EAGER localCheckpoints, not persists: each
-      // stage's plan embeds every upstream stage's full tree through
-      // the persisted subplans, and the nesting multiplies — the
-      // persist version's final flag-join plan string was 7.9 MB
-      // (millions of plan nodes; driver analysis dominated the query,
-      // the q_theilsen rule). A checkpoint cuts the plan to a leaf at
-      // the same materialization cost the eager count already paid.
-      val gated =
-        batch.filter(graft.ops.Corpus.qualityPass(col("text")))
-          .localCheckpoint()
+      // production, here inside the query (rerun-safe via overwrite).
+      // The two builds and the batch gate are INDEPENDENT — overlap
+      // them (guide §2.6); `gated` is published by the happens-before
+      // of the concurrently() join.
+      var gated0: DataFrame = null
+      graft.ops.ScaleOps.concurrently(
+        () => graft.ops.Corpus.writeCorpusFingerprints(corpus, "text",
+          fpT, buckets = 8,
+          path = Some(Tables.scratchDir(s, fpT).toString)),
+        () => TextDedup.writePrefixIndex(corpus, "doc_id", "text", tp,
+          buckets = 8, shingleN = 3, threshold = 0.8,
+          pathPrefix = Some(Tables.scratchDir(s, tp).toString),
+          maxPrefixPosting = 200),
+        // stage frames are EAGER localCheckpoints, not persists: each
+        // stage's plan embeds every upstream stage's full tree through
+        // the persisted subplans, and the nesting multiplies — the
+        // persist version's final flag-join plan string was 7.9 MB
+        // (millions of plan nodes; driver analysis dominated the
+        // query, the q_theilsen rule). A checkpoint cuts the plan to a
+        // leaf at the same materialization cost the eager count paid.
+        () => gated0 =
+          batch.filter(graft.ops.Corpus.qualityPass(col("text")))
+            .localCheckpoint())
+      val gated = gated0
       val exactKeep =
         gated.join(
           graft.ops.Corpus.incrementalDedupBucketed(s, fpT, gated,
@@ -409,12 +416,16 @@ object TextQueries {
       val app = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
       val fpT = s"graft_n2_fp_$app"
       val tp = s"graft_n2_ppj_$app"
-      graft.ops.Corpus.writeCorpusFingerprints(corpus, "text", fpT,
-        buckets = 8, path = Some(Tables.scratchDir(s, fpT).toString))
-      TextDedup.writePrefixIndex(corpus, "doc_id", "text", tp,
-        buckets = 8, shingleN = 3, threshold = 0.8,
-        pathPrefix = Some(Tables.scratchDir(s, tp).toString),
-        maxPrefixPosting = 400)
+      // the two standing-side builds are independent — overlap them
+      // (guide §2.6)
+      graft.ops.ScaleOps.concurrently(
+        () => graft.ops.Corpus.writeCorpusFingerprints(corpus, "text",
+          fpT, buckets = 8,
+          path = Some(Tables.scratchDir(s, fpT).toString)),
+        () => TextDedup.writePrefixIndex(corpus, "doc_id", "text", tp,
+          buckets = 8, shingleN = 3, threshold = 0.8,
+          pathPrefix = Some(Tables.scratchDir(s, tp).toString),
+          maxPrefixPosting = 400))
       // one night's staged decision (the q_pipeline_nightly stages) —
       // returns (flags, accepted docs); the standing tables are
       // whatever fpT/tp hold when the night runs
@@ -472,10 +483,13 @@ object TextQueries {
       // checkpoint leaf, which the appends below cannot invalidate,
       // and the flag frame reads only those leaves + the batch scan.
       val (f1, acc1) = night(b1)
-      graft.ops.Corpus.appendCorpusFingerprints(acc1, "text", fpT,
-        buckets = 8)
-      TextDedup.appendPrefixIndex(s, tp, acc1, "doc_id", "text",
-        buckets = 8, shingleN = 3, threshold = 0.8)
+      // the two appends target independent tables and read only the
+      // checkpointed acc1 leaf — overlap them (guide §2.6)
+      graft.ops.ScaleOps.concurrently(
+        () => graft.ops.Corpus.appendCorpusFingerprints(acc1, "text",
+          fpT, buckets = 8),
+        () => TextDedup.appendPrefixIndex(s, tp, acc1, "doc_id", "text",
+          buckets = 8, shingleN = 3, threshold = 0.8))
       val (f2, _) = night(b2)
       f1.withColumn("night", lit(1))
         .unionAll(f2.withColumn("night", lit(2)))
@@ -501,19 +515,25 @@ object TextQueries {
       val app = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
       val fpT = s"graft_nightc_fp_$app"
       val tp = s"graft_nightc_cos_$app"
-      graft.ops.Corpus.writeCorpusFingerprints(corpus, "text", fpT,
-        buckets = 8, path = Some(Tables.scratchDir(s, fpT).toString))
-      graft.ops.CosineAllPairs.writeIndex(corpus, "doc_id", "text", tp,
-        buckets = 8, shingleN = 3, threshold = 0.8,
-        pathPrefix = Some(Tables.scratchDir(s, tp).toString),
-        maxPrefixPosting = 200)
-      // stage frames are EAGER localCheckpoints, not persists (the
-      // q_pipeline_nightly rule): the persist version's flag-join
-      // plan string was 55.9 MB of nested cached subtrees — driver
-      // plan analysis, not execution, dominated the query.
-      val gated =
-        batch.filter(graft.ops.Corpus.qualityPass(col("text")))
-          .localCheckpoint()
+      // the two standing-side builds and the batch gate are
+      // INDEPENDENT — overlap them (guide §2.6); stage frames are
+      // EAGER localCheckpoints, not persists (the q_pipeline_nightly
+      // rule): the persist version's flag-join plan string was
+      // 55.9 MB of nested cached subtrees — driver plan analysis, not
+      // execution, dominated the query.
+      var gated0: DataFrame = null
+      graft.ops.ScaleOps.concurrently(
+        () => graft.ops.Corpus.writeCorpusFingerprints(corpus, "text",
+          fpT, buckets = 8,
+          path = Some(Tables.scratchDir(s, fpT).toString)),
+        () => graft.ops.CosineAllPairs.writeIndex(corpus, "doc_id",
+          "text", tp, buckets = 8, shingleN = 3, threshold = 0.8,
+          pathPrefix = Some(Tables.scratchDir(s, tp).toString),
+          maxPrefixPosting = 200),
+        () => gated0 =
+          batch.filter(graft.ops.Corpus.qualityPass(col("text")))
+            .localCheckpoint())
+      val gated = gated0
       val exactKeep =
         gated.join(
           graft.ops.Corpus.incrementalDedupBucketed(s, fpT, gated,

@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 import graft.{GraftSession, SparkEntry, Tables}
@@ -31,6 +31,7 @@ object PerfProbe {
       catch { case _: Throwable => () }
     }
     final case class St(id: Int, nm: String, wallMs: Long, taskMs: Long,
+        gcMs: Long,
         shufWriteMB: Double, shufReadMB: Double, spillMB: Double, tasks: Int)
     // the bus delivers events asynchronously and the buffer is
     // appended from the bus thread: synchronize the append, and drain
@@ -39,7 +40,19 @@ object PerfProbe {
     // still be queued when the report prints, and the missing wall
     // time is misread as driver/scheduling overhead
     val stages = scala.collection.mutable.ArrayBuffer.empty[St]
+    // stage id -> the spawning job's call site (the op-level line that
+    // triggered the action) — the stage's own name is usually an AQE
+    // thread-pool frame, useless for attribution
+    val stageJob = scala.collection.mutable.HashMap.empty[Int, String]
     val listener = new SparkListener {
+      override def onJobStart(e: SparkListenerJobStart): Unit = {
+        val site = Option(e.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short")))
+          .getOrElse("")
+        stages.synchronized {
+          e.stageIds.foreach(id => stageJob(id) = site)
+        }
+      }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         val i = e.stageInfo
         val wall = (for {
@@ -47,8 +60,11 @@ object PerfProbe {
         } yield a - b).getOrElse(-1L)
         val m = i.taskMetrics
         stages.synchronized {
-          stages += St(i.stageId, i.name.takeWhile(_ != '\n').take(60), wall,
-            m.executorRunTime,
+          val jb = stageJob.getOrElse(i.stageId, "")
+          val nm0 = i.name.takeWhile(_ != '\n').take(60)
+          val nm = if (jb.nonEmpty) s"$jb | $nm0" else nm0
+          stages += St(i.stageId, nm, wall,
+            m.executorRunTime, m.jvmGCTime,
             m.shuffleWriteMetrics.bytesWritten / 1e6,
             m.shuffleReadMetrics.totalBytesRead / 1e6,
             (m.memoryBytesSpilled + m.diskBytesSpilled) / 1e6,
@@ -79,10 +95,11 @@ object PerfProbe {
     println(f"== $name measured pass: $dt%.2f s, ${snap.size} stages ==")
     val wallSum = snap.map(_.wallMs).sum / 1e3
     println(f"stage wall sum: $wallSum%.2f s (gap to pass time = driver/scheduling)")
+    println(f"task CPU sum: ${snap.map(_.taskMs).sum / 1e3}%.1f s, GC sum: ${snap.map(_.gcMs).sum / 1e3}%.1f s")
     snap.sortBy(-_.wallMs).take(25).foreach { s =>
       println(f"stage ${s.id}%4d wall=${s.wallMs / 1e3}%6.2fs task=${s.taskMs / 1e3}%7.2fs " +
-        f"tasks=${s.tasks}%3d sw=${s.shufWriteMB}%8.1fMB sr=${s.shufReadMB}%8.1fMB " +
-        f"spill=${s.spillMB}%6.1fMB  ${s.nm}")
+        f"gc=${s.gcMs / 1e3}%6.2fs tasks=${s.tasks}%3d sw=${s.shufWriteMB}%8.1fMB " +
+        f"sr=${s.shufReadMB}%8.1fMB spill=${s.spillMB}%6.1fMB  ${s.nm}")
     }
     spark.stop()
   }

@@ -1030,11 +1030,29 @@ class TextDedupSpec extends AnyFunSuite {
         val prunedScan = TextDedup.prefixJaccardAgainstIndexed(spark, tp,
           batchDf, "doc_id", "text", shingleN = 3, threshold = 0.5)
         prunedScan.collect()
-        val scans = prunedScan.queryExecution.executedPlan.collect {
-          case f: org.apache.spark.sql.execution.FileSourceScanExec
-              if f.toString.contains(s"${tp}_pref") => f
-        }
-        assert(scans.nonEmpty, "no _pref scan found in the plan")
+        // the candidate frame is op-internally persisted, so the
+        // corpus scans hide behind InMemoryTableScan leaves — recurse
+        // relation.cachedPlan (the WindowAudit rule)
+        def fileScans(p: org.apache.spark.sql.execution.SparkPlan,
+            tag: String): Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+          p.collect {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec
+                if f.toString.contains(tag) => Seq(f)
+            case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+              fileScans(m.relation.cachedPlan, tag)
+            // a cache built by an earlier AQE-on call wraps its plan
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              fileScans(a.executedPlan, tag)
+            // AQE stages are leaves hiding their subtrees (CLAUDE.md)
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              fileScans(q.plan, tag)
+            case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+              fileScans(r.child, tag)
+          }.flatten
+        val scans =
+          fileScans(prunedScan.queryExecution.executedPlan, s"${tp}_pref")
+        assert(scans.nonEmpty, "no _pref scan found in the plan\n" +
+          prunedScan.queryExecution.executedPlan.treeString.take(8000))
         assert(scans.forall(_.toString.contains("__shard")),
           "scan carries no __shard partition filter:\n" + scans.head)
         val read = scans.map(_.metrics("numFiles").value).max
@@ -1044,10 +1062,8 @@ class TextDedupSpec extends AnyFunSuite {
         // candidate ids' shard set are never read (one candidate ->
         // one id shard of 16)
         val allSh = spark.table(s"${tp}_sh").inputFiles.length
-        val shScans = prunedScan.queryExecution.executedPlan.collect {
-          case f: org.apache.spark.sql.execution.FileSourceScanExec
-              if f.toString.contains(s"${tp}_sh") => f
-        }
+        val shScans =
+          fileScans(prunedScan.queryExecution.executedPlan, s"${tp}_sh")
         assert(shScans.nonEmpty, "no _sh scan found in the plan")
         val readSh = shScans.map(_.metrics("numFiles").value).max
         assert(readSh > 0 && readSh < allSh,
