@@ -351,7 +351,8 @@ object TextDedup {
       sh: DataFrame,
       idCol: String,
       cand: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      handle: CacheHandle = null): DataFrame = {
     val inter =
       if (cand == null)
         sh.as("x")
@@ -361,13 +362,27 @@ object TextDedup {
           .groupBy(col(s"x.$idCol"), col(s"y.$idCol"))
           .agg(count(lit(1)).as("inter"))
           .toDF("a", "b", "inter")
-      else
-        cand
+      else {
+        // PERSIST the candidate frame: the verify joins' broadcast
+        // builds otherwise each re-run the whole bucket self-join
+        // fan-out (the prefixCandidateVerify rule); the count is the
+        // eager materializer. Callers that already persisted their
+        // candidate frame (q_dedup_precision) are left alone.
+        val candP =
+          if (cand.storageLevel !=
+              org.apache.spark.storage.StorageLevel.NONE) cand
+          else {
+            val c = CacheHandle.persistWith(handle, cand)
+            c.count()
+            c
+          }
+        candP
           .join(sh.as("sa"), col("a") === col(s"sa.$idCol"))
           .join(sh.as("sb"),
             col("b") === col(s"sb.$idCol") &&
               col("sa.shingle") === col("sb.shingle"))
           .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      }
     val sz = sh.groupBy(idCol).agg(count(lit(1)).as("n"))
     inter
       .join(sz.as("za"), col("a") === col(s"za.$idCol"))
@@ -425,7 +440,7 @@ object TextDedup {
     // then hits memory.
     bandsDf.count()
     verifiedJaccard(sh, idCol,
-      lshCandidates(bandsDf, idCol, maxBucket), threshold)
+      lshCandidates(bandsDf, idCol, maxBucket), threshold, handle)
   }
 
   /** Exact repeated-substring removal planning — the ExactSubstr
