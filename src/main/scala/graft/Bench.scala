@@ -16,6 +16,23 @@ object Bench {
       } }
       .sortBy { case (_, v, b) => b - v }
 
+  /** Full-map delta counts vs the committed baseline:
+    * (common, faster, within10pct, slower) with faster = <0.9× its
+    * baseline, slower = >1.1×. The round-over-round PERF comparison
+    * reads the stdout tail, whose slowest-window ROTATES as queries
+    * speed up — r18 manufactured 28 phantom "dropped" rows that way.
+    * One line judging the WHOLE map makes rotation impossible to
+    * misread as coverage loss. Pure for unit-testing the boundaries.
+    */
+  def deltaCounts(results: Iterable[(String, Double)],
+      base: Map[String, Double]): (Int, Int, Int, Int) = {
+    val ratios = results.toSeq
+      .flatMap { case (k, v) => base.get(k).map(v / _) }
+    val faster = ratios.count(_ < 0.9)
+    val slower = ratios.count(_ > 1.1)
+    (ratios.size, faster, ratios.size - faster - slower, slower)
+  }
+
   /** Contention-guard fold: re-time each flagged row once (the least-
     * contended observation of the run), keep the min IN the reported
     * map, and judge the tripwire on the SAME folded values — so the
@@ -368,6 +385,15 @@ object Bench {
           "not found; regression gate OFF\"}"
         extraLineBytes += line.length + 1
         println(line)
+    }
+    // whole-map delta vs the committed baseline (deltaCounts doc):
+    // the slowest-window below rotates; this line says what happened
+    // to EVERY common query so rotation can't read as coverage loss
+    baseOpt.foreach { b =>
+      val (common, faster, within, slower) = deltaCounts(results, b)
+      val line = s"""{"delta_full":{"common":$common,"new":${results.size - common},"faster":$faster,"within10pct":$within,"slower":$slower}}"""
+      extraLineBytes += line.length + 1
+      println(line)
     }
     // the report line gets what the earlier structured lines left of
     // the shared window (floor keeps the slowest entries visible even

@@ -22,34 +22,48 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+  /** Scale-dependent AQE knobs, env-overridable (SPARK_GRAFT_AQE_*)
+    * so a cluster deployment — or a local bisect — can flip them
+    * without a rebuild. Defaults are the measured local/bench choice;
+    * see OPTIMIZATION_r19.md for the per-flag evidence.
+    */
+  private def envOr(name: String, default: String): String =
+    sys.env.getOrElse(name, default)
+
+  def configure(b: SparkSession.Builder): SparkSession.Builder = {
+    val base = b
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-    // size post-shuffle partitions by BYTES (advisoryPartitionSize),
-    // not by the session's parallelism: with the default
-    // parallelismFirst=true AQE keeps tiny shuffles at full width and
-    // every stage over a small frame pays (width × per-task fixed
-    // cost) for kilobytes of data — measured 219 s of task CPU across
-    // 78 stages on a 600 KB corpus (q_cosine_incr_idx, sf0.1). Bytes-
-    // based sizing is scale-ADAPTIVE: big inputs still get wide
-    // stages, small ones collapse; Spark's own docs recommend
-    // disabling parallelismFirst in production. Explicit repartitions
-    // (globalRowNumber's range shape) are never AQE-coalesced, so
-    // partition-id-dependent logic is unaffected.
+    // bytes-based AQE partition sizing (parallelismFirst=false +
+    // canChangeCachedPlanOutputPartitioning) is QUERY-scoped, not
+    // session-wide: r18 set both flags here and ~12 untouched
+    // pair-mining/stat queries serialized 1.5–2.8× — byte-based
+    // sizing ignores CPU density, and a byte-small frame feeding
+    // pair-mining / explode compute collapses to ~1 partition (the
+    // r19 bisect: full-revert 151.3 s vs flags-on 194.4 s over the
+    // affected 22-query set, idle host, both core counts). The
+    // cache-heavy index/pipeline queries that DO win from bytes-based
+    // sizing opt in per query via ScaleOps.byteSizedAqe (restored by
+    // the harness's per-query releaseAll). Session defaults stay
+    // Spark's (parallelismFirst=true, cached-plan AQE off),
+    // env-overridable for cluster deployments where the advisory
+    // size, not local core count, should size every exchange.
     .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-      "false")
-    // let PERSISTED plans apply AQE too (off by default): the ops
-    // persist their shared frames, and with this off every cache
-    // materializes at the raw shuffle width and every one of its many
-    // scans pays that width in tasks — the per-task fixed cost above,
-    // multiplied by each cache's consumer count
+      envOr("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"))
     .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-      "true")
+      envOr("SPARK_GRAFT_AQE_CACHED_PLAN", "false"))
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.ui.enabled", "false")
+    // optional floor on AQE's coalesced width (unset = Spark default):
+    // byte-based sizing ignores CPU density, and a byte-SMALL frame
+    // feeding pair-mining / explode compute serializes without a floor
+    sys.env.get("SPARK_GRAFT_AQE_MIN_PARTITIONS").filter(_.nonEmpty)
+      .fold(base)(v => base.config(
+        "spark.sql.adaptive.coalescePartitions.minPartitionNum", v))
+  }
 
   /** Local session for tests/tools. `cpus` threads, shuffle partitions
     * sized to match (not the 200 default, which just fragments local

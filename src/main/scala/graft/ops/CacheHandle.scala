@@ -68,6 +68,10 @@ object CacheHandle {
 object QueryCaches {
   private val handles =
     scala.collection.mutable.ArrayBuffer.empty[CacheHandle]
+  // (session, key, value-before-the-query-set-it) — restored LIFO by
+  // releaseAll, same lifecycle as the cache ledger
+  private val confRestores = scala.collection.mutable.ArrayBuffer
+    .empty[(org.apache.spark.sql.SparkSession, String, Option[String])]
 
   private def fresh(): CacheHandle = synchronized {
     val h = new CacheHandle
@@ -81,11 +85,62 @@ object QueryCaches {
   /** Persist `df` under the ledger (chainable via `.transform`). */
   def persist(df: DataFrame): DataFrame = fresh().persist(df)
 
-  /** Unpersist every ledger-tracked cache. Call after the current
-    * query's result has been materialized.
+  // checkpoint RDDs whose blocks releaseAll must drop: a
+  // localCheckpoint's blocks are otherwise released only when the
+  // RDD is GC'd via ContextCleaner — nondeterministic across a
+  // 357-query Verify/Bench JVM
+  private val checkpointRdds =
+    scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
+
+  /** `df.localCheckpoint(eager)` with DETERMINISTIC cleanup: the
+    * checkpoint's backing RDD is unpersisted by [[releaseAll]] like
+    * any ledger cache. A checkpoint cuts lineage, so — unlike a
+    * released persist — a plan over it CANNOT recompute after
+    * release; callers are the declared queries, whose results the
+    * harness fully materializes before its per-query releaseAll.
+    */
+  def localCheckpoint(df: DataFrame, eager: Boolean = true): DataFrame = {
+    val out = df.localCheckpoint(eager)
+    org.apache.spark.sql.graftshim.Bridge.checkpointRdd(out).foreach { r =>
+      synchronized { checkpointRdds += r }
+    }
+    out
+  }
+
+  /** Set session SQL confs for the DURATION of the current query.
+    *
+    * A declared query is a `(session, dir) => DataFrame` function:
+    * its result executes AFTER the closure returns (the harness's
+    * noop/parquet action), so a query that needs a conf during its
+    * own execution cannot set-and-restore it inline — the restore
+    * would run before the action. Registering here keeps the conf
+    * live until the harness's per-query [[releaseAll]], which
+    * restores the pre-query value (or unsets a key that had none) in
+    * reverse registration order. Same leak contract as the cache
+    * ledger: callers that never releaseAll keep the conf, bounded to
+    * their own session.
+    */
+  def withQueryConf(
+      spark: org.apache.spark.sql.SparkSession,
+      kvs: (String, String)*): Unit = synchronized {
+    kvs.foreach { case (k, v) =>
+      confRestores += ((spark, k, spark.conf.getOption(k)))
+      spark.conf.set(k, v)
+    }
+  }
+
+  /** Unpersist every ledger-tracked cache and restore every
+    * query-scoped conf. Call after the current query's result has
+    * been materialized.
     */
   def releaseAll(): Unit = synchronized {
     handles.foreach(_.release())
     handles.clear()
+    checkpointRdds.foreach(_.unpersist(blocking = false))
+    checkpointRdds.clear()
+    confRestores.reverseIterator.foreach { case (s, k, old) =>
+      old.fold(s.conf.unset(k))(v => s.conf.set(k, v))
+    }
+    confRestores.clear()
   }
 }

@@ -26,6 +26,42 @@ object ScaleOps {
       .getOrElse(s.sparkContext.defaultParallelism)
   }
 
+  /** Opt the CURRENT query into bytes-based AQE partition sizing —
+    * query-scoped (restored by the harness's per-query
+    * [[QueryCaches.releaseAll]]), NOT session-wide.
+    *
+    * The cache-heavy index/pipeline queries (cosine/PPJoin standing
+    * indexes, the nightly compositions) materialize many byte-small
+    * persisted frames that dozens of downstream stages re-scan; at the
+    * session's full shuffle width each scan pays (width × per-task
+    * fixed cost) for kilobytes of data — measured 219 s of task CPU
+    * across 78 stages on a 600 KB corpus (q_cosine_incr_idx, sf0.1).
+    * `parallelismFirst=false` sizes post-shuffle partitions by
+    * advisory bytes and `canChangeCachedPlanOutputPartitioning` lets
+    * persisted plans coalesce too.
+    *
+    * Session-wide these flags are a measured hazard, which is why this
+    * is per-query: byte-based sizing ignores CPU density, and a
+    * byte-small frame feeding pair-mining / explode / self-join
+    * compute serializes (r18 shipped them session-wide and ~12
+    * untouched pair-mining and stat queries regressed 1.5–2.8× at
+    * BOTH 8 and 32 cores; the r19 4-config bisect reproduced it clean:
+    * full-revert 151.3 s vs flags-on 194.4 s on the 22-query set).
+    * The floor bounds the residual hazard INSIDE the opted-in queries:
+    * their own dense stages (candidate fan-outs) keep at least
+    * max(2, defaultParallelism/4) slots — the bisect's floor-8 config
+    * beat the unfloored flags on every opted-in query (nightly_cos
+    * 16.5 vs 24.3 s, cosine_incr_append 10.7 vs 13.5 s).
+    */
+  def byteSizedAqe(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val floor = math.max(2, spark.sparkContext.defaultParallelism / 4)
+    QueryCaches.withQueryConf(spark,
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+      "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning" -> "true",
+      "spark.sql.adaptive.coalescePartitions.minPartitionNum" ->
+        floor.toString)
+  }
+
   /** Run INDEPENDENT Spark actions concurrently from driver threads —
     * the guide-§2.6 overlap: actions are only sequential because the
     * driver calls them sequentially, so a batch of writes/audits whose
@@ -50,17 +86,39 @@ object ScaleOps {
           override def call(): Unit = a()
         })
       }
+      // await EVERY future before leaving, whatever each get() throws
+      // (an InterruptedException escaping mid-loop would abandon
+      // sibling writes still in flight); later failures ride along as
+      // suppressed so none is silently dropped
       var firstFailure: Throwable = null
+      var interrupted = false
+      def record(t: Throwable): Unit =
+        if (firstFailure == null) firstFailure = t
+        else if (firstFailure ne t) firstFailure.addSuppressed(t)
       futs.foreach { f =>
-        try f.get()
-        catch {
-          case e: java.util.concurrent.ExecutionException
-              if e.getCause != null =>
-            if (firstFailure == null) firstFailure = e.getCause
+        var done = false
+        while (!done) {
+          try { f.get(); done = true }
+          catch {
+            case e: java.util.concurrent.ExecutionException
+                if e.getCause != null => record(e.getCause); done = true
+            case e: InterruptedException =>
+              // get() cleared the interrupt flag — keep waiting for
+              // this write (re-loop), re-assert the flag only after
+              // every future has been reaped
+              record(e); interrupted = true
+            case t: Throwable => record(t); done = true
+          }
         }
       }
+      if (interrupted) Thread.currentThread().interrupt()
       if (firstFailure != null) throw firstFailure
-    } finally pool.shutdown()
+    } finally {
+      pool.shutdown()
+      // every future was already awaited above; this only reaps the
+      // worker threads and never blocks on work
+      pool.awaitTermination(1, java.util.concurrent.TimeUnit.MINUTES)
+    }
   }
 
   /** Salted equi-join for skewed keys.

@@ -362,27 +362,23 @@ object TextDedup {
           .groupBy(col(s"x.$idCol"), col(s"y.$idCol"))
           .agg(count(lit(1)).as("inter"))
           .toDF("a", "b", "inter")
-      else {
-        // PERSIST the candidate frame: the verify joins' broadcast
-        // builds otherwise each re-run the whole bucket self-join
-        // fan-out (the prefixCandidateVerify rule); the count is the
-        // eager materializer. Callers that already persisted their
-        // candidate frame (q_dedup_precision) are left alone.
-        val candP =
-          if (cand.storageLevel !=
-              org.apache.spark.storage.StorageLevel.NONE) cand
-          else {
-            val c = CacheHandle.persistWith(handle, cand)
-            c.count()
-            c
-          }
-        candP
+      else
+        // NOT persisted here: the candidate frame has exactly ONE
+        // consumer (this intersection chain), and its joins against
+        // corpus-sized `sh` are sort-merge — no broadcast build ever
+        // re-runs the bucket self-join, so the prefixCandidateVerify
+        // rule does not apply. An unconditional eager persist+count
+        // here (r18 snapshot commit) added a full extra candidate
+        // fan-out pass and tripled q_dedup_minhash_16x (11.8 → 36.7 s
+        // at 8c). Callers whose candidate frame genuinely feeds more
+        // than one action (q_dedup_precision's n_cand arm) persist it
+        // THEMSELVES before calling.
+        cand
           .join(sh.as("sa"), col("a") === col(s"sa.$idCol"))
           .join(sh.as("sb"),
             col("b") === col(s"sb.$idCol") &&
               col("sa.shingle") === col("sb.shingle"))
           .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-      }
     val sz = sh.groupBy(idCol).agg(count(lit(1)).as("n"))
     inter
       .join(sz.as("za"), col("a") === col(s"za.$idCol"))

@@ -207,10 +207,16 @@ object TextQueries {
     // the audit fails loudly — worst posting named — if a degenerate
     // corpus ever concentrates one (measured sf0.1 worst: 8; the
     // lossy capped twin is prefixJaccardPairsCapped).
-    "q_prefix_jaccard" -> ((s, dir) =>
+    "q_prefix_jaccard" -> ((s, dir) => {
+      // query-scoped bytes-based AQE sizing (ScaleOps.byteSizedAqe
+      // doc): this family's many byte-small persisted frames each
+      // feed dozens of cheap stages — width × fixed task cost
+      // dominates at full session width
+      graft.ops.ScaleOps.byteSizedAqe(s)
       TextDedup.prefixJaccardPairs(docs(s, dir), "doc_id", "text",
         shingleN = 3, threshold = 0.8, maxPrefixPosting = 200)
-        .orderBy("a", "b")),
+        .orderBy("a", "b")
+    }),
 
     // The lossy production twin, driver-gated the GateScale.uncapped
     // way: at gate scale the cap provably drops nothing (REQUIRED by
@@ -225,6 +231,7 @@ object TextQueries {
     // a doc_id slice would be structurally empty at sf0.1, where dup
     // partners scatter across the whole id range).
     "q_prefix_jaccard_capped" -> ((s, dir) => {
+      graft.ops.ScaleOps.byteSizedAqe(s) // query-scoped bytes-based AQE
       val (pairs, over) = TextDedup.prefixJaccardPairsCapped(
         docs(s, dir), "doc_id", "text",
         shingleN = 3, threshold = 0.9, maxPrefixPosting = 200)
@@ -251,6 +258,7 @@ object TextQueries {
     // prefix rule lossless too. Runs the family's hot-posting audit
     // at the same gate bound as q_prefix_jaccard.
     "q_prefix_jaccard_incr" -> ((s, dir) => {
+      graft.ops.ScaleOps.byteSizedAqe(s) // query-scoped bytes-based AQE
       val d = docs(s, dir)
       TextDedup.prefixJaccardAgainst(
         d.filter(col("doc_id") < 250), d.filter(col("doc_id") >= 250),
@@ -274,6 +282,7 @@ object TextQueries {
     // corpus-wide). Same slices and gate-scale audit bound as
     // q_prefix_jaccard_incr.
     "q_prefix_jaccard_incr_idx" -> ((s, dir) => {
+      graft.ops.ScaleOps.byteSizedAqe(s) // query-scoped bytes-based AQE
       val d = docs(s, dir)
       val app = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
       val tp = s"graft_ppjidx_$app"
@@ -298,6 +307,7 @@ object TextQueries {
     // appeared in the rank table). writePrefixIndex's overwrite mode
     // makes the query rerun-safe in one JVM (Bench runs it twice).
     "q_prefix_jaccard_incr_append" -> ((s, dir) => {
+      graft.ops.ScaleOps.byteSizedAqe(s) // query-scoped bytes-based AQE
       val d = docs(s, dir)
       val app = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
       val tp = s"graft_ppjapp_$app"
@@ -329,6 +339,7 @@ object TextQueries {
     // surface at all (pair thresholds compare raw quotients on both
     // engines, the incr-oracle idiom).
     "q_pipeline_nightly" -> ((s, dir) => {
+      graft.ops.ScaleOps.byteSizedAqe(s) // query-scoped bytes-based AQE
       val d = docs(s, dir)
       val corpus = d.filter(col("doc_id") < 250)
       val batch = d.filter(col("doc_id") >= 250)
@@ -358,14 +369,14 @@ object TextQueries {
         // leaf at the same materialization cost the eager count paid.
         () => gated0 =
           batch.filter(graft.ops.Corpus.qualityPass(col("text")))
-            .localCheckpoint())
+            .transform(graft.ops.QueryCaches.localCheckpoint(_)))
       val gated = gated0
       val exactKeep =
         gated.join(
           graft.ops.Corpus.incrementalDedupBucketed(s, fpT, gated,
             "doc_id", "text").select(col("keep_id").as("doc_id")),
           Seq("doc_id"), "left_semi")
-          .localCheckpoint()
+          .transform(graft.ops.QueryCaches.localCheckpoint(_))
       val crossClean =
         exactKeep.join(
           TextDedup.prefixJaccardAgainstIndexed(s, tp, exactKeep,
@@ -373,7 +384,7 @@ object TextQueries {
             maxPrefixPosting = 200)
             .select(col("a").as("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
-          .localCheckpoint()
+          .transform(graft.ops.QueryCaches.localCheckpoint(_))
       val accepted = crossClean.join(
         TextDedup.prefixJaccardPairs(crossClean, "doc_id", "text",
           shingleN = 3, threshold = 0.8, maxPrefixPosting = 200)
@@ -409,6 +420,7 @@ object TextQueries {
     // legitimately grow touched corpus postings — exactly the drift
     // the reader's touched-posting audit measures.
     "q_pipeline_nightly2" -> ((s, dir) => {
+      graft.ops.ScaleOps.byteSizedAqe(s) // query-scoped bytes-based AQE
       val d = docs(s, dir)
       val corpus = d.filter(col("doc_id") < 250)
       val b1 = d.filter(col("doc_id") >= 250 && col("doc_id") < 375)
@@ -438,13 +450,13 @@ object TextQueries {
         // (RDD-backed leaves can't be invalidated by the appends).
         val gated =
           batch.filter(graft.ops.Corpus.qualityPass(col("text")))
-            .localCheckpoint()
+            .transform(graft.ops.QueryCaches.localCheckpoint(_))
         val exactKeep =
           gated.join(
             graft.ops.Corpus.incrementalDedupBucketed(s, fpT, gated,
               "doc_id", "text").select(col("keep_id").as("doc_id")),
             Seq("doc_id"), "left_semi")
-            .localCheckpoint()
+            .transform(graft.ops.QueryCaches.localCheckpoint(_))
         val crossClean =
           exactKeep.join(
             TextDedup.prefixJaccardAgainstIndexed(s, tp, exactKeep,
@@ -452,14 +464,14 @@ object TextQueries {
               maxPrefixPosting = 400)
               .select(col("a").as("doc_id")).distinct(),
             Seq("doc_id"), "left_anti")
-            .localCheckpoint()
+            .transform(graft.ops.QueryCaches.localCheckpoint(_))
         val accepted =
           crossClean.join(
             TextDedup.prefixJaccardPairs(crossClean, "doc_id", "text",
               shingleN = 3, threshold = 0.8, maxPrefixPosting = 400)
               .select(col("b").as("doc_id")).distinct(),
             Seq("doc_id"), "left_anti")
-            .localCheckpoint()
+            .transform(graft.ops.QueryCaches.localCheckpoint(_))
         def flag(ids: DataFrame, name: String): DataFrame =
           ids.select(col("doc_id"), lit(true).as(name))
         val flags = batch.select("doc_id")
@@ -509,6 +521,7 @@ object TextQueries {
     // all-integer threshold — a hash match proves the indexed cosine
     // path composes exactly in the decision loop.
     "q_pipeline_nightly_cos" -> ((s, dir) => {
+      graft.ops.ScaleOps.byteSizedAqe(s) // query-scoped bytes-based AQE
       val d = docs(s, dir)
       val corpus = d.filter(col("doc_id") < 250)
       val batch = d.filter(col("doc_id") >= 250)
@@ -532,14 +545,14 @@ object TextQueries {
           maxPrefixPosting = 200),
         () => gated0 =
           batch.filter(graft.ops.Corpus.qualityPass(col("text")))
-            .localCheckpoint())
+            .transform(graft.ops.QueryCaches.localCheckpoint(_)))
       val gated = gated0
       val exactKeep =
         gated.join(
           graft.ops.Corpus.incrementalDedupBucketed(s, fpT, gated,
             "doc_id", "text").select(col("keep_id").as("doc_id")),
           Seq("doc_id"), "left_semi")
-          .localCheckpoint()
+          .transform(graft.ops.QueryCaches.localCheckpoint(_))
       val crossClean =
         exactKeep.join(
           graft.ops.CosineAllPairs.pairsAgainstIndexed(s, tp, exactKeep,
@@ -547,7 +560,7 @@ object TextQueries {
             maxPrefixPosting = 200)
             .select(col("a").as("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
-          .localCheckpoint()
+          .transform(graft.ops.QueryCaches.localCheckpoint(_))
       val accepted = crossClean.join(
         graft.ops.CosineAllPairs.pairs(crossClean, "doc_id", "text",
           shingleN = 3, threshold = 0.8, maxPrefixPosting = 200)
@@ -577,10 +590,12 @@ object TextQueries {
     // num² >= τ²·(na2·nb2) comparison written with the identical
     // association on both engines (no boundary-row float risk). Runs
     // the family's hot-posting audit at the shared gate bound.
-    "q_cosine_allpairs" -> ((s, dir) =>
+    "q_cosine_allpairs" -> ((s, dir) => {
+      graft.ops.ScaleOps.byteSizedAqe(s) // query-scoped bytes-based AQE
       graft.ops.CosineAllPairs.pairs(docs(s, dir), "doc_id", "text",
         shingleN = 3, threshold = 0.8, maxPrefixPosting = 200)
-        .orderBy("a", "b")),
+        .orderBy("a", "b")
+    }),
 
     // The capped (lossy) twin at a NON-tripping cap equals the exact
     // join — the q_prefix_jaccard_capped gate shape at cosine
@@ -590,6 +605,7 @@ object TextQueries {
     // (the lossy path and drop accounting are spec-pinned on planted
     // degenerate corpora in CosineAllPairsSpec).
     "q_cosine_allpairs_capped" -> ((s, dir) => {
+      graft.ops.ScaleOps.byteSizedAqe(s) // query-scoped bytes-based AQE
       val (pairs, over) = graft.ops.CosineAllPairs.pairsCapped(
         docs(s, dir), "doc_id", "text",
         shingleN = 3, threshold = 0.9, maxPrefixPosting = 200,
@@ -619,6 +635,7 @@ object TextQueries {
     // (both factors: postings counted across corpus+batch) at the
     // shared gate bound.
     "q_cosine_incr" -> ((s, dir) => {
+      graft.ops.ScaleOps.byteSizedAqe(s) // query-scoped bytes-based AQE
       val d = docs(s, dir)
       graft.ops.CosineAllPairs.pairsAgainst(
         d.filter(col("doc_id") < 250), d.filter(col("doc_id") >= 250),
@@ -638,6 +655,7 @@ object TextQueries {
     // (freeze-and-compensate — lossless either way, proven by the
     // SAME full-posting ground-truth oracle as q_cosine_incr).
     "q_cosine_incr_idx" -> ((s, dir) => {
+      graft.ops.ScaleOps.byteSizedAqe(s) // query-scoped bytes-based AQE
       val d = docs(s, dir)
       val app = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
       val tp = s"graft_cosidx_$app"
@@ -660,6 +678,7 @@ object TextQueries {
     // oracle as q_cosine_incr — a hash match proves appended docs
     // participate exactly through the freeze-and-compensate path.
     "q_cosine_incr_append" -> ((s, dir) => {
+      graft.ops.ScaleOps.byteSizedAqe(s) // query-scoped bytes-based AQE
       val d = docs(s, dir)
       val app = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
       val tp = s"graft_cosapp_$app"

@@ -26,6 +26,19 @@ object Bridge {
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
       .queryExecution.analyzed
 
+  /** The backing RDD of a (local)checkpointed Dataset — the object
+    * whose block-manager storage a deterministic cleanup must
+    * unpersist (`private[sql]` LogicalRDD field). None when the plan
+    * is not an RDD leaf (not a checkpoint result).
+    */
+  def checkpointRdd(df: org.apache.spark.sql.Dataset[_])
+      : Option[org.apache.spark.rdd.RDD[_]] =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
+
   /** Block until the listener bus has delivered every queued event —
     * `private[spark]`, needed by tooling (PerfProbe, WindowAudit) that
     * reads listener-collected metrics right after an action: without

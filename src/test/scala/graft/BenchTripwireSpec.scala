@@ -66,4 +66,19 @@ class BenchTripwireSpec extends AnyFunSuite {
       (_: String) => fail("retimed an unflagged row"))
     assert(f2 == Map("q_b" -> 0.5) && r2.isEmpty)
   }
+
+  test("deltaCounts: whole-map classification with 10% boundaries") {
+    // r18's PERF comparison read the stdout slowest-window and
+    // manufactured 28 phantom "dropped" rows; the delta_full line
+    // classifies EVERY common query. Boundaries: exactly 0.9× and
+    // exactly 1.1× count as within (strict < / >).
+    val b = Map("q_a" -> 1.0, "q_b" -> 1.0, "q_c" -> 1.0, "q_d" -> 2.0)
+    val (common, faster, within, slower) = Bench.deltaCounts(
+      Seq("q_a" -> 0.89, "q_b" -> 0.9, "q_c" -> 1.11, "q_d" -> 2.2,
+        "q_new" -> 5.0), b)
+    assert(common == 4) // q_new has no baseline
+    assert(faster == 1) // q_a (0.89); q_b sits exactly ON 0.9 → within
+    assert(within == 2) // q_b, and q_d (2.2/2.0 is exactly double 1.1)
+    assert(slower == 1) // q_c (1.11 > 1.1)
+  }
 }
