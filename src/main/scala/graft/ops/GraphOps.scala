@@ -351,6 +351,29 @@ object GraphOps {
     * the weighted variants. The weight join is inner — keys absent
     * from `keyWeights` (degree-1 keys, which produce no pairs anyway)
     * are pruned; corpus-derived, so no broadcast hint.
+    *
+    * Join strategy (guide §3.1, deliberate): SHUFFLED-HASH, hinted on
+    * the build side. What the planner picks unhinted is wrong at BOTH
+    * scales: at gate scale the static estimate of the capped relation
+    * sits under autoBroadcastJoinThreshold and the fold plans as an
+    * auto-BROADCAST of a corpus-derived frame — one monolithic |rel|
+    * hash relation probed by every task (and the exact
+    * estimate-driven-broadcast-of-a-corpus-frame hazard §3.1 warns
+    * about: at 100 TB a post-filter mis-estimate like this is a
+    * driver OOM); past the threshold it plans sort-merge, the worst
+    * case for a maximally-duplicate-key self-join (every equal-key
+    * run re-buffered and re-walked). SHJ partitions the build —
+    * each task builds |rel|/width rows (cache-resident at gate
+    * scale) and the deg² fan-out is pure probe output; measured on
+    * the 7-query fold family at sf0.1: 26.5 → 20.5 s (q_adamic_adar
+    * 5.10 → 3.29; plan diff BroadcastHashJoin/SortMergeJoin →
+    * ShuffledHashJoin in plans/r19). Memory contract for the forced
+    * hint: per-partition build is |rel|/width 2-column rows (a
+    * production deployment sizes width/shuffle.partitions to its
+    * data, the normal SHJ bet), and no single key can concentrate a
+    * partition past maxKeyDegree rows × keys/partition (capBuckets
+    * bounds the per-key row count). AQE skew-join splitting applies
+    * to shuffled-hash joins too.
     */
   private def pairFold(
       capped0: DataFrame,
@@ -364,7 +387,8 @@ object GraphOps {
         capped.select(col("__i").as("ia"), col("__k")).join(w, "__k")
     }
     left
-      .join(capped.select(col("__i").as("ib"), col("__k")), "__k")
+      .join(capped.select(col("__i").as("ib"), col("__k"))
+        .hint("shuffle_hash"), "__k")
       .filter(col("ia") < col("ib"))
       .groupBy("ia", "ib")
       .agg(count(lit(1)).as("shared"),

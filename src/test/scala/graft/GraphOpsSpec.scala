@@ -110,6 +110,25 @@ class GraphOpsSpec extends AnyFunSuite {
       Set(("x", "y")))
   }
 
+  test("pairFold plans a shuffled-hash join (never auto-broadcast or SMJ)") {
+    // deliberate strategy pin (guide §3.1, measured 26.5 → 20.5 s on
+    // the 7-query fold family): unhinted, the fold's build side
+    // auto-BROADCASTS whenever its static estimate dips under the
+    // threshold (a corpus-derived frame — the mis-estimate hazard at
+    // scale) and sort-merges past it (worst case for a maximally-
+    // duplicate-key self-join). The hint pins the partitioned hash
+    // build at every size. Pre-AQE physical plan (the hint resolves
+    // at planning; AQE never demotes SHJ).
+    import spark.implicits._
+    val rel = Seq("x" -> "k1", "y" -> "k1", "z" -> "k2").toDF("item", "k")
+    val plan = GraphOps.coOccurrenceEdges(rel, "item", "k", minShared = 1L)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"fold self-join lost its shuffled-hash pin:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"fold self-join regressed to sort-merge:\n$plan")
+  }
+
   test("coOccurrenceEdges maxKeyDegree drops hot keys, bounding the fold") {
     import spark.implicits._
     // khot touches 40 items (Σ deg² blowup candidate: 780 pairs);
