@@ -14,6 +14,35 @@ class QueryCachesSpec extends AnyFunSuite {
 
   lazy val spark = TestSpark.spark
 
+  test("withQueryConf: set confs survive until releaseAll, then restore") {
+    val key = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    val key2 = "spark.sql.adaptive.coalescePartitions.minPartitionNum"
+    val before = spark.conf.get(key)
+    assert(spark.conf.getOption(key2).isEmpty, "test precondition")
+    QueryCaches.withQueryConf(spark,
+      key -> (!before.toBoolean).toString, key2 -> "7")
+    // live during the "query's execution" window (until releaseAll)
+    assert(spark.conf.get(key) == (!before.toBoolean).toString)
+    assert(spark.conf.get(key2) == "7")
+    QueryCaches.releaseAll()
+    // pre-query value restored; a key that had NO value is unset again
+    assert(spark.conf.get(key) == before)
+    assert(spark.conf.getOption(key2).isEmpty,
+      "unset-before key must be unset after releaseAll, not left behind")
+  }
+
+  test("localCheckpoint: blocks are dropped deterministically by releaseAll") {
+    import spark.implicits._
+    val df = QueryCaches.localCheckpoint(
+      (0L until 100L).toDF("id"), eager = true)
+    assert(df.count() == 100L)
+    val rddIds = spark.sparkContext.getPersistentRDDs.keySet
+    QueryCaches.releaseAll()
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((rddIds -- after).nonEmpty,
+      "releaseAll dropped no checkpoint RDD blocks")
+  }
+
   test("ledger-tracked persists are reclaimed by releaseAll") {
     import spark.implicits._
     val df = (0L until 100L).toDF("id")
